@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** J2/J3 — idempotent-send dedup, plus exact record dedup.
+  *
+  * Reference: before enqueuing, probe the sent-message ledger by
+  * (fileName, msgId) and skip if present (AzureTaskProducer/
+  * inventory_lib.py:146-162); msgId = md5(endpoint+name+eventType)
+  * (inventory_lib.py:74).
+  *
+  * Scale notes: the anti-join broadcasts when the sent-ledger is small
+  * (Spark does this automatically under the broadcast threshold);
+  * otherwise it is a shuffled hash join on msgId — the ledger should be
+  * stored partitioned by msgId prefix so the probe is co-located.
+  */
+object Dedup {
+
+  /** Skip tasks whose (fileName,msgId) already appears in the sent ledger. */
+  def antiJoin(tasks: DataFrame, sentLedger: DataFrame,
+               keys: Seq[String] = Seq("fileName", "msgId")): DataFrame =
+    tasks.join(sentLedger.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Attach the deterministic message id column. */
+  def withMsgId(df: DataFrame, endpoint: Column, name: Column, eventType: Column): DataFrame =
+    df.withColumn("msg_id", Fns.msgId(endpoint, name, eventType))
+
+  /** Exact dedup: keep one representative row per value of `keyCols`,
+    * choosing the minimum of `tieBreak` (deterministic, unlike
+    * dropDuplicates). One shuffle on the dedup key. */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
+    val others = df.columns.filterNot(keyCols.contains).toSeq
+    // min_by over the tie-break keeps the whole representative row without
+    // a window sort; single hash aggregate.
+    val aggs = others.map(c => min_by(col(c), col(tieBreak)).as(c))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(df.columns.map(col): _*)
+  }
+}

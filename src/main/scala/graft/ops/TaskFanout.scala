@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fan-out / fan-in of task messages — SURVEY.md §2.10(5), K1.
+  *
+  * Reference: ListProducer packs ≤100 inventory records per SQS message
+  * (message_body_max_num at ListProducer.py:17, batching :109-118) into
+  * one of N queues picked at random (:111-118); TaskExecutor unpacks the
+  * JSON array back into per-object actions (TaskExecutor.py:47-53).
+  *
+  * Engine form: deterministic queue routing (hash-mod instead of random —
+  * reproducible and uniformly balanced), batch key = row_number within
+  * queue div batchSize, message body = to_json(collect_list(struct)).
+  * Unpack = explode(from_json(...)): a lossless round trip.
+  *
+  * Scale: the window is partitioned BY QUEUE, so each queue's numbering
+  * is an independent partition-local sort — with N queues sized to the
+  * cluster (reference runs up to 100), no single-partition bottleneck.
+  */
+object TaskFanout {
+
+  /** Assign queue + batch ids. `routeKey` must be non-null; `orderKeys`
+    * must be a unique ordering within each queue (determinism). */
+  def withBatchKeys(df: DataFrame, routeKey: Column, orderKeys: Seq[Column],
+                    queues: Int, batchSize: Int): DataFrame = {
+    val w = Window.partitionBy(col("queue")).orderBy(orderKeys: _*)
+    df.withColumn("queue", pmod(routeKey.cast("bigint"), lit(queues.toLong)).cast("int"))
+      .withColumn("batch_id", ((row_number().over(w) - 1) / batchSize).cast("bigint"))
+  }
+
+  /** Pack: one row per (queue, batch) with the JSON message body. */
+  def pack(df: DataFrame, routeKey: Column, orderKeys: Seq[Column],
+           queues: Int, batchSize: Int): DataFrame = {
+    val payloadCols = df.columns.map(col)
+    withBatchKeys(df, routeKey, orderKeys, queues, batchSize)
+      .groupBy(col("queue"), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_objects"),
+        to_json(array_sort(collect_list(struct(payloadCols: _*)))).as("body"))
+  }
+
+  /** Unpack: explode a JSON-array message body back into typed rows. */
+  def unpack(messages: DataFrame, body: Column,
+             elementSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    messages
+      .withColumn("action", explode(from_json(body, ArrayType(elementSchema))))
+      .select(col("queue"), col("batch_id"), col("action.*"))
+  }
+}
