@@ -48,27 +48,32 @@ object Fns {
   def s3Key(uri: Column): Column =
     regexp_extract(uri, "^s3://([^/]+)/(.*)$", 2)
 
-  /** F12 — 1000-based byte humanization with 1 decimal
-    * (UICenter common.js:75-93; BytesConverterNumber=1000). */
+  /** F12 — 1000-based byte humanization, reference-exact
+    * (UICenter common.js:75-93 getNumberAndUnitFromBytes;
+    * BytesConverterNumber=1000 from install.py:330).
+    *
+    * Semantics: scan units PB→KB; promote to unit i when
+    * round(b/1000^i, 1) >= 1 (i.e. the threshold applies to the ROUNDED
+    * value, so 999,950 B renders "1.0MB"); render with exactly one
+    * decimal. Below every unit, fall through to raw integer bytes with
+    * NO decimal ("500B"). round(x,1) is HALF_UP in Spark, matching JS
+    * Math.round(x*10)/10 for positive inputs. */
   def humanBytes(bytes: Column): Column = {
     val units = Seq("B", "KB", "MB", "GB", "TB", "PB")
     val b = bytes.cast("double")
-    // round() before format: printf-style rounding of a raw double is
-    // rounding-mode-dependent across runtimes; round(x,1) is HALF_UP
-    // everywhere, so the formatted digit is already settled.
-    units.zipWithIndex.foldRight(lit(null).cast("string")) {
-      case ((u, i), acc) =>
-        val scale = math.pow(1000.0, i.toDouble)
-        val cond =
-          if (i == 0) b < 1000.0
-          else if (i == units.size - 1) b >= scale
-          else b >= scale && b < scale * 1000.0
-        when(cond, concat(format_string("%.1f", round(b / scale, 1)), lit(u))).otherwise(acc)
+    val fallthrough = concat(bytes.cast("bigint").cast("string"), lit("B"))
+    // foldLeft builds inside-out: iterate KB→PB so PB lands outermost,
+    // giving the reference's PB→KB check order.
+    (1 to 5).foldLeft(fallthrough) { (acc, i) =>
+      val r = round(b / math.pow(1000.0, i.toDouble), 1)
+      when(r >= 1.0, concat(format_string("%.1f", r), lit(units(i)))).otherwise(acc)
     }
   }
 
-  /** F13 — long parse with null on garbage (largeInventoryDiffToSQS.py:106-111). */
-  def safeLong(c: Column): Column = c.cast("bigint")
+  /** F13 — long parse with null on garbage (largeInventoryDiffToSQS.py:106-111).
+    * Spark 4 defaults to ANSI mode where a plain cast of a malformed
+    * string THROWS; try_cast yields null instead, in every ANSI setting. */
+  def safeLong(c: Column): Column = c.try_cast("bigint")
 
   /** F15 — deterministic queue pick: `key mod n`, rendered `prefix-%03d`
     * (ListProducer.py:111-118 uses random; the engine replaces the random

@@ -24,44 +24,79 @@ object MultipartEtag {
   private def hex(b: Array[Byte]): String =
     b.map("%02x".format(_)).mkString
 
-  /** Reference-exact scalar implementation (used by the UDF and tests). */
-  def etagOf(bytes: Array[Byte], partSize: Int): String = {
+  /** Reference-exact scalar implementation (used by the UDF and tests).
+    *
+    * @param isMultipart whether the object was originally uploaded via
+    *   multipart upload. The reference branches on this flag
+    *   (etag_app.py:116-124 via is_multipart_upload from PartsCount at
+    *   :68-91): a multipart upload of a SINGLE part still gets the
+    *   digest-of-digests form `hex(md5(md5(part))) + "-1"`, not the plain
+    *   md5 — without the flag, real S3 "-1" ETags report false mismatches.
+    *   When false, the object is single-PUT regardless of size relative
+    *   to partSize, giving the plain md5 hex. */
+  def etagOf(bytes: Array[Byte], partSize: Int, isMultipart: Boolean): String = {
     require(partSize > 0, "partSize must be positive")
-    if (bytes.length <= partSize) hex(md5Bytes(bytes))
+    if (!isMultipart) hex(md5Bytes(bytes))
     else {
-      val parts = bytes.grouped(partSize).toArray
+      val parts =
+        if (bytes.isEmpty) Array(Array.empty[Byte])
+        else bytes.grouped(partSize).toArray
       val digests = parts.flatMap(md5Bytes)
       hex(md5Bytes(digests)) + "-" + parts.length
     }
   }
 
+  /** Size-inferred convenience: treats objects larger than one part as
+    * multipart (the common case when no upload metadata is available). */
+  def etagOf(bytes: Array[Byte], partSize: Int): String =
+    etagOf(bytes, partSize, isMultipart = bytes.length > partSize)
+
   /** Column form: multipart etag of a binary column with the given part
     * size. Whole object bytes must fit in one row (S3 parts are ≤5 GiB;
     * at 100 TB scale the per-part digests are computed where the parts
-    * are read — see [[graft.ops.Verification]] for the ranged-read form). */
+    * are read — see the ranged-read aggregation form below).
+    * @param isMultipart column marking objects uploaded via multipart
+    *   (S3 inventory's IsMultipartUploaded flag) */
+  def multipartEtag(data: Column, partSize: Int, isMultipart: Column): Column = {
+    val f = udf((b: Array[Byte], m: Boolean) =>
+      if (b == null) null else etagOf(b, partSize, m))
+    f(data, coalesce(isMultipart, lit(false)))
+  }
+
   def multipartEtag(data: Column, partSize: Int): Column = {
     val f = udf((b: Array[Byte]) => if (b == null) null else etagOf(b, partSize))
     f(data)
   }
 
   /** Aggregation form for when parts arrive as rows `(partNumber, partMd5)`:
-    * final = hex(md5(concat(digests ordered by partNumber))) + "-" + n,
-    * or plain single digest when n == 1. The ordered digest-concat is an
-    * `array_sort(collect_list(struct(...)))` — shuffle-free beyond the
-    * groupBy, and each group's state is 16·N bytes, not the object bytes. */
-  def etagFromPartDigests(partNum: Column, partMd5Hex: Column): Column = {
+    * final = hex(md5(concat(digests ordered by partNumber))) + "-" + n.
+    * The ordered digest-concat is an `array_sort(collect_list(struct(...)))`
+    * — shuffle-free beyond the groupBy, and each group's state is 16·N
+    * bytes, not the object bytes.
+    *
+    * @param isMultipart any-value-per-group column: when true, a 1-part
+    *   group still gets the digest-of-digests `...-1` form (matching the
+    *   reference's branch on the multipart flag, etag_app.py:116-124);
+    *   when false a single part yields its plain digest. */
+  def etagFromPartDigests(partNum: Column, partMd5Hex: Column,
+                          isMultipart: Column): Column = {
     val digestsOrdered = transform(
       array_sort(collect_list(struct(partNum.as("n"), partMd5Hex.as("d")))),
       s => s.getField("d"))
-    val finish = udf { hexes: Seq[String] =>
+    val finish = udf { (hexes: Seq[String], multi: Boolean) =>
       if (hexes == null || hexes.isEmpty) null
-      else if (hexes.size == 1) hexes.head
+      else if (hexes.size == 1 && !multi) hexes.head
       else {
         val raw = hexes.toArray.flatMap(h =>
           h.grouped(2).map(Integer.parseInt(_, 16).toByte))
         hex(md5Bytes(raw)) + "-" + hexes.size
       }
     }
-    finish(digestsOrdered)
+    finish(digestsOrdered, coalesce(first(isMultipart, ignoreNulls = true), lit(true)))
   }
+
+  /** Back-compat overload: parts-as-rows are assumed to come from a
+    * multipart upload only when there is more than one part. */
+  def etagFromPartDigests(partNum: Column, partMd5Hex: Column): Column =
+    etagFromPartDigests(partNum, partMd5Hex, lit(false))
 }

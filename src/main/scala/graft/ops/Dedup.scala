@@ -29,15 +29,21 @@ object Dedup {
     df.withColumn("msg_id", Fns.msgId(endpoint, name, eventType))
 
   /** Exact dedup: keep one representative row per value of `keyCols`,
-    * choosing the minimum of `tieBreak` (deterministic, unlike
-    * dropDuplicates). One shuffle on the dedup key. */
+    * choosing the row with the minimum `tieBreak` (deterministic, unlike
+    * dropDuplicates). One shuffle on the dedup key.
+    *
+    * The whole row is selected ATOMICALLY — a single
+    * `min_by(struct(allCols), struct(tieBreak, allCols))` — so even when
+    * `tieBreak` is not unique within a key group, all output columns come
+    * from the same input row (the full-row struct breaks remaining ties
+    * totally, keeping the result deterministic). Per-column independent
+    * min_by would stitch a frankenrow from different tied rows. */
   def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
-    val others = df.columns.filterNot(keyCols.contains).toSeq
-    // min_by over the tie-break keeps the whole representative row without
-    // a window sort; single hash aggregate.
-    val aggs = others.map(c => min_by(col(c), col(tieBreak)).as(c))
+    val all = df.columns.toSeq
     df.groupBy(keyCols.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(df.columns.map(col): _*)
+      .agg(min_by(
+        struct(all.map(col): _*),
+        struct(col(tieBreak) +: all.map(col): _*)).as("_rep"))
+      .select(all.map(c => col(s"_rep.$c").as(c)): _*)
   }
 }

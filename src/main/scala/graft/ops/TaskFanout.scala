@@ -31,15 +31,30 @@ object TaskFanout {
       .withColumn("batch_id", ((row_number().over(w) - 1) / batchSize).cast("bigint"))
   }
 
-  /** Pack: one row per (queue, batch) with the JSON message body. */
+  /** Pack: one row per (queue, batch) with the JSON message body.
+    *
+    * Intra-message order follows `orderKeys` — the same ordering used for
+    * batch assignment — matching the reference's inventory-file order
+    * (ListProducer.py:109-118 appends in scan order). The sort key is an
+    * explicit comparator over the orderKeys struct only, so the payload
+    * may contain unorderable types (maps) and never influences order. */
   def pack(df: DataFrame, routeKey: Column, orderKeys: Seq[Column],
            queues: Int, batchSize: Int): DataFrame = {
     val payloadCols = df.columns.map(col)
-    withBatchKeys(df, routeKey, orderKeys, queues, batchSize)
+    val tagged = withBatchKeys(df, routeKey, orderKeys, queues, batchSize)
+    val okStruct = struct(orderKeys: _*)
+    val collected = collect_list(struct(okStruct.as("o"), struct(payloadCols: _*).as("p")))
+    val ordered = transform(
+      array_sort(collected, (l, r) =>
+        when(l.getField("o") < r.getField("o"), -1)
+          .when(l.getField("o") > r.getField("o"), 1)
+          .otherwise(0)),
+      s => s.getField("p"))
+    tagged
       .groupBy(col("queue"), col("batch_id"))
       .agg(
         count(lit(1)).as("n_objects"),
-        to_json(array_sort(collect_list(struct(payloadCols: _*)))).as("body"))
+        to_json(ordered).as("body"))
   }
 
   /** Unpack: explode a JSON-array message body back into typed rows. */
