@@ -1,0 +1,439 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{Fns, MultipartEtag}
+import graft.ops._
+
+/** The declared query suite: every entry pairs a Spark DataFrame program
+  * (built from the graft.ops / graft.functions library) with an ANSI-SQL
+  * oracle the driver runs in DuckDB over the same parquet tables.
+  *
+  * Conventions keeping the hash-compare deterministic across engines:
+  *  - every aggregate / computed column is aliased identically on both
+  *    sides, and every query ends in a total-order ORDER BY;
+  *  - integer results are produced via floor()+cast (DuckDB's
+  *    double→int cast ROUNDS while Spark's truncates, so no bare casts);
+  *  - window orderings are total (the synthetic lineitem has duplicate
+  *    (l_orderkey, l_linenumber) pairs — partial orders would let the two
+  *    engines pick different rows).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is INT64 TIMESTAMP(NANOS): with
+    * spark.sql.legacy.parquet.nanosAsLong it reads as long nanos;
+    * without, as a timestamp. Normalize to epoch SECONDS (long) — both
+    * paths agree because bucket granularity is ≥ 1s. */
+  private def eventLog(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // `div` = integral division: nanos exceed 2^53, so a double `/` here
+    // would round second boundaries off by one.
+    val sec = ev.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000000")
+      case _        => col("ts").cast("bigint")
+    }
+    ev.select(
+      sec.as("sec"),
+      when(col("event_type") === "error", 0).otherwise(1).as("ok"),
+      floor(col("value") * 100).cast("bigint").as("size"))
+  }
+
+  /** Histogram thresholds scaled to the testdata price range (the
+    * reference's 1e6..5e9 byte thresholds would all-or-nothing here). */
+  private val histThresholds = Seq(1000L, 5000L, 10000L, 50000L, 100000L, 1000000L, 5000000L)
+  private def histOracleCols(sizeExpr: String): String =
+    histThresholds.map(th =>
+      s"CAST(sum(CASE WHEN $sizeExpr <= $th THEN 1 ELSE 0 END) AS BIGINT) AS sub_$th"
+    ).mkString(", ")
+
+  // ---------------------------------------------------------------- A1/A2
+  private def qSizeHistogram(s: SparkSession, dir: String): DataFrame =
+    SizeHistogram(
+      t(s, dir, "lineitem"),
+      floor(col("l_extendedprice")).cast("bigint"),
+      histThresholds)
+
+  private val oSizeHistogram =
+    s"""SELECT CAST(count(*) AS BIGINT) AS total_objects,
+       | CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS total_size,
+       | ${histOracleCols("CAST(floor(l_extendedprice) AS BIGINT)")}
+       |FROM lineitem""".stripMargin
+
+  private def qHistogramByFlag(s: SparkSession, dir: String): DataFrame =
+    SizeHistogram.byGroup(
+      t(s, dir, "lineitem"),
+      col("l_returnflag"),
+      floor(col("l_extendedprice")).cast("bigint"),
+      histThresholds)
+      .orderBy("l_returnflag")
+
+  private val oHistogramByFlag =
+    s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS total_objects,
+       | CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS total_size,
+       | ${histOracleCols("CAST(floor(l_extendedprice) AS BIGINT)")}
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------- J1
+  /** Two inventory snapshots simulated from orders: keys divisible by 7
+    * exist only in the new snapshot (New), by 5 only in the old (Delete),
+    * and keys divisible by 3 change size between snapshots (Update). */
+  private def qInventoryDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val old = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .select(
+        col("o_orderkey").as("key"),
+        floor(col("o_totalprice")).cast("bigint").as("size"),
+        col("o_orderstatus").as("status"))
+    val curr = orders.filter(col("o_orderkey") % 5 =!= 0)
+      .select(
+        col("o_orderkey").as("key"),
+        (floor(col("o_totalprice")).cast("bigint") +
+          when(col("o_orderkey") % 3 === 0, 1).otherwise(0)).as("size"),
+        col("o_orderstatus").as("status"))
+    InventoryDiff(old, curr, "key", Seq("size", "status")).orderBy("key")
+  }
+
+  private val oInventoryDiff =
+    """WITH old AS (
+      |  SELECT o_orderkey AS key, CAST(floor(o_totalprice) AS BIGINT) AS size,
+      |         o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |curr AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(floor(o_totalprice) AS BIGINT)
+      |           + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS size,
+      |         o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT coalesce(o.key, c.key) AS key,
+      |       o.size AS old_size, o.status AS old_status,
+      |       c.size AS new_size, c.status AS new_status,
+      |       CASE WHEN o.key IS NULL THEN 'New'
+      |            WHEN c.key IS NULL THEN 'Delete'
+      |            WHEN o.size IS DISTINCT FROM c.size
+      |              OR o.status IS DISTINCT FROM c.status THEN 'Update'
+      |            ELSE 'Same' END AS variance
+      |FROM old o FULL OUTER JOIN curr c ON o.key = c.key
+      |WHERE NOT (o.key IS NOT NULL AND c.key IS NOT NULL
+      |           AND o.size IS NOT DISTINCT FROM c.size
+      |           AND o.status IS NOT DISTINCT FROM c.status)
+      |ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------- J2/J3
+  private val liCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "lineitem"), Seq("l_orderkey"), "l_linenumber")
+      .orderBy("l_orderkey")
+
+  /** Oracle mirrors Dedup.exact's atomic min_by(struct(all),
+    * struct(tieBreak, allCols-in-df-order)) total order. */
+  private val oDedupExact = {
+    val fullOrder = ("l_linenumber" +: liCols).mkString(", ")
+    s"""SELECT * FROM lineitem
+       |QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY $fullOrder) = 1
+       |ORDER BY l_orderkey""".stripMargin
+  }
+
+  private def qDedupAnti(s: SparkSession, dir: String): DataFrame = {
+    val tasks = t(s, dir, "lineitem")
+      .withColumn("msg_id", md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))))
+    val ledger = tasks.filter(col("l_suppkey") % 10 === 0).select("msg_id")
+    Dedup.antiJoin(tasks, ledger, Seq("msg_id"))
+      .orderBy(col("msg_id") +: liCols.map(col): _*)
+  }
+
+  private val oDedupAnti = {
+    val order = ("msg_id" +: liCols).mkString(", ")
+    s"""WITH tasks AS (
+       |  SELECT l.*, md5(concat_ws('|', l_orderkey, l_linenumber)) AS msg_id
+       |  FROM lineitem l),
+       |ledger AS (SELECT DISTINCT msg_id FROM tasks WHERE l_suppkey % 10 = 0)
+       |SELECT * FROM tasks t
+       |WHERE NOT EXISTS (SELECT 1 FROM ledger g WHERE g.msg_id = t.msg_id)
+       |ORDER BY $order""".stripMargin
+  }
+
+  // ------------------------------------------------------------- K1 / F15
+  private def qTaskFanout(s: SparkSession, dir: String): DataFrame = {
+    val objs = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_extendedprice")).cast("bigint").as("size"))
+    TaskFanout.withBatchKeys(
+        objs, col("l_orderkey"),
+        Seq(col("l_orderkey"), col("l_linenumber"), col("size")),
+        queues = 8, batchSize = 100)
+      .groupBy("queue", "batch_id")
+      .agg(
+        count(lit(1)).as("n_objects"),
+        sum("size").cast("bigint").as("batch_bytes"),
+        min("l_orderkey").as("min_key"),
+        max("l_orderkey").as("max_key"))
+      .orderBy("queue", "batch_id")
+  }
+
+  private val oTaskFanout =
+    """WITH objs AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(floor(l_extendedprice) AS BIGINT) AS size,
+      |         CAST(l_orderkey % 8 AS INT) AS queue
+      |  FROM lineitem),
+      |keyed AS (
+      |  SELECT *, (row_number() OVER (
+      |      PARTITION BY queue ORDER BY l_orderkey, l_linenumber, size) - 1) // 100
+      |    AS batch_id
+      |  FROM objs)
+      |SELECT queue, CAST(batch_id AS BIGINT) AS batch_id,
+      |       CAST(count(*) AS BIGINT) AS n_objects,
+      |       CAST(sum(size) AS BIGINT) AS batch_bytes,
+      |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+      |FROM keyed GROUP BY queue, batch_id ORDER BY queue, batch_id""".stripMargin
+
+  // ------------------------------------------------------------ A5 family
+  private val oEventLog =
+    """SELECT (epoch_ns(ts) // 1000000000) AS sec,
+      |       CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS ok,
+      |       CAST(floor(value * 100) AS BIGINT) AS size
+      |FROM events""".stripMargin
+
+  private val oStatMinuteBody =
+    """SELECT (sec // 60) * 60 AS start_time,
+      | CAST(sum(CASE WHEN ok = 1 THEN size ELSE 0 END) AS BIGINT) AS success_size,
+      | CAST(sum(CASE WHEN ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS success_num,
+      | CAST(sum(CASE WHEN ok = 0 THEN size ELSE 0 END) AS BIGINT) AS failed_size,
+      | CAST(sum(CASE WHEN ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS failed_num,
+      | 1 AS time_unit
+      |FROM log GROUP BY 1""".stripMargin
+
+  private def qStatMinute(s: SparkSession, dir: String): DataFrame =
+    TimeBucketStats.bucketize(eventLog(s, dir), col("sec"), col("ok"), col("size"), 60)
+      .orderBy("start_time")
+
+  private val oStatMinute =
+    s"""WITH log AS ($oEventLog)
+       |$oStatMinuteBody ORDER BY start_time""".stripMargin
+
+  private def qStatTable(s: SparkSession, dir: String): DataFrame =
+    TimeBucketStats.statTable(eventLog(s, dir), col("sec"), col("ok"), col("size"))
+      .orderBy("time_unit", "start_time")
+
+  private val oStatTable =
+    s"""WITH log AS ($oEventLog),
+       |m1 AS ($oStatMinuteBody)
+       |SELECT time_unit, start_time, success_size, success_num, failed_size, failed_num
+       |FROM (
+       |  SELECT * FROM m1
+       |  UNION ALL
+       |  SELECT (start_time // 300) * 300 AS start_time,
+       |    CAST(sum(success_size) AS BIGINT) AS success_size,
+       |    CAST(sum(success_num) AS BIGINT) AS success_num,
+       |    CAST(sum(failed_size) AS BIGINT) AS failed_size,
+       |    CAST(sum(failed_num) AS BIGINT) AS failed_num,
+       |    5 AS time_unit
+       |  FROM m1 GROUP BY 1
+       |  UNION ALL
+       |  SELECT (start_time // 3600) * 3600 AS start_time,
+       |    CAST(sum(success_size) AS BIGINT) AS success_size,
+       |    CAST(sum(success_num) AS BIGINT) AS success_num,
+       |    CAST(sum(failed_size) AS BIGINT) AS failed_size,
+       |    CAST(sum(failed_num) AS BIGINT) AS failed_num,
+       |    60 AS time_unit
+       |  FROM m1 GROUP BY 1)
+       |ORDER BY time_unit, start_time""".stripMargin
+
+  private def qWatermarks(s: SparkSession, dir: String): DataFrame =
+    TimeBucketStats.watermarks(eventLog(s, dir), col("sec"), col("ok"))
+      .orderBy("status")
+
+  private val oWatermarks =
+    s"""WITH log AS ($oEventLog)
+       |SELECT ok AS status, min(sec) AS min_ts, max(sec) AS max_ts,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM log GROUP BY ok ORDER BY status""".stripMargin
+
+  private def qProgress(s: SparkSession, dir: String): DataFrame =
+    TimeBucketStats.progress(
+      TimeBucketStats.statTable(eventLog(s, dir), col("sec"), col("ok"), col("size")))
+
+  private val oProgress =
+    s"""WITH log AS ($oEventLog),
+       |m1 AS ($oStatMinuteBody)
+       |SELECT CAST(sum(success_size) AS BIGINT) AS total_success_size,
+       |       CAST(sum(success_num) AS BIGINT) AS total_success_num,
+       |       CAST(sum(failed_size) AS BIGINT) AS total_failed_size,
+       |       CAST(sum(failed_num) AS BIGINT) AS total_failed_num,
+       |       (max(start_time) - min(start_time)) // 60 + 1 AS elapsed_minutes,
+       |       CAST(floor(CAST(sum(success_size) AS DOUBLE)
+       |         / ((max(start_time) - min(start_time)) // 60 + 1)) AS BIGINT)
+       |         AS bytes_per_minute
+       |FROM m1""".stripMargin
+
+  private def qMinuteSpine(s: SparkSession, dir: String): DataFrame = {
+    val stat = TimeBucketStats.statTable(eventLog(s, dir), col("sec"), col("ok"), col("size"))
+    // Tiny driver-side scalar to parameterize the spine start — the spine
+    // itself is a distributed range join, not a collect.
+    val start = stat.filter(col("time_unit") === 1)
+      .agg(min("start_time")).first().getLong(0)
+    TimeBucketStats.minuteSpine(stat, start, 60).orderBy("start_time")
+  }
+
+  private val oMinuteSpine =
+    s"""WITH log AS ($oEventLog),
+       |m1 AS ($oStatMinuteBody),
+       |lo AS (SELECT min(start_time) AS s FROM m1),
+       |spine AS (
+       |  SELECT s + 60 * x AS start_time
+       |  FROM lo, (SELECT unnest(generate_series(0, 59)) AS x))
+       |SELECT spine.start_time,
+       |       CAST(coalesce(m1.success_num, 0) AS BIGINT) AS success_num,
+       |       CAST(coalesce(m1.failed_num, 0) AS BIGINT) AS failed_num,
+       |       CAST(coalesce(m1.success_size, 0) AS BIGINT) AS success_size,
+       |       CAST(coalesce(m1.failed_size, 0) AS BIGINT) AS failed_size
+       |FROM spine LEFT JOIN m1 USING (start_time)
+       |ORDER BY start_time""".stripMargin
+
+  // ---------------------------------------------------------- F6 ISO time
+  private def qIsoFormat(s: SparkSession, dir: String): DataFrame =
+    TimeBucketStats.bucketize(eventLog(s, dir), col("sec"), col("ok"), col("size"), 3600)
+      .select(
+        col("start_time"),
+        Fns.isoUtc(timestamp_seconds(col("start_time"))).as("iso_time"))
+      .orderBy("start_time")
+
+  private val oIsoFormat =
+    s"""WITH log AS ($oEventLog)
+       |SELECT DISTINCT (sec // 3600) * 3600 AS start_time,
+       |  strftime(make_timestamp(((sec // 3600) * 3600) * 1000000),
+       |           '%Y-%m-%dT%H:%M:%SZ') AS iso_time
+       |FROM log ORDER BY start_time""".stripMargin
+
+  // -------------------------------------------------------- F1 url decode
+  private def qUrlDecode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      Fns.plusDecode(regexp_replace(col("p_name"), " ", "+")).as("decoded_plus"),
+      Fns.plusDecode(regexp_replace(col("p_name"), " ", "%20")).as("decoded_pct"))
+      .orderBy("p_partkey")
+
+  private val oUrlDecode =
+    """SELECT p_partkey, p_name AS decoded_plus, p_name AS decoded_pct
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------- F11 s3 uris
+  private def qS3Uri(s: SparkSession, dir: String): DataFrame = {
+    val withUri = t(s, dir, "part").withColumn("uri",
+      format_string("s3://bkt-%d/%s/part-%d", pmod(col("p_partkey"), lit(5)),
+        col("p_brand"), col("p_partkey")))
+    withUri.select(
+      col("p_partkey"), col("uri"),
+      Fns.s3Bucket(col("uri")).as("bucket"),
+      Fns.s3Key(col("uri")).as("key"))
+      .orderBy("p_partkey")
+  }
+
+  private val oS3Uri =
+    """WITH u AS (
+      |  SELECT p_partkey,
+      |         printf('s3://bkt-%d/%s/part-%d', p_partkey % 5, p_brand, p_partkey) AS uri
+      |  FROM part)
+      |SELECT p_partkey, uri,
+      |       regexp_extract(uri, '^s3://([^/]+)/(.*)$', 1) AS bucket,
+      |       regexp_extract(uri, '^s3://([^/]+)/(.*)$', 2) AS key
+      |FROM u ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------ F12 human bytes
+  private def qHumanBytes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      floor(col("o_totalprice") * 1000).cast("bigint").as("b"))
+      .withColumn("human", Fns.humanBytes(col("b")))
+      .withColumn("human_small", Fns.humanBytes(col("o_orderkey")))
+      .orderBy("o_orderkey")
+
+  private val oHumanBytes = {
+    def cases(v: String): String = {
+      val units = Seq("PB" -> "1e15", "TB" -> "1e12", "GB" -> "1e9", "MB" -> "1e6", "KB" -> "1e3")
+      val whens = units.map { case (u, sc) =>
+        s"WHEN round($v/$sc, 1) >= 1 THEN printf('%.1f', round($v/$sc, 1)) || '$u'"
+      }.mkString(" ")
+      s"CASE $whens ELSE CAST($v AS VARCHAR) || 'B' END"
+    }
+    s"""WITH t AS (
+       |  SELECT o_orderkey, CAST(floor(o_totalprice * 1000) AS BIGINT) AS b
+       |  FROM orders)
+       |SELECT o_orderkey, b, ${cases("b")} AS human,
+       |       ${cases("o_orderkey")} AS human_small
+       |FROM t ORDER BY o_orderkey""".stripMargin
+  }
+
+  // ------------------------------------------------------ F15 queue names
+  private def qQueueName(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier").select(
+      col("s_suppkey"),
+      Fns.queueName(lit("task-queue"), col("s_suppkey"), 16).as("queue_name"))
+      .orderBy("s_suppkey")
+
+  private val oQueueName =
+    """SELECT s_suppkey,
+      |       printf('%s-%03d', 'task-queue', s_suppkey % 16 + 1) AS queue_name
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------- F7 etag (single-part
+  // oracle only: DuckDB 1.0 has no md5 over BLOB, so the digest-of-digests
+  // "-N" form is covered by ScalaTest golden tests instead)
+  private def qEtagSingle(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      MultipartEtag.multipartEtag(col("text").cast("binary"), 1 << 20).as("etag"))
+      .orderBy("doc_id")
+
+  private val oEtagSingle =
+    """SELECT doc_id, md5(text) AS etag FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ api
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_size_histogram" -> (qSizeHistogram _),
+    "q02_histogram_by_flag" -> (qHistogramByFlag _),
+    "q03_inventory_diff" -> (qInventoryDiff _),
+    "q04_dedup_exact" -> (qDedupExact _),
+    "q05_dedup_anti" -> (qDedupAnti _),
+    "q06_task_fanout" -> (qTaskFanout _),
+    "q07_stat_minute" -> (qStatMinute _),
+    "q08_stat_table" -> (qStatTable _),
+    "q09_watermarks" -> (qWatermarks _),
+    "q10_progress" -> (qProgress _),
+    "q11_minute_spine" -> (qMinuteSpine _),
+    "q12_iso_format" -> (qIsoFormat _),
+    "q13_url_decode" -> (qUrlDecode _),
+    "q14_s3_uri" -> (qS3Uri _),
+    "q15_human_bytes" -> (qHumanBytes _),
+    "q16_queue_name" -> (qQueueName _),
+    "q17_etag_single" -> (qEtagSingle _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_size_histogram" -> oSizeHistogram,
+    "q02_histogram_by_flag" -> oHistogramByFlag,
+    "q03_inventory_diff" -> oInventoryDiff,
+    "q04_dedup_exact" -> oDedupExact,
+    "q05_dedup_anti" -> oDedupAnti,
+    "q06_task_fanout" -> oTaskFanout,
+    "q07_stat_minute" -> oStatMinute,
+    "q08_stat_table" -> oStatTable,
+    "q09_watermarks" -> oWatermarks,
+    "q10_progress" -> oProgress,
+    "q11_minute_spine" -> oMinuteSpine,
+    "q12_iso_format" -> oIsoFormat,
+    "q13_url_decode" -> oUrlDecode,
+    "q14_s3_uri" -> oS3Uri,
+    "q15_human_bytes" -> oHumanBytes,
+    "q16_queue_name" -> oQueueName,
+    "q17_etag_single" -> oEtagSingle
+  )
+}
