@@ -396,6 +396,266 @@ object Queries {
   private val oEtagSingle =
     """SELECT doc_id, md5(text) AS etag FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===================================================================
+  // LLM-training-data pipeline operators (dedup / similarity / text /
+  // multimodal) over the documents + embeddings tables.
+  // ===================================================================
+
+  // ------------------------------------------- exact dedup by fingerprint
+  private def qFingerprintDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("canonical"), count(lit(1)).as("n_docs"))
+      .orderBy("fingerprint")
+
+  private val oFingerprintDedup =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+      |       min(doc_id) AS canonical, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- token/quality stats
+  private def qTokenStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityStats(t(s, dir, "documents"), col("text"))
+      .select(
+        col("doc_id"),
+        col("n_chars_q").cast("bigint").as("n_chars_q"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"))
+      .orderBy("doc_id")
+
+  private val oTokenStats =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents)
+      |SELECT doc_id, length(text) AS n_chars_q, len(toks) AS n_tokens,
+      |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |    / len(toks) AS avg_token_len,
+      |  CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS punct_ratio,
+      |  CAST(len(list_filter(toks, x -> x IN
+      |    ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+      |    / len(toks) AS stopword_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- language ID
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(s, dir, "documents"), col("text"))
+      .select(
+        col("doc_id") +:
+        TextAnalysis.StopwordProfiles.map { case (l, _) =>
+          col(s"score_$l").cast("bigint").as(s"score_$l") } :+
+        col("lang_pred"): _*)
+      .orderBy("doc_id")
+
+  private val oLangId = {
+    val lists = TextAnalysis.StopwordProfiles.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS score_$l"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.StopwordProfiles.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val conds = langs.zipWithIndex.collect { case (o, j) if j != i =>
+        if (j < i) s"score_$l > score_$o" else s"score_$l >= score_$o"
+      }
+      s"WHEN score_$l > 0 AND ${conds.mkString(" AND ")} THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |  $lists
+       |FROM t)
+       |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  CASE $cases
+       |    ELSE 'unknown' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------- word-bigram Jaccard pairs
+  private val oBigramsExpr =
+    """CASE WHEN len(toks) >= 2
+      | THEN list_distinct([toks[i] || ' ' || toks[i+1]
+      |                     for i in generate_series(1, len(toks)-1)])
+      | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("bigrams", ApproxDedup.wordNgrams(col("text"), 2))
+    ApproxDedup.jaccardPairs(docs, "doc_id", "source", "bigrams", 0.0)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val oJaccardPairs =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, source, $oBigramsExpr AS bg FROM t)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+       |    / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) AS jac
+       |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------- MinHash + LSH
+  private val MhK = 16
+  private val MhBands = 8
+  private val MhRows = 2
+
+  private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("shingles", ApproxDedup.charShingles(col("text"), 3))
+    ApproxDedup.minhashLshPairs(docs, "doc_id", "shingles",
+        MhK, MhBands, MhRows, threshold = 0.0)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val oMinhashLsh = {
+    val shingles =
+      "list_distinct([substr(text, i, 3) for i in generate_series(1, length(text)-2)])"
+    val mins = (0 until MhK).map(i =>
+      s"min((h0 * ${2 * i + 1} + ${7919L * i}) % ${ApproxDedup.MinhashPrime}) AS mh_$i"
+    ).mkString(",\n   ")
+    val bandSelects = (0 until MhBands).map { b =>
+      val slice = (0 until MhRows).map(r => s"mh_${b * MhRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $slice)) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+       |sh AS (SELECT doc_id, unnest($shingles) AS s FROM d),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
+       |sig AS (SELECT doc_id,
+       |   $mins
+       |  FROM h GROUP BY doc_id),
+       |bk AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, $shingles AS st FROM d)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE)
+       |    / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) AS jac
+       |FROM cand
+       |JOIN sets sa ON sa.doc_id = cand.id_a
+       |JOIN sets sb ON sb.doc_id = cand.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------- SimHash
+  private val ShBits = 60
+
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    ApproxDedup.simhash(t(s, dir, "documents"), "doc_id", col("text"), ShBits)
+      .orderBy("doc_id")
+
+  private val oSimhash = {
+    val sums = (0 until ShBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs_$b"
+    ).mkString(",\n  ")
+    val fp = (0 until ShBits).map(b =>
+      s"CASE WHEN bs_$b > 0 THEN ${1L << b} ELSE 0 END"
+    ).mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |b AS (SELECT doc_id,
+       |  $sums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- cosine top-k (brute)
+  private val oCosine =
+    "list_dot_product(%A, %B) / (sqrt(list_dot_product(%A, %A)) * sqrt(list_dot_product(%B, %B)))"
+  private def cosSql(a: String, b: String): String =
+    oCosine.replace("%A", a).replace("%B", b)
+
+  private def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oCosineTopK =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |s AS (SELECT q.query_id, e.vec_id AS corpus_id,
+       |        round(${cosSql("qv", "v")}, 6) AS cos_sim
+       |      FROM q JOIN e ON e.vec_id <> q.query_id)
+       |SELECT query_id, rank, corpus_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank
+       |  FROM s)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------------ IVF top-k
+  private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "vec_id", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oIvfTopK =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT corpus_id, centroid_id, cv FROM (
+       |    SELECT e.vec_id AS corpus_id, cent.centroid_id, e.v AS cv,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.v", "centv")}, 6) DESC, centroid_id) AS r
+       |    FROM e CROSS JOIN cent)
+       |  WHERE r = 1),
+       |qa AS (SELECT corpus_id AS query_id, centroid_id, cv AS qv
+       |       FROM asg WHERE corpus_id < 5),
+       |s AS (SELECT qa.query_id, a.corpus_id,
+       |        round(${cosSql("qa.qv", "a.cv")}, 6) AS cos_sim
+       |      FROM asg a JOIN qa
+       |        ON a.centroid_id = qa.centroid_id AND a.corpus_id <> qa.query_id)
+       |SELECT query_id, rank, corpus_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank
+       |  FROM s)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------- embedding near-dup pairs
+  private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "label", "embedding", 0.3)
+      .orderBy("id_a", "id_b")
+
+  private val oEmbedNearDup =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------- multimodal metadata
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(s,
+        Multimodal.withPayload(t(s, dir, "documents"), "text"),
+        "doc_id", "payload")
+      .toDF()
+      .orderBy("doc_id")
+
+  private val oMultimodalMeta =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      |       CAST(length(text) % 640 AS BIGINT) AS fake_width,
+      |       CAST(length(text) % 480 AS BIGINT) AS fake_height,
+      |       CAST(length(text) // 1000 + 1 AS BIGINT) AS fake_frames,
+      |       md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -414,7 +674,17 @@ object Queries {
     "q14_s3_uri" -> (qS3Uri _),
     "q15_human_bytes" -> (qHumanBytes _),
     "q16_queue_name" -> (qQueueName _),
-    "q17_etag_single" -> (qEtagSingle _)
+    "q17_etag_single" -> (qEtagSingle _),
+    "q18_fingerprint_dedup" -> (qFingerprintDedup _),
+    "q19_token_stats" -> (qTokenStats _),
+    "q20_lang_id" -> (qLangId _),
+    "q21_jaccard_pairs" -> (qJaccardPairs _),
+    "q22_minhash_lsh" -> (qMinhashLsh _),
+    "q23_simhash" -> (qSimhash _),
+    "q24_cosine_topk" -> (qCosineTopK _),
+    "q25_ivf_topk" -> (qIvfTopK _),
+    "q26_embed_near_dup" -> (qEmbedNearDup _),
+    "q27_multimodal_meta" -> (qMultimodalMeta _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -434,6 +704,16 @@ object Queries {
     "q14_s3_uri" -> oS3Uri,
     "q15_human_bytes" -> oHumanBytes,
     "q16_queue_name" -> oQueueName,
-    "q17_etag_single" -> oEtagSingle
+    "q17_etag_single" -> oEtagSingle,
+    "q18_fingerprint_dedup" -> oFingerprintDedup,
+    "q19_token_stats" -> oTokenStats,
+    "q20_lang_id" -> oLangId,
+    "q21_jaccard_pairs" -> oJaccardPairs,
+    "q22_minhash_lsh" -> oMinhashLsh,
+    "q23_simhash" -> oSimhash,
+    "q24_cosine_topk" -> oCosineTopK,
+    "q25_ivf_topk" -> oIvfTopK,
+    "q26_embed_near_dup" -> oEmbedNearDup,
+    "q27_multimodal_meta" -> oMultimodalMeta
   )
 }

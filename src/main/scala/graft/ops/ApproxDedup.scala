@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines: character
+  * shingles, word n-grams, exact n-gram Jaccard, MinHash + LSH banding,
+  * and SimHash — all as declarative DataFrame programs.
+  *
+  * Scale design: per-document signature computation is a narrow map
+  * (explode → hash → groupBy doc, map-side combined). Candidate
+  * generation never compares all pairs: LSH bands shuffle on
+  * (band, bucket-hash) so only colliding documents meet, which is the
+  * only strategy that survives a 100 TB corpus. The exact-Jaccard pair
+  * join is for verification of candidates / small blocked domains.
+  *
+  * All hashes derive from md5 (32-bit hex prefixes) so results are
+  * deterministic and engine-portable — the DuckDB oracle reproduces
+  * them exactly; no JVM hashCode / murmur reliance.
+  */
+object ApproxDedup {
+
+  /** Large 33-bit prime for the affine MinHash permutations. */
+  val MinhashPrime = 4294967311L
+
+  /** Distinct character n-gram shingles of `text`. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array(text))
+
+  /** Distinct word n-grams (space-joined) of whitespace-tokenized text. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(text, "\\s+")
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays:
+    * |A∩B| / (|A| + |B| - |A∩B|), an exact int/int double division. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** All same-block pairs (idA < idB) with Jaccard >= threshold over a
+    * precomputed set column. The block column keeps the join from going
+    * quadratic: at scale, pass an LSH bucket as the block. */
+  def jaccardPairs(df: DataFrame, id: String, block: String, setCol: String,
+                   threshold: Double): DataFrame = {
+    val a = df.select(col(id).as("id_a"), col(block).as("blk"), col(setCol).as("set_a"))
+    val b = df.select(col(id).as("id_b"), col(block).as("blk"), col(setCol).as("set_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac", jaccard(col("set_a"), col("set_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Portable 32-bit base hash: the first 8 hex chars of md5. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("bigint")
+
+  /** Portable 60-bit hash: the first 15 hex chars of md5 (fits a signed
+    * 64-bit integer in every engine). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+  /** The i-th affine MinHash permutation of a 32-bit base hash. */
+  def minhashPerm(h: Column, i: Int): Column =
+    (h * (2 * i + 1) + 7919L * i) % MinhashPrime
+
+  /** MinHash signatures: one row per id with columns mh_0..mh_{k-1}.
+    * One explode + one map-side-combined groupBy of k mins — the raw
+    * text is scanned once regardless of k. */
+  def minhashSignature(df: DataFrame, id: String, setCol: String, k: Int): DataFrame = {
+    val h = hash32(col("_shingle"))
+    val aggs = (0 until k).map(i => min(minhashPerm(h, i)).as(s"mh_$i"))
+    df.select(col(id), explode(col(setCol)).as("_shingle"))
+      .groupBy(col(id))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a MinHash signature: k = bands * rowsPerBand;
+    * emits (id, band, bucket) where bucket = md5 of the band's slice.
+    * Documents sharing any (band, bucket) are near-dup candidates. */
+  def lshBuckets(sig: DataFrame, id: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val perBand = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      sig.select(
+        col(id),
+        lit(b).as("band"),
+        md5(concat_ws(",", slice: _*).cast("binary")).as("bucket"))
+    }
+    perBand.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs (idA < idB) colliding in at least one LSH band.
+    * The join shuffles on (band, bucket) — collision groups only. */
+  def lshCandidatePairs(sig: DataFrame, id: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = lshBuckets(sig, id, bands, rowsPerBand)
+    val a = buckets.select(col(id).as("id_a"), col("band"), col("bucket"))
+    val b = buckets.select(col(id).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** End-to-end MinHash-LSH near-dup pairs, candidates verified with
+    * exact Jaccard over the shingle sets. */
+  def minhashLshPairs(df: DataFrame, id: String, setCol: String,
+                      k: Int, bands: Int, rowsPerBand: Int,
+                      threshold: Double): DataFrame = {
+    require(bands * rowsPerBand == k, "k must equal bands*rowsPerBand")
+    val sig = minhashSignature(df, id, setCol, k)
+    val cand = lshCandidatePairs(sig, id, bands, rowsPerBand)
+    val sets = df.select(col(id), col(setCol))
+    cand
+      .join(sets.select(col(id).as("id_a"), col(setCol).as("set_a")), Seq("id_a"))
+      .join(sets.select(col(id).as("id_b"), col(setCol).as("set_b")), Seq("id_b"))
+      .withColumn("jac", jaccard(col("set_a"), col("set_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** 60-bit SimHash over whitespace tokens: bit b of the fingerprint is
+    * set when the sum over tokens of ±1 (by bit b of the token's 60-bit
+    * hash) is positive. One explode + one groupBy with 60 sums. */
+  def simhash(df: DataFrame, id: String, text: Column, bits: Int = 60): DataFrame = {
+    val h = hash60(col("_tok"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bs_$b")
+    }
+    val fp = (0 until bits).map { b =>
+      when(col(s"bs_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(id), explode(split(text, "\\s+")).as("_tok"))
+      .groupBy(col(id))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(id), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two SimHash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

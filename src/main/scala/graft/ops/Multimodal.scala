@@ -1,0 +1,68 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video ride through the
+  * engine as opaque `binary` payload columns plus typed metadata, with
+  * decode / feature-extraction running partition-wise on the executors.
+  *
+  * The Spark-side shape is real and tested — schema, partition-local
+  * batch iteration, typed output rows. The actual media decode is
+  * STUBBED (this environment has no image/audio codecs): `fakeDecode`
+  * derives deterministic pseudo-metadata from the payload bytes, and is
+  * the single function a real deployment replaces with an
+  * OpenCV/ffmpeg call. The surrounding plumbing (mapPartitions over a
+  * typed Dataset, per-partition codec init, columnar re-entry) is
+  * exactly what the real decoder would use.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      fake_width: Long,
+      fake_height: Long,
+      fake_frames: Long,
+      content_md5: String)
+
+  /** STUB decode — deterministic fake standing in for a codec call.
+    * Real deployments replace exactly this function. */
+  def fakeDecode(doc_id: Long, payload: Array[Byte], md: MessageDigest): MediaMeta = {
+    val n = payload.length.toLong
+    MediaMeta(
+      doc_id = doc_id,
+      n_bytes = n,
+      fake_width = n % 640,
+      fake_height = n % 480,
+      fake_frames = n / 1000 + 1,
+      content_md5 = md.digest(payload).map("%02x".format(_)).mkString)
+  }
+
+  /** Attach a binary payload column (here synthesized from text — the
+    * driver testdata has no media blobs; a real pipeline reads
+    * `binaryFile` sources or parquet binary columns directly). */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", col(textCol).cast("binary"))
+
+  /** Decode metadata partition-wise: one codec (here: MessageDigest)
+    * instance per partition, streaming iteration — the executor never
+    * materializes more than one payload row at a time beyond Spark's
+    * own batching. This is the pattern a real image/audio decoder
+    * plugs into. */
+  def decodeMeta(spark: SparkSession, media: DataFrame,
+                 idCol: String, payloadCol: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media
+      .select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5") // per-partition "codec" init
+        rows.map { r => md.reset(); fakeDecode(r.doc_id, r.payload, md) }
+      }
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, n-gram-heuristic language ID and
+  * document fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / filter / transform / aggregate) — no UDFs — so a 100 TB
+  * documents table streams through whole-stage codegen with map-side
+  * partial aggregation and zero shuffles for the per-document columns.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the BPE-ish regex variant is `tokensBy`). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Tokenize on a caller-supplied regex, e.g. a BPE-ish
+    * word/number/punct splitter. */
+  def tokensBy(text: Column, pattern: String): Column = split(text, pattern)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Language-ID stopword profiles (tiny n-gram heuristic: a document's
+    * language is argmax over per-language stopword hit counts). */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "del", "se", "las"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "das", "den", "von", "zu", "mit", "sich", "auf"))
+
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Per-document quality stats: char/token counts, average token
+    * length, punctuation ratio, English-stopword ratio. All ratios are
+    * exact int/int double divisions (engine-portable bit-for-bit). */
+  def qualityStats(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(lower(text))
+    df.withColumn("n_chars_q", length(text))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("avg_token_len",
+        aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+          .cast("double") / size(toks))
+      .withColumn("punct_ratio",
+        length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") / length(text))
+      .withColumn("stopword_ratio",
+        stopwordHits(toks, StopwordProfiles.head._2).cast("double") / size(toks))
+  }
+
+  /** Language ID: per-profile hit counts + argmax with a fixed
+    * profile-order tie-break; 'unknown' when nothing hits. */
+  def langId(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(lower(text))
+    val scored = StopwordProfiles.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang", stopwordHits(toks, words))
+    }
+    val scores = StopwordProfiles.map { case (lang, _) => col(s"score_$lang") }
+    val pred = StopwordProfiles.zipWithIndex.foldRight(lit("unknown")) {
+      case (((lang, _), i), acc) =>
+        val c = col(s"score_$lang")
+        val beatsAll = scores.zipWithIndex.collect { case (s, j) if j != i =>
+          if (j < i) c > s else c >= s
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        when(c > 0 && beatsAll, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercase, strip
+    * non-alphanumerics, collapse whitespace). Exact-dedup key robust to
+    * formatting/casing jitter. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+}
