@@ -479,32 +479,67 @@ object Queries {
       |                     for i in generate_series(1, len(toks)-1)])
       | ELSE [array_to_string(toks, ' ')] END""".stripMargin
 
+  /** Exact-Jaccard pairs inside a (source, lang) block — the blocked
+    * exact operator LSH replaces at scale; language-segregated blocks
+    * keep the pair count linear-ish in practice. */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+      .withColumn("blk", concat_ws("/", col("source"), col("lang")))
       .withColumn("bigrams", ApproxDedup.wordNgrams(col("text"), 2))
-    ApproxDedup.jaccardPairs(docs, "doc_id", "source", "bigrams", 0.0)
+    ApproxDedup.jaccardPairs(docs, "doc_id", "blk", "bigrams", 0.0)
       .orderBy("id_a", "id_b")
   }
 
   private val oJaccardPairs =
     s"""WITH t AS (
-       |  SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks
+       |  SELECT doc_id, source || '/' || lang AS blk,
+       |         string_split_regex(text, '\\s+') AS toks
        |  FROM documents),
-       |g AS (SELECT doc_id, source, $oBigramsExpr AS bg FROM t)
+       |g AS (SELECT doc_id, blk, $oBigramsExpr AS bg FROM t)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
        |    / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) AS jac
-       |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+       |FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The inverted-index exact-Jaccard formulation, oracle-checked at a
+    * 0.2 threshold (zero-intersection pairs never materialize there). */
+  private def qJaccardInverted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("blk", concat_ws("/", col("source"), col("lang")))
+      .withColumn("bigrams", ApproxDedup.wordNgrams(col("text"), 2))
+    ApproxDedup.jaccardPairsInverted(docs, "doc_id", "blk", "bigrams", 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val oJaccardInverted =
+    s"""WITH t AS (
+       |  SELECT doc_id, source || '/' || lang AS blk,
+       |         string_split_regex(text, '\\s+') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, blk, $oBigramsExpr AS bg FROM t)
+       |SELECT id_a, id_b, jac FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+       |      / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) AS jac
+       |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       |WHERE jac >= 0.2
        |ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------------------------------- MinHash + LSH
+  // Shingle choice matters for selectivity: char 3-grams over this
+  // shared-vocabulary corpus have median pairwise Jaccard ~0.47, which
+  // makes every pair an LSH candidate (quadratic blowup at scale).
+  // Word bigrams have median ~0.025 with true near-dups at ~0.99, so
+  // bands=4 x rows=4 (collision threshold ~0.7) surfaces only genuine
+  // near-duplicates and the candidate set stays tiny.
   private val MhK = 16
-  private val MhBands = 8
-  private val MhRows = 2
+  private val MhBands = 4
+  private val MhRows = 4
 
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .withColumn("shingles", ApproxDedup.charShingles(col("text"), 3))
+      .withColumn("shingles", ApproxDedup.wordNgrams(col("text"), 2))
     ApproxDedup.minhashLshPairs(docs, "doc_id", "shingles",
         MhK, MhBands, MhRows, threshold = 0.0)
       .orderBy("id_a", "id_b")
@@ -512,7 +547,10 @@ object Queries {
 
   private val oMinhashLsh = {
     val shingles =
-      "list_distinct([substr(text, i, 3) for i in generate_series(1, length(text)-2)])"
+      """CASE WHEN len(toks) >= 2
+        | THEN list_distinct([toks[i] || ' ' || toks[i+1]
+        |                     for i in generate_series(1, len(toks)-1)])
+        | ELSE [array_to_string(toks, ' ')] END""".stripMargin
     val mins = (0 until MhK).map(i =>
       s"min((h0 * ${2 * i + 1} + ${7919L * i}) % ${ApproxDedup.MinhashPrime}) AS mh_$i"
     ).mkString(",\n   ")
@@ -520,8 +558,10 @@ object Queries {
       val slice = (0 until MhRows).map(r => s"mh_${b * MhRows + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $slice)) AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
-       |sh AS (SELECT doc_id, unnest($shingles) AS s FROM d),
+    s"""WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |           FROM documents),
+       |sets AS (SELECT doc_id, $shingles AS st FROM d),
+       |sh AS (SELECT doc_id, unnest(st) AS s FROM sets),
        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
        |sig AS (SELECT doc_id,
        |   $mins
@@ -531,8 +571,7 @@ object Queries {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bk a JOIN bk b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |sets AS (SELECT doc_id, $shingles AS st FROM d)
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE)
        |    / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) AS jac
@@ -684,7 +723,8 @@ object Queries {
     "q24_cosine_topk" -> (qCosineTopK _),
     "q25_ivf_topk" -> (qIvfTopK _),
     "q26_embed_near_dup" -> (qEmbedNearDup _),
-    "q27_multimodal_meta" -> (qMultimodalMeta _)
+    "q27_multimodal_meta" -> (qMultimodalMeta _),
+    "q28_jaccard_inverted" -> (qJaccardInverted _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -714,6 +754,7 @@ object Queries {
     "q24_cosine_topk" -> oCosineTopK,
     "q25_ivf_topk" -> oIvfTopK,
     "q26_embed_near_dup" -> oEmbedNearDup,
-    "q27_multimodal_meta" -> oMultimodalMeta
+    "q27_multimodal_meta" -> oMultimodalMeta,
+    "q28_jaccard_inverted" -> oJaccardInverted
   )
 }

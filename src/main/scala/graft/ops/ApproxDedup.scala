@@ -49,8 +49,13 @@ object ApproxDedup {
   }
 
   /** All same-block pairs (idA < idB) with Jaccard >= threshold over a
-    * precomputed set column. The block column keeps the join from going
-    * quadratic: at scale, pass an LSH bucket as the block. */
+    * precomputed set column, formed as a blocked self-join with per-pair
+    * array intersection. Right when blocks are small (bounded pair count,
+    * short arrays); for large blocks with selective shingles use
+    * [[jaccardPairsInverted]] — over THIS corpus (tiny blocks, hot
+    * shingles shared by most documents) the blocked join measured ~1.6x
+    * faster than the inverted index, because Σ df(element)² here exceeds
+    * |pairs|·|set|. */
   def jaccardPairs(df: DataFrame, id: String, block: String, setCol: String,
                    threshold: Double): DataFrame = {
     val a = df.select(col(id).as("id_a"), col(block).as("blk"), col(setCol).as("set_a"))
@@ -58,6 +63,30 @@ object ApproxDedup {
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jac", jaccard(col("set_a"), col("set_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Exact Jaccard pairs via the INVERTED-INDEX formulation: explode
+    * sets to (block, element, id), self-join on the element, count
+    * matches per pair. Work is Σ_element df(element)² instead of
+    * |pairs|·|set| — the shape that survives large blocks with
+    * selective elements. Pairs with an empty intersection never
+    * materialize (their Jaccard is 0). */
+  def jaccardPairsInverted(df: DataFrame, id: String, block: String, setCol: String,
+                           threshold: Double): DataFrame = {
+    val ex = df
+      .select(col(id), col(block).as("blk"), col(setCol).as("s"))
+      .withColumn("sz", size(col("s")))
+      .select(col(id), col("blk"), col("sz"), explode(col("s")).as("sh"))
+    val a = ex.select(col(id).as("id_a"), col("blk"), col("sz").as("sz_a"), col("sh"))
+    val b = ex.select(col(id).as("id_b"), col("blk"), col("sz").as("sz_b"), col("sh"))
+    a.join(b, Seq("blk", "sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
@@ -113,14 +142,22 @@ object ApproxDedup {
   }
 
   /** End-to-end MinHash-LSH near-dup pairs, candidates verified with
-    * exact Jaccard over the shingle sets. */
+    * exact Jaccard over the shingle sets.
+    *
+    * The shingle sets and signatures feed multiple branches of the DAG
+    * (bucket self-join sides + two verify joins), so they are persisted —
+    * without it Spark re-runs the explode + k-min aggregation once per
+    * branch, which dominated the wall-clock. Small relative to the
+    * corpus (k longs + the shingle arrays per doc). */
   def minhashLshPairs(df: DataFrame, id: String, setCol: String,
                       k: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     require(bands * rowsPerBand == k, "k must equal bands*rowsPerBand")
-    val sig = minhashSignature(df, id, setCol, k)
-    val cand = lshCandidatePairs(sig, id, bands, rowsPerBand)
     val sets = df.select(col(id), col(setCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignature(sets, id, setCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatePairs(sig, id, bands, rowsPerBand)
     cand
       .join(sets.select(col(id).as("id_a"), col(setCol).as("set_a")), Seq("id_a"))
       .join(sets.select(col(id).as("id_b"), col(setCol).as("set_b")), Seq("id_b"))
