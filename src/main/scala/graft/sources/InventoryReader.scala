@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Fns
+
+/** Inventory-table scans — SURVEY.md §2.1 (S1/S2/S4/S5) re-expressed as
+  * Spark readers.
+  *
+  * The reference streams gzip CSV line-by-line with positional quoted
+  * splits (ListProducer/ListProducer.py:29-58) and pandas chunked reads
+  * (AzureTaskProducer/inventory_sqs.py:119-129); here the CSV reader
+  * handles quoting/compression and Spark's file splits replace the
+  * chunk loops. Gzip members are non-splittable, so per-FILE parallelism
+  * is the scan unit — at 100 TB the ingest step normalizes to Parquet
+  * once (SURVEY §4) and every later scan is columnar + splittable.
+  */
+object InventoryReader {
+
+  /** S3 inventory wire schema (ListProducer/manifest.json:6). No header;
+    * every field double-quoted; malformed rows surface in
+    * `_corrupt_record` instead of failing the scan (the reference
+    * rejects short rows at ListProducer.py:41-42). */
+  val s3InventorySchema: StructType = StructType(Seq(
+    StructField("Bucket", StringType),
+    StructField("Key", StringType),
+    StructField("Size", LongType),
+    StructField("LastModifiedDate", StringType),
+    StructField("ETag", StringType),
+    StructField("StorageClass", StringType),
+    StructField("IsMultipartUploaded", StringType),
+    StructField("ReplicationStatus", StringType),
+    StructField("_corrupt_record", StringType)))
+
+  /** S2 — gzip-CSV S3 inventory scan. Returns BOTH good and corrupt
+    * rows; `goodRows`/`corruptRows` split them.
+    *
+    * The scan is CACHED: (a) CSV column pruning otherwise skips parsing
+    * unreferenced columns, so malformed rows go undetected in
+    * count-style queries (`_corrupt_record` stays null); (b) Spark
+    * disallows corrupt-record-only queries on raw scans; (c) the
+    * pipeline reads this scan twice (stats + fan-out, SURVEY §3.1), and
+    * gzip members are non-splittable so re-scanning is the expensive
+    * path. One materialization serves all three. */
+  def readS3Inventory(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(s3InventorySchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("quote", "\"")
+      .csv(path)
+      .cache()
+
+  /** Decoded, typed view of the good rows: URL-decoded key (F1), boolean
+    * multipart flag (P13), replicated flag, parsed timestamp. */
+  def goodRows(inv: DataFrame): DataFrame =
+    inv.filter(col("_corrupt_record").isNull && col("Key").isNotNull)
+      .drop("_corrupt_record")
+      .withColumn("Key", Fns.plusDecode(col("Key")))
+      .withColumn("IsMultipartUploaded", Fns.boolFlag(col("IsMultipartUploaded")))
+      .withColumn("Replicated", Fns.replicatedFlag(col("ReplicationStatus")))
+      .withColumn("LastModified",
+        to_timestamp(col("LastModifiedDate"), "yyyy-MM-dd'T'HH:mm:ss.SSSX"))
+
+  def corruptRows(inv: DataFrame): DataFrame =
+    inv.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
+
+  /** A3 — Azure blob inventory CSV (AzureTaskProducer/inventory_sqs.py:
+    * 99-110): header row, Content-Length validated to null on garbage
+    * (largeInventoryDiffToSQS.py:106-111 aborts the file; the engine
+    * quarantines the row — strictly more usable, divergence noted). */
+  def readAzureInventory(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .csv(path)
+      .withColumn("Content-Length", Fns.safeLong(col("Content-Length")))
+
+  /** S1/S4 — manifest JSON scan (multi-line nested document). */
+  def readManifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** Manifest `files[]` exploded to one row per inventory data file
+    * (ListProducer.py:140-143). */
+  def manifestFiles(manifest: DataFrame): DataFrame =
+    manifest.select(explode(col("files")).as("f"))
+      .select(col("f.key").as("key"), col("f.size").as("size"),
+        col("f.MD5checksum").as("md5"))
+
+  /** S5 — recursive discovery of inventory shards under a root. */
+  def readAllCsv(spark: SparkSession, root: String, glob: String = "*.csv"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .csv(root)
+}

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.TimeBucketStats
+
+/** Module-II/III streaming pipeline (SURVEY.md §2.9, T1–T4):
+  * queue consume → copy → per-object status log → DLQ after 3 receives,
+  * plus the incremental monitor→stat aggregation.
+  *
+  * The queue is a directory of JSON message files (the SQS stand-in;
+  * a production deployment swaps in a queue connector with the same
+  * message schema). Structured Streaming's file source gives the
+  * unbounded consume loop (T1); checkpointed offsets + idempotent
+  * writes give at-least-once with effectively-once logging (T2);
+  * `receive_count` + re-enqueue mirrors SQS redrive semantics (T3,
+  * maxReceiveCount=3 at libs/sqs_utils.py:111-114).
+  */
+object TaskPipeline {
+
+  /** One queue message: a batch of object-copy actions (ListProducer
+    * packs ≤100 per message) plus queue metadata. */
+  val messageSchema: StructType = StructType(Seq(
+    StructField("queue", IntegerType),
+    StructField("batch_id", LongType),
+    StructField("receive_count", IntegerType),
+    StructField("body", StringType)))
+
+  /** A single copy action inside a message body (A1 row + dst_bucket). */
+  val actionSchema: StructType = StructType(Seq(
+    StructField("Bucket", StringType),
+    StructField("Key", StringType),
+    StructField("Size", LongType),
+    StructField("ETag", StringType),
+    StructField("dst_bucket", StringType)))
+
+  def readQueue(spark: SparkSession, queueDir: String): DataFrame =
+    spark.readStream
+      .schema(messageSchema)
+      .option("maxFilesPerTrigger", 16) // backpressure (T6)
+      .json(queueDir)
+
+  /** Unpack message bodies into per-object actions (§2.10(5)). */
+  def unpack(messages: DataFrame): DataFrame =
+    messages
+      .withColumn("receive_count", coalesce(col("receive_count"), lit(1)))
+      .withColumn("action", explode(from_json(col("body"), ArrayType(actionSchema))))
+      .select(col("queue"), col("batch_id"), col("receive_count"), col("action.*"))
+
+  /** K10 copy stub: executes the per-object "work". `failWhen` injects
+    * deterministic failures for tests; a production build replaces the
+    * body with the storage-connector copy call (same row-in/row-out
+    * contract). */
+  def executeCopy(actions: DataFrame, failWhen: org.apache.spark.sql.Column): DataFrame =
+    actions.withColumn("ok", when(failWhen, lit(0)).otherwise(lit(1)))
+      .withColumn("replication_time", col("Size") % 3600) // test-deterministic event time
+
+  /** Run the executor: consume → copy → route.
+    *  - ok rows        → append to `logDir` (monitor log, K3)
+    *  - failed, <3 rx  → re-enqueued to `queueDir` with receive_count+1
+    *  - failed, >=3 rx → `dlqDir` (K2 dead-letter)
+    * All three writes happen in one foreachBatch so a batch is retried
+    * or completed as a unit (the reference deletes the SQS message only
+    * after the whole body is processed, TaskExecutor.py:51-98). */
+  def runExecutor(spark: SparkSession, queueDir: String, logDir: String,
+                  dlqDir: String, checkpoint: String,
+                  failWhen: org.apache.spark.sql.Column): StreamingQuery = {
+    val actions = unpack(readQueue(spark, queueDir))
+    executeCopy(actions, failWhen).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Every write below is guarded on non-emptiness: an unguarded
+        // write into queueDir would append EMPTY part files, which the
+        // file source sees as new offsets — an infinite self-feeding
+        // loop of empty micro-batches.
+        val b = batch.cache()
+        // every ATTEMPT is logged with its 0/1 status — the monitor
+        // table records failures too (docs/Schema.txt:55-59), which is
+        // what feeds the stat table's Failed* columns
+        if (!b.isEmpty)
+          b.write.mode(SaveMode.Append).parquet(logDir)
+        val failed = b.filter(col("ok") === 0)
+        val dead = failed.filter(col("receive_count") >= 3)
+        if (!dead.isEmpty)
+          dead.write.mode(SaveMode.Append).json(dlqDir)
+        // re-enqueue sub-3-receive failures, one message per (queue,batch)
+        val retry = failed.filter(col("receive_count") < 3)
+          .groupBy(col("queue"), col("batch_id"), col("receive_count"))
+          .agg(to_json(collect_list(
+            struct(col("Bucket"), col("Key"), col("Size"), col("ETag"),
+              col("dst_bucket")))).as("body"))
+          .withColumn("receive_count", col("receive_count") + 1)
+        if (!retry.isEmpty)
+          retry.coalesce(1).write.mode(SaveMode.Append).json(queueDir)
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** T4 — incremental monitor→stat aggregation: watermarked 1-minute
+    * tumbling windows over the success/failure log, upserted per batch.
+    * Late rows inside the watermark are aggregated correctly — the
+    * documented semantic upgrade over the reference's flush-on-overflow
+    * bucket loop (SURVEY T5). */
+  def runStatsJob(spark: SparkSession, logDir: String, statDir: String,
+                  checkpoint: String): StreamingQuery = {
+    val log = spark.readStream
+      .schema(StructType(Seq(
+        StructField("Key", StringType),
+        StructField("Size", LongType),
+        StructField("ok", IntegerType),
+        StructField("replication_time", LongType))))
+      .parquet(logDir)
+      .withColumn("event_time", timestamp_seconds(col("replication_time")))
+    log
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 minute"))
+      .agg(
+        sum(when(col("ok") === 1, col("Size")).otherwise(0L)).as("success_size"),
+        sum(when(col("ok") === 1, 1L).otherwise(0L)).as("success_num"),
+        sum(when(col("ok") === 0, col("Size")).otherwise(0L)).as("failed_size"),
+        sum(when(col("ok") === 0, 1L).otherwise(0L)).as("failed_num"))
+      .select(
+        col("window.start").cast("long").as("start_time"),
+        col("success_size"), col("success_num"),
+        col("failed_size"), col("failed_num"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.Sinks.upsertParquet(batch, Seq("start_time"), statDir)
+      }
+      .start()
+  }
+
+  /** Batch-incremental variant of the stats job (A7): aggregate only
+    * rows at/after the stat store's high watermark, then upsert.
+    * The HWM predicate prunes date-partitioned logs at the scan. */
+  def statsIncrement(spark: SparkSession, logDir: String, statDir: String): Unit = {
+    val hwm: Long =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(statDir, "_SUCCESS")))
+        spark.read.parquet(statDir).agg(max("start_time")).first().getLong(0)
+      else Long.MinValue
+    val log = spark.read.parquet(logDir)
+      .filter(col("replication_time") >= lit(hwm))
+    val agg = TimeBucketStats.bucketize(
+        log, col("replication_time"), col("ok"), col("Size"), 60)
+      .drop("time_unit")
+    graft.sinks.Sinks.upsertParquet(agg, Seq("start_time"), statDir)
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.exec.ListProducerJob
+import graft.sources.InventoryReader
+import graft.streaming.TaskPipeline
+
+class InventoryReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gzip CSV scan: quoted fields, decoded keys, corrupt-row quarantine") {
+    val dir = tmpDir("inv")
+    TestFixtures.writeS3InventoryGz(dir, "shard-0",
+      TestFixtures.defaultInventoryRows,
+      malformedLines = Seq("\"too\",\"short\",\"row\""))
+    val raw = InventoryReader.readS3Inventory(spark, s"$dir/*.csv.gz")
+    val good = InventoryReader.goodRows(raw)
+    assert(good.count() == 7)
+    assert(InventoryReader.corruptRows(raw).count() == 1)
+    // F1: '+' means space, %20 decodes, both in one key
+    val k = good.filter($"Key".contains("space"))
+      .select("Key").as[String].head()
+    assert(k == "space and plus.bin")
+    // P13 coercions survived the scan
+    val mp = good.filter($"Key" === "just-over-5mb.bin")
+      .select("IsMultipartUploaded").as[Boolean].head()
+    assert(mp)
+    val repl = good.filter($"Key" === "at-5mb.bin")
+      .select("Replicated").as[Int].head()
+    assert(repl == 1)
+  }
+
+  test("azure inventory: garbage Content-Length quarantines to null (F13)") {
+    val dir = tmpDir("az")
+    TestFixtures.writeAzureInventoryCsv(dir, "azinv")
+    val az = InventoryReader.readAzureInventory(spark, s"$dir/azinv.csv")
+    val lens = az.orderBy("Name").select("Content-Length")
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(lens == Seq(Some(123456L), None, Some(999L)))
+  }
+
+  test("manifest scan + files[] explode") {
+    val dir = tmpDir("man")
+    val p = TestFixtures.writeManifest(dir, Seq(
+      ("inv/data-1.csv.gz", 1234L, "aaa"), ("inv/data-2.csv.gz", 567L, "bbb")))
+    val m = InventoryReader.readManifest(spark, p)
+    assert(m.select("sourceBucket").as[String].head() == "srcb")
+    val files = InventoryReader.manifestFiles(m)
+    assert(files.count() == 2)
+    assert(files.agg(sum("size")).as[Long].head() == 1801L)
+  }
+}
+
+class ListProducerJobSpec extends SparkSpec {
+
+  test("manifest -> inventory -> histogram + fanout -> job.json, end to end") {
+    val root = tmpDir("lpj")
+    val invDir = s"$root/inventory"
+    TestFixtures.writeS3InventoryGz(invDir, "shard-0",
+      TestFixtures.defaultInventoryRows,
+      malformedLines = Seq("\"bad\",\"row\""))
+    TestFixtures.writeS3InventoryGz(invDir, "shard-1",
+      TestFixtures.defaultInventoryRows.take(2))
+    val manifestPath = TestFixtures.writeManifest(root, Seq(
+      ("shard-0.csv.gz", 1L, "x"), ("shard-1.csv.gz", 1L, "y")))
+
+    val res = ListProducerJob.run(spark, manifestPath, s"$invDir/*.csv.gz",
+      s"$root/job.json", s"$root/queue", dstBucket = "dstb",
+      queues = 2, batchSize = 3)
+
+    assert(res.totalObjects == 9) // 7 + 2
+    assert(res.corruptRows == 1)
+    // 9 objects in ≤3-object messages over 2 queues → at least 3 messages
+    assert(res.messages >= 3)
+
+    val job = graft.sinks.Sinks.readJsonDoc(spark, s"$root/job.json")
+    val stats = job.select("statistics.*").first()
+    // from defaultInventoryRows: sub1GB counts size<=1e6: shard0 has
+    // 500k + 1e6 (2), shard1 repeats them (2) → 4
+    assert(stats.getAs[Long]("totalObjectsSub1GB") == 4)
+    assert(stats.getAs[Long]("totalObjects") == 9)
+    // >5e9 object excluded from the largest bucket: shard0's 6e9 row
+    assert(stats.getAs[Long]("totalObjectsSub5TB") == 8)
+    assert(job.select("job_info.queue_num").first().getLong(0) == 2L)
+  }
+}
+
+class TaskPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("executor: consume -> copy -> log, failures dead-letter after 3 receives") {
+    val root = tmpDir("exec")
+    val (queueDir, logDir, dlqDir) =
+      (s"$root/queue", s"$root/log", s"$root/dlq")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(queueDir))
+
+    // two messages: one clean, one containing the poison key
+    val mk = (q: Int, b: Long, keys: Seq[String]) =>
+      (q, b, 1, keys.map(k =>
+        s"""{"Bucket":"s","Key":"$k","Size":${k.length * 100},"ETag":"e","dst_bucket":"d"}""")
+        .mkString("[", ",", "]"))
+    Seq(mk(0, 0L, Seq("ok-1", "ok-2")), mk(1, 0L, Seq("ok-3", "poison")))
+      .toDF("queue", "batch_id", "receive_count", "body")
+      .write.mode("append").json(queueDir)
+
+    val q = TaskPipeline.runExecutor(spark, queueDir, logDir, dlqDir,
+      s"$root/ckpt", failWhen = col("Key") === "poison")
+    q.processAllAvailable() // drains initial + re-enqueued generations
+    q.stop()
+
+    val log = spark.read.parquet(logDir)
+    assert(log.filter($"ok" === 1).select("Key").as[String].collect().toSet
+      == Set("ok-1", "ok-2", "ok-3"))
+    // every attempt is logged: the poison key appears once per receive
+    assert(log.filter($"ok" === 0).count() == 3)
+    // the poison key reached the DLQ exactly once, at receive_count 3
+    val dlq = spark.read.json(dlqDir)
+    val dead = dlq.select("Key", "receive_count").as[(String, Long)].collect().toSeq
+    assert(dead == Seq(("poison", 3L)))
+
+    // stats over the log (batch-incremental path, A7)
+    TaskPipeline.statsIncrement(spark, logDir, s"$root/stat")
+    val stat = spark.read.parquet(s"$root/stat")
+    assert(stat.agg(sum("success_num")).as[Long].head() == 3L)
+    // idempotent re-run (same HWM) leaves totals unchanged
+    TaskPipeline.statsIncrement(spark, logDir, s"$root/stat")
+    assert(spark.read.parquet(s"$root/stat")
+      .agg(sum("success_num")).as[Long].head() == 3L)
+  }
+
+  test("streaming stats job: watermarked window agg upserts the stat store") {
+    val root = tmpDir("stats")
+    val logDir = s"$root/log"
+    Seq(("k1", 100L, 1, 30L), ("k2", 50L, 0, 45L), ("k3", 10L, 1, 90L))
+      .toDF("Key", "Size", "ok", "replication_time")
+      .write.parquet(logDir)
+
+    val q = TaskPipeline.runStatsJob(spark, logDir, s"$root/stat", s"$root/ckpt")
+    q.processAllAvailable()
+    q.stop()
+
+    val stat = spark.read.parquet(s"$root/stat").orderBy("start_time")
+    val rows = stat.select("start_time", "success_size", "failed_num")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((0L, 100L, 1L), (60L, 10L, 0L)))
+  }
+}
