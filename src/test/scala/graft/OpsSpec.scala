@@ -167,3 +167,30 @@ class TimeBucketStatsSpec extends SparkSpec {
     assert(wm == Seq((0, 61L, 7260L, 2L), (1, 59L, 3600L, 4L)))
   }
 }
+
+class VerificationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("verdicts follow the reference check order") {
+    val src = Seq(
+      ("k-ok", 10L, 100L, "e1"), ("k-missing", 10L, 100L, "e1"),
+      ("k-size", 10L, 100L, "e1"), ("k-mtime", 10L, 100L, "e1"),
+      ("k-etag", 10L, 100L, "e1"),
+      ("k-size-and-etag", 10L, 100L, "e1") // size wins: checked first
+    ).toDF("key", "size", "mtime", "etag")
+    val dst = Seq(
+      ("k-ok", 10L, 100L, "e1"), ("k-size", 11L, 100L, "e1"),
+      ("k-mtime", 10L, 999L, "e1"), ("k-etag", 10L, 100L, "e2"),
+      ("k-size-and-etag", 99L, 100L, "e9")
+    ).toDF("key", "size", "mtime", "etag")
+    val got = graft.ops.Verification(src, dst, "key")
+      .select("key", "verdict").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "k-ok" -> "ok", "k-missing" -> "missing_dest",
+      "k-size" -> "size_mismatch", "k-mtime" -> "mtime_mismatch",
+      "k-etag" -> "etag_mismatch", "k-size-and-etag" -> "size_mismatch"))
+    val summ = graft.ops.Verification.summary(graft.ops.Verification(src, dst, "key"))
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    assert(summ == 6) // every input row classified exactly once
+  }
+}
