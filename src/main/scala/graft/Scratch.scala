@@ -1,28 +1,51 @@
 package graft
 import org.apache.spark.sql.functions._
+/** Throwaway probe main — not part of the library surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(32)
-    val dir = "/root/testdata/sf0.1"
-    def time[A](n: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[t] $n%-30s ${(System.nanoTime()-t0)/1e9}%7.2f s"); r
+    val spark = GraftSession.local(4)
+    import spark.implicits._
+
+    // 1. native expression reachable from plain SQL via the registered fn
+    spark.sql("""
+      SELECT multipart_etag_finish(array(md5(binary('p1')), md5(binary('p2'))), true)  AS two_part,
+             multipart_etag_finish(array(md5(binary('p1'))), false)                   AS single_put,
+             multipart_etag_finish(array(md5(binary('p1'))), true)                    AS one_part_mp,
+             multipart_etag_finish(array()::array<string>, false)                     AS empty_in
+    """).show(false)
+    // codegen inspection: the expression must appear inside the generated code
+    val df = spark.sql("SELECT multipart_etag_finish(array(md5(binary(repeat('x', id)))), true) AS e FROM range(3)")
+    val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    println("codegen mentions kernel: " + gen.contains("MultipartEtagFinish"))
+    df.show(false)
+
+    // 2. probe: wrong arity + wrong types give analysis errors, not crashes
+    for (bad <- Seq(
+      "SELECT multipart_etag_finish(array(md5(binary('p'))))",
+      "SELECT multipart_etag_finish(7, true)")) {
+      try { spark.sql(bad).collect(); println("NO ERROR (unexpected): " + bad) }
+      catch { case e: Exception => println("rejected ok: " + e.getMessage.linesIterator.next()) }
     }
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("source") === "src0")
-      .withColumn("blk", col("lang"))
-      .withColumn("bigrams", graft.ops.ApproxDedup.wordNgrams(col("text"), 2))
-      .select("doc_id", "blk", "bigrams").cache()
-    println("docs: " + docs.count())
-    val ex = docs.withColumn("sz", size(col("bigrams")))
-      .select(col("doc_id"), col("blk"), col("sz"), explode(col("bigrams")).as("sh")).cache()
-    time("explode count")(println("exploded: " + ex.count()))
-    val a = ex.select(col("doc_id").as("id_a"), col("blk"), col("sz").as("sz_a"), col("sh"))
-    val b = ex.select(col("doc_id").as("id_b"), col("blk"), col("sz").as("sz_b"), col("sh"))
-    val j = a.join(b, Seq("blk", "sh")).filter(col("id_a") < col("id_b"))
-    time("join count")(println("pairs rows: " + j.count()))
-    val g = j.groupBy("id_a","id_b","sz_a","sz_b").agg(count(lit(1)).as("inter"))
-    time("group count")(println("grouped: " + g.count()))
+
+    // 3. stateful dedup across live micro-batches
+    val root = java.nio.file.Files.createTempDirectory("sdl").toString
+    val in = s"$root/in"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b1.json"),
+      """{"msg_id":"m1","payload":"a"}
+        |{"msg_id":"m2","payload":"b"}
+        |{"msg_id":"m1","payload":"dup"}""".stripMargin)
+    val st = spark.readStream.schema("msg_id STRING, payload STRING").json(in).as[ProbeMsg]
+    val q = graft.streaming.StatefulDedup.firstSighting[ProbeMsg](st, _.msg_id)
+      .writeStream.option("checkpointLocation", s"$root/ck")
+      .outputMode("append").format("memory").queryName("probe_out").start()
+    q.processAllAvailable()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/b2.json"),
+      """{"msg_id":"m2","payload":"redeliver"}
+        |{"msg_id":"m3","payload":"c"}""".stripMargin)
+    q.processAllAvailable(); q.stop()
+    println("deduped stream:")
+    spark.table("probe_out").orderBy("msg_id").show(false)
     spark.stop()
   }
 }
+case class ProbeMsg(msg_id: String, payload: String)

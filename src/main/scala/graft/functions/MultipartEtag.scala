@@ -99,4 +99,18 @@ object MultipartEtag {
     * multipart upload only when there is more than one part. */
   def etagFromPartDigests(partNum: Column, partMd5Hex: Column): Column =
     etagFromPartDigests(partNum, partMd5Hex, lit(false))
+
+  /** Native-expression variant of [[etagFromPartDigests]]: the finisher
+    * is the codegen'd `multipart_etag_finish` Catalyst expression
+    * ([[graft.plans.MultipartEtagFinish]]) instead of a Scala UDF — no
+    * per-row serializer round-trip. Requires a session built with
+    * [[graft.plans.GraftExtensions]]. */
+  def etagFromPartDigestsNative(partNum: Column, partMd5Hex: Column,
+                                isMultipart: Column): Column = {
+    val digestsOrdered = transform(
+      array_sort(collect_list(struct(partNum.as("n"), partMd5Hex.as("d")))),
+      s => s.getField("d"))
+    call_function("multipart_etag_finish", digestsOrdered,
+      coalesce(first(isMultipart, ignoreNulls = true), lit(true)))
+  }
 }

@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Engine extensions, installed with
+  * `SparkSession.builder.withExtensions(GraftExtensions.apply)` (or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  *
+  * Registers the engine's native expressions so SQL and
+  * `call_function` reach them; custom Rules/Strategies are
+  * intentionally absent — SURVEY §4 established that Catalyst's
+  * built-in rewrites cover every reference optimization, so the only
+  * justified custom code is expression-level. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.apply(ext)
+}
+
+object GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("multipart_etag_finish"),
+      new ExpressionInfo(
+        classOf[MultipartEtagFinish].getName,
+        null,
+        "multipart_etag_finish",
+        "multipart_etag_finish(digests_hex, is_multipart) - S3 multipart ETag from ordered part-digest hex strings",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "multipart_etag_finish expects (array<string> digests, boolean isMultipart)")
+        MultipartEtagFinish(children.head, children(1))
+      }))
+  }
+}

@@ -57,4 +57,25 @@ class MultipartEtagSpec extends SparkSpec {
       MultipartEtag.etagOf(b, 1 << 20, isMultipart = true)))
     assert(got(1).endsWith("-1"))
   }
+
+  test("native multipart_etag_finish expression matches the UDF path, in codegen") {
+    val body = "0123456789" * 5
+    val parts = body.getBytes("UTF-8").grouped(20).toArray
+    val df = parts.zipWithIndex
+      .map { case (p, i) => (i + 1, md5hex(p)) }.toSeq.toDF("pn", "d")
+    val native = df.agg(
+      MultipartEtag.etagFromPartDigestsNative($"pn", $"d", lit(true))).as[String].head()
+    val viaUdf = df.agg(
+      MultipartEtag.etagFromPartDigests($"pn", $"d", lit(true))).as[String].head()
+    assert(native == viaUdf)
+    assert(native == MultipartEtag.etagOf(body.getBytes("UTF-8"), 20, isMultipart = true))
+    // also reachable straight from SQL through the registered function
+    val sql = spark.sql(
+      "SELECT multipart_etag_finish(array(md5(binary('x'))), false)").as[String].head()
+    assert(sql == md5hex("x".getBytes("UTF-8")))
+    // 1-part multipart via SQL gets the -1 form
+    val sql1 = spark.sql(
+      "SELECT multipart_etag_finish(array(md5(binary('x'))), true)").as[String].head()
+    assert(sql1.endsWith("-1"))
+  }
 }

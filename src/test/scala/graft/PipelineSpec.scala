@@ -146,3 +146,41 @@ class TaskPipelineSpec extends SparkSpec {
     assert(rows == Seq((0L, 100L, 1L), (60L, 10L, 0L)))
   }
 }
+
+case class Msg(msg_id: String, payload: String)
+
+class StatefulDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flatMapGroupsWithState dedup is effectively-once across micro-batches") {
+    val root = tmpDir("sdedup")
+    val inDir = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def writeBatch(name: String, msgs: Seq[Msg]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inDir/$name.json"),
+        msgs.map(m => s"""{"msg_id":"${m.msg_id}","payload":"${m.payload}"}""")
+          .mkString("\n"))
+
+    writeBatch("b1", Seq(Msg("m1", "a"), Msg("m2", "b"), Msg("m1", "dup-in-batch")))
+
+    val stream = spark.readStream
+      .schema("msg_id STRING, payload STRING")
+      .json(inDir).as[Msg]
+    val deduped = graft.streaming.StatefulDedup.firstSighting[Msg](stream, _.msg_id)
+    val q = deduped.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .format("memory").queryName("sdedup_out")
+      .start()
+    q.processAllAvailable()
+    writeBatch("b2", Seq(Msg("m2", "redelivery"), Msg("m3", "c")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sdedup_out").as[Msg].collect()
+    assert(got.map(_.msg_id).sorted.toSeq == Seq("m1", "m2", "m3"))
+    // and the first sighting's payload won, not the redelivery's
+    assert(got.find(_.msg_id == "m2").get.payload == "b")
+  }
+}
