@@ -23,6 +23,22 @@ object Bench {
     // warmup: exercise scan + shuffle + codegen paths once
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // scan throughput vs BASELINE's ~10.3 MB/s single-process rate:
+    // force a full-width read of lineitem and divide file bytes by time
+    val liPath = java.nio.file.Paths.get(s"$sfDir/lineitem.parquet")
+    val liBytes =
+      if (java.nio.file.Files.isDirectory(liPath))
+        java.nio.file.Files.walk(liPath).filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+      else java.nio.file.Files.size(liPath)
+    val st0 = System.nanoTime()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.select(li.columns.map(c => org.apache.spark.sql.functions.xxhash64(
+      org.apache.spark.sql.functions.col(c))): _*)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .collect()
+    val scanSec = (System.nanoTime() - st0) / 1e9
+    val scanMbps = liBytes / 1e6 / scanSec
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -31,7 +47,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""scan_mbps":$scanMbps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -396,6 +396,40 @@ object Queries {
   private val oEtagSingle =
     """SELECT doc_id, md5(text) AS etag FROM documents ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- A4 budget cap
+  /** Budget early-exit: consume objects in key order until the running
+    * total size reaches the cap (inventory_sqs.py:152-155,
+    * config.ini:44-49) — as a cumulative window, not a driver loop. */
+  private def qBudgetCap(s: SparkSession, dir: String): DataFrame = {
+    // ROWS frame, not the default RANGE: RANGE lumps duplicate order
+    // keys into one peer group. A global ordered window is inherently
+    // sequential (single partition) — correct for a consume-in-order
+    // budget; at scale the cap applies per shard/queue instead.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("size"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).cast("bigint").as("size"))
+      .withColumn("running_size", sum("size").over(w))
+      .filter(col("running_size") <= 50000000L)
+      .orderBy("l_orderkey", "l_linenumber", "size")
+  }
+
+  private val oBudgetCap =
+    """SELECT * FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(floor(l_extendedprice) AS BIGINT) AS size,
+      |         CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) OVER (
+      |           ORDER BY l_orderkey, l_linenumber,
+      |                    CAST(floor(l_extendedprice) AS BIGINT)
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS running_size
+      |  FROM lineitem)
+      |WHERE running_size <= 50000000
+      |ORDER BY l_orderkey, l_linenumber, size""".stripMargin
+
   // ------------------------------------------------------------- J4 / A11
   /** Source/dest verification over simulated stores: dest drops keys
     * divisible by 11, corrupts the etag for %13==0, the size for %17==0. */
@@ -768,7 +802,8 @@ object Queries {
     "q26_embed_near_dup" -> (qEmbedNearDup _),
     "q27_multimodal_meta" -> (qMultimodalMeta _),
     "q28_jaccard_inverted" -> (qJaccardInverted _),
-    "q29_verification" -> (qVerification _)
+    "q29_verification" -> (qVerification _),
+    "q30_budget_cap" -> (qBudgetCap _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -800,6 +835,7 @@ object Queries {
     "q26_embed_near_dup" -> oEmbedNearDup,
     "q27_multimodal_meta" -> oMultimodalMeta,
     "q28_jaccard_inverted" -> oJaccardInverted,
-    "q29_verification" -> oVerification
+    "q29_verification" -> oVerification,
+    "q30_budget_cap" -> oBudgetCap
   )
 }

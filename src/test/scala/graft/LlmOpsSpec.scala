@@ -150,3 +150,29 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(0).content_md5 == expect)
   }
 }
+
+class EventJsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("event struct renders the reference's Event-Grid shape with md5 id") {
+    val df = Seq(("sa1", "dir/blob.bin", 1234L, "0xE1")).toDF("sa", "name", "size", "etag")
+    val out = graft.ops.EventJson.withEvent(df, $"sa", $"name", $"size", $"etag",
+      org.apache.spark.sql.functions.lit("Microsoft.Storage.BlobCreated"),
+      org.apache.spark.sql.functions.lit("2021-01-01T00:00:00Z"))
+    val row = out.select("event.id", "event.data.url", "event.data.contentLength",
+      "event.eventType").as[(String, String, Long, String)].head()
+    val expectId = java.security.MessageDigest.getInstance("MD5")
+      .digest("https://sa1.blob.core.windows.netdir/blob.binMicrosoft.Storage.BlobCreated"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row == (expectId,
+      "https://sa1.blob.core.windows.net/dir/blob.bin", 1234L,
+      "Microsoft.Storage.BlobCreated"))
+    val json = out.select("event_json").as[String].head()
+    assert(json.contains("\"contentLength\":1234") && json.contains("\"blobType\":\"BlockBlob\""))
+    // round-trips through from_json on the same schema
+    val schema = out.select("event").schema("event").dataType
+    val back = out.select(org.apache.spark.sql.functions.from_json($"event_json", schema).as("e"))
+      .select("e.id").as[String].head()
+    assert(back == expectId)
+  }
+}
