@@ -31,15 +31,23 @@ object ApproxDedup {
         i => text.substr(i, lit(n)))))
       .otherwise(array(text))
 
-  /** Distinct word n-grams (space-joined) of whitespace-tokenized text. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = split(text, "\\s+")
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  /** Distinct word n-grams (space-joined) of whitespace-tokenized text.
+    *
+    * The tokenization is LET-BOUND via a singleton-array `transform`:
+    * referencing `split(text)` directly inside the per-index lambda
+    * would re-run the regex split once per n-gram per token access —
+    * O(tokens² · len) per document, which dominated the LSH pipeline
+    * (8.7s of an 11s query at sf0.1). Bound as a lambda variable it
+    * evaluates once per row and `element_at` is an O(1) array read. */
+  def wordNgrams(text: Column, n: Int): Column =
+    element_at(
+      transform(array(split(text, "\\s+")), toks =>
+        when(size(toks) >= n,
+          array_distinct(transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+          .otherwise(array(concat_ws(" ", toks)))),
+      1)
 
   /** Exact Jaccard similarity of two distinct-element arrays:
     * |A∩B| / (|A| + |B| - |A∩B|), an exact int/int double division. */
