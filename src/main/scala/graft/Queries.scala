@@ -743,6 +743,45 @@ object Queries {
        |  FROM s)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------- hyperplane LSH ANN
+  private val LshBits = 6
+  private val EmbDims = 64
+
+  private def qLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "vec_id", "embedding", LshBits, EmbDims, k = 5)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oLshTopK =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |hp AS (
+       |  SELECT p.p,
+       |         list((('0x' || substr(md5('hp' || p.p || ':' || d.d), 1, 8))::BIGINT
+       |               / 4294967296.0) - 0.5 ORDER BY d.d) AS hv
+       |  FROM (SELECT unnest(generate_series(0, ${LshBits - 1})) AS p) p
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${EmbDims - 1})) AS d) d
+       |  GROUP BY p.p),
+       |sig AS (
+       |  SELECT e.vec_id, e.v,
+       |         string_agg(CASE WHEN list_dot_product(e.v, hp.hv) > 0
+       |                         THEN '1' ELSE '0' END, '' ORDER BY hp.p) AS bucket
+       |  FROM e CROSS JOIN hp GROUP BY e.vec_id, e.v),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |         round(${cosSql("q.v", "c.v")}, 6) AS cos_sim
+       |  FROM sig q JOIN sig c
+       |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 20)
+       |SELECT query_id, rank, corpus_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank
+       |  FROM s)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // -------------------------------------------- embedding near-dup pairs
   private def qEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "label", "embedding", 0.3)
@@ -803,7 +842,8 @@ object Queries {
     "q27_multimodal_meta" -> (qMultimodalMeta _),
     "q28_jaccard_inverted" -> (qJaccardInverted _),
     "q29_verification" -> (qVerification _),
-    "q30_budget_cap" -> (qBudgetCap _)
+    "q30_budget_cap" -> (qBudgetCap _),
+    "q31_lsh_topk" -> (qLshTopK _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -836,6 +876,7 @@ object Queries {
     "q27_multimodal_meta" -> oMultimodalMeta,
     "q28_jaccard_inverted" -> oJaccardInverted,
     "q29_verification" -> oVerification,
-    "q30_budget_cap" -> oBudgetCap
+    "q30_budget_cap" -> oBudgetCap,
+    "q31_lsh_topk" -> oLshTopK
   )
 }

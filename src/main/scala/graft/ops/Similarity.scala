@@ -81,6 +81,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos_sim"))
   }
 
+  /** Deterministic random-hyperplane LSH: plane p's component d is
+    * `hex32(md5("hp<p>:<d>")) / 2^32 - 0.5` — portable pseudo-randomness
+    * (the DuckDB oracle reproduces the planes exactly; no JVM RNG). */
+  def hyperplanes(bits: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits) { p =>
+      Array.tabulate(dims) { d =>
+        md.reset()
+        val hex = md.digest(s"hp$p:$d".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) / 4294967296.0 - 0.5
+      }
+    }
+  }
+
+  /** Sign-bit LSH bucket of a double-array column: one bit per plane
+    * (dot > 0), rendered as a bit-string. Vectors in the same bucket
+    * are ANN candidates — the bucket join replaces the brute-force
+    * cross product at scale (expected bucket size N / 2^bits). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    concat(planes.map(p =>
+      when(dot(vec, typedLit(p.toSeq)) > 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH-bucketed top-k: probe only the query's bucket. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              qid: String, cid: String, vecCol: String,
+              bits: Int, dims: Int, k: Int): DataFrame = {
+    val planes = hyperplanes(bits, dims)
+    val c = corpus.select(col(cid).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val q = queries.select(col(qid).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("corpus_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos_sim"))
+  }
+
   /** Embedding near-duplicate pairs within a blocking column (idA < idB,
     * cosine >= threshold). Blocking keeps the self-join from going
     * quadratic: pass a cluster/LSH-bucket column at scale. */

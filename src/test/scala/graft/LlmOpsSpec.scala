@@ -176,3 +176,27 @@ class EventJsonSpec extends SparkSpec {
     assert(back == expectId)
   }
 }
+
+class LshAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hyperplanes are deterministic and in [-0.5, 0.5)") {
+    val a = graft.ops.Similarity.hyperplanes(4, 8)
+    val b = graft.ops.Similarity.hyperplanes(4, 8)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.flatten.forall(x => x >= -0.5 && x < 0.5))
+  }
+
+  test("identical vectors land in the same bucket; top hit is the twin") {
+    val vecs = Seq(
+      (0L, Array.fill(16)(0.7)), (1L, Array.fill(16)(0.7)),
+      (2L, Array.tabulate(16)(i => if (i % 2 == 0) 1.0 else -1.0))
+    ).toDF("vec_id", "embedding")
+    val top = graft.ops.Similarity.lshTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "vec_id", "embedding",
+      bits = 4, dims = 16, k = 3)
+    val hits = top.orderBy("rank").select("corpus_id", "cos_sim")
+      .as[(Long, Double)].collect().toSeq
+    assert(hits.head == ((1L, 1.0))) // the twin, cosine exactly 1
+  }
+}
