@@ -184,3 +184,34 @@ class StatefulDedupSpec extends SparkSpec {
     assert(got.find(_.msg_id == "m2").get.payload == "b")
   }
 }
+
+class AzureDiffJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diff csv -> events -> ledger-dedup -> queue, idempotent across runs") {
+    val root = tmpDir("azdiff")
+    val csv =
+      """Storage-Account,Name,Creation-Time,Last-Modified,Etag,Content-Length,Variance
+        |sa1,blob/new.bin,2021-01-01T00:00:00Z,2021-01-02T00:00:00Z,0xA,100,New
+        |sa1,blob/upd.bin,2021-01-01T00:00:00Z,2021-01-03T00:00:00Z,0xB,200,update
+        |sa1,blob/del.bin,2021-01-01T00:00:00Z,2021-01-04T00:00:00Z,0xC,300,Delete
+        |sa1,blob/bad.bin,2021-01-01T00:00:00Z,2021-01-05T00:00:00Z,0xD,garbage,New""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/diff.csv"), csv)
+
+    val r1 = graft.exec.AzureDiffJob.run(spark, s"$root/diff.csv",
+      s"$root/ledger", s"$root/queue", queues = 2, batchSize = 2)
+    assert(r1.rows == 4 && r1.badLength == 1 && r1.enqueued == 4 && r1.skipped == 0)
+
+    // messages unpack to events with the right type dispatch
+    val msgs = spark.read.json(s"$root/queue")
+    val bodies = msgs.select("body").as[String].collect().mkString
+    assert(bodies.contains("BlobDeleted") && bodies.contains("BlobCreated"))
+    assert(msgs.agg(sum("n_objects")).first().getLong(0) == 4)
+
+    // second run over the SAME diff: ledger suppresses every event
+    val r2 = graft.exec.AzureDiffJob.run(spark, s"$root/diff.csv",
+      s"$root/ledger", s"$root/queue", queues = 2, batchSize = 2)
+    assert(r2.enqueued == 0 && r2.skipped == 4)
+    assert(spark.read.json(s"$root/queue").agg(sum("n_objects")).first().getLong(0) == 4)
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.MultipartEtag
+import graft.ops._
+
+/** Property tests over the operator algebra (SURVEY §5 test plan).
+  * Spark jobs per case are expensive, so successful-case counts are
+  * kept small; the properties themselves are the point. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling: run the property over `n` seeded draws.
+    * (The scalatest-scalacheck bridge isn't in the offline cache, so
+    * generators are sampled directly.) */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  private def forAllSampled2[A, B](ga: Gen[A], gb: Gen[B], n: Int)(body: (A, B) => Unit): Unit =
+    (1 to n).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } body(a, b)
+    }
+
+  private val sizesGen: Gen[List[Long]] =
+    Gen.listOfN(40, Gen.chooseNum(0L, 8000000000L))
+
+  test("histogram: buckets are monotone non-decreasing and bounded by total") {
+    forAllSampled(sizesGen) { sizes =>
+      if (sizes.nonEmpty) {
+        val r = SizeHistogram(sizes.toDF("sz"), $"sz").first()
+        val buckets = SizeHistogram.ReferenceThresholds.map(t => r.getAs[Long](s"sub_$t"))
+        assert(buckets == buckets.sorted)           // cumulative ⇒ monotone
+        assert(buckets.last <= r.getAs[Long]("total_objects"))
+        // objects over the top threshold are excluded from every bucket
+        val over = sizes.count(_ > SizeHistogram.ReferenceThresholds.last)
+        assert(buckets.last == sizes.size - over)
+      }
+    }
+  }
+
+  private val snapshotGen: Gen[List[(Int, Long)]] =
+    Gen.listOfN(30, Gen.zip(Gen.chooseNum(0, 15), Gen.chooseNum(0L, 3L)))
+      .map(_.distinctBy(_._1))
+
+  test("diff: variance classes partition the key union") {
+    forAllSampled2(snapshotGen, snapshotGen, 8) { (oldRows, newRows) =>
+      val old = oldRows.toDF("key", "v")
+      val cur = newRows.toDF("key", "v")
+      val all = InventoryDiff(old, cur, "key", Seq("v"), includeSame = true)
+        .select("key", "variance").as[(Int, String)].collect()
+      val keyUnion = (oldRows.map(_._1) ++ newRows.map(_._1)).toSet
+      assert(all.map(_._1).toSet == keyUnion)       // covers the union
+      assert(all.length == keyUnion.size)           // exactly one verdict/key
+      val oldM = oldRows.toMap
+      val newM = newRows.toMap
+      all.foreach { case (k, v) =>
+        val expect = (oldM.get(k), newM.get(k)) match {
+          case (None, Some(_)) => "New"
+          case (Some(_), None) => "Delete"
+          case (Some(a), Some(b)) if a != b => "Update"
+          case _ => "Same"
+        }
+        assert(v == expect, s"key $k")
+      }
+    }
+  }
+
+  test("dedup: exact is idempotent and keeps one row per key") {
+    forAllSampled(Gen.listOfN(25, Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(0, 9)))) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("k", "tie")
+        val once = Dedup.exact(df, Seq("k"), "tie").collect().toSet
+        val twice = Dedup.exact(Dedup.exact(df, Seq("k"), "tie"), Seq("k"), "tie")
+          .collect().toSet
+        assert(once == twice)
+        assert(once.size == rows.map(_._1).distinct.size)
+        // the kept tie value is the per-key minimum
+        val mins = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        once.foreach(r => assert(r.getInt(1) == mins(r.getInt(0))))
+      }
+    }
+  }
+
+  test("fanout: pack/unpack round-trips any payload losslessly") {
+    forAllSampled(Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 500L), Gen.alphaStr.map(_.take(8)))), 5) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case ((r, s), i) => (i.toLong, r, s) }
+          .toDF("id", "route", "payload")
+        val packed = TaskFanout.pack(df, $"route", Seq($"id"), queues = 4, batchSize = 7)
+        val schema = df.schema
+        val back = TaskFanout.unpack(packed, col("body"), schema)
+          .select("id", "route", "payload").collect().toSet
+        assert(back == df.collect().toSet)
+        assert(packed.agg(max("n_objects")).as[Long].head() <= 7)
+      }
+    }
+  }
+
+  test("jaccard: symmetric, in [0,1], and 1 iff equal sets") {
+    forAllSampled2(Gen.listOfN(6, Gen.alphaStr.map(_.take(4))),
+      Gen.listOfN(6, Gen.alphaStr.map(_.take(4))), 8) {
+      (a, b) =>
+        if (a.nonEmpty && b.nonEmpty) {
+          val df = Seq((a.distinct, b.distinct)).toDF("a", "b")
+          val (ab, ba) = df.select(
+            ApproxDedup.jaccard($"a", $"b"), ApproxDedup.jaccard($"b", $"a"))
+            .as[(Double, Double)].head()
+          assert(ab == ba)
+          assert(ab >= 0.0 && ab <= 1.0)
+          if (a.distinct.toSet == b.distinct.toSet) assert(ab == 1.0)
+        }
+    }
+  }
+
+  test("etag: parts-as-rows aggregation equals the scalar whole-object form") {
+    forAllSampled2(Gen.chooseNum(1, 2000), Gen.chooseNum(1, 64), 6) { (len, partSize) =>
+      val bytes = Array.tabulate(len)(i => (i % 251).toByte)
+      val parts = bytes.grouped(partSize).toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val df = parts.zipWithIndex.map { case (p, i) =>
+        md.reset()
+        (i + 1, md.digest(p).map("%02x".format(_)).mkString)
+      }.toSeq.toDF("pn", "d")
+      val agg = df.agg(
+        MultipartEtag.etagFromPartDigestsNative($"pn", $"d", lit(true))).as[String].head()
+      assert(agg == MultipartEtag.etagOf(bytes, partSize, isMultipart = true))
+    }
+  }
+}
