@@ -33,6 +33,49 @@ object SizeHistogram {
     df.agg(cols.head, cols.tail: _*)
   }
 
+  /** One-pass struct result (SURVEY §2.10.2's idiomatic packaging). */
+  case class Hist(total_objects: Long, total_size: Long, buckets: Seq[Long])
+
+  /** Typed `Aggregator` form: the whole 9-counter histogram as a single
+    * aggregation state. The buffer stores EXCLUSIVE per-band counts
+    * (each object increments exactly one slot, O(log n) via the first
+    * matching threshold) and `finish` prefix-sums them into the
+    * reference's cumulative semantics — cheaper per row than the
+    * `sum(when)` form when the threshold list is long, identical result.
+    * Usable as `ds.select(SizeHistogram.aggregator(th).toColumn)` over a
+    * `Dataset[Long]`. */
+  def aggregator(thresholds: Seq[Long] = ReferenceThresholds)
+      : org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Hist] =
+    new org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Hist] {
+      private val th = thresholds.toArray
+      // layout: [count, size, exclusive band counts...]
+      def zero: Array[Long] = new Array[Long](th.length + 2)
+      def reduce(b: Array[Long], size: Long): Array[Long] = {
+        b(0) += 1
+        b(1) += size
+        var i = 0
+        while (i < th.length && size > th(i)) i += 1
+        if (i < th.length) b(2 + i) += 1 // > max threshold ⇒ no bucket
+        b
+      }
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(b: Array[Long]): Hist = {
+        val cum = new Array[Long](th.length)
+        var acc = 0L
+        var i = 0
+        while (i < th.length) { acc += b(2 + i); cum(i) = acc; i += 1 }
+        Hist(b(0), b(1), cum.toSeq)
+      }
+      def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+        org.apache.spark.sql.Encoders.kryo[Array[Long]]
+      def outputEncoder: org.apache.spark.sql.Encoder[Hist] =
+        org.apache.spark.sql.Encoders.product[Hist]
+    }
+
   /** Per-group variant (A2 per-file stats then rolled up = one groupBy). */
   def byGroup(df: DataFrame, group: Column, size: Column,
               thresholds: Seq[Long] = ReferenceThresholds): DataFrame = {

@@ -50,4 +50,22 @@ object Verification {
     * counters, asserted to cover every input row). */
   def summary(verified: DataFrame): DataFrame =
     verified.groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+
+  /** A8-shaped result rows (AzureEtagCheck output contract,
+    * conf.py:11 + etag_app.py:194-206): the input row plus ProcessTime,
+    * TimeCost and Message, with a success/errors result class — written
+    * with [[graft.sinks.Sinks.writePartitionedCsv]] to mirror the
+    * reference's split result files (K6).
+    * @param processTime injected clock column (deterministic in tests;
+    *        current_timestamp() in production) */
+  def resultRows(verified: DataFrame, processTime: Column,
+                 timeCostMs: Column): DataFrame =
+    verified
+      .withColumn("ProcessTime", processTime)
+      .withColumn("TimeCost", timeCostMs)
+      .withColumn("Message",
+        when(col("verdict") === "ok", lit("success"))
+          .otherwise(concat(lit("mismatch:"), col("verdict"))))
+      .withColumn("result",
+        when(col("verdict") === "ok", lit("success")).otherwise(lit("errors")))
 }

@@ -88,6 +88,30 @@ object InventoryReader {
       .select(col("f.key").as("key"), col("f.size").as("size"),
         col("f.MD5checksum").as("md5"))
 
+  /** S2 (JSON variant) — the same inventory schema as newline-delimited
+    * JSON (docs/Schema.txt:37-38 declares fileFormat "json"). Corrupt
+    * lines quarantine identically; cached for the same reasons. */
+  def readS3InventoryJson(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(s3InventorySchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+
+  /** §4 ingest normalization: gzip CSV shards are non-splittable, so
+    * scan once and rewrite as parquet partitioned by bucket — every
+    * downstream query then gets splittable columnar scans with pushdown.
+    * Returns the normalized DataFrame (reading the parquet). */
+  def normalizeToParquet(spark: SparkSession, csvGlob: String,
+                         parquetDir: String): DataFrame = {
+    val good = goodRows(readS3Inventory(spark, csvGlob))
+    good.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("Bucket")
+      .parquet(parquetDir)
+    spark.read.parquet(parquetDir)
+  }
+
   /** S5 — recursive discovery of inventory shards under a root. */
   def readAllCsv(spark: SparkSession, root: String, glob: String = "*.csv"): DataFrame =
     spark.read

@@ -215,3 +215,70 @@ class AzureDiffJobSpec extends SparkSpec {
     assert(spark.read.json(s"$root/queue").agg(sum("n_objects")).first().getLong(0) == 4)
   }
 }
+
+class SourceVariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JSON inventory variant parses the same schema, quarantines corrupt lines") {
+    val dir = tmpDir("jsoninv")
+    val lines = Seq(
+      """{"Bucket":"b","Key":"a%20b+c","Size":12345,"LastModifiedDate":"2017-12-24T01:02:03.000Z","ETag":"e","StorageClass":"STANDARD","IsMultipartUploaded":"false","ReplicationStatus":""}""",
+      """{not valid json at all""",
+      """{"Bucket":"b","Key":"k2","Size":99,"LastModifiedDate":"2017-12-24T01:02:03.000Z","ETag":"e","StorageClass":"STANDARD","IsMultipartUploaded":"true","ReplicationStatus":"COMPLETED"}""")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/inv.json"), lines.mkString("\n"))
+    val raw = graft.sources.InventoryReader.readS3InventoryJson(spark, s"$dir/inv.json")
+    val good = graft.sources.InventoryReader.goodRows(raw)
+    assert(good.count() == 2)
+    assert(graft.sources.InventoryReader.corruptRows(raw).count() == 1)
+    assert(good.filter($"Key" === "a b c").count() == 1) // F1 decode applies
+  }
+
+  test("gzip -> parquet normalization preserves rows and partitions by bucket") {
+    val dir = tmpDir("norm")
+    TestFixtures.writeS3InventoryGz(s"$dir/csv", "shard",
+      TestFixtures.defaultInventoryRows)
+    val normalized = graft.sources.InventoryReader.normalizeToParquet(
+      spark, s"$dir/csv/*.csv.gz", s"$dir/parquet")
+    assert(normalized.count() == 7)
+    // physically partitioned by bucket -> partition pruning on reads
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/parquet/Bucket=srcb")))
+    // pruned scan reads only requested columns from splittable parquet
+    val plan = normalized.select("Key").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<Key:string>"))
+  }
+
+  test("verification result files: A8 columns, success/errors split (K6)") {
+    val src = Seq(("k1", 1L, 1L, "e"), ("k2", 2L, 2L, "e")).toDF("key", "size", "mtime", "etag")
+    val dst = Seq(("k1", 1L, 1L, "e")).toDF("key", "size", "mtime", "etag")
+    val rows = graft.ops.Verification.resultRows(
+      graft.ops.Verification(src, dst, "key"),
+      processTime = org.apache.spark.sql.functions.lit("2021-01-01 00:00:00"),
+      timeCostMs = org.apache.spark.sql.functions.lit(5L))
+    val out = tmpDir("vres") + "/results"
+    graft.sinks.Sinks.writePartitionedCsv(rows, out, "result")
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 2)
+    val errs = back.filter($"Message".startsWith("mismatch")).select("key").as[String].collect()
+    assert(errs.toSeq == Seq("k2"))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[String](_.getFileName.toString).toArray.count(_.toString.startsWith("result=")) == 2)
+  }
+}
+
+class HistogramAggregatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typed Aggregator equals the sum(when) form") {
+    val sizes = Seq(500000L, 1000000L, 5000001L, 2000000000L, 6000000000L)
+    val viaAgg = sizes.toDS().select(
+      graft.ops.SizeHistogram.aggregator().toColumn).head()
+    val viaSql = graft.ops.SizeHistogram(sizes.toDF("sz"), $"sz").first()
+    assert(viaAgg.total_objects == viaSql.getAs[Long]("total_objects"))
+    assert(viaAgg.total_size == viaSql.getAs[Long]("total_size"))
+    val sqlBuckets = graft.ops.SizeHistogram.ReferenceThresholds
+      .map(t => viaSql.getAs[Long](s"sub_$t"))
+    assert(viaAgg.buckets == sqlBuckets)
+  }
+}
