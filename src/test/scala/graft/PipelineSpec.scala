@@ -282,3 +282,67 @@ class HistogramAggregatorSpec extends SparkSpec {
     assert(viaAgg.buckets == sqlBuckets)
   }
 }
+
+class WatermarkLatenessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("T5 upgrade: late-within-watermark rows correct their window; too-late rows drop") {
+    val root = tmpDir("late")
+    val logDir = s"$root/log"
+    // batch 1: windows 0 and 3000; max event time 3000s → watermark 2400s
+    Seq(("k1", 100L, 1, 3000L), ("k2", 10L, 1, 0L))
+      .toDF("Key", "Size", "ok", "replication_time").write.parquet(logDir)
+
+    val q = TaskPipeline.runStatsJob(spark, logDir, s"$root/stat", s"$root/ckpt")
+    q.processAllAvailable()
+
+    // batch 2: in-window addition (3010), late-but-allowed (2700),
+    // and too-late (600 < watermark 2400)
+    Seq(("k3", 5L, 1, 3010L), ("k4", 7L, 1, 2700L), ("k5", 9L, 1, 600L))
+      .toDF("Key", "Size", "ok", "replication_time")
+      .write.mode("append").parquet(logDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val stat = spark.read.parquet(s"$root/stat")
+      .select("start_time", "success_size", "success_num")
+      .as[(Long, Long, Long)].collect()
+      .map { case (t, s, n) => (t, (s, n)) }.toMap
+    assert(stat(0L) == ((10L, 1L)))
+    assert(stat(3000L) == ((105L, 2L)))   // late-batch row merged in
+    assert(stat(2700L) == ((7L, 1L)))     // within-watermark window created
+    assert(!stat.contains(600L))          // too-late row dropped entirely
+  }
+}
+
+class DashboardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stat = Seq(
+    (1, 0L, 1000L, 10L, 100L, 1L),
+    (1, 60L, 3000L, 30L, 0L, 0L),
+    (5, 0L, 4000L, 40L, 100L, 1L) // non-1-minute rows must be ignored
+  ).toDF("time_unit", "start_time", "success_size", "success_num",
+    "failed_size", "failed_num")
+
+  test("totalProgress payload: totals, speed, pct, ETA") {
+    val r = graft.ops.Dashboard.totalProgress(stat, totalObjects = 100L,
+      totalSize = 10000L).first()
+    assert(r.getAs[Long]("total_success_size") == 4000L)
+    assert(r.getAs[Long]("total_success_num") == 40L)
+    assert(r.getAs[Long]("elapsed_minutes") == 2L)
+    assert(r.getAs[Long]("bytes_per_minute") == 2000L)
+    assert(r.getAs[Double]("pct_objects") == 40.0)
+    assert(r.getAs[Long]("eta_minutes") == 3L) // (10000-4000)/2000
+  }
+
+  test("tasksGraph: 60-slot zero-filled series ending at the current minute") {
+    val g = graft.ops.Dashboard.tasksGraph(stat, nowEpochSec = 119L) // minute 60
+    val rows = g.orderBy("start_time").select("start_time", "success_num")
+      .as[(Long, Long)].collect()
+    assert(rows.length == 60)
+    assert(rows.last == ((60L, 30L)))
+    assert(rows.head._1 == 60L - 59 * 60)
+    assert(rows.count(_._2 != 0L) == 2) // only the two real minutes
+  }
+}
