@@ -4,22 +4,25 @@ import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
-    // full chain: events -> stat table -> dashboard payloads, on real testdata
-    val ev = Queries.all("q08_stat_table")(spark, "/root/testdata/sf0.001")
-    val stat = ev.cache()
-    println("== totalProgress payload:")
-    graft.ops.Dashboard.totalProgress(stat, totalObjects = 2000L,
-      totalSize = 200000L).show(false)
-    val lastMinute = stat.filter(col("time_unit") === 1)
-      .agg(max("start_time")).first().getLong(0)
-    println("== tasksGraph tail (last 5 of 60 slots):")
-    graft.ops.Dashboard.tasksGraph(stat, lastMinute + 30)
-      .orderBy(desc("start_time")).limit(5).orderBy("start_time").show(false)
-    // probe: empty stat table -> payload degrades without crashing?
-    val empty = stat.filter(lit(false))
-    try {
-      graft.ops.Dashboard.totalProgress(empty, 10L, 10L).show(false)
-    } catch { case e: Exception => println("empty stat: " + e.getClass.getSimpleName + ": " + e.getMessage.take(80)) }
+    // entry() with scaled thresholds — informative bucket spread now
+    SparkEntry.entry(spark).show(false)
+    // ORC normalization + a probe: unknown format name
+    val root = java.nio.file.Files.createTempDirectory("orcdrive").toString
+    TestFx2.writeGz(s"$root/csv")
+    val orc = graft.sources.InventoryReader.normalizeTo(spark, s"$root/csv/*.csv.gz", s"$root/orc", "orc")
+    println("orc rows=" + orc.count() + " dirs=" + new java.io.File(s"$root/orc").listFiles().map(_.getName).filter(_.startsWith("Bucket=")).mkString(","))
+    try graft.sources.InventoryReader.normalizeTo(spark, s"$root/csv/*.csv.gz", s"$root/xx", "not-a-format")
+    catch { case e: Exception => println("bad format rejected: " + e.getMessage.linesIterator.next().take(100)) }
     spark.stop()
+  }
+}
+object TestFx2 {
+  import java.io._; import java.util.zip.GZIPOutputStream
+  def writeGz(dir: String): Unit = {
+    new File(dir).mkdirs()
+    val w = new BufferedWriter(new OutputStreamWriter(new GZIPOutputStream(new FileOutputStream(s"$dir/s.csv.gz")), "UTF-8"))
+    Seq(("b1","k1",100L), ("b2","k2",200L)).foreach { case (b,k,s) =>
+      w.write(Seq(b,k,s.toString,"2017-12-24T01:02:03.000Z","e","STANDARD","false","").map(f => "\"" + f + "\"").mkString(",")); w.newLine() }
+    w.close()
   }
 }

@@ -15,7 +15,10 @@ object SparkEntry {
     ops.SizeHistogram.byGroup(
       spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
       col("l_returnflag"),
-      floor(col("l_extendedprice")).cast("bigint"))
+      floor(col("l_extendedprice")).cast("bigint"),
+      // thresholds scaled to the testdata price range (the reference's
+      // byte thresholds would put every row in every bucket)
+      Seq(1000L, 5000L, 10000L, 50000L, 100000L, 1000000L, 5000000L))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all

@@ -104,12 +104,20 @@ object InventoryReader {
     * downstream query then gets splittable columnar scans with pushdown.
     * Returns the normalized DataFrame (reading the parquet). */
   def normalizeToParquet(spark: SparkSession, csvGlob: String,
-                         parquetDir: String): DataFrame = {
+                         parquetDir: String): DataFrame =
+    normalizeTo(spark, csvGlob, parquetDir, "parquet")
+
+  /** Format-parameterized normalization (parquet or orc — both columnar,
+    * splittable, stats-bearing; the choice is an ecosystem fit, not a
+    * capability difference). */
+  def normalizeTo(spark: SparkSession, csvGlob: String,
+                  outDir: String, format: String): DataFrame = {
     val good = goodRows(readS3Inventory(spark, csvGlob))
     good.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("Bucket")
-      .parquet(parquetDir)
-    spark.read.parquet(parquetDir)
+      .format(format)
+      .save(outDir)
+    spark.read.format(format).load(outDir)
   }
 
   /** S5 — recursive discovery of inventory shards under a root. */

@@ -138,6 +138,19 @@ object TaskPipeline {
       .start()
   }
 
+  /** A12 — queue-depth-style runtime metrics from the running query
+    * (the reference polls get_queue_attributes, libs/sqs_utils.py:54-62;
+    * Structured Streaming exposes the same signal as progress events). */
+  def queueMetrics(q: StreamingQuery): Map[String, Double] =
+    Option(q.lastProgress) match {
+      case Some(p) => Map(
+        "inputRowsPerSecond" -> p.inputRowsPerSecond,
+        "processedRowsPerSecond" -> p.processedRowsPerSecond,
+        "numInputRows" -> p.numInputRows.toDouble,
+        "batchId" -> p.batchId.toDouble)
+      case None => Map.empty
+    }
+
   /** Batch-incremental variant of the stats job (A7): aggregate only
     * rows at/after the stat store's high watermark, then upsert.
     * The HWM predicate prunes date-partitioned logs at the scan. */

@@ -346,3 +346,36 @@ class DashboardSpec extends SparkSpec {
     assert(rows.count(_._2 != 0L) == 2) // only the two real minutes
   }
 }
+
+class OrcAndMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalization to ORC round-trips with pruned scans") {
+    val dir = tmpDir("orc")
+    TestFixtures.writeS3InventoryGz(s"$dir/csv", "shard",
+      TestFixtures.defaultInventoryRows)
+    val orc = graft.sources.InventoryReader.normalizeTo(
+      spark, s"$dir/csv/*.csv.gz", s"$dir/orc", "orc")
+    assert(orc.count() == 7)
+    // sizes over 1e6: 5e6, 5e6+1, 1e8, 2e9, 6e9
+    assert(orc.filter($"Size" > 1000000L).count() == 5)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/orc/Bucket=srcb")))
+  }
+
+  test("queue metrics surface from a finished streaming query") {
+    val root = tmpDir("qm")
+    val inDir = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$inDir/a.json"),
+      """{"msg_id":"m1","payload":"x"}""")
+    val st = spark.readStream.schema("msg_id STRING, payload STRING").json(inDir)
+    val q = st.writeStream.option("checkpointLocation", s"$root/ck")
+      .format("memory").queryName("qm_out").outputMode("append").start()
+    q.processAllAvailable()
+    val m = graft.streaming.TaskPipeline.queueMetrics(q)
+    q.stop()
+    assert(m.contains("numInputRows") && m("numInputRows") >= 0.0)
+    assert(m.contains("batchId"))
+  }
+}
