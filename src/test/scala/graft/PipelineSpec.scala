@@ -379,3 +379,33 @@ class OrcAndMetricsSpec extends SparkSpec {
     assert(m.contains("batchId"))
   }
 }
+
+class DiscoveryAndSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S5: recursive shard discovery under nested roots") {
+    val root = tmpDir("disc")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/a/b"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/inv1.csv"),
+      "Name,Content-Length\nx,1")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/a/b/inv2.csv"),
+      "Name,Content-Length\ny,2")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/a/skip.txt"),
+      "not,a,csv")
+    val found = graft.sources.InventoryReader.readAllCsv(spark, root)
+    assert(found.count() == 2)
+    assert(found.select("Name").as[String].collect().toSet == Set("x", "y"))
+  }
+
+  test("K8: chunk-split via maxRecordsPerFile replaces the reference's splitter") {
+    val out = tmpDir("split") + "/rows"
+    spark.range(100).toDF("id")
+      .coalesce(1)
+      .write.option("maxRecordsPerFile", 30).parquet(out)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .map[String](_.getFileName.toString).toArray
+      .count(_.toString.endsWith(".parquet"))
+    assert(parts == 4) // 30+30+30+10
+    assert(spark.read.parquet(out).count() == 100)
+  }
+}
