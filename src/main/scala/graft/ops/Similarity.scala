@@ -135,6 +135,12 @@ object Similarity {
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      // NOTE: Catalyst pushes this filter below the project, duplicating
+      // the cosine fold per pair. A nondeterministic barrier column
+      // would prevent that, but measured SLOWER here (6.2s vs 3.5s at
+      // sf0.1): it splits whole-stage codegen and materializes both
+      // vector arrays per pair across the boundary — costlier than the
+      // duplicated O(dims) fold. Keep the fused double-eval form.
       .filter(col("cos_sim") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
