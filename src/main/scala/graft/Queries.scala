@@ -743,6 +743,26 @@ object Queries {
        |  FROM s)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------- quality filter
+  /** The pipeline FILTER step q19's stats feed: keep documents passing
+    * token-count and punctuation gates (the reference-scale corpus
+    * cleaning pass applies exactly this shape before dedup). */
+  private def qQualityFilter(s: SparkSession, dir: String): DataFrame =
+    exec.CorpusPipeline.qualityFilter(t(s, dir, "documents"),
+        minTokens = 30, maxPunctRatio = 0.05)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  private val oQualityFilter =
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS punct_ratio
+      |  FROM documents)
+      |WHERE n_tokens >= 30 AND punct_ratio <= 0.05
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------- hyperplane LSH ANN
   private val LshBits = 6
   private val EmbDims = 64
@@ -843,7 +863,8 @@ object Queries {
     "q28_jaccard_inverted" -> (qJaccardInverted _),
     "q29_verification" -> (qVerification _),
     "q30_budget_cap" -> (qBudgetCap _),
-    "q31_lsh_topk" -> (qLshTopK _)
+    "q31_lsh_topk" -> (qLshTopK _),
+    "q32_quality_filter" -> (qQualityFilter _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -877,6 +898,7 @@ object Queries {
     "q28_jaccard_inverted" -> oJaccardInverted,
     "q29_verification" -> oVerification,
     "q30_budget_cap" -> oBudgetCap,
-    "q31_lsh_topk" -> oLshTopK
+    "q31_lsh_topk" -> oLshTopK,
+    "q32_quality_filter" -> oQualityFilter
   )
 }

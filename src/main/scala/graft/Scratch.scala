@@ -1,15 +1,18 @@
 package graft
+/** Throwaway probe main — not part of the library surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(32)
-    def time(n: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[t] $n ${(System.nanoTime()-t0)/1e9}%6.2f s ($r rows)")
-    }
-    // warm
-    Queries.all("q20_lang_id")(spark, "/root/testdata/sf0.1").count()
-    time("q26 run1")(Queries.all("q26_embed_near_dup")(spark, "/root/testdata/sf0.1").count())
-    time("q26 run2")(Queries.all("q26_embed_near_dup")(spark, "/root/testdata/sf0.1").count())
+    val spark = GraftSession.local(8)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val (cleaned, s) = graft.exec.CorpusPipeline.clean(spark, docs,
+      minTokens = 30, maxPunctRatio = 0.05, nearDupThreshold = 0.6)
+    println(s"pipeline stages: $s")
+    println("cleaned sample:")
+    cleaned.select("doc_id", "lang", "source").show(3, false)
+    // probe: run on the ALREADY-cleaned corpus — should be a fixpoint
+    val (_, s2) = graft.exec.CorpusPipeline.clean(spark, cleaned,
+      minTokens = 30, maxPunctRatio = 0.05, nearDupThreshold = 0.6)
+    println(s"re-clean (fixpoint probe): $s2")
     spark.stop()
   }
 }

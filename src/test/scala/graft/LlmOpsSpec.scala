@@ -200,3 +200,25 @@ class LshAnnSpec extends SparkSpec {
     assert(hits.head == ((1L, 1.0))) // the twin, cosine exactly 1
   }
 }
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality -> exact dedup -> near-dup dedup, with stage accounting") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),   // near-dup of 1
+      (3L, "The quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1 (case)
+      (4L, "completely different text about spark shuffle partitions and query planning"),
+      (5L, "too short"),                                                             // fails min tokens
+      (6L, "!!! ??? ***, punctuation soup !!! ??? *** !!! ??? *** !!! ??? ***")      // fails punct ratio
+    ).toDF("doc_id", "text")
+    val (cleaned, s) = graft.exec.CorpusPipeline.clean(spark, docs,
+      minTokens = 5, maxPunctRatio = 0.1, nearDupThreshold = 0.6)
+    assert(s.input == 6)
+    assert(s.afterQuality == 4)   // 5 and 6 dropped
+    assert(s.afterExact == 3)     // 3 collapses into 1
+    assert(s.afterNearDup == 2)   // 2 collapses into 1
+    assert(cleaned.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+}
