@@ -807,12 +807,19 @@ object Queries {
     Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "label", "embedding", 0.3)
       .orderBy("id_a", "id_b")
 
+  // mirrors nearDupPairs' pre-normalized form: unit vectors, then a
+  // plain dot per pair (identical float op order to the Spark side)
   private val oEmbedNearDup =
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+       |                                          embedding::DOUBLE[]))) AS v
+       |  FROM embeddings)
        |SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
-       |       round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+       |       round(list_dot_product(a.v, b.v), 6) AS cos_sim
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.3
+       |WHERE round(list_dot_product(a.v, b.v), 6) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------- multimodal metadata

@@ -28,6 +28,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Unit-normalize a vector: v / |v|. The norm is LET-BOUND via a
+    * singleton-array transform so it computes once per vector, not once
+    * per element (a directly-referenced `sqrt(dot(v,v))` inside the
+    * division lambda would re-run the O(d) fold d times). Pre-normalizing
+    * before a pairwise join turns cosine into a single dot product:
+    * norms cost O(N·d) instead of O(N²·d). */
+  def unitNorm(v: Column): Column =
+    element_at(
+      transform(array(sqrt(dot(v, v))), n => transform(v, x => x / n)),
+      1)
+
   /** Brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine (query set must be small — it is broadcast).
     * Deterministic rank: (rounded cosine desc, corpus id asc). */
@@ -129,18 +140,18 @@ object Similarity {
     * quadratic: pass a cluster/LSH-bucket column at scale. */
   def nearDupPairs(df: DataFrame, id: String, block: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val v = df.select(col(id), col(block).as("blk"), col(vecCol).cast("array<double>").as("v"))
+    // Pre-normalize per VECTOR so the per-pair work is one dot product.
+    // (A nondeterministic barrier column to avoid the filter's pushdown
+    // re-substitution measured SLOWER — it splits whole-stage codegen
+    // and materializes both arrays per pair; cheapening the duplicated
+    // expression beats preventing the duplication.)
+    val v = df.select(col(id), col(block).as("blk"),
+      unitNorm(col(vecCol).cast("array<double>")).as("v"))
     val a = v.select(col(id).as("id_a"), col("blk"), col("v").as("va"))
     val b = v.select(col(id).as("id_b"), col("blk"), col("v").as("vb"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
-      // NOTE: Catalyst pushes this filter below the project, duplicating
-      // the cosine fold per pair. A nondeterministic barrier column
-      // would prevent that, but measured SLOWER here (6.2s vs 3.5s at
-      // sf0.1): it splits whole-stage codegen and materializes both
-      // vector arrays per pair across the boundary — costlier than the
-      // duplicated O(dims) fold. Keep the fused double-eval form.
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
