@@ -23,6 +23,32 @@ object AzureDiffJob {
 
   case class Result(rows: Long, badLength: Long, enqueued: Long, skipped: Long)
 
+  /** FIXTURES A4 closure: produce the wire-format diff FROM two A3
+    * inventory snapshots with the engine's own full-outer join (J1) —
+    * the reference consumes diff files computed by an external tool;
+    * here the differ and the consumer are the same engine, keyed on
+    * blob Name, comparing (Etag, Content-Length, Last-Modified). */
+  def diffSnapshots(old: DataFrame, curr: DataFrame,
+                    storageAccount: String): DataFrame = {
+    val cmp = Seq("Etag", "Content-Length", "Last-Modified")
+    val base = graft.ops.InventoryDiff(
+      old.select(("Name" +: cmp).map(col): _*),
+      curr.select(("Name" +: cmp).map(col): _*),
+      "Name", compareCols = cmp)
+    // Creation-Time is carried, not compared — join it back per side
+    base
+      .join(curr.select(col("Name"), col("Creation-Time").as("_ct_new")), Seq("Name"), "left")
+      .join(old.select(col("Name"), col("Creation-Time").as("_ct_old")), Seq("Name"), "left")
+      .select(
+        lit(storageAccount).as("Storage-Account"),
+        col("Name"),
+        coalesce(col("_ct_new"), col("_ct_old")).as("Creation-Time"),
+        coalesce(col("new_Last-Modified"), col("old_Last-Modified")).as("Last-Modified"),
+        coalesce(col("new_Etag"), col("old_Etag")).as("Etag"),
+        coalesce(col("new_Content-Length"), col("old_Content-Length")).as("Content-Length"),
+        col("variance").as("Variance"))
+  }
+
   /** @param diffGlob   A4-schema CSV(s): Storage-Account, Name,
     *                   Creation-Time, Last-Modified, Etag,
     *                   Content-Length, Variance ∈ {New,Update,Delete}
@@ -30,8 +56,14 @@ object AzureDiffJob {
     * @param ledgerDir  parquet ledger of sent msg_ids (created on first run)
     * @param queueDir   output message JSON dir */
   def run(spark: SparkSession, diffGlob: String, ledgerDir: String,
-          queueDir: String, queues: Int = 4, batchSize: Int = 10): Result = {
-    val raw = spark.read.option("header", "true").csv(diffGlob)
+          queueDir: String, queues: Int = 4, batchSize: Int = 10): Result =
+    runWithDiff(spark, spark.read.option("header", "true").csv(diffGlob),
+      ledgerDir, queueDir, queues, batchSize)
+
+  /** DataFrame-input variant: chain [[diffSnapshots]] straight into the
+    * event pipeline without a wire round-trip. */
+  def runWithDiff(spark: SparkSession, raw: DataFrame, ledgerDir: String,
+                  queueDir: String, queues: Int = 4, batchSize: Int = 10): Result = {
 
     // F13 null-on-garbage length; P8 variance dispatch (upper-cased,
     // largeInventoryDiffToSQS.py:115-118); F10 endpoint synth

@@ -409,3 +409,39 @@ class DiscoveryAndSplitSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 100)
   }
 }
+
+class SnapshotDiffChainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A4 closure: two A3 snapshots -> engine diff -> events -> queue") {
+    val mk = (rows: Seq[(String, String, String, Long)]) =>
+      rows.toDF("Name", "Etag", "Last-Modified", "Content-Length")
+        .withColumn("Creation-Time", lit("2021-01-01T00:00:00Z"))
+    val old = mk(Seq(
+      ("b/same.bin", "e1", "2021-01-02T00:00:00Z", 10L),
+      ("b/upd.bin", "e2", "2021-01-02T00:00:00Z", 20L),
+      ("b/del.bin", "e3", "2021-01-02T00:00:00Z", 30L)))
+    val curr = mk(Seq(
+      ("b/same.bin", "e1", "2021-01-02T00:00:00Z", 10L),
+      ("b/upd.bin", "e2b", "2021-01-03T00:00:00Z", 25L),
+      ("b/new.bin", "e4", "2021-01-04T00:00:00Z", 40L)))
+
+    val diff = graft.exec.AzureDiffJob.diffSnapshots(old, curr, "sa9")
+    val classes = diff.select("Name", "Variance").as[(String, String)].collect().toMap
+    assert(classes == Map("b/upd.bin" -> "Update", "b/del.bin" -> "Delete",
+      "b/new.bin" -> "New"))
+    // wire columns carry the NEW side's values where present
+    val upd = diff.filter($"Name" === "b/upd.bin")
+      .select("Etag", "Content-Length").as[(String, Long)].head()
+    assert(upd == (("e2b", 25L)))
+
+    // chain straight into the event pipeline
+    val root = tmpDir("chain")
+    val r = graft.exec.AzureDiffJob.runWithDiff(spark, diff,
+      s"$root/ledger", s"$root/queue", queues = 2, batchSize = 10)
+    assert(r.rows == 3 && r.enqueued == 3)
+    val bodies = spark.read.json(s"$root/queue").select("body").as[String].collect().mkString
+    assert(bodies.contains("BlobDeleted"))      // del.bin
+    assert("BlobCreated".r.findAllIn(bodies).size >= 1) // new + upd
+  }
+}
