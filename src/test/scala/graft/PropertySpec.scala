@@ -134,4 +134,29 @@ class PropertySpec extends SparkSpec {
       assert(agg == MultipartEtag.etagOf(bytes, partSize, isMultipart = true))
     }
   }
+
+  test("similarity: unit-normalized vectors have norm 1; cosine bounded") {
+    forAllSampled(Gen.listOfN(16, Gen.chooseNum(-100, 100).map(_ / 10.0)), 6) { xs =>
+      if (xs.exists(_ != 0.0)) {
+        val df = Seq((xs.toArray, xs.reverse.toArray)).toDF("a", "b")
+        val (n, c) = df.select(
+          Similarity.dot(Similarity.unitNorm($"a"), Similarity.unitNorm($"a")),
+          Similarity.cosine($"a", $"b")).as[(Double, Double)].head()
+        assert(math.abs(n - 1.0) < 1e-9)
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("simhash: permutation-invariant over token multisets") {
+    forAllSampled(Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta")), 6) { toks =>
+      if (toks.nonEmpty) {
+        val d1 = Seq((1L, toks.mkString(" "))).toDF("id", "text")
+        val d2 = Seq((1L, scala.util.Random.shuffle(toks).mkString(" "))).toDF("id", "text")
+        val f1 = ApproxDedup.simhash(d1, "id", $"text").select("simhash").as[Long].head()
+        val f2 = ApproxDedup.simhash(d2, "id", $"text").select("simhash").as[Long].head()
+        assert(f1 == f2) // bag-of-tokens model: order never matters
+      }
+    }
+  }
 }
