@@ -39,20 +39,31 @@ object Bench {
       .collect()
     val scanSec = (System.nanoTime() - st0) / 1e9
     val scanMbps = liBytes / 1e6 / scanSec
-    // min of two timed runs per query: single-run numbers swing +-50%
-    // from JIT/GC/page-cache noise on this shared box
+    // median of three timed runs per query: single-run numbers swing
+    // +-50% from JIT/GC/page-cache noise on this shared box, and min-of-2
+    // still let a 6x co-tenant outlier through in round 2 — the spread
+    // (max-min) is reported so noise is distinguishable from regression
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val sorted = runs.map(_._1).sorted
+      (name, sorted(1), sorted.last - sorted.head, runs.forall(_._2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def m(f: ((String, Double, Double, Boolean)) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = m(_._2.toString)
+    val spread = m(_._3.toString)
+    val okMap = m(_._4.toString)
+    // a failed query must not masquerade as a healthy timing
+    val total = results.filter(_._4).map(_._2).sum
+    val nFailed = results.count(!_._4)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""spread":$spread,"ok":$okMap,"failed_queries":$nFailed,""" +
       s""""scan_mbps":$scanMbps,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -275,7 +275,11 @@ object Queries {
        |FROM m1""".stripMargin
 
   private def qMinuteSpine(s: SparkSession, dir: String): DataFrame = {
-    val stat = TimeBucketStats.statTable(eventLog(s, dir), col("sec"), col("ok"), col("size"))
+    // persistOneMin: the table is evaluated twice (scalar + join) and
+    // unions the 1-minute rollup three ways — cache the tiny rollup
+    // instead of re-aggregating the raw log each time
+    val stat = TimeBucketStats.statTable(
+      eventLog(s, dir), col("sec"), col("ok"), col("size"), persistOneMin = true)
     // Tiny driver-side scalar to parameterize the spine start — the spine
     // itself is a distributed range join, not a collect.
     val start = stat.filter(col("time_unit") === 1)
@@ -398,37 +402,34 @@ object Queries {
 
   // ----------------------------------------------------------- A4 budget cap
   /** Budget early-exit: consume objects in key order until the running
-    * total size reaches the cap (inventory_sqs.py:152-155,
-    * config.ini:44-49) — as a cumulative window, not a driver loop. */
+    * total size reaches the PER-QUEUE cap (inventory_sqs.py:152-155,
+    * config.ini:44-49 — the reference's budget is per process/shard).
+    * Partitioning the window by the routing queue keeps every partition
+    * parallel — no global single-partition sort at any scale. */
   private def qBudgetCap(s: SparkSession, dir: String): DataFrame = {
-    // ROWS frame, not the default RANGE: RANGE lumps duplicate order
-    // keys into one peer group. A global ordered window is inherently
-    // sequential (single partition) — correct for a consume-in-order
-    // budget; at scale the cap applies per shard/queue instead.
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("size"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    t(s, dir, "lineitem")
+    val objs = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         floor(col("l_extendedprice")).cast("bigint").as("size"))
-      .withColumn("running_size", sum("size").over(w))
-      .filter(col("running_size") <= 50000000L)
-      .orderBy("l_orderkey", "l_linenumber", "size")
+      .withColumn("queue", pmod(col("l_orderkey"), lit(8)).cast("int"))
+    BudgetCap.perShard(objs, col("queue"), col("size"), 6250000L,
+        Seq(col("l_orderkey"), col("l_linenumber"), col("size")))
+      .orderBy("queue", "l_orderkey", "l_linenumber", "size")
   }
 
   private val oBudgetCap =
     """SELECT * FROM (
       |  SELECT l_orderkey, l_linenumber,
       |         CAST(floor(l_extendedprice) AS BIGINT) AS size,
+      |         CAST(l_orderkey % 8 AS INT) AS queue,
       |         CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) OVER (
+      |           PARTITION BY l_orderkey % 8
       |           ORDER BY l_orderkey, l_linenumber,
       |                    CAST(floor(l_extendedprice) AS BIGINT)
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |         AS BIGINT) AS running_size
       |  FROM lineitem)
-      |WHERE running_size <= 50000000
-      |ORDER BY l_orderkey, l_linenumber, size""".stripMargin
+      |WHERE running_size <= 6250000
+      |ORDER BY queue, l_orderkey, l_linenumber, size""".stripMargin
 
   // ------------------------------------------------------------- J4 / A11
   /** Source/dest verification over simulated stores: dest drops keys
@@ -711,37 +712,71 @@ object Queries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------------------ IVF top-k
+  /** IVF probe over centroids TRAINED by Lloyd's k-means (k=8, two
+    * iterations) — the oracle replays the training exactly: same init
+    * (8 lowest-id vectors), same rounded-cosine assignment, same
+    * fixed-point dimension sums (see [[Similarity.kmeansFit]]). */
   private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 5), emb, emb.filter(col("vec_id") < 8),
+    val trained = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val cents = trained.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("vec_id", "embedding")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, cents,
         "vec_id", "vec_id", "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("corpus_id"), col("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
-  private val oIvfTopK =
+  private val oIvfTopK = {
+    // one Lloyd's iteration = assign (argmax rounded cosine) + update
+    // (fixed-point per-dimension mean, empty clusters keep previous)
+    def assign(cent: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, centroid_id, v FROM (
+         |    SELECT e.vec_id, $cent.centroid_id, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "centv")}, 6) DESC, centroid_id) AS r
+         |    FROM e CROSS JOIN $cent)
+         |  WHERE r = 1)""".stripMargin
+    def update(asg: String, centPrev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT $centPrev.centroid_id,
+         |         coalesce(nu.centv, $centPrev.centv) AS centv
+         |  FROM $centPrev LEFT JOIN (
+         |    SELECT centroid_id,
+         |           list(round(sx / (n * 1000000.0), 6) ORDER BY dim) AS centv
+         |    FROM (
+         |      SELECT centroid_id, dim,
+         |             sum(CAST(floor(v[dim] * 1000000) AS BIGINT)) AS sx,
+         |             count(*) AS n
+         |      FROM $asg CROSS JOIN
+         |           (SELECT unnest(generate_series(1, 64)) AS dim) dims
+         |      GROUP BY centroid_id, dim)
+         |    GROUP BY centroid_id) nu
+         |    ON $centPrev.centroid_id = nu.centroid_id)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS centroid_id, v AS centv FROM e WHERE vec_id < 8),
-       |asg AS (
-       |  SELECT corpus_id, centroid_id, cv FROM (
-       |    SELECT e.vec_id AS corpus_id, cent.centroid_id, e.v AS cv,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${cosSql("e.v", "centv")}, 6) DESC, centroid_id) AS r
-       |    FROM e CROSS JOIN cent)
-       |  WHERE r = 1),
-       |qa AS (SELECT corpus_id AS query_id, centroid_id, cv AS qv
-       |       FROM asg WHERE corpus_id < 5),
-       |s AS (SELECT qa.query_id, a.corpus_id,
-       |        round(${cosSql("qa.qv", "a.cv")}, 6) AS cos_sim
-       |      FROM asg a JOIN qa
-       |        ON a.centroid_id = qa.centroid_id AND a.corpus_id <> qa.query_id)
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+       |              v AS centv
+       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+       |${assign("c0", "a1")},
+       |${update("a1", "c0", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c1", "c2")},
+       |${assign("c2", "af")},
+       |qa AS (SELECT vec_id AS query_id, centroid_id, v AS qv
+       |       FROM af WHERE vec_id < 5),
+       |s AS (SELECT qa.query_id, a.vec_id AS corpus_id,
+       |        round(${cosSql("qa.qv", "a.v")}, 6) AS cos_sim
+       |      FROM af a JOIN qa
+       |        ON a.centroid_id = qa.centroid_id AND a.vec_id <> qa.query_id)
        |SELECT query_id, rank, corpus_id, cos_sim FROM (
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank
        |  FROM s)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   // ------------------------------------------------------- quality filter
   /** The pipeline FILTER step q19's stats feed: keep documents passing
@@ -838,6 +873,161 @@ object Queries {
       |       md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===================================================================
+  // File-format / function surface that was ScalaTest-only in round 2 —
+  // each now crosses the DuckDB oracle (VERDICT r2 "Next round" #1).
+  // ===================================================================
+
+  // --------------------------------------------- S2/P4/F1/F2 CSV inventory
+  /** Gzip-CSV inventory scan end-to-end: a fixture rendered FROM the
+    * part table (every field double-quoted, '+'-encoded keys, corrupt
+    * rows injected for p_partkey%97==0 via a non-numeric Size), scanned
+    * with [[graft.sources.InventoryReader]], corrupt rows quarantined,
+    * keys plus-decoded. The oracle reconstructs the expected good rows
+    * straight from the parquet table — any mis-parse, mis-quarantine or
+    * mis-decode breaks the hash. */
+  private def qCsvInventory(s: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = "/tmp/graft_fixtures/csvinv_" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val pk = col("p_partkey")
+    def q(c: Column): Column = concat(lit("\""), c, lit("\""))
+    // deterministic content — write once per sf dir, reuse after
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fixtureDir, "_SUCCESS"))) {
+      val ts = timestamp_seconds(lit(1700000000L) + pk)
+      val goodLine = concat_ws(",",
+        q(concat(lit("bkt-"), pmod(pk, lit(3)))),
+        q(concat(pk, lit("/"), regexp_replace(col("p_name"), " ", "+"))),
+        q(col("p_size")),
+        q(concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit(".000Z"))),
+        q(md5(col("p_name"))),
+        q(lit("STANDARD")),
+        q(when(pk % 2 === 0, "true").otherwise("false")),
+        q(when(pk % 3 === 0, "COMPLETED").otherwise("")))
+      val corruptLine = concat_ws(",",
+        q(lit("bkt-x")), q(concat(lit("corrupt-"), pk)), q(lit("not-a-number")),
+        q(lit("t")), q(lit("e")), q(lit("s")), q(lit("f")), q(lit("")))
+      t(s, dir, "part")
+        .select(when(pk % 97 === 0, corruptLine).otherwise(goodLine).as("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "gzip")
+        .text(fixtureDir)
+    }
+    val inv = graft.sources.InventoryReader.readS3Inventory(s, fixtureDir)
+    graft.sources.InventoryReader.goodRows(inv)
+      .select(
+        col("Key").as("key"),
+        col("Bucket").as("bucket"),
+        col("Size").as("size"),
+        col("LastModified").cast("long").as("mtime_epoch"),
+        col("ETag").as("etag"),
+        col("StorageClass").as("storage_class"),
+        col("IsMultipartUploaded").as("multipart"),
+        col("Replicated").as("replicated"))
+      .orderBy("key")
+  }
+
+  private val oCsvInventory =
+    """SELECT CAST(p_partkey AS VARCHAR) || '/' || p_name AS key,
+      |       'bkt-' || CAST(p_partkey % 3 AS VARCHAR) AS bucket,
+      |       CAST(p_size AS BIGINT) AS size,
+      |       CAST(1700000000 + p_partkey AS BIGINT) AS mtime_epoch,
+      |       md5(p_name) AS etag,
+      |       'STANDARD' AS storage_class,
+      |       p_partkey % 2 = 0 AS multipart,
+      |       CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END AS replicated
+      |FROM part WHERE p_partkey % 97 <> 0
+      |ORDER BY key""".stripMargin
+
+  // ------------------------------------------------- F9/F10/J3 event JSON
+  /** Event-Grid notification render: the full struct-first event over
+    * supplier rows, rendered with to_json and compared byte-for-byte
+    * against a string-built oracle (field order = struct order, no
+    * whitespace — Jackson's compact render). */
+  private def qEventJson(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(
+      col("s_suppkey"),
+      concat(lit("sa"), pmod(col("s_suppkey"), lit(4))).as("sa"),
+      col("s_name").as("name"),
+      floor(col("s_acctbal")).cast("bigint").as("size"),
+      md5(col("s_name")).as("etag"),
+      when(col("s_suppkey") % 5 === 0, lit("Microsoft.Storage.BlobDeleted"))
+        .otherwise(lit("Microsoft.Storage.BlobCreated")).as("et"),
+      Fns.isoUtc(timestamp_seconds(lit(1700000000L) + col("s_suppkey"))).as("iso"))
+    EventJson.withEvent(sup, col("sa"), col("name"), col("size"),
+        col("etag"), col("et"), col("iso"))
+      .select(col("s_suppkey"), col("event.id").as("event_id"), col("event_json"))
+      .orderBy("s_suppkey")
+  }
+
+  private val oEventJson =
+    """WITH t AS (
+      |  SELECT s_suppkey, 'sa' || CAST(s_suppkey % 4 AS VARCHAR) AS sa,
+      |         s_name AS name, CAST(floor(s_acctbal) AS BIGINT) AS size,
+      |         md5(s_name) AS etag,
+      |         CASE WHEN s_suppkey % 5 = 0 THEN 'Microsoft.Storage.BlobDeleted'
+      |              ELSE 'Microsoft.Storage.BlobCreated' END AS et,
+      |         strftime(make_timestamp((1700000000 + s_suppkey) * 1000000),
+      |                  '%Y-%m-%dT%H:%M:%SZ') AS iso
+      |  FROM supplier),
+      |u AS (SELECT *, 'https://' || sa || '.blob.core.windows.net' AS ep FROM t)
+      |SELECT s_suppkey, md5(ep || name || et) AS event_id,
+      |  '{"topic":"/subscriptions/graft/resourceGroups/rg/providers/Microsoft.Storage/storageAccounts/'
+      |    || sa
+      |    || '","subject":"/blobServices/default/containers/inventory/blobs/' || name
+      |    || '","eventType":"' || et
+      |    || '","id":"' || md5(ep || name || et)
+      |    || '","data":{"api":"PutBlob","eTag":"' || etag
+      |    || '","contentType":"application/octet-stream","contentLength":'
+      |    || CAST(size AS VARCHAR)
+      |    || ',"blobType":"BlockBlob","url":"' || ep || '/' || name
+      |    || '"},"dataVersion":"1.0","metadataVersion":"1","eventTime":"' || iso
+      |    || '"}' AS event_json
+      |FROM u ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------------------------------- F13 safe parse
+  private def qTryCast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      Fns.safeLong(col("p_size").cast("string")).as("parsed_num"),
+      Fns.safeLong(col("p_brand")).as("parsed_garbage"),
+      Fns.safeLong(concat(col("p_size"), lit("x"))).as("parsed_suffix"))
+      .orderBy("p_partkey")
+
+  private val oTryCast =
+    """SELECT p_partkey,
+      |       TRY_CAST(CAST(p_size AS VARCHAR) AS BIGINT) AS parsed_num,
+      |       TRY_CAST(p_brand AS BIGINT) AS parsed_garbage,
+      |       TRY_CAST(CAST(p_size AS VARCHAR) || 'x' AS BIGINT) AS parsed_suffix
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------- A7 incremental resume
+  /** Incremental HWM resume: re-aggregate only from the stat store's
+    * high watermark (here the mid-point of the log's time range, floored
+    * to its minute bucket) — the batch analogue of the streaming
+    * checkpoint, oracle-checked as a WHERE predicate. */
+  private def qIncrementalHwm(s: SparkSession, dir: String): DataFrame = {
+    val log = eventLog(s, dir)
+    // tiny driver-side scalar parameterizing the resume point, like q11
+    val mm = log.agg(min("sec"), max("sec")).first()
+    val hwm = (mm.getLong(0) + mm.getLong(1)) / 2
+    TimeBucketStats.bucketize(
+        TimeBucketStats.incrementalFrom(log, col("sec"), hwm),
+        col("sec"), col("ok"), col("size"), 60)
+      .orderBy("start_time")
+  }
+
+  private val oIncrementalHwm =
+    s"""WITH log AS ($oEventLog),
+       |hw AS (SELECT ((min(sec) + max(sec)) // 2 // 60) * 60 AS hwm FROM log),
+       |f AS (SELECT log.* FROM log, hw WHERE sec >= hwm)
+       |SELECT (sec // 60) * 60 AS start_time,
+       | CAST(sum(CASE WHEN ok = 1 THEN size ELSE 0 END) AS BIGINT) AS success_size,
+       | CAST(sum(CASE WHEN ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS success_num,
+       | CAST(sum(CASE WHEN ok = 0 THEN size ELSE 0 END) AS BIGINT) AS failed_size,
+       | CAST(sum(CASE WHEN ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS failed_num,
+       | 1 AS time_unit
+       |FROM f GROUP BY 1 ORDER BY start_time""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -871,7 +1061,11 @@ object Queries {
     "q29_verification" -> (qVerification _),
     "q30_budget_cap" -> (qBudgetCap _),
     "q31_lsh_topk" -> (qLshTopK _),
-    "q32_quality_filter" -> (qQualityFilter _)
+    "q32_quality_filter" -> (qQualityFilter _),
+    "q33_csv_inventory" -> (qCsvInventory _),
+    "q34_event_json" -> (qEventJson _),
+    "q35_try_cast" -> (qTryCast _),
+    "q36_incremental_hwm" -> (qIncrementalHwm _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -906,6 +1100,10 @@ object Queries {
     "q29_verification" -> oVerification,
     "q30_budget_cap" -> oBudgetCap,
     "q31_lsh_topk" -> oLshTopK,
-    "q32_quality_filter" -> oQualityFilter
+    "q32_quality_filter" -> oQualityFilter,
+    "q33_csv_inventory" -> oCsvInventory,
+    "q34_event_json" -> oEventJson,
+    "q35_try_cast" -> oTryCast,
+    "q36_incremental_hwm" -> oIncrementalHwm
   )
 }

@@ -73,7 +73,13 @@ object AzureDiffJob {
         when(upper(col("Variance")) === "DELETE", lit("Microsoft.Storage.BlobDeleted"))
           .otherwise(lit("Microsoft.Storage.BlobCreated")))
       .cache()
-    val badLength = typed.filter(col("size").isNull && col("Content-Length").isNotNull).count()
+    // one agg pass for both control-flow scalars (was two counts)
+    val tot = typed.agg(
+      count(lit(1)).as("rows"),
+      coalesce(sum(when(col("size").isNull && col("Content-Length").isNotNull, 1L)
+        .otherwise(0L)), lit(0L)).as("bad")).first()
+    val totalRows = tot.getLong(0)
+    val badLength = tot.getLong(1)
 
     val events = EventJson.withEvent(
       typed, col("Storage-Account"), col("Name"), col("size"),
@@ -89,7 +95,7 @@ object AzureDiffJob {
       else events
     val freshC = fresh.cache()
     val enqueued = freshC.count()
-    val skipped = typed.count() - enqueued
+    val skipped = totalRows - enqueued
 
     if (enqueued > 0) {
       // K1: ≤batchSize events per message, hash-routed across queues
@@ -103,7 +109,7 @@ object AzureDiffJob {
       freshC.select("msg_id")
         .write.mode(SaveMode.Append).parquet(ledgerDir)
     }
-    val r = Result(typed.count(), badLength, enqueued, skipped)
+    val r = Result(totalRows, badLength, enqueued, skipped)
     typed.unpersist(); freshC.unpersist()
     r
   }

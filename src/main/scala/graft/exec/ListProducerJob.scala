@@ -90,6 +90,7 @@ object ListProducerJob {
 
     val nMsg = spark.read.json(queueDir).count()
     inv.unpersist()
+    InventoryReader.unpersist(raw)
     Result(statsRow.getAs[Long]("totalObjects"), corrupt, nMsg)
   }
 }

@@ -23,6 +23,25 @@ object ApproxDedup {
   /** Large 33-bit prime for the affine MinHash permutations. */
   val MinhashPrime = 4294967311L
 
+  /** Guardrail for the pairwise (O(block²)) operators: fail fast when
+    * any block exceeds `maxRows`, instead of silently launching a
+    * quadratic self-join over a hot block. Costs one count-aggregation
+    * pass over the blocking column (cheap — one shuffle of (block, n)).
+    * Callers that trip it should reroute through the scale-safe sibling
+    * ([[jaccardPairsInverted]] / LSH-bucket blocking). */
+  private[ops] def requireBoundedBlocks(df: DataFrame, block: String,
+                                        maxRows: Int, op: String): Unit =
+    if (maxRows > 0) {
+      val hot = df.groupBy(col(block)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxRows)
+        .orderBy(col("n").desc).limit(3).collect()
+      require(hot.isEmpty,
+        s"$op: hot block(s) exceed maxBlockRows=$maxRows — " +
+          hot.map(r => s"'${r.get(0)}'=${r.getLong(1)} rows").mkString(", ") +
+          "; the quadratic pair join would blow up. Use the inverted-index" +
+          " or LSH-bucketed variant for these blocks.")
+    }
+
   /** Distinct character n-gram shingles of `text`. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) >= n,
@@ -63,9 +82,13 @@ object ApproxDedup {
     * [[jaccardPairsInverted]] — over THIS corpus (tiny blocks, hot
     * shingles shared by most documents) the blocked join measured ~1.6x
     * faster than the inverted index, because Σ df(element)² here exceeds
-    * |pairs|·|set|. */
+    * |pairs|·|set|.
+    *
+    * @param maxBlockRows >0 enables the hot-block guardrail
+    *                     ([[requireBoundedBlocks]]); 0 = unguarded. */
   def jaccardPairs(df: DataFrame, id: String, block: String, setCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxBlockRows: Int = 0): DataFrame = {
+    requireBoundedBlocks(df, block, maxBlockRows, "jaccardPairs")
     val a = df.select(col(id).as("id_a"), col(block).as("blk"), col(setCol).as("set_a"))
     val b = df.select(col(id).as("id_b"), col(block).as("blk"), col(setCol).as("set_b"))
     val paired = a.join(b, Seq("blk"))

@@ -92,6 +92,58 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos_sim"))
   }
 
+  /** Lloyd's-iteration k-means training for the IVF index (spherical
+    * form: cosine assignment, per-dimension mean update).
+    *
+    * Distributed shape: each iteration is one broadcast cross-join
+    * (centroids are k·d doubles — driver-resident by nature, exactly as
+    * MLlib holds them) plus one map-side-combined groupBy of k·d cells;
+    * the corpus is scanned once per iteration and never collected.
+    *
+    * Deterministic and engine-portable by construction, so a DuckDB
+    * oracle can replay the training bit-for-bit:
+    *  - init = the k lowest-id vectors (no RNG);
+    *  - assignment uses round(cosine, 6) with centroid-id tie-break;
+    *  - dimension sums run in FIXED-POINT (floor(x·1e6) bigint adds,
+    *    order-independent — double summation would vary with Spark's
+    *    nondeterministic partial-agg merge order);
+    *  - centroids round to 6 dp via Spark's own round() (same rounding
+    *    the oracle's round() reproduces).
+    * Empty clusters keep their previous centroid. */
+  def kmeansFit(corpus: DataFrame, id: String, vecCol: String,
+                k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(id).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids: Array[Array[Double]] =
+      v.orderBy("cid").limit(k).collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until iters) {
+      val centDf = centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "centv")
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("sim").desc, col("centroid_id"))
+      val asg = v.crossJoin(broadcast(centDf))
+        .withColumn("sim", round(cosine(col("cv"), col("centv")), 6))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+      val cells = asg
+        .select(col("centroid_id"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg(sum(floor(col("x") * 1e6).cast("bigint")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("centroid_id"), col("dim"),
+          round(col("sx") / (col("n") * 1e6), 6).as("cval"))
+        .collect()
+      val updated = cells.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+      centroids = Array.tabulate(k)(i => updated.getOrElse(i, centroids(i)))
+    }
+    v.unpersist()
+    centroids
+  }
+
   /** Deterministic random-hyperplane LSH: plane p's component d is
     * `hex32(md5("hp<p>:<d>")) / 2^32 - 0.5` — portable pseudo-randomness
     * (the DuckDB oracle reproduces the planes exactly; no JVM RNG). */
@@ -137,9 +189,14 @@ object Similarity {
 
   /** Embedding near-duplicate pairs within a blocking column (idA < idB,
     * cosine >= threshold). Blocking keeps the self-join from going
-    * quadratic: pass a cluster/LSH-bucket column at scale. */
+    * quadratic: pass a cluster/LSH-bucket column at scale.
+    *
+    * @param maxBlockRows >0 fails fast when a block exceeds this many
+    *        rows (the O(block²) join would blow up — re-block through
+    *        [[lshBucket]] or [[kmeansFit]]+[[ivfAssign]] clusters). */
   def nearDupPairs(df: DataFrame, id: String, block: String, vecCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxBlockRows: Int = 0): DataFrame = {
+    ApproxDedup.requireBoundedBlocks(df, block, maxBlockRows, "nearDupPairs")
     // Pre-normalize per VECTOR so the per-pair work is one dot product.
     // (A nondeterministic barrier column to avoid the filter's pushdown
     // re-substitution measured SLOWER — it splits whole-stage codegen

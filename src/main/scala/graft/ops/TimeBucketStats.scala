@@ -38,10 +38,21 @@ object TimeBucketStats {
 
   /** Full stat table: 1-minute aggregation of the raw log, then 5/60-minute
     * rollups computed FROM the 1-minute rows (A5's three granularities with
-    * a single scan of the input). */
-  def statTable(log: DataFrame, epochSec: Column, success: Column, size: Column): DataFrame = {
-    val oneMin = bucketize(log, epochSec, success, size, 60)
+    * a single scan of the input).
+    *
+    * @param persistOneMin cache the 1-minute rollup (tiny — one row per
+    *        minute). The union references it three times, and without a
+    *        persist each branch re-derives the raw-log aggregation; jobs
+    *        that also re-evaluate the table (e.g. a scalar lookup + a
+    *        join) should pass true. Left off by default so the library
+    *        doesn't own cache lifetimes. */
+  def statTable(log: DataFrame, epochSec: Column, success: Column, size: Column,
+                persistOneMin: Boolean = false): DataFrame = {
+    val oneMin0 = bucketize(log, epochSec, success, size, 60)
       .select("time_unit", "start_time", "success_size", "success_num", "failed_size", "failed_num")
+    val oneMin = if (persistOneMin)
+      oneMin0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else oneMin0
     def rollup(unitSec: Int): DataFrame =
       oneMin.groupBy(Fns.bucketFloor(col("start_time"), unitSec).as("start_time"))
         .agg(

@@ -46,6 +46,24 @@ object Verification {
       .drop("dst_present")
   }
 
+  /** Double-read consistency: the reference re-reads the source
+    * properties and compares AGAIN before declaring a mismatch
+    * (AzureEtagCheck/etag_app.py:125-146 — an object may legitimately
+    * change between the first read and the check). Here both reads are
+    * property snapshots: verdicts that agree pass through; verdicts
+    * that differ flag `flapping` (the retry class — re-verify next
+    * cycle instead of alarming). One extra key-partitioned join. */
+  def doubleCheck(src: DataFrame, dstFirst: DataFrame, dstSecond: DataFrame,
+                  keyCol: String): DataFrame = {
+    val v1 = apply(src, dstFirst, keyCol)
+    val v2 = apply(src, dstSecond, keyCol)
+      .select(col("key"), col("verdict").as("verdict_recheck"))
+    v1.join(v2, Seq("key"))
+      .withColumn("final_verdict",
+        when(col("verdict") === col("verdict_recheck"), col("verdict"))
+          .otherwise(lit("flapping")))
+  }
+
   /** A11 — result-class rollup (etag_app.py:219-222 success/error
     * counters, asserted to cover every input row). */
   def summary(verified: DataFrame): DataFrame =

@@ -46,10 +46,15 @@ object Sinks {
     * `foreachBatch` in the streaming stats job.
     *
     * Write path is swap-by-rename so readers never observe a partial
-    * store; at cluster scale this store is a Delta/Iceberg MERGE, which
-    * shares this exact key-replace contract. */
+    * store, and a crash at ANY point leaves a complete copy on disk:
+    * the live store is renamed aside (`.old`) before the swap is
+    * promoted, never deleted first, and [[recoverStore]] restores from
+    * a leftover `.old`/`.swap` on the next call. At cluster scale this
+    * store is a Delta/Iceberg MERGE, which shares this exact
+    * key-replace contract (and its own transaction log). */
   def upsertParquet(batch: DataFrame, keyCols: Seq[String], storeDir: String): Unit = {
     val spark = batch.sparkSession
+    recoverStore(storeDir)
     val existing =
       if (Files.exists(Paths.get(storeDir, "_SUCCESS")))
         Some(spark.read.parquet(storeDir))
@@ -60,14 +65,35 @@ object Sinks {
           .unionByName(batch)
       case None => batch
     }
-    val tmp = storeDir + ".swap"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val dir = Paths.get(storeDir)
-    // remove old store then promote the swap
-    if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
-    Files.move(Paths.get(tmp), dir)
+    val old = Paths.get(storeDir + ".old")
+    // the merged plan still READS the live store — write the swap first
+    merged.write.mode(SaveMode.Overwrite).parquet(storeDir + ".swap")
+    deleteRecursively(old)
+    if (Files.exists(dir)) Files.move(dir, old)
+    Files.move(Paths.get(storeDir + ".swap"), dir)
+    deleteRecursively(old)
   }
+
+  /** If a previous upsert crashed between "live aside" and "promote
+    * swap", the accumulated store survives as `.old` (or as a complete
+    * `.swap`); restore it instead of silently starting over from one
+    * batch. No-op when the live store is healthy. */
+  def recoverStore(storeDir: String): Unit = {
+    val dir = Paths.get(storeDir)
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      val old = Paths.get(storeDir + ".old")
+      val swap = Paths.get(storeDir + ".swap")
+      if (Files.exists(old.resolve("_SUCCESS"))) {
+        deleteRecursively(dir); Files.move(old, dir)
+      } else if (Files.exists(swap.resolve("_SUCCESS"))) {
+        deleteRecursively(dir); Files.move(swap, dir)
+      }
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
 }

@@ -43,15 +43,23 @@ object InventoryReader {
     * disallows corrupt-record-only queries on raw scans; (c) the
     * pipeline reads this scan twice (stats + fan-out, SURVEY §3.1), and
     * gzip members are non-splittable so re-scanning is the expensive
-    * path. One materialization serves all three. */
-  def readS3Inventory(spark: SparkSession, path: String): DataFrame =
-    spark.read
+    * path. One materialization serves all three. Long-lived sessions
+    * issuing many scans should [[unpersist]] each when done (or pass
+    * cache=false and manage materialization themselves). */
+  def readS3Inventory(spark: SparkSession, path: String,
+                      cache: Boolean = true): DataFrame = {
+    val scan = spark.read
       .schema(s3InventorySchema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("quote", "\"")
       .csv(path)
-      .cache()
+    if (cache) scan.cache() else scan
+  }
+
+  /** Release a cached inventory scan (the reader caches by default —
+    * see [[readS3Inventory]]; nothing else unpersists it). */
+  def unpersist(inv: DataFrame): Unit = { inv.unpersist(); () }
 
   /** Decoded, typed view of the good rows: URL-decoded key (F1), boolean
     * multipart flag (P13), replicated flag, parsed timestamp. */
@@ -88,16 +96,51 @@ object InventoryReader {
       .select(col("f.key").as("key"), col("f.size").as("size"),
         col("f.MD5checksum").as("md5"))
 
+  /** S3 — data-file checksum validation. The reference declares the
+    * hook and stubs it True (libs/s3_utils.py:83-87); the engine
+    * implements it: join the manifest's declared MD5s (from
+    * [[manifestFiles]]) against the computed md5 of each staged shard
+    * (binaryFile scan), emitting a per-file `checksum_status` in
+    * {ok, md5_mismatch, size_mismatch, missing_file}. Mismatched shards
+    * quarantine before the scan, exactly like corrupt rows (P4). The
+    * digest runs where the bytes are — one narrow distributed scan, no
+    * driver I/O; gzip shards are whole-file reads anyway (non-splittable).
+    * @param stagingRoot local/staged directory (or glob) of the shards
+    *        named by the manifest keys */
+  def validateChecksums(spark: SparkSession, manifest: DataFrame,
+                        stagingRoot: String): DataFrame = {
+    val actual = spark.read.format("binaryFile").load(stagingRoot)
+      .select(
+        substring_index(col("path"), "/", -1).as("file_name"),
+        md5(col("content")).as("actual_md5"),
+        col("length").as("actual_size"))
+    manifest
+      .withColumn("file_name", substring_index(col("key"), "/", -1))
+      .join(actual, Seq("file_name"), "left")
+      .withColumn("checksum_status",
+        when(col("actual_md5").isNull, lit("missing_file"))
+          .when(col("size").isNotNull && col("size") =!= col("actual_size"),
+            lit("size_mismatch"))
+          .when(lower(col("md5")) =!= col("actual_md5"), lit("md5_mismatch"))
+          .otherwise(lit("ok")))
+  }
+
+  /** The shards that passed [[validateChecksums]] — scan only these. */
+  def validShards(validated: DataFrame): DataFrame =
+    validated.filter(col("checksum_status") === "ok")
+
   /** S2 (JSON variant) — the same inventory schema as newline-delimited
     * JSON (docs/Schema.txt:37-38 declares fileFormat "json"). Corrupt
     * lines quarantine identically; cached for the same reasons. */
-  def readS3InventoryJson(spark: SparkSession, path: String): DataFrame =
-    spark.read
+  def readS3InventoryJson(spark: SparkSession, path: String,
+                          cache: Boolean = true): DataFrame = {
+    val scan = spark.read
       .schema(s3InventorySchema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .cache()
+    if (cache) scan.cache() else scan
+  }
 
   /** §4 ingest normalization: gzip CSV shards are non-splittable, so
     * scan once and rewrite as parquet partitioned by bucket — every

@@ -38,10 +38,7 @@ object TaskPipeline {
     StructField("dst_bucket", StringType)))
 
   def readQueue(spark: SparkSession, queueDir: String): DataFrame =
-    spark.readStream
-      .schema(messageSchema)
-      .option("maxFilesPerTrigger", 16) // backpressure (T6)
-      .json(queueDir)
+    graft.connectors.FileQueue(queueDir, messageSchema).readStream(spark)
 
   /** Unpack message bodies into per-object actions (§2.10(5)). */
   def unpack(messages: DataFrame): DataFrame =
@@ -67,16 +64,27 @@ object TaskPipeline {
     * after the whole body is processed, TaskExecutor.py:51-98). */
   def runExecutor(spark: SparkSession, queueDir: String, logDir: String,
                   dlqDir: String, checkpoint: String,
+                  failWhen: org.apache.spark.sql.Column): StreamingQuery =
+    runExecutor(spark,
+      graft.connectors.FileQueue(queueDir, messageSchema), logDir,
+      graft.connectors.FileQueue(dlqDir, messageSchema), checkpoint, failWhen)
+
+  /** Connector-trait variant: the queue and the DLQ are any
+    * [[graft.connectors.QueueSource]] — a production build passes the
+    * SQS implementations; everything below is connector-agnostic. */
+  def runExecutor(spark: SparkSession, queue: graft.connectors.QueueSource,
+                  logDir: String, dlq: graft.connectors.QueueSource,
+                  checkpoint: String,
                   failWhen: org.apache.spark.sql.Column): StreamingQuery = {
-    val actions = unpack(readQueue(spark, queueDir))
+    val actions = unpack(queue.readStream(spark))
     executeCopy(actions, failWhen).writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // Every write below is guarded on non-emptiness: an unguarded
-        // write into queueDir would append EMPTY part files, which the
-        // file source sees as new offsets — an infinite self-feeding
-        // loop of empty micro-batches.
+        // Writes are guarded on non-emptiness (QueueSource.enqueue
+        // guards internally): an unguarded write into the queue dir
+        // would append EMPTY part files, which the file source sees as
+        // new offsets — an infinite self-feeding loop of empty batches.
         val b = batch.cache()
         // every ATTEMPT is logged with its 0/1 status — the monitor
         // table records failures too (docs/Schema.txt:55-59), which is
@@ -84,9 +92,7 @@ object TaskPipeline {
         if (!b.isEmpty)
           b.write.mode(SaveMode.Append).parquet(logDir)
         val failed = b.filter(col("ok") === 0)
-        val dead = failed.filter(col("receive_count") >= 3)
-        if (!dead.isEmpty)
-          dead.write.mode(SaveMode.Append).json(dlqDir)
+        dlq.enqueue(failed.filter(col("receive_count") >= 3))
         // re-enqueue sub-3-receive failures, one message per (queue,batch)
         val retry = failed.filter(col("receive_count") < 3)
           .groupBy(col("queue"), col("batch_id"), col("receive_count"))
@@ -94,8 +100,7 @@ object TaskPipeline {
             struct(col("Bucket"), col("Key"), col("Size"), col("ETag"),
               col("dst_bucket")))).as("body"))
           .withColumn("receive_count", col("receive_count") + 1)
-        if (!retry.isEmpty)
-          retry.coalesce(1).write.mode(SaveMode.Append).json(queueDir)
+        queue.enqueue(retry)
         b.unpersist()
         ()
       }
@@ -108,6 +113,13 @@ object TaskPipeline {
     * documented semantic upgrade over the reference's flush-on-overflow
     * bucket loop (SURVEY T5). */
   def runStatsJob(spark: SparkSession, logDir: String, statDir: String,
+                  checkpoint: String): StreamingQuery =
+    runStatsJob(spark, logDir, graft.connectors.ParquetStore(statDir), checkpoint)
+
+  /** Connector-trait variant: the stat table is any
+    * [[graft.connectors.KeyedStore]] (DynamoDB/Delta in production). */
+  def runStatsJob(spark: SparkSession, logDir: String,
+                  store: graft.connectors.KeyedStore,
                   checkpoint: String): StreamingQuery = {
     val log = spark.readStream
       .schema(StructType(Seq(
@@ -133,7 +145,7 @@ object TaskPipeline {
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sinks.Sinks.upsertParquet(batch, Seq("start_time"), statDir)
+        store.upsert(batch, Seq("start_time"))
       }
       .start()
   }
@@ -153,17 +165,29 @@ object TaskPipeline {
 
   /** Batch-incremental variant of the stats job (A7): aggregate only
     * rows at/after the stat store's high watermark, then upsert.
-    * The HWM predicate prunes date-partitioned logs at the scan. */
-  def statsIncrement(spark: SparkSession, logDir: String, statDir: String): Unit = {
-    val hwm: Long =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(statDir, "_SUCCESS")))
-        spark.read.parquet(statDir).agg(max("start_time")).first().getLong(0)
-      else Long.MinValue
+    * The HWM predicate prunes date-partitioned logs at the scan.
+    *
+    * `start_time` is the minute-floored bucket start, so `>= hwm` keeps
+    * the whole latest bucket and the upsert recomputes it in full; rows
+    * arriving BELOW the HWM bucket are dropped by design (the batch
+    * analogue of the streaming watermark — route older reprocessing
+    * through a full rebuild instead). */
+  def statsIncrement(spark: SparkSession, logDir: String, statDir: String): Unit =
+    statsIncrement(spark, logDir, graft.connectors.ParquetStore(statDir))
+
+  def statsIncrement(spark: SparkSession, logDir: String,
+                     store: graft.connectors.KeyedStore): Unit = {
+    // max() is null when the store exists but is empty (e.g. created by
+    // an initial empty micro-batch upsert) — treat as "no watermark"
+    val hwm: Long = store.read(spark)
+      .flatMap(cur => Option(cur.agg(max("start_time")).first().get(0)))
+      .map(_.asInstanceOf[Long])
+      .getOrElse(Long.MinValue)
     val log = spark.read.parquet(logDir)
       .filter(col("replication_time") >= lit(hwm))
     val agg = TimeBucketStats.bucketize(
         log, col("replication_time"), col("ok"), col("Size"), 60)
       .drop("time_unit")
-    graft.sinks.Sinks.upsertParquet(agg, Seq("start_time"), statDir)
+    store.upsert(agg, Seq("start_time"))
   }
 }

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.connectors.{FileQueue, ParquetStore}
+import graft.ops.{ApproxDedup, BudgetCap, Similarity, Verification}
+import graft.sinks.Sinks
+import graft.sources.InventoryReader
+
+/** Round-3 additions: crash-safe store swap, connector traits, block
+  * guardrails, budget-cap sharding, k-means training, checksum
+  * validation, double-read verification. */
+class StoreRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def store(root: String) = s"$root/stat"
+
+  test("upsertParquet survives a crash between live-aside and promote") {
+    val root = tmpDir("recov")
+    val s = store(root)
+    Sinks.upsertParquet(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), Seq("k"), s)
+    // simulate a crash AFTER the live store was renamed aside and
+    // BEFORE the swap promoted: accumulated data sits in .old only
+    Files.move(Paths.get(s), Paths.get(s + ".old"))
+    Sinks.upsertParquet(Seq((3L, 30L)).toDF("k", "v"), Seq("k"), s)
+    val rows = spark.read.parquet(s).orderBy("k").as[(Long, Long)].collect()
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("upsertParquet recovers from a complete leftover swap") {
+    val root = tmpDir("recov2")
+    val s = store(root)
+    Sinks.upsertParquet(Seq((1L, 10L)).toDF("k", "v"), Seq("k"), s)
+    // simulate: swap fully written, crash before any rename
+    Files.move(Paths.get(s), Paths.get(s + ".swap"))
+    Sinks.recoverStore(s)
+    assert(spark.read.parquet(s).count() == 1)
+  }
+
+  test("ParquetStore trait: read-after-upsert round trip + empty before first") {
+    val root = tmpDir("pstore")
+    val st = ParquetStore(s"$root/s")
+    assert(st.read(spark).isEmpty)
+    st.upsert(Seq((1L, 1L)).toDF("k", "v"), Seq("k"))
+    st.upsert(Seq((1L, 99L), (2L, 2L)).toDF("k", "v"), Seq("k"))
+    val rows = st.read(spark).get.orderBy("k").as[(Long, Long)].collect()
+    assert(rows.toSeq == Seq((1L, 99L), (2L, 2L))) // key-replace contract
+  }
+
+  test("FileQueue: empty enqueue writes nothing; round trip preserves rows") {
+    val root = tmpDir("fq")
+    val q = FileQueue(s"$root/q", streaming.TaskPipeline.messageSchema)
+    q.enqueue(Seq((1, 1L, 1, "[]")).toDF("queue", "batch_id", "receive_count", "body")
+      .filter(lit(false)))
+    assert(!Files.exists(Paths.get(s"$root/q")) ||
+      Files.list(Paths.get(s"$root/q")).count() == 0)
+    q.enqueue(Seq((1, 1L, 1, "[]")).toDF("queue", "batch_id", "receive_count", "body"))
+    assert(spark.read.schema(streaming.TaskPipeline.messageSchema)
+      .json(s"$root/q").count() == 1)
+  }
+}
+
+class GuardrailSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "hot", Seq("a b", "b c")), (2L, "hot", Seq("a b", "c d")),
+    (3L, "hot", Seq("x y")), (4L, "cold", Seq("p q"))
+  ).toDF("id", "blk", "grams")
+
+  test("jaccardPairs guardrail trips on a hot block") {
+    val e = intercept[IllegalArgumentException] {
+      ApproxDedup.jaccardPairs(docs, "id", "blk", "grams", 0.0, maxBlockRows = 2)
+    }
+    assert(e.getMessage.contains("hot"))
+    // unguarded / within-bound calls still run
+    assert(ApproxDedup.jaccardPairs(docs, "id", "blk", "grams", 0.0).count() == 3)
+    assert(ApproxDedup.jaccardPairs(docs, "id", "blk", "grams", 0.0,
+      maxBlockRows = 3).count() == 3)
+  }
+
+  test("nearDupPairs guardrail trips on a hot block") {
+    val emb = Seq(
+      (1L, "hot", Seq(1.0, 0.0)), (2L, "hot", Seq(1.0, 0.1)),
+      (3L, "hot", Seq(0.0, 1.0))
+    ).toDF("id", "blk", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(emb, "id", "blk", "v", 0.5, maxBlockRows = 2)
+    }
+    assert(Similarity.nearDupPairs(emb, "id", "blk", "v", 0.5).count() == 1)
+  }
+}
+
+class BudgetCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perShard equals the global cap applied within each shard") {
+    val rows = (1L to 100L).map(i => (i, i % 4, 10L)).toDF("id", "shard", "size")
+    val sharded = BudgetCap.perShard(rows, col("shard"), col("size"), 70L,
+      Seq(col("id")))
+    // every shard has 25 rows of size 10 -> cap 70 keeps 7 per shard
+    val perShardCounts = sharded.groupBy("shard").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perShardCounts.values.toSet == Set(7L))
+    // and the kept rows are the FIRST 7 of each shard in id order
+    val keptIds = sharded.select("id").as[Long].collect().toSet
+    val expected = (1L to 100L).groupBy(_ % 4).values.flatMap(_.sorted.take(7)).toSet
+    assert(keptIds == expected)
+  }
+}
+
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeansFit separates two obvious clusters and preserves dims") {
+    // ids 0,2,4 hug (1,0); ids 1,3,5 hug (0,1); init = vectors 0 and 1
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.9, 0.1)), (3L, Seq(0.1, 0.9)),
+      (4L, Seq(0.8, 0.05)), (5L, Seq(0.05, 0.8))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 2, iters = 2)
+    assert(cents.length == 2 && cents.forall(_.length == 2))
+    // centroid 0 = mean of {(1,0),(.9,.1),(.8,.05)} = (0.9, 0.05)
+    assert(math.abs(cents(0)(0) - 0.9) < 1e-6 && math.abs(cents(0)(1) - 0.05) < 1e-6)
+    assert(math.abs(cents(1)(0) - 0.05) < 1e-6 && math.abs(cents(1)(1) - 0.9) < 1e-6)
+  }
+
+  test("kmeansFit keeps the previous centroid for an empty cluster") {
+    // all vectors identical -> everything assigns to centroid 0 (tie-break
+    // by centroid id); centroid 1 must survive untouched
+    val emb = (0L to 3L).map(i => (i, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 2, iters = 2)
+    assert(cents(0).toSeq == Seq(1.0, 0.0))
+    assert(cents(1).toSeq == Seq(1.0, 0.0)) // init value retained
+  }
+}
+
+class ChecksumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("validateChecksums flags ok / md5_mismatch / size_mismatch / missing_file") {
+    val root = tmpDir("cksum")
+    Files.writeString(Paths.get(root, "a.csv"), "hello")
+    Files.writeString(Paths.get(root, "b.csv"), "world")
+    Files.writeString(Paths.get(root, "d.csv"), "data!")
+    val manifest = Seq(
+      ("inv/2024/a.csv", 5L, hex("hello")),          // ok
+      ("inv/2024/b.csv", 5L, hex("not-world")),      // md5_mismatch
+      ("inv/2024/c.csv", 3L, hex("gone")),           // missing_file
+      ("inv/2024/d.csv", 99L, hex("data!"))          // size_mismatch
+    ).toDF("key", "size", "md5")
+    val v = InventoryReader.validateChecksums(spark, manifest, root)
+    val status = v.select("key", "checksum_status").as[(String, String)]
+      .collect().toMap
+    assert(status("inv/2024/a.csv") == "ok")
+    assert(status("inv/2024/b.csv") == "md5_mismatch")
+    assert(status("inv/2024/c.csv") == "missing_file")
+    assert(status("inv/2024/d.csv") == "size_mismatch")
+    assert(InventoryReader.validShards(v).count() == 1)
+  }
+}
+
+class DoubleCheckSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("doubleCheck passes stable verdicts and flags flapping ones") {
+    val src = Seq(
+      ("k1", 10L, "t1", "e1"), ("k2", 20L, "t2", "e2"), ("k3", 30L, "t3", "e3")
+    ).toDF("key", "size", "mtime", "etag")
+    // first read: k2 etag differs; second read: k2 healed, k3 now differs
+    val dst1 = Seq(
+      ("k1", 10L, "t1", "e1"), ("k2", 20L, "t2", "BAD"), ("k3", 30L, "t3", "e3")
+    ).toDF("key", "size", "mtime", "etag")
+    val dst2 = Seq(
+      ("k1", 10L, "t1", "e1"), ("k2", 20L, "t2", "e2"), ("k3", 30L, "t3", "BAD")
+    ).toDF("key", "size", "mtime", "etag")
+    val out = Verification.doubleCheck(src, dst1, dst2, "key")
+      .select("key", "final_verdict").as[(String, String)].collect().toMap
+    assert(out("k1") == "ok")
+    assert(out("k2") == "flapping")
+    assert(out("k3") == "flapping")
+  }
+}
