@@ -432,8 +432,23 @@ object Queries {
       |ORDER BY queue, l_orderkey, l_linenumber, size""".stripMargin
 
   // ------------------------------------------------------------- J4 / A11
-  /** Source/dest verification over simulated stores: dest drops keys
-    * divisible by 11, corrupts the etag for %13==0, the size for %17==0. */
+  /** Shared CTEs for the verification family: dest drops keys divisible
+    * by 11, corrupts the etag for %13==0, the size for %17==0. */
+  private val oVerificationCtes =
+    """inv AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(floor(o_totalprice) AS BIGINT) AS size,
+      |         o_orderdate AS mtime,
+      |         md5(concat_ws('|', o_orderkey, o_orderstatus)) AS etag
+      |  FROM orders),
+      |dst AS (
+      |  SELECT key,
+      |         CASE WHEN key % 17 = 0 THEN size + 1 ELSE size END AS size,
+      |         mtime,
+      |         CASE WHEN key % 13 = 0 THEN 'corrupted' ELSE etag END AS etag
+      |  FROM inv WHERE key % 11 <> 0)""".stripMargin
+
+  /** Source/dest verification over simulated stores. */
   private def qVerification(s: SparkSession, dir: String): DataFrame = {
     val inv = t(s, dir, "orders").select(
       col("o_orderkey").as("key"),
@@ -448,28 +463,20 @@ object Queries {
     Verification(inv, dst, "key").orderBy("key")
   }
 
-  private val oVerification =
-    """WITH inv AS (
-      |  SELECT o_orderkey AS key,
-      |         CAST(floor(o_totalprice) AS BIGINT) AS size,
-      |         o_orderdate AS mtime,
-      |         md5(concat_ws('|', o_orderkey, o_orderstatus)) AS etag
-      |  FROM orders),
-      |dst AS (
-      |  SELECT key,
-      |         CASE WHEN key % 17 = 0 THEN size + 1 ELSE size END AS size,
-      |         mtime,
-      |         CASE WHEN key % 13 = 0 THEN 'corrupted' ELSE etag END AS etag
-      |  FROM inv WHERE key % 11 <> 0)
-      |SELECT i.key AS key, i.size AS src_size, i.mtime AS src_mtime, i.etag AS src_etag,
+  private val oVerdictBody =
+    """SELECT i.key AS key, i.size AS src_size, i.mtime AS src_mtime, i.etag AS src_etag,
       |       d.size AS dst_size, d.mtime AS dst_mtime, d.etag AS dst_etag,
       |       CASE WHEN d.key IS NULL THEN 'missing_dest'
       |            WHEN i.size IS DISTINCT FROM d.size THEN 'size_mismatch'
       |            WHEN i.mtime IS DISTINCT FROM d.mtime THEN 'mtime_mismatch'
       |            WHEN i.etag IS DISTINCT FROM d.etag THEN 'etag_mismatch'
       |            ELSE 'ok' END AS verdict
-      |FROM inv i LEFT JOIN dst d ON i.key = d.key
-      |ORDER BY key""".stripMargin
+      |FROM inv i LEFT JOIN dst d ON i.key = d.key""".stripMargin
+
+  private val oVerification =
+    s"""WITH $oVerificationCtes
+       |$oVerdictBody
+       |ORDER BY key""".stripMargin
 
   // ===================================================================
   // LLM-training-data pipeline operators (dedup / similarity / text /
@@ -811,8 +818,10 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  private val oLshTopK =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Shared CTEs reproducing [[Similarity.hyperplanes]]+[[Similarity.lshBucket]]
+    * in DuckDB: deterministic md5-derived planes, sign-bit bucket string. */
+  private val oLshSigCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |hp AS (
        |  SELECT p.p,
        |         list((('0x' || substr(md5('hp' || p.p || ':' || d.d), 1, 8))::BIGINT
@@ -824,7 +833,10 @@ object Queries {
        |  SELECT e.vec_id, e.v,
        |         string_agg(CASE WHEN list_dot_product(e.v, hp.hv) > 0
        |                         THEN '1' ELSE '0' END, '' ORDER BY hp.p) AS bucket
-       |  FROM e CROSS JOIN hp GROUP BY e.vec_id, e.v),
+       |  FROM e CROSS JOIN hp GROUP BY e.vec_id, e.v)""".stripMargin
+
+  private val oLshTopK =
+    s"""WITH $oLshSigCtes,
        |s AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
        |         round(${cosSql("q.v", "c.v")}, 6) AS cos_sim
@@ -1028,6 +1040,347 @@ object Queries {
        | 1 AS time_unit
        |FROM f GROUP BY 1 ORDER BY start_time""".stripMargin
 
+  // ===================================================================
+  // Third wave: sources/sinks/streaming/exec surfaces under the oracle.
+  // ===================================================================
+
+  private def fixPath(kind: String, dir: String): String =
+    s"/tmp/graft_fixtures/${kind}_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def deleteTree(p: String): Unit = {
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.walk(path).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
+
+  // ------------------------------------------------ S1/S4 manifest files
+  /** Manifest scan + files[] explode: a nested manifest.json document is
+    * rendered from the nation table (driver-side — a manifest IS a
+    * single document, K5 semantics), scanned back with the multi-line
+    * JSON reader, and exploded to one row per inventory shard. */
+  private def qManifestFiles(s: SparkSession, dir: String): DataFrame = {
+    val path = fixPath("manifest", dir) + ".json"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val items = t(s, dir, "nation").select(
+        concat(lit("inventory/"), col("n_name"), lit(".csv.gz")).as("key"),
+        (col("n_nationkey").cast("bigint") * 1000 + 17).as("size"),
+        md5(col("n_name")).as("MD5checksum"))
+        .orderBy("key")
+        .select(to_json(struct(col("key"), col("size"), col("MD5checksum"))).as("j"))
+        .collect().map(_.getString(0))
+      val doc = s"""{"sourceBucket":"src","destinationBucket":"dst",""" +
+        s""""fileFormat":"CSV","files":[${items.mkString(",")}]}"""
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path).getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), doc)
+    }
+    graft.sources.InventoryReader.manifestFiles(
+        graft.sources.InventoryReader.readManifest(s, path))
+      .orderBy("key")
+  }
+
+  private val oManifestFiles =
+    """SELECT 'inventory/' || n_name || '.csv.gz' AS key,
+      |       CAST(n_nationkey AS BIGINT) * 1000 + 17 AS size,
+      |       md5(n_name) AS md5
+      |FROM nation ORDER BY key""".stripMargin
+
+  // -------------------------------------------------- A11 verdict summary
+  private def qVerdictSummary(s: SparkSession, dir: String): DataFrame =
+    Verification.summary(qVerification(s, dir)).orderBy("verdict")
+
+  private val oVerdictSummary =
+    s"""WITH $oVerificationCtes,
+       |v AS ($oVerdictBody)
+       |SELECT verdict, CAST(count(*) AS BIGINT) AS n
+       |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
+
+  // ------------------------------------------------- J5/K4 upsert store
+  /** Keyed upsert store round trip: two overlapping batches land in the
+    * swap-by-rename parquet store; overlapping keys must show ONLY the
+    * second batch's rows (the reference's update_item PUT semantics). */
+  private def qUpsertStore(s: SparkSession, dir: String): DataFrame = {
+    val store = fixPath("upsert", dir) + "/store"
+    deleteTree(fixPath("upsert", dir)) // fresh store per run — upserts are stateful
+    val sup = t(s, dir, "supplier")
+    val b1 = sup.filter(col("s_suppkey") % 3 =!= 0).select(
+      col("s_suppkey").as("k"),
+      floor(col("s_acctbal")).cast("bigint").as("v"), lit(1).as("gen"))
+    val b2 = sup.filter(col("s_suppkey") % 2 === 0).select(
+      col("s_suppkey").as("k"),
+      (floor(col("s_acctbal")).cast("bigint") + 7).as("v"), lit(2).as("gen"))
+    graft.sinks.Sinks.upsertParquet(b1, Seq("k"), store)
+    graft.sinks.Sinks.upsertParquet(b2, Seq("k"), store)
+    s.read.parquet(store).orderBy("k")
+  }
+
+  private val oUpsertStore =
+    """WITH b1 AS (SELECT s_suppkey AS k, CAST(floor(s_acctbal) AS BIGINT) AS v,
+      |                   1 AS gen
+      |            FROM supplier WHERE s_suppkey % 3 <> 0),
+      |b2 AS (SELECT s_suppkey AS k, CAST(floor(s_acctbal) AS BIGINT) + 7 AS v,
+      |              2 AS gen
+      |       FROM supplier WHERE s_suppkey % 2 = 0)
+      |SELECT * FROM b2
+      |UNION ALL SELECT * FROM b1 WHERE k NOT IN (SELECT k FROM b2)
+      |ORDER BY k""".stripMargin
+
+  // -------------------------------------------------- K6 partitioned CSV
+  /** Result CSVs partitioned by outcome, then read back: the write path
+    * (partition dirs, headers) and the read path must round-trip the
+    * table exactly. */
+  private def qPartitionedCsv(s: SparkSession, dir: String): DataFrame = {
+    val out = fixPath("pcsv", dir)
+    val res = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      floor(col("o_totalprice")).cast("bigint").as("size"),
+      col("o_orderstatus").as("result"))
+    graft.sinks.Sinks.writePartitionedCsv(res, out, "result")
+    s.read.option("header", "true").csv(out)
+      .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+        col("size").cast("bigint").as("size"), col("result"))
+      .orderBy("o_orderkey")
+  }
+
+  private val oPartitionedCsv =
+    """SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS size,
+      |       o_orderstatus AS result
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------ K5 JSON doc roundtrip
+  /** job.json write-back + readback verify: the single-document JSON
+    * sink, read back through the multi-line reader — the oracle is the
+    * same histogram the document carries. */
+  private def qJsonDoc(s: SparkSession, dir: String): DataFrame = {
+    val path = fixPath("jobdoc", dir) + "/job.json"
+    val doc = qSizeHistogram(s, dir)
+    graft.sinks.Sinks.writeJsonDoc(doc, path)
+    val back = graft.sinks.Sinks.readJsonDoc(s, path)
+    back.select(doc.columns.map(c => col(c).cast("bigint").as(c)): _*)
+  }
+
+  // oracle: identical to q01 — the document must round-trip exactly
+  private def oJsonDoc: String = oSizeHistogram
+
+  // ---------------------------------------------------- skew-salted join
+  /** Salted skew join — the oracle is the PLAIN join: salting must be
+    * invisible in the result at any salt count. */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    Salting.saltedJoin(li, ord, "l_orderkey", salts = 8,
+        saltSource = Seq(col("l_linenumber"), col("l_partkey")))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+  }
+
+  private val oSaltedJoin =
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, o.o_orderstatus
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
+
+  // ------------------------------------------- J4 double-read consistency
+  /** Double-read verification: two destination snapshots disagree on
+    * different keys; agreeing verdicts pass, disagreeing ones flag
+    * `flapping` (the reference's re-read-before-alarm, etag_app.py:125-146). */
+  private def qDoubleCheck(s: SparkSession, dir: String): DataFrame = {
+    val inv = t(s, dir, "orders").select(
+      col("o_orderkey").as("key"),
+      floor(col("o_totalprice")).cast("bigint").as("size"),
+      col("o_orderdate").as("mtime"),
+      md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"))).as("etag"))
+    val dst1 = inv.withColumn("etag",
+      when(col("key") % 13 === 0, lit("corrupt1")).otherwise(col("etag")))
+    val dst2 = inv.withColumn("etag",
+      when(col("key") % 19 === 0, lit("corrupt2")).otherwise(col("etag")))
+    Verification.doubleCheck(inv, dst1, dst2, "key")
+      .select(col("key"), col("verdict"), col("verdict_recheck"),
+        col("final_verdict"))
+      .orderBy("key")
+  }
+
+  private val oDoubleCheck =
+    """SELECT o_orderkey AS key,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN 'etag_mismatch' ELSE 'ok' END AS verdict,
+      |  CASE WHEN o_orderkey % 19 = 0 THEN 'etag_mismatch' ELSE 'ok' END
+      |    AS verdict_recheck,
+      |  CASE WHEN (o_orderkey % 13 = 0) = (o_orderkey % 19 = 0)
+      |       THEN CASE WHEN o_orderkey % 13 = 0 THEN 'etag_mismatch' ELSE 'ok' END
+      |       ELSE 'flapping' END AS final_verdict
+      |FROM orders ORDER BY key""".stripMargin
+
+  // -------------------------------- S10/T1-T3/K1/K2/K10 streaming executor
+  /** The full streaming executor under the oracle: objects packed into
+    * queue messages (K1), consumed by the unbounded executor (T1),
+    * deterministic failures (Size%5==0) retried twice and dead-lettered
+    * on the third receive (T3/K2) — the monitor log must contain exactly
+    * one ok row per healthy object and receive_count 1..3 for each
+    * failing one. */
+  private def qStreamExecutor(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q44").toString
+    val objs = t(s, dir, "supplier").select(
+      lit("b").as("Bucket"),
+      concat(lit("k"), col("s_suppkey")).as("Key"),
+      floor(abs(col("s_acctbal"))).cast("bigint").as("Size"),
+      md5(col("s_name")).as("ETag"))
+      .withColumn("dst_bucket", lit("dst"))
+    val msgs = TaskFanout.pack(objs, abs(hash(col("Key")).cast("bigint")),
+      Seq(col("Key")), queues = 4, batchSize = 10)
+    val queue = graft.connectors.FileQueue(s"$root/q",
+      graft.streaming.TaskPipeline.messageSchema)
+    queue.enqueue(msgs)
+    val sq = graft.streaming.TaskPipeline.runExecutor(s, queue, s"$root/log",
+      graft.connectors.FileQueue(s"$root/dlq",
+        graft.streaming.TaskPipeline.messageSchema),
+      s"$root/ckpt", pmod(col("Size"), lit(5)) === 0)
+    sq.processAllAvailable()
+    sq.stop()
+    s.read.parquet(s"$root/log")
+      .select(col("Key").as("key"), col("Size").as("size"),
+        col("ok"), col("receive_count"))
+      .orderBy("key", "receive_count")
+  }
+
+  private val oStreamExecutor =
+    """WITH o AS (
+      |  SELECT 'k' || CAST(s_suppkey AS VARCHAR) AS key,
+      |         CAST(floor(abs(s_acctbal)) AS BIGINT) AS size
+      |  FROM supplier)
+      |SELECT key, size, 1 AS ok, 1 AS receive_count FROM o WHERE size % 5 <> 0
+      |UNION ALL
+      |SELECT key, size, 0 AS ok, CAST(rc AS INT) AS receive_count
+      |FROM o CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS rc) r
+      |WHERE size % 5 = 0
+      |ORDER BY key, receive_count""".stripMargin
+
+  // ----------------------------------------- U2 typed histogram aggregate
+  /** The TypedImperativeAggregate form of the histogram (exclusive band
+    * counts prefix-summed in finish) must equal the sum(when) expression
+    * form — same oracle as q01. */
+  private def qTypedHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sizes = t(s, dir, "lineitem")
+      .select(floor(col("l_extendedprice")).cast("bigint").as("v")).as[Long]
+    // typed select: a TypedColumn aggregator only composes through the
+    // Dataset API; the resulting Dataset[Hist] flattens to its fields
+    val h = sizes.select(SizeHistogram.aggregator(histThresholds).toColumn).toDF()
+    val bucketCols = histThresholds.zipWithIndex.map { case (th, i) =>
+      col("buckets")(i).as(s"sub_$th")
+    }
+    h.select(col("total_objects") +: col("total_size") +: bucketCols: _*)
+  }
+
+  private def oTypedHistogram: String = oSizeHistogram
+
+  // ------------------------------------ LSH-bucket-blocked near-dup pairs
+  /** The scale path for embedding near-dup mining: block by the
+    * hyperplane-LSH bucket instead of a semantic label — expected block
+    * size N/2^bits regardless of label skew (VERDICT r2 flagged q26's
+    * label blocking as coarse; this is the re-blocked form). */
+  private def qLshNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val planes = Similarity.hyperplanes(LshBits, EmbDims)
+    val bucketed = emb.withColumn("bucket",
+      Similarity.lshBucket(col("embedding").cast("array<double>"), planes))
+    Similarity.nearDupPairs(bucketed, "vec_id", "bucket", "embedding", 0.2)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val oLshNearDup =
+    s"""WITH $oLshSigCtes,
+       |nv AS (
+       |  SELECT vec_id, bucket,
+       |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+       |  FROM sig)
+       |SELECT a.bucket AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(list_dot_product(a.u, b.u), 6) AS cos_sim
+       |FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.u, b.u), 6) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------- BPE-granularity tokens
+  /** Token counting at BPE pre-tokenizer granularity (letter runs,
+    * single digits, single punctuation marks) — the count scale corpus
+    * budgeting uses; whitespace counts (q19) underestimate it. */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      size(array_distinct(TextAnalysis.bpeTokens(col("text"))))
+        .cast("bigint").as("n_distinct_bpe"))
+      .orderBy("doc_id")
+
+  private val oBpeTokens =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS n_bpe_tokens,
+       |  len(list_distinct(regexp_extract_all(text, '${TextAnalysis.BpePattern}')))
+       |    AS n_distinct_bpe
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- winnowing fingerprints
+  private val WinK = 5 // char k-gram length
+  private val WinW = 8 // winnowing window
+
+  /** Winnowing (rolling-hash min-sampled) fingerprints over the head of
+    * each document, exploded to (doc_id, fingerprint) — the local-match
+    * index MOSS-style dedup builds. Head-capped at 256 chars: the demo
+    * verifies the selection math; production fingerprints full text. */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(TextAnalysis.winnow(substring(col("text"), 1, 256), WinK, WinW))
+          .as("fp"))
+      .orderBy("doc_id", "fp")
+
+  private val oWinnow =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    [('0x' || substr(md5(substr(t, i, $WinK)), 1, 8))::BIGINT
+       |     for i in generate_series(1, greatest(length(t) - ${WinK - 1}, 1))] AS hs
+       |  FROM (SELECT doc_id, substr(text, 1, 256) AS t FROM documents)),
+       |w AS (
+       |  SELECT doc_id,
+       |    list_distinct([list_min(hs[j:j+${WinW - 1}])
+       |     for j in generate_series(1, greatest(len(hs) - ${WinW - 1}, 1))]) AS fps
+       |  FROM g)
+       |SELECT doc_id, unnest(fps) AS fp FROM w
+       |ORDER BY doc_id, fp""".stripMargin
+
+  // ------------------------------------------- T4/T8 streaming stats job
+  /** The watermarked streaming stats job end to end: a monitor log lands
+    * as parquet, the streaming job aggregates 1-minute tumbling windows
+    * and upserts the stat store through the KeyedStore trait — the store
+    * must equal a plain GROUP BY over the log. */
+  private def qStreamStats(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q49").toString
+    t(s, dir, "supplier").select(
+      concat(lit("k"), col("s_suppkey")).as("Key"),
+      floor(abs(col("s_acctbal"))).cast("bigint").as("Size"),
+      when(col("s_suppkey") % 7 === 0, 0).otherwise(1).as("ok"),
+      (lit(1700000000L) + col("s_suppkey").cast("bigint") * 10)
+        .as("replication_time"))
+      .write.parquet(s"$root/log")
+    val q = graft.streaming.TaskPipeline.runStatsJob(
+      s, s"$root/log", s"$root/stat", s"$root/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$root/stat").orderBy("start_time")
+  }
+
+  private val oStreamStats =
+    """WITH log AS (
+      |  SELECT CAST(floor(abs(s_acctbal)) AS BIGINT) AS size,
+      |         CASE WHEN s_suppkey % 7 = 0 THEN 0 ELSE 1 END AS ok,
+      |         1700000000 + s_suppkey * 10 AS rt
+      |  FROM supplier)
+      |SELECT (rt // 60) * 60 AS start_time,
+      |  CAST(sum(CASE WHEN ok = 1 THEN size ELSE 0 END) AS BIGINT) AS success_size,
+      |  CAST(sum(CASE WHEN ok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS success_num,
+      |  CAST(sum(CASE WHEN ok = 0 THEN size ELSE 0 END) AS BIGINT) AS failed_size,
+      |  CAST(sum(CASE WHEN ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS failed_num
+      |FROM log GROUP BY 1 ORDER BY start_time""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -1065,7 +1418,20 @@ object Queries {
     "q33_csv_inventory" -> (qCsvInventory _),
     "q34_event_json" -> (qEventJson _),
     "q35_try_cast" -> (qTryCast _),
-    "q36_incremental_hwm" -> (qIncrementalHwm _)
+    "q36_incremental_hwm" -> (qIncrementalHwm _),
+    "q37_manifest_files" -> (qManifestFiles _),
+    "q38_verdict_summary" -> (qVerdictSummary _),
+    "q39_upsert_store" -> (qUpsertStore _),
+    "q40_partitioned_csv" -> (qPartitionedCsv _),
+    "q41_json_doc" -> (qJsonDoc _),
+    "q42_salted_join" -> (qSaltedJoin _),
+    "q43_double_check" -> (qDoubleCheck _),
+    "q44_stream_executor" -> (qStreamExecutor _),
+    "q45_typed_histogram" -> (qTypedHistogram _),
+    "q46_lsh_near_dup" -> (qLshNearDup _),
+    "q47_bpe_tokens" -> (qBpeTokens _),
+    "q48_winnow_fingerprints" -> (qWinnow _),
+    "q49_stream_stats" -> (qStreamStats _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1104,6 +1470,19 @@ object Queries {
     "q33_csv_inventory" -> oCsvInventory,
     "q34_event_json" -> oEventJson,
     "q35_try_cast" -> oTryCast,
-    "q36_incremental_hwm" -> oIncrementalHwm
+    "q36_incremental_hwm" -> oIncrementalHwm,
+    "q37_manifest_files" -> oManifestFiles,
+    "q38_verdict_summary" -> oVerdictSummary,
+    "q39_upsert_store" -> oUpsertStore,
+    "q40_partitioned_csv" -> oPartitionedCsv,
+    "q41_json_doc" -> oJsonDoc,
+    "q42_salted_join" -> oSaltedJoin,
+    "q43_double_check" -> oDoubleCheck,
+    "q44_stream_executor" -> oStreamExecutor,
+    "q45_typed_histogram" -> oTypedHistogram,
+    "q46_lsh_near_dup" -> oLshNearDup,
+    "q47_bpe_tokens" -> oBpeTokens,
+    "q48_winnow_fingerprints" -> oWinnow,
+    "q49_stream_stats" -> oStreamStats
   )
 }

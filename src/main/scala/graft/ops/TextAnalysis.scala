@@ -75,4 +75,40 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** BPE-granularity tokenization (GPT-2-style pre-tokenizer shape,
+    * without the learned merges): letter runs, single digits and single
+    * punctuation marks each count as one token. The merge table is a
+    * model artifact; this regex reproduces the pre-merge token COUNT
+    * scale that corpus budgeting actually needs. */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast("bigint")
+
+  /** Winnowing document fingerprints (the standard public scheme behind
+    * MOSS: Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every char
+    * k-gram IN ORDER, slide a window of `w` consecutive hashes, keep
+    * each window's minimum, dedupe. Guarantees any match of length
+    * ≥ w+k-1 shares a fingerprint — the rolling-hash selection that
+    * keeps per-doc fingerprint count ~n/w instead of n.
+    *
+    * All arrays are let-bound (singleton-array transform) so the k-gram
+    * hash array computes once per document, not once per window. Hashes
+    * are md5-derived 32-bit ([[ApproxDedup.hash32]]) — engine-portable,
+    * no JVM hashCode. */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => ApproxDedup.hash32(text.substr(i, lit(k))))
+    element_at(
+      transform(array(grams), hs =>
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+          j => array_min(slice(hs, j, lit(w)))))),
+      1)
+  }
 }

@@ -138,6 +138,35 @@ class KmeansSpec extends SparkSpec {
   }
 }
 
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.TextAnalysis
+
+  test("bpeTokenCount: letter runs, digits and punctuation count separately") {
+    val df = Seq((1L, "Hello, world! 42 tokens-here")).toDF("id", "text")
+    // Hello , world ! 4 2 tokens - here  => 9 tokens
+    val n = df.select(TextAnalysis.bpeTokenCount(col("text"))).as[Long].first()
+    assert(n == 9)
+  }
+
+  test("winnow: docs sharing a long substring share a fingerprint") {
+    val shared = "the quick brown fox jumps over it"
+    val df = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"XXXXXXX $shared YYY"),
+      (3L, "completely different content with no overlap at all ok")
+    ).toDF("id", "text")
+    val fps = df.select(col("id"),
+        explode(TextAnalysis.winnow(col("text"), 5, 8)).as("fp"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    // winnowing guarantee: a shared run of length >= w+k-1 (12) chars
+    // must produce at least one common fingerprint
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // and selection thins the fingerprint set well below one-per-gram
+    assert(fps(1L).size < ("AAAA " + shared + " BBBB").length - 4)
+  }
+}
+
 class ChecksumSpec extends SparkSpec {
   import spark.implicits._
 

@@ -62,6 +62,14 @@ object VerifyProbe {
     streaming.TaskPipeline.statsIncrement(spark, s"$root/log", store)
     println(s"stat rows=${store.read(spark).get.count()}")
 
+    // 6) new text operators over the real documents table
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nBpe = docs.select(ops.TextAnalysis.bpeTokenCount(col("text"))).first().getLong(0)
+    val nFps = docs.select(explode(
+      ops.TextAnalysis.winnow(substring(col("text"), 1, 256), 5, 8))).count()
+    println(s"bpe first-doc tokens=$nBpe, winnow fingerprints=$nFps")
+    assert(nBpe > 0 && nFps > 0)
+
     println("PROBE_OK")
     spark.stop()
   }
