@@ -46,7 +46,12 @@ object Bench {
     // +-50% from JIT/GC/page-cache noise on this shared box, and min-of-2
     // still let a 6x co-tenant outlier through in round 2 — the spread
     // (max-min) is reported so noise is distinguishable from regression
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q22,q25 restricts the suite (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

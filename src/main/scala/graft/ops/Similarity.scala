@@ -59,18 +59,27 @@ object Similarity {
 
   /** IVF assignment: each corpus vector is assigned to its nearest
     * centroid (argmax cosine, centroid-id tie-break). Centroids are
-    * broadcast; one narrow pass over the corpus. */
+    * broadcast; one narrow pass over the corpus.
+    *
+    * Argmax is a `max_by` AGGREGATION, not a window: the k-replicated
+    * rows collapse map-side (broadcast join preserves partitioning, so
+    * each vector's k candidate rows combine before any shuffle) —
+    * a window would shuffle all k·N rows to rank them. Tie-break:
+    * max over (sim, -centroid_id) = smallest centroid id. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 cid: String, centId: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(cid).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val cent = centroids.select(col(centId).as("centroid_id"),
       col(vecCol).cast("array<double>").as("centv"))
-    val w = Window.partitionBy(col("corpus_id"))
-      .orderBy(col("cent_sim").desc, col("centroid_id"))
     c.crossJoin(broadcast(cent))
       .withColumn("cent_sim", round(cosine(col("cv"), col("centv")), 6))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
+      .groupBy(col("corpus_id"))
+      .agg(
+        max_by(col("centroid_id"),
+          struct(col("cent_sim"),
+            (-col("centroid_id").cast("bigint")).as("nid"))).as("centroid_id"),
+        // every replicated row carries the same vector — any value works
+        first(col("cv")).as("cv"))
       .select(col("corpus_id"), col("centroid_id"), col("cv"))
   }
 
@@ -120,13 +129,8 @@ object Similarity {
       v.orderBy("cid").limit(k).collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 0 until iters) {
       val centDf = centroids.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "centv")
-      val w = Window.partitionBy(col("cid"))
-        .orderBy(col("sim").desc, col("centroid_id"))
-      val asg = v.crossJoin(broadcast(centDf))
-        .withColumn("sim", round(cosine(col("cv"), col("centv")), 6))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "cv")
+      val asg = ivfAssign(v, centDf, "cid", "centroid_id", "cv")
       val cells = asg
         .select(col("centroid_id"), posexplode(col("cv")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
