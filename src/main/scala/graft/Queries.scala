@@ -220,7 +220,10 @@ object Queries {
        |$oStatMinuteBody ORDER BY start_time""".stripMargin
 
   private def qStatTable(s: SparkSession, dir: String): DataFrame =
-    TimeBucketStats.statTable(eventLog(s, dir), col("sec"), col("ok"), col("size"))
+    // persistOneMin: the union's three branches otherwise re-derive the
+    // raw-log aggregation (6 exchanges -> 2 + cached rollup)
+    TimeBucketStats.statTable(eventLog(s, dir), col("sec"), col("ok"), col("size"),
+        persistOneMin = true)
       .orderBy("time_unit", "start_time")
 
   private val oStatTable =
@@ -259,7 +262,8 @@ object Queries {
 
   private def qProgress(s: SparkSession, dir: String): DataFrame =
     TimeBucketStats.progress(
-      TimeBucketStats.statTable(eventLog(s, dir), col("sec"), col("ok"), col("size")))
+      TimeBucketStats.statTable(eventLog(s, dir), col("sec"), col("ok"), col("size"),
+        persistOneMin = true))
 
   private val oProgress =
     s"""WITH log AS ($oEventLog),
@@ -1381,6 +1385,29 @@ object Queries {
       |  CAST(sum(CASE WHEN ok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS failed_num
       |FROM log GROUP BY 1 ORDER BY start_time""".stripMargin
 
+  // --------------------------------------------- multimodal frame sample
+  /** Frame sampling over binary payloads: every 3rd fake frame with its
+    * deterministic per-frame feature — the fan-out plumbing a video
+    * pipeline uses (the decode stub is the documented replacement
+    * point, [[graft.ops.Multimodal.sampleFrames]]). */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(s,
+        Multimodal.withPayload(t(s, dir, "documents"), "text"),
+        "doc_id", "payload", stride = 3)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+
+  private val oFrameSample =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(0, length(text) // 1000, 3)) AS i
+      |  FROM documents)
+      |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |       md5(text || ':' || CAST(i AS VARCHAR)) AS frame_md5,
+      |       ('0x' || substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 2))::BIGINT
+      |         AS brightness
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -1431,7 +1458,8 @@ object Queries {
     "q46_lsh_near_dup" -> (qLshNearDup _),
     "q47_bpe_tokens" -> (qBpeTokens _),
     "q48_winnow_fingerprints" -> (qWinnow _),
-    "q49_stream_stats" -> (qStreamStats _)
+    "q49_stream_stats" -> (qStreamStats _),
+    "q50_frame_sample" -> (qFrameSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1483,6 +1511,7 @@ object Queries {
     "q46_lsh_near_dup" -> oLshNearDup,
     "q47_bpe_tokens" -> oBpeTokens,
     "q48_winnow_fingerprints" -> oWinnow,
-    "q49_stream_stats" -> oStreamStats
+    "q49_stream_stats" -> oStreamStats,
+    "q50_frame_sample" -> oFrameSample
   )
 }

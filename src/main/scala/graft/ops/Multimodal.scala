@@ -49,6 +49,43 @@ object Multimodal {
   def withPayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", col(textCol).cast("binary"))
 
+  case class Frame(
+      doc_id: Long,
+      frame_idx: Long,
+      frame_md5: String,
+      brightness: Long)
+
+  /** Frame sampling: explode each media payload into every `stride`-th
+    * frame with a per-frame feature — the video-curation primitive
+    * (sample frames → embed/score → filter). Partition-wise like
+    * [[decodeMeta]]; the STUBBED parts a real deployment replaces are
+    * (a) the frame count/extraction (here `n_bytes/1000+1` fake frames,
+    * frame content = md5(payload ++ ":idx")) with an ffmpeg seek-decode
+    * and (b) the brightness feature (here the hash's first byte) with
+    * the real pixel statistic. The fan-out shape — one input row to
+    * n_frames/stride typed rows, streamed, never materializing a whole
+    * video's frames — is exactly the production pattern. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   idCol: String, payloadCol: String, stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    require(stride > 0)
+    media
+      .select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5") // per-partition codec init
+        rows.flatMap { r =>
+          val nFrames = r.payload.length.toLong / 1000 + 1
+          (0L until nFrames by stride.toLong).iterator.map { i =>
+            md.reset()
+            val h = md.digest(r.payload ++ s":$i".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            Frame(r.doc_id, i, h, java.lang.Long.parseLong(h.substring(0, 2), 16))
+          }
+        }
+      }
+  }
+
   /** Decode metadata partition-wise: one codec (here: MessageDigest)
     * instance per partition, streaming iteration — the executor never
     * materializes more than one payload row at a time beyond Spark's

@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.functions._
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8)
+    val sf = "/root/testdata/sf0.01"
+    val interesting = Seq("q01_size_histogram", "q05_dedup_anti", "q08_stat_table",
+      "q22_minhash_lsh", "q25_ivf_topk", "q29_verification", "q30_budget_cap",
+      "q42_salted_join", "q46_lsh_near_dup")
+    for (name <- interesting) {
+      val df = Queries.all(name)(spark, sf)
+      df.count() // let AQE finalize
+      val plan = df.queryExecution.executedPlan.toString
+      def count(p: String) = p.r.findAllIn(plan).size
+      println(f"PLAN $name%-22s exchanges=${count("Exchange")}%2d bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} window=${count("WindowExec|RunningWindowFunction|Window ")} wsc=${count("WholeStageCodegen")}%2d pushed=${count("PushedFilters: \\[[^\\]]")} noPart=${count("No Partition Defined")}")
+    }
+    spark.stop()
+  }
+}

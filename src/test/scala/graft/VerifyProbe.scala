@@ -70,6 +70,12 @@ object VerifyProbe {
     println(s"bpe first-doc tokens=$nBpe, winnow fingerprints=$nFps")
     assert(nBpe > 0 && nFps > 0)
 
+    // 7) multimodal frame sampling fan-out
+    val frames = ops.Multimodal.sampleFrames(spark,
+      ops.Multimodal.withPayload(docs, "text"), "doc_id", "payload", 2).count()
+    println(s"sampled frames=$frames")
+    assert(frames >= docs.count())
+
     println("PROBE_OK")
     spark.stop()
   }
