@@ -100,6 +100,36 @@ object MultipartEtag {
   def etagFromPartDigests(partNum: Column, partMd5Hex: Column): Column =
     etagFromPartDigests(partNum, partMd5Hex, lit(false))
 
+  /** S13 — ranged-read part explosion: one row per partSize byte range
+    * of a scanned blob, carrying the part's md5 (codegen'd builtin over
+    * a binary substr — the reference downloads each range sequentially,
+    * etag_app.py:104-114; here the slice runs where the bytes are).
+    * Feeds [[etagFromPartDigests]]/[[etagFromPartDigestsNative]]. */
+  def explodeParts(blob: org.apache.spark.sql.DataFrame, pathCol: String,
+                   contentCol: String, partSize: Int): org.apache.spark.sql.DataFrame = {
+    require(partSize > 0)
+    blob.select(col(pathCol).as("path"), col(contentCol).as("content"))
+      .withColumn("n_parts",
+        greatest(ceil(length(col("content")).cast("double") / partSize).cast("int"),
+          lit(1)))
+      .withColumn("part_num", explode(sequence(lit(1), col("n_parts"))))
+      .withColumn("part_md5",
+        md5(col("content").substr((col("part_num") - 1) * partSize + 1, lit(partSize))))
+      .select("path", "n_parts", "part_num", "part_md5")
+  }
+
+  /** Recompute full multipart ETags of staged files end to end:
+    * binaryFile scan → ranged part rows → digest-of-digests aggregation
+    * (the etag_app verification path as one distributed plan; no
+    * executor ever holds more than one object's bytes, and the group
+    * state is 16·N digest bytes). Requires [[graft.plans.GraftExtensions]]. */
+  def etagOfFiles(spark: org.apache.spark.sql.SparkSession, glob: String,
+                  partSize: Int): org.apache.spark.sql.DataFrame =
+    explodeParts(spark.read.format("binaryFile").load(glob), "path", "content", partSize)
+      .groupBy("path")
+      .agg(etagFromPartDigestsNative(col("part_num"), col("part_md5"),
+        col("n_parts") > 1).as("etag"))
+
   /** Native-expression variant of [[etagFromPartDigests]]: the finisher
     * is the codegen'd `multipart_etag_finish` Catalyst expression
     * ([[graft.plans.MultipartEtagFinish]]) instead of a Scala UDF — no

@@ -196,6 +196,26 @@ class ChecksumSpec extends SparkSpec {
   }
 }
 
+class RangedEtagSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("etagOfFiles recomputes single- and multi-part etags from ranged reads") {
+    val root = tmpDir("retag")
+    val small = Array.tabulate[Byte](100)(_.toByte)          // 1 part
+    val big = Array.tabulate[Byte](2500)(i => (i % 251).toByte) // 3 parts @1000
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "small.bin"), small)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "big.bin"), big)
+    val out = graft.functions.MultipartEtag.etagOfFiles(spark, root, partSize = 1000)
+      .select(element_at(split(col("path"), "/"), -1).as("f"), col("etag"))
+      .as[(String, String)].collect().toMap
+    assert(out("small.bin") ==
+      graft.functions.MultipartEtag.etagOf(small, 1000, isMultipart = false))
+    assert(out("big.bin") ==
+      graft.functions.MultipartEtag.etagOf(big, 1000, isMultipart = true))
+    assert(out("big.bin").endsWith("-3"))
+  }
+}
+
 class DoubleCheckSpec extends SparkSpec {
   import spark.implicits._
 

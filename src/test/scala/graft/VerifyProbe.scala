@@ -76,6 +76,11 @@ object VerifyProbe {
     println(s"sampled frames=$frames")
     assert(frames >= docs.count())
 
+    // 8) ranged-read multipart etag recompute over the checksum fixture
+    val etags = functions.MultipartEtag.etagOfFiles(spark, s"$root/shards", 512)
+    println(s"ranged etags=${etags.count()}")
+    assert(etags.filter(col("etag").isNotNull).count() == 1)
+
     println("PROBE_OK")
     spark.stop()
   }
