@@ -677,23 +677,28 @@ object Queries {
     ApproxDedup.simhash(t(s, dir, "documents"), "doc_id", col("text"), ShBits)
       .orderBy("doc_id")
 
-  private val oSimhash = {
+  /** Shared CTEs producing `shsig` (doc_id, simhash) — DuckDB replay of
+    * [[ApproxDedup.simhash]]. */
+  private val oSimhashSigCtes = {
     val sums = (0 until ShBits).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs_$b"
     ).mkString(",\n  ")
     val fp = (0 until ShBits).map(b =>
       s"CASE WHEN bs_$b > 0 THEN ${1L << b} ELSE 0 END"
     ).mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
        |  FROM documents),
        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
-       |b AS (SELECT doc_id,
+       |bsums AS (SELECT doc_id,
        |  $sums
-       |  FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
-       |FROM b ORDER BY doc_id""".stripMargin
+       |  FROM h GROUP BY doc_id),
+       |shsig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM bsums)""".stripMargin
   }
+
+  private val oSimhash =
+    s"""WITH $oSimhashSigCtes
+       |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- cosine top-k (brute)
   private val oCosine =
@@ -1408,6 +1413,77 @@ object Queries {
       |         AS brightness
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ----------------------------------------- T2 stateful effectively-once
+  /** Streaming effectively-once dedup: an at-least-once input stream
+    * with duplicated message ids passes through the
+    * flatMapGroupsWithState ledger; the output must be exactly the
+    * distinct message set. Duplicate rows carry identical payloads so
+    * which sighting wins is immaterial. */
+  private def qStatefulDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_q51").toString
+    t(s, dir, "supplier")
+      .select((col("s_suppkey") % 30).cast("bigint").as("k"))
+      .withColumn("msg_id", md5(concat(lit("m"), col("k"))))
+      .withColumn("v", col("k") * 7)
+      .write.parquet(s"$root/in")
+    val in = s.readStream
+      .schema("k BIGINT, msg_id STRING, v BIGINT")
+      .parquet(s"$root/in")
+      .as[(Long, String, Long)]
+    val deduped = graft.streaming.StatefulDedup
+      .firstSighting(in, (r: (Long, String, Long)) => r._2)
+      .toDF("k", "msg_id", "v")
+    val q = deduped.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          b.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$root/out")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$root/out").orderBy("k")
+  }
+
+  private val oStatefulDedup =
+    """SELECT DISTINCT CAST(s_suppkey % 30 AS BIGINT) AS k,
+      |       md5('m' || CAST(s_suppkey % 30 AS VARCHAR)) AS msg_id,
+      |       CAST((s_suppkey % 30) * 7 AS BIGINT) AS v
+      |FROM supplier ORDER BY k""".stripMargin
+
+  // --------------------------------------------- SimHash band-bucket pairs
+  /** SimHash near-dup PAIRS (q23 computes fingerprints; this mines the
+    * pairs): 4 bands of 15 bits bucket the candidates, exact hamming
+    * verifies — the shuffle touches only collision groups. */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = ApproxDedup.simhash(t(s, dir, "documents"), "doc_id", col("text"), ShBits)
+    ApproxDedup.simhashPairs(sig, "doc_id", "simhash", ShBits,
+        bands = 4, maxHamming = 20)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val oSimhashPairs = {
+    val bandSel = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, (simhash >> ${b * 15}) & 32767 AS bucket FROM shsig"
+    ).mkString("\n  UNION ALL\n  ")
+    s"""WITH $oSimhashSigCtes,
+       |bk AS (
+       |  $bandSel),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+       |FROM cand
+       |JOIN shsig sa ON sa.doc_id = cand.id_a
+       |JOIN shsig sb ON sb.doc_id = cand.id_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 20
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -1459,7 +1535,9 @@ object Queries {
     "q47_bpe_tokens" -> (qBpeTokens _),
     "q48_winnow_fingerprints" -> (qWinnow _),
     "q49_stream_stats" -> (qStreamStats _),
-    "q50_frame_sample" -> (qFrameSample _)
+    "q50_frame_sample" -> (qFrameSample _),
+    "q51_stateful_dedup" -> (qStatefulDedup _),
+    "q52_simhash_pairs" -> (qSimhashPairs _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1512,6 +1590,8 @@ object Queries {
     "q47_bpe_tokens" -> oBpeTokens,
     "q48_winnow_fingerprints" -> oWinnow,
     "q49_stream_stats" -> oStreamStats,
-    "q50_frame_sample" -> oFrameSample
+    "q50_frame_sample" -> oFrameSample,
+    "q51_stateful_dedup" -> oStatefulDedup,
+    "q52_simhash_pairs" -> oSimhashPairs
   )
 }

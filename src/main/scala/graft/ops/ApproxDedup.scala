@@ -223,4 +223,32 @@ object ApproxDedup {
 
   /** Hamming distance between two SimHash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via band-bucketing: split the b-bit
+    * fingerprint into `bands` equal slices; documents sharing ANY slice
+    * value are candidates (pigeonhole: hamming < bands guarantees a
+    * shared band), then candidates verify with exact hamming ≤
+    * `maxHamming`. Same scale shape as MinHash-LSH: the join shuffles
+    * only on (band, bucket) collision groups, never all pairs. */
+  def simhashPairs(sig: DataFrame, id: String, simhashCol: String, bits: Int,
+                   bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > 0 && bits % bands == 0, "bits must divide evenly into bands")
+    val sliceBits = bits / bands
+    val banded = (0 until bands).map { b =>
+      sig.select(col(id), lit(b).as("band"),
+        shiftright(col(simhashCol), b * sliceBits)
+          .bitwiseAND((1L << sliceBits) - 1).as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col(id).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(id).as("id_b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sig.select(col(id).as("id_a"), col(simhashCol).as("sh_a")), Seq("id_a"))
+      .join(sig.select(col(id).as("id_b"), col(simhashCol).as("sh_b")), Seq("id_b"))
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }
