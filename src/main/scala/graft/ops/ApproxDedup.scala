@@ -107,15 +107,31 @@ object ApproxDedup {
     * |pairs|·|set| — the shape that survives large blocks with
     * selective elements. Pairs with an empty intersection never
     * materialize (their Jaccard is 0). */
+  /** @param maxDf >0 drops "stop shingles" present in more than maxDf
+    *        documents of a block BEFORE the self-join. A shingle with
+    *        document frequency f contributes f² join rows — one hot
+    *        shingle ("the and") can dominate Σdf²; capping df bounds the
+    *        worst case at blocks·maxDf² per shingle. Dropping a shingle
+    *        can only LOWER a pair's counted intersection, so pairs kept
+    *        at `threshold` may undercount slightly — the standard
+    *        recall-for-cost trade; 0 disables (exact). */
   def jaccardPairsInverted(df: DataFrame, id: String, block: String, setCol: String,
-                           threshold: Double): DataFrame = {
+                           threshold: Double, maxDf: Int = 0): DataFrame = {
     // The exploded posting list feeds BOTH sides of the self-join;
     // persisting it stops Spark from re-deriving the (expensive)
     // shingle expressions once per branch — measured 5x on this corpus.
-    val ex = df
+    val ex0 = df
       .select(col(id), col(block).as("blk"), col(setCol).as("s"))
       .withColumn("sz", size(col("s")))
       .select(col(id), col("blk"), col("sz"), explode(col("s")).as("sh"))
+    val exFiltered =
+      if (maxDf > 0) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("blk", "sh")
+        ex0.withColumn("_df", count(lit(1)).over(w))
+          .filter(col("_df") <= maxDf)
+          .drop("_df")
+      } else ex0
+    val ex = exFiltered
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ex.select(col(id).as("id_a"), col("blk"), col("sz").as("sz_a"), col("sh"))
     val b = ex.select(col(id).as("id_b"), col("blk"), col("sz").as("sz_b"), col("sh"))
@@ -230,9 +246,14 @@ object ApproxDedup {
     * shared band), then candidates verify with exact hamming ≤
     * `maxHamming`. Same scale shape as MinHash-LSH: the join shuffles
     * only on (band, bucket) collision groups, never all pairs. */
-  def simhashPairs(sig: DataFrame, id: String, simhashCol: String, bits: Int,
+  def simhashPairs(sig0: DataFrame, id: String, simhashCol: String, bits: Int,
                    bands: Int, maxHamming: Int): DataFrame = {
     require(bands > 0 && bits % bands == 0, "bits must divide evenly into bands")
+    // The signature table feeds `bands` union branches plus two verify
+    // joins — without a persist each branch re-derives the (expensive)
+    // explode + bit-sum aggregation behind it. Tiny: (id, 1 long)/doc.
+    val sig = sig0.select(col(id), col(simhashCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sliceBits = bits / bands
     val banded = (0 until bands).map { b =>
       sig.select(col(id), lit(b).as("band"),

@@ -93,6 +93,27 @@ class GuardrailSpec extends SparkSpec {
   }
 }
 
+class StopShingleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jaccardPairsInverted maxDf drops hot shingles but keeps selective ones") {
+    // "hot" appears in all 4 docs; each doc also has a selective shingle
+    // shared with exactly one partner
+    val docs = Seq(
+      (1L, "b", Seq("hot", "ab")), (2L, "b", Seq("hot", "ab")),
+      (3L, "b", Seq("hot", "cd")), (4L, "b", Seq("hot", "cd"))
+    ).toDF("id", "blk", "grams")
+    val exact = graft.ops.ApproxDedup
+      .jaccardPairsInverted(docs, "id", "blk", "grams", 0.0)
+    assert(exact.count() == 6) // all pairs intersect via "hot"
+    val capped = graft.ops.ApproxDedup
+      .jaccardPairsInverted(docs, "id", "blk", "grams", 0.0, maxDf = 2)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // with "hot" dropped only the selective partners remain
+    assert(capped == Set((1L, 2L), (3L, 4L)))
+  }
+}
+
 class BudgetCapSpec extends SparkSpec {
   import spark.implicits._
 

@@ -81,6 +81,15 @@ object VerifyProbe {
     println(s"ranged etags=${etags.count()}")
     assert(etags.filter(col("etag").isNotNull).count() == 1)
 
+    // 9) SimHash pair mining with the banding path + capped inverted index
+    val sig = ops.ApproxDedup.simhash(docs, "doc_id", col("text"), 60)
+    val pairs = ops.ApproxDedup.simhashPairs(sig, "doc_id", "simhash", 60, 4, 20).count()
+    val inv = ops.ApproxDedup.jaccardPairsInverted(
+      docs.withColumn("blk", col("lang"))
+        .withColumn("bg", ops.ApproxDedup.wordNgrams(col("text"), 2)),
+      "doc_id", "blk", "bg", 0.3, maxDf = 50).count()
+    println(s"simhash pairs=$pairs, capped inverted pairs=$inv")
+
     println("PROBE_OK")
     spark.stop()
   }
