@@ -1484,6 +1484,86 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------------- K8 chunk-split writer
+  /** Chunk-split writer: cap records per output file and prove both the
+    * split (file count = ceil(rows/cap) on a single partition) and the
+    * lossless round trip. */
+  private def qChunkSplit(s: SparkSession, dir: String): DataFrame = {
+    val out = fixPath("chunks", dir)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), floor(col("o_totalprice")).cast("bigint").as("size"))
+      .coalesce(1) // deterministic split: one partition, cap per file
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("maxRecordsPerFile", 5000)
+      .parquet(out)
+    // project the file name first — a nondeterministic expression can't
+    // sit directly inside an aggregate argument
+    val back = s.read.parquet(out).withColumn("f", input_file_name())
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      sum("size").cast("bigint").as("total_size"),
+      countDistinct(col("f")).cast("bigint").as("n_files"))
+  }
+
+  private val oChunkSplit =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total_size,
+      |       CAST(ceil(count(*) / 5000.0) AS BIGINT) AS n_files
+      |FROM orders""".stripMargin
+
+  // ------------------------------------- module-I pipeline (J1-J3/F9/K7)
+  /** The whole AzureDiff pipeline under one oracle: snapshot diff →
+    * variance dispatch → event render → ledger dedup → fan-out, run
+    * TWICE — the second run must enqueue nothing (K7/J2 idempotency,
+    * asserted in-query), and the ledger must contain exactly the
+    * deterministic message ids of the expected diff set. */
+  private def qAzureDiffPipeline(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q54").toString
+    val base = t(s, dir, "supplier").select(
+      col("s_name").as("Name"),
+      md5(concat(lit("e"), col("s_suppkey"))).as("Etag"),
+      lit("2024-01-01T00:00:00Z").as("Last-Modified"),
+      floor(abs(col("s_acctbal"))).cast("bigint").cast("string").as("Content-Length"),
+      lit("2023-01-01T00:00:00Z").as("Creation-Time"),
+      col("s_suppkey").as("k"))
+    val old = base.filter(col("k") % 7 =!= 0).drop("k")
+    val curr = base.filter(col("k") % 5 =!= 0)
+      .withColumn("Etag", when(col("k") % 3 === 0,
+        md5(concat(lit("x"), col("k")))).otherwise(col("Etag")))
+      .drop("k")
+    val diff = exec.AzureDiffJob.diffSnapshots(old, curr, "sa0")
+    exec.AzureDiffJob.runWithDiff(s, diff, s"$root/ledger", s"$root/q")
+    val again = exec.AzureDiffJob.runWithDiff(s, diff, s"$root/ledger", s"$root/q")
+    require(again.enqueued == 0,
+      s"re-run must dedup everything via the ledger, enqueued ${again.enqueued}")
+    s.read.parquet(s"$root/ledger").orderBy("msg_id")
+  }
+
+  private val oAzureDiffPipeline =
+    """WITH base AS (
+      |  SELECT s_name AS name, md5('e' || CAST(s_suppkey AS VARCHAR)) AS etag,
+      |         s_suppkey AS k
+      |  FROM supplier),
+      |old AS (SELECT name, etag FROM base WHERE k % 7 <> 0),
+      |curr AS (
+      |  SELECT name,
+      |         CASE WHEN k % 3 = 0 THEN md5('x' || CAST(k AS VARCHAR))
+      |              ELSE etag END AS etag
+      |  FROM base WHERE k % 5 <> 0),
+      |d AS (
+      |  SELECT coalesce(o.name, c.name) AS name,
+      |         CASE WHEN o.name IS NULL THEN 'New'
+      |              WHEN c.name IS NULL THEN 'Delete'
+      |              WHEN o.etag IS DISTINCT FROM c.etag THEN 'Update'
+      |              ELSE 'Same' END AS variance
+      |  FROM old o FULL OUTER JOIN curr c ON o.name = c.name)
+      |SELECT md5('https://sa0.blob.core.windows.net' || name ||
+      |         CASE WHEN upper(variance) = 'DELETE'
+      |              THEN 'Microsoft.Storage.BlobDeleted'
+      |              ELSE 'Microsoft.Storage.BlobCreated' END) AS msg_id
+      |FROM d WHERE variance <> 'Same'
+      |ORDER BY msg_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -1537,7 +1617,9 @@ object Queries {
     "q49_stream_stats" -> (qStreamStats _),
     "q50_frame_sample" -> (qFrameSample _),
     "q51_stateful_dedup" -> (qStatefulDedup _),
-    "q52_simhash_pairs" -> (qSimhashPairs _)
+    "q52_simhash_pairs" -> (qSimhashPairs _),
+    "q53_chunk_split" -> (qChunkSplit _),
+    "q54_azure_diff_pipeline" -> (qAzureDiffPipeline _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1592,6 +1674,8 @@ object Queries {
     "q49_stream_stats" -> oStreamStats,
     "q50_frame_sample" -> oFrameSample,
     "q51_stateful_dedup" -> oStatefulDedup,
-    "q52_simhash_pairs" -> oSimhashPairs
+    "q52_simhash_pairs" -> oSimhashPairs,
+    "q53_chunk_split" -> oChunkSplit,
+    "q54_azure_diff_pipeline" -> oAzureDiffPipeline
   )
 }

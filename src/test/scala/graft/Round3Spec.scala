@@ -149,6 +149,15 @@ class KmeansSpec extends SparkSpec {
     assert(math.abs(cents(1)(0) - 0.05) < 1e-6 && math.abs(cents(1)(1) - 0.9) < 1e-6)
   }
 
+  test("kmeansFit is partitioning-invariant (fixed-point sums)") {
+    // double summation would give different results under different
+    // partition merge orders; the fixed-point bigint path must not
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.kmeansFit(emb.repartition(1), "vec_id", "embedding", 4, 2)
+    val b = Similarity.kmeansFit(emb.repartition(13), "vec_id", "embedding", 4, 2)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("kmeansFit keeps the previous centroid for an empty cluster") {
     // all vectors identical -> everything assigns to centroid 0 (tie-break
     // by centroid id); centroid 1 must survive untouched
