@@ -907,9 +907,12 @@ object Queries {
     * keys plus-decoded. The oracle reconstructs the expected good rows
     * straight from the parquet table — any mis-parse, mis-quarantine or
     * mis-decode breaks the hash. */
-  private def qCsvInventory(s: SparkSession, dir: String): DataFrame = {
-    val fixtureDir = "/tmp/graft_fixtures/csvinv_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Writes (once per sf dir) a gzip-CSV inventory fixture rendered from
+    * the part table — every field double-quoted, '+'-encoded keys,
+    * corrupt rows injected for p_partkey%97==0 via a non-numeric Size.
+    * Returns the fixture dir. */
+  private def csvInventoryFixture(s: SparkSession, dir: String): String = {
+    val fixtureDir = fixPath("csvinv", dir)
     val pk = col("p_partkey")
     def q(c: Column): Column = concat(lit("\""), c, lit("\""))
     // deterministic content — write once per sf dir, reuse after
@@ -933,7 +936,11 @@ object Queries {
         .option("compression", "gzip")
         .text(fixtureDir)
     }
-    val inv = graft.sources.InventoryReader.readS3Inventory(s, fixtureDir)
+    fixtureDir
+  }
+
+  private def qCsvInventory(s: SparkSession, dir: String): DataFrame = {
+    val inv = graft.sources.InventoryReader.readS3Inventory(s, csvInventoryFixture(s, dir))
     graft.sources.InventoryReader.goodRows(inv)
       .select(
         col("Key").as("key"),
@@ -1564,6 +1571,37 @@ object Queries {
       |FROM d WHERE variance <> 'Same'
       |ORDER BY msg_id""".stripMargin
 
+  // ------------------------------------ module-0 pipeline (S1/S2/A1/K1/K5)
+  /** The ListProducer pipeline end to end: manifest + gzip-CSV inventory
+    * → corrupt-row quarantine → cumulative histogram → task fan-out →
+    * job.json write-back + readback — the query returns the statistics
+    * block read BACK from the written job.json, so the scan, the
+    * aggregation and the JSON round trip all sit under one oracle. */
+  private def qListProducer(s: SparkSession, dir: String): DataFrame = {
+    val invDir = csvInventoryFixture(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_q55").toString
+    val manifestPath = s"$root/manifest.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(manifestPath),
+      """{"sourceBucket":"src","destinationBucket":"dst","fileFormat":"CSV","files":[]}""")
+    val r = exec.ListProducerJob.run(s, manifestPath, invDir,
+      s"$root/job.json", s"$root/queue", "dstbkt")
+    require(r.corruptRows > 0, "fixture must exercise the quarantine path")
+    require(r.messages > 0, "fan-out must enqueue messages")
+    graft.sinks.Sinks.readJsonDoc(s, s"$root/job.json")
+      .select(col("statistics.*"))
+      .select(("totalObjects" +: exec.ListProducerJob.BucketNames.map(_._1))
+        .map(c => col(c).cast("bigint").as(c)): _*)
+  }
+
+  private val oListProducer = {
+    val buckets = exec.ListProducerJob.BucketNames.map { case (name, th) =>
+      s"CAST(sum(CASE WHEN p_size <= $th THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+    }.mkString(",\n  ")
+    s"""SELECT CAST(count(*) AS BIGINT) AS totalObjects,
+       |  $buckets
+       |FROM part WHERE p_partkey % 97 <> 0""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -1619,7 +1657,8 @@ object Queries {
     "q51_stateful_dedup" -> (qStatefulDedup _),
     "q52_simhash_pairs" -> (qSimhashPairs _),
     "q53_chunk_split" -> (qChunkSplit _),
-    "q54_azure_diff_pipeline" -> (qAzureDiffPipeline _)
+    "q54_azure_diff_pipeline" -> (qAzureDiffPipeline _),
+    "q55_list_producer" -> (qListProducer _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1676,6 +1715,7 @@ object Queries {
     "q51_stateful_dedup" -> oStatefulDedup,
     "q52_simhash_pairs" -> oSimhashPairs,
     "q53_chunk_split" -> oChunkSplit,
-    "q54_azure_diff_pipeline" -> oAzureDiffPipeline
+    "q54_azure_diff_pipeline" -> oAzureDiffPipeline,
+    "q55_list_producer" -> oListProducer
   )
 }
