@@ -886,11 +886,13 @@ object Queries {
       .toDF()
       .orderBy("doc_id")
 
+  // strlen (BYTES), not length (chars): the Spark side measures the
+  // binary payload, which diverges from char count on non-ASCII text
   private val oMultimodalMeta =
-    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-      |       CAST(length(text) % 640 AS BIGINT) AS fake_width,
-      |       CAST(length(text) % 480 AS BIGINT) AS fake_height,
-      |       CAST(length(text) // 1000 + 1 AS BIGINT) AS fake_frames,
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |       CAST(strlen(text) % 640 AS BIGINT) AS fake_width,
+      |       CAST(strlen(text) % 480 AS BIGINT) AS fake_height,
+      |       CAST(strlen(text) // 1000 + 1 AS BIGINT) AS fake_frames,
       |       md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -1409,10 +1411,11 @@ object Queries {
       .toDF()
       .orderBy("doc_id", "frame_idx")
 
+  // strlen (BYTES) — frame count derives from payload byte length
   private val oFrameSample =
     """WITH f AS (
       |  SELECT doc_id, text,
-      |         unnest(generate_series(0, length(text) // 1000, 3)) AS i
+      |         unnest(generate_series(0, strlen(text) // 1000, 3)) AS i
       |  FROM documents)
       |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
       |       md5(text || ':' || CAST(i AS VARCHAR)) AS frame_md5,

@@ -50,7 +50,10 @@ final case class FileQueue(dir: String, schema: StructType,
 trait KeyedStore {
   def upsert(batch: DataFrame, keyCols: Seq[String]): Unit
 
-  /** The current store contents, or None before the first upsert. */
+  /** The current store contents, or None before the first upsert.
+    * The returned frame is a snapshot VIEW: consume it (collect/write)
+    * before the next upsert — implementations may replace the backing
+    * storage generation on upsert, invalidating deferred scans. */
   def read(spark: SparkSession): Option[DataFrame]
 }
 

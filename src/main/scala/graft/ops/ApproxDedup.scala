@@ -32,7 +32,10 @@ object ApproxDedup {
   private[ops] def requireBoundedBlocks(df: DataFrame, block: String,
                                         maxRows: Int, op: String): Unit =
     if (maxRows > 0) {
-      val hot = df.groupBy(col(block)).agg(count(lit(1)).as("n"))
+      // null blocking keys never pair in the guarded equi-joins — a big
+      // null group is harmless, not hot
+      val hot = df.filter(col(block).isNotNull)
+        .groupBy(col(block)).agg(count(lit(1)).as("n"))
         .filter(col("n") > maxRows)
         .orderBy(col("n").desc).limit(3).collect()
       require(hot.isEmpty,
@@ -245,7 +248,15 @@ object ApproxDedup {
     * value are candidates (pigeonhole: hamming < bands guarantees a
     * shared band), then candidates verify with exact hamming ≤
     * `maxHamming`. Same scale shape as MinHash-LSH: the join shuffles
-    * only on (band, bucket) collision groups, never all pairs. */
+    * only on (band, bucket) collision groups, never all pairs.
+    *
+    * Recall: COMPLETE only for pairs with hamming < bands; beyond that
+    * it is best-effort candidate mining (a pair whose differing bits
+    * spread one-per-band shares no slice) — raise `bands` for a larger
+    * guaranteed radius at more candidate volume, the standard trade.
+    * The signature table is persisted for the op's own multi-branch DAG
+    * and left cached (Spark's cache manager dedupes repeated calls on
+    * the same plan; unpersist sig0 upstream to release it). */
   def simhashPairs(sig0: DataFrame, id: String, simhashCol: String, bits: Int,
                    bands: Int, maxHamming: Int): DataFrame = {
     require(bands > 0 && bits % bands == 0, "bits must divide evenly into bands")

@@ -127,6 +127,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Array[Array[Double]] =
       v.orderBy("cid").limit(k).collect().map(_.getSeq[Double](1).toArray)
+    require(centroids.length == k,
+      s"kmeansFit: corpus has only ${centroids.length} vectors, need k=$k")
     for (_ <- 0 until iters) {
       val centDf = centroids.zipWithIndex
         .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("centroid_id", "cv")

@@ -105,20 +105,34 @@ object InventoryReader {
     * quarantine before the scan, exactly like corrupt rows (P4). The
     * digest runs where the bytes are — one narrow distributed scan, no
     * driver I/O; gzip shards are whole-file reads anyway (non-splittable).
+    * The staged-file join key is the BASENAME (flat staging, the
+    * reference's download layout, s3_utils.py:89-104) — so manifests
+    * whose keys collide on basename (e.g. the same part file under two
+    * date prefixes) cannot be validated flat and the op FAILS FAST with
+    * the colliding names rather than matching bytes to the wrong key.
+    * Mirror the key paths under the staging root and join on the full
+    * key to validate such manifests.
     * @param stagingRoot local/staged directory (or glob) of the shards
     *        named by the manifest keys */
   def validateChecksums(spark: SparkSession, manifest: DataFrame,
                         stagingRoot: String): DataFrame = {
+    val named = manifest.withColumn("file_name", substring_index(col("key"), "/", -1))
+    val collisions = named.groupBy("file_name").count()
+      .filter(col("count") > 1).limit(3).collect()
+    require(collisions.isEmpty,
+      "validateChecksums: manifest keys collide on basename (" +
+        collisions.map(_.get(0)).mkString(", ") +
+        ") — flat staging cannot distinguish them; mirror key paths instead")
     val actual = spark.read.format("binaryFile").load(stagingRoot)
       .select(
         substring_index(col("path"), "/", -1).as("file_name"),
         md5(col("content")).as("actual_md5"),
         col("length").as("actual_size"))
-    manifest
-      .withColumn("file_name", substring_index(col("key"), "/", -1))
+    named
       .join(actual, Seq("file_name"), "left")
       .withColumn("checksum_status",
         when(col("actual_md5").isNull, lit("missing_file"))
+          .when(col("md5").isNull, lit("missing_checksum")) // can't verify ≠ ok
           .when(col("size").isNotNull && col("size") =!= col("actual_size"),
             lit("size_mismatch"))
           .when(lower(col("md5")) =!= col("actual_md5"), lit("md5_mismatch"))

@@ -92,15 +92,19 @@ object TaskPipeline {
         if (!b.isEmpty)
           b.write.mode(SaveMode.Append).parquet(logDir)
         val failed = b.filter(col("ok") === 0)
-        dlq.enqueue(failed.filter(col("receive_count") >= 3))
-        // re-enqueue sub-3-receive failures, one message per (queue,batch)
-        val retry = failed.filter(col("receive_count") < 3)
+        // re-pack per-action rows into MESSAGE shape before any enqueue:
+        // both the DLQ and the retry queue must stay consumable by
+        // unpack() (a DLQ holding raw action rows would read back with
+        // body=null and a redrive would silently drop every dead letter)
+        def pack(actions: DataFrame): DataFrame = actions
           .groupBy(col("queue"), col("batch_id"), col("receive_count"))
           .agg(to_json(collect_list(
             struct(col("Bucket"), col("Key"), col("Size"), col("ETag"),
               col("dst_bucket")))).as("body"))
-          .withColumn("receive_count", col("receive_count") + 1)
-        queue.enqueue(retry)
+        dlq.enqueue(pack(failed.filter(col("receive_count") >= 3)))
+        // re-enqueue sub-3-receive failures, one message per (queue,batch)
+        queue.enqueue(pack(failed.filter(col("receive_count") < 3))
+          .withColumn("receive_count", col("receive_count") + 1))
         b.unpersist()
         ()
       }

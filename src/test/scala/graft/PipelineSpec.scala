@@ -114,10 +114,12 @@ class TaskPipelineSpec extends SparkSpec {
       == Set("ok-1", "ok-2", "ok-3"))
     // every attempt is logged: the poison key appears once per receive
     assert(log.filter($"ok" === 0).count() == 3)
-    // the poison key reached the DLQ exactly once, at receive_count 3
-    val dlq = spark.read.json(dlqDir)
-    val dead = dlq.select("Key", "receive_count").as[(String, Long)].collect().toSeq
-    assert(dead == Seq(("poison", 3L)))
+    // the poison key reached the DLQ exactly once, at receive_count 3 —
+    // and the DLQ is message-shaped, consumable by unpack (redrive path)
+    val dlqMsgs = spark.read.schema(TaskPipeline.messageSchema).json(dlqDir)
+    val dead = TaskPipeline.unpack(dlqMsgs)
+      .select("Key", "receive_count").as[(String, Int)].collect().toSeq
+    assert(dead == Seq(("poison", 3)))
 
     // stats over the log (batch-incremental path, A7)
     TaskPipeline.statsIncrement(spark, logDir, s"$root/stat")

@@ -209,11 +209,13 @@ class ChecksumSpec extends SparkSpec {
     Files.writeString(Paths.get(root, "a.csv"), "hello")
     Files.writeString(Paths.get(root, "b.csv"), "world")
     Files.writeString(Paths.get(root, "d.csv"), "data!")
+    Files.writeString(Paths.get(root, "e.csv"), "extra")
     val manifest = Seq(
       ("inv/2024/a.csv", 5L, hex("hello")),          // ok
       ("inv/2024/b.csv", 5L, hex("not-world")),      // md5_mismatch
       ("inv/2024/c.csv", 3L, hex("gone")),           // missing_file
-      ("inv/2024/d.csv", 99L, hex("data!"))          // size_mismatch
+      ("inv/2024/d.csv", 99L, hex("data!")),         // size_mismatch
+      ("inv/2024/e.csv", 5L, null: String)           // missing_checksum
     ).toDF("key", "size", "md5")
     val v = InventoryReader.validateChecksums(spark, manifest, root)
     val status = v.select("key", "checksum_status").as[(String, String)]
@@ -222,7 +224,21 @@ class ChecksumSpec extends SparkSpec {
     assert(status("inv/2024/b.csv") == "md5_mismatch")
     assert(status("inv/2024/c.csv") == "missing_file")
     assert(status("inv/2024/d.csv") == "size_mismatch")
+    assert(status("inv/2024/e.csv") == "missing_checksum") // can't verify != ok
     assert(InventoryReader.validShards(v).count() == 1)
+  }
+
+  test("validateChecksums fails fast on basename collisions (flat staging)") {
+    val root = tmpDir("cksum2")
+    Files.writeString(Paths.get(root, "part-0.csv"), "x")
+    val manifest = Seq(
+      ("dt=2024-01-01/part-0.csv", 1L, hex("x")),
+      ("dt=2024-01-02/part-0.csv", 1L, hex("x"))
+    ).toDF("key", "size", "md5")
+    val e = intercept[IllegalArgumentException] {
+      InventoryReader.validateChecksums(spark, manifest, root)
+    }
+    assert(e.getMessage.contains("part-0.csv"))
   }
 }
 
