@@ -1605,6 +1605,35 @@ object Queries {
        |FROM part WHERE p_partkey % 97 <> 0""".stripMargin
   }
 
+  // ------------------------------------------------ connected components
+  /** Duplicate-cluster collapse: connected components by min-label
+    * propagation over a deterministic star+bridge graph built from
+    * supplier keys; the oracle computes the same components with a
+    * recursive transitive closure. */
+  private def qConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+    val star = sup.filter(col("k") % 5 =!= 0)
+      .select((col("k") - col("k") % 5).as("src"), col("k").as("dst"))
+    val bridge = sup.filter(col("k") % 25 === 0)
+      .select((col("k") - 5).as("src"), col("k").as("dst"))
+    ConnectedComponents(star.union(bridge), "src", "dst").orderBy("id")
+  }
+
+  private val oConnectedComponents =
+    """WITH RECURSIVE
+      |raw AS (
+      |  SELECT s_suppkey - (s_suppkey % 5) AS src, s_suppkey AS dst
+      |  FROM supplier WHERE s_suppkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT s_suppkey - 5, s_suppkey FROM supplier WHERE s_suppkey % 25 = 0),
+      |e AS (SELECT src AS a, dst AS b FROM raw WHERE src <> dst
+      |      UNION SELECT dst, src FROM raw WHERE src <> dst),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+      |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -1661,7 +1690,8 @@ object Queries {
     "q52_simhash_pairs" -> (qSimhashPairs _),
     "q53_chunk_split" -> (qChunkSplit _),
     "q54_azure_diff_pipeline" -> (qAzureDiffPipeline _),
-    "q55_list_producer" -> (qListProducer _)
+    "q55_list_producer" -> (qListProducer _),
+    "q56_connected_components" -> (qConnectedComponents _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1719,6 +1749,7 @@ object Queries {
     "q52_simhash_pairs" -> oSimhashPairs,
     "q53_chunk_split" -> oChunkSplit,
     "q54_azure_diff_pipeline" -> oAzureDiffPipeline,
-    "q55_list_producer" -> oListProducer
+    "q55_list_producer" -> oListProducer,
+    "q56_connected_components" -> oConnectedComponents
   )
 }

@@ -52,12 +52,15 @@ object CorpusPipeline {
       .cache()
     val nExact = exact.count()
 
-    // near-dup dedup: drop the higher doc_id of every LSH-verified pair
+    // near-dup dedup: LSH-verified pairs collapse into duplicate
+    // CLUSTERS via connected components; each cluster keeps its minimum
+    // doc_id (dropping id_b per pair would also drop chain members that
+    // aren't duplicates of the kept root)
     val withSets = exact.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
-    val dupIds = ApproxDedup.minhashLshPairs(withSets, "doc_id", "_sh",
-        k = 16, bands = 4, rowsPerBand = 4, threshold = nearDupThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
-    val cleaned = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    val pairs = ApproxDedup.minhashLshPairs(withSets, "doc_id", "_sh",
+      k = 16, bands = 4, rowsPerBand = 4, threshold = nearDupThreshold)
+    val cleaned = graft.ops.ConnectedComponents
+      .survivors(exact, "doc_id", pairs, "id_a", "id_b")
     val nFinal = cleaned.count()
 
     quality.unpersist()

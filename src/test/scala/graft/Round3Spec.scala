@@ -197,6 +197,29 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.ConnectedComponents
+
+  test("labels chains, stars and singleton-free graphs to component minima") {
+    // components: {1,2,3,4} (chain), {10,11,12} (star on 10), {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (21L, 20L)).toDF("src", "dst")
+    val cc = ConnectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("survivors keeps cluster minima and untouched docs") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = ConnectedComponents.survivors(docs, "doc_id", pairs, "id_a", "id_b")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L))
+  }
+}
+
 class ChecksumSpec extends SparkSpec {
   import spark.implicits._
 
