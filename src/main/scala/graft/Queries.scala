@@ -1634,6 +1634,55 @@ object Queries {
       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
       |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  // ------------------------------------------------ int8 quantized top-k
+  /** Top-k over int8-quantized unit vectors: quantize (4× storage),
+    * rank by the reconstructed similarity — integer dot products, so
+    * the approximate scores are bit-portable and the oracle replays
+    * them exactly. */
+  private def qQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val q8 = t(s, dir, "embeddings").select(
+        col("vec_id"),
+        Similarity.unitNorm(col("embedding").cast("array<double>")).as("u"))
+      .withColumn("scale", Similarity.quantizeScale(col("u")))
+      .withColumn("codes", Similarity.quantizeCodes(col("u"), col("scale")))
+      .drop("u")
+    val qs = q8.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("scale").as("qs"), col("codes").as("qc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim_q").desc, col("corpus_id"))
+    q8.select(col("vec_id").as("corpus_id"), col("scale").as("cs"), col("codes").as("cc"))
+      .join(broadcast(qs), col("query_id") =!= col("corpus_id"))
+      .withColumn("sim_q", round(
+        Similarity.quantizedSim(col("qc"), col("cc"), col("qs"), col("cs")), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "corpus_id", "sim_q")
+      .orderBy("query_id", "rank")
+  }
+
+  private val oQuantizedTopK =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id,
+       |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+       |      FROM e),
+       |q8 AS (
+       |  SELECT vec_id,
+       |         list_max(list_transform(u, x -> abs(x))) AS scale,
+       |         list_transform(u, x ->
+       |           floor(x * 127.0 / list_max(list_transform(u, y -> abs(y)))
+       |                 + 0.5)) AS codes
+       |  FROM n),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |         round((q.scale * c.scale / 16129.0)
+       |               * list_dot_product(q.codes, c.codes), 6) AS sim_q
+       |  FROM q8 q JOIN q8 c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+       |SELECT query_id, rank, corpus_id, sim_q FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim_q DESC, corpus_id) AS INT) AS rank
+       |  FROM s)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -1691,7 +1740,8 @@ object Queries {
     "q53_chunk_split" -> (qChunkSplit _),
     "q54_azure_diff_pipeline" -> (qAzureDiffPipeline _),
     "q55_list_producer" -> (qListProducer _),
-    "q56_connected_components" -> (qConnectedComponents _)
+    "q56_connected_components" -> (qConnectedComponents _),
+    "q57_quantized_topk" -> (qQuantizedTopK _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1750,6 +1800,7 @@ object Queries {
     "q53_chunk_split" -> oChunkSplit,
     "q54_azure_diff_pipeline" -> oAzureDiffPipeline,
     "q55_list_producer" -> oListProducer,
-    "q56_connected_components" -> oConnectedComponents
+    "q56_connected_components" -> oConnectedComponents,
+    "q57_quantized_topk" -> oQuantizedTopK
   )
 }

@@ -193,6 +193,29 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos_sim"))
   }
 
+  /** Scalar int8 quantization of embedding vectors: codes are
+    * floor(x·127/scale + 0.5) with scale = max|x| per vector — 4× the
+    * storage density of float32, which at a 100 TB embedding table is
+    * the difference between fitting the ANN working set in cluster
+    * memory or not. `floor(+0.5)` instead of round(): no rounding-mode
+    * ambiguity across engines. Zero vectors quantize to all-zero codes. */
+  def quantizeScale(v: Column): Column =
+    array_max(transform(v, x => abs(x)))
+
+  def quantizeCodes(v: Column, scale: Column): Column =
+    when(scale === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x =>
+        floor(x * 127.0 / scale + 0.5).cast("int")))
+
+  /** Reconstructed similarity of two quantized vectors (callers pass
+    * codes of UNIT-NORMALIZED vectors so this approximates cosine):
+    * (sa·sb/127²)·Σ qa·qb. The integer dot is exact in double (codes
+    * ≤127, sums ≪2^53), so the score is bit-portable. */
+  def quantizedSim(codesA: Column, codesB: Column,
+                   scaleA: Column, scaleB: Column): Column =
+    (scaleA * scaleB / lit(16129.0)) *
+      dot(codesA.cast("array<double>"), codesB.cast("array<double>"))
+
   /** Embedding near-duplicate pairs within a blocking column (idA < idB,
     * cosine >= threshold). Blocking keeps the self-join from going
     * quadratic: pass a cluster/LSH-bucket column at scale.
