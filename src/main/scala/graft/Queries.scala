@@ -1640,23 +1640,11 @@ object Queries {
     * the approximate scores are bit-portable and the oracle replays
     * them exactly. */
   private def qQuantizedTopK(s: SparkSession, dir: String): DataFrame = {
-    val q8 = t(s, dir, "embeddings").select(
-        col("vec_id"),
-        Similarity.unitNorm(col("embedding").cast("array<double>")).as("u"))
-      .withColumn("scale", Similarity.quantizeScale(col("u")))
-      .withColumn("codes", Similarity.quantizeCodes(col("u"), col("scale")))
-      .drop("u")
-    val qs = q8.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("scale").as("qs"), col("codes").as("qc"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("sim_q").desc, col("corpus_id"))
-    q8.select(col("vec_id").as("corpus_id"), col("scale").as("cs"), col("codes").as("cc"))
-      .join(broadcast(qs), col("query_id") =!= col("corpus_id"))
-      .withColumn("sim_q", round(
-        Similarity.quantizedSim(col("qc"), col("cc"), col("qs"), col("cs")), 6))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= 10)
-      .select("query_id", "rank", "corpus_id", "sim_q")
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("sim_q"))
       .orderBy("query_id", "rank")
   }
 

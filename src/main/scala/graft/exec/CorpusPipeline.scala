@@ -53,9 +53,10 @@ object CorpusPipeline {
     val nExact = exact.count()
 
     // near-dup dedup: LSH-verified pairs collapse into duplicate
-    // CLUSTERS via connected components; each cluster keeps its minimum
-    // doc_id (dropping id_b per pair would also drop chain members that
-    // aren't duplicates of the kept root)
+    // CLUSTERS via connected components, so exactly ONE document
+    // survives per cluster (the per-pair id_b drop could keep several —
+    // e.g. pairs (2,3),(1,3) kept both 1 and 2 since 2 is never an
+    // id_b, even though all three sit in one duplicate cluster)
     val withSets = exact.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
     val pairs = ApproxDedup.minhashLshPairs(withSets, "doc_id", "_sh",
       k = 16, bands = 4, rowsPerBand = 4, threshold = nearDupThreshold)

@@ -27,18 +27,28 @@ object ConnectedComponents {
   /** @param edges undirected pairs (src, dst); ids any orderable type
     * @return (id, comp) for every node APPEARING IN EDGES — comp is the
     *         component's minimum id. Isolated documents never enter the
-    *         pair list and stay implicitly their own component. */
+    *         pair list and stay implicitly their own component.
+    *         The result is PERSISTED (its lineage nests one join per
+    *         round — recomputation would replay the whole propagation);
+    *         unpersist it when done, or use [[survivors]] which manages
+    *         the lifetime itself. */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
             maxIters: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // persist the raw edges BEFORE mirroring: the union references them
+    // twice, and the upstream plan is typically expensive pair mining
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
+      .persist(lvl)
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(lvl)
-    var labels = sym.select(col("a").as("id")).distinct()
+    // labelsCache = the persisted frame backing `labels` (which may be a
+    // projection over it) — tracked separately so unpersist hits the cache
+    var labelsCache = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(lvl)
+    var labels: DataFrame = labelsCache
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -46,32 +56,42 @@ object ConnectedComponents {
           labels.select(col("id").as("b"), col("comp").as("bcomp")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min("bcomp").as("nmin"))
+      // carry the previous label through the projection — the
+      // convergence check then needs no extra join per round
       val updated = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .persist(lvl)
-      converged = updated
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels.unpersist()
-      labels = updated
+      converged = updated.filter(col("comp") =!= col("prev")).isEmpty
+      labelsCache.unpersist()
+      labelsCache = updated
+      labels = updated.drop("prev")
       i += 1
     }
-    require(converged, s"connected components did not converge in $maxIters rounds" +
-      " — long-chain graph; use a star-contraction formulation")
+    e0.unpersist()
     sym.unpersist()
+    if (!converged) {
+      labelsCache.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds" +
+          " — long-chain graph; use a star-contraction formulation")
+    }
     labels
   }
 
   /** Collapse duplicate clusters: keep every document that is NOT a
     * non-root member of some component (i.e. cluster minima and
-    * untouched documents survive). */
+    * untouched documents survive). Releases the propagation caches:
+    * the loser set is locally checkpointed (small — one id per dropped
+    * document) so the labels cache can be dropped immediately. */
   def survivors(docs: DataFrame, id: String, edges: DataFrame,
                 srcCol: String, dstCol: String): DataFrame = {
-    val losers = apply(edges, srcCol, dstCol)
-      .filter(col("id") =!= col("comp"))
+    val cc = apply(edges, srcCol, dstCol)
+    val losers = cc.filter(col("id") =!= col("comp"))
       .select(col("id").as(id))
+      .localCheckpoint()
+    cc.unpersist()
     docs.join(losers, Seq(id), "left_anti")
   }
 }

@@ -198,14 +198,14 @@ object Similarity {
     * storage density of float32, which at a 100 TB embedding table is
     * the difference between fitting the ANN working set in cluster
     * memory or not. `floor(+0.5)` instead of round(): no rounding-mode
-    * ambiguity across engines. Zero vectors quantize to all-zero codes. */
+    * ambiguity across engines. Callers must pass non-zero vectors — a
+    * zero vector has no direction to quantize (and unit-normalizing one
+    * already yields NaN upstream). */
   def quantizeScale(v: Column): Column =
     array_max(transform(v, x => abs(x)))
 
   def quantizeCodes(v: Column, scale: Column): Column =
-    when(scale === 0.0, transform(v, _ => lit(0)))
-      .otherwise(transform(v, x =>
-        floor(x * 127.0 / scale + 0.5).cast("int")))
+    transform(v, x => floor(x * 127.0 / scale + 0.5).cast("int"))
 
   /** Reconstructed similarity of two quantized vectors (callers pass
     * codes of UNIT-NORMALIZED vectors so this approximates cosine):
@@ -215,6 +215,31 @@ object Similarity {
                    scaleA: Column, scaleB: Column): Column =
     (scaleA * scaleB / lit(16129.0)) *
       dot(codesA.cast("array<double>"), codesB.cast("array<double>"))
+
+  /** Top-k by reconstructed int8 similarity — [[bruteForceTopK]] over
+    * the quantized representation (same broadcast-queries + per-query
+    * window convention as the other top-k variants). */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+                    qid: String, cid: String, vecCol: String, k: Int): DataFrame = {
+    def q8(df: DataFrame, id: String, outId: String): DataFrame =
+      df.select(col(id).as(outId),
+          unitNorm(col(vecCol).cast("array<double>")).as("u"))
+        .withColumn("scale", quantizeScale(col("u")))
+        .withColumn("codes", quantizeCodes(col("u"), col("scale")))
+        .drop("u")
+    val c = q8(corpus, cid, "corpus_id")
+      .select(col("corpus_id"), col("scale").as("cs"), col("codes").as("cc"))
+    val q = q8(queries, qid, "query_id")
+      .select(col("query_id"), col("scale").as("qs"), col("codes").as("qc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_q").desc, col("corpus_id"))
+    c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
+      .withColumn("sim_q", round(
+        quantizedSim(col("qc"), col("cc"), col("qs"), col("cs")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("sim_q"))
+  }
 
   /** Embedding near-duplicate pairs within a blocking column (idA < idB,
     * cosine >= threshold). Blocking keeps the self-join from going
