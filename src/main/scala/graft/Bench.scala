@@ -62,17 +62,23 @@ object Bench {
       val sorted = runs.map(_._1).sorted
       (name, sorted(1), sorted.last - sorted.head, runs.forall(_._2))
     }
-    def m(f: ((String, Double, Double, Boolean)) => String): String =
-      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val qs = m(_._2.toString)
-    val spread = m(_._3.toString)
-    val okMap = m(_._4.toString)
+    // The driver captures only the tail of the sbt log; round 3's line —
+    // full-precision doubles plus three parallel 57-entry maps — overflowed
+    // that buffer and truncated the headline. Keep this line COMPACT:
+    // 3-decimal medians, spread only where it exceeds 0.2s (the noise
+    // signal the driver needs), and a failed-name list instead of an
+    // all-true ok map.
+    def r3(x: Double): String = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map(r => "\"" + r._1 + "\":" + r3(r._2)).mkString("{", ",", "}")
+    val spread = results.filter(_._3 >= 0.2)
+      .map(r => "\"" + r._1 + "\":" + r3(r._3)).mkString("{", ",", "}")
+    val failed = results.filter(!_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     // a failed query must not masquerade as a healthy timing
     val total = results.filter(_._4).map(_._2).sum
     val nFailed = results.count(!_._4)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""spread":$spread,"ok":$okMap,"failed_queries":$nFailed,""" +
-      s""""scan_mbps":$scanMbps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""spread":$spread,"failed":$failed,"failed_queries":$nFailed,""" +
+      s""""scan_mbps":${r3(scanMbps)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
