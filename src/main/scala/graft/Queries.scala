@@ -745,42 +745,49 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  private val oIvfTopK = {
-    // one Lloyd's iteration = assign (argmax rounded cosine) + update
-    // (fixed-point per-dimension mean, empty clusters keep previous)
-    def assign(cent: String, out: String): String =
-      s"""$out AS (
-         |  SELECT vec_id, centroid_id, v FROM (
-         |    SELECT e.vec_id, $cent.centroid_id, e.v,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${cosSql("e.v", "centv")}, 6) DESC, centroid_id) AS r
-         |    FROM e CROSS JOIN $cent)
-         |  WHERE r = 1)""".stripMargin
-    def update(asg: String, centPrev: String, out: String): String =
-      s"""$out AS (
-         |  SELECT $centPrev.centroid_id,
-         |         coalesce(nu.centv, $centPrev.centv) AS centv
-         |  FROM $centPrev LEFT JOIN (
-         |    SELECT centroid_id,
-         |           list(round(sx / (n * 1000000.0), 6) ORDER BY dim) AS centv
-         |    FROM (
-         |      SELECT centroid_id, dim,
-         |             sum(CAST(floor(v[dim] * 1000000) AS BIGINT)) AS sx,
-         |             count(*) AS n
-         |      FROM $asg CROSS JOIN
-         |           (SELECT unnest(generate_series(1, 64)) AS dim) dims
-         |      GROUP BY centroid_id, dim)
-         |    GROUP BY centroid_id) nu
-         |    ON $centPrev.centroid_id = nu.centroid_id)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  // one Lloyd's iteration = assign (argmax rounded cosine) + update
+  // (fixed-point per-dimension mean, empty clusters keep previous) —
+  // defs (not vals): object-init-order safe, shared by q25 and q60
+  private def oKmAssign(cent: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, centroid_id, v FROM (
+       |    SELECT e.vec_id, $cent.centroid_id, e.v,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.v", "centv")}, 6) DESC, centroid_id) AS r
+       |    FROM e CROSS JOIN $cent)
+       |  WHERE r = 1)""".stripMargin
+  private def oKmUpdate(asg: String, centPrev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT $centPrev.centroid_id,
+       |         coalesce(nu.centv, $centPrev.centv) AS centv
+       |  FROM $centPrev LEFT JOIN (
+       |    SELECT centroid_id,
+       |           list(round(sx / (n * 1000000.0), 6) ORDER BY dim) AS centv
+       |    FROM (
+       |      SELECT centroid_id, dim,
+       |             sum(CAST(floor(v[dim] * 1000000) AS BIGINT)) AS sx,
+       |             count(*) AS n
+       |      FROM $asg CROSS JOIN
+       |           (SELECT unnest(generate_series(1, 64)) AS dim) dims
+       |      GROUP BY centroid_id, dim)
+       |    GROUP BY centroid_id) nu
+       |    ON $centPrev.centroid_id = nu.centroid_id)""".stripMargin
+  /** CTE chain ending in `af` = the final (vec_id, centroid_id, v)
+    * assignment after two Lloyd's iterations from the 8-lowest-id init —
+    * the exact replay of [[Similarity.kmeansFit]](k=8, iters=2). */
+  private def oKmeansAf: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
        |              v AS centv
        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
-       |${assign("c0", "a1")},
-       |${update("a1", "c0", "c1")},
-       |${assign("c1", "a2")},
-       |${update("a2", "c1", "c2")},
-       |${assign("c2", "af")},
+       |${oKmAssign("c0", "a1")},
+       |${oKmUpdate("a1", "c0", "c1")},
+       |${oKmAssign("c1", "a2")},
+       |${oKmUpdate("a2", "c1", "c2")},
+       |${oKmAssign("c2", "af")}""".stripMargin
+
+  private val oIvfTopK = {
+    s"""WITH $oKmeansAf,
        |qa AS (SELECT vec_id AS query_id, centroid_id, v AS qv
        |       FROM af WHERE vec_id < 5),
        |s AS (SELECT qa.query_id, a.vec_id AS corpus_id,
@@ -1671,6 +1678,187 @@ object Queries {
        |  FROM s)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------- Gopher repetition signals
+  /** Per-document repetition gates (duplicate-word fraction, top-bigram
+    * character coverage, duplicated-3-gram coverage) — the boilerplate
+    * filters a corpus-cleaning pass runs before dedup. dupN=3 because
+    * the synthetic corpus has no 5-gram repeats at all. */
+  private def qRepetitionSignals(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.repetitionSignals(t(s, dir, "documents"), "doc_id",
+        col("text"), dupN = 3)
+      .orderBy("doc_id")
+
+  /** Word n-grams WITH multiplicity as a DuckDB fragment: index over
+    * 1..len-(n-1), matching [[CorpusSignals.wordNgramsAll]]. */
+  private def oGramsAll(n: Int): String = {
+    val parts = (0 until n).map(j => if (j == 0) "ws[i]" else s"ws[i + $j]")
+      .mkString(" || ' ' || ")
+    s"unnest(list_transform(generate_series(1, len(ws) - ${n - 1}), i -> $parts))"
+  }
+
+  private val oRepetitionSignals =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b0 AS (SELECT doc_id, n_tokens, n_chars, ws,
+       |         CAST(n_tokens - len(list_distinct(ws)) AS DOUBLE) / n_tokens
+       |           AS dup_word_frac
+       |       FROM base),
+       |bi AS (SELECT doc_id, ${oGramsAll(2)} AS gram FROM base),
+       |bic AS (SELECT doc_id, gram, count(*) AS cnt FROM bi GROUP BY doc_id, gram),
+       |bitop AS (
+       |  SELECT doc_id, gram AS top_bigram, cnt AS top_bigram_n FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY cnt DESC, gram DESC) AS r
+       |    FROM bic) WHERE r = 1),
+       |d3 AS (SELECT doc_id, ${oGramsAll(3)} AS gram FROM base),
+       |d3c AS (SELECT doc_id, gram, count(*) AS cnt FROM d3 GROUP BY doc_id, gram),
+       |dup AS (SELECT doc_id, sum(cnt * CAST(length(gram) AS BIGINT)) AS dup_chars
+       |        FROM d3c WHERE cnt >= 2 GROUP BY doc_id)
+       |SELECT b0.doc_id, n_tokens, dup_word_frac, top_bigram, top_bigram_n,
+       |       CAST(top_bigram_n * length(top_bigram) AS DOUBLE) / n_chars
+       |         AS top_bigram_frac,
+       |       CAST(coalesce(dup_chars, 0) AS DOUBLE) / n_chars AS dup_ngram_frac
+       |FROM b0 LEFT JOIN bitop USING (doc_id) LEFT JOIN dup USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ global line dedup (C4)
+  /** C4/CCNet-style corpus-global line dedup over deterministic 10-word
+    * lines: a line survives only at its first (doc_id, line_no)
+    * occurrence anywhere in the corpus; documents report kept counts and
+    * the reassembled text. */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lines = CorpusSignals.syntheticLines(t(s, dir, "documents"),
+      "doc_id", col("text"), wordsPerLine = 10)
+    CorpusSignals.lineDedup(lines, "doc_id", "line_no", "line")
+      .orderBy("doc_id")
+  }
+
+  private val oLineDedup =
+    """WITH base AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+      |              FROM documents),
+      |lines AS (
+      |  SELECT doc_id, CAST(g.ln AS BIGINT) AS line_no,
+      |         array_to_string(ws[(g.ln - 1) * 10 + 1 : g.ln * 10], ' ') AS line
+      |  FROM base, LATERAL (SELECT unnest(generate_series(1,
+      |         CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS ln) g),
+      |k AS (SELECT *, row_number() OVER (PARTITION BY line
+      |        ORDER BY doc_id, line_no) = 1 AS kept
+      |      FROM lines)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) > 0
+      |            THEN string_agg(CASE WHEN kept THEN line END, ' '
+      |                            ORDER BY line_no) END AS kept_text
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- semantic dedup
+  /** SemDeDup over the embedding table: k-means clusters (k=8, two
+    * Lloyd's iterations, deterministic init), cosine pairs ≥ 0.3 within
+    * clusters only, connected-components collapse, min-id survivors.
+    * The oracle replays training via the shared k-means CTEs and the
+    * collapse via a recursive closure. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    SemanticDedup.survivors(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, threshold = 0.3)
+      .orderBy("vec_id")
+
+  private val oSemanticDedup =
+    s"""WITH RECURSIVE $oKmeansAf,
+       |u AS (SELECT vec_id, centroid_id,
+       |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+       |      FROM af),
+       |raw AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |        FROM u a JOIN u b
+       |          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |        WHERE round(list_dot_product(a.uv, b.uv), 6) >= 0.3),
+       |ed AS (SELECT id_a AS a, id_b AS b FROM raw
+       |       UNION SELECT id_b, id_a FROM raw),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM ed
+       |  UNION
+       |  SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT af.vec_id, af.centroid_id FROM af
+       |WHERE af.vec_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+       |ORDER BY af.vec_id""".stripMargin
+
+  // -------------------------------------------- benchmark contamination
+  /** Decontamination scan: training docs (doc_id % 50 ≠ 0) sharing any
+    * distinct word 4-gram with the held-out benchmark split (doc_id %
+    * 50 = 0), with the shared-gram count. The benchmark side is
+    * broadcast — eval suites are tiny next to a training corpus. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    CorpusSignals.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", col("text"), n = 4)
+      .orderBy("doc_id")
+  }
+
+  private val oContamination =
+    s"""WITH g AS (
+       |  SELECT doc_id, ${oGramsAll(4)} AS gram
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+       |        FROM documents)),
+       |tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM tg JOIN bg USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- TF-IDF top terms
+  /** Top-5 salient terms per document by linear-idf TF-IDF
+    * (tf × N / df — exact-integer division, bit-portable; see
+    * [[CorpusSignals.tfidfTopTerms]]). */
+  private def qTfidfTerms(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.tfidfTopTerms(t(s, dir, "documents"), "doc_id",
+        col("text"), k = 5)
+      .orderBy("doc_id", "rank")
+
+  private val oTfidfTerms =
+    """WITH terms AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      |               FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM terms GROUP BY doc_id, term),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents)
+      |SELECT doc_id, rank, term, tf, score FROM (
+      |  SELECT doc_id, term, tf,
+      |    CAST(tf * n_docs AS DOUBLE) / df AS score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, term) AS INT) AS rank
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n) x
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  // -------------------------------------------------- ranged-read parts
+  /** S13 ranged blob read as data: explode each document payload into
+    * 256-byte part rows with per-part digests — the distributed half of
+    * the multipart-ETag recompute (the "-N" finisher itself is
+    * golden-tested; this DuckDB has no md5 over BLOB to finish
+    * digest-of-digests oracle-side). Text is ASCII throughout the
+    * corpus, so byte slices equal the oracle's character slices. */
+  private def qRangedParts(s: SparkSession, dir: String): DataFrame =
+    MultipartEtag.explodeParts(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", partSize = 256)
+      .select(col("path").as("doc_id"), col("n_parts"), col("part_num"),
+        col("part_md5"))
+      .orderBy("doc_id", "part_num")
+
+  private val oRangedParts =
+    """WITH b AS (SELECT doc_id, text,
+      |             CAST(ceil(length(text) / 256.0) AS INT) AS n_parts
+      |           FROM documents)
+      |SELECT doc_id, n_parts, CAST(i.i AS INT) AS part_num,
+      |       md5(substring(text, (i.i - 1) * 256 + 1, 256)) AS part_md5
+      |FROM b, LATERAL (SELECT unnest(generate_series(1, n_parts)) AS i) i
+      |ORDER BY doc_id, part_num""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -1729,7 +1917,13 @@ object Queries {
     "q54_azure_diff_pipeline" -> (qAzureDiffPipeline _),
     "q55_list_producer" -> (qListProducer _),
     "q56_connected_components" -> (qConnectedComponents _),
-    "q57_quantized_topk" -> (qQuantizedTopK _)
+    "q57_quantized_topk" -> (qQuantizedTopK _),
+    "q58_repetition_signals" -> (qRepetitionSignals _),
+    "q59_line_dedup" -> (qLineDedup _),
+    "q60_semantic_dedup" -> (qSemanticDedup _),
+    "q61_contamination" -> (qContamination _),
+    "q62_tfidf_terms" -> (qTfidfTerms _),
+    "q63_ranged_parts" -> (qRangedParts _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1789,6 +1983,12 @@ object Queries {
     "q54_azure_diff_pipeline" -> oAzureDiffPipeline,
     "q55_list_producer" -> oListProducer,
     "q56_connected_components" -> oConnectedComponents,
-    "q57_quantized_topk" -> oQuantizedTopK
+    "q57_quantized_topk" -> oQuantizedTopK,
+    "q58_repetition_signals" -> oRepetitionSignals,
+    "q59_line_dedup" -> oLineDedup,
+    "q60_semantic_dedup" -> oSemanticDedup,
+    "q61_contamination" -> oContamination,
+    "q62_tfidf_terms" -> oTfidfTerms,
+    "q63_ranged_parts" -> oRangedParts
   )
 }

@@ -28,10 +28,9 @@ object ConnectedComponents {
     * @return (id, comp) for every node APPEARING IN EDGES — comp is the
     *         component's minimum id. Isolated documents never enter the
     *         pair list and stay implicitly their own component.
-    *         The result is PERSISTED (its lineage nests one join per
-    *         round — recomputation would replay the whole propagation);
-    *         unpersist it when done, or use [[survivors]] which manages
-    *         the lifetime itself. */
+    *         The result is locally CHECKPOINTED (materialized, lineage
+    *         truncated); its blocks free when the frame is GC'd, so
+    *         unpersist is optional. */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
             maxIters: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -43,12 +42,9 @@ object ConnectedComponents {
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(lvl)
-    // labelsCache = the persisted frame backing `labels` (which may be a
-    // projection over it) — tracked separately so unpersist hits the cache
-    var labelsCache = sym.select(col("a").as("id")).distinct()
+    var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(lvl)
-    var labels: DataFrame = labelsCache
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -57,22 +53,26 @@ object ConnectedComponents {
         .groupBy(col("a").as("id"))
         .agg(min("bcomp").as("nmin"))
       // carry the previous label through the projection — the
-      // convergence check then needs no extra join per round
+      // convergence check then needs no extra join per round.
+      // localCheckpoint (NOT persist) each round: a persist caches the
+      // data but the analyzed plan still nests every earlier round, so
+      // plan size doubles per iteration and Catalyst canonicalization
+      // OOMs the driver near round ~15 on long-chain graphs; the
+      // checkpoint truncates lineage so plans stay one round deep.
+      // (On executor loss the checkpoint is unrecoverable — a cluster
+      // run wants spark.checkpoint.dir-backed reliable checkpoints.)
       val updated = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
           col("comp").as("prev"))
-        .persist(lvl)
+        .localCheckpoint()
       converged = updated.filter(col("comp") =!= col("prev")).isEmpty
-      labelsCache.unpersist()
-      labelsCache = updated
       labels = updated.drop("prev")
       i += 1
     }
     e0.unpersist()
     sym.unpersist()
     if (!converged) {
-      labelsCache.unpersist()
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds" +
           " — long-chain graph; use a star-contraction formulation")

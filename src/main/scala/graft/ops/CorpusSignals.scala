@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality signals and cleaning passes a large-scale
+  * training-data pipeline runs beyond per-document stats
+  * ([[TextAnalysis]]) and near-dup mining ([[ApproxDedup]]):
+  *
+  *  - Gopher-style repetition signals (Rae et al. 2021 §A1.1):
+  *    duplicate-word fraction, most-frequent-bigram character fraction,
+  *    duplicated-n-gram character fraction — the filters that catch
+  *    boilerplate and degenerate repetition which per-token stats miss.
+  *  - C4/CCNet-style global line-level dedup (Raffel et al. 2020 §2.2):
+  *    drop every line already seen anywhere else in the corpus, keep
+  *    the first occurrence, reassemble documents.
+  *  - Benchmark decontamination (GPT-3 appendix C shape): flag training
+  *    documents sharing any word n-gram with an evaluation set.
+  *  - TF-IDF top terms per document (salient-term extraction).
+  *
+  * Scale design: every pass is one or two shuffles keyed by document id
+  * or by the gram/line itself (map-side combined), never an all-pairs
+  * join; the benchmark side of decontamination is broadcast (eval
+  * suites are small by nature). All ratios are exact int/int double
+  * divisions and all scores integer-derived, so a DuckDB oracle
+  * reproduces them bit-for-bit.
+  */
+object CorpusSignals {
+
+  private def toks(text: Column): Column = split(text, "\\s+")
+
+  /** Word n-grams WITH multiplicity (repetition counting needs every
+    * occurrence; [[ApproxDedup.wordNgrams]] is the distinct form).
+    * Tokenization is let-bound (computed once per row, not per gram).
+    * Documents shorter than `n` tokens yield an empty array. */
+  def wordNgramsAll(text: Column, n: Int): Column =
+    element_at(
+      transform(array(toks(text)), ws =>
+        when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+          .otherwise(array().cast("array<string>"))),
+      1)
+
+  /** Gopher repetition signals, one row per document:
+    *  - `dup_word_frac`: fraction of tokens that are repeats of an
+    *    earlier token (1 - distinct/total);
+    *  - `top_bigram` / `top_bigram_n` / `top_bigram_frac`: the most
+    *    frequent word 2-gram (ties broken toward the lexicographically
+    *    LARGEST gram — an arbitrary but total order both engines share),
+    *    its count, and the fraction of characters its occurrences cover
+    *    (count × gram length / document length; overlapping occurrences
+    *    may push this past 1 — it is a repetition score, not a measure);
+    *  - `dup_ngram_frac`: fraction of characters covered by word
+    *    `n`-grams occurring at least twice (Σ count×len over duplicated
+    *    grams / document length), the Gopher "duplicate n-gram" gate.
+    *
+    * Two aggregations keyed by (doc, gram) then doc — map-side combined,
+    * linear in corpus size, no cross-document shuffle wider than the
+    * gram lists themselves. */
+  def repetitionSignals(df: DataFrame, id: String, text: Column,
+                        dupN: Int = 5): DataFrame = {
+    val base = df
+      .select(col(id), text.as("t"), toks(text).as("ws"))
+      .select(col(id), col("t"), col("ws"),
+        length(col("t")).cast("bigint").as("n_chars"),
+        size(col("ws")).cast("bigint").as("n_tokens"))
+      .withColumn("dup_word_frac",
+        (col("n_tokens") - size(array_distinct(col("ws"))).cast("bigint"))
+          .cast("double") / col("n_tokens"))
+
+    // most frequent bigram: count per (doc, gram), then an argmax by
+    // (count, gram) — max over a struct, so the tie-break is total
+    val biCounts = base
+      .select(col(id), explode(wordNgramsAll(col("t"), 2)).as("gram"))
+      .groupBy(col(id), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val biTop = biCounts
+      .groupBy(col(id))
+      .agg(max(struct(col("cnt"), col("gram"))).as("top"))
+      .select(col(id),
+        col("top.gram").as("top_bigram"),
+        col("top.cnt").as("top_bigram_n"))
+
+    // characters covered by duplicated n-grams
+    val dupChars = base
+      .select(col(id), explode(wordNgramsAll(col("t"), dupN)).as("gram"))
+      .groupBy(col(id), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .groupBy(col(id))
+      .agg(sum(col("cnt") * length(col("gram")).cast("bigint")).as("dup_chars"))
+
+    base
+      .join(biTop, Seq(id), "left")
+      .join(dupChars, Seq(id), "left")
+      .select(col(id), col("n_tokens"), col("dup_word_frac"),
+        col("top_bigram"), col("top_bigram_n"),
+        ((col("top_bigram_n") * length(col("top_bigram")).cast("bigint"))
+          .cast("double") / col("n_chars")).as("top_bigram_frac"),
+        (coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars"))
+          .as("dup_ngram_frac"))
+  }
+
+  /** Split a document into fixed-width lines of `wordsPerLine` tokens —
+    * the deterministic line synthesizer the line-dedup demo query uses
+    * (the synthetic corpus has no newlines; a real corpus splits on
+    * '\n' instead and skips this step). One row per (id, line_no, line),
+    * line_no 1-based. */
+  def syntheticLines(df: DataFrame, id: String, text: Column,
+                     wordsPerLine: Int): DataFrame =
+    df.select(col(id), toks(text).as("ws"))
+      .select(col(id), col("ws"),
+        // `/` on columns is double division; the truncating cast is
+        // ceil(size / wordsPerLine) for the positive sizes here
+        explode(sequence(lit(1),
+          ((size(col("ws")) + (wordsPerLine - 1)) / wordsPerLine).cast("int")))
+          .as("line_no"))
+      .select(col(id), col("line_no").cast("bigint").as("line_no"),
+        concat_ws(" ",
+          slice(col("ws"), (col("line_no") - 1) * wordsPerLine + 1,
+            lit(wordsPerLine))).as("line"))
+
+  /** Global line-level exact dedup (the C4/CCNet pass): a line survives
+    * only at its globally FIRST occurrence — ordered by (doc id,
+    * line number) — and every later copy anywhere in the corpus drops.
+    * Returns one row per document: total and kept line counts plus the
+    * reassembled text (null when every line dropped).
+    *
+    * Shape: winner-per-line is a map-side-combined `min(struct)` keyed
+    * by the line itself, then one join back on the line — both scale
+    * linearly. A pathologically hot line (billions of copies of
+    * "Click here to subscribe") skews that join key; salt the join or
+    * pre-aggregate per (line, doc) if profiles show it. */
+  def lineDedup(lines: DataFrame, id: String, lineNo: String,
+                line: String): DataFrame = {
+    val winners = lines
+      .groupBy(col(line))
+      .agg(min(struct(col(id), col(lineNo))).as("w"))
+    lines
+      .join(winners, Seq(line))
+      .withColumn("kept", struct(col(id), col(lineNo)) === col("w"))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        // collect_list drops the nulls `when` leaves for non-kept lines;
+        // array_sort orders by the struct's leading line_no
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col(lineNo).as("ln"), col(line).as("lv"))))),
+            s => s.getField("lv")),
+          " ").as("kept_joined"))
+      .select(col(id), col("n_lines"), col("n_kept"),
+        when(col("n_kept") > 0, col("kept_joined")).as("kept_text"))
+  }
+
+  /** Per-document contamination counts: for every training document
+    * sharing at least one distinct word `n`-gram with the benchmark
+    * set, the number of distinct grams shared. Benchmark grams are
+    * broadcast — evaluation suites are tiny next to a training corpus,
+    * so the training side never shuffles on the gram key. */
+  def contamination(train: DataFrame, bench: DataFrame, id: String,
+                    text: Column, n: Int): DataFrame = {
+    val tg = train.select(col(id),
+      explode(ApproxDedup.wordNgrams(text, n)).as("gram"))
+    val bg = bench.select(
+        explode(ApproxDedup.wordNgrams(text, n)).as("gram"))
+      .distinct()
+    tg.join(broadcast(bg), Seq("gram"))
+      // wordNgrams is distinct-per-document, so count(*) = distinct grams
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Drop every training document sharing any word `n`-gram with the
+    * benchmark set (the decontamination pass itself). */
+  def decontaminate(train: DataFrame, bench: DataFrame, id: String,
+                    text: Column, n: Int): DataFrame =
+    train.join(contamination(train, bench, id, text, n).select(col(id)),
+      Seq(id), "left_anti")
+
+  /** Top-k salient terms per document by TF-IDF. The score uses the
+    * linear-idf form score = tf × (N / df) — a single IEEE double
+    * division of exact integers, bit-portable across engines, where a
+    * log-idf would hang rank order on libm's last ulp. Rank ties break
+    * on the term itself. */
+  def tfidfTopTerms(df: DataFrame, id: String, text: Column,
+                    k: Int): DataFrame = {
+    val terms = df.select(col(id), explode(toks(text)).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(id)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(id), col("rank"), col("term"), col("tf"), col("score"))
+  }
+}
