@@ -634,7 +634,12 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  private val oMinhashLsh = {
+  /** CTE chain `dd…mh` replaying [[ApproxDedup.minhashLshPairs]] (k=16,
+    * 4×4 bands) over `fromRel(doc_id, text)`: word-bigram shingles →
+    * affine minhash signatures → band buckets → candidate pairs →
+    * verified exact Jaccard in `mh(id_a, id_b, jac)` — parameterized so
+    * the full-clean oracle (q64) can run it after its filter stages. */
+  private def oMinhashCtes(fromRel: String): String = {
     val shingles =
       """CASE WHEN len(toks) >= 2
         | THEN list_distinct([toks[i] || ' ' || toks[i+1]
@@ -647,9 +652,9 @@ object Queries {
       val slice = (0 until MhRows).map(r => s"mh_${b * MhRows + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $slice)) AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-       |           FROM documents),
-       |sets AS (SELECT doc_id, $shingles AS st FROM d),
+    s"""dd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |       FROM $fromRel),
+       |sets AS (SELECT doc_id, $shingles AS st FROM dd),
        |sh AS (SELECT doc_id, unnest(st) AS s FROM sets),
        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h0 FROM sh),
        |sig AS (SELECT doc_id,
@@ -660,15 +665,19 @@ object Queries {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bk a JOIN bk b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b,
-       |  CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE)
-       |    / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) AS jac
-       |FROM cand
-       |JOIN sets sa ON sa.doc_id = cand.id_a
-       |JOIN sets sb ON sb.doc_id = cand.id_b
-       |ORDER BY id_a, id_b""".stripMargin
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |mh AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE)
+       |      / (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) AS jac
+       |  FROM cand
+       |  JOIN sets sa ON sa.doc_id = cand.id_a
+       |  JOIN sets sb ON sb.doc_id = cand.id_b)""".stripMargin
   }
+
+  private val oMinhashLsh =
+    s"""WITH ${oMinhashCtes("documents")}
+       |SELECT id_a, id_b, jac FROM mh ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------------------------------------- SimHash
   private val ShBits = 60
@@ -1859,6 +1868,50 @@ object Queries {
       |FROM b, LATERAL (SELECT unnest(generate_series(1, n_parts)) AS i) i
       |ORDER BY doc_id, part_num""".stripMargin
 
+  // ------------------------------------------------- full corpus clean
+  /** The flagship cleaning composition as ONE lazy plan: quality filter
+    * (≥30 tokens, ≤5% punctuation) → Gopher duplicate-word gate (≤0.6)
+    * → exact fingerprint dedup → MinHash-LSH near-dup collapse at
+    * Jaccard ≥ 0.6. The oracle replays all four stages, reusing the
+    * shared MinHash CTEs over the gated relation and a recursive
+    * closure for the cluster collapse. */
+  private def qFullClean(s: SparkSession, dir: String): DataFrame =
+    exec.CorpusPipeline.cleanPlan(t(s, dir, "documents"),
+        minTokens = 30, maxPunctRatio = 0.05, maxDupWordFrac = 0.6,
+        nearDupThreshold = 0.6)
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  private val oFullClean =
+    s"""WITH RECURSIVE d0 AS (
+       |  SELECT doc_id, source, lang, n_chars, text,
+       |         string_split_regex(lower(text), '\\s+') AS ltoks,
+       |         string_split_regex(text, '\\s+') AS ws
+       |  FROM documents),
+       |qf AS (SELECT doc_id, source, lang, n_chars, text FROM d0
+       |       WHERE len(ltoks) >= 30
+       |         AND CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |             AS DOUBLE) / length(text) <= 0.05
+       |         AND CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+       |             / len(ws) <= 0.6),
+       |ex AS (SELECT doc_id, source, lang, n_chars, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY
+       |      md5(trim(regexp_replace(regexp_replace(lower(text),
+       |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+       |      ORDER BY doc_id) AS rn FROM qf) WHERE rn = 1),
+       |${oMinhashCtes("ex")},
+       |pr AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.6),
+       |ed AS (SELECT id_a AS a, id_b AS b FROM pr
+       |       UNION SELECT id_b, id_a FROM pr),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM ed
+       |  UNION
+       |  SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT doc_id, source, lang, n_chars FROM ex
+       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -1923,7 +1976,8 @@ object Queries {
     "q60_semantic_dedup" -> (qSemanticDedup _),
     "q61_contamination" -> (qContamination _),
     "q62_tfidf_terms" -> (qTfidfTerms _),
-    "q63_ranged_parts" -> (qRangedParts _)
+    "q63_ranged_parts" -> (qRangedParts _),
+    "q64_full_clean" -> (qFullClean _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1989,6 +2043,7 @@ object Queries {
     "q60_semantic_dedup" -> oSemanticDedup,
     "q61_contamination" -> oContamination,
     "q62_tfidf_terms" -> oTfidfTerms,
-    "q63_ranged_parts" -> oRangedParts
+    "q63_ranged_parts" -> oRangedParts,
+    "q64_full_clean" -> oFullClean
   )
 }

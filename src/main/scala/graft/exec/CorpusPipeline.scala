@@ -3,7 +3,7 @@ package graft.exec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ApproxDedup, TextAnalysis}
+import graft.ops.{ApproxDedup, CorpusSignals, TextAnalysis}
 
 /** End-to-end training-corpus cleaning pipeline: the composition a
   * 100 TB documents table actually runs —
@@ -31,37 +31,67 @@ object CorpusPipeline {
       .drop("n_chars_q", "n_tokens", "avg_token_len", "punct_ratio",
         "stopword_ratio")
 
-  /** Full pipeline; returns the cleaned corpus plus stage counts. */
-  def clean(spark: SparkSession, docs: DataFrame,
-            minTokens: Int = 8, maxPunctRatio: Double = 0.1,
-            nearDupThreshold: Double = 0.6): (DataFrame, Summary) = {
-    val input = docs.count()
+  /** Gopher repetition gate: drop documents whose duplicate-word
+    * fraction exceeds the threshold (narrow map, no shuffle). 1.0
+    * disables the gate. */
+  def repetitionGate(docs: DataFrame, maxDupWordFrac: Double): DataFrame =
+    if (maxDupWordFrac >= 1.0) docs
+    else docs.filter(CorpusSignals.dupWordFrac(col("text")) <= maxDupWordFrac)
 
-    val quality = qualityFilter(docs, minTokens, maxPunctRatio).cache()
-    val nQuality = quality.count()
-
-    // exact dedup on the normalized fingerprint: keep min doc_id
-    val exact = quality
+  /** Exact dedup on the normalized fingerprint: keep the min-id row of
+    * each fingerprint group (whole row, not just the key — the window
+    * shuffles once on the fingerprint). */
+  def exactDedup(docs: DataFrame, id: String = "doc_id"): DataFrame =
+    docs
       .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
       .withColumn("_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("fingerprint"))
-          .orderBy(col("doc_id"))))
+          .orderBy(col(id))))
       .filter(col("_rank") === 1)
       .drop("_rank", "fingerprint")
-      .cache()
+
+  /** Near-dup dedup: LSH-verified pairs collapse into duplicate
+    * CLUSTERS via connected components, so exactly ONE document
+    * survives per cluster (the per-pair id_b drop could keep several —
+    * e.g. pairs (2,3),(1,3) kept both 1 and 2 since 2 is never an
+    * id_b, even though all three sit in one duplicate cluster). */
+  def nearDupCollapse(docs: DataFrame, threshold: Double,
+                      id: String = "doc_id"): DataFrame = {
+    val withSets = docs.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
+    val pairs = ApproxDedup.minhashLshPairs(withSets, id, "_sh",
+      k = 16, bands = 4, rowsPerBand = 4, threshold = threshold)
+    graft.ops.ConnectedComponents.survivors(docs, id, pairs, "id_a", "id_b")
+  }
+
+  /** The full clean as ONE lazy DataFrame program (no driver actions):
+    * quality filter → repetition gate → exact dedup → near-dup
+    * collapse. This is what a 100 TB run submits; [[clean]] wraps it
+    * with per-stage counts for reporting. */
+  def cleanPlan(docs: DataFrame, minTokens: Int = 8,
+                maxPunctRatio: Double = 0.1, maxDupWordFrac: Double = 1.0,
+                nearDupThreshold: Double = 0.6): DataFrame =
+    nearDupCollapse(
+      exactDedup(
+        repetitionGate(qualityFilter(docs, minTokens, maxPunctRatio),
+          maxDupWordFrac)),
+      nearDupThreshold)
+
+  /** Full pipeline; returns the cleaned corpus plus stage counts. */
+  def clean(spark: SparkSession, docs: DataFrame,
+            minTokens: Int = 8, maxPunctRatio: Double = 0.1,
+            nearDupThreshold: Double = 0.6,
+            maxDupWordFrac: Double = 1.0): (DataFrame, Summary) = {
+    val input = docs.count()
+
+    val quality = repetitionGate(
+      qualityFilter(docs, minTokens, maxPunctRatio), maxDupWordFrac).cache()
+    val nQuality = quality.count()
+
+    val exact = exactDedup(quality).cache()
     val nExact = exact.count()
 
-    // near-dup dedup: LSH-verified pairs collapse into duplicate
-    // CLUSTERS via connected components, so exactly ONE document
-    // survives per cluster (the per-pair id_b drop could keep several —
-    // e.g. pairs (2,3),(1,3) kept both 1 and 2 since 2 is never an
-    // id_b, even though all three sit in one duplicate cluster)
-    val withSets = exact.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
-    val pairs = ApproxDedup.minhashLshPairs(withSets, "doc_id", "_sh",
-      k = 16, bands = 4, rowsPerBand = 4, threshold = nearDupThreshold)
-    val cleaned = graft.ops.ConnectedComponents
-      .survivors(exact, "doc_id", pairs, "id_a", "id_b")
+    val cleaned = nearDupCollapse(exact, nearDupThreshold)
     val nFinal = cleaned.count()
 
     quality.unpersist()

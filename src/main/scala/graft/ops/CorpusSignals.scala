@@ -42,6 +42,14 @@ object CorpusSignals {
           .otherwise(array().cast("array<string>"))),
       1)
 
+  /** The duplicate-word fraction alone, as a filter-ready column —
+    * the cheapest Gopher gate (narrow map, no gram explode): fraction
+    * of tokens that repeat an earlier token. */
+  def dupWordFrac(text: Column): Column = {
+    val ws = toks(text)
+    (size(ws) - size(array_distinct(ws))).cast("double") / size(ws)
+  }
+
   /** Gopher repetition signals, one row per document:
     *  - `dup_word_frac`: fraction of tokens that are repeats of an
     *    earlier token (1 - distinct/total);

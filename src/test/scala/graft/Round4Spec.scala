@@ -81,6 +81,31 @@ class CorpusSignalsSpec extends SparkSpec {
   }
 }
 
+class CleanPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanPlan composes the gates lazily and matches clean's output") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = exec.CorpusPipeline.cleanPlan(docs,
+      minTokens = 30, maxPunctRatio = 0.05, maxDupWordFrac = 0.6,
+      nearDupThreshold = 0.6)
+    val (framed, summary) = exec.CorpusPipeline.clean(spark, docs,
+      minTokens = 30, maxPunctRatio = 0.05, nearDupThreshold = 0.6,
+      maxDupWordFrac = 0.6)
+    val a = plan.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = framed.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && summary.afterNearDup == a.length)
+    assert(summary.input > summary.afterQuality) // the gates really gate
+  }
+
+  test("repetitionGate at 1.0 is a no-op; at 0.0 only all-distinct docs pass") {
+    val d = Seq((1L, "a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    assert(exec.CorpusPipeline.repetitionGate(d, 1.0).count() == 2)
+    val strict = exec.CorpusPipeline.repetitionGate(d, 0.0)
+    assert(strict.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
+
 class SemanticDedupSpec extends SparkSpec {
   import spark.implicits._
 
