@@ -62,23 +62,34 @@ object Bench {
       val sorted = runs.map(_._1).sorted
       (name, sorted(1), sorted.last - sorted.head, runs.forall(_._2))
     }
-    // The driver captures only the tail of the sbt log; round 3's line —
-    // full-precision doubles plus three parallel 57-entry maps — overflowed
-    // that buffer and truncated the headline. Keep this line COMPACT:
-    // 3-decimal medians, spread only where it exceeds 0.2s (the noise
-    // signal the driver needs), and a failed-name list instead of an
-    // all-true ok map.
-    def r3(x: Double): String = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map(r => "\"" + r._1 + "\":" + r3(r._2)).mkString("{", ",", "}")
-    val spread = results.filter(_._3 >= 0.2)
-      .map(r => "\"" + r._1 + "\":" + r3(r._3)).mkString("{", ",", "}")
-    val failed = results.filter(!_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // The driver captures only the LAST 2000 chars of the sbt log, and
+    // sbt's trailing "[success] Total time" line eats ~80 of them. Round
+    // 3's headline (full-precision doubles + three parallel 57-entry
+    // maps) overflowed that window and the driver recorded parsed:null.
+    // Budget the headline hard: short qNN keys (the driver contract's
+    // own example format — full names go on a separate earlier line for
+    // humans), 2-decimal medians, spread only for the 6 noisiest
+    // queries, failed list capped at 8 names. Worst case ~1.2 KB even
+    // at 100 queries.
+    def r2(x: Double): String = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    // full-name breakdown for human readers of the raw log (NOT the
+    // headline — may be cut by the tail window, that's fine)
+    results.foreach(r => println(f"BENCHQ ${r._1}%-28s median=${r2(r._2)}%8ss spread=${r2(r._3)}%8ss ok=${r._4}"))
+    val qs = results.map(r => "\"" + shortId(r._1) + "\":" + r2(r._2)).mkString("{", ",", "}")
+    val spread = results.filter(_._3 >= 0.2).sortBy(-_._3).take(6)
+      .map(r => "\"" + shortId(r._1) + "\":" + r2(r._3)).mkString("{", ",", "}")
+    val failed = results.filter(!_._4).take(8)
+      .map(r => "\"" + shortId(r._1) + "\"").mkString("[", ",", "]")
     // a failed query must not masquerade as a healthy timing
     val total = results.filter(_._4).map(_._2).sum
     val nFailed = results.count(!_._4)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,""" +
       s""""spread":$spread,"failed":$failed,"failed_queries":$nFailed,""" +
-      s""""scan_mbps":${r3(scanMbps)},"sf":"$sfDir"}""")
+      s""""scan_mbps":${r2(scanMbps)},"sf":"$sfDir"}"""
     spark.stop()
+    // print AFTER spark.stop() so no shutdown log line lands between the
+    // headline and the end of the log and eats tail-window budget
+    println(line)
   }
 }

@@ -1912,6 +1912,193 @@ object Queries {
        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- PII scrub
+  /** PII scrubbing: the corpus carries no real PII, so the query plants
+    * a deterministic email / phone / IPv4 per document (both sides
+    * replay the same injection) and the operator counts and redacts
+    * them. Pure per-row regex work — zero shuffle. */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or 555-867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    Curation.piiScrub(planted, "doc_id", col("text"))
+      .orderBy("doc_id")
+  }
+
+  private val oPiiScrub = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+    s"""WITH p AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |    || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       |    || '.7 or 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+       |  (len(regexp_extract_all(text, '$email'))
+       |   + len(regexp_extract_all(text, '$ip'))
+       |   + len(regexp_extract_all(text, '$phone'))) > 0 AS has_pii,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g') AS scrubbed
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------- hash split + stratified mixing
+  /** Deterministic train/val/test split (10%/10% by hash myriad) plus
+    * hash-threshold dataset mixing (web-ish sources downsampled, the
+    * rest kept at distinct rates), reported as per-(source, split)
+    * counts. Hash-derived assignments stay stable as the corpus grows —
+    * the property that keeps eval splits uncontaminated across
+    * refreshes. */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source") === "src0", 0.5)
+      .when(col("source") === "src1", 1.0)
+      .otherwise(0.75)
+    val split = Curation.assignSplit(t(s, dir, "documents"), "doc_id",
+      testPerMyriad = 1000, valPerMyriad = 1000)
+    Curation.sampleByRate(split, "doc_id", rate)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
+  private val oHashSplit =
+    """WITH b AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 10000 AS sb,
+      |    ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 10000 AS mb
+      |  FROM documents),
+      |r AS (SELECT source,
+      |        CASE WHEN sb < 1000 THEN 'test'
+      |             WHEN sb < 2000 THEN 'val' ELSE 'train' END AS split,
+      |        mb,
+      |        CASE WHEN source = 'src0' THEN 0.5
+      |             WHEN source = 'src1' THEN 1.0 ELSE 0.75 END AS rate
+      |      FROM b)
+      |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM r WHERE mb < CAST(rate * 10000 AS BIGINT)
+      |GROUP BY source, split ORDER BY source, split""".stripMargin
+
+  // ------------------------------------------------- sequence packing
+  /** Concat-and-chunk sequence packing into 128-token training
+    * sequences, cumulative-summed per source shard (never a global
+    * window): each document reports its token offset and the sequences
+    * it spans. */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    Curation.packSequences(docs, "doc_id", "source", col("n_tokens"),
+        seqTokens = 128)
+      .orderBy("doc_id")
+  }
+
+  private val oPackSequences =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT *,
+      |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+      |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |          AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+      |      FROM d)
+      |SELECT doc_id, source, n_tokens, token_offset,
+      |       token_offset // 128 AS first_seq,
+      |       (token_offset + n_tokens - 1) // 128 AS last_seq,
+      |       (token_offset + n_tokens - 1) // 128 - token_offset // 128 + 1
+      |         AS n_seqs
+      |FROM o ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- cross-document spans
+  /** Exact-substring dedup signal: per document, the count and fraction
+    * of its distinct word 6-grams that occur in at least one other
+    * document. Gram document-frequency is one map-side-combined
+    * aggregation; only df≥2 grams ship back. */
+  private def qCrossDocSpans(s: SparkSession, dir: String): DataFrame =
+    Curation.crossDocSpans(t(s, dir, "documents"), "doc_id", col("text"),
+        n = 6)
+      .orderBy("doc_id")
+
+  private val oCrossDocSpans =
+    s"""WITH g0 AS (
+       |  SELECT doc_id, ${oGramsAll(6)} AS gram
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+       |        FROM documents)),
+       |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+       |sh AS (SELECT gram FROM (
+       |         SELECT gram, count(DISTINCT doc_id) AS gd FROM g GROUP BY gram)
+       |       WHERE gd >= 2),
+       |p AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+       |      FROM g GROUP BY doc_id),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+       |      FROM g JOIN sh USING (gram) GROUP BY doc_id)
+       |SELECT p.doc_id, n_grams,
+       |       CAST(coalesce(d.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       |       CAST(coalesce(d.n_shared_grams, 0) AS DOUBLE) / n_grams
+       |         AS shared_frac
+       |FROM p LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- NFC text normalization
+  /** Unicode NFC normalization via the native `nfc_normalize`
+    * expression: the corpus is ASCII, so the query appends decomposed
+    * sequences (e+combining-acute, ANGSTROM SIGN, A+combining-ring)
+    * that NFC must compose — both engines replay the same injection.
+    * Character counts prove the compositions happened (3 fewer chars
+    * after NFC). */
+  private def qNfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    val mixed = concat(substring(col("text"), 1, 40),
+      lit(" Cafe\u0301 \u212B A\u030A"))
+    t(s, dir, "documents").select(col("doc_id"), mixed.as("mixed"))
+      .select(col("doc_id"),
+        call_function("nfc_normalize", col("mixed")).as("normalized"),
+        length(col("mixed")).cast("bigint").as("len_before"),
+        length(call_function("nfc_normalize", col("mixed"))).cast("bigint")
+          .as("len_after"))
+      .orderBy("doc_id")
+  }
+
+  private val oNfcNormalize =
+    """WITH m AS (
+      |  SELECT doc_id, substring(text, 1, 40) || ' Cafe' || chr(769) || ' '
+      |    || chr(8491) || ' A' || chr(778) AS mixed
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(mixed) AS normalized,
+      |       CAST(length(mixed) AS BIGINT) AS len_before,
+      |       CAST(length(nfc_normalize(mixed)) AS BIGINT) AS len_after
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- length quantiles
+  /** Per-source token-length profile (exact interpolating percentiles):
+    * what a mixing pass reads before choosing per-source rates. */
+  private def qLengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.lengthQuantiles(
+        t(s, dir, "documents").select(col("source"),
+          size(split(col("text"), "\\s+")).cast("bigint").as("nt")),
+        "source", col("nt"))
+      .orderBy("source")
+
+  private val oLengthQuantiles =
+    """SELECT source,
+      |  round(quantile_cont(nt, 0.5), 6) AS p50,
+      |  round(quantile_cont(nt, 0.9), 6) AS p90,
+      |  round(quantile_cont(nt, 0.99), 6) AS p99,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM (SELECT source,
+      |        CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nt
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -1977,7 +2164,13 @@ object Queries {
     "q61_contamination" -> (qContamination _),
     "q62_tfidf_terms" -> (qTfidfTerms _),
     "q63_ranged_parts" -> (qRangedParts _),
-    "q64_full_clean" -> (qFullClean _)
+    "q64_full_clean" -> (qFullClean _),
+    "q65_pii_scrub" -> (qPiiScrub _),
+    "q66_hash_split" -> (qHashSplit _),
+    "q67_pack_sequences" -> (qPackSequences _),
+    "q68_cross_doc_spans" -> (qCrossDocSpans _),
+    "q69_nfc_normalize" -> (qNfcNormalize _),
+    "q70_length_quantiles" -> (qLengthQuantiles _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2044,6 +2237,12 @@ object Queries {
     "q61_contamination" -> oContamination,
     "q62_tfidf_terms" -> oTfidfTerms,
     "q63_ranged_parts" -> oRangedParts,
-    "q64_full_clean" -> oFullClean
+    "q64_full_clean" -> oFullClean,
+    "q65_pii_scrub" -> oPiiScrub,
+    "q66_hash_split" -> oHashSplit,
+    "q67_pack_sequences" -> oPackSequences,
+    "q68_cross_doc_spans" -> oCrossDocSpans,
+    "q69_nfc_normalize" -> oNfcNormalize,
+    "q70_length_quantiles" -> oLengthQuantiles
   )
 }

@@ -189,6 +189,23 @@ object CorpusSignals {
     train.join(contamination(train, bench, id, text, n).select(col(id)),
       Seq(id), "left_anti")
 
+  /** Per-group length quantiles (p50/p90/p99 of a numeric column) —
+    * the corpus-profile summary a mixing pass reads before choosing
+    * per-source rates. Uses Spark's EXACT interpolating `percentile`
+    * (sort-per-group): right for per-source profiles where groups are
+    * few; at 100 TB with high-cardinality groups swap in
+    * `approx_percentile`, whose t-digest sketch merges map-side (the
+    * result then has sketch error, so the exact form stays the oracle
+    * surface). Results round to 6 decimals so the interpolation's last
+    * ulp can't differ across engines. */
+  def lengthQuantiles(df: DataFrame, group: String, value: Column): DataFrame =
+    df.groupBy(col(group))
+      .agg(
+        round(percentile(value, lit(0.5)), 6).as("p50"),
+        round(percentile(value, lit(0.9)), 6).as("p90"),
+        round(percentile(value, lit(0.99)), 6).as("p99"),
+        count(lit(1)).as("n_docs"))
+
   /** Top-k salient terms per document by TF-IDF. The score uses the
     * linear-idf form score = tf × (N / df) — a single IEEE double
     * division of exact integers, bit-portable across engines, where a

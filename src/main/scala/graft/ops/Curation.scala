@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation passes a training-data pipeline runs after the
+  * quality/dedup stages ([[CorpusSignals]], [[ApproxDedup]]): PII
+  * scrubbing, deterministic train/val/test splitting, hash-based
+  * stratified sampling (dataset mixing), sequence packing, and
+  * cross-document span statistics.
+  *
+  * Scale design: every pass is either a narrow map (PII, splitting,
+  * sampling — zero shuffle, runs at scan speed) or one map-side-combined
+  * aggregation keyed by document or gram. Sequence packing is the one
+  * inherently sequential pass — it windows per source shard, never
+  * globally, so each shard packs independently exactly as a sharded
+  * tokenizer job would.
+  *
+  * All decisions are hash-derived (md5-prefix buckets, the engine's
+  * portable-hash idiom), never RNG-derived: re-running the pipeline on
+  * a grown corpus keeps every previous assignment stable, which is what
+  * makes incremental corpus refreshes reproducible.
+  */
+object Curation {
+
+  // Conservative, RE2-compatible PII patterns (no backrefs, no
+  // lookarounds — they must behave identically under Java regex and
+  // any engine a downstream consumer swaps in).
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Per-document PII signals and the scrubbed text: counts of email /
+    * IPv4 / US-phone matches and the text with each class replaced by a
+    * typed placeholder. Email runs first so its digits can't be
+    * re-matched as phone fragments; phone before IP for the same
+    * reason. Pure per-row expressions — zero shuffle. */
+  def piiScrub(df: DataFrame, id: String, text: Column): DataFrame = {
+    val nEmail = size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("bigint")
+    val nIp = size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("bigint")
+    val nPhone = size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("bigint")
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    df.select(col(id),
+      nEmail.as("n_email"), nPhone.as("n_phone"), nIp.as("n_ip"),
+      (nEmail + nIp + nPhone > 0).as("has_pii"),
+      scrubbed.as("scrubbed"))
+  }
+
+  /** Deterministic bucket in [0, buckets) from the md5 prefix of the
+    * salted key — the engine's portable-hash idiom (stable across
+    * engines, JVMs, and corpus growth). Salting decorrelates
+    * independent decisions (split vs sample) made on the same key. */
+  def hashBucket(key: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("bigint") % buckets
+
+  /** Train/val/test assignment by hash bucket: the two fractions are
+    * expressed per myriad (out of 10000). Hash-based, so adding
+    * documents later never reassigns an existing one — the property
+    * that keeps eval sets uncontaminated across corpus refreshes. */
+  def assignSplit(df: DataFrame, id: String,
+                  testPerMyriad: Int, valPerMyriad: Int): DataFrame = {
+    val b = hashBucket(col(id), "split:", 10000)
+    df.withColumn("split",
+      when(b < testPerMyriad, "test")
+        .when(b < testPerMyriad + valPerMyriad, "val")
+        .otherwise("train"))
+  }
+
+  /** Hash-threshold sampling at a per-row rate in [0, 1] (dataset
+    * mixing: pass a CASE over the source column as `rate`). Keeps a row
+    * when its bucket falls below rate×10000 — deterministic, exact in
+    * expectation, stable under corpus growth. Narrow filter, pushes
+    * down to the scan. */
+  def sampleByRate(df: DataFrame, id: String, rate: Column): DataFrame =
+    df.filter(hashBucket(col(id), "sample:", 10000) < (rate * 10000).cast("bigint"))
+
+  /** Concat-and-chunk sequence packing: documents stream in (shard,
+    * id) order into fixed `seqTokens`-token training sequences; each
+    * document reports its token offset and the first/last sequence it
+    * lands in. The cumulative sum windows per `shard` — shards pack
+    * independently (this is how a sharded tokenizer job behaves), so
+    * no global single-partition window exists at any scale. */
+  def packSequences(df: DataFrame, id: String, shard: String,
+                    nTokens: Column, seqTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(shard)).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(id), col(shard), nTokens.cast("bigint").as("n_tokens"))
+      .withColumn("token_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("first_seq", expr(s"token_offset div $seqTokens"))
+      .withColumn("last_seq",
+        expr(s"(token_offset + n_tokens - 1) div $seqTokens"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
+  }
+
+  /** Cross-document span statistics: per document, how many of its
+    * distinct word `n`-grams also occur in at least one OTHER document
+    * (the signal behind exact-substring train-set dedup). Gram
+    * df-counting is one map-side-combined aggregation on the gram key;
+    * the join back ships only grams with df ≥ 2. */
+  def crossDocSpans(df: DataFrame, id: String, text: Column, n: Int): DataFrame = {
+    val grams = df.select(col(id), explode(ApproxDedup.wordNgrams(text, n)).as("gram"))
+    val shared = grams.groupBy(col("gram"))
+      .agg(countDistinct(col(id)).as("gdocs"))
+      .filter(col("gdocs") >= 2)
+      .select(col("gram"))
+    val perDoc = grams.groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"))
+    val dup = grams.join(shared, Seq("gram"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shared_grams"))
+    perDoc.join(dup, Seq(id), "left")
+      .select(col(id), col("n_grams"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)).cast("double") /
+          col("n_grams")).as("shared_frac"))
+  }
+}

@@ -33,5 +33,17 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           "multipart_etag_finish expects (array<string> digests, boolean isMultipart)")
         MultipartEtagFinish(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[NfcNormalize].getName,
+        null,
+        "nfc_normalize",
+        "nfc_normalize(text) - Unicode NFC normalization",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "nfc_normalize expects (string text)")
+        NfcNormalize(children.head)
+      }))
   }
 }

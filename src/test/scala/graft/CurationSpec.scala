@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CorpusSignals, Curation}
+
+/** Dataset-curation passes: PII scrubbing, hash split / mixing,
+  * sequence packing, cross-document span stats, NFC normalization. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiScrub counts and redacts each class, email before phone/ip") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex-site.org or call 555-123-4567 from 192.168.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.co one ip 10.0.0.255")
+    ).toDF("doc_id", "text")
+    val r = Curation.piiScrub(df, "doc_id", col("text")).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_email") == 1 && r(0).getAs[Long]("n_phone") == 1
+      && r(0).getAs[Long]("n_ip") == 1)
+    assert(r(0).getAs[String]("scrubbed") ==
+      "mail <EMAIL> or call <PHONE> from <IP>")
+    assert(!r(1).getAs[Boolean]("has_pii"))
+    assert(r(1).getAs[String]("scrubbed") == "no pii here at all")
+    assert(r(2).getAs[Long]("n_email") == 2 && r(2).getAs[Long]("n_ip") == 1)
+  }
+
+  test("assignSplit is deterministic, exhaustive, and id-stable") {
+    val a = Curation.assignSplit(
+      spark.range(1000).toDF("id"), "id", 1000, 1000)
+    val counts = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 1000)
+    // roughly a tenth each for val/test (hash uniformity, wide tolerance)
+    assert(counts("test") > 50 && counts("test") < 200)
+    // stability: the same ids in a bigger frame get the same split
+    val b = Curation.assignSplit(spark.range(2000).toDF("id"), "id", 1000, 1000)
+      .filter(col("id") < 1000)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("sampleByRate keeps rate-0 nothing, rate-1 everything") {
+    val df = spark.range(500).toDF("id")
+    assert(Curation.sampleByRate(df, "id", lit(0.0)).count() == 0)
+    assert(Curation.sampleByRate(df, "id", lit(1.0)).count() == 500)
+    val n = Curation.sampleByRate(df, "id", lit(0.5)).count()
+    assert(n > 150 && n < 350)
+  }
+
+  test("packSequences chunks per shard with correct offsets and spans") {
+    val df = Seq(
+      (1L, "s1", 60L), (2L, "s1", 60L), (3L, "s1", 10L),
+      (4L, "s2", 250L)
+    ).toDF("id", "shard", "n")
+    val r = Curation.packSequences(df, "id", "shard", col("n"), seqTokens = 100)
+      .orderBy("id").collect()
+    // shard s1: offsets 0, 60, 120 -> docs 1,2 straddle/fit seq 0/1, doc 3 in seq 1
+    assert(r(0).getAs[Long]("token_offset") == 0 &&
+      r(0).getAs[Long]("first_seq") == 0 && r(0).getAs[Long]("last_seq") == 0)
+    assert(r(1).getAs[Long]("token_offset") == 60 &&
+      r(1).getAs[Long]("first_seq") == 0 && r(1).getAs[Long]("last_seq") == 1)
+    assert(r(2).getAs[Long]("token_offset") == 120 &&
+      r(2).getAs[Long]("first_seq") == 1)
+    // shard s2 restarts at offset 0 and spans 3 sequences
+    assert(r(3).getAs[Long]("token_offset") == 0 &&
+      r(3).getAs[Long]("n_seqs") == 3)
+  }
+
+  test("crossDocSpans finds only grams shared across documents") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "totally unrelated words here now friend")
+    ).toDF("doc_id", "text")
+    val r = Curation.crossDocSpans(df, "doc_id", col("text"), n = 3)
+      .orderBy("doc_id").collect()
+    // docs 1/2 share the 4 3-grams of the common 6-token prefix
+    assert(r(0).getAs[Long]("n_grams") == 4 && r(0).getAs[Long]("n_shared_grams") == 4)
+    assert(r(1).getAs[Long]("n_grams") == 5 && r(1).getAs[Long]("n_shared_grams") == 4)
+    assert(r(2).getAs[Long]("n_shared_grams") == 0 &&
+      r(2).getAs[Double]("shared_frac") == 0.0)
+  }
+
+  test("lengthQuantiles interpolates exactly per group") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("b", 5L))
+      .toDF("g", "v")
+    val r = CorpusSignals.lengthQuantiles(df, "g", col("v"))
+      .orderBy("g").collect()
+    // group a: n=4 -> p50 at index 1.5 -> 25; p90 at 2.7 -> 37; p99 at 2.97 -> 39.7
+    assert(r(0).getAs[Double]("p50") == 25.0)
+    assert(r(0).getAs[Double]("p90") == 37.0)
+    assert(r(0).getAs[Double]("p99") == 39.7)
+    assert(r(1).getAs[Double]("p50") == 5.0 && r(1).getAs[Long]("n_docs") == 1L)
+  }
+
+  test("nfc_normalize composes decomposed sequences and is ASCII-stable") {
+    val r = Seq(
+      "Cafe\u0301",   // e + combining acute -> \u00e9
+      "\u212B",        // ANGSTROM SIGN -> \u00c5
+      "A\u030A",       // A + combining ring -> \u00c5
+      "plain ascii"
+    ).toDF("s")
+      .select(call_function("nfc_normalize", col("s")).as("n"))
+      .as[String].collect()
+    assert(r(0) == "Caf\u00e9")
+    assert(r(1) == "\u00c5" && r(2) == "\u00c5")
+    assert(r(3) == "plain ascii")
+  }
+}
