@@ -2078,6 +2078,28 @@ object Queries {
       |       CAST(length(nfc_normalize(mixed)) AS BIGINT) AS len_after
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- shard shuffle order
+  /** Deterministic training-order shuffle: hash-assigned shard plus a
+    * dense per-shard position from an independent hash order. */
+  private def qShardShuffle(s: SparkSession, dir: String): DataFrame =
+    Curation.shardShuffle(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", shards = 8)
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
+  private val oShardShuffle =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 8 AS shard,
+      |    md5('order:' || CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents)
+      |SELECT doc_id, source, shard,
+      |       CAST(row_number() OVER (PARTITION BY shard
+      |         ORDER BY ord, doc_id) AS BIGINT) AS pos
+      |FROM b ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- length quantiles
   /** Per-source token-length profile (exact interpolating percentiles):
     * what a mixing pass reads before choosing per-source rates. */
@@ -2170,7 +2192,8 @@ object Queries {
     "q67_pack_sequences" -> (qPackSequences _),
     "q68_cross_doc_spans" -> (qCrossDocSpans _),
     "q69_nfc_normalize" -> (qNfcNormalize _),
-    "q70_length_quantiles" -> (qLengthQuantiles _)
+    "q70_length_quantiles" -> (qLengthQuantiles _),
+    "q71_shard_shuffle" -> (qShardShuffle _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2243,6 +2266,7 @@ object Queries {
     "q67_pack_sequences" -> oPackSequences,
     "q68_cross_doc_spans" -> oCrossDocSpans,
     "q69_nfc_normalize" -> oNfcNormalize,
-    "q70_length_quantiles" -> oLengthQuantiles
+    "q70_length_quantiles" -> oLengthQuantiles,
+    "q71_shard_shuffle" -> oShardShuffle
   )
 }

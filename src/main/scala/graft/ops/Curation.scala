@@ -98,6 +98,21 @@ object Curation {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
   }
 
+  /** Deterministic corpus shuffle for training-order serving: each row
+    * lands in a hash-assigned shard and gets a dense 1-based position
+    * from a second, independent hash order (ties broken by id — total
+    * order). Reproducible end to end: re-running on the same corpus
+    * yields byte-identical serving order, and the position window runs
+    * per shard (shards are the parallelism unit — no global sort). */
+  def shardShuffle(df: DataFrame, id: String, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_ord"), col(id))
+    df.withColumn("shard", hashBucket(col(id), "shard:", shards))
+      .withColumn("_ord", md5(concat(lit("order:"), col(id).cast("string"))))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .drop("_ord")
+  }
+
   /** Cross-document span statistics: per document, how many of its
     * distinct word `n`-grams also occur in at least one OTHER document
     * (the signal behind exact-substring train-set dedup). Gram

@@ -81,6 +81,23 @@ class CurationSpec extends SparkSpec {
       r(2).getAs[Double]("shared_frac") == 0.0)
   }
 
+  test("shardShuffle: dense per-shard positions, deterministic") {
+    val a = Curation.shardShuffle(spark.range(200).toDF("id"), "id", 4)
+    val b = Curation.shardShuffle(spark.range(200).toDF("id"), "id", 4)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // positions are dense 1..n within every shard
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("d"))
+      .collect()
+    assert(perShard.length == 4)
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("mn") == 1L)
+      assert(r.getAs[Long]("mx") == r.getAs[Long]("n"))
+      assert(r.getAs[Long]("d") == r.getAs[Long]("n"))
+    }
+  }
+
   test("lengthQuantiles interpolates exactly per group") {
     val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("b", 5L))
       .toDF("g", "v")
