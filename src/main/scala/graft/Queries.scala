@@ -2078,6 +2078,39 @@ object Queries {
       |       CAST(length(nfc_normalize(mixed)) AS BIGINT) AS len_after
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- session windows
+  /** Per-user session windows over the event log (1-day gap — the
+    * synthetic events are sparse), via Spark's merging session_window
+    * aggregate; the oracle replays gaps-and-islands in SQL. */
+  private def qSessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sec = ev.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000000")
+      case _        => col("ts").cast("bigint")
+    }
+    TimeBucketStats.sessionize(ev, col("user_id"), sec, gapSec = 86400)
+      .select(col("skey").as("user_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val oSessionWindows =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events),
+      |x AS (SELECT user_id, sec,
+      |        CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
+      |          ORDER BY sec) >= 86400 THEN 1 ELSE 0 END AS brk
+      |      FROM e),
+      |y AS (SELECT user_id, sec,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x)
+      |SELECT user_id, min(sec) AS session_start,
+      |       max(sec) + 86400 AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM y GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   // ---------------------------------------------- shard shuffle order
   /** Deterministic training-order shuffle: hash-assigned shard plus a
     * dense per-shard position from an independent hash order. */
@@ -2193,7 +2226,8 @@ object Queries {
     "q68_cross_doc_spans" -> (qCrossDocSpans _),
     "q69_nfc_normalize" -> (qNfcNormalize _),
     "q70_length_quantiles" -> (qLengthQuantiles _),
-    "q71_shard_shuffle" -> (qShardShuffle _)
+    "q71_shard_shuffle" -> (qShardShuffle _),
+    "q72_session_windows" -> (qSessionWindows _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2267,6 +2301,7 @@ object Queries {
     "q68_cross_doc_spans" -> oCrossDocSpans,
     "q69_nfc_normalize" -> oNfcNormalize,
     "q70_length_quantiles" -> oLengthQuantiles,
-    "q71_shard_shuffle" -> oShardShuffle
+    "q71_shard_shuffle" -> oShardShuffle,
+    "q72_session_windows" -> oSessionWindows
   )
 }

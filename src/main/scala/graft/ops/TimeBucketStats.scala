@@ -91,6 +91,24 @@ object TimeBucketStats {
       .withColumn("bytes_per_minute",
         floor(col("total_success_size") / col("elapsed_minutes")).cast("bigint"))
 
+  /** Session windows per key (T8 beyond tumbling): events closer than
+    * `gapSec` merge into one session [first_ts, last_ts + gap). Uses
+    * Spark's native `session_window` aggregation — a merging hash
+    * aggregate shuffled by the session key, NOT a per-key sort window,
+    * so it partial-aggregates map-side and scales with key cardinality
+    * (the same operator Structured Streaming uses for streaming
+    * sessionization with a watermark). Timestamps in/out are epoch
+    * seconds. */
+  def sessionize(log: DataFrame, key: Column, epochSec: Column,
+                 gapSec: Int): DataFrame =
+    log.select(key.as("skey"), timestamp_seconds(epochSec.cast("bigint")).as("ts"))
+      .groupBy(session_window(col("ts"), s"$gapSec seconds"), col("skey"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("skey"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("session_window.end").cast("long").as("session_end"),
+        col("n_events"))
+
   /** J6/A10 — zero-filled minute spine: `n` one-minute slots starting at
     * `startEpochSec`, left-joined against the 1-minute stat rows. */
   def minuteSpine(stat: DataFrame, startEpochSec: Long, n: Int): DataFrame = {

@@ -81,6 +81,22 @@ class CurationSpec extends SparkSpec {
       r(2).getAs[Double]("shared_frac") == 0.0)
   }
 
+  test("sessionize merges events closer than the gap, per key") {
+    val ev = Seq(
+      (1L, 0L), (1L, 50L), (1L, 120L),  // 50 within 60s of 0; 120 >= 50+60 -> new
+      (2L, 0L)
+    ).toDF("user_id", "sec")
+    val r = graft.ops.TimeBucketStats.sessionize(ev, col("user_id"), col("sec"), 60)
+      .orderBy("skey", "session_start").collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Long]("session_start") == 0L &&
+      r(0).getAs[Long]("session_end") == 110L &&   // last ts 50 + gap 60
+      r(0).getAs[Long]("n_events") == 2L)
+    assert(r(1).getAs[Long]("session_start") == 120L &&
+      r(1).getAs[Long]("session_end") == 180L)
+    assert(r(2).getAs[Long]("skey") == 2L && r(2).getAs[Long]("n_events") == 1L)
+  }
+
   test("shardShuffle: dense per-shard positions, deterministic") {
     val a = Curation.shardShuffle(spark.range(200).toDF("id"), "id", 4)
     val b = Curation.shardShuffle(spark.range(200).toDF("id"), "id", 4)

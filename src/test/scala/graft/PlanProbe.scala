@@ -8,7 +8,9 @@ object PlanProbe {
       "q22_minhash_lsh", "q25_ivf_topk", "q29_verification", "q30_budget_cap",
       "q42_salted_join", "q46_lsh_near_dup",
       "q58_repetition_signals", "q59_line_dedup", "q61_contamination",
-      "q62_tfidf_terms", "q63_ranged_parts", "q64_full_clean")
+      "q62_tfidf_terms", "q63_ranged_parts", "q64_full_clean",
+      "q65_pii_scrub", "q66_hash_split", "q67_pack_sequences",
+      "q68_cross_doc_spans", "q70_length_quantiles", "q71_shard_shuffle")
     for (name <- interesting) {
       val df = Queries.all(name)(spark, sf)
       df.count() // let AQE finalize
