@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
@@ -10,13 +11,29 @@ object PlanProbe {
       "q58_repetition_signals", "q59_line_dedup", "q61_contamination",
       "q62_tfidf_terms", "q63_ranged_parts", "q64_full_clean",
       "q65_pii_scrub", "q66_hash_split", "q67_pack_sequences",
-      "q68_cross_doc_spans", "q70_length_quantiles", "q71_shard_shuffle")
+      "q68_cross_doc_spans", "q70_length_quantiles", "q71_shard_shuffle",
+      "q72_session_windows")
+    // the AQE final-plan STRING hides codegen stages, so wsc walks the
+    // tree (descending through AQE's finalized plan) instead of
+    // regexing the rendering
+    def countWsc(p: SparkPlan): Int = {
+      val self = p match { case _: WholeStageCodegenExec => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan) // stages hide their subtree from .children
+        case s => s.children
+      }
+      self + kids.map(countWsc).sum
+    }
     for (name <- interesting) {
       val df = Queries.all(name)(spark, sf)
-      df.count() // let AQE finalize
+      // execute THIS df (collect, not count — count() builds a different
+      // query tree, leaving df's own AQE plan unfinalized and codegen-free)
+      df.collect()
       val plan = df.queryExecution.executedPlan.toString
       def count(p: String) = p.r.findAllIn(plan).size
-      println(f"PLAN $name%-22s exchanges=${count("Exchange")}%2d bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} cart=${count("CartesianProduct")} window=${count("WindowExec|RunningWindowFunction|Window ")} wsc=${count("WholeStageCodegen")}%2d pushed=${count("PushedFilters: \\[[^\\]]")} noPart=${count("No Partition Defined")}")
+      val wsc = countWsc(df.queryExecution.executedPlan)
+      println(f"PLAN $name%-22s exchanges=${count("Exchange")}%2d bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} cart=${count("CartesianProduct")} window=${count("WindowExec|RunningWindowFunction|Window ")} wsc=$wsc%3d pushed=${count("PushedFilters: \\[[^\\]]")} noPart=${count("No Partition Defined")}")
     }
     spark.stop()
   }
