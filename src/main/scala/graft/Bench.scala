@@ -49,6 +49,7 @@ object Bench {
     // SPARK_GRAFT_ONLY=q22,q25 restricts the suite (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // set-but-empty must mean "all", not "none"
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     val results = selected.map { case (name, fn) =>

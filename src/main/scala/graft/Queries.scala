@@ -29,14 +29,19 @@ object Queries {
     * spark.sql.legacy.parquet.nanosAsLong it reads as long nanos;
     * without, as a timestamp. Normalize to epoch SECONDS (long) — both
     * paths agree because bucket granularity is ≥ 1s. */
-  private def eventLog(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    // `div` = integral division: nanos exceed 2^53, so a double `/` here
-    // would round second boundaries off by one.
-    val sec = ev.schema("ts").dataType match {
+  /** Epoch-seconds expression for the events table's ts column —
+    * `div` = integral division: nanos exceed 2^53, so a double `/` here
+    * would round second boundaries off by one. The single home of the
+    * nanos-as-long contract (eventLog + q72 both read through it). */
+  private def eventSec(ev: DataFrame): Column =
+    ev.schema("ts").dataType match {
       case LongType => expr("ts div 1000000000")
       case _        => col("ts").cast("bigint")
     }
+
+  private def eventLog(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sec = eventSec(ev)
     ev.select(
       sec.as("sec"),
       when(col("event_type") === "error", 0).otherwise(1).as("ok"),
@@ -1987,7 +1992,7 @@ object Queries {
       |             WHEN source = 'src1' THEN 1.0 ELSE 0.75 END AS rate
       |      FROM b)
       |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
-      |FROM r WHERE mb < CAST(rate * 10000 AS BIGINT)
+      |FROM r WHERE mb < CAST(floor(rate * 10000) AS BIGINT)
       |GROUP BY source, split ORDER BY source, split""".stripMargin
 
   // ------------------------------------------------- sequence packing
@@ -2084,11 +2089,7 @@ object Queries {
     * aggregate; the oracle replays gaps-and-islands in SQL. */
   private def qSessionWindows(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
-    val sec = ev.schema("ts").dataType match {
-      case LongType => expr("ts div 1000000000")
-      case _        => col("ts").cast("bigint")
-    }
-    TimeBucketStats.sessionize(ev, col("user_id"), sec, gapSec = 86400)
+    TimeBucketStats.sessionize(ev, col("user_id"), eventSec(ev), gapSec = 86400)
       .select(col("skey").as("user_id"), col("session_start"),
         col("session_end"), col("n_events"))
       .orderBy("user_id", "session_start")

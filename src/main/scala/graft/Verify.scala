@@ -22,6 +22,7 @@ object Verify {
     // restricts the dump; the driver sets no env, so it always runs all
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // set-but-empty must mean "all", not "none"
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

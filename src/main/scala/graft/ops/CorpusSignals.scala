@@ -42,6 +42,14 @@ object CorpusSignals {
           .otherwise(array().cast("array<string>"))),
       1)
 
+  /** Distinct word n-grams with EMPTY output for sub-`n`-token
+    * documents — the oracle-matching form for gram-set intersection
+    * ops ([[ApproxDedup.wordNgrams]] instead falls back to the whole
+    * text as one gram, which MinHash needs for nonempty sets but which
+    * a SQL `generate_series(1, len-n+1)` replay never emits). */
+  def wordNgramsDistinct(text: Column, n: Int): Column =
+    array_distinct(wordNgramsAll(text, n))
+
   /** The duplicate-word fraction alone, as a filter-ready column —
     * the cheapest Gopher gate (narrow map, no gram explode): fraction
     * of tokens that repeat an earlier token. */
@@ -171,10 +179,12 @@ object CorpusSignals {
     * so the training side never shuffles on the gram key. */
   def contamination(train: DataFrame, bench: DataFrame, id: String,
                     text: Column, n: Int): DataFrame = {
+    // wordNgramsDistinct, not ApproxDedup.wordNgrams: the whole-text
+    // fallback for sub-n documents would diverge from the SQL replay
     val tg = train.select(col(id),
-      explode(ApproxDedup.wordNgrams(text, n)).as("gram"))
+      explode(wordNgramsDistinct(text, n)).as("gram"))
     val bg = bench.select(
-        explode(ApproxDedup.wordNgrams(text, n)).as("gram"))
+        explode(wordNgramsDistinct(text, n)).as("gram"))
       .distinct()
     tg.join(broadcast(bg), Seq("gram"))
       // wordNgrams is distinct-per-document, so count(*) = distinct grams

@@ -78,7 +78,10 @@ object Curation {
     * expectation, stable under corpus growth. Narrow filter, pushes
     * down to the scan. */
   def sampleByRate(df: DataFrame, id: String, rate: Column): DataFrame =
-    df.filter(hashBucket(col(id), "sample:", 10000) < (rate * 10000).cast("bigint"))
+    // floor()+cast, not a bare cast: DuckDB's double->int cast ROUNDS
+    // while Spark's truncates — the repo-wide oracle-parity rule
+    df.filter(hashBucket(col(id), "sample:", 10000) <
+      floor(rate * 10000).cast("bigint"))
 
   /** Concat-and-chunk sequence packing: documents stream in (shard,
     * id) order into fixed `seqTokens`-token training sequences; each
@@ -119,20 +122,23 @@ object Curation {
     * df-counting is one map-side-combined aggregation on the gram key;
     * the join back ships only grams with df ≥ 2. */
   def crossDocSpans(df: DataFrame, id: String, text: Column, n: Int): DataFrame = {
-    val grams = df.select(col(id), explode(ApproxDedup.wordNgrams(text, n)).as("gram"))
+    // wordNgramsDistinct (empty for sub-n docs), matching the SQL
+    // replay; the gram table feeds two branches (df-count + tag-back),
+    // so persist it — tokenize+ngram is the dominant cost and would
+    // otherwise run once per branch
+    val grams = df
+      .select(col(id), explode(CorpusSignals.wordNgramsDistinct(text, n)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = grams.groupBy(col("gram"))
       .agg(countDistinct(col(id)).as("gdocs"))
       .filter(col("gdocs") >= 2)
-      .select(col("gram"))
-    val perDoc = grams.groupBy(col(id))
-      .agg(count(lit(1)).as("n_grams"))
-    val dup = grams.join(shared, Seq("gram"))
+      .select(col("gram"), lit(1).as("_shared"))
+    // one aggregation does both totals: count(*) for all grams,
+    // count(_shared) for the left-join hits only
+    grams.join(shared, Seq("gram"), "left")
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_shared_grams"))
-    perDoc.join(dup, Seq(id), "left")
-      .select(col(id), col("n_grams"),
-        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
-        (coalesce(col("n_shared_grams"), lit(0L)).cast("double") /
-          col("n_grams")).as("shared_frac"))
+      .agg(count(lit(1)).as("n_grams"), count(col("_shared")).as("n_shared_grams"))
+      .select(col(id), col("n_grams"), col("n_shared_grams"),
+        (col("n_shared_grams").cast("double") / col("n_grams")).as("shared_frac"))
   }
 }
