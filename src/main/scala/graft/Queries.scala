@@ -2155,6 +2155,32 @@ object Queries {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------- importance weights
+  /** DSIR-style data-selection weights: target = the src1 slice,
+    * background = the whole corpus; integer-exact ppm ratios so the
+    * per-document sum is order-independent on both engines. */
+  private def qImportanceWeights(s: SparkSession, dir: String): DataFrame =
+    Curation.importanceWeights(t(s, dir, "documents"), "doc_id",
+        col("text"), col("source") === "src1")
+      .orderBy("doc_id")
+
+  private val oImportanceWeights =
+    """WITH terms AS (
+      |  SELECT doc_id, source = 'src1' AS tgt,
+      |         unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+      |              any_value(tgt) AS tgt
+      |       FROM terms GROUP BY doc_id, term),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS bdf,
+      |               CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tdf
+      |        FROM tf GROUP BY term)
+      |SELECT doc_id,
+      |       CAST(sum((1000000 * tf * (tdf + 1)) // (bdf + 1)) AS BIGINT)
+      |         AS weight
+      |FROM tf JOIN dfq USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2228,7 +2254,8 @@ object Queries {
     "q69_nfc_normalize" -> (qNfcNormalize _),
     "q70_length_quantiles" -> (qLengthQuantiles _),
     "q71_shard_shuffle" -> (qShardShuffle _),
-    "q72_session_windows" -> (qSessionWindows _)
+    "q72_session_windows" -> (qSessionWindows _),
+    "q73_importance_weights" -> (qImportanceWeights _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2303,6 +2330,7 @@ object Queries {
     "q69_nfc_normalize" -> oNfcNormalize,
     "q70_length_quantiles" -> oLengthQuantiles,
     "q71_shard_shuffle" -> oShardShuffle,
-    "q72_session_windows" -> oSessionWindows
+    "q72_session_windows" -> oSessionWindows,
+    "q73_importance_weights" -> oImportanceWeights
   )
 }

@@ -116,6 +116,33 @@ object Curation {
       .drop("_ord")
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al.
+    * 2023 shape, integer-exact variant): score every document by how
+    * much its unigram profile resembles a target subset versus the
+    * whole corpus. Per token, the add-one-smoothed ratio
+    * (target-df + 1)/(corpus-df + 1) scaled to parts-per-million and
+    * floored; per document, the tf-weighted SUM of those integer
+    * ratios. All arithmetic is exact bigint (multiply before the
+    * integral `div`, never a double), so the sum is order-independent
+    * — the property that lets a SQL oracle replay it bit-for-bit AND
+    * makes the score stable across partitionings at any scale. Two
+    * map-side-combined aggregations (term df, per-doc sum) and one
+    * gram-keyed join — linear, no all-pairs anything. */
+  def importanceWeights(df: DataFrame, id: String, text: Column,
+                        isTarget: Column): DataFrame = {
+    val terms = df.select(col(id), isTarget.as("_tgt"),
+        explode(split(text, "\\s+")).as("term"))
+    val tf = terms.groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("_tgt")).as("_tgt"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("bdf"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("tdf"))
+    tf.join(dfreq, Seq("term"))
+      .groupBy(col(id))
+      .agg(sum(expr("(1000000 * tf * (tdf + 1)) div (bdf + 1)"))
+        .cast("bigint").as("weight"))
+  }
+
   /** Cross-document span statistics: per document, how many of its
     * distinct word `n`-grams also occur in at least one OTHER document
     * (the signal behind exact-substring train-set dedup). Gram

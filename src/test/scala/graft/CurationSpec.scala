@@ -81,6 +81,21 @@ class CurationSpec extends SparkSpec {
       r(2).getAs[Double]("shared_frac") == 0.0)
   }
 
+  test("importanceWeights favor docs resembling the target slice") {
+    val df = Seq(
+      (1L, "cat dog", true),   // target
+      (2L, "cat dog", false),  // same profile as target -> same weight
+      (3L, "fish owl", false)  // background-only tokens -> low weight
+    ).toDF("doc_id", "text", "tgt")
+    val r = Curation.importanceWeights(df, "doc_id", col("text"), col("tgt"))
+      .orderBy("doc_id").collect()
+    // cat/dog: tf=1, tdf=1, bdf=2 -> (1e6*1*2) div 3 = 666666 per term
+    assert(r(0).getAs[Long]("weight") == 2 * 666666L)
+    assert(r(1).getAs[Long]("weight") == r(0).getAs[Long]("weight"))
+    // fish/owl: tdf=0, bdf=1 -> (1e6*1*1) div 2 = 500000 per term
+    assert(r(2).getAs[Long]("weight") == 2 * 500000L)
+  }
+
   test("sessionize merges events closer than the gap, per key") {
     val ev = Seq(
       (1L, 0L), (1L, 50L), (1L, 120L),  // 50 within 60s of 0; 120 >= 50+60 -> new
