@@ -81,6 +81,44 @@ class CurationSpec extends SparkSpec {
       r(2).getAs[Double]("shared_frac") == 0.0)
   }
 
+  test("sampleByRate samples are NESTED across rates (hash thresholds)") {
+    // a 30% sample is a subset of the 70% sample of the same corpus —
+    // the property that makes scaling studies reproducible (grow the
+    // sample without resampling what smaller runs already used)
+    val df = spark.range(2000).toDF("id")
+    val small = Curation.sampleByRate(df, "id", lit(0.3))
+    val big = Curation.sampleByRate(df, "id", lit(0.7))
+    assert(small.except(big).count() == 0)
+    assert(big.count() > small.count())
+  }
+
+  test("curation ops pass empty and degenerate inputs through") {
+    import org.apache.spark.sql.types._
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(Curation.piiScrub(emptyDocs, "doc_id", col("text")).count() == 0)
+    assert(Curation.crossDocSpans(emptyDocs, "doc_id", col("text"), 3).count() == 0)
+    assert(Curation.importanceWeights(emptyDocs, "doc_id", col("text"),
+      lit(true)).count() == 0)
+    val emptyPack = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("shard", StringType),
+        StructField("n", LongType))))
+    assert(Curation.packSequences(emptyPack, "id", "shard", col("n"), 100).count() == 0)
+    // null text propagates as null signals, never throws
+    val withNull = Seq((1L, "x@y.io"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Curation.piiScrub(withNull, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_email") == 1L)
+    assert(r(1).isNullAt(r(1).fieldIndex("scrubbed")))
+    // a document shorter than n grams simply yields no span row,
+    // matching the oracle's generate_series replay
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(Curation.crossDocSpans(short, "doc_id", col("text"), 3).count() == 0)
+  }
+
   test("importanceWeights favor docs resembling the target slice") {
     val df = Seq(
       (1L, "cat dog", true),   // target
