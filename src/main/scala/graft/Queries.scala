@@ -2155,6 +2155,34 @@ object Queries {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------- hashed features + linear score
+  /** Hashing-trick vectorization into 1024 buckets plus a fixed linear
+    * scorer whose per-bucket weights derive deterministically from the
+    * bucket id (a stand-in for trained classifier weights — the
+    * plumbing, counts and exact integer score are what the oracle
+    * checks). */
+  private def qHashedScore(s: SparkSession, dir: String): DataFrame = {
+    val feats = Curation.hashedFeatures(t(s, dir, "documents"), "doc_id",
+      col("text"), dim = 1024)
+    Curation.linearScore(feats, "doc_id",
+        b => ApproxDedup.hash32(b.cast("string")) % 2001 - 1000)
+      .orderBy("doc_id")
+  }
+
+  private val oHashedScore =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      |  FROM documents),
+      |f AS (SELECT doc_id,
+      |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+      |      FROM toks),
+      |c AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM f GROUP BY doc_id, bucket)
+      |SELECT doc_id,
+      |       CAST(sum(cnt * (('0x' || substr(md5(CAST(bucket AS VARCHAR)), 1, 8))
+      |         ::BIGINT % 2001 - 1000)) AS BIGINT) AS score
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- importance weights
   /** DSIR-style data-selection weights: target = the src1 slice,
     * background = the whole corpus; integer-exact ppm ratios so the
@@ -2255,7 +2283,8 @@ object Queries {
     "q70_length_quantiles" -> (qLengthQuantiles _),
     "q71_shard_shuffle" -> (qShardShuffle _),
     "q72_session_windows" -> (qSessionWindows _),
-    "q73_importance_weights" -> (qImportanceWeights _)
+    "q73_importance_weights" -> (qImportanceWeights _),
+    "q74_hashed_score" -> (qHashedScore _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2331,6 +2360,7 @@ object Queries {
     "q70_length_quantiles" -> oLengthQuantiles,
     "q71_shard_shuffle" -> oShardShuffle,
     "q72_session_windows" -> oSessionWindows,
-    "q73_importance_weights" -> oImportanceWeights
+    "q73_importance_weights" -> oImportanceWeights,
+    "q74_hashed_score" -> oHashedScore
   )
 }

@@ -116,6 +116,31 @@ object Curation {
       .drop("_ord")
   }
 
+  /** Hashing-trick feature vectorization (the fixed-dimension sparse
+    * encoding behind fastText-style corpus quality classifiers): every
+    * token hashes into one of `dim` buckets; output is the sparse
+    * (id, bucket, cnt) count vector. One map-side-combined aggregation,
+    * dimensionality fixed regardless of vocabulary size — the property
+    * that lets a scorer run before any vocabulary exists. */
+  def hashedFeatures(df: DataFrame, id: String, text: Column,
+                     dim: Int): DataFrame =
+    df.select(col(id), explode(split(text, "\\s+")).as("_tok"))
+      .select(col(id), (ApproxDedup.hash32(col("_tok")) % dim).as("bucket"))
+      .groupBy(col(id), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Linear scorer over hashed features with a weight per bucket —
+    * the serving half of a hashed classifier (weights normally come
+    * from training; callers pass any bucket→weight expression). Score
+    * is Σ cnt×w(bucket): with integer weights the sum is exact and
+    * order-independent at any partitioning. */
+  def linearScore(features: DataFrame, id: String,
+                  weight: Column => Column): DataFrame =
+    features
+      .withColumn("_w", weight(col("bucket")))
+      .groupBy(col(id))
+      .agg(sum(col("cnt") * col("_w")).cast("bigint").as("score"))
+
   /** DSIR-style importance weights for data selection (Xie et al.
     * 2023 shape, integer-exact variant): score every document by how
     * much its unigram profile resembles a target subset versus the

@@ -81,6 +81,29 @@ class CurationSpec extends SparkSpec {
       r(2).getAs[Double]("shared_frac") == 0.0)
   }
 
+  test("hashedFeatures has fixed dimensionality and exact counts") {
+    val df = Seq((1L, "a b a"), (2L, "zz")).toDF("doc_id", "text")
+    val f = Curation.hashedFeatures(df, "doc_id", col("text"), dim = 16)
+    val rows = f.collect()
+    assert(rows.forall(r => r.getAs[Long]("bucket") >= 0 &&
+      r.getAs[Long]("bucket") < 16))
+    // doc 1: 'a' twice -> one bucket with cnt 2 plus 'b' (may collide)
+    val d1 = f.filter(col("doc_id") === 1).collect()
+    assert(d1.map(_.getAs[Long]("cnt")).sum == 3)
+    // identical corpus -> identical buckets (pure hash, no RNG)
+    val f2 = Curation.hashedFeatures(df, "doc_id", col("text"), dim = 16)
+    assert(f.except(f2).count() == 0)
+  }
+
+  test("linearScore is the exact integer dot product") {
+    val feats = Seq((1L, 3L, 2L), (1L, 7L, 1L), (2L, 3L, 5L))
+      .toDF("doc_id", "bucket", "cnt")
+    val r = Curation.linearScore(feats, "doc_id", b => b * 10L)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("score") == 2 * 30 + 1 * 70)
+    assert(r(1).getAs[Long]("score") == 5 * 30)
+  }
+
   test("sampleByRate samples are NESTED across rates (hash thresholds)") {
     // a 30% sample is a subset of the 70% sample of the same corpus —
     // the property that makes scaling studies reproducible (grow the
