@@ -2155,6 +2155,72 @@ object Queries {
       |      FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------- training-prep pipeline
+  /** The curation flagship as ONE lazy plan: quality filter → exact
+    * dedup → PII scrub → hash split → per-source mixing → sequence
+    * packing → per-(split, source) shard summary. The oracle replays
+    * every stage with the fragments q64/q65/q66/q67 proved. */
+  private def qTrainingPrep(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source") === "src0", 0.5)
+      .when(col("source") === "src1", 1.0)
+      .otherwise(0.75)
+    exec.CorpusPipeline.prepareTrainingData(t(s, dir, "documents"),
+        minTokens = 30, maxPunctRatio = 0.05,
+        testPerMyriad = 1000, valPerMyriad = 1000,
+        rate = rate, seqTokens = 128)
+      .orderBy("split", "source")
+  }
+
+  private val oTrainingPrep = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+    s"""WITH d0 AS (
+       |  SELECT doc_id, source, text,
+       |         string_split_regex(lower(text), '\\s+') AS ltoks
+       |  FROM documents),
+       |qf AS (SELECT doc_id, source, text FROM d0
+       |       WHERE len(ltoks) >= 30
+       |         AND CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |             AS DOUBLE) / length(text) <= 0.05),
+       |ex AS (SELECT doc_id, source, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY
+       |      md5(trim(regexp_replace(regexp_replace(lower(text),
+       |        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+       |      ORDER BY doc_id) AS rn FROM qf) WHERE rn = 1),
+       |sc AS (SELECT doc_id, source,
+       |         regexp_replace(regexp_replace(regexp_replace(text,
+       |           '$email', '<EMAIL>', 'g'),
+       |           '$phone', '<PHONE>', 'g'),
+       |           '$ip', '<IP>', 'g') AS text
+       |       FROM ex),
+       |sp AS (SELECT doc_id, source, text,
+       |         CASE WHEN sb < 1000 THEN 'test'
+       |              WHEN sb < 2000 THEN 'val' ELSE 'train' END AS split
+       |       FROM (SELECT *,
+       |               ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+       |                 1, 8))::BIGINT % 10000 AS sb
+       |             FROM sc)),
+       |sm AS (SELECT * FROM sp
+       |       WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+       |               1, 8))::BIGINT % 10000
+       |           < CAST(floor((CASE WHEN source = 'src0' THEN 0.5
+       |                              WHEN source = 'src1' THEN 1.0
+       |                              ELSE 0.75 END) * 10000) AS BIGINT)),
+       |tk AS (SELECT doc_id, split, source,
+       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+       |       FROM sm),
+       |o AS (SELECT *,
+       |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split, source
+       |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |          AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |      FROM tk)
+       |SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       max((off + n_tokens - 1) // 128) + 1 AS n_seqs
+       |FROM o GROUP BY split, source ORDER BY split, source""".stripMargin
+  }
+
   // ------------------------------------- hashed features + linear score
   /** Hashing-trick vectorization into 1024 buckets plus a fixed linear
     * scorer whose per-bucket weights derive deterministically from the
@@ -2284,7 +2350,8 @@ object Queries {
     "q71_shard_shuffle" -> (qShardShuffle _),
     "q72_session_windows" -> (qSessionWindows _),
     "q73_importance_weights" -> (qImportanceWeights _),
-    "q74_hashed_score" -> (qHashedScore _)
+    "q74_hashed_score" -> (qHashedScore _),
+    "q75_training_prep" -> (qTrainingPrep _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2361,6 +2428,7 @@ object Queries {
     "q71_shard_shuffle" -> oShardShuffle,
     "q72_session_windows" -> oSessionWindows,
     "q73_importance_weights" -> oImportanceWeights,
-    "q74_hashed_score" -> oHashedScore
+    "q74_hashed_score" -> oHashedScore,
+    "q75_training_prep" -> oTrainingPrep
   )
 }

@@ -77,6 +77,44 @@ object CorpusPipeline {
           maxDupWordFrac)),
       nearDupThreshold)
 
+  /** Training-data preparation as ONE lazy plan — the curation half
+    * that follows [[cleanPlan]]'s dedup half:
+    *
+    *   quality filter → exact dedup → PII scrub → deterministic
+    *   train/val/test split → per-source mixing sample → per-
+    *   (split, source) sequence packing → shard summary
+    *
+    * Returns one row per (split, source): document count, total tokens
+    * and packed `seqTokens`-token sequence count. Scrub/split/sample
+    * are per-row expressions on the single corpus scan; packing
+    * windows per shard; the summary is one aggregation — nothing
+    * global, nothing collected. */
+  def prepareTrainingData(docs: DataFrame, minTokens: Int,
+                          maxPunctRatio: Double, testPerMyriad: Int,
+                          valPerMyriad: Int,
+                          rate: org.apache.spark.sql.Column,
+                          seqTokens: Int): DataFrame = {
+    import graft.ops.Curation
+    val cleaned = exactDedup(qualityFilter(docs, minTokens, maxPunctRatio))
+    val scrubbed = cleaned.withColumn("text", Curation.scrubText(col("text")))
+    val sampled = Curation.sampleByRate(
+      Curation.assignSplit(scrubbed, "doc_id", testPerMyriad, valPerMyriad),
+      "doc_id", rate)
+    val withTok = sampled.select(col("doc_id"),
+      concat_ws("/", col("split"), col("source")).as("_shard"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    Curation.packSequences(withTok, "doc_id", "_shard", col("n_tokens"),
+        seqTokens)
+      .groupBy(col("_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+        (max(col("last_seq")) + 1L).as("n_seqs"))
+      .select(
+        element_at(split(col("_shard"), "/"), 1).as("split"),
+        element_at(split(col("_shard"), "/"), 2).as("source"),
+        col("n_docs"), col("total_tokens"), col("n_seqs"))
+  }
+
   /** Full pipeline; returns the cleaned corpus plus stage counts. */
   def clean(spark: SparkSession, docs: DataFrame,
             minTokens: Int = 8, maxPunctRatio: Double = 0.1,

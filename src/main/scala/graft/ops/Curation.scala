@@ -31,20 +31,25 @@ object Curation {
   val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
 
-  /** Per-document PII signals and the scrubbed text: counts of email /
-    * IPv4 / US-phone matches and the text with each class replaced by a
-    * typed placeholder. Email runs first so its digits can't be
-    * re-matched as phone fragments; phone before IP for the same
-    * reason. Pure per-row expressions — zero shuffle. */
-  def piiScrub(df: DataFrame, id: String, text: Column): DataFrame = {
-    val nEmail = size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("bigint")
-    val nIp = size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("bigint")
-    val nPhone = size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("bigint")
-    val scrubbed = regexp_replace(
+  /** The redaction expression alone (composable into pipelines): each
+    * PII class replaced by a typed placeholder. Email runs first so its
+    * digits can't be re-matched as phone fragments; phone before IP for
+    * the same reason. */
+  def scrubText(text: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
+
+  /** Per-document PII signals and the scrubbed text: counts of email /
+    * IPv4 / US-phone matches plus [[scrubText]]'s redaction. Pure
+    * per-row expressions — zero shuffle. */
+  def piiScrub(df: DataFrame, id: String, text: Column): DataFrame = {
+    val nEmail = size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("bigint")
+    val nIp = size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("bigint")
+    val nPhone = size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("bigint")
+    val scrubbed = scrubText(text)
     df.select(col(id),
       nEmail.as("n_email"), nPhone.as("n_phone"), nIp.as("n_ip"),
       (nEmail + nIp + nPhone > 0).as("has_pii"),

@@ -101,7 +101,27 @@ object TimeBucketStats {
     * seconds. */
   def sessionize(log: DataFrame, key: Column, epochSec: Column,
                  gapSec: Int): DataFrame =
-    log.select(key.as("skey"), timestamp_seconds(epochSec.cast("bigint")).as("ts"))
+    sessionAgg(
+      log.select(key.as("skey"),
+        timestamp_seconds(epochSec.cast("bigint")).as("ts")),
+      gapSec)
+
+  /** Streaming form of [[sessionize]]: same merging aggregate over an
+    * unbounded source, with a `lateSec` watermark bounding state —
+    * sessions finalize (append mode) once the watermark passes their
+    * close. This is the operator pair's whole point: the batch and
+    * streaming plans share the session semantics verified by the q72
+    * oracle. */
+  def sessionizeStream(log: DataFrame, key: Column, epochSec: Column,
+                       gapSec: Int, lateSec: Int): DataFrame =
+    sessionAgg(
+      log.select(key.as("skey"),
+          timestamp_seconds(epochSec.cast("bigint")).as("ts"))
+        .withWatermark("ts", s"$lateSec seconds"),
+      gapSec)
+
+  private def sessionAgg(prepared: DataFrame, gapSec: Int): DataFrame =
+    prepared
       .groupBy(session_window(col("ts"), s"$gapSec seconds"), col("skey"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("skey"),

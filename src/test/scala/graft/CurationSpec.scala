@@ -157,6 +157,41 @@ class CurationSpec extends SparkSpec {
     assert(r(2).getAs[Long]("weight") == 2 * 500000L)
   }
 
+  test("sessionizeStream finalizes sessions past the watermark (append)") {
+    val root = tmpDir("sessions")
+    val inDir = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inDir/$name.json"),
+        rows.map { case (u, s) => s"""{"user_id":$u,"sec":$s}""" }.mkString("\n"))
+
+    writeBatch("b1", Seq((1L, 100L), (1L, 130L), (2L, 100L)))
+    val stream = spark.readStream.schema("user_id LONG, sec LONG").json(inDir)
+    val q = graft.ops.TimeBucketStats
+      .sessionizeStream(stream, col("user_id"), col("sec"), gapSec = 60, lateSec = 10)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .start()
+    q.processAllAvailable()
+    // a far-future event advances the watermark past the open sessions
+    writeBatch("b2", Seq((9L, 1000000L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_out")
+      .orderBy("skey").collect()
+    // finalized: user 1 merged [100, 190) with 2 events; user 2 [100, 160)
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("skey") == 1L &&
+      got(0).getAs[Long]("session_start") == 100L &&
+      got(0).getAs[Long]("session_end") == 190L &&
+      got(0).getAs[Long]("n_events") == 2L)
+    assert(got(1).getAs[Long]("skey") == 2L &&
+      got(1).getAs[Long]("session_end") == 160L)
+  }
+
   test("sessionize merges events closer than the gap, per key") {
     val ev = Seq(
       (1L, 0L), (1L, 50L), (1L, 120L),  // 50 within 60s of 0; 120 >= 50+60 -> new
