@@ -94,25 +94,22 @@ object CorpusPipeline {
                           valPerMyriad: Int,
                           rate: org.apache.spark.sql.Column,
                           seqTokens: Int): DataFrame = {
-    import graft.ops.Curation
+    import graft.ops.{Curation, TextAnalysis}
     val cleaned = exactDedup(qualityFilter(docs, minTokens, maxPunctRatio))
     val scrubbed = cleaned.withColumn("text", Curation.scrubText(col("text")))
     val sampled = Curation.sampleByRate(
       Curation.assignSplit(scrubbed, "doc_id", testPerMyriad, valPerMyriad),
       "doc_id", rate)
-    val withTok = sampled.select(col("doc_id"),
-      concat_ws("/", col("split"), col("source")).as("_shard"),
-      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
-    Curation.packSequences(withTok, "doc_id", "_shard", col("n_tokens"),
-        seqTokens)
-      .groupBy(col("_shard"))
+    // shard key = (split, source) as REAL columns — the packing window
+    // partitions by the tuple, never a string-encoded key
+    val withTok = sampled.select(col("doc_id"), col("split"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+    Curation.packSequences(withTok, "doc_id", Seq("split", "source"),
+        col("n_tokens"), seqTokens)
+      .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("bigint").as("total_tokens"),
         (max(col("last_seq")) + 1L).as("n_seqs"))
-      .select(
-        element_at(split(col("_shard"), "/"), 1).as("split"),
-        element_at(split(col("_shard"), "/"), 2).as("source"),
-        col("n_docs"), col("total_tokens"), col("n_seqs"))
   }
 
   /** Full pipeline; returns the cleaned corpus plus stage counts. */

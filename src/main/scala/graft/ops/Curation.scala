@@ -91,20 +91,28 @@ object Curation {
   /** Concat-and-chunk sequence packing: documents stream in (shard,
     * id) order into fixed `seqTokens`-token training sequences; each
     * document reports its token offset and the first/last sequence it
-    * lands in. The cumulative sum windows per `shard` — shards pack
-    * independently (this is how a sharded tokenizer job behaves), so
-    * no global single-partition window exists at any scale. */
-  def packSequences(df: DataFrame, id: String, shard: String,
+    * lands in. The cumulative sum windows per shard-key tuple — shards
+    * pack independently (this is how a sharded tokenizer job behaves),
+    * so no global single-partition window exists at any scale. Shard
+    * columns stay real columns (never string-encoded keys — a '/' or a
+    * null in a value would corrupt a re-parsed encoding). */
+  def packSequences(df: DataFrame, id: String, shardCols: Seq[String],
                     nTokens: Column, seqTokens: Int): DataFrame = {
-    val w = Window.partitionBy(col(shard)).orderBy(col(id))
+    val shards = shardCols.map(col)
+    val w = Window.partitionBy(shards: _*).orderBy(col(id))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(id), col(shard), nTokens.cast("bigint").as("n_tokens"))
+    df.select(col(id) +: shards :+ nTokens.cast("bigint").as("n_tokens"): _*)
       .withColumn("token_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("first_seq", expr(s"token_offset div $seqTokens"))
       .withColumn("last_seq",
         expr(s"(token_offset + n_tokens - 1) div $seqTokens"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
   }
+
+  /** Single-shard-column convenience form of [[packSequences]]. */
+  def packSequences(df: DataFrame, id: String, shard: String,
+                    nTokens: Column, seqTokens: Int): DataFrame =
+    packSequences(df, id, Seq(shard), nTokens, seqTokens)
 
   /** Deterministic corpus shuffle for training-order serving: each row
     * lands in a hash-assigned shard and gets a dense 1-based position
@@ -162,8 +170,11 @@ object Curation {
                         isTarget: Column): DataFrame = {
     val terms = df.select(col(id), isTarget.as("_tgt"),
         explode(split(text, "\\s+")).as("term"))
+    // tf feeds two branches (dfreq + the join-back); persist it so the
+    // corpus scan + explode + aggregation doesn't re-run per branch
     val tf = terms.groupBy(col(id), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("_tgt")).as("_tgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("bdf"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("tdf"))

@@ -161,10 +161,15 @@ class CurationSpec extends SparkSpec {
     val root = tmpDir("sessions")
     val inDir = s"$root/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
-    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit =
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$inDir/$name.json"),
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit = {
+      // write-then-atomic-rename: the running file source must never
+      // list a partially written file
+      val tmp = java.nio.file.Paths.get(s"$root/$name.json.tmp")
+      java.nio.file.Files.writeString(tmp,
         rows.map { case (u, s) => s"""{"user_id":$u,"sec":$s}""" }.mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$inDir/$name.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
     writeBatch("b1", Seq((1L, 100L), (1L, 130L), (2L, 100L)))
     val stream = spark.readStream.schema("user_id LONG, sec LONG").json(inDir)

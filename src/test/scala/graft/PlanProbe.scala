@@ -12,7 +12,8 @@ object PlanProbe {
       "q62_tfidf_terms", "q63_ranged_parts", "q64_full_clean",
       "q65_pii_scrub", "q66_hash_split", "q67_pack_sequences",
       "q68_cross_doc_spans", "q69_nfc_normalize", "q70_length_quantiles",
-      "q71_shard_shuffle", "q72_session_windows")
+      "q71_shard_shuffle", "q72_session_windows", "q73_importance_weights",
+      "q74_hashed_score", "q75_training_prep")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering
