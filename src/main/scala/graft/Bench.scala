@@ -88,6 +88,20 @@ object Bench {
     val line = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,""" +
       s""""spread":$spread,"failed":$failed,"failed_queries":$nFailed,""" +
       s""""scan_mbps":${r2(scanMbps)},"sf":"$sfDir"}"""
+    // The log-tail headline above is budgeted (short keys, capped lists)
+    // because the driver keeps only the last ~2KB of the log — round 3's
+    // per-query regression diff was lost to exactly that truncation. The
+    // FULL per-query map (full names, median+spread+ok, no caps) goes to
+    // a standalone file so a complete machine-readable record survives
+    // regardless of log length.
+    val fullQs = results.map { r =>
+      s""""${r._1}":{"median_s":${r2(r._2)},"spread_s":${r2(r._3)},"ok":${r._4}}"""
+    }.mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+      s""""failed_queries":$nFailed,"scan_mbps":${r2(scanMbps)},"sf":"$sfDir",""" +
+      s""""queries":$fullQs}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_summary.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), summary + "\n")
     spark.stop()
     // print AFTER spark.stop() so no shutdown log line lands between the
     // headline and the end of the log and eats tail-window budget

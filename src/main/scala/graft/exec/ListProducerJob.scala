@@ -52,7 +52,9 @@ object ListProducerJob {
           queues: Int = 4, batchSize: Int = 100): Result = {
     val manifest = InventoryReader.readManifest(spark, manifestPath)
 
-    val raw = InventoryReader.readS3Inventory(spark, inventoryGlob)
+    // cache=true: raw feeds goodRows AND the corrupt-only count below —
+    // released at the end of the run (InventoryReader.unpersist)
+    val raw = InventoryReader.readS3Inventory(spark, inventoryGlob, cache = true)
     val inv = InventoryReader.goodRows(raw).cache()
 
     // action 1: histogram statistics

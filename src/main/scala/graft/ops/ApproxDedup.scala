@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object ApproxDedup {
 
+  /** A lazily-built result paired with a `release()` that unpersists the
+    * op's internal persisted intermediates. Call release AFTER the result
+    * has been materialized (collected / written) — earlier just forces
+    * the multi-branch DAG to re-derive them. The non-scoped siblings keep
+    * the intermediates cached for same-plan reuse (Spark's cache manager
+    * dedupes) — use the scoped form in long-lived sessions so nothing
+    * orphans. */
+  final case class Scoped(df: DataFrame, release: () => Unit)
+
   /** Large 33-bit prime for the affine MinHash permutations. */
   val MinhashPrime = 4294967311L
 
@@ -119,7 +128,13 @@ object ApproxDedup {
     *        at `threshold` may undercount slightly — the standard
     *        recall-for-cost trade; 0 disables (exact). */
   def jaccardPairsInverted(df: DataFrame, id: String, block: String, setCol: String,
-                           threshold: Double, maxDf: Int = 0): DataFrame = {
+                           threshold: Double, maxDf: Int = 0): DataFrame =
+    jaccardPairsInvertedScoped(df, id, block, setCol, threshold, maxDf).df
+
+  /** [[jaccardPairsInverted]] with an ownable cache lifetime. */
+  def jaccardPairsInvertedScoped(df: DataFrame, id: String, block: String,
+                                 setCol: String, threshold: Double,
+                                 maxDf: Int = 0): Scoped = {
     // The exploded posting list feeds BOTH sides of the self-join;
     // persisting it stops Spark from re-deriving the (expensive)
     // shingle expressions once per branch — measured 5x on this corpus.
@@ -138,7 +153,7 @@ object ApproxDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ex.select(col(id).as("id_a"), col("blk"), col("sz").as("sz_a"), col("sh"))
     val b = ex.select(col(id).as("id_b"), col("blk"), col("sz").as("sz_b"), col("sh"))
-    a.join(b, Seq("blk", "sh"))
+    val pairs = a.join(b, Seq("blk", "sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
@@ -146,6 +161,7 @@ object ApproxDedup {
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
+    Scoped(pairs, () => { ex.unpersist(); () })
   }
 
   /** Portable 32-bit base hash: the first 8 hex chars of md5. */

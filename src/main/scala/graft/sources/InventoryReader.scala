@@ -37,17 +37,18 @@ object InventoryReader {
   /** S2 — gzip-CSV S3 inventory scan. Returns BOTH good and corrupt
     * rows; `goodRows`/`corruptRows` split them.
     *
-    * The scan is CACHED: (a) CSV column pruning otherwise skips parsing
-    * unreferenced columns, so malformed rows go undetected in
-    * count-style queries (`_corrupt_record` stays null); (b) Spark
-    * disallows corrupt-record-only queries on raw scans; (c) the
-    * pipeline reads this scan twice (stats + fan-out, SURVEY §3.1), and
-    * gzip members are non-splittable so re-scanning is the expensive
-    * path. One materialization serves all three. Long-lived sessions
-    * issuing many scans should [[unpersist]] each when done (or pass
-    * cache=false and manage materialization themselves). */
+    * UNCACHED by default: a long-lived session issuing many scans would
+    * otherwise accumulate one orphaned InMemoryRelation per call (nothing
+    * downstream owned the release). Pass cache=true — and own the
+    * [[unpersist]] — when (a) the query projects ONLY `_corrupt_record`
+    * ([[corruptRows]] alone; Spark disallows corrupt-record-only queries
+    * on raw scans), or (b) the pipeline reads the scan more than once
+    * (stats + fan-out, SURVEY §3.1 — gzip members are non-splittable, so
+    * re-scanning is the expensive path). [[goodRows]] is safe uncached:
+    * its filter references `_corrupt_record` together with data columns,
+    * which forces the parser to populate it despite column pruning. */
   def readS3Inventory(spark: SparkSession, path: String,
-                      cache: Boolean = true): DataFrame = {
+                      cache: Boolean = false): DataFrame = {
     val scan = spark.read
       .schema(s3InventorySchema)
       .option("mode", "PERMISSIVE")
@@ -145,9 +146,9 @@ object InventoryReader {
 
   /** S2 (JSON variant) — the same inventory schema as newline-delimited
     * JSON (docs/Schema.txt:37-38 declares fileFormat "json"). Corrupt
-    * lines quarantine identically; cached for the same reasons. */
+    * lines quarantine identically; same uncached-by-default lifecycle. */
   def readS3InventoryJson(spark: SparkSession, path: String,
-                          cache: Boolean = true): DataFrame = {
+                          cache: Boolean = false): DataFrame = {
     val scan = spark.read
       .schema(s3InventorySchema)
       .option("mode", "PERMISSIVE")

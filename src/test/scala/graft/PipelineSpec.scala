@@ -14,7 +14,7 @@ class InventoryReaderSpec extends SparkSpec {
     TestFixtures.writeS3InventoryGz(dir, "shard-0",
       TestFixtures.defaultInventoryRows,
       malformedLines = Seq("\"too\",\"short\",\"row\""))
-    val raw = InventoryReader.readS3Inventory(spark, s"$dir/*.csv.gz")
+    val raw = InventoryReader.readS3Inventory(spark, s"$dir/*.csv.gz", cache = true)
     val good = InventoryReader.goodRows(raw)
     assert(good.count() == 7)
     assert(InventoryReader.corruptRows(raw).count() == 1)
@@ -229,7 +229,8 @@ class SourceVariantsSpec extends SparkSpec {
       """{"Bucket":"b","Key":"k2","Size":99,"LastModifiedDate":"2017-12-24T01:02:03.000Z","ETag":"e","StorageClass":"STANDARD","IsMultipartUploaded":"true","ReplicationStatus":"COMPLETED"}""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/inv.json"), lines.mkString("\n"))
-    val raw = graft.sources.InventoryReader.readS3InventoryJson(spark, s"$dir/inv.json")
+    val raw = graft.sources.InventoryReader.readS3InventoryJson(
+      spark, s"$dir/inv.json", cache = true)
     val good = graft.sources.InventoryReader.goodRows(raw)
     assert(good.count() == 2)
     assert(graft.sources.InventoryReader.corruptRows(raw).count() == 1)

@@ -11,48 +11,52 @@ object VerifyProbe {
     val spark = GraftSession.local(4)
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-
-    // 1) Gopher repetition signals over the real corpus
-    val rep = ops.CorpusSignals.repetitionSignals(docs, "doc_id", col("text"), 3)
-    val repN = rep.count()
-    val dupDocs = rep.filter(col("dup_word_frac") > 0).count()
-    println(s"repetition rows=$repN dup_word>0=$dupDocs")
-    assert(repN == docs.count() && dupDocs > 0)
-
-    // 2) C4 global line dedup: reassembled corpus never grows
-    val lines = ops.CorpusSignals.syntheticLines(docs, "doc_id", col("text"), 10)
-    val ld = ops.CorpusSignals.lineDedup(lines, "doc_id", "line_no", "line")
-    val shrunk = ld.filter(col("n_kept") < col("n_lines")).count()
-    println(s"line-dedup docs=${ld.count()} shrunk=$shrunk")
-    assert(ld.filter(col("n_kept") > col("n_lines")).isEmpty)
-
-    // 3) decontamination round trip: flagged + kept partitions the corpus
-    val bench = docs.filter(col("doc_id") % 50 === 0)
-    val train = docs.filter(col("doc_id") % 50 =!= 0)
-    val flagged = ops.CorpusSignals.contamination(train, bench, "doc_id", col("text"), 4)
-    val kept = ops.CorpusSignals.decontaminate(train, bench, "doc_id", col("text"), 4)
-    println(s"train=${train.count()} flagged=${flagged.count()} kept=${kept.count()}")
-    assert(flagged.count() + kept.count() == train.count())
-
-    // 4) TF-IDF top terms: exactly k or fewer per document
-    val tt = ops.CorpusSignals.tfidfTopTerms(docs, "doc_id", col("text"), 5)
-    val over = tt.groupBy("doc_id").count().filter(col("count") > 5).count()
-    println(s"tfidf rows=${tt.count()} over-k=$over")
-    assert(over == 0)
-
-    // 5) SemDeDup end to end over the real embeddings table
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val surv = ops.SemanticDedup.survivors(emb, "vec_id", "embedding",
-      k = 4, iters = 2, threshold = 0.3)
-    println(s"embeddings=${emb.count()} semantic survivors=${surv.count()}")
-    assert(surv.count() > 0 && surv.count() <= emb.count())
 
-    // 6) ranged part explosion: per-part digests recombine to the doc count
-    val parts = functions.MultipartEtag.explodeParts(
-      docs.select(col("doc_id"), col("text").cast("binary").as("c")),
-      "doc_id", "c", 256)
-    println(s"part rows=${parts.count()} docs=${parts.select("path").distinct().count()}")
-    assert(parts.select("path").distinct().count() == docs.count())
+    // 1) q26 path: near-dup pairs re-blocked on (label, LSH bucket) with
+    //    the hot-block guard ON — must produce bounded blocks and rows
+    val planes = ops.Similarity.hyperplanes(6, 64)
+    val blocked = emb.withColumn("blk", concat_ws("/", col("label"),
+      ops.Similarity.lshBucket(col("embedding").cast("array<double>"), planes)))
+    val maxBlock = blocked.groupBy("blk").count()
+      .agg(max("count")).first().getLong(0)
+    val pairs = ops.Similarity.nearDupPairs(
+      blocked, "vec_id", "blk", "embedding", 0.3, maxBlockRows = 1000)
+    println(s"nearDup blocks max=$maxBlock pairs=${pairs.count()}")
+    assert(maxBlock <= 1000)
+
+    // 2) guard actually fires on a hot block
+    val hot = emb.withColumn("blk", lit("all"))
+    val fired =
+      try { ops.Similarity.nearDupPairs(hot, "vec_id", "blk", "embedding", 0.3,
+        maxBlockRows = 10).count(); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("nearDupPairs") }
+    println(s"guard fired=$fired")
+    assert(fired)
+
+    // 3) q28 path: inverted-index Jaccard at 0.05 returns rows now, and
+    //    the Scoped form releases its posting-list cache
+    val bg = docs.filter(col("source") === "src0")
+      .withColumn("blk", col("lang"))
+      .withColumn("bigrams", ops.ApproxDedup.wordNgrams(col("text"), 2))
+    val scoped = ops.ApproxDedup.jaccardPairsInvertedScoped(
+      bg, "doc_id", "blk", "bigrams", 0.05)
+    val nPairs = scoped.df.count()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    scoped.release()
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    println(s"inverted pairs=$nPairs cached $cachedBefore->$cachedAfter")
+    assert(nPairs > 0 && cachedAfter < cachedBefore)
+
+    // 4) reader default is now uncached: no persistent RDDs appear
+    val dir = java.nio.file.Files.createTempDirectory("probe_inv").toString
+    TestFixtures.writeS3InventoryGz(dir, "shard-0", TestFixtures.defaultInventoryRows)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val raw = sources.InventoryReader.readS3Inventory(spark, s"$dir/*.csv.gz")
+    val good = sources.InventoryReader.goodRows(raw).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    println(s"reader rows=$good persisted $before->$after")
+    assert(good > 0 && after == before)
 
     println("PROBE_OK")
     spark.stop()
