@@ -59,9 +59,14 @@ object CorpusPipeline {
   def nearDupCollapse(docs: DataFrame, threshold: Double,
                       id: String = "doc_id"): DataFrame = {
     val withSets = docs.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
-    val pairs = ApproxDedup.minhashLshPairs(withSets, id, "_sh",
+    val scoped = ApproxDedup.minhashLshPairsScoped(withSets, id, "_sh",
       k = 16, bands = 4, rowsPerBand = 4, threshold = threshold)
-    graft.ops.ConnectedComponents.survivors(docs, id, pairs, "id_a", "id_b")
+    // survivors() runs the CC iterations eagerly and localCheckpoints the
+    // loser set, so the pair plan is fully consumed here — release the
+    // minhash set/signature caches before returning (nothing orphans).
+    val out = graft.ops.ConnectedComponents.survivors(docs, id, scoped.df, "id_a", "id_b")
+    scoped.release()
+    out
   }
 
   /** The full clean as ONE lazy DataFrame program (no driver actions):
@@ -129,7 +134,13 @@ object CorpusPipeline {
     val cleaned = nearDupCollapse(exact, nearDupThreshold)
     val nFinal = cleaned.count()
 
+    // Release every stage cache before returning: the counts are done and
+    // the returned frame is a plain plan — re-materializing it re-derives
+    // the stages (the caller that wants it hot can cache it themselves).
+    // A long-lived session running clean() in a loop must not accumulate
+    // per-run relations.
     quality.unpersist()
+    exact.unpersist()
     (cleaned, Summary(input, nQuality, nExact, nFinal))
   }
 }

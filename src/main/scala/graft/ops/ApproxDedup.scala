@@ -224,19 +224,26 @@ object ApproxDedup {
     * corpus (k longs + the shingle arrays per doc). */
   def minhashLshPairs(df: DataFrame, id: String, setCol: String,
                       k: Int, bands: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double): DataFrame =
+    minhashLshPairsScoped(df, id, setCol, k, bands, rowsPerBand, threshold).df
+
+  /** [[minhashLshPairs]] with an ownable cache lifetime ([[Scoped]]). */
+  def minhashLshPairsScoped(df: DataFrame, id: String, setCol: String,
+                            k: Int, bands: Int, rowsPerBand: Int,
+                            threshold: Double): Scoped = {
     require(bands * rowsPerBand == k, "k must equal bands*rowsPerBand")
     val sets = df.select(col(id), col(setCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignature(sets, id, setCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(sig, id, bands, rowsPerBand)
-    cand
+    val pairs = cand
       .join(sets.select(col(id).as("id_a"), col(setCol).as("set_a")), Seq("id_a"))
       .join(sets.select(col(id).as("id_b"), col(setCol).as("set_b")), Seq("id_b"))
       .withColumn("jac", jaccard(col("set_a"), col("set_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
+    Scoped(pairs, () => { sig.unpersist(); sets.unpersist(); () })
   }
 
   /** 60-bit SimHash over whitespace tokens: bit b of the fingerprint is
@@ -270,11 +277,17 @@ object ApproxDedup {
     * it is best-effort candidate mining (a pair whose differing bits
     * spread one-per-band shares no slice) — raise `bands` for a larger
     * guaranteed radius at more candidate volume, the standard trade.
-    * The signature table is persisted for the op's own multi-branch DAG
-    * and left cached (Spark's cache manager dedupes repeated calls on
-    * the same plan; unpersist sig0 upstream to release it). */
+    * The signature table is persisted for the op's own multi-branch DAG;
+    * use [[simhashPairsScoped]] in long-lived sessions to release it
+    * (the plain form leaves it cached — Spark's cache manager dedupes
+    * repeated calls on the same plan). */
   def simhashPairs(sig0: DataFrame, id: String, simhashCol: String, bits: Int,
-                   bands: Int, maxHamming: Int): DataFrame = {
+                   bands: Int, maxHamming: Int): DataFrame =
+    simhashPairsScoped(sig0, id, simhashCol, bits, bands, maxHamming).df
+
+  /** [[simhashPairs]] with an ownable cache lifetime ([[Scoped]]). */
+  def simhashPairsScoped(sig0: DataFrame, id: String, simhashCol: String,
+                         bits: Int, bands: Int, maxHamming: Int): Scoped = {
     require(bands > 0 && bits % bands == 0, "bits must divide evenly into bands")
     // The signature table feeds `bands` union branches plus two verify
     // joins — without a persist each branch re-derives the (expensive)
@@ -292,11 +305,12 @@ object ApproxDedup {
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    val pairs = cand
       .join(sig.select(col(id).as("id_a"), col(simhashCol).as("sh_a")), Seq("id_a"))
       .join(sig.select(col(id).as("id_b"), col(simhashCol).as("sh_b")), Seq("id_b"))
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    Scoped(pairs, () => { sig.unpersist(); () })
   }
 }

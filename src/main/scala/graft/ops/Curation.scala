@@ -167,7 +167,14 @@ object Curation {
     * map-side-combined aggregations (term df, per-doc sum) and one
     * gram-keyed join — linear, no all-pairs anything. */
   def importanceWeights(df: DataFrame, id: String, text: Column,
-                        isTarget: Column): DataFrame = {
+                        isTarget: Column): DataFrame =
+    importanceWeightsScoped(df, id, text, isTarget).df
+
+  /** [[importanceWeights]] with an ownable cache lifetime
+    * ([[ApproxDedup.Scoped]]): release() drops the per-(doc,term)
+    * frequency cache once the result is materialized. */
+  def importanceWeightsScoped(df: DataFrame, id: String, text: Column,
+                              isTarget: Column): ApproxDedup.Scoped = {
     val terms = df.select(col(id), isTarget.as("_tgt"),
         explode(split(text, "\\s+")).as("term"))
     // tf feeds two branches (dfreq + the join-back); persist it so the
@@ -178,10 +185,11 @@ object Curation {
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("bdf"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("tdf"))
-    tf.join(dfreq, Seq("term"))
+    val out = tf.join(dfreq, Seq("term"))
       .groupBy(col(id))
       .agg(sum(expr("(1000000 * tf * (tdf + 1)) div (bdf + 1)"))
         .cast("bigint").as("weight"))
+    ApproxDedup.Scoped(out, () => { tf.unpersist(); () })
   }
 
   /** Cross-document span statistics: per document, how many of its
@@ -189,7 +197,14 @@ object Curation {
     * (the signal behind exact-substring train-set dedup). Gram
     * df-counting is one map-side-combined aggregation on the gram key;
     * the join back ships only grams with df ≥ 2. */
-  def crossDocSpans(df: DataFrame, id: String, text: Column, n: Int): DataFrame = {
+  def crossDocSpans(df: DataFrame, id: String, text: Column, n: Int): DataFrame =
+    crossDocSpansScoped(df, id, text, n).df
+
+  /** [[crossDocSpans]] with an ownable cache lifetime
+    * ([[ApproxDedup.Scoped]]): release() drops the gram-table cache
+    * once the result is materialized. */
+  def crossDocSpansScoped(df: DataFrame, id: String, text: Column,
+                          n: Int): ApproxDedup.Scoped = {
     // wordNgramsDistinct (empty for sub-n docs), matching the SQL
     // replay; the gram table feeds two branches (df-count + tag-back),
     // so persist it — tokenize+ngram is the dominant cost and would
@@ -203,10 +218,11 @@ object Curation {
       .select(col("gram"), lit(1).as("_shared"))
     // one aggregation does both totals: count(*) for all grams,
     // count(_shared) for the left-join hits only
-    grams.join(shared, Seq("gram"), "left")
+    val out = grams.join(shared, Seq("gram"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_grams"), count(col("_shared")).as("n_shared_grams"))
       .select(col(id), col("n_grams"), col("n_shared_grams"),
         (col("n_shared_grams").cast("double") / col("n_grams")).as("shared_frac"))
+    ApproxDedup.Scoped(out, () => { grams.unpersist(); () })
   }
 }
