@@ -1684,6 +1684,35 @@ object Queries {
       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
       |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  // ------------------------------------------------- star contraction CC
+  /** Connected components on a LONG-CHAIN graph (64-node path segments
+    * over consecutive supplier keys) via the alternating large-star/
+    * small-star formulation — the O(log²)-round shape that stays flat
+    * as chains grow, where min-label propagation needs O(diameter)
+    * rounds (63 here, past its default budget). Same oracle pattern as
+    * q56: a recursive transitive closure. */
+  private def qStarContraction(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+    val edges = sup.filter(col("k") % 64 =!= 0)
+      .join(sup.select(col("k").as("k1")), col("k1") === col("k") + 1)
+      .select(col("k").as("src"), col("k1").as("dst"))
+    ConnectedComponents.starContraction(edges, "src", "dst").orderBy("id")
+  }
+
+  private val oStarContraction =
+    """WITH RECURSIVE
+      |raw AS (
+      |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+      |  FROM supplier a JOIN supplier b ON b.s_suppkey = a.s_suppkey + 1
+      |  WHERE a.s_suppkey % 64 <> 0),
+      |e AS (SELECT src AS a, dst AS b FROM raw
+      |      UNION SELECT dst, src FROM raw),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+      |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ------------------------------------------------ int8 quantized top-k
   /** Top-k over int8-quantized unit vectors: quantize (4× storage),
     * rank by the reconstructed similarity — integer dot products, so
@@ -2380,7 +2409,8 @@ object Queries {
     "q72_session_windows" -> (qSessionWindows _),
     "q73_importance_weights" -> (qImportanceWeights _),
     "q74_hashed_score" -> (qHashedScore _),
-    "q75_training_prep" -> (qTrainingPrep _)
+    "q75_training_prep" -> (qTrainingPrep _),
+    "q76_star_contraction" -> (qStarContraction _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2458,6 +2488,7 @@ object Queries {
     "q72_session_windows" -> oSessionWindows,
     "q73_importance_weights" -> oImportanceWeights,
     "q74_hashed_score" -> oHashedScore,
-    "q75_training_prep" -> oTrainingPrep
+    "q75_training_prep" -> oTrainingPrep,
+    "q76_star_contraction" -> oStarContraction
   )
 }

@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * node, and convergence needs O(component diameter) rounds. Dedup
   * graphs are piles of tiny dense clusters (diameter ≤ a few hops), so
   * this converges in 2-4 rounds at any corpus size; a graph with
-  * genuinely long chains wants the alternating large-star/small-star
-  * formulation (same join shapes, O(log²) rounds) — the published
-  * MapReduce-CC trade, noted here so nobody runs this on one.
+  * genuinely long chains falls back automatically to
+  * [[starContraction]] — the alternating large-star/small-star
+  * formulation (same join shapes, O(log²) rounds).
   *
   * Deterministic: labels are ids, min is total. No driver-side graph:
   * only the per-round convergence check (`isEmpty` on changed labels)
@@ -73,11 +73,82 @@ object ConnectedComponents {
     e0.unpersist()
     sym.unpersist()
     if (!converged) {
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIters rounds" +
-          " — long-chain graph; use a star-contraction formulation")
+      // Long-chain graph: min-label needs O(diameter) rounds. Fall back
+      // to the alternating star-contraction formulation (O(log²) rounds
+      // regardless of diameter) instead of aborting.
+      return starContraction(edges, srcCol, dstCol)
     }
     labels
+  }
+
+  /** Alternating large-star/small-star connected components — the
+    * published MapReduce-CC formulation (Kiveris et al.): converges in
+    * O(log² n) rounds on ANY graph shape, including the long chains
+    * where min-label propagation needs O(diameter) rounds. Same join
+    * shapes as min-label (one shuffle-join + one map-side-combined min
+    * per phase); [[apply]] uses it automatically as the non-convergence
+    * fallback, call it directly when the graph is known to be chain-like.
+    *
+    * Each round rewrites the edge list:
+    *  - large-star: every edge (processed from its smaller endpoint v)
+    *    re-points the larger endpoint at min(Γ⁺(v)) — strictly larger
+    *    neighbors hook onto the local minimum;
+    *  - small-star: every node u with smaller neighbors re-points them
+    *    (and itself) at min(N⁻(u) ∪ {u}).
+    * Fixpoint = a star forest: every node points at its component
+    * minimum. Per-round localCheckpoint keeps plan depth constant
+    * (same driver-OOM rationale as the min-label loop).
+    *
+    * @return (id, comp) for every node appearing in edges, comp the
+    *         component minimum — the same contract as [[apply]]. */
+  def starContraction(edges: DataFrame, srcCol: String, dstCol: String,
+                      maxIters: Int = 50): DataFrame = {
+    // canonical undirected edge = (hi > lo)
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      // LARGE-STAR. From each edge's smaller endpoint v: the larger
+      // endpoint re-points at m(v) = min(N(v) ∪ {v}). Every canonical
+      // edge is rewritten exactly once (grouped on its smaller end).
+      val sym = e.select(col("hi").as("ctr"), col("lo").as("nb"))
+        .union(e.select(col("lo").as("ctr"), col("hi").as("nb")))
+      val mins = sym.groupBy("ctr").agg(min("nb").as("mn"))
+        .select(col("ctr"), least(col("mn"), col("ctr")).as("m"))
+      val ls = e.join(mins.withColumnRenamed("ctr", "lo"), Seq("lo"))
+        .select(col("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint()
+      // SMALL-STAR. Per node u over its SMALLER neighbors N⁻(u) (the
+      // canonical edges grouped by hi): u and each v ∈ N⁻(u) re-point
+      // at m = min(N⁻(u)).
+      val mins2 = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(mins2, Seq("hi"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(mins2.select(col("hi"), col("m").as("lo")))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint: the round changed nothing (star forests are stable
+      // under both phases). Counts first — except() only on equal size.
+      converged = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      e = ss
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"star-contraction did not converge in $maxIters rounds")
+    // star forest: every hi points at its component min; minima (and
+    // only they) appear exclusively on the lo side
+    e.select(col("hi").as("id"), col("lo").as("comp"))
+      .unionByName(e.select(col("lo").as("id"), col("lo").as("comp")))
+      .distinct()
   }
 
   /** Collapse duplicate clusters: keep every document that is NOT a

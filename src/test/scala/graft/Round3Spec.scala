@@ -306,3 +306,39 @@ class DoubleCheckSpec extends SparkSpec {
     assert(out("k3") == "flapping")
   }
 }
+
+class StarContractionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.ConnectedComponents
+
+  test("star contraction matches min-label on a mixed graph") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (21L, 20L)).toDF("src", "dst")
+    val sc = ConnectedComponents.starContraction(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(sc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("apply falls back to star contraction where min-label hits maxIters") {
+    // a 101-node path has diameter 100: min-label with maxIters=5
+    // cannot converge; the fallback must label it in O(log^2) rounds
+    val edges = (0L until 100L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = ConnectedComponents(edges, "src", "dst", maxIters = 5)
+    assert(cc.count() == 101)
+    assert(cc.select("comp").distinct().as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("star contraction handles two chains and a singleton edge pair") {
+    val chainA = (0L until 40L).map(i => (i, i + 1))        // comp 0
+    val chainB = (100L until 130L).map(i => (i + 1, i))     // comp 100
+    val edges = (chainA ++ chainB ++ Seq((500L, 501L))).toDF("src", "dst")
+    val cc = ConnectedComponents.starContraction(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 74)
+    assert(!cc.contains(41L)) // 41 not in graph
+    assert((0L to 40L).forall(i => cc(i) == 0L))
+    assert((100L to 130L).forall(i => cc(i) == 100L))
+    assert(cc(500L) == 500L && cc(501L) == 500L)
+  }
+}
