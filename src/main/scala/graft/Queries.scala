@@ -1018,6 +1018,31 @@ object Queries {
       |FROM part WHERE p_partkey % 97 <> 0
       |ORDER BY key""".stripMargin
 
+  // --------------------------------------------- ingest normalize (§4)
+  /** Decompress-once-to-Parquet ingest (SURVEY §4's non-splittable-gzip
+    * close-out): normalize the SAME gzip-CSV fixture q33 scans into
+    * target-sized Parquet shards, then answer q33's projection FROM THE
+    * NORMALIZED OUTPUT under q33's oracle — byte-equal results prove
+    * the rewrite is lossless. The small shard target forces a genuine
+    * multi-shard layout at sf0.01 (the sharding path is exercised, not
+    * just the copy). */
+  private def qNormalizeInventory(s: SparkSession, dir: String): DataFrame = {
+    val out = fixPath("norminv", dir)
+    val res = graft.sources.InventoryReader.normalizeInventory(
+      s, csvInventoryFixture(s, dir), out, targetShardBytes = 64L << 10)
+    s.read.parquet(res.outDir)
+      .select(
+        col("Key").as("key"),
+        col("Bucket").as("bucket"),
+        col("Size").as("size"),
+        col("LastModified").cast("long").as("mtime_epoch"),
+        col("ETag").as("etag"),
+        col("StorageClass").as("storage_class"),
+        col("IsMultipartUploaded").as("multipart"),
+        col("Replicated").as("replicated"))
+      .orderBy("key")
+  }
+
   // ------------------------------------------------- F9/F10/J3 event JSON
   /** Event-Grid notification render: the full struct-first event over
     * supplier rows, rendered with to_json and compared byte-for-byte
@@ -2410,7 +2435,8 @@ object Queries {
     "q73_importance_weights" -> (qImportanceWeights _),
     "q74_hashed_score" -> (qHashedScore _),
     "q75_training_prep" -> (qTrainingPrep _),
-    "q76_star_contraction" -> (qStarContraction _)
+    "q76_star_contraction" -> (qStarContraction _),
+    "q77_normalize_inventory" -> (qNormalizeInventory _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2489,6 +2515,8 @@ object Queries {
     "q73_importance_weights" -> oImportanceWeights,
     "q74_hashed_score" -> oHashedScore,
     "q75_training_prep" -> oTrainingPrep,
-    "q76_star_contraction" -> oStarContraction
+    "q76_star_contraction" -> oStarContraction,
+    // the normalized output must answer q33's oracle byte-for-byte
+    "q77_normalize_inventory" -> oCsvInventory
   )
 }

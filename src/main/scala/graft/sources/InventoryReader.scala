@@ -144,6 +144,57 @@ object InventoryReader {
   def validShards(validated: DataFrame): DataFrame =
     validated.filter(col("checksum_status") === "ok")
 
+  /** Outcome of [[normalizeInventory]]: decoded row count, quarantined
+    * corrupt-row count, and the shard count the target size produced. */
+  final case class NormalizeResult(rows: Long, corrupt: Long, shards: Int,
+                                   outDir: String)
+
+  /** Ingest-normalize (SURVEY §4): decompress-once to Parquet. Gzip
+    * inventory members are non-splittable (ListProducer/ListProducer
+    * .py:37 streams them single-threaded) — one task per MEMBER no
+    * matter how large, so a 100 TB scan is hostage to the largest
+    * member. This job pays the non-splittable read exactly once and
+    * rewrites the decoded good rows as Parquet in `targetShardBytes`-
+    * sized shards; every downstream scan is then splittable, columnar,
+    * and predicate-pushable. Corrupt rows quarantine to
+    * `<outDir>.corrupt` as text (auditable, never silently dropped —
+    * P4 semantics).
+    *
+    * Shard sizing: rows-per-shard is derived from the measured mean
+    * decoded row width (one aggregate — two scalars on the driver,
+    * never data), then the write round-robins into exactly that many
+    * partitions. Parquet encodes/compresses below the estimate, which
+    * errs toward smaller files — the safe side (splittable either way;
+    * pathological 2 GB+ shards are what must never happen). */
+  def normalizeInventory(spark: SparkSession, inventoryGlob: String,
+                         outDir: String,
+                         targetShardBytes: Long = 256L << 20): NormalizeResult = {
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    // cache=true: the one materialization serves good rows, the corrupt
+    // quarantine AND the width estimate; released before returning.
+    val raw = readS3Inventory(spark, inventoryGlob, cache = true)
+    val good = goodRows(raw)
+    val est = good.agg(
+      count(lit(1)).as("n"),
+      coalesce(avg(
+        length(col("Bucket")) + length(col("Key")) + length(col("ETag")) +
+          length(col("StorageClass")) + lit(24)), lit(64.0)).as("row_bytes"))
+      .first()
+    val n = est.getLong(0)
+    val rowsPerShard = math.max(1L, (targetShardBytes / est.getDouble(1)).toLong)
+    val shards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
+    good.repartition(shards)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(outDir)
+    val corrupt = corruptRows(raw)
+    val nCorrupt = corrupt.count()
+    if (nCorrupt > 0)
+      corrupt.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .text(s"$outDir.corrupt")
+    unpersist(raw)
+    NormalizeResult(n, nCorrupt, shards, outDir)
+  }
+
   /** S2 (JSON variant) — the same inventory schema as newline-delimited
     * JSON (docs/Schema.txt:37-38 declares fileFormat "json"). Corrupt
     * lines quarantine identically; same uncached-by-default lifecycle. */

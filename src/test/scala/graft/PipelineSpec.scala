@@ -448,3 +448,51 @@ class SnapshotDiffChainSpec extends SparkSpec {
     assert("BlobCreated".r.findAllIn(bodies).size >= 1) // new + upd
   }
 }
+
+class NormalizeInventorySpec extends SparkSpec {
+
+  test("normalize: gzip-CSV -> sharded parquet, lossless, corrupt quarantined") {
+    val root = tmpDir("norm")
+    val invDir = s"$root/inventory"
+    TestFixtures.writeS3InventoryGz(invDir, "shard-0",
+      TestFixtures.defaultInventoryRows,
+      malformedLines = Seq("\"too\",\"short\""))
+    TestFixtures.writeS3InventoryGz(invDir, "shard-1",
+      TestFixtures.defaultInventoryRows.take(3))
+
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // tiny shard target: 10 rows must split across several files
+    val res = graft.sources.InventoryReader.normalizeInventory(
+      spark, s"$invDir/*.csv.gz", s"$root/parquet", targetShardBytes = 256L)
+    assert(res.rows == 10 && res.corrupt == 1)
+    assert(res.shards > 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "normalizeInventory leaked its scan cache")
+
+    // the parquet IS goodRows: same rows, decoded columns, sharded files
+    val back = spark.read.parquet(res.outDir)
+    assert(back.count() == 10)
+    val raw = graft.sources.InventoryReader.readS3Inventory(
+      spark, s"$invDir/*.csv.gz", cache = true)
+    val expect = graft.sources.InventoryReader.goodRows(raw)
+    assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
+    raw.unpersist()
+    val files = new java.io.File(res.outDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == res.shards)
+
+    // corrupt rows are auditable, not dropped
+    val corrupt = spark.read.text(s"${res.outDir}.corrupt")
+    assert(corrupt.count() == 1)
+  }
+
+  test("normalize with no corrupt rows writes no quarantine dir") {
+    val root = tmpDir("norm2")
+    TestFixtures.writeS3InventoryGz(s"$root/inv", "s0",
+      TestFixtures.defaultInventoryRows.take(2))
+    val res = graft.sources.InventoryReader.normalizeInventory(
+      spark, s"$root/inv/*.csv.gz", s"$root/pq")
+    assert(res.rows == 2 && res.corrupt == 0 && res.shards == 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/pq.corrupt")))
+  }
+}
