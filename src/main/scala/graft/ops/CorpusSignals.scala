@@ -144,17 +144,25 @@ object CorpusSignals {
     * reassembled text (null when every line dropped).
     *
     * Shape: winner-per-line is a map-side-combined `min(struct)` keyed
-    * by the line itself, then one join back on the line — both scale
-    * linearly. A pathologically hot line (billions of copies of
-    * "Click here to subscribe") skews that join key; salt the join or
-    * pre-aggregate per (line, doc) if profiles show it. */
+    * by the line itself (partial aggregation absorbs hot keys), then
+    * one join back on the line. A pathologically hot line (billions of
+    * copies of "Click here to subscribe") skews that JOIN key — one
+    * reducer receives every copy. `salts > 0` spreads each line's rows
+    * over that many sub-partitions via [[Salting.saltedJoin]] (winners
+    * carry exactly one row per line, so replicating them `salts`× is
+    * cheap); the result is row-identical to the unsalted join. 0 leaves
+    * the plain join for AQE's runtime skew handling. */
   def lineDedup(lines: DataFrame, id: String, lineNo: String,
-                line: String): DataFrame = {
+                line: String, salts: Int = 0): DataFrame = {
     val winners = lines
       .groupBy(col(line))
       .agg(min(struct(col(id), col(lineNo))).as("w"))
-    lines
-      .join(winners, Seq(line))
+    val joined =
+      if (salts > 0)
+        Salting.saltedJoin(lines, winners, line, salts,
+          saltSource = Seq(col(id), col(lineNo)))
+      else lines.join(winners, Seq(line))
+    joined
       .withColumn("kept", struct(col(id), col(lineNo)) === col("w"))
       .groupBy(col(id))
       .agg(

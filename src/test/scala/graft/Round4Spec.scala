@@ -137,3 +137,29 @@ class SemanticDedupSpec extends SparkSpec {
     assert(comps.toSeq == Seq(0L))
   }
 }
+
+class SaltedLineDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.CorpusSignals
+
+  test("salted lineDedup agrees row-for-row with unsalted on a hot-line corpus") {
+    // a pathologically hot line: every doc repeats the same boilerplate
+    // line, plus unique content — the skew case salting exists for
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("click here to subscribe now "), col("text")).as("text"))
+    val lines = CorpusSignals.syntheticLines(docs, "doc_id", col("text"), 4)
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_lines", "n_kept", "kept_text")
+        .as[(Long, Long, Long, Option[String])].collect().toSeq.sorted
+    val plain = normalize(
+      CorpusSignals.lineDedup(lines, "doc_id", "line_no", "line"))
+    val salted = normalize(
+      CorpusSignals.lineDedup(lines, "doc_id", "line_no", "line", salts = 7))
+    assert(plain.nonEmpty && salted == plain)
+    // the hot boilerplate line survives exactly once corpus-wide
+    val bolt = lines.filter(col("line") === "click here to subscribe")
+    assert(bolt.count() == docs.count())
+  }
+}
