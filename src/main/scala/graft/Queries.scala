@@ -842,6 +842,19 @@ object Queries {
   private val LshBits = 6
   private val EmbDims = 64
 
+  /** The md5-derived hyperplane table, shared by every oracle that
+    * replays [[Similarity.hyperplanes]] (q25/q26 must never
+    * desynchronize from each other or from the Scala side).
+    * NOTE: declared BEFORE its users — object val init order. */
+  private val oHyperplaneCte =
+    s"""hp AS (
+       |  SELECT p.p,
+       |         list((('0x' || substr(md5('hp' || p.p || ':' || d.d), 1, 8))::BIGINT
+       |               / 4294967296.0) - 0.5 ORDER BY d.d) AS hv
+       |  FROM (SELECT unnest(generate_series(0, ${LshBits - 1})) AS p) p
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${EmbDims - 1})) AS d) d
+       |  GROUP BY p.p)""".stripMargin
+
   private def qLshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb,
@@ -855,13 +868,7 @@ object Queries {
     * in DuckDB: deterministic md5-derived planes, sign-bit bucket string. */
   private val oLshSigCtes =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |hp AS (
-       |  SELECT p.p,
-       |         list((('0x' || substr(md5('hp' || p.p || ':' || d.d), 1, 8))::BIGINT
-       |               / 4294967296.0) - 0.5 ORDER BY d.d) AS hv
-       |  FROM (SELECT unnest(generate_series(0, ${LshBits - 1})) AS p) p
-       |  CROSS JOIN (SELECT unnest(generate_series(0, ${EmbDims - 1})) AS d) d
-       |  GROUP BY p.p),
+       |$oHyperplaneCte,
        |sig AS (
        |  SELECT e.vec_id, e.v,
        |         string_agg(CASE WHEN list_dot_product(e.v, hp.hv) > 0
@@ -907,13 +914,7 @@ object Queries {
   // the bucket replays Similarity.lshBucket over the RAW vector
   private val oEmbedNearDup =
     s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings),
-       |hp AS (
-       |  SELECT p.p,
-       |         list((('0x' || substr(md5('hp' || p.p || ':' || d.d), 1, 8))::BIGINT
-       |               / 4294967296.0) - 0.5 ORDER BY d.d) AS hv
-       |  FROM (SELECT unnest(generate_series(0, ${LshBits - 1})) AS p) p
-       |  CROSS JOIN (SELECT unnest(generate_series(0, ${EmbDims - 1})) AS d) d
-       |  GROUP BY p.p),
+       |$oHyperplaneCte,
        |e AS (
        |  SELECT e0.vec_id,
        |         e0.label || '/' || string_agg(

@@ -53,9 +53,11 @@ object ListProducerJob {
     val manifest = InventoryReader.readManifest(spark, manifestPath)
 
     // cache=true: raw feeds goodRows AND the corrupt-only count below —
-    // released at the end of the run (InventoryReader.unpersist)
+    // released on every path (a failed write/readback must not orphan
+    // the scan in a long-lived session)
     val raw = InventoryReader.readS3Inventory(spark, inventoryGlob, cache = true)
     val inv = InventoryReader.goodRows(raw).cache()
+    try {
 
     // action 1: histogram statistics
     val statsRow = statistics(inv).first()
@@ -91,8 +93,10 @@ object ListProducerJob {
       == statsRow.getAs[Long]("totalObjects"), "job.json readback mismatch")
 
     val nMsg = spark.read.json(queueDir).count()
-    inv.unpersist()
-    InventoryReader.unpersist(raw)
     Result(statsRow.getAs[Long]("totalObjects"), corrupt, nMsg)
+    } finally {
+      inv.unpersist()
+      InventoryReader.unpersist(raw)
+    }
   }
 }

@@ -70,14 +70,22 @@ object ConnectedComponents {
       labels = updated.drop("prev")
       i += 1
     }
-    e0.unpersist()
-    sym.unpersist()
     if (!converged) {
       // Long-chain graph: min-label needs O(diameter) rounds. Fall back
       // to the alternating star-contraction formulation (O(log²) rounds
-      // regardless of diameter) instead of aborting.
-      return starContraction(edges, srcCol, dstCol)
+      // regardless of diameter) instead of aborting. Canonical edges
+      // come from the still-persisted symmetric set — checkpointed
+      // BEFORE the release so the (typically expensive) upstream pair
+      // mining is never re-derived.
+      val canon = sym.filter(col("a") > col("b"))
+        .select(col("a").as("hi"), col("b").as("lo"))
+        .localCheckpoint()
+      e0.unpersist()
+      sym.unpersist()
+      return starLoop(canon)
     }
+    e0.unpersist()
+    sym.unpersist()
     labels
   }
 
@@ -102,14 +110,21 @@ object ConnectedComponents {
     * @return (id, comp) for every node appearing in edges, comp the
     *         component minimum — the same contract as [[apply]]. */
   def starContraction(edges: DataFrame, srcCol: String, dstCol: String,
-                      maxIters: Int = 50): DataFrame = {
+                      maxIters: Int = 50): DataFrame =
     // canonical undirected edge = (hi > lo)
-    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("hi"),
-        least(col("a"), col("b")).as("lo"))
-      .distinct()
-      .localCheckpoint()
+    starLoop(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .distinct()
+        .localCheckpoint(),
+      maxIters)
+
+  /** The alternating rounds over an already-canonical, already-
+    * materialized (hi > lo, distinct) edge set. */
+  private def starLoop(canon: DataFrame, maxIters: Int = 50): DataFrame = {
+    var e = canon
     var converged = e.isEmpty
     var i = 0
     while (!converged && i < maxIters) {

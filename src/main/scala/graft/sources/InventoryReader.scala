@@ -58,8 +58,9 @@ object InventoryReader {
     if (cache) scan.cache() else scan
   }
 
-  /** Release a cached inventory scan (the reader caches by default —
-    * see [[readS3Inventory]]; nothing else unpersists it). */
+  /** Release an inventory scan a caller opted into caching
+    * (`cache = true` on [[readS3Inventory]]; nothing else unpersists
+    * it). No-op on the uncached default. */
   def unpersist(inv: DataFrame): Unit = { inv.unpersist(); () }
 
   /** Decoded, typed view of the good rows: URL-decoded key (F1), boolean
@@ -168,31 +169,48 @@ object InventoryReader {
     * pathological 2 GB+ shards are what must never happen). */
   def normalizeInventory(spark: SparkSession, inventoryGlob: String,
                          outDir: String,
-                         targetShardBytes: Long = 256L << 20): NormalizeResult = {
+                         targetShardBytes: Long = 256L << 20,
+                         format: String = "parquet",
+                         bucketPartitioned: Boolean = false): NormalizeResult = {
     require(targetShardBytes > 0, "targetShardBytes must be positive")
     // cache=true: the one materialization serves good rows, the corrupt
-    // quarantine AND the width estimate; released before returning.
+    // quarantine AND the width estimate; released on EVERY path (a
+    // failed write must not orphan the scan in a long-lived session).
     val raw = readS3Inventory(spark, inventoryGlob, cache = true)
-    val good = goodRows(raw)
-    val est = good.agg(
-      count(lit(1)).as("n"),
-      coalesce(avg(
-        length(col("Bucket")) + length(col("Key")) + length(col("ETag")) +
-          length(col("StorageClass")) + lit(24)), lit(64.0)).as("row_bytes"))
-      .first()
-    val n = est.getLong(0)
-    val rowsPerShard = math.max(1L, (targetShardBytes / est.getDouble(1)).toLong)
-    val shards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
-    good.repartition(shards)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(outDir)
-    val corrupt = corruptRows(raw)
-    val nCorrupt = corrupt.count()
-    if (nCorrupt > 0)
-      corrupt.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .text(s"$outDir.corrupt")
-    unpersist(raw)
-    NormalizeResult(n, nCorrupt, shards, outDir)
+    try {
+      val good = goodRows(raw)
+      val est = good.agg(
+        count(lit(1)).as("n"),
+        coalesce(avg(
+          length(col("Bucket")) + length(col("Key")) + length(col("ETag")) +
+            length(col("StorageClass")) + lit(24)), lit(64.0)).as("row_bytes"))
+        .first()
+      val n = est.getLong(0)
+      val rowsPerShard = math.max(1L, (targetShardBytes / est.getDouble(1)).toLong)
+      val shards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
+      if (bucketPartitioned)
+        // hive-style bucket dirs (partition pruning on reads); the size
+        // target caps records per file WITHIN each bucket dir
+        good.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("maxRecordsPerFile", rowsPerShard)
+          .partitionBy("Bucket")
+          .format(format).save(outDir)
+      else
+        good.repartition(shards)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format(format).save(outDir)
+      val corrupt = corruptRows(raw)
+      val nCorrupt = corrupt.count()
+      if (nCorrupt > 0)
+        corrupt.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .text(s"$outDir.corrupt")
+      else
+        // reconcile a STALE quarantine from a previous run over the
+        // same outDir — the audit trail must describe THIS input
+        graft.sinks.Sinks.deleteRecursively(
+          java.nio.file.Paths.get(s"$outDir.corrupt"))
+      NormalizeResult(n, nCorrupt, shards, outDir)
+    } finally unpersist(raw)
   }
 
   /** S2 (JSON variant) — the same inventory schema as newline-delimited
@@ -208,24 +226,21 @@ object InventoryReader {
     if (cache) scan.cache() else scan
   }
 
-  /** §4 ingest normalization: gzip CSV shards are non-splittable, so
-    * scan once and rewrite as parquet partitioned by bucket — every
-    * downstream query then gets splittable columnar scans with pushdown.
-    * Returns the normalized DataFrame (reading the parquet). */
+  /** §4 ingest normalization, bucket-partitioned layout: one hive-style
+    * dir per bucket (partition pruning on reads). A thin wrapper over
+    * [[normalizeInventory]] — same single-scan lifecycle, corrupt-row
+    * quarantine and cache release; returns the normalized DataFrame. */
   def normalizeToParquet(spark: SparkSession, csvGlob: String,
                          parquetDir: String): DataFrame =
     normalizeTo(spark, csvGlob, parquetDir, "parquet")
 
-  /** Format-parameterized normalization (parquet or orc — both columnar,
-    * splittable, stats-bearing; the choice is an ecosystem fit, not a
-    * capability difference). */
+  /** Format-parameterized [[normalizeToParquet]] (parquet or orc — both
+    * columnar, splittable, stats-bearing; the choice is an ecosystem
+    * fit, not a capability difference). */
   def normalizeTo(spark: SparkSession, csvGlob: String,
                   outDir: String, format: String): DataFrame = {
-    val good = goodRows(readS3Inventory(spark, csvGlob))
-    good.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("Bucket")
-      .format(format)
-      .save(outDir)
+    normalizeInventory(spark, csvGlob, outDir,
+      format = format, bucketPartitioned = true)
     spark.read.format(format).load(outDir)
   }
 

@@ -496,3 +496,56 @@ class NormalizeInventorySpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/pq.corrupt")))
   }
 }
+
+class NormalizeLifecycleSpec extends SparkSpec {
+
+  test("re-normalizing a fixed input clears the stale corrupt quarantine") {
+    val root = tmpDir("normfix")
+    TestFixtures.writeS3InventoryGz(s"$root/bad", "s0",
+      TestFixtures.defaultInventoryRows.take(2),
+      malformedLines = Seq("\"oops\""))
+    TestFixtures.writeS3InventoryGz(s"$root/good", "s0",
+      TestFixtures.defaultInventoryRows.take(2))
+    val out = s"$root/pq"
+    val r1 = graft.sources.InventoryReader.normalizeInventory(
+      spark, s"$root/bad/*.csv.gz", out)
+    assert(r1.corrupt == 1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out.corrupt")))
+    // same outDir, clean input: the audit trail must describe THIS run
+    val r2 = graft.sources.InventoryReader.normalizeInventory(
+      spark, s"$root/good/*.csv.gz", out)
+    assert(r2.corrupt == 0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out.corrupt")))
+  }
+
+  test("a failed normalize write still releases the scan cache") {
+    val root = tmpDir("normfail")
+    TestFixtures.writeS3InventoryGz(s"$root/inv", "s0",
+      TestFixtures.defaultInventoryRows.take(2))
+    // outDir's PARENT is an existing FILE -> the parquet write throws
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/blocked"), "not a dir")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[Exception] {
+      graft.sources.InventoryReader.normalizeInventory(
+        spark, s"$root/inv/*.csv.gz", s"$root/blocked/out")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "failed normalize orphaned the scan cache")
+  }
+
+  test("bucket-partitioned layout keeps quarantine + release semantics") {
+    val root = tmpDir("normbkt")
+    TestFixtures.writeS3InventoryGz(s"$root/inv", "s0",
+      TestFixtures.defaultInventoryRows,
+      malformedLines = Seq("\"oops\""))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val back = graft.sources.InventoryReader.normalizeToParquet(
+      spark, s"$root/inv/*.csv.gz", s"$root/pq")
+    assert(back.count() == 7)
+    assert(spark.read.text(s"$root/pq.corrupt").count() == 1)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/pq/Bucket=srcb")))
+  }
+}
