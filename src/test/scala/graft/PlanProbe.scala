@@ -13,7 +13,8 @@ object PlanProbe {
       "q65_pii_scrub", "q66_hash_split", "q67_pack_sequences",
       "q68_cross_doc_spans", "q69_nfc_normalize", "q70_length_quantiles",
       "q71_shard_shuffle", "q72_session_windows", "q73_importance_weights",
-      "q74_hashed_score", "q75_training_prep")
+      "q74_hashed_score", "q75_training_prep", "q26_embed_near_dup",
+      "q76_star_contraction", "q77_normalize_inventory")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering
