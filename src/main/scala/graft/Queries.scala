@@ -818,6 +818,46 @@ object Queries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- multi-probe IVF top-k
+  /** Multi-probe IVF over the SAME trained index as q25: each query
+    * probes its 3 nearest clusters (the recall lever for boundary
+    * queries — scanned fraction ~nprobe/k, never the corpus). The
+    * oracle reuses q25's Lloyd's-replay CTE chain; the probe set ranks
+    * centroids by the same rounded cosine + centroid-id order as the
+    * assignment. */
+  private def qIvfMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val trained = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val cents = trained.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("vec_id", "embedding")
+    Similarity.ivfTopKProbed(emb.filter(col("vec_id") < 5), emb, cents,
+        "vec_id", "vec_id", "vec_id", "embedding", k = 5, nprobe = 3)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oIvfMultiprobe = {
+    s"""WITH $oKmeansAf,
+       |qp AS (
+       |  SELECT query_id, centroid_id, qv FROM (
+       |    SELECT e.vec_id AS query_id, c2.centroid_id, e.v AS qv,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.v", "centv")}, 6) DESC, centroid_id) AS r
+       |    FROM e CROSS JOIN c2 WHERE e.vec_id < 5)
+       |  WHERE r <= 3),
+       |s AS (SELECT qp.query_id, a.vec_id AS corpus_id,
+       |        round(${cosSql("qp.qv", "a.v")}, 6) AS cos_sim
+       |      FROM af a JOIN qp
+       |        ON a.centroid_id = qp.centroid_id AND a.vec_id <> qp.query_id)
+       |SELECT query_id, rank, corpus_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank
+       |  FROM s)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------- quality filter
   /** The pipeline FILTER step q19's stats feed: keep documents passing
     * token-count and punctuation gates (the reference-scale corpus
@@ -2437,7 +2477,8 @@ object Queries {
     "q74_hashed_score" -> (qHashedScore _),
     "q75_training_prep" -> (qTrainingPrep _),
     "q76_star_contraction" -> (qStarContraction _),
-    "q77_normalize_inventory" -> (qNormalizeInventory _)
+    "q77_normalize_inventory" -> (qNormalizeInventory _),
+    "q78_ivf_multiprobe" -> (qIvfMultiprobe _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2518,6 +2559,7 @@ object Queries {
     "q75_training_prep" -> oTrainingPrep,
     "q76_star_contraction" -> oStarContraction,
     // the normalized output must answer q33's oracle byte-for-byte
-    "q77_normalize_inventory" -> oCsvInventory
+    "q77_normalize_inventory" -> oCsvInventory,
+    "q78_ivf_multiprobe" -> oIvfMultiprobe
   )
 }

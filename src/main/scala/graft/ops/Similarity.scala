@@ -101,6 +101,48 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos_sim"))
   }
 
+  /** Multi-probe IVF top-k: probe the `nprobe` NEAREST clusters per
+    * query instead of just the assigned one — the standard recall
+    * lever (a query near a cluster boundary misses neighbors assigned
+    * across it; probing the next-nearest centroids recovers them).
+    * Scanned fraction grows to ~nprobe/nCentroids, still never the
+    * whole corpus; nprobe = nCentroids degenerates to brute force
+    * exactly. The probe ranking replays [[ivfAssign]]'s ordering
+    * (rounded cosine desc, centroid id asc), so nprobe=1 equals
+    * [[ivfTopK]] row-for-row.
+    *
+    * Shapes: the probe table is (queries × nprobe) rows — broadcast;
+    * the corpus-side assignment is the same single narrow pass as
+    * [[ivfTopK]]; the probe window partitions per query (queries are
+    * the small side by contract, never the corpus). */
+  def ivfTopKProbed(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                    qid: String, cid: String, centId: String, vecCol: String,
+                    k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val assigned = ivfAssign(corpus, centroids, cid, centId, vecCol)
+    val q = queries.select(col(qid).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cent = centroids.select(col(centId).as("centroid_id"),
+      col(vecCol).cast("array<double>").as("centv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cent_sim", round(cosine(col("qv"), col("centv")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("centroid_id"), col("qv"))
+    // a corpus vector lives in exactly ONE cluster, so (query, corpus)
+    // pairs are unique across probes — no dedup needed before ranking
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos_sim"))
+  }
+
   /** Lloyd's-iteration k-means training for the IVF index (spherical
     * form: cosine assignment, per-dimension mean update).
     *

@@ -222,3 +222,42 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(cleaned.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
   }
 }
+
+class MultiProbeIvfSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Similarity
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val cents = {
+    val trained = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    trained.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+  }
+  private def topk(nprobe: Int) = Similarity.ivfTopKProbed(
+      emb.filter(col("vec_id") < 10), emb, cents,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 5, nprobe = nprobe)
+    .select("query_id", "rank", "corpus_id", "cos_sim")
+    .as[(Long, Long, Long, Double)].collect().toSet
+
+  test("nprobe=1 equals single-probe ivfTopK row-for-row") {
+    val single = Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 10), emb, cents,
+        "vec_id", "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "corpus_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(topk(1) == single)
+  }
+
+  test("recall against brute force is monotone in nprobe; nprobe=k is exact") {
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def hits(nprobe: Int): Int =
+      topk(nprobe).map(r => (r._1, r._3)).count(brute.contains)
+    val (h1, h3, h8) = (hits(1), hits(3), hits(8))
+    assert(h1 <= h3 && h3 <= h8)
+    // probing every cluster IS brute force — identical pair set
+    assert(topk(8).map(r => (r._1, r._3)) == brute)
+  }
+}

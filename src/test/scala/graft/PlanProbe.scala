@@ -14,7 +14,7 @@ object PlanProbe {
       "q68_cross_doc_spans", "q69_nfc_normalize", "q70_length_quantiles",
       "q71_shard_shuffle", "q72_session_windows", "q73_importance_weights",
       "q74_hashed_score", "q75_training_prep", "q26_embed_near_dup",
-      "q76_star_contraction", "q77_normalize_inventory")
+      "q76_star_contraction", "q77_normalize_inventory", "q78_ivf_multiprobe")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering
