@@ -2100,6 +2100,32 @@ object Queries {
       .orderBy("source", "split")
   }
 
+  // --------------------------------------------- budget-driven mixing
+  /** Mixing rates derived from a per-source TOKEN BUDGET (how a
+    * pretraining mix is actually specified): rate = min(1, B/total) in
+    * integer per-myriad floor arithmetic, then the stable
+    * hash-threshold keep. Over-budget sources downsample; under-budget
+    * sources pass whole. */
+  private def qBudgetMix(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleToBudget(t(s, dir, "documents"), "doc_id", Seq("source"),
+        TextAnalysis.tokenCount(col("text")), budget = 800L)
+      .select(col("doc_id"), col("source"), col("rate_myriad"))
+      .orderBy("doc_id")
+
+  private val oBudgetMix =
+    """WITH tot AS (
+      |  SELECT source,
+      |    sum(CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)) AS total
+      |  FROM documents GROUP BY source),
+      |r AS (SELECT source,
+      |        CAST(least(10000, (800 * 10000) // total) AS BIGINT) AS rate_myriad
+      |      FROM tot)
+      |SELECT d.doc_id, d.source, r.rate_myriad
+      |FROM documents d JOIN r USING (source)
+      |WHERE ('0x' || substr(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % 10000 < r.rate_myriad
+      |ORDER BY doc_id""".stripMargin
+
   private val oHashSplit =
     """WITH b AS (
       |  SELECT source,
@@ -2478,7 +2504,8 @@ object Queries {
     "q75_training_prep" -> (qTrainingPrep _),
     "q76_star_contraction" -> (qStarContraction _),
     "q77_normalize_inventory" -> (qNormalizeInventory _),
-    "q78_ivf_multiprobe" -> (qIvfMultiprobe _)
+    "q78_ivf_multiprobe" -> (qIvfMultiprobe _),
+    "q79_budget_mix" -> (qBudgetMix _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2560,6 +2587,7 @@ object Queries {
     "q76_star_contraction" -> oStarContraction,
     // the normalized output must answer q33's oracle byte-for-byte
     "q77_normalize_inventory" -> oCsvInventory,
-    "q78_ivf_multiprobe" -> oIvfMultiprobe
+    "q78_ivf_multiprobe" -> oIvfMultiprobe,
+    "q79_budget_mix" -> oBudgetMix
   )
 }

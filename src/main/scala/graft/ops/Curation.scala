@@ -88,6 +88,33 @@ object Curation {
     df.filter(hashBucket(col(id), "sample:", 10000) <
       floor(rate * 10000).cast("bigint"))
 
+  /** Budget-driven dataset mixing: derive each group's sampling rate
+    * FROM a per-group weight budget (tokens, chars, bytes — whatever
+    * `weight` measures) instead of hand-tuning rates. A pretraining mix
+    * is specified this way in practice: "at most B tokens from each
+    * source". rate = min(1, budget/total) in integer per-myriad
+    * arithmetic (floor division — bit-replayable, no float drift), then
+    * the usual stable hash-threshold keep. Groups under budget pass
+    * through whole.
+    *
+    * Shape: one map-side-combined aggregate for the per-group totals
+    * (tiny — one row per group, broadcast back), then the narrow
+    * hash-threshold filter; the corpus never shuffles. Hash-derived,
+    * so refreshing the corpus never flips an existing row's decision
+    * (beyond the rate shift the new totals imply). */
+  def sampleToBudget(df: DataFrame, id: String, groupCols: Seq[String],
+                     weight: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val groups = groupCols.map(col)
+    val totals = df.groupBy(groups: _*)
+      .agg(sum(weight.cast("bigint")).as("_total"))
+      .withColumn("rate_myriad",
+        least(lit(10000L), expr(s"(${budget}L * 10000) div _total")))
+      .drop("_total")
+    df.join(broadcast(totals), groupCols)
+      .filter(hashBucket(col(id), "sample:", 10000) < col("rate_myriad"))
+  }
+
   /** Concat-and-chunk sequence packing: documents stream in (shard,
     * id) order into fixed `seqTokens`-token training sequences; each
     * document reports its token offset and the first/last sequence it

@@ -256,3 +256,29 @@ class CurationSpec extends SparkSpec {
     assert(r(3) == "plain ascii")
   }
 }
+
+class BudgetMixSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Curation
+
+  test("sampleToBudget: under-budget groups pass whole, over-budget downsample") {
+    // srcA: 10 docs x 100 tokens = 1000 total; srcB: 4 docs x 50 = 200
+    val docs = ((1L to 10L).map(i => (i, "A", 100L)) ++
+      (11L to 14L).map(i => (i, "B", 50L))).toDF("doc_id", "src", "w")
+    val out = Curation.sampleToBudget(docs, "doc_id", Seq("src"),
+      col("w"), budget = 500L)
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // B is under budget: rate 10000, all 4 kept
+    assert(bySrc.getOrElse("B", 0L) == 4L)
+    // A is 2x over budget: rate exactly 5000 per myriad
+    val rates = out.select("src", "rate_myriad").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("A") == 5000L && rates("B") == 10000L)
+    // kept A docs are the hash-threshold subset, a strict subset
+    assert(bySrc("A") > 0L && bySrc("A") < 10L)
+    // decisions replay exactly on a second invocation
+    val again = Curation.sampleToBudget(docs, "doc_id", Seq("src"),
+      col("w"), budget = 500L).select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+}
