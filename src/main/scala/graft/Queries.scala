@@ -2425,6 +2425,138 @@ object Queries {
       |FROM tf JOIN dfq USING (term)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- as-of join
+  /** Purchase→view attribution over the event log: each purchase joins
+    * the latest view by the same user at-or-before it ([[ops.AsOfJoin]]
+    * union-tag window — one |L|+|R| shuffle on user_id, no pair
+    * explosion). The oracle replays the same strictly-preceding-frame
+    * window, then recovers the matched view row by equi-join (ties at
+    * equal seconds: max view event_id, both engines). */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("event_id"), col("user_id"),
+      eventSec(ev).as("sec"), col("event_type"), col("value"))
+    val purchases = base.filter(col("event_type") === "purchase")
+    val views = base.filter(col("event_type") === "view")
+    AsOfJoin.lastPrior(purchases, views, "user_id", "sec",
+        "event_id", "event_id", payload = Seq("value"))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        col("asof_time").as("view_sec"),
+        col("asof_event_id").as("view_event_id"),
+        floor(col("asof_value") * 100).as("view_size"),
+        (col("sec") - col("asof_time")).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  private val oAsofJoin =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec,
+      |         event_type, value
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |u AS (SELECT *, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+      |      FROM e),
+      |w AS (SELECT *, max(CASE WHEN side = 0 THEN sec END) OVER (
+      |        PARTITION BY user_id ORDER BY sec, side, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_sec
+      |      FROM u),
+      |p AS (SELECT event_id, user_id, sec, view_sec FROM w WHERE side = 1),
+      |v AS (SELECT user_id, sec AS view_sec, event_id AS vid, value
+      |      FROM e WHERE event_type = 'view'),
+      |m AS (SELECT p.event_id, p.user_id, p.sec, p.view_sec,
+      |             max(v.vid) AS view_event_id,
+      |             CAST(floor(arg_max(v.value, v.vid) * 100) AS BIGINT)
+      |               AS view_size
+      |      FROM p LEFT JOIN v
+      |        ON v.user_id = p.user_id AND v.view_sec = p.view_sec
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT event_id, user_id, sec, view_sec, view_event_id, view_size,
+      |       sec - view_sec AS gap_sec
+      |FROM m ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------- banded range join
+  /** Nearby-event correlation: for every error event, the count and
+    * total size of click events by the same user within ±1 day
+    * ([[ops.RangeJoin]] bucketed band join — equi-join on (user,
+    * time-bucket), never the naive per-key cross join). The oracle is
+    * the plain theta-join (fine at oracle scale; the bucketing is the
+    * 100 TB posture, not a semantics change). */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("event_id"), col("user_id"),
+      eventSec(ev).as("sec"), col("event_type"),
+      floor(col("value") * 100).cast("bigint").as("size"))
+    val errors = base.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "sec")
+    val clicks = base.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "sec", "size")
+    RangeJoin.nearbyStats(errors, clicks, "user_id", "sec",
+        band = 86400L, leftId = "event_id",
+        aggs = Seq(sum(col("r_size")).as("nearby_size")))
+      .withColumn("nearby_size", coalesce(col("nearby_size"), lit(0L)))
+      .select("event_id", "user_id", "sec", "n_nearby", "nearby_size")
+      .orderBy("event_id")
+  }
+
+  private val oRangeJoin =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec,
+      |         event_type, CAST(floor(value * 100) AS BIGINT) AS size
+      |  FROM events),
+      |err AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'error'),
+      |clk AS (SELECT user_id, sec, size FROM e WHERE event_type = 'click')
+      |SELECT err.event_id, any_value(err.user_id) AS user_id,
+      |       any_value(err.sec) AS sec,
+      |       CAST(count(clk.user_id) AS BIGINT) AS n_nearby,
+      |       coalesce(CAST(sum(clk.size) AS BIGINT), 0) AS nearby_size
+      |FROM err LEFT JOIN clk
+      |  ON clk.user_id = err.user_id AND abs(clk.sec - err.sec) <= 86400
+      |GROUP BY err.event_id ORDER BY err.event_id""".stripMargin
+
+  // --------------------------------------- bloom-gated decontamination
+  /** q61's contamination scan through the Bloom-sketch prefilter
+    * ([[CorpusSignals.contaminationBloom]]): bench grams → Bloom bits →
+    * narrow mightContain prune BEFORE any shuffle → exact confirm join.
+    * Same oracle surface as q61 — the sketch only prunes, the exact
+    * join decides, so false positives cannot reach the result. */
+  private def qBloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    CorpusSignals.contaminationBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", col("text"), n = 4,
+        expectedItems = 200000L, fpp = 0.01)
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ vocabulary / OOV
+  /** Closed-vocab coverage scan: build the top-200 corpus vocabulary
+    * (count desc, token asc — a total cut) and score every document's
+    * out-of-vocabulary rate in exact ppm. The corpus aggregates once on
+    * the token (map-side combined); only the V-row vocab crosses the
+    * cluster (broadcast). */
+  private def qVocabOov(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = TextAnalysis.vocabulary(docs, col("text"), v = 200)
+    TextAnalysis.oovRate(docs, "doc_id", col("text"), vocab)
+      .orderBy("doc_id")
+  }
+
+  private val oVocabOov =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+      |  FROM documents),
+      |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM toks GROUP BY token),
+      |v AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 200)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_oov,
+      |       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+      |         // count(*) AS oov_ppm
+      |FROM toks LEFT JOIN v ON toks.token = v.token
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2505,7 +2637,11 @@ object Queries {
     "q76_star_contraction" -> (qStarContraction _),
     "q77_normalize_inventory" -> (qNormalizeInventory _),
     "q78_ivf_multiprobe" -> (qIvfMultiprobe _),
-    "q79_budget_mix" -> (qBudgetMix _)
+    "q79_budget_mix" -> (qBudgetMix _),
+    "q80_asof_join" -> (qAsofJoin _),
+    "q81_range_join" -> (qRangeJoin _),
+    "q82_bloom_contamination" -> (qBloomContamination _),
+    "q83_vocab_oov" -> (qVocabOov _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2588,6 +2724,11 @@ object Queries {
     // the normalized output must answer q33's oracle byte-for-byte
     "q77_normalize_inventory" -> oCsvInventory,
     "q78_ivf_multiprobe" -> oIvfMultiprobe,
-    "q79_budget_mix" -> oBudgetMix
+    "q79_budget_mix" -> oBudgetMix,
+    "q80_asof_join" -> oAsofJoin,
+    // the Bloom prefilter is result-transparent — q61's oracle IS its oracle
+    "q82_bloom_contamination" -> oContamination,
+    "q81_range_join" -> oRangeJoin,
+    "q83_vocab_oov" -> oVocabOov
   )
 }

@@ -244,4 +244,43 @@ object CorpusSignals {
       .filter(col("rank") <= k)
       .select(col(id), col("rank"), col("term"), col("tf"), col("score"))
   }
+
+  /** Bloom-prefiltered contamination scan — same result as
+    * [[contamination]], different scale posture. The broadcast-join
+    * form ships every distinct benchmark GRAM to every executor; once
+    * the eval suite grows past broadcast size (many suites × many
+    * grams), that join falls back to shuffling the full training gram
+    * stream. This form instead:
+    *
+    *   1. builds a Bloom filter over the benchmark grams (one pass on
+    *      the bench side; `expectedItems`/`fpp` size it — bits, not
+    *      rows, travel to executors);
+    *   2. prefilters training grams through `mightContain` — a narrow
+    *      map that drops the overwhelming non-contaminated majority
+    *      BEFORE any shuffle;
+    *   3. exact-confirms the tiny survivor set against the true gram
+    *      set, so Bloom false positives never reach the result.
+    *
+    * Output is bit-identical to [[contamination]] — the sketch only
+    * prunes, the exact join decides. Insertion order cannot change a
+    * Bloom filter (bit-OR is commutative), so the prefilter is
+    * deterministic across partitionings. */
+  def contaminationBloom(train: DataFrame, bench: DataFrame, id: String,
+                         text: Column, n: Int,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val bg = bench.select(
+        explode(wordNgramsDistinct(text, n)).as("gram"))
+      .distinct()
+    val bloom = bg.stat.bloomFilter("gram", expectedItems, fpp)
+    val spark = train.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomBc.value.mightContainString(g))
+    val tg = train.select(col(id),
+        explode(wordNgramsDistinct(text, n)).as("gram"))
+      .filter(mightContain(col("gram")))
+    tg.join(bg, Seq("gram")) // exact confirm: kills false positives
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

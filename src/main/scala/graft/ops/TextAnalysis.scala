@@ -111,4 +111,45 @@ object TextAnalysis {
           j => array_min(slice(hs, j, lit(w)))))),
       1)
   }
+
+  /** Top-`v` corpus vocabulary by token frequency — the tokenizer-
+    * training precursor (counts feed BPE/unigram trainers; the top-V
+    * word list itself is the classic closed-vocab baseline). Ties
+    * break by the token string, so the cut is total and engine-
+    * portable. One map-side-combined aggregation on the token, then a
+    * global top-V — the only global step moves V rows, not the corpus.
+    * Output: (token, cnt, rank), rank 1-based. */
+  def vocabulary(df: DataFrame, text: Column, v: Int): DataFrame = {
+    val counts = df.select(explode(tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // top-V via sort+limit (Spark plans TakeOrderedAndProject — a
+    // per-partition heap + single merge, not a global sort)
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(v)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    // the rank window runs over V rows only (post-limit), so the
+    // single-partition window is bounded by the vocab size, not data
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
+  }
+
+  /** Per-document out-of-vocabulary rate against a vocabulary built by
+    * [[vocabulary]] (or any (token) set): total tokens, OOV tokens and
+    * the exact ppm rate (integer-derived, bit-portable). The vocab is
+    * broadcast — V rows by construction — so the token stream joins
+    * map-side with zero shuffle on the corpus side beyond the per-doc
+    * re-aggregation. */
+  def oovRate(df: DataFrame, id: String, text: Column,
+              vocab: DataFrame): DataFrame = {
+    val toksOf = df.select(col(id), explode(tokens(text)).as("token"))
+    toksOf
+      .join(broadcast(vocab.select(col("token"), lit(1).as("in_v"))),
+        Seq("token"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // `div`, not `/`: column / is double division — ppm must stay
+      // integer-exact for the oracle (DuckDB `//`)
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+  }
 }

@@ -11,52 +11,59 @@ object VerifyProbe {
     val spark = GraftSession.local(4)
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val sec = expr("ts div 1000000000")
+    val base = ev.select(col("event_id"), col("user_id"), sec.as("sec"),
+      col("event_type"), col("value"))
 
-    // 1) q26 path: near-dup pairs re-blocked on (label, LSH bucket) with
-    //    the hot-block guard ON — must produce bounded blocks and rows
-    val planes = ops.Similarity.hyperplanes(6, 64)
-    val blocked = emb.withColumn("blk", concat_ws("/", col("label"),
-      ops.Similarity.lshBucket(col("embedding").cast("array<double>"), planes)))
-    val maxBlock = blocked.groupBy("blk").count()
-      .agg(max("count")).first().getLong(0)
-    val pairs = ops.Similarity.nearDupPairs(
-      blocked, "vec_id", "blk", "embedding", 0.3, maxBlockRows = 1000)
-    println(s"nearDup blocks max=$maxBlock pairs=${pairs.count()}")
-    assert(maxBlock <= 1000)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
 
-    // 2) guard actually fires on a hot block
-    val hot = emb.withColumn("blk", lit("all"))
-    val fired =
-      try { ops.Similarity.nearDupPairs(hot, "vec_id", "blk", "embedding", 0.3,
-        maxBlockRows = 10).count(); false }
-      catch { case e: IllegalArgumentException => e.getMessage.contains("nearDupPairs") }
-    println(s"guard fired=$fired")
-    assert(fired)
+    // 1) as-of join: purchases ← latest prior view; plan must stay
+    //    equi/window shaped — no nested-loop or cartesian fallback
+    val asof = ops.AsOfJoin.lastPrior(
+      base.filter(col("event_type") === "purchase"),
+      base.filter(col("event_type") === "view"),
+      "user_id", "sec", "event_id", "event_id", payload = Seq("value"))
+    val asofPlan = planOf(asof)
+    val matched = asof.filter(col("asof_event_id").isNotNull).count()
+    val total = asof.count()
+    println(s"asof: $matched/$total purchases attributed")
+    assert(matched > 0 && matched <= total)
+    assert(!asofPlan.contains("CartesianProduct")
+      && !asofPlan.contains("BroadcastNestedLoopJoin"), "as-of plan fell back")
 
-    // 3) q28 path: inverted-index Jaccard at 0.05 returns rows now, and
-    //    the Scoped form releases its posting-list cache
-    val bg = docs.filter(col("source") === "src0")
-      .withColumn("blk", col("lang"))
-      .withColumn("bigrams", ops.ApproxDedup.wordNgrams(col("text"), 2))
-    val scoped = ops.ApproxDedup.jaccardPairsInvertedScoped(
-      bg, "doc_id", "blk", "bigrams", 0.05)
-    val nPairs = scoped.df.count()
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
-    scoped.release()
-    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
-    println(s"inverted pairs=$nPairs cached $cachedBefore->$cachedAfter")
-    assert(nPairs > 0 && cachedAfter < cachedBefore)
+    // 2) banded range join: bucketed equi-join, never a theta BNLJ
+    val rj = ops.RangeJoin.withinBand(
+      base.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "sec"),
+      base.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "sec"),
+      "user_id", "sec", band = 86400L)
+    val rjPlan = planOf(rj)
+    println(s"rangeJoin pairs=${rj.count()}")
+    assert(!rjPlan.contains("CartesianProduct")
+      && !rjPlan.contains("BroadcastNestedLoopJoin"), "range join fell back:\n" + rjPlan)
 
-    // 4) reader default is now uncached: no persistent RDDs appear
-    val dir = java.nio.file.Files.createTempDirectory("probe_inv").toString
-    TestFixtures.writeS3InventoryGz(dir, "shard-0", TestFixtures.defaultInventoryRows)
-    val before = spark.sparkContext.getPersistentRDDs.size
-    val raw = sources.InventoryReader.readS3Inventory(spark, s"$dir/*.csv.gz")
-    val good = sources.InventoryReader.goodRows(raw).count()
-    val after = spark.sparkContext.getPersistentRDDs.size
-    println(s"reader rows=$good persisted $before->$after")
-    assert(good > 0 && after == before)
+    // 3) bloom contamination == exact contamination on real docs
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val exact = ops.CorpusSignals.contamination(train, bench, "doc_id",
+      col("text"), 4).orderBy("doc_id").collect()
+    val bloom = ops.CorpusSignals.contaminationBloom(train, bench, "doc_id",
+      col("text"), 4, expectedItems = 100000L, fpp = 0.01)
+      .orderBy("doc_id").collect()
+    println(s"contamination exact=${exact.length} bloom=${bloom.length}")
+    assert(exact.nonEmpty && bloom.toSeq == exact.toSeq)
+
+    // 4) vocab/OOV over real docs: vocab join must broadcast
+    val vocab = ops.TextAnalysis.vocabulary(docs, col("text"), 200)
+    val oov = ops.TextAnalysis.oovRate(docs, "doc_id", col("text"), vocab)
+    val oovPlan = planOf(oov)
+    val nDocs = oov.count()
+    println(s"oov docs=$nDocs")
+    assert(nDocs == docs.count())
+    assert(oovPlan.contains("BroadcastHashJoin"), "vocab join not broadcast")
 
     println("PROBE_OK")
     spark.stop()
