@@ -2557,6 +2557,78 @@ object Queries {
       |FROM toks LEFT JOIN v ON toks.token = v.token
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- product-quantized top-k
+  /** PQ/ADC top-k ([[Similarity.pqTopK]]): 4 subspaces × 16 dims, 16
+    * centroids each, trained by one deterministic Lloyd's iteration per
+    * subspace (k-lowest-id init — [[Similarity.kmeansFit]] on the
+    * slices). The oracle replays all four subspace chains — init,
+    * rounded-cosine assignment, fixed-point mean update, final encode —
+    * then the fixed-point ADC lookup-table sum. Scores are µ-unit
+    * bigints, so no double-summation order can split the engines. */
+  private def qPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cb = Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 16, iters = 1)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "vec_id",
+        "embedding", cb, m = 4, dsub = 16, k = 5)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("score_fp"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** One subspace's Lloyd's replay: slice → 16-lowest-id init → assign
+    * → fixed-point update → final encode → query LUT → per-pair partial
+    * dots. Mirrors [[oKmAssign]]/[[oKmUpdate]] with subspace tables. */
+  private def oPqSubspace(s: Int): String = {
+    val lo = s * 16 + 1
+    val hi = (s + 1) * 16
+    def assign(tbl: String, cent: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, centroid_id, v FROM (
+         |    SELECT t.vec_id, c.centroid_id, t.v,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY round(${cosSql("t.v", "c.centv")}, 6) DESC, centroid_id) AS r
+         |    FROM $tbl t CROSS JOIN $cent c)
+         |  WHERE r = 1)""".stripMargin
+    s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       |c${s}i AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+       |               v AS centv
+       |        FROM (SELECT vec_id, v FROM e$s ORDER BY vec_id LIMIT 16)),
+       |${assign(s"e$s", s"c${s}i", s"a${s}1")},
+       |c${s}f AS (SELECT c${s}i.centroid_id, coalesce(nu.centv, c${s}i.centv) AS centv
+       |  FROM c${s}i LEFT JOIN (
+       |    SELECT centroid_id,
+       |           list(round(sx / (n * 1000000.0), 6) ORDER BY dim) AS centv
+       |    FROM (SELECT centroid_id, dim,
+       |            sum(CAST(floor(v[dim] * 1000000) AS BIGINT)) AS sx,
+       |            count(*) AS n
+       |          FROM a${s}1 CROSS JOIN
+       |               (SELECT unnest(generate_series(1, 16)) AS dim) dims
+       |          GROUP BY centroid_id, dim)
+       |    GROUP BY centroid_id) nu ON c${s}i.centroid_id = nu.centroid_id),
+       |${assign(s"e$s", s"c${s}f", s"a${s}f")},
+       |lut$s AS (SELECT q.vec_id AS query_id, c.centroid_id AS code,
+       |        CAST(floor(list_dot_product(q.v, c.centv) * 1000000) AS BIGINT) AS pd
+       |      FROM (SELECT vec_id, v FROM e$s WHERE vec_id < 5) q
+       |      CROSS JOIN c${s}f c),
+       |pr$s AS (SELECT l.query_id, a.vec_id AS corpus_id, l.pd
+       |      FROM a${s}f a JOIN lut$s l ON l.code = a.centroid_id)""".stripMargin
+  }
+
+  private val oPqTopK = {
+    val subs = (0 until 4).map(oPqSubspace).mkString(",\n")
+    val prs = (0 until 4).map(s => s"SELECT * FROM pr$s").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$subs,
+       |allp AS ($prs),
+       |sc AS (SELECT query_id, corpus_id, CAST(sum(pd) AS BIGINT) AS score_fp
+       |       FROM allp WHERE query_id <> corpus_id GROUP BY 1, 2)
+       |SELECT query_id, rank, corpus_id, score_fp FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_fp DESC, corpus_id) AS INT) AS rank FROM sc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2641,7 +2713,8 @@ object Queries {
     "q80_asof_join" -> (qAsofJoin _),
     "q81_range_join" -> (qRangeJoin _),
     "q82_bloom_contamination" -> (qBloomContamination _),
-    "q83_vocab_oov" -> (qVocabOov _)
+    "q83_vocab_oov" -> (qVocabOov _),
+    "q84_pq_topk" -> (qPqTopK _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2729,6 +2802,7 @@ object Queries {
     // the Bloom prefilter is result-transparent — q61's oracle IS its oracle
     "q82_bloom_contamination" -> oContamination,
     "q81_range_join" -> oRangeJoin,
-    "q83_vocab_oov" -> oVocabOov
+    "q83_vocab_oov" -> oVocabOov,
+    "q84_pq_topk" -> oPqTopK
   )
 }

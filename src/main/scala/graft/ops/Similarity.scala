@@ -308,4 +308,89 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Product-quantization codebooks (Jégou/Douze/Schmid, TPAMI 2011):
+    * split d dims into `m` subspaces of `dsub`, train `ksub` centroids
+    * per subspace by the same deterministic Lloyd's as the IVF index
+    * ([[kmeansFit]] on the sliced subvectors — cosine assignment,
+    * fixed-point mean update, k-lowest-id init; a DuckDB oracle replays
+    * each subspace chain exactly). Codes compress a vector to `m`
+    * small ints — at 100 TB the difference between scanning raw floats
+    * (d·4 bytes/vector) and scanning codes (m bytes): ~d·4/m× less I/O
+    * on the ANN read path.
+    * @return codebooks(s)(c) = centroid c of subspace s (dsub doubles) */
+  def pqFit(corpus: DataFrame, id: String, vecCol: String,
+            m: Int, dsub: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { s =>
+      kmeansFit(
+        corpus.select(col(id).as("sid"),
+          slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as("sv")),
+        "sid", "sv", ksub, iters)
+    }
+
+  /** Codebooks as a (s, centroid_id, centv) DataFrame — m·ksub rows,
+    * broadcast by every consumer. */
+  def pqCodebookDf(spark: org.apache.spark.sql.SparkSession,
+                   codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, i) => (s, i.toLong, c.toSeq) }
+    }.toSeq.toDF("s", "centroid_id", "centv")
+  }
+
+  /** Encode the corpus: one row per (id, subspace, code), code = the
+    * subspace centroid with max rounded cosine (ties → smallest id,
+    * [[ivfAssign]]'s rule). ONE corpus pass regardless of m: slices
+    * posexplode to (id, s, subvector), the m·ksub codebook broadcasts,
+    * and the argmax is a map-side-combined max_by — two shuffles total
+    * (the agg, keyed (id, s)), independent of m. */
+  def pqEncode(corpus: DataFrame, id: String, vecCol: String,
+               m: Int, dsub: Int, codebook: DataFrame): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val slices = array((0 until m).map(s => slice(v, s * dsub + 1, dsub)): _*)
+    corpus.select(col(id).as("corpus_id"), posexplode(slices).as(Seq("s", "sv")))
+      .join(broadcast(codebook), Seq("s"))
+      .withColumn("sim", round(cosine(col("sv"), col("centv")), 6))
+      .groupBy(col("corpus_id"), col("s"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("sim"),
+          (-col("centroid_id").cast("bigint")).as("nid"))).as("code"))
+  }
+
+  /** PQ top-k by asymmetric distance computation: the query stays
+    * exact, the corpus is its codes. Approximate inner product
+    * dot(q, v) ≈ Σ_s dot(q_s, centroid(code_s)) — the per-(query,
+    * subspace, centroid) partial dots form a lookup table of
+    * |Q|·m·ksub FIXED-POINT entries (floor(dot·1e6) bigint: the
+    * per-pair sum is integer-exact, so no double-summation order can
+    * split the engines). The corpus side never touches raw vectors:
+    * codes join the broadcast LUT and sum — the scan reads m small
+    * ints per vector instead of d floats.
+    * Output rank: (score_fp desc, corpus_id asc); score_fp = the
+    * fixed-point approximate dot (µ units). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, qid: String, cid: String,
+             vecCol: String, codebooks: Array[Array[Array[Double]]],
+             m: Int, dsub: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val codebook = pqCodebookDf(spark, codebooks)
+    val codes = pqEncode(corpus, cid, vecCol, m, dsub, codebook)
+    val v = col(vecCol).cast("array<double>")
+    val slices = array((0 until m).map(s => slice(v, s * dsub + 1, dsub)): _*)
+    val lut = queries
+      .select(col(qid).as("query_id"), posexplode(slices).as(Seq("s", "qsv")))
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("query_id"), col("s"), col("centroid_id").as("code"),
+        floor(dot(col("qsv"), col("centv")) * 1e6).cast("bigint").as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("corpus_id"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("pd")).as("score_fp"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score_fp"))
+  }
 }

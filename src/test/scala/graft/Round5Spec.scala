@@ -108,6 +108,45 @@ class BloomContaminationSpec extends SparkSpec {
   }
 }
 
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Similarity
+
+  // 40 deterministic 8-dim vectors in two well-separated direction
+  // families, so PQ's coarse codes must still rank family-mates first
+  private lazy val vecs = (0L until 40L).map { i =>
+    val base = if (i % 2 == 0) Array(1.0, 2, 3, 4, 5, 6, 7, 8)
+               else Array(8.0, -7, 6, -5, 4, -3, 2, -1)
+    (i, base.zipWithIndex.map { case (x, d) => x + (i * (d + 1) % 5) * 0.01 }.toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("pqFit/pqEncode: every vector gets one code per subspace, in range") {
+    val cb = Similarity.pqFit(vecs, "vec_id", "embedding",
+      m = 2, dsub = 4, ksub = 4, iters = 1)
+    assert(cb.length == 2 && cb.forall(_.length == 4)
+      && cb.forall(_.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", 2, 4,
+      Similarity.pqCodebookDf(spark, cb))
+    assert(codes.count() == 80) // 40 vectors x 2 subspaces
+    val rng = codes.agg(min("code"), max("code")).first()
+    assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 3L)
+  }
+
+  test("pqTopK: ADC ranking puts same-family vectors first") {
+    val cb = Similarity.pqFit(vecs, "vec_id", "embedding",
+      m = 2, dsub = 4, ksub = 4, iters = 2)
+    val top = Similarity.pqTopK(vecs.filter(col("vec_id") < 2), vecs,
+        "vec_id", "vec_id", "embedding", cb, m = 2, dsub = 4, k = 5)
+      .collect()
+    assert(top.length == 10) // 2 queries x 5
+    // query 0 (even family): all top-5 should be even ids; query 1 odd
+    top.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val c = r.getAs[Long]("corpus_id")
+      assert(c % 2 == q % 2, s"query $q ranked cross-family $c")
+    }
+  }
+}
+
 class VocabOovSpec extends SparkSpec {
   import spark.implicits._
 
