@@ -14,7 +14,9 @@ object PlanProbe {
       "q68_cross_doc_spans", "q69_nfc_normalize", "q70_length_quantiles",
       "q71_shard_shuffle", "q72_session_windows", "q73_importance_weights",
       "q74_hashed_score", "q75_training_prep", "q26_embed_near_dup",
-      "q76_star_contraction", "q77_normalize_inventory", "q78_ivf_multiprobe")
+      "q76_star_contraction", "q77_normalize_inventory", "q78_ivf_multiprobe",
+      "q79_budget_mix", "q80_asof_join", "q81_range_join",
+      "q82_bloom_contamination", "q83_vocab_oov", "q84_pq_topk")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering
