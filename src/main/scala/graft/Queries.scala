@@ -2629,6 +2629,50 @@ object Queries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- sliding chunks
+  /** Long-document chunking into overlapping 64-token windows every 32
+    * tokens ([[Curation.chunkWindows]] — zero-shuffle narrow map; the
+    * RAG-indexing / long-doc training-prep cut). */
+  private def qChunkWindows(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkWindows(t(s, dir, "documents"), "doc_id", col("text"),
+        window = 64, stride = 32)
+      .orderBy("doc_id", "chunk_id")
+
+  private val oChunkWindows =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+      |n AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+      |c AS (SELECT doc_id, ws,
+      |        unnest(generate_series(0, CASE WHEN n <= 64 THEN 0
+      |          ELSE (n - 64 + 31) // 32 END)) AS chunk_id
+      |      FROM n)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |       array_to_string(ws[chunk_id*32+1 : chunk_id*32+64], ' ')
+      |         AS chunk_text,
+      |       CAST(len(ws[chunk_id*32+1 : chunk_id*32+64]) AS BIGINT)
+      |         AS chunk_tokens
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ------------------------------------------------- per-group cap
+  /** Deterministic per-source cap at 20 documents
+    * ([[Curation.cappedPerGroup]] — salt-staged two-phase top-k, never
+    * a whole-source single-partition sort; the oracle is the naive
+    * one-window form the staged plan must equal row-for-row). */
+  private def qGroupCap(s: SparkSession, dir: String): DataFrame =
+    Curation.cappedPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", k = 20)
+      .orderBy("source", "pos")
+
+  private val oGroupCap =
+    """SELECT doc_id, source, pos FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS BIGINT) AS pos
+      |  FROM documents)
+      |WHERE pos <= 20 ORDER BY source, pos""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2714,7 +2758,9 @@ object Queries {
     "q81_range_join" -> (qRangeJoin _),
     "q82_bloom_contamination" -> (qBloomContamination _),
     "q83_vocab_oov" -> (qVocabOov _),
-    "q84_pq_topk" -> (qPqTopK _)
+    "q84_pq_topk" -> (qPqTopK _),
+    "q85_chunk_windows" -> (qChunkWindows _),
+    "q86_group_cap" -> (qGroupCap _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2803,6 +2849,8 @@ object Queries {
     "q82_bloom_contamination" -> oContamination,
     "q81_range_join" -> oRangeJoin,
     "q83_vocab_oov" -> oVocabOov,
-    "q84_pq_topk" -> oPqTopK
+    "q84_pq_topk" -> oPqTopK,
+    "q85_chunk_windows" -> oChunkWindows,
+    "q86_group_cap" -> oGroupCap
   )
 }

@@ -252,4 +252,60 @@ object Curation {
         (col("n_shared_grams").cast("double") / col("n_grams")).as("shared_frac"))
     ApproxDedup.Scoped(out, () => { grams.unpersist(); () })
   }
+
+  /** Sliding-window document chunking (the long-document → context-
+    * window pass: RAG indexing and long-doc training prep both cut
+    * documents into overlapping `window`-token chunks every `stride`
+    * tokens). Chunk c covers tokens [c·stride+1, c·stride+window]; the
+    * last chunk may be short; a sub-window document yields exactly one
+    * chunk. Pure narrow map + explode — zero shuffle, scan-speed, and
+    * the token array is let-bound so it splits once per document, not
+    * once per chunk. */
+  def chunkWindows(df: DataFrame, id: String, text: Column,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(id), split(text, "\\s+").as("_ws"))
+      .withColumn("_n", size(col("_ws")))
+      // last chunk id: 0 when the doc fits one window, else
+      // ceil((n - window) / stride) in integer arithmetic
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), when(col("_n") <= window, lit(0))
+          .otherwise(expr(s"(_n - $window + ${stride - 1}) div $stride")))))
+      .select(col(id), col("chunk_id").cast("bigint").as("chunk_id"),
+        concat_ws(" ", slice(col("_ws"),
+          col("chunk_id") * stride + 1, lit(window))).as("chunk_text"),
+        size(slice(col("_ws"), col("chunk_id") * stride + 1, lit(window)))
+          .cast("bigint").as("chunk_tokens"))
+  }
+
+  /** Per-group deterministic cap: keep at most `k` rows per group,
+    * chosen by an id-derived hash order (corpus-growth-stable like
+    * every sampling pass here — a surviving row only drops when enough
+    * NEW rows hash below it, never from reordering). Equals the naive
+    * single window `row_number() OVER (PARTITION BY group ORDER BY
+    * md5(id), id) <= k` row-for-row.
+    *
+    * The naive window is the scale trap: groups are usually FEW and
+    * HUGE (per-source caps → one partition per source sorts the whole
+    * source). This runs two stages: stage 1 windows over (group, salt)
+    * — `salts` sub-partitions spread each group — and keeps k per
+    * salt; stage 2 re-windows the ≤ k·salts survivors per group. Any
+    * global top-k row is top-k within its salt (pruning k per salt is
+    * lossless), so the two-stage result is exactly the naive one. */
+  def cappedPerGroup(df: DataFrame, group: String, id: String, k: Int,
+                     salts: Int = 32): DataFrame = {
+    require(k > 0 && salts > 0, s"need positive k/salts, got k=$k salts=$salts")
+    val ord = md5(concat(lit("cap:"), col(id).cast("string")))
+    val w1 = Window.partitionBy(col(group), col("_salt"))
+      .orderBy(col("_ord"), col(id))
+    val w2 = Window.partitionBy(col(group)).orderBy(col("_ord"), col(id))
+    df.withColumn("_ord", ord)
+      .withColumn("_salt", hashBucket(col(id), "capsalt:", salts))
+      .withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= k)
+      .withColumn("pos", row_number().over(w2).cast("bigint"))
+      .filter(col("pos") <= k)
+      .drop("_ord", "_salt", "_rn1")
+  }
 }

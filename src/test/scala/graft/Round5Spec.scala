@@ -108,6 +108,50 @@ class BloomContaminationSpec extends SparkSpec {
   }
 }
 
+class ChunkCapSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Curation
+
+  test("chunkWindows: overlap, short tail, sub-window single chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, w4 s2
+      (2L, "a b c"),                                  // sub-window
+      (3L, "x y z w")                                 // exactly one window
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkWindows(docs, "doc_id", col("text"),
+        window = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // ceil((10-4)/2)=3 → chunks 0..3
+    assert(d1.length == 4)
+    assert(d1(0).getAs[String]("chunk_text") == "t1 t2 t3 t4")
+    assert(d1(1).getAs[String]("chunk_text") == "t3 t4 t5 t6")
+    assert(d1(3).getAs[String]("chunk_text") == "t7 t8 t9 t10")
+    assert(out.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_text")).toSeq
+      == Seq("a b c"))
+    assert(out.filter(_.getLong(0) == 3L).length == 1)
+    // every token of every doc is covered by at least one chunk
+    assert(d1.map(_.getAs[Long]("chunk_tokens")).sum >= 10)
+  }
+
+  test("cappedPerGroup equals the naive single-window top-k") {
+    val rows = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val staged = Curation.cappedPerGroup(rows, "g", "id", k = 7, salts = 8)
+      .orderBy("g", "pos").collect()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(md5(concat(lit("cap:"), col("id").cast("string"))), col("id"))
+    val naive = rows.withColumn("pos", row_number().over(w).cast("bigint"))
+      .filter(col("pos") <= 7).orderBy("g", "pos").collect()
+    assert(staged.length == 21 && staged.toSeq == naive.toSeq)
+  }
+
+  test("cappedPerGroup: groups smaller than k pass through whole") {
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val out = Curation.cappedPerGroup(rows, "g", "id", k = 10, salts = 4)
+    assert(out.count() == 3)
+  }
+}
+
 class PqSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Similarity
