@@ -2673,6 +2673,48 @@ object Queries {
       |  FROM documents)
       |WHERE pos <= 20 ORDER BY source, pos""".stripMargin
 
+  // ------------------------------------------------ heavy hitters
+  /** Corpus heavy hitters at count ≥ 500 through the count-min-sketch
+    * prefilter ([[TextAnalysis.heavyHitters]] — CMS estimates never
+    * undercount, so the narrow prune keeps a superset and the exact
+    * confirm count decides; bit-identical to the plain groupBy). */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(t(s, dir, "documents"), col("text"),
+        minCount = 500L)
+      .orderBy("token")
+
+  private val oHeavyHitters =
+    """SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS token
+      |  FROM documents)
+      |GROUP BY token HAVING count(*) >= 500 ORDER BY token""".stripMargin
+
+  // ------------------------------------------- decontaminated corpus
+  /** The decontamination pass itself ([[CorpusSignals.decontaminate]]
+    * — q61 counts the shared grams; this anti-joins the flagged docs
+    * away and returns the surviving training corpus). */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    CorpusSignals.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", col("text"), n = 4)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val oDecontaminate =
+    s"""WITH g AS (
+       |  SELECT doc_id, ${oGramsAll(4)} AS gram
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+       |        FROM documents)),
+       |tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+       |bad AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (gram))
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2760,7 +2802,9 @@ object Queries {
     "q83_vocab_oov" -> (qVocabOov _),
     "q84_pq_topk" -> (qPqTopK _),
     "q85_chunk_windows" -> (qChunkWindows _),
-    "q86_group_cap" -> (qGroupCap _)
+    "q86_group_cap" -> (qGroupCap _),
+    "q87_heavy_hitters" -> (qHeavyHitters _),
+    "q88_decontaminate" -> (qDecontaminate _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2851,6 +2895,8 @@ object Queries {
     "q83_vocab_oov" -> oVocabOov,
     "q84_pq_topk" -> oPqTopK,
     "q85_chunk_windows" -> oChunkWindows,
-    "q86_group_cap" -> oGroupCap
+    "q86_group_cap" -> oGroupCap,
+    "q87_heavy_hitters" -> oHeavyHitters,
+    "q88_decontaminate" -> oDecontaminate
   )
 }

@@ -132,6 +132,30 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("bigint"))
   }
 
+  /** Corpus heavy hitters: every token occurring at least `minCount`
+    * times, with its exact count. The exact form is one
+    * map-side-combined groupBy; this form cuts the shuffle with a
+    * count-min sketch (Cormode/Muthukrishnan 2005) built in one pass:
+    * CMS estimates NEVER undercount, so `estimate >= minCount` keeps a
+    * superset of the true heavy hitters — the narrow prefilter drops
+    * the long tail (the overwhelming majority of distinct tokens)
+    * before the exact groupBy confirms survivors. Bit-identical to the
+    * exact form: the sketch only prunes, the exact count decides.
+    * Deterministic: CMS counter merges are commutative sums, and the
+    * hash seed is fixed. */
+  def heavyHitters(df: DataFrame, text: Column, minCount: Long,
+                   eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val toks = df.select(explode(tokens(text)).as("token"))
+    val cms = toks.stat.countMinSketch("token", eps, confidence, seed = 42)
+    val spark = df.sparkSession
+    val cmsBc = spark.sparkContext.broadcast(cms)
+    val maybeHeavy = udf((t: String) =>
+      t != null && cmsBc.value.estimateCount(t) >= minCount)
+    toks.filter(maybeHeavy(col("token")))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount) // exact confirm: kills overcounts
+  }
+
   /** Per-document out-of-vocabulary rate against a vocabulary built by
     * [[vocabulary]] (or any (token) set): total tokens, OOV tokens and
     * the exact ppm rate (integer-derived, bit-portable). The vocab is

@@ -191,6 +191,26 @@ class PqSpec extends SparkSpec {
   }
 }
 
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.TextAnalysis
+
+  test("CMS-prefiltered heavy hitters equal the exact groupBy form") {
+    val docs = (1L to 200L)
+      .map(i => (i, s"common w${i % 50} w${i % 7} filler${i}"))
+      .toDF("doc_id", "text")
+    val fast = TextAnalysis.heavyHitters(docs, col("text"), minCount = 20L)
+      .orderBy("token").collect()
+    val exact = docs.select(explode(split(col("text"), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 20L).orderBy("token").collect()
+    assert(exact.nonEmpty && fast.toSeq == exact.toSeq)
+    // "common" (200) and the w%7 family (28-29 each) are in; tail is out
+    assert(fast.exists(_.getAs[String]("token") == "common"))
+    assert(!fast.exists(_.getAs[String]("token").startsWith("filler")))
+  }
+}
+
 class VocabOovSpec extends SparkSpec {
   import spark.implicits._
 
