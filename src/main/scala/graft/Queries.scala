@@ -2715,6 +2715,33 @@ object Queries {
        |WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- z-order layout
+  /** Z-order clustering profile over lineitem ([[Layout.zProfile]]):
+    * Morton-interleave (l_orderkey, l_partkey) mod 1024 at 10 bits,
+    * bucket by the top 6 Z bits (the file grain a range-partitioned
+    * write would produce) and report each bucket's count and
+    * per-dimension min/max — the footer bounds a pruning scan gets.
+    * Top-6 Z bits = top-3 bits of BOTH dims, so every bucket spans
+    * < 2^7 in each dimension (the locality the spec asserts). The
+    * oracle replays the interleave bit-for-bit. */
+  private def qZOrderProfile(s: SparkSession, dir: String): DataFrame =
+    Layout.zProfile(t(s, dir, "lineitem"),
+        Seq(col("l_orderkey") % 1024, col("l_partkey") % 1024),
+        bits = 10, bucketBits = 6)
+      .orderBy("zbucket")
+
+  private val oZOrderProfile = {
+    val terms = (for { b <- 0 until 10; i <- 0 until 2 } yield
+      s"(((d$i >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+    s"""WITH d AS (SELECT l_orderkey % 1024 AS d0, l_partkey % 1024 AS d1
+       |           FROM lineitem),
+       |z AS (SELECT d0, d1, ($terms) AS zv FROM d)
+       |SELECT zv >> 14 AS zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |       min(d0) AS min_d0, max(d0) AS max_d0,
+       |       min(d1) AS min_d1, max(d1) AS max_d1
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2804,7 +2831,8 @@ object Queries {
     "q85_chunk_windows" -> (qChunkWindows _),
     "q86_group_cap" -> (qGroupCap _),
     "q87_heavy_hitters" -> (qHeavyHitters _),
-    "q88_decontaminate" -> (qDecontaminate _)
+    "q88_decontaminate" -> (qDecontaminate _),
+    "q89_zorder_profile" -> (qZOrderProfile _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2897,6 +2925,7 @@ object Queries {
     "q85_chunk_windows" -> oChunkWindows,
     "q86_group_cap" -> oGroupCap,
     "q87_heavy_hitters" -> oHeavyHitters,
-    "q88_decontaminate" -> oDecontaminate
+    "q88_decontaminate" -> oDecontaminate,
+    "q89_zorder_profile" -> oZOrderProfile
   )
 }

@@ -191,6 +191,34 @@ class PqSpec extends SparkSpec {
   }
 }
 
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Layout
+
+  test("zValue interleaves bits: known small values") {
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L))
+      .toDF("x", "y")
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), bits = 4))
+    val z = df.orderBy("x", "y").collect().map(_.getAs[Long]("z"))
+    // (0,1)->2, (1,0)->1, (2,1)->6, (3,3)->15
+    assert(z.toSeq == Seq(2L, 1L, 6L, 15L))
+  }
+
+  test("zProfile buckets bound both dimensions (footer-pruning locality)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val prof = Layout.zProfile(li,
+        Seq(col("l_orderkey") % 1024, col("l_partkey") % 1024),
+        bits = 10, bucketBits = 6)
+      .collect()
+    assert(prof.nonEmpty && prof.length <= 64)
+    // top-6 z bits pin the top-3 bits of BOTH dims: range < 2^7 each
+    prof.foreach { r =>
+      assert(r.getAs[Long]("max_d0") - r.getAs[Long]("min_d0") <= 127L)
+      assert(r.getAs[Long]("max_d1") - r.getAs[Long]("min_d1") <= 127L)
+    }
+  }
+}
+
 class HeavyHittersSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.TextAnalysis
