@@ -2742,6 +2742,28 @@ object Queries {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------------- source overlap matrix
+  /** Cross-source duplicate-overlap matrix
+    * ([[CorpusSignals.groupOverlap]]) keyed by an 8-token-prefix
+    * digest (shared-opening partial duplicates — the synthetic corpus
+    * has no literal cross-source copies, so the exact-fingerprint form
+    * would be vacuous here; the operator takes the fingerprint as a
+    * column either way). */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.groupOverlap(t(s, dir, "documents"), "source",
+        md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 8))))
+      .orderBy("g_a", "g_b")
+
+  private val oSourceOverlap =
+    """WITH f AS (
+      |  SELECT DISTINCT source AS g,
+      |    md5(array_to_string(string_split_regex(lower(text), '\s+')[1:8], ' '))
+      |      AS fp
+      |  FROM documents)
+      |SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS n_shared_fps
+      |FROM f a JOIN f b ON a.fp = b.fp AND a.g < b.g
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2832,7 +2854,8 @@ object Queries {
     "q86_group_cap" -> (qGroupCap _),
     "q87_heavy_hitters" -> (qHeavyHitters _),
     "q88_decontaminate" -> (qDecontaminate _),
-    "q89_zorder_profile" -> (qZOrderProfile _)
+    "q89_zorder_profile" -> (qZOrderProfile _),
+    "q90_source_overlap" -> (qSourceOverlap _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2926,6 +2949,7 @@ object Queries {
     "q86_group_cap" -> oGroupCap,
     "q87_heavy_hitters" -> oHeavyHitters,
     "q88_decontaminate" -> oDecontaminate,
-    "q89_zorder_profile" -> oZOrderProfile
+    "q89_zorder_profile" -> oZOrderProfile,
+    "q90_source_overlap" -> oSourceOverlap
   )
 }

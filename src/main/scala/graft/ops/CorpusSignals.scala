@@ -265,6 +265,35 @@ object CorpusSignals {
     * prunes, the exact join decides. Insertion order cannot change a
     * Bloom filter (bit-OR is commutative), so the prefilter is
     * deterministic across partitionings. */
+  /** Cross-group duplicate-overlap matrix (the dataset-composition
+    * audit: "how much of source A is copies of source B?"): for every
+    * unordered group pair sharing at least one content fingerprint,
+    * the number of shared fingerprints. The caller picks the
+    * fingerprint column — [[TextAnalysis.fingerprint]] for literal
+    * copies, a token-prefix digest for shared-opening partial dups, a
+    * SimHash band for near-dups. A mixing pass reads this before
+    * setting per-source rates — two heavily overlapping crawls should
+    * not both enter at full weight.
+    *
+    * Shape: fingerprints aggregate to (fingerprint, distinct groups)
+    * — map-side combined, the corpus's one wide shuffle — then pairs
+    * explode only within a fingerprint's distinct-group LIST (bounded
+    * by the group count, not the copy count: a fingerprint duplicated
+    * a million times across 2 sources contributes ONE (a,b) row from a
+    * 2-element list). */
+  def groupOverlap(df: DataFrame, group: String, fp: Column): DataFrame = {
+    val fps = df.select(col(group).as("g"), fp.as("fp"))
+      .groupBy(col("fp"))
+      .agg(array_sort(collect_set(col("g"))).as("gs"))
+      .filter(size(col("gs")) >= 2)
+    fps
+      .select(col("fp"), explode(col("gs")).as("g_a"), col("gs"))
+      .select(col("fp"), col("g_a"), explode(col("gs")).as("g_b"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   def contaminationBloom(train: DataFrame, bench: DataFrame, id: String,
                          text: Column, n: Int,
                          expectedItems: Long = 1000000L,

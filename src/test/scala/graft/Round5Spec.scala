@@ -191,6 +191,25 @@ class PqSpec extends SparkSpec {
   }
 }
 
+class GroupOverlapSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.CorpusSignals
+
+  test("groupOverlap counts one row per fingerprint per group pair") {
+    val docs = Seq(
+      ("a", "x"), ("a", "x"), ("b", "x"), ("c", "x"), // fp x: a,b,c (a dup'd)
+      ("a", "y"), ("b", "y"),                          // fp y: a,b
+      ("c", "z")                                       // fp z: c only
+    ).toDF("src", "fp0")
+    val out = CorpusSignals.groupOverlap(docs, "src", col("fp0"))
+      .orderBy("g_a", "g_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // x contributes (a,b),(a,c),(b,c); y contributes (a,b); z nothing.
+    // The duplicated (a,x) row must NOT double-count.
+    assert(out.toSeq == Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+}
+
 class ZOrderSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Layout
