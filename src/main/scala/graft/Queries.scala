@@ -2764,6 +2764,32 @@ object Queries {
       |FROM f a JOIN f b ON a.fp = b.fp AND a.g < b.g
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- n-gram LM counts
+  /** Trigram LM count table at count ≥ 3
+    * ([[CorpusSignals.lmConditionalCounts]]): gram count, context
+    * continuation total and the exact-ppm MLE conditional
+    * p(word | context) — the KenLM-style corpus-prep surface. */
+  private def qLmCounts(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.lmConditionalCounts(t(s, dir, "documents"), col("text"),
+        n = 3, minCount = 3L)
+      .orderBy("context", "word")
+
+  private val oLmCounts =
+    """WITH d AS (SELECT string_split_regex(text, '\s+') AS ws FROM documents),
+      |t AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+      |        i -> struct_pack(context := ws[i] || ' ' || ws[i+1],
+      |                         word := ws[i+2]))) AS g
+      |      FROM d),
+      |a AS (SELECT g.context AS context, g.word AS word,
+      |             CAST(count(*) AS BIGINT) AS cnt_gram
+      |      FROM t GROUP BY 1, 2),
+      |b AS (SELECT *, CAST(sum(cnt_gram) OVER (PARTITION BY context) AS BIGINT)
+      |               AS cnt_ctx
+      |      FROM a)
+      |SELECT context, word, cnt_gram, cnt_ctx,
+      |       cnt_gram * 1000000 // cnt_ctx AS p_ppm
+      |FROM b WHERE cnt_gram >= 3 ORDER BY context, word""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2855,7 +2881,8 @@ object Queries {
     "q87_heavy_hitters" -> (qHeavyHitters _),
     "q88_decontaminate" -> (qDecontaminate _),
     "q89_zorder_profile" -> (qZOrderProfile _),
-    "q90_source_overlap" -> (qSourceOverlap _)
+    "q90_source_overlap" -> (qSourceOverlap _),
+    "q91_lm_counts" -> (qLmCounts _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2950,6 +2977,7 @@ object Queries {
     "q87_heavy_hitters" -> oHeavyHitters,
     "q88_decontaminate" -> oDecontaminate,
     "q89_zorder_profile" -> oZOrderProfile,
-    "q90_source_overlap" -> oSourceOverlap
+    "q90_source_overlap" -> oSourceOverlap,
+    "q91_lm_counts" -> oLmCounts
   )
 }

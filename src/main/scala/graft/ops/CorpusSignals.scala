@@ -265,6 +265,43 @@ object CorpusSignals {
     * prunes, the exact join decides. Insertion order cannot change a
     * Bloom filter (bit-OR is commutative), so the prefilter is
     * deterministic across partitionings. */
+  /** N-gram language-model count table (the KenLM-style training-prep
+    * surface): for every word `n`-gram occurring at least `minCount`
+    * times, its count, its context's total continuation count
+    * (Σ_w c(context, w) — the MLE conditional denominator) and the
+    * exact-ppm conditional estimate p(word | context). Integer-exact
+    * throughout, so the table is bit-replayable.
+    *
+    * Shape: one gram explode + map-side-combined count (the corpus's
+    * wide shuffle), then a whole-partition window on the context for
+    * the denominator — contexts are bounded key groups (the distinct
+    * continuations of an (n-1)-gram), so no single partition holds
+    * more than one context's vocabulary fan-out. The `minCount` cut
+    * applies AFTER the denominator sums, so reported probabilities
+    * are true corpus MLE values, not post-cut renormalizations. */
+  def lmConditionalCounts(df: DataFrame, text: Column, n: Int,
+                          minCount: Long): DataFrame = {
+    require(n >= 2, s"conditional counts need n >= 2, got $n")
+    val pairStruct = (w: Column, i: Column) => struct(
+      concat_ws(" ", (0 until n - 1).map(j => element_at(w, i + j)): _*)
+        .as("context"),
+      element_at(w, i + (n - 1)).as("word"))
+    // let-bound token array (split once per doc); sub-n docs yield none
+    val pairs = element_at(
+      transform(array(toks(text)), w =>
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)), i => pairStruct(w, i)))
+          .otherwise(array().cast("array<struct<context:string,word:string>>"))),
+      1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("context"))
+    df.select(explode(pairs).as("g"))
+      .select(col("g.context").as("context"), col("g.word").as("word"))
+      .groupBy("context", "word").agg(count(lit(1)).as("cnt_gram"))
+      .withColumn("cnt_ctx", sum(col("cnt_gram")).over(w))
+      .filter(col("cnt_gram") >= minCount)
+      .withColumn("p_ppm", expr("cnt_gram * 1000000 div cnt_ctx"))
+  }
+
   /** Cross-group duplicate-overlap matrix (the dataset-composition
     * audit: "how much of source A is copies of source B?"): for every
     * unordered group pair sharing at least one content fingerprint,

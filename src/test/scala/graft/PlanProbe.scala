@@ -16,7 +16,9 @@ object PlanProbe {
       "q74_hashed_score", "q75_training_prep", "q26_embed_near_dup",
       "q76_star_contraction", "q77_normalize_inventory", "q78_ivf_multiprobe",
       "q79_budget_mix", "q80_asof_join", "q81_range_join",
-      "q82_bloom_contamination", "q83_vocab_oov", "q84_pq_topk")
+      "q82_bloom_contamination", "q83_vocab_oov", "q84_pq_topk",
+      "q85_chunk_windows", "q86_group_cap", "q87_heavy_hitters",
+      "q88_decontaminate", "q89_zorder_profile", "q90_source_overlap")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering

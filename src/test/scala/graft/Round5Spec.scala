@@ -191,6 +191,37 @@ class PqSpec extends SparkSpec {
   }
 }
 
+class LmCountsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.CorpusSignals
+
+  test("trigram conditional counts: exact MLE ppm, sub-n docs drop") {
+    val docs = Seq((1L, "a b c a b c a b d"), (2L, "x y")).toDF("doc_id", "text")
+    val out = CorpusSignals.lmConditionalCounts(docs, col("text"),
+        n = 3, minCount = 1L)
+      .orderBy("context", "word").collect()
+      .map(r => (r.getAs[String]("context"), r.getAs[String]("word"),
+        r.getAs[Long]("cnt_gram"), r.getAs[Long]("cnt_ctx"),
+        r.getAs[Long]("p_ppm")))
+    // trigrams: (a b→c)x2, (a b→d)x1, (b c→a)x2, (c a→b)x2; "x y" too short
+    assert(out.toSeq == Seq(
+      ("a b", "c", 2L, 3L, 666666L),
+      ("a b", "d", 1L, 3L, 333333L),
+      ("b c", "a", 2L, 2L, 1000000L),
+      ("c a", "b", 2L, 2L, 1000000L)))
+  }
+
+  test("minCount cuts rows but not denominators") {
+    val docs = Seq((1L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val out = CorpusSignals.lmConditionalCounts(docs, col("text"),
+        n = 3, minCount = 2L).collect()
+    // (a b, d) is cut, but (a b, c)'s denominator still counts it
+    assert(out.length == 3)
+    val ab = out.find(_.getAs[String]("context") == "a b").get
+    assert(ab.getAs[Long]("cnt_ctx") == 3L)
+  }
+}
+
 class GroupOverlapSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.CorpusSignals
