@@ -2790,6 +2790,45 @@ object Queries {
       |       cnt_gram * 1000000 // cnt_ctx AS p_ppm
       |FROM b WHERE cnt_gram >= 3 ORDER BY context, word""".stripMargin
 
+  // ------------------------------------------------- label centroids
+  /** Per-label mean embeddings ([[Similarity.groupCentroids]] —
+    * fixed-point sums, one (label, dim) aggregation; the class-
+    * prototype export). Long-form rows keep the oracle surface exact. */
+  private def qLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+      .orderBy("label", "dim")
+
+  private val oLabelCentroids =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT label, dim,
+      |        sum(CAST(floor(v[dim] * 1000000) AS BIGINT)) AS sx,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d
+      |      GROUP BY 1, 2)
+      |SELECT label, CAST(dim - 1 AS BIGINT) AS dim,
+      |       CAST(floor(sx / (n * 1.0)) AS BIGINT) AS centv_u, n
+      |FROM x ORDER BY label, dim""".stripMargin
+
+  // ------------------------------------------------- BPE merge pairs
+  /** First-iteration BPE merge statistics at weight ≥ 100
+    * ([[TextAnalysis.bpeMergePairs]] — adjacent char pairs over the
+    * token-frequency dictionary, weighted by token counts; the argmax
+    * row is the first merge a BPE trainer would learn). */
+  private def qBpeMergePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMergePairs(t(s, dir, "documents"), col("text"),
+        minWeight = 100L)
+      .orderBy("pair")
+
+  private val oBpeMergePairs =
+    """WITH tc AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents),
+      |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tc GROUP BY t),
+      |p AS (SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+      |        i -> t[i:i+1])) AS pair, cnt
+      |      FROM c)
+      |SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight
+      |FROM p GROUP BY pair HAVING sum(cnt) >= 100 ORDER BY pair""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2882,7 +2921,9 @@ object Queries {
     "q88_decontaminate" -> (qDecontaminate _),
     "q89_zorder_profile" -> (qZOrderProfile _),
     "q90_source_overlap" -> (qSourceOverlap _),
-    "q91_lm_counts" -> (qLmCounts _)
+    "q91_lm_counts" -> (qLmCounts _),
+    "q92_label_centroids" -> (qLabelCentroids _),
+    "q93_bpe_merge_pairs" -> (qBpeMergePairs _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -2978,6 +3019,8 @@ object Queries {
     "q88_decontaminate" -> oDecontaminate,
     "q89_zorder_profile" -> oZOrderProfile,
     "q90_source_overlap" -> oSourceOverlap,
-    "q91_lm_counts" -> oLmCounts
+    "q91_lm_counts" -> oLmCounts,
+    "q92_label_centroids" -> oLabelCentroids,
+    "q93_bpe_merge_pairs" -> oBpeMergePairs
   )
 }

@@ -309,6 +309,33 @@ object Similarity {
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Per-group mean embeddings (class centroids / cluster prototype
+    * export — the read side of every "embed the group" downstream:
+    * label prototypes for classification, cluster summaries for
+    * drift monitoring). One posexplode + map-side-combined (group,
+    * dim) aggregation; sums run in the same fixed-point bigint
+    * arithmetic as [[kmeansFit]]'s update step, so the means are
+    * order-independent and bit-replayable. Output is LONG (one row
+    * per (group, dim), dim 0-based) — array reassembly is a
+    * `sort_array(collect_list(...))` away when a consumer wants
+    * vectors, but rows keep the oracle surface exact.
+    *
+    * The mean stays in µ-unit integers via floor(sx/n), NOT round(x,
+    * 6): a mean landing exactly on a half-µ boundary splits engines
+    * (Spark rounds half-up, DuckDB half-to-even — observed on real
+    * data), while floor has no halfway case and the double division
+    * of two bounded ints is exact far beyond the 1/n gap to the next
+    * integer. */
+  def groupCentroids(df: DataFrame, group: String, vecCol: String): DataFrame =
+    df.select(col(group).as("g"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("g"), col("dim"))
+      .agg(sum(floor(col("x") * 1e6).cast("bigint")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("g").as(group), col("dim").cast("bigint").as("dim"),
+        floor(col("sx") / col("n").cast("double")).cast("bigint").as("centv_u"),
+        col("n"))
+
   // ------------------------------------------------ product quantization
 
   /** Product-quantization codebooks (Jégou/Douze/Schmid, TPAMI 2011):

@@ -156,6 +156,26 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount) // exact confirm: kills overcounts
   }
 
+  /** BPE merge-pair statistics — the inner computation of one BPE
+    * training iteration (Sennrich et al. 2016): count every ADJACENT
+    * character pair across the corpus, weighting each distinct token's
+    * pairs by the token's corpus frequency; the argmax pair is the
+    * next merge. Runs over the token-frequency DICTIONARY, not the
+    * corpus — after the one corpus-wide token count, the pair explode
+    * touches |vocab| rows regardless of corpus size (the property that
+    * makes BPE training tractable at 100 TB). */
+  def bpeMergePairs(df: DataFrame, text: Column, minWeight: Long): DataFrame = {
+    val counts = df.select(explode(tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    counts
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), greatest(length(col("token")) - 1, lit(1))),
+        i => col("token").substr(i, lit(2)))).as("pair"))
+      .filter(length(col("pair")) === 2) // 1-char tokens contribute none
+      .groupBy("pair").agg(sum(col("cnt")).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+
   /** Per-document out-of-vocabulary rate against a vocabulary built by
     * [[vocabulary]] (or any (token) set): total tokens, OOV tokens and
     * the exact ppm rate (integer-derived, bit-portable). The vocab is

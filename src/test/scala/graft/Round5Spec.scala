@@ -191,6 +191,33 @@ class PqSpec extends SparkSpec {
   }
 }
 
+class CentroidsBpeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.{Similarity, TextAnalysis}
+
+  test("groupCentroids: exact fixed-point means per (group, dim)") {
+    val df = Seq(
+      ("a", Seq(1.0, -2.0)), ("a", Seq(2.0, -3.0)), ("b", Seq(0.5, 0.5))
+    ).toDF("g", "v")
+    val out = Similarity.groupCentroids(df, "g", "v")
+      .orderBy("g", "dim").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a: dim0 (1e6+2e6)/2=1500000, dim1 (-2e6-3e6)/2=-2500000
+    assert(out.toSeq == Seq(
+      ("a", 0L, 1500000L, 2L), ("a", 1L, -2500000L, 2L),
+      ("b", 0L, 500000L, 1L), ("b", 1L, 500000L, 1L)))
+  }
+
+  test("bpeMergePairs: adjacent pairs weighted by token frequency") {
+    val docs = Seq((1L, "abc abc ab x"), (2L, "abc")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergePairs(docs, col("text"), minWeight = 1L)
+      .orderBy("pair").collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("weight")))
+    // tokens: abc x3, ab x1, x x1 → ab: 3+1=4, bc: 3; "x" contributes none
+    assert(out.toSeq == Seq(("ab", 4L), ("bc", 3L)))
+  }
+}
+
 class LmCountsSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.CorpusSignals
