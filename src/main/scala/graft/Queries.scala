@@ -2829,6 +2829,58 @@ object Queries {
       |SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight
       |FROM p GROUP BY pair HAVING sum(cnt) >= 100 ORDER BY pair""".stripMargin
 
+  // ------------------------------------------------- ANN recall gate
+  /** Recall@5 of the trained IVF index (q25's exact configuration)
+    * against the brute-force ground truth ([[Similarity.recallAtK]] —
+    * the quality gate an index deploy reads before picking nprobe).
+    * The oracle recomputes BOTH top-k tables (reusing q25's Lloyd's
+    * replay chain) and intersects them, all in SQL. */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val trained = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val cents = trained.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("vec_id", "embedding")
+    val approx = Similarity.ivfTopK(q, emb, cents,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 5)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
+      "embedding", k = 5)
+    Similarity.recallAtK(approx, exact).orderBy("query_id")
+  }
+
+  private val oAnnRecall =
+    s"""WITH $oKmeansAf,
+       |qa AS (SELECT vec_id AS query_id, centroid_id, v AS qv
+       |       FROM af WHERE vec_id < 5),
+       |ivf AS (SELECT query_id, corpus_id FROM (
+       |  SELECT s.query_id, s.corpus_id,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY s.cos_sim DESC, s.corpus_id) AS rank
+       |  FROM (SELECT qa.query_id, a.vec_id AS corpus_id,
+       |          round(${cosSql("qa.qv", "a.v")}, 6) AS cos_sim
+       |        FROM af a JOIN qa
+       |          ON a.centroid_id = qa.centroid_id
+       |         AND a.vec_id <> qa.query_id) s)
+       |  WHERE rank <= 5),
+       |q2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |bru AS (SELECT query_id, corpus_id FROM (
+       |  SELECT s.query_id, s.corpus_id,
+       |    row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY s.cos_sim DESC, s.corpus_id) AS rank
+       |  FROM (SELECT q2.query_id, e.vec_id AS corpus_id,
+       |          round(${cosSql("q2.qv", "e.v")}, 6) AS cos_sim
+       |        FROM q2 JOIN e ON e.vec_id <> q2.query_id) s)
+       |  WHERE rank <= 5),
+       |hit AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |        FROM bru JOIN ivf USING (query_id, corpus_id)
+       |        GROUP BY query_id)
+       |SELECT b.query_id, CAST(b.k_exact AS BIGINT) AS k_exact,
+       |       coalesce(hit.n_hit, 0) AS n_hit,
+       |       coalesce(hit.n_hit, 0) * 1000000 // b.k_exact AS recall_ppm
+       |FROM (SELECT query_id, count(*) AS k_exact FROM bru GROUP BY query_id) b
+       |LEFT JOIN hit USING (query_id) ORDER BY query_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2923,7 +2975,8 @@ object Queries {
     "q90_source_overlap" -> (qSourceOverlap _),
     "q91_lm_counts" -> (qLmCounts _),
     "q92_label_centroids" -> (qLabelCentroids _),
-    "q93_bpe_merge_pairs" -> (qBpeMergePairs _)
+    "q93_bpe_merge_pairs" -> (qBpeMergePairs _),
+    "q94_ann_recall" -> (qAnnRecall _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3021,6 +3074,7 @@ object Queries {
     "q90_source_overlap" -> oSourceOverlap,
     "q91_lm_counts" -> oLmCounts,
     "q92_label_centroids" -> oLabelCentroids,
-    "q93_bpe_merge_pairs" -> oBpeMergePairs
+    "q93_bpe_merge_pairs" -> oBpeMergePairs,
+    "q94_ann_recall" -> oAnnRecall
   )
 }

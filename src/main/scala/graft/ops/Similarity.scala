@@ -336,6 +336,24 @@ object Similarity {
         floor(col("sx") / col("n").cast("double")).cast("bigint").as("centv_u"),
         col("n"))
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the ANN quality gate (every index deploy decides nprobe/bits by
+    * exactly this curve). Both inputs are (query_id, rank, corpus_id)
+    * top-k tables; output is per-query hits, the denominator actually
+    * returned by the exact scan, and recall in exact ppm. The join is
+    * per-(query, corpus) on two k-bounded tables — negligible next to
+    * the searches themselves. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("corpus_id"))
+      .join(approx.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div k_exact"))
+  }
+
   // ------------------------------------------------ product quantization
 
   /** Product-quantization codebooks (Jégou/Douze/Schmid, TPAMI 2011):

@@ -218,6 +218,22 @@ class CentroidsBpeSpec extends SparkSpec {
   }
 }
 
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Similarity
+
+  test("recallAtK: identical, partial and disjoint top-k tables") {
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
+      .toDF("query_id", "rank", "corpus_id")
+    val approx = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 99L), (2L, 2, 98L))
+      .toDF("query_id", "rank", "corpus_id")
+    val r = Similarity.recallAtK(approx, exact).orderBy("query_id").collect()
+      .map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("n_hit"),
+        x.getAs[Long]("recall_ppm")))
+    assert(r.toSeq == Seq((1L, 2L, 1000000L), (2L, 0L, 0L)))
+  }
+}
+
 class LmCountsSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.CorpusSignals
