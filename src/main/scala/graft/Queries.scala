@@ -2881,6 +2881,40 @@ object Queries {
        |FROM (SELECT query_id, count(*) AS k_exact FROM bru GROUP BY query_id) b
        |LEFT JOIN hit USING (query_id) ORDER BY query_id""".stripMargin
 
+  // ------------------------------------------------- ordered funnel
+  /** view→click→purchase funnel per user ([[ops.Funnel.stages]] — one
+    * key shuffle, chained whole-partition window minima; stage i+1
+    * counts only at-or-after the earliest qualifying stage i). The
+    * oracle replays the chain as three grouped conditional minima. */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    Funnel.stages(ev, "user_id", eventSec(ev), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  }
+
+  private val oFunnel =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, event_type
+      |  FROM events),
+      |a AS (SELECT user_id,
+      |        min(CASE WHEN event_type = 'view' THEN sec END) AS t_0
+      |      FROM e GROUP BY 1),
+      |b AS (SELECT e.user_id, a.t_0,
+      |        min(CASE WHEN event_type = 'click' AND sec >= t_0 THEN sec END)
+      |          AS t_1
+      |      FROM e JOIN a USING (user_id) GROUP BY 1, 2),
+      |c AS (SELECT e.user_id, b.t_0, b.t_1,
+      |        min(CASE WHEN event_type = 'purchase' AND sec >= t_1 THEN sec END)
+      |          AS t_2
+      |      FROM e JOIN b USING (user_id) GROUP BY 1, 2, 3)
+      |SELECT user_id, t_0, t_1, t_2,
+      |       CAST((CASE WHEN t_0 IS NOT NULL THEN 1 ELSE 0 END)
+      |          + (CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END)
+      |          + (CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS depth
+      |FROM c ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -2976,7 +3010,8 @@ object Queries {
     "q91_lm_counts" -> (qLmCounts _),
     "q92_label_centroids" -> (qLabelCentroids _),
     "q93_bpe_merge_pairs" -> (qBpeMergePairs _),
-    "q94_ann_recall" -> (qAnnRecall _)
+    "q94_ann_recall" -> (qAnnRecall _),
+    "q95_funnel" -> (qFunnel _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3075,6 +3110,7 @@ object Queries {
     "q91_lm_counts" -> oLmCounts,
     "q92_label_centroids" -> oLabelCentroids,
     "q93_bpe_merge_pairs" -> oBpeMergePairs,
-    "q94_ann_recall" -> oAnnRecall
+    "q94_ann_recall" -> oAnnRecall,
+    "q95_funnel" -> oFunnel
   )
 }

@@ -218,6 +218,43 @@ class CentroidsBpeSpec extends SparkSpec {
   }
 }
 
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Funnel
+
+  // u1 completes in order; u2 clicks BEFORE viewing (click must not
+  // count); u3 only views; u4 purchases without ever viewing
+  private lazy val ev = Seq(
+    (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+    (2L, 10L, "click"), (2L, 20L, "view"), (2L, 30L, "purchase"),
+    (3L, 10L, "view"),
+    (4L, 10L, "purchase")
+  ).toDF("u", "ts", "etype")
+
+  test("stages: out-of-order events do not advance the funnel") {
+    val out = Funnel.stages(ev, "u", col("ts"), col("etype"),
+        Seq("view", "click", "purchase"))
+      .orderBy("u").collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("depth")))
+    assert(out.toSeq == Seq((1L, 3L), (2L, 1L), (3L, 1L), (4L, 0L)))
+  }
+
+  test("stages: same-timestamp stage counts (at-or-after semantics)") {
+    val e = Seq((1L, 10L, "view"), (1L, 10L, "click")).toDF("u", "ts", "etype")
+    val out = Funnel.stages(e, "u", col("ts"), col("etype"),
+      Seq("view", "click")).collect()
+    assert(out(0).getAs[Long]("depth") == 2L)
+  }
+
+  test("summary: monotone non-increasing stage counts") {
+    val s = Funnel.summary(ev, "u", col("ts"), col("etype"),
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_no").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_keys")))
+    assert(s.toSeq == Seq(("view", 3L), ("click", 1L), ("purchase", 1L)))
+  }
+}
+
 class RecallSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Similarity
