@@ -2915,6 +2915,33 @@ object Queries {
       |         AS depth
       |FROM c ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------- recency decay
+  /** Recency-decayed per-user activity ([[TimeBucketStats.decayedSums]]
+    * — weights halve per 7 days of age vs the newest event, exact
+    * integer ppm; no float pow in sight). */
+  private def qDecayedSums(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    TimeBucketStats.decayedSums(ev, col("user_id"), eventSec(ev),
+        floor(col("value") * 100), halfLifeSec = 604800L)
+      .withColumnRenamed("k", "user_id")
+      .orderBy("user_id")
+  }
+
+  private val oDecayedSums =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS s,
+      |         CAST(floor(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (SELECT max(s) AS ref FROM e),
+      |w AS (SELECT user_id, v,
+      |        least((ref - s) // 604800, 19) AS halvings
+      |      FROM e CROSS JOIN r)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(v) AS BIGINT) AS raw_sum,
+      |       CAST(sum(v * (1000000 // (1 << halvings))) AS BIGINT)
+      |         AS decayed_sum_ppm
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3011,7 +3038,8 @@ object Queries {
     "q92_label_centroids" -> (qLabelCentroids _),
     "q93_bpe_merge_pairs" -> (qBpeMergePairs _),
     "q94_ann_recall" -> (qAnnRecall _),
-    "q95_funnel" -> (qFunnel _)
+    "q95_funnel" -> (qFunnel _),
+    "q96_decayed_sums" -> (qDecayedSums _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3111,6 +3139,7 @@ object Queries {
     "q92_label_centroids" -> oLabelCentroids,
     "q93_bpe_merge_pairs" -> oBpeMergePairs,
     "q94_ann_recall" -> oAnnRecall,
-    "q95_funnel" -> oFunnel
+    "q95_funnel" -> oFunnel,
+    "q96_decayed_sums" -> oDecayedSums
   )
 }

@@ -344,12 +344,15 @@ object Similarity {
     * per-(query, corpus) on two k-bounded tables — negligible next to
     * the searches themselves. */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    // both sides are k·|Q|-bounded BY CONTRACT (top-k tables), so the
+    // joins broadcast explicitly — post-window size stats are opaque
+    // to the planner, which otherwise falls back to sort-merge here
     val hits = exact.select(col("query_id"), col("corpus_id"))
-      .join(approx.select(col("query_id"), col("corpus_id")),
+      .join(broadcast(approx.select(col("query_id"), col("corpus_id"))),
         Seq("query_id", "corpus_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
     exact.groupBy(col("query_id")).agg(count(lit(1)).as("k_exact"))
-      .join(hits, Seq("query_id"), "left")
+      .join(broadcast(hits), Seq("query_id"), "left")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("recall_ppm", expr("n_hit * 1000000 div k_exact"))
   }

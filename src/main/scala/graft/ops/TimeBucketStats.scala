@@ -129,6 +129,32 @@ object TimeBucketStats {
         col("session_window.end").cast("long").as("session_end"),
         col("n_events"))
 
+  /** Recency-decayed per-key aggregates (the "recent activity"
+    * weighting every freshness-sensitive rollup wants): each event's
+    * weight halves for every `halfLifeSec` of age relative to the
+    * table's newest event, in EXACT integer ppm — weight_ppm =
+    * 1000000 >> halvings, halvings capped at `maxHalvings` (events
+    * older than ~20 half-lives round to weight 0 anyway). An
+    * exponential-decay float would hang the result on pow()'s last
+    * ulp; the halving ladder is bit-replayable on any engine with a
+    * shift operator. One map-side-combined aggregation; the reference
+    * timestamp is a 1-row broadcast. */
+  def decayedSums(events: DataFrame, key: Column, sec: Column, value: Column,
+                  halfLifeSec: Long, maxHalvings: Int = 19): DataFrame = {
+    require(halfLifeSec > 0, "halfLifeSec must be positive")
+    val base = events.select(key.as("k"), sec.as("s"),
+      value.cast("bigint").as("v"))
+    val ref = base.agg(max(col("s")).as("ref"))
+    base.crossJoin(broadcast(ref))
+      .withColumn("halvings",
+        least(expr(s"(ref - s) div $halfLifeSec"), lit(maxHalvings.toLong)))
+      .withColumn("w_ppm", expr("1000000 div shiftleft(1, cast(halvings as int))"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).as("raw_sum"),
+        sum(col("v") * col("w_ppm")).as("decayed_sum_ppm"))
+  }
+
   /** J6/A10 — zero-filled minute spine: `n` one-minute slots starting at
     * `startEpochSec`, left-joined against the 1-minute stat rows. */
   def minuteSpine(stat: DataFrame, startEpochSec: Long, n: Int): DataFrame = {

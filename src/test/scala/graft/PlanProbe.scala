@@ -18,7 +18,9 @@ object PlanProbe {
       "q79_budget_mix", "q80_asof_join", "q81_range_join",
       "q82_bloom_contamination", "q83_vocab_oov", "q84_pq_topk",
       "q85_chunk_windows", "q86_group_cap", "q87_heavy_hitters",
-      "q88_decontaminate", "q89_zorder_profile", "q90_source_overlap")
+      "q88_decontaminate", "q89_zorder_profile", "q90_source_overlap",
+      "q91_lm_counts", "q92_label_centroids", "q93_bpe_merge_pairs",
+      "q94_ann_recall", "q95_funnel")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering

@@ -148,6 +148,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val eventsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(50, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 30L)))
+      .map(_.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) })
+
+  test("asof lastPrior: equals naive argmax over random keyed timelines") {
+    forAllSampled2(eventsGen, eventsGen, 5) { (ls, rs) =>
+      val left = ls.toDF("lid", "k", "t")
+      val right = rs.toDF("rid", "k", "t")
+      val fast = AsOfJoin.lastPrior(left, right, "k", "t", "lid", "rid")
+        .select("lid", "asof_time", "asof_rid").orderBy("lid").collect()
+      val naive = left.as("l")
+        .join(right.as("r"),
+          col("r.k") === col("l.k") && col("r.t") <= col("l.t"), "left")
+        .groupBy(col("l.lid"))
+        .agg(max(struct(col("r.t"), col("r.rid"))).as("m"))
+        .select(col("lid"), col("m.t").as("asof_time"), col("m.rid").as("asof_rid"))
+        .orderBy("lid").collect()
+      assert(fast.toSeq == naive.toSeq)
+    }
+  }
+
+  test("range withinBand: equals naive theta-join over random timelines") {
+    forAllSampled2(eventsGen, eventsGen, 5) { (ls, rs) =>
+      val left = ls.toDF("lid", "k", "t")
+      val right = rs.toDF("rid", "k", "t")
+      for (band <- Seq(1L, 5L)) {
+        val fast = RangeJoin.withinBand(left, right, "k", "t", band)
+          .select(col("lid"), col("r_rid")).orderBy("lid", "r_rid").collect()
+        val naive = left.as("l").join(right.as("r"),
+            col("l.k") === col("r.k") && abs(col("l.t") - col("r.t")) <= band)
+          .select(col("lid"), col("rid").as("r_rid"))
+          .orderBy("lid", "r_rid").collect()
+        assert(fast.toSeq == naive.toSeq, s"band=$band")
+      }
+    }
+  }
+
   test("simhash: permutation-invariant over token multisets") {
     forAllSampled(Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta")), 6) { toks =>
       if (toks.nonEmpty) {
