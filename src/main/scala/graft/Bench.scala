@@ -36,7 +36,7 @@ object Bench {
     val scanMbps = (1 to 3).map { _ =>
       val st0 = System.nanoTime()
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      li.select(li.columns.map(c => org.apache.spark.sql.functions.xxhash64(
+      li.select(li.columns.toIndexedSeq.map(c => org.apache.spark.sql.functions.xxhash64(
         org.apache.spark.sql.functions.col(c))): _*)
         .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
         .collect()

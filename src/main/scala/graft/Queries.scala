@@ -1290,7 +1290,7 @@ object Queries {
     val doc = qSizeHistogram(s, dir)
     graft.sinks.Sinks.writeJsonDoc(doc, path)
     val back = graft.sinks.Sinks.readJsonDoc(s, path)
-    back.select(doc.columns.map(c => col(c).cast("bigint").as(c)): _*)
+    back.select(doc.columns.toIndexedSeq.map(c => col(c).cast("bigint").as(c)): _*)
   }
 
   // oracle: identical to q01 — the document must round-trip exactly

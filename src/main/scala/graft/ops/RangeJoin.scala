@@ -42,7 +42,7 @@ object RangeJoin {
     require(band > 0, s"band must be positive, got $band")
     val lb = left.withColumn("_bucket", floor(col(time) / band))
     val rb = right
-      .select(right.columns.map(c => col(c).as(s"r_$c")): _*)
+      .select(right.columns.toIndexedSeq.map(c => col(c).as(s"r_$c")): _*)
       .withColumn("_bucket",
         explode(array(Seq(-1, 0, 1).map(d =>
           floor(col(s"r_$time") / band) + d): _*)))

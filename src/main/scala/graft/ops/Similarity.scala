@@ -212,7 +212,7 @@ object Similarity {
     * are ANN candidates — the bucket join replaces the brute-force
     * cross product at scale (expected bucket size N / 2^bits). */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    concat(planes.map(p =>
+    concat(planes.toIndexedSeq.map(p =>
       when(dot(vec, typedLit(p.toSeq)) > 0, lit("1")).otherwise(lit("0"))): _*)
 
   /** LSH-bucketed top-k: probe only the query's bucket. */

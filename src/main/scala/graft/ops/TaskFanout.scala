@@ -40,7 +40,7 @@ object TaskFanout {
     * may contain unorderable types (maps) and never influences order. */
   def pack(df: DataFrame, routeKey: Column, orderKeys: Seq[Column],
            queues: Int, batchSize: Int): DataFrame = {
-    val payloadCols = df.columns.map(col)
+    val payloadCols = df.columns.toIndexedSeq.map(col)
     val tagged = withBatchKeys(df, routeKey, orderKeys, queues, batchSize)
     val okStruct = struct(orderKeys: _*)
     val collected = collect_list(struct(okStruct.as("o"), struct(payloadCols: _*).as("p")))

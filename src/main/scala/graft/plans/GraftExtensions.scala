@@ -22,12 +22,12 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("multipart_etag_finish"),
+      // 3-arg ExpressionInfo: the 5-arg form is deprecated since 3.0
+      // (usage text lives in the Scaladoc of MultipartEtagFinish)
       new ExpressionInfo(
         classOf[MultipartEtagFinish].getName,
         null,
-        "multipart_etag_finish",
-        "multipart_etag_finish(digests_hex, is_multipart) - S3 multipart ETag from ordered part-digest hex strings",
-        ""),
+        "multipart_etag_finish"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2,
           "multipart_etag_finish expects (array<string> digests, boolean isMultipart)")
@@ -38,9 +38,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[NfcNormalize].getName,
         null,
-        "nfc_normalize",
-        "nfc_normalize(text) - Unicode NFC normalization",
-        ""),
+        "nfc_normalize"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "nfc_normalize expects (string text)")
         NfcNormalize(children.head)
