@@ -2942,6 +2942,24 @@ object Queries {
       |         AS decayed_sum_ppm
       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------- top-k per group
+  /** Top-5 longest documents per source ([[Curation.topKPerGroup]] —
+    * the value-ranked form of the salt-staged cap: two-stage lossless
+    * pruning, no whole-source single-partition sort). */
+  private def qTopPerGroup(s: SparkSession, dir: String): DataFrame =
+    Curation.topKPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", k = 5, ord = -col("n_chars"))
+      .orderBy("source", "pos")
+
+  private val oTopPerGroup =
+    """SELECT doc_id, source, n_chars, pos FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS pos
+      |  FROM documents)
+      |WHERE pos <= 5 ORDER BY source, pos""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3039,7 +3057,8 @@ object Queries {
     "q93_bpe_merge_pairs" -> (qBpeMergePairs _),
     "q94_ann_recall" -> (qAnnRecall _),
     "q95_funnel" -> (qFunnel _),
-    "q96_decayed_sums" -> (qDecayedSums _)
+    "q96_decayed_sums" -> (qDecayedSums _),
+    "q97_top_per_group" -> (qTopPerGroup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3140,6 +3159,7 @@ object Queries {
     "q93_bpe_merge_pairs" -> oBpeMergePairs,
     "q94_ann_recall" -> oAnnRecall,
     "q95_funnel" -> oFunnel,
-    "q96_decayed_sums" -> oDecayedSums
+    "q96_decayed_sums" -> oDecayedSums,
+    "q97_top_per_group" -> oTopPerGroup
   )
 }

@@ -294,9 +294,21 @@ object Curation {
     * global top-k row is top-k within its salt (pruning k per salt is
     * lossless), so the two-stage result is exactly the naive one. */
   def cappedPerGroup(df: DataFrame, group: String, id: String, k: Int,
-                     salts: Int = 32): DataFrame = {
+                     salts: Int = 32): DataFrame =
+    topKPerGroup(df, group, id, k,
+      md5(concat(lit("cap:"), col(id).cast("string"))), salts)
+
+  /** General salt-staged per-group top-k: keep the `k` smallest rows
+    * per group by ANY total order `(ord, id)` — value-ranked variants
+    * (top docs by score, shortest by length via a negated column) use
+    * the same lossless two-stage pruning as the hash-ordered cap:
+    * every global top-k row is top-k within its salt, so stage 1's
+    * per-(group, salt) window prunes to k·salts survivors and stage 2
+    * ranks only those. No whole-group single-partition sort at any
+    * group size. */
+  def topKPerGroup(df: DataFrame, group: String, id: String, k: Int,
+                   ord: Column, salts: Int = 32): DataFrame = {
     require(k > 0 && salts > 0, s"need positive k/salts, got k=$k salts=$salts")
-    val ord = md5(concat(lit("cap:"), col(id).cast("string")))
     val w1 = Window.partitionBy(col(group), col("_salt"))
       .orderBy(col("_ord"), col(id))
     val w2 = Window.partitionBy(col(group)).orderBy(col("_ord"), col(id))

@@ -150,6 +150,19 @@ class ChunkCapSpec extends SparkSpec {
     val out = Curation.cappedPerGroup(rows, "g", "id", k = 10, salts = 4)
     assert(out.count() == 3)
   }
+
+  test("topKPerGroup: value-ranked form equals the naive window") {
+    val rows = (1L to 200L).map(i => (i, s"g${i % 4}", (i * 37) % 97))
+      .toDF("id", "g", "score")
+    val staged = Curation.topKPerGroup(rows, "g", "id", k = 6,
+        ord = -col("score"), salts = 8)
+      .orderBy("g", "pos").collect()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id"))
+    val naive = rows.withColumn("pos", row_number().over(w).cast("bigint"))
+      .filter(col("pos") <= 6).orderBy("g", "pos").collect()
+    assert(staged.length == 24 && staged.toSeq == naive.toSeq)
+  }
 }
 
 class PqSpec extends SparkSpec {
