@@ -45,6 +45,62 @@ object Funnel {
           when(col(s"t_$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _))
   }
 
+  /** Streaming form of [[stages]]: a `mapGroupsWithState` state
+    * machine per key whose state is ONE timestamp per stage (bounded,
+    * checkpointed, restart-safe — the same ledger contract as
+    * [[graft.streaming.StatefulDedup]]). Each micro-batch's events
+    * sort by event time inside the group iterator, so in-batch
+    * disorder is exact; events arriving in a LATER batch with an
+    * EARLIER time than an already-processed gate are the one
+    * approximation (a stage-i event rejected before its true gate
+    * arrived is not revisited) — the bounded-state trade every
+    * streaming funnel makes; feed batches in event-time order (or
+    * pre-buffer by watermark) for exact parity with [[stages]], which
+    * the spec proves batch-split-for-batch-split.
+    *
+    * Output (update mode): one row per key per batch with new events —
+    * the current `t_0..t_{n-1}` (null = not reached) and depth. */
+  def stagesStream(events: org.apache.spark.sql.DataFrame, key: String,
+                   ts: Column, stageCol: Column,
+                   stageNames: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val n = stageNames.length
+    val idx = stageNames.zipWithIndex.toMap
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col(key).cast("long"), ts.cast("long"), stageCol.cast("string"))
+      .as[(Long, Long, String)]
+    val updated = typed.groupByKey(_._1)
+      .mapGroupsWithState[Seq[Long], (Long, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[(Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
+          val t = state.getOption.getOrElse(Seq.fill(n)(Long.MaxValue)).toArray
+          // event-time order within the batch; stage index breaks ties
+          // so "view then click at the same second" advances the funnel
+          rows.toSeq
+            .sortBy { case (_, et, s) => (et, idx.getOrElse(s, n)) }
+            .foreach { case (_, et, s) =>
+              idx.get(s).foreach { i =>
+                val gateOk = i == 0 || t(i - 1) != Long.MaxValue
+                val gate = if (i == 0) Long.MinValue else t(i - 1)
+                if (gateOk && et >= gate && et < t(i)) t(i) = et
+              }
+            }
+          state.update(t.toSeq)
+          (k, t.toSeq)
+      }
+    updated.toDF("k", "ts_list")
+      .select(col("k").as(key) +:
+        stageNames.indices.map(i =>
+          when(element_at(col("ts_list"), i + 1) =!= Long.MaxValue,
+            element_at(col("ts_list"), i + 1)).as(s"t_$i")) :+
+        stageNames.indices.map(i =>
+          when(element_at(col("ts_list"), i + 1) =!= Long.MaxValue, 1L)
+            .otherwise(0L)).reduce(_ + _).as("depth"): _*)
+  }
+
   /** Funnel summary: how many keys complete at least each stage.
     * One row per stage, `n_keys` monotonically non-increasing. */
   def summary(events: DataFrame, key: String, ts: Column, stageCol: Column,

@@ -268,6 +268,68 @@ class FunnelSpec extends SparkSpec {
   }
 }
 
+class FunnelStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Funnel
+
+  test("stagesStream: event-time-ordered batches match the batch funnel") {
+    val root = tmpDir("funnel_stream")
+    val inDir = s"$root/in"
+    new java.io.File(inDir).mkdirs()
+    def writeBatch(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val tmp = java.nio.file.Paths.get(s"$root/$name.json.tmp")
+      java.nio.file.Files.writeString(tmp,
+        rows.map { case (u, t, s) =>
+          s"""{"u":$u,"ts":$t,"etype":"$s"}"""
+        }.mkString("\n"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$inDir/$name.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    // batch 1 = early window, batch 2 = later window (event-time order
+    // across batches — stagesStream's documented contract)
+    val b1 = Seq((1L, 10L, "view"), (1L, 20L, "click"), (2L, 10L, "click"),
+      (3L, 15L, "view"))
+    val b2 = Seq((1L, 30L, "purchase"), (2L, 40L, "view"), (2L, 50L, "purchase"),
+      (3L, 60L, "click"), (3L, 70L, "purchase"))
+    val stages = Seq("view", "click", "purchase")
+
+    writeBatch("b1", b1)
+    val stream = spark.readStream.schema("u LONG, ts LONG, etype STRING").json(inDir)
+    val q = Funnel.stagesStream(stream, "u", col("ts"), col("etype"), stages)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("update")
+      .format("memory").queryName("funnel_out")
+      .start()
+    q.processAllAvailable()
+    writeBatch("b2", b2)
+    q.processAllAvailable()
+    q.stop()
+
+    // last update per key == the batch funnel over the full log
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      .orderBy(col("_bid").desc)
+    val got = spark.table("funnel_out")
+      .withColumn("_bid", monotonically_increasing_id())
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_bid", "_rn")
+      .orderBy("u").collect()
+    val want = Funnel.stages((b1 ++ b2).toDF("u", "ts", "etype"),
+        "u", col("ts"), col("etype"), stages)
+      .orderBy("u").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, x) =>
+      assert(g.getAs[Long]("u") == x.getAs[Long]("u"))
+      assert(g.getAs[Long]("depth") == x.getAs[Long]("depth"),
+        s"user ${g.getAs[Long]("u")}")
+      (0 until 3).foreach { i =>
+        assert(g.getAs[Any](s"t_$i") == x.getAs[Any](s"t_$i"), s"t_$i")
+      }
+    }
+  }
+}
+
 class RecallSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Similarity
