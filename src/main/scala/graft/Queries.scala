@@ -2960,6 +2960,48 @@ object Queries {
       |  FROM documents)
       |WHERE pos <= 5 ORDER BY source, pos""".stripMargin
 
+  // ------------------------------------------------- rollup / pivot
+  /** Multi-dimensional corpus profile via ROLLUP (source, lang):
+    * per-(source, lang) doc counts and token sums plus the per-source
+    * and grand-total subtotal rows Spark's `rollup` emits in one
+    * pass — the OLAP cube surface a corpus dashboard reads. Nulls in
+    * the output ARE the subtotal markers (both engines agree). */
+  private def qRollupProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("nt"))
+      .rollup("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
+      .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
+  private val oRollupProfile =
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+      |         AS total_tokens
+      |FROM documents
+      |GROUP BY ROLLUP (source, lang)
+      |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
+
+  /** Language-mix PIVOT: one row per source, one count column per
+    * language (explicit value list — the pivot schema must be static
+    * for both engines). */
+  private def qPivotLangs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
+
+  private val oPivotLangs =
+    """SELECT source,
+      |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+      |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+      |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+      |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3058,7 +3100,9 @@ object Queries {
     "q94_ann_recall" -> (qAnnRecall _),
     "q95_funnel" -> (qFunnel _),
     "q96_decayed_sums" -> (qDecayedSums _),
-    "q97_top_per_group" -> (qTopPerGroup _)
+    "q97_top_per_group" -> (qTopPerGroup _),
+    "q98_rollup_profile" -> (qRollupProfile _),
+    "q99_pivot_langs" -> (qPivotLangs _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3160,6 +3204,8 @@ object Queries {
     "q94_ann_recall" -> oAnnRecall,
     "q95_funnel" -> oFunnel,
     "q96_decayed_sums" -> oDecayedSums,
-    "q97_top_per_group" -> oTopPerGroup
+    "q97_top_per_group" -> oTopPerGroup,
+    "q98_rollup_profile" -> oRollupProfile,
+    "q99_pivot_langs" -> oPivotLangs
   )
 }
