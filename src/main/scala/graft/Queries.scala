@@ -3002,6 +3002,63 @@ object Queries {
       |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- corpus report
+  /** One-row corpus health report — the summary card a dataset release
+    * ships: document/source/language counts, token totals, exact-dup
+    * and benchmark-contamination rates in ppm. Every term is an
+    * aggregate the suite already verifies piecewise (q04/q18/q61);
+    * here they compose into one plan of broadcast-joined 1-row
+    * aggregates (each input is scanned once; no wide shuffle beyond
+    * the per-term aggregations themselves). */
+  private def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(size(split(col("text"), "\\s+")).cast("bigint")).as("total_tokens"))
+    val dups = docs
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("n_dup_docs"))
+    val contaminated = CorpusSignals.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", col("text"), n = 4)
+      .agg(count(lit(1)).as("n_contaminated"))
+    base.crossJoin(broadcast(dups)).crossJoin(broadcast(contaminated))
+      .withColumn("dup_ppm", expr("n_dup_docs * 1000000 div n_docs"))
+      .withColumn("contamination_ppm",
+        expr("n_contaminated * 1000000 div n_docs"))
+  }
+
+  private val oCorpusReport =
+    s"""WITH base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |         CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+       |           AS total_tokens
+       |  FROM documents),
+       |dups AS (
+       |  SELECT CAST(sum(c - 1) AS BIGINT) AS n_dup_docs FROM (
+       |    SELECT count(*) AS c FROM documents
+       |    GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))))),
+       |g AS (
+       |  SELECT doc_id, ${oGramsAll(4)} AS gram
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+       |        FROM documents)),
+       |tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+       |cont AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated
+       |  FROM tg JOIN bg USING (gram))
+       |SELECT base.*, dups.n_dup_docs, cont.n_contaminated,
+       |       n_dup_docs * 1000000 // n_docs AS dup_ppm,
+       |       n_contaminated * 1000000 // n_docs AS contamination_ppm
+       |FROM base, dups, cont""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3102,7 +3159,8 @@ object Queries {
     "q96_decayed_sums" -> (qDecayedSums _),
     "q97_top_per_group" -> (qTopPerGroup _),
     "q98_rollup_profile" -> (qRollupProfile _),
-    "q99_pivot_langs" -> (qPivotLangs _)
+    "q99_pivot_langs" -> (qPivotLangs _),
+    "q100_corpus_report" -> (qCorpusReport _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3206,6 +3264,7 @@ object Queries {
     "q96_decayed_sums" -> oDecayedSums,
     "q97_top_per_group" -> oTopPerGroup,
     "q98_rollup_profile" -> oRollupProfile,
-    "q99_pivot_langs" -> oPivotLangs
+    "q99_pivot_langs" -> oPivotLangs,
+    "q100_corpus_report" -> oCorpusReport
   )
 }
