@@ -3059,6 +3059,35 @@ object Queries {
        |       n_contaminated * 1000000 // n_docs AS contamination_ppm
        |FROM base, dups, cont""".stripMargin
 
+  // ------------------------------------------------- snapshot drift
+  /** Language-mix drift per source between two corpus snapshots
+    * (doc_id parity stands in for refresh generations) —
+    * [[CorpusSignals.distributionDrift]], L1 distance over exact ppm
+    * shares. */
+  private def qSnapshotDrift(s: SparkSession, dir: String): DataFrame =
+    CorpusSignals.distributionDrift(t(s, dir, "documents"), "source",
+        col("lang"), col("doc_id") % 2 === 1)
+      .orderBy("source")
+
+  private val oSnapshotDrift =
+    """WITH base AS (
+      |  SELECT source AS g, lang AS cat, doc_id % 2 AS side FROM documents),
+      |counts AS (SELECT g, side, cat, CAST(count(*) AS BIGINT) AS cnt
+      |           FROM base GROUP BY 1, 2, 3),
+      |totals AS (SELECT g, side, CAST(sum(cnt) AS BIGINT) AS tot
+      |           FROM counts GROUP BY 1, 2),
+      |p AS (SELECT counts.g, counts.side, counts.cat,
+      |             cnt * 1000000 // tot AS p_ppm
+      |      FROM counts JOIN totals USING (g, side)),
+      |a AS (SELECT g, cat, p_ppm AS pa FROM p WHERE side = 0),
+      |b AS (SELECT g, cat, p_ppm AS pb FROM p WHERE side = 1)
+      |SELECT coalesce(a.g, b.g) AS source,
+      |       CAST(count(*) AS BIGINT) AS n_cats,
+      |       CAST(sum(abs(coalesce(pa, 0) - coalesce(pb, 0))) AS BIGINT)
+      |         AS l1_drift_ppm
+      |FROM a FULL OUTER JOIN b ON a.g = b.g AND a.cat = b.cat
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3160,7 +3189,8 @@ object Queries {
     "q97_top_per_group" -> (qTopPerGroup _),
     "q98_rollup_profile" -> (qRollupProfile _),
     "q99_pivot_langs" -> (qPivotLangs _),
-    "q100_corpus_report" -> (qCorpusReport _)
+    "q100_corpus_report" -> (qCorpusReport _),
+    "q101_snapshot_drift" -> (qSnapshotDrift _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3265,6 +3295,7 @@ object Queries {
     "q97_top_per_group" -> oTopPerGroup,
     "q98_rollup_profile" -> oRollupProfile,
     "q99_pivot_langs" -> oPivotLangs,
-    "q100_corpus_report" -> oCorpusReport
+    "q100_corpus_report" -> oCorpusReport,
+    "q101_snapshot_drift" -> oSnapshotDrift
   )
 }

@@ -302,6 +302,37 @@ object CorpusSignals {
       .withColumn("p_ppm", expr("cnt_gram * 1000000 div cnt_ctx"))
   }
 
+  /** Distribution drift between two corpus snapshots (the refresh
+    * monitor: did the language/source/length mix shift?): per group,
+    * the L1 distance between the two snapshots' category distributions
+    * in EXACT ppm (total-variation distance = L1/2 — kept as L1 so the
+    * value stays integer). A KL divergence would hang the result on
+    * log()'s last ulp; L1 over integer ppm shares is bit-replayable.
+    *
+    * Shape: category counts and side totals are map-side-combined
+    * aggregates; everything after operates on (group, category) rows —
+    * sketch-sized next to the corpus. A category absent from one side
+    * contributes its full share (the drift a disappearing category IS). */
+  def distributionDrift(df: DataFrame, group: String, category: Column,
+                        inB: Column): DataFrame = {
+    val base = df.select(col(group).as("g"), category.as("cat"),
+      when(inB, 1).otherwise(0).as("side"))
+    val counts = base.groupBy("g", "side", "cat").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("g", "side").agg(sum("cnt").as("tot"))
+    val p = counts.join(totals, Seq("g", "side"))
+      .withColumn("p_ppm", expr("cnt * 1000000 div tot"))
+    val a = p.filter(col("side") === 0)
+      .select(col("g"), col("cat"), col("p_ppm").as("pa"))
+    val b = p.filter(col("side") === 1)
+      .select(col("g"), col("cat"), col("p_ppm").as("pb"))
+    a.join(b, Seq("g", "cat"), "full_outer")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_cats"),
+        sum(abs(coalesce(col("pa"), lit(0L)) - coalesce(col("pb"), lit(0L))))
+          .as("l1_drift_ppm"))
+      .withColumnRenamed("g", group)
+  }
+
   /** Cross-group duplicate-overlap matrix (the dataset-composition
     * audit: "how much of source A is copies of source B?"): for every
     * unordered group pair sharing at least one content fingerprint,

@@ -377,6 +377,34 @@ class LmCountsSpec extends SparkSpec {
   }
 }
 
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.CorpusSignals
+
+  test("distributionDrift: identical mixes drift 0, disjoint drift 2M") {
+    val docs = Seq(
+      // group "same": identical lang mix on both sides (en+fr each)
+      ("same", "en", 0L), ("same", "fr", 2L), ("same", "en", 1L), ("same", "fr", 3L),
+      // group "flip": side 0 all-en, side 1 all-fr → L1 = 2,000,000
+      ("flip", "en", 0L), ("flip", "en", 2L), ("flip", "fr", 1L), ("flip", "fr", 3L)
+    ).toDF("src", "lang", "id")
+    val out = CorpusSignals.distributionDrift(docs, "src", col("lang"),
+        col("id") % 2 === 1)
+      .orderBy("src").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("l1_drift_ppm")))
+    assert(out.toSeq == Seq(("flip", 2000000L), ("same", 0L)))
+  }
+
+  test("distributionDrift: a category absent from one side counts fully") {
+    val docs = Seq(("g", "en", 0L), ("g", "en", 1L), ("g", "zh", 2L))
+      .toDF("src", "lang", "id")
+    // side0: en 1/2, zh 1/2; side1: en 1/1 → |500000-1000000| + |500000-0|
+    val out = CorpusSignals.distributionDrift(docs, "src", col("lang"),
+      col("id") % 2 === 1).collect()
+    assert(out(0).getAs[Long]("l1_drift_ppm") == 1000000L)
+  }
+}
+
 class GroupOverlapSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.CorpusSignals
