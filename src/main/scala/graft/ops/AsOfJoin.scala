@@ -46,15 +46,20 @@ object AsOfJoin {
   def lastPrior(left: DataFrame, right: DataFrame, key: String, time: String,
                 leftId: String, rightId: String,
                 payload: Seq[String] = Nil): DataFrame = {
-    val l = left.select(col(key), col(time).as("t"), col(leftId).as("lid"))
+    // every OTHER left column rides along in one struct (null on right
+    // rows), so enrichment really returns the left rows — not a
+    // projection of them. (Left/right ids must share a type: they form
+    // the window's tie-break order together.)
+    val extras = left.columns.toIndexedSeq
+      .filterNot(c => c == key || c == time || c == leftId)
+    val l = left.select(Seq(col(key), col(time).as("t"),
+        col(leftId).as("lid")) ++
+        (if (extras.nonEmpty) Seq(struct(extras.map(col): _*).as("_lrest"))
+         else Nil): _*)
       .withColumn("side", lit(1))
     val r = right.select(col(key), col(time).as("t"), col(rightId).as("rid"))
       .withColumn("side", lit(0))
-
-    val tagged = r.select(col(key), col("t"), col("side"),
-        lit(null).cast(l.schema("lid").dataType).as("lid"), col("rid"))
-      .unionByName(l.withColumn("rid",
-        lit(null).cast(r.schema("rid").dataType)))
+    val tagged = r.unionByName(l, allowMissingColumns = true)
 
     // Strictly-preceding frame over a TOTAL order (t, side, id): every
     // right row with t' <= t sorts before the left row, so the running
@@ -67,8 +72,9 @@ object AsOfJoin {
       .withColumn("prior",
         max(when(col("side") === 0, struct(col("t"), col("rid")))).over(w))
       .filter(col("side") === 1)
-      .select(col(key), col("t"), col("lid"),
-        col("prior.t").as("asof_time"), col("prior.rid").as("asof_rid"))
+      .select(Seq(col(key), col("t"), col("lid"),
+        col("prior.t").as("asof_time"), col("prior.rid").as("asof_rid")) ++
+        (if (extras.nonEmpty) Seq(col("_lrest")) else Nil): _*)
 
     // Payload recovery: equi-join on (key, time, id) — exact, so ties
     // already resolved by the window's max are matched 1:1.
@@ -78,9 +84,13 @@ object AsOfJoin {
       col(key), col(time).as("asof_time"), col(rightId).as("asof_rid"),
       struct(payload.map(col): _*).as("_asof_struct"))
     val out = matched.join(payloadDf, Seq(key, "asof_time", "asof_rid"), "left")
-    payload.foldLeft(out) { (df, p) =>
+    val withPayload = payload.foldLeft(out) { (df, p) =>
       df.withColumn(s"asof_$p", col("_asof_struct").getField(p))
     }.drop("_asof_struct")
+    // unpack the carried left columns back to top level
+    extras.foldLeft(withPayload) { (df, c) =>
+      df.withColumn(c, col("_lrest").getField(c))
+    }.drop("_lrest")
       .withColumnRenamed("t", time).withColumnRenamed("lid", leftId)
       .withColumnRenamed("asof_rid", s"asof_$rightId")
   }

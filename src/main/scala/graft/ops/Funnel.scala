@@ -68,13 +68,17 @@ object Funnel {
     val idx = stageNames.zipWithIndex.toMap
     val spark = events.sparkSession
     import spark.implicits._
+    // the key travels as STRING (total for any type — a cast("long")
+    // would null out non-numeric ids and collapse every key into one
+    // shared state); the output casts it back to the input's type
+    val keyType = events.schema(key).dataType
     val typed = events
-      .select(col(key).cast("long"), ts.cast("long"), stageCol.cast("string"))
-      .as[(Long, Long, String)]
+      .select(col(key).cast("string"), ts.cast("long"), stageCol.cast("string"))
+      .as[(String, Long, String)]
     val updated = typed.groupByKey(_._1)
-      .mapGroupsWithState[Seq[Long], (Long, Seq[Long])](
+      .mapGroupsWithState[Seq[Long], (String, Seq[Long])](
         GroupStateTimeout.NoTimeout) {
-        (k: Long, rows: Iterator[(Long, Long, String)],
+        (k: String, rows: Iterator[(String, Long, String)],
          state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
           val t = state.getOption.getOrElse(Seq.fill(n)(Long.MaxValue)).toArray
           // event-time order within the batch; stage index breaks ties
@@ -92,7 +96,7 @@ object Funnel {
           (k, t.toSeq)
       }
     updated.toDF("k", "ts_list")
-      .select(col("k").as(key) +:
+      .select(col("k").cast(keyType).as(key) +:
         stageNames.indices.map(i =>
           when(element_at(col("ts_list"), i + 1) =!= Long.MaxValue,
             element_at(col("ts_list"), i + 1)).as(s"t_$i")) :+

@@ -146,9 +146,25 @@ object InventoryReader {
     validated.filter(col("checksum_status") === "ok")
 
   /** Outcome of [[normalizeInventory]]: decoded row count, quarantined
-    * corrupt-row count, and the shard count the target size produced. */
+    * corrupt-row count, and the number of data files ACTUALLY written
+    * (counted post-write, so it is truthful for both the round-robin
+    * and the bucket-partitioned layout). */
   final case class NormalizeResult(rows: Long, corrupt: Long, shards: Int,
                                    outDir: String)
+
+  /** Data files under a written output dir (recursive; skips _SUCCESS
+    * and other metadata) — the audit-truth shard count. */
+  private def countDataFiles(dir: String): Int = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) 0
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+        .count().toInt
+      finally s.close()
+    }
+  }
 
   /** Ingest-normalize (SURVEY §4): decompress-once to Parquet. Gzip
     * inventory members are non-splittable (ListProducer/ListProducer
@@ -187,7 +203,7 @@ object InventoryReader {
         .first()
       val n = est.getLong(0)
       val rowsPerShard = math.max(1L, (targetShardBytes / est.getDouble(1)).toLong)
-      val shards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
+      val targetShards = math.max(1L, (n + rowsPerShard - 1) / rowsPerShard).toInt
       if (bucketPartitioned)
         // hive-style bucket dirs (partition pruning on reads); the size
         // target caps records per file WITHIN each bucket dir
@@ -196,7 +212,7 @@ object InventoryReader {
           .partitionBy("Bucket")
           .format(format).save(outDir)
       else
-        good.repartition(shards)
+        good.repartition(targetShards)
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .format(format).save(outDir)
       val corrupt = corruptRows(raw)
@@ -209,7 +225,10 @@ object InventoryReader {
         // same outDir — the audit trail must describe THIS input
         graft.sinks.Sinks.deleteRecursively(
           java.nio.file.Paths.get(s"$outDir.corrupt"))
-      NormalizeResult(n, nCorrupt, shards, outDir)
+      // count what was actually written: the bucket-partitioned layout
+      // produces per-dir file counts unrelated to the round-robin
+      // estimate, and an audit must describe the real output
+      NormalizeResult(n, nCorrupt, countDataFiles(outDir), outDir)
     } finally unpersist(raw)
   }
 

@@ -28,7 +28,8 @@ class PlanGuardSpec extends SparkSpec {
     "q78_ivf_multiprobe", // broadcast(query probe table)
     "q94_ann_recall",     // brute-force ground truth inside
     "q62_tfidf_terms",    // crossJoin(broadcast(1-row corpus count))
-    "q96_decayed_sums")   // crossJoin(broadcast(1-row max timestamp))
+    "q96_decayed_sums",   // crossJoin(broadcast(1-row max timestamp))
+    "q100_corpus_report") // crossJoin(broadcast(two 1-row aggregates))
 
   test("no CartesianProduct anywhere; BNLJ only where small-by-contract") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

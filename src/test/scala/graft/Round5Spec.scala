@@ -47,6 +47,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("asof_rid")))
   }
 
+  test("lastPrior: extra left columns survive the enrichment") {
+    val l = Seq((1L, 1L, 5L, "keep-me", 42.0))
+      .toDF("lid", "k", "t", "tag", "amount")
+    val r = Seq((9L, 1L, 3L)).toDF("rid", "k", "t")
+    val out = AsOfJoin.lastPrior(l, r, "k", "t", "lid", "rid").collect()
+    assert(out(0).getAs[String]("tag") == "keep-me")
+    assert(out(0).getAs[Double]("amount") == 42.0)
+    assert(out(0).getAs[Long]("asof_rid") == 9L)
+  }
+
   test("lastPrior: equal timestamps count as prior (<= semantics)") {
     val l = Seq((1L, 1L, 5L)).toDF("lid", "k", "t")
     val r = Seq((7L, 1L, 5L), (3L, 1L, 5L)).toDF("rid", "k", "t")
@@ -327,6 +337,19 @@ class FunnelStreamSpec extends SparkSpec {
         assert(g.getAs[Any](s"t_$i") == x.getAs[Any](s"t_$i"), s"t_$i")
       }
     }
+  }
+
+  test("stagesStream: string keys keep per-key state (no cast collapse)") {
+    // mapGroupsWithState also runs in batch mode — enough to prove the
+    // key survives as its own group and the output keeps its type
+    val ev = Seq(("u-a", 10L, "view"), ("u-a", 20L, "click"),
+        ("u-b", 10L, "view"))
+      .toDF("u", "ts", "etype")
+    val out = Funnel.stagesStream(ev, "u", col("ts"), col("etype"),
+        Seq("view", "click"))
+      .orderBy("u").collect()
+      .map(r => (r.getAs[String]("u"), r.getAs[Long]("depth")))
+    assert(out.toSeq == Seq(("u-a", 2L), ("u-b", 1L)))
   }
 }
 
