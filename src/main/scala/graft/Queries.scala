@@ -3088,6 +3088,25 @@ object Queries {
       |FROM a FULL OUTER JOIN b ON a.g = b.g AND a.cat = b.cat
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- skew diagnosis
+  /** Key-skew report over the event log's user key
+    * ([[ops.Salting.skewReport]] — the measurement that decides
+    * whether a shuffle needs [[ops.Salting.saltedJoin]]). */
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame =
+    Salting.skewReport(t(s, dir, "events"), col("user_id"))
+
+  private val oSkewReport =
+    """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      |           FROM events GROUP BY user_id)
+      |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+      |       CAST(min(cnt) AS BIGINT) AS min_key_rows,
+      |       sum(cnt) // count(*) AS mean_key_rows,
+      |       max(cnt) * 1000000 // greatest(sum(cnt) // count(*), 1)
+      |         AS skew_ppm
+      |FROM c""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3190,7 +3209,8 @@ object Queries {
     "q98_rollup_profile" -> (qRollupProfile _),
     "q99_pivot_langs" -> (qPivotLangs _),
     "q100_corpus_report" -> (qCorpusReport _),
-    "q101_snapshot_drift" -> (qSnapshotDrift _)
+    "q101_snapshot_drift" -> (qSnapshotDrift _),
+    "q102_skew_report" -> (qSkewReport _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3296,6 +3316,7 @@ object Queries {
     "q98_rollup_profile" -> oRollupProfile,
     "q99_pivot_langs" -> oPivotLangs,
     "q100_corpus_report" -> oCorpusReport,
-    "q101_snapshot_drift" -> oSnapshotDrift
+    "q101_snapshot_drift" -> oSnapshotDrift,
+    "q102_skew_report" -> oSkewReport
   )
 }

@@ -38,4 +38,24 @@ object Salting {
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum("_partial").cast("bigint").as("n"))
+
+  /** Skew diagnosis — the "measure before you salt" report: one row of
+    * key-space statistics over a prospective shuffle key. `skew_ppm` =
+    * heaviest key's count ÷ mean count per key, in exact ppm (1,000,000
+    * = perfectly uniform; 20,000,000 = the hot key carries 20× its fair
+    * share and the join/agg wants [[saltedJoin]] or AQE skew handling).
+    * Integer arithmetic throughout; two map-side-combined aggregations,
+    * the second over one row per key. */
+  def skewReport(df: DataFrame, key: Column): DataFrame =
+    df.select(key.as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_key_rows"),
+        min(col("cnt")).as("min_key_rows"))
+      .withColumn("mean_key_rows", expr("n_rows div n_keys"))
+      .withColumn("skew_ppm",
+        expr("max_key_rows * 1000000 div greatest(mean_key_rows, 1)"))
 }
