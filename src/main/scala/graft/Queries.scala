@@ -3107,6 +3107,37 @@ object Queries {
       |         AS skew_ppm
       |FROM c""".stripMargin
 
+  // ------------------------------------------------- JSON extraction
+  /** Semi-structured extraction over the event log's JSON `props`
+    * column: `from_json` with an explicit schema (the typed, codegen'd
+    * path — no schema inference pass over 100 TB), then per-type
+    * aggregates of the extracted field. */
+  private def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        min(col("k")).cast("bigint").as("min_k"),
+        max(col("k")).cast("bigint").as("max_k"))
+      .orderBy("event_type")
+
+  private val oJsonProps =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(k) AS BIGINT) AS n_with_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(min(k) AS BIGINT) AS min_k,
+      |  CAST(max(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3210,7 +3241,8 @@ object Queries {
     "q99_pivot_langs" -> (qPivotLangs _),
     "q100_corpus_report" -> (qCorpusReport _),
     "q101_snapshot_drift" -> (qSnapshotDrift _),
-    "q102_skew_report" -> (qSkewReport _)
+    "q102_skew_report" -> (qSkewReport _),
+    "q103_json_props" -> (qJsonProps _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3317,6 +3349,7 @@ object Queries {
     "q99_pivot_langs" -> oPivotLangs,
     "q100_corpus_report" -> oCorpusReport,
     "q101_snapshot_drift" -> oSnapshotDrift,
-    "q102_skew_report" -> oSkewReport
+    "q102_skew_report" -> oSkewReport,
+    "q103_json_props" -> oJsonProps
   )
 }
