@@ -87,6 +87,20 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("withinBand: a single hot key stays correct (bucket-spread path)") {
+    // every row shares one key — the shape that melts a naive per-key
+    // join; the bucketed form must still match the theta-join exactly
+    val hotL = (1L to 150L).map(i => (i, 1L, i * 7 % 300)).toDF("lid", "k", "t")
+    val hotR = (1L to 200L).map(i => (i, 1L, i * 11 % 300)).toDF("rid", "k", "t")
+    val fast = RangeJoin.withinBand(hotL, hotR, "k", "t", band = 10L)
+      .select(col("lid"), col("r_rid")).orderBy("lid", "r_rid").collect()
+    val naive = hotL.as("l").join(hotR.as("r"),
+        col("l.k") === col("r.k") && abs(col("l.t") - col("r.t")) <= 10L)
+      .select(col("lid"), col("rid").as("r_rid"))
+      .orderBy("lid", "r_rid").collect()
+    assert(fast.nonEmpty && fast.toSeq == naive.toSeq)
+  }
+
   test("nearbyStats keeps zero-match left rows at n_nearby = 0") {
     val l = Seq((1L, 9L, 5L), (2L, 1L, 5L)).toDF("lid", "k", "t")
     val r = Seq((7L, 1L, 6L)).toDF("rid", "k", "t")
@@ -159,6 +173,19 @@ class ChunkCapSpec extends SparkSpec {
     val rows = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
     val out = Curation.cappedPerGroup(rows, "g", "id", k = 10, salts = 4)
     assert(out.count() == 3)
+  }
+
+  test("topKPerGroup: one giant group stays exact through the salt stages") {
+    val rows = (1L to 500L).map(i => (i, "only", (i * 13) % 251))
+      .toDF("id", "g", "score")
+    val staged = Curation.topKPerGroup(rows, "g", "id", k = 9,
+        ord = -col("score"), salts = 16)
+      .orderBy("pos").collect()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("score").desc, col("id"))
+    val naive = rows.withColumn("pos", row_number().over(w).cast("bigint"))
+      .filter(col("pos") <= 9).orderBy("pos").collect()
+    assert(staged.length == 9 && staged.toSeq == naive.toSeq)
   }
 
   test("topKPerGroup: value-ranked form equals the naive window") {
