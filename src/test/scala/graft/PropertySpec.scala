@@ -185,6 +185,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val docGen: Gen[List[String]] =
+    Gen.listOfN(10, Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" "))))
+
+  test("chunkWindows: non-overlapping chunks reconstruct the document") {
+    forAllSampled(docGen, 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // stride == window → chunks partition the token stream exactly
+      val rebuilt = Curation.chunkWindows(docs, "doc_id", col("text"),
+          window = 7, stride = 7)
+        .groupBy("doc_id")
+        .agg(concat_ws(" ", sort_array(collect_list(
+          struct(col("chunk_id"), col("chunk_text"))))
+          .getField("chunk_text")).as("rebuilt"))
+        .orderBy("doc_id").collect().map(_.getAs[String]("rebuilt"))
+      rebuilt.zip(texts).foreach { case (r, t) => assert(r == t) }
+    }
+  }
+
+  test("vocabulary: the cut is exact — no out-token outranks an in-token") {
+    forAllSampled(docGen, 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val v = 3
+      val vocab = TextAnalysis.vocabulary(docs, col("text"), v).collect()
+      val counts = docs.select(explode(split(col("text"), "\\s+")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(vocab.length == math.min(v, counts.size))
+      if (counts.size > v) {
+        val inMin = vocab.map(r => (counts(r.getAs[String]("token")),
+          r.getAs[String]("token"))).min
+        counts.filterNot(c => vocab.exists(_.getAs[String]("token") == c._1))
+          .foreach { case (tok, cnt) =>
+            // (cnt desc, token asc) total order: every excluded token
+            // sorts strictly after the weakest included one
+            assert(cnt < inMin._1 || (cnt == inMin._1 && tok > inMin._2))
+          }
+      }
+    }
+  }
+
   test("simhash: permutation-invariant over token multisets") {
     forAllSampled(Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta")), 6) { toks =>
       if (toks.nonEmpty) {
