@@ -3138,6 +3138,45 @@ object Queries {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------- incremental ingest
+  /** Incremental corpus refresh ([[ops.Dedup.incrementalNovel]]): the
+    * ledger holds fingerprints of the already-ingested half (doc_id <
+    * 250); the new batch (doc_id ≥ 250) lands only content-novel
+    * documents, deduped within the batch too. The oracle replays both
+    * layers: in-batch min-id winners, then the ledger anti-join.
+    * Fingerprint = the 8-token-prefix digest (like q90: the synthetic
+    * corpus has no literal whole-document dups, and BOTH dedup layers
+    * must be exercised non-vacuously — 250 batch docs → 242 in-batch
+    * winners → 230 ledger-novel at sf0.01). */
+  private def qIncrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val prefixFp =
+      md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 8)))
+    val ledger = docs.filter(col("doc_id") < 250)
+      .select(prefixFp.as("fp")).distinct()
+    Dedup.incrementalNovel(
+        docs.filter(col("doc_id") >= 250)
+          .select("doc_id", "source", "lang", "n_chars", "text"),
+        "doc_id", prefixFp, ledger)
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val oIncrementalIngest =
+    """WITH fp AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    md5(array_to_string(string_split_regex(lower(text), '\s+')[1:8], ' '))
+      |      AS f
+      |  FROM documents),
+      |ledger AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+      |batch AS (SELECT * FROM fp WHERE doc_id >= 250),
+      |winners AS (SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+      |    FROM batch) WHERE rn = 1)
+      |SELECT doc_id, source, lang, n_chars FROM winners
+      |WHERE f NOT IN (SELECT f FROM ledger)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3242,7 +3281,8 @@ object Queries {
     "q100_corpus_report" -> (qCorpusReport _),
     "q101_snapshot_drift" -> (qSnapshotDrift _),
     "q102_skew_report" -> (qSkewReport _),
-    "q103_json_props" -> (qJsonProps _)
+    "q103_json_props" -> (qJsonProps _),
+    "q104_incremental_ingest" -> (qIncrementalIngest _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3350,6 +3390,7 @@ object Queries {
     "q100_corpus_report" -> oCorpusReport,
     "q101_snapshot_drift" -> oSnapshotDrift,
     "q102_skew_report" -> oSkewReport,
-    "q103_json_props" -> oJsonProps
+    "q103_json_props" -> oJsonProps,
+    "q104_incremental_ingest" -> oIncrementalIngest
   )
 }

@@ -46,4 +46,33 @@ object Dedup {
         struct(col(tieBreak) +: all.map(col): _*)).as("_rep"))
       .select(all.map(c => col(s"_rep.$c").as(c)): _*)
   }
+
+  /** Incremental corpus ingest — the reference's sent-ledger pattern
+    * (K7, AzureTaskProducer/inventory_lib.py:146-162) applied to
+    * corpus refreshes: a new batch lands only the documents whose
+    * content fingerprint is novel, both against the accumulated ledger
+    * AND within the batch itself (daily crawls re-fetch yesterday's
+    * pages; both layers must drop them). Re-running the same batch
+    * against the updated ledger lands zero rows — the idempotency
+    * that makes refresh pipelines restartable.
+    *
+    * Shape: one anti-join on the fingerprint (broadcast under the
+    * threshold, else shuffled hash — store the ledger partitioned by
+    * fingerprint prefix for co-location) plus [[exact]]'s one-shuffle
+    * winner pick inside the batch. */
+  def incrementalNovel(batch: DataFrame, id: String, fp: Column,
+                       ledger: DataFrame): DataFrame = {
+    val tagged = batch.withColumn("_fp", fp)
+    val inBatch = exact(tagged, Seq("_fp"), id)
+    inBatch.join(ledger.select(col("fp").as("_fp")).distinct(),
+        Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
+  /** The ledger after landing a batch: previous fingerprints plus the
+    * batch's (distinct union — the ledger stays one row per fp). */
+  def updatedLedger(ledger: DataFrame, batch: DataFrame, fp: Column): DataFrame =
+    ledger.select(col("fp"))
+      .unionByName(batch.select(fp.as("fp")))
+      .distinct()
 }

@@ -427,6 +427,32 @@ class LmCountsSpec extends SparkSpec {
   }
 }
 
+class IncrementalIngestSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Dedup
+
+  private def fp = md5(col("text"))
+
+  test("incrementalNovel: ledger and in-batch layers both drop dups") {
+    val ledger = Seq("old-1", "old-2").toDF("text").select(fp.as("fp"))
+    val batch = Seq((10L, "new-a"), (11L, "new-a"), (12L, "old-1"), (13L, "new-b"))
+      .toDF("doc_id", "text")
+    val novel = Dedup.incrementalNovel(batch, "doc_id", fp, ledger)
+      .orderBy("doc_id").collect()
+    // new-a keeps min id 10; old-1 drops (ledger); new-b lands
+    assert(novel.map(_.getLong(0)).toSeq == Seq(10L, 13L))
+  }
+
+  test("re-running a landed batch against the updated ledger is a no-op") {
+    val ledger0 = Seq("old-1").toDF("text").select(fp.as("fp"))
+    val batch = Seq((1L, "x"), (2L, "y"), (3L, "old-1")).toDF("doc_id", "text")
+    val ledger1 = Dedup.updatedLedger(ledger0, batch, fp)
+    assert(ledger1.count() == 3) // old-1, x, y — distinct
+    val rerun = Dedup.incrementalNovel(batch, "doc_id", fp, ledger1)
+    assert(rerun.count() == 0) // idempotent: nothing lands twice
+  }
+}
+
 class DriftSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.CorpusSignals
