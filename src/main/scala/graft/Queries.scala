@@ -3152,8 +3152,9 @@ object Queries {
     val docs = t(s, dir, "documents")
     val prefixFp =
       md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 8)))
-    val ledger = docs.filter(col("doc_id") < 250)
-      .select(prefixFp.as("fp")).distinct()
+    // no .distinct(): left_anti tolerates duplicate ledger rows, and
+    // the ledger is the unboundedly-growing side — don't shuffle it
+    val ledger = docs.filter(col("doc_id") < 250).select(prefixFp.as("fp"))
     Dedup.incrementalNovel(
         docs.filter(col("doc_id") >= 250)
           .select("doc_id", "source", "lang", "n_chars", "text"),

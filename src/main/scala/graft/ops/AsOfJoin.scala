@@ -52,6 +52,16 @@ object AsOfJoin {
     // the window's tie-break order together.)
     val extras = left.columns.toIndexedSeq
       .filterNot(c => c == key || c == time || c == leftId)
+    // fail fast on name collisions with the internal/output columns —
+    // a colliding extra would silently overwrite the time column or a
+    // join key during unpacking (data corruption, not an error)
+    val reserved = Set("t", "lid", "rid", "side", "prior", "_lrest",
+      "_asof_struct", "asof_time", "asof_rid", s"asof_$rightId") ++
+      payload.map(p => s"asof_$p")
+    val clashes = extras.filter(reserved)
+    require(clashes.isEmpty,
+      s"lastPrior: left column(s) ${clashes.mkString(", ")} collide with " +
+        "internal/output names — rename them before the join")
     val l = left.select(Seq(col(key), col(time).as("t"),
         col(leftId).as("lid")) ++
         (if (extras.nonEmpty) Seq(struct(extras.map(col): _*).as("_lrest"))

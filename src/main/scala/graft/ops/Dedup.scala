@@ -58,13 +58,18 @@ object Dedup {
     *
     * Shape: one anti-join on the fingerprint (broadcast under the
     * threshold, else shuffled hash — store the ledger partitioned by
-    * fingerprint prefix for co-location) plus [[exact]]'s one-shuffle
-    * winner pick inside the batch. */
+    * fingerprint prefix for co-location; duplicate ledger rows are
+    * harmless to a left_anti join, so NO distinct pass runs over the
+    * side that grows without bound) plus [[exact]]'s one-shuffle
+    * winner pick inside the batch.
+    *
+    * @param ledgerFp the ledger's fingerprint column name ("fp" as
+    *        written by [[updatedLedger]]) */
   def incrementalNovel(batch: DataFrame, id: String, fp: Column,
-                       ledger: DataFrame): DataFrame = {
+                       ledger: DataFrame, ledgerFp: String = "fp"): DataFrame = {
     val tagged = batch.withColumn("_fp", fp)
     val inBatch = exact(tagged, Seq("_fp"), id)
-    inBatch.join(ledger.select(col("fp").as("_fp")).distinct(),
+    inBatch.join(ledger.select(col(ledgerFp).as("_fp")),
         Seq("_fp"), "left_anti")
       .drop("_fp")
   }

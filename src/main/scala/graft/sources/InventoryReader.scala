@@ -153,16 +153,21 @@ object InventoryReader {
                                    outDir: String)
 
   /** Data files under a written output dir (recursive; skips _SUCCESS
-    * and other metadata) — the audit-truth shard count. */
-  private def countDataFiles(dir: String): Int = {
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(root)) 0
+    * and other metadata) — the audit-truth shard count. Listed through
+    * the dir's OWN Hadoop filesystem, so s3a://, hdfs:// and file://
+    * outputs all count correctly (a java.nio walk would silently
+    * report 0 for any non-local URI). */
+  private def countDataFiles(spark: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
     else {
-      val s = java.nio.file.Files.walk(root)
-      try s.filter(p => java.nio.file.Files.isRegularFile(p) &&
-          p.getFileName.toString.startsWith("part-"))
-        .count().toInt
-      finally s.close()
+      val it = fs.listFiles(path, /* recursive = */ true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      }
+      n
     }
   }
 
@@ -228,7 +233,7 @@ object InventoryReader {
       // count what was actually written: the bucket-partitioned layout
       // produces per-dir file counts unrelated to the round-robin
       // estimate, and an audit must describe the real output
-      NormalizeResult(n, nCorrupt, countDataFiles(outDir), outDir)
+      NormalizeResult(n, nCorrupt, countDataFiles(spark, outDir), outDir)
     } finally unpersist(raw)
   }
 

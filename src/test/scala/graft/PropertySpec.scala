@@ -216,13 +216,19 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(vocab.length == math.min(v, counts.size))
       if (counts.size > v) {
-        val inMin = vocab.map(r => (counts(r.getAs[String]("token")),
-          r.getAs[String]("token"))).min
+        // the boundary is the WEAKEST included element under
+        // (cnt desc, token asc): minimum count, then the LARGEST token
+        // among the included minimum-count tokens — comparing against
+        // the smallest such token would blind the check to tie-break
+        // violations at the cut
+        val included = vocab.map(r => (counts(r.getAs[String]("token")),
+          r.getAs[String]("token")))
+        val minCnt = included.map(_._1).min
+        val boundaryTok = included.filter(_._1 == minCnt).map(_._2).max
         counts.filterNot(c => vocab.exists(_.getAs[String]("token") == c._1))
           .foreach { case (tok, cnt) =>
-            // (cnt desc, token asc) total order: every excluded token
-            // sorts strictly after the weakest included one
-            assert(cnt < inMin._1 || (cnt == inMin._1 && tok > inMin._2))
+            assert(cnt < minCnt || (cnt == minCnt && tok > boundaryTok),
+              s"excluded ($tok, $cnt) outranks boundary ($boundaryTok, $minCnt)")
           }
       }
     }
