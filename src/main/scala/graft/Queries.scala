@@ -3178,6 +3178,61 @@ object Queries {
       |WHERE f NOT IN (SELECT f FROM ledger)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- user-activity ANN
+  /** Time-series similarity by composition: build each user's dense
+    * 30-day activity vector FROM the event log (daily sums, zero-
+    * filled via a map lookup — no per-user sort), then rank nearest
+    * users with the SAME [[Similarity.bruteForceTopK]] the embedding
+    * family uses. The operators compose across domains — the engine's
+    * ANN surface is not embeddings-only. */
+  private def qUserSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val day0 = 1704067200L // 2024-01-01T00:00:00Z — the fixture's epoch
+    val daily = ev.select(col("user_id"), eventSec(ev).as("sec"),
+        floor(col("value") * 100).cast("bigint").as("sz"))
+      // `div` (integral): matches the oracle's floor `//` exactly
+      .withColumn("day", expr(s"(sec - ${day0}L) div 86400"))
+      .filter(col("day").between(0, 29))
+      .groupBy("user_id", "day").agg(sum("sz").as("v"))
+    val vecs = daily.groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("day"), col("v"))))
+        .as("by_day"))
+      .select(col("user_id"),
+        transform(sequence(lit(0L), lit(29L)),
+          d => coalesce(element_at(col("by_day"), d), lit(0L)).cast("double"))
+          .as("vec"))
+    Similarity.bruteForceTopK(vecs.filter(col("user_id") < 5), vecs,
+        "user_id", "user_id", "vec", k = 3)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oUserSimilarity =
+    s"""WITH base AS (
+       |  SELECT user_id,
+       |         (epoch_ns(ts) // 1000000000 - 1704067200) // 86400 AS day,
+       |         CAST(floor(value * 100) AS BIGINT) AS sz
+       |  FROM events),
+       |d AS (SELECT user_id, day, CAST(sum(sz) AS BIGINT) AS v
+       |      FROM base WHERE day BETWEEN 0 AND 29 GROUP BY 1, 2),
+       |u AS (SELECT DISTINCT user_id FROM d),
+       |spine AS (SELECT u.user_id, s.day FROM u
+       |          CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS day) s),
+       |vec AS (SELECT spine.user_id,
+       |          list(CAST(coalesce(d.v, 0) AS DOUBLE) ORDER BY spine.day) AS v
+       |        FROM spine LEFT JOIN d
+       |          ON d.user_id = spine.user_id AND d.day = spine.day
+       |        GROUP BY spine.user_id),
+       |q AS (SELECT user_id AS query_id, v AS qv FROM vec WHERE user_id < 5),
+       |s2 AS (SELECT q.query_id, vec.user_id AS corpus_id,
+       |         round(${cosSql("q.qv", "vec.v")}, 6) AS cos_sim
+       |       FROM q JOIN vec ON vec.user_id <> q.query_id)
+       |SELECT query_id, rank, corpus_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank FROM s2)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3283,7 +3338,8 @@ object Queries {
     "q101_snapshot_drift" -> (qSnapshotDrift _),
     "q102_skew_report" -> (qSkewReport _),
     "q103_json_props" -> (qJsonProps _),
-    "q104_incremental_ingest" -> (qIncrementalIngest _)
+    "q104_incremental_ingest" -> (qIncrementalIngest _),
+    "q105_user_similarity" -> (qUserSimilarity _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3392,6 +3448,7 @@ object Queries {
     "q101_snapshot_drift" -> oSnapshotDrift,
     "q102_skew_report" -> oSkewReport,
     "q103_json_props" -> oJsonProps,
-    "q104_incremental_ingest" -> oIncrementalIngest
+    "q104_incremental_ingest" -> oIncrementalIngest,
+    "q105_user_similarity" -> oUserSimilarity
   )
 }
