@@ -2552,8 +2552,8 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n_tokens,
       |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       |         AS n_oov,
-      |       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
-      |         // count(*) AS oov_ppm
+      |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+      |         // count(*) AS BIGINT) AS oov_ppm
       |FROM toks LEFT JOIN v ON toks.token = v.token
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -3102,9 +3102,9 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n_keys,
       |       CAST(max(cnt) AS BIGINT) AS max_key_rows,
       |       CAST(min(cnt) AS BIGINT) AS min_key_rows,
-      |       sum(cnt) // count(*) AS mean_key_rows,
-      |       max(cnt) * 1000000 // greatest(sum(cnt) // count(*), 1)
-      |         AS skew_ppm
+      |       CAST(sum(cnt) // count(*) AS BIGINT) AS mean_key_rows,
+      |       CAST(max(cnt) * 1000000 // greatest(sum(cnt) // count(*), 1)
+      |         AS BIGINT) AS skew_ppm
       |FROM c""".stripMargin
 
   // ------------------------------------------------- JSON extraction

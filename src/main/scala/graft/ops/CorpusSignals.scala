@@ -245,26 +245,6 @@ object CorpusSignals {
       .select(col(id), col("rank"), col("term"), col("tf"), col("score"))
   }
 
-  /** Bloom-prefiltered contamination scan — same result as
-    * [[contamination]], different scale posture. The broadcast-join
-    * form ships every distinct benchmark GRAM to every executor; once
-    * the eval suite grows past broadcast size (many suites × many
-    * grams), that join falls back to shuffling the full training gram
-    * stream. This form instead:
-    *
-    *   1. builds a Bloom filter over the benchmark grams (one pass on
-    *      the bench side; `expectedItems`/`fpp` size it — bits, not
-    *      rows, travel to executors);
-    *   2. prefilters training grams through `mightContain` — a narrow
-    *      map that drops the overwhelming non-contaminated majority
-    *      BEFORE any shuffle;
-    *   3. exact-confirms the tiny survivor set against the true gram
-    *      set, so Bloom false positives never reach the result.
-    *
-    * Output is bit-identical to [[contamination]] — the sketch only
-    * prunes, the exact join decides. Insertion order cannot change a
-    * Bloom filter (bit-OR is commutative), so the prefilter is
-    * deterministic across partitionings. */
   /** N-gram language-model count table (the KenLM-style training-prep
     * surface): for every word `n`-gram occurring at least `minCount`
     * times, its count, its context's total continuation count
@@ -362,6 +342,26 @@ object CorpusSignals {
       .agg(count(lit(1)).as("n_shared_fps"))
   }
 
+  /** Bloom-prefiltered contamination scan — same result as
+    * [[contamination]], different scale posture. The broadcast-join
+    * form ships every distinct benchmark GRAM to every executor; once
+    * the eval suite grows past broadcast size (many suites × many
+    * grams), that join falls back to shuffling the full training gram
+    * stream. This form instead:
+    *
+    *   1. builds a Bloom filter over the benchmark grams (one pass on
+    *      the bench side; `expectedItems`/`fpp` size it — bits, not
+    *      rows, travel to executors);
+    *   2. prefilters training grams through `mightContain` — a narrow
+    *      map that drops the overwhelming non-contaminated majority
+    *      BEFORE any shuffle;
+    *   3. exact-confirms the tiny survivor set against the true gram
+    *      set, so Bloom false positives never reach the result.
+    *
+    * Output is bit-identical to [[contamination]] — the sketch only
+    * prunes, the exact join decides. Insertion order cannot change a
+    * Bloom filter (bit-OR is commutative), so the prefilter is
+    * deterministic across partitionings. */
   def contaminationBloom(train: DataFrame, bench: DataFrame, id: String,
                          text: Column, n: Int,
                          expectedItems: Long = 1000000L,

@@ -75,9 +75,13 @@ object Dedup {
   }
 
   /** The ledger after landing a batch: previous fingerprints plus the
-    * batch's (distinct union — the ledger stays one row per fp). */
-  def updatedLedger(ledger: DataFrame, batch: DataFrame, fp: Column): DataFrame =
-    ledger.select(col("fp"))
-      .unionByName(batch.select(fp.as("fp")))
+    * batch's (distinct union — the ledger stays one row per fp).
+    *
+    * @param ledgerFp the ledger's fingerprint column name, matching
+    *        what [[incrementalNovel]] reads back */
+  def updatedLedger(ledger: DataFrame, batch: DataFrame, fp: Column,
+                    ledgerFp: String = "fp"): DataFrame =
+    ledger.select(col(ledgerFp))
+      .unionByName(batch.select(fp.as(ledgerFp)))
       .distinct()
 }

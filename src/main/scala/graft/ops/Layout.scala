@@ -36,6 +36,29 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** Z-ordered parquet write — the layout [[zProfile]] only reports.
+    * Range-partitions on the Z-value into `numFiles` output files and
+    * sorts within each, so every file's parquet footer covers a narrow
+    * hyper-rectangle of the clustered dimensions; a subsequent scan
+    * with a predicate on ANY clustered dimension reads only the files
+    * whose rectangle intersects it (row-group min/max pruning — the
+    * Delta/Iceberg OPTIMIZE ZORDER effect on plain parquet). The
+    * helper Z-column is dropped before the write (ProjectExec is
+    * order-preserving, so the intra-file sort survives): the layout
+    * benefit needs no schema change.
+    *
+    * At 100 TB, `numFiles` is the dataset-size / target-file-size
+    * quotient (e.g. 1 GB files); `repartitionByRange` samples the
+    * Z-values to place its bounds, so file sizes stay balanced even
+    * under skewed dimensions. */
+  def zWrite(df: DataFrame, dims: Seq[Column], bits: Int,
+             numFiles: Int, path: String): Unit =
+    df.withColumn("_z", zValue(dims, bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
   /** Z-layout profile: bucket rows by the TOP `bucketBits` of their
     * Z-value (the file-grain a range-partitioned write would produce)
     * and report each bucket's row count and per-dimension min/max —

@@ -22,7 +22,8 @@ object PlanProbe {
       "q91_lm_counts", "q92_label_centroids", "q93_bpe_merge_pairs",
       "q94_ann_recall", "q95_funnel", "q96_decayed_sums",
       "q97_top_per_group", "q98_rollup_profile", "q99_pivot_langs",
-      "q100_corpus_report", "q101_snapshot_drift")
+      "q100_corpus_report", "q101_snapshot_drift", "q102_skew_report",
+      "q103_json_props", "q104_incremental_ingest", "q105_user_similarity")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.sys.process.{Process, ProcessLogger}
+
+/** Round-6 additions (VERDICT r5 item 2): oracle result-TYPING lint.
+  *
+  * DuckDB promotes `sum()` over BIGINT to HUGEINT, so an uncast
+  * `sum(x) // n` oracle column fetches into pandas as float64 and
+  * renders `66.0` where Spark renders `66` — the driver's value hash
+  * splits on typing alone even when every value matches. This bit
+  * q83_vocab_oov and q102_skew_report in round 5. A textual lint can't
+  * decide this (typing flows through CTEs), so the check EXECUTES every
+  * oracle SQL in DuckDB (tools/oracle_typing_lint.py, binding each text
+  * as a relation and reading its logical result types) and fails on any
+  * HUGEINT/UHUGEINT output column.
+  *
+  * The spec shells out to the same python3+duckdb the driver uses; if
+  * that interpreter isn't present (e.g. a bare sbt box), the tests
+  * cancel rather than fail — the driver's own environment always has
+  * it, so the gate still runs where it matters.
+  */
+class OracleTypingSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val lint = "tools/oracle_typing_lint.py"
+
+  private lazy val duckdbAvailable: Boolean =
+    try Process(Seq("python3", "-c", "import duckdb")).! == 0
+    catch { case _: Throwable => false }
+
+  /** Runs the lint over a rendered oracle_sql.json; (exitCode, output). */
+  private def runLint(json: String): (Int, String) = {
+    val f = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val out = new StringBuilder
+    val logger = ProcessLogger(l => out.append(l).append('\n'),
+                               l => out.append(l).append('\n'))
+    val code = Process(Seq("python3", lint, sfDir, f.toString)).!(logger)
+    (code, out.toString)
+  }
+
+  test("every committed oracle SQL yields no HUGEINT result column") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    val (code, out) = runLint(Verify.oracleJson(SparkEntry.oracleSql))
+    assert(code == 0, s"typing lint failed:\n$out")
+    assert(out.contains("well-typed") || out.contains("no HUGEINT"), out)
+  }
+
+  test("the lint reproduces the round-5 bug class (uncast sum() //)") {
+    assume(duckdbAvailable, "python3+duckdb not on this box")
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir missing")
+    // q102's pre-fix oracle text: `sum(cnt) // count(*)` promotes to
+    // HUGEINT. The lint must flag exactly this shape.
+    val bad =
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY user_id)
+        |SELECT sum(cnt) // count(*) AS mean_key_rows FROM c""".stripMargin
+    val (code, out) = runLint(Verify.oracleJson(Map("bad_q102" -> bad)))
+    assert(code == 1, s"lint should fail on uncast sum()//:\n$out")
+    assert(out.contains("BAD TYPE bad_q102.mean_key_rows"), out)
+  }
+}
+
+/** Round-6 item 6 (VERDICT r5): the Z-order layout must actually BUY
+  * file skipping, not just report bounds. Writes the same grid twice —
+  * Z-clustered via [[graft.ops.Layout.zWrite]] and unclustered — and
+  * asserts a single-dimension predicate's matching rows concentrate in
+  * a fraction of the clustered files while touching every unclustered
+  * one. (Files whose min/max rectangle excludes the predicate contain
+  * no matching rows — exactly the files parquet footer pruning skips —
+  * so distinct `input_file_name()` over the matches measures the
+  * skippable set without parsing footers.) */
+class ZOrderWriteSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("z-clustered layout concentrates a dimension predicate into few files") {
+    // 256x256 grid: x = id mod 256, y = id div 256
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("x"), expr("id div 256").as("y"),
+        col("id").as("payload"))
+    val clustered = tmpDir("zorder") + "/clustered"
+    val plain = tmpDir("zorder") + "/plain"
+    graft.ops.Layout.zWrite(grid, Seq(col("x"), col("y")), bits = 8,
+      numFiles = 16, path = clustered)
+    // unclustered control: same file count, round-robin placement
+    grid.repartition(16).write.mode("overwrite").parquet(plain)
+
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("x") >= 16 && col("x") < 32) // 1/16 of the x-range
+        .select(input_file_name()).distinct().count()
+
+    val zFiles = filesTouched(clustered)
+    val plainFiles = filesTouched(plain)
+    assert(plainFiles == 16L,
+      s"control layout should spread matches across all files, got $plainFiles")
+    // 16 files over a 16-bit Z-space = a 4x4 tile grid; an x-stripe of
+    // width 16 intersects one tile column = at most 4 files
+    assert(zFiles <= 4L, s"clustered layout touched $zFiles files")
+  }
+
+  test("zWrite keeps every row and the original schema") {
+    val grid = spark.range(1000)
+      .select((col("id") % 32).as("x"), expr("id div 32").as("y"))
+    val path = tmpDir("zorder") + "/roundtrip"
+    graft.ops.Layout.zWrite(grid, Seq(col("x"), col("y")), bits = 5,
+      numFiles = 4, path = path)
+    val back = spark.read.parquet(path)
+    assert(back.columns.sorted.toSeq == Seq("x", "y"))
+    assert(back.count() == 1000L)
+    assert(back.select(sum(col("x") + col("y") * 32)).head().getLong(0)
+      == (0L until 1000L).sum)
+  }
+}

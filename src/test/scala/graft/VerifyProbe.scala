@@ -8,62 +8,47 @@ import org.apache.spark.sql.functions._
   * driver testdata. */
 object VerifyProbe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(4)
-    val sf = "/root/testdata/sf0.001"
+    val spark = GraftSession.local(8)
+    val sf = "/root/testdata/sf0.1"
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-    val sec = expr("ts div 1000000000")
-    val base = ev.select(col("event_id"), col("user_id"), sec.as("sec"),
-      col("event_type"), col("value"))
 
-    def planOf(df: org.apache.spark.sql.DataFrame): String =
-      df.queryExecution.executedPlan.toString
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"TIME $tag%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
 
-    // 1) as-of join: purchases ← latest prior view; plan must stay
-    //    equi/window shaped — no nested-loop or cartesian fallback
-    val asof = ops.AsOfJoin.lastPrior(
-      base.filter(col("event_type") === "purchase"),
-      base.filter(col("event_type") === "view"),
-      "user_id", "sec", "event_id", "event_id", payload = Seq("value"))
-    val asofPlan = planOf(asof)
-    val matched = asof.filter(col("asof_event_id").isNotNull).count()
-    val total = asof.count()
-    println(s"asof: $matched/$total purchases attributed")
-    assert(matched > 0 && matched <= total)
-    assert(!asofPlan.contains("CartesianProduct")
-      && !asofPlan.contains("BroadcastNestedLoopJoin"), "as-of plan fell back")
+    // warm the JIT/scan cache once
+    docs.count()
 
-    // 2) banded range join: bucketed equi-join, never a theta BNLJ
-    val rj = ops.RangeJoin.withinBand(
-      base.filter(col("event_type") === "error")
-        .select("event_id", "user_id", "sec"),
-      base.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "sec"),
-      "user_id", "sec", band = 86400L)
-    val rjPlan = planOf(rj)
-    println(s"rangeJoin pairs=${rj.count()}")
-    assert(!rjPlan.contains("CartesianProduct")
-      && !rjPlan.contains("BroadcastNestedLoopJoin"), "range join fell back:\n" + rjPlan)
+    // q64 stage isolation at sf0.1 (VERDICT r5 item 3):
+    // (a) the filter stages + pair mining alone
+    val filtered = exec.CorpusPipeline.exactDedup(
+      exec.CorpusPipeline.repetitionGate(
+        exec.CorpusPipeline.qualityFilter(docs, 8, 0.1), 1.0))
+    val withSets = filtered.withColumn("_sh",
+      ops.ApproxDedup.wordNgrams(col("text"), 2))
+    val scoped = ops.ApproxDedup.minhashLshPairsScoped(withSets, "doc_id",
+      "_sh", k = 16, bands = 4, rowsPerBand = 4, threshold = 0.6)
+    val pairs = time("pair-mining") {
+      scoped.df.localCheckpoint()
+    }
+    println(s"pairs=${pairs.count()}")
 
-    // 3) bloom contamination == exact contamination on real docs
-    val train = docs.filter(col("doc_id") % 50 =!= 0)
-    val bench = docs.filter(col("doc_id") % 50 === 0)
-    val exact = ops.CorpusSignals.contamination(train, bench, "doc_id",
-      col("text"), 4).orderBy("doc_id").collect()
-    val bloom = ops.CorpusSignals.contaminationBloom(train, bench, "doc_id",
-      col("text"), 4, expectedItems = 100000L, fpp = 0.01)
-      .orderBy("doc_id").collect()
-    println(s"contamination exact=${exact.length} bloom=${bloom.length}")
-    assert(exact.nonEmpty && bloom.toSeq == exact.toSeq)
+    // (b) CC alone on the materialized pairs
+    val cc = time("cc-survivors") {
+      ops.ConnectedComponents.survivors(filtered, "doc_id", pairs,
+        "id_a", "id_b").count()
+    }
+    println(s"survivors=$cc")
+    scoped.release()
 
-    // 4) vocab/OOV over real docs: vocab join must broadcast
-    val vocab = ops.TextAnalysis.vocabulary(docs, col("text"), 200)
-    val oov = ops.TextAnalysis.oovRate(docs, "doc_id", col("text"), vocab)
-    val oovPlan = planOf(oov)
-    val nDocs = oov.count()
-    println(s"oov docs=$nDocs")
-    assert(nDocs == docs.count())
-    assert(oovPlan.contains("BroadcastHashJoin"), "vocab join not broadcast")
+    // (c) the whole q64 as the bench runs it
+    val full = time("q64-full") {
+      Queries.all("q64_full_clean")(spark, sf).count()
+    }
+    println(s"q64 rows=$full")
 
     println("PROBE_OK")
     spark.stop()
