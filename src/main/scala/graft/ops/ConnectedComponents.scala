@@ -42,8 +42,14 @@ object ConnectedComponents {
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(lvl)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Propagation round 1 fused into the label init: comp₀ = min(closed
+    // neighborhood) straight off the grouped edge list — the same single
+    // shuffle the plain distinct-node init costs, but one fewer loop
+    // round afterwards (dedup graphs converge in 2-4 rounds total, so
+    // one round is a real fraction of the loop's fixed job cost).
+    var labels = sym.groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("comp"))
+      .withColumnRenamed("a", "id")
       .localCheckpoint()
     var converged = false
     var i = 0

@@ -36,19 +36,23 @@ object VerifyProbe {
     }
     println(s"pairs=${pairs.count()}")
 
-    // (b) CC alone on the materialized pairs
-    val cc = time("cc-survivors") {
-      ops.ConnectedComponents.survivors(filtered, "doc_id", pairs,
-        "id_a", "id_b").count()
+    // (b) CC alone on the materialized pairs — 5 reps, noise floor
+    (1 to 5).foreach { r =>
+      val cc = time(s"cc-survivors-$r") {
+        ops.ConnectedComponents.survivors(filtered, "doc_id", pairs,
+          "id_a", "id_b").count()
+      }
+      println(s"survivors=$cc")
     }
-    println(s"survivors=$cc")
     scoped.release()
 
-    // (c) the whole q64 as the bench runs it
-    val full = time("q64-full") {
-      Queries.all("q64_full_clean")(spark, sf).count()
+    // (c) the whole q64 as the bench runs it — 3 reps
+    (1 to 3).foreach { r =>
+      val full = time(s"q64-full-$r") {
+        Queries.all("q64_full_clean")(spark, sf).count()
+      }
+      println(s"q64 rows=$full")
     }
-    println(s"q64 rows=$full")
 
     println("PROBE_OK")
     spark.stop()
