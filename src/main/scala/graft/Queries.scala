@@ -3233,6 +3233,49 @@ object Queries {
        |    ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank FROM s2)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------- streaming funnel replay
+  /** [[ops.Funnel.stagesStream]] driven end to end over the event log:
+    * the log replays as two event-time-ordered micro-batches (split at
+    * the midpoint watermark — the q36 HWM convention), the per-key
+    * state machine consumes them through a real file source + update-
+    * mode memory sink, and the LAST update per key must equal the
+    * batch funnel — so the stream form answers q95's oracle verbatim
+    * (the crash-recovery sibling of what q49 proves for stats). */
+  private def qFunnelStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("user_id"), eventSec(ev).as("sec"),
+      col("event_type"))
+    // midpoint split: a bounded 1-row aggregate, not a data collect
+    val bounds = base.agg(min("sec"), max("sec")).head()
+    val hw = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val root = java.nio.file.Files.createTempDirectory("graft_q106").toString
+    val inDir = s"$root/in"
+    val sink = "funnel_stream_" +
+      java.nio.file.Paths.get(root).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "")
+    base.filter(col("sec") <= hw).write.parquet(inDir)
+    val q = Funnel.stagesStream(
+        s.readStream.schema(base.schema).parquet(inDir),
+        "user_id", col("sec"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("update")
+      .format("memory").queryName(sink)
+      .start()
+    q.processAllAvailable()
+    base.filter(col("sec") > hw).write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_bid").desc)
+    s.table(sink)
+      .withColumn("_bid", monotonically_increasing_id())
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_bid", "_rn")
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3339,7 +3382,8 @@ object Queries {
     "q102_skew_report" -> (qSkewReport _),
     "q103_json_props" -> (qJsonProps _),
     "q104_incremental_ingest" -> (qIncrementalIngest _),
-    "q105_user_similarity" -> (qUserSimilarity _)
+    "q105_user_similarity" -> (qUserSimilarity _),
+    "q106_funnel_stream" -> (qFunnelStream _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3449,6 +3493,9 @@ object Queries {
     "q102_skew_report" -> oSkewReport,
     "q103_json_props" -> oJsonProps,
     "q104_incremental_ingest" -> oIncrementalIngest,
-    "q105_user_similarity" -> oUserSimilarity
+    "q105_user_similarity" -> oUserSimilarity,
+    // the stream replay answers the BATCH funnel's oracle verbatim —
+    // that equality is the point of the query
+    "q106_funnel_stream" -> oFunnel
   )
 }

@@ -23,7 +23,8 @@ object PlanProbe {
       "q94_ann_recall", "q95_funnel", "q96_decayed_sums",
       "q97_top_per_group", "q98_rollup_profile", "q99_pivot_langs",
       "q100_corpus_report", "q101_snapshot_drift", "q102_skew_report",
-      "q103_json_props", "q104_incremental_ingest", "q105_user_similarity")
+      "q103_json_props", "q104_incremental_ingest", "q105_user_similarity",
+      "q106_funnel_stream")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering

@@ -31,6 +31,10 @@ def main(sf, out):
     for name in sorted(oracle):
         sql = oracle[name]
         res_glob = f"{out}/{name}/*.parquet"
+        # filtered runs (SPARK_GRAFT_ONLY=...) dump a subset — skip the
+        # rest silently instead of drowning the report in IO errors
+        if not os.path.isdir(f"{out}/{name}"):
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{res_glob}')").fetchdf()
