@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Rounds executed by the LAST [[apply]]/[[starContraction]] call on
+    * this thread (init round + loop rounds + any fallback star rounds) —
+    * scale diagnostics only (SCALING.md's flat-round-count proof), not
+    * part of the result contract. */
+  val lastRounds = new ThreadLocal[Int] { override def initialValue = 0 }
+
   /** @param edges undirected pairs (src, dst); ids any orderable type
     * @return (id, comp) for every node APPEARING IN EDGES — comp is the
     *         component's minimum id. Isolated documents never enter the
@@ -33,6 +39,7 @@ object ConnectedComponents {
     *         unpersist is optional. */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
             maxIters: Int = 25): DataFrame = {
+    lastRounds.set(1) // the fused init IS round 1
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the raw edges BEFORE mirroring: the union references them
     // twice, and the upstream plan is typically expensive pair mining
@@ -75,6 +82,7 @@ object ConnectedComponents {
       converged = updated.filter(col("comp") =!= col("prev")).isEmpty
       labels = updated.drop("prev")
       i += 1
+      lastRounds.set(lastRounds.get + 1)
     }
     if (!converged) {
       // Long-chain graph: min-label needs O(diameter) rounds. Fall back
@@ -116,7 +124,8 @@ object ConnectedComponents {
     * @return (id, comp) for every node appearing in edges, comp the
     *         component minimum — the same contract as [[apply]]. */
   def starContraction(edges: DataFrame, srcCol: String, dstCol: String,
-                      maxIters: Int = 50): DataFrame =
+                      maxIters: Int = 50): DataFrame = {
+    lastRounds.set(0) // the fallback path instead ACCUMULATES onto apply's count
     // canonical undirected edge = (hi > lo)
     starLoop(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -126,6 +135,7 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint(),
       maxIters)
+  }
 
   /** The alternating rounds over an already-canonical, already-
     * materialized (hi > lo, distinct) edge set. */
@@ -161,6 +171,7 @@ object ConnectedComponents {
       converged = ss.count() == e.count() && ss.exceptAll(e).isEmpty
       e = ss
       i += 1
+      lastRounds.set(lastRounds.get + 1)
     }
     if (!converged)
       throw new IllegalStateException(

@@ -64,6 +64,41 @@ class OracleTypingSpec extends AnyFunSuite {
   }
 }
 
+/** Round-6 item 5 (VERDICT r5): round counts of the iterative CC forms
+  * must be a property of CLUSTER SHAPE, not corpus size — the flat-
+  * round-count claim SCALING.md measures, pinned as a regression test.
+  * A dedup corpus 10× bigger has 10× more clusters of the same shape;
+  * if rounds grew with cluster COUNT, every round's full-shuffle cost
+  * would multiply at 100 TB. */
+class RoundInvarianceSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.ConnectedComponents
+
+  /** `n` disjoint 4-cliques — the dedup-graph shape at any scale. */
+  private def cliquePile(n: Int) =
+    (0 until n).flatMap { c =>
+      val base = c * 10L
+      for { i <- 0L until 4L; j <- (i + 1) until 4L } yield (base + i, base + j)
+    }.toDF("a", "b")
+
+  test("min-label CC rounds are invariant to 10x more clusters") {
+    ConnectedComponents(cliquePile(5), "a", "b").count()
+    val r5 = ConnectedComponents.lastRounds.get
+    ConnectedComponents(cliquePile(50), "a", "b").count()
+    val r50 = ConnectedComponents.lastRounds.get
+    assert(r5 == r50, s"rounds grew with cluster count: $r5 -> $r50")
+    assert(r5 <= 3, s"4-cliques should converge in <=3 rounds, took $r5")
+  }
+
+  test("star-contraction rounds are invariant to 10x more clusters") {
+    ConnectedComponents.starContraction(cliquePile(5), "a", "b").count()
+    val r5 = ConnectedComponents.lastRounds.get
+    ConnectedComponents.starContraction(cliquePile(50), "a", "b").count()
+    val r50 = ConnectedComponents.lastRounds.get
+    assert(r5 == r50, s"rounds grew with cluster count: $r5 -> $r50")
+  }
+}
+
 /** Round-6 item 6 (VERDICT r5): the Z-order layout must actually BUY
   * file skipping, not just report bounds. Writes the same grid twice —
   * Z-clustered via [[graft.ops.Layout.zWrite]] and unclustered — and

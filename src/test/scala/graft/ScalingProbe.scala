@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal probe (test scope — run with
+  * `sbt -batch "Test/runMain graft.ScalingProbe"`): runs the ITERATIVE
+  * operators at sf0.01 and sf0.1 and prints SCALING.md's table rows —
+  * round counts must stay flat as the data grows 10×, because every
+  * round is a full shuffle over the working set and a round count that
+  * grew with data would multiply, not add, at 100 TB. */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8)
+    import graft.ops._
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nDocs = docs.count()
+
+      // the q64 pair graph (quality filter → exact dedup → minhash LSH)
+      val filtered = exec.CorpusPipeline.exactDedup(
+        exec.CorpusPipeline.repetitionGate(
+          exec.CorpusPipeline.qualityFilter(docs, 8, 0.1), 1.0))
+      val withSets = filtered.withColumn("_sh",
+        ApproxDedup.wordNgrams(col("text"), 2))
+      val scoped = ApproxDedup.minhashLshPairsScoped(withSets, "doc_id",
+        "_sh", k = 16, bands = 4, rowsPerBand = 4, threshold = 0.6)
+      val pairs = scoped.df.localCheckpoint()
+      val nPairs = pairs.count()
+
+      val (ccN, ccT) = timed {
+        ConnectedComponents(pairs, "id_a", "id_b").count()
+      }
+      val ccRounds = ConnectedComponents.lastRounds.get
+
+      val (scN, scT) = timed {
+        ConnectedComponents.starContraction(pairs, "id_a", "id_b").count()
+      }
+      val scRounds = ConnectedComponents.lastRounds.get
+      scoped.release()
+
+      val (sdN, sdT) = timed {
+        SemanticDedup.survivors(emb, "vec_id", "embedding",
+          k = 8, iters = 2, threshold = 0.3).count()
+      }
+      val sdRounds = ConnectedComponents.lastRounds.get // CC inside q60
+
+      val (gcN, gcT) = timed {
+        Curation.cappedPerGroup(docs.select(col("doc_id"), col("source")),
+          "source", "doc_id", k = 20).count()
+      }
+
+      val (ldN, ldT) = timed {
+        val lines = CorpusSignals.syntheticLines(docs, "doc_id",
+          col("text"), wordsPerLine = 10)
+        CorpusSignals.lineDedup(lines, "doc_id", "line_no", "line").count()
+      }
+
+      println(f"ROW $sf docs=$nDocs pairs=$nPairs | " +
+        f"cc rounds=$ccRounds t=$ccT%.2f n=$ccN | " +
+        f"star rounds=$scRounds t=$scT%.2f n=$scN | " +
+        f"semdedup ccRounds=$sdRounds kmeansIters=2 t=$sdT%.2f n=$sdN | " +
+        f"groupCap stages=2 t=$gcT%.2f n=$gcN | " +
+        f"lineDedup t=$ldT%.2f n=$ldN")
+    }
+    println("PROBE_OK")
+    spark.stop()
+  }
+}
