@@ -3276,6 +3276,37 @@ object Queries {
       .orderBy("user_id")
   }
 
+  // ------------------------------------------- Z-order clustered scan
+  /** [[ops.Layout.zWrite]] round-trip as a query: cluster lineitem on
+    * (orderkey, partkey) buckets, re-read the CLUSTERED layout under a
+    * partkey-dimension predicate and aggregate — the result must equal
+    * the same aggregate over the original table, because layout is an
+    * IO optimization, never a semantic one. (That the layout actually
+    * skips files is ZOrderWriteSpec's measured assertion; this row
+    * proves the write path is lossless through a real query.) */
+  private def qClusteredScan(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val root = java.nio.file.Files.createTempDirectory("graft_q107").toString
+    Layout.zWrite(li,
+      Seq(expr("l_orderkey % 1024"), expr("l_partkey % 1024")),
+      bits = 10, numFiles = 16, path = s"$root/z")
+    s.read.parquet(s"$root/z")
+      .filter(col("l_partkey") % 1024 < 64)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("l_extendedprice")).cast("bigint")).cast("bigint")
+          .as("price_sum"))
+      .orderBy("l_returnflag")
+  }
+
+  private val oClusteredScan =
+    """SELECT l_returnflag,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+      |         AS price_sum
+      |FROM lineitem WHERE l_partkey % 1024 < 64
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3383,7 +3414,8 @@ object Queries {
     "q103_json_props" -> (qJsonProps _),
     "q104_incremental_ingest" -> (qIncrementalIngest _),
     "q105_user_similarity" -> (qUserSimilarity _),
-    "q106_funnel_stream" -> (qFunnelStream _)
+    "q106_funnel_stream" -> (qFunnelStream _),
+    "q107_clustered_scan" -> (qClusteredScan _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3496,6 +3528,7 @@ object Queries {
     "q105_user_similarity" -> oUserSimilarity,
     // the stream replay answers the BATCH funnel's oracle verbatim —
     // that equality is the point of the query
-    "q106_funnel_stream" -> oFunnel
+    "q106_funnel_stream" -> oFunnel,
+    "q107_clustered_scan" -> oClusteredScan
   )
 }

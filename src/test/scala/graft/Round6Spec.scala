@@ -133,8 +133,11 @@ class ZOrderWriteSpec extends SparkSpec {
     assert(plainFiles == 16L,
       s"control layout should spread matches across all files, got $plainFiles")
     // 16 files over a 16-bit Z-space = a 4x4 tile grid; an x-stripe of
-    // width 16 intersects one tile column = at most 4 files
-    assert(zFiles <= 4L, s"clustered layout touched $zFiles files")
+    // width 16 intersects one tile column = 4 tiles. repartitionByRange
+    // SAMPLES its bounds (seeded off the RDD id, so suite order shifts
+    // them) — a bound landing inside a tile splits it across two files,
+    // so allow one straddle per tile; the point is FEW files vs all 16.
+    assert(zFiles <= 8L, s"clustered layout touched $zFiles of 16 files")
   }
 
   test("zWrite keeps every row and the original schema") {
