@@ -3243,22 +3243,25 @@ object Queries {
     * (the crash-recovery sibling of what q49 proves for stats). */
   private def qFunnelStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val stages = Seq("view", "click", "purchase")
     val ev = t(s, dir, "events")
     val base = ev.select(col("user_id"), eventSec(ev).as("sec"),
       col("event_type"))
-    // midpoint split: a bounded 1-row aggregate, not a data collect
+    // midpoint split: a bounded 1-row aggregate, not a data collect.
+    // Empty log → empty funnel (the batch form's schema), not an NPE.
     val bounds = base.agg(min("sec"), max("sec")).head()
+    if (bounds.isNullAt(0))
+      return Funnel.stages(base, "user_id", col("sec"), col("event_type"),
+        stages)
     val hw = (bounds.getLong(0) + bounds.getLong(1)) / 2
-    val root = java.nio.file.Files.createTempDirectory("graft_q106").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_q106")
     val inDir = s"$root/in"
     val sink = "funnel_stream_" +
-      java.nio.file.Paths.get(root).getFileName.toString
-        .replaceAll("[^A-Za-z0-9]", "")
+      root.getFileName.toString.replaceAll("[^A-Za-z0-9]", "")
     base.filter(col("sec") <= hw).write.parquet(inDir)
     val q = Funnel.stagesStream(
         s.readStream.schema(base.schema).parquet(inDir),
-        "user_id", col("sec"), col("event_type"),
-        Seq("view", "click", "purchase"))
+        "user_id", col("sec"), col("event_type"), stages)
       .writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .outputMode("update")
@@ -3268,12 +3271,28 @@ object Queries {
     base.filter(col("sec") > hw).write.mode("append").parquet(inDir)
     q.processAllAvailable()
     q.stop()
+    // the memory sink holds the rows; the staged files + checkpoint are
+    // dead weight now — delete instead of leaking a full events copy
+    // per invocation (bench runs this 3-5 times)
+    deleteRecursively(root)
     val w = Window.partitionBy(col("user_id")).orderBy(col("_bid").desc)
     s.table(sink)
       .withColumn("_bid", monotonically_increasing_id())
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_bid", "_rn")
       .orderBy("user_id")
+  }
+
+  /** Best-effort recursive temp-dir cleanup for the write-path queries
+    * (q106/q107 copy whole input tables; leaking one copy per bench rep
+    * fills the very disk the sink benchmarks contend on). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.delete(p)
+                      catch { case _: java.io.IOException => () })
+    }
   }
 
   // ------------------------------------------- Z-order clustered scan
@@ -3286,17 +3305,22 @@ object Queries {
     * proves the write path is lossless through a real query.) */
   private def qClusteredScan(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val root = java.nio.file.Files.createTempDirectory("graft_q107").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_q107")
     Layout.zWrite(li,
       Seq(expr("l_orderkey % 1024"), expr("l_partkey % 1024")),
       bits = 10, numFiles = 16, path = s"$root/z")
-    s.read.parquet(s"$root/z")
+    // checkpoint the (few-row) aggregate so the full clustered lineitem
+    // copy can be deleted immediately instead of leaking per bench rep
+    val out = s.read.parquet(s"$root/z")
       .filter(col("l_partkey") % 1024 < 64)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         sum(floor(col("l_extendedprice")).cast("bigint")).cast("bigint")
           .as("price_sum"))
       .orderBy("l_returnflag")
+      .localCheckpoint()
+    deleteRecursively(root)
+    out
   }
 
   private val oClusteredScan =

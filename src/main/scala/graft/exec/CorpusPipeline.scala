@@ -56,11 +56,30 @@ object CorpusPipeline {
     * survives per cluster (the per-pair id_b drop could keep several —
     * e.g. pairs (2,3),(1,3) kept both 1 and 2 since 2 is never an
     * id_b, even though all three sit in one duplicate cluster). */
+  /** [[cleanPlan]]'s pre-near-dup stages (quality → repetition → exact
+    * dedup), exposed so diagnostics (ScalingProbe, VerifyProbe) measure
+    * the SAME pipeline the shipped q64 runs — a probe-local copy would
+    * silently drift when these parameters change. */
+  def filteredCorpus(docs: DataFrame, minTokens: Int = 8,
+                     maxPunctRatio: Double = 0.1,
+                     maxDupWordFrac: Double = 1.0): DataFrame =
+    exactDedup(repetitionGate(qualityFilter(docs, minTokens, maxPunctRatio),
+      maxDupWordFrac))
+
+  /** The MinHash-LSH near-dup pair graph [[nearDupCollapse]] collapses
+    * (word-bigram shingles, k=16, 4×4 bands) — the other probe-visible
+    * half of the q64 pipeline. Caller owns the [[ApproxDedup.Scoped]]
+    * release. */
+  def nearDupPairGraph(docs: DataFrame, threshold: Double,
+                       id: String = "doc_id"): ApproxDedup.Scoped = {
+    val withSets = docs.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
+    ApproxDedup.minhashLshPairsScoped(withSets, id, "_sh",
+      k = 16, bands = 4, rowsPerBand = 4, threshold = threshold)
+  }
+
   def nearDupCollapse(docs: DataFrame, threshold: Double,
                       id: String = "doc_id"): DataFrame = {
-    val withSets = docs.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
-    val scoped = ApproxDedup.minhashLshPairsScoped(withSets, id, "_sh",
-      k = 16, bands = 4, rowsPerBand = 4, threshold = threshold)
+    val scoped = nearDupPairGraph(docs, threshold, id)
     // survivors() runs the CC iterations eagerly and localCheckpoints the
     // loser set, so the pair plan is fully consumed here — release the
     // minhash set/signature caches before returning (nothing orphans).
@@ -77,9 +96,7 @@ object CorpusPipeline {
                 maxPunctRatio: Double = 0.1, maxDupWordFrac: Double = 1.0,
                 nearDupThreshold: Double = 0.6): DataFrame =
     nearDupCollapse(
-      exactDedup(
-        repetitionGate(qualityFilter(docs, minTokens, maxPunctRatio),
-          maxDupWordFrac)),
+      filteredCorpus(docs, minTokens, maxPunctRatio, maxDupWordFrac),
       nearDupThreshold)
 
   /** Training-data preparation as ONE lazy plan — the curation half

@@ -125,7 +125,10 @@ object ConnectedComponents {
     *         component minimum — the same contract as [[apply]]. */
   def starContraction(edges: DataFrame, srcCol: String, dstCol: String,
                       maxIters: Int = 50): DataFrame = {
-    lastRounds.set(0) // the fallback path instead ACCUMULATES onto apply's count
+    // the canonicalize+checkpoint shuffle counts as round 1, same basis
+    // as apply()'s fused init (the fallback path inside apply() instead
+    // ACCUMULATES starLoop rounds onto apply's own count)
+    lastRounds.set(1)
     // canonical undirected edge = (hi > lo)
     starLoop(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))

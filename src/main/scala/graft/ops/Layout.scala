@@ -53,11 +53,19 @@ object Layout {
     * under skewed dimensions. */
   def zWrite(df: DataFrame, dims: Seq[Column], bits: Int,
              numFiles: Int, path: String): Unit =
+    zLayout(df, dims, bits, numFiles)
+      .write.mode("overwrite").parquet(path)
+
+  /** The clustered frame [[zWrite]] writes (range-partitioned on the
+    * Z-value, sorted within partitions, helper column dropped) —
+    * exposed so plan audits can inspect the layout job's shape without
+    * executing a write. */
+  def zLayout(df: DataFrame, dims: Seq[Column], bits: Int,
+              numFiles: Int): DataFrame =
     df.withColumn("_z", zValue(dims, bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write.mode("overwrite").parquet(path)
 
   /** Z-layout profile: bucket rows by the TOP `bucketBits` of their
     * Z-value (the file-grain a range-partitioned write would produce)

@@ -16,7 +16,11 @@ package graft
   * Plans are BUILT (analyzed + planned on the sf0.001 tables), not
   * executed — a few queries run bounded driver-side training jobs
   * (k-means, sketches) at construction, which is their documented
-  * contract. */
+  * contract. Exception: the write-path queries (q106 streaming funnel,
+  * q107 zWrite round-trip) EXECUTE their internal job at construction
+  * and return only a post-materialization frame, so the sweep sees just
+  * that tail — their internal plans (batch-mode stagesStream, zLayout)
+  * get their own explicit join-shape assertions below. */
 class PlanGuardSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -46,5 +50,27 @@ class PlanGuardSpec extends SparkSpec {
       else None
     }
     assert(offenders.isEmpty, s"quadratic join shapes:\n${offenders.mkString("\n")}")
+  }
+
+  test("q106/q107 internal jobs carry no quadratic join shapes") {
+    import org.apache.spark.sql.functions._
+    // what q106 executes per micro-batch: the funnel state machine
+    // (batch-mode mapGroupsWithState builds the same plan lazily)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val funnel = graft.ops.Funnel.stagesStream(
+      ev.select(col("user_id"), expr("ts div 1000000000").as("sec"),
+        col("event_type")),
+      "user_id", col("sec"), col("event_type"),
+      Seq("view", "click", "purchase"))
+    // what q107 executes as its write job: the Z-clustered layout
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val layout = graft.ops.Layout.zLayout(li,
+      Seq(expr("l_orderkey % 1024"), expr("l_partkey % 1024")),
+      bits = 10, numFiles = 16)
+    for ((tag, df) <- Seq("stagesStream" -> funnel, "zLayout" -> layout)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$tag: CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$tag: BNLJ")
+    }
   }
 }

@@ -25,14 +25,9 @@ object ScalingProbe {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val nDocs = docs.count()
 
-      // the q64 pair graph (quality filter → exact dedup → minhash LSH)
-      val filtered = exec.CorpusPipeline.exactDedup(
-        exec.CorpusPipeline.repetitionGate(
-          exec.CorpusPipeline.qualityFilter(docs, 8, 0.1), 1.0))
-      val withSets = filtered.withColumn("_sh",
-        ApproxDedup.wordNgrams(col("text"), 2))
-      val scoped = ApproxDedup.minhashLshPairsScoped(withSets, "doc_id",
-        "_sh", k = 16, bands = 4, rowsPerBand = 4, threshold = 0.6)
+      // the q64 pair graph, via the SAME pipeline q64 ships
+      val filtered = exec.CorpusPipeline.filteredCorpus(docs)
+      val scoped = exec.CorpusPipeline.nearDupPairGraph(filtered, 0.6)
       val pairs = scoped.df.localCheckpoint()
       val nPairs = pairs.count()
 

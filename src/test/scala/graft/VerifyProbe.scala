@@ -23,14 +23,10 @@ object VerifyProbe {
     docs.count()
 
     // q64 stage isolation at sf0.1 (VERDICT r5 item 3):
-    // (a) the filter stages + pair mining alone
-    val filtered = exec.CorpusPipeline.exactDedup(
-      exec.CorpusPipeline.repetitionGate(
-        exec.CorpusPipeline.qualityFilter(docs, 8, 0.1), 1.0))
-    val withSets = filtered.withColumn("_sh",
-      ops.ApproxDedup.wordNgrams(col("text"), 2))
-    val scoped = ops.ApproxDedup.minhashLshPairsScoped(withSets, "doc_id",
-      "_sh", k = 16, bands = 4, rowsPerBand = 4, threshold = 0.6)
+    // (a) the filter stages + pair mining alone — via the SAME
+    //     CorpusPipeline helpers q64 ships, so the probe can't drift
+    val filtered = exec.CorpusPipeline.filteredCorpus(docs)
+    val scoped = exec.CorpusPipeline.nearDupPairGraph(filtered, 0.6)
     val pairs = time("pair-mining") {
       scoped.df.localCheckpoint()
     }

@@ -6,6 +6,11 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 Loads each SparkEntry result parquet and its oracle SQL (both via DuckDB,
 like the driver), sorts columns by name and rows by all columns, and
 compares values exactly. Prints one line per query: OK / MISMATCH / ERROR.
+
+Queries with no dumped result dir are counted as skipped; that fails the
+exit code UNLESS SPARK_GRAFT_ONLY is set in the environment (export it —
+not just as an sbt prefix — when checking a filtered Verify run), so a
+full run can never silently lose a crashed query.
 """
 import sys, json, os
 import duckdb
@@ -27,13 +32,16 @@ def main(sf, out):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_skip = 0
     for name in sorted(oracle):
         sql = oracle[name]
         res_glob = f"{out}/{name}/*.parquet"
         # filtered runs (SPARK_GRAFT_ONLY=...) dump a subset — skip the
-        # rest silently instead of drowning the report in IO errors
+        # rest, but COUNT them: a full run must not lose a crashed query
+        # (a query that throws in Verify never creates its dir, and a
+        # silent skip would record an all-green round with it missing)
         if not os.path.isdir(f"{out}/{name}"):
+            n_skip += 1
             continue
         try:
             got = con.execute(
@@ -80,8 +88,11 @@ def main(sf, out):
             n = con.execute(
                 f"SELECT count(*) FROM read_parquet('{out}/{d}/*.parquet')").fetchone()[0]
             print(f"ROWSONLY {d}: {n} rows")
-    print(f"-- {n_ok} ok, {n_bad} bad --")
-    return 1 if n_bad else 0
+    print(f"-- {n_ok} ok, {n_bad} bad, {n_skip} skipped (not dumped) --")
+    # a skip is only legitimate under SPARK_GRAFT_ONLY filtering; a full
+    # Verify run that lost queries must fail the check
+    filtered = bool(os.environ.get("SPARK_GRAFT_ONLY"))
+    return 1 if n_bad or (n_skip and not filtered) else 0
 
 
 if __name__ == "__main__":
