@@ -3331,6 +3331,39 @@ object Queries {
       |FROM lineitem WHERE l_partkey % 1024 < 64
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------- incremental near-dup refresh
+  /** [[ApproxDedup.incrementalLshNovel]]: a new batch (doc_id % 10 = 0)
+    * deduped against the already-ingested corpus WITHOUT re-mining
+    * old×old pairs — the daily-refresh sibling of q104's exact ledger,
+    * at near-dup (MinHash-LSH) granularity. The oracle replays the full
+    * banded pair table and keeps new docs with no verified neighbor in
+    * the old corpus nor among smaller-id batch docs. */
+  private def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val withSets = t(s, dir, "documents")
+      .withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
+    ApproxDedup.incrementalLshNovel(
+        withSets.filter(col("doc_id") % 10 =!= 0),
+        withSets.filter(col("doc_id") % 10 === 0),
+        "doc_id", "_sh", MhK, MhBands, MhRows, threshold = 0.5)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  private val oIncrementalNearDup =
+    s"""WITH ${oMinhashCtes("documents")},
+       |oldd AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
+       |newd AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 = 0),
+       |p AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+       |sp AS (SELECT id_a AS x, id_b AS y FROM p
+       |       UNION ALL SELECT id_b, id_a FROM p),
+       |dup AS (SELECT DISTINCT sp.x AS doc_id
+       |        FROM sp JOIN newd n ON sp.x = n.doc_id
+       |        WHERE sp.y IN (SELECT doc_id FROM oldd)
+       |           OR (sp.y IN (SELECT doc_id FROM newd) AND sp.y < sp.x))
+       |SELECT doc_id, source FROM newd
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3439,7 +3472,8 @@ object Queries {
     "q104_incremental_ingest" -> (qIncrementalIngest _),
     "q105_user_similarity" -> (qUserSimilarity _),
     "q106_funnel_stream" -> (qFunnelStream _),
-    "q107_clustered_scan" -> (qClusteredScan _)
+    "q107_clustered_scan" -> (qClusteredScan _),
+    "q108_incremental_neardup" -> (qIncrementalNearDup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3553,6 +3587,7 @@ object Queries {
     // the stream replay answers the BATCH funnel's oracle verbatim —
     // that equality is the point of the query
     "q106_funnel_stream" -> oFunnel,
-    "q107_clustered_scan" -> oClusteredScan
+    "q107_clustered_scan" -> oClusteredScan,
+    "q108_incremental_neardup" -> oIncrementalNearDup
   )
 }

@@ -246,6 +246,78 @@ object ApproxDedup {
     Scoped(pairs, () => { sig.unpersist(); sets.unpersist(); () })
   }
 
+  /** Incremental MinHash-LSH near-dup dedup: the NEW batch's survivors
+    * against an already-ingested corpus — the daily-refresh shape. The
+    * old corpus is NEVER self-joined: its bucket stream meets only the
+    * (small) batch's buckets, so per refresh the work is
+    * O(|old| + |new| + collisions(new×old) + collisions(new×new)),
+    * not the O(collisions(corpus²)) a full re-mine pays. (A production
+    * run persists the old side's buckets as a ledger table partitioned
+    * by (band, bucket) and skips recomputing them entirely — this
+    * derivation from `oldDocs` is the self-contained form.)
+    *
+    * Survivor rule (documented contract, same winner convention as
+    * [[graft.ops.Dedup.exact]] / lineDedup): a new doc is dropped when
+    * its verified Jaccard vs ANY old doc, or vs any SMALLER-id new doc,
+    * reaches `threshold`. Chains collapse transitively toward smaller
+    * ids within the batch — batch-internal semantics match a per-batch
+    * [[minhashLshPairs]] + smaller-id winner pick.
+    *
+    * @return the surviving (novel) rows of `newDocs`, all columns. */
+  def incrementalLshNovel(oldDocs: DataFrame, newDocs: DataFrame,
+                          id: String, setCol: String, k: Int, bands: Int,
+                          rowsPerBand: Int, threshold: Double): DataFrame =
+    incrementalLshNovelScoped(oldDocs, newDocs, id, setCol, k, bands,
+      rowsPerBand, threshold).df
+
+  /** [[incrementalLshNovel]] with an ownable cache lifetime. */
+  def incrementalLshNovelScoped(oldDocs: DataFrame, newDocs: DataFrame,
+                                id: String, setCol: String, k: Int,
+                                bands: Int, rowsPerBand: Int,
+                                threshold: Double): Scoped = {
+    require(bands * rowsPerBand == k, "k must equal bands*rowsPerBand")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the batch side feeds three branches (two candidate joins + the
+    // verify joins) — persist it; the OLD side streams through exactly
+    // once per use (buckets, verify sets) and is never collected
+    val newSets = newDocs.select(col(id), col(setCol)).persist(lvl)
+    val oldSets = oldDocs.select(col(id), col(setCol))
+    val newSig = minhashSignature(newSets, id, setCol, k).persist(lvl)
+    val newBk = lshBuckets(newSig, id, bands, rowsPerBand)
+      .select(col(id).as("id_new"), col("band"), col("bucket"))
+      .persist(lvl)
+    val oldBk = lshBuckets(minhashSignature(oldSets, id, setCol, k),
+      id, bands, rowsPerBand)
+
+    // candidate generation: (band, bucket) equi-joins, new side only
+    val vsOld = newBk
+      .join(oldBk.select(col(id).as("id_old"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_new", "id_old").distinct()
+    val vsNew = newBk
+      .join(newBk.select(col("id_new").as("id_prev"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .filter(col("id_prev") < col("id_new"))
+      .select("id_new", "id_prev").distinct()
+
+    // exact-Jaccard verification kills LSH false positives
+    def dupIds(cand: DataFrame, otherId: String,
+               otherSets: DataFrame): DataFrame =
+      cand
+        .join(newSets.select(col(id).as("id_new"), col(setCol).as("_sn")),
+          Seq("id_new"))
+        .join(otherSets.select(col(id).as(otherId), col(setCol).as("_so")),
+          Seq(otherId))
+        .filter(jaccard(col("_sn"), col("_so")) >= threshold)
+        .select(col("id_new"))
+    val dups = dupIds(vsOld, "id_old", oldSets)
+      .unionByName(dupIds(vsNew, "id_prev", newSets))
+    val novel = newDocs.join(dups.withColumnRenamed("id_new", id)
+      .distinct(), Seq(id), "left_anti")
+    Scoped(novel, () =>
+      { newBk.unpersist(); newSig.unpersist(); newSets.unpersist(); () })
+  }
+
   /** 60-bit SimHash over whitespace tokens: bit b of the fingerprint is
     * set when the sum over tokens of ±1 (by bit b of the token's 60-bit
     * hash) is positive. One explode + one groupBy with 60 sums. */

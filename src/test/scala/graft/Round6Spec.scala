@@ -99,6 +99,61 @@ class RoundInvarianceSpec extends SparkSpec {
   }
 }
 
+/** The incremental near-dup refresh must equal the naive full re-mine
+  * restricted to the batch — same pairs, same smaller-id winner rule —
+  * while never joining old×old (the whole point at 100 TB). */
+class IncrementalNearDupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.ops.ApproxDedup
+
+  private lazy val withSets = spark.read
+    .parquet("/root/testdata/sf0.01/documents.parquet")
+    .withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
+  private lazy val old = withSets.filter(col("doc_id") % 10 =!= 0)
+  private lazy val batch = withSets.filter(col("doc_id") % 10 === 0)
+
+  test("incremental survivors == full-mine + smaller-id winner rule") {
+    val fast = ApproxDedup.incrementalLshNovel(old, batch, "doc_id", "_sh",
+        k = 16, bands = 4, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+
+    // naive oracle: mine the FULL corpus, then apply the same rule
+    val pairs = ApproxDedup.minhashLshPairs(withSets, "doc_id", "_sh",
+      k = 16, bands = 4, rowsPerBand = 4, threshold = 0.5)
+    val sym = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionByName(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+    val dup = sym.filter(col("x") % 10 === 0)
+      .filter(col("y") % 10 =!= 0 || col("y") < col("x"))
+      .select(col("x").as("doc_id")).distinct()
+    val naive = batch.join(dup, Seq("doc_id"), "left_anti")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+
+    assert(fast.toSeq == naive.toSeq)
+    // non-vacuous: the fixture actually contains cross-split near-dups
+    assert(fast.length < batch.count(),
+      "fixture has no near-dups — the equality above proved nothing")
+  }
+
+  test("incremental plan carries no quadratic join shapes") {
+    val plan = ApproxDedup.incrementalLshNovel(old, batch, "doc_id", "_sh",
+        k = 16, bands = 4, rowsPerBand = 4, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("scoped form releases its caches") {
+    val before = spark.sparkContext.getPersistentRDDs
+      .filter { case (_, r) => !r.isCheckpointed }.keySet
+    val sc = ApproxDedup.incrementalLshNovelScoped(old, batch, "doc_id",
+      "_sh", k = 16, bands = 4, rowsPerBand = 4, threshold = 0.5)
+    sc.df.count(); sc.release()
+    val after = spark.sparkContext.getPersistentRDDs
+      .filter { case (_, r) => !r.isCheckpointed }.keySet
+    assert((after -- before).isEmpty, "incrementalLshNovelScoped leaked caches")
+  }
+}
+
 /** Round-6 item 6 (VERDICT r5): the Z-order layout must actually BUY
   * file skipping, not just report bounds. Writes the same grid twice —
   * Z-clustered via [[graft.ops.Layout.zWrite]] and unclustered — and
