@@ -99,6 +99,24 @@ class RoundInvarianceSpec extends SparkSpec {
   }
 }
 
+/** q106's degenerate-input contract: an EMPTY event log yields an empty
+  * funnel with the batch form's schema, not an NPE from the null
+  * midpoint aggregate (review finding, round 6). */
+class FunnelStreamEmptySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("q106 on an empty events table returns empty, not NPE") {
+    val root = tmpDir("q106_empty")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .limit(0)
+      .write.parquet(s"$root/events.parquet")
+    val out = Queries.all("q106_funnel_stream")(spark, root)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("user_id", "t_0", "t_1", "t_2", "depth"))
+  }
+}
+
 /** The incremental near-dup refresh must equal the naive full re-mine
   * restricted to the batch — same pairs, same smaller-id winner rule —
   * while never joining old×old (the whole point at 100 TB). */
