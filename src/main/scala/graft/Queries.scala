@@ -765,13 +765,14 @@ object Queries {
   // one Lloyd's iteration = assign (argmax rounded cosine) + update
   // (fixed-point per-dimension mean, empty clusters keep previous) —
   // defs (not vals): object-init-order safe, shared by q25 and q60
-  private def oKmAssign(cent: String, out: String): String =
+  private def oKmAssign(cent: String, out: String,
+                        src: String = "e"): String =
     s"""$out AS (
        |  SELECT vec_id, centroid_id, v FROM (
-       |    SELECT e.vec_id, $cent.centroid_id, e.v,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${cosSql("e.v", "centv")}, 6) DESC, centroid_id) AS r
-       |    FROM e CROSS JOIN $cent)
+       |    SELECT $src.vec_id, $cent.centroid_id, $src.v,
+       |      row_number() OVER (PARTITION BY $src.vec_id
+       |        ORDER BY round(${cosSql(s"$src.v", "centv")}, 6) DESC, centroid_id) AS r
+       |    FROM $src CROSS JOIN $cent)
        |  WHERE r = 1)""".stripMargin
   private def oKmUpdate(asg: String, centPrev: String, out: String): String =
     s"""$out AS (
@@ -789,11 +790,14 @@ object Queries {
        |      GROUP BY centroid_id, dim)
        |    GROUP BY centroid_id) nu
        |    ON $centPrev.centroid_id = nu.centroid_id)""".stripMargin
-  /** CTE chain ending in `af` = the final (vec_id, centroid_id, v)
-    * assignment after two Lloyd's iterations from the 8-lowest-id init —
-    * the exact replay of [[Similarity.kmeansFit]](k=8, iters=2). */
-  private def oKmeansAf: String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** CTE chain: train two Lloyd's iterations from the 8-lowest-id init
+    * over `e` (defined by `eDef`), then assign `assignSrc`'s vectors to
+    * the trained centroids as `out` — the exact replay of
+    * [[Similarity.kmeansFit]](k=8, iters=2) + [[Similarity.ivfAssign]].
+    * q109 trains on the ingested corpus only and assigns everything. */
+  private def oKmeansChain(eDef: String, assignSrc: String,
+                           out: String): String =
+    s"""e AS ($eDef),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
        |              v AS centv
        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
@@ -801,7 +805,14 @@ object Queries {
        |${oKmUpdate("a1", "c0", "c1")},
        |${oKmAssign("c1", "a2")},
        |${oKmUpdate("a2", "c1", "c2")},
-       |${oKmAssign("c2", "af")}""".stripMargin
+       |${oKmAssign("c2", out, assignSrc)}""".stripMargin
+
+  /** CTE chain ending in `af` = the final (vec_id, centroid_id, v)
+    * assignment after two Lloyd's iterations from the 8-lowest-id init —
+    * the exact replay of [[Similarity.kmeansFit]](k=8, iters=2). */
+  private def oKmeansAf: String =
+    oKmeansChain("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+      "e", "af")
 
   private val oIvfTopK = {
     s"""WITH $oKmeansAf,
@@ -3364,6 +3375,46 @@ object Queries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- incremental semantic refresh
+  /** [[SemanticDedup.incrementalSurvivors]]: a new embedding batch
+    * (vec_id % 10 = 0) deduped against the ingested corpus with LEDGER
+    * centroids (k-means trained on the ingested side only — a batch
+    * must not move the index) and no old×old pair work — the semantic
+    * member of the incremental-refresh trio (q104 exact, q108 lexical).
+    * The oracle replays the old-only training chain, assigns everything
+    * to the trained centroids, and drops batch vectors with a rounded
+    * unit-cosine ≥ 0.3 vs any old cell-mate or smaller-id batch
+    * cell-mate. */
+  private def qIncrementalSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    SemanticDedup.incrementalSurvivors(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", k = 8, iters = 2, threshold = 0.3)
+      .orderBy("vec_id")
+  }
+
+  private val oIncrementalSemDedup =
+    s"""WITH eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${oKmeansChain("SELECT vec_id, v FROM eall WHERE vec_id % 10 <> 0",
+                       "eall", "afall")},
+       |u AS (SELECT vec_id, centroid_id,
+       |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+       |      FROM afall),
+       |nb AS (SELECT * FROM u WHERE vec_id % 10 = 0),
+       |ob AS (SELECT * FROM u WHERE vec_id % 10 <> 0),
+       |dup AS (
+       |  SELECT DISTINCT nb.vec_id FROM nb JOIN ob
+       |    ON nb.centroid_id = ob.centroid_id
+       |   WHERE round(list_dot_product(nb.uv, ob.uv), 6) >= 0.3
+       |  UNION
+       |  SELECT DISTINCT a.vec_id FROM nb a JOIN nb b
+       |    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+       |   WHERE round(list_dot_product(a.uv, b.uv), 6) >= 0.3)
+       |SELECT vec_id, centroid_id FROM nb
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+       |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3473,7 +3524,8 @@ object Queries {
     "q105_user_similarity" -> (qUserSimilarity _),
     "q106_funnel_stream" -> (qFunnelStream _),
     "q107_clustered_scan" -> (qClusteredScan _),
-    "q108_incremental_neardup" -> (qIncrementalNearDup _)
+    "q108_incremental_neardup" -> (qIncrementalNearDup _),
+    "q109_incremental_semdedup" -> (qIncrementalSemDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3588,6 +3640,7 @@ object Queries {
     // that equality is the point of the query
     "q106_funnel_stream" -> oFunnel,
     "q107_clustered_scan" -> oClusteredScan,
-    "q108_incremental_neardup" -> oIncrementalNearDup
+    "q108_incremental_neardup" -> oIncrementalNearDup,
+    "q109_incremental_semdedup" -> oIncrementalSemDedup
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
@@ -32,6 +32,67 @@ object SemanticDedup {
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("centroid_id", vecCol)
     Similarity.ivfAssign(emb, cents, id, "centroid_id", vecCol)
       .select(col("corpus_id").as(id), col("centroid_id"), col("cv"))
+  }
+
+  /** Incremental semantic dedup: the NEW batch's survivors against an
+    * already-ingested embedding corpus — the semantic sibling of the
+    * exact ledger ([[Dedup.incrementalNovel]]) and the lexical refresh
+    * ([[ApproxDedup.incrementalLshNovel]]). Two scale commitments:
+    *
+    *  - **Ledger centroids**: k-means trains on the INGESTED corpus
+    *    only — a batch must not move the index (and a production run
+    *    stores the centroids with the corpus and skips even that).
+    *  - **No old×old pair work**: within each centroid cell the batch
+    *    meets the old members and its own smaller ids; the ingested
+    *    corpus streams through once and is never self-joined.
+    *
+    * Drop rule (same family convention as [[ApproxDedup
+    * .incrementalLshNovel]]): a batch vector whose rounded unit-vector
+    * cosine vs any old cell-mate, or vs any smaller-id batch cell-mate,
+    * reaches `threshold` is a duplicate.
+    *
+    * @return (id, centroid_id) for every surviving batch vector —
+    *         [[survivors]]' output shape, locally checkpointed so the
+    *         internal caches release before return. */
+  def incrementalSurvivors(oldEmb: DataFrame, newEmb: DataFrame,
+                           id: String, vecCol: String, k: Int, iters: Int,
+                           threshold: Double,
+                           maxBlockRows: Int = 0): DataFrame = {
+    val spark = oldEmb.sparkSession
+    import spark.implicits._
+    val cents = Similarity.kmeansFit(oldEmb, id, vecCol, k, iters)
+      .zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("centroid_id", vecCol)
+    def assignedUnit(df: DataFrame): DataFrame =
+      Similarity.ivfAssign(df, cents, id, "centroid_id", vecCol)
+        .select(col("corpus_id").as(id), col("centroid_id"),
+          Similarity.unitNorm(col("cv")).as("uv"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val oldA = assignedUnit(oldEmb)
+    val newA = assignedUnit(newEmb).persist(lvl)
+    ApproxDedup.requireBoundedBlocks(newA, "centroid_id", maxBlockRows,
+      "incrementalSurvivors")
+    val probe = newA.select(col(id).as("id_new"), col("centroid_id"),
+      col("uv").as("vn"))
+    def dupIds(other: DataFrame, keep: Column): DataFrame =
+      probe.join(other, Seq("centroid_id"))
+        .filter(keep)
+        .filter(round(Similarity.dot(col("vn"), col("vo")), 6) >= threshold)
+        .select(col("id_new"))
+    val dups = dupIds(
+        oldA.select(col("centroid_id"), col("uv").as("vo")), lit(true))
+      .unionByName(dupIds(
+        newA.select(col(id).as("id_prev"), col("centroid_id"),
+          col("uv").as("vo")),
+        col("id_prev") < col("id_new")))
+      .distinct()
+      .withColumnRenamed("id_new", id)
+      .localCheckpoint()
+    val out = newA.select(col(id), col("centroid_id"))
+      .join(dups, Seq(id), "left_anti")
+      .localCheckpoint()
+    newA.unpersist()
+    out
   }
 
   /** Survivors of semantic dedup: one row per surviving vector with its
