@@ -65,6 +65,31 @@ object ScalingProbe {
         f"semdedup ccRounds=$sdRounds kmeansIters=2 t=$sdT%.2f n=$sdN | " +
         f"groupCap stages=2 t=$gcT%.2f n=$gcN | " +
         f"lineDedup t=$ldT%.2f n=$ldN")
+
+      // incremental refresh vs full re-mine: the batch is 10% of the
+      // corpus; the refresh should cost a FRACTION of the full mine,
+      // and that fraction should hold (or improve) as the corpus grows
+      val wsAll = docs.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
+      val (incN, incT) = timed {
+        ApproxDedup.incrementalLshNovel(
+          wsAll.filter(col("doc_id") % 10 =!= 0),
+          wsAll.filter(col("doc_id") % 10 === 0),
+          "doc_id", "_sh", 16, 4, 4, 0.5).count()
+      }
+      val (fullN, fullT) = timed {
+        val sc2 = ApproxDedup.minhashLshPairsScoped(wsAll, "doc_id", "_sh",
+          16, 4, 4, 0.5)
+        val n = sc2.df.count(); sc2.release(); n
+      }
+      val (isdN, isdT) = timed {
+        SemanticDedup.incrementalSurvivors(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", k = 8, iters = 2, threshold = 0.3).count()
+      }
+      println(f"ROWINC $sf lshRefresh t=$incT%.2f novel=$incN | " +
+        f"fullMine t=$fullT%.2f pairs=$fullN | " +
+        f"semRefresh t=$isdT%.2f novel=$isdN")
     }
     println("PROBE_OK")
     spark.stop()
