@@ -3415,6 +3415,80 @@ object Queries {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
        |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------- full incremental refresh
+  /** The refresh pipeline a corpus runs per landing batch, as ONE
+    * composition of the three incremental gates — exact fingerprint
+    * ledger (q104's [[Dedup.incrementalNovel]]), lexical MinHash-LSH
+    * vs corpus (q108's [[ApproxDedup.incrementalLshNovel]]), semantic
+    * vs embeddings with ledger centroids (q109's
+    * [[SemanticDedup.incrementalSurvivors]]) — cheapest gate first, so
+    * each stage's candidate space shrinks before the next pays its
+    * cost. The fixture contract vec_id == doc_id links the tables. A
+    * doc dropped at stage N never participates in stage N+1's
+    * within-batch rule — the oracle replays exactly that staging. */
+  private def qRefreshPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val prefixFp =
+      md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 8)))
+    val s1 = Dedup.incrementalNovel(
+      batch.select("doc_id", "source", "text"),
+      "doc_id", prefixFp, old.select(prefixFp.as("fp")))
+    val sh = ApproxDedup.wordNgrams(col("text"), 2)
+    val s2 = ApproxDedup.incrementalLshNovel(
+      old.withColumn("_sh", sh), s1.withColumn("_sh", sh),
+      "doc_id", "_sh", MhK, MhBands, MhRows, threshold = 0.5)
+    val s3 = SemanticDedup.incrementalSurvivors(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+      "vec_id", "embedding", k = 8, iters = 2, threshold = 0.3)
+    s2.select("doc_id", "source")
+      .join(s3.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val oRefreshPipeline =
+    s"""WITH fpd AS (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(string_split_regex(lower(text), '\\s+')[1:8], ' '))
+       |      AS f
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, source FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY f
+       |           ORDER BY doc_id) AS rn
+       |         FROM fpd WHERE doc_id % 10 = 0) w
+       |       WHERE rn = 1
+       |         AND f NOT IN (SELECT f FROM fpd WHERE doc_id % 10 <> 0)),
+       |${oMinhashCtes("documents")},
+       |p AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+       |sp AS (SELECT id_a AS x, id_b AS y FROM p
+       |       UNION ALL SELECT id_b, id_a FROM p),
+       |s2 AS (SELECT doc_id, source FROM s1
+       |       WHERE doc_id NOT IN (
+       |         SELECT sp.x FROM sp
+       |         WHERE sp.y IN (SELECT doc_id FROM documents
+       |                        WHERE doc_id % 10 <> 0)
+       |            OR (sp.y IN (SELECT doc_id FROM s1) AND sp.y < sp.x))),
+       |eal AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${oKmeansChain("SELECT vec_id, v FROM eal WHERE vec_id % 10 <> 0",
+                       "eal", "afall")},
+       |u AS (SELECT vec_id, centroid_id,
+       |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+       |      FROM afall),
+       |dup3 AS (
+       |  SELECT DISTINCT nb.vec_id FROM u nb JOIN u om
+       |    ON nb.centroid_id = om.centroid_id
+       |  WHERE nb.vec_id IN (SELECT doc_id FROM s2)
+       |    AND round(list_dot_product(nb.uv, om.uv), 6) >= 0.3
+       |    AND (om.vec_id % 10 <> 0
+       |      OR (om.vec_id IN (SELECT doc_id FROM s2)
+       |          AND om.vec_id < nb.vec_id)))
+       |SELECT doc_id, source FROM s2
+       |WHERE doc_id NOT IN (SELECT vec_id FROM dup3)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3525,7 +3599,8 @@ object Queries {
     "q106_funnel_stream" -> (qFunnelStream _),
     "q107_clustered_scan" -> (qClusteredScan _),
     "q108_incremental_neardup" -> (qIncrementalNearDup _),
-    "q109_incremental_semdedup" -> (qIncrementalSemDedup _)
+    "q109_incremental_semdedup" -> (qIncrementalSemDedup _),
+    "q110_refresh_pipeline" -> (qRefreshPipeline _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3641,6 +3716,7 @@ object Queries {
     "q106_funnel_stream" -> oFunnel,
     "q107_clustered_scan" -> oClusteredScan,
     "q108_incremental_neardup" -> oIncrementalNearDup,
-    "q109_incremental_semdedup" -> oIncrementalSemDedup
+    "q109_incremental_semdedup" -> oIncrementalSemDedup,
+    "q110_refresh_pipeline" -> oRefreshPipeline
   )
 }

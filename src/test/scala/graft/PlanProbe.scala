@@ -25,7 +25,8 @@ object PlanProbe {
       "q100_corpus_report", "q101_snapshot_drift", "q102_skew_report",
       "q103_json_props", "q104_incremental_ingest", "q105_user_similarity",
       "q106_funnel_stream", "q107_clustered_scan",
-      "q108_incremental_neardup", "q109_incremental_semdedup")
+      "q108_incremental_neardup", "q109_incremental_semdedup",
+      "q110_refresh_pipeline")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering
