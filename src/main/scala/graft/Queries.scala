@@ -3423,8 +3423,11 @@ object Queries {
     * vs embeddings with ledger centroids (q109's
     * [[SemanticDedup.incrementalSurvivors]]) — cheapest gate first, so
     * each stage's candidate space shrinks before the next pays its
-    * cost. The fixture contract vec_id == doc_id links the tables. A
-    * doc dropped at stage N never participates in stage N+1's
+    * cost. vec_id == doc_id links the tables; a doc WITHOUT an
+    * embedding row passes the semantic gate unchecked (the gate can't
+    * judge what it can't see — at sf0.1 the embeddings table covers
+    * only part of the corpus, which is exactly the production shape).
+    * A doc dropped at stage N never participates in stage N+1's
     * within-batch rule — the oracle replays exactly that staging. */
   private def qRefreshPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -3440,12 +3443,18 @@ object Queries {
     val s2 = ApproxDedup.incrementalLshNovel(
       old.withColumn("_sh", sh), s1.withColumn("_sh", sh),
       "doc_id", "_sh", MhK, MhBands, MhRows, threshold = 0.5)
+    val batchEmb = emb.join(s2.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"))
     val s3 = SemanticDedup.incrementalSurvivors(
-      emb.filter(col("vec_id") % 10 =!= 0),
-      emb.join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id")),
+      emb.filter(col("vec_id") % 10 =!= 0), batchEmb,
       "vec_id", "embedding", k = 8, iters = 2, threshold = 0.3)
+    // anti-join on the DROPPED set, not inner-join on survivors: a doc
+    // with no embedding row is absent from both and must pass through
+    val dropped = batchEmb.select(col("vec_id").as("doc_id"))
+      .join(s3.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_anti")
     s2.select("doc_id", "source")
-      .join(s3.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 
