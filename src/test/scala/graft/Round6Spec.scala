@@ -172,6 +172,38 @@ class IncrementalNearDupSpec extends SparkSpec {
   }
 }
 
+/** q110's partial-coverage contract: a batch doc WITHOUT an embedding
+  * row passes the semantic gate (the gate can't judge what it can't
+  * see). The committed sf0.001/sf0.01 fixtures are 1:1 doc↔vector, so
+  * only a synthetic fixture can regression-guard this — the bug it
+  * pins was green at sf0.01 and 4-vs-281 red at sf0.1. */
+class RefreshPipelineSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("batch docs without an embedding survive the semantic gate") {
+    import spark.implicits._
+    val root = tmpDir("q110_partial")
+    // 20 docs, unique texts (no exact/lexical dups); batch = {0, 10}
+    (0L until 20L)
+      .map(i => (i, "s", f"unique text number $i alpha$i beta${i * 7} gamma${i * 13} delta${i * 29} epsilon${i * 31} zeta${i * 37} eta${i * 41}"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$root/documents.parquet")
+    // embeddings ONLY for ids 0-9: batch doc 0 duplicates old doc 1's
+    // vector (semantic dup → dropped); batch doc 10 has NO vector
+    val e = (1L to 9L).map(i =>
+        (i, Array(i.toDouble, 1.0, (i % 3).toDouble, 2.0))) :+
+      (0L, Array(1.0, 1.0, 1.0, 2.0)) // == doc 1's vector
+    e.toDF("vec_id", "embedding")
+      .write.parquet(s"$root/embeddings.parquet")
+
+    val out = Queries.all("q110_refresh_pipeline")(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!out.contains(0L), "semantic dup with an old vector must drop")
+    assert(out.contains(10L),
+      "doc without an embedding must pass the semantic gate")
+  }
+}
+
 /** The incremental SEMANTIC refresh must equal the naive form: assign
   * everything to the ledger centroids, mine all within-cell pairs, and
   * apply the same drop rule — while the incremental plan never pairs
