@@ -3159,10 +3159,17 @@ object Queries {
     * corpus has no literal whole-document dups, and BOTH dedup layers
     * must be exercised non-vacuously — 250 batch docs → 242 in-batch
     * winners → 230 ledger-novel at sf0.01). */
+  /** The incremental-ingest ledger fingerprint — md5 of the lowercased
+    * first-8-token prefix. ONE definition shared by q104 and q110's
+    * exact gate (with its DuckDB rendering [[oPrefixFp]]), so the two
+    * gates cannot silently diverge if the prefix is ever retuned. */
+  private def prefixFp: Column =
+    md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 8)))
+  private val oPrefixFp =
+    """md5(array_to_string(string_split_regex(lower(text), '\s+')[1:8], ' '))"""
+
   private def qIncrementalIngest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val prefixFp =
-      md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 8)))
     // no .distinct(): left_anti tolerates duplicate ledger rows, and
     // the ledger is the unboundedly-growing side — don't shuffle it
     val ledger = docs.filter(col("doc_id") < 250).select(prefixFp.as("fp"))
@@ -3175,10 +3182,9 @@ object Queries {
   }
 
   private val oIncrementalIngest =
-    """WITH fp AS (
+    s"""WITH fp AS (
       |  SELECT doc_id, source, lang, n_chars,
-      |    md5(array_to_string(string_split_regex(lower(text), '\s+')[1:8], ' '))
-      |      AS f
+      |    $oPrefixFp AS f
       |  FROM documents),
       |ledger AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
       |batch AS (SELECT * FROM fp WHERE doc_id >= 250),
@@ -3434,15 +3440,18 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     val old = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)
-    val prefixFp =
-      md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 8)))
     val s1 = Dedup.incrementalNovel(
       batch.select("doc_id", "source", "text"),
       "doc_id", prefixFp, old.select(prefixFp.as("fp")))
     val sh = ApproxDedup.wordNgrams(col("text"), 2)
-    val s2 = ApproxDedup.incrementalLshNovel(
+    // checkpoint the (small) stage-2 survivor list: three consumers
+    // follow (stage-3 batch side, the dropped diff, the final join) —
+    // without it the whole stage-1+2 subtree re-evaluates per consumer
+    val s2sc = ApproxDedup.incrementalLshNovelScoped(
       old.withColumn("_sh", sh), s1.withColumn("_sh", sh),
       "doc_id", "_sh", MhK, MhBands, MhRows, threshold = 0.5)
+    val s2 = s2sc.df.select("doc_id", "source").localCheckpoint()
+    s2sc.release()
     val batchEmb = emb.join(s2.select(col("doc_id").as("vec_id")),
       Seq("vec_id"))
     val s3 = SemanticDedup.incrementalSurvivors(
@@ -3453,8 +3462,7 @@ object Queries {
     val dropped = batchEmb.select(col("vec_id").as("doc_id"))
       .join(s3.select(col("vec_id").as("doc_id")), Seq("doc_id"),
         "left_anti")
-    s2.select("doc_id", "source")
-      .join(dropped, Seq("doc_id"), "left_anti")
+    s2.join(dropped, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
 

@@ -310,10 +310,13 @@ object ApproxDedup {
           Seq(otherId))
         .filter(jaccard(col("_sn"), col("_so")) >= threshold)
         .select(col("id_new"))
+    // no .distinct(): left_anti tolerates duplicate right-side rows
+    // (the family convention — see Dedup.incrementalNovel), so the
+    // dup-id stream skips an extra shuffle
     val dups = dupIds(vsOld, "id_old", oldSets)
       .unionByName(dupIds(vsNew, "id_prev", newSets))
-    val novel = newDocs.join(dups.withColumnRenamed("id_new", id)
-      .distinct(), Seq(id), "left_anti")
+    val novel = newDocs.join(dups.withColumnRenamed("id_new", id),
+      Seq(id), "left_anti")
     Scoped(novel, () =>
       { newBk.unpersist(); newSig.unpersist(); newSets.unpersist(); () })
   }

@@ -58,6 +58,20 @@ object SemanticDedup {
                            id: String, vecCol: String, k: Int, iters: Int,
                            threshold: Double,
                            maxBlockRows: Int = 0): DataFrame = {
+    val sc = incrementalSurvivorsScoped(oldEmb, newEmb, id, vecCol, k,
+      iters, threshold, maxBlockRows)
+    val out = sc.df.localCheckpoint()
+    sc.release()
+    out
+  }
+
+  /** [[incrementalSurvivors]] as a LAZY plan with an ownable cache
+    * lifetime — also what plan audits inspect (the eager form returns a
+    * checkpoint scan that hides the join shapes). */
+  def incrementalSurvivorsScoped(oldEmb: DataFrame, newEmb: DataFrame,
+                                 id: String, vecCol: String, k: Int,
+                                 iters: Int, threshold: Double,
+                                 maxBlockRows: Int = 0): ApproxDedup.Scoped = {
     val spark = oldEmb.sparkSession
     import spark.implicits._
     val cents = Similarity.kmeansFit(oldEmb, id, vecCol, k, iters)
@@ -79,20 +93,19 @@ object SemanticDedup {
         .filter(keep)
         .filter(round(Similarity.dot(col("vn"), col("vo")), 6) >= threshold)
         .select(col("id_new"))
+    // no .distinct() on the dup-id stream: left_anti tolerates
+    // duplicate right-side rows (the family convention — see
+    // Dedup.incrementalNovel), and the set is consumed exactly once
     val dups = dupIds(
         oldA.select(col("centroid_id"), col("uv").as("vo")), lit(true))
       .unionByName(dupIds(
         newA.select(col(id).as("id_prev"), col("centroid_id"),
           col("uv").as("vo")),
         col("id_prev") < col("id_new")))
-      .distinct()
       .withColumnRenamed("id_new", id)
-      .localCheckpoint()
     val out = newA.select(col(id), col("centroid_id"))
       .join(dups, Seq(id), "left_anti")
-      .localCheckpoint()
-    newA.unpersist()
-    out
+    ApproxDedup.Scoped(out, () => { newA.unpersist(); () })
   }
 
   /** Survivors of semantic dedup: one row per surviving vector with its

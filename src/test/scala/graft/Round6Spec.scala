@@ -182,25 +182,33 @@ class RefreshPipelineSpec extends SparkSpec {
 
   test("batch docs without an embedding survive the semantic gate") {
     import spark.implicits._
-    val root = tmpDir("q110_partial")
     // 20 docs, unique texts (no exact/lexical dups); batch = {0, 10}
-    (0L until 20L)
-      .map(i => (i, "s", f"unique text number $i alpha$i beta${i * 7} gamma${i * 13} delta${i * 29} epsilon${i * 31} zeta${i * 37} eta${i * 41}"))
-      .toDF("doc_id", "source", "text")
-      .write.parquet(s"$root/documents.parquet")
-    // embeddings ONLY for ids 0-9: batch doc 0 duplicates old doc 1's
-    // vector (semantic dup → dropped); batch doc 10 has NO vector
-    val e = (1L to 9L).map(i =>
-        (i, Array(i.toDouble, 1.0, (i % 3).toDouble, 2.0))) :+
-      (0L, Array(1.0, 1.0, 1.0, 2.0)) // == doc 1's vector
-    e.toDF("vec_id", "embedding")
-      .write.parquet(s"$root/embeddings.parquet")
+    def writeDocs(root: String): Unit =
+      (0L until 20L)
+        .map(i => (i, "s", f"unique text number $i alpha$i beta${i * 7} gamma${i * 13} delta${i * 29} epsilon${i * 31} zeta${i * 37} eta${i * 41}"))
+        .toDF("doc_id", "source", "text")
+        .write.parquet(s"$root/documents.parquet")
+    val oldVecs = (1L to 9L).map(i =>
+      (i, Array(i.toDouble, 1.0, (i % 3).toDouble, 2.0)))
+    def run(root: String, doc0Vec: Array[Double]): Set[Long] = {
+      writeDocs(root)
+      (oldVecs :+ (0L, doc0Vec)).toDF("vec_id", "embedding")
+        .write.parquet(s"$root/embeddings.parquet")
+      Queries.all("q110_refresh_pipeline")(spark, root)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
 
-    val out = Queries.all("q110_refresh_pipeline")(spark, root)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(!out.contains(0L), "semantic dup with an old vector must drop")
-    assert(out.contains(10L),
-      "doc without an embedding must pass the semantic gate")
+    // control: doc 0's vector is orthogonal-ish to every old vector →
+    // BOTH batch docs survive, proving the exact and lexical gates pass
+    // doc 0 (so fixture A's drop below is attributable to the semantic
+    // gate, not an upstream over-drop — review finding, round 6)
+    val control = run(tmpDir("q110_ctl"), Array(0.0, 0.0, -5.0, 0.001))
+    assert(control == Set(0L, 10L), s"control: $control")
+
+    // fixture A: doc 0 duplicates old doc 1's vector → semantic drop;
+    // doc 10 has NO vector and must pass the gate it can't be judged by
+    val out = run(tmpDir("q110_partial"), Array(1.0, 1.0, 1.0, 2.0))
+    assert(out == Set(10L), s"expected exactly {10}, got $out")
   }
 }
 
@@ -248,11 +256,15 @@ class IncrementalSemDedupSpec extends SparkSpec {
   test("incremental semantic plan has no quadratic joins and leaks no cache") {
     val before = spark.sparkContext.getPersistentRDDs
       .filter { case (_, r) => !r.isCheckpointed }.keySet
-    val out = SemanticDedup.incrementalSurvivors(old, batch, "vec_id",
-      "embedding", k = 8, iters = 2, threshold = 0.3)
-    val plan = out.queryExecution.executedPlan.toString
+    // the LAZY (Scoped) form exposes the real join plan — the eager
+    // form checkpoints, which would reduce this assertion to a scan of
+    // the checkpoint (review finding, round 6)
+    val sc = SemanticDedup.incrementalSurvivorsScoped(old, batch,
+      "vec_id", "embedding", k = 8, iters = 2, threshold = 0.3)
+    val plan = sc.df.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), "plan audit lost sight of the joins")
     assert(!plan.contains("CartesianProduct"), "CartesianProduct")
-    out.count()
+    sc.df.count(); sc.release()
     val after = spark.sparkContext.getPersistentRDDs
       .filter { case (_, r) => !r.isCheckpointed }.keySet
     assert((after -- before).isEmpty, "incrementalSurvivors leaked caches")

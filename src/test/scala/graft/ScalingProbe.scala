@@ -66,15 +66,18 @@ object ScalingProbe {
         f"groupCap stages=2 t=$gcT%.2f n=$gcN | " +
         f"lineDedup t=$ldT%.2f n=$ldN")
 
-      // incremental refresh vs full re-mine: the batch is 10% of the
-      // corpus; the refresh should cost a FRACTION of the full mine,
-      // and that fraction should hold (or improve) as the corpus grows
+      // incremental refresh vs full re-mine. NOT a local wall-time win
+      // (at toy scale the refresh runs MORE jobs and is slower — see
+      // SCALING.md's honest reading); the claims under measurement are
+      // flat refresh wall-time across the 10× and the structural
+      // absence of the old×old candidate space.
       val wsAll = docs.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
       val (incN, incT) = timed {
-        ApproxDedup.incrementalLshNovel(
+        val sc1 = ApproxDedup.incrementalLshNovelScoped(
           wsAll.filter(col("doc_id") % 10 =!= 0),
           wsAll.filter(col("doc_id") % 10 === 0),
-          "doc_id", "_sh", 16, 4, 4, 0.5).count()
+          "doc_id", "_sh", 16, 4, 4, 0.5)
+        val n = sc1.df.count(); sc1.release(); n
       }
       val (fullN, fullT) = timed {
         val sc2 = ApproxDedup.minhashLshPairsScoped(wsAll, "doc_id", "_sh",
