@@ -20,8 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns. */
+  /** Dot product of two double-array columns — the native codegen'd
+    * [[graft.plans.VecDot]] expression (registered by
+    * [[graft.plans.GraftExtensions]]): one fused loop per pair instead
+    * of the HOF form's intermediate array + interpreted lambdas.
+    * Bit-identical to [[dotHof]] (same left-to-right IEEE fold —
+    * VecDotSpec asserts it), so every oracle stays green. */
   def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  /** The composable higher-order-function form of [[dot]] — kept as
+    * the portable reference implementation (works without the session
+    * extensions) and the spec's equivalence baseline. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Cosine similarity: dot / (|a| * |b|). */

@@ -34,6 +34,17 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         MultipartEtagFinish(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(
+        classOf[VecDot].getName,
+        null,
+        "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "vec_dot expects (array<double> a, array<double> b)")
+        VecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(
         classOf[NfcNormalize].getName,
