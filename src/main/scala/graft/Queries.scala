@@ -3506,6 +3506,57 @@ object Queries {
        |WHERE doc_id NOT IN (SELECT vec_id FROM dup3)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- HTML extraction
+  /** [[TextAnalysis.extractHtmlText]] over a deterministic HTML-ized
+    * rendering of each document: style + script blocks (with
+    * tag-hostile content — `1 < 2 && 3 > 2` — that must vanish
+    * wholesale, not confuse the tag stripper), a heading, entity-
+    * escaped body text, and a footer. The oracle replays both the
+    * wrapping and the extraction chain byte-for-byte. */
+  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val html = concat(
+      lit("<html><head><style>h1 {color:#333}</style>"),
+      lit("<script>var x = \"1 < 2 && 3 > 2\";</script></head><body><h1>"),
+      substring(col("text"), 1, 20),
+      lit("</h1><p>"),
+      replace(col("text"), lit("table"), lit("&lt;table&gt;")),
+      lit("</p><br/><div class=\"f\">footer &nbsp; 2024</div></body></html>"))
+    docs.select(col("doc_id"),
+        TextAnalysis.extractHtmlText(html).as("clean_text"))
+      .select(col("doc_id"),
+        length(col("clean_text")).cast("bigint").as("n_chars"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  private val oHtmlExtract =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><style>h1 {color:#333}</style>' ||
+      |    '<script>var x = "1 < 2 && 3 > 2";</script></head><body><h1>' ||
+      |    substr(text, 1, 20) || '</h1><p>' ||
+      |    replace(text, 'table', '&lt;table&gt;') ||
+      |    '</p><br/><div class="f">footer &nbsp; 2024</div></body></html>'
+      |      AS html
+      |  FROM documents),
+      |x1 AS (SELECT doc_id, regexp_replace(html,
+      |         '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'gis') AS t
+      |       FROM h),
+      |x2 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'gs') AS t
+      |       FROM x1),
+      |x3 AS (SELECT doc_id,
+      |         replace(replace(replace(replace(replace(replace(t,
+      |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+      |       FROM x2),
+      |x4 AS (SELECT doc_id,
+      |         trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+      |       FROM x3)
+      |SELECT doc_id, CAST(length(clean_text) AS BIGINT) AS n_chars,
+      |       clean_text
+      |FROM x4 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3617,7 +3668,8 @@ object Queries {
     "q107_clustered_scan" -> (qClusteredScan _),
     "q108_incremental_neardup" -> (qIncrementalNearDup _),
     "q109_incremental_semdedup" -> (qIncrementalSemDedup _),
-    "q110_refresh_pipeline" -> (qRefreshPipeline _)
+    "q110_refresh_pipeline" -> (qRefreshPipeline _),
+    "q111_html_extract" -> (qHtmlExtract _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3734,6 +3786,7 @@ object Queries {
     "q107_clustered_scan" -> oClusteredScan,
     "q108_incremental_neardup" -> oIncrementalNearDup,
     "q109_incremental_semdedup" -> oIncrementalSemDedup,
-    "q110_refresh_pipeline" -> oRefreshPipeline
+    "q110_refresh_pipeline" -> oRefreshPipeline,
+    "q111_html_extract" -> oHtmlExtract
   )
 }

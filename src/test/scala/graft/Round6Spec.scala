@@ -172,6 +172,37 @@ class IncrementalNearDupSpec extends SparkSpec {
   }
 }
 
+/** HTML→text extraction edge cases (q111's operator in isolation). */
+class HtmlExtractSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h")
+      .select(graft.ops.TextAnalysis.extractHtmlText(col("h")))
+      .head().getString(0)
+
+  test("script/style contents vanish wholesale, tag-hostile or not") {
+    assert(extract("""a<script>if (1 < 2 && 3 > 2) { x("<b>"); }</script>b""")
+      == "a b")
+    assert(extract("<style>p > span { c: '<'; }</style>body") == "body")
+  }
+
+  test("tags strip, entities unescape, &amp; resolves last") {
+    assert(extract("<p>x &lt;tag&gt; &quot;q&quot; &#39;s&#39; y</p>")
+      == "x <tag> \"q\" 's' y")
+    // &amp;lt; is the ESCAPED literal "&lt;" — must not double-unescape
+    assert(extract("a &amp;lt; b") == "a &lt; b")
+    assert(extract("x&nbsp;&nbsp;y") == "x y")
+  }
+
+  test("whitespace collapses and trims across removed structure") {
+    assert(extract("<div>\n  <p>one</p>\n  <p>two</p>\n</div>")
+      == "one two")
+    assert(extract("<br/><hr>") == "")
+  }
+}
+
 /** q110's partial-coverage contract: a batch doc WITHOUT an embedding
   * row passes the semantic gate (the gate can't judge what it can't
   * see). The committed sf0.001/sf0.01 fixtures are 1:1 doc↔vector, so
