@@ -121,7 +121,16 @@ object TextAnalysis {
     * hash array computes once per document, not once per window. Hashes
     * are md5-derived 32-bit ([[ApproxDedup.hash32]]) — engine-portable,
     * no JVM hashCode. */
-  def winnow(text: Column, k: Int, w: Int): Column = {
+  def winnow(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_fps", text, lit(k), lit(w))
+
+  /** The composable higher-order-function form of [[winnow]] — kept as
+    * the portable reference implementation (works without the session
+    * extensions) and WinnowSpec's equivalence baseline; [[winnow]]'s
+    * native kernel ([[graft.plans.WinnowFingerprints]]) replaces the
+    * per-gram md5→hex→conv expression chain and per-window
+    * slice+array_min with one fused pass. */
+  def winnowHof(text: Column, k: Int, w: Int): Column = {
     val grams = transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => ApproxDedup.hash32(text.substr(i, lit(k))))

@@ -45,6 +45,24 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(
+        classOf[WinnowFingerprints].getName,
+        null,
+        "winnow_fps"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          "winnow_fps expects (string text, int k, int w)")
+        def lit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"winnow_fps: $name must be an integer literal")
+        }
+        WinnowFingerprints(children.head,
+          lit(children(1), "k"), lit(children(2), "w"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(
         classOf[NfcNormalize].getName,
