@@ -3349,18 +3349,48 @@ object Queries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------- incremental near-dup refresh
-  /** [[ApproxDedup.incrementalLshNovel]]: a new batch (doc_id % 10 = 0)
-    * deduped against the already-ingested corpus WITHOUT re-mining
-    * old×old pairs — the daily-refresh sibling of q104's exact ledger,
-    * at near-dup (MinHash-LSH) granularity. The oracle replays the full
-    * banded pair table and keeps new docs with no verified neighbor in
-    * the old corpus nor among smaller-id batch docs. */
-  private def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
-    val withSets = t(s, dir, "documents")
+
+  /** Parquet-materialize a ledger table once per (kind, dir) fixture
+    * path and read it back — refresh queries then exercise the
+    * production shape (a persisted-ledger READ) instead of re-deriving
+    * history in-plan on every invocation. */
+  private def cachedLedger(s: SparkSession, kind: String, dir: String)
+                          (build: => DataFrame): DataFrame = {
+    val path = fixPath(kind, dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      build.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** The ingested corpus's persisted MinHash-LSH ledger (bootstrap once
+    * per session; thereafter q108/q110 refreshes scan ledger parquet +
+    * the landing batch only — the old corpus's text is never re-read,
+    * never re-shingled, never re-minhashed). */
+  private def lshLedgerFor(s: SparkSession, dir: String): ApproxDedup.LshLedger = {
+    def old = t(s, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
       .withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
-    ApproxDedup.incrementalLshNovel(
-        withSets.filter(col("doc_id") % 10 =!= 0),
-        withSets.filter(col("doc_id") % 10 === 0),
+    ApproxDedup.LshLedger(
+      cachedLedger(s, "lsh_ledger_buckets", dir)(
+        ApproxDedup.lshLedger(old, "doc_id", "_sh", MhK, MhBands, MhRows).buckets),
+      cachedLedger(s, "lsh_ledger_sets", dir)(old.select(col("doc_id"), col("_sh"))))
+  }
+
+  /** [[ApproxDedup.incrementalLshNovelFromLedger]]: a new batch
+    * (doc_id % 10 = 0) deduped against the already-ingested corpus
+    * WITHOUT re-mining old×old pairs and WITHOUT re-deriving the old
+    * side's signatures — the refresh reads the persisted (band, bucket)
+    * + shingle-set ledger ([[lshLedgerFor]]), the daily-refresh sibling
+    * of q104's exact fingerprint ledger at near-dup granularity. The
+    * oracle replays the full banded pair table and keeps new docs with
+    * no verified neighbor in the old corpus nor among smaller-id batch
+    * docs. */
+  private def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val batch = t(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
+    ApproxDedup.incrementalLshNovelFromLedger(
+        lshLedgerFor(s, dir), batch,
         "doc_id", "_sh", MhK, MhBands, MhRows, threshold = 0.5)
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
@@ -3446,9 +3476,11 @@ object Queries {
     val sh = ApproxDedup.wordNgrams(col("text"), 2)
     // checkpoint the (small) stage-2 survivor list: three consumers
     // follow (stage-3 batch side, the dropped diff, the final join) —
-    // without it the whole stage-1+2 subtree re-evaluates per consumer
-    val s2sc = ApproxDedup.incrementalLshNovelScoped(
-      old.withColumn("_sh", sh), s1.withColumn("_sh", sh),
+    // without it the whole stage-1+2 subtree re-evaluates per consumer.
+    // Stage 2 reads the persisted LSH ledger (lshLedgerFor) — the old
+    // corpus is never re-shingled here either.
+    val s2sc = ApproxDedup.incrementalLshNovelFromLedgerScoped(
+      lshLedgerFor(s, dir), s1.withColumn("_sh", sh),
       "doc_id", "_sh", MhK, MhBands, MhRows, threshold = 0.5)
     val s2 = s2sc.df.select("doc_id", "source").localCheckpoint()
     s2sc.release()

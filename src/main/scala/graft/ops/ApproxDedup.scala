@@ -246,15 +246,57 @@ object ApproxDedup {
     Scoped(pairs, () => { sig.unpersist(); sets.unpersist(); () })
   }
 
+  /** The persisted state of an incremental MinHash-LSH near-dup index:
+    * `buckets` — (id, band, bucket) banded signature slices of every
+    * ingested document — and `sets` — (id, shingle-set) for exact-
+    * Jaccard verification of candidate collisions. Both are plain
+    * DataFrames so production stores them as parquet tables (buckets
+    * bucketed by (band, bucket) for a co-located collision join; sets
+    * bucketed by id for the verify probe) and a refresh READS them —
+    * the refresh plan never touches the ingested corpus's raw text,
+    * which is the property that makes "incremental" real at 100 TB.
+    * Mirrors the fingerprint-ledger contract of
+    * [[graft.ops.Dedup.incrementalNovel]]/`updatedLedger` (reference
+    * analogue: the sent-message ledger probe,
+    * AzureTaskProducer/inventory_lib.py:146-162 — read a store, never
+    * recompute history). */
+  final case class LshLedger(buckets: DataFrame, sets: DataFrame)
+
+  /** Derive ledger content from a corpus — the one-time bootstrap (or
+    * per-batch append source). `sets` is the (id, setCol) projection;
+    * `buckets` is its banded MinHash. */
+  def lshLedger(docs: DataFrame, id: String, setCol: String, k: Int,
+                bands: Int, rowsPerBand: Int): LshLedger = {
+    require(bands * rowsPerBand == k, "k must equal bands*rowsPerBand")
+    val sets = docs.select(col(id), col(setCol))
+    LshLedger(lshBuckets(minhashSignature(sets, id, setCol, k), id,
+      bands, rowsPerBand), sets)
+  }
+
+  /** The ledger after landing a batch: previous state plus the batch's
+    * surviving (novel) rows' buckets and sets. Appends only — one
+    * signature computation over the (small) landed batch, never over
+    * history; same append-only contract as
+    * [[graft.ops.Dedup.updatedLedger]]. */
+  def updatedLshLedger(ledger: LshLedger, novel: DataFrame, id: String,
+                       setCol: String, k: Int, bands: Int,
+                       rowsPerBand: Int): LshLedger = {
+    val add = lshLedger(novel, id, setCol, k, bands, rowsPerBand)
+    LshLedger(ledger.buckets.unionByName(add.buckets),
+      ledger.sets.unionByName(add.sets))
+  }
+
   /** Incremental MinHash-LSH near-dup dedup: the NEW batch's survivors
     * against an already-ingested corpus — the daily-refresh shape. The
     * old corpus is NEVER self-joined: its bucket stream meets only the
     * (small) batch's buckets, so per refresh the work is
     * O(|old| + |new| + collisions(new×old) + collisions(new×new)),
-    * not the O(collisions(corpus²)) a full re-mine pays. (A production
-    * run persists the old side's buckets as a ledger table partitioned
-    * by (band, bucket) and skips recomputing them entirely — this
-    * derivation from `oldDocs` is the self-contained form.)
+    * not the O(collisions(corpus²)) a full re-mine pays.
+    *
+    * This is the SELF-CONTAINED form (old side derived from `oldDocs`
+    * in-plan); the production shape is
+    * [[incrementalLshNovelFromLedger]], which reads a persisted
+    * [[LshLedger]] and re-derives nothing.
     *
     * Survivor rule (documented contract, same winner convention as
     * [[graft.ops.Dedup.exact]] / lineDedup): a new doc is dropped when
@@ -274,20 +316,44 @@ object ApproxDedup {
   def incrementalLshNovelScoped(oldDocs: DataFrame, newDocs: DataFrame,
                                 id: String, setCol: String, k: Int,
                                 bands: Int, rowsPerBand: Int,
-                                threshold: Double): Scoped = {
+                                threshold: Double): Scoped =
+    incrementalLshNovelFromLedgerScoped(
+      lshLedger(oldDocs, id, setCol, k, bands, rowsPerBand),
+      newDocs, id, setCol, k, bands, rowsPerBand, threshold)
+
+  /** [[incrementalLshNovelFromLedger]] — the production refresh: the
+    * old side arrives as a persisted [[LshLedger]] (bucket + set
+    * tables), so the refresh plan scans ledger parquet and the landing
+    * batch ONLY — no signature/shingle recomputation over history, no
+    * read of the ingested corpus's text. Work per refresh is
+    * O(|ledger scan| + |new| + collisions). Semantics are identical to
+    * [[incrementalLshNovel]] (spec-enforced). */
+  def incrementalLshNovelFromLedger(oldLedger: LshLedger,
+                                    newDocs: DataFrame, id: String,
+                                    setCol: String, k: Int, bands: Int,
+                                    rowsPerBand: Int,
+                                    threshold: Double): DataFrame =
+    incrementalLshNovelFromLedgerScoped(oldLedger, newDocs, id, setCol,
+      k, bands, rowsPerBand, threshold).df
+
+  /** [[incrementalLshNovelFromLedger]] with an ownable cache lifetime. */
+  def incrementalLshNovelFromLedgerScoped(oldLedger: LshLedger,
+                                          newDocs: DataFrame, id: String,
+                                          setCol: String, k: Int,
+                                          bands: Int, rowsPerBand: Int,
+                                          threshold: Double): Scoped = {
     require(bands * rowsPerBand == k, "k must equal bands*rowsPerBand")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the batch side feeds three branches (two candidate joins + the
     // verify joins) — persist it; the OLD side streams through exactly
-    // once per use (buckets, verify sets) and is never collected
+    // once per use (bucket join, verify sets) and is never collected
     val newSets = newDocs.select(col(id), col(setCol)).persist(lvl)
-    val oldSets = oldDocs.select(col(id), col(setCol))
+    val oldSets = oldLedger.sets
     val newSig = minhashSignature(newSets, id, setCol, k).persist(lvl)
     val newBk = lshBuckets(newSig, id, bands, rowsPerBand)
       .select(col(id).as("id_new"), col("band"), col("bucket"))
       .persist(lvl)
-    val oldBk = lshBuckets(minhashSignature(oldSets, id, setCol, k),
-      id, bands, rowsPerBand)
+    val oldBk = oldLedger.buckets
 
     // candidate generation: (band, bucket) equi-joins, new side only
     val vsOld = newBk

@@ -19,36 +19,52 @@ object VerifyProbe {
       r
     }
 
-    // warm the JIT/scan cache once
-    docs.count()
+    docs.count() // warm the scan cache
 
-    // q64 stage isolation at sf0.1 (VERDICT r5 item 3):
-    // (a) the filter stages + pair mining alone — via the SAME
-    //     CorpusPipeline helpers q64 ships, so the probe can't drift
-    val filtered = exec.CorpusPipeline.filteredCorpus(docs)
-    val scoped = exec.CorpusPipeline.nearDupPairGraph(filtered, 0.6)
-    val pairs = time("pair-mining") {
-      scoped.df.localCheckpoint()
-    }
-    println(s"pairs=${pairs.count()}")
+    // Round-7 LSH ledger: bootstrap → persist → refresh-from-ledger →
+    // append → idempotent re-land, the full production lifecycle.
+    val root = java.nio.file.Files.createTempDirectory("probe_ledger").toString
+    val withSets = docs.withColumn("_sh", ops.ApproxDedup.wordNgrams(col("text"), 2))
+    val old = withSets.filter(col("doc_id") % 10 =!= 0)
+    val batch = withSets.filter(col("doc_id") % 10 === 0)
 
-    // (b) CC alone on the materialized pairs — 5 reps, noise floor
-    (1 to 5).foreach { r =>
-      val cc = time(s"cc-survivors-$r") {
-        ops.ConnectedComponents.survivors(filtered, "doc_id", pairs,
-          "id_a", "id_b").count()
-      }
-      println(s"survivors=$cc")
+    val boot = time("ledger-bootstrap") {
+      val l = ops.ApproxDedup.lshLedger(old, "doc_id", "_sh", 16, 4, 4)
+      l.buckets.write.parquet(s"$root/buckets")
+      l.sets.write.parquet(s"$root/sets")
     }
-    scoped.release()
+    val ledger = ops.ApproxDedup.LshLedger(
+      spark.read.parquet(s"$root/buckets"),
+      spark.read.parquet(s"$root/sets"))
 
-    // (c) the whole q64 as the bench runs it — 3 reps
-    (1 to 3).foreach { r =>
-      val full = time(s"q64-full-$r") {
-        Queries.all("q64_full_clean")(spark, sf).count()
-      }
-      println(s"q64 rows=$full")
+    val novel = time("refresh-from-ledger") {
+      ops.ApproxDedup.incrementalLshNovelFromLedger(
+        ledger, batch, "doc_id", "_sh", 16, 4, 4, threshold = 0.5)
+        .localCheckpoint()
     }
+    println(s"novel=${novel.count()} of batch=${batch.count()}")
+
+    val selfContained = time("refresh-self-contained") {
+      ops.ApproxDedup.incrementalLshNovel(
+        old, batch, "doc_id", "_sh", 16, 4, 4, threshold = 0.5).count()
+    }
+    assert(novel.count() == selfContained,
+      s"ledger form ${novel.count()} != self-contained $selfContained")
+
+    val ledger1 = time("ledger-append") {
+      val l = ops.ApproxDedup.updatedLshLedger(
+        ledger, novel, "doc_id", "_sh", 16, 4, 4)
+      l.buckets.write.parquet(s"$root/buckets2")
+      l.sets.write.parquet(s"$root/sets2")
+      ops.ApproxDedup.LshLedger(
+        spark.read.parquet(s"$root/buckets2"),
+        spark.read.parquet(s"$root/sets2"))
+    }
+    val reland = time("idempotent-reland") {
+      ops.ApproxDedup.incrementalLshNovelFromLedger(
+        ledger1, batch, "doc_id", "_sh", 16, 4, 4, threshold = 0.5).count()
+    }
+    assert(reland == 0L, s"re-landing the same batch kept $reland docs")
 
     println("PROBE_OK")
     spark.stop()
