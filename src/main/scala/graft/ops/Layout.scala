@@ -61,11 +61,17 @@ object Layout {
     * exposed so plan audits can inspect the layout job's shape without
     * executing a write. */
   def zLayout(df: DataFrame, dims: Seq[Column], bits: Int,
-              numFiles: Int): DataFrame =
+              numFiles: Int): DataFrame = {
+    // the helper column is dropped on the way out, so a user column
+    // with the same name would be silently clobbered AND removed from
+    // the written output — refuse instead
+    require(!df.columns.contains("_z"),
+      "zLayout uses '_z' as its helper column; rename the input's _z column")
     df.withColumn("_z", zValue(dims, bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+  }
 
   /** Z-layout profile: bucket rows by the TOP `bucketBits` of their
     * Z-value (the file-grain a range-partitioned write would produce)

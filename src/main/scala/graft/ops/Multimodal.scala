@@ -2,7 +2,7 @@ package graft.ops
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: images/audio/video ride through the
@@ -85,6 +85,68 @@ object Multimodal {
         }
       }
   }
+
+  /** 60-bit dHash-style perceptual fingerprint over a decoded pixel
+    * scanline, as a DataFrame op: (id, dhash: long).
+    *
+    * Real dHash: decode → grayscale → box-downsample to a (W+1)×H grid
+    * → set bit (r,c) when cell (r,c) is brighter than its right
+    * neighbor. Here the decode is the same honest stand-in as
+    * [[fakeDecode]]: the payload's byte stream IS the scanline (one
+    * byte = one pixel intensity — exact for the ASCII synthetic
+    * fixtures), so the box-downsample (the actual perceptual step —
+    * averaging over [n·c/66, n·(c+1)/66) slices) and the
+    * neighbor-comparison hash run unmodified on real pixel rows when a
+    * codec replaces the stub. Grid is 11×6 = 66 cells → 6 rows × 10
+    * comparisons = 60 bits, the engine's fingerprint-width convention
+    * ([[ApproxDedup.simhash]]), so [[ApproxDedup.simhashPairs]]'
+    * Hamming band-bucket miner consumes these fingerprints as-is.
+    *
+    * Portability contract (the oracle replays every step):
+    *  - cell boundaries are exact integral floor-divisions — the
+    *    double `floor(n·c / 66)` is exact because n·c < 2^15 keeps the
+    *    quotient well inside double precision;
+    *  - brightness comparison is cross-multiplied (`sum_a·cnt_b >
+    *    sum_b·cnt_a`) — no division, no rounding, no halfway cases;
+    *  - empty cells (n < 66) contribute sum 0, count 0, so their
+    *    comparisons are deterministically false on both engines. */
+  def dhashSignatures(df: DataFrame, id: String, px: Column): DataFrame = {
+    val W = 11; val H = 6
+    val cells = W * H
+    val bits = (W - 1) * H // 60
+    val n = length(px).cast("long")
+    def bound(c: Column): Column = floor(n * c / lit(cells)).cast("long")
+    val stats = transform(sequence(lit(0), lit(cells - 1)), c => {
+      val st = bound(c); val en = bound(c + lit(1))
+      struct(
+        when(en > st,
+          aggregate(sequence(st + lit(1L), en), lit(0L),
+            (acc, p) => acc + ascii(px.substr(p.cast("int"), lit(1)))))
+          .otherwise(lit(0L)).as("s"),
+        (en - st).as("cnt"))
+    })
+    // two selects: the 66-cell downsample materializes ONCE per row,
+    // then 60 bit comparisons read it — not 60 re-evaluations
+    val withStats = df.select(col(id), stats.as("_cells"))
+    def cs(i: Int): Column = col("_cells").getItem(i).getField("s")
+    def cn(i: Int): Column = col("_cells").getItem(i).getField("cnt")
+    val fp = (0 until bits).map { b =>
+      val cell = b / (W - 1) * W + b % (W - 1)
+      when(cs(cell) * cn(cell + 1) > cs(cell + 1) * cn(cell),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withStats.select(col(id), fp.as("dhash"))
+  }
+
+  /** Deterministic stand-in for a lossy re-encode of the synthetic
+    * scanline payload: same length, a few pixel values changed — the
+    * perturbation class a perceptual hash must absorb (vs. append/crop,
+    * which shifts every downsample boundary and rightly reads as a
+    * DIFFERENT image to dHash). */
+  def fakeReencode(px: Column): Column = concat(
+    substring(px, 1, 10), lit("q"),
+    substring(px, 12, 15), lit("z"),
+    px.substr(lit(28), length(px)))
 
   /** Decode metadata partition-wise: one codec (here: MessageDigest)
     * instance per partition, streaming iteration — the executor never

@@ -85,7 +85,12 @@ object SemanticDedup {
     val oldA = assignedUnit(oldEmb)
     val newA = assignedUnit(newEmb).persist(lvl)
     ApproxDedup.requireBoundedBlocks(newA, "centroid_id", maxBlockRows,
-      "incrementalSurvivors")
+      "incrementalSurvivors (batch side)")
+    // the new×old per-cell join cost is the PRODUCT of both cell
+    // populations, so a hot old-side cell inflates it just as much as a
+    // hot batch cell — guard both sides when a bound is requested
+    ApproxDedup.requireBoundedBlocks(oldA, "centroid_id", maxBlockRows,
+      "incrementalSurvivors (ingested side)")
     val probe = newA.select(col(id).as("id_new"), col("centroid_id"),
       col("uv").as("vn"))
     def dupIds(other: DataFrame, keep: Column): DataFrame =

@@ -26,13 +26,18 @@ object TextAnalysis {
     * removal (trafilatura-class DOM scoring) plugs in ABOVE this as a
     * better extractor; this is the portable, deterministic baseline. */
   def extractHtmlText(html: Column): Column = {
-    val noBlocks = regexp_replace(html,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    // paired per-tag patterns (not <(script|style)>.*?</(script|style)>,
+    // whose unanchored pairing lets '<script>…</style>' match and an
+    // unclosed script swallow content up to an unrelated closing tag)
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noBlocks = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]+>", " ")
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
-    trim(regexp_replace(unescaped, "\\s+", " "))
+    // explicit whitespace class: Java \s and RE2 (DuckDB oracle) \s
+    // disagree on \x0B, so neither side may use the shorthand
+    trim(regexp_replace(unescaped, "[ \\t\\n\\f\\r\\x0B]+", " "))
   }
 
   /** Whitespace tokenization (the BPE-ish regex variant is `tokensBy`). */

@@ -26,7 +26,8 @@ object PlanProbe {
       "q103_json_props", "q104_incremental_ingest", "q105_user_similarity",
       "q106_funnel_stream", "q107_clustered_scan",
       "q108_incremental_neardup", "q109_incremental_semdedup",
-      "q110_refresh_pipeline", "q111_html_extract")
+      "q110_refresh_pipeline", "q111_html_extract",
+      "q112_image_phash", "q113_image_neardup")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering

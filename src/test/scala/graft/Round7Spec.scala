@@ -4,7 +4,70 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 
-import graft.ops.ApproxDedup
+import graft.ops.{ApproxDedup, Multimodal}
+
+/** Perceptual-hash image near-dup (q112/q113's operator in isolation):
+  * recall within the Hamming banding radius and the dHash invariances
+  * that make it a PERCEPTUAL fingerprint. */
+class PerceptualHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The q113 image corpus: every document + a re-encoded copy of
+    * every fifth one. */
+  private def images(): DataFrame = {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.select(col("doc_id").as("img_id"), col("text").as("px"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("img_id"),
+          Multimodal.fakeReencode(col("text")).as("px")))
+  }
+
+  test("banded mining == brute force within the guaranteed radius") {
+    val sig = Multimodal.dhashSignatures(images(), "img_id", col("px"))
+      .persist()
+    val banded = ApproxDedup.simhashPairs(sig, "img_id", "dhash",
+        bits = 60, bands = 4, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force is exact ground truth; maxHamming=3 < bands=4 means
+    // the pigeonhole guarantees banding misses NOTHING inside radius 3
+    val a = sig.select(col("img_id").as("id_a"), col("dhash").as("ha"))
+    val b = sig.select(col("img_id").as("id_b"), col("dhash").as("hb"))
+    val brute = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    sig.unpersist()
+    assert(banded == brute)
+    // non-vacuous: the re-encoded copies actually collide
+    assert(brute.count { case (x, y) => y - x == 1000000L } > 50,
+      s"fixture produced too few re-encode collisions: $brute")
+  }
+
+  test("dHash absorbs pixel edits but not crops/appends") {
+    val base = ("a1b2" * 100).take(331)
+    val df = Seq(
+      1L -> base,
+      2L -> ("zz" + base.drop(2)), // re-encode-class: same length
+      3L -> (base + " tail12345"), // append shifts every cell boundary
+      4L -> base.drop(10) // crop likewise
+    ).toDF("img_id", "px")
+    val h = Multimodal.dhashSignatures(df, "img_id", col("px"))
+      .as[(Long, Long)].collect().toMap
+    def hd(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(hd(h(1L), h(2L)) <= 3, s"pixel edit moved ${hd(h(1L), h(2L))} bits")
+    assert(hd(h(1L), h(3L)) > 3 && hd(h(1L), h(4L)) > 3,
+      "append/crop should read as different images")
+  }
+
+  test("short scanlines (len < 66 cells) hash deterministically") {
+    val df = Seq(5L -> "short but real content here!", 6L -> "x")
+      .toDF("img_id", "px")
+    val once = Multimodal.dhashSignatures(df, "img_id", col("px"))
+      .as[(Long, Long)].collect().toMap
+    assert(once.size == 2 && once.values.forall(_ >= 0L))
+  }
+}
 
 /** Round-7 contracts for the persisted MinHash-LSH ledger
   * ([[ApproxDedup.LshLedger]]): the incremental near-dup refresh must
