@@ -3418,21 +3418,45 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------- incremental semantic refresh
-  /** [[SemanticDedup.incrementalSurvivors]]: a new embedding batch
-    * (vec_id % 10 = 0) deduped against the ingested corpus with LEDGER
-    * centroids (k-means trained on the ingested side only — a batch
-    * must not move the index) and no old×old pair work — the semantic
-    * member of the incremental-refresh trio (q104 exact, q108 lexical).
-    * The oracle replays the old-only training chain, assigns everything
-    * to the trained centroids, and drops batch vectors with a rounded
-    * unit-cosine ≥ 0.3 vs any old cell-mate or smaller-id batch
-    * cell-mate. */
+
+  /** The ingested corpus's persisted semantic ledger — frozen k-means
+    * centroids + unit-vector assignments, bootstrapped once per
+    * session ([[cachedLedger]]'s write-once convention, both tables
+    * from ONE k-means run); thereafter q109/q110 refreshes scan ledger
+    * parquet + the landing batch only. */
+  private def semLedgerFor(s: SparkSession, dir: String): SemanticDedup.SemLedger = {
+    val centPath = fixPath("sem_ledger_cent", dir)
+    val asnPath = fixPath("sem_ledger_asn", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(centPath) || missing(asnPath)) {
+      val l = SemanticDedup.semLedger(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", k = 8, iters = 2)
+      l.centroids.write.mode("overwrite").parquet(centPath)
+      l.assignments.write.mode("overwrite").parquet(asnPath)
+    }
+    SemanticDedup.SemLedger(
+      s.read.parquet(centPath), s.read.parquet(asnPath))
+  }
+
+  /** [[SemanticDedup.incrementalSurvivorsFromLedger]]: a new embedding
+    * batch (vec_id % 10 = 0) deduped against the ingested corpus with
+    * LEDGER centroids (k-means trained on the ingested side only — a
+    * batch must not move the index) and no old×old pair work — the
+    * semantic member of the incremental-refresh trio (q104 exact, q108
+    * lexical). The refresh reads the persisted centroid + assignment
+    * ledger ([[semLedgerFor]]) — the ingested corpus's embeddings are
+    * never re-read, never re-assigned. The oracle replays the old-only
+    * training chain, assigns everything to the trained centroids, and
+    * drops batch vectors with a rounded unit-cosine ≥ 0.3 vs any old
+    * cell-mate or smaller-id batch cell-mate. */
   private def qIncrementalSemDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    SemanticDedup.incrementalSurvivors(
-        emb.filter(col("vec_id") % 10 =!= 0),
+    SemanticDedup.incrementalSurvivorsFromLedger(
+        semLedgerFor(s, dir),
         emb.filter(col("vec_id") % 10 === 0),
-        "vec_id", "embedding", k = 8, iters = 2, threshold = 0.3)
+        "vec_id", "embedding", threshold = 0.3)
       .orderBy("vec_id")
   }
 
@@ -3492,9 +3516,11 @@ object Queries {
     s2sc.release()
     val batchEmb = emb.join(s2.select(col("doc_id").as("vec_id")),
       Seq("vec_id"))
-    val s3 = SemanticDedup.incrementalSurvivors(
-      emb.filter(col("vec_id") % 10 =!= 0), batchEmb,
-      "vec_id", "embedding", k = 8, iters = 2, threshold = 0.3)
+    // stage 3 reads the persisted semantic ledger too — neither the
+    // old corpus's text (stage 2) nor its embeddings are re-derived
+    val s3 = SemanticDedup.incrementalSurvivorsFromLedger(
+      semLedgerFor(s, dir), batchEmb, "vec_id", "embedding",
+      threshold = 0.3)
     // anti-join on the DROPPED set, not inner-join on survivors: a doc
     // with no embedding row is absent from both and must pass through
     val dropped = batchEmb.select(col("vec_id").as("doc_id"))

@@ -34,6 +34,49 @@ object SemanticDedup {
       .select(col("corpus_id").as(id), col("centroid_id"), col("cv"))
   }
 
+  /** The persisted state of an incremental semantic near-dup index:
+    * `centroids` — the FROZEN k-means index (centroid_id, vector),
+    * trained once on the ingested corpus — and `assignments` —
+    * (id, centroid_id, unit-vector) for every ingested embedding.
+    * Both plain DataFrames, so production stores them as parquet
+    * (assignments bucketed by centroid_id for a co-located cell join)
+    * and a refresh READS them: the plan never touches the ingested
+    * corpus's raw embeddings, the same property
+    * [[graft.ops.ApproxDedup.LshLedger]] gives the lexical gate.
+    * Unit vectors round-trip parquet bit-exactly (doubles), so ledger
+    * cosines equal recomputed cosines. */
+  final case class SemLedger(centroids: DataFrame, assignments: DataFrame)
+
+  /** Derive ledger content from the ingested corpus — the one-time
+    * bootstrap: train k-means on it, assign it, unit-normalize. */
+  def semLedger(oldEmb: DataFrame, id: String, vecCol: String,
+                k: Int, iters: Int): SemLedger = {
+    val spark = oldEmb.sparkSession
+    import spark.implicits._
+    val cents = Similarity.kmeansFit(oldEmb, id, vecCol, k, iters)
+      .zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("centroid_id", vecCol)
+    SemLedger(cents, assignUnit(oldEmb, cents, id, vecCol))
+  }
+
+  /** The ledger after landing a batch: centroids FROZEN (a batch must
+    * not move the index — re-training is an explicit offline rebuild,
+    * not a refresh side effect), assignments appended with the
+    * surviving batch vectors'. Same append-only contract as
+    * [[graft.ops.Dedup.updatedLedger]] / `updatedLshLedger`. */
+  def updatedSemLedger(ledger: SemLedger, novelEmb: DataFrame,
+                       id: String, vecCol: String): SemLedger =
+    SemLedger(ledger.centroids,
+      ledger.assignments.unionByName(
+        assignUnit(novelEmb, ledger.centroids, id, vecCol)))
+
+  private def assignUnit(emb: DataFrame, cents: DataFrame, id: String,
+                         vecCol: String): DataFrame =
+    Similarity.ivfAssign(emb, cents, id, "centroid_id", vecCol)
+      .select(col("corpus_id").as(id), col("centroid_id"),
+        Similarity.unitNorm(col("cv")).as("uv"))
+
   /** Incremental semantic dedup: the NEW batch's survivors against an
     * already-ingested embedding corpus — the semantic sibling of the
     * exact ledger ([[Dedup.incrementalNovel]]) and the lexical refresh
@@ -71,19 +114,39 @@ object SemanticDedup {
   def incrementalSurvivorsScoped(oldEmb: DataFrame, newEmb: DataFrame,
                                  id: String, vecCol: String, k: Int,
                                  iters: Int, threshold: Double,
-                                 maxBlockRows: Int = 0): ApproxDedup.Scoped = {
-    val spark = oldEmb.sparkSession
-    import spark.implicits._
-    val cents = Similarity.kmeansFit(oldEmb, id, vecCol, k, iters)
-      .zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("centroid_id", vecCol)
-    def assignedUnit(df: DataFrame): DataFrame =
-      Similarity.ivfAssign(df, cents, id, "centroid_id", vecCol)
-        .select(col("corpus_id").as(id), col("centroid_id"),
-          Similarity.unitNorm(col("cv")).as("uv"))
+                                 maxBlockRows: Int = 0): ApproxDedup.Scoped =
+    incrementalSurvivorsFromLedgerScoped(
+      semLedger(oldEmb, id, vecCol, k, iters), newEmb, id, vecCol,
+      threshold, maxBlockRows)
+
+  /** [[incrementalSurvivorsFromLedgerScoped]], eager + cache-released
+    * — the production refresh entry point. */
+  def incrementalSurvivorsFromLedger(ledger: SemLedger, newEmb: DataFrame,
+                                     id: String, vecCol: String,
+                                     threshold: Double,
+                                     maxBlockRows: Int = 0): DataFrame = {
+    val sc = incrementalSurvivorsFromLedgerScoped(ledger, newEmb, id,
+      vecCol, threshold, maxBlockRows)
+    val out = sc.df.localCheckpoint()
+    sc.release()
+    out
+  }
+
+  /** The production semantic refresh: the old side arrives as a
+    * persisted [[SemLedger]] (frozen centroids + unit-vector
+    * assignments), so the refresh plan scans ledger parquet and the
+    * landing batch ONLY — no k-means re-train, no re-assignment, no
+    * read of the ingested corpus's embeddings. Semantics identical to
+    * [[incrementalSurvivorsScoped]] (spec-enforced). */
+  def incrementalSurvivorsFromLedgerScoped(ledger: SemLedger,
+                                           newEmb: DataFrame, id: String,
+                                           vecCol: String,
+                                           threshold: Double,
+                                           maxBlockRows: Int = 0)
+      : ApproxDedup.Scoped = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val oldA = assignedUnit(oldEmb)
-    val newA = assignedUnit(newEmb).persist(lvl)
+    val oldA = ledger.assignments
+    val newA = assignUnit(newEmb, ledger.centroids, id, vecCol).persist(lvl)
     ApproxDedup.requireBoundedBlocks(newA, "centroid_id", maxBlockRows,
       "incrementalSurvivors (batch side)")
     // the new×old per-cell join cost is the PRODUCT of both cell

@@ -4,7 +4,112 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{ApproxDedup, Multimodal}
+import graft.ops.{ApproxDedup, Multimodal, SemanticDedup}
+
+/** Round-7 contracts for the persisted semantic ledger
+  * ([[SemanticDedup.SemLedger]]) — the q109 sibling of
+  * [[LshLedgerSpec]]: frozen centroids + unit-vector assignments
+  * round-trip parquet, the refresh never re-reads the ingested
+  * embeddings, and the append contract keeps re-landing idempotent. */
+class SemLedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val embPath = "/root/testdata/sf0.01/embeddings.parquet"
+
+  /** Every file-scan root path in the PHYSICAL plan, descending into
+    * cached (InMemoryRelation) subtrees — a `.persist` must not hide a
+    * scan of the forbidden table from this audit. */
+  private def scanPaths(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): Seq[String] = p.collect {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+      case m: InMemoryTableScanExec => walk(m.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+    }.flatten
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("parquet-round-tripped ledger form == self-contained form") {
+    val emb = spark.read.parquet(embPath)
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+
+    val root = tmpDir("sem_ledger_rt")
+    val built = SemanticDedup.semLedger(old, "vec_id", "embedding", 8, 2)
+    built.centroids.write.parquet(s"$root/cent")
+    built.assignments.write.parquet(s"$root/asn")
+    val ledger = SemanticDedup.SemLedger(
+      spark.read.parquet(s"$root/cent"), spark.read.parquet(s"$root/asn"))
+
+    val viaLedger = SemanticDedup.incrementalSurvivorsFromLedger(
+        ledger, batch, "vec_id", "embedding", threshold = 0.3)
+      .select("vec_id").orderBy("vec_id").as[Long].collect().toSeq
+    val selfContained = SemanticDedup.incrementalSurvivors(
+        old, batch, "vec_id", "embedding", k = 8, iters = 2,
+        threshold = 0.3)
+      .select("vec_id").orderBy("vec_id").as[Long].collect().toSeq
+    assert(viaLedger == selfContained)
+    assert(viaLedger.size < batch.count(),
+      "fixture has no semantic near-dups — the equality proved nothing")
+  }
+
+  test("refresh plan scans ledger + batch only — never the old embeddings") {
+    val emb = spark.read.parquet(embPath)
+    val root = tmpDir("sem_ledger_plan")
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .write.parquet(s"$root/old_embeddings")
+    emb.filter(col("vec_id") % 10 === 0)
+      .write.parquet(s"$root/landing_batch")
+
+    val built = SemanticDedup.semLedger(
+      spark.read.parquet(s"$root/old_embeddings"),
+      "vec_id", "embedding", 8, 2)
+    built.centroids.write.parquet(s"$root/cent")
+    built.assignments.write.parquet(s"$root/asn")
+
+    val refreshSc = SemanticDedup.incrementalSurvivorsFromLedgerScoped(
+      SemanticDedup.SemLedger(
+        spark.read.parquet(s"$root/cent"), spark.read.parquet(s"$root/asn")),
+      spark.read.parquet(s"$root/landing_batch"),
+      "vec_id", "embedding", threshold = 0.3)
+    // the SCOPED (lazy) form exposes the real plan — the eager form
+    // returns a checkpoint scan that hides it
+    val paths = scanPaths(refreshSc.df)
+    refreshSc.release()
+    assert(paths.nonEmpty)
+    assert(!paths.exists(_.contains("old_embeddings")),
+      s"refresh plan re-scans the ingested embeddings: $paths")
+    assert(paths.exists(_.contains("cent")) &&
+      paths.exists(_.contains("asn")) &&
+      paths.exists(_.contains("landing_batch")), paths.toString)
+  }
+
+  test("updatedSemLedger freezes centroids, appends, re-landing drops all") {
+    val emb = spark.read.parquet(embPath)
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+
+    val ledger0 = SemanticDedup.semLedger(old, "vec_id", "embedding", 8, 2)
+    val novelIds = SemanticDedup.incrementalSurvivorsFromLedger(
+      ledger0, batch, "vec_id", "embedding", threshold = 0.3)
+    val novel = batch.join(novelIds.select("vec_id"), Seq("vec_id"))
+    val ledger1 = SemanticDedup.updatedSemLedger(
+      ledger0, novel, "vec_id", "embedding")
+
+    // centroids are the SAME object — frozen by construction
+    assert(ledger1.centroids eq ledger0.centroids)
+    assert(ledger1.assignments.count() ==
+      ledger0.assignments.count() + novel.count())
+    // every re-landed batch vector meets itself (cosine 1.0) or its
+    // original dup in the updated ledger → zero survivors
+    val rerun = SemanticDedup.incrementalSurvivorsFromLedger(
+      ledger1, batch, "vec_id", "embedding", threshold = 0.3)
+    assert(rerun.count() == 0L)
+  }
+}
 
 /** Perceptual-hash image near-dup (q112/q113's operator in isolation):
   * recall within the Hamming banding radius and the dHash invariances
