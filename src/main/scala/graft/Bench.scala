@@ -53,6 +53,13 @@ object Bench {
       .filter(_.nonEmpty) // set-but-empty must mean "all", not "none"
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // Queries whose FIRST run pays deterministic one-time setup —
+    // streaming checkpoint dirs (q106), a full clustered-table write
+    // fixture (q107), ledger bootstrap parquet (q108-q110): that run
+    // measures setup, not the query, and it blinded r6→r7 regression
+    // detection (q110 spread 20.3s on a 6.4s median). One discarded
+    // warm-up absorbs it; the timed runs then measure the steady state.
+    val oneTimeSetup = Set("q106", "q107", "q108", "q109", "q110")
     val results = selected.map { case (name, fn) =>
       def one(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -61,6 +68,7 @@ object Bench {
                    System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      if (oneTimeSetup.contains(name.takeWhile(_ != '_'))) one() // discarded
       var runs = (1 to 3).toVector.map(_ => one())
       // Noise floor (round-5 finding: q40's 10.8s spread on a 4.2s
       // median made sink-bound regressions undetectable): when the
