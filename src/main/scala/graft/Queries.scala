@@ -2015,12 +2015,18 @@ object Queries {
     * Jaccard ≥ 0.6. The oracle replays all four stages, reusing the
     * shared MinHash CTEs over the gated relation and a recursive
     * closure for the cluster collapse. */
-  private def qFullClean(s: SparkSession, dir: String): DataFrame =
-    exec.CorpusPipeline.cleanPlan(t(s, dir, "documents"),
-        minTokens = 30, maxPunctRatio = 0.05, maxDupWordFrac = 0.6,
-        nearDupThreshold = 0.6)
-      .select("doc_id", "source", "lang", "n_chars")
-      .orderBy("doc_id")
+  private def qFullClean(s: SparkSession, dir: String): DataFrame = {
+    // scoped form: the filtered corpus materializes once and feeds both
+    // the pair mining and the survivor anti-join; the (small) survivor
+    // projection is checkpointed so the cache can release immediately
+    val sc = exec.CorpusPipeline.cleanPlanScoped(t(s, dir, "documents"),
+      minTokens = 30, maxPunctRatio = 0.05, maxDupWordFrac = 0.6,
+      nearDupThreshold = 0.6)
+    val out = sc.df.select("doc_id", "source", "lang", "n_chars")
+      .localCheckpoint()
+    sc.release()
+    out.orderBy("doc_id")
+  }
 
   private val oFullClean =
     s"""WITH RECURSIVE d0 AS (

@@ -99,6 +99,25 @@ object CorpusPipeline {
       filteredCorpus(docs, minTokens, maxPunctRatio, maxDupWordFrac),
       nearDupThreshold)
 
+  /** [[cleanPlan]] with the filtered corpus persisted across its TWO
+    * consumers — the shingle/pair-mining branch and the final
+    * survivor anti-join both sit on the filter→gate→window subtree,
+    * and without a shared materialization the whole subtree evaluates
+    * twice per run (the expensive half is the per-document expression
+    * work: tokenization, punctuation scrub, dup-word fraction). The
+    * caller owns the release ([[ApproxDedup.Scoped]]), the same
+    * lifetime contract as the LSH intermediates. */
+  def cleanPlanScoped(docs: DataFrame, minTokens: Int = 8,
+                      maxPunctRatio: Double = 0.1,
+                      maxDupWordFrac: Double = 1.0,
+                      nearDupThreshold: Double = 0.6): ApproxDedup.Scoped = {
+    val filtered =
+      filteredCorpus(docs, minTokens, maxPunctRatio, maxDupWordFrac)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = nearDupCollapse(filtered, nearDupThreshold)
+    ApproxDedup.Scoped(out, () => { filtered.unpersist(); () })
+  }
+
   /** Training-data preparation as ONE lazy plan — the curation half
     * that follows [[cleanPlan]]'s dedup half:
     *

@@ -177,10 +177,26 @@ object ApproxDedup {
   def minhashPerm(h: Column, i: Int): Column =
     (h * (2 * i + 1) + 7919L * i) % MinhashPrime
 
-  /** MinHash signatures: one row per id with columns mh_0..mh_{k-1}.
-    * One explode + one map-side-combined groupBy of k mins — the raw
-    * text is scanned once regardless of k. */
+  /** MinHash signatures: one row per id with columns mh_0..mh_{k-1},
+    * computed ROW-LOCAL by the native `minhash_sig` kernel
+    * ([[graft.plans.MinhashSig]]) — no explode, no shuffle; the
+    * signature step runs at scan speed and the first exchange in a
+    * pair-mining plan is the (band, bucket) collision join. The
+    * null/empty filter replicates the composable form's semantics
+    * (explode emits nothing for a null or empty shingle set, so the
+    * document simply has no signature row). */
   def minhashSignature(df: DataFrame, id: String, setCol: String, k: Int): DataFrame = {
+    val mh = call_function("minhash_sig", col(setCol), lit(k))
+    df.filter(col(setCol).isNotNull && size(col(setCol)) > 0)
+      .select(col(id), mh.as("_mh"))
+      .select(col(id) +:
+        (0 until k).map(i => element_at(col("_mh"), i + 1).as(s"mh_$i")): _*)
+  }
+
+  /** The composable explode + k-min groupBy form of
+    * [[minhashSignature]] — the portable baseline the kernel must match
+    * bit-for-bit (MinhashSigSpec), kept per the docs/KERNELS.md rule. */
+  def minhashSignatureHof(df: DataFrame, id: String, setCol: String, k: Int): DataFrame = {
     val h = hash32(col("_shingle"))
     val aggs = (0 until k).map(i => min(minhashPerm(h, i)).as(s"mh_$i"))
     df.select(col(id), explode(col(setCol)).as("_shingle"))

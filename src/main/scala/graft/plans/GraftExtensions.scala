@@ -63,6 +63,22 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           lit(children(1), "k"), lit(children(2), "w"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[MinhashSig].getName,
+        null,
+        "minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "minhash_sig expects (array<string> shingles, int k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig: k must be an integer literal")
+        }
+        MinhashSig(children.head, k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(
         classOf[NfcNormalize].getName,

@@ -6,6 +6,57 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{ApproxDedup, Multimodal, SemanticDedup}
 
+/** The native `minhash_sig` kernel vs the composable explode + k-min
+  * groupBy baseline — docs/KERNELS.md's bitwise-equality rule. */
+class MinhashSigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withSets = spark.read
+    .parquet("/root/testdata/sf0.01/documents.parquet")
+    .withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
+
+  test("kernel signature == explode-form signature, every doc, every k-slot") {
+    val k = 16
+    val fast = ApproxDedup.minhashSignature(withSets, "doc_id", "_sh", k)
+      .orderBy("doc_id").collect()
+    val slow = ApproxDedup.minhashSignatureHof(withSets, "doc_id", "_sh", k)
+      .orderBy("doc_id").collect()
+    assert(fast.length == slow.length && fast.nonEmpty)
+    fast.zip(slow).foreach { case (f, s) =>
+      assert(f == s, s"signature mismatch for doc ${f.getLong(0)}")
+    }
+  }
+
+  test("null/empty shingle sets drop the document in both forms") {
+    val df = Seq(
+      (1L, Seq("a b", "b c")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])
+    ).toDF("doc_id", "_sh")
+    val fast = ApproxDedup.minhashSignature(df, "doc_id", "_sh", 4)
+      .select("doc_id").as[Long].collect().toSeq
+    val slow = ApproxDedup.minhashSignatureHof(df, "doc_id", "_sh", 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(fast == Seq(1L) && slow == Seq(1L))
+  }
+
+  test("minhash_sig runs inside whole-stage codegen") {
+    // NB the shingle input must itself be codegen-able here: a
+    // higher-order-function child (wordNgrams' transform) would force
+    // the whole projection out of the span regardless of the kernel —
+    // which is why production pipelines persist the shingle sets first
+    // (minhashLshPairsScoped) and the kernel projects off the cache
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("_sh"))
+    val sig = ApproxDedup.minhashSignature(df, "doc_id", "_sh", 8)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*minhash_sig""".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+    assert(sig.count() > 0)
+  }
+}
+
 /** Round-7 contracts for the persisted semantic ledger
   * ([[SemanticDedup.SemLedger]]) — the q109 sibling of
   * [[LshLedgerSpec]]: frozen centroids + unit-vector assignments

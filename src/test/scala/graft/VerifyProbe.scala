@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * driver testdata. */
 object VerifyProbe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(8)
+    val spark = GraftSession.local(32)
     val sf = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
 
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -18,18 +19,29 @@ object VerifyProbe {
       r
     }
 
-    spark.read.parquet(s"$sf/orders.parquet").count() // warm
+    docs.count() // warm
 
-    // q38 regression probe: time q29 (verification) vs q38 (summary)
-    (1 to 4).foreach { r =>
-      time(s"q29-verification-$r") {
-        Queries.all("q29_verification")(spark, sf).count()
-      }
-      time(s"q38-summary-$r") {
-        Queries.all("q38_verdict_summary")(spark, sf).count()
+    // where does pair mining spend: shingles vs signature vs join
+    (1 to 2).foreach { rep =>
+      val sets = docs
+        .withColumn("_sh", ops.ApproxDedup.wordNgrams(col("text"), 2))
+        .select(col("doc_id"), col("_sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"shingle-persist-$rep") { sets.count() }
+      val sig = ops.ApproxDedup.minhashSignature(sets, "doc_id", "_sh", 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"signature-$rep") { sig.count() }
+      val cand = ops.ApproxDedup.lshCandidatePairs(sig, "doc_id", 4, 4)
+      time(s"candidates-$rep") { println("cand=" + cand.count()) }
+      sets.unpersist(); sig.unpersist()
+    }
+
+    // quality-filter half
+    (1 to 2).foreach { rep =>
+      time(s"quality-filter-$rep") {
+        exec.CorpusPipeline.filteredCorpus(docs).count()
       }
     }
-    Queries.all("q38_verdict_summary")(spark, sf).explain("formatted")
 
     println("PROBE_OK")
     spark.stop()
