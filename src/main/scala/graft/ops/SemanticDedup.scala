@@ -71,8 +71,12 @@ object SemanticDedup {
       ledger.assignments.unionByName(
         assignUnit(novelEmb, ledger.centroids, id, vecCol)))
 
-  private def assignUnit(emb: DataFrame, cents: DataFrame, id: String,
-                         vecCol: String): DataFrame =
+  /** Unit-normalized centroid assignment of `emb` against a (frozen)
+    * centroid table — the ledger row shape ([[SemLedger.assignments]]);
+    * public so incremental jobs (streaming refresh) can compute a
+    * landed batch's assignment DELTA without rebuilding a ledger. */
+  def assignUnit(emb: DataFrame, cents: DataFrame, id: String,
+                 vecCol: String): DataFrame =
     Similarity.ivfAssign(emb, cents, id, "centroid_id", vecCol)
       .select(col("corpus_id").as(id), col("centroid_id"),
         Similarity.unitNorm(col("cv")).as("uv"))

@@ -6,6 +6,91 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{ApproxDedup, Multimodal, SemanticDedup}
 
+/** The streaming refresh pipeline ([[graft.streaming.RefreshStream]])
+  * vs the one-shot q110 composition: landing the batch as a stream of
+  * micro-batches — killed and resumed mid-stream — must produce the
+  * byte-identical accepted set, because the ledgers make each gate's
+  * view of history exact regardless of batching, and the
+  * self-excluding views + keyed upserts make replay idempotent. */
+class RefreshStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.streaming.RefreshStream
+
+  private val dir = "/root/testdata/sf0.01"
+
+  // q110's exact parameters (prefix fingerprint, word-bigram shingles,
+  // 16 = 4x4 MinHash, lexical 0.5, k-means 8x2, semantic 0.3)
+  private def pipeline = RefreshStream(
+    id = "doc_id",
+    fp = md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 8))),
+    shingles = graft.ops.ApproxDedup.wordNgrams(col("text"), 2),
+    k = 16, bands = 4, rowsPerBand = 4, lexThreshold = 0.5,
+    vecId = "vec_id", vecCol = "embedding",
+    semK = 8, semIters = 2, semThreshold = 0.3)
+
+  test("kill-and-resume stream of 3 landing files == one-shot q110, byte-identical") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val landing = docs.filter(col("doc_id") % 10 === 0)
+      .orderBy("doc_id").collect()
+    // ascending-id terciles: micro-batch order then matches the
+    // one-shot within-batch smaller-id winner convention
+    val batches = landing.grouped((landing.length + 2) / 3).toSeq
+    assert(batches.size == 3)
+
+    val root = tmpDir("refresh_stream")
+    val landingDir = s"$root/landing"
+    val p = pipeline
+    p.bootstrap(old, emb.filter(col("vec_id") % 10 =!= 0), root)
+
+    def writeFile(i: Int): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(batches(i).toIndexedSeq, 1),
+          docs.schema)
+        .write.mode("append").parquet(landingDir)
+
+    // land file 1, then KILL the query
+    writeFile(0)
+    val q1 = p.start(spark, landingDir, docs.schema, emb, root)
+    q1.processAllAvailable()
+    q1.stop()
+    // resume from the checkpoint; land the remaining files in order
+    val q2 = p.start(spark, landingDir, docs.schema, emb, root)
+    q2.processAllAvailable()
+    writeFile(1)
+    q2.processAllAvailable()
+    writeFile(2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = p.accepted(spark, root)
+      .select("doc_id", "source").as[(Long, String)]
+      .collect().toSeq.sorted
+    val oneShot = Queries.all("q110_refresh_pipeline")(spark, dir)
+      .select("doc_id", "source").as[(Long, String)]
+      .collect().toSeq.sorted
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty && streamed.size < landing.length,
+      "vacuous: the landing set must contain both accepted and dropped docs")
+
+    // replay the whole landing set once more (queue redelivery): the
+    // accepted store must not change — keyed upserts + self-excluding
+    // views make re-landing a no-op
+    batches.indices.foreach { i =>
+      p.processBatch(spark.createDataFrame(
+        spark.sparkContext.parallelize(batches(i).toIndexedSeq, 1),
+        docs.schema), emb, root)
+    }
+    val replayed = p.accepted(spark, root)
+      .select("doc_id", "source").as[(Long, String)]
+      .collect().toSeq.sorted
+    assert(replayed == streamed)
+  }
+}
+
 /** The native `minhash_sig` kernel vs the composable explode + k-min
   * groupBy baseline — docs/KERNELS.md's bitwise-equality rule. */
 class MinhashSigSpec extends SparkSpec {
