@@ -3708,6 +3708,182 @@ object Queries {
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------- HLL distinct sketch
+  /** Mergeable HyperLogLog distinct-count: per-status distinct
+    * customers on orders, with the sketch built from TWO shards and
+    * merged ([[Cardinality.merge]]) — the gate exercises the partial-
+    * aggregation path a 100 TB rollup uses (per-file sketches → max-
+    * merge), which is exactly equal to sketching the whole by
+    * max-associativity. Every arithmetic step is integer-exact and the
+    * one transcendental (linear-counting ln) is a shared precomputed
+    * lookup, so DuckDB replays the estimate bit-for-bit. */
+  private def qHllCardinality(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"), col("o_orderkey"),
+        col("o_custkey"))
+    val shards = Seq(orders.filter(col("o_orderkey") % 2 === 0),
+        orders.filter(col("o_orderkey") % 2 =!= 0))
+      .map(sh => Cardinality.sketch(sh, Seq("status"), col("o_custkey")))
+    Cardinality.estimate(Cardinality.merge(shards, Seq("status")),
+        Seq("status"))
+      .orderBy("status")
+  }
+
+  /** The HLL register→estimate pipeline as oracle CTEs, parametric over
+    * source/group/key so q114 and q117 replay the IDENTICAL algorithm
+    * (single point of divergence-proofing, like [[oPrefixFp]]).
+    * Requires a `lc(v, lce)` CTE ([[Cardinality.lcTableSql]]) in scope.
+    * Produces `${p}est(g, zero_regs, estimate)`. */
+  private def oHllChain(p: String, grp: String, keyExpr: String,
+                        from: String): String = {
+    val half = 1L << Cardinality.SuffixBits
+    val rhoMax = Cardinality.SuffixBits + 1
+    s"""${p}h AS (SELECT $grp AS g,
+       |    ('0x' || substr(md5($keyExpr), 1, 15))::BIGINT AS hv FROM $from),
+       |${p}b AS (SELECT g, hv // $half AS bucket, hv % $half AS w FROM ${p}h),
+       |${p}rho AS (SELECT g, bucket,
+       |      CASE WHEN w = 0 THEN $rhoMax ELSE $rhoMax - length(bin(w)) END AS rho
+       |    FROM ${p}b),
+       |${p}g AS (SELECT g, bucket, max(rho) AS m FROM ${p}rho GROUP BY 1, 2),
+       |${p}a AS (SELECT g, sum(1::BIGINT << ($rhoMax - m)) AS s_occ,
+       |      count(*) AS occupied FROM ${p}g GROUP BY 1),
+       |${p}e AS (SELECT g, ${Cardinality.M} - occupied AS zero_regs,
+       |      (s_occ + (${Cardinality.M} - occupied)
+       |         * (1::BIGINT << $rhoMax))::HUGEINT AS s FROM ${p}a),
+       |${p}raw AS (SELECT g, zero_regs,
+       |      CAST('${Cardinality.Numerator}' AS HUGEINT)
+       |        // (${Cardinality.AlphaDen}::HUGEINT * s) AS raw FROM ${p}e),
+       |${p}est AS (SELECT g, zero_regs,
+       |      CAST(CASE WHEN zero_regs > 0 AND raw <= ${Cardinality.LcThreshold}
+       |           THEN lce ELSE raw END AS BIGINT) AS estimate
+       |    FROM ${p}raw LEFT JOIN lc ON lc.v = ${p}raw.zero_regs)""".stripMargin
+  }
+
+  private val oHllCardinality =
+    s"""WITH lc(v, lce) AS (VALUES ${Cardinality.lcTableSql}),
+       |${oHllChain("q", "o_orderstatus", "CAST(o_custkey AS VARCHAR)", "orders")}
+       |SELECT g AS status, CAST(zero_regs AS BIGINT) AS zero_regs, estimate
+       |FROM qest ORDER BY status""".stripMargin
+
+  // --------------------------------------------- compaction planning
+  /** Small-file compaction plan (Delta/Iceberg OPTIMIZE bin-packing,
+    * [[Layout.compactionPlan]]): the orders table plays a file listing
+    * (one "file" per order, priority = table partition, bytes =
+    * totalprice), packed into ~256 MB bins by exclusive prefix sum —
+    * a pure metadata window, so at 100 TB the planner touches the
+    * listing (millions of rows), never the data. Output is the per-bin
+    * execution plan a compactor runs from. */
+  private def qCompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val listing = t(s, dir, "orders").select(
+      col("o_orderpriority").as("part"),
+      concat(lit("f"), lpad(col("o_orderkey").cast("string"), 12, "0"))
+        .as("file"),
+      floor(col("o_totalprice")).cast("bigint").as("bytes"))
+    Layout.compactionSummary(
+        Layout.compactionPlan(listing, "part", "file", "bytes",
+          targetBytes = 256000000L),
+        "part", "bytes")
+      .select(col("part"), col("bin").cast("bigint").as("bin"),
+        col("n_files"), col("total_bytes"))
+      .orderBy("part", "bin")
+  }
+
+  private val oCompactionPlan =
+    """WITH listing AS (
+      |  SELECT o_orderpriority AS part,
+      |         'f' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS file,
+      |         CAST(floor(o_totalprice) AS BIGINT) AS bytes
+      |  FROM orders),
+      |plan AS (
+      |  SELECT part, file, bytes,
+      |    coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY file
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      // 256000000 AS bin
+      |  FROM listing)
+      |SELECT part, CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS total_bytes
+      |FROM plan GROUP BY 1, 2 ORDER BY part, bin""".stripMargin
+
+  // ------------------------------------------------ bucketed co-join
+  /** Shuffle-free recurring join ([[Layout.bucketedPair]]): orders and
+    * customer are persisted bucketed+sorted on their join keys, then
+    * joined and aggregated per customer — with equal bucket counts the
+    * join AND the per-key aggregate plan with zero shuffle exchanges
+    * (BucketingSpec pins the no-Exchange property). The pay-once
+    * bucketed write is the 100 TB amortization: every nightly
+    * fact⨝dim refresh after it skips both sides' exchanges. */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (ord, cust) = Layout.bucketedPair(
+      t(s, dir, "orders").select(col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("bigint").as("cents")),
+      "o_custkey",
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      "c_custkey",
+      buckets = 16, nameA = "graft_bkt_orders", nameB = "graft_bkt_customer")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("customers"),
+        sum("n").as("orders"),
+        sum("cents").as("total_cents"),
+        max("n").as("max_orders"))
+      .orderBy("segment")
+  }
+
+  private val oBucketedJoin =
+    """WITH per AS (
+      |  SELECT c_custkey, c_mktsegment, count(*) AS n,
+      |         sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS customers,
+      |  CAST(sum(n) AS BIGINT) AS orders,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  CAST(max(n) AS BIGINT) AS max_orders
+      |FROM per GROUP BY 1 ORDER BY segment""".stripMargin
+
+  // --------------------------------------------- cardinality ledger
+  /** Incremental distinct-count monitoring — the sketch counterpart of
+    * q104's fingerprint ledger: the ingested corpus's per-language HLL
+    * registers ARE the persisted ledger (≤1024 small ints per
+    * language, regardless of corpus size), and a landing batch updates
+    * it by sketch + max-merge — the corpus is NEVER rescanned. Reports
+    * distinct-content growth per language (est_before from the ledger
+    * alone, est_after from the merged registers). The oracle exploits
+    * merge-exactness: merge(sketch(old), sketch(batch)) ==
+    * sketch(old ∪ batch) bit-for-bit, so SQL sketches the union
+    * directly. Content key = the same 8-token-prefix fingerprint the
+    * exact ledger uses ([[prefixFp]]). */
+  private def qCardinalityLedger(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def side(f: Column): DataFrame = Cardinality.sketch(
+      docs.filter(f).select(col("lang"), prefixFp.as("fp")),
+      Seq("lang"), col("fp"))
+    val ledger = side(col("doc_id") < 250) // production: read from parquet
+    val batch = side(col("doc_id") >= 250)
+    val before = Cardinality.estimate(ledger, Seq("lang"))
+      .select(col("lang"), col("estimate").as("est_before"))
+    val after = Cardinality.estimate(
+        Cardinality.merge(Seq(ledger, batch), Seq("lang")), Seq("lang"))
+      .select(col("lang"), col("estimate").as("est_after"))
+    before.join(after, Seq("lang"))
+      .withColumn("est_growth",
+        (col("est_after") - col("est_before")).cast("bigint"))
+      .orderBy("lang")
+  }
+
+  private val oCardinalityLedger =
+    s"""WITH lc(v, lce) AS (VALUES ${Cardinality.lcTableSql}),
+       |${oHllChain("o", "lang", oPrefixFp, "documents WHERE doc_id < 250")},
+       |${oHllChain("m", "lang", oPrefixFp, "documents")}
+       |SELECT oest.g AS lang, oest.estimate AS est_before,
+       |  mest.estimate AS est_after,
+       |  CAST(mest.estimate - oest.estimate AS BIGINT) AS est_growth
+       |FROM oest JOIN mest ON oest.g = mest.g
+       |ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -3822,7 +3998,11 @@ object Queries {
     "q110_refresh_pipeline" -> (qRefreshPipeline _),
     "q111_html_extract" -> (qHtmlExtract _),
     "q112_image_phash" -> (qImagePhash _),
-    "q113_image_neardup" -> (qImageNearDup _)
+    "q113_image_neardup" -> (qImageNearDup _),
+    "q114_hll_cardinality" -> (qHllCardinality _),
+    "q115_compaction_plan" -> (qCompactionPlan _),
+    "q116_bucketed_join" -> (qBucketedJoin _),
+    "q117_cardinality_ledger" -> (qCardinalityLedger _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -3942,6 +4122,10 @@ object Queries {
     "q110_refresh_pipeline" -> oRefreshPipeline,
     "q111_html_extract" -> oHtmlExtract,
     "q112_image_phash" -> oImagePhash,
-    "q113_image_neardup" -> oImageNearDup
+    "q113_image_neardup" -> oImageNearDup,
+    "q114_hll_cardinality" -> oHllCardinality,
+    "q115_compaction_plan" -> oCompactionPlan,
+    "q116_bucketed_join" -> oBucketedJoin,
+    "q117_cardinality_ledger" -> oCardinalityLedger
   )
 }

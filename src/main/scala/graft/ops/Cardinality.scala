@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches — HyperLogLog (Flajolet et al.
+  * 2007, with the small-range linear-counting correction from
+  * Heule et al. 2013's practical analysis), built so every step is
+  * bit-replayable by any SQL engine:
+  *
+  *  - the hash is the first 15 hex chars of md5 (60 bits — portable,
+  *    unlike JVM hashCode);
+  *  - rho (leading-zero rank) comes from the exact binary-string
+  *    length of the suffix (`bin()` — integer/string ops only, no
+  *    floating log2 whose last ulp differs across libm builds);
+  *  - the raw estimate alpha·m²/S is evaluated in EXACT integer
+  *    arithmetic: S is kept as the integer sum of 2^(51-M[j])
+  *    (register max rho ≤ 51 and m = 1024 bound it under 2^61, inside
+  *    a long), and the division is a literal-numerator integer
+  *    quotient — Decimal remainder/divide on the Spark side, HUGEINT
+  *    `//` in a SQL oracle;
+  *  - the linear-counting branch m·ln(m/V) is transcendental, so it is
+  *    precomputed ONCE into a 1024-entry integer lookup table
+  *    ([[lcTable]]) that both the Spark plan and the SQL oracle embed
+  *    as literals — no engine re-derives a logarithm.
+  *
+  * The register table (group, bucket, m) IS the sketch state: merging
+  * shards is a union + max — associative, commutative, idempotent —
+  * so partial sketches roll up across files, days, or executors
+  * without rescanning (the point of a sketch at 100 TB: the
+  * per-partition state is 1024 small ints regardless of input size).
+  * Spark's own approx_count_distinct carries the same HLL++ idea but
+  * its estimate is not replayable outside Spark; this one is.
+  */
+object Cardinality {
+
+  /** Register count 2^p. p=10 → 1024 registers, standard error
+    * 1.04/√m ≈ 3.3%. */
+  val P = 10
+  val M: Int = 1 << P
+  /** Hash width in bits (15 hex chars of md5). */
+  val HashBits = 60
+  /** Suffix width: rho ranges over 1..SuffixBits+1. */
+  val SuffixBits: Int = HashBits - P // 50
+
+  /** alpha_1024 = 0.7213/(1 + 1.079/1024) as the exact rational
+    * 72054135 / 1e8 — both engines use the same integer pair. */
+  val AlphaNum = 72054135L
+  val AlphaDen = 100000000L
+
+  /** The raw-estimate numerator alpha_num · m² · 2^51 as an exact
+    * integer (the denominator is alpha_den · S_scaled):
+    * estimate_raw = Numerator // (AlphaDen · S). 30 digits — carried
+    * as Decimal(38,0) in Spark, HUGEINT in DuckDB. */
+  val Numerator: BigInt = BigInt(AlphaNum) * BigInt(M) * BigInt(M) *
+    (BigInt(1) << (SuffixBits + 1))
+
+  /** Raw estimate ≤ 5/2·m with empty registers present → the
+    * linear-counting regime (standard HLL switch). */
+  val LcThreshold: Long = 5L * M / 2
+
+  /** Linear-counting estimates floor(m·ln(m/V)) for V = 1..m, computed
+    * once here and embedded as LITERALS in both engines (ln is the one
+    * non-algebraic step in HLL — recomputing it per-engine risks a
+    * last-ulp split). Index V-1. */
+  val lcTable: Array[Long] =
+    (1 to M).map(v => math.floor(M * math.log(M.toDouble / v)).toLong).toArray
+
+  /** The mergeable sketch state: one row per (group, occupied bucket)
+    * with the register value m = max rho. Size ≤ m rows per group
+    * regardless of input rows. `key` is hashed via md5 of its string
+    * rendering — pass a canonical rendering for non-string keys. */
+  def sketch(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
+    val hv = conv(substring(md5(key.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("bigint")
+    val w = hv % (1L << SuffixBits)
+    val rho = when(w === 0, lit(SuffixBits + 1))
+      .otherwise(lit(SuffixBits + 1) - length(bin(w)))
+    df.select(groupCols.map(col) :+ shiftright(hv, SuffixBits).as("bucket")
+        :+ rho.cast("int").as("rho"): _*)
+      .groupBy(groupCols.head, groupCols.tail :+ "bucket": _*)
+      .agg(max("rho").as("m"))
+  }
+
+  /** Merge sketch states: union + max per register. Exact — merging
+    * per-shard sketches equals sketching the union (max is
+    * associative/commutative/idempotent), the property the
+    * CardinalitySpec pins bit-for-bit. */
+  def merge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(groupCols.head, groupCols.tail :+ "bucket": _*)
+      .agg(max("m").as("m"))
+
+  /** Estimate from sketch state: (group..., zero_regs, estimate).
+    * Integer-exact: S = Σ 2^(51-M[j]) over occupied registers plus
+    * 2^51 per empty register; raw = Numerator // (AlphaDen·S) via
+    * exact Decimal remainder-subtract-divide; the linear-counting
+    * branch reads [[lcTable]] through a broadcast 1024-row lookup. */
+  def estimate(sk: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val spark = sk.sparkSession
+    import spark.implicits._
+    val shift = SuffixBits + 1 // empty register contributes 2^(shift)
+    val grouped = sk.groupBy(groupCols.head, groupCols.tail: _*)
+      .agg(
+        // shiftleft's bit-count arg is Column-typed only in SQL form
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $shift - m)")).as("s_occ"),
+        count(lit(1)).as("occupied"))
+      .withColumn("zero_regs", lit(M.toLong) - col("occupied"))
+      .withColumn("s_scaled",
+        col("s_occ") + col("zero_regs") * (1L << shift))
+    // estimate_raw = Numerator // (AlphaDen * s_scaled), exactly:
+    // num and den as Decimal(38,0); subtract the remainder before
+    // dividing so the quotient is an exact integer (decimal division
+    // of an exact-integer ratio rounds to itself at any scale).
+    val num = lit(new java.math.BigDecimal(Numerator.bigInteger))
+    val den = (col("s_scaled").cast("decimal(38,0)") * lit(AlphaDen))
+      .cast("decimal(38,0)")
+    val raw = ((num - (num % den)) / den).cast("bigint")
+    val lc = lcTable.zipWithIndex
+      .map { case (est, i) => (i + 1L, est) }.toSeq
+      .toDF("zero_regs", "lc_est")
+    grouped.withColumn("estimate_raw", raw)
+      .join(broadcast(lc), Seq("zero_regs"), "left")
+      .withColumn("estimate",
+        when(col("zero_regs") > 0 && col("estimate_raw") <= LcThreshold,
+          col("lc_est")).otherwise(col("estimate_raw")))
+      .select(groupCols.map(col) :+ col("zero_regs") :+
+        col("estimate").cast("bigint").as("estimate"): _*)
+  }
+
+  /** sketch → estimate in one call (per-group approximate distinct
+    * count of `key`). */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String],
+                     key: Column): DataFrame =
+    estimate(sketch(df, groupCols, key), groupCols)
+
+  /** The lcTable as a SQL VALUES body `(1, e1), (2, e2), …` — the
+    * oracle embeds the SAME precomputed integers the Spark plan uses. */
+  def lcTableSql: String =
+    lcTable.zipWithIndex
+      .map { case (est, i) => s"(${i + 1}, $est)" }.mkString(", ")
+}

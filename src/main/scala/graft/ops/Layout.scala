@@ -73,6 +73,81 @@ object Layout {
       .drop("_z")
   }
 
+  /** Persist both sides of a RECURRING equi-join bucketed (+ sorted)
+    * on their join keys and hand back the catalog reads: with equal
+    * bucket counts the join — and any aggregate grouped on the key —
+    * plans with ZERO shuffle exchanges, because matching buckets are
+    * co-located by construction and the within-bucket sort feeds
+    * sort-merge-join directly. This is the pay-once layout for the
+    * 100 TB fact⨝dim-refresh pattern: one bucketed write amortizes the
+    * shuffle across every subsequent join instead of re-exchanging
+    * both sides per query. BucketingSpec pins the no-Exchange plan
+    * property with broadcast disabled.
+    *
+    * Bucket count is a FIXED property of the table (choose
+    * size/target-partition at write time — e.g. 100 TB / 256 MB ≈
+    * 400k buckets); both sides must agree on it. */
+  def bucketedPair(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+                   buckets: Int, nameA: String, nameB: String)
+      : (DataFrame, DataFrame) = {
+    val spark = a.sparkSession
+    // a PREVIOUS session's managed-table location can survive on disk
+    // after the catalog entry is gone (fresh metastore, old warehouse):
+    // drop both halves so saveAsTable never hits
+    // LOCATION_ALREADY_EXISTS. Hadoop FS API, not java.nio — the
+    // warehouse is HDFS/S3 on a cluster.
+    Seq(nameA, nameB).foreach { name =>
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    a.write.bucketBy(buckets, keyA).sortBy(keyA)
+      .mode("overwrite").saveAsTable(nameA)
+    b.write.bucketBy(buckets, keyB).sortBy(keyB)
+      .mode("overwrite").saveAsTable(nameB)
+    (spark.table(nameA), spark.table(nameB))
+  }
+
+  /** Small-file compaction plan — the metadata half of Delta/Iceberg
+    * OPTIMIZE (bin-packing): assign each file of a partition to an
+    * output bin so every bin's total is ~`targetBytes`, by walking the
+    * files in name order and cutting a new bin each time the running
+    * total crosses the target. Deterministic and engine-replayable:
+    * bin = exclusive-prefix-sum(bytes) // targetBytes — one window
+    * over the LISTING (metadata: millions of rows at 100 TB, never the
+    * data itself), partitioned by the table partition so planning
+    * parallelizes across partitions.
+    *
+    * Name-order packing (vs first-fit-decreasing) is what the log-
+    * structured stores ship: it preserves ingestion locality and needs
+    * no global sort by size. Bins can overshoot by at most one file —
+    * acceptable when targetBytes >> typical file size (the compaction
+    * regime by definition).
+    *
+    * @return one row per file: (partCol, fileCol, bytesCol, bin) */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    files.select(col(partCol), col(fileCol),
+        col(bytesCol).cast("bigint").as(bytesCol))
+      .withColumn("bin",
+        expr(s"coalesce(sum($bytesCol) over (partition by $partCol " +
+          s"order by $fileCol rows between unbounded preceding and " +
+          s"1 preceding), 0) div $targetBytes"))
+  }
+
+  /** The per-bin summary a compactor executes from: files + bytes per
+    * output bin, with the single-file bins flagged (nothing to rewrite
+    * there — skipping them is the idempotence property: re-planning
+    * already-compacted output yields only single-file bins). */
+  def compactionSummary(plan: DataFrame, partCol: String,
+                        bytesCol: String): DataFrame =
+    plan.groupBy(partCol, "bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("total_bytes"))
+
   /** Z-layout profile: bucket rows by the TOP `bucketBits` of their
     * Z-value (the file-grain a range-partitioned write would produce)
     * and report each bucket's row count and per-dimension min/max —

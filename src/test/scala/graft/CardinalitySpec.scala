@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Cardinality
+
+/** HLL sketch: merge exactness (the mergeable-state property), parity
+  * with a driver-side reference implementation (hash → register → exact
+  * integer estimate), and accuracy in both the raw and linear-counting
+  * regimes. */
+class CardinalitySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Pure-Scala reference: the same algorithm with BigInt arithmetic. */
+  private def referenceEstimate(keys: Seq[String]): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val regs = new Array[Int](Cardinality.M)
+    keys.foreach { k =>
+      val hex = md.digest(k.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      md.reset()
+      val hv = java.lang.Long.parseLong(hex, 16)
+      val b = (hv >>> Cardinality.SuffixBits).toInt
+      val w = hv & ((1L << Cardinality.SuffixBits) - 1)
+      val rho = if (w == 0) Cardinality.SuffixBits + 1
+        else Cardinality.SuffixBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(b)) regs(b) = rho
+    }
+    val zero = regs.count(_ == 0).toLong
+    val s = regs.map(m => BigInt(1) << (Cardinality.SuffixBits + 1 - m)).sum
+    val raw = (Cardinality.Numerator / (BigInt(Cardinality.AlphaDen) * s)).toLong
+    val est = if (zero > 0 && raw <= Cardinality.LcThreshold)
+      Cardinality.lcTable(zero.toInt - 1) else raw
+    (zero, est)
+  }
+
+  private def run(n: Int): (Long, Long, Long) = {
+    val df = (1 to n).map(i => ("g", s"user-$i")).toDF("g", "k")
+    val out = Cardinality.approxDistinct(df, Seq("g"), col("k"))
+      .select("zero_regs", "estimate").as[(Long, Long)].head()
+    val (zr, er) = referenceEstimate((1 to n).map(i => s"user-$i"))
+    assert((out._1, out._2) == (zr, er),
+      s"n=$n: spark $out vs reference ($zr, $er)")
+    (out._1, out._2, n.toLong)
+  }
+
+  test("estimate matches the driver-side reference, both regimes") {
+    // linear-counting regime (small n, empty registers)
+    val (zSmall, eSmall, nSmall) = run(300)
+    assert(zSmall > 0)
+    assert(math.abs(eSmall - nSmall).toDouble / nSmall < 0.15,
+      s"lc-regime estimate $eSmall vs $nSmall")
+    // raw regime (n >> m)
+    val (_, eBig, nBig) = run(20000)
+    assert(math.abs(eBig - nBig).toDouble / nBig < 0.08,
+      s"raw-regime estimate $eBig vs $nBig (se ~3.3%)")
+  }
+
+  test("merged shard sketches equal the whole-corpus sketch exactly") {
+    val whole = (1 to 5000).map(i => (s"g${i % 3}", s"k-$i")).toDF("g", "k")
+    val shards = (0 until 4).map(p =>
+      Cardinality.sketch(whole.filter(abs(hash($"k")) % 4 === p),
+        Seq("g"), $"k"))
+    val merged = Cardinality.estimate(
+      Cardinality.merge(shards, Seq("g")), Seq("g"))
+    val direct = Cardinality.estimate(
+      Cardinality.sketch(whole, Seq("g"), $"k"), Seq("g"))
+    assert(merged.orderBy("g").collect().toSeq ==
+      direct.orderBy("g").collect().toSeq)
+  }
+
+  test("sketch state is bounded by m rows per group") {
+    val df = (1 to 50000).map(i => ("g", s"k-$i")).toDF("g", "k")
+    val n = Cardinality.sketch(df, Seq("g"), $"k").count()
+    assert(n <= Cardinality.M, s"register rows $n exceed m=${Cardinality.M}")
+  }
+}

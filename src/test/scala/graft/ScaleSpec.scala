@@ -43,21 +43,27 @@ class BucketingSpec extends SparkSpec {
     // warehouse dir is a static conf; the default ./spark-warehouse under
     // the build dir is fine for this throwaway catalog table
     val n = 10000
-    (1 to n).map(i => (i.toLong, s"etag-$i")).toDF("key", "etag")
-      .write.bucketBy(8, "key").sortBy("key")
-      .mode("overwrite").saveAsTable("src_inv")
-    (1 to n).filter(_ % 2 == 0).map(i => (i.toLong, s"etag-$i")).toDF("key", "etag")
-      .write.bucketBy(8, "key").sortBy("key")
-      .mode("overwrite").saveAsTable("dst_inv")
+    val (srcT, dstT) = graft.ops.Layout.bucketedPair(
+      (1 to n).map(i => (i.toLong, s"etag-$i")).toDF("key", "etag"), "key",
+      (1 to n).filter(_ % 2 == 0).map(i => (i.toLong, s"etag-$i"))
+        .toDF("key", "etag"), "key",
+      buckets = 8, nameA = "src_inv", nameB = "dst_inv")
     // force a non-broadcast join so co-location is what saves the shuffle
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("src_inv").join(spark.table("dst_inv"), Seq("key"))
+      val joined = srcT.join(dstT, Seq("key"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join should be shuffle-free, got:\n$plan")
       assert(joined.count() == n / 2)
+      // the q116 shape: per-key aggregate AFTER the bucketed join also
+      // plans without an exchange (grouping key == bucket key)
+      val agg = srcT.join(dstT.withColumnRenamed("etag", "e2"), Seq("key"))
+        .groupBy("key").agg(org.apache.spark.sql.functions.count("*"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"per-key aggregate on bucketed join should be shuffle-free:\n$aggPlan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS src_inv")

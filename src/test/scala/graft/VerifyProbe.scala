@@ -10,7 +10,6 @@ object VerifyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     val sf = "/root/testdata/sf0.1"
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
 
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -19,29 +18,52 @@ object VerifyProbe {
       r
     }
 
-    docs.count() // warm
+    // --- round-7 additions: HLL sketch, compaction plan, bucketed join
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.count() // warm
 
-    // where does pair mining spend: shingles vs signature vs join
-    (1 to 2).foreach { rep =>
-      val sets = docs
-        .withColumn("_sh", ops.ApproxDedup.wordNgrams(col("text"), 2))
-        .select(col("doc_id"), col("_sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      time(s"shingle-persist-$rep") { sets.count() }
-      val sig = ops.ApproxDedup.minhashSignature(sets, "doc_id", "_sh", 16)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      time(s"signature-$rep") { sig.count() }
-      val cand = ops.ApproxDedup.lshCandidatePairs(sig, "doc_id", 4, 4)
-      time(s"candidates-$rep") { println("cand=" + cand.count()) }
-      sets.unpersist(); sig.unpersist()
+    val est = time("hll-approx-distinct") {
+      ops.Cardinality.approxDistinct(
+        orders.select(col("o_orderstatus").as("status"), col("o_custkey")),
+        Seq("status"), col("o_custkey")).collect()
     }
+    est.foreach(println)
+    val exact = orders.groupBy(col("o_orderstatus").as("status"))
+      .agg(countDistinct("o_custkey").as("exact")).collect()
+    exact.foreach(println)
 
-    // quality-filter half
-    (1 to 2).foreach { rep =>
-      time(s"quality-filter-$rep") {
-        exec.CorpusPipeline.filteredCorpus(docs).count()
-      }
+    val plan = time("compaction-plan") {
+      ops.Layout.compactionSummary(
+        ops.Layout.compactionPlan(
+          orders.select(col("o_orderpriority").as("part"),
+            concat(lit("f"), lpad(col("o_orderkey").cast("string"), 12, "0"))
+              .as("file"),
+            floor(col("o_totalprice")).cast("bigint").as("bytes")),
+          "part", "file", "bytes", 256000000L),
+        "part", "bytes")
     }
+    println("bins=" + plan.count())
+    plan.orderBy("part", "bin").show(8, truncate = false)
+
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val (bo, bc) = time("bucketed-write") {
+      ops.Layout.bucketedPair(
+        orders.select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("cents")),
+        "o_custkey",
+        cust.select(col("c_custkey"), col("c_mktsegment")), "c_custkey",
+        buckets = 16, nameA = "probe_bkt_o", nameB = "probe_bkt_c")
+    }
+    time("bucketed-join-agg") {
+      val joined = bo.join(bc, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey").agg(sum("cents"))
+      println("per-cust rows=" + joined.count())
+      val ex = joined.queryExecution.executedPlan.toString
+      println("exchanges-in-plan=" +
+        "Exchange".r.findAllIn(ex).size + " (AQE may plan reads)")
+    }
+    spark.sql("DROP TABLE IF EXISTS probe_bkt_o")
+    spark.sql("DROP TABLE IF EXISTS probe_bkt_c")
 
     println("PROBE_OK")
     spark.stop()
