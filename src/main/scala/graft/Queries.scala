@@ -3814,11 +3814,13 @@ object Queries {
     * bucketed write is the 100 TB amortization: every nightly
     * fact⨝dim refresh after it skips both sides' exchanges. */
   private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    // SF-tagged names so a table can never serve another scale factor's
-    // query; within a session the pay-once write is then safely
-    // reusable (the whole point of the layout — Bench discards the
-    // first run as setup and times the amortized joins).
-    val tag = dir.split('/').filter(_.nonEmpty).last.replace('.', '_')
+    // Path-keyed names (basename + full-path hash) so a table can never
+    // serve another data directory's query — two dirs with the same
+    // basename get distinct tables; within a session the pay-once write
+    // is then safely reusable (the whole point of the layout — Bench
+    // discards the first run as setup and times the amortized joins).
+    val tag = dir.split('/').filter(_.nonEmpty).last.replace('.', '_') +
+      "_" + (dir.hashCode.toLong & 0xffffffffL).toHexString
     val (nameA, nameB) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
     val (ord, cust) =
       if (s.catalog.tableExists(nameA) && s.catalog.tableExists(nameB))
@@ -3877,9 +3879,13 @@ object Queries {
     val after = Cardinality.estimate(
         Cardinality.merge(Seq(ledger, batch), Seq("lang")), Seq("lang"))
       .select(col("lang"), col("estimate").as("est_after"))
-    before.join(after, Seq("lang"))
-      .withColumn("est_growth",
-        (col("est_after") - col("est_before")).cast("bigint"))
+    // LEFT from the merged side: a language first seen in the landing
+    // batch has no ledger row — its before-estimate is 0 (an empty
+    // sketch's linear-counting estimate), not a dropped report line
+    after.join(before, Seq("lang"), "left")
+      .withColumn("est_before", coalesce(col("est_before"), lit(0L)))
+      .select(col("lang"), col("est_before"), col("est_after"),
+        (col("est_after") - col("est_before")).cast("bigint").as("est_growth"))
       .orderBy("lang")
   }
 
@@ -3887,10 +3893,11 @@ object Queries {
     s"""WITH lc(v, lce) AS (VALUES ${Cardinality.lcTableSql}),
        |${oHllChain("o", "lang", oPrefixFp, "documents WHERE doc_id < 250")},
        |${oHllChain("m", "lang", oPrefixFp, "documents")}
-       |SELECT oest.g AS lang, oest.estimate AS est_before,
+       |SELECT mest.g AS lang,
+       |  CAST(coalesce(oest.estimate, 0) AS BIGINT) AS est_before,
        |  mest.estimate AS est_after,
-       |  CAST(mest.estimate - oest.estimate AS BIGINT) AS est_growth
-       |FROM oest JOIN mest ON oest.g = mest.g
+       |  CAST(mest.estimate - coalesce(oest.estimate, 0) AS BIGINT) AS est_growth
+       |FROM mest LEFT JOIN oest ON oest.g = mest.g
        |ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------------ api

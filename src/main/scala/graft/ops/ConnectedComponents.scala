@@ -169,16 +169,24 @@ object ConnectedComponents {
         .filter(col("hi") =!= col("lo"))
         .distinct()
         .localCheckpoint()
-      // fixpoint ⟺ star forest ⟺ no edge's lo is itself re-pointed
-      // (appears as a hi): a two-level canonical star is stable under
-      // both phases (its center is the min of its closed neighborhood
-      // by hi>lo), and a surviving chain link (h,ℓ) with ℓ also a hi
-      // means ℓ has a smaller neighbor, so the next large-star
-      // rewrites (h,ℓ). One self-semi-join probe per round instead of
-      // the former two counts + exceptAll (3 jobs → 1; the iteration's
-      // fixed job cost IS the runtime on dedup-shaped graphs).
-      converged = ss.alias("cur").join(ss.alias("nxt"),
-        col("cur.lo") === col("nxt.hi"), "left_semi").isEmpty
+      // fixpoint ⟺ star forest ⟺ every node has AT MOST ONE parent
+      // (each hi appears once) AND parents are roots (no lo is a hi).
+      // Both clauses are required: {(3,1),(3,2),(4,1),(5,2)} has no lo
+      // among its his yet node 3 carries two labels — "no lo is a hi"
+      // alone would declare THAT converged (caught in review by round-
+      // algebra simulation). A two-level canonical star with both
+      // properties is stable under both phases (its center is the min
+      // of its closed neighborhood by hi>lo), so terminating here
+      // returns the same edge set the old count+exceptAll fixpoint
+      // did. One role-tagged aggregate probe per round instead of two
+      // counts + exceptAll (3 jobs → 1; the iteration's fixed job cost
+      // IS the runtime on dedup-shaped graphs).
+      val roles = ss.select(col("hi").as("n"), lit(1).as("p"))
+        .union(ss.select(col("lo").as("n"), lit(0).as("p")))
+      converged = roles.groupBy("n")
+        .agg(sum("p").as("asHi"), count(lit(1)).as("tot"))
+        .filter(col("asHi") > 1 || (col("asHi") > 0 && col("tot") > col("asHi")))
+        .isEmpty
       e = ss
       i += 1
       lastRounds.set(lastRounds.get + 1)

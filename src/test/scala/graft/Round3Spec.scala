@@ -218,6 +218,21 @@ class ConnectedComponentsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(kept == Set(1L, 4L, 6L))
   }
+
+  test("star contraction survives the shared-leaf two-center state") {
+    // After one round this graph reaches ss = {(3,1),(3,2),(4,1),(5,2)}:
+    // no lo appears as a hi, yet node 3 still holds TWO labels — a
+    // convergence probe that only tests "no lo is a hi" terminates here
+    // with duplicate (id, comp) rows and comp=2 for {2,5} (review
+    // counterexample). The full probe must keep iterating to the true
+    // single-component answer.
+    val edges = Seq((1L, 4L), (3L, 4L), (3L, 5L), (2L, 5L)).toDF("src", "dst")
+    val cc = ConnectedComponents.starContraction(edges, "src", "dst")
+      .as[(Long, Long)].collect()
+    assert(cc.length == cc.map(_._1).distinct.length,
+      s"duplicate labels: ${cc.sorted.mkString(",")}")
+    assert(cc.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
 }
 
 class ChecksumSpec extends SparkSpec {
