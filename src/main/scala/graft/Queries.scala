@@ -3900,6 +3900,34 @@ object Queries {
        |FROM mest LEFT JOIN oest ON oest.g = mest.g
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------- temperature mixing
+  /** α=0.5 temperature-scaled language mix ([[Curation.temperatureMix]]):
+    * per-language sampling weights ∝ sqrt(token count) — the standard
+    * multilingual rebalance that upsamples low-resource languages —
+    * with rates in myriads and each language's share of a 100k-token
+    * budget. sqrt is floored into integer µ-units immediately, so the
+    * only floating-point step is one correctly-rounded IEEE op and the
+    * rest replays as exact integer arithmetic in any engine. */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureMix(t(s, dir, "documents"), Seq("lang"),
+        TextAnalysis.tokenCount(col("text")), budget = 100000L)
+      .orderBy("lang")
+
+  private val oTemperatureMix =
+    """WITH tot AS (
+      |  SELECT lang,
+      |    sum(CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT))
+      |      AS total_tokens
+      |  FROM documents GROUP BY lang),
+      |w AS (SELECT lang, total_tokens,
+      |        CAST(floor(sqrt(total_tokens) * 1000000) AS BIGINT) AS w
+      |      FROM tot),
+      |s AS (SELECT sum(w) AS w_sum FROM w)
+      |SELECT lang, CAST(total_tokens AS BIGINT) AS total_tokens,
+      |  CAST((w * 10000) // w_sum AS BIGINT) AS rate_myriad,
+      |  CAST((100000 * w) // w_sum AS BIGINT) AS budget_tokens
+      |FROM w, s ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -4018,7 +4046,8 @@ object Queries {
     "q114_hll_cardinality" -> (qHllCardinality _),
     "q115_compaction_plan" -> (qCompactionPlan _),
     "q116_bucketed_join" -> (qBucketedJoin _),
-    "q117_cardinality_ledger" -> (qCardinalityLedger _)
+    "q117_cardinality_ledger" -> (qCardinalityLedger _),
+    "q118_temperature_mix" -> (qTemperatureMix _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4142,6 +4171,7 @@ object Queries {
     "q114_hll_cardinality" -> oHllCardinality,
     "q115_compaction_plan" -> oCompactionPlan,
     "q116_bucketed_join" -> oBucketedJoin,
-    "q117_cardinality_ledger" -> oCardinalityLedger
+    "q117_cardinality_ledger" -> oCardinalityLedger,
+    "q118_temperature_mix" -> oTemperatureMix
   )
 }

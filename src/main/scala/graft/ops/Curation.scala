@@ -102,6 +102,35 @@ object Curation {
     * hash-threshold filter; the corpus never shuffles. Hash-derived,
     * so refreshing the corpus never flips an existing row's decision
     * (beyond the rate shift the new totals imply). */
+  /** Temperature-scaled sampling mix (α = 1/2) — the standard
+    * multilingual/multi-domain rebalance (mC4/XLM-R style): a group's
+    * sampling weight is its size^α, flattening the head so low-resource
+    * groups are upsampled relative to proportional sampling while
+    * ordering is preserved. Engine-portable determinism: sqrt is the
+    * ONE floating step (IEEE-exact in every correctly-rounded libm,
+    * unlike ln/pow), immediately floored into integer µ-units, so the
+    * normalization Σw and both quotients are exact integer arithmetic —
+    * no cross-partition double-sum ordering anywhere.
+    *
+    * Returns one row per group: total size, sampling rate in
+    * myriads (per-10000) and the group's share of `budget`.
+    * Long-range note: w = floor(sqrt(size)·1e6) keeps w·budget inside
+    * int64 up to ~petatoken groups at million-token budgets; a larger
+    * deployment drops the µ-scale to 1e3 or lifts the products to
+    * decimal. */
+  def temperatureMix(df: DataFrame, groupCols: Seq[String],
+                     sizeExpr: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val per = df.groupBy(groupCols.map(col): _*)
+      .agg(sum(sizeExpr.cast("bigint")).as("total_tokens"))
+      .withColumn("w", floor(sqrt(col("total_tokens")) * 1e6).cast("bigint"))
+    val tot = per.agg(sum("w").as("w_sum"))
+    per.crossJoin(broadcast(tot)) // 1-row total: broadcast by contract
+      .select(groupCols.map(col) :+ col("total_tokens") :+
+        expr("(w * 10000) div w_sum").as("rate_myriad") :+
+        expr(s"(${budget}L * w) div w_sum").as("budget_tokens"): _*)
+  }
+
   def sampleToBudget(df: DataFrame, id: String, groupCols: Seq[String],
                      weight: Column, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")

@@ -281,4 +281,21 @@ class BudgetMixSpec extends SparkSpec {
       col("w"), budget = 500L).select("doc_id").as[Long].collect().toSet
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("temperatureMix flattens the head: α=1/2 between proportional and uniform") {
+    // sizes 90000 and 10000 → proportional shares 90/10; sqrt weights
+    // 300:100 → temperature shares 75/25 (exact: w in µ-units)
+    val docs = Seq(("hi", 90000L), ("lo", 10000L)).toDF("lang", "n")
+    val out = Curation.temperatureMix(docs, Seq("lang"), col("n"),
+        budget = 10000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (l, t, r, b) => l -> ((t, r, b)) }.toMap
+    assert(out("hi") == ((90000L, 7500L, 7500L)))
+    assert(out("lo") == ((10000L, 2500L, 2500L)))
+    // upsampled relative to proportional, order preserved
+    assert(out("lo")._2 > 1000L && out("lo")._2 < out("hi")._2)
+    // shares exhaust the myriad up to integer floor
+    assert(out("hi")._2 + out("lo")._2 <= 10000L &&
+      out("hi")._2 + out("lo")._2 >= 9998L)
+  }
 }

@@ -36,7 +36,8 @@ class PlanGuardSpec extends SparkSpec {
     "q62_tfidf_terms" -> 1,    // crossJoin(broadcast(1-row corpus count))
     "q96_decayed_sums" -> 1,   // crossJoin(broadcast(1-row max timestamp))
     "q100_corpus_report" -> 2,  // crossJoin(broadcast(two 1-row aggregates))
-    "q105_user_similarity" -> 1) // brute-force's broadcast(5-user query set)
+    "q105_user_similarity" -> 1, // brute-force's broadcast(5-user query set)
+    "q118_temperature_mix" -> 1) // crossJoin(broadcast(1-row weight total))
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
