@@ -3900,6 +3900,39 @@ object Queries {
        |FROM mest LEFT JOIN oest ON oest.g = mest.g
        |ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------- table profiling
+  /** One-pass table profile ([[Cardinality.profile]]): per-column row
+    * count, null count and HLL distinct estimate for three orders
+    * columns, from a SINGLE scan (stack generator + one sketch
+    * shuffle). Linear counting makes the enum-ish columns exact
+    * (3 statuses, 5 priorities profile as 3 and 5) while o_custkey
+    * gets the ~3.3% sketch estimate — the profiling economics that
+    * matter when the table is 100 TB and a per-column COUNT(DISTINCT)
+    * sweep would be one full shuffle per column. */
+  private def qTableProfile(s: SparkSession, dir: String): DataFrame =
+    Cardinality.profile(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+      .orderBy("colname")
+
+  private val oTableProfile =
+    s"""WITH lc(v, lce) AS (VALUES ${Cardinality.lcTableSql}),
+       |u AS (
+       |  SELECT 'o_orderstatus' AS g, CAST(o_orderstatus AS VARCHAR) AS val
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+       |  UNION ALL
+       |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+       |${oHllChain("p", "g", "val", "u WHERE val IS NOT NULL")},
+       |cnt AS (SELECT g, count(*) AS n_rows,
+       |          sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_nulls
+       |        FROM u GROUP BY 1)
+       |SELECT cnt.g AS colname, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(n_nulls AS BIGINT) AS n_nulls,
+       |  CAST(coalesce(pest.estimate, 0) AS BIGINT) AS distinct_est
+       |FROM cnt LEFT JOIN pest ON pest.g = cnt.g
+       |ORDER BY colname""".stripMargin
+
   // ---------------------------------------------- temperature mixing
   /** α=0.5 temperature-scaled language mix ([[Curation.temperatureMix]]):
     * per-language sampling weights ∝ sqrt(token count) — the standard
@@ -4047,7 +4080,8 @@ object Queries {
     "q115_compaction_plan" -> (qCompactionPlan _),
     "q116_bucketed_join" -> (qBucketedJoin _),
     "q117_cardinality_ledger" -> (qCardinalityLedger _),
-    "q118_temperature_mix" -> (qTemperatureMix _)
+    "q118_temperature_mix" -> (qTemperatureMix _),
+    "q119_table_profile" -> (qTableProfile _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4172,6 +4206,7 @@ object Queries {
     "q115_compaction_plan" -> oCompactionPlan,
     "q116_bucketed_join" -> oBucketedJoin,
     "q117_cardinality_ledger" -> oCardinalityLedger,
-    "q118_temperature_mix" -> oTemperatureMix
+    "q118_temperature_mix" -> oTemperatureMix,
+    "q119_table_profile" -> oTableProfile
   )
 }
