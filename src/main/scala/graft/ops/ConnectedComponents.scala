@@ -36,9 +36,20 @@ object ConnectedComponents {
     *         pair list and stay implicitly their own component.
     *         The result is locally CHECKPOINTED (materialized, lineage
     *         truncated); its blocks free when the frame is GC'd, so
-    *         unpersist is optional. */
+    *         unpersist is optional.
+    *
+    * Adaptive execution, same idea as Spark's broadcast-join threshold:
+    * after the (always-needed) edge materialization, a pair graph at or
+    * under `maxLocalEdges` is collapsed by driver-side union-find —
+    * the iterative loop's per-round fixed cost (2 shuffles + a
+    * checkpoint + a convergence probe, × O(diameter) rounds) is the
+    * whole runtime for such graphs, while ≤500k pairs is milliseconds
+    * and a few MB on the driver. Incremental-refresh batches live in
+    * this regime; a full 100 TB corpus re-mine (billions of pairs)
+    * takes the distributed loop. Pass maxLocalEdges = 0 to force the
+    * distributed path (the round-invariance and parity specs do). */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
-            maxIters: Int = 25): DataFrame = {
+            maxIters: Int = 25, maxLocalEdges: Long = 500000L): DataFrame = {
     lastRounds.set(1) // the fused init IS round 1
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the raw edges BEFORE mirroring: the union references them
@@ -46,6 +57,12 @@ object ConnectedComponents {
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
       .persist(lvl)
+    if (localOrdering(e0).isDefined && maxLocalEdges > 0 &&
+        e0.count() <= maxLocalEdges) {
+      val out = localUnionFind(e0)
+      e0.unpersist()
+      return out
+    }
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(lvl)
@@ -101,6 +118,56 @@ object ConnectedComponents {
     e0.unpersist()
     sym.unpersist()
     labels
+  }
+
+  /** Ordering for the driver-side min-label step, defined only for the
+    * id types the local path supports (both edge columns must agree);
+    * None routes to the distributed loop. */
+  private def localOrdering(e0: DataFrame): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    val (ta, tb) = (e0.schema("a").dataType, e0.schema("b").dataType)
+    if (ta != tb) None
+    else ta match {
+      case LongType    => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
+      case StringType  => Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+      case _           => None
+    }
+  }
+
+  /** Driver-side union-find over a collected edge list: same contract
+    * as the distributed loop — (id, comp-minimum) for every node
+    * appearing in edges — proven row-identical by CcParitySpec. */
+  private def localUnionFind(e0: DataFrame): DataFrame = {
+    val ord = localOrdering(e0).get
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      if (!parent.containsKey(x)) parent.put(x, x)
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    e0.collect().foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val minOf = new java.util.HashMap[Any, Any]()
+    val nodes = new java.util.ArrayList[Any](parent.keySet())
+    nodes.forEach { n =>
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(n, cur)) minOf.put(r, n)
+    }
+    val dt = e0.schema("a").dataType
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    nodes.forEach(n =>
+      rows.add(org.apache.spark.sql.Row(n, minOf.get(find(n)))))
+    e0.sparkSession.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt),
+        org.apache.spark.sql.types.StructField("comp", dt))))
   }
 
   /** Alternating large-star/small-star connected components — the

@@ -339,7 +339,7 @@ class StarContractionSpec extends SparkSpec {
     // a 101-node path has diameter 100: min-label with maxIters=5
     // cannot converge; the fallback must label it in O(log^2) rounds
     val edges = (0L until 100L).map(i => (i, i + 1)).toDF("src", "dst")
-    val cc = ConnectedComponents(edges, "src", "dst", maxIters = 5)
+    val cc = ConnectedComponents(edges, "src", "dst", maxIters = 5, maxLocalEdges = 0)
     assert(cc.count() == 101)
     assert(cc.select("comp").distinct().as[Long].collect().toSeq == Seq(0L))
   }

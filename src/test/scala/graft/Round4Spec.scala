@@ -132,7 +132,7 @@ class SemanticDedupSpec extends SparkSpec {
     // un-checkpointed formulation doubled plan depth per round and
     // OOMed the driver in Catalyst canonicalization near round ~15
     val edges = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
-    val cc = ConnectedComponents(edges, "src", "dst", maxIters = 30)
+    val cc = ConnectedComponents(edges, "src", "dst", maxIters = 30, maxLocalEdges = 0)
     val comps = cc.select("comp").distinct().as[Long].collect()
     assert(comps.toSeq == Seq(0L))
   }

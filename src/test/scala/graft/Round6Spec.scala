@@ -82,9 +82,9 @@ class RoundInvarianceSpec extends SparkSpec {
     }.toDF("a", "b")
 
   test("min-label CC rounds are invariant to 10x more clusters") {
-    ConnectedComponents(cliquePile(5), "a", "b").count()
+    ConnectedComponents(cliquePile(5), "a", "b", maxLocalEdges = 0).count()
     val r5 = ConnectedComponents.lastRounds.get
-    ConnectedComponents(cliquePile(50), "a", "b").count()
+    ConnectedComponents(cliquePile(50), "a", "b", maxLocalEdges = 0).count()
     val r50 = ConnectedComponents.lastRounds.get
     assert(r5 == r50, s"rounds grew with cluster count: $r5 -> $r50")
     assert(r5 <= 3, s"4-cliques should converge in <=3 rounds, took $r5")

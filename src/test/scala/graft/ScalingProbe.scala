@@ -32,7 +32,7 @@ object ScalingProbe {
       val nPairs = pairs.count()
 
       val (ccN, ccT) = timed {
-        ConnectedComponents(pairs, "id_a", "id_b").count()
+        ConnectedComponents(pairs, "id_a", "id_b", maxLocalEdges = 0).count()
       }
       val ccRounds = ConnectedComponents.lastRounds.get
 
