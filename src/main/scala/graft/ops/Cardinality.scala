@@ -70,14 +70,24 @@ object Cardinality {
     * with the register value m = max rho. Size ≤ m rows per group
     * regardless of input rows. `key` is hashed via md5 of its string
     * rendering — pass a canonical rendering for non-string keys. */
-  def sketch(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
-    val hv = conv(substring(md5(key.cast("string").cast("binary")), 1, 15),
+  /** The 60-bit md5-derived hash of a key's canonical string form. */
+  private def hashOf(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 15),
       16, 10).cast("bigint")
+
+  private def bucketOf(hv: Column): Column = shiftright(hv, SuffixBits)
+
+  private def rhoOf(hv: Column): Column = {
     val w = hv % (1L << SuffixBits)
-    val rho = when(w === 0, lit(SuffixBits + 1))
+    when(w === 0, lit(SuffixBits + 1))
       .otherwise(lit(SuffixBits + 1) - length(bin(w)))
-    df.select(groupCols.map(col) :+ shiftright(hv, SuffixBits).as("bucket")
-        :+ rho.cast("int").as("rho"): _*)
+      .cast("int")
+  }
+
+  def sketch(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
+    val hv = hashOf(key)
+    df.select(groupCols.map(col) :+ bucketOf(hv).as("bucket")
+        :+ rhoOf(hv).as("rho"): _*)
       .groupBy(groupCols.head, groupCols.tail :+ "bucket": _*)
       .agg(max("rho").as("m"))
   }
@@ -152,17 +162,32 @@ object Cardinality {
     * while high-cardinality keys get the ~3.3% HLL estimate. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.forall(c => !c.contains("'") && !c.contains("`")),
+      "profile builds a stack() expression; quote/backtick column names unsupported")
     val stackArgs = cols
       .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
     val unpiv = df.select(
       expr(s"stack(${cols.length}, $stackArgs) AS (colname, val)"))
-    val counts = unpiv.groupBy("colname").agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"))
-    val est = estimate(
-      sketch(unpiv.filter(col("val").isNotNull), Seq("colname"), col("val")),
-      Seq("colname"))
-    // LEFT + coalesce(0): an all-null column has no sketch rows at all
+    // ONE scan, ONE shuffle: null rows ride the same aggregation in a
+    // sentinel bucket (-1) instead of a second counting branch — the
+    // grouped register table additionally carries per-bucket row
+    // counts, from which totals and null counts roll up. The register
+    // table (≤ m+1 rows per column) is locally checkpointed so the
+    // estimate and the counters both read the materialized result, not
+    // two re-derivations of the scan.
+    val hv = hashOf(col("val"))
+    val g = unpiv.select(col("colname"),
+        when(col("val").isNull, lit(-1L)).otherwise(bucketOf(hv)).as("bucket"),
+        when(col("val").isNull, lit(null)).otherwise(rhoOf(hv)).as("rho"))
+      .groupBy("colname", "bucket")
+      .agg(max("rho").as("m"), count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val counts = g.groupBy("colname").agg(
+      sum("cnt").as("n_rows"),
+      sum(when(col("bucket") === -1L, col("cnt")).otherwise(0L)).as("n_nulls"))
+    val est = estimate(g.filter(col("bucket") >= 0)
+      .select("colname", "bucket", "m"), Seq("colname"))
+    // LEFT + coalesce(0): an all-null column has no registers at all
     // and must still profile (distinct 0 == the empty sketch's
     // linear-counting estimate), not vanish from the report
     counts.join(est.select(col("colname"),

@@ -130,8 +130,27 @@ object ConnectedComponents {
     else ta match {
       case LongType    => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
       case IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
-      case StringType  => Some(Ordering.String.on[Any](_.asInstanceOf[String]))
-      case _           => None
+      // NOT Ordering.String: Java compareTo orders UTF-16 code units,
+      // while Spark's min on StringType orders UTF-8 BYTES — they
+      // disagree on supplementary-plane characters (U+FFFD sorts above
+      // an emoji in UTF-16, below it in UTF-8), which would let the
+      // local and distributed paths pick different component minima.
+      // Compare the UTF-8 bytes unsigned, exactly like UTF8String.
+      case StringType => Some(new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = {
+          val (a, b) = (x.asInstanceOf[String].getBytes("UTF-8"),
+            y.asInstanceOf[String].getBytes("UTF-8"))
+          var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            val d = (a(i) & 0xff) - (b(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          a.length - b.length
+        }
+      })
+      case _ => None
     }
   }
 
@@ -274,8 +293,9 @@ object ConnectedComponents {
     * the loser set is locally checkpointed (small — one id per dropped
     * document) so the labels cache can be dropped immediately. */
   def survivors(docs: DataFrame, id: String, edges: DataFrame,
-                srcCol: String, dstCol: String): DataFrame = {
-    val cc = apply(edges, srcCol, dstCol)
+                srcCol: String, dstCol: String,
+                maxLocalEdges: Long = 500000L): DataFrame = {
+    val cc = apply(edges, srcCol, dstCol, maxLocalEdges = maxLocalEdges)
     val losers = cc.filter(col("id") =!= col("comp"))
       .select(col("id").as(id))
       .localCheckpoint()

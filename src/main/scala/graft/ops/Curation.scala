@@ -88,20 +88,6 @@ object Curation {
     df.filter(hashBucket(col(id), "sample:", 10000) <
       floor(rate * 10000).cast("bigint"))
 
-  /** Budget-driven dataset mixing: derive each group's sampling rate
-    * FROM a per-group weight budget (tokens, chars, bytes — whatever
-    * `weight` measures) instead of hand-tuning rates. A pretraining mix
-    * is specified this way in practice: "at most B tokens from each
-    * source". rate = min(1, budget/total) in integer per-myriad
-    * arithmetic (floor division — bit-replayable, no float drift), then
-    * the usual stable hash-threshold keep. Groups under budget pass
-    * through whole.
-    *
-    * Shape: one map-side-combined aggregate for the per-group totals
-    * (tiny — one row per group, broadcast back), then the narrow
-    * hash-threshold filter; the corpus never shuffles. Hash-derived,
-    * so refreshing the corpus never flips an existing row's decision
-    * (beyond the rate shift the new totals imply). */
   /** Temperature-scaled sampling mix (α = 1/2) — the standard
     * multilingual/multi-domain rebalance (mC4/XLM-R style): a group's
     * sampling weight is its size^α, flattening the head so low-resource
@@ -125,12 +111,32 @@ object Curation {
       .agg(sum(sizeExpr.cast("bigint")).as("total_tokens"))
       .withColumn("w", floor(sqrt(col("total_tokens")) * 1e6).cast("bigint"))
     val tot = per.agg(sum("w").as("w_sum"))
+    // fail fast on a degenerate corpus (every group's weight floored
+    // to 0, or all sizes NULL): `div` would silently emit NULL rates
+    // where a SQL replay errors on the zero division — surface it as
+    // an error on BOTH engines instead of an engine-parity split
+    val guarded = "CASE WHEN w_sum IS NULL OR w_sum <= 0 THEN " +
+      "raise_error('temperatureMix: total weight is zero') ELSE w_sum END"
     per.crossJoin(broadcast(tot)) // 1-row total: broadcast by contract
       .select(groupCols.map(col) :+ col("total_tokens") :+
-        expr("(w * 10000) div w_sum").as("rate_myriad") :+
-        expr(s"(${budget}L * w) div w_sum").as("budget_tokens"): _*)
+        expr(s"(w * 10000) div ($guarded)").as("rate_myriad") :+
+        expr(s"(${budget}L * w) div ($guarded)").as("budget_tokens"): _*)
   }
 
+  /** Budget-driven dataset mixing: derive each group's sampling rate
+    * FROM a per-group weight budget (tokens, chars, bytes — whatever
+    * `weight` measures) instead of hand-tuning rates. A pretraining mix
+    * is specified this way in practice: "at most B tokens from each
+    * source". rate = min(1, budget/total) in integer per-myriad
+    * arithmetic (floor division — bit-replayable, no float drift), then
+    * the usual stable hash-threshold keep. Groups under budget pass
+    * through whole.
+    *
+    * Shape: one map-side-combined aggregate for the per-group totals
+    * (tiny — one row per group, broadcast back), then the narrow
+    * hash-threshold filter; the corpus never shuffles. Hash-derived,
+    * so refreshing the corpus never flips an existing row's decision
+    * (beyond the rate shift the new totals imply). */
   def sampleToBudget(df: DataFrame, id: String, groupCols: Seq[String],
                      weight: Column, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")

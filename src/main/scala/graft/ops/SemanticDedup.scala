@@ -186,14 +186,15 @@ object SemanticDedup {
     * guard. */
   def survivors(emb: DataFrame, id: String, vecCol: String,
                 k: Int, iters: Int, threshold: Double,
-                maxBlockRows: Int = 0): DataFrame = {
+                maxBlockRows: Int = 0,
+                maxLocalEdges: Long = 500000L): DataFrame = {
     val assigned = assignClusters(emb, id, vecCol, k, iters)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Similarity.nearDupPairs(
       assigned, id, "centroid_id", "cv", threshold, maxBlockRows)
     val kept = ConnectedComponents
       .survivors(assigned.select(col(id), col("centroid_id")), id,
-        pairs, "id_a", "id_b")
+        pairs, "id_a", "id_b", maxLocalEdges = maxLocalEdges)
       // lineage below nests the k-means scans + the pair mining; a
       // local checkpoint of the (small) survivor list lets the
       // assignment cache go immediately

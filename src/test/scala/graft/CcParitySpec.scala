@@ -48,4 +48,18 @@ class CcParitySpec extends SparkSpec {
     assert(local == Set(("a", "a"), ("b", "a"), ("c", "a"),
       ("x", "x"), ("y", "x")))
   }
+
+  test("supplementary-plane strings get the same minimum on both paths") {
+    // U+FFFD vs U+1F600: UTF-16 code units order them one way, UTF-8
+    // bytes (what Spark's min on StringType compares) the other — the
+    // local ordering must follow the bytes
+    val edges = Seq(("�", "😀")).toDF("s", "d")
+    val local = ConnectedComponents(edges, "s", "d")
+      .as[(String, String)].collect().toSet
+    val dist = ConnectedComponents(edges, "s", "d", maxLocalEdges = 0)
+      .as[(String, String)].collect().toSet
+    assert(local == dist, s"paths diverge: $local vs $dist")
+    assert(local.forall(_._2 == "�"),
+      "UTF-8 byte order makes U+FFFD the component minimum")
+  }
 }

@@ -43,8 +43,11 @@ object ScalingProbe {
       scoped.release()
 
       val (sdN, sdT) = timed {
+        // maxLocalEdges = 0: this probe measures the DISTRIBUTED
+        // loop's round count (the 100 TB multiplier) — the adaptive
+        // local path would make the column a constant 1
         SemanticDedup.survivors(emb, "vec_id", "embedding",
-          k = 8, iters = 2, threshold = 0.3).count()
+          k = 8, iters = 2, threshold = 0.3, maxLocalEdges = 0).count()
       }
       val sdRounds = ConnectedComponents.lastRounds.get // CC inside q60
 
