@@ -3872,7 +3872,10 @@ object Queries {
     def side(f: Column): DataFrame = Cardinality.sketch(
       docs.filter(f).select(col("lang"), prefixFp.as("fp")),
       Seq("lang"), col("fp"))
-    val ledger = side(col("doc_id") < 250) // production: read from parquet
+    // the ledger registers feed BOTH the before-estimate and the merge:
+    // materialize them (≤1024 rows per language — in production this IS
+    // the parquet read) so the corpus isn't re-scanned per consumer
+    val ledger = side(col("doc_id") < 250).localCheckpoint()
     val batch = side(col("doc_id") >= 250)
     val before = Cardinality.estimate(ledger, Seq("lang"))
       .select(col("lang"), col("estimate").as("est_before"))

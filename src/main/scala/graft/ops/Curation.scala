@@ -110,6 +110,10 @@ object Curation {
     val per = df.groupBy(groupCols.map(col): _*)
       .agg(sum(sizeExpr.cast("bigint")).as("total_tokens"))
       .withColumn("w", floor(sqrt(col("total_tokens")) * 1e6).cast("bigint"))
+      // one row per group: materialize so the normalizer and the final
+      // select both read it — without this, `tot` re-derives the whole
+      // upstream aggregate and the corpus is scanned twice
+      .localCheckpoint()
     val tot = per.agg(sum("w").as("w_sum"))
     // fail fast on a degenerate corpus (every group's weight floored
     // to 0, or all sizes NULL): `div` would silently emit NULL rates

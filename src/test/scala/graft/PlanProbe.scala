@@ -27,7 +27,10 @@ object PlanProbe {
       "q106_funnel_stream", "q107_clustered_scan",
       "q108_incremental_neardup", "q109_incremental_semdedup",
       "q110_refresh_pipeline", "q111_html_extract",
-      "q112_image_phash", "q113_image_neardup")
+      "q112_image_phash", "q113_image_neardup",
+      "q114_hll_cardinality", "q115_compaction_plan", "q116_bucketed_join",
+      "q117_cardinality_ledger", "q118_temperature_mix",
+      "q119_table_profile")
     // the AQE final-plan STRING hides codegen stages, so wsc walks the
     // tree (descending through AQE's finalized plan) instead of
     // regexing the rendering
