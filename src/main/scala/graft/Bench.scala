@@ -62,7 +62,8 @@ object Bench {
     // q116's setup is the bucketed-table write itself — the pay-once
     // layout cost; the timed runs then measure the amortized
     // shuffle-free joins, which is the operator's contract.
-    val oneTimeSetup = Set("q106", "q107", "q108", "q109", "q110", "q116")
+    val oneTimeSetup = Set("q106", "q107", "q108", "q109", "q110", "q116",
+      "q120")
     val results = selected.map { case (name, fn) =>
       def one(): (Double, Boolean) = {
         val t0 = System.nanoTime()

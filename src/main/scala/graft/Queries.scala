@@ -3964,6 +3964,60 @@ object Queries {
       |  CAST((100000 * w) // w_sum AS BIGINT) AS budget_tokens
       |FROM w, s ORDER BY lang""".stripMargin
 
+  // --------------------------------------------- streaming distinct
+  /** Streaming distinct-user estimate per event type
+    * ([[graft.streaming.StreamDistinct]]): the event log streams in
+    * TWO micro-batch phases through the HLL-register state machine,
+    * and the final per-key emission must equal the batch sketch of the
+    * whole log — register max-merge is order/partition-insensitive, so
+    * the batch-form SQL oracle replays a stateful streaming result
+    * exactly. Fixed 1 KiB of state per key however many events pass. */
+  private def qStreamDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("event_type").cast("string").as("k"),
+      col("user_id").cast("string").as("v"), col("event_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q120")
+    val inDir = s"$root/in"
+    val updDir = s"$root/upd"
+    base.filter(col("event_id") % 2 === 0).select("k", "v").write.parquet(inDir)
+    val q = graft.streaming.StreamDistinct.estimates(
+        s.readStream.schema("k STRING, v STRING").parquet(inDir)
+          .as[(String, String)])
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        df.withColumn("_bid", lit(bid))
+          .write.mode("append").parquet(updDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    base.filter(col("event_id") % 2 =!= 0).select("k", "v")
+      .write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+    val w = Window.partitionBy(col("k")).orderBy(col("_bid").desc)
+    val out = s.read.parquet(updDir)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("k").as("event_type"), col("zero_regs"), col("estimate"))
+      .orderBy("event_type")
+      .localCheckpoint()
+    deleteTree(root.toString)
+    out
+  }
+
+  private val oStreamDistinct =
+    s"""WITH lc(v, lce) AS (VALUES ${Cardinality.lcTableSql}),
+       |${oHllChain("q", "event_type", "CAST(user_id AS VARCHAR)", "events")}
+       |SELECT g AS event_type, CAST(zero_regs AS BIGINT) AS zero_regs,
+       |  estimate
+       |FROM qest ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -4084,7 +4138,8 @@ object Queries {
     "q116_bucketed_join" -> (qBucketedJoin _),
     "q117_cardinality_ledger" -> (qCardinalityLedger _),
     "q118_temperature_mix" -> (qTemperatureMix _),
-    "q119_table_profile" -> (qTableProfile _)
+    "q119_table_profile" -> (qTableProfile _),
+    "q120_stream_distinct" -> (qStreamDistinct _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4210,6 +4265,7 @@ object Queries {
     "q116_bucketed_join" -> oBucketedJoin,
     "q117_cardinality_ledger" -> oCardinalityLedger,
     "q118_temperature_mix" -> oTemperatureMix,
-    "q119_table_profile" -> oTableProfile
+    "q119_table_profile" -> oTableProfile,
+    "q120_stream_distinct" -> oStreamDistinct
   )
 }

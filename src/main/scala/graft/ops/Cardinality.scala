@@ -144,6 +144,48 @@ object Cardinality {
                      key: Column): DataFrame =
     estimate(sketch(df, groupCols, key), groupCols)
 
+  // ------------- JVM-side mirror of the plan expressions, for stateful
+  // streaming operators that fold events into registers per-row (and
+  // for driver-side reference checks). Each function computes the SAME
+  // value its Column twin renders in a plan or a SQL oracle.
+
+  /** md5 → first 15 hex chars → 60-bit long, the JVM twin of the
+    * plan-side hash. */
+  def hashLong(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  def bucketOfLong(hv: Long): Int = (hv >>> SuffixBits).toInt
+
+  def rhoOfLong(hv: Long): Int = {
+    val w = hv & ((1L << SuffixBits) - 1)
+    if (w == 0) SuffixBits + 1
+    else SuffixBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+  }
+
+  /** (zero_regs, estimate) from a raw register array (index = bucket,
+    * value = max rho, 0 = empty) — the same integers [[estimate]]
+    * computes in a plan: exact BigInt raw quotient, shared lcTable for
+    * the linear-counting branch. */
+  def estimateRegisters(regs: Array[Byte]): (Long, Long) = {
+    require(regs.length == M, s"expected $M registers, got ${regs.length}")
+    var zero = 0L
+    var s = BigInt(0)
+    var i = 0
+    while (i < M) {
+      if (regs(i) == 0) zero += 1
+      s += BigInt(1) << (SuffixBits + 1 - regs(i))
+      i += 1
+    }
+    val raw = (Numerator / (BigInt(AlphaDen) * s)).toLong
+    val est = if (zero > 0 && raw <= LcThreshold) lcTable(zero.toInt - 1)
+      else raw
+    (zero, est)
+  }
+
   /** The lcTable as a SQL VALUES body `(1, e1), (2, e2), …` — the
     * oracle embeds the SAME precomputed integers the Spark plan uses. */
   def lcTableSql: String =

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Cardinality
+
+/** Streaming approximate distinct count: the HLL register table as
+  * `flatMapGroupsWithState` state, folded per event — the streaming
+  * face of [[graft.ops.Cardinality]] (same hash, same registers, same
+  * integer-exact estimator, via its JVM-side mirror functions).
+  *
+  * State per key is a FIXED 1024 bytes regardless of how many events
+  * stream through — this is why a sketch, not an exact distinct set,
+  * is the per-key streaming state at scale (an exact set is unbounded;
+  * the reference's ledger-table approach has the same growth problem
+  * its SURVEY J2 note records). Because register max-merge is
+  * associative/commutative/idempotent, the final emission after any
+  * micro-batch partitioning equals the one-shot batch sketch of
+  * everything seen — replays, batch boundaries and file orderings
+  * cannot change it (StreamDistinctSpec pins stream == batch; q120
+  * pins it against the SQL oracle).
+  */
+object StreamDistinct {
+
+  case class Estimate(k: String, zero_regs: Long, estimate: Long)
+
+  /** Per-key running distinct estimate over a (key, value) stream:
+    * after each micro-batch, every key updated in that batch emits its
+    * current (zero_regs, estimate). Run with output mode Update; the
+    * latest emission per key is the stream's answer so far. */
+  def estimates(ds: Dataset[(String, String)]): Dataset[Estimate] =
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[Array[Byte], Estimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(func = {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](Cardinality.M))
+          // null values don't count toward a distinct count (SQL
+          // COUNT(DISTINCT) semantics)
+          rows.foreach { case (_, v) =>
+            if (v != null) {
+              val hv = Cardinality.hashLong(v)
+              val b = Cardinality.bucketOfLong(hv)
+              val r = Cardinality.rhoOfLong(hv).toByte
+              if (r > regs(b)) regs(b) = r
+            }
+          }
+          state.update(regs)
+          val (z, e) = Cardinality.estimateRegisters(regs)
+          Iterator.single(Estimate(key, z, e))
+      })(Encoders.BINARY, Encoders.product[Estimate])
+}

@@ -10,27 +10,17 @@ import graft.ops.Cardinality
 class CardinalitySpec extends SparkSpec {
   import spark.implicits._
 
-  /** Pure-Scala reference: the same algorithm with BigInt arithmetic. */
+  /** Driver-side reference via the JVM mirror functions — an
+    * independent path from the Column expressions the plan compiles. */
   private def referenceEstimate(keys: Seq[String]): (Long, Long) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val regs = new Array[Int](Cardinality.M)
+    val regs = new Array[Byte](Cardinality.M)
     keys.foreach { k =>
-      val hex = md.digest(k.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15)
-      md.reset()
-      val hv = java.lang.Long.parseLong(hex, 16)
-      val b = (hv >>> Cardinality.SuffixBits).toInt
-      val w = hv & ((1L << Cardinality.SuffixBits) - 1)
-      val rho = if (w == 0) Cardinality.SuffixBits + 1
-        else Cardinality.SuffixBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
-      if (rho > regs(b)) regs(b) = rho
+      val hv = Cardinality.hashLong(k)
+      val b = Cardinality.bucketOfLong(hv)
+      val r = Cardinality.rhoOfLong(hv).toByte
+      if (r > regs(b)) regs(b) = r
     }
-    val zero = regs.count(_ == 0).toLong
-    val s = regs.map(m => BigInt(1) << (Cardinality.SuffixBits + 1 - m)).sum
-    val raw = (Cardinality.Numerator / (BigInt(Cardinality.AlphaDen) * s)).toLong
-    val est = if (zero > 0 && raw <= Cardinality.LcThreshold)
-      Cardinality.lcTable(zero.toInt - 1) else raw
-    (zero, est)
+    Cardinality.estimateRegisters(regs)
   }
 
   private def run(n: Int): (Long, Long, Long) = {
