@@ -3296,20 +3296,25 @@ object Queries {
         ()
       }
       .start()
-    q.processAllAvailable()
-    base.filter(col("sec") > hw).write.mode("append").parquet(inDir)
-    q.processAllAvailable()
-    q.stop()
+    // stop-and-clean on EVERY path: an orphaned file-source stream
+    // would keep polling inDir for the rest of the session, and a
+    // leaked events copy per failed run fills the sink-bench disk
+    try {
+      q.processAllAvailable()
+      base.filter(col("sec") > hw).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+    } finally q.stop()
     val w = Window.partitionBy(col("user_id")).orderBy(col("_bid").desc)
     // checkpoint the (small) final funnel, then drop the staged input
     // copy + checkpoint + update log instead of leaking a full events
     // copy per invocation (bench runs this 3-5 times)
-    val out = s.read.parquet(updDir)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_bid", "_rn")
-      .localCheckpoint()
-    deleteRecursively(root)
-    out.orderBy("user_id")
+    try {
+      s.read.parquet(updDir)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_bid", "_rn")
+        .localCheckpoint()
+        .orderBy("user_id")
+    } finally deleteRecursively(root)
   }
 
   /** Best-effort recursive temp-dir cleanup for the write-path queries
@@ -3740,7 +3745,8 @@ object Queries {
     val rhoMax = Cardinality.SuffixBits + 1
     s"""${p}h AS (SELECT $grp AS g,
        |    ('0x' || substr(md5($keyExpr), 1, 15))::BIGINT AS hv FROM $from),
-       |${p}b AS (SELECT g, hv // $half AS bucket, hv % $half AS w FROM ${p}h),
+       |${p}b AS (SELECT g, hv // $half AS bucket, hv % $half AS w
+       |    FROM ${p}h WHERE hv IS NOT NULL),
        |${p}rho AS (SELECT g, bucket,
        |      CASE WHEN w = 0 THEN $rhoMax ELSE $rhoMax - length(bin(w)) END AS rho
        |    FROM ${p}b),
@@ -3973,42 +3979,22 @@ object Queries {
     * the batch-form SQL oracle replays a stateful streaming result
     * exactly. Fixed 1 KiB of state per key however many events pass. */
   private def qStreamDistinct(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import s.implicits._
     val ev = t(s, dir, "events")
     val base = ev.select(col("event_type").cast("string").as("k"),
       col("user_id").cast("string").as("v"), col("event_id"))
+    // null-SAFE phase split: a bare `% 2` predicate is null-false on
+    // BOTH sides, silently dropping null-event_id rows the oracle scans
+    val phase = pmod(coalesce(col("event_id"), lit(0L)), lit(2))
     val root = java.nio.file.Files.createTempDirectory("graft_q120")
-    val inDir = s"$root/in"
-    val updDir = s"$root/upd"
-    base.filter(col("event_id") % 2 === 0).select("k", "v").write.parquet(inDir)
-    val q = graft.streaming.StreamDistinct.estimates(
-        s.readStream.schema("k STRING, v STRING").parquet(inDir)
-          .as[(String, String)])
-      .toDF()
-      .writeStream
-      .option("checkpointLocation", s"$root/ckpt")
-      .outputMode("update")
-      .foreachBatch { (df: DataFrame, bid: Long) =>
-        df.withColumn("_bid", lit(bid))
-          .write.mode("append").parquet(updDir)
-        ()
-      }
-      .start()
-    q.processAllAvailable()
-    base.filter(col("event_id") % 2 =!= 0).select("k", "v")
-      .write.mode("append").parquet(inDir)
-    q.processAllAvailable()
-    q.stop()
-    val w = Window.partitionBy(col("k")).orderBy(col("_bid").desc)
-    val out = s.read.parquet(updDir)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("k").as("event_type"), col("zero_regs"), col("estimate"))
-      .orderBy("event_type")
-      .localCheckpoint()
-    deleteTree(root.toString)
-    out
+    try {
+      graft.streaming.StreamDistinct.replayEstimates(s,
+          Seq(base.filter(phase === 0).select("k", "v"),
+            base.filter(phase === 1).select("k", "v")),
+          root.toString)
+        .select(col("k").as("event_type"), col("zero_regs"), col("estimate"))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally deleteRecursively(root)
   }
 
   private val oStreamDistinct =

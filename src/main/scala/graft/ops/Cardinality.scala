@@ -86,7 +86,12 @@ object Cardinality {
 
   def sketch(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
     val hv = hashOf(key)
-    df.select(groupCols.map(col) :+ bucketOf(hv).as("bucket")
+    // null keys don't count toward a distinct count (SQL
+    // COUNT(DISTINCT) semantics) — and the streaming twin
+    // (StreamDistinct) skips them per-row, so dropping them here is
+    // what keeps stream == batch exact on null-bearing data
+    df.filter(key.isNotNull)
+      .select(groupCols.map(col) :+ bucketOf(hv).as("bucket")
         :+ rhoOf(hv).as("rho"): _*)
       .groupBy(groupCols.head, groupCols.tail :+ "bucket": _*)
       .agg(max("rho").as("m"))
@@ -149,13 +154,24 @@ object Cardinality {
   // for driver-side reference checks). Each function computes the SAME
   // value its Column twin renders in a plan or a SQL oracle.
 
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue: java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** md5 → first 15 hex chars → 60-bit long, the JVM twin of the
-    * plan-side hash. */
+    * plan-side hash. Hot path for the per-event streaming fold: reads
+    * the first 8 digest bytes big-endian and drops the low nibble
+    * (= the 16th hex char) — no hex-string round-trip, thread-local
+    * digest instance. */
   def hashLong(key: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8"))
-    java.lang.Long.parseLong(
-      d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(key.getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
   }
 
   def bucketOfLong(hv: Long): Int = (hv >>> SuffixBits).toInt
