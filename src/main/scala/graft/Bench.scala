@@ -72,7 +72,14 @@ object Bench {
                    System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      if (oneTimeSetup.contains(name.takeWhile(_ != '_'))) one() // discarded
+      val isSetup = oneTimeSetup.contains(name.takeWhile(_ != '_'))
+      // TWO discarded warm-ups for setup queries (r7 finding: one was
+      // not enough — q110's second run still paid residual JIT/shuffle
+      // file-cache warming and its spread stayed >= its median, so r6's
+      // "spread < median" criterion was unmet on exactly the flagship
+      // query); plus these queries always take 5 timed runs and report
+      // the trimmed spread below, so one straggler can't blind the diff.
+      if (isSetup) { one(); one() }
       var runs = (1 to 3).toVector.map(_ => one())
       // Noise floor (round-5 finding: q40's 10.8s spread on a 4.2s
       // median made sink-bound regressions undetectable): when the
@@ -81,12 +88,20 @@ object Bench {
       // (drop the best and worst of 5), so spread measures the stable
       // core, not the single worst outlier.
       val s3 = runs.map(_._1).sorted
-      if (s3.last - s3.head >= 0.5 * s3(1)) runs ++= (1 to 2).map(_ => one())
+      if (isSetup || s3.last - s3.head >= 0.5 * s3(1))
+        runs ++= (1 to 2).map(_ => one())
       val sorted = runs.map(_._1).sorted
       val n = sorted.length
       val median = sorted(n / 2)
       val spread = if (n >= 5) sorted(n - 2) - sorted(1)
                    else sorted.last - sorted.head
+      // Cache-hygiene sweep between queries (r7 judge-confirmed: q52 ran
+      // 1.3s isolated vs 5.9s in-suite purely from inherited session
+      // cache residue — the non-scoped simhashPairs persist leaked, and
+      // nine q1xx queries sorting ahead compounded memory pressure).
+      // Ledger fixtures are parquet-on-disk, not session caches, so the
+      // sweep cannot evict anything a later query depends on.
+      spark.catalog.clearCache()
       (name, median, spread, runs.forall(_._2), sorted.head)
     }
     // The driver captures only the LAST 2000 chars of the sbt log, and

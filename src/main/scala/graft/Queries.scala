@@ -1596,9 +1596,16 @@ object Queries {
     * verifies — the shuffle touches only collision groups. */
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = ApproxDedup.simhash(t(s, dir, "documents"), "doc_id", col("text"), ShBits)
-    ApproxDedup.simhashPairs(sig, "doc_id", "simhash", ShBits,
+    // scoped form + checkpoint of the (small) pair list: the persisted
+    // signature table releases before return, so repeated bench runs
+    // don't accumulate session cache residue (r7 finding: the plain
+    // form's leaked persist, x2 with q113, inflated q52 1.3s -> 5.9s
+    // in-suite while the isolated run stayed at 1.3s)
+    val sc = ApproxDedup.simhashPairsScoped(sig, "doc_id", "simhash", ShBits,
         bands = 4, maxHamming = 20)
-      .orderBy("id_a", "id_b")
+    val pairs = sc.df.localCheckpoint()
+    sc.release()
+    pairs.orderBy("id_a", "id_b")
   }
 
   private val oSimhashPairs = {
@@ -3615,9 +3622,9 @@ object Queries {
       |    '</p><br/><div class="f">footer &nbsp; 2024</div></body></html>'
       |      AS html
       |  FROM documents),
-      |x1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
-      |         '<script[^>]*>.*?</script>', ' ', 'gis'),
-      |         '<style[^>]*>.*?</style>', ' ', 'gis') AS t
+      |x1 AS (SELECT doc_id, regexp_replace(html,
+      |         '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+      |         ' ', 'gis') AS t
       |       FROM h),
       |x2 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'gs') AS t
       |       FROM x1),
@@ -3700,9 +3707,12 @@ object Queries {
   private def qImageNearDup(s: SparkSession, dir: String): DataFrame = {
     val sig = Multimodal.dhashSignatures(imageTable(s, dir), "img_id",
       col("px"))
-    ApproxDedup.simhashPairs(sig, "img_id", "dhash", bits = 60,
+    // scoped + checkpoint for the same cache-hygiene reason as q52
+    val sc = ApproxDedup.simhashPairsScoped(sig, "img_id", "dhash", bits = 60,
         bands = 4, maxHamming = 3)
-      .orderBy("id_a", "id_b")
+    val pairs = sc.df.localCheckpoint()
+    sc.release()
+    pairs.orderBy("id_a", "id_b")
   }
 
   private val oImageNearDup =

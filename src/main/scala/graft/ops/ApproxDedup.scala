@@ -406,7 +406,19 @@ object ApproxDedup {
   /** 60-bit SimHash over whitespace tokens: bit b of the fingerprint is
     * set when the sum over tokens of ±1 (by bit b of the token's 60-bit
     * hash) is positive. One explode + one groupBy with 60 sums. */
-  def simhash(df: DataFrame, id: String, text: Column, bits: Int = 60): DataFrame = {
+  def simhash(df: DataFrame, id: String, text: Column, bits: Int = 60): DataFrame =
+    df.select(col(id),
+        call_function("simhash_sig", split(text, "\\s+"), lit(bits))
+          .as("simhash"))
+      // null text → no signature row, the explode form's semantics
+      .filter(col("simhash").isNotNull)
+
+  /** The composable (explode + conditional-sum groupBy) form of
+    * [[simhash]] — one shuffle of |corpus| × |tokens/doc| rows with a
+    * `bits`-column aggregation state, vs. the kernel's zero. Kept as
+    * the executable specification: SimhashKernelSpec pins the native
+    * `simhash_sig` kernel to this form on the driver fixtures. */
+  def simhashHof(df: DataFrame, id: String, text: Column, bits: Int = 60): DataFrame = {
     val h = hash60(col("_tok"))
     val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"bs_$b")

@@ -100,16 +100,30 @@ object Curation {
     *
     * Returns one row per group: total size, sampling rate in
     * myriads (per-10000) and the group's share of `budget`.
-    * Long-range note: w = floor(sqrt(size)·1e6) keeps w·budget inside
-    * int64 up to ~petatoken groups at million-token budgets; a larger
-    * deployment drops the µ-scale to 1e3 or lifts the products to
-    * decimal. */
+    * Long-range note: w = floor(sqrt(size)·1e6), so budget·w stays
+    * inside int64 only while w ≤ Long.MaxValue/budget — per-group size
+    * ≤ (Long.MaxValue/(budget·1e6))², which at a million-token budget
+    * is ~85 teratokens per group (NOT petatokens — Spark's non-ANSI
+    * mode would wrap silently past that). A per-row guard raises
+    * loudly at the bound; a larger deployment drops the µ-scale to 1e3
+    * or lifts the products to decimal(38,0). */
   def temperatureMix(df: DataFrame, groupCols: Seq[String],
                      sizeExpr: Column, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // overflow guard on the weight itself, BEFORE any product reads it:
+    // budget and the myriad scale are plan-time constants, so the
+    // largest safe w is too. A group past it must fail with THIS error
+    // on every engine config — non-ANSI multiply wraps silently, and
+    // ANSI's generic ARITHMETIC_OVERFLOW fires from whichever product
+    // column happens to evaluate first, naming neither the group nor
+    // the remedy.
+    val maxW = Long.MaxValue / math.max(budget, 10000L)
     val per = df.groupBy(groupCols.map(col): _*)
       .agg(sum(sizeExpr.cast("bigint")).as("total_tokens"))
       .withColumn("w", floor(sqrt(col("total_tokens")) * 1e6).cast("bigint"))
+      .withColumn("w", expr(s"CASE WHEN w > ${maxW}L THEN raise_error(" +
+        "'temperatureMix: group weight overflows int64 at this budget " +
+        "- drop the u-scale or lift to decimal') ELSE w END"))
       // one row per group: materialize so the normalizer and the final
       // select both read it — without this, `tot` re-derives the whole
       // upstream aggregate and the corpus is scanned twice

@@ -110,7 +110,16 @@ object Multimodal {
     *    sum_b·cnt_a`) — no division, no rounding, no halfway cases;
     *  - empty cells (n < 66) contribute sum 0, count 0, so their
     *    comparisons are deterministically false on both engines. */
-  def dhashSignatures(df: DataFrame, id: String, px: Column): DataFrame = {
+  def dhashSignatures(df: DataFrame, id: String, px: Column): DataFrame =
+    df.select(col(id), call_function("dhash_sig", px).as("dhash"))
+
+  /** The composable (66-cell `transform` + per-cell `aggregate` HOF)
+    * form of [[dhashSignatures]] — row-local like the kernel but ~two
+    * orders of magnitude off scan speed from per-row boxed position
+    * arrays and interpreted lambdas. Kept as the executable
+    * specification: DhashKernelSpec pins the native `dhash_sig` kernel
+    * to this form on the driver fixtures. */
+  def dhashSignaturesHof(df: DataFrame, id: String, px: Column): DataFrame = {
     val W = 11; val H = 6
     val cells = W * H
     val bits = (W - 1) * H // 60

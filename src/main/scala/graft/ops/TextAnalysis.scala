@@ -26,11 +26,16 @@ object TextAnalysis {
     * removal (trafilatura-class DOM scoring) plugs in ABOVE this as a
     * better extractor; this is the portable, deterministic baseline. */
   def extractHtmlText(html: Column): Column = {
-    // paired per-tag patterns (not <(script|style)>.*?</(script|style)>,
-    // whose unanchored pairing lets '<script>…</style>' match and an
-    // unclosed script swallow content up to an unrelated closing tag)
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
-    val noBlocks = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    // ONE pass, per-tag pairing preserved as alternation branches (not
+    // <(script|style)>.*?</(script|style)>, whose unanchored pairing
+    // lets '<script>…</style>' match and an unclosed script swallow
+    // content up to an unrelated closing tag). Each branch pairs its
+    // own open/close tag; both Java regex and RE2 (the DuckDB oracle)
+    // resolve alternation leftmost-first, so parity holds. Two
+    // sequential passes cost a second full-text scan for nothing
+    // (r7 measured it: 0.14 -> 0.82 s on q111).
+    val noBlocks = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]+>", " ")
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

@@ -79,6 +79,32 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSig(children.head, k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(
+        classOf[SimhashSig].getName,
+        null,
+        "simhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "simhash_sig expects (array<string> tokens, int bits)")
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "simhash_sig: bits must be an integer literal")
+        }
+        SimhashSig(children.head, bits)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dhash_sig"),
+      new ExpressionInfo(
+        classOf[DhashSig].getName,
+        null,
+        "dhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "dhash_sig expects (string px)")
+        DhashSig(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(
         classOf[NfcNormalize].getName,

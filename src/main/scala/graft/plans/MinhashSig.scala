@@ -76,6 +76,14 @@ object MinhashSig {
     * ([[graft.ops.ApproxDedup.MinhashPrime]]). */
   val Prime = 4294967311L
 
+  // one digest per thread, reset per use — getInstance("MD5") is an
+  // allocation + provider lookup, far too heavy for a per-ROW kernel
+  // hot path (same pattern as Cardinality.mdLocal)
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   /** One-pass k-min signature; null on empty / all-null input (the
     * explode form emits nothing / an all-null row there — callers
     * filter, see the expression Scaladoc). */
@@ -84,7 +92,7 @@ object MinhashSig {
     if (n == 0) return null
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     var any = false
     var j = 0
     while (j < n) {

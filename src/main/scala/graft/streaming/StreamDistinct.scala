@@ -36,20 +36,33 @@ object StreamDistinct {
         OutputMode.Update, GroupStateTimeout.NoTimeout)(func = {
         (key: String, rows: Iterator[(String, String)],
          state: GroupState[Array[Byte]]) =>
+          val hadState = state.exists
           val regs = state.getOption.getOrElse(new Array[Byte](Cardinality.M))
           // null values don't count toward a distinct count (SQL
           // COUNT(DISTINCT) semantics)
+          var folded = false
           rows.foreach { case (_, v) =>
             if (v != null) {
+              folded = true
               val hv = Cardinality.hashLong(v)
               val b = Cardinality.bucketOfLong(hv)
               val r = Cardinality.rhoOfLong(hv).toByte
               if (r > regs(b)) regs(b) = r
             }
           }
-          state.update(regs)
-          val (z, e) = Cardinality.estimateRegisters(regs)
-          Iterator.single(Estimate(key, z, e))
+          // A key whose values were ALL null never existed for the
+          // batch path (Cardinality.sketch filters key rows with a
+          // null value before grouping) or the SQL oracle (WHERE hv IS
+          // NOT NULL) — emitting an empty-sketch row here would break
+          // the stream == batch invariant on null-only keys, so such a
+          // group leaves no state and no emission until a real value
+          // arrives.
+          if (!hadState && !folded) Iterator.empty
+          else {
+            state.update(regs)
+            val (z, e) = Cardinality.estimateRegisters(regs)
+            Iterator.single(Estimate(key, z, e))
+          }
       })(Encoders.BINARY, Encoders.product[Estimate])
 
   /** Phased-replay harness: drive [[estimates]] over `phases` (each a

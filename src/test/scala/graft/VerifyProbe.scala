@@ -9,7 +9,6 @@ import org.apache.spark.sql.functions._
 object VerifyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
-    val sf = "/root/testdata/sf0.1"
 
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -18,31 +17,41 @@ object VerifyProbe {
       r
     }
 
-    // q60 stage split: kmeans fit/assign vs in-cell pair mining vs CC
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    emb.count() // warm
-    (1 to 2).foreach { rep =>
-      val assigned = time(s"assign-$rep") {
-        val a = ops.SemanticDedup.assignClusters(emb, "vec_id", "embedding",
-          k = 8, iters = 2)
-        a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .count()
-        a
-      }
-      val pairs = time(s"pairs-$rep") {
-        val p = ops.Similarity.nearDupPairs(assigned, "vec_id",
-          "centroid_id", "cv", 0.3, 0)
-        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .count()
-        p
-      }
-      time(s"cc-$rep") {
-        ops.ConnectedComponents(pairs, "id_a", "id_b").count()
-      }
-      println("cc-rounds=" + ops.ConnectedComponents.lastRounds.get)
-      assigned.unpersist(); pairs.unpersist()
-    }
+    val sf01 = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    docs.count() // warm scan
+    val ShBits = 60
 
+    // OLD shape: plain pairs, no checkpoint, cache left behind
+    (1 to 2).foreach { rep =>
+      time(s"old-plain-$rep") {
+        val sig = ops.ApproxDedup.simhash(docs, "doc_id", col("text"), ShBits)
+        ops.ApproxDedup.simhashPairs(sig, "doc_id", "simhash", ShBits, 4, 20)
+          .orderBy("id_a", "id_b").count()
+      }
+    }
+    spark.catalog.clearCache()
+    // NEW shape: scoped + localCheckpoint + release
+    (1 to 2).foreach { rep =>
+      time(s"new-ckpt-$rep") {
+        val sig = ops.ApproxDedup.simhash(docs, "doc_id", col("text"), ShBits)
+        val sc = ops.ApproxDedup.simhashPairsScoped(sig, "doc_id", "simhash", ShBits, 4, 20)
+        val pairs = sc.df.localCheckpoint()
+        sc.release()
+        pairs.orderBy("id_a", "id_b").count()
+      }
+    }
+    // scoped WITHOUT checkpoint: count first, then release
+    (1 to 2).foreach { rep =>
+      time(s"scoped-count-$rep") {
+        val sig = ops.ApproxDedup.simhash(docs, "doc_id", col("text"), ShBits)
+        val sc = ops.ApproxDedup.simhashPairsScoped(sig, "doc_id", "simhash", ShBits, 4, 20)
+        val n = sc.df.orderBy("id_a", "id_b").count()
+        sc.release()
+        n
+      }
+    }
+    println(s"cacheManager empty: ${spark.sharedState.cacheManager.isEmpty}")
     println("PROBE_OK")
     spark.stop()
   }
