@@ -745,21 +745,60 @@ object Queries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------------------ IVF top-k
-  /** IVF probe over centroids TRAINED by Lloyd's k-means (k=8, two
-    * iterations) — the oracle replays the training exactly: same init
-    * (8 lowest-id vectors), same rounded-cosine assignment, same
-    * fixed-point dimension sums (see [[Similarity.kmeansFit]]). */
+  /** IVF probe over the PERSISTED index ([[ivfIndexFor]] — centroids
+    * trained by Lloyd's k-means, k=8, two iterations, built once per
+    * fixture): the query plan reads index parquet only. The oracle
+    * replays the training exactly — same init (8 lowest-id vectors),
+    * same rounded-cosine assignment, same fixed-point dimension sums
+    * (see [[Similarity.kmeansFit]]) — so the ledger contents, and
+    * therefore the probe results, are identical. */
   private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val emb = t(s, dir, "embeddings")
-    val trained = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
-    val cents = trained.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("vec_id", "embedding")
-    Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, cents,
-        "vec_id", "vec_id", "vec_id", "embedding", k = 5)
+    Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5),
+        ivfIndexFor(s, dir), "vec_id", "embedding", k = 5, nprobe = 1)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("corpus_id"), col("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The corpus's persisted IVF index — k-means centroids + posting
+    * lists, bootstrapped once per fixture dir ([[cachedLedger]]'s
+    * write-once convention, both tables from ONE training run);
+    * thereafter q25/q78/q94 serve reads from index parquet: no k-means
+    * iteration jobs, no corpus re-assignment in any query plan
+    * (NoRetrainSpec pins it). The production analogue is an ANN index
+    * built by an offline job and served by query nodes. */
+  private def ivfIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    val centPath = fixPath("ivf_index_cent", dir)
+    val asgPath = fixPath("ivf_index_asg", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(centPath) || missing(asgPath)) {
+      val idx = Similarity.ivfIndexBuild(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      idx.centroids.write.mode("overwrite").parquet(centPath)
+      idx.assignments.write.mode("overwrite").parquet(asgPath)
+    }
+    Similarity.IvfIndex(s.read.parquet(centPath), s.read.parquet(asgPath))
+  }
+
+  /** The corpus's persisted PQ index — subspace codebooks + corpus
+    * codes, same write-once bootstrap as [[ivfIndexFor]]; q84 serves
+    * ADC reads from it without re-training codebooks or re-encoding
+    * the corpus. */
+  private def pqIndexFor(s: SparkSession, dir: String): Similarity.PqIndex = {
+    val cbPath = fixPath("pq_index_codebook", dir)
+    val codesPath = fixPath("pq_index_codes", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(cbPath) || missing(codesPath)) {
+      val idx = Similarity.pqIndexBuild(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, dsub = 16, ksub = 16, iters = 1)
+      idx.codebook.write.mode("overwrite").parquet(cbPath)
+      idx.codes.write.mode("overwrite").parquet(codesPath)
+    }
+    Similarity.PqIndex(s.read.parquet(cbPath), s.read.parquet(codesPath))
   }
 
   // one Lloyd's iteration = assign (argmax rounded cosine) + update
@@ -837,13 +876,9 @@ object Queries {
     * centroids by the same rounded cosine + centroid-id order as the
     * assignment. */
   private def qIvfMultiprobe(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val emb = t(s, dir, "embeddings")
-    val trained = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
-    val cents = trained.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("vec_id", "embedding")
-    Similarity.ivfTopKProbed(emb.filter(col("vec_id") < 5), emb, cents,
-        "vec_id", "vec_id", "vec_id", "embedding", k = 5, nprobe = 3)
+    Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5),
+        ivfIndexFor(s, dir), "vec_id", "embedding", k = 5, nprobe = 3)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("corpus_id"), col("cos_sim"))
       .orderBy("query_id", "rank")
@@ -2582,19 +2617,19 @@ object Queries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------- product-quantized top-k
-  /** PQ/ADC top-k ([[Similarity.pqTopK]]): 4 subspaces × 16 dims, 16
-    * centroids each, trained by one deterministic Lloyd's iteration per
-    * subspace (k-lowest-id init — [[Similarity.kmeansFit]] on the
-    * slices). The oracle replays all four subspace chains — init,
-    * rounded-cosine assignment, fixed-point mean update, final encode —
-    * then the fixed-point ADC lookup-table sum. Scores are µ-unit
-    * bigints, so no double-summation order can split the engines. */
+  /** PQ/ADC top-k over the PERSISTED index ([[pqIndexFor]]): 4
+    * subspaces × 16 dims, 16 centroids each, trained by one
+    * deterministic Lloyd's iteration per subspace (k-lowest-id init —
+    * [[Similarity.kmeansFit]] on the slices), built once per fixture;
+    * the query plan reads codebook + codes parquet only. The oracle
+    * replays all four subspace chains — init, rounded-cosine
+    * assignment, fixed-point mean update, final encode — then the
+    * fixed-point ADC lookup-table sum. Scores are µ-unit bigints, so
+    * no double-summation order can split the engines. */
   private def qPqTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cb = Similarity.pqFit(emb, "vec_id", "embedding",
-      m = 4, dsub = 16, ksub = 16, iters = 1)
-    Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "vec_id",
-        "embedding", cb, m = 4, dsub = 16, k = 5)
+    Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 5),
+        pqIndexFor(s, dir), "vec_id", "embedding", m = 4, dsub = 16, k = 5)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("corpus_id"), col("score_fp"))
       .orderBy("query_id", "rank")
@@ -2860,14 +2895,10 @@ object Queries {
     * The oracle recomputes BOTH top-k tables (reusing q25's Lloyd's
     * replay chain) and intersects them, all in SQL. */
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
-    val trained = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
-    val cents = trained.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("vec_id", "embedding")
-    val approx = Similarity.ivfTopK(q, emb, cents,
-      "vec_id", "vec_id", "vec_id", "embedding", k = 5)
+    val approx = Similarity.ivfTopKFromIndex(q, ivfIndexFor(s, dir),
+      "vec_id", "embedding", k = 5, nprobe = 1)
     val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id",
       "embedding", k = 5)
     Similarity.recallAtK(approx, exact).orderBy("query_id")

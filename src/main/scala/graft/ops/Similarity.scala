@@ -154,6 +154,68 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos_sim"))
   }
 
+  /** A trained IVF index as two TABLES — the persisted-ledger form
+    * ([[graft.ops.ApproxDedup.LshLedger]] / SemLedger's shape, applied
+    * to ANN): `centroids` (centroid_id, centv) is the k·d training
+    * result, `assignments` (corpus_id, centroid_id, cv) is the posting
+    * list — every corpus vector stored WITH its cluster, which is what
+    * a real inverted file is. At 100 TB the index is built once and
+    * served many times: a query-path consumer reads these tables
+    * (parquet/Delta) and never re-trains, never re-assigns — see
+    * [[ivfTopKFromIndex]]. */
+  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  /** Train + assign once, producing the persistable [[IvfIndex]].
+    * Training is [[kmeansFit]] (deterministic, oracle-replayable);
+    * assignment is [[ivfAssign]] over the trained centroids. */
+  def ivfIndexBuild(corpus: DataFrame, id: String, vecCol: String,
+                    k: Int, iters: Int): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val trained = kmeansFit(corpus, id, vecCol, k, iters)
+    val cents = trained.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centv")
+      .select(col("centroid_id"), col("centv").cast("array<double>").as("centv"))
+    val asg = ivfAssign(corpus,
+      cents.select(col("centroid_id"), col("centv").as(vecCol)),
+      id, "centroid_id", vecCol)
+    IvfIndex(cents, asg)
+  }
+
+  /** Multi-probe IVF top-k over a PERSISTED index: the query plan
+    * touches only the two index tables — no k-means iteration jobs, no
+    * corpus re-assignment (NoRetrainSpec pins the plan). Probe ranking
+    * replays [[ivfAssign]]'s ordering (rounded cosine desc, centroid id
+    * asc), so nprobe=1 over an index built by [[ivfIndexBuild]] equals
+    * [[ivfTopK]] row-for-row, and nprobe=n equals [[ivfTopKProbed]]. */
+  def ivfTopKFromIndex(queries: DataFrame, index: IvfIndex, qid: String,
+                       vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val q = queries.select(col(qid).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cent = index.centroids.select(col("centroid_id"),
+      col("centv").cast("array<double>").as("centv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cent_sim", round(cosine(col("qv"), col("centv")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("centroid_id"), col("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    index.assignments
+      .select(col("corpus_id"), col("centroid_id"),
+        col("cv").cast("array<double>").as("cv"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos_sim"))
+  }
+
   /** Lloyd's-iteration k-means training for the IVF index (spherical
     * form: cosine assignment, per-dimension mean update).
     *
@@ -418,6 +480,51 @@ object Similarity {
           (-col("centroid_id").cast("bigint")).as("nid"))).as("code"))
   }
 
+  /** A trained product-quantization index as two TABLES — `codebook`
+    * (s, centroid_id, centv): the m·ksub subspace centroids;
+    * `codes` (corpus_id, s, code): m small ints per corpus vector, the
+    * 4-16× compressed scan representation. Built once
+    * ([[pqIndexBuild]]), persisted, served many times
+    * ([[pqTopKFromIndex]]) — at 100 TB re-deriving the codebook (m
+    * k-means runs) or the codes (a full corpus encode) per query is
+    * the difference between an index and a scan. */
+  final case class PqIndex(codebook: DataFrame, codes: DataFrame)
+
+  /** Train the codebooks + encode the corpus once, producing the
+    * persistable [[PqIndex]]. */
+  def pqIndexBuild(corpus: DataFrame, id: String, vecCol: String,
+                   m: Int, dsub: Int, ksub: Int, iters: Int): PqIndex = {
+    val spark = corpus.sparkSession
+    val codebook = pqCodebookDf(spark, pqFit(corpus, id, vecCol, m, dsub, ksub, iters))
+    PqIndex(codebook, pqEncode(corpus, id, vecCol, m, dsub, codebook))
+  }
+
+  /** PQ/ADC top-k over a PERSISTED index: the plan reads the codebook
+    * (broadcast, m·ksub rows) and the codes table only — no k-means
+    * iteration jobs, no corpus encode, no raw corpus vectors at all
+    * (NoRetrainSpec pins the plan). Same ADC arithmetic as [[pqTopK]]
+    * (fixed-point LUT, integer-exact sums), so an index built by
+    * [[pqIndexBuild]] reproduces it row-for-row. */
+  def pqTopKFromIndex(queries: DataFrame, index: PqIndex, qid: String,
+                      vecCol: String, m: Int, dsub: Int, k: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val slices = array((0 until m).map(s => slice(v, s * dsub + 1, dsub)): _*)
+    val lut = queries
+      .select(col(qid).as("query_id"), posexplode(slices).as(Seq("s", "qsv")))
+      .join(broadcast(index.codebook), Seq("s"))
+      .select(col("query_id"), col("s"), col("centroid_id").as("code"),
+        floor(dot(col("qsv"), col("centv")) * 1e6).cast("bigint").as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("corpus_id"))
+    index.codes.join(broadcast(lut), Seq("s", "code"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("pd")).as("score_fp"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score_fp"))
+  }
+
   /** PQ top-k by asymmetric distance computation: the query stays
     * exact, the corpus is its codes. Approximate inner product
     * dot(q, v) ≈ Σ_s dot(q_s, centroid(code_s)) — the per-(query,
@@ -435,21 +542,8 @@ object Similarity {
     val spark = corpus.sparkSession
     val codebook = pqCodebookDf(spark, codebooks)
     val codes = pqEncode(corpus, cid, vecCol, m, dsub, codebook)
-    val v = col(vecCol).cast("array<double>")
-    val slices = array((0 until m).map(s => slice(v, s * dsub + 1, dsub)): _*)
-    val lut = queries
-      .select(col(qid).as("query_id"), posexplode(slices).as(Seq("s", "qsv")))
-      .join(broadcast(codebook), Seq("s"))
-      .select(col("query_id"), col("s"), col("centroid_id").as("code"),
-        floor(dot(col("qsv"), col("centv")) * 1e6).cast("bigint").as("pd"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_fp").desc, col("corpus_id"))
-    codes.join(broadcast(lut), Seq("s", "code"))
-      .groupBy(col("query_id"), col("corpus_id"))
-      .agg(sum(col("pd")).as("score_fp"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("score_fp"))
+    // one implementation of the ADC arithmetic: the in-query form IS
+    // the FromIndex form over an index built in the same plan
+    pqTopKFromIndex(queries, PqIndex(codebook, codes), qid, vecCol, m, dsub, k)
   }
 }

@@ -58,6 +58,94 @@ class SimhashKernelSpec extends SparkSpec {
   }
 }
 
+/** q25/q78/q84/q94's persisted-index contract: after the one-time
+  * bootstrap, a serve-path query CONSTRUCTS with zero Spark jobs (the
+  * retrain forms ran kmeansFit/pqFit collect()s right there) and its
+  * plan scans the index parquet, not a training DAG. */
+class NoRetrainSpec extends SparkSpec {
+  import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def constructionJobs(build: => org.apache.spark.sql.DataFrame)
+      : (Seq[Int], String) = {
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[Int]
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.add(js.stageInfos.map(_.numTasks).sum); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = build
+      // listener delivery is async; give the bus a moment to drain
+      // before reading the counter (a kmeans retrain fires dozens of
+      // multi-task shuffle jobs, so one quiet second is unambiguous)
+      Thread.sleep(1000)
+      (scala.jdk.CollectionConverters.CollectionHasAsScala(jobs)
+        .asScala.toSeq,
+        df.queryExecution.executedPlan.toString)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  // The serve-path contract: plan CONSTRUCTION may read parquet
+  // footers (1-task driver metadata jobs, one per index table — the
+  // retrain forms instead ran kmeansFit/pqFit collect()s here: many
+  // multi-task shuffle jobs), and the plan scans index parquet.
+  private def assertMetadataOnly(tag: String, jobs: Seq[Int]): Unit = {
+    assert(jobs.length <= 4 && jobs.forall(_ <= 2),
+      s"$tag construction launched ${jobs.length} jobs with task counts " +
+        s"$jobs (retraining?)")
+  }
+
+  test("IVF serve path: metadata-only construction, plan reads index parquet") {
+    SparkEntry.queries("q25_ivf_topk")(spark, dir).count() // bootstrap
+    val (jobs, plan) = constructionJobs(
+      SparkEntry.queries("q25_ivf_topk")(spark, dir))
+    assertMetadataOnly("q25", jobs)
+    assert(plan.contains("ivf_index_cent") && plan.contains("ivf_index_asg"),
+      plan.take(2000))
+  }
+
+  test("PQ serve path: metadata-only construction, plan reads codebook+codes") {
+    SparkEntry.queries("q84_pq_topk")(spark, dir).count() // bootstrap
+    val (jobs, plan) = constructionJobs(
+      SparkEntry.queries("q84_pq_topk")(spark, dir))
+    assertMetadataOnly("q84", jobs)
+    assert(plan.contains("pq_index_codebook") && plan.contains("pq_index_codes"),
+      plan.take(2000))
+    // the corpus's raw vectors never enter the serve plan: embeddings
+    // parquet appears once, for the 5 query vectors only
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).length
+    assert(embScans <= 1, s"corpus embeddings scanned $embScans times:\n" +
+      plan.take(2000))
+  }
+
+  test("FromIndex == retrain forms, row for row") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val idx = ops.Similarity.ivfIndexBuild(emb, "vec_id", "embedding", 8, 2)
+    val trained = ops.Similarity.kmeansFit(emb, "vec_id", "embedding", 8, 2)
+    val cents = trained.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("vec_id", "embedding")
+    val oldIvf = ops.Similarity.ivfTopK(q, emb, cents,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect()
+    val newIvf = ops.Similarity.ivfTopKFromIndex(q, idx,
+      "vec_id", "embedding", k = 5, nprobe = 1)
+      .orderBy("query_id", "rank").collect()
+    assert(newIvf.toSeq == oldIvf.toSeq)
+    val oldProbed = ops.Similarity.ivfTopKProbed(q, emb, cents,
+      "vec_id", "vec_id", "vec_id", "embedding", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+    val newProbed = ops.Similarity.ivfTopKFromIndex(q, idx,
+      "vec_id", "embedding", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(newProbed.toSeq == oldProbed.toSeq)
+  }
+}
+
 /** The native `dhash_sig` kernel vs the composable 66-cell
   * transform/aggregate HOF baseline. */
 class DhashKernelSpec extends SparkSpec {
