@@ -75,6 +75,104 @@ object Sinks {
     deleteRecursively(old)
   }
 
+  /** [[upsertParquet]] at log-structured cost: the store is
+    * hash-partitioned into `nBuckets` bucket directories
+    * (`b00000`…`bNNNNN`, key bucket = `pmod(hash(keyCols…), n)`), and
+    * an upsert rewrites ONLY the buckets containing the batch's keys —
+    * per-batch cost O(batch + touched buckets), not O(store), the
+    * DynamoDB-update-item shape (the reference touches only written
+    * keys, s3_monitor_statistic.py:47-91). Untouched bucket files are
+    * never opened, never rewritten (PartitionedStoreSpec asserts
+    * bit-identity). Each bucket keeps [[upsertParquet]]'s whole
+    * crash-safety story — swap-by-rename + [[recoverStore]] — so a
+    * crash at any point leaves every bucket complete. A crash BETWEEN
+    * buckets leaves the store half-upserted; callers that need
+    * batch-level replay safety get it the same way RefreshStream does
+    * across stores: keyed idempotency (replaying the batch re-writes
+    * identical rows) — no new failure mode is introduced.
+    *
+    * The bucket count is fixed at store creation (`_nbuckets` marker,
+    * written atomically before the first bucket): a different `n` on a
+    * later call is ignored in favor of the store's own — re-hashing
+    * live keys into a new layout is a rebuild, not an upsert. */
+  def upsertPartitioned(batch: DataFrame, keyCols: Seq[String],
+                        storeDir: String, nBuckets: Int = 8): Unit = {
+    require(nBuckets > 0 && nBuckets <= 99999,
+      s"nBuckets must be in [1, 99999], got $nBuckets")
+    val spark = batch.sparkSession
+    Files.createDirectories(Paths.get(storeDir))
+    val n = storeBucketCount(storeDir, nBuckets)
+    val withB = batch.withColumn("_bucket",
+      pmod(hash(keyCols.map(col): _*), lit(n)))
+    // one materialization of the batch; every touched bucket's merge
+    // reads it (and the collect is bounded: ≤ n small ints)
+    val mat = withB.localCheckpoint()
+    val touched = mat.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    touched.foreach { b =>
+      val bDir = s"$storeDir/${bucketName(b)}"
+      recoverStore(bDir)
+      val bBatch = mat.filter(col("_bucket") === b).drop("_bucket")
+      val merged =
+        if (Files.exists(Paths.get(bDir, "_SUCCESS")))
+          spark.read.parquet(bDir)
+            .join(bBatch.select(keyCols.map(col): _*).distinct(),
+              keyCols, "left_anti")
+            .unionByName(bBatch)
+        else bBatch
+      // one file per bucket: the log-structured unit a reader opens
+      merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(bDir + ".swap")
+      val dir = Paths.get(bDir)
+      val old = Paths.get(bDir + ".old")
+      deleteRecursively(old)
+      if (Files.exists(dir)) Files.move(dir, old)
+      Files.move(Paths.get(bDir + ".swap"), dir)
+      deleteRecursively(old)
+    }
+  }
+
+  /** Read a partitioned store: the union of its live bucket
+    * directories (explicit driver-side listing — never a glob that
+    * could catch a mid-promotion `.swap`/`.old` sibling). At least one
+    * bucket must exist (a store is always bootstrapped before it is
+    * read). */
+  def readPartitioned(spark: SparkSession, storeDir: String): DataFrame = {
+    val dirs = listBuckets(storeDir)
+    require(dirs.nonEmpty, s"partitioned store has no buckets: $storeDir")
+    spark.read.parquet(dirs: _*)
+  }
+
+  private def bucketName(b: Int): String = f"b$b%05d"
+
+  private val BucketRe = "^b\\d{5}$".r
+
+  private def listBuckets(storeDir: String): Seq[String] = {
+    val root = Paths.get(storeDir)
+    if (!Files.isDirectory(root)) return Seq.empty
+    val it = Files.list(root).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val p = it.next()
+      if (BucketRe.matches(p.getFileName.toString) &&
+          Files.exists(p.resolve("_SUCCESS")))
+        out += p.toString
+    }
+    out.sorted.toSeq
+  }
+
+  /** The store's fixed bucket count: read the `_nbuckets` marker, or
+    * write it (atomic rename) on first creation. */
+  private def storeBucketCount(storeDir: String, requested: Int): Int = {
+    val meta = Paths.get(storeDir, "_nbuckets")
+    if (Files.exists(meta)) Files.readString(meta).trim.toInt
+    else {
+      val tmp = Paths.get(storeDir, "_nbuckets.tmp")
+      Files.writeString(tmp, requested.toString)
+      Files.move(tmp, meta, StandardCopyOption.ATOMIC_MOVE)
+      requested
+    }
+  }
+
   /** If a previous upsert crashed between "live aside" and "promote
     * swap", the accumulated store survives as `.old` (or as a complete
     * `.swap`); restore it instead of silently starting over from one

@@ -13,8 +13,9 @@ import graft.sinks.Sinks
   * three-gate composition (exact fingerprint → lexical MinHash-LSH →
   * semantic centroid) against the PERSISTED ledgers, and the accepted
   * documents plus all three ledger deltas land through the crash-safe
-  * keyed upsert store ([[Sinks.upsertParquet]] — swap-by-rename, so a
-  * crash at any point leaves every store complete).
+  * keyed upsert store ([[Sinks.upsertPartitioned]] — per-bucket
+  * swap-by-rename, so a crash at any point leaves every bucket
+  * complete).
   *
   * Exactly-once across kill/restart WITHOUT cross-store transactions,
   * by composing two properties:
@@ -45,13 +46,18 @@ import graft.sinks.Sinks
   * Scale notes: per batch every gate's work is O(|ledger scan| +
   * |batch| + collisions) — history is never recomputed (the ledgers
   * are the round-7 [[ApproxDedup.LshLedger]]/[[SemanticDedup
-  * .SemLedger]] contract). The upsert store rewrites O(store) per
-  * batch; a production deployment swaps exactly that call for a
-  * Delta/Iceberg MERGE (same key-replace contract, log-structured
-  * cost) — the gate plans and the replay-safety argument carry over
-  * unchanged. Reference analogue: the consume loop + sent-message
-  * ledger probe (TaskExecutor/TaskExecutor.py:18-49,
-  * AzureTaskProducer/inventory_lib.py:146-162).
+  * .SemLedger]] contract). Every keyed store is the hash-PARTITIONED
+  * upsert ([[Sinks.upsertPartitioned]]): a batch rewrites only the
+  * buckets containing its keys — O(batch), not O(store) — with the
+  * same per-bucket swap-by-rename crash safety; a crash between bucket
+  * writes is covered by the same two replay properties above (the
+  * retry re-merges every bucket idempotently). A production deployment
+  * swaps the store for a Delta/Iceberg MERGE (same key-replace
+  * contract, same log-structured cost). Reference analogue: the
+  * consume loop + sent-message ledger probe
+  * (TaskExecutor/TaskExecutor.py:18-49,
+  * AzureTaskProducer/inventory_lib.py:146-162) — DynamoDB update_item
+  * touches only written keys, which is exactly the bucket contract.
   *
   * @param id        document id column (key of every store)
   * @param fp        exact-gate fingerprint expression over a doc row
@@ -75,16 +81,16 @@ final case class RefreshStream(
     * stream then only ever appends). Centroids are written once and
     * FROZEN — [[SemanticDedup.updatedSemLedger]]'s contract. */
   def bootstrap(oldDocs: DataFrame, oldEmb: DataFrame, root: String): Unit = {
-    Sinks.upsertParquet(oldDocs.select(col(id), fp.as("fp")),
+    Sinks.upsertPartitioned(oldDocs.select(col(id), fp.as("fp")),
       Seq(id), fpDir(root))
     val lsh = ApproxDedup.lshLedger(
       oldDocs.withColumn("_sh", shingles).select(col(id), col("_sh")),
       id, "_sh", k, bands, rowsPerBand)
-    Sinks.upsertParquet(lsh.buckets, Seq(id, "band"), bkDir(root))
-    Sinks.upsertParquet(lsh.sets, Seq(id), setsDir(root))
+    Sinks.upsertPartitioned(lsh.buckets, Seq(id, "band"), bkDir(root))
+    Sinks.upsertPartitioned(lsh.sets, Seq(id), setsDir(root))
     val sem = SemanticDedup.semLedger(oldEmb, vecId, vecCol, semK, semIters)
     sem.centroids.write.mode("overwrite").parquet(centDir(root))
-    Sinks.upsertParquet(sem.assignments, Seq(vecId), asnDir(root))
+    Sinks.upsertPartitioned(sem.assignments, Seq(vecId), asnDir(root))
   }
 
   /** Land one batch: gate against self-excluding ledger views, then
@@ -94,7 +100,7 @@ final case class RefreshStream(
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val ids = batch.select(col(id)).distinct().localCheckpoint()
-    def store(dir: String): DataFrame = spark.read.parquet(dir)
+    def store(dir: String): DataFrame = Sinks.readPartitioned(spark, dir)
     def excl(df: DataFrame, idCol: String): DataFrame =
       df.join(ids.select(col(id).as(idCol)), Seq(idCol), "left_anti")
 
@@ -112,7 +118,7 @@ final case class RefreshStream(
     val batchEmb = emb.join(s2.select(col(id).as(vecId)), Seq(vecId))
     val s3 = SemanticDedup.incrementalSurvivorsFromLedger(
       SemanticDedup.SemLedger(
-        store(centDir(root)), excl(store(asnDir(root)), vecId)),
+        spark.read.parquet(centDir(root)), excl(store(asnDir(root)), vecId)),
       batchEmb, vecId, vecCol, semThreshold)
     val dropped = batchEmb.select(col(vecId).as(id))
       .join(s3.select(col(vecId).as(id)), Seq(id), "left_anti")
@@ -137,18 +143,19 @@ final case class RefreshStream(
     val bkDelta = lshDelta.buckets.localCheckpoint()
     val setsDelta = lshDelta.sets.localCheckpoint()
     val asnDelta = SemanticDedup.assignUnit(
-      batchEmb, store(centDir(root)), vecId, vecCol).localCheckpoint()
+      batchEmb, spark.read.parquet(centDir(root)), vecId, vecCol)
+      .localCheckpoint()
 
-    Sinks.upsertParquet(accepted, Seq(id), outDir(root))
-    Sinks.upsertParquet(fpDelta, Seq(id), fpDir(root))
-    Sinks.upsertParquet(bkDelta, Seq(id, "band"), bkDir(root))
-    Sinks.upsertParquet(setsDelta, Seq(id), setsDir(root))
-    Sinks.upsertParquet(asnDelta, Seq(vecId), asnDir(root))
+    Sinks.upsertPartitioned(accepted, Seq(id), outDir(root))
+    Sinks.upsertPartitioned(fpDelta, Seq(id), fpDir(root))
+    Sinks.upsertPartitioned(bkDelta, Seq(id, "band"), bkDir(root))
+    Sinks.upsertPartitioned(setsDelta, Seq(id), setsDir(root))
+    Sinks.upsertPartitioned(asnDelta, Seq(vecId), asnDir(root))
   }
 
   /** The accepted-corpus store (what a consumer trains on). */
   def accepted(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(outDir(root))
+    Sinks.readPartitioned(spark, outDir(root))
 
   /** Start the landing-queue consumer: one micro-batch per landing
     * file (so batch boundaries equal file boundaries — the contract

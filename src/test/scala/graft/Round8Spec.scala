@@ -4,6 +4,88 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{ApproxDedup, Multimodal}
 
+/** The hash-partitioned upsert store ([[graft.sinks.Sinks
+  * .upsertPartitioned]]): keyed-replace semantics equal to the
+  * monolithic form, and — the point — an upsert leaves every
+  * untouched bucket's files BIT-IDENTICAL (never opened, never
+  * rewritten). */
+class PartitionedStoreSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.sinks.Sinks
+
+  private def fileState(storeDir: String): Map[String, String] = {
+    val root = java.nio.file.Paths.get(storeDir)
+    val it = java.nio.file.Files.walk(root).iterator()
+    val out = scala.collection.mutable.Map.empty[String, String]
+    while (it.hasNext) {
+      val p = it.next()
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        out(root.relativize(p).toString) =
+          md.digest(bytes).map("%02x".format(_)).mkString
+      }
+    }
+    out.toMap
+  }
+
+  test("keyed replace matches the monolithic store; untouched buckets stay bit-identical") {
+    val store = tmpDir("pstore") + "/s"
+    val mono = tmpDir("mstore") + "/s"
+    val base = (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.upsertPartitioned(base, Seq("id"), store, nBuckets = 8)
+    Sinks.upsertParquet(base, Seq("id"), mono)
+
+    val before = fileState(store)
+    // a one-key batch touches exactly one bucket
+    val delta = Seq((7L, "UPDATED")).toDF("id", "v")
+    Sinks.upsertPartitioned(delta, Seq("id"), store, nBuckets = 8)
+    Sinks.upsertParquet(delta, Seq("id"), mono)
+    val after = fileState(store)
+
+    val p = Sinks.readPartitioned(spark, store)
+      .as[(Long, String)].collect().toSeq.sorted
+    val m = spark.read.parquet(mono)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(p == m)
+    assert(p.contains((7L, "UPDATED")) && p.size == 200)
+
+    // which bucket did key 7 land in?
+    val touched = base.sparkSession.range(1).select(
+      pmod(hash(lit(7L)), lit(8)).as("b")).head().getInt(0)
+    val touchedPrefix = f"b$touched%05d"
+    val changed = (before.keySet ++ after.keySet).filter(k =>
+      before.get(k) != after.get(k))
+    assert(changed.nonEmpty, "the touched bucket must change")
+    assert(changed.forall(_.startsWith(touchedPrefix)),
+      s"files outside $touchedPrefix changed: $changed")
+    // every untouched bucket: exact same file set, exact same bytes
+    val untouchedBefore = before.filter(!_._1.startsWith(touchedPrefix))
+    val untouchedAfter = after.filter(!_._1.startsWith(touchedPrefix))
+    assert(untouchedBefore == untouchedAfter)
+  }
+
+  test("re-upserting the same batch is a no-op; bucket count is pinned at creation") {
+    val store = tmpDir("pstore2") + "/s"
+    val base = (1L to 50L).map(i => (i, i * 3)).toDF("id", "x")
+    Sinks.upsertPartitioned(base, Seq("id"), store, nBuckets = 4)
+    val once = Sinks.readPartitioned(spark, store)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // a different nBuckets on a later call must NOT re-shard the store
+    Sinks.upsertPartitioned(base, Seq("id"), store, nBuckets = 16)
+    val twice = Sinks.readPartitioned(spark, store)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(once == twice)
+    val buckets = java.nio.file.Files.list(
+        java.nio.file.Paths.get(store)).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (buckets.hasNext) names += buckets.next().getFileName.toString
+    assert(names.count(_.matches("^b\\d{5}$")) <= 4,
+      s"store re-sharded past its creation bucket count: $names")
+  }
+}
+
 /** The native `simhash_sig` kernel vs the composable explode +
   * conditional-sum groupBy baseline — docs/KERNELS.md's
   * bitwise-equality rule. */
