@@ -3975,11 +3975,17 @@ object Queries {
        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
        |${oHllChain("p", "g", "val", "u WHERE val IS NOT NULL")},
        |cnt AS (SELECT g, count(*) AS n_rows,
-       |          sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_nulls
+       |          sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       |          min(val) AS min_val, max(val) AS max_val,
+       |          sum(length(val)) AS slen
        |        FROM u GROUP BY 1)
        |SELECT cnt.g AS colname, CAST(n_rows AS BIGINT) AS n_rows,
        |  CAST(n_nulls AS BIGINT) AS n_nulls,
-       |  CAST(coalesce(pest.estimate, 0) AS BIGINT) AS distinct_est
+       |  CAST(coalesce(pest.estimate, 0) AS BIGINT) AS distinct_est,
+       |  min_val, max_val,
+       |  CASE WHEN n_rows > n_nulls
+       |       THEN CAST(slen AS DOUBLE) / CAST(n_rows - n_nulls AS DOUBLE)
+       |  END AS avg_len
        |FROM cnt LEFT JOIN pest ON pest.g = cnt.g
        |ORDER BY colname""".stripMargin
 

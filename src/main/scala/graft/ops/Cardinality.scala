@@ -208,17 +208,57 @@ object Cardinality {
     lcTable.zipWithIndex
       .map { case (est, i) => s"(${i + 1}, $est)" }.mkString(", ")
 
-  /** One-pass table profile: per column its row count, null count and
-    * HLL distinct estimate — the "profile a huge table" job as a
-    * SINGLE scan. Columns unpivot through a `stack` generator (a
-    * generator, not a union of per-column scans: the input is read
-    * once however many columns are profiled), values are hashed in
-    * their canonical string rendering, and the per-column register
-    * tables aggregate in the same shuffle as the null counters.
-    * Linear counting makes tiny-cardinality columns exact (V near m →
+  /** One-pass table profile: per column its row count, null count, HLL
+    * distinct estimate, min/max (the parquet-footer stats a pruning
+    * decision reads) and average value length — the "profile a huge
+    * table" job as a SINGLE scan. Columns unpivot through a `stack`
+    * generator (a generator, not a union of per-column scans: the
+    * input is read once however many columns are profiled), values are
+    * hashed in their canonical string rendering, and the per-column
+    * register tables aggregate in the same shuffle as the null
+    * counters and the min/max/length stats (map-side combine reduces
+    * every bucket to one row, so carrying them is free). Linear
+    * counting makes tiny-cardinality columns exact (V near m →
     * floor(m·ln(m/V)) = n), so enum-ish columns profile precisely
-    * while high-cardinality keys get the ~3.3% HLL estimate. */
+    * while high-cardinality keys get the ~3.3% HLL estimate.
+    *
+    * min/max compare in the stringified rendering (byte-wise UTF-8 on
+    * both engines); avg_len is the one floating step — a single IEEE
+    * division of two exact integers, reproducible anywhere. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // The register table (≤ m+1 rows per column) is locally
+    // checkpointed so the estimate and the counters both read the
+    // materialized result, not two re-derivations of the scan.
+    val g = profileRegisters(df, cols).localCheckpoint()
+    val counts = g.groupBy("colname").agg(
+      sum("cnt").as("n_rows"),
+      sum(when(col("bucket") === -1L, col("cnt")).otherwise(0L)).as("n_nulls"),
+      min("mn").as("min_val"), max("mx").as("max_val"),
+      sum("slen").as("_slen"))
+    val est = estimate(g.filter(col("bucket") >= 0)
+      .select("colname", "bucket", "m"), Seq("colname"))
+    // LEFT + coalesce(0): an all-null column has no registers at all
+    // and must still profile (distinct 0 == the empty sketch's
+    // linear-counting estimate), not vanish from the report — its
+    // min/max/avg_len stay null, the SQL aggregation convention
+    counts.join(est.select(col("colname"),
+        col("estimate").as("distinct_est")), Seq("colname"), "left")
+      .withColumn("distinct_est", coalesce(col("distinct_est"), lit(0L)))
+      .withColumn("avg_len",
+        when(col("n_rows") > col("n_nulls"),
+          col("_slen").cast("double") /
+            (col("n_rows") - col("n_nulls")).cast("double")))
+      .drop("_slen")
+  }
+
+  /** The profiler's single-shuffle aggregation stage (everything
+    * upstream of the checkpoint): ONE scan, ONE exchange — null rows
+    * ride the same aggregation in a sentinel bucket (-1) instead of a
+    * second counting branch, and the per-bucket row counts, min/max
+    * and length sums share the grouped register table.
+    * `private[graft]` so ProfilerPlanSpec can pin the one-Exchange /
+    * one-scan shape that [[profile]]'s checkpoint boundary hides. */
+  private[graft] def profileRegisters(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(cols.forall(c => !c.contains("'") && !c.contains("`")),
       "profile builds a stack() expression; quote/backtick column names unsupported")
@@ -226,30 +266,13 @@ object Cardinality {
       .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
     val unpiv = df.select(
       expr(s"stack(${cols.length}, $stackArgs) AS (colname, val)"))
-    // ONE scan, ONE shuffle: null rows ride the same aggregation in a
-    // sentinel bucket (-1) instead of a second counting branch — the
-    // grouped register table additionally carries per-bucket row
-    // counts, from which totals and null counts roll up. The register
-    // table (≤ m+1 rows per column) is locally checkpointed so the
-    // estimate and the counters both read the materialized result, not
-    // two re-derivations of the scan.
     val hv = hashOf(col("val"))
-    val g = unpiv.select(col("colname"),
+    unpiv.select(col("colname"), col("val"),
         when(col("val").isNull, lit(-1L)).otherwise(bucketOf(hv)).as("bucket"),
         when(col("val").isNull, lit(null)).otherwise(rhoOf(hv)).as("rho"))
       .groupBy("colname", "bucket")
-      .agg(max("rho").as("m"), count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val counts = g.groupBy("colname").agg(
-      sum("cnt").as("n_rows"),
-      sum(when(col("bucket") === -1L, col("cnt")).otherwise(0L)).as("n_nulls"))
-    val est = estimate(g.filter(col("bucket") >= 0)
-      .select("colname", "bucket", "m"), Seq("colname"))
-    // LEFT + coalesce(0): an all-null column has no registers at all
-    // and must still profile (distinct 0 == the empty sketch's
-    // linear-counting estimate), not vanish from the report
-    counts.join(est.select(col("colname"),
-        col("estimate").as("distinct_est")), Seq("colname"), "left")
-      .withColumn("distinct_est", coalesce(col("distinct_est"), lit(0L)))
+      .agg(max("rho").as("m"), count(lit(1)).as("cnt"),
+        min("val").as("mn"), max("val").as("mx"),
+        sum(length(col("val"))).as("slen"))
   }
 }

@@ -67,11 +67,13 @@ class CardinalitySpec extends SparkSpec {
   test("profile: one-pass counts, nulls, exact tiny cardinalities, all-null column") {
     val df = Seq(("a", Some(1L)), ("b", None), ("a", Some(2L))).toDF("s", "v")
     val p = Cardinality.profile(df, Seq("s", "v")).orderBy("colname")
+      .select("colname", "n_rows", "n_nulls", "distinct_est")
       .as[(String, Long, Long, Long)].collect().toSeq
     // linear counting is exact at V near m: 2 distinct values profile as 2
     assert(p == Seq(("s", 3L, 0L, 2L), ("v", 3L, 1L, 2L)))
     val z = Cardinality.profile(
         df.withColumn("z", lit(null).cast("string")), Seq("z"))
+      .select("colname", "n_rows", "n_nulls", "distinct_est")
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(z == Seq(("z", 3L, 3L, 0L)),
       "an all-null column must profile with distinct_est 0, not vanish")

@@ -4,6 +4,47 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{ApproxDedup, Multimodal}
 
+/** The extended one-pass profiler: min/max/avg-length ride the SAME
+  * single scan + single exchange as the HLL registers and null
+  * counters — profiling more stats must not cost a second pass. */
+class ProfilerPlanSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.ops.Cardinality
+
+  test("register stage: one parquet scan, one Exchange, 3 columns or 1") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    Seq(Seq("o_orderstatus"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey")).foreach { cols =>
+      val plan = Cardinality.profileRegisters(orders, cols)
+        .queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(scans == 1, s"$cols: $scans scans\n${plan.take(1500)}")
+      assert(exchanges == 1, s"$cols: $exchanges exchanges\n${plan.take(1500)}")
+    }
+  }
+
+  test("min/max/avg_len agree with direct aggregation; all-null column stays null") {
+    import spark.implicits._
+    val df = Seq((1L, "apple"), (2L, "Banana"), (3L, null), (4L, "cherry"))
+      .toDF("id", "fruit")
+      .withColumn("empty", lit(null).cast("string"))
+    val p = Cardinality.profile(df, Seq("fruit", "empty", "id"))
+      .orderBy("colname").collect()
+    val byCol = p.map(r => r.getString(0) -> r).toMap
+    val fruit = byCol("fruit")
+    assert(fruit.getAs[String]("min_val") == "Banana") // byte order: 'B' < 'a'
+    assert(fruit.getAs[String]("max_val") == "cherry")
+    assert(math.abs(fruit.getAs[Double]("avg_len") - (5 + 6 + 6) / 3.0) < 1e-12)
+    val empty = byCol("empty")
+    assert(empty.isNullAt(empty.fieldIndex("min_val")))
+    assert(empty.isNullAt(empty.fieldIndex("avg_len")))
+    assert(empty.getAs[Long]("distinct_est") == 0L)
+    assert(byCol("id").getAs[String]("min_val") == "1")
+    assert(byCol("id").getAs[String]("max_val") == "4")
+  }
+}
+
 /** The hash-partitioned upsert store ([[graft.sinks.Sinks
   * .upsertPartitioned]]): keyed-replace semantics equal to the
   * monolithic form, and — the point — an upsert leaves every
