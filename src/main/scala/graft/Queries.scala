@@ -3852,6 +3852,35 @@ object Queries {
       |  CAST(sum(bytes) AS BIGINT) AS total_bytes
       |FROM plan GROUP BY 1, 2 ORDER BY part, bin""".stripMargin
 
+  // ------------------------------------------- compaction execution
+  /** [[Layout.compactFiles]] END-TO-END: a 40-small-file parquet
+    * fixture (built once) is compacted into ~64 KB bins — multi-file
+    * bins rewritten to one file each, single-file bins copied
+    * byte-for-byte — and the query returns the COMPACTED directory's
+    * full contents. The oracle reads the same rows from the source
+    * table, so a row lost, duplicated or mangled by the rewrite is a
+    * hash mismatch; the layout properties (re-plan yields only
+    * single-file bins, untouched bytes identical, second run all-copy)
+    * are CompactionExecSpec's half of the contract. Output is rebuilt
+    * from scratch every run — the executor itself is the operator
+    * under test, not a cached artifact. */
+  private def qCompactionExec(s: SparkSession, dir: String): DataFrame = {
+    val fix = fixPath("smallfiles", dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fix, "_SUCCESS")))
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(40, col("o_orderkey"))
+        .write.mode("overwrite").parquet(fix)
+    val out = fixPath("compacted", dir)
+    deleteTree(out)
+    Layout.compactFiles(s, fix, out, targetBytes = 64000L)
+    s.read.parquet(out).orderBy("o_orderkey")
+  }
+
+  private val oCompactionExec =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------ bucketed co-join
   /** Shuffle-free recurring join ([[Layout.bucketedPair]]): orders and
     * customer are persisted bucketed+sorted on their join keys, then
@@ -4172,7 +4201,8 @@ object Queries {
     "q117_cardinality_ledger" -> (qCardinalityLedger _),
     "q118_temperature_mix" -> (qTemperatureMix _),
     "q119_table_profile" -> (qTableProfile _),
-    "q120_stream_distinct" -> (qStreamDistinct _)
+    "q120_stream_distinct" -> (qStreamDistinct _),
+    "q121_compaction_exec" -> (qCompactionExec _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4299,6 +4329,7 @@ object Queries {
     "q117_cardinality_ledger" -> oCardinalityLedger,
     "q118_temperature_mix" -> oTemperatureMix,
     "q119_table_profile" -> oTableProfile,
-    "q120_stream_distinct" -> oStreamDistinct
+    "q120_stream_distinct" -> oStreamDistinct,
+    "q121_compaction_exec" -> oCompactionExec
   )
 }

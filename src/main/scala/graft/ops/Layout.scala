@@ -1,7 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sinks.Sinks
 
 /** Data-layout operators: multi-dimensional clustering keys for
   * co-locating rows that file-level min/max pruning should keep
@@ -147,6 +151,109 @@ object Layout {
     plan.groupBy(partCol, "bin")
       .agg(count(lit(1)).as("n_files"),
         sum(col(bytesCol)).as("total_bytes"))
+
+  /** Execute compaction over a parquet directory: files already ≥
+    * `minBytes` are COMPACT — copied byte-for-byte, each its own bin
+    * (CompactionExecSpec asserts bit-identity); consecutive runs of
+    * smaller files bin by [[compactionPlan]]'s rule (name order,
+    * exclusive-prefix-sum // target) and every multi-file bin rewrites
+    * to ONE output file.
+    *
+    * The `minBytes` candidate threshold (Delta OPTIMIZE's minFileSize)
+    * is what makes re-compaction a fixed point with REAL bytes: a
+    * merged parquet file is smaller than the sum of its inputs
+    * (per-file footer/dictionary overhead disappears), so pure
+    * size-algebra re-planning would re-bin compacted output. Instead:
+    * a non-final bin's input total exceeds target − minBytes ≥
+    * minBytes (with the default minBytes = target/2), so its merged
+    * output re-classifies as compact and the second run copies it
+    * untouched. A pathological shrink past minBytes just re-enters the
+    * file as a candidate — convergent re-merging, never oscillation.
+    *
+    * Scale shape: the LISTING is driver-held metadata (name + bytes —
+    * the same position Delta/Iceberg OPTIMIZE's driver is in) and the
+    * per-bin merges are Spark jobs over just that bin's files; the
+    * driver never touches row data. Crash safety: the source is
+    * read-only throughout, so a crashed run re-executes from intact
+    * input (re-running overwrites partial output by bin name). Output
+    * names carry a `bin-NNNNN-` prefix: name order == bin order.
+    *
+    * @return the executed summary: (bin, n_files, total_bytes,
+    *         action copy|rewrite, out_file) */
+  def compactFiles(spark: SparkSession, srcDir: String, targetDir: String,
+                   targetBytes: Long, minBytes: Long = -1L): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    require(targetBytes > 0, "targetBytes must be positive")
+    val minB = if (minBytes >= 0) minBytes else targetBytes / 2
+    val src = Paths.get(srcDir)
+    val files = {
+      val it = Files.list(src).iterator()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+          out += ((n, Files.size(p)))
+      }
+      out.sortBy(_._1).toSeq
+    }
+    require(files.nonEmpty, s"compactFiles: no parquet files under $srcDir")
+    // bins in name order: compact files stand alone; candidate runs
+    // split by the planner's exclusive-prefix-sum rule
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long)]]
+    val run = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def flushRun(): Unit = {
+      var prefix = 0L
+      var curBin = -1L
+      var cur = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      run.foreach { case (f, b) =>
+        val bin = prefix / targetBytes
+        if (bin != curBin) {
+          if (cur.nonEmpty) bins += cur.toSeq
+          cur = scala.collection.mutable.ArrayBuffer.empty
+          curBin = bin
+        }
+        cur += ((f, b))
+        prefix += b
+      }
+      if (cur.nonEmpty) bins += cur.toSeq
+      run.clear()
+    }
+    files.foreach { case (f, b) =>
+      if (b >= minB) { flushRun(); bins += Seq((f, b)) }
+      else run += ((f, b))
+    }
+    flushRun()
+    Files.createDirectories(Paths.get(targetDir))
+    val summary = bins.zipWithIndex.map { case (members, bin) =>
+      val names = members.map(_._1)
+      val bytes = members.map(_._2).sum
+      if (names.length == 1) {
+        val out = f"bin-$bin%05d-${names.head}"
+        Files.copy(src.resolve(names.head),
+          Paths.get(targetDir).resolve(out),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        (bin.toLong, 1L, bytes, "copy", out)
+      } else {
+        val tmp = s"$targetDir/.bin-$bin.tmp"
+        Sinks.deleteRecursively(Paths.get(tmp))
+        spark.read.parquet(names.map(n => s"$srcDir/$n"): _*)
+          .coalesce(1).write.parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).iterator().asScala
+          .map(_.getFileName.toString)
+          .find(n => n.endsWith(".parquet") && !n.startsWith("."))
+          .getOrElse(sys.error(s"no output part file in $tmp"))
+        val out = f"bin-$bin%05d-compacted.parquet"
+        Files.move(Paths.get(tmp).resolve(part),
+          Paths.get(targetDir).resolve(out),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Sinks.deleteRecursively(Paths.get(tmp))
+        (bin.toLong, names.length.toLong, bytes, "rewrite", out)
+      }
+    }
+    summary.toSeq.toDF("bin", "n_files", "total_bytes", "action", "out_file")
+  }
 
   /** Z-layout profile: bucket rows by the TOP `bucketBits` of their
     * Z-value (the file-grain a range-partitioned write would produce)

@@ -4,6 +4,84 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{ApproxDedup, Multimodal}
 
+/** [[graft.ops.Layout.compactFiles]] — the execution half of the
+  * compaction planner: multi-file bins become one file, single-file
+  * bins are byte-identical copies, and the output is a fixed point of
+  * the planner (re-planning yields only single-file bins; a second
+  * run rewrites nothing). */
+class CompactionExecSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.ops.Layout
+
+  private def md5(p: java.nio.file.Path): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(p))
+      .map("%02x".format(_)).mkString
+
+  private def parquetFiles(dir: String): Seq[java.nio.file.Path] = {
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+        out += p
+    }
+    out.sortBy(_.getFileName.toString).toSeq
+  }
+
+  test("contents survive, bins merge, and the output is a planner fixed point") {
+    val root = tmpDir("compact")
+    val src = s"$root/src"
+    val data = (1L to 5000L).map(i => (i, s"row$i")).toDF("id", "v")
+    data.repartition(12, col("id")).write.parquet(src)
+    val nSrc = parquetFiles(src).length
+    assert(nSrc == 12)
+    val target = parquetFiles(src).map(java.nio.file.Files.size(_)).sum / 3
+
+    val out1 = s"$root/out1"
+    val summary = Layout.compactFiles(spark, src, out1, target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(summary.exists(_._3 == "rewrite"), "fixture must exercise merges")
+    assert(parquetFiles(out1).length < nSrc)
+    // content equality, row for row
+    val pre = data.as[(Long, String)].collect().toSeq.sorted
+    val post = spark.read.parquet(out1).as[(Long, String)]
+      .collect().toSeq.sorted
+    assert(post == pre)
+
+    // fixed point: a second run re-plans the output into single-file
+    // bins only (the minBytes candidate rule — merged files
+    // re-classify as compact even though parquet merge shrinks them
+    // below the sum of their inputs) and copies every file untouched
+    val out2 = s"$root/out2"
+    val second = Layout.compactFiles(spark, out1, out2, target)
+      .select("n_files", "action").as[(Long, String)].collect()
+    assert(second.forall(_._1 == 1L),
+      s"second-run bins not all single-file: ${second.toSeq}")
+    assert(second.forall(_._2 == "copy"), second.toSeq.toString)
+    val h1 = parquetFiles(out1).map(md5)
+    val h2 = parquetFiles(out2).map(md5)
+    assert(h1 == h2, "second-run copies must be byte-identical")
+  }
+
+  test("single-file bins are byte-identical copies of their source file") {
+    val root = tmpDir("compact1")
+    val src = s"$root/src"
+    (1L to 300L).map(i => (i, i * 2)).toDF("a", "b")
+      .repartition(4, col("a")).write.parquet(src)
+    // a tiny target puts every file in its own bin: all copies
+    val out = s"$root/out"
+    val actions = Layout.compactFiles(spark, src, out, targetBytes = 1L)
+      .select("action").as[String].collect()
+    assert(actions.forall(_ == "copy"), actions.toSeq.toString)
+    val srcHashes = parquetFiles(src).map(md5)
+    val outHashes = parquetFiles(out).map(md5)
+    assert(outHashes == srcHashes)
+  }
+}
+
 /** The extended one-pass profiler: min/max/avg-length ride the SAME
   * single scan + single exchange as the HLL registers and null
   * counters — profiling more stats must not cost a second pass. */
