@@ -66,8 +66,9 @@ object Bench {
     // (ivfIndexFor/pqIndexFor) — a build cost the steady state never
     // pays again, same class as the ledger queries.
     // q121: first run additionally writes the 40-small-file fixture.
+    // q122: first run bootstraps the old-corpus IVF index.
     val oneTimeSetup = Set("q106", "q107", "q108", "q109", "q110", "q116",
-      "q120", "q121", "q25", "q78", "q84", "q94")
+      "q120", "q121", "q122", "q25", "q78", "q84", "q94")
     val results = selected.map { case (name, fn) =>
       def one(): (Double, Boolean) = {
         val t0 = System.nanoTime()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.functions.{Fns, MultipartEtag}
 import graft.ops._
@@ -25,18 +25,24 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is INT64 TIMESTAMP(NANOS): with
-    * spark.sql.legacy.parquet.nanosAsLong it reads as long nanos;
-    * without, as a timestamp. Normalize to epoch SECONDS (long) — both
-    * paths agree because bucket granularity is ≥ 1s. */
-  /** Epoch-seconds expression for the events table's ts column —
-    * `div` = integral division: nanos exceed 2^53, so a double `/` here
-    * would round second boundaries off by one. The single home of the
-    * nanos-as-long contract (eventLog + q72 both read through it). */
+  /** Epoch-seconds expression for the events table's ts column — the
+    * single home of the ts-type contract (eventLog + q72 + q106 all
+    * read through it), tolerant of every schema the driver has shipped:
+    *  - INT64 TIMESTAMP(NANOS) + nanosAsLong → long nanos: `div` =
+    *    integral division (nanos exceed 2^53, a double `/` would round
+    *    second boundaries off by one);
+    *  - timestamp[us] read as TIMESTAMP_NTZ (round-8 testdata): Spark
+    *    forbids a direct numeric cast, so hop through TimestampType —
+    *    the session runs in UTC, so the NTZ wall-clock IS the epoch,
+    *    matching the oracle's `epoch_ns(ts) // 1e9` exactly;
+    *  - plain TIMESTAMP → straight epoch-seconds cast.
+    * All three truncate toward zero on positive epochs, so bucket
+    * boundaries agree across schemas. */
   private def eventSec(ev: DataFrame): Column =
     ev.schema("ts").dataType match {
-      case LongType => expr("ts div 1000000000")
-      case _        => col("ts").cast("bigint")
+      case LongType          => expr("ts div 1000000000")
+      case TimestampNTZType  => col("ts").cast(TimestampType).cast("bigint")
+      case _                 => col("ts").cast("bigint")
     }
 
   private def eventLog(s: SparkSession, dir: String): DataFrame = {
@@ -883,6 +889,62 @@ object Queries {
         col("corpus_id"), col("cos_sim"))
       .orderBy("query_id", "rank")
   }
+
+  // ------------------------------------------- incremental IVF refresh
+  /** Incremental ANN index refresh ([[Similarity.ivfIndexUpsert]]) —
+    * the index sibling of the q104/q108/q109 ledger refreshes: the
+    * index is TRAINED once on the ingested corpus (vec_id % 10 ≠ 0,
+    * persisted like [[ivfIndexFor]]), a landing batch (vec_id % 10 =
+    * 0) is assigned to the FROZEN centroids and appended to the
+    * posting lists — no k-means iteration, no old-corpus re-assignment
+    * — and queries serve over the refreshed index immediately. The
+    * oracle replays the old-only training chain, assigns EVERYTHING to
+    * those centroids, and probes — identical state by construction. */
+  private def qIvfRefresh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val refreshed = Similarity.ivfIndexUpsert(
+      ivfOldIndexFor(s, dir),
+      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding")
+    Similarity.ivfTopKFromIndex(emb.filter(col("vec_id") < 5),
+        refreshed, "vec_id", "embedding", k = 5, nprobe = 1)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The ingested-corpus-only IVF index (trained WITHOUT the landing
+    * batch — a refresh must not move the centroids), persisted like
+    * [[ivfIndexFor]]. */
+  private def ivfOldIndexFor(s: SparkSession, dir: String): Similarity.IvfIndex = {
+    val centPath = fixPath("ivf_old_cent", dir)
+    val asgPath = fixPath("ivf_old_asg", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(centPath) || missing(asgPath)) {
+      val idx = Similarity.ivfIndexBuild(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", k = 8, iters = 2)
+      idx.centroids.write.mode("overwrite").parquet(centPath)
+      idx.assignments.write.mode("overwrite").parquet(asgPath)
+    }
+    Similarity.IvfIndex(s.read.parquet(centPath), s.read.parquet(asgPath))
+  }
+
+  private val oIvfRefresh =
+    s"""WITH eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${oKmeansChain("SELECT vec_id, v FROM eall WHERE vec_id % 10 <> 0",
+                       "eall", "afall")},
+       |qa AS (SELECT vec_id AS query_id, centroid_id, v AS qv
+       |       FROM afall WHERE vec_id < 5),
+       |s AS (SELECT qa.query_id, a.vec_id AS corpus_id,
+       |        round(${cosSql("qa.qv", "a.v")}, 6) AS cos_sim
+       |      FROM afall a JOIN qa
+       |        ON a.centroid_id = qa.centroid_id AND a.vec_id <> qa.query_id)
+       |SELECT query_id, rank, corpus_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank
+       |  FROM s)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val oIvfMultiprobe = {
     s"""WITH $oKmeansAf,
@@ -4202,7 +4264,8 @@ object Queries {
     "q118_temperature_mix" -> (qTemperatureMix _),
     "q119_table_profile" -> (qTableProfile _),
     "q120_stream_distinct" -> (qStreamDistinct _),
-    "q121_compaction_exec" -> (qCompactionExec _)
+    "q121_compaction_exec" -> (qCompactionExec _),
+    "q122_ivf_refresh" -> (qIvfRefresh _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4330,6 +4393,7 @@ object Queries {
     "q118_temperature_mix" -> oTemperatureMix,
     "q119_table_profile" -> oTableProfile,
     "q120_stream_distinct" -> oStreamDistinct,
-    "q121_compaction_exec" -> oCompactionExec
+    "q121_compaction_exec" -> oCompactionExec,
+    "q122_ivf_refresh" -> oIvfRefresh
   )
 }

@@ -28,7 +28,12 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts_sec", col("ts").cast("double") / 1e9)
-      case TimestampNTZType | TimestampType =>
+      case TimestampNTZType =>
+        // Spark forbids numeric casts of TIMESTAMP_NTZ; hop through
+        // TimestampType (session tz is UTC, so NTZ wall-clock == epoch)
+        df.withColumn("ts_sec",
+          col("ts").cast(TimestampType).cast("double"))
+      case TimestampType =>
         df.withColumn("ts_sec", col("ts").cast("double"))
       case other =>
         throw new IllegalStateException(s"unexpected ts type $other")

@@ -183,6 +183,26 @@ object Similarity {
     IvfIndex(cents, asg)
   }
 
+  /** Incremental index refresh — the ANN sibling of the LSH/semantic
+    * ledger refreshes: a landing batch of vectors is assigned to the
+    * index's FROZEN centroids (one broadcast cross-join + argmax — no
+    * k-means iteration, no old-corpus re-assignment; a batch must not
+    * move the index, [[graft.ops.SemanticDedup]]'s frozen-centroid
+    * contract) and its posting-list rows append to `assignments`.
+    * Serving continues through [[ivfTopKFromIndex]] unchanged. Re-train
+    * cadence is an offline decision (drift on the recall gate, q94);
+    * refresh cost here is O(batch · k), never O(corpus). */
+  def ivfIndexUpsert(index: IvfIndex, newVectors: DataFrame,
+                     id: String, vecCol: String): IvfIndex = {
+    val newAsg = ivfAssign(newVectors,
+      index.centroids.select(col("centroid_id"), col("centv").as(vecCol)),
+      id, "centroid_id", vecCol)
+    IvfIndex(index.centroids, index.assignments
+      .select(col("corpus_id"), col("centroid_id"),
+        col("cv").cast("array<double>").as("cv"))
+      .unionByName(newAsg))
+  }
+
   /** Multi-probe IVF top-k over a PERSISTED index: the query plan
     * touches only the two index tables — no k-means iteration jobs, no
     * corpus re-assignment (NoRetrainSpec pins the plan). Probe ranking

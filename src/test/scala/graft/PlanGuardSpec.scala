@@ -37,7 +37,8 @@ class PlanGuardSpec extends SparkSpec {
     "q96_decayed_sums" -> 1,   // crossJoin(broadcast(1-row max timestamp))
     "q100_corpus_report" -> 2,  // crossJoin(broadcast(two 1-row aggregates))
     "q105_user_similarity" -> 1, // brute-force's broadcast(5-user query set)
-    "q118_temperature_mix" -> 1) // crossJoin(broadcast(1-row weight total))
+    "q118_temperature_mix" -> 1, // crossJoin(broadcast(1-row weight total))
+    "q122_ivf_refresh" -> 2)   // refresh assign + query probe, both ×broadcast(cents)
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -57,10 +58,17 @@ class PlanGuardSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // what q106 executes per micro-batch: the funnel state machine
     // (batch-mode mapGroupsWithState builds the same plan lazily)
+    // schema-agnostic epoch seconds (the driver has shipped events.ts
+    // both as INT64 nanos and as timestamp[us] — mirror Queries.eventSec)
     val ev = spark.read.parquet(s"$sf/events.parquet")
+    val sec = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType).cast("bigint")
+      case _ => col("ts").cast("bigint")
+    }
     val funnel = graft.ops.Funnel.stagesStream(
-      ev.select(col("user_id"), expr("ts div 1000000000").as("sec"),
-        col("event_type")),
+      ev.select(col("user_id"), sec.as("sec"), col("event_type")),
       "user_id", col("sec"), col("event_type"),
       Seq("view", "click", "purchase"))
     // what q107 executes as its write job: the Z-clustered layout

@@ -322,6 +322,26 @@ class NoRetrainSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("IVF refresh: centroids frozen, postings == assign-all-to-old-centroids") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val idx0 = ops.Similarity.ivfIndexBuild(old, "vec_id", "embedding", 8, 2)
+    val refreshed = ops.Similarity.ivfIndexUpsert(idx0, batch,
+      "vec_id", "embedding")
+    // the refresh may only APPEND postings; centroids are the same table
+    assert(refreshed.centroids eq idx0.centroids)
+    // and the resulting posting lists equal assigning the WHOLE corpus
+    // to the frozen centroids in one shot
+    val expect = ops.Similarity.ivfAssign(emb,
+        idx0.centroids.select(col("centroid_id"),
+          col("centv").as("embedding")),
+        "vec_id", "centroid_id", "embedding")
+      .orderBy("corpus_id").collect()
+    val got = refreshed.assignments.orderBy("corpus_id").collect()
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("FromIndex == retrain forms, row for row") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
