@@ -2700,7 +2700,11 @@ object Queries {
   /** One subspace's Lloyd's replay: slice → 16-lowest-id init → assign
     * → fixed-point update → final encode → query LUT → per-pair partial
     * dots. Mirrors [[oKmAssign]]/[[oKmUpdate]] with subspace tables. */
-  private def oPqSubspace(s: Int): String = {
+  /** One subspace's training + encode + LUT chain. `trainWhere`
+    * restricts the TRAINING relation only (the refresh oracle trains
+    * on the ingested corpus, then encodes everything with the frozen
+    * codebook); empty = train on all, q84's original chain. */
+  private def oPqSubspace(s: Int, trainWhere: String = ""): String = {
     val lo = s * 16 + 1
     val hi = (s + 1) * 16
     def assign(tbl: String, cent: String, out: String): String =
@@ -2712,10 +2716,11 @@ object Queries {
          |    FROM $tbl t CROSS JOIN $cent c)
          |  WHERE r = 1)""".stripMargin
     s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       |t$s AS (SELECT vec_id, v FROM e$s $trainWhere),
        |c${s}i AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
        |               v AS centv
-       |        FROM (SELECT vec_id, v FROM e$s ORDER BY vec_id LIMIT 16)),
-       |${assign(s"e$s", s"c${s}i", s"a${s}1")},
+       |        FROM (SELECT vec_id, v FROM t$s ORDER BY vec_id LIMIT 16)),
+       |${assign(s"t$s", s"c${s}i", s"a${s}1")},
        |c${s}f AS (SELECT c${s}i.centroid_id, coalesce(nu.centv, c${s}i.centv) AS centv
        |  FROM c${s}i LEFT JOIN (
        |    SELECT centroid_id,
@@ -2737,7 +2742,62 @@ object Queries {
   }
 
   private val oPqTopK = {
-    val subs = (0 until 4).map(oPqSubspace).mkString(",\n")
+    val subs = (0 until 4).map(oPqSubspace(_)).mkString(",\n")
+    val prs = (0 until 4).map(s => s"SELECT * FROM pr$s").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$subs,
+       |allp AS ($prs),
+       |sc AS (SELECT query_id, corpus_id, CAST(sum(pd) AS BIGINT) AS score_fp
+       |       FROM allp WHERE query_id <> corpus_id GROUP BY 1, 2)
+       |SELECT query_id, rank, corpus_id, score_fp FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_fp DESC, corpus_id) AS INT) AS rank FROM sc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------- incremental PQ refresh
+  /** Incremental PQ index refresh ([[Similarity.pqIndexUpsert]]) —
+    * q122's product-quantization sibling: codebooks are TRAINED once
+    * on the ingested corpus (vec_id % 10 ≠ 0, persisted like
+    * [[pqIndexFor]]), the landing batch (vec_id % 10 = 0) is ENCODED
+    * against the frozen codebooks and appended to the codes table — no
+    * codebook retraining, no corpus re-encode — and ADC queries serve
+    * over the refreshed index immediately. The oracle replays the four
+    * old-only subspace training chains, encodes everything with the
+    * frozen codebooks, and scores. */
+  private def qPqRefresh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val refreshed = Similarity.pqIndexUpsert(
+      pqOldIndexFor(s, dir),
+      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+      m = 4, dsub = 16)
+    Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 5),
+        refreshed, "vec_id", "embedding", m = 4, dsub = 16, k = 5)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("score_fp"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The ingested-corpus-only PQ index (codebooks trained WITHOUT the
+    * landing batch), persisted like [[pqIndexFor]]. */
+  private def pqOldIndexFor(s: SparkSession, dir: String): Similarity.PqIndex = {
+    val cbPath = fixPath("pq_old_codebook", dir)
+    val codesPath = fixPath("pq_old_codes", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(cbPath) || missing(codesPath)) {
+      val idx = Similarity.pqIndexBuild(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", m = 4, dsub = 16, ksub = 16, iters = 1)
+      idx.codebook.write.mode("overwrite").parquet(cbPath)
+      idx.codes.write.mode("overwrite").parquet(codesPath)
+    }
+    Similarity.PqIndex(s.read.parquet(cbPath), s.read.parquet(codesPath))
+  }
+
+  private val oPqRefresh = {
+    val subs = (0 until 4)
+      .map(oPqSubspace(_, "WHERE vec_id % 10 <> 0")).mkString(",\n")
     val prs = (0 until 4).map(s => s"SELECT * FROM pr$s").mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |$subs,
@@ -4265,7 +4325,8 @@ object Queries {
     "q119_table_profile" -> (qTableProfile _),
     "q120_stream_distinct" -> (qStreamDistinct _),
     "q121_compaction_exec" -> (qCompactionExec _),
-    "q122_ivf_refresh" -> (qIvfRefresh _)
+    "q122_ivf_refresh" -> (qIvfRefresh _),
+    "q123_pq_refresh" -> (qPqRefresh _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4394,6 +4455,7 @@ object Queries {
     "q119_table_profile" -> oTableProfile,
     "q120_stream_distinct" -> oStreamDistinct,
     "q121_compaction_exec" -> oCompactionExec,
-    "q122_ivf_refresh" -> oIvfRefresh
+    "q122_ivf_refresh" -> oIvfRefresh,
+    "q123_pq_refresh" -> oPqRefresh
   )
 }

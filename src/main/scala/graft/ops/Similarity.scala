@@ -519,6 +519,16 @@ object Similarity {
     PqIndex(codebook, pqEncode(corpus, id, vecCol, m, dsub, codebook))
   }
 
+  /** Incremental PQ index refresh — [[ivfIndexUpsert]]'s sibling: the
+    * landing batch is ENCODED against the index's frozen codebook (one
+    * broadcast join + per-subspace argmax — no codebook retraining, no
+    * corpus re-encode) and its code rows append to `codes`. Refresh
+    * cost is O(batch · m · ksub), never O(corpus). */
+  def pqIndexUpsert(index: PqIndex, newVectors: DataFrame,
+                    id: String, vecCol: String, m: Int, dsub: Int): PqIndex =
+    PqIndex(index.codebook, index.codes.unionByName(
+      pqEncode(newVectors, id, vecCol, m, dsub, index.codebook)))
+
   /** PQ/ADC top-k over a PERSISTED index: the plan reads the codebook
     * (broadcast, m·ksub rows) and the codes table only — no k-means
     * iteration jobs, no corpus encode, no raw corpus vectors at all

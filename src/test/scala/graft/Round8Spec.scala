@@ -342,6 +342,22 @@ class NoRetrainSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("PQ refresh: codebook frozen, codes == encode-all-with-old-codebook") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val idx0 = ops.Similarity.pqIndexBuild(old, "vec_id", "embedding",
+      m = 4, dsub = 16, ksub = 16, iters = 1)
+    val refreshed = ops.Similarity.pqIndexUpsert(idx0, batch,
+      "vec_id", "embedding", m = 4, dsub = 16)
+    assert(refreshed.codebook eq idx0.codebook)
+    val expect = ops.Similarity.pqEncode(emb, "vec_id", "embedding",
+        m = 4, dsub = 16, idx0.codebook)
+      .orderBy("corpus_id", "s").collect()
+    val got = refreshed.codes.orderBy("corpus_id", "s").collect()
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("FromIndex == retrain forms, row for row") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
