@@ -70,29 +70,38 @@ object Cardinality {
     * with the register value m = max rho. Size ≤ m rows per group
     * regardless of input rows. `key` is hashed via md5 of its string
     * rendering — pass a canonical rendering for non-string keys. */
-  /** The 60-bit md5-derived hash of a key's canonical string form. */
-  private def hashOf(key: Column): Column =
+  /** The 60-bit md5-derived hash of a key's canonical string form —
+    * the composable chain, kept as the executable specification
+    * (HllKernelSpec pins the `hll_bucket_rho` kernel to it; the SQL
+    * oracles replay exactly this form). */
+  private[graft] def hashOf(key: Column): Column =
     conv(substring(md5(key.cast("string").cast("binary")), 1, 15),
       16, 10).cast("bigint")
 
-  private def bucketOf(hv: Column): Column = shiftright(hv, SuffixBits)
+  private[graft] def bucketOf(hv: Column): Column = shiftright(hv, SuffixBits)
 
-  private def rhoOf(hv: Column): Column = {
+  private[graft] def rhoOf(hv: Column): Column = {
     val w = hv % (1L << SuffixBits)
     when(w === 0, lit(SuffixBits + 1))
       .otherwise(lit(SuffixBits + 1) - length(bin(w)))
       .cast("int")
   }
 
+  /** The register coordinate via the native kernel
+    * ([[graft.plans.HllBucketRho]] — one digest pass, no hex/bin
+    * string round-trips), packed bucket·64 + rho. */
+  private def packedOf(key: Column): Column =
+    call_function("hll_bucket_rho", key.cast("string"))
+
   def sketch(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
-    val hv = hashOf(key)
+    val packed = packedOf(key)
     // null keys don't count toward a distinct count (SQL
     // COUNT(DISTINCT) semantics) — and the streaming twin
     // (StreamDistinct) skips them per-row, so dropping them here is
     // what keeps stream == batch exact on null-bearing data
     df.filter(key.isNotNull)
-      .select(groupCols.map(col) :+ bucketOf(hv).as("bucket")
-        :+ rhoOf(hv).as("rho"): _*)
+      .select(groupCols.map(col) :+ shiftright(packed, 6).as("bucket")
+        :+ packed.bitwiseAND(63).cast("int").as("rho"): _*)
       .groupBy(groupCols.head, groupCols.tail :+ "bucket": _*)
       .agg(max("rho").as("m"))
   }
@@ -160,14 +169,19 @@ object Cardinality {
   }
 
   /** md5 → first 15 hex chars → 60-bit long, the JVM twin of the
-    * plan-side hash. Hot path for the per-event streaming fold: reads
-    * the first 8 digest bytes big-endian and drops the low nibble
-    * (= the 16th hex char) — no hex-string round-trip, thread-local
-    * digest instance. */
-  def hashLong(key: String): Long = {
+    * plan-side hash. Hot path for the per-event streaming fold AND the
+    * batch sketch kernel ([[graft.plans.HllBucketRho]]): reads the
+    * first 8 digest bytes big-endian and drops the low nibble (= the
+    * 16th hex char) — no hex-string round-trip, thread-local digest
+    * instance. */
+  def hashLong(key: String): Long = hashLongBytes(key.getBytes("UTF-8"))
+
+  /** [[hashLong]] over pre-encoded UTF-8 bytes (the kernel passes
+    * UTF8String bytes straight through — no String allocation). */
+  def hashLongBytes(key: Array[Byte]): Long = {
     val md = mdLocal.get()
     md.reset()
-    val d = md.digest(key.getBytes("UTF-8"))
+    val d = md.digest(key)
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
@@ -266,10 +280,12 @@ object Cardinality {
       .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
     val unpiv = df.select(
       expr(s"stack(${cols.length}, $stackArgs) AS (colname, val)"))
-    val hv = hashOf(col("val"))
+    val packed = packedOf(col("val"))
     unpiv.select(col("colname"), col("val"),
-        when(col("val").isNull, lit(-1L)).otherwise(bucketOf(hv)).as("bucket"),
-        when(col("val").isNull, lit(null)).otherwise(rhoOf(hv)).as("rho"))
+        when(col("val").isNull, lit(-1L))
+          .otherwise(shiftright(packed, 6)).as("bucket"),
+        when(col("val").isNull, lit(null))
+          .otherwise(packed.bitwiseAND(63).cast("int")).as("rho"))
       .groupBy("colname", "bucket")
       .agg(max("rho").as("m"), count(lit(1)).as("cnt"),
         min("val").as("mn"), max("val").as("mx"),

@@ -105,6 +105,16 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         DhashSig(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("hll_bucket_rho"),
+      new ExpressionInfo(
+        classOf[HllBucketRho].getName,
+        null,
+        "hll_bucket_rho"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "hll_bucket_rho expects (string key)")
+        HllBucketRho(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(
         classOf[NfcNormalize].getName,

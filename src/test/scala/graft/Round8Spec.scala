@@ -82,6 +82,46 @@ class CompactionExecSpec extends SparkSpec {
   }
 }
 
+/** The native `hll_bucket_rho` kernel vs the composable md5-hex →
+  * conv → bin column chain (which is also what the SQL oracles
+  * replay). */
+class HllKernelSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.ops.Cardinality
+
+  test("kernel (bucket, rho) == column-chain (bucket, rho), fixture + edges") {
+    val fixture = spark.read
+      .parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(col("o_orderpriority").cast("string").as("k"))
+      .unionByName(Seq("", "a", "ü", "日本語", "x" * 500).toDF("k"))
+    val packed = call_function("hll_bucket_rho", col("k"))
+    val hv = Cardinality.hashOf(col("k"))
+    val rows = fixture.select(
+        shiftright(packed, 6).as("kb"),
+        packed.bitwiseAND(63).cast("int").as("kr"),
+        Cardinality.bucketOf(hv).as("cb"),
+        Cardinality.rhoOf(hv).as("cr"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getInt(1) == r.getInt(3),
+        s"kernel (${r.getLong(0)}, ${r.getInt(1)}) != " +
+          s"chain (${r.getLong(2)}, ${r.getInt(3)})")
+    }
+  }
+
+  test("hll_bucket_rho runs inside whole-stage codegen") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(call_function("hll_bucket_rho",
+        col("o_orderpriority").cast("string")).as("p"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*hll_bucket_rho""".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+  }
+}
+
 /** The extended one-pass profiler: min/max/avg-length ride the SAME
   * single scan + single exchange as the HLL registers and null
   * counters — profiling more stats must not cost a second pass. */

@@ -19,39 +19,46 @@ object VerifyProbe {
 
     val sf01 = "/root/testdata/sf0.1"
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
-    docs.count() // warm scan
-    val ShBits = 60
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    docs.count(); emb.count()
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val prefixFp = md5(concat_ws(" ",
+      slice(split(lower(col("text")), "\\s+"), 1, 8)))
+    val sh = ops.ApproxDedup.wordNgrams(col("text"), 2)
 
-    // OLD shape: plain pairs, no checkpoint, cache left behind
+    // ledger fixtures as q110 reads them (parquet under /tmp/graft_fixtures)
+    def fix(kind: String) =
+      s"/tmp/graft_fixtures/${kind}_" + sf01.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lsh = ops.ApproxDedup.LshLedger(
+      spark.read.parquet(fix("lsh_ledger_buckets")),
+      spark.read.parquet(fix("lsh_ledger_sets")))
+    val sem = ops.SemanticDedup.SemLedger(
+      spark.read.parquet(fix("sem_ledger_cent")),
+      spark.read.parquet(fix("sem_ledger_asn")))
+
     (1 to 2).foreach { rep =>
-      time(s"old-plain-$rep") {
-        val sig = ops.ApproxDedup.simhash(docs, "doc_id", col("text"), ShBits)
-        ops.ApproxDedup.simhashPairs(sig, "doc_id", "simhash", ShBits, 4, 20)
-          .orderBy("id_a", "id_b").count()
+      val s1 = time(s"s1-exact-$rep") {
+        ops.Dedup.incrementalNovel(
+          batch.select("doc_id", "source", "text"),
+          "doc_id", prefixFp, old.select(prefixFp.as("fp")))
+          .localCheckpoint()
       }
-    }
-    spark.catalog.clearCache()
-    // NEW shape: scoped + localCheckpoint + release
-    (1 to 2).foreach { rep =>
-      time(s"new-ckpt-$rep") {
-        val sig = ops.ApproxDedup.simhash(docs, "doc_id", col("text"), ShBits)
-        val sc = ops.ApproxDedup.simhashPairsScoped(sig, "doc_id", "simhash", ShBits, 4, 20)
-        val pairs = sc.df.localCheckpoint()
+      val s2 = time(s"s2-lsh-$rep") {
+        val sc = ops.ApproxDedup.incrementalLshNovelFromLedgerScoped(
+          lsh, s1.withColumn("_sh", sh),
+          "doc_id", "_sh", 16, 4, 4, threshold = 0.5)
+        val r = sc.df.select("doc_id", "source").localCheckpoint()
         sc.release()
-        pairs.orderBy("id_a", "id_b").count()
+        r
       }
-    }
-    // scoped WITHOUT checkpoint: count first, then release
-    (1 to 2).foreach { rep =>
-      time(s"scoped-count-$rep") {
-        val sig = ops.ApproxDedup.simhash(docs, "doc_id", col("text"), ShBits)
-        val sc = ops.ApproxDedup.simhashPairsScoped(sig, "doc_id", "simhash", ShBits, 4, 20)
-        val n = sc.df.orderBy("id_a", "id_b").count()
-        sc.release()
-        n
+      time(s"s3-sem-$rep") {
+        val batchEmb = emb.join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        ops.SemanticDedup.incrementalSurvivorsFromLedger(
+          sem, batchEmb, "vec_id", "embedding", threshold = 0.3).count()
       }
+      spark.catalog.clearCache()
     }
-    println(s"cacheManager empty: ${spark.sharedState.cacheManager.isEmpty}")
     println("PROBE_OK")
     spark.stop()
   }
