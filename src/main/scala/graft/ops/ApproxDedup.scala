@@ -71,6 +71,14 @@ object ApproxDedup {
     * (8.7s of an 11s query at sf0.1). Bound as a lambda variable it
     * evaluates once per row and `element_at` is an O(1) array read. */
   def wordNgrams(text: Column, n: Int): Column =
+    call_function("word_ngrams", text, lit(n))
+
+  /** The composable (split → transform → sequence → concat_ws →
+    * array_distinct HOF nest) form of [[wordNgrams]] — interprets a
+    * lambda per shingle and breaks the surrounding codegen span. Kept
+    * as the executable specification: WordNgramsSpec pins the native
+    * `word_ngrams` kernel to this form on the driver fixtures. */
+  def wordNgramsHof(text: Column, n: Int): Column =
     element_at(
       transform(array(split(text, "\\s+")), toks =>
         when(size(toks) >= n,

@@ -105,6 +105,21 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         DhashSig(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(
+        classOf[WordNgrams].getName,
+        null,
+        "word_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "word_ngrams expects (string text, int n)")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "word_ngrams: n must be an integer literal")
+        }
+        WordNgrams(children.head, n)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("hll_bucket_rho"),
       new ExpressionInfo(
         classOf[HllBucketRho].getName,

@@ -82,6 +82,65 @@ class CompactionExecSpec extends SparkSpec {
   }
 }
 
+/** The native `word_ngrams` kernel vs the composable HOF-nest
+  * baseline — the shingling step of every LSH path. */
+class WordNgramsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.ops.ApproxDedup
+
+  test("kernel shingles == HOF shingles, every doc, n=2 and n=3") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    Seq(2, 3).foreach { n =>
+      val rows = docs.select(
+          ApproxDedup.wordNgrams(col("text"), n).as("k"),
+          ApproxDedup.wordNgramsHof(col("text"), n).as("h"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n shingle mismatch")
+      }
+    }
+  }
+
+  test("edge cases: short docs, empty text, whitespace runs") {
+    val df = Seq("one", "", "  leading", "trailing  ", "a  b   c",
+        "dup gram dup gram dup")
+      .toDF("text")
+    val rows = df.select(
+        ApproxDedup.wordNgrams(col("text"), 2).as("k"),
+        ApproxDedup.wordNgramsHof(col("text"), 2).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+  }
+
+  test("null text: kernel yields null (the HOF quirk of [\"\"] is NOT kept)") {
+    val df = Seq(null.asInstanceOf[String]).toDF("text")
+    val k = df.select(ApproxDedup.wordNgrams(col("text"), 2)).head()
+    assert(k.isNullAt(0), "null doc must have no shingle set")
+    // the HOF chain's documented quirk, pinned so a change is noticed:
+    // concat_ws swallows the null into the empty-string shingle
+    val h = df.select(ApproxDedup.wordNgramsHof(col("text"), 2)).head()
+    assert(h.getSeq[String](0) == Seq(""))
+  }
+
+  test("shingle -> minhash now forms one codegen span (no HOF break)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = ApproxDedup.minhashSignature(
+      docs.select(col("doc_id"),
+        ApproxDedup.wordNgrams(col("text"), 2).as("_sh")),
+      "doc_id", "_sh", 8)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) (Project|Filter) \[?.*minhash_sig""".r
+      .findFirstIn(plan).isDefined, plan.take(1500))
+  }
+}
+
 /** The native `hll_bucket_rho` kernel vs the composable md5-hex →
   * conv → bin column chain (which is also what the SQL oracles
   * replay). */
