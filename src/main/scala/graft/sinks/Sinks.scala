@@ -101,6 +101,10 @@ object Sinks {
       s"nBuckets must be in [1, 99999], got $nBuckets")
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(storeDir))
+    // heal EVERY crashed bucket before merging, not just the ones this
+    // batch touches — an untouched bucket left mid-promotion must not
+    // stay invisible across writes
+    recoverPartitioned(storeDir)
     val n = storeBucketCount(storeDir, nBuckets)
     val withB = batch.withColumn("_bucket",
       pmod(hash(keyCols.map(col): _*), lit(n)))
@@ -111,7 +115,6 @@ object Sinks {
       .collect().map(_.getInt(0)).sorted
     touched.foreach { b =>
       val bDir = s"$storeDir/${bucketName(b)}"
-      recoverStore(bDir)
       val bBatch = mat.filter(col("_bucket") === b).drop("_bucket")
       val merged =
         if (Files.exists(Paths.get(bDir, "_SUCCESS")))
@@ -131,20 +134,45 @@ object Sinks {
     }
   }
 
-  /** Read a partitioned store: the union of its live bucket
-    * directories (explicit driver-side listing — never a glob that
-    * could catch a mid-promotion `.swap`/`.old` sibling). At least one
-    * bucket must exist (a store is always bootstrapped before it is
-    * read). */
+  /** Read a partitioned store: recover any bucket a crash left
+    * mid-promotion (a bucket whose live dir was renamed aside survives
+    * only as `.old`/`.swap` — without recovery here its rows would
+    * silently vanish from reads until the NEXT upsert happened to
+    * touch it, and a self-excluding ledger view would under-exclude;
+    * PartitionedStoreSpec pins the crash case), then union the live
+    * bucket directories (explicit driver-side listing — never a glob
+    * that could catch a `.swap`/`.old` sibling). At least one bucket
+    * must exist (a store is always bootstrapped before it is read). */
   def readPartitioned(spark: SparkSession, storeDir: String): DataFrame = {
+    recoverPartitioned(storeDir)
     val dirs = listBuckets(storeDir)
     require(dirs.nonEmpty, s"partitioned store has no buckets: $storeDir")
     spark.read.parquet(dirs: _*)
   }
 
+  /** Run [[recoverStore]] for every bucket that exists in ANY form —
+    * live, `.old`, or `.swap` — so a crash between "live aside" and
+    * "promote swap" heals on the next read or write, not only when
+    * that bucket is next written. */
+  def recoverPartitioned(storeDir: String): Unit = {
+    val root = Paths.get(storeDir)
+    if (!Files.isDirectory(root)) return
+    val it = Files.list(root).iterator()
+    val names = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val n = it.next().getFileName.toString
+      n match {
+        case BucketAnyRe(bucket) => names += bucket
+        case _ =>
+      }
+    }
+    names.toSeq.sorted.foreach(b => recoverStore(s"$storeDir/$b"))
+  }
+
   private def bucketName(b: Int): String = f"b$b%05d"
 
   private val BucketRe = "^b\\d{5}$".r
+  private val BucketAnyRe = "^(b\\d{5})(?:\\.old|\\.swap)?$".r
 
   private def listBuckets(storeDir: String): Seq[String] = {
     val root = Paths.get(storeDir)
