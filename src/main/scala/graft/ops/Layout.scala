@@ -199,6 +199,19 @@ object Layout {
       out.sortBy(_._1).toSeq
     }
     require(files.nonEmpty, s"compactFiles: no parquet files under $srcDir")
+    // clear this executor's own namespace in targetDir first: a
+    // previous (possibly crashed, possibly differently-binned) run's
+    // bin-* outputs must not survive alongside this run's — stale bins
+    // would duplicate rows on read
+    if (Files.isDirectory(Paths.get(targetDir))) {
+      val it0 = Files.list(Paths.get(targetDir)).iterator()
+      while (it0.hasNext) {
+        val p = it0.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("bin-") || n.startsWith(".bin-"))
+          Sinks.deleteRecursively(p)
+      }
+    }
     // bins in name order: compact files stand alone; candidate runs
     // split by the planner's exclusive-prefix-sum rule
     val bins = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long)]]

@@ -194,7 +194,13 @@ object Similarity {
     * refresh cost here is O(batch · k), never O(corpus). */
   def ivfIndexUpsert(index: IvfIndex, newVectors: DataFrame,
                      id: String, vecCol: String): IvfIndex = {
-    val newAsg = ivfAssign(newVectors,
+    // idempotent on replay: an id already in the posting lists is
+    // skipped — a duplicated posting would surface the same
+    // (query, corpus) pair twice and corrupt the rank window
+    // downstream (queue redelivery is the normal case, not the edge)
+    val novel = newVectors.join(
+      index.assignments.select(col("corpus_id").as(id)), Seq(id), "left_anti")
+    val newAsg = ivfAssign(novel,
       index.centroids.select(col("centroid_id"), col("centv").as(vecCol)),
       id, "centroid_id", vecCol)
     IvfIndex(index.centroids, index.assignments
@@ -525,9 +531,14 @@ object Similarity {
     * corpus re-encode) and its code rows append to `codes`. Refresh
     * cost is O(batch · m · ksub), never O(corpus). */
   def pqIndexUpsert(index: PqIndex, newVectors: DataFrame,
-                    id: String, vecCol: String, m: Int, dsub: Int): PqIndex =
+                    id: String, vecCol: String, m: Int, dsub: Int): PqIndex = {
+    // idempotent on replay, [[ivfIndexUpsert]]'s rule
+    val novel = newVectors.join(
+      index.codes.select(col("corpus_id").as(id)).distinct(),
+      Seq(id), "left_anti")
     PqIndex(index.codebook, index.codes.unionByName(
-      pqEncode(newVectors, id, vecCol, m, dsub, index.codebook)))
+      pqEncode(novel, id, vecCol, m, dsub, index.codebook)))
+  }
 
   /** PQ/ADC top-k over a PERSISTED index: the plan reads the codebook
     * (broadcast, m·ksub rows) and the codes table only — no k-means

@@ -464,6 +464,11 @@ class NoRetrainSpec extends SparkSpec {
       .orderBy("corpus_id").collect()
     val got = refreshed.assignments.orderBy("corpus_id").collect()
     assert(got.toSeq == expect.toSeq)
+    // queue redelivery: upserting the same batch again adds NOTHING
+    val again = ops.Similarity.ivfIndexUpsert(refreshed, batch,
+      "vec_id", "embedding")
+    assert(again.assignments.orderBy("corpus_id").collect().toSeq
+      == got.toSeq, "replayed batch must not duplicate postings")
   }
 
   test("PQ refresh: codebook frozen, codes == encode-all-with-old-codebook") {
@@ -480,6 +485,10 @@ class NoRetrainSpec extends SparkSpec {
       .orderBy("corpus_id", "s").collect()
     val got = refreshed.codes.orderBy("corpus_id", "s").collect()
     assert(got.toSeq == expect.toSeq)
+    val again = ops.Similarity.pqIndexUpsert(refreshed, batch,
+      "vec_id", "embedding", m = 4, dsub = 16)
+    assert(again.codes.orderBy("corpus_id", "s").collect().toSeq
+      == got.toSeq, "replayed batch must not duplicate codes")
   }
 
   test("FromIndex == retrain forms, row for row") {
