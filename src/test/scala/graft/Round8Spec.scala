@@ -4,6 +4,74 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{ApproxDedup, Multimodal}
 
+/** The streaming ANN-index maintainer ([[graft.streaming.IndexStream]])
+  * vs one-shot assignment: landing the vector batches as a stream —
+  * killed and resumed mid-stream, then fully replayed — must produce
+  * the byte-identical posting store, because assignments are pure
+  * functions of (vector, frozen centroids) and the store upsert is
+  * keyed. */
+class IndexStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.streaming.IndexStream
+
+  test("kill-and-resume vector stream == one-shot assign-all, and serves top-k") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val landing = emb.filter(col("vec_id") % 10 === 0)
+      .orderBy("vec_id").collect()
+    val batches = landing.grouped((landing.length + 1) / 2).toSeq
+    assert(batches.size == 2)
+
+    val root = tmpDir("index_stream")
+    val landingDir = s"$root/landing"
+    val p = IndexStream("vec_id", "embedding")
+    p.bootstrap(old, k = 8, iters = 2, root)
+
+    def writeFile(i: Int): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(batches(i).toIndexedSeq, 1),
+          emb.schema)
+        .write.mode("append").parquet(landingDir)
+
+    writeFile(0)
+    val q1 = p.start(spark, landingDir, emb.schema, root)
+    q1.processAllAvailable()
+    q1.stop() // kill mid-stream
+    val q2 = p.start(spark, landingDir, emb.schema, root)
+    q2.processAllAvailable()
+    writeFile(1)
+    q2.processAllAvailable()
+    q2.stop()
+    // queue redelivery on top
+    batches.indices.foreach { i =>
+      p.processBatch(spark.createDataFrame(
+        spark.sparkContext.parallelize(batches(i).toIndexedSeq, 1),
+        emb.schema), root)
+    }
+
+    val streamed = p.index(spark, root).assignments
+      .select(col("corpus_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val idx0 = ops.Similarity.ivfIndexBuild(old, "vec_id", "embedding", 8, 2)
+    val oneShot = ops.Similarity
+      .ivfIndexUpsert(idx0, emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding")
+      .assignments.select(col("corpus_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(streamed == oneShot)
+    assert(streamed.size == emb.count())
+
+    // and the maintained index serves top-k directly
+    val served = ops.Similarity.ivfTopKFromIndex(
+        emb.filter(col("vec_id") < 3), p.index(spark, root),
+        "vec_id", "embedding", k = 3, nprobe = 1)
+      .count()
+    assert(served == 9L)
+  }
+}
+
 /** [[graft.ops.Layout.compactFiles]] — the execution half of the
   * compaction planner: multi-file bins become one file, single-file
   * bins are byte-identical copies, and the output is a fixed point of
