@@ -1,11 +1,7 @@
 package graft.ops
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-
-import graft.sinks.Sinks
 
 /** Data-layout operators: multi-dimensional clustering keys for
   * co-locating rows that file-level min/max pruning should keep
@@ -170,50 +166,70 @@ object Layout {
     * untouched. A pathological shrink past minBytes just re-enters the
     * file as a candidate — convergent re-merging, never oscillation.
     *
-    * Scale shape: the LISTING is driver-held metadata (name + bytes —
-    * the same position Delta/Iceberg OPTIMIZE's driver is in) and the
-    * per-bin merges are Spark jobs over just that bin's files; the
-    * driver never touches row data. Crash safety: the source is
-    * read-only throughout, so a crashed run re-executes from intact
-    * input (re-running overwrites partial output by bin name). Output
-    * names carry a `bin-NNNNN-` prefix: name order == bin order.
+    * Scale shape — everything data-plane is DISTRIBUTED, and the job
+    * count is independent of the bin count (CompactionOneJobSpec pins
+    * it):
+    *  1. the LISTING is a `binaryFile` file-index scan with the
+    *     content column pruned — names + sizes come back as metadata
+    *     rows, never file bytes; only the (name, bytes) pairs land on
+    *     the driver (the same metadata-only position Delta/Iceberg
+    *     OPTIMIZE's planner is in);
+    *  2. ALL multi-file bins rewrite in ONE Spark job: one scan of
+    *     every candidate file, each row tagged with its bin via a
+    *     broadcast join against the plan, hash-repartitioned on bin
+    *     and written `partitionBy(bin)` — one output file per bin by
+    *     construction, 10k bins = still one job;
+    *  3. single-file (compact) bins copy byte-for-byte in one more
+    *     job, `FileUtil.copy` running ON EXECUTORS;
+    *  4. the driver's only writes are control-plane: per-bin renames
+    *     out of the staging directory and the final `_SUCCESS` marker
+    *     (the store convention — readers gate on it).
+    * All IO goes through the Hadoop `FileSystem` API, so the same code
+    * drives local disk here and HDFS/S3A on a cluster. Crash safety:
+    * the source is read-only throughout and output is staged+renamed,
+    * so a crashed run re-executes from intact input (stale `bin-*`
+    * outputs from a previous run are cleared first). Output names
+    * carry a `bin-NNNNN-` prefix: name order == bin order.
     *
     * @return the executed summary: (bin, n_files, total_bytes,
     *         action copy|rewrite, out_file) */
   def compactFiles(spark: SparkSession, srcDir: String, targetDir: String,
                    targetBytes: Long, minBytes: Long = -1L): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import org.apache.hadoop.fs.{FileUtil, Path}
     import spark.implicits._
     require(targetBytes > 0, "targetBytes must be positive")
     val minB = if (minBytes >= 0) minBytes else targetBytes / 2
-    val src = Paths.get(srcDir)
-    val files = {
-      val it = Files.list(src).iterator()
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
-          out += ((n, Files.size(p)))
-      }
-      out.sortBy(_._1).toSeq
-    }
+    val srcPath = new Path(srcDir)
+    val dstPath = new Path(targetDir)
+    val fs = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // 1. distributed listing: a binaryFile FILE-INDEX scan — selecting
+    // only (path, length) prunes the content column, so executors read
+    // directory metadata, not file bytes; hidden (`_`/`.`) files are
+    // excluded by the file index itself
+    val files: Seq[(String, Long)] = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load(srcDir)
+      .select(substring_index(col("path"), "/", -1).as("name"),
+        col("length"))
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
     require(files.nonEmpty, s"compactFiles: no parquet files under $srcDir")
+
     // clear this executor's own namespace in targetDir first: a
     // previous (possibly crashed, possibly differently-binned) run's
     // bin-* outputs must not survive alongside this run's — stale bins
     // would duplicate rows on read
-    if (Files.isDirectory(Paths.get(targetDir))) {
-      val it0 = Files.list(Paths.get(targetDir)).iterator()
-      while (it0.hasNext) {
-        val p = it0.next()
-        val n = p.getFileName.toString
-        if (n.startsWith("bin-") || n.startsWith(".bin-"))
-          Sinks.deleteRecursively(p)
-      }
+    if (fs.exists(dstPath)) fs.listStatus(dstPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("bin-") || n.startsWith(".bin-") ||
+          n == StagingName || n == "_SUCCESS")
+        fs.delete(st.getPath, true)
     }
-    // bins in name order: compact files stand alone; candidate runs
-    // split by the planner's exclusive-prefix-sum rule
+    fs.mkdirs(dstPath)
+
+    // 2. bins in name order (driver, metadata-only — (name, bytes)
+    // pairs): compact files stand alone; candidate runs split by the
+    // planner's exclusive-prefix-sum rule
     val bins = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Long)]]
     val run = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def flushRun(): Unit = {
@@ -238,35 +254,95 @@ object Layout {
       else run += ((f, b))
     }
     flushRun()
-    Files.createDirectories(Paths.get(targetDir))
-    val summary = bins.zipWithIndex.map { case (members, bin) =>
-      val names = members.map(_._1)
-      val bytes = members.map(_._2).sum
-      if (names.length == 1) {
-        val out = f"bin-$bin%05d-${names.head}"
-        Files.copy(src.resolve(names.head),
-          Paths.get(targetDir).resolve(out),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        (bin.toLong, 1L, bytes, "copy", out)
-      } else {
-        val tmp = s"$targetDir/.bin-$bin.tmp"
-        Sinks.deleteRecursively(Paths.get(tmp))
-        spark.read.parquet(names.map(n => s"$srcDir/$n"): _*)
-          .coalesce(1).write.parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).iterator().asScala
-          .map(_.getFileName.toString)
-          .find(n => n.endsWith(".parquet") && !n.startsWith("."))
-          .getOrElse(sys.error(s"no output part file in $tmp"))
-        val out = f"bin-$bin%05d-compacted.parquet"
-        Files.move(Paths.get(tmp).resolve(part),
-          Paths.get(targetDir).resolve(out),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        Sinks.deleteRecursively(Paths.get(tmp))
-        (bin.toLong, names.length.toLong, bytes, "rewrite", out)
+    val indexed = bins.zipWithIndex.toSeq
+    val copies = indexed.filter(_._1.length == 1)
+    val rewrites = indexed.filter(_._1.length > 1)
+
+    // 3. compact bins: byte-for-byte copies, ONE job, executor-side
+    if (copies.nonEmpty) {
+      val pairs = copies.map { case (m, bin) =>
+        (m.head._1, f"bin-$bin%05d-${m.head._1}")
       }
+      // Configuration itself is not serializable; ship the overlay the
+      // session carries (spark.hadoop.* + fs defaults) as entries and
+      // rebuild on the executor — same pattern DSv2 writers use
+      val confEntries: Array[(String, String)] = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (it.hasNext) { val e = it.next(); out += ((e.getKey, e.getValue)) }
+        out.toArray
+      }
+      val (srcStr, dstStr) = (srcPath.toString, dstPath.toString)
+      spark.createDataset(pairs)
+        .repartition(math.min(pairs.size,
+          spark.sparkContext.defaultParallelism))
+        .foreachPartition { (it: Iterator[(String, String)]) =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val (sp, dp) = (new Path(srcStr), new Path(dstStr))
+          val (sfs, dfs) = (sp.getFileSystem(conf), dp.getFileSystem(conf))
+          it.foreach { case (from, to) =>
+            FileUtil.copy(sfs, new Path(sp, from), dfs, new Path(dp, to),
+              false, true, conf)
+          }
+        }
     }
-    summary.toSeq.toDF("bin", "n_files", "total_bytes", "action", "out_file")
+
+    // 4. candidate bins: ALL multi-file bins merge in ONE job — scan
+    // every candidate file once, tag rows with their bin (broadcast
+    // join against the plan on the scan's file name), co-locate each
+    // bin into one task, write partitionBy(bin) → one file per bin
+    if (rewrites.nonEmpty) {
+      val staging = new Path(dstPath, StagingName)
+      fs.delete(staging, true)
+      val plan = rewrites.flatMap { case (m, bin) =>
+        m.map { case (name, _) => (name, bin) }
+      }
+      val data = spark.read.parquet(
+        plan.map { case (n, _) => s"$srcDir/$n" }: _*)
+      Seq("_graft_name", "_graft_bin").foreach(c =>
+        require(!data.columns.contains(c),
+          s"compactFiles uses '$c' as a helper column; rename the input's"))
+      data
+        .withColumn("_graft_name",
+          substring_index(input_file_name(), "/", -1))
+        .join(broadcast(plan.toDF("_graft_name", "_graft_bin")),
+          "_graft_name")
+        .drop("_graft_name")
+        .repartition(rewrites.size, col("_graft_bin"))
+        .write.partitionBy("_graft_bin").parquet(staging.toString)
+      // control-plane finalize: one RENAME per bin (metadata, no bytes)
+      rewrites.foreach { case (_, bin) =>
+        val binDir = new Path(staging, s"_graft_bin=$bin")
+        val part = fs.listStatus(binDir).map(_.getPath)
+          .find { p =>
+            val n = p.getName
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          }
+          .getOrElse(sys.error(s"no output part file in $binDir"))
+        val out = new Path(dstPath, f"bin-$bin%05d-compacted.parquet")
+        require(fs.rename(part, out), s"rename failed: $part -> $out")
+      }
+      fs.delete(staging, true)
+    }
+
+    // 5. completion marker, per the store convention (readers that gate
+    // on _SUCCESS see compacted output as complete)
+    fs.create(new Path(dstPath, "_SUCCESS"), true).close()
+
+    indexed.map { case (members, bin) =>
+      val bytes = members.map(_._2).sum
+      if (members.length == 1)
+        (bin.toLong, 1L, bytes, "copy", f"bin-$bin%05d-${members.head._1}")
+      else
+        (bin.toLong, members.length.toLong, bytes, "rewrite",
+          f"bin-$bin%05d-compacted.parquet")
+    }.toDF("bin", "n_files", "total_bytes", "action", "out_file")
   }
+
+  /** Staging directory name for [[compactFiles]]' one-job merge write
+    * (dot-prefixed: invisible to any file-index scan of targetDir). */
+  private val StagingName = ".compact-staging"
 
   /** Z-layout profile: bucket rows by the TOP `bucketBits` of their
     * Z-value (the file-grain a range-partitioned write would produce)

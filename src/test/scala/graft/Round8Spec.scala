@@ -471,10 +471,10 @@ class NoRetrainSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       val df = build
-      // listener delivery is async; give the bus a moment to drain
-      // before reading the counter (a kmeans retrain fires dozens of
-      // multi-task shuffle jobs, so one quiet second is unambiguous)
-      Thread.sleep(1000)
+      // listener delivery is async; drain the bus deterministically
+      // before reading the counter (a sleep can under- or over-count
+      // on a loaded box)
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
       (scala.jdk.CollectionConverters.CollectionHasAsScala(jobs)
         .asScala.toSeq,
         df.queryExecution.executedPlan.toString)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** The distributed compaction executor's SCALE contract: the number of
+  * Spark jobs [[graft.ops.Layout.compactFiles]] runs is a small
+  * constant, INDEPENDENT of the bin count — all multi-file bins merge
+  * in one `partitionBy(bin)` write and all singleton copies run in one
+  * executor-side job. The round-8 implementation ran one job per
+  * multi-file bin from a driver loop (plus driver-thread NIO copies);
+  * this spec would have failed it. */
+class CompactionOneJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("job count is constant in the bin count; output complete; _SUCCESS written") {
+    val root = tmpDir("compact_onejob")
+    val src = s"$root/src"
+    // 40 same-sized small files; target ≈ 3 files/bin → ~13 multi-file
+    // bins, plus two oversized compact files to exercise the copy path
+    val small = (1L to 8000L).map(i => (i, s"row$i")).toDF("id", "v")
+    small.repartition(40, col("id")).write.parquet(src)
+    val big = (100000L to 108000L).map(i => (i, s"R$i" * 40)).toDF("id", "v")
+    big.coalesce(1).write.mode("append").parquet(src)
+    val sizes = {
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(src))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
+    }
+    val target = sizes.sorted.take(40).sum / 13
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    val out = s"$root/out"
+    val summary =
+      try {
+        val s = Layout.compactFiles(spark, src, out, target).collect()
+        org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+        s
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    val rewrites = summary.count(_.getString(3) == "rewrite")
+    val copies = summary.count(_.getString(3) == "copy")
+    assert(rewrites >= 8, s"fixture must produce many multi-file bins: $rewrites")
+    assert(copies >= 1, s"fixture must exercise the copy path: $copies")
+    // constant job budget: listing + copy job + merge write (AQE may
+    // stage the shuffle) + small metadata jobs — NOT O(bins). The old
+    // driver loop would have run >= rewrites jobs here.
+    assert(jobs.get() < rewrites,
+      s"job count must not scale with bin count: ${jobs.get()} jobs for " +
+        s"$rewrites rewrite bins")
+    assert(jobs.get() <= 8,
+      s"expected a constant handful of jobs, got ${jobs.get()}")
+
+    // completeness: every row survives, _SUCCESS marks the output
+    val pre = small.unionByName(big).as[(Long, String)].collect().toSeq.sorted
+    val post = spark.read.parquet(out).as[(Long, String)]
+      .collect().toSeq.sorted
+    assert(post == pre)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")),
+      "compacted output must carry the store's _SUCCESS convention")
+  }
+}

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 object VerifyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
+    import spark.implicits._
 
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -17,48 +18,32 @@ object VerifyProbe {
       r
     }
 
+    // distributed compaction executor over a real small-file landing:
+    // orders at sf0.1 scattered into 120 files, compacted, read back
     val sf01 = "/root/testdata/sf0.1"
-    val docs = spark.read.parquet(s"$sf01/documents.parquet")
-    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
-    docs.count(); emb.count()
-    val old = docs.filter(col("doc_id") % 10 =!= 0)
-    val batch = docs.filter(col("doc_id") % 10 === 0)
-    val prefixFp = md5(concat_ws(" ",
-      slice(split(lower(col("text")), "\\s+"), 1, 8)))
-    val sh = ops.ApproxDedup.wordNgrams(col("text"), 2)
-
-    // ledger fixtures as q110 reads them (parquet under /tmp/graft_fixtures)
-    def fix(kind: String) =
-      s"/tmp/graft_fixtures/${kind}_" + sf01.replaceAll("[^A-Za-z0-9._-]", "_")
-    val lsh = ops.ApproxDedup.LshLedger(
-      spark.read.parquet(fix("lsh_ledger_buckets")),
-      spark.read.parquet(fix("lsh_ledger_sets")))
-    val sem = ops.SemanticDedup.SemLedger(
-      spark.read.parquet(fix("sem_ledger_cent")),
-      spark.read.parquet(fix("sem_ledger_asn")))
-
-    (1 to 2).foreach { rep =>
-      val s1 = time(s"s1-exact-$rep") {
-        ops.Dedup.incrementalNovel(
-          batch.select("doc_id", "source", "text"),
-          "doc_id", prefixFp, old.select(prefixFp.as("fp")))
-          .localCheckpoint()
-      }
-      val s2 = time(s"s2-lsh-$rep") {
-        val sc = ops.ApproxDedup.incrementalLshNovelFromLedgerScoped(
-          lsh, s1.withColumn("_sh", sh),
-          "doc_id", "_sh", 16, 4, 4, threshold = 0.5)
-        val r = sc.df.select("doc_id", "source").localCheckpoint()
-        sc.release()
-        r
-      }
-      time(s"s3-sem-$rep") {
-        val batchEmb = emb.join(s2.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-        ops.SemanticDedup.incrementalSurvivorsFromLedger(
-          sem, batchEmb, "vec_id", "embedding", threshold = 0.3).count()
-      }
-      spark.catalog.clearCache()
+    val orders = spark.read.parquet(s"$sf01/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val root = java.nio.file.Files.createTempDirectory("probe_compact").toString
+    val src = s"$root/src"
+    orders.repartition(120, col("o_orderkey")).write.parquet(src)
+    val out = s"$root/out"
+    val summary = time("compactFiles-120f") {
+      ops.Layout.compactFiles(spark, src, out, targetBytes = 512 * 1024L)
+        .collect()
     }
+    val nRewrite = summary.count(_.getString(3) == "rewrite")
+    val nCopy = summary.count(_.getString(3) == "copy")
+    println(s"bins=${summary.length} rewrite=$nRewrite copy=$nCopy")
+    val pre = orders.count()
+    val post = spark.read.parquet(out).count()
+    val distinctPost = spark.read.parquet(out).distinct().count()
+    println(s"rows pre=$pre post=$post distinct=$distinctPost")
+    assert(post == pre && distinctPost == pre, "row loss/dup through compaction")
+    // fixed point: second pass over compacted output copies everything
+    val again = ops.Layout.compactFiles(spark, out, s"$root/out2",
+      targetBytes = 512 * 1024L).collect()
+    assert(again.forall(_.getString(3) == "copy"),
+      s"not a fixed point: ${again.map(_.getString(3)).toSeq}")
     println("PROBE_OK")
     spark.stop()
   }
