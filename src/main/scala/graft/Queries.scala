@@ -2810,6 +2810,78 @@ object Queries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------- IVF drift gate
+  /** The retrain decision ([[Similarity.driftReport]]) the
+    * frozen-centroid index family deliberately defers: is the landing
+    * batch (vec_id % 10 = 0) still served well by the index trained
+    * without it? Total-variation shift between the posting-list and
+    * batch assignment distributions + recall@5 of the nprobe=1 serve
+    * path vs brute force on an md5 hash-mod probe sample — all integer
+    * ppm arithmetic, so the oracle replays the whole report including
+    * the verdict. DriftGateSpec proves a genuinely drifted batch flips
+    * the verdict to `retrain`. */
+  private def qIvfDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.driftReport(ivfOldIndexFor(s, dir),
+      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+      // the shift threshold sits above the ~sqrt(k/n_batch) sampling
+      // noise floor of a 50-vector batch (≈190k ppm here) and well
+      // below a real drift's signature (a piled-up batch reads ~750k,
+      // DriftGateSpec) — at production batch sizes the floor shrinks
+      // as 1/sqrt(n) and the gap only widens
+      k = 5, nprobe = 1, sampleMod = 8,
+      maxShiftPpm = 350000L, minRecallPpm = 300000L)
+  }
+
+  private val oIvfDrift =
+    s"""WITH eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${oKmeansChain("SELECT vec_id, v FROM eall WHERE vec_id % 10 <> 0",
+                       "eall", "afall")},
+       |base AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS nb
+       |         FROM afall WHERE vec_id % 10 <> 0 GROUP BY 1),
+       |newb AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS nn
+       |         FROM afall WHERE vec_id % 10 = 0 GROUP BY 1),
+       |dist AS (SELECT c2.centroid_id, coalesce(nb, 0) AS nb,
+       |                coalesce(nn, 0) AS nn
+       |         FROM c2 LEFT JOIN base USING (centroid_id)
+       |                 LEFT JOIN newb USING (centroid_id)),
+       |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n_index,
+       |               CAST(sum(nn) AS BIGINT) AS n_batch FROM dist),
+       |shift AS (SELECT n_index, n_batch,
+       |            CAST(sum(abs(nb * 1000000 // n_index
+       |              - nn * 1000000 // n_batch)) // 2 AS BIGINT) AS shift_ppm
+       |          FROM dist CROSS JOIN tot GROUP BY 1, 2),
+       |qp AS (SELECT vec_id AS query_id, centroid_id, v AS qv FROM afall
+       |       WHERE vec_id % 10 = 0
+       |         AND ('0x' || substr(md5('drift:' || CAST(vec_id AS VARCHAR)),
+       |               1, 8))::BIGINT % 8 = 0),
+       |approx AS (SELECT query_id, corpus_id FROM (
+       |  SELECT qp.query_id, a.vec_id AS corpus_id,
+       |    row_number() OVER (PARTITION BY qp.query_id
+       |      ORDER BY round(${cosSql("qp.qv", "a.v")}, 6) DESC, a.vec_id) AS r
+       |  FROM afall a JOIN qp ON a.centroid_id = qp.centroid_id
+       |    AND a.vec_id <> qp.query_id
+       |  WHERE a.vec_id % 10 <> 0) WHERE r <= 5),
+       |exact AS (SELECT query_id, corpus_id FROM (
+       |  SELECT qp.query_id, e.vec_id AS corpus_id,
+       |    row_number() OVER (PARTITION BY qp.query_id
+       |      ORDER BY round(${cosSql("qp.qv", "e.v")}, 6) DESC, e.vec_id) AS r
+       |  FROM eall e CROSS JOIN qp
+       |  WHERE e.vec_id % 10 <> 0 AND e.vec_id <> qp.query_id) WHERE r <= 5),
+       |kx AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k_exact
+       |       FROM exact GROUP BY 1),
+       |hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |         FROM exact JOIN approx USING (query_id, corpus_id)
+       |         GROUP BY 1),
+       |rec AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       |          coalesce(CAST(sum(coalesce(n_hit, 0)) * 1000000
+       |              // sum(k_exact) AS BIGINT), 1000000) AS recall_ppm
+       |        FROM kx LEFT JOIN hits USING (query_id))
+       |SELECT s.n_index, s.n_batch, r.n_probes, s.shift_ppm, r.recall_ppm,
+       |  CASE WHEN s.shift_ppm > 350000 OR r.recall_ppm < 300000
+       |       THEN 'retrain' ELSE 'keep' END AS verdict
+       |FROM shift s CROSS JOIN rec r""".stripMargin
+
   // ------------------------------------------------- sliding chunks
   /** Long-document chunking into overlapping 64-token windows every 32
     * tokens ([[Curation.chunkWindows]] — zero-shuffle narrow map; the
@@ -4326,7 +4398,8 @@ object Queries {
     "q120_stream_distinct" -> (qStreamDistinct _),
     "q121_compaction_exec" -> (qCompactionExec _),
     "q122_ivf_refresh" -> (qIvfRefresh _),
-    "q123_pq_refresh" -> (qPqRefresh _)
+    "q123_pq_refresh" -> (qPqRefresh _),
+    "q124_ivf_drift" -> (qIvfDrift _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4456,6 +4529,7 @@ object Queries {
     "q120_stream_distinct" -> oStreamDistinct,
     "q121_compaction_exec" -> oCompactionExec,
     "q122_ivf_refresh" -> oIvfRefresh,
-    "q123_pq_refresh" -> oPqRefresh
+    "q123_pq_refresh" -> oPqRefresh,
+    "q124_ivf_drift" -> oIvfDrift
   )
 }

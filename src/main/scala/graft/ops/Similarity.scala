@@ -242,6 +242,91 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos_sim"))
   }
 
+  /** Drift gate for a persisted [[IvfIndex]] — the decision-maker the
+    * recall gate ([[recallAtK]], q94) feeds: measures whether a landing
+    * batch still fits the index's FROZEN centroids and emits a
+    * keep/retrain verdict, closing the loop the frozen-centroid refresh
+    * family ([[ivfIndexUpsert]]) deliberately leaves open. Two signals:
+    *
+    *  1. **assignment shift** — total-variation distance between the
+    *     index's posting-list distribution over centroids and the
+    *     batch's frozen-centroid assignment distribution, in ppm
+    *     (`Σ|p_c − q_c| / 2`). A batch drawn from the indexed
+    *     distribution lands near 0; a drifted batch piles onto few
+    *     centroids and the TV distance jumps.
+    *  2. **serve recall** — recall@k of the index serve path
+    *     ([[ivfTopKFromIndex]], `nprobe`) against brute force, on a
+    *     DETERMINISTIC probe sample of the batch (portable hash-mod:
+    *     md5-bucket of the id == 0 (mod `sampleMod`) — replayable by
+    *     any engine, stable under corpus growth).
+    *
+    * Everything is integer arithmetic (counts, ppm via integer div), so
+    * the report is bit-replayable by the DuckDB oracle. Cost shape: the
+    * shift is two metadata-sized aggregations (k rows each — the
+    * posting count scan never touches vectors... the one corpus-sized
+    * term is a count per centroid_id, map-side combined); the recall
+    * term searches only the sampled probes (brute cost |sample|·N —
+    * size the sample by `sampleMod`, the exact knob q94 already uses).
+    *
+    * Verdict: `retrain` when shift_ppm > maxShiftPpm OR recall_ppm <
+    * minRecallPpm, else `keep`. With an empty probe sample recall has
+    * no evidence and defaults to perfect (1e6 ppm) — the shift signal
+    * still gates.
+    *
+    * @return one row: (n_index, n_batch, n_probes, shift_ppm,
+    *         recall_ppm, verdict) */
+  def driftReport(index: IvfIndex, landing: DataFrame, id: String,
+                  vecCol: String, k: Int, nprobe: Int, sampleMod: Int,
+                  maxShiftPpm: Long, minRecallPpm: Long): DataFrame = {
+    require(sampleMod > 0, "sampleMod must be positive")
+    // per-centroid posting counts: index side from the persisted
+    // posting lists, batch side from a frozen-centroid assignment
+    val base = index.assignments.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_base"))
+    val batch = ivfAssign(landing,
+        index.centroids.select(col("centroid_id"), col("centv").as(vecCol)),
+        id, "centroid_id", vecCol)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_new"))
+    // every centroid participates — an empty posting list on either
+    // side is exactly the drift signal (k rows: metadata-sized)
+    val dist = index.centroids.select(col("centroid_id"))
+      .join(base, Seq("centroid_id"), "left")
+      .join(batch, Seq("centroid_id"), "left")
+      .na.fill(0L, Seq("n_base", "n_new"))
+    // totals are a 1-row broadcast; per-centroid ppm shares and the
+    // TV sum are all integer arithmetic (ANSI div — an EMPTY index or
+    // batch fails loudly rather than reporting a silent zero-drift)
+    val totals = dist.agg(sum(col("n_base")).as("n_index"),
+      sum(col("n_new")).as("n_batch"))
+    val shift = dist.crossJoin(broadcast(totals))
+      .select(col("n_index"), col("n_batch"),
+        expr("abs(n_base * 1000000 div n_index - " +
+          "n_new * 1000000 div n_batch)").as("d"))
+      .groupBy(col("n_index"), col("n_batch"))
+      .agg(expr("sum(d) div 2").as("shift_ppm"))
+    // deterministic probe sample (portable md5 hash-mod, Curation's
+    // idiom) → serve path vs exact, both k-bounded
+    val probes = landing.filter(
+      Curation.hashBucket(col(id), "drift:", sampleMod) === 0)
+    val approx = ivfTopKFromIndex(probes, index, id, vecCol, k, nprobe)
+    val exact = bruteForceTopK(probes,
+      index.assignments.select(col("corpus_id"), col("cv").as(vecCol)),
+      id, "corpus_id", vecCol, k)
+    val rec = recallAtK(approx, exact).agg(
+        count(lit(1)).as("n_probes"),
+        sum(col("n_hit")).as("hits"),
+        sum(col("k_exact")).as("kx"))
+      .select(col("n_probes"),
+        coalesce(expr("hits * 1000000 div kx"), lit(1000000L))
+          .as("recall_ppm"))
+    shift.crossJoin(rec)
+      .select(col("n_index"), col("n_batch"), col("n_probes"),
+        col("shift_ppm"), col("recall_ppm"),
+        when(col("shift_ppm") > maxShiftPpm ||
+          col("recall_ppm") < minRecallPpm, lit("retrain"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   /** Lloyd's-iteration k-means training for the IVF index (spherical
     * form: cosine assignment, per-dimension mean update).
     *

@@ -69,3 +69,44 @@ class CompactionOneJobSpec extends SparkSpec {
       "compacted output must carry the store's _SUCCESS convention")
   }
 }
+
+/** [[graft.ops.Similarity.driftReport]] — the retrain decision over a
+  * frozen-centroid IVF index: an in-distribution landing batch keeps
+  * the index, a genuinely drifted batch (a direction the training
+  * corpus never contained) flips the verdict to `retrain`. */
+class DriftGateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Similarity
+
+  // deterministic synthetic embeddings: near-axis clusters + jitter
+  private def vec(id: Long, axis: Int, dims: Int = 8): Seq[Double] =
+    Seq.tabulate(dims) { d =>
+      (if (d == axis) 10.0 else 0.0) + ((id * 31 + d * 17) % 7).toDouble / 10.0
+    }
+
+  test("in-distribution batch keeps; drifted batch flips to retrain") {
+    val corpus = (0L until 200L).map(i => (i, vec(i, (i % 4).toInt)))
+      .toDF("id", "v")
+    val index = Similarity.ivfIndexBuild(corpus, "id", "v", k = 4, iters = 2)
+
+    def report(batch: org.apache.spark.sql.DataFrame) =
+      Similarity.driftReport(index, batch, "id", "v",
+          k = 3, nprobe = 1, sampleMod = 2,
+          maxShiftPpm = 150000L, minRecallPpm = 200000L)
+        .collect().head
+
+    // same generator, new ids: the batch lands across all 4 clusters
+    val inDist = (1000L until 1100L).map(i => (i, vec(i, (i % 4).toInt)))
+      .toDF("id", "v")
+    val keep = report(inDist)
+    assert(keep.getAs[String]("verdict") == "keep", keep.toString)
+
+    // a direction the corpus never contained: the whole batch piles
+    // onto one nearest centroid -> TV distance jumps
+    val drifted = (2000L until 2100L).map(i => (i, vec(i, 7)))
+      .toDF("id", "v")
+    val retrain = report(drifted)
+    assert(retrain.getAs[String]("verdict") == "retrain", retrain.toString)
+    assert(retrain.getAs[Long]("shift_ppm") > keep.getAs[Long]("shift_ppm"))
+  }
+}
