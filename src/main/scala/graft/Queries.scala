@@ -1052,8 +1052,16 @@ object Queries {
     val emb = t(s, dir, "embeddings")
       .withColumn("blk", concat_ws("/", col("label"),
         Similarity.lshBucket(col("embedding").cast("array<double>"), planes)))
+    // the hot-block histogram is LEDGER STATE (persisted once with the
+    // corpus, upserted per batch via updatedBlockHistogram): the per-run
+    // guard reads this metadata-sized table instead of re-deriving the
+    // 64-dim hyperplane buckets over the whole corpus a second time
+    val histPath = fixPath("blk_hist_embed", dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(histPath, "_SUCCESS")))
+      ApproxDedup.blockHistogram(emb, "blk")
+        .write.mode("overwrite").parquet(histPath)
     Similarity.nearDupPairs(emb, "vec_id", "blk", "embedding", 0.3,
-        maxBlockRows = 1000)
+        maxBlockRows = 1000, histogram = Some(s.read.parquet(histPath)))
       .orderBy("id_a", "id_b")
   }
 

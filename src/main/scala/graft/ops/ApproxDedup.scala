@@ -54,6 +54,47 @@ object ApproxDedup {
           " or LSH-bucketed variant for these blocks.")
     }
 
+  /** The (blk, n) hot-block histogram the guarded pair joins consult —
+    * one row per distinct blocking key (null keys excluded: they never
+    * pair in the guarded equi-joins). PERSIST THIS NEXT TO THE LEDGER
+    * TABLES ([[LshLedger]] / the fixture family): the histogram is
+    * metadata-sized (distinct blocks, not rows), so a refresh's guard
+    * reads it plus the batch delta instead of re-aggregating the full
+    * corpus — the per-run [[requireBoundedBlocks]] scan (and, worse,
+    * re-deriving the blocking expression behind it) disappears from
+    * the steady-state plan. */
+  def blockHistogram(df: DataFrame, block: String): DataFrame =
+    df.filter(col(block).isNotNull)
+      .select(col(block).as("blk"))
+      .groupBy("blk").agg(count(lit(1)).as("n"))
+
+  /** The histogram after landing a batch: previous counts plus the
+    * batch's — the ledger-upsert step (append a batch's counts, sum
+    * per block). Cost O(|histogram| + |batch|), never O(corpus). */
+  def updatedBlockHistogram(hist: DataFrame, batch: DataFrame,
+                            block: String): DataFrame =
+    hist.select(col("blk"), col("n").cast("bigint").as("n"))
+      .unionByName(blockHistogram(batch, block))
+      .groupBy("blk").agg(sum(col("n")).as("n"))
+
+  /** [[requireBoundedBlocks]] over a PERSISTED (blk, n) histogram
+    * instead of a corpus scan: same fail-fast contract, cost bounded by
+    * the histogram size. Callers owning a ledger pass
+    * [[updatedBlockHistogram]](ledgerHist, batch) so the guard sees
+    * ledger + delta — a block pushed over the limit BY the batch still
+    * raises. */
+  private[graft] def requireBoundedBlocksHist(hist: DataFrame, maxRows: Int,
+                                              op: String): Unit =
+    if (maxRows > 0) {
+      val hot = hist.filter(col("n") > maxRows)
+        .orderBy(col("n").desc).limit(3).collect()
+      require(hot.isEmpty,
+        s"$op: hot block(s) exceed maxBlockRows=$maxRows — " +
+          hot.map(r => s"'${r.get(0)}'=${r.getLong(1)} rows").mkString(", ") +
+          "; the quadratic pair join would blow up. Use the inverted-index" +
+          " or LSH-bucketed variant for these blocks.")
+    }
+
   /** Distinct character n-gram shingles of `text`. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) >= n,
@@ -105,10 +146,18 @@ object ApproxDedup {
     * |pairs|·|set|.
     *
     * @param maxBlockRows >0 enables the hot-block guardrail
-    *                     ([[requireBoundedBlocks]]); 0 = unguarded. */
+    *                     ([[requireBoundedBlocks]]); 0 = unguarded.
+    * @param histogram a persisted (blk, n) [[blockHistogram]] covering
+    *                  `df` — the guard then reads it instead of
+    *                  re-aggregating the corpus (refresh callers merge
+    *                  in the batch via [[updatedBlockHistogram]]). */
   def jaccardPairs(df: DataFrame, id: String, block: String, setCol: String,
-                   threshold: Double, maxBlockRows: Int = 0): DataFrame = {
-    requireBoundedBlocks(df, block, maxBlockRows, "jaccardPairs")
+                   threshold: Double, maxBlockRows: Int = 0,
+                   histogram: Option[DataFrame] = None): DataFrame = {
+    histogram match {
+      case Some(h) => requireBoundedBlocksHist(h, maxBlockRows, "jaccardPairs")
+      case None => requireBoundedBlocks(df, block, maxBlockRows, "jaccardPairs")
+    }
     val a = df.select(col(id).as("id_a"), col(block).as("blk"), col(setCol).as("set_a"))
     val b = df.select(col(id).as("id_b"), col(block).as("blk"), col(setCol).as("set_b"))
     val paired = a.join(b, Seq("blk"))

@@ -473,10 +473,22 @@ object Similarity {
     *
     * @param maxBlockRows >0 fails fast when a block exceeds this many
     *        rows (the O(block²) join would blow up — re-block through
-    *        [[lshBucket]] or [[kmeansFit]]+[[ivfAssign]] clusters). */
+    *        [[lshBucket]] or [[kmeansFit]]+[[ivfAssign]] clusters).
+    * @param histogram a persisted (blk, n)
+    *        [[ApproxDedup.blockHistogram]] covering `df` — the guard
+    *        then reads the metadata-sized table instead of re-deriving
+    *        the blocking expression over the corpus (refresh callers
+    *        merge the landing batch in via
+    *        [[ApproxDedup.updatedBlockHistogram]]). */
   def nearDupPairs(df: DataFrame, id: String, block: String, vecCol: String,
-                   threshold: Double, maxBlockRows: Int = 0): DataFrame = {
-    ApproxDedup.requireBoundedBlocks(df, block, maxBlockRows, "nearDupPairs")
+                   threshold: Double, maxBlockRows: Int = 0,
+                   histogram: Option[DataFrame] = None): DataFrame = {
+    histogram match {
+      case Some(h) =>
+        ApproxDedup.requireBoundedBlocksHist(h, maxBlockRows, "nearDupPairs")
+      case None =>
+        ApproxDedup.requireBoundedBlocks(df, block, maxBlockRows, "nearDupPairs")
+    }
     // Pre-normalize per VECTOR so the per-pair work is one dot product.
     // (A nondeterministic barrier column to avoid the filter's pushdown
     // re-substitution measured SLOWER — it splits whole-stage codegen

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Layout
+import graft.ops.{ApproxDedup, Layout}
 
 /** The distributed compaction executor's SCALE contract: the number of
   * Spark jobs [[graft.ops.Layout.compactFiles]] runs is a small
@@ -67,6 +67,59 @@ class CompactionOneJobSpec extends SparkSpec {
     assert(post == pre)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")),
       "compacted output must carry the store's _SUCCESS convention")
+  }
+}
+
+/** The persisted hot-block histogram ([[graft.ops.ApproxDedup
+  * .blockHistogram]]) — ledger state for the pair-join guard: the
+  * fail-fast contract survives the move from a per-run corpus scan to
+  * a metadata-sized table read, including a block that goes hot only
+  * when the ledger counts and a landing batch's delta combine. */
+class BlockHistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(block: String, ids: Range) =
+    ids.map(i => (i.toLong, block, Seq(s"w$i", "shared"))).toDF("id", "b", "s")
+
+  test("hot block raises through the persisted-histogram guard") {
+    val hot = docs("hot", 0 until 1200).unionByName(docs("cold", 5000 until 5010))
+    val hist = ApproxDedup.blockHistogram(hot, "b")
+    val e = intercept[IllegalArgumentException] {
+      ApproxDedup.jaccardPairs(hot, "id", "b", "s", 0.1,
+        maxBlockRows = 1000, histogram = Some(hist)).count()
+    }
+    assert(e.getMessage.contains("hot block"), e.getMessage)
+    assert(e.getMessage.contains("'hot'=1200"), e.getMessage)
+  }
+
+  test("ledger + batch delta: a block the BATCH pushes over the limit raises") {
+    val ledgerDocs = docs("warm", 0 until 600)
+    val batch = docs("warm", 10000 until 10600)
+    val ledgerHist = ApproxDedup.blockHistogram(ledgerDocs, "b")
+    // neither side alone exceeds 1000; the merged view must
+    val merged = ApproxDedup.updatedBlockHistogram(ledgerHist, batch, "b")
+    val all = ledgerDocs.unionByName(batch)
+    val e = intercept[IllegalArgumentException] {
+      ApproxDedup.jaccardPairs(all, "id", "b", "s", 0.1,
+        maxBlockRows = 1000, histogram = Some(merged)).count()
+    }
+    assert(e.getMessage.contains("'warm'=1200"), e.getMessage)
+    // and each side alone passes the same guard
+    ApproxDedup.requireBoundedBlocksHist(ledgerHist, 1000, "spec")
+    ApproxDedup.requireBoundedBlocksHist(
+      ApproxDedup.blockHistogram(batch, "b"), 1000, "spec")
+  }
+
+  test("bounded blocks pass and pair results are unchanged by the guard path") {
+    val ok = docs("a", 0 until 40).unionByName(docs("b", 100 until 140))
+    val hist = ApproxDedup.blockHistogram(ok, "b")
+    val viaHist = ApproxDedup.jaccardPairs(ok, "id", "b", "s", 0.1,
+      maxBlockRows = 1000, histogram = Some(hist))
+      .orderBy("id_a", "id_b").collect().toSeq
+    val viaScan = ApproxDedup.jaccardPairs(ok, "id", "b", "s", 0.1,
+      maxBlockRows = 1000)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(viaHist == viaScan && viaHist.nonEmpty)
   }
 }
 
