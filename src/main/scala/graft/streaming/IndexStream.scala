@@ -69,14 +69,18 @@ final case class IndexStream(vecId: String, vecCol: String) {
       Sinks.readPartitioned(spark, asgDir(root)))
 
   /** Start the landing-queue consumer: one micro-batch per landing
-    * file, checkpointed for exactly-once restart. */
+    * file, checkpointed for exactly-once restart. The checkpoint name
+    * is stream-specific (`ckpt_index`) so an [[IndexStream]] and a
+    * [[RefreshStream]] can maintain stores under the SAME root
+    * concurrently — their store directories are already disjoint, and
+    * ConcurrentStreamsSpec pins the combined kill/resume behavior. */
   def start(spark: SparkSession, landingDir: String, schema: StructType,
             root: String): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
       .writeStream
-      .option("checkpointLocation", s"$root/ckpt")
+      .option("checkpointLocation", s"$root/ckpt_index")
       .foreachBatch { (b: DataFrame, _: Long) => processBatch(b, root) }
       .start()
 }

@@ -160,14 +160,17 @@ final case class RefreshStream(
   /** Start the landing-queue consumer: one micro-batch per landing
     * file (so batch boundaries equal file boundaries — the contract
     * the kill/resume spec pins), checkpointed for exactly-once
-    * restart. */
+    * restart. The checkpoint name is stream-specific (`ckpt_refresh`)
+    * so this stream and an [[IndexStream]] can maintain stores under
+    * the SAME root concurrently (disjoint store dirs; the combined
+    * kill/resume behavior is ConcurrentStreamsSpec's contract). */
   def start(spark: SparkSession, landingDir: String, schema: StructType,
             emb: DataFrame, root: String): StreamingQuery =
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
       .writeStream
-      .option("checkpointLocation", s"$root/ckpt")
+      .option("checkpointLocation", s"$root/ckpt_refresh")
       .foreachBatch { (b: DataFrame, _: Long) => processBatch(b, emb, root) }
       .start()
 }

@@ -70,6 +70,96 @@ class CompactionOneJobSpec extends SparkSpec {
   }
 }
 
+/** Two maintainers, one root: a [[graft.streaming.RefreshStream]]
+  * (corpus ledgers + accepted store) and an
+  * [[graft.streaming.IndexStream]] (ANN postings) land INTERLEAVED
+  * batches concurrently against stores under the same root, both are
+  * killed mid-stream and resumed — and each family's state must equal
+  * its one-shot form row-for-row. The prior specs prove each stream
+  * alone; this one proves they don't interfere: disjoint store
+  * directories, stream-specific checkpoints, and per-bucket
+  * swap-by-rename isolation between the two writers. */
+class ConcurrentStreamsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.streaming.{IndexStream, RefreshStream}
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("interleaved kill/resume of both streams == each one-shot form") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val oldEmb = emb.filter(col("vec_id") % 10 =!= 0)
+    val landDocs = docs.filter(col("doc_id") % 10 === 0)
+      .orderBy("doc_id").collect()
+    val landVecs = emb.filter(col("vec_id") % 10 === 0)
+      .orderBy("vec_id").collect()
+    val docBatches = landDocs.grouped((landDocs.length + 1) / 2).toSeq
+    val vecBatches = landVecs.grouped((landVecs.length + 1) / 2).toSeq
+    assert(docBatches.size == 2 && vecBatches.size == 2)
+
+    val root = tmpDir("concurrent_streams")
+    val (docLand, vecLand) = (s"$root/landing_docs", s"$root/landing_vecs")
+    val refresh = RefreshStream(
+      id = "doc_id",
+      fp = md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 8))),
+      shingles = graft.ops.ApproxDedup.wordNgrams(col("text"), 2),
+      k = 16, bands = 4, rowsPerBand = 4, lexThreshold = 0.5,
+      vecId = "vec_id", vecCol = "embedding",
+      semK = 8, semIters = 2, semThreshold = 0.3)
+    val index = IndexStream("vec_id", "embedding")
+    refresh.bootstrap(oldDocs, oldEmb, root)
+    index.bootstrap(oldEmb, k = 8, iters = 2, root)
+
+    def writeDocs(i: Int): Unit = spark.createDataFrame(
+        spark.sparkContext.parallelize(docBatches(i).toIndexedSeq, 1),
+        docs.schema)
+      .write.mode("append").parquet(docLand)
+    def writeVecs(i: Int): Unit = spark.createDataFrame(
+        spark.sparkContext.parallelize(vecBatches(i).toIndexedSeq, 1),
+        emb.schema)
+      .write.mode("append").parquet(vecLand)
+
+    // file 1 of each lands; both queries run CONCURRENTLY, then both
+    // are killed mid-stream
+    writeDocs(0); writeVecs(0)
+    val r1 = refresh.start(spark, docLand, docs.schema, emb, root)
+    val i1 = index.start(spark, vecLand, emb.schema, root)
+    r1.processAllAvailable(); i1.processAllAvailable()
+    r1.stop(); i1.stop()
+    // resume both from their (stream-specific) checkpoints, land the
+    // remaining file of each, drain both
+    val r2 = refresh.start(spark, docLand, docs.schema, emb, root)
+    val i2 = index.start(spark, vecLand, emb.schema, root)
+    writeDocs(1); writeVecs(1)
+    r2.processAllAvailable(); i2.processAllAvailable()
+    r2.stop(); i2.stop()
+
+    // refresh family == one-shot q110 composition
+    val accepted = refresh.accepted(spark, root)
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq.sorted
+    val oneShotDocs = Queries.all("q110_refresh_pipeline")(spark, dir)
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq.sorted
+    assert(accepted == oneShotDocs)
+    assert(accepted.nonEmpty && accepted.size < landDocs.length)
+
+    // index family == one-shot frozen-centroid upsert of all vectors
+    val postings = index.index(spark, root).assignments
+      .select(col("corpus_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val idx0 = ops.Similarity.ivfIndexBuild(oldEmb, "vec_id", "embedding", 8, 2)
+    val oneShotAsg = ops.Similarity
+      .ivfIndexUpsert(idx0, emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding")
+      .assignments.select(col("corpus_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(postings == oneShotAsg)
+    assert(postings.size == emb.count())
+  }
+}
+
 /** The persisted hot-block histogram ([[graft.ops.ApproxDedup
   * .blockHistogram]]) — ledger state for the pair-join guard: the
   * fail-fast contract survives the move from a per-run corpus scan to
