@@ -94,13 +94,29 @@ object Sinks {
     * The bucket count is fixed at store creation (`_nbuckets` marker,
     * written atomically before the first bucket): a different `n` on a
     * later call is ignored in favor of the store's own — re-hashing
-    * live keys into a new layout is a rebuild, not an upsert. */
+    * live keys into a new layout is a rebuild, not an upsert. The key
+    * columns are recorded the same way (`_keycols`), making the store
+    * self-describing for the DSv2 point-lookup reader
+    * ([[graft.connectors.GraftStoreSource]] prunes buckets from pushed
+    * key filters).
+    *
+    * CONCURRENCY CONTRACT — single writer, no concurrent reader during
+    * a write: upserts are atomic per bucket (swap-by-rename) but not
+    * across buckets, and [[readPartitioned]] heals (renames) crashed
+    * buckets on read. A reader racing a writer's two-rename swap
+    * window can observe a half-applied batch or contend on the moves.
+    * Every in-repo caller serializes writes and reads (the streaming
+    * maintainers run batches sequentially per store; replay idempotency
+    * covers crash-retry) — a deployment needing snapshot-isolated
+    * concurrent readers swaps in Delta/Iceberg MERGE, which is the
+    * documented production analogue of this store. */
   def upsertPartitioned(batch: DataFrame, keyCols: Seq[String],
                         storeDir: String, nBuckets: Int = 8): Unit = {
     require(nBuckets > 0 && nBuckets <= 99999,
       s"nBuckets must be in [1, 99999], got $nBuckets")
     val spark = batch.sparkSession
     Files.createDirectories(Paths.get(storeDir))
+    storeKeyCols(storeDir, keyCols)
     // heal EVERY crashed bucket before merging, not just the ones this
     // batch touches — an untouched bucket left mid-promotion must not
     // stay invisible across writes
@@ -174,7 +190,7 @@ object Sinks {
   private val BucketRe = "^b\\d{5}$".r
   private val BucketAnyRe = "^(b\\d{5})(?:\\.old|\\.swap)?$".r
 
-  private def listBuckets(storeDir: String): Seq[String] = {
+  private[graft] def listBuckets(storeDir: String): Seq[String] = {
     val root = Paths.get(storeDir)
     if (!Files.isDirectory(root)) return Seq.empty
     val it = Files.list(root).iterator()
@@ -186,6 +202,18 @@ object Sinks {
         out += p.toString
     }
     out.sorted.toSeq
+  }
+
+  /** Record the store's key columns at creation (`_keycols` marker,
+    * atomic rename; first writer wins — same fixed-at-creation rule as
+    * the bucket count, since the bucket hash is a function of them). */
+  private def storeKeyCols(storeDir: String, keyCols: Seq[String]): Unit = {
+    val meta = Paths.get(storeDir, "_keycols")
+    if (!Files.exists(meta)) {
+      val tmp = Paths.get(storeDir, "_keycols.tmp")
+      Files.writeString(tmp, keyCols.mkString(","))
+      Files.move(tmp, meta, StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   /** The store's fixed bucket count: read the `_nbuckets` marker, or
