@@ -2120,6 +2120,71 @@ object Queries {
       |FROM b, LATERAL (SELECT unnest(generate_series(1, n_parts)) AS i) i
       |ORDER BY doc_id, part_num""".stripMargin
 
+  // ----------------------------------------- multipart etag over files
+  /** F7 end-to-end on the REAL read path (etag_app.py:104-124): a
+    * fixture directory of one-file-per-document text blobs is scanned
+    * with `binaryFile`, ranged-sliced into parts executor-side
+    * ([[MultipartEtag.explodeParts]] — the S13 ranged GET as a byte
+    * `substr` where the bytes are), and each file's ordered per-part
+    * digest ledger comes back at TWO part sizes (256 B: multi-part for
+    * most docs; 64 KiB: single-part). The oracle replays the slicing
+    * and digests over the same text (+ the text writer's trailing
+    * newline). The digest-of-digests "-N" FINISHER runs on exactly this
+    * fixture in EtagFilesSpec against the scalar reference — this
+    * DuckDB has no md5 over BLOB, so the finisher's raw-byte input
+    * cannot cross the SQL oracle (q17's long-standing note). */
+  private def qEtagFiles(s: SparkSession, dir: String): DataFrame = {
+    val fix = etagFixture(s, dir)
+    val blobs = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(fix)
+      .select(regexp_extract(col("path"), "doc_id=(\\d+)", 1)
+        .cast("bigint").as("doc_id"), col("content"))
+    Seq(256, 65536).map { ps =>
+      MultipartEtag.explodeParts(blobs, "doc_id", "content", ps)
+        .groupBy("path")
+        .agg(max(col("n_parts")).as("n_parts"),
+          concat_ws("", transform(
+            array_sort(collect_list(struct(col("part_num").as("n"),
+              col("part_md5").as("d")))),
+            x => x.getField("d"))).as("digests_hex"))
+        .withColumn("part_size", lit(ps))
+    }.reduce(_ unionByName _)
+      .select(col("path").as("doc_id"), col("part_size"), col("n_parts"),
+        col("digests_hex"))
+      .orderBy("doc_id", "part_size")
+  }
+
+  /** One-file-per-document fixture for the binaryFile etag path (built
+    * once per data dir; also driven by EtagFilesSpec). */
+  private[graft] def etagFixture(s: SparkSession, dir: String): String = {
+    val fix = fixPath("etag_files", dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fix, "_SUCCESS")))
+      t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").partitionBy("doc_id").text(fix)
+    fix
+  }
+
+  private val oEtagFiles =
+    """WITH f AS (SELECT doc_id, text || chr(10) AS t
+      |           FROM documents WHERE doc_id < 60),
+      |ps AS (SELECT unnest([256, 65536]) AS part_size),
+      |b AS (SELECT doc_id, part_size, t,
+      |        CAST(greatest(ceil(length(t) / CAST(part_size AS DOUBLE)), 1)
+      |          AS INT) AS n_parts
+      |      FROM f CROSS JOIN ps),
+      |parts AS (SELECT doc_id, part_size, n_parts, i.i AS pn,
+      |            md5(substring(t, (CAST(i.i AS INT) - 1) * part_size + 1,
+      |              part_size)) AS d
+      |          FROM b, LATERAL (SELECT unnest(generate_series(1, n_parts))
+      |            AS i) i)
+      |SELECT doc_id, part_size, n_parts,
+      |       string_agg(d, '' ORDER BY pn) AS digests_hex
+      |FROM parts GROUP BY 1, 2, 3 ORDER BY doc_id, part_size""".stripMargin
+
   // ------------------------------------------------- full corpus clean
   /** The flagship cleaning composition as ONE lazy plan: quality filter
     * (≥30 tokens, ≤5% punctuation) → Gopher duplicate-word gate (≤0.6)
@@ -4407,7 +4472,8 @@ object Queries {
     "q121_compaction_exec" -> (qCompactionExec _),
     "q122_ivf_refresh" -> (qIvfRefresh _),
     "q123_pq_refresh" -> (qPqRefresh _),
-    "q124_ivf_drift" -> (qIvfDrift _)
+    "q124_ivf_drift" -> (qIvfDrift _),
+    "q125_etag_files" -> (qEtagFiles _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4538,6 +4604,7 @@ object Queries {
     "q121_compaction_exec" -> oCompactionExec,
     "q122_ivf_refresh" -> oIvfRefresh,
     "q123_pq_refresh" -> oPqRefresh,
-    "q124_ivf_drift" -> oIvfDrift
+    "q124_ivf_drift" -> oIvfDrift,
+    "q125_etag_files" -> oEtagFiles
   )
 }

@@ -38,7 +38,13 @@ class PlanGuardSpec extends SparkSpec {
     "q100_corpus_report" -> 2,  // crossJoin(broadcast(two 1-row aggregates))
     "q105_user_similarity" -> 1, // brute-force's broadcast(5-user query set)
     "q118_temperature_mix" -> 1, // crossJoin(broadcast(1-row weight total))
-    "q122_ivf_refresh" -> 2)   // refresh assign + query probe, both ×broadcast(cents)
+    "q122_ivf_refresh" -> 2,   // refresh assign + query probe, both ×broadcast(cents)
+    // drift gate: batch assign ×broadcast(cents), serve probe
+    // ×broadcast(cents), brute exact's broadcast(sampled probes) with
+    // its non-equi self-match filter, shift ×broadcast(1-row totals),
+    // final shift ×broadcast(1-row recall) — every broadcast side is
+    // k-row or 1-row BY CONTRACT
+    "q124_ivf_drift" -> 7)
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -70,6 +70,138 @@ class CompactionOneJobSpec extends SparkSpec {
   }
 }
 
+/** The digest-of-digests "-N" finisher on q125's REAL binaryFile
+  * fixture: DuckDB cannot md5 raw digest bytes, so the oracle stops at
+  * the per-part digest ledger — this golden spec closes the last step,
+  * comparing [[graft.functions.MultipartEtag.etagOfFiles]] (binaryFile
+  * scan → ranged slices → native finisher) against the scalar
+  * reference implementation over the same file bytes, at a part size
+  * that yields multi-part "-N" etags and one that yields single-part
+  * plain-md5 etags. */
+class EtagFilesSpec extends SparkSpec {
+  import graft.functions.MultipartEtag
+
+  test("etagOfFiles == scalar reference on every fixture file, both part sizes") {
+    val fix = Queries.etagFixture(spark, "/root/testdata/sf0.001")
+    val files = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(fix)).forEach { p =>
+        if (p.toString.endsWith(".txt")) out += p
+      }
+      out.toSeq
+    }
+    assert(files.nonEmpty)
+    for (ps <- Seq(256, 65536)) {
+      val expected = files.map { p =>
+        p.toAbsolutePath.toString ->
+          MultipartEtag.etagOf(java.nio.file.Files.readAllBytes(p), ps)
+      }.toMap
+      val got = MultipartEtag.etagOfFiles(spark, s"$fix/*/*.txt", ps)
+        .collect()
+        .map(r => new java.net.URI(r.getString(0)).getPath -> r.getString(1))
+        .toMap
+      assert(got.keySet == expected.keySet,
+        s"ps=$ps: file sets differ (${got.size} vs ${expected.size})")
+      got.foreach { case (p, etag) =>
+        assert(etag == expected(p), s"ps=$ps mismatch for $p")
+      }
+      if (ps == 256)
+        assert(got.values.exists(_.contains("-")),
+          "fixture must exercise multi-part -N etags at 256B parts")
+      else
+        assert(got.values.forall(!_.contains("-")),
+          "64KiB parts must all be single-part plain md5")
+    }
+  }
+}
+
+/** The partitioned upsert store as a DataSource V2 table
+  * ([[graft.connectors.GraftStoreSource]]): key filters push down and
+  * prune BUCKET directories at plan time, so the q05 dedup-gate probe
+  * (batch-get of a landing batch's message ids against the
+  * sent-message ledger) scans only the buckets those keys hash into —
+  * the DynamoDB-batch-get shape, not a store scan. */
+class StoreSourceSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sinks.Sinks
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tasks = spark.read.parquet(s"$dir/lineitem.parquet")
+    .withColumn("msg_id",
+      md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))))
+
+  private def buildStore(): String = {
+    val store = tmpDir("dsv2_store") + "/ledger"
+    Sinks.upsertPartitioned(
+      tasks.filter(col("l_suppkey") % 10 === 0)
+        .select(col("msg_id"), col("l_orderkey").as("sent_order")),
+      Seq("msg_id"), store, nBuckets = 16)
+    store
+  }
+
+  test("point lookup prunes to one bucket; batch-get probes only its buckets") {
+    val store = buildStore()
+    val ds = spark.read.format("graft-store").load(store)
+    val plain = Sinks.readPartitioned(spark, store)
+    val total = plain.count()
+    assert(ds.count() == total, "full DSv2 scan must equal the plain reader")
+    val nLive = ds.rdd.getNumPartitions
+    assert(nLive == 16, s"expected 16 live buckets, got $nLive")
+
+    // point get: one key -> one bucket planned, filter visible in plan
+    val key = plain.select("msg_id").orderBy("msg_id").limit(1)
+      .as[String].collect().head
+    val point = ds.filter(col("msg_id") === key)
+    val plan = point.queryExecution.executedPlan.toString
+    assert(plan.contains("buckets 1/16"), plan.take(1500))
+    assert(plan.contains("pushedKeyFilters [EqualTo(msg_id"), plan.take(1500))
+    assert(point.rdd.getNumPartitions == 1)
+    val exp = plain.filter(col("msg_id") === key).collect().toSeq
+    assert(point.collect().toSeq == exp && exp.size == 1)
+
+    // q05's J2 probe as a batch get: the landing batch's ids IN-probe
+    // the ledger -> at most |keys| buckets planned, never the store
+    val batchKeys = plain.select("msg_id").orderBy("msg_id").limit(5)
+      .as[String].collect().toSeq
+    val probe = ds.filter(col("msg_id").isin(batchKeys: _*))
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(probePlan.contains("pushedKeyFilters [In(msg_id"), probePlan.take(1500))
+    val probed = probe.rdd.getNumPartitions
+    assert(probed <= 5 && probed < nLive,
+      s"batch-get must prune buckets: planned $probed of $nLive")
+    // fetched ledger rows answer the anti-join exactly like a full scan
+    val batch = tasks.filter(col("msg_id").isin(batchKeys: _*))
+    val viaProbe = batch.join(probe.select("msg_id"), Seq("msg_id"), "left_anti")
+      .select("msg_id").as[String].collect().toSeq.sorted
+    val viaFull = batch.join(plain.select("msg_id"), Seq("msg_id"), "left_anti")
+      .select("msg_id").as[String].collect().toSeq.sorted
+    assert(viaProbe == viaFull && viaProbe.isEmpty)
+  }
+
+  test("array columns and column pruning round-trip through the DSv2 reader") {
+    val store = tmpDir("dsv2_store_arr") + "/sets"
+    val df = Seq(
+      (1L, Seq("a b", "b c"), 2.5),
+      (2L, Seq.empty[String], -1.0),
+      (3L, null.asInstanceOf[Seq[String]], 0.0)
+    ).toDF("id", "shingles", "w")
+    Sinks.upsertPartitioned(df, Seq("id"), store, nBuckets = 4)
+    val ds = spark.read.format("graft-store").load(store)
+    val back = ds.select("id", "shingles", "w")
+      .as[(Long, Seq[String], Double)].collect().toSeq.sortBy(_._1)
+    assert(back == Seq((1L, Seq("a b", "b c"), 2.5),
+      (2L, Seq.empty[String], -1.0), (3L, null, 0.0)))
+    // pruned read: only the array column
+    val shOnly = ds.select("shingles").collect()
+    assert(shOnly.length == 3)
+    // point lookup on the long key prunes too
+    val one = ds.filter(col("id") === 2L)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.select("w").as[Double].collect().toSeq == Seq(-1.0))
+  }
+}
+
 /** Two maintainers, one root: a [[graft.streaming.RefreshStream]]
   * (corpus ledgers + accepted store) and an
   * [[graft.streaming.IndexStream]] (ANN postings) land INTERLEAVED
