@@ -69,8 +69,12 @@ object Bench {
     // pays again, same class as the ledger queries.
     // q121: first run additionally writes the 40-small-file fixture.
     // q122/q123: first run bootstraps the old-corpus IVF/PQ index.
+    // q26: first run persists the hot-block histogram ledger.
+    // q124: first run bootstraps the old-corpus IVF index fixture.
+    // q125: first run writes the one-file-per-doc etag fixture.
     val oneTimeSetup = Set("q106", "q107", "q108", "q109", "q110", "q116",
-      "q120", "q121", "q122", "q123", "q25", "q78", "q84", "q94")
+      "q120", "q121", "q122", "q123", "q124", "q125", "q25", "q26",
+      "q78", "q84", "q94")
     val results = selected.map { case (name, fn) =>
       def one(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -109,7 +113,7 @@ object Bench {
       // Ledger fixtures are parquet-on-disk, not session caches, so the
       // sweep cannot evict anything a later query depends on.
       spark.catalog.clearCache()
-      (name, median, spread, runs.forall(_._2), sorted.head)
+      (name, median, spread, runs.forall(_._2), sorted.head, isSetup)
     }
     // The driver captures only the LAST 2000 chars of the sbt log, and
     // sbt's trailing "[success] Total time" line eats ~80 of them. Round
@@ -142,8 +146,12 @@ object Bench {
     // FULL per-query map (full names, median+spread+ok, no caps) goes to
     // a standalone file so a complete machine-readable record survives
     // regardless of log length.
+    // "setup":true marks queries whose one-time build cost was
+    // reclassified as discarded bootstrap (their medians are
+    // SERVE-PATH-ONLY) — without the marker a cross-round diff can't
+    // tell a serve-only median from a build+serve one (round-8 ADVICE)
     val fullQs = results.map { r =>
-      s""""${r._1}":{"median_s":${r2(r._2)},"spread_s":${r2(r._3)},"min_s":${r2(r._5)},"ok":${r._4}}"""
+      s""""${r._1}":{"median_s":${r2(r._2)},"spread_s":${r2(r._3)},"min_s":${r2(r._5)},"ok":${r._4},"setup":${r._6}}"""
     }.mkString("{", ",", "}")
     val summary = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""failed_queries":$nFailed,"scan_mbps":${r2(scanMbps)},"sf":"$sfDir",""" +

@@ -337,11 +337,21 @@ object ApproxDedup {
 
   /** Derive ledger content from a corpus — the one-time bootstrap (or
     * per-batch append source). `sets` is the (id, setCol) projection;
-    * `buckets` is its banded MinHash. */
+    * `buckets` is its banded MinHash.
+    *
+    * STATED CONTRACT (not a kernel side effect): a document whose
+    * shingle set is null or empty carries NO ledger rows — it can never
+    * collide in a band nor verify a candidate, on either side of a
+    * refresh. The explicit filter here makes the ledger's `sets` agree
+    * with what [[minhashSignature]] signs (the native `word_ngrams`
+    * kernel yields NULL for null text, where the old HOF chain produced
+    * an empty-string shingle — this call site pins which behavior the
+    * persisted state has). */
   def lshLedger(docs: DataFrame, id: String, setCol: String, k: Int,
                 bands: Int, rowsPerBand: Int): LshLedger = {
     require(bands * rowsPerBand == k, "k must equal bands*rowsPerBand")
-    val sets = docs.select(col(id), col(setCol))
+    val sets = docs.filter(col(setCol).isNotNull && size(col(setCol)) > 0)
+      .select(col(id), col(setCol))
     LshLedger(lshBuckets(minhashSignature(sets, id, setCol, k), id,
       bands, rowsPerBand), sets)
   }

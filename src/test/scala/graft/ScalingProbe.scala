@@ -19,6 +19,30 @@ object ScalingProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // min-of-2 with a cache sweep between: this box's co-tenant IO can
+    // double a single pass, and the probe's claim is about plan work,
+    // not page-cache luck
+    def timedMin(f: => Long): (Long, Double) = {
+      val (r1, t1) = timed(f)
+      spark.catalog.clearCache()
+      val (_, t2) = timed(f)
+      spark.catalog.clearCache()
+      (r1, math.min(t1, t2))
+    }
+
+    // Σ_b n_b·(n_b−1)/2 — the candidate pairs a blocking column admits;
+    // the pair-mining family's claim is T ∝ THIS, never N²
+    def blockedPairs(df: org.apache.spark.sql.DataFrame,
+                     blk: org.apache.spark.sql.Column): Long =
+      df.select(blk.as("_b")).groupBy("_b")
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)))
+        .collect()(0).getLong(0)
+
+    // (operator, sf) -> (N rows, blocked pairs, seconds)
+    val mined = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long, Double)]
+
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -96,7 +120,97 @@ object ScalingProbe {
       println(f"ROWINC $sf lshRefresh t=$incT%.2f novel=$incN | " +
         f"fullMine t=$fullT%.2f pairs=$fullN | " +
         f"semRefresh t=$isdT%.2f novel=$isdN")
+
+      // ---- pair-mining family (q21 / q52 / q26): wall time vs the
+      // BLOCKED candidate-pair count at 10× the corpus. localCheckpoint
+      // the inputs so signature/shingle derivation is not re-timed
+      // inside the pair joins (the mining step is the claim under test).
+      val j21in = docs
+        .withColumn("blk", concat_ws("/", col("source"), col("lang")))
+        .withColumn("bigrams", ApproxDedup.wordNgrams(col("text"), 2))
+        .select("doc_id", "blk", "bigrams").localCheckpoint()
+      val b21 = blockedPairs(j21in, col("blk"))
+      val (n21, t21) = timedMin(
+        ApproxDedup.jaccardPairs(j21in, "doc_id", "blk", "bigrams", 0.0).count())
+      mined(("q21_jaccard", sf)) = (nDocs, b21, t21)
+
+      val shBits = 60
+      val sig52 = ApproxDedup.simhash(docs, "doc_id", col("text"), shBits)
+        .localCheckpoint()
+      val sliceBits = shBits / 4
+      val banded52 = (0 until 4).map { b =>
+        sig52.select(lit(b).as("band"),
+          shiftright(col("simhash"), b * sliceBits)
+            .bitwiseAND((1L << sliceBits) - 1).as("bucket"))
+      }.reduce(_ unionByName _)
+      val b52 = blockedPairs(banded52, struct(col("band"), col("bucket")))
+      val (n52, t52) = timedMin {
+        val sc = ApproxDedup.simhashPairsScoped(sig52, "doc_id", "simhash",
+          shBits, bands = 4, maxHamming = 20)
+        val n = sc.df.count(); sc.release(); n
+      }
+      mined(("q52_simhash", sf)) = (nDocs, b52, t52)
+
+      val planes = Similarity.hyperplanes(6, 64)
+      val e26 = emb.withColumn("blk", concat_ws("/", col("label"),
+          Similarity.lshBucket(col("embedding").cast("array<double>"), planes)))
+        .select("vec_id", "blk", "embedding").localCheckpoint()
+      val b26 = blockedPairs(e26, col("blk"))
+      val nEmb = e26.count()
+      val (n26, t26) = timedMin(
+        Similarity.nearDupPairs(e26, "vec_id", "blk", "embedding", 0.3).count())
+      mined(("q26_embed", sf)) = (nEmb, b26, t26)
+
+      println(f"ROWPAIR $sf | q21 blockedPairs=$b21 t=$t21%.2f kept=$n21 | " +
+        f"q52 blockedPairs=$b52 t=$t52%.2f kept=$n52 | " +
+        f"q26 blockedPairs=$b26 t=$t26%.2f kept=$n26")
     }
+
+    // Scaling claims across the 10×, stated honestly:
+    //  1. wall time tracks the BLOCKED pair count, never N² — exponent
+    //    e = ln(T2/T1)/ln(B2/B1) must stay ≤ 1.3 (at sandbox scale the
+    //    measured e is ~0: per-pair work is dwarfed by fixed job cost,
+    //    which is the point — the mining admits so few pairs the join
+    //    is never the bottleneck);
+    //  2. the blocked pairs are a BOUNDED FRACTION of C(N,2) — the
+    //    quadratic candidate space never materializes. NOTE the pair
+    //    GROWTH RATIO approaches N²'s when block cardinality is fixed
+    //    while N grows 10× (each block's occupancy grows ∝N): that is
+    //    expected, and the production knob is block cardinality itself
+    //    (LSH bits/bands scale with corpus size; composite label×LSH
+    //    keys for embeddings) — with the hot-block guard failing fast
+    //    when occupancy outgrows the chosen key (asserted below).
+    for (op <- Seq("q21_jaccard", "q52_simhash", "q26_embed")) {
+      val (n1, b1, t1) = mined((op, "sf0.01"))
+      val (n2, b2, t2) = mined((op, "sf0.1"))
+      val ePairs = math.log(t2 / t1) / math.log(b2.toDouble / b1)
+      val frac2 = b2.toDouble / (n2.toDouble * (n2 - 1) / 2)
+      println(f"EXPONENT $op: pairs $b1 -> $b2 " +
+        f"(${frac2 * 100}%.2f%% of C(N,2) at 10×; N ${n1} -> ${n2}), " +
+        f"wall ${t1}%.2f -> ${t2}%.2f s, exponent vs pairs = $ePairs%.2f")
+      assert(ePairs <= 1.3,
+        s"$op: wall time grows superlinearly in blocked pairs (e=$ePairs)")
+      assert(frac2 < 0.05,
+        s"$op: blocking admits ${frac2 * 100}%% of all pairs — " +
+          "the candidate space is effectively quadratic")
+    }
+
+    // the hot-block guard must trip where designed: a 10×-grown block
+    // crossing maxBlockRows fails fast instead of launching the O(n²)
+    // join
+    {
+      import spark.implicits._
+      val hot = (0L until 1500L).map(i => (i, "one-block", Seq(s"w$i", "x")))
+        .toDF("id", "blk", "sh")
+      val tripped =
+        try { ApproxDedup.jaccardPairs(hot, "id", "blk", "sh", 0.0,
+          maxBlockRows = 1000).count(); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("hot block") }
+      assert(tripped, "hot-block guard did not trip at 1500 rows / max 1000")
+      println("GUARD_TRIPPED=true (1500-row block vs maxBlockRows=1000)")
+    }
+
     println("PROBE_OK")
     spark.stop()
   }
