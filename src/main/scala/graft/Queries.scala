@@ -2955,6 +2955,150 @@ object Queries {
        |       THEN 'retrain' ELSE 'keep' END AS verdict
        |FROM shift s CROSS JOIN rec r""".stripMargin
 
+  // ------------------------------------------------- IVF-PQ serve (ADC)
+  /** The combined index ([[Similarity.IvfPqIndex]] — IVFADC): coarse
+    * cells prune the scan to nprobe/k of the posting lists AND the
+    * candidates are scored from m-byte PQ codes, never raw vectors —
+    * the two halves q25 (IVF) and q84 (PQ) each prove alone, composed
+    * into the 100 TB serving layout. The oracle replays the coarse
+    * k-means chain (q25's), the four subspace chains (q84's), ranks
+    * each query's 2 nearest cells, and sums the fixed-point ADC LUT
+    * over cell members only — identical tables by construction. */
+  private def qIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 5),
+        ivfPqIndexFor(s, dir), "vec_id", "embedding",
+        m = 4, dsub = 16, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("score_fp"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The corpus's persisted IVF-PQ index — coarse centroids + PQ
+    * codebook + cell-partitioned code posting lists, same write-once
+    * bootstrap as [[ivfIndexFor]]/[[pqIndexFor]] (one training run per
+    * fixture dir). `codes` is PARTITIONED BY the cell id on write, so
+    * the serve path's cell filter is partition pruning on the scan —
+    * the layout a 1000-executor deployment would use. */
+  private def ivfPqIndexFor(s: SparkSession, dir: String): Similarity.IvfPqIndex = {
+    val centPath = fixPath("ivfpq_index_cent", dir)
+    val cbPath = fixPath("ivfpq_index_codebook", dir)
+    val codesPath = fixPath("ivfpq_index_codes", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(centPath) || missing(cbPath) || missing(codesPath)) {
+      val idx = Similarity.ivfPqIndexBuild(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, m = 4, dsub = 16, ksub = 16, pqIters = 1)
+      idx.centroids.write.mode("overwrite").parquet(centPath)
+      idx.codebook.write.mode("overwrite").parquet(cbPath)
+      idx.codes.write.mode("overwrite")
+        .partitionBy("centroid_id").parquet(codesPath)
+    }
+    Similarity.IvfPqIndex(s.read.parquet(centPath), s.read.parquet(cbPath),
+      s.read.parquet(codesPath))
+  }
+
+  private val oIvfPqServe = {
+    val subs = (0 until 4).map(oPqSubspace(_)).mkString(",\n")
+    val prs = (0 until 4).map(s => s"SELECT * FROM pr$s").mkString(" UNION ALL ")
+    s"""WITH $oKmeansAf,
+       |$subs,
+       |qp AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT e.vec_id AS query_id, c2.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.v", "centv")}, 6) DESC, centroid_id) AS r
+       |    FROM e CROSS JOIN c2 WHERE e.vec_id < 5)
+       |  WHERE r <= 2),
+       |cand AS (SELECT qp.query_id, a.vec_id AS corpus_id
+       |         FROM af a JOIN qp ON a.centroid_id = qp.centroid_id
+       |           AND a.vec_id <> qp.query_id),
+       |allp AS ($prs),
+       |sc AS (SELECT c.query_id, c.corpus_id, CAST(sum(pd) AS BIGINT) AS score_fp
+       |       FROM cand c JOIN allp p
+       |         ON p.query_id = c.query_id AND p.corpus_id = c.corpus_id
+       |       GROUP BY 1, 2)
+       |SELECT query_id, rank, corpus_id, score_fp FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_fp DESC, corpus_id) AS INT) AS rank FROM sc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------- duplicated-span mining
+  private val DupSpanN = 8
+
+  /** Substring-level exact dedup ([[Dedup.dupSpans]], Lee et al. 2022
+    * re-expressed as n-gram site mining): 8-gram sites occurring >= 2
+    * times anywhere in the corpus, merged per document into maximal
+    * spans — the report a span-removal cleaning pass consumes, where
+    * the document-level dedup family (q04/q22) can only drop whole
+    * documents. The oracle replays the positional grams with a DuckDB
+    * list comprehension and the same gaps-and-islands window. */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(t(s, dir, "documents"), "doc_id", col("text"), DupSpanN)
+      .orderBy("doc_id", "span_start")
+
+  private val oDupSpans = {
+    val n = DupSpanN
+    s"""WITH dd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |            FROM documents),
+       |g AS (SELECT doc_id,
+       |        [array_to_string(toks[i:i+${n - 1}], ' ')
+       |         for i in generate_series(1, len(toks)-${n - 1})] AS gs
+       |      FROM dd WHERE len(toks) >= $n),
+       |gp AS (SELECT doc_id, CAST(generate_subscripts(gs, 1) AS BIGINT) AS pos,
+       |         unnest(gs) AS g FROM g),
+       |dup AS (SELECT g FROM gp GROUP BY g HAVING count(*) >= 2),
+       |mk AS (SELECT doc_id, pos FROM gp JOIN dup USING (g)),
+       |brk AS (SELECT doc_id, pos,
+       |          CASE WHEN pos - lag(pos) OVER (
+       |                 PARTITION BY doc_id ORDER BY pos) <= $n
+       |               THEN 0 ELSE 1 END AS newgrp FROM mk),
+       |isl AS (SELECT doc_id, pos, sum(newgrp) OVER (
+       |          PARTITION BY doc_id ORDER BY pos
+       |          ROWS UNBOUNDED PRECEDING) AS grp FROM brk)
+       |SELECT doc_id, span_start, span_end, n_sites FROM (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |         max(pos) + ${n - 1} AS span_end,
+       |         CAST(count(*) AS BIGINT) AS n_sites
+       |  FROM isl GROUP BY doc_id, grp)
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  // ------------------------------------------- linear quality classifier
+  private val QmBiasFp = -30000L
+
+  /** Model-based quality filtering ([[TextAnalysis.linearScore]]) —
+    * the classifier stage between q32's rule gates and the dedup
+    * family: a broadcast unigram weight table scores every document
+    * and the fixed-point margin thresholds keep/drop. The oracle joins
+    * the identical VALUES weight table. */
+  private def qLinearQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = TextAnalysis.QualityModel.toDF("term", "w_fp")
+    TextAnalysis.linearScore(t(s, dir, "documents"), "doc_id", col("text"),
+        model, QmBiasFp)
+      .orderBy("doc_id")
+  }
+
+  private val oLinearQuality = {
+    val rows = TextAnalysis.QualityModel
+      .map { case (t0, w) => s"('$t0', ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH m(term, w_fp) AS (VALUES $rows),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+       |        FROM documents),
+       |j AS (SELECT doc_id, w_fp FROM tok LEFT JOIN m USING (term)),
+       |sc AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN w_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_hits,
+       |         CAST(sum(coalesce(w_fp, 0)) + ($QmBiasFp) AS BIGINT) AS margin_fp
+       |       FROM j GROUP BY doc_id)
+       |SELECT doc_id, n_hits, margin_fp,
+       |  CASE WHEN margin_fp >= 0 THEN 'keep' ELSE 'drop' END AS label
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- sliding chunks
   /** Long-document chunking into overlapping 64-token windows every 32
     * tokens ([[Curation.chunkWindows]] — zero-shuffle narrow map; the
@@ -4473,7 +4617,10 @@ object Queries {
     "q122_ivf_refresh" -> (qIvfRefresh _),
     "q123_pq_refresh" -> (qPqRefresh _),
     "q124_ivf_drift" -> (qIvfDrift _),
-    "q125_etag_files" -> (qEtagFiles _)
+    "q125_etag_files" -> (qEtagFiles _),
+    "q126_ivfpq_serve" -> (qIvfPqServe _),
+    "q127_dup_spans" -> (qDupSpans _),
+    "q128_linear_quality" -> (qLinearQuality _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4605,6 +4752,9 @@ object Queries {
     "q122_ivf_refresh" -> oIvfRefresh,
     "q123_pq_refresh" -> oPqRefresh,
     "q124_ivf_drift" -> oIvfDrift,
-    "q125_etag_files" -> oEtagFiles
+    "q125_etag_files" -> oEtagFiles,
+    "q126_ivfpq_serve" -> oIvfPqServe,
+    "q127_dup_spans" -> oDupSpans,
+    "q128_linear_quality" -> oLinearQuality
   )
 }

@@ -84,4 +84,77 @@ object Dedup {
     ledger.select(col(ledgerFp))
       .unionByName(batch.select(fp.as(ledgerFp)))
       .distinct()
+
+  /** All word n-grams of a document WITH their 1-based token position —
+    * [[ApproxDedup.wordNgrams]]'s positional sibling: no distinct pass
+    * (a gram repeated inside one document is two sites — exactly the
+    * boilerplate signal span mining needs) and documents shorter than
+    * n tokens are dropped (no sub-n span can be reported from them).
+    * Columns: (id, pos, gram). */
+  def positionalNgrams(docs: DataFrame, id: String, textCol: Column,
+                       n: Int): DataFrame = {
+    require(n >= 1, "positionalNgrams needs n >= 1")
+    // the sub-n filter must precede sequence(): Spark's sequence(1, x)
+    // with x < 1 counts DOWN ([1, 0, ...]), it does not return empty
+    docs.select(col(id), split(textCol, "\\s+").as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col(id), explode(transform(
+        sequence(lit(1), size(col("_toks")) - n + 1),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("_toks"), i, lit(n))).as("gram")))).as("_g"))
+      .select(col(id), col("_g.pos").cast("bigint").as("pos"),
+        col("_g.gram").as("gram"))
+  }
+
+  /** Cross-corpus duplicated-span mining — the substring-level exact
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), re-expressed as DataFrame algebra
+    * instead of a suffix array: a token n-gram occurring at two or
+    * more sites anywhere in the corpus (another document OR another
+    * position of the same one — repeated boilerplate) marks every one
+    * of its sites as duplicated text, and runs of marked positions
+    * closer than n tokens merge into maximal spans (gaps-and-islands:
+    * consecutive overlapping grams are one copied passage, not many).
+    *
+    * Distributed shape, all corpus-scale and collect-free:
+    *  1. [[positionalNgrams]] — one scan, one explode (rows = total
+    *     token count, the same fan-out every LSH shingle path pays);
+    *  2. duplicated grams = `count(*) >= 2` grouped BY THE GRAM — one
+    *     shuffle, map-side combined. The gram string is the shuffle
+    *     key; at 100 TB hash it first (two md5 halves — 128 bits, no
+    *     collision risk at 10^13 grams) to cut key width ~6×; the
+    *     string form here keeps the operator exactly replayable.
+    *  3. mark sites: semi-join sites against the duplicated grams —
+    *     the big side reuses step 2's partitioning (no extra
+    *     exchange), and the dup-gram side is the small one (dups are
+    *     the exception, not the corpus);
+    *  4. islands: per-document window (lag + running sum) — shuffles
+    *     only the marked sites, a small fraction of the corpus.
+    *
+    * Output: (id, span_start, span_end, n_sites) — 1-based inclusive
+    * token positions, span_end = last gram start + n − 1.
+    * @param minSites sites needed to call a gram duplicated (>= 2). */
+  def dupSpans(docs: DataFrame, id: String, textCol: Column, n: Int,
+               minSites: Long = 2L): DataFrame = {
+    require(minSites >= 2, "a gram needs >= 2 sites to be a duplicate")
+    val sites = positionalNgrams(docs, id, textCol, n)
+    val dupGrams = sites.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_sites"))
+      .filter(col("_sites") >= minSites)
+      .select(col("gram"))
+    val marked = sites.join(dupGrams, Seq("gram"), "left_semi")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos"))
+    marked
+      .withColumn("_new",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= n, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("_grp", sum(col("_new")).over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(id), col("_grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n - 1).as("span_end"),
+        count(lit(1)).as("n_sites"))
+      .select(col(id), col("span_start"), col("span_end"), col("n_sites"))
+  }
 }

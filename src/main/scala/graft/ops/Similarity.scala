@@ -663,6 +663,129 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score_fp"))
   }
 
+  // ------------------------------------------- IVF-PQ (cells + codes)
+
+  /** The combined coarse-cell + product-quantization index — IVFADC
+    * (Jégou/Douze/Schmid, TPAMI 2011 §IV; the layout FAISS calls
+    * IVFPQ), here in its non-residual form: codes quantize the RAW
+    * vectors, so the cell table and the codebook stay independently
+    * frozen and a landing batch refreshes both in one pass. Three
+    * TABLES —
+    *  - `centroids` (centroid_id, centv): the k coarse cells;
+    *  - `codebook` (s, centroid_id, centv): the m·ksub PQ subspace
+    *    centroids;
+    *  - `codes` (corpus_id, centroid_id, s, code): the posting lists —
+    *    m small ints per vector stored WITH its cell; raw vectors
+    *    never appear on the serve path at all.
+    * This is the 100 TB serving layout the IVF and PQ families each
+    * provide half of: a query reads nprobe/k of the posting lists
+    * ([[IvfIndex]]'s pruning) and m bytes per candidate instead of d·4
+    * ([[PqIndex]]'s compression) — I/O shrinks by BOTH factors,
+    * (nprobe/k)·(m/(4d)) of a brute scan (2/8 · 4/256 = 1/256 at the
+    * fixture's parameters). Partition `codes` by centroid_id on write
+    * and the cell pruning becomes partition pruning on the scan. */
+  final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
+                              codes: DataFrame)
+
+  /** Train the coarse cells ([[kmeansFit]]) + the PQ codebooks
+    * ([[pqFit]]) + encode-and-cell the corpus once, producing the
+    * persistable [[IvfPqIndex]]. Build-time shape: the two trainings
+    * scan the corpus iters (resp. pqIters) times; the final pass is
+    * one assignment cross-join + one encode (two shuffles) joined on
+    * the id — all corpus-sized work happens HERE, never on serve. */
+  def ivfPqIndexBuild(corpus: DataFrame, id: String, vecCol: String,
+                      k: Int, iters: Int,
+                      m: Int, dsub: Int, ksub: Int, pqIters: Int): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val trained = kmeansFit(corpus, id, vecCol, k, iters)
+    val cents = trained.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centv")
+      .select(col("centroid_id"), col("centv").cast("array<double>").as("centv"))
+    val codebook = pqCodebookDf(spark, pqFit(corpus, id, vecCol, m, dsub, ksub, pqIters))
+    IvfPqIndex(cents, codebook,
+      ivfPqCode(corpus, id, vecCol, m, dsub, cents, codebook))
+  }
+
+  /** Cell-assign + PQ-encode a batch against FROZEN centroids and
+    * codebook → `codes`-shaped rows (corpus_id, centroid_id, s, code).
+    * One assignment (broadcast cross-join + argmax) + one encode
+    * (broadcast codebook join + per-subspace argmax) + one id-keyed
+    * equi-join — O(batch), never O(corpus). */
+  private def ivfPqCode(batch: DataFrame, id: String, vecCol: String,
+                        m: Int, dsub: Int,
+                        centroids: DataFrame, codebook: DataFrame): DataFrame = {
+    val cells = ivfAssign(batch,
+        centroids.select(col("centroid_id"), col("centv").as(vecCol)),
+        id, "centroid_id", vecCol)
+      .select(col("corpus_id"), col("centroid_id"))
+    pqEncode(batch, id, vecCol, m, dsub, codebook)
+      .join(cells, Seq("corpus_id"))
+      .select(col("corpus_id"), col("centroid_id"), col("s"), col("code"))
+  }
+
+  /** Incremental IVF-PQ refresh — [[ivfIndexUpsert]] and
+    * [[pqIndexUpsert]] in one frozen-everything pass: the landing
+    * batch is cell-assigned AND encoded against the index's frozen
+    * tables, and its code rows append to the posting lists. Idempotent
+    * on replay (an id already in `codes` is skipped — queue redelivery
+    * is the normal case). Re-train cadence stays an offline decision
+    * ([[driftReport]]); refresh cost is O(batch·(k + m·ksub)). */
+  def ivfPqIndexUpsert(index: IvfPqIndex, newVectors: DataFrame,
+                       id: String, vecCol: String, m: Int, dsub: Int): IvfPqIndex = {
+    val novel = newVectors.join(
+      index.codes.select(col("corpus_id").as(id)).distinct(), Seq(id), "left_anti")
+    IvfPqIndex(index.centroids, index.codebook,
+      index.codes
+        .select(col("corpus_id"), col("centroid_id"), col("s"), col("code"))
+        .unionByName(
+          ivfPqCode(novel, id, vecCol, m, dsub, index.centroids, index.codebook)))
+  }
+
+  /** IVF-PQ/ADC top-k over a PERSISTED index: probe the `nprobe`
+    * nearest cells ([[ivfTopKFromIndex]]'s probe ranking — rounded
+    * cosine desc, centroid id asc), then score ONLY those cells'
+    * posting lists by the same fixed-point ADC LUT as
+    * [[pqTopKFromIndex]]. The plan touches the three index tables
+    * only — no k-means jobs, no corpus encode, no raw corpus vectors;
+    * with nprobe=k the cell filter admits everything and the result
+    * equals [[pqTopKFromIndex]] row-for-row (IvfPqSpec pins both).
+    * Output rank: (score_fp desc, corpus_id asc). */
+  def ivfPqTopKFromIndex(queries: DataFrame, index: IvfPqIndex, qid: String,
+                         vecCol: String, m: Int, dsub: Int,
+                         k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val q = queries.select(col(qid).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cent = index.centroids.select(col("centroid_id"),
+      col("centv").cast("array<double>").as("centv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cent_sim", round(cosine(col("qv"), col("centv")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val v = col("qv")
+    val slices = array((0 until m).map(s0 => slice(v, s0 * dsub + 1, dsub)): _*)
+    val lut = q.select(col("query_id"), posexplode(slices).as(Seq("s", "qsv")))
+      .join(broadcast(index.codebook), Seq("s"))
+      .select(col("query_id"), col("s"), col("centroid_id").as("code"),
+        floor(dot(col("qsv"), col("centv")) * 1e6).cast("bigint").as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("corpus_id"))
+    index.codes
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("pd")).as("score_fp"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("score_fp"))
+  }
+
   /** PQ top-k by asymmetric distance computation: the query stays
     * exact, the corpus is its codes. Approximate inner product
     * dot(q, v) ≈ Σ_s dot(q_s, centroid(code_s)) — the per-(query,

@@ -236,4 +236,44 @@ object TextAnalysis {
       // integer-exact for the oracle (DuckDB `//`)
       .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
   }
+
+  /** Model-based quality scoring — the fasttext-classifier filtering
+    * step of the CCNet/GPT-3-style cleaning pipelines, reduced to its
+    * distributed essence: a LINEAR model over unigram features, the
+    * model a broadcast (term, w_fp) table of fixed-point micro-unit
+    * weights. score = Σ w(term) over the document's tokens + bias;
+    * label = keep iff score >= 0 (the raw margin thresholds directly —
+    * the sigmoid is monotone, so applying it would change no
+    * decision but would cost bit-portability).
+    *
+    * Distributed shape: tokenize-explode → LEFT join the broadcast
+    * model (weights ride along, misses stay for the token count) →
+    * one map-side-combined groupBy(id). No collect, no UDF; the model
+    * table is the only state, swappable per corpus. `split` always
+    * yields at least [""], so every input document emits a row even
+    * with zero vocabulary hits (margin = bias).
+    *
+    * Output: (id, n_hits, margin_fp, label). */
+  def linearScore(df: DataFrame, id: String, text: Column,
+                  model: DataFrame, biasFp: Long): DataFrame =
+    df.select(col(id), explode(tokens(lower(text))).as("term"))
+      .join(broadcast(model.select(col("term"), col("w_fp"))), Seq("term"), "left")
+      .groupBy(col(id))
+      .agg(sum(when(col("w_fp").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        (sum(coalesce(col("w_fp"), lit(0L))) + biasFp).as("margin_fp"))
+      .withColumn("label",
+        when(col("margin_fp") >= 0, lit("keep")).otherwise(lit("drop")))
+
+  /** A frozen demonstration model for [[linearScore]] (micro-unit
+    * weights): structure/content terms vote keep, degradation markers
+    * ("slow", "dup", filler) vote drop. A production pipeline trains
+    * these weights offline (logistic regression over labeled pages)
+    * and ships them as exactly this table shape. */
+  val QualityModel: Seq[(String, Long)] = Seq(
+    "join" -> 40000L, "hash" -> 35000L, "scan" -> 30000L,
+    "filter" -> 30000L, "merge" -> 25000L, "vector" -> 25000L,
+    "query" -> 20000L, "table" -> 20000L, "stream" -> 15000L,
+    "window" -> 15000L, "slow" -> -60000L, "dup" -> -120000L,
+    "big" -> -20000L, "small" -> -20000L, "a" -> -10000L,
+    "the" -> -10000L)
 }

@@ -385,3 +385,168 @@ class DriftGateSpec extends SparkSpec {
     assert(retrain.getAs[Long]("shift_ppm") > keep.getAs[Long]("shift_ppm"))
   }
 }
+
+/** The combined IVF-PQ index ([[graft.ops.Similarity.IvfPqIndex]]):
+  * cell pruning and PQ compression compose without changing either
+  * half's arithmetic — with nprobe=k the cell filter admits everything
+  * and the serve equals the pure-PQ serve row-for-row; with nprobe=1
+  * every candidate comes from the query's own probed cell; the
+  * incremental refresh freezes both trained tables and replays
+  * idempotently. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Similarity
+
+  private val Dims = 8
+  private val M = 2
+  private val Dsub = 4
+
+  private def vec(id: Long, axis: Int): Seq[Double] =
+    Seq.tabulate(Dims) { d =>
+      (if (d == axis) 10.0 else 0.0) + ((id * 31 + d * 17) % 7).toDouble / 10.0
+    }
+
+  private def corpus(ids: Range) =
+    ids.map(i => (i.toLong, vec(i.toLong, i % 4))).toDF("id", "v")
+
+  private def build(df: org.apache.spark.sql.DataFrame) =
+    Similarity.ivfPqIndexBuild(df, "id", "v",
+      k = 4, iters = 2, m = M, dsub = Dsub, ksub = 4, pqIters = 1)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("nprobe=k admits all cells: serve equals the pure-PQ serve") {
+    val c = corpus(0 until 120)
+    val idx = build(c)
+    val pq = Similarity.PqIndex(idx.codebook,
+      idx.codes.select(col("corpus_id"), col("s"), col("code")))
+    val q = c.filter(col("id") < 4)
+    val combined = Similarity.ivfPqTopKFromIndex(q, idx, "id", "v",
+      m = M, dsub = Dsub, k = 5, nprobe = 4)
+    val pure = Similarity.pqTopKFromIndex(q, pq, "id", "v",
+      m = M, dsub = Dsub, k = 5)
+    assert(rows(combined) == rows(pure))
+    assert(combined.count() == 4 * 5)
+  }
+
+  test("nprobe=1 candidates are confined to the query's probed cell") {
+    val c = corpus(0 until 120)
+    val idx = build(c)
+    val q = c.filter(col("id") < 8)
+    val served = Similarity.ivfPqTopKFromIndex(q, idx, "id", "v",
+      m = M, dsub = Dsub, k = 5, nprobe = 1)
+    // the probed cell is the query's own assignment (queries are
+    // corpus members in this fixture)
+    val own = idx.codes.select(col("corpus_id"), col("centroid_id")).distinct()
+    val escaped = served
+      .join(own.withColumnRenamed("corpus_id", "query_id")
+        .withColumnRenamed("centroid_id", "q_cell"), Seq("query_id"))
+      .join(own.withColumnRenamed("centroid_id", "c_cell"), Seq("corpus_id"))
+      .filter(col("q_cell") =!= col("c_cell"))
+    assert(escaped.count() == 0)
+  }
+
+  test("frozen-table refresh: replay-idempotent, centroids/codebook untouched") {
+    val old = corpus(0 until 100)
+    val idx = build(old)
+    val batch = corpus(1000 until 1050)
+    val once = Similarity.ivfPqIndexUpsert(idx, batch, "id", "v", M, Dsub)
+    val twice = Similarity.ivfPqIndexUpsert(once, batch, "id", "v", M, Dsub)
+    assert(rows(once.codes) == rows(twice.codes))
+    assert(once.codes.count() == idx.codes.count() + 50 * M)
+    assert(rows(once.centroids) == rows(idx.centroids))
+    assert(rows(once.codebook) == rows(idx.codebook))
+    // refreshed members are immediately servable
+    val q = batch.limit(2)
+    val served = Similarity.ivfPqTopKFromIndex(q, once, "id", "v",
+      m = M, dsub = Dsub, k = 3, nprobe = 4)
+    assert(served.count() == 2 * 3)
+  }
+}
+
+/** Duplicated-span mining ([[graft.ops.Dedup.dupSpans]]): repeated
+  * passages surface as maximal merged spans, unique text never
+  * surfaces, and within-document boilerplate counts as duplication. */
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Dedup
+
+  test("cross-document copied passage yields one merged span per side") {
+    val copied = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"unique one two three $copied tail1 tail2 tail3"),
+      (2L, s"other prefix words here $copied x y z w"),
+      (3L, "entirely different text with no repeats at all ok")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", col("text"), n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 3 is clean
+    assert(!spans.exists(_._1 == 3L))
+    // docs 1+2 each report exactly ONE maximal span covering the
+    // 8-token copied passage (5 overlapping 4-gram sites merge)
+    val d1 = spans.filter(_._1 == 1L)
+    val d2 = spans.filter(_._1 == 2L)
+    assert(d1.length == 1 && d2.length == 1, spans.mkString(","))
+    assert(d1.head._3 - d1.head._2 + 1 == 8, d1.head.toString)
+    assert(d2.head._3 - d2.head._2 + 1 == 8)
+    assert(d1.head._4 == 5 && d2.head._4 == 5)
+    // 1-based positions: doc 1's copy starts at token 5
+    assert(d1.head._2 == 5L)
+    assert(d2.head._2 == 5L)
+  }
+
+  test("within-document repetition is duplication; short docs drop") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "too short")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", col("text"), n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((1L, 1L, 8L)))
+  }
+
+  test("distant repeats stay separate spans; near repeats merge") {
+    val gap = (1 to 20).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c d $gap a b c d"),
+      (2L, s"x a b c d y")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", col("text"), n = 4)
+    val d1 = spans.filter(col("doc_id") === 1L).collect()
+    assert(d1.length == 2, d1.mkString(","))
+  }
+}
+
+/** The linear quality classifier ([[graft.ops.TextAnalysis.linearScore]]):
+  * margins are exact fixed-point sums over the broadcast model, docs
+  * with zero vocabulary hits still score (margin = bias), and the
+  * keep/drop threshold sits at margin 0. */
+class LinearScoreSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.TextAnalysis
+
+  test("margin = sum of hit weights + bias; zero-hit docs score bias") {
+    val model = Seq(("good", 50000L), ("bad", -80000L)).toDF("term", "w_fp")
+    val docs = Seq(
+      (1L, "good good neutral"),
+      (2L, "bad thing"),
+      (3L, "nothing from vocab")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.linearScore(docs, "doc_id", col("text"),
+        model, biasFp = 10000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 110000L, "keep")))
+    assert(out(2L) == ((1L, -70000L, "drop")))
+    assert(out(3L) == ((0L, 10000L, "keep")))
+  }
+
+  test("case-folding applies and every input doc emits exactly one row") {
+    val model = Seq(("term", 1L)).toDF("term", "w_fp")
+    val docs = Seq((1L, "TERM Term term"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.linearScore(docs, "doc_id", col("text"), model, 0L)
+    assert(out.count() == 2)
+    assert(out.filter(col("doc_id") === 1L).head().getLong(1) == 3L)
+  }
+}
