@@ -3039,7 +3039,13 @@ object Queries {
     Dedup.dupSpans(t(s, dir, "documents"), "doc_id", col("text"), DupSpanN)
       .orderBy("doc_id", "span_start")
 
-  private val oDupSpans = {
+  private val oDupSpans = oDupSpansSql("")
+
+  /** The q127 chain, with an optional final filter — q129's oracle is
+    * the SAME full-corpus mine restricted to the landing batch's
+    * documents: ledger(old) + batch counts equal the full-corpus gram
+    * totals, which is precisely the incremental form's contract. */
+  private def oDupSpansSql(finalWhere: String) = {
     val n = DupSpanN
     s"""WITH dd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
        |            FROM documents),
@@ -3063,8 +3069,44 @@ object Queries {
        |         max(pos) + ${n - 1} AS span_end,
        |         CAST(count(*) AS BIGINT) AS n_sites
        |  FROM isl GROUP BY doc_id, grp)
+       |$finalWhere
        |ORDER BY doc_id, span_start""".stripMargin
   }
+
+  // ------------------------------------------ incremental dup-span probe
+  /** Substring dedup as a REFRESH ([[Dedup.dupSpansFromLedger]]) — the
+    * q104/q108/q109 ledger pattern applied to q127: the gram-histogram
+    * ledger is bootstrapped once from the ingested corpus (doc_id % 10
+    * != 0, persisted), and the landing batch's spans are probed
+    * against ledger + batch counts only — old text is never
+    * re-tokenized. The oracle runs the full-corpus q127 chain and
+    * keeps the batch's documents: identical by the count-additivity
+    * contract (IncrementalDupSpanSpec pins the equivalence). */
+  private def qDupSpanRefresh(s: SparkSession, dir: String): DataFrame = {
+    val batch = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+    Dedup.dupSpansFromLedger(dupSpanLedgerFor(s, dir), batch,
+        "doc_id", col("text"), DupSpanN)
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** The ingested-corpus gram ledger (doc_id % 10 != 0), persisted
+    * once per fixture dir like [[ivfOldIndexFor]]. */
+  private def dupSpanLedgerFor(s: SparkSession, dir: String): Dedup.DupSpanLedger = {
+    val gramsPath = fixPath("dupspan_ledger_grams", dir)
+    val docsPath = fixPath("dupspan_ledger_docs", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(gramsPath) || missing(docsPath)) {
+      val led = Dedup.dupSpanLedger(
+        t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+        "doc_id", col("text"), DupSpanN)
+      led.grams.write.mode("overwrite").parquet(gramsPath)
+      led.docs.write.mode("overwrite").parquet(docsPath)
+    }
+    Dedup.DupSpanLedger(s.read.parquet(gramsPath), s.read.parquet(docsPath))
+  }
+
+  private val oDupSpanRefresh = oDupSpansSql("WHERE doc_id % 10 = 0")
 
   // ------------------------------------------- linear quality classifier
   private val QmBiasFp = -30000L
@@ -4620,7 +4662,8 @@ object Queries {
     "q125_etag_files" -> (qEtagFiles _),
     "q126_ivfpq_serve" -> (qIvfPqServe _),
     "q127_dup_spans" -> (qDupSpans _),
-    "q128_linear_quality" -> (qLinearQuality _)
+    "q128_linear_quality" -> (qLinearQuality _),
+    "q129_dup_span_refresh" -> (qDupSpanRefresh _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4755,6 +4798,7 @@ object Queries {
     "q125_etag_files" -> oEtagFiles,
     "q126_ivfpq_serve" -> oIvfPqServe,
     "q127_dup_spans" -> oDupSpans,
-    "q128_linear_quality" -> oLinearQuality
+    "q128_linear_quality" -> oLinearQuality,
+    "q129_dup_span_refresh" -> oDupSpanRefresh
   )
 }

@@ -142,7 +142,14 @@ object Dedup {
       .agg(count(lit(1)).as("_sites"))
       .filter(col("_sites") >= minSites)
       .select(col("gram"))
-    val marked = sites.join(dupGrams, Seq("gram"), "left_semi")
+    mergeIslands(sites.join(dupGrams, Seq("gram"), "left_semi"), id, n)
+  }
+
+  /** Gaps-and-islands merge of marked gram sites (id, pos) into maximal
+    * spans: sites closer than n tokens overlap, so they fuse. Window
+    * shuffles only the MARKED sites — the duplicated fraction, not the
+    * corpus. */
+  private def mergeIslands(marked: DataFrame, id: String, n: Int): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(id)).orderBy(col("pos"))
     marked
@@ -156,5 +163,70 @@ object Dedup {
         (max(col("pos")) + n - 1).as("span_end"),
         count(lit(1)).as("n_sites"))
       .select(col(id), col("span_start"), col("span_end"), col("n_sites"))
+  }
+
+  /** The dup-span ledger — [[dupSpans]]' persisted-history form, the
+    * ledger-family contract (docs/LEDGERS.md) applied to substring
+    * dedup: `grams` is the corpus n-gram site HISTOGRAM (gram,
+    * n_sites) — the only state span-probing a batch needs; `docs` is
+    * the landed-id set that makes the count append replay-safe (counts
+    * can't be keyed-idempotent by themselves — re-adding a batch would
+    * double them — so the id ledger gates what lands, [[antiJoin]]'s
+    * rule). At 100 TB the histogram is the token-count-sized table;
+    * store it bucketed by gram so the probe join co-locates. */
+  final case class DupSpanLedger(grams: DataFrame, docs: DataFrame)
+
+  /** One-time ledger bootstrap from the ingested corpus. */
+  def dupSpanLedger(docs: DataFrame, id: String, textCol: Column,
+                    n: Int): DupSpanLedger =
+    DupSpanLedger(
+      positionalNgrams(docs, id, textCol, n)
+        .groupBy(col("gram")).agg(count(lit(1)).as("n_sites")),
+      docs.select(col(id)))
+
+  /** The ledger after landing a batch: gram counts gain the NOVEL
+    * batch rows' sites (map-side-combined sum merge), landed ids
+    * append. Replaying the same batch is a no-op (every id is already
+    * in `docs`), so queue redelivery cannot double any count. Cost is
+    * O(ledger + batch) — old text is never re-tokenized. */
+  def updatedDupSpanLedger(ledger: DupSpanLedger, batch: DataFrame,
+                           id: String, textCol: Column, n: Int): DupSpanLedger = {
+    val novel = batch.join(ledger.docs.select(col(id)), Seq(id), "left_anti")
+    DupSpanLedger(
+      ledger.grams
+        .unionByName(positionalNgrams(novel, id, textCol, n)
+          .groupBy(col("gram")).agg(count(lit(1)).as("n_sites")))
+        .groupBy(col("gram")).agg(sum(col("n_sites")).as("n_sites")),
+      ledger.docs.select(col(id)).unionByName(novel.select(col(id))))
+  }
+
+  /** Duplicated spans of a LANDING BATCH against corpus history: a
+    * gram site is duplicated iff its ledger count plus its batch count
+    * reaches `minSites` — exactly the full-corpus mine's total, so the
+    * result EQUALS [[dupSpans]] over (history ∪ batch) restricted to
+    * the batch's documents (IncrementalDupSpanSpec pins it), while
+    * touching only ledger + batch: old text is never re-read. Batch
+    * ids already landed are skipped (replay yields no rows — the
+    * refresh family's idempotency shape). New spans the batch creates
+    * INSIDE old documents surface at the next offline full mine, not
+    * here — the batch-scoring trade every refresh op in this family
+    * makes.
+    *
+    * Scale shape: the batch histogram joins the ledger on the gram —
+    * the ledger side is the big one; bucket the persisted ledger by
+    * gram and the probe is co-located, no corpus-sized shuffle. */
+  def dupSpansFromLedger(ledger: DupSpanLedger, batch: DataFrame,
+                         id: String, textCol: Column, n: Int,
+                         minSites: Long = 2L): DataFrame = {
+    require(minSites >= 2, "a gram needs >= 2 sites to be a duplicate")
+    val novel = batch.join(ledger.docs.select(col(id)), Seq(id), "left_anti")
+    val sites = positionalNgrams(novel, id, textCol, n)
+    val dupGrams = sites.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_nb"))
+      .join(ledger.grams.select(col("gram"), col("n_sites").as("_nl")),
+        Seq("gram"), "left")
+      .filter(coalesce(col("_nl"), lit(0L)) + col("_nb") >= minSites)
+      .select(col("gram"))
+    mergeIslands(sites.join(dupGrams, Seq("gram"), "left_semi"), id, n)
   }
 }

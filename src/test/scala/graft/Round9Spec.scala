@@ -550,3 +550,61 @@ class LinearScoreSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 1L).head().getLong(1) == 3L)
   }
 }
+
+/** The dup-span ledger ([[graft.ops.Dedup.DupSpanLedger]]): probing a
+  * landing batch against the gram histogram equals the full-corpus
+  * mine restricted to the batch (count additivity), the ledger update
+  * is replay-idempotent, and the probe plan never re-reads old text. */
+class IncrementalDupSpanSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Dedup
+
+  private def corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta filler one"),
+    (2L, "other words alpha beta gamma delta epsilon zeta eta theta"),
+    (3L, "totally unrelated text goes here with nothing shared at"),
+    (10L, "new doc copies alpha beta gamma delta epsilon zeta eta theta"),
+    (20L, "brand new unique content that matches nothing in history"),
+    (30L, "new doc copies alpha beta gamma delta epsilon zeta eta theta")
+  ).toDF("doc_id", "text")
+
+  private val n = 4
+
+  test("ledger probe == full mine restricted to the batch") {
+    val old = corpus.filter(col("doc_id") < 10)
+    val batch = corpus.filter(col("doc_id") >= 10)
+    val ledger = Dedup.dupSpanLedger(old, "doc_id", col("text"), n)
+    val probe = Dedup.dupSpansFromLedger(ledger, batch, "doc_id", col("text"), n)
+      .collect().map(_.toString).toSet
+    val full = Dedup.dupSpans(corpus, "doc_id", col("text"), n)
+      .filter(col("doc_id") >= 10)
+      .collect().map(_.toString).toSet
+    assert(probe == full)
+    assert(probe.nonEmpty, "fixture must produce batch spans")
+    // batch-internal duplication alone must also surface: docs 10+30
+    // share text absent from history
+    val batchOnly = Dedup.dupSpansFromLedger(
+      Dedup.dupSpanLedger(old.limit(0), "doc_id", col("text"), n),
+      batch, "doc_id", col("text"), n)
+    assert(batchOnly.filter(col("doc_id") === 20L).count() == 0)
+    assert(batchOnly.filter(col("doc_id") === 10L).count() > 0)
+  }
+
+  test("ledger update is replay-idempotent and never re-tokenizes history") {
+    val old = corpus.filter(col("doc_id") < 10)
+    val batch = corpus.filter(col("doc_id") >= 10)
+    val l0 = Dedup.dupSpanLedger(old, "doc_id", col("text"), n)
+    val l1 = Dedup.updatedDupSpanLedger(l0, batch, "doc_id", col("text"), n)
+    val l2 = Dedup.updatedDupSpanLedger(l1, batch, "doc_id", col("text"), n)
+    def hist(l: Dedup.DupSpanLedger) =
+      l.grams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist(l1) == hist(l2))
+    assert(l1.docs.count() == 6 && l2.docs.count() == 6)
+    // the updated histogram equals a from-scratch bootstrap of the
+    // full corpus — the additivity the probe relies on
+    assert(hist(l1) == hist(Dedup.dupSpanLedger(corpus, "doc_id", col("text"), n)))
+    // a replayed probe lands nothing (all ids already in the ledger)
+    assert(Dedup.dupSpansFromLedger(l1, batch, "doc_id", col("text"), n)
+      .count() == 0)
+  }
+}
