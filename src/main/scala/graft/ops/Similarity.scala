@@ -712,8 +712,10 @@ object Similarity {
     * codebook → `codes`-shaped rows (corpus_id, centroid_id, s, code).
     * One assignment (broadcast cross-join + argmax) + one encode
     * (broadcast codebook join + per-subspace argmax) + one id-keyed
-    * equi-join — O(batch), never O(corpus). */
-  private def ivfPqCode(batch: DataFrame, id: String, vecCol: String,
+    * equi-join — O(batch), never O(corpus). Public: the streaming
+    * maintainer ([[graft.streaming.IvfPqStream]]) lands exactly these
+    * rows per micro-batch. */
+  def ivfPqCode(batch: DataFrame, id: String, vecCol: String,
                         m: Int, dsub: Int,
                         centroids: DataFrame, codebook: DataFrame): DataFrame = {
     val cells = ivfAssign(batch,

@@ -84,3 +84,64 @@ final case class IndexStream(vecId: String, vecCol: String) {
       .foreachBatch { (b: DataFrame, _: Long) => processBatch(b, root) }
       .start()
 }
+
+/** [[IndexStream]]'s sibling for the COMBINED index
+  * ([[Similarity.IvfPqIndex]]): per micro-batch the landing vectors
+  * are cell-assigned AND PQ-encoded against the frozen centroid +
+  * codebook tables ([[Similarity.ivfPqCode]]) and the resulting code
+  * rows land through the crash-safe keyed upsert. The exactly-once
+  * argument is IndexStream's unchanged — every code row is keyed by
+  * vector id and is a pure function of (vector, frozen tables), so a
+  * replayed batch re-writes identical rows. Per-batch cost is
+  * O(batch·(k + m·ksub)); the corpus is never re-encoded. Serving
+  * reads the three tables through [[Similarity.ivfPqTopKFromIndex]]. */
+final case class IvfPqStream(vecId: String, vecCol: String,
+                             m: Int, dsub: Int) {
+
+  private def centDir(root: String) = s"$root/ivfpq_centroids"
+  private def cbDir(root: String) = s"$root/ivfpq_codebook"
+  private def codesDir(root: String) = s"$root/ivfpq_codes"
+
+  /** One-time bootstrap: train both tables on the already-ingested
+    * corpus (written once, FROZEN), land the initial code rows. */
+  def bootstrap(oldVectors: DataFrame, k: Int, iters: Int,
+                ksub: Int, pqIters: Int, root: String): Unit = {
+    val idx = Similarity.ivfPqIndexBuild(oldVectors, vecId, vecCol,
+      k, iters, m, dsub, ksub, pqIters)
+    idx.centroids.write.mode("overwrite").parquet(centDir(root))
+    idx.codebook.write.mode("overwrite").parquet(cbDir(root))
+    Sinks.upsertPartitioned(idx.codes, Seq("corpus_id"), codesDir(root))
+  }
+
+  /** Land one batch against the frozen tables. Public so the one-shot
+    * equivalence spec can drive batches without a stream. */
+  def processBatch(batch: DataFrame, root: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val rows = Similarity.ivfPqCode(batch, vecId, vecCol, m, dsub,
+        spark.read.parquet(centDir(root)), spark.read.parquet(cbDir(root)))
+      // materialize before the store swap renames the dirs a lazy
+      // plan would scan (the RefreshStream rule)
+      .localCheckpoint()
+    Sinks.upsertPartitioned(rows, Seq("corpus_id"), codesDir(root))
+  }
+
+  /** The live combined index over the persisted state. */
+  def index(spark: SparkSession, root: String): Similarity.IvfPqIndex =
+    Similarity.IvfPqIndex(
+      spark.read.parquet(centDir(root)),
+      spark.read.parquet(cbDir(root)),
+      Sinks.readPartitioned(spark, codesDir(root)))
+
+  /** Start the landing-queue consumer (checkpoint name is
+    * stream-specific, the ConcurrentStreamsSpec convention). */
+  def start(spark: SparkSession, landingDir: String, schema: StructType,
+            root: String): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt_ivfpq")
+      .foreachBatch { (b: DataFrame, _: Long) => processBatch(b, root) }
+      .start()
+}

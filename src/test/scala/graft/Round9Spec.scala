@@ -608,3 +608,70 @@ class IncrementalDupSpanSpec extends SparkSpec {
       .count() == 0)
   }
 }
+
+/** The combined-index streaming maintainer
+  * ([[graft.streaming.IvfPqStream]]): kill-and-resume over a landing
+  * vector stream, plus raw queue redelivery, lands exactly the
+  * one-shot frozen-table upsert's code rows — and the maintained index
+  * serves ADC top-k directly. */
+class IvfPqStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.streaming.IvfPqStream
+
+  test("kill-and-resume == one-shot ivfPqIndexUpsert; serves ADC top-k") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val landing = emb.filter(col("vec_id") % 10 === 0)
+      .orderBy("vec_id").collect()
+    val batches = landing.grouped((landing.length + 1) / 2).toSeq
+    assert(batches.size == 2)
+
+    val root = tmpDir("ivfpq_stream")
+    val landingDir = s"$root/landing"
+    val p = IvfPqStream("vec_id", "embedding", m = 4, dsub = 16)
+    p.bootstrap(old, k = 8, iters = 2, ksub = 16, pqIters = 1, root)
+
+    def writeFile(i: Int): Unit =
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(batches(i).toIndexedSeq, 1),
+          emb.schema)
+        .write.mode("append").parquet(landingDir)
+
+    writeFile(0)
+    val q1 = p.start(spark, landingDir, emb.schema, root)
+    q1.processAllAvailable()
+    q1.stop() // kill mid-stream
+    val q2 = p.start(spark, landingDir, emb.schema, root)
+    q2.processAllAvailable()
+    writeFile(1)
+    q2.processAllAvailable()
+    q2.stop()
+    // queue redelivery on top
+    batches.indices.foreach { i =>
+      p.processBatch(spark.createDataFrame(
+        spark.sparkContext.parallelize(batches(i).toIndexedSeq, 1),
+        emb.schema), root)
+    }
+
+    val streamed = p.index(spark, root).codes
+      .select(col("corpus_id"), col("centroid_id"), col("s"), col("code"))
+      .as[(Long, Long, Int, Long)].collect().toSeq.sorted
+    val idx0 = ops.Similarity.ivfPqIndexBuild(old, "vec_id", "embedding",
+      k = 8, iters = 2, m = 4, dsub = 16, ksub = 16, pqIters = 1)
+    val oneShot = ops.Similarity
+      .ivfPqIndexUpsert(idx0, emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", m = 4, dsub = 16)
+      .codes.select(col("corpus_id"), col("centroid_id"), col("s"), col("code"))
+      .as[(Long, Long, Int, Long)].collect().toSeq.sorted
+    assert(streamed == oneShot)
+    assert(streamed.size == emb.count() * 4)
+
+    val served = ops.Similarity.ivfPqTopKFromIndex(
+        emb.filter(col("vec_id") < 3), p.index(spark, root),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 3, nprobe = 2)
+      .count()
+    assert(served == 9L)
+  }
+}
