@@ -3025,6 +3025,56 @@ object Queries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ----------------------------------------- IVF-PQ two-stage re-rank
+  /** The production serve refinement over q126's index
+    * ([[Similarity.ivfPqTopKRerank]]): ADC shortlists 20 candidates
+    * per query from cells + codes, then ONLY those 20 ids are
+    * re-scored with exact cosine — a k-bounded point lookup against
+    * the vector table, never a scan. The oracle replays the q126
+    * chain to rank 20 and re-ranks with the exact cosine. */
+  private def qIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqTopKRerank(emb.filter(col("vec_id") < 5),
+        ivfPqIndexFor(s, dir), emb, "vec_id", "vec_id", "embedding",
+        m = 4, dsub = 16, k = 5, nprobe = 2, rerank = 20)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("corpus_id"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val oIvfPqRerank = {
+    val subs = (0 until 4).map(oPqSubspace(_)).mkString(",\n")
+    val prs = (0 until 4).map(s => s"SELECT * FROM pr$s").mkString(" UNION ALL ")
+    s"""WITH $oKmeansAf,
+       |$subs,
+       |qp AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT e.vec_id AS query_id, c2.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.v", "centv")}, 6) DESC, centroid_id) AS r
+       |    FROM e CROSS JOIN c2 WHERE e.vec_id < 5)
+       |  WHERE r <= 2),
+       |cand AS (SELECT qp.query_id, a.vec_id AS corpus_id
+       |         FROM af a JOIN qp ON a.centroid_id = qp.centroid_id
+       |           AND a.vec_id <> qp.query_id),
+       |allp AS ($prs),
+       |sc AS (SELECT c.query_id, c.corpus_id, CAST(sum(pd) AS BIGINT) AS score_fp
+       |       FROM cand c JOIN allp p
+       |         ON p.query_id = c.query_id AND p.corpus_id = c.corpus_id
+       |       GROUP BY 1, 2),
+       |short AS (SELECT query_id, corpus_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_fp DESC, corpus_id) AS r FROM sc) WHERE r <= 20),
+       |ex AS (SELECT s.query_id, s.corpus_id,
+       |         round(${cosSql("q.v", "c.v")}, 6) AS cos_sim
+       |       FROM short s JOIN e q ON q.vec_id = s.query_id
+       |                    JOIN e c ON c.vec_id = s.corpus_id)
+       |SELECT query_id, rank, corpus_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, corpus_id) AS INT) AS rank FROM ex)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------- duplicated-span mining
   private val DupSpanN = 8
 
@@ -4663,7 +4713,8 @@ object Queries {
     "q126_ivfpq_serve" -> (qIvfPqServe _),
     "q127_dup_spans" -> (qDupSpans _),
     "q128_linear_quality" -> (qLinearQuality _),
-    "q129_dup_span_refresh" -> (qDupSpanRefresh _)
+    "q129_dup_span_refresh" -> (qDupSpanRefresh _),
+    "q130_ivfpq_rerank" -> (qIvfPqRerank _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4799,6 +4850,7 @@ object Queries {
     "q126_ivfpq_serve" -> oIvfPqServe,
     "q127_dup_spans" -> oDupSpans,
     "q128_linear_quality" -> oLinearQuality,
-    "q129_dup_span_refresh" -> oDupSpanRefresh
+    "q129_dup_span_refresh" -> oDupSpanRefresh,
+    "q130_ivfpq_rerank" -> oIvfPqRerank
   )
 }

@@ -788,6 +788,41 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("score_fp"))
   }
 
+  /** Two-stage IVF-PQ serve: the compressed ADC pass shortlists
+    * `rerank` candidates per query ([[ivfPqTopKFromIndex]] — cells +
+    * codes, raw vectors untouched), then ONLY that shortlist is re-scored
+    * with exact cosine against the raw vectors — the refinement every
+    * production ANN deployment runs, because PQ's quantization error
+    * can swap near-tied neighbors. The exact pass joins |Q|·rerank ids
+    * against the vector table — a k-bounded point lookup, NOT a scan
+    * (at 100 TB: serve it from a key-pruned store, e.g. the DSv2
+    * partitioned store with key pushdown, or any id-bucketed table; at
+    * fixture scale an equi-join that AQE broadcasts). Output rank:
+    * (cos_sim desc, corpus_id asc), [[bruteForceTopK]]'s contract —
+    * with rerank >= the corpus this EQUALS brute force row-for-row
+    * (IvfPqRerankSpec pins it). */
+  def ivfPqTopKRerank(queries: DataFrame, index: IvfPqIndex,
+                      vectors: DataFrame, qid: String, cid: String,
+                      vecCol: String, m: Int, dsub: Int,
+                      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, "the shortlist must be at least k deep")
+    val shortlist = ivfPqTopKFromIndex(queries, index, qid, vecCol,
+        m, dsub, rerank, nprobe)
+      .select(col("query_id"), col("corpus_id"))
+    val q = queries.select(col(qid).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id"))
+    shortlist
+      .join(vectors.select(col(cid).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv")), Seq("corpus_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos_sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos_sim"))
+  }
+
   /** PQ top-k by asymmetric distance computation: the query stays
     * exact, the corpus is its codes. Approximate inner product
     * dot(q, v) ≈ Σ_s dot(q_s, centroid(code_s)) — the per-(query,

@@ -44,7 +44,15 @@ class PlanGuardSpec extends SparkSpec {
     // its non-equi self-match filter, shift ×broadcast(1-row totals),
     // final shift ×broadcast(1-row recall) — every broadcast side is
     // k-row or 1-row BY CONTRACT
-    "q124_ivf_drift" -> 7)
+    "q124_ivf_drift" -> 7,
+    // combined-index serves: the probe ranking's crossJoin(broadcast(
+    // k·d centroids)) appears TWICE — once in the join proper and once
+    // duplicated into the dynamic-partition-pruning subquery on the
+    // cell-partitioned codes scan (the DPP instance is the design
+    // working: cell filter == partition pruning, IvfPqSpec/round-9
+    // plan probe). Both broadcast sides are k-row by contract.
+    "q126_ivfpq_serve" -> 2,
+    "q130_ivfpq_rerank" -> 2)
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

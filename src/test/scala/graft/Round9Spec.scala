@@ -675,3 +675,53 @@ class IvfPqStreamSpec extends SparkSpec {
     assert(served == 9L)
   }
 }
+
+/** The two-stage serve ([[graft.ops.Similarity.ivfPqTopKRerank]]):
+  * with a corpus-deep shortlist and all cells probed, the exact
+  * re-rank stage recovers brute force row-for-row; with a shallow
+  * shortlist every result still comes from the ADC shortlist. */
+class IvfPqRerankSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Similarity
+
+  private val Dims = 8
+  private val M = 2
+  private val Dsub = 4
+
+  private def vec(id: Long, axis: Int): Seq[Double] =
+    Seq.tabulate(Dims) { d =>
+      (if (d == axis) 10.0 else 0.0) + ((id * 31 + d * 17) % 7).toDouble / 10.0
+    }
+
+  test("full-depth rerank over all cells == brute force") {
+    val c = (0 until 120).map(i => (i.toLong, vec(i.toLong, i % 4)))
+      .toDF("id", "v")
+    val idx = Similarity.ivfPqIndexBuild(c, "id", "v",
+      k = 4, iters = 2, m = M, dsub = Dsub, ksub = 4, pqIters = 1)
+    val q = c.filter(col("id") < 4)
+    val reranked = Similarity.ivfPqTopKRerank(q, idx, c, "id", "id", "v",
+        m = M, dsub = Dsub, k = 5, nprobe = 4, rerank = 200)
+      .collect().map(_.toString).toSet
+    val brute = Similarity.bruteForceTopK(q, c, "id", "id", "v", k = 5)
+      .collect().map(_.toString).toSet
+    assert(reranked == brute)
+  }
+
+  test("results come from the ADC shortlist; k-bounded output") {
+    val c = (0 until 120).map(i => (i.toLong, vec(i.toLong, i % 4)))
+      .toDF("id", "v")
+    val idx = Similarity.ivfPqIndexBuild(c, "id", "v",
+      k = 4, iters = 2, m = M, dsub = Dsub, ksub = 4, pqIters = 1)
+    val q = c.filter(col("id") < 4)
+    val shortlist = Similarity.ivfPqTopKFromIndex(q, idx, "id", "v",
+        m = M, dsub = Dsub, k = 8, nprobe = 2)
+      .select(col("query_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().toSet
+    val reranked = Similarity.ivfPqTopKRerank(q, idx, c, "id", "id", "v",
+      m = M, dsub = Dsub, k = 5, nprobe = 2, rerank = 8)
+    assert(reranked.count() == 4 * 5)
+    val outside = reranked.select(col("query_id"), col("corpus_id"))
+      .as[(Long, Long)].collect().filterNot(shortlist.contains)
+    assert(outside.isEmpty, outside.mkString(","))
+  }
+}

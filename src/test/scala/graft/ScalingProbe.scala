@@ -195,6 +195,47 @@ object ScalingProbe {
           "the candidate space is effectively quadratic")
     }
 
+    // ---- dup-span mining (q127/q129): wall time vs the corpus GRAM
+    // count (the operator's only corpus-sized object), and the ledger
+    // probe vs the full mine. The span window shuffles only MARKED
+    // sites — report that fraction so the claim is checkable.
+    val dupSpanRows = for (sf <- Seq("sf0.01", "sf0.1")) yield {
+      val dir = s"/root/testdata/$sf"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val grams = Dedup.positionalNgrams(docs, "doc_id", col("text"), 8)
+        .localCheckpoint()
+      val g = grams.count()
+      val marked = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
+      val (nSpans, tFull) = timedMin(
+        Dedup.dupSpans(docs, "doc_id", col("text"), 8).count())
+      val ledger = Dedup.dupSpanLedger(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", col("text"), 8)
+      val ledgerMat = Dedup.DupSpanLedger(
+        ledger.grams.localCheckpoint(), ledger.docs.localCheckpoint())
+      val (nRef, tRef) = timedMin(
+        Dedup.dupSpansFromLedger(ledgerMat,
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", col("text"), 8).count())
+      println(f"ROWSPAN $sf grams=$g markedSites=$marked " +
+        f"(${marked * 100.0 / g}%.2f%%) fullMine t=$tFull%.2f spans=$nSpans | " +
+        f"ledgerProbe t=$tRef%.2f spans=$nRef")
+      (g, tFull, marked)
+    }
+    {
+      val (g1, t1, _) = dupSpanRows(0)
+      val (g2, t2, m2) = dupSpanRows(1)
+      val eGrams = math.log(t2 / t1) / math.log(g2.toDouble / g1)
+      println(f"EXPONENT q127_dup_spans: grams $g1 -> $g2, " +
+        f"wall $t1%.2f -> $t2%.2f s, exponent vs grams = $eGrams%.2f")
+      assert(eGrams <= 1.3,
+        s"dupSpans: wall time grows superlinearly in gram count (e=$eGrams)")
+      assert(m2.toDouble / g2 < 0.5,
+        "marked-site fraction approaches the corpus — the island window " +
+          "would shuffle everything")
+    }
+
     // the hot-block guard must trip where designed: a 10×-grown block
     // crossing maxBlockRows fails fast instead of launching the O(n²)
     // join

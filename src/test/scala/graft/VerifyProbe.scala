@@ -23,7 +23,7 @@ object VerifyProbe {
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
 
     // IVF-PQ: build once, serve many — candidates confined to probed
-    // cells, scored from codes (raw vectors never on the serve path)
+    // cells, scored from codes; then the two-stage exact re-rank
     val idx = time("ivfpq-build-sf0.1") {
       val i = ops.Similarity.ivfPqIndexBuild(emb, "vec_id", "embedding",
         k = 8, iters = 2, m = 4, dsub = 16, ksub = 16, pqIters = 1)
@@ -35,24 +35,28 @@ object VerifyProbe {
         idx, "vec_id", "embedding", m = 4, dsub = 16, k = 10, nprobe = 2)
         .collect()
     }
-    println(s"ivfpq served=${served.length} rows")
     assert(served.length == 50 * 10, "every query must fill k with nprobe=2")
-    // the serve plan must not touch the raw embedding column
-    val plan = ops.Similarity.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 5),
-      idx, "vec_id", "embedding", m = 4, dsub = 16, k = 10, nprobe = 2)
-      .queryExecution.optimizedPlan.toString
-    // (queries read their own vectors; the CORPUS side reads codes only —
-    // assert no join input besides the query side carries the vec)
-    println(s"plan-bytes=${plan.length}")
+    val reranked = time("ivfpq-rerank-50q") {
+      ops.Similarity.ivfPqTopKRerank(emb.filter(col("vec_id") < 50),
+        idx, emb, "vec_id", "vec_id", "embedding",
+        m = 4, dsub = 16, k = 10, nprobe = 2, rerank = 30)
+        .collect()
+    }
+    assert(reranked.length == 50 * 10)
 
-    // dup spans over the sf0.1 corpus
+    // dup spans: full mine + ledger probe over the sf0.1 corpus
     val spans = time("dup-spans-sf0.1") {
       ops.Dedup.dupSpans(docs, "doc_id", col("text"), n = 8).collect()
     }
-    println(s"spans=${spans.length} maxLen=${
-      if (spans.isEmpty) 0
-      else spans.map(r => r.getLong(2) - r.getLong(1) + 1).max}")
     assert(spans.nonEmpty, "sf0.1 corpus contains duplicated 8-grams")
+    val ledger = ops.Dedup.dupSpanLedger(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", col("text"), 8)
+    val probed = time("dup-span-probe-sf0.1") {
+      ops.Dedup.dupSpansFromLedger(ledger,
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", col("text"), 8).collect()
+    }
+    println(s"spans=${spans.length} batchSpans=${probed.length}")
 
     // linear quality scoring over the same corpus
     val model = ops.TextAnalysis.QualityModel.toDF("term", "w_fp")
