@@ -4583,6 +4583,81 @@ object Queries {
        |  estimate
        |FROM qest ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- DSv2 store batch-get probe
+  /** The J2 sent-message ledger probed THROUGH the DataSource V2 store
+    * ([[graft.connectors.GraftStoreSource]]): a landing batch's bounded
+    * key set IN-probes the ledger, and the pushed key filters prune the
+    * scan to only the hash buckets those keys live in (the DynamoDB
+    * batch-get shape — StoreSourceSpec pins the pruned-plan contract;
+    * this query pins the END-TO-END answer against the oracle). */
+  private def qStoreProbe(s: SparkSession, dir: String): DataFrame = {
+    val root = fixPath("dsv2probe", dir)
+    deleteTree(root)
+    val store = root + "/ledger"
+    def msgId(df: DataFrame): Column =
+      md5(concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+    val li = t(s, dir, "lineitem")
+    graft.sinks.Sinks.upsertPartitioned(
+      li.filter(col("l_suppkey") % 10 === 0).select(
+        msgId(li).as("msg_id"), col("l_orderkey").as("sent_order"),
+        col("l_linenumber").as("sent_line")),
+      Seq("msg_id"), store, nBuckets = 32)
+    // batch-get contract: the probe side is a BOUNDED literal key set
+    // (the landing micro-batch's ids), so the IN list is plan-time data
+    val batchKeys = li.filter(col("l_orderkey") % 199 === 0)
+      .select(msgId(li).as("k")).distinct()
+      .orderBy("k").collect().map(_.getString(0)).toSeq
+    s.read.format("graft-store").load(store)
+      .filter(col("msg_id").isin(batchKeys: _*))
+      .orderBy("msg_id")
+  }
+
+  private val oStoreProbe =
+    """SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+      |           CAST(l_linenumber AS VARCHAR)) AS msg_id,
+      |       l_orderkey AS sent_order, l_linenumber AS sent_line
+      |FROM lineitem
+      |WHERE l_suppkey % 10 = 0 AND l_orderkey % 199 = 0
+      |ORDER BY msg_id""".stripMargin
+
+  // ------------------------------------------- DSv2 store agg pushdown
+  /** Store-wide `count/min/max` probe answered from parquet FOOTERS via
+    * the DSv2 aggregate pushdown (one partial row per bucket, zero
+    * decoded data rows — StoreAggPushdownSpec pins the zero-row
+    * contract; this query pins the values). The ledger-size /
+    * watermark-probe shape: at a billion-row store the answer costs
+    * O(footers), not a table scan. Footer min/max is comparison-only
+    * (no fp arithmetic), so pushed answers are bit-identical to the
+    * scan's. */
+  private def qStoreAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = fixPath("dsv2agg", dir)
+    deleteTree(root)
+    val store = root + "/metrics"
+    graft.sinks.Sinks.upsertPartitioned(
+      t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("cust"),
+        col("o_totalprice").as("price")),
+      Seq("k"), store, nBuckets = 32)
+    s.read.format("graft-store").load(store).agg(
+      count(lit(1)).as("n_rows"), count(col("cust")).as("n_cust"),
+      min(col("cust")).as("min_cust"), max(col("cust")).as("max_cust"),
+      min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+  }
+
+  private val oStoreAgg =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS cust,
+      |         o_totalprice AS price
+      |  FROM orders)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(cust) AS BIGINT) AS n_cust,
+      |       min(cust) AS min_cust, max(cust) AS max_cust,
+      |       min(price) AS min_price, max(price) AS max_price
+      |FROM src""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -4714,7 +4789,9 @@ object Queries {
     "q127_dup_spans" -> (qDupSpans _),
     "q128_linear_quality" -> (qLinearQuality _),
     "q129_dup_span_refresh" -> (qDupSpanRefresh _),
-    "q130_ivfpq_rerank" -> (qIvfPqRerank _)
+    "q130_ivfpq_rerank" -> (qIvfPqRerank _),
+    "q131_store_probe" -> (qStoreProbe _),
+    "q132_store_agg" -> (qStoreAgg _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4851,6 +4928,8 @@ object Queries {
     "q127_dup_spans" -> oDupSpans,
     "q128_linear_quality" -> oLinearQuality,
     "q129_dup_span_refresh" -> oDupSpanRefresh,
-    "q130_ivfpq_rerank" -> oIvfPqRerank
+    "q130_ivfpq_rerank" -> oIvfPqRerank,
+    "q131_store_probe" -> oStoreProbe,
+    "q132_store_agg" -> oStoreAgg
   )
 }

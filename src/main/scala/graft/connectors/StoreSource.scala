@@ -5,15 +5,18 @@ import java.util
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, Literal, Murmur3Hash}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.AggregatePushDownUtils
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -39,6 +42,13 @@ import graft.sinks.Sinks
   *    also returned as residual, so Spark still evaluates it row-wise —
   *    pruning is conservative, never a correctness dependency);
   *  - `SupportsPushDownRequiredColumns` prunes the read schema;
+  *  - `SupportsPushDownAggregates` (partial mode) answers group-by-free
+  *    `count(*)/count(col)/min/max` probes from parquet FOOTERS — one
+  *    pre-aggregated row per bucket, zero decoded rows (the
+  *    ledger-size / watermark probe against a billion-row store costs
+  *    O(footers)); chunks with unusable statistics demote the bucket
+  *    to an equivalent row-scan fallback, so stats are an optimization,
+  *    never a correctness dependency;
   *  - each surviving bucket is one `InputPartition`; readers use the
   *    parquet-hadoop Group API directly on executors (atomic types +
   *    arrays of atomics — the store family's shapes; anything else
@@ -119,15 +129,75 @@ private[connectors] final case class StoreTable(path: String,
     StoreScanBuilder(path, tableSchema)
 }
 
+/** One pushed aggregate, in the Aggregation's declared order. The
+  * reader answers these from parquet FOOTER metadata (row counts +
+  * column-chunk statistics) — a store-wide `count/min/max` probe (the
+  * ledger-size / HWM shape) then costs O(footers), zero decoded rows. */
+private[connectors] sealed trait AggOp extends Serializable
+private[connectors] case object CountStarOp extends AggOp
+private[connectors] final case class CountColOp(col: String, dt: DataType) extends AggOp
+private[connectors] final case class MinOp(col: String, dt: DataType) extends AggOp
+private[connectors] final case class MaxOp(col: String, dt: DataType) extends AggOp
+
 private[connectors] final case class StoreScanBuilder(path: String,
                                                       fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggOps: Option[Seq[AggOp]] = None
+  private var aggSchema: Option[StructType] = None
 
   private val keys = StoreMeta.keyCols(path)
+
+  /** Single-name column reference of a V2 expression, if that's what
+    * it is (nested fields don't occur in the store family). */
+  private def refOf(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  /** Types whose parquet column-chunk min/max are EXACT: fixed-width
+    * atomics. Strings are excluded on purpose — parquet writers may
+    * truncate binary statistics, which would turn a pushed min/max
+    * into a wrong answer rather than a slow one. */
+  private def statType(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType => true
+    case _ => false
+  }
+
+  /** Group-by-free Count(*)/Count(col)/Min/Max push down (PARTIAL mode:
+    * one pre-aggregated row per bucket; Spark's final aggregate merges).
+    * Anything else — or any pushed key filter, which this source keeps
+    * residual — declines, and Spark plans its ordinary aggregate. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return false
+    val ops = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => CountStarOp
+      case c: Count if !c.isDistinct =>
+        refOf(c.column).filter(fullSchema.fieldNames.contains(_))
+          .map(n => CountColOp(n, fullSchema(n).dataType))
+          .getOrElse(return false)
+      case m: Min =>
+        refOf(m.column).filter(fullSchema.fieldNames.contains(_))
+          .map(n => MinOp(n, fullSchema(n).dataType))
+          .filter(op => statType(op.dt)).getOrElse(return false)
+      case m: Max =>
+        refOf(m.column).filter(fullSchema.fieldNames.contains(_))
+          .map(n => MaxOp(n, fullSchema(n).dataType))
+          .filter(op => statType(op.dt)).getOrElse(return false)
+      case _ => return false
+    }
+    // the same util parquet/orc use derives the partial-row schema, so
+    // the scan's readSchema is exactly what V2ScanRelationPushDown wires
+    AggregatePushDownUtils.getSchemaForPushedAggregation(
+      agg, fullSchema, Set.empty, Nil) match {
+      case Some(sch) => aggOps = Some(ops); aggSchema = Some(sch); true
+      case None => false
+    }
+  }
 
   private def prunable(f: Filter): Boolean = f match {
     // single-key stores: one equality or one IN list prunes directly;
@@ -147,13 +217,15 @@ private[connectors] final case class StoreScanBuilder(path: String,
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = StoreScan(path, fullSchema, required, pushed)
+  override def build(): Scan =
+    StoreScan(path, fullSchema, aggSchema.getOrElse(required), pushed, aggOps)
 }
 
 private[connectors] final case class StoreScan(path: String,
                                                fullSchema: StructType,
                                                required: StructType,
-                                               pushed: Array[Filter])
+                                               pushed: Array[Filter],
+                                               aggOps: Option[Seq[AggOp]] = None)
     extends Scan with Batch {
 
   private lazy val allBuckets: Seq[String] = StoreMeta.liveBuckets(path)
@@ -196,7 +268,9 @@ private[connectors] final case class StoreScan(path: String,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftStore $path buckets ${selected.size}/${allBuckets.size}" +
-      s" pushedKeyFilters [${pushed.mkString(", ")}]"
+      s" pushedKeyFilters [${pushed.mkString(", ")}]" +
+      aggOps.map(ops => s" pushedAggregates [${ops.mkString(", ")}]")
+        .getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // file listing happens at plan time (driver, metadata): each
@@ -214,16 +288,182 @@ private[connectors] final case class StoreScan(path: String,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    StoreReaderFactory(required)
+    StoreReaderFactory(required, aggOps)
 }
 
 private[connectors] final case class BucketPartition(files: Seq[String])
     extends InputPartition
 
-private[connectors] final case class StoreReaderFactory(schema: StructType)
+private[connectors] final case class StoreReaderFactory(
+    schema: StructType, aggOps: Option[Seq[AggOp]] = None)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new BucketReader(p.asInstanceOf[BucketPartition].files, schema)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val files = p.asInstanceOf[BucketPartition].files
+    aggOps match {
+      case Some(ops) => new BucketAggReader(files, schema, ops)
+      case None => new BucketReader(files, schema)
+    }
+  }
+}
+
+/** Observability seam for specs: decoded-row count across all store
+  * readers in this JVM (meaningful under local[*] tests only — on a
+  * real cluster each executor has its own). The agg-pushdown spec pins
+  * "footers only" by asserting this does not move. */
+private[graft] object StoreReaderMetrics {
+  val rowsDecoded = new java.util.concurrent.atomic.AtomicLong
+}
+
+/** Executor-side PARTIAL aggregate over one bucket, answered from
+  * parquet footers: Σ block row-counts for counts, folded column-chunk
+  * statistics for min/max, `rows − numNulls` for count(col). Emits ONE
+  * row in the pushed-aggregation schema; Spark's final aggregate merges
+  * the per-bucket partials (sum of counts, min of mins, max of maxes).
+  *
+  * Statistics are trusted only where exact: the builder restricted
+  * min/max to fixed-width atomics, and any chunk with absent/empty
+  * stats (e.g. a float column containing NaN, whose stats parquet
+  * drops) demotes the WHOLE bucket to a row-scan fallback computing
+  * the same partials — slower, never wrong. */
+private[connectors] final class BucketAggReader(files: Seq[String],
+                                                schema: StructType,
+                                                ops: Seq[AggOp])
+    extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var row: InternalRow = _
+
+  // Spark's NULLS-last total order for min/max folding: NaN sorts
+  // greatest, matching the row-scan semantics the fallback replays
+  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case BooleanType =>
+      java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+    case IntegerType =>
+      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case FloatType =>
+      java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case other => sys.error(s"graft-store: no stats ordering for $other")
+  }
+
+  private val needCount = ops.collect { case CountColOp(c, t) => c -> t }.distinct
+  private val needMin = ops.collect { case MinOp(c, t) => c -> t }.distinct
+  private val needMax = ops.collect { case MaxOp(c, t) => c -> t }.distinct
+
+  private def fromFooters(): Option[Array[Any]] = {
+    var rows = 0L
+    val nonNull = scala.collection.mutable.Map.empty[String, Long]
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    var usable = true
+
+    def fold(c: String, dt: DataType,
+             into: scala.collection.mutable.Map[String, Any],
+             s: org.apache.parquet.column.statistics.Statistics[_],
+             keep: Int => Boolean): Unit =
+      if (s.hasNonNullValue) {
+        for (v <- Seq(s.genericGetMin, s.genericGetMax)) into.get(c) match {
+          case Some(cur) if !keep(cmp(dt, v, cur)) => ()
+          case _ => into(c) = v
+        }
+      }
+
+    for (f <- files if usable) {
+      val in = HadoopInputFile.fromPath(new Path(f), new Configuration())
+      val r = ParquetFileReader.open(in)
+      try {
+        val it = r.getFooter.getBlocks.iterator()
+        while (usable && it.hasNext) {
+          val b = it.next()
+          rows += b.getRowCount
+          val byName = {
+            val m = scala.collection.mutable.Map.empty[
+              String, org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
+            b.getColumns.forEach(c => m(c.getPath.toDotString) = c)
+            m
+          }
+          // absent path = not a flat atomic chunk (e.g. count over an
+          // array column whose stats live under a nested path) → the
+          // row-scan fallback answers it; true schema drift still fails
+          // loudly there via the Group reader
+          def statsOf(c: String) =
+            byName.get(c).flatMap(chunk => Option(chunk.getStatistics))
+          for ((c, _) <- needCount if usable) statsOf(c) match {
+            case Some(s) if s.isNumNullsSet =>
+              nonNull(c) = nonNull.getOrElse(c, 0L) +
+                (b.getRowCount - s.getNumNulls)
+            case _ => usable = false
+          }
+          for ((c, dt) <- needMin if usable) statsOf(c) match {
+            case Some(s) if !s.isEmpty => fold(c, dt, mins, s, _ < 0)
+            case _ => usable = false
+          }
+          for ((c, dt) <- needMax if usable) statsOf(c) match {
+            case Some(s) if !s.isEmpty => fold(c, dt, maxs, s, _ > 0)
+            case _ => usable = false
+          }
+        }
+      } finally r.close()
+    }
+    if (!usable) None
+    else Some(assemble(rows, nonNull, mins, maxs))
+  }
+
+  /** Row-scan fallback: same partials from decoded values (counted in
+    * [[StoreReaderMetrics]] like any other scan). */
+  private def fromRows(): Array[Any] = {
+    val cols = (needCount ++ needMin ++ needMax).distinct
+    val scanSchema = StructType(cols.map { case (c, t) => StructField(c, t) })
+    val minCols = needMin.map(_._1).toSet
+    val maxCols = needMax.map(_._1).toSet
+    val cntCols = needCount.map(_._1).toSet
+    var rows = 0L
+    val nonNull = scala.collection.mutable.Map.empty[String, Long]
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    val rd = new BucketReader(files, scanSchema)
+    try {
+      while (rd.next()) {
+        val r = rd.get()
+        rows += 1
+        cols.zipWithIndex.foreach { case ((c, dt), i) =>
+          if (!r.isNullAt(i)) {
+            val v = r.get(i, dt)
+            if (cntCols(c)) nonNull(c) = nonNull.getOrElse(c, 0L) + 1
+            if (minCols(c) && mins.get(c).forall(cur => cmp(dt, v, cur) < 0))
+              mins(c) = v
+            if (maxCols(c) && maxs.get(c).forall(cur => cmp(dt, v, cur) > 0))
+              maxs(c) = v
+          }
+        }
+      }
+    } finally rd.close()
+    assemble(rows, nonNull, mins, maxs)
+  }
+
+  private def assemble(rows: Long,
+                       nonNull: scala.collection.Map[String, Long],
+                       mins: scala.collection.Map[String, Any],
+                       maxs: scala.collection.Map[String, Any]): Array[Any] =
+    ops.map {
+      case CountStarOp => java.lang.Long.valueOf(rows)
+      case CountColOp(c, _) => java.lang.Long.valueOf(nonNull.getOrElse(c, 0L))
+      case MinOp(c, _) => mins.getOrElse(c, null)
+      case MaxOp(c, _) => maxs.getOrElse(c, null)
+    }.toArray[Any]
+
+  override def next(): Boolean = {
+    if (done) return false
+    val vals = fromFooters().getOrElse(fromRows())
+    row = new GenericInternalRow(vals)
+    done = true
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Executor-side reader: parquet-hadoop Group API over one bucket's
@@ -247,7 +487,7 @@ private[connectors] final class BucketReader(files: Seq[String],
           .withConf(new Configuration()).build()
       }
       current = reader.read()
-      if (current != null) return true
+      if (current != null) { StoreReaderMetrics.rowsDecoded.incrementAndGet(); return true }
       reader.close(); reader = null
     }
     false // unreachable

@@ -725,3 +725,79 @@ class IvfPqRerankSpec extends SparkSpec {
     assert(outside.isEmpty, outside.mkString(","))
   }
 }
+
+/** Aggregate pushdown on the DSv2 store: a group-by-free
+  * `count(*)/count(col)/min/max` probe (the ledger-size / watermark
+  * shape) must be answered from parquet FOOTERS — one partial row per
+  * bucket, ZERO decoded data rows — and fall back to an equivalent
+  * row scan when footer statistics can't answer (nested array paths).
+  * Unsupported shapes (avg, string min/max, filtered or grouped aggs)
+  * must decline the pushdown and still answer correctly. */
+class StoreAggPushdownSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.connectors.StoreReaderMetrics
+  import graft.sinks.Sinks
+
+  private def buildStore(): String = {
+    val store = tmpDir("agg_store") + "/ledger"
+    val df = spark.range(1, 1001).select(col("id"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id") * 2).as("n"),
+      (col("id").cast("double") / 4.0).as("w"),
+      concat(lit("v"), col("id")).as("s"))
+    Sinks.upsertPartitioned(df, Seq("id"), store, nBuckets = 8)
+    store
+  }
+
+  private def aggCols = Seq(count(lit(1)).as("cnt"), count(col("n")).as("cn"),
+    min(col("n")).as("mn"), max(col("n")).as("mx"),
+    min(col("w")).as("mw"), max(col("w")).as("xw"))
+
+  test("count/min/max answer from footers: zero decoded rows") {
+    val store = buildStore()
+    val ds = spark.read.format("graft-store").load(store)
+    val agg = ds.agg(aggCols.head, aggCols.tail: _*)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregates ["), plan.take(2000))
+    val before = StoreReaderMetrics.rowsDecoded.get()
+    val got = agg.collect().head
+    val decoded = StoreReaderMetrics.rowsDecoded.get() - before
+    assert(decoded == 0, s"expected footer-only aggregation, decoded $decoded rows")
+    val exp = Sinks.readPartitioned(spark, store)
+      .agg(aggCols.head, aggCols.tail: _*).collect().head
+    assert(got == exp, s"pushed $got vs plain $exp")
+    // sanity against first principles: 1000 rows, ~1/7 of n null
+    assert(got.getLong(0) == 1000L && got.getLong(1) == 1000L - 142L)
+    assert(got.getLong(2) == 2L && got.getLong(3) == 2000L)
+  }
+
+  test("unsupported shapes decline the pushdown and stay correct") {
+    val store = buildStore()
+    val ds = spark.read.format("graft-store").load(store)
+    // avg, string min, grouped, and filtered aggregations: no pushdown
+    for (q <- Seq(
+      ds.agg(avg(col("w")).as("a")),
+      ds.agg(min(col("s")).as("m")),
+      ds.groupBy(col("id") % 2).agg(count(lit(1))),
+      ds.filter(col("id") > 10).agg(count(lit(1)).as("c")))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("pushedAggregates"), plan.take(1500))
+    }
+    assert(ds.filter(col("id") > 10).count() == 990L)
+    assert(ds.agg(min(col("s"))).collect().head.getString(0) == "v1")
+  }
+
+  test("array-column count falls back to a row scan, same answer") {
+    val store = tmpDir("agg_store_arr") + "/sets"
+    val df = Seq((1L, Seq("a", "b")), (2L, null.asInstanceOf[Seq[String]]),
+      (3L, Seq.empty[String])).toDF("id", "shingles")
+    Sinks.upsertPartitioned(df, Seq("id"), store, nBuckets = 2)
+    val ds = spark.read.format("graft-store").load(store)
+    val agg = ds.agg(count(col("shingles")).as("c"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregates ["), plan.take(1500))
+    val before = StoreReaderMetrics.rowsDecoded.get()
+    assert(agg.collect().head.getLong(0) == 2L)
+    assert(StoreReaderMetrics.rowsDecoded.get() - before > 0,
+      "array-path stats are footer-invisible; the fallback must row-scan")
+  }
+}
