@@ -2999,10 +2999,14 @@ object Queries {
       s.read.parquet(codesPath))
   }
 
-  private val oIvfPqServe = {
+  /** The shared IVF-PQ serve chain (coarse probe → cell candidates →
+    * fixed-point ADC scores, ending at CTE `sc`) — q126 ranks `sc`
+    * directly; q130 shortlists from it and re-ranks with exact cosine.
+    * ONE definition, so the two oracles can never drift arithmetically. */
+  private val oIvfPqScoreCtes = {
     val subs = (0 until 4).map(oPqSubspace(_)).mkString(",\n")
     val prs = (0 until 4).map(s => s"SELECT * FROM pr$s").mkString(" UNION ALL ")
-    s"""WITH $oKmeansAf,
+    s"""$oKmeansAf,
        |$subs,
        |qp AS (
        |  SELECT query_id, centroid_id FROM (
@@ -3018,12 +3022,15 @@ object Queries {
        |sc AS (SELECT c.query_id, c.corpus_id, CAST(sum(pd) AS BIGINT) AS score_fp
        |       FROM cand c JOIN allp p
        |         ON p.query_id = c.query_id AND p.corpus_id = c.corpus_id
-       |       GROUP BY 1, 2)
+       |       GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val oIvfPqServe =
+    s"""WITH $oIvfPqScoreCtes
        |SELECT query_id, rank, corpus_id, score_fp FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score_fp DESC, corpus_id) AS INT) AS rank FROM sc)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-  }
 
   // ----------------------------------------- IVF-PQ two-stage re-rank
   /** The production serve refinement over q126's index
@@ -3043,25 +3050,7 @@ object Queries {
   }
 
   private val oIvfPqRerank = {
-    val subs = (0 until 4).map(oPqSubspace(_)).mkString(",\n")
-    val prs = (0 until 4).map(s => s"SELECT * FROM pr$s").mkString(" UNION ALL ")
-    s"""WITH $oKmeansAf,
-       |$subs,
-       |qp AS (
-       |  SELECT query_id, centroid_id FROM (
-       |    SELECT e.vec_id AS query_id, c2.centroid_id,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY round(${cosSql("e.v", "centv")}, 6) DESC, centroid_id) AS r
-       |    FROM e CROSS JOIN c2 WHERE e.vec_id < 5)
-       |  WHERE r <= 2),
-       |cand AS (SELECT qp.query_id, a.vec_id AS corpus_id
-       |         FROM af a JOIN qp ON a.centroid_id = qp.centroid_id
-       |           AND a.vec_id <> qp.query_id),
-       |allp AS ($prs),
-       |sc AS (SELECT c.query_id, c.corpus_id, CAST(sum(pd) AS BIGINT) AS score_fp
-       |       FROM cand c JOIN allp p
-       |         ON p.query_id = c.query_id AND p.corpus_id = c.corpus_id
-       |       GROUP BY 1, 2),
+    s"""WITH $oIvfPqScoreCtes,
        |short AS (SELECT query_id, corpus_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score_fp DESC, corpus_id) AS r FROM sc) WHERE r <= 20),
@@ -4594,18 +4583,18 @@ object Queries {
     val root = fixPath("dsv2probe", dir)
     deleteTree(root)
     val store = root + "/ledger"
-    def msgId(df: DataFrame): Column =
+    val msgId: Column =
       md5(concat_ws("|", col("l_orderkey"), col("l_linenumber")))
     val li = t(s, dir, "lineitem")
     graft.sinks.Sinks.upsertPartitioned(
       li.filter(col("l_suppkey") % 10 === 0).select(
-        msgId(li).as("msg_id"), col("l_orderkey").as("sent_order"),
+        msgId.as("msg_id"), col("l_orderkey").as("sent_order"),
         col("l_linenumber").as("sent_line")),
       Seq("msg_id"), store, nBuckets = 32)
     // batch-get contract: the probe side is a BOUNDED literal key set
     // (the landing micro-batch's ids), so the IN list is plan-time data
     val batchKeys = li.filter(col("l_orderkey") % 199 === 0)
-      .select(msgId(li).as("k")).distinct()
+      .select(msgId.as("k")).distinct()
       .orderBy("k").collect().map(_.getString(0)).toSeq
     s.read.format("graft-store").load(store)
       .filter(col("msg_id").isin(batchKeys: _*))
@@ -4657,6 +4646,44 @@ object Queries {
       |       min(cust) AS min_cust, max(cust) AS max_cust,
       |       min(price) AS min_price, max(price) AS max_price
       |FROM src""".stripMargin
+
+  // ------------------------------------------- exact stratified sample
+  /** Exact-size proportional stratified sampling
+    * ([[Curation.stratifiedSample]]): 120 documents apportioned across
+    * languages by largest-remainder quotas, membership hash-ordered
+    * within each stratum — the eval-set / fixed-budget-subcorpus
+    * contract where the rate-gated family (q66/q79) is only exact in
+    * expectation. The oracle replays the integer apportionment and the
+    * same md5 order; the salted two-stage window must equal the direct
+    * per-stratum rank row-for-row. */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        totalN = 120L)
+      .select(col("doc_id"), col("lang"), col("quota"), col("pos"))
+      .orderBy("doc_id")
+
+  private val oStratifiedSample =
+    """WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM s),
+      |q0 AS (SELECT lang, n, (120 * n) // tot AS base, (120 * n) % tot AS rem
+      |       FROM s, t),
+      |b AS (SELECT *,
+      |        row_number() OVER (ORDER BY rem DESC, lang) AS br,
+      |        (SELECT 120 - sum(base) FROM q0) AS leftover
+      |      FROM q0),
+      |q AS (SELECT lang,
+      |        CAST(base + CASE WHEN br <= leftover THEN 1 ELSE 0 END
+      |          AS BIGINT) AS quota
+      |      FROM b),
+      |r AS (SELECT d.doc_id, d.lang,
+      |        CAST(row_number() OVER (PARTITION BY d.lang
+      |          ORDER BY md5('strat:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+      |          AS BIGINT) AS pos
+      |      FROM documents d)
+      |SELECT r.doc_id, r.lang, q.quota, r.pos
+      |FROM r JOIN q USING (lang)
+      |WHERE pos <= quota ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4791,7 +4818,8 @@ object Queries {
     "q129_dup_span_refresh" -> (qDupSpanRefresh _),
     "q130_ivfpq_rerank" -> (qIvfPqRerank _),
     "q131_store_probe" -> (qStoreProbe _),
-    "q132_store_agg" -> (qStoreAgg _)
+    "q132_store_agg" -> (qStoreAgg _),
+    "q133_stratified_sample" -> (qStratifiedSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4930,6 +4958,7 @@ object Queries {
     "q129_dup_span_refresh" -> oDupSpanRefresh,
     "q130_ivfpq_rerank" -> oIvfPqRerank,
     "q131_store_probe" -> oStoreProbe,
-    "q132_store_agg" -> oStoreAgg
+    "q132_store_agg" -> oStoreAgg,
+    "q133_stratified_sample" -> oStratifiedSample
   )
 }

@@ -397,12 +397,23 @@ private[connectors] final class BucketAggReader(files: Seq[String],
                 (b.getRowCount - s.getNumNulls)
             case _ => usable = false
           }
+          // a chunk's min/max is usable iff it HAS extrema, or is
+          // provably all-null (nothing to fold). A chunk with non-null
+          // rows but no extrema — parquet drops float/double min/max
+          // when NaN is present — must demote to the row scan, or the
+          // pushed max would silently lose the NaN Spark's ordering
+          // treats as greatest
+          def extremaUsable(s: org.apache.parquet.column.statistics.Statistics[_],
+                            rowCount: Long): Boolean =
+            s.hasNonNullValue || (s.isNumNullsSet && s.getNumNulls == rowCount)
           for ((c, dt) <- needMin if usable) statsOf(c) match {
-            case Some(s) if !s.isEmpty => fold(c, dt, mins, s, _ < 0)
+            case Some(s) if extremaUsable(s, b.getRowCount) =>
+              fold(c, dt, mins, s, _ < 0)
             case _ => usable = false
           }
           for ((c, dt) <- needMax if usable) statsOf(c) match {
-            case Some(s) if !s.isEmpty => fold(c, dt, maxs, s, _ > 0)
+            case Some(s) if extremaUsable(s, b.getRowCount) =>
+              fold(c, dt, maxs, s, _ > 0)
             case _ => usable = false
           }
         }
@@ -470,6 +481,35 @@ private[connectors] final class BucketAggReader(files: Seq[String],
   * files, converted to the required schema. Supported shapes are the
   * store family's — atomic (bool/int/long/float/double/string) and
   * arrays of atomics; anything else fails loudly. */
+/** [[GroupReadSupport]] with COLUMN PRUNING pushed into the decoder:
+  * the requested projection keeps only the pruned schema's fields, cut
+  * from the FILE's own MessageType (same types and repetition by
+  * construction — a converted Spark schema would flip `required` to
+  * `optional` and fail the record reader). A `select(key)` over a wide
+  * store then skips the other columns' pages entirely instead of
+  * decoding full rows and projecting after. Empty projection = keep
+  * everything (defensive; the scan never asks for zero columns and
+  * row-count-only reads go through the footer aggregate path). */
+private[connectors] final class ProjectingGroupReadSupport(names: Seq[String])
+    extends GroupReadSupport {
+  override def init(context: org.apache.parquet.hadoop.api.InitContext)
+      : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    val fileSchema = context.getFileSchema
+    if (names.isEmpty)
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(fileSchema)
+    else {
+      val kept = names.map { n =>
+        require(fileSchema.containsField(n),
+          s"graft-store: column '$n' missing from a bucket file — " +
+            "bucket files must share the store schema")
+        fileSchema.getFields.get(fileSchema.getFieldIndex(n))
+      }
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+        new org.apache.parquet.schema.MessageType(fileSchema.getName, kept: _*))
+    }
+  }
+}
+
 private[connectors] final class BucketReader(files: Seq[String],
                                              schema: StructType)
     extends PartitionReader[InternalRow] {
@@ -483,7 +523,8 @@ private[connectors] final class BucketReader(files: Seq[String],
       if (reader == null) {
         if (!iter.hasNext) return false
         reader = ParquetReader
-          .builder(new GroupReadSupport(), new Path(iter.next()))
+          .builder(new ProjectingGroupReadSupport(schema.fieldNames.toSeq),
+            new Path(iter.next()))
           .withConf(new Configuration()).build()
       }
       current = reader.read()

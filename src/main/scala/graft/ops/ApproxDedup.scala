@@ -40,19 +40,10 @@ object ApproxDedup {
     * ([[jaccardPairsInverted]] / LSH-bucket blocking). */
   private[ops] def requireBoundedBlocks(df: DataFrame, block: String,
                                         maxRows: Int, op: String): Unit =
-    if (maxRows > 0) {
-      // null blocking keys never pair in the guarded equi-joins — a big
-      // null group is harmless, not hot
-      val hot = df.filter(col(block).isNotNull)
-        .groupBy(col(block)).agg(count(lit(1)).as("n"))
-        .filter(col("n") > maxRows)
-        .orderBy(col("n").desc).limit(3).collect()
-      require(hot.isEmpty,
-        s"$op: hot block(s) exceed maxBlockRows=$maxRows — " +
-          hot.map(r => s"'${r.get(0)}'=${r.getLong(1)} rows").mkString(", ") +
-          "; the quadratic pair join would blow up. Use the inverted-index" +
-          " or LSH-bucketed variant for these blocks.")
-    }
+    // null blocking keys never pair in the guarded equi-joins — a big
+    // null group is harmless, not hot (blockHistogram excludes them)
+    if (maxRows > 0)
+      requireBoundedBlocksHist(blockHistogram(df, block), maxRows, op)
 
   /** The (blk, n) hot-block histogram the guarded pair joins consult —
     * one row per distinct blocking key (null keys excluded: they never

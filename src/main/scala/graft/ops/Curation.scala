@@ -373,4 +373,73 @@ object Curation {
       .filter(col("pos") <= k)
       .drop("_ord", "_salt", "_rn1")
   }
+
+  /** EXACT-size proportional stratified sample: `totalN` rows overall,
+    * apportioned across the strata by largest-remainder (Hamilton)
+    * apportionment — quota_g = floor(totalN·n_g/N) plus one for the
+    * strata with the largest remainders until the quotas sum to
+    * exactly `totalN`. Within a stratum, membership is hash-ordered
+    * (md5 of the id — uniform, deterministic, stable under corpus
+    * reshuffles), so the same corpus always yields the same sample.
+    *
+    * Contrast with the rate family: [[sampleByRate]]/[[sampleToBudget]]
+    * are exact only in expectation (each row gated independently);
+    * this op's output size is exact by construction — the eval-set /
+    * fixed-budget-subcorpus contract where "~1000 rows" isn't
+    * acceptable.
+    *
+    * Scale shape: quota math runs on the per-stratum SIZE table
+    * (metadata-sized — distinct strata, not rows; the unpartitioned
+    * windows over it never see corpus-scale data), quotas broadcast
+    * back, and membership is the same lossless salted two-stage
+    * window as [[topKPerGroup]] — no whole-stratum single-partition
+    * sort at any stratum size. Integer-exact throughout (guarded
+    * against totalN·n_g overflow), so an engine replaying the same
+    * md5 order reproduces the sample bit-for-bit.
+    *
+    * Output: the sampled rows with their within-stratum `pos`
+    * (1-based hash rank) and the stratum's `quota`.
+    * Requires totalN ≤ N; largest-remainder bumps only land on
+    * strata with a nonzero remainder, which guarantees
+    * quota_g ≤ n_g — no stratum is ever asked for more rows than it
+    * has. */
+  def stratifiedSample(df: DataFrame, strata: String, id: String,
+                      totalN: Long, salts: Int = 32): DataFrame = {
+    require(totalN > 0 && salts > 0,
+      s"need positive totalN/salts, got totalN=$totalN salts=$salts")
+    val wAll = Window.partitionBy(lit(0))
+    val wBump = Window.partitionBy(lit(0))
+      .orderBy(col("_rem").desc, col(strata))
+    // guards live INSIDE the consumed expressions (the temperatureMix
+    // rule): a free-standing guard column would be pruned unevaluated
+    val maxN = Long.MaxValue / totalN
+    val guardedN = s"CASE WHEN _n > ${maxN}L THEN raise_error(" +
+      s"'stratifiedSample: stratum size x totalN=$totalN overflows int64')" +
+      " ELSE _n END"
+    val guardedTotal = s"CASE WHEN ${totalN}L > _tot THEN raise_error(" +
+      s"'stratifiedSample: totalN=$totalN exceeds the corpus size')" +
+      s" ELSE ${totalN}L END"
+    val quotas = df.groupBy(col(strata))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_tot", sum(col("_n")).over(wAll))
+      .withColumn("_base", expr(s"(($guardedTotal) * ($guardedN)) div _tot"))
+      .withColumn("_rem", expr(s"((${totalN}L) * _n) % _tot"))
+      .withColumn("_leftover", lit(totalN) - sum(col("_base")).over(wAll))
+      .withColumn("_bump_rank", row_number().over(wBump))
+      .withColumn("quota",
+        (col("_base") + when(col("_bump_rank") <= col("_leftover"), 1L)
+          .otherwise(0L)).cast("bigint"))
+      .select(col(strata), col("quota"))
+    val w1 = Window.partitionBy(col(strata), col("_salt"))
+      .orderBy(col("_ord"), col(id))
+    val w2 = Window.partitionBy(col(strata)).orderBy(col("_ord"), col(id))
+    df.join(broadcast(quotas), Seq(strata))
+      .withColumn("_ord", md5(concat(lit("strat:"), col(id).cast("string"))))
+      .withColumn("_salt", hashBucket(col(id), "stratsalt:", salts))
+      .withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= col("quota"))
+      .withColumn("pos", row_number().over(w2).cast("bigint"))
+      .filter(col("pos") <= col("quota"))
+      .drop("_ord", "_salt", "_rn1")
+  }
 }

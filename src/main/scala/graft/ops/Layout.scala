@@ -311,19 +311,40 @@ object Layout {
         .drop("_graft_name")
         .repartition(rewrites.size, col("_graft_bin"))
         .write.partitionBy("_graft_bin").parquet(staging.toString)
-      // control-plane finalize: one RENAME per bin (metadata, no bytes)
+      // control-plane finalize: one RENAME per bin (metadata, no bytes).
+      // A bin whose member files were ALL zero-row (footer-only outputs
+      // of upstream writes with empty partitions) produces no staging
+      // directory — partitionBy writes nothing for an empty partition —
+      // so it simply contributes no output file
+      var renamed = 0
       rewrites.foreach { case (_, bin) =>
         val binDir = new Path(staging, s"_graft_bin=$bin")
-        val part = fs.listStatus(binDir).map(_.getPath)
-          .find { p =>
-            val n = p.getName
-            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-          }
-          .getOrElse(sys.error(s"no output part file in $binDir"))
-        val out = new Path(dstPath, f"bin-$bin%05d-compacted.parquet")
-        require(fs.rename(part, out), s"rename failed: $part -> $out")
+        if (fs.exists(binDir)) {
+          val part = fs.listStatus(binDir).map(_.getPath)
+            .find { p =>
+              val n = p.getName
+              n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+            }
+            .getOrElse(sys.error(s"no output part file in $binDir"))
+          val out = new Path(dstPath, f"bin-$bin%05d-compacted.parquet")
+          require(fs.rename(part, out), s"rename failed: $part -> $out")
+          renamed += 1
+        }
       }
       fs.delete(staging, true)
+      // if NOTHING produced a data file (every input was zero-row and
+      // there were no singleton copies), keep the output dir readable:
+      // one schema-only parquet file preserves `spark.read.parquet`'s
+      // schema inference over the compacted directory
+      if (renamed == 0 && copies.isEmpty) {
+        data.limit(0).coalesce(1).write.parquet(staging.toString)
+        val part = fs.listStatus(staging).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no schema-only part file in $staging"))
+        require(fs.rename(part, new Path(dstPath, "bin-empty-schema.parquet")),
+          "rename failed for schema-only output")
+        fs.delete(staging, true)
+      }
     }
 
     // 5. completion marker, per the store convention (readers that gate

@@ -165,18 +165,27 @@ object Similarity {
     * [[ivfTopKFromIndex]]. */
   final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
 
+  /** Trained k-means centroids as the ONE (centroid_id, centv) table
+    * shape every index family persists — ids are the training output
+    * order, so [[ivfIndexBuild]] and [[ivfPqIndexBuild]] trained on the
+    * same corpus produce identical coarse tables (the drift gate and
+    * no-retrain specs rely on that). */
+  private def centroidTable(spark: org.apache.spark.sql.SparkSession,
+                            trained: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    trained.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("centroid_id", "centv")
+      .select(col("centroid_id"), col("centv").cast("array<double>").as("centv"))
+  }
+
   /** Train + assign once, producing the persistable [[IvfIndex]].
     * Training is [[kmeansFit]] (deterministic, oracle-replayable);
     * assignment is [[ivfAssign]] over the trained centroids. */
   def ivfIndexBuild(corpus: DataFrame, id: String, vecCol: String,
                     k: Int, iters: Int): IvfIndex = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val trained = kmeansFit(corpus, id, vecCol, k, iters)
-    val cents = trained.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
-      .toDF("centroid_id", "centv")
-      .select(col("centroid_id"), col("centv").cast("array<double>").as("centv"))
+    val cents = centroidTable(corpus.sparkSession,
+      kmeansFit(corpus, id, vecCol, k, iters))
     val asg = ivfAssign(corpus,
       cents.select(col("centroid_id"), col("centv").as(vecCol)),
       id, "centroid_id", vecCol)
@@ -698,11 +707,7 @@ object Similarity {
                       m: Int, dsub: Int, ksub: Int, pqIters: Int): IvfPqIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val trained = kmeansFit(corpus, id, vecCol, k, iters)
-    val cents = trained.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
-      .toDF("centroid_id", "centv")
-      .select(col("centroid_id"), col("centv").cast("array<double>").as("centv"))
+    val cents = centroidTable(spark, kmeansFit(corpus, id, vecCol, k, iters))
     val codebook = pqCodebookDf(spark, pqFit(corpus, id, vecCol, m, dsub, ksub, pqIters))
     IvfPqIndex(cents, codebook,
       ivfPqCode(corpus, id, vecCol, m, dsub, cents, codebook))

@@ -801,3 +801,157 @@ class StoreAggPushdownSpec extends SparkSpec {
       "array-path stats are footer-invisible; the fallback must row-scan")
   }
 }
+
+/** NaN demotion in the footer aggregate path: parquet drops float/double
+  * chunk min/max when NaN is present (num_nulls stays set), a state
+  * where the chunk LOOKS usable (`!isEmpty`) but has no extrema. The
+  * pushed max must row-scan-fallback and surface the NaN that Spark's
+  * ordering treats as greatest — not silently fold only the NaN-free
+  * chunks. */
+class StoreAggNaNSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.connectors.StoreReaderMetrics
+  import graft.sinks.Sinks
+
+  test("NaN-bearing double column demotes to the row scan and keeps NaN-greatest") {
+    val store = tmpDir("agg_store_nan") + "/m"
+    val df = Seq((1L, 1.5), (2L, Double.NaN), (3L, -7.25), (4L, 99.0))
+      .toDF("id", "w")
+    Sinks.upsertPartitioned(df, Seq("id"), store, nBuckets = 2)
+    val ds = spark.read.format("graft-store").load(store)
+    val agg = ds.agg(min(col("w")).as("mn"), max(col("w")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("pushedAggregates ["))
+    val before = StoreReaderMetrics.rowsDecoded.get()
+    val got = agg.collect().head
+    val exp = Sinks.readPartitioned(spark, store)
+      .agg(min(col("w")), max(col("w"))).collect().head
+    assert(got == exp, s"pushed $got vs scan $exp")
+    assert(got.getDouble(1).isNaN, "max must keep NaN (Spark sorts it greatest)")
+    assert(StoreReaderMetrics.rowsDecoded.get() - before > 0,
+      "NaN-affected buckets must fall back to the row scan")
+  }
+
+  test("all-null column stays footer-answerable (provably-null chunks fold to null)") {
+    val store = tmpDir("agg_store_nulls") + "/m"
+    val df = spark.range(1, 101).select(col("id"),
+      lit(null).cast("double").as("w"))
+    Sinks.upsertPartitioned(df, Seq("id"), store, nBuckets = 2)
+    val ds = spark.read.format("graft-store").load(store)
+    val before = StoreReaderMetrics.rowsDecoded.get()
+    val got = ds.agg(count(col("w")).as("c"), min(col("w")).as("mn"))
+      .collect().head
+    assert(StoreReaderMetrics.rowsDecoded.get() - before == 0,
+      "all-null extrema are provable from footers alone")
+    assert(got.getLong(0) == 0L && got.isNullAt(1))
+  }
+}
+
+/** Zero-row parquet inputs through the compaction executor: a bin whose
+  * members are ALL footer-only files produces no partitionBy output
+  * directory — the finalize loop must skip it, not crash; and when the
+  * WHOLE source is empty, the compacted dir keeps a schema-only file so
+  * `spark.read.parquet` still infers. */
+class CompactionEmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEmpty(dir: String, times: Int): Unit = {
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    (1 to times).foreach { _ =>
+      empty.coalesce(1).write.mode("append").parquet(dir)
+    }
+  }
+
+  test("all-empty source compacts to a readable zero-row directory") {
+    val root = tmpDir("compact_empty")
+    val src = s"$root/src"
+    writeEmpty(src, 3)
+    val out = s"$root/out"
+    val planned = Layout.compactFiles(spark, src, out, targetBytes = 1 << 20)
+    assert(planned.count() >= 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 0L)
+    assert(back.columns.toSeq == Seq("id", "v"), back.columns.mkString(","))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(out, "_SUCCESS")))
+  }
+
+  test("empty files mixed with real data vanish into the merged bins") {
+    val root = tmpDir("compact_mixed")
+    val src = s"$root/src"
+    writeEmpty(src, 2)
+    (1L to 500L).map(i => (i, s"row$i")).toDF("id", "v")
+      .repartition(4, col("id")).write.mode("append").parquet(src)
+    val out = s"$root/out"
+    Layout.compactFiles(spark, src, out, targetBytes = 1 << 20)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500L)
+    assert(back.select(sum(col("id"))).collect().head.getLong(0) ==
+      500L * 501L / 2)
+  }
+}
+
+/** Exact-size proportional stratified sampling
+  * ([[graft.ops.Curation.stratifiedSample]]): quotas are
+  * largest-remainder apportioned (sum EXACTLY totalN, each ≤ its
+  * stratum size), membership is hash-ordered and salt-stage-lossless,
+  * and the guards raise on oversampling. */
+class StratifiedSampleSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Curation
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("quotas sum to exactly totalN and never exceed stratum sizes") {
+    for (n <- Seq(1L, 7L, 37L, 50L)) {
+      val out = Curation.stratifiedSample(docs, "lang", "doc_id", n)
+      assert(out.count() == n, s"totalN=$n")
+      val sizes = docs.groupBy("lang").count()
+      val quotas = out.groupBy("lang").agg(
+        first(col("quota")).as("q"), count(lit(1)).as("got"))
+      val bad = quotas.join(sizes, "lang")
+        .filter(col("q") =!= col("got") || col("q") > col("count"))
+        .collect()
+      assert(bad.isEmpty, bad.mkString(","))
+    }
+  }
+
+  test("sample is a prefix of the hash order (stable under resampling)") {
+    val s30 = Curation.stratifiedSample(docs, "lang", "doc_id", 30L)
+      .select("doc_id").as[Long].collect().toSet
+    val s60 = Curation.stratifiedSample(docs, "lang", "doc_id", 60L)
+      .select("doc_id").as[Long].collect().toSet
+    // growing the budget only ADDS rows within each stratum's hash
+    // order; strata quotas are re-apportioned so prefix containment
+    // holds per stratum, not globally — check per stratum
+    val by30 = Curation.stratifiedSample(docs, "lang", "doc_id", 30L)
+      .groupBy("lang").agg(collect_set("doc_id").as("ids30"))
+    val by60 = Curation.stratifiedSample(docs, "lang", "doc_id", 60L)
+      .groupBy("lang").agg(collect_set("doc_id").as("ids60"))
+    val nonPrefix = by30.join(by60, "lang")
+      .filter(size(array_except(col("ids30"), col("ids60"))) > 0 &&
+        size(col("ids30")) <= size(col("ids60")))
+      .collect()
+    assert(nonPrefix.isEmpty,
+      s"within-stratum hash prefixes must nest: ${nonPrefix.mkString(",")}")
+    assert(s30.nonEmpty && s60.size == 60 && s30.size == 30)
+  }
+
+  test("salted two-stage equals the direct single-window rank") {
+    val salted = Curation.stratifiedSample(docs, "lang", "doc_id", 45L, salts = 8)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    val direct = Curation.stratifiedSample(docs, "lang", "doc_id", 45L, salts = 1)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("oversampling raises loudly") {
+    val n = docs.count()
+    val ex = intercept[Exception] {
+      Curation.stratifiedSample(docs, "lang", "doc_id", n + 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}
