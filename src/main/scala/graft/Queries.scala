@@ -2777,7 +2777,9 @@ object Queries {
     * restricts the TRAINING relation only (the refresh oracle trains
     * on the ingested corpus, then encodes everything with the frozen
     * codebook); empty = train on all, q84's original chain. */
-  private def oPqSubspace(s: Int, trainWhere: String = ""): String = {
+  private def oPqSubspace(s: Int, trainWhere: String = "",
+                          lutSrc: String = "e",
+                          lutWhere: String = "vec_id < 5"): String = {
     val lo = s * 16 + 1
     val hi = (s + 1) * 16
     def assign(tbl: String, cent: String, out: String): String =
@@ -2808,7 +2810,8 @@ object Queries {
        |${assign(s"e$s", s"c${s}f", s"a${s}f")},
        |lut$s AS (SELECT q.vec_id AS query_id, c.centroid_id AS code,
        |        CAST(floor(list_dot_product(q.v, c.centv) * 1000000) AS BIGINT) AS pd
-       |      FROM (SELECT vec_id, v FROM e$s WHERE vec_id < 5) q
+       |      FROM (SELECT vec_id, v[$lo:$hi] AS v FROM $lutSrc
+       |            WHERE $lutWhere) q
        |      CROSS JOIN c${s}f c),
        |pr$s AS (SELECT l.query_id, a.vec_id AS corpus_id, l.pd
        |      FROM a${s}f a JOIN lut$s l ON l.code = a.centroid_id)""".stripMargin
@@ -4685,6 +4688,110 @@ object Queries {
       |FROM r JOIN q USING (lang)
       |WHERE pos <= quota ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- IVF-PQ drift gate
+  /** [[Similarity.ivfPqDriftReport]] — q124's retrain/keep gate for the
+    * COMBINED index: the same total-variation assignment shift over the
+    * code rows' cells, and recall measured on the full serving path
+    * (ADC from codes vs exact cosine over the raw old corpus), so the
+    * gate scores cell pruning AND quantization loss together. The
+    * oracle replays the old-corpus coarse chain, the four old-trained
+    * subspace chains with the sampled landing probes as the LUT query
+    * side, scores old cells only, and applies the same integer ppm
+    * math and thresholds. */
+  private def qIvfPqDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqDriftReport(ivfPqOldIndexFor(s, dir),
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", m = 4, dsub = 16, k = 5, nprobe = 2,
+      sampleMod = 8, maxShiftPpm = 350000L, minRecallPpm = 150000L)
+  }
+
+  /** The ingested-corpus-only IVF-PQ index (coarse cells + codebooks
+    * trained WITHOUT the landing batch), persisted like
+    * [[ivfPqIndexFor]]. */
+  private def ivfPqOldIndexFor(s: SparkSession, dir: String): Similarity.IvfPqIndex = {
+    val centPath = fixPath("ivfpq_old_cent", dir)
+    val cbPath = fixPath("ivfpq_old_codebook", dir)
+    val codesPath = fixPath("ivfpq_old_codes", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(centPath) || missing(cbPath) || missing(codesPath)) {
+      val idx = Similarity.ivfPqIndexBuild(
+        t(s, dir, "embeddings").filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", k = 8, iters = 2,
+        m = 4, dsub = 16, ksub = 16, pqIters = 1)
+      idx.centroids.write.mode("overwrite").parquet(centPath)
+      idx.codebook.write.mode("overwrite").parquet(cbPath)
+      idx.codes.write.mode("overwrite").parquet(codesPath)
+    }
+    Similarity.IvfPqIndex(s.read.parquet(centPath), s.read.parquet(cbPath),
+      s.read.parquet(codesPath))
+  }
+
+  private val oIvfPqDrift = {
+    val sample = "vec_id % 10 = 0 AND ('0x' || substr(md5('drift:' " +
+      "|| CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 8 = 0"
+    val subs = (0 until 4)
+      .map(oPqSubspace(_, lutSrc = "eall", lutWhere = sample)).mkString(",\n")
+    val prs = (0 until 4).map(s => s"SELECT * FROM pr$s").mkString(" UNION ALL ")
+    s"""WITH eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${oKmeansChain("SELECT vec_id, v FROM eall WHERE vec_id % 10 <> 0",
+                       "eall", "afall")},
+       |$subs,
+       |base AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS nb
+       |         FROM afall WHERE vec_id % 10 <> 0 GROUP BY 1),
+       |newb AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS nn
+       |         FROM afall WHERE vec_id % 10 = 0 GROUP BY 1),
+       |dist AS (SELECT c2.centroid_id, coalesce(nb, 0) AS nb,
+       |                coalesce(nn, 0) AS nn
+       |         FROM c2 LEFT JOIN base USING (centroid_id)
+       |                 LEFT JOIN newb USING (centroid_id)),
+       |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n_index,
+       |               CAST(sum(nn) AS BIGINT) AS n_batch FROM dist),
+       |shift AS (SELECT n_index, n_batch,
+       |            CAST(sum(abs(nb * 1000000 // n_index
+       |              - nn * 1000000 // n_batch)) // 2 AS BIGINT) AS shift_ppm
+       |          FROM dist CROSS JOIN tot GROUP BY 1, 2),
+       |qp AS (SELECT query_id, centroid_id FROM (
+       |  SELECT q.vec_id AS query_id, c2.centroid_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cosSql("q.v", "centv")}, 6) DESC, centroid_id) AS r
+       |  FROM (SELECT vec_id, v FROM eall WHERE $sample) q CROSS JOIN c2)
+       |  WHERE r <= 2),
+       |cand AS (SELECT qp.query_id, a.vec_id AS corpus_id
+       |         FROM afall a JOIN qp ON a.centroid_id = qp.centroid_id
+       |           AND a.vec_id <> qp.query_id
+       |         WHERE a.vec_id % 10 <> 0),
+       |allp AS ($prs),
+       |sc AS (SELECT c.query_id, c.corpus_id, CAST(sum(pd) AS BIGINT) AS score_fp
+       |       FROM cand c JOIN allp p
+       |         ON p.query_id = c.query_id AND p.corpus_id = c.corpus_id
+       |       GROUP BY 1, 2),
+       |approx AS (SELECT query_id, corpus_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_fp DESC, corpus_id) AS r FROM sc) WHERE r <= 5),
+       |exact AS (SELECT query_id, corpus_id FROM (
+       |  SELECT q.vec_id AS query_id, e2.vec_id AS corpus_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cosSql("q.v", "e2.v")}, 6) DESC, e2.vec_id) AS r
+       |  FROM eall e2 CROSS JOIN (SELECT vec_id, v FROM eall WHERE $sample) q
+       |  WHERE e2.vec_id % 10 <> 0 AND e2.vec_id <> q.vec_id) WHERE r <= 5),
+       |kx AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k_exact
+       |       FROM exact GROUP BY 1),
+       |hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |         FROM exact JOIN approx USING (query_id, corpus_id)
+       |         GROUP BY 1),
+       |rec AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       |          coalesce(CAST(sum(coalesce(n_hit, 0)) * 1000000
+       |              // sum(k_exact) AS BIGINT), 1000000) AS recall_ppm
+       |        FROM kx LEFT JOIN hits USING (query_id))
+       |SELECT s.n_index, s.n_batch, r.n_probes, s.shift_ppm, r.recall_ppm,
+       |  CASE WHEN s.shift_ppm > 350000 OR r.recall_ppm < 150000
+       |       THEN 'retrain' ELSE 'keep' END AS verdict
+       |FROM shift s CROSS JOIN rec r""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -4819,7 +4926,8 @@ object Queries {
     "q130_ivfpq_rerank" -> (qIvfPqRerank _),
     "q131_store_probe" -> (qStoreProbe _),
     "q132_store_agg" -> (qStoreAgg _),
-    "q133_stratified_sample" -> (qStratifiedSample _)
+    "q133_stratified_sample" -> (qStratifiedSample _),
+    "q134_ivfpq_drift" -> (qIvfPqDrift _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -4959,6 +5067,7 @@ object Queries {
     "q130_ivfpq_rerank" -> oIvfPqRerank,
     "q131_store_probe" -> oStoreProbe,
     "q132_store_agg" -> oStoreAgg,
-    "q133_stratified_sample" -> oStratifiedSample
+    "q133_stratified_sample" -> oStratifiedSample,
+    "q134_ivfpq_drift" -> oIvfPqDrift
   )
 }

@@ -288,31 +288,8 @@ object Similarity {
                   vecCol: String, k: Int, nprobe: Int, sampleMod: Int,
                   maxShiftPpm: Long, minRecallPpm: Long): DataFrame = {
     require(sampleMod > 0, "sampleMod must be positive")
-    // per-centroid posting counts: index side from the persisted
-    // posting lists, batch side from a frozen-centroid assignment
-    val base = index.assignments.groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("n_base"))
-    val batch = ivfAssign(landing,
-        index.centroids.select(col("centroid_id"), col("centv").as(vecCol)),
-        id, "centroid_id", vecCol)
-      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_new"))
-    // every centroid participates — an empty posting list on either
-    // side is exactly the drift signal (k rows: metadata-sized)
-    val dist = index.centroids.select(col("centroid_id"))
-      .join(base, Seq("centroid_id"), "left")
-      .join(batch, Seq("centroid_id"), "left")
-      .na.fill(0L, Seq("n_base", "n_new"))
-    // totals are a 1-row broadcast; per-centroid ppm shares and the
-    // TV sum are all integer arithmetic (ANSI div — an EMPTY index or
-    // batch fails loudly rather than reporting a silent zero-drift)
-    val totals = dist.agg(sum(col("n_base")).as("n_index"),
-      sum(col("n_new")).as("n_batch"))
-    val shift = dist.crossJoin(broadcast(totals))
-      .select(col("n_index"), col("n_batch"),
-        expr("abs(n_base * 1000000 div n_index - " +
-          "n_new * 1000000 div n_batch)").as("d"))
-      .groupBy(col("n_index"), col("n_batch"))
-      .agg(expr("sum(d) div 2").as("shift_ppm"))
+    val shift = assignmentShiftPpm(index.centroids,
+      index.assignments.select(col("centroid_id")), landing, id, vecCol)
     // deterministic probe sample (portable md5 hash-mod, Curation's
     // idiom) → serve path vs exact, both k-bounded
     val probes = landing.filter(
@@ -321,19 +298,85 @@ object Similarity {
     val exact = bruteForceTopK(probes,
       index.assignments.select(col("corpus_id"), col("cv").as(vecCol)),
       id, "corpus_id", vecCol, k)
-    val rec = recallAtK(approx, exact).agg(
+    driftVerdict(shift, recallPpm(approx, exact), maxShiftPpm, minRecallPpm)
+  }
+
+  /** Total-variation assignment-distribution shift between an index's
+    * posting counts and a landing batch's frozen-centroid assignment,
+    * in ppm. `baseAssign` is any (centroid_id)-rowed table — IVF
+    * posting lists or IVF-PQ code rows. Every centroid participates:
+    * an empty posting list on either side IS the drift signal (k rows,
+    * metadata-sized). Totals are a 1-row broadcast; all shares are
+    * integer arithmetic (ANSI div — an EMPTY index or batch fails
+    * loudly rather than reporting a silent zero-drift). */
+  private def assignmentShiftPpm(centroids: DataFrame, baseAssign: DataFrame,
+                                 landing: DataFrame, id: String,
+                                 vecCol: String): DataFrame = {
+    val base = baseAssign.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_base"))
+    val batch = ivfAssign(landing,
+        centroids.select(col("centroid_id"), col("centv").as(vecCol)),
+        id, "centroid_id", vecCol)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_new"))
+    val dist = centroids.select(col("centroid_id"))
+      .join(base, Seq("centroid_id"), "left")
+      .join(batch, Seq("centroid_id"), "left")
+      .na.fill(0L, Seq("n_base", "n_new"))
+    val totals = dist.agg(sum(col("n_base")).as("n_index"),
+      sum(col("n_new")).as("n_batch"))
+    dist.crossJoin(broadcast(totals))
+      .select(col("n_index"), col("n_batch"),
+        expr("abs(n_base * 1000000 div n_index - " +
+          "n_new * 1000000 div n_batch)").as("d"))
+      .groupBy(col("n_index"), col("n_batch"))
+      .agg(expr("sum(d) div 2").as("shift_ppm"))
+  }
+
+  /** Aggregate [[recallAtK]] into one (n_probes, recall_ppm) row. */
+  private def recallPpm(approx: DataFrame, exact: DataFrame): DataFrame =
+    recallAtK(approx, exact).agg(
         count(lit(1)).as("n_probes"),
         sum(col("n_hit")).as("hits"),
         sum(col("k_exact")).as("kx"))
       .select(col("n_probes"),
         coalesce(expr("hits * 1000000 div kx"), lit(1000000L))
           .as("recall_ppm"))
+
+  private def driftVerdict(shift: DataFrame, rec: DataFrame,
+                           maxShiftPpm: Long, minRecallPpm: Long): DataFrame =
     shift.crossJoin(rec)
       .select(col("n_index"), col("n_batch"), col("n_probes"),
         col("shift_ppm"), col("recall_ppm"),
         when(col("shift_ppm") > maxShiftPpm ||
           col("recall_ppm") < minRecallPpm, lit("retrain"))
           .otherwise(lit("keep")).as("verdict"))
+
+  /** [[driftReport]] for the combined [[IvfPqIndex]]: the SAME
+    * distribution-shift gate over the code rows' cells, and the recall
+    * half measured on the FULL serving path — ADC scores from codes
+    * ([[ivfPqTopKFromIndex]]) against exact cosine over the raw
+    * `corpus` vector table (PQ codes carry no raw vectors, so the
+    * exact baseline needs the table the index was encoded from; the
+    * gate therefore scores cell pruning AND quantization loss
+    * together, which is what serving actually loses). Same sampled
+    * probes, same ppm thresholds, same keep/retrain verdict row. */
+  def ivfPqDriftReport(index: IvfPqIndex, corpus: DataFrame,
+                       landing: DataFrame, id: String, vecCol: String,
+                       m: Int, dsub: Int, k: Int, nprobe: Int,
+                       sampleMod: Int, maxShiftPpm: Long,
+                       minRecallPpm: Long): DataFrame = {
+    require(sampleMod > 0, "sampleMod must be positive")
+    // codes carry one row per (vector, subspace) — collapse to one
+    // cell assignment per vector before counting the distribution
+    val shift = assignmentShiftPpm(index.centroids,
+      index.codes.select(col("corpus_id"), col("centroid_id")).distinct()
+        .select(col("centroid_id")), landing, id, vecCol)
+    val probes = landing.filter(
+      Curation.hashBucket(col(id), "drift:", sampleMod) === 0)
+    val approx = ivfPqTopKFromIndex(probes, index, id, vecCol,
+      m, dsub, k, nprobe)
+    val exact = bruteForceTopK(probes, corpus, id, id, vecCol, k)
+    driftVerdict(shift, recallPpm(approx, exact), maxShiftPpm, minRecallPpm)
   }
 
   /** Lloyd's-iteration k-means training for the IVF index (spherical

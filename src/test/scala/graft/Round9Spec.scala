@@ -955,3 +955,44 @@ class StratifiedSampleSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 }
+
+/** [[graft.ops.Similarity.ivfPqDriftReport]] — the retrain/keep gate
+  * over the COMBINED index: distribution shift counted once per vector
+  * (codes carry m rows each), recall measured on the full ADC serve
+  * path, and a drifted batch flips the verdict exactly as the IVF
+  * gate's (DriftGateSpec). */
+class IvfPqDriftGateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Similarity
+
+  private def vec(id: Long, axis: Int, dims: Int = 16): Seq[Double] =
+    Seq.tabulate(dims) { d =>
+      (if (d == axis) 10.0 else 0.0) + ((id * 31 + d * 17) % 7).toDouble / 10.0
+    }
+
+  test("in-distribution keeps; drifted batch flips; n_index counts vectors once") {
+    val corpus = (0L until 200L).map(i => (i, vec(i, (i % 4).toInt)))
+      .toDF("id", "v")
+    val index = Similarity.ivfPqIndexBuild(corpus, "id", "v",
+      k = 4, iters = 2, m = 4, dsub = 4, ksub = 8, pqIters = 1)
+
+    def report(batch: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqDriftReport(index, corpus, batch, "id", "v",
+          m = 4, dsub = 4, k = 3, nprobe = 2, sampleMod = 2,
+          maxShiftPpm = 150000L, minRecallPpm = 100000L)
+        .collect().head
+
+    val inDist = (1000L until 1100L).map(i => (i, vec(i, (i % 4).toInt)))
+      .toDF("id", "v")
+    val keep = report(inDist)
+    assert(keep.getAs[Long]("n_index") == 200L,
+      s"codes must count once per vector: ${keep.toString}")
+    assert(keep.getAs[String]("verdict") == "keep", keep.toString)
+
+    val drifted = (2000L until 2100L).map(i => (i, vec(i, 11)))
+      .toDF("id", "v")
+    val retrain = report(drifted)
+    assert(retrain.getAs[String]("verdict") == "retrain", retrain.toString)
+    assert(retrain.getAs[Long]("shift_ppm") > keep.getAs[Long]("shift_ppm"))
+  }
+}
