@@ -49,6 +49,14 @@ import graft.sinks.Sinks
   *    O(footers)); chunks with unusable statistics demote the bucket
   *    to an equivalent row-scan fallback, so stats are an optimization,
   *    never a correctness dependency;
+  *  - `SupportsRuntimeFiltering` receives the JOIN side's keys after
+  *    it executes — the J2 anti-join probe with a DataFrame batch side
+  *    (no driver-collected IN list) re-plans to only those keys'
+  *    buckets before reading a byte of the ledger;
+  *  - `SupportsReportStatistics` reports real post-pruning
+  *    sizeInBytes, so a ledger under the broadcast threshold
+  *    auto-broadcasts in joins instead of defaulting to
+  *    "unknown = never broadcast";
   *  - each surviving bucket is one `InputPartition`; readers use the
   *    parquet-hadoop Group API directly on executors (atomic types +
   *    arrays of atomics — the store family's shapes; anything else
@@ -226,19 +234,28 @@ private[connectors] final case class StoreScan(path: String,
                                                required: StructType,
                                                pushed: Array[Filter],
                                                aggOps: Option[Seq[AggOp]] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   private lazy val allBuckets: Seq[String] = StoreMeta.liveBuckets(path)
 
-  /** Bucket indices the pushed key filters allow; None = all. */
-  private lazy val wanted: Option[Set[Int]] = {
-    val keys = StoreMeta.keyCols(path)
-    if (keys.isEmpty || pushed.isEmpty) None
+  private lazy val keys = StoreMeta.keyCols(path)
+
+  /** Runtime key filters ([[filter]]): delivered AFTER planning, when
+    * the other side of a join has executed — the dynamic-pruning
+    * sibling of the plan-time literal probe. */
+  private var runtime: Array[Filter] = Array.empty
+
+  /** Bucket indices a filter set allows; None = no pruning. Shared by
+    * the plan-time (`pushed`) and runtime paths — both replay the
+    * writer's key hash on the literal values. */
+  private def bucketsFor(filters: Array[Filter]): Option[Set[Int]] = {
+    if (keys.isEmpty || filters.isEmpty) None
     else {
       val n = StoreMeta.nBuckets(path)
       def dt(c: String): DataType = fullSchema(c).dataType
       val perFilter: Seq[Set[Int]] =
-        if (keys.size == 1) pushed.toSeq.collect {
+        if (keys.size == 1) filters.toSeq.collect {
           case EqualTo(a, v) if a == keys.head =>
             Set(StoreMeta.bucketOf(Seq((v, dt(a))), n))
           case In(a, vs) if a == keys.head =>
@@ -246,7 +263,7 @@ private[connectors] final case class StoreScan(path: String,
         } else {
           // composite key: prune only when EVERY key column has an
           // EqualTo — the combined tuple hashes to one bucket
-          val eqs = pushed.collect { case EqualTo(a, v) => a -> v }.toMap
+          val eqs = filters.collect { case EqualTo(a, v) => a -> v }.toMap
           if (keys.forall(eqs.contains))
             Seq(Set(StoreMeta.bucketOf(keys.map(k => (eqs(k), dt(k))), n)))
           else Seq.empty
@@ -256,12 +273,46 @@ private[connectors] final case class StoreScan(path: String,
     }
   }
 
-  private lazy val selected: Seq[String] = wanted match {
+  /** Plan-time ∩ runtime pruning (both conservative). */
+  private def wanted: Option[Set[Int]] =
+    (bucketsFor(pushed), bucketsFor(runtime)) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
+    }
+
+  private def selected: Seq[String] = wanted match {
     case None => allBuckets
     case Some(ws) => allBuckets.filter { dir =>
       val b = new Path(dir).getName.stripPrefix("b").toInt
       ws.contains(b)
     }
+  }
+
+  // ---- SupportsRuntimeFiltering: the J2 anti-join probe without a
+  // driver-collected IN list — Spark executes the (small) batch side,
+  // hands its join keys here as runtime filters, and the scan re-plans
+  // to only their buckets before reading a byte of the ledger
+  override def filterAttributes(): Array[NamedReference] =
+    keys.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters
+
+  // ---- SupportsReportStatistics: real sizeInBytes (post plan-time
+  // pruning), so a ledger under the broadcast threshold auto-broadcasts
+  // in joins instead of defaulting to "unknown = never broadcast"
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = selected.map { dir =>
+      val fs = new Path(dir)
+        .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(dir))
+        .filter(st => st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
   }
 
   override def readSchema(): StructType = required
