@@ -150,12 +150,21 @@ private[connectors] final case class MaxOp(col: String, dt: DataType) extends Ag
 private[connectors] final case class StoreScanBuilder(path: String,
                                                       fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggOps: Option[Seq[AggOp]] = None
   private var aggSchema: Option[StructType] = None
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown: each bucket reader stops decoding after
+    * `n` rows (Spark's own Limit still applies globally) — a
+    * `store.limit(n)` peek decodes ≤ n·buckets rows instead of the
+    * whole store. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   private val keys = StoreMeta.keyCols(path)
 
@@ -226,14 +235,16 @@ private[connectors] final case class StoreScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    StoreScan(path, fullSchema, aggSchema.getOrElse(required), pushed, aggOps)
+    StoreScan(path, fullSchema, aggSchema.getOrElse(required), pushed, aggOps,
+      limit)
 }
 
 private[connectors] final case class StoreScan(path: String,
                                                fullSchema: StructType,
                                                required: StructType,
                                                pushed: Array[Filter],
-                                               aggOps: Option[Seq[AggOp]] = None)
+                                               aggOps: Option[Seq[AggOp]] = None,
+                                               limit: Option[Int] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -321,7 +332,8 @@ private[connectors] final case class StoreScan(path: String,
     s"GraftStore $path buckets ${selected.size}/${allBuckets.size}" +
       s" pushedKeyFilters [${pushed.mkString(", ")}]" +
       aggOps.map(ops => s" pushedAggregates [${ops.mkString(", ")}]")
-        .getOrElse("")
+        .getOrElse("") +
+      limit.map(n => s" pushedLimit $n").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     // file listing happens at plan time (driver, metadata): each
@@ -339,20 +351,21 @@ private[connectors] final case class StoreScan(path: String,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    StoreReaderFactory(required, aggOps)
+    StoreReaderFactory(required, aggOps, limit)
 }
 
 private[connectors] final case class BucketPartition(files: Seq[String])
     extends InputPartition
 
 private[connectors] final case class StoreReaderFactory(
-    schema: StructType, aggOps: Option[Seq[AggOp]] = None)
+    schema: StructType, aggOps: Option[Seq[AggOp]] = None,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val files = p.asInstanceOf[BucketPartition].files
     aggOps match {
       case Some(ops) => new BucketAggReader(files, schema, ops)
-      case None => new BucketReader(files, schema)
+      case None => new BucketReader(files, schema, limit)
     }
   }
 }
@@ -562,14 +575,17 @@ private[connectors] final class ProjectingGroupReadSupport(names: Seq[String])
 }
 
 private[connectors] final class BucketReader(files: Seq[String],
-                                             schema: StructType)
+                                             schema: StructType,
+                                             limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val iter = files.iterator
   private var reader: ParquetReader[Group] = _
   private var current: Group = _
+  private var emitted = 0L
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
     while (true) {
       if (reader == null) {
         if (!iter.hasNext) return false
@@ -579,7 +595,11 @@ private[connectors] final class BucketReader(files: Seq[String],
           .withConf(new Configuration()).build()
       }
       current = reader.read()
-      if (current != null) { StoreReaderMetrics.rowsDecoded.incrementAndGet(); return true }
+      if (current != null) {
+        emitted += 1
+        StoreReaderMetrics.rowsDecoded.incrementAndGet()
+        return true
+      }
       reader.close(); reader = null
     }
     false // unreachable

@@ -52,7 +52,15 @@ class PlanGuardSpec extends SparkSpec {
     // working: cell filter == partition pruning, IvfPqSpec/round-9
     // plan probe). Both broadcast sides are k-row by contract.
     "q126_ivfpq_serve" -> 2,
-    "q130_ivfpq_rerank" -> 2)
+    "q130_ivfpq_rerank" -> 2,
+    // IVF-PQ drift gate: q124's shape on the combined index — batch
+    // assign ×broadcast(cents), ADC serve's probe ranking
+    // ×broadcast(cents) (plus its DPP duplicate on the cell-partitioned
+    // codes scan, as in q126), brute exact's broadcast(sampled probes)
+    // with its non-equi self-match filter, shift ×broadcast(1-row
+    // totals), final ×broadcast(1-row recall) — every broadcast side
+    // is k-row or 1-row BY CONTRACT
+    "q134_ivfpq_drift" -> 7)
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

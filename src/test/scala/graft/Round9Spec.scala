@@ -1068,3 +1068,31 @@ class StoreRuntimeFilterSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 }
+
+/** Partial limit pushdown on the DSv2 store: a `limit(n)` peek stops
+  * each bucket reader after n decoded rows — ≤ n·buckets rows decoded
+  * however large the store — while Spark's own global Limit keeps the
+  * final answer exact. */
+class StoreLimitSpec extends SparkSpec {
+  import graft.connectors.StoreReaderMetrics
+  import graft.sinks.Sinks
+
+  test("limit decodes at most n rows per bucket") {
+    val store = tmpDir("limit_store") + "/ledger"
+    val df = spark.range(1, 2001).select(col("id"),
+      (col("id") * 3).as("v"))
+    Sinks.upsertPartitioned(df, Seq("id"), store, nBuckets = 8)
+    val ds = spark.read.format("graft-store").load(store)
+    val q = ds.limit(5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit 5"), plan.take(1500))
+    val before = StoreReaderMetrics.rowsDecoded.get()
+    val got = q.collect()
+    val decoded = StoreReaderMetrics.rowsDecoded.get() - before
+    assert(got.length == 5)
+    assert(decoded <= 5L * 8,
+      s"each bucket must stop at the limit: decoded $decoded")
+    // and the unlimited read still sees everything
+    assert(ds.count() == 2000L)
+  }
+}
