@@ -404,7 +404,20 @@ object Curation {
     * quota_g ≤ n_g — no stratum is ever asked for more rows than it
     * has. */
   def stratifiedSample(df: DataFrame, strata: String, id: String,
-                      totalN: Long, salts: Int = 32): DataFrame = {
+                      totalN: Long, salts: Int = 32): DataFrame =
+    stratifiedSampleBy(df, strata, id, totalN, col("_n"), salts)
+
+  /** [[stratifiedSample]] with an ARBITRARY per-stratum quota weight
+    * (an expression over the size table's `_n` column, e.g.
+    * `floor(sqrt(_n) * 1e6)` for the α=1/2 temperature rebalance):
+    * quotas apportion `totalN` by weight instead of size — the
+    * exact-count form of [[temperatureMix]]'s rate-based mixing.
+    * A weighting that asks a stratum for more rows than it has fails
+    * loudly (sampling is without replacement; proportional weights
+    * can't trip this, temperature weights can on tiny strata). */
+  def stratifiedSampleBy(df: DataFrame, strata: String, id: String,
+                         totalN: Long, weight: Column,
+                         salts: Int = 32): DataFrame = {
     require(totalN > 0 && salts > 0,
       s"need positive totalN/salts, got totalN=$totalN salts=$salts")
     val wAll = Window.partitionBy(lit(0))
@@ -412,23 +425,31 @@ object Curation {
       .orderBy(col("_rem").desc, col(strata))
     // guards live INSIDE the consumed expressions (the temperatureMix
     // rule): a free-standing guard column would be pruned unevaluated
-    val maxN = Long.MaxValue / totalN
-    val guardedN = s"CASE WHEN _n > ${maxN}L THEN raise_error(" +
-      s"'stratifiedSample: stratum size x totalN=$totalN overflows int64')" +
-      " ELSE _n END"
-    val guardedTotal = s"CASE WHEN ${totalN}L > _tot THEN raise_error(" +
+    val maxW = Long.MaxValue / totalN
+    val guardedW = s"CASE WHEN _w > ${maxW}L THEN raise_error(" +
+      s"'stratifiedSample: stratum weight x totalN=$totalN overflows int64')" +
+      " ELSE _w END"
+    val guardedTotal = s"CASE WHEN ${totalN}L > _sz THEN raise_error(" +
       s"'stratifiedSample: totalN=$totalN exceeds the corpus size')" +
       s" ELSE ${totalN}L END"
+    // quota ≤ stratum size or fail loudly — a silent cap would break
+    // the exact-totalN contract
+    val guardedQuota = "CASE WHEN _quota0 > _n THEN raise_error(" +
+      "'stratifiedSample: weighting asks a stratum for more rows than " +
+      "it has') ELSE _quota0 END"
     val quotas = df.groupBy(col(strata))
       .agg(count(lit(1)).as("_n"))
-      .withColumn("_tot", sum(col("_n")).over(wAll))
-      .withColumn("_base", expr(s"(($guardedTotal) * ($guardedN)) div _tot"))
-      .withColumn("_rem", expr(s"((${totalN}L) * _n) % _tot"))
+      .withColumn("_w", weight.cast("bigint"))
+      .withColumn("_tot", sum(col("_w")).over(wAll))
+      .withColumn("_sz", sum(col("_n")).over(wAll))
+      .withColumn("_base", expr(s"(($guardedTotal) * ($guardedW)) div _tot"))
+      .withColumn("_rem", expr(s"((${totalN}L) * _w) % _tot"))
       .withColumn("_leftover", lit(totalN) - sum(col("_base")).over(wAll))
       .withColumn("_bump_rank", row_number().over(wBump))
-      .withColumn("quota",
-        (col("_base") + when(col("_bump_rank") <= col("_leftover"), 1L)
-          .otherwise(0L)).cast("bigint"))
+      .withColumn("_quota0",
+        col("_base") + when(col("_bump_rank") <= col("_leftover"), 1L)
+          .otherwise(0L))
+      .withColumn("quota", expr(guardedQuota).cast("bigint"))
       .select(col(strata), col("quota"))
     val w1 = Window.partitionBy(col(strata), col("_salt"))
       .orderBy(col("_ord"), col(id))

@@ -954,6 +954,30 @@ class StratifiedSampleSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("temperature weights flatten the head, exact total, loud over-demand") {
+    val tempW = floor(sqrt(col("_n")) * 1e6).cast("bigint")
+    val out = Curation.stratifiedSampleBy(docs, "lang", "doc_id", 30L, tempW)
+    assert(out.count() == 30)
+    val sizes = docs.groupBy("lang").count()
+    val q = out.groupBy("lang").agg(first(col("quota")).as("q"))
+      .join(sizes, "lang").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("q"),
+        r.getAs[Long]("count"))).sortBy(_._1)
+    // sqrt weighting: the biggest stratum's share of the sample must be
+    // SMALLER than its share of the corpus (the flattening contract)
+    val total = q.map(_._3).sum
+    val big = q.maxBy(_._3)
+    assert(big._2.toDouble / 30 < big._3.toDouble / total,
+      s"head not flattened: $big of ${q.mkString(",")}")
+    // a weighting that demands more than a stratum holds fails loudly
+    val skew = when(col("_n") < 100, lit(1000000L)).otherwise(lit(1L))
+    val ex = intercept[Exception] {
+      Curation.stratifiedSampleBy(docs, "lang", "doc_id", docs.count(), skew)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
 
 /** [[graft.ops.Similarity.ivfPqDriftReport]] — the retrain/keep gate
