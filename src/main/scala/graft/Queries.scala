@@ -4674,51 +4674,15 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("quota"), col("pos"))
       .orderBy("doc_id")
 
-  private val oStratifiedSample =
-    """WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+  /** The shared exact-sampling oracle chain: largest-remainder quotas
+    * over a per-stratum weight, then the hash-order membership rank —
+    * q133 instantiates it with the proportional weight (w = n), q135
+    * with the temperature weight. ONE definition, so the two oracles
+    * can never drift in apportionment or membership. */
+  private def oStratSampleSql(weightExpr: String) =
+    s"""WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
       |           FROM documents GROUP BY 1),
-      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM s),
-      |q0 AS (SELECT lang, n, (120 * n) // tot AS base, (120 * n) % tot AS rem
-      |       FROM s, t),
-      |b AS (SELECT *,
-      |        row_number() OVER (ORDER BY rem DESC, lang) AS br,
-      |        (SELECT 120 - sum(base) FROM q0) AS leftover
-      |      FROM q0),
-      |q AS (SELECT lang,
-      |        CAST(base + CASE WHEN br <= leftover THEN 1 ELSE 0 END
-      |          AS BIGINT) AS quota
-      |      FROM b),
-      |r AS (SELECT d.doc_id, d.lang,
-      |        CAST(row_number() OVER (PARTITION BY d.lang
-      |          ORDER BY md5('strat:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
-      |          AS BIGINT) AS pos
-      |      FROM documents d)
-      |SELECT r.doc_id, r.lang, q.quota, r.pos
-      |FROM r JOIN q USING (lang)
-      |WHERE pos <= quota ORDER BY doc_id""".stripMargin
-
-  // --------------------------------- exact temperature-balanced sample
-  /** Exact-count temperature rebalance ([[Curation.stratifiedSampleBy]]
-    * with w = floor(sqrt(n)·1e6), q118's α=1/2 weight): 120 documents
-    * apportioned across languages by largest-remainder over the
-    * TEMPERATURE weights — low-resource languages get a larger share
-    * than proportional sampling gives them, and the output size is
-    * exact where the rate-based mix (q118) is exact only in
-    * expectation. Same integer µ-unit weight discipline as
-    * temperatureMix, so the oracle replays the apportionment
-    * bit-for-bit. */
-  private def qTemperatureSample(s: SparkSession, dir: String): DataFrame =
-    Curation.stratifiedSampleBy(t(s, dir, "documents"), "lang", "doc_id",
-        totalN = 120L,
-        weight = floor(sqrt(col("_n")) * 1e6).cast("bigint"))
-      .select(col("doc_id"), col("lang"), col("quota"), col("pos"))
-      .orderBy("doc_id")
-
-  private val oTemperatureSample =
-    """WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
-      |           FROM documents GROUP BY 1),
-      |sw AS (SELECT lang, n, CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS w
-      |       FROM s),
+      |sw AS (SELECT lang, n, CAST($weightExpr AS BIGINT) AS w FROM s),
       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM sw),
       |q0 AS (SELECT lang, n, w, (120 * w) // tot AS base, (120 * w) % tot AS rem
       |       FROM sw, t),
@@ -4738,6 +4702,28 @@ object Queries {
       |SELECT r.doc_id, r.lang, q.quota, r.pos
       |FROM r JOIN q USING (lang)
       |WHERE pos <= quota ORDER BY doc_id""".stripMargin
+
+  private val oStratifiedSample = oStratSampleSql("n")
+
+  // --------------------------------- exact temperature-balanced sample
+  /** Exact-count temperature rebalance ([[Curation.stratifiedSampleBy]]
+    * with w = floor(sqrt(n)·1e6), q118's α=1/2 weight): 120 documents
+    * apportioned across languages by largest-remainder over the
+    * TEMPERATURE weights — low-resource languages get a larger share
+    * than proportional sampling gives them, and the output size is
+    * exact where the rate-based mix (q118) is exact only in
+    * expectation. Same integer µ-unit weight discipline as
+    * temperatureMix, so the oracle replays the apportionment
+    * bit-for-bit. */
+  private def qTemperatureSample(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSampleBy(t(s, dir, "documents"), "lang", "doc_id",
+        totalN = 120L,
+        weight = floor(sqrt(col("_n")) * 1e6).cast("bigint"))
+      .select(col("doc_id"), col("lang"), col("quota"), col("pos"))
+      .orderBy("doc_id")
+
+  private val oTemperatureSample =
+    oStratSampleSql("floor(sqrt(n) * 1000000)")
 
   // ------------------------------------------- IVF-PQ drift gate
   /** [[Similarity.ivfPqDriftReport]] — q124's retrain/keep gate for the

@@ -257,13 +257,15 @@ private[connectors] final case class StoreScan(path: String,
     * sibling of the plan-time literal probe. */
   private var runtime: Array[Filter] = Array.empty
 
+  private lazy val nBuckets: Int = StoreMeta.nBuckets(path)
+
   /** Bucket indices a filter set allows; None = no pruning. Shared by
     * the plan-time (`pushed`) and runtime paths — both replay the
     * writer's key hash on the literal values. */
   private def bucketsFor(filters: Array[Filter]): Option[Set[Int]] = {
     if (keys.isEmpty || filters.isEmpty) None
     else {
-      val n = StoreMeta.nBuckets(path)
+      val n = nBuckets
       def dt(c: String): DataType = fullSchema(c).dataType
       val perFilter: Seq[Set[Int]] =
         if (keys.size == 1) filters.toSeq.collect {
@@ -284,20 +286,30 @@ private[connectors] final case class StoreScan(path: String,
     }
   }
 
+  /** Plan-time pruning is computed ONCE (re-hashing a large IN key
+    * list per description()/stats call would be O(keys) each time);
+    * only the runtime half can change after planning. */
+  private lazy val plannedWanted: Option[Set[Int]] = bucketsFor(pushed)
+
   /** Plan-time ∩ runtime pruning (both conservative). */
   private def wanted: Option[Set[Int]] =
-    (bucketsFor(pushed), bucketsFor(runtime)) match {
+    (plannedWanted, bucketsFor(runtime)) match {
       case (Some(a), Some(b)) => Some(a intersect b)
       case (a, b) => a.orElse(b)
     }
 
-  private def selected: Seq[String] = wanted match {
+  private def restrict(ws: Option[Set[Int]]): Seq[String] = ws match {
     case None => allBuckets
-    case Some(ws) => allBuckets.filter { dir =>
+    case Some(set) => allBuckets.filter { dir =>
       val b = new Path(dir).getName.stripPrefix("b").toInt
-      ws.contains(b)
+      set.contains(b)
     }
   }
+
+  private lazy val plannedSelected: Seq[String] = restrict(plannedWanted)
+
+  private def selected: Seq[String] =
+    if (runtime.isEmpty) plannedSelected else restrict(wanted)
 
   // ---- SupportsRuntimeFiltering: the J2 anti-join probe without a
   // driver-collected IN list — Spark executes the (small) batch side,
@@ -311,17 +323,20 @@ private[connectors] final case class StoreScan(path: String,
 
   // ---- SupportsReportStatistics: real sizeInBytes (post plan-time
   // pruning), so a ledger under the broadcast threshold auto-broadcasts
-  // in joins instead of defaulting to "unknown = never broadcast"
+  // in joins instead of defaulting to "unknown = never broadcast".
+  // Computed once per scan: Spark asks for stats on every logical-plan
+  // stats pass, and each computation would otherwise re-list every
+  // selected bucket directory on the driver
+  private lazy val plannedBytes: Long = plannedSelected.map { dir =>
+    val fs = new Path(dir)
+      .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(dir))
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }.sum
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = selected.map { dir =>
-      val fs = new Path(dir)
-        .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-      fs.listStatus(new Path(dir))
-        .filter(st => st.getPath.getName.endsWith(".parquet"))
-        .map(_.getLen).sum
-    }.sum
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(bytes)
+      java.util.OptionalLong.of(plannedBytes)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }

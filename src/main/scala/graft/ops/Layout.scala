@@ -288,6 +288,8 @@ object Layout {
         }
     }
 
+    val renamedBins = scala.collection.mutable.Set.empty[Int]
+
     // 4. candidate bins: ALL multi-file bins merge in ONE job — scan
     // every candidate file once, tag rows with their bin (broadcast
     // join against the plan on the scan's file name), co-locate each
@@ -316,7 +318,6 @@ object Layout {
       // of upstream writes with empty partitions) produces no staging
       // directory — partitionBy writes nothing for an empty partition —
       // so it simply contributes no output file
-      var renamed = 0
       rewrites.foreach { case (_, bin) =>
         val binDir = new Path(staging, s"_graft_bin=$bin")
         if (fs.exists(binDir)) {
@@ -328,7 +329,7 @@ object Layout {
             .getOrElse(sys.error(s"no output part file in $binDir"))
           val out = new Path(dstPath, f"bin-$bin%05d-compacted.parquet")
           require(fs.rename(part, out), s"rename failed: $part -> $out")
-          renamed += 1
+          renamedBins += bin
         }
       }
       fs.delete(staging, true)
@@ -336,7 +337,7 @@ object Layout {
       // there were no singleton copies), keep the output dir readable:
       // one schema-only parquet file preserves `spark.read.parquet`'s
       // schema inference over the compacted directory
-      if (renamed == 0 && copies.isEmpty) {
+      if (renamedBins.isEmpty && copies.isEmpty) {
         data.limit(0).coalesce(1).write.parquet(staging.toString)
         val part = fs.listStatus(staging).map(_.getPath)
           .find(_.getName.endsWith(".parquet"))
@@ -351,13 +352,18 @@ object Layout {
     // on _SUCCESS see compacted output as complete)
     fs.create(new Path(dstPath, "_SUCCESS"), true).close()
 
+    // the summary names only files that EXIST: a rewrite bin whose
+    // members were all zero-row produced no output file and says so
     indexed.map { case (members, bin) =>
       val bytes = members.map(_._2).sum
       if (members.length == 1)
         (bin.toLong, 1L, bytes, "copy", f"bin-$bin%05d-${members.head._1}")
-      else
+      else if (renamedBins.contains(bin))
         (bin.toLong, members.length.toLong, bytes, "rewrite",
           f"bin-$bin%05d-compacted.parquet")
+      else
+        (bin.toLong, members.length.toLong, bytes, "rewrite-empty",
+          null.asInstanceOf[String])
     }.toDF("bin", "n_files", "total_bytes", "action", "out_file")
   }
 
