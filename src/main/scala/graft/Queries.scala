@@ -4679,31 +4679,125 @@ object Queries {
     * q133 instantiates it with the proportional weight (w = n), q135
     * with the temperature weight. ONE definition, so the two oracles
     * can never drift in apportionment or membership. */
-  private def oStratSampleSql(weightExpr: String) =
-    s"""WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
-      |           FROM documents GROUP BY 1),
-      |sw AS (SELECT lang, n, CAST($weightExpr AS BIGINT) AS w FROM s),
+  private def oStratSampleSql(weightExpr: String, idCol: String = "doc_id",
+                              strataCol: String = "lang",
+                              src: String = "documents",
+                              preCtes: String = "",
+                              totalN: Int = 120) =
+    s"""WITH ${preCtes}s AS (
+      |  SELECT $strataCol, CAST(count(*) AS BIGINT) AS n
+      |  FROM $src GROUP BY 1),
+      |sw AS (SELECT $strataCol, n, CAST($weightExpr AS BIGINT) AS w FROM s),
       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM sw),
-      |q0 AS (SELECT lang, n, w, (120 * w) // tot AS base, (120 * w) % tot AS rem
+      |q0 AS (SELECT $strataCol, n, w, ($totalN * w) // tot AS base,
+      |         ($totalN * w) % tot AS rem
       |       FROM sw, t),
       |b AS (SELECT *,
-      |        row_number() OVER (ORDER BY rem DESC, lang) AS br,
-      |        (SELECT 120 - sum(base) FROM q0) AS leftover
+      |        row_number() OVER (ORDER BY rem DESC, $strataCol) AS br,
+      |        (SELECT $totalN - sum(base) FROM q0) AS leftover
       |      FROM q0),
-      |q AS (SELECT lang,
+      |q AS (SELECT $strataCol,
       |        CAST(base + CASE WHEN br <= leftover THEN 1 ELSE 0 END
       |          AS BIGINT) AS quota
       |      FROM b),
-      |r AS (SELECT d.doc_id, d.lang,
-      |        CAST(row_number() OVER (PARTITION BY d.lang
-      |          ORDER BY md5('strat:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+      |r AS (SELECT d.$idCol, d.$strataCol,
+      |        CAST(row_number() OVER (PARTITION BY d.$strataCol
+      |          ORDER BY md5('strat:' || CAST(d.$idCol AS VARCHAR)), d.$idCol)
       |          AS BIGINT) AS pos
-      |      FROM documents d)
-      |SELECT r.doc_id, r.lang, q.quota, r.pos
-      |FROM r JOIN q USING (lang)
-      |WHERE pos <= quota ORDER BY doc_id""".stripMargin
+      |      FROM $src d)
+      |SELECT r.$idCol, r.$strataCol, q.quota, r.pos
+      |FROM r JOIN q USING ($strataCol)
+      |WHERE pos <= quota ORDER BY $idCol""".stripMargin
 
   private val oStratifiedSample = oStratSampleSql("n")
+
+  // --------------------------------- cluster-stratified sample
+  /** Topic-stratified sampling: k-means cells over the embedding table
+    * (q25's persisted IVF index — clusters ARE the topic strata) feed
+    * the exact proportional sampler, so the 100-vector sample
+    * preserves the corpus's topic mix with exact largest-remainder
+    * quotas — the eval-set construction that pairs semantic clustering
+    * with the q133 apportionment. The oracle replays the k-means chain
+    * and the same shared sampling SQL over the assignments. */
+  private def qClusterSample(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(
+        ivfIndexFor(s, dir).assignments
+          .select(col("corpus_id"), col("centroid_id")),
+        "centroid_id", "corpus_id", totalN = 100L)
+      .orderBy("corpus_id")
+
+  private val oClusterSample = oStratSampleSql("n",
+    idCol = "corpus_id", strataCol = "centroid_id", src = "asg",
+    preCtes = s"$oKmeansAf,\n" +
+      "asg AS (SELECT vec_id AS corpus_id, centroid_id FROM af),\n",
+    totalN = 100)
+
+  // ------------------------------------------- LM coverage scoring
+  /** Per-document bigram coverage against a reference LM table
+    * ([[CorpusSignals.lmCoverage]]): the reference is q91's
+    * conditional-count table trained on the held-out slice
+    * (doc_id % 10 = 0, grams seen ≥ 2×), and every other document is
+    * scored by the exact-ppm fraction of its bigram sites the
+    * reference knows — perplexity filtering's integer-exact stand-in
+    * (no float logs, so the score replays bit-for-bit in any engine). */
+  private def qLmCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ref = CorpusSignals.lmConditionalCounts(
+      docs.filter(col("doc_id") % 10 === 0), col("text"), n = 2, minCount = 2L)
+    CorpusSignals.lmCoverage(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", col("text"), ref, n = 2)
+      .orderBy("doc_id")
+  }
+
+  private val oLmCoverage =
+    """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+      |           FROM documents),
+      |p AS (SELECT doc_id,
+      |        unnest(list_transform(generate_series(1, len(ws) - 1),
+      |          i -> struct_pack(context := ws[i], word := ws[i+1]))) AS g
+      |      FROM d),
+      |sites AS (SELECT doc_id, g.context AS context, g.word AS word FROM p),
+      |ref AS (SELECT context, word FROM sites WHERE doc_id % 10 = 0
+      |        GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sc AS (SELECT s.doc_id,
+      |         CAST(count(*) AS BIGINT) AS n_sites,
+      |         CAST(sum(CASE WHEN r.context IS NOT NULL THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS n_seen
+      |       FROM sites s LEFT JOIN ref r
+      |         ON s.context = r.context AND s.word = r.word
+      |       WHERE s.doc_id % 10 <> 0 GROUP BY 1)
+      |SELECT doc_id, n_sites, n_seen,
+      |  n_seen * 1000000 // n_sites AS coverage_ppm,
+      |  1000000 - n_seen * 1000000 // n_sites AS oov_ppm
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- containment pairs
+  /** Directional containment over the q21 blocking
+    * ([[ApproxDedup.containmentPairs]]): C(A→B) = |A∩B|/|A| per
+    * same-block pair, both directions — the asymmetric measure that
+    * catches near-subset duplication (boilerplate, quoted articles)
+    * where Jaccard ≈ |small|/|large| never crosses a threshold.
+    * Threshold 0 emits every pair so the oracle pins the full ratio
+    * surface, like q21 does for Jaccard. */
+  private def qContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("blk", concat_ws("/", col("source"), col("lang")))
+      .withColumn("bigrams", ApproxDedup.wordNgrams(col("text"), 2))
+    ApproxDedup.containmentPairs(docs, "doc_id", "blk", "bigrams", 0.0)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val oContainmentPairs =
+    s"""WITH t AS (
+       |  SELECT doc_id, source || '/' || lang AS blk,
+       |         string_split_regex(text, '\\s+') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, blk, $oBigramsExpr AS bg FROM t)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(a.bg) AS c_ab,
+       |  CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(b.bg) AS c_ba
+       |FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------- exact temperature-balanced sample
   /** Exact-count temperature rebalance ([[Curation.stratifiedSampleBy]]
@@ -4965,7 +5059,10 @@ object Queries {
     "q132_store_agg" -> (qStoreAgg _),
     "q133_stratified_sample" -> (qStratifiedSample _),
     "q134_ivfpq_drift" -> (qIvfPqDrift _),
-    "q135_temperature_sample" -> (qTemperatureSample _)
+    "q135_temperature_sample" -> (qTemperatureSample _),
+    "q136_containment_pairs" -> (qContainmentPairs _),
+    "q137_lm_coverage" -> (qLmCoverage _),
+    "q138_cluster_sample" -> (qClusterSample _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5107,6 +5204,9 @@ object Queries {
     "q132_store_agg" -> oStoreAgg,
     "q133_stratified_sample" -> oStratifiedSample,
     "q134_ivfpq_drift" -> oIvfPqDrift,
-    "q135_temperature_sample" -> oTemperatureSample
+    "q135_temperature_sample" -> oTemperatureSample,
+    "q136_containment_pairs" -> oContainmentPairs,
+    "q137_lm_coverage" -> oLmCoverage,
+    "q138_cluster_sample" -> oClusterSample
   )
 }

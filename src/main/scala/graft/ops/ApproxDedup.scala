@@ -161,6 +161,42 @@ object ApproxDedup {
     kept.select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Directional containment pairs over the same blocked self-join:
+    * C(A→B) = |A∩B| / |A| — the asymmetric overlap measure that
+    * catches NEAR-SUBSET duplication Jaccard structurally misses. A
+    * boilerplate block or quoted article fully contained in a much
+    * larger page has C ≈ 1 in one direction while Jaccard ≈
+    * |small|/|large| ≈ 0, so a Jaccard threshold never fires; keeping
+    * pairs by max(c_ab, c_ba) is the standard quote/boilerplate-dedup
+    * criterion. Emits BOTH directions per unordered pair (idA < idB).
+    * Same hot-block guard family as [[jaccardPairs]]; callers filter
+    * empty sets upstream (a 0-element side has no direction). */
+  def containmentPairs(df: DataFrame, id: String, block: String,
+                       setCol: String, threshold: Double,
+                       maxBlockRows: Int = 0,
+                       histogram: Option[DataFrame] = None): DataFrame = {
+    histogram match {
+      case Some(h) =>
+        requireBoundedBlocksHist(h, maxBlockRows, "containmentPairs")
+      case None =>
+        requireBoundedBlocks(df, block, maxBlockRows, "containmentPairs")
+    }
+    val a = df.select(col(id).as("id_a"), col(block).as("blk"),
+      col(setCol).as("set_a"))
+    val b = df.select(col(id).as("id_b"), col(block).as("blk"),
+      col(setCol).as("set_b"))
+    val paired = a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("c_ab", col("inter").cast("double") / size(col("set_a")))
+      .withColumn("c_ba", col("inter").cast("double") / size(col("set_b")))
+    val kept =
+      if (threshold > 0)
+        paired.filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      else paired
+    kept.select(col("id_a"), col("id_b"), col("c_ab"), col("c_ba"))
+  }
+
   /** Exact Jaccard pairs via the INVERTED-INDEX formulation: explode
     * sets to (block, element, id), self-join on the element, count
     * matches per pair. Work is Σ_element df(element)² instead of

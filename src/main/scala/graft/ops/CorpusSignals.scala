@@ -259,27 +259,69 @@ object CorpusSignals {
     * more than one context's vocabulary fan-out. The `minCount` cut
     * applies AFTER the denominator sums, so reported probabilities
     * are true corpus MLE values, not post-cut renormalizations. */
-  def lmConditionalCounts(df: DataFrame, text: Column, n: Int,
-                          minCount: Long): DataFrame = {
-    require(n >= 2, s"conditional counts need n >= 2, got $n")
+  /** Positional (context, word) n-gram sites of `text` — the shared
+    * derivation of [[lmConditionalCounts]] (training side) and
+    * [[lmCoverage]] (scoring side), so the two can never tokenize
+    * differently. Let-bound token array (split once per doc); sub-n
+    * docs yield no sites. */
+  private def lmPairs(text: Column, n: Int): Column = {
+    require(n >= 2, s"LM grams need n >= 2, got $n")
     val pairStruct = (w: Column, i: Column) => struct(
       concat_ws(" ", (0 until n - 1).map(j => element_at(w, i + j)): _*)
         .as("context"),
       element_at(w, i + (n - 1)).as("word"))
-    // let-bound token array (split once per doc); sub-n docs yield none
-    val pairs = element_at(
+    element_at(
       transform(array(toks(text)), w =>
         when(size(w) >= n,
           transform(sequence(lit(1), size(w) - (n - 1)), i => pairStruct(w, i)))
           .otherwise(array().cast("array<struct<context:string,word:string>>"))),
       1)
+  }
+
+  def lmConditionalCounts(df: DataFrame, text: Column, n: Int,
+                          minCount: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("context"))
-    df.select(explode(pairs).as("g"))
+    df.select(explode(lmPairs(text, n)).as("g"))
       .select(col("g.context").as("context"), col("g.word").as("word"))
       .groupBy("context", "word").agg(count(lit(1)).as("cnt_gram"))
       .withColumn("cnt_ctx", sum(col("cnt_gram")).over(w))
       .filter(col("cnt_gram") >= minCount)
       .withColumn("p_ppm", expr("cnt_gram * 1000000 div cnt_ctx"))
+  }
+
+  /** Per-document LM coverage against a reference gram table — the
+    * integer-exact stand-in for perplexity filtering (CCNet's "score
+    * against a reference LM" step without float logs, whose last-ulp
+    * libm differences would break bit-replay): every n-gram SITE of a
+    * document either appears in the reference table or is
+    * out-of-vocabulary, and the seen fraction in exact ppm is the
+    * quality signal. High-coverage documents read like the reference
+    * corpus; low coverage flags boilerplate, other languages, or
+    * garbage.
+    *
+    * `lm` is any (context, word) table — typically
+    * [[lmConditionalCounts]] of a reference slice; it is deduplicated
+    * defensively because a duplicate gram row would multiply join rows
+    * and inflate BOTH counters. Documents with fewer than n tokens
+    * have no sites and are absent from the output (callers treat
+    * absence as unscorable, not as zero coverage).
+    *
+    * Shape: one gram explode, one hash join keyed (context, word) —
+    * the join is corpus-sized vs vocabulary-sized, exactly a shuffle
+    * join's sweet spot — and one map-side-combined per-doc count. */
+  def lmCoverage(df: DataFrame, id: String, text: Column,
+                 lm: DataFrame, n: Int): DataFrame = {
+    val sites = df.select(col(id), explode(lmPairs(text, n)).as("g"))
+      .select(col(id), col("g.context").as("context"),
+        col("g.word").as("word"))
+    val ref = lm.select(col("context"), col("word")).distinct()
+      .withColumn("_hit", lit(1L))
+    sites.join(ref, Seq("context", "word"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_sites"),
+        coalesce(sum(col("_hit")), lit(0L)).as("n_seen"))
+      .withColumn("coverage_ppm", expr("n_seen * 1000000 div n_sites"))
+      .withColumn("oov_ppm", lit(1000000L) - col("coverage_ppm"))
   }
 
   /** Distribution drift between two corpus snapshots (the refresh

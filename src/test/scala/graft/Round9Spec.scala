@@ -1120,3 +1120,69 @@ class StoreLimitSpec extends SparkSpec {
     assert(ds.count() == 2000L)
   }
 }
+
+/** [[graft.ops.ApproxDedup.containmentPairs]] — the asymmetric overlap
+  * measure: a small document fully quoted inside a much larger one has
+  * containment ≈ 1 in one direction while its Jaccard stays below any
+  * useful threshold, so the containment criterion fires exactly where
+  * Jaccard structurally cannot. */
+class ContainmentPairsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.ApproxDedup
+
+  test("near-subset duplication: containment fires, Jaccard misses") {
+    val small = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val big = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "unrelated words only here"))
+      .toDF("doc_id", "text")
+      .withColumn("blk", lit("b"))
+      .withColumn("bigrams", ApproxDedup.wordNgrams(col("text"), 2))
+    val jac = ApproxDedup.jaccardPairs(docs, "doc_id", "blk", "bigrams", 0.5)
+      .collect()
+    assert(jac.isEmpty, "Jaccard at 0.5 must miss the quoted subset")
+    val cont = ApproxDedup
+      .containmentPairs(docs, "doc_id", "blk", "bigrams", 0.5)
+      .collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0, s"small-in-big containment: $r")
+    assert(r.getDouble(3) < 0.1, s"reverse direction stays low: $r")
+  }
+
+  test("guard family applies: hot block raises like jaccardPairs") {
+    val docs = (1L to 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
+      .withColumn("blk", lit("hot"))
+      .withColumn("bigrams", ApproxDedup.wordNgrams(col("text"), 2))
+    val ex = intercept[IllegalArgumentException] {
+      ApproxDedup.containmentPairs(docs, "doc_id", "blk", "bigrams",
+        0.0, maxBlockRows = 10)
+    }
+    assert(ex.getMessage.contains("containmentPairs"))
+  }
+}
+
+/** [[graft.ops.CorpusSignals.lmCoverage]] — integer-exact LM-coverage
+  * scoring: hand-computed ppm on a planted doc, defensive dedup of the
+  * reference table (a duplicate gram row would multiply join rows and
+  * inflate both counters), and sub-n documents absent rather than
+  * zero-scored. */
+class LmCoverageSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.CorpusSignals
+
+  test("hand-computed coverage; duplicate reference rows don't inflate") {
+    // doc 1: bigrams (a b)(b c)(c d) — 2 of 3 in the reference
+    val docs = Seq((1L, "a b c d"), (2L, "solo")).toDF("doc_id", "text")
+    val ref = Seq(("a", "b"), ("b", "c"), ("x", "y"),
+      ("a", "b"), ("a", "b")) // duplicates planted
+      .toDF("context", "word")
+    val out = CorpusSignals.lmCoverage(docs, "doc_id", col("text"), ref, 2)
+      .collect()
+    assert(out.length == 1, "the 1-token doc has no sites and is absent")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 2L * 1000000L / 3L, r.toString)
+    assert(r.getLong(4) == 1000000L - 2L * 1000000L / 3L)
+  }
+}
