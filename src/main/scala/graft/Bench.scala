@@ -81,10 +81,12 @@ object Bench {
     // q134: first run bootstraps the old-corpus IVF-PQ index fixture.
     // q138: alphabetically FIRST of the q25-fixture family, so its
     // first run pays the persisted-IVF-index build.
+    // q140: first run trains + persists the BPE merge table
+    // (bpeMergesFor); the timed runs measure encode-from-model.
     val oneTimeSetup = Set("q106", "q107", "q108", "q109", "q110", "q116",
       "q120", "q121", "q122", "q123", "q124", "q125", "q126", "q129",
-      "q130", "q131", "q132", "q134", "q138", "q25", "q26", "q78", "q84",
-      "q94")
+      "q130", "q131", "q132", "q134", "q138", "q140", "q25", "q26", "q78",
+      "q84", "q94")
     val results = selected.map { case (name, fn) =>
       def one(): (Double, Boolean) = {
         val t0 = System.nanoTime()

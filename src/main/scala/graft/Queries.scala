@@ -4923,6 +4923,99 @@ object Queries {
        |FROM shift s CROSS JOIN rec r""".stripMargin
   }
 
+  // --------------------------------------------------- BPE training
+  /** Full BPE tokenizer training ([[Bpe.train]] — the greedy merge
+    * loop q93 computes one iteration of): 8 merges learned over the
+    * documents word histogram. The oracle replays every iteration —
+    * pair argmax with the (weight DESC, lft, rgt) tie-break, then the
+    * greedy left-to-right merge application — via an unrolled CTE
+    * chain ([[oBpeChain]]). */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    Bpe.train(t(s, dir, "documents"), col("text"), numMerges = BpeMerges)
+      .orderBy("step")
+
+  private val BpeMerges = 8
+
+  /** The persisted BPE model — write-once bootstrap like
+    * [[ivfIndexFor]]: train once per sf dir, serve the merge table
+    * from parquet (encode never re-trains). */
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val path = fixPath("bpe_merges", dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      Bpe.train(t(s, dir, "documents"), col("text"), numMerges = BpeMerges)
+        .write.mode("overwrite").parquet(path)
+    }
+    Bpe.mergeChain(s.read.parquet(path))
+  }
+
+  /** BPE corpus encoding with the persisted merge table
+    * ([[Bpe.encode]]): per-document word and BPE-token counts. The
+    * merge fold runs over distinct words only; the corpus side is one
+    * broadcast join + per-doc sum. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    Bpe.encode(t(s, dir, "documents"), "doc_id", col("text"),
+        bpeMergesFor(s, dir))
+      .orderBy("doc_id")
+
+  /** DuckDB replay of [[Bpe.train]]'s iteration chain: CTEs
+    * `bw` (word histogram), `bs0` (char symbols, space-joined) and per
+    * iteration i: `bpI` (adjacent pairs), `bbI` (argmax merge),
+    * `bsI` (greedy merge application via a `list_reduce` fold whose
+    * accumulator is the rewritten space-joined prefix — last symbol
+    * matches `lft` iff the string equals lft or ends with ' '+lft,
+    * since symbols never contain spaces). */
+  private def oBpeChain(n: Int): String = {
+    val iters = (1 to n).map { i =>
+      s"""bp$i AS (SELECT unnest(list_transform(
+         |    generate_series(1, length(sym) - 1),
+         |    j -> [sym[j], sym[j+1]])) AS pr, cnt
+         |  FROM (SELECT string_split(s, ' ') AS sym, cnt FROM bs${i - 1})),
+         |bb$i AS (SELECT pr[1] AS lft, pr[2] AS rgt,
+         |    pr[1] || pr[2] AS merged, CAST(sum(cnt) AS BIGINT) AS weight
+         |  FROM bp$i GROUP BY 1, 2, 3
+         |  ORDER BY weight DESC, lft, rgt LIMIT 1),
+         |bs$i AS (SELECT word, cnt,
+         |  list_reduce(string_split(s, ' '), (acc, x) ->
+         |    CASE WHEN (acc = bb$i.lft OR ends_with(acc, ' ' || bb$i.lft))
+         |              AND x = bb$i.rgt
+         |    THEN left(acc, length(acc) - length(bb$i.lft)) || bb$i.merged
+         |    ELSE acc || ' ' || x END) AS s
+         |  FROM bs${i - 1} CROSS JOIN bb$i)""".stripMargin
+    }.mkString(",\n")
+    s"""bw AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS t
+       |        FROM documents)
+       |  WHERE t <> '' GROUP BY t),
+       |bs0 AS (SELECT word, cnt, array_to_string(list_transform(
+       |    generate_series(1, length(word)), i -> word[i:i]), ' ') AS s
+       |  FROM bw),
+       |$iters""".stripMargin
+  }
+
+  private val oBpeTrain = {
+    val steps = (1 to BpeMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, lft, rgt, merged, weight FROM bb$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${oBpeChain(BpeMerges)}
+       |SELECT * FROM (
+       |  $steps)
+       |ORDER BY step""".stripMargin
+  }
+
+  private val oBpeEncode =
+    s"""WITH ${oBpeChain(BpeMerges)},
+       |enc AS (SELECT word,
+       |    CAST(length(string_split(s, ' ')) AS BIGINT) AS n_sym
+       |  FROM bs$BpeMerges),
+       |dw AS (SELECT doc_id, t AS word
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+       |        FROM documents)
+       |  WHERE t <> '')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5062,7 +5155,9 @@ object Queries {
     "q135_temperature_sample" -> (qTemperatureSample _),
     "q136_containment_pairs" -> (qContainmentPairs _),
     "q137_lm_coverage" -> (qLmCoverage _),
-    "q138_cluster_sample" -> (qClusterSample _)
+    "q138_cluster_sample" -> (qClusterSample _),
+    "q139_bpe_train" -> (qBpeTrain _),
+    "q140_bpe_encode" -> (qBpeEncode _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5207,6 +5302,8 @@ object Queries {
     "q135_temperature_sample" -> oTemperatureSample,
     "q136_containment_pairs" -> oContainmentPairs,
     "q137_lm_coverage" -> oLmCoverage,
-    "q138_cluster_sample" -> oClusterSample
+    "q138_cluster_sample" -> oClusterSample,
+    "q139_bpe_train" -> oBpeTrain,
+    "q140_bpe_encode" -> oBpeEncode
   )
 }
