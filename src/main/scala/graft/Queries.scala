@@ -5016,6 +5016,56 @@ object Queries {
        |FROM dw JOIN enc USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- Misra-Gries frequent items
+  /** Per-language frequent tokens via the Misra-Gries sketch
+    * ([[FreqItems.frequent]], k=64): one map-side-combined pass whose
+    * shuffle moves ≤k counters per partition — never the token long
+    * tail. k=64 exceeds this corpus's distinct-token count, so the
+    * lower-bound counts are EXACT and the oracle is the plain exact
+    * aggregate; the truncating regime's guarantees are pinned in
+    * FreqItemsSpec. */
+  private def qMgFrequent(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    FreqItems.frequent(toks, Seq("lang"), col("tok"), k = 64, minCount = 100L)
+      .orderBy("lang", "item")
+  }
+
+  private val oMgFrequent =
+    """SELECT lang, t AS item, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT lang, unnest(string_split_regex(text, '\s+')) AS t
+      |      FROM documents)
+      |WHERE t <> '' GROUP BY lang, t HAVING count(*) >= 100
+      |ORDER BY lang, item""".stripMargin
+
+  /** Sketch-merge path ([[FreqItems.mergeSketches]]): per-(source,
+    * half) MG sketches built independently, then re-merged per source
+    * WITHOUT touching the corpus — the ledger primitive that lets
+    * persisted shard summaries answer corpus-wide frequency probes.
+    * Exact at k=64 ≥ distinct, so the oracle is the direct exact
+    * aggregate over the union of both halves. */
+  private def qMgMerge(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), (col("doc_id") % 2).as("half"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val shardSketches =
+      FreqItems.sketch(toks, Seq("source", "half"), col("tok"), k = 64)
+    FreqItems.mergeSketches(shardSketches, Seq("source"), k = 64)
+      .select(col("source"), explode(col("mg")).as("e"))
+      .select(col("source"), col("e.item").as("item"), col("e.cnt").as("cnt"))
+      .filter(col("cnt") >= 40L)
+      .orderBy("source", "item")
+  }
+
+  private val oMgMerge =
+    """SELECT source, t AS item, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT source, unnest(string_split_regex(text, '\s+')) AS t
+      |      FROM documents)
+      |WHERE t <> '' GROUP BY source, t HAVING count(*) >= 40
+      |ORDER BY source, item""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5157,7 +5207,9 @@ object Queries {
     "q137_lm_coverage" -> (qLmCoverage _),
     "q138_cluster_sample" -> (qClusterSample _),
     "q139_bpe_train" -> (qBpeTrain _),
-    "q140_bpe_encode" -> (qBpeEncode _)
+    "q140_bpe_encode" -> (qBpeEncode _),
+    "q141_mg_frequent" -> (qMgFrequent _),
+    "q142_mg_merge" -> (qMgMerge _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5304,6 +5356,8 @@ object Queries {
     "q137_lm_coverage" -> oLmCoverage,
     "q138_cluster_sample" -> oClusterSample,
     "q139_bpe_train" -> oBpeTrain,
-    "q140_bpe_encode" -> oBpeEncode
+    "q140_bpe_encode" -> oBpeEncode,
+    "q141_mg_frequent" -> oMgFrequent,
+    "q142_mg_merge" -> oMgMerge
   )
 }
