@@ -5066,6 +5066,53 @@ object Queries {
       |WHERE t <> '' GROUP BY source, t HAVING count(*) >= 40
       |ORDER BY source, item""".stripMargin
 
+  // --------------------------------------- log2 distribution profile
+  /** Per-source document-length histogram on integer-exact log₂
+    * buckets ([[Distribution.logHistogram]] — bucket from the BINARY
+    * STRING length, never floating log2): ≤65 rows per group however
+    * large the corpus, and histograms merge by plain re-sum (the
+    * distribution analogue of the HLL cardinality ledger). */
+  private def qLogHistogram(s: SparkSession, dir: String): DataFrame =
+    Distribution.logHistogram(t(s, dir, "documents"), Seq("source"),
+        col("n_chars"))
+      .orderBy("source", "bucket")
+
+  private val oLogBucket =
+    "CAST(CASE WHEN n_chars <= 0 THEN -1 ELSE length(bin(n_chars)) - 1 " +
+      "END AS BIGINT)"
+
+  private val oLogHistogram =
+    s"""SELECT source, $oLogBucket AS bucket, CAST(count(*) AS BIGINT) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
+  /** p50/p90/p99 length quantiles served FROM the histogram
+    * ([[Distribution.quantiles]]): integer rank = ceil(q·total/1e6),
+    * estimate = the crossed bucket's lower bound 2^b computed in
+    * BIGINT — a factor-2 banded quantile at zero re-scan cost, exactly
+    * replayed by the oracle's cumulative-sum probe. */
+  private def qHistQuantiles(s: SparkSession, dir: String): DataFrame =
+    Distribution.quantiles(t(s, dir, "documents"), Seq("source"),
+        col("n_chars"), Seq(500000L, 900000L, 990000L))
+      .orderBy("source", "q_ppm")
+
+  private val oHistQuantiles =
+    s"""WITH h AS (SELECT source, $oLogBucket AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |c AS (SELECT source, bucket, n,
+       |    sum(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+       |    sum(n) OVER (PARTITION BY source) AS total FROM h),
+       |x AS (SELECT source, q_ppm, bucket, cum,
+       |    (total * q_ppm + 999999) // 1000000 AS rank
+       |  FROM c CROSS JOIN (SELECT unnest([500000, 900000, 990000]) AS q_ppm)),
+       |s AS (SELECT source, CAST(q_ppm AS BIGINT) AS q_ppm,
+       |    min(bucket) AS qbucket
+       |  FROM x WHERE cum >= rank GROUP BY 1, 2)
+       |SELECT source, q_ppm, qbucket,
+       |  CAST(CASE WHEN qbucket < 0 THEN 0
+       |       ELSE (CAST(1 AS BIGINT) << qbucket) END AS BIGINT) AS est
+       |FROM s ORDER BY source, q_ppm""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5209,7 +5256,9 @@ object Queries {
     "q139_bpe_train" -> (qBpeTrain _),
     "q140_bpe_encode" -> (qBpeEncode _),
     "q141_mg_frequent" -> (qMgFrequent _),
-    "q142_mg_merge" -> (qMgMerge _)
+    "q142_mg_merge" -> (qMgMerge _),
+    "q143_log_histogram" -> (qLogHistogram _),
+    "q144_hist_quantiles" -> (qHistQuantiles _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5358,6 +5407,8 @@ object Queries {
     "q139_bpe_train" -> oBpeTrain,
     "q140_bpe_encode" -> oBpeEncode,
     "q141_mg_frequent" -> oMgFrequent,
-    "q142_mg_merge" -> oMgMerge
+    "q142_mg_merge" -> oMgMerge,
+    "q143_log_histogram" -> oLogHistogram,
+    "q144_hist_quantiles" -> oHistQuantiles
   )
 }
