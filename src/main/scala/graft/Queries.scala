@@ -5113,6 +5113,43 @@ object Queries {
        |       ELSE (CAST(1 AS BIGINT) << qbucket) END AS BIGINT) AS est
        |FROM s ORDER BY source, q_ppm""".stripMargin
 
+  // --------------------------------------- streaming frequent items
+  /** Streaming per-language frequent tokens
+    * ([[graft.streaming.FreqStream]] — the MG counter table as keyed
+    * state, the frequency analogue of q120's streaming HLL): two
+    * landing phases split by doc parity, k=64 keeps this corpus in the
+    * exact regime, so the stream's final summary must equal the exact
+    * aggregate the oracle computes — batch boundaries cannot show. */
+  private def qStreamFrequent(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("lang").cast("string").as("k"),
+        explode(split(col("text"), "\\s+")).as("v"),
+        pmod(coalesce(col("doc_id"), lit(0L)), lit(2)).as("phase"))
+      .filter(col("v") =!= "")
+    val root = java.nio.file.Files.createTempDirectory("graft_q145")
+    try {
+      graft.streaming.FreqStream.replayFrequent(s,
+          Seq(base.filter(col("phase") === 0).select("k", "v"),
+            base.filter(col("phase") === 1).select("k", "v")),
+          root.toString, k = 64)
+        .filter(col("cnt") >= 100L)
+        .select(col("k").as("lang"), col("n_total"), col("item"), col("cnt"))
+        .orderBy("lang", "item")
+        .localCheckpoint()
+    } finally deleteRecursively(root)
+  }
+
+  private val oStreamFrequent =
+    """WITH tk AS (SELECT lang, t
+      |  FROM (SELECT lang, unnest(string_split_regex(text, '\s+')) AS t
+      |        FROM documents) WHERE t <> ''),
+      |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total
+      |        FROM tk GROUP BY 1),
+      |c AS (SELECT lang, t AS item, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM tk GROUP BY 1, 2)
+      |SELECT lang, n_total, item, cnt FROM c JOIN tot USING (lang)
+      |WHERE cnt >= 100 ORDER BY lang, item""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5258,7 +5295,8 @@ object Queries {
     "q141_mg_frequent" -> (qMgFrequent _),
     "q142_mg_merge" -> (qMgMerge _),
     "q143_log_histogram" -> (qLogHistogram _),
-    "q144_hist_quantiles" -> (qHistQuantiles _)
+    "q144_hist_quantiles" -> (qHistQuantiles _),
+    "q145_stream_frequent" -> (qStreamFrequent _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5409,6 +5447,7 @@ object Queries {
     "q141_mg_frequent" -> oMgFrequent,
     "q142_mg_merge" -> oMgMerge,
     "q143_log_histogram" -> oLogHistogram,
-    "q144_hist_quantiles" -> oHistQuantiles
+    "q144_hist_quantiles" -> oHistQuantiles,
+    "q145_stream_frequent" -> oStreamFrequent
   )
 }
