@@ -5150,6 +5150,77 @@ object Queries {
       |SELECT lang, n_total, item, cnt FROM c JOIN tot USING (lang)
       |WHERE cnt >= 100 ORDER BY lang, item""".stripMargin
 
+  // --------------------------------------- exact quantile selection
+  /** EXACT per-source length quantiles via iterative 64-ary range
+    * narrowing ([[Distribution.exactQuantiles]]): each pass is ONE job
+    * narrowing every (source, quantile) at once through a broadcast
+    * state table; 64-bit ranges converge in ≤11 passes — a multi-way
+    * binary search on the value domain, never a global sort. The
+    * oracle computes the same rank-⌈q·n/1e6⌉ element by window
+    * row_number. */
+  private def qExactQuantiles(s: SparkSession, dir: String): DataFrame =
+    Distribution.exactQuantiles(t(s, dir, "documents"), Seq("source"),
+        col("n_chars"), Seq(250000L, 500000L, 990000L))
+      .orderBy("source", "q_ppm")
+
+  private val oExactQuantiles =
+    """WITH r AS (SELECT source, n_chars AS v,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |q AS (SELECT source, n, q_ppm,
+      |    (n * q_ppm + 999999) // 1000000 AS rank
+      |  FROM (SELECT DISTINCT source, n FROM r)
+      |  CROSS JOIN (SELECT unnest([250000, 500000, 990000]) AS q_ppm))
+      |SELECT r.source, CAST(q.q_ppm AS BIGINT) AS q_ppm,
+      |  CAST(r.v AS BIGINT) AS v
+      |FROM q JOIN r ON r.source = q.source AND r.rn = q.rank
+      |ORDER BY r.source, q_ppm""".stripMargin
+
+  // --------------------------------------- prefix-filtered similarity join
+  /** CORPUS-WIDE exact Jaccard pairs at t=0.5 via prefix filtering
+    * ([[ApproxDedup.jaccardPairsPrefix]] — AllPairs/PPJoin): no
+    * blocking column, no all-pairs join; the index holds only each
+    * document's rarest ~(1−t)·|x| n-grams and is provably lossless,
+    * which is exactly what the oracle checks — the brute-force
+    * all-pairs join over the WHOLE corpus must return the identical
+    * pair set. */
+  private def qPrefixJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("grams", ApproxDedup.wordNgrams(col("text"), 4))
+    val scoped = ApproxDedup.jaccardPairsPrefixScoped(
+      docs, "doc_id", "grams", thresholdPpm = 800000L)
+    val out = scoped.df.orderBy("id_a", "id_b").localCheckpoint()
+    scoped.release()
+    out
+  }
+
+  /** Distinct word-4-gram sets, mirroring `wordNgrams(text, 4)`
+    * (including the <4-token whole-text fallback). 4-grams, not
+    * bigrams: this corpus's 31-word vocabulary makes every BIGRAM a
+    * stop-word-class hot token (df in the hundreds), the adversarial
+    * case for prefix filtering; 4-grams are nearly unique (max df 6 at
+    * sf0.1), the selectivity real shingle dedup runs at. */
+  private val oQuadgramsExpr =
+    """CASE WHEN len(toks) >= 4
+      | THEN list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
+      |                     toks[i+2] || ' ' || toks[i+3]
+      |                     for i in generate_series(1, len(toks)-3)])
+      | ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  private val oPrefixJaccard =
+    s"""WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, $oQuadgramsExpr AS bg FROM t),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  len(list_intersect(a.bg, b.bg)) AS inter,
+       |  len(a.bg) AS sa, len(b.bg) AS sb
+       |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / (sa + sb - inter) AS jac
+       |FROM p WHERE inter * 1000000 >= (sa + sb - inter) * 800000
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5296,7 +5367,9 @@ object Queries {
     "q142_mg_merge" -> (qMgMerge _),
     "q143_log_histogram" -> (qLogHistogram _),
     "q144_hist_quantiles" -> (qHistQuantiles _),
-    "q145_stream_frequent" -> (qStreamFrequent _)
+    "q145_stream_frequent" -> (qStreamFrequent _),
+    "q146_exact_quantiles" -> (qExactQuantiles _),
+    "q147_prefix_jaccard" -> (qPrefixJaccard _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5448,6 +5521,8 @@ object Queries {
     "q142_mg_merge" -> oMgMerge,
     "q143_log_histogram" -> oLogHistogram,
     "q144_hist_quantiles" -> oHistQuantiles,
-    "q145_stream_frequent" -> oStreamFrequent
+    "q145_stream_frequent" -> oStreamFrequent,
+    "q146_exact_quantiles" -> oExactQuantiles,
+    "q147_prefix_jaccard" -> oPrefixJaccard
   )
 }

@@ -248,6 +248,91 @@ object ApproxDedup {
     Scoped(pairs, () => { ex.unpersist(); () })
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (the AllPairs/PPJoin
+    * principle — Chaudhuri et al. 2006, Bayardo et al. 2007, Xiao et
+    * al. 2008): the corpus-wide set-similarity join that needs NO
+    * blocking column. With every set sorted by one global rarest-first
+    * order, a pair with J ≥ t must share its SMALLEST common element
+    * inside both documents' prefixes of length |x| − ⌈t·|x|⌉ + 1
+    * (if that element sat deeper, all ≥⌈t·|x|⌉ intersection elements
+    * would fit in the ⌈t·|x|⌉−1 suffix slots — contradiction), so
+    * joining only on PREFIX tokens is lossless — the oracle checks
+    * equality with the brute-force all-pairs join.
+    *
+    * Scale shape: the index explodes ~(1−t)·|x| tokens per document,
+    * and those are the RAREST tokens by construction — posting lists
+    * of frequent tokens live in suffixes and never join. Candidates
+    * additionally pass the size filter min·1e6 ≥ t_ppm·max before the
+    * exact verify touches the set arrays. This is the scale-safe
+    * corpus-wide sibling of the blocked [[jaccardPairs]] (which needs
+    * a curated blocking key) and the inverted index
+    * [[jaccardPairsInverted]] (which explodes EVERY token and pays
+    * Σ df² on hot ones).
+    *
+    * The threshold is ppm (integer): prefix lengths, the size filter
+    * and the verify use exact integer arithmetic — an IEEE ⌈t·|x|⌉
+    * at a representation boundary (0.6·5 = 3.0000000000000004) would
+    * silently SHORTEN a prefix and lose pairs. Output jac is the
+    * int/int double, bit-identical in any engine. */
+  def jaccardPairsPrefix(df: DataFrame, id: String, setCol: String,
+                         thresholdPpm: Long): DataFrame =
+    jaccardPairsPrefixScoped(df, id, setCol, thresholdPpm).df
+
+  /** [[jaccardPairsPrefix]] with an ownable cache lifetime. */
+  def jaccardPairsPrefixScoped(df: DataFrame, id: String, setCol: String,
+                               thresholdPpm: Long): Scoped = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000,
+      "prefix filtering needs a positive ppm threshold (lossless only " +
+        "prunes when t > 0)")
+    val base = df
+      .select(col(id).as("id"), col(setCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("sz", size(col("s")).cast("bigint"))
+      .filter(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = base.select(col("id"), col("sz"), explode(col("s")).as("tok"))
+    // one global rarest-first canonical order: (document frequency asc,
+    // token asc); vocab-sized, built in one map-side-combined agg
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    // per-doc prefix: sort tokens by the canonical order, keep the
+    // first sz - ceil(t*sz) + 1 (integer ppm arithmetic)
+    val pref = toks
+      .join(dfreq, "tok")
+      .groupBy(col("id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("tdf"), col("tok"))))
+        .as("st"))
+      .withColumn("p",
+        (col("sz") - expr(s"(sz * ${thresholdPpm}L + 999999) div 1000000")
+          + 1).cast("int"))
+      .select(col("id"), col("sz"),
+        explode(expr("slice(st, 1, p)")).as("e"))
+      .select(col("id"), col("sz"), col("e.tok").as("tok"))
+    // candidates: share a prefix token + pass the size filter
+    val a = pref.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+    val b = pref.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok"))
+    val cand = a.join(b, Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("sz_a"), col("sz_b")) * 1000000L
+        >= greatest(col("sz_a"), col("sz_b")) * thresholdPpm)
+      .select("id_a", "id_b").distinct()
+    // exact verify on the candidate pairs only
+    val setsA = base.select(col("id").as("id_a"), col("s").as("set_a"),
+      col("sz").as("vsz_a"))
+    val setsB = base.select(col("id").as("id_b"), col("s").as("set_b"),
+      col("sz").as("vsz_b"))
+    val verified = cand
+      .join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("bigint"))
+      // integer cross-multiplication: inter/union >= t_ppm/1e6 exactly
+      .filter(col("inter") * 1000000L
+        >= (col("vsz_a") + col("vsz_b") - col("inter")) * thresholdPpm)
+      .withColumn("jac", col("inter").cast("double")
+        / (col("vsz_a") + col("vsz_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("jac"))
+    Scoped(verified, () => { base.unpersist(); () })
+  }
+
   /** Portable 32-bit base hash: the first 8 hex chars of md5. */
   def hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("bigint")

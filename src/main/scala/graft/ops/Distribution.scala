@@ -82,4 +82,134 @@ object Distribution {
                 qPpm: Seq[Long]): DataFrame =
     quantilesFromHistogram(logHistogram(df, groupCols, value),
       groupCols, qPpm)
+
+  /** EXACT distributed quantile selection — the complement to the
+    * factor-2 histogram serving when a pipeline gate needs the true
+    * value (median length cutoffs, exact p99 shard budgets): iterative
+    * 64-ary range narrowing (the classic distributed selection
+    * algorithm — a multi-way binary search on the VALUE domain, not a
+    * global sort). Each pass runs ONE job for every (group, quantile)
+    * still open: the driver's state table (group, q, lo, hi) —
+    * model-sized, |groups|·|qs| rows — broadcast-joins onto the rows,
+    * each row buckets into one of `fanout` equal-width bins of its
+    * group's remaining range, and the ≤ fanout·|states| bin counts
+    * come back to the driver to narrow every range at once. Ranges
+    * shrink fanout× per pass, so 64-bit longs converge in ≤ ⌈64/6⌉=11
+    * passes — each pass a scan + a model-sized shuffle, NEVER a global
+    * sort of the corpus. Result: the rank-⌈q·n/1e6⌉ smallest value
+    * per group (1-based, duplicates counted), integer-exact.
+    *
+    * Contract: `value` must be long-typed with a group range narrower
+    * than 2^63 (asserted) — the bin arithmetic stays in Long. */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
+                     qPpm: Seq[Long], fanout: Int = 64,
+                     maxPasses: Int = 16): DataFrame = {
+    require(fanout >= 2, "fanout must be >= 2")
+    require(qPpm.nonEmpty && qPpm.forall(q => q >= 1 && q <= 1000000),
+      "quantiles are ppm in [1, 1000000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val gCols = groupCols.map(col)
+    val base = df.filter(value.isNotNull)
+      .select(gCols :+ value.cast("long").as("v"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // driver-state join key: \u0001-separated, null-sentineled - no
+    // concatenation ambiguity between ("a","bc") and ("ab","c"), no
+    // null collision with a real string
+    val gKey =
+      if (groupCols.isEmpty) lit("")
+      else concat_ws("\u0001", gCols.map(c =>
+        coalesce(c.cast("string"), lit("\u0000null"))): _*)
+
+    // pass 0: per-group count + min/max seeds every (group, q) state
+    val seeds = base
+      .groupBy(gCols: _*)
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumn("gk", gKey)
+      .collect()
+
+    // state: gk -> (groupRow, q -> (lo, hi, rank-within-range))
+    final case class St(var lo: Long, var hi: Long, var r: Long)
+    val groupsOf = scala.collection.mutable.LinkedHashMap.empty[String,
+      (org.apache.spark.sql.Row, scala.collection.mutable.LinkedHashMap[Long, St])]
+    seeds.foreach { row =>
+      val n = row.getAs[Long]("n")
+      val lo = row.getAs[Long]("lo")
+      val hi = row.getAs[Long]("hi")
+      require(BigInt(hi) - BigInt(lo) < (BigInt(1) << 62),
+        s"exactQuantiles: group range [$lo, $hi] too wide for Long bins")
+      val qs = scala.collection.mutable.LinkedHashMap(qPpm.map { q =>
+        q -> St(lo, hi, (n * q + 999999L) / 1000000L)
+      }: _*)
+      groupsOf(row.getAs[String]("gk")) = (row, qs)
+    }
+
+    var passes = 0
+    def open: Seq[(String, Long, St)] = groupsOf.iterator.flatMap {
+      case (gk, (_, qs)) => qs.iterator.collect {
+        case (q, st) if st.lo < st.hi => (gk, q, st)
+      }
+    }.toSeq
+
+    while (open.nonEmpty) {
+      passes += 1
+      require(passes <= maxPasses,
+        s"exactQuantiles failed to converge in $maxPasses passes")
+      val states = open.map { case (gk, q, st) =>
+        val width = ((BigInt(st.hi) - st.lo + fanout) / fanout).toLong.max(1L)
+        (gk, q, st.lo, st.hi, width)
+      }
+      val stDf = states.toDF("gk", "q_ppm", "lo", "hi", "w")
+      // one job narrows EVERY open (group, quantile) range
+      val bins = base
+        .withColumn("gk", gKey)
+        .join(broadcast(stDf), "gk")
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .groupBy(col("gk"), col("q_ppm"),
+          expr("(v - lo) div w").as("bin")) // integer div — never FP
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.getAs[String]("gk"), r.getAs[Long]("q_ppm")))
+      states.foreach { case (gk, q, lo, hi, w) =>
+        val st = groupsOf(gk)._2(q)
+        val byBin = bins((gk, q))
+          .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n"))
+          .sortBy(_._1)
+        var cum = 0L
+        val it = byBin.iterator
+        var found = false
+        while (!found && it.hasNext) {
+          val (b, n) = it.next()
+          if (cum + n >= st.r) {
+            st.r -= cum
+            st.lo = lo + b * w
+            st.hi = math.min(hi, lo + (b + 1) * w - 1)
+            found = true
+          } else cum += n
+        }
+        assert(found, s"exactQuantiles: rank ${st.r} exceeds range count")
+      }
+    }
+    base.unpersist()
+
+    val rows = groupsOf.values.flatMap { case (row, qs) =>
+      qs.map { case (q, st) =>
+        org.apache.spark.sql.Row.fromSeq(
+          groupCols.indices.map(row.get) ++ Seq(q, st.lo))
+      }
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(
+      groupCols.indices.map(i =>
+        org.apache.spark.sql.types.StructField(groupCols(i),
+          seeds.headOption.map(_.schema(i).dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType)))
+      ++ Seq(
+        org.apache.spark.sql.types.StructField("q_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

@@ -73,4 +73,74 @@ class DistributionSpec extends SparkSpec {
       .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(h.toSeq == Seq((2L, 2L), (3L, 1L)))
   }
+
+  // ------------------------- exact quantile selection (q146 operator)
+
+  private def refRankth(vals: Seq[Long], qPpm: Long): Long = {
+    val sorted = vals.sorted
+    val rank = ((vals.size.toLong * qPpm + 999999L) / 1000000L).toInt
+    sorted(rank - 1)
+  }
+
+  test("exactQuantiles returns the true rank-th element per group") {
+    // duplicates, negatives, skew, a single-element group
+    val data =
+      (1 to 1000).map(i => ("a", ((i * 2654435761L) % 5000) - 2500)) ++
+      (1 to 500).map(_ => ("b", 7L)) ++ // all-duplicates group
+      (1 to 300).map(i => ("c", i.toLong * i)) ++
+      Seq(("d", -42L)) // single element
+    val df = data.toDF("g", "v").repartition(8)
+    val qs = Seq(1L, 250000L, 500000L, 990000L, 1000000L)
+    val got = Distribution.exactQuantiles(df, Seq("g"), col("v"), qs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byG = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for ((g, vals) <- byG; q <- qs) {
+      assert(got((g, q)) == refRankth(vals, q),
+        s"group $g q=$q: got ${got((g, q))} want ${refRankth(vals, q)}")
+    }
+  }
+
+  test("exactQuantiles converges on a 2^50-wide adversarial range") {
+    val vals = Seq(-(1L << 49), -12345L, 0L, 3L, 3L, 999999999999L, 1L << 49)
+    val df = vals.toDF("v")
+    val got = Distribution.exactQuantiles(df, Nil, col("v"),
+        Seq(500000L, 1000000L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(500000L) == refRankth(vals, 500000L))
+    assert(got(1000000L) == (1L << 49))
+  }
+
+  test("exactQuantiles job count tracks passes, NOT the state count") {
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+      spark.sparkContext.addSparkListener(listener)
+      try { body; org.apache.spark.GraftTestBus.drain(spark.sparkContext) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    // same per-group value distribution -> same pass count; 12x the
+    // states must cost the SAME number of jobs (every pass narrows all
+    // open states in one job via the broadcast state table)
+    val one = (1 to 4000).map(i => ("g0", (i * 37L) % 100000))
+      .toDF("g", "v").repartition(8)
+    val twelve = (1 to 4000).map(i => (s"g${i % 4}", (i * 37L) % 100000))
+      .toDF("g", "v").repartition(8)
+    val jOne = countJobs(
+      Distribution.exactQuantiles(one, Seq("g"), col("v"),
+        Seq(500000L)).collect())
+    val jTwelve = countJobs(
+      Distribution.exactQuantiles(twelve, Seq("g"), col("v"),
+        Seq(250000L, 500000L, 990000L)).collect())
+    assert(jTwelve <= jOne + 2, // same passes (+AQE jitter allowance)
+      s"12 states cost $jTwelve jobs vs $jOne for 1 state — job count " +
+        "must not scale with states")
+  }
 }
