@@ -5221,6 +5221,94 @@ object Queries {
        |FROM p WHERE inter * 1000000 >= (sa + sb - inter) * 800000
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------- corpus drift gates
+  /** Length-distribution drift gate per source ([[DriftStats.l1Drift]]
+    * over two [[Distribution.logHistogram]] summaries — the
+    * token/length face of q124's embedding drift gate): ledger = the
+    * md5-hash-split 90%, landing batch = the 10%, L1 distance in exact
+    * integer ppm over the bucket union, verdict at 400 000 ppm. The
+    * gate touches only metadata-sized histogram tables. */
+  private def qHistDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
+    val ledger = Distribution.logHistogram(
+      docs.filter(!isBatch), Seq("source"), col("n_chars"))
+    val batch = Distribution.logHistogram(
+      docs.filter(isBatch), Seq("source"), col("n_chars"))
+    DriftStats.l1Drift(ledger, batch, Seq("source"), "bucket",
+        thresholdPpm = 400000L)
+      .orderBy("source")
+  }
+
+  private val oDriftSplit =
+    "('0x' || substr(md5('drift:' || CAST(doc_id AS VARCHAR)), 1, 8))" +
+      "::BIGINT % 10 = 0"
+
+  private val oHistDrift =
+    s"""WITH h AS (SELECT source, ($oDriftSplit) AS isb,
+       |    $oLogBucket AS bucket, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2, 3),
+       |s AS (SELECT source, isb, bucket,
+       |    n * 1000000 // sum(n) OVER (PARTITION BY source, isb) AS sh,
+       |    sum(n) OVER (PARTITION BY source, isb) AS tot
+       |  FROM h),
+       |a AS (SELECT source, bucket, sh, tot FROM s WHERE NOT isb),
+       |b AS (SELECT source, bucket, sh, tot FROM s WHERE isb),
+       |j AS (SELECT coalesce(a.source, b.source) AS source,
+       |    coalesce(a.sh, 0) AS sha, coalesce(b.sh, 0) AS shb,
+       |    coalesce(a.tot, 0) AS ta, coalesce(b.tot, 0) AS tb
+       |  FROM a FULL OUTER JOIN b
+       |    ON a.source = b.source AND a.bucket = b.bucket)
+       |SELECT source, CAST(sum(abs(sha - shb)) AS BIGINT) AS l1_ppm,
+       |  CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+       |  CASE WHEN sum(abs(sha - shb)) > 400000 THEN 'shifted'
+       |       ELSE 'stable' END AS verdict
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  /** Vocabulary drift gate per language: the same L1 gate over
+    * frequency summaries built by the MG SKETCH ([[FreqItems.sketch]],
+    * k=64 — exact here, bounded anywhere), so the whole pipeline
+    * (sketch per side → drift verdict) never shuffles the token long
+    * tail or scans the corpus twice. */
+  private def qTokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
+    def counts(side: DataFrame): DataFrame =
+      FreqItems.sketch(
+          side.select(col("lang"),
+            explode(split(col("text"), "\\s+")).as("tok"))
+            .filter(col("tok") =!= ""),
+          Seq("lang"), col("tok"), k = 64)
+        .select(col("lang"), explode(col("mg")).as("e"))
+        .select(col("lang"), col("e.item").as("item"), col("e.cnt").as("n"))
+    DriftStats.l1Drift(counts(docs.filter(!isBatch)),
+        counts(docs.filter(isBatch)), Seq("lang"), "item",
+        thresholdPpm = 150000L)
+      .orderBy("lang")
+  }
+
+  private val oTokenDrift =
+    s"""WITH tk AS (SELECT lang, ($oDriftSplit) AS isb,
+       |    unnest(string_split_regex(text, '\\s+')) AS t
+       |  FROM documents),
+       |c AS (SELECT lang, isb, t, CAST(count(*) AS BIGINT) AS n
+       |  FROM tk WHERE t <> '' GROUP BY 1, 2, 3),
+       |s AS (SELECT lang, isb, t,
+       |    n * 1000000 // sum(n) OVER (PARTITION BY lang, isb) AS sh,
+       |    sum(n) OVER (PARTITION BY lang, isb) AS tot
+       |  FROM c),
+       |a AS (SELECT lang, t, sh, tot FROM s WHERE NOT isb),
+       |b AS (SELECT lang, t, sh, tot FROM s WHERE isb),
+       |j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+       |    coalesce(a.sh, 0) AS sha, coalesce(b.sh, 0) AS shb,
+       |    coalesce(a.tot, 0) AS ta, coalesce(b.tot, 0) AS tb
+       |  FROM a FULL OUTER JOIN b ON a.lang = b.lang AND a.t = b.t)
+       |SELECT lang, CAST(sum(abs(sha - shb)) AS BIGINT) AS l1_ppm,
+       |  CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+       |  CASE WHEN sum(abs(sha - shb)) > 150000 THEN 'shifted'
+       |       ELSE 'stable' END AS verdict
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5369,7 +5457,9 @@ object Queries {
     "q144_hist_quantiles" -> (qHistQuantiles _),
     "q145_stream_frequent" -> (qStreamFrequent _),
     "q146_exact_quantiles" -> (qExactQuantiles _),
-    "q147_prefix_jaccard" -> (qPrefixJaccard _)
+    "q147_prefix_jaccard" -> (qPrefixJaccard _),
+    "q148_hist_drift" -> (qHistDrift _),
+    "q149_token_drift" -> (qTokenDrift _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5523,6 +5613,8 @@ object Queries {
     "q144_hist_quantiles" -> oHistQuantiles,
     "q145_stream_frequent" -> oStreamFrequent,
     "q146_exact_quantiles" -> oExactQuantiles,
-    "q147_prefix_jaccard" -> oPrefixJaccard
+    "q147_prefix_jaccard" -> oPrefixJaccard,
+    "q148_hist_drift" -> oHistDrift,
+    "q149_token_drift" -> oTokenDrift
   )
 }
