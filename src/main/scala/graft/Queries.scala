@@ -5309,6 +5309,48 @@ object Queries {
        |       ELSE 'stable' END AS verdict
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+  // --------------------------------------- tokenizer-aware packing
+  /** Sequence packing by REAL tokenizer counts ([[Bpe.encode]] with
+    * the persisted merge table → [[Curation.packSequences]]): the
+    * training-prep composition a whitespace count only approximates —
+    * context budgets are spent in BPE tokens, not words. The corpus
+    * side stays one broadcast join + two shard-local windows; the
+    * oracle replays the trained model, the encoding and the packing
+    * arithmetic end to end. */
+  private def qBpePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enc = Bpe.encode(docs, "doc_id", col("text"), bpeMergesFor(s, dir))
+    Curation.packSequences(
+        enc.join(docs.select("doc_id", "source"), "doc_id"),
+        "doc_id", "source", col("n_bpe_tokens"), seqTokens = 512)
+      .orderBy("doc_id")
+  }
+
+  private val oBpePack =
+    s"""WITH ${oBpeChain(BpeMerges)},
+       |enc AS (SELECT word,
+       |    CAST(length(string_split(s, ' ')) AS BIGINT) AS n_sym
+       |  FROM bs$BpeMerges),
+       |dw AS (SELECT doc_id, t AS word
+       |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+       |        FROM documents)
+       |  WHERE t <> ''),
+       |dn AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+       |  FROM dw JOIN enc USING (word) GROUP BY doc_id),
+       |d AS (SELECT dn.doc_id, documents.source, n_tokens
+       |  FROM dn JOIN documents USING (doc_id)),
+       |o AS (SELECT *,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+       |  FROM d)
+       |SELECT doc_id, source, n_tokens, token_offset,
+       |  token_offset // 512 AS first_seq,
+       |  (token_offset + n_tokens - 1) // 512 AS last_seq,
+       |  (token_offset + n_tokens - 1) // 512 - token_offset // 512 + 1
+       |    AS n_seqs
+       |FROM o ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5459,7 +5501,8 @@ object Queries {
     "q146_exact_quantiles" -> (qExactQuantiles _),
     "q147_prefix_jaccard" -> (qPrefixJaccard _),
     "q148_hist_drift" -> (qHistDrift _),
-    "q149_token_drift" -> (qTokenDrift _)
+    "q149_token_drift" -> (qTokenDrift _),
+    "q150_bpe_pack" -> (qBpePack _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5615,6 +5658,7 @@ object Queries {
     "q146_exact_quantiles" -> oExactQuantiles,
     "q147_prefix_jaccard" -> oPrefixJaccard,
     "q148_hist_drift" -> oHistDrift,
-    "q149_token_drift" -> oTokenDrift
+    "q149_token_drift" -> oTokenDrift,
+    "q150_bpe_pack" -> oBpePack
   )
 }

@@ -92,6 +92,19 @@ class FreqItemsSpec extends SparkSpec {
     assert(empty.head.getInt(0) == 0)
   }
 
+  test("MG aggregation is map-side partial (k rows cross the exchange)") {
+    // the operator's scale claim: a partial aggregate runs BEFORE the
+    // exchange, so each partition ships <= k counters per group — never
+    // the raw token stream
+    val df = (1 to 1000).map(i => (s"g${i % 2}", s"t${i % 9}"))
+      .toDF("g", "x").repartition(8)
+    val plan = FreqItems.sketch(df, Seq("g"), col("x"), 16)
+      .queryExecution.executedPlan.toString
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2 && plan.contains("partial_"),
+      s"expected partial+final ObjectHashAggregate around the exchange:\n$plan")
+  }
+
   test("finish order is deterministic: cnt desc, then item") {
     val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(3)("c"))
       .toDF("x").repartition(4)
