@@ -5351,6 +5351,86 @@ object Queries {
        |    AS n_seqs
        |FROM o ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------- streaming histogram
+  /** Streaming per-source length histogram
+    * ([[graft.streaming.HistStream]] — ≤65 bucket cells of keyed state
+    * per source): two landing phases split by the md5 drift split;
+    * because bucket-count folding is associative and commutative, the
+    * stream's final histogram must equal q143's one-shot batch
+    * histogram EXACTLY — the oracle is the same batch SQL. */
+  private def qStreamHistogram(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("source").cast("string").as("k"),
+        col("n_chars").cast("long").as("v"),
+        (Curation.hashBucket(col("doc_id"), "drift:", 10) === 0).as("isb"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q151")
+    try {
+      graft.streaming.HistStream.replayHistogram(s,
+          Seq(base.filter(!col("isb")).select("k", "v"),
+            base.filter(col("isb")).select("k", "v")),
+          root.toString)
+        .select(col("k").as("source"), col("bucket"), col("n"))
+        .orderBy("source", "bucket")
+        .localCheckpoint()
+    } finally deleteRecursively(root)
+  }
+
+  private val oStreamHistogram = oLogHistogram
+
+  // ----------------------------------------- histogram ledger refresh
+  /** Incremental distribution refresh ([[Distribution
+    * .mergeHistograms]] — the quantile analogue of q117's cardinality
+    * ledger): the persisted 90% ledger histogram absorbs the 10%
+    * landing batch by plain re-sum, and p50/p99 serve from BOTH states
+    * (phase='ledger' before, 'merged' after) without ever re-scanning
+    * the corpus. The oracle recomputes both phases' quantile probes
+    * from scratch. */
+  private def qHistRefresh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
+    val ledger = Distribution.logHistogram(
+      docs.filter(!isBatch), Seq("source"), col("n_chars"))
+    val batch = Distribution.logHistogram(
+      docs.filter(isBatch), Seq("source"), col("n_chars"))
+    val merged = Distribution.mergeHistograms(Seq(ledger, batch),
+      Seq("source"))
+    val qs = Seq(500000L, 990000L)
+    Distribution.quantilesFromHistogram(ledger, Seq("source"), qs)
+      .withColumn("phase", lit("ledger"))
+      .unionByName(
+        Distribution.quantilesFromHistogram(merged, Seq("source"), qs)
+          .withColumn("phase", lit("merged")))
+      .orderBy("source", "phase", "q_ppm")
+  }
+
+  private val oHistRefresh = {
+    def probe(where: String, phase: String) =
+      s"""SELECT source, q_ppm, qbucket,
+         |  CAST(CASE WHEN qbucket < 0 THEN 0
+         |       ELSE (CAST(1 AS BIGINT) << qbucket) END AS BIGINT) AS est,
+         |  '$phase' AS phase
+         |FROM (
+         |  SELECT source, CAST(q_ppm AS BIGINT) AS q_ppm,
+         |      min(bucket) AS qbucket
+         |  FROM (
+         |    SELECT source, bucket, q_ppm, cum,
+         |        (total * q_ppm + 999999) // 1000000 AS rank
+         |    FROM (
+         |      SELECT source, bucket, n,
+         |          sum(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+         |          sum(n) OVER (PARTITION BY source) AS total
+         |      FROM (SELECT source, $oLogBucket AS bucket,
+         |              CAST(count(*) AS BIGINT) AS n
+         |            FROM documents WHERE $where GROUP BY 1, 2))
+         |    CROSS JOIN (SELECT unnest([500000, 990000]) AS q_ppm))
+         |  WHERE cum >= rank GROUP BY 1, 2)""".stripMargin
+    s"""SELECT * FROM (
+       |${probe(s"NOT ($oDriftSplit)", "ledger")}
+       |UNION ALL
+       |${probe("TRUE", "merged")})
+       |ORDER BY source, phase, q_ppm""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5502,7 +5582,9 @@ object Queries {
     "q147_prefix_jaccard" -> (qPrefixJaccard _),
     "q148_hist_drift" -> (qHistDrift _),
     "q149_token_drift" -> (qTokenDrift _),
-    "q150_bpe_pack" -> (qBpePack _)
+    "q150_bpe_pack" -> (qBpePack _),
+    "q151_stream_histogram" -> (qStreamHistogram _),
+    "q152_hist_refresh" -> (qHistRefresh _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5659,6 +5741,8 @@ object Queries {
     "q147_prefix_jaccard" -> oPrefixJaccard,
     "q148_hist_drift" -> oHistDrift,
     "q149_token_drift" -> oTokenDrift,
-    "q150_bpe_pack" -> oBpePack
+    "q150_bpe_pack" -> oBpePack,
+    "q151_stream_histogram" -> oStreamHistogram,
+    "q152_hist_refresh" -> oHistRefresh
   )
 }
