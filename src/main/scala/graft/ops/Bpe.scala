@@ -103,6 +103,7 @@ object Bpe {
     val merges = ArrayBuffer.empty[Merge]
     var exhausted = false
     var step = 1
+    try {
     while (step <= numMerges && !exhausted) {
       // adjacent-pair weights over the vocab histogram
       val best = hist
@@ -130,8 +131,10 @@ object Bpe {
         step += 1
       }
     }
-    hist.unpersist()
-    prev.foreach(_.unpersist())
+    } finally { // no orphaned caches, also on a failed iteration
+      hist.unpersist()
+      prev.foreach(_.unpersist())
+    }
     merges.toSeq.toDF()
       .select(col("step").cast("bigint"), col("lft"), col("rgt"),
         col("merged"), col("weight"))

@@ -152,6 +152,7 @@ object Distribution {
       }
     }.toSeq
 
+    try {
     while (open.nonEmpty) {
       passes += 1
       require(passes <= maxPasses,
@@ -191,7 +192,7 @@ object Distribution {
         assert(found, s"exactQuantiles: rank ${st.r} exceeds range count")
       }
     }
-    base.unpersist()
+    } finally base.unpersist() // no orphaned cache, also on a failed pass
 
     val rows = groupsOf.values.flatMap { case (row, qs) =>
       qs.map { case (q, st) =>
