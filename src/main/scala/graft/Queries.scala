@@ -5431,6 +5431,66 @@ object Queries {
        |ORDER BY source, phase, q_ppm""".stripMargin
   }
 
+  // ----------------------------------------- persisted vocab ledger
+  /** The MG frequency sketch as a PERSISTED vocabulary ledger
+    * ([[FreqItems.mergeSketches]] — the frequency analogue of q117's
+    * cardinality ledger): per-language sketches of the 90% corpus are
+    * bootstrapped to parquet once; the 10% landing batch's sketch
+    * merges in WITHOUT rescanning the old corpus, and the query
+    * reports each language's top-5 tokens before and after. k=64
+    * keeps this corpus exact, so the oracle recomputes both phases'
+    * rankings from raw counts. */
+  private def qVocabLedger(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
+    def toks(d: DataFrame): DataFrame =
+      d.select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+    val ledgerPath = fixPath("vocab_ledger", dir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(ledgerPath, "_SUCCESS"))) {
+      FreqItems.sketch(toks(docs.filter(!isBatch)), Seq("lang"),
+          col("tok"), k = 64)
+        .write.mode("overwrite").parquet(ledgerPath)
+    }
+    val ledger = s.read.parquet(ledgerPath)
+    val merged = FreqItems.mergeSketches(
+      ledger.unionByName(
+        FreqItems.sketch(toks(docs.filter(isBatch)), Seq("lang"),
+          col("tok"), k = 64)),
+      Seq("lang"), k = 64)
+    def top5(sk: DataFrame, phase: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("item"))
+      sk.select(col("lang"), explode(col("mg")).as("e"))
+        .select(col("lang"), col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 5)
+        .withColumn("phase", lit(phase))
+    }
+    top5(ledger, "ledger").unionByName(top5(merged, "merged"))
+      .orderBy("lang", "phase", "rank")
+  }
+
+  private val oVocabLedger = {
+    def probe(where: String, phase: String) =
+      s"""SELECT lang, item, cnt, rank, '$phase' AS phase FROM (
+         |  SELECT lang, t AS item, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY count(*) DESC, t) AS BIGINT) AS rank
+         |  FROM (SELECT lang, doc_id,
+         |          unnest(string_split_regex(text, '\\s+')) AS t
+         |        FROM documents)
+         |  WHERE t <> '' AND ($where) GROUP BY lang, t)
+         |WHERE rank <= 5""".stripMargin
+    s"""SELECT * FROM (
+       |${probe(s"NOT ($oDriftSplit)", "ledger")}
+       |UNION ALL
+       |${probe("TRUE", "merged")})
+       |ORDER BY lang, phase, rank""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5584,7 +5644,8 @@ object Queries {
     "q149_token_drift" -> (qTokenDrift _),
     "q150_bpe_pack" -> (qBpePack _),
     "q151_stream_histogram" -> (qStreamHistogram _),
-    "q152_hist_refresh" -> (qHistRefresh _)
+    "q152_hist_refresh" -> (qHistRefresh _),
+    "q153_vocab_ledger" -> (qVocabLedger _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5743,6 +5804,7 @@ object Queries {
     "q149_token_drift" -> oTokenDrift,
     "q150_bpe_pack" -> oBpePack,
     "q151_stream_histogram" -> oStreamHistogram,
-    "q152_hist_refresh" -> oHistRefresh
+    "q152_hist_refresh" -> oHistRefresh,
+    "q153_vocab_ledger" -> oVocabLedger
   )
 }
