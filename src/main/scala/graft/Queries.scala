@@ -5491,6 +5491,77 @@ object Queries {
        |ORDER BY lang, phase, rank""".stripMargin
   }
 
+  // --------------------------------------------- BM25 ranked retrieval
+  /** Known-item retrieval ([[Retrieval.bm25TopK]] — integer-exact
+    * BM25-class scoring over an inverted-index join): every 100th
+    * document's first 4 tokens become a query; top-5 docs per query by
+    * the µ-unit Okapi score with log₂-quantized idf. Only the query
+    * terms' posting lists ever join (the query-term table broadcasts);
+    * the oracle replays idf quantization, the fixed integer division
+    * chain and the rank window exactly. */
+  private def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("qtext"))
+    // persisted posting-table index (write-once bootstrap like the
+    // ANN family): serving never re-tokenizes the corpus
+    val postPath = fixPath("bm25_post", dir)
+    val dlPath = fixPath("bm25_dl", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(postPath) || missing(dlPath)) {
+      val post = Retrieval.postings(docs, "doc_id", col("text"))
+      post.write.mode("overwrite").parquet(postPath)
+      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .write.mode("overwrite").parquet(dlPath)
+    }
+    Retrieval.bm25TopKFromIndex(s.read.parquet(postPath),
+        s.read.parquet(dlPath), "doc_id",
+        queries, "query_id", col("qtext"), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val oBm25TopK =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      |            FROM documents),
+      |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |         FROM tok WHERE term <> '' GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM post GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      |av AS (SELECT (tot * CAST(1000000 AS BIGINT)) // n AS avgdl FROM nn),
+      |idf AS (SELECT term,
+      |          CAST((l8 - 8) * 8
+      |            + (q8 * 8) // (CAST(1 AS BIGINT) << l8) - 8
+      |            AS BIGINT) AS w_idf
+      |        FROM (SELECT term, q8,
+      |                CAST(length(bin(q8)) - 1 AS INT) AS l8
+      |              FROM (SELECT term,
+      |                      ((SELECT n FROM nn) * CAST(256 AS BIGINT))
+      |                        // count(DISTINCT doc_id) AS q8
+      |                    FROM post GROUP BY term))),
+      |qt AS (SELECT DISTINCT doc_id AS query_id,
+      |         unnest(string_split_regex(text, '\s+')[1:4]) AS term
+      |       FROM documents WHERE doc_id % 100 = 0),
+      |sc AS (SELECT qt.query_id, post.doc_id,
+      |    CAST(sum(idf.w_idf * (
+      |      (post.tf * CAST(2200000 AS BIGINT) * CAST(1000000 AS BIGINT)) //
+      |      (post.tf * CAST(1000000 AS BIGINT)
+      |        + (CAST(1200000 AS BIGINT) * (CAST(250000 AS BIGINT)
+      |            + (CAST(750000 AS BIGINT) * dl.dl
+      |               * CAST(1000000 AS BIGINT)) // (SELECT avgdl FROM av)))
+      |          // CAST(1000000 AS BIGINT))
+      |    )) AS BIGINT) AS score_u
+      |  FROM post
+      |  JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (doc_id)
+      |  WHERE qt.term <> '' GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score_u, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank FROM sc)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5645,7 +5716,8 @@ object Queries {
     "q150_bpe_pack" -> (qBpePack _),
     "q151_stream_histogram" -> (qStreamHistogram _),
     "q152_hist_refresh" -> (qHistRefresh _),
-    "q153_vocab_ledger" -> (qVocabLedger _)
+    "q153_vocab_ledger" -> (qVocabLedger _),
+    "q154_bm25_topk" -> (qBm25TopK _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5805,6 +5877,7 @@ object Queries {
     "q150_bpe_pack" -> oBpePack,
     "q151_stream_histogram" -> oStreamHistogram,
     "q152_hist_refresh" -> oHistRefresh,
-    "q153_vocab_ledger" -> oVocabLedger
+    "q153_vocab_ledger" -> oVocabLedger,
+    "q154_bm25_topk" -> oBm25TopK
   )
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked full-text retrieval — BM25-class scoring (Robertson et al.,
+  * Okapi BM25) as a declarative inverted-index join: the capability
+  * behind known-item search, contamination forensics ("which training
+  * docs does this eval question retrieve?") and retrieval-eval
+  * harnesses.
+  *
+  * Scale shape: the corpus side is the (doc, term, tf) posting table —
+  * one map-side-combined aggregation off the token explode. Scoring
+  * joins POSTING LISTS OF THE QUERY'S TERMS ONLY (the query-term table
+  * broadcasts; posting lists of non-query terms are never read after
+  * the join filter), accumulates per-(query, doc) scores in one
+  * shuffle keyed by (query, doc), and takes top-k per query with a
+  * rank window over each query's candidate set — never a global sort.
+  * Candidate volume is Σ df over the query's terms, the classic
+  * inverted-index bound.
+  *
+  * Integer-exact contract (the engine's portable-arithmetic idiom):
+  * classic BM25 needs `ln` for idf and FP sums whose accumulation
+  * order Spark does not fix — both would split a bit-compare oracle.
+  * This variant is exact instead: idf is LOG₂-QUANTIZED
+  * (`bit_length(N div df)` — 0 for terms in every doc, growing by 1
+  * per idf doubling), the tf saturation uses Okapi's k1/b normalizer
+  * evaluated entirely in µ-unit (1e-6) integer arithmetic with a fixed
+  * division order, and per-term contributions are BIGINT so the final
+  * sum is order-free. Scores are monotone in tf and idf exactly as
+  * BM25's are; absolute values differ from float BM25 by the idf
+  * quantization (documented divergence, RetrievalSpec pins the
+  * monotonicity properties).
+  */
+object Retrieval {
+
+  private val M = 1000000L // µ-unit scale
+
+  /** Posting table (id, term, tf) + per-doc length off one explode. */
+  def postings(df: DataFrame, id: String, text: Column): DataFrame =
+    df.filter(text.isNotNull)
+      .select(col(id), explode(split(text, "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k BM25-scored documents per query.
+    *
+    * @param docs     corpus (docId, text)
+    * @param queries  query table (queryId, text) — small; broadcast
+    * @param k        results per query
+    * @param k1Micro  Okapi k1 in µ-units (default 1.2e6)
+    * @param bMicro   Okapi b in µ-units (default 0.75e6)
+    * Output: (queryId, docId, score_u, rank), rank 1-based by
+    * (score_u DESC, docId). */
+  def bm25TopK(docs: DataFrame, docId: String, docText: Column,
+               queries: DataFrame, queryId: String, queryText: Column,
+               k: Int, k1Micro: Long = 1200000L,
+               bMicro: Long = 750000L): DataFrame = {
+    val post = postings(docs, docId, docText)
+    val dl = post.groupBy(col(docId)).agg(sum(col("tf")).as("dl"))
+    bm25TopKFromIndex(post, dl, docId, queries, queryId, queryText,
+      k, k1Micro, bMicro)
+  }
+
+  /** [[bm25TopK]] served from a PERSISTED index — the posting table
+    * and per-doc length table as parquet (the same serve-vs-train
+    * split as the IVF/PQ family): scoring reads only the query terms'
+    * posting rows; the corpus text is never re-tokenized. */
+  def bm25TopKFromIndex(post: DataFrame, dl: DataFrame, docId: String,
+                        queries: DataFrame, queryId: String,
+                        queryText: Column, k: Int,
+                        k1Micro: Long = 1200000L,
+                        bMicro: Long = 750000L): DataFrame = {
+    // ONE driver action for both corpus scalars (N, total length)
+    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val totalLen = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val avgDlMicro = math.max(totalLen * M / math.max(nDocs, 1L), 1L)
+
+    // log2-quantized idf in EIGHTH-bit steps: q = 256·N div df, then
+    // floor(log2 q) from the bit length plus a 3-bit mantissa
+    // correction — integer-exact log2(N/df) in units of 1/8 bit
+    // (whole-bit quantization collapses df=2 vs df=3 on small corpora;
+    // the mantissa keeps adjacent document frequencies ordered). 0 for
+    // df == N, never negative.
+    val qTermSet = queries
+      .select(explode(split(queryText, "\\s+")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    // df only for the QUERY's terms — the countDistinct shuffle runs
+    // over their posting lists, not the whole vocabulary
+    val idf = post.join(broadcast(qTermSet), Seq("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col(docId)).as("df"))
+      .withColumn("q8", expr(
+        s"(CAST($nDocs AS BIGINT) * CAST(256 AS BIGINT)) div df"))
+      .withColumn("l8", expr("CAST(length(bin(q8)) - 1 AS INT)"))
+      .withColumn("w_idf", expr(
+        "CAST((l8 - 8) * 8 + (q8 * 8)" +
+          " div shiftleft(CAST(1 AS BIGINT), l8) - 8 AS BIGINT)"))
+
+    val qTerms = queries
+      .select(col(queryId), explode(split(queryText, "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+
+    val scored = post
+      .join(broadcast(qTerms), Seq("term")) // only query-term postings survive
+      .join(idf.select(col("term"), col("w_idf")), Seq("term"))
+      .join(dl, Seq(docId))
+      // Okapi normalizer, µ-units, fixed INTEGER division order:
+      //   norm = (1-b) + b * dl/avgdl ;  s_tf = tf(k1+1) / (tf + k1*norm)
+      .withColumn("norm_u", expr(
+        s"CAST(${M - bMicro} AS BIGINT)" +
+          s" + (CAST($bMicro AS BIGINT) * dl * CAST($M AS BIGINT))" +
+          s" div CAST($avgDlMicro AS BIGINT)"))
+      .withColumn("s_tf_u", expr(
+        s"(tf * CAST(${k1Micro + M} AS BIGINT) * CAST($M AS BIGINT))" +
+          s" div (tf * CAST($M AS BIGINT)" +
+          s" + (CAST($k1Micro AS BIGINT) * norm_u) div CAST($M AS BIGINT))"))
+      .groupBy(col(queryId), col(docId))
+      .agg(sum(col("w_idf") * col("s_tf_u")).as("score_u"))
+
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score_u").desc, col(docId))
+    scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+}
