@@ -5562,6 +5562,43 @@ object Queries {
       |    ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank FROM sc)
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------- BM25 index refresh
+  /** Incremental retrieval-index refresh: the 90% corpus's posting and
+    * doc-length tables persist once; the 10% landing batch's postings
+    * derive from the BATCH ONLY (disjoint doc ids — append-only
+    * upsert, the old corpus is never re-tokenized) and union in at
+    * serve time. Serving the merged index must equal serving an index
+    * of the whole corpus — the oracle scores against the full corpus
+    * directly, which is exactly that equality. */
+  private def qBm25Refresh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
+    val postPath = fixPath("bm25r_post", dir)
+    val dlPath = fixPath("bm25r_dl", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(postPath) || missing(dlPath)) {
+      val post = Retrieval.postings(docs.filter(!isBatch), "doc_id",
+        col("text"))
+      post.write.mode("overwrite").parquet(postPath)
+      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .write.mode("overwrite").parquet(dlPath)
+    }
+    val batchPost = Retrieval.postings(docs.filter(isBatch), "doc_id",
+      col("text"))
+    val post = s.read.parquet(postPath).unionByName(batchPost)
+    val dl = s.read.parquet(dlPath).unionByName(
+      batchPost.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("qtext"))
+    Retrieval.bm25TopKFromIndex(post, dl, "doc_id",
+        queries, "query_id", col("qtext"), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val oBm25Refresh = oBm25TopK // merged index == whole corpus
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5717,7 +5754,8 @@ object Queries {
     "q151_stream_histogram" -> (qStreamHistogram _),
     "q152_hist_refresh" -> (qHistRefresh _),
     "q153_vocab_ledger" -> (qVocabLedger _),
-    "q154_bm25_topk" -> (qBm25TopK _)
+    "q154_bm25_topk" -> (qBm25TopK _),
+    "q155_bm25_refresh" -> (qBm25Refresh _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5878,6 +5916,7 @@ object Queries {
     "q151_stream_histogram" -> oStreamHistogram,
     "q152_hist_refresh" -> oHistRefresh,
     "q153_vocab_ledger" -> oVocabLedger,
-    "q154_bm25_topk" -> oBm25TopK
+    "q154_bm25_topk" -> oBm25TopK,
+    "q155_bm25_refresh" -> oBm25Refresh
   )
 }
