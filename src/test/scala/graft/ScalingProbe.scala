@@ -252,6 +252,95 @@ object ScalingProbe {
       println("GUARD_TRIPPED=true (1500-row block vs maxBlockRows=1000)")
     }
 
+    // BPE training is corpus-size-free after the one histogram
+    // shuffle: wall time across the 10× must be flat (vocab-sized
+    // iterations), and the iterated state IS the vocab, not the corpus
+    {
+      val rows = for (sf <- Seq("sf0.01", "sf0.1")) yield {
+        val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        val vocab = ops.Bpe.wordHistogram(docs, col("text")).count()
+        val (_, t) = timed(
+          ops.Bpe.train(docs, col("text"), numMerges = 8).count())
+        println(f"BPE $sf vocab=$vocab train t=$t%.2f s")
+        (vocab, t)
+      }
+      val (v1, t1) = rows(0); val (v2, t2) = rows(1)
+      println(f"BPE iterations fold vocab-sized state ($v1 -> $v2 words) " +
+        f"while the corpus grows 10x; wall $t1%.2f -> $t2%.2f s")
+      assert(t2 <= 2.0 * t1 + 1.0,
+        s"BPE train wall time must not track corpus size ($t1 -> $t2)")
+    }
+
+    // prefix filtering confines the candidate space: at q147's 4-gram
+    // t=0.8 configuration the verified join runs over a vanishing
+    // fraction of C(N,2)
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .withColumn("s", ApproxDedup.wordNgrams(col("text"), 4))
+      val n = docs.count()
+      val tPpm = 800000L
+      val base = docs.select(col("doc_id").as("id"), col("s"))
+        .withColumn("sz", size(col("s")).cast("bigint")).filter(col("sz") > 0)
+      val toks = base.select(col("id"), col("sz"), explode(col("s")).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+      val pref = toks.join(dfreq, "tok")
+        .groupBy(col("id"), col("sz"))
+        .agg(sort_array(collect_list(struct(col("tdf"), col("tok")))).as("st"))
+        .withColumn("p", (col("sz")
+          - expr(s"(sz * ${tPpm}L + 999999) div 1000000") + 1).cast("int"))
+        .select(col("id"), col("sz"), explode(expr("slice(st, 1, p)")).as("e"))
+        .select(col("id"), col("sz"), col("e.tok").as("tok"))
+      val cand = pref.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
+        .join(pref.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok")),
+          Seq("tok"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(least(col("sz_a"), col("sz_b")) * 1000000L
+          >= greatest(col("sz_a"), col("sz_b")) * tPpm)
+        .select("id_a", "id_b").distinct().count()
+      val all = n * (n - 1) / 2
+      println(f"PREFIX $sf candidates=$cand of C(N,2)=$all " +
+        f"(${cand * 100.0 / all}%.4f%%)")
+      assert(cand < all / 100,
+        s"prefix filter admitted $cand of $all pairs — not confining")
+    }
+
+    // the MG sketch's shuffle moves (groups x partitions) summary rows,
+    // never the token stream: measure shuffle-write records vs the
+    // exact per-token aggregation on the same input
+    {
+      def shuffleRecords(body: => Unit): Long = {
+        val acc = new java.util.concurrent.atomic.AtomicLong(0)
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null)
+              acc.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            ()
+          }
+        }
+        org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+        spark.sparkContext.addSparkListener(l)
+        try { body; org.apache.spark.GraftTestBus.drain(spark.sparkContext) }
+        finally spark.sparkContext.removeSparkListener(l)
+        acc.get()
+      }
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val toks = docs.select(col("lang"),
+          explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "").localCheckpoint()
+      val nGroups = toks.select("lang").distinct().count()
+      val mgRec = shuffleRecords(
+        ops.FreqItems.sketch(toks, Seq("lang"), col("tok"), 64).count())
+      val exRec = shuffleRecords(
+        toks.groupBy("lang", "tok").agg(count(lit(1))).count())
+      println(s"MG_SHUFFLE sketch=$mgRec records vs exact=$exRec records " +
+        s"($nGroups groups)")
+      assert(mgRec < exRec,
+        s"MG sketch must shuffle fewer rows than the exact aggregate " +
+          s"($mgRec vs $exRec)")
+    }
+
     println("PROBE_OK")
     spark.stop()
   }
