@@ -5599,6 +5599,36 @@ object Queries {
 
   private val oBm25Refresh = oBm25TopK // merged index == whole corpus
 
+  // ------------------------------------------- exact phrase search
+  /** Contamination forensics ([[Retrieval.phraseMatches]]): every
+    * 100th-offset-50 document contributes a 6-token phrase (tokens
+    * 3-8); the engine finds all documents containing it verbatim via
+    * the RAREST-GRAM probe — one indexed 4-gram per phrase bounds the
+    * candidates at that gram's document frequency, and only candidate
+    * text is re-read for the exact verify. The oracle is the naive
+    * formulation (cross join + token-padded containment), so the probe
+    * path's losslessness is what the compare checks. */
+  private def qPhraseMatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val phrases = docs.filter(col("doc_id") % 100 === 50)
+      .select(col("doc_id").as("phrase_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 3, 6)).as("phrase"))
+    Retrieval.phraseMatches(docs, "doc_id", col("text"),
+        phrases, "phrase_id", col("phrase"), n = 4)
+      .orderBy("phrase_id", "doc_id")
+  }
+
+  private val oPhraseMatch =
+    """WITH p AS (SELECT doc_id AS phrase_id,
+      |    array_to_string(string_split_regex(text, '\s+')[3:8], ' ')
+      |      AS phrase
+      |  FROM documents WHERE doc_id % 100 = 50),
+      |d AS (SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS dt
+      |      FROM documents)
+      |SELECT phrase_id, doc_id FROM p, d
+      |WHERE instr(' ' || dt || ' ', ' ' || phrase || ' ') > 0
+      |ORDER BY phrase_id, doc_id""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5755,7 +5785,8 @@ object Queries {
     "q152_hist_refresh" -> (qHistRefresh _),
     "q153_vocab_ledger" -> (qVocabLedger _),
     "q154_bm25_topk" -> (qBm25TopK _),
-    "q155_bm25_refresh" -> (qBm25Refresh _)
+    "q155_bm25_refresh" -> (qBm25Refresh _),
+    "q156_phrase_match" -> (qPhraseMatch _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5917,6 +5948,7 @@ object Queries {
     "q152_hist_refresh" -> oHistRefresh,
     "q153_vocab_ledger" -> oVocabLedger,
     "q154_bm25_topk" -> oBm25TopK,
-    "q155_bm25_refresh" -> oBm25Refresh
+    "q155_bm25_refresh" -> oBm25Refresh,
+    "q156_phrase_match" -> oPhraseMatch
   )
 }

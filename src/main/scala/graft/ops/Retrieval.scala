@@ -128,4 +128,72 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
   }
+
+  /** Exact whole-token PHRASE search via rarest-gram probing — the
+    * contamination-forensics primitive ("which documents contain this
+    * eval question verbatim?"). A document containing the phrase
+    * necessarily contains every one of the phrase's word n-grams, so
+    * ONE gram — the globally rarest — suffices as a lossless
+    * candidate probe: candidates per phrase = df(rarest gram), and
+    * only those documents' text is ever re-read for the exact
+    * whitespace-normalized containment verify. The corpus-side gram
+    * index is the same one the dedup family builds; phrases with a
+    * gram unseen in the corpus match nothing and skip the verify
+    * entirely.
+    *
+    * Tokenization contract: both the grams and the verify operate on
+    * single-space-normalized token streams (`\s+` → one space), so a
+    * phrase matches iff its exact token sequence occurs — punctuation
+    * and case are the caller's normalization choice.
+    *
+    * Output: (phraseId, docId) for every containing document. */
+  def phraseMatches(docs: DataFrame, docId: String, docText: Column,
+                    phrases: DataFrame, phraseId: String,
+                    phraseText: Column, n: Int = 4): DataFrame = {
+    // phrases shorter than n tokens have no n-gram to probe — they
+    // take the direct-verify path (a per-short-phrase text scan; the
+    // gram probe below never sees them, so no silent false negative)
+    val isShort = size(split(phraseText, "\\s+")) < n
+    val longPhrases = phrases.filter(phraseText.isNotNull && !isShort)
+    val shortPhrases = phrases.filter(phraseText.isNotNull && isShort)
+    val docGrams = docs.filter(docText.isNotNull)
+      .select(col(docId),
+        explode(ApproxDedup.wordNgrams(docText, n)).as("gram"))
+    val dfreq = docGrams.groupBy("gram")
+      .agg(count(lit(1)).as("gdf"))
+    val phraseGrams = longPhrases
+      .select(col(phraseId),
+        explode(ApproxDedup.wordNgrams(phraseText, n)).as("gram"))
+    // rarest gram per phrase (ties: gram asc); an unindexed gram means
+    // zero candidates — drop the phrase before the probe
+    val wRare = Window.partitionBy(col(phraseId))
+      .orderBy(col("gdf"), col("gram"))
+    val probe = phraseGrams
+      .join(dfreq, Seq("gram")) // inner: unseen gram -> no candidates
+      .withColumn("_r", row_number().over(wRare))
+      .filter(col("_r") === 1)
+      // a phrase with ANY unseen gram cannot match: keep only phrases
+      // whose every gram is indexed
+      .join(phraseGrams.join(dfreq.select(col("gram")), Seq("gram"),
+          "left_anti")
+        .select(col(phraseId)).distinct(),
+        Seq(phraseId), "left_anti")
+      .select(col(phraseId), col("gram"))
+    val gramCandidates = probe.join(docGrams, Seq("gram"))
+      .select(col(phraseId), col(docId)).distinct()
+    // short phrases: every (short phrase, doc) pair goes to the verify
+    val shortCandidates = shortPhrases.select(col(phraseId))
+      .crossJoin(docs.filter(docText.isNotNull).select(col(docId)))
+    // exact verify on candidates only: token-padded containment over
+    // whitespace-normalized text
+    val dtexts = docs.select(col(docId),
+      regexp_replace(docText, "\\s+", " ").as("_dt"))
+    val ptexts = phrases.select(col(phraseId),
+      regexp_replace(phraseText, "\\s+", " ").as("_pt"))
+    gramCandidates.unionByName(shortCandidates)
+      .join(dtexts, Seq(docId)).join(ptexts, Seq(phraseId))
+      .filter(instr(concat(lit(" "), col("_dt"), lit(" ")),
+        concat(lit(" "), col("_pt"), lit(" "))) > 0)
+      .select(col(phraseId), col(docId))
+  }
 }

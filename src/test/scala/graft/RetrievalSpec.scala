@@ -57,4 +57,47 @@ class RetrievalSpec extends SparkSpec {
     val got = topk(corpus, Seq((1L, "alpha")))
     assert(got.map(_._2) == Seq(1L))
   }
+
+  // ------------------------------------------- exact phrase search
+
+  private def phrases(corpus: Seq[(Long, String)],
+                      ps: Seq[(Long, String)], n: Int = 4)
+      : Set[(Long, Long)] =
+    Retrieval.phraseMatches(corpus.toDF("doc_id", "text"), "doc_id",
+        col("text"), ps.toDF("pid", "ptext"), "pid", col("ptext"), n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("phraseMatches equals the naive containment on a mixed corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox jumps over anything at all"),
+      (3L, "the quick brown dog sleeps"),
+      (4L, "entirely unrelated content words here"),
+      (5L, "prefix junk the quick brown fox jumps suffix junk"))
+    val ps = Seq(
+      (10L, "quick brown fox jumps over"), // 5 tokens -> gram probe
+      (11L, "quick brown"), // 2 tokens -> short-phrase direct verify
+      (12L, "brown fox sleeps quietly tonight")) // unseen gram -> none
+    val got = phrases(corpus, ps)
+    val want = (for {
+      (pid, p) <- ps; (d, t) <- corpus
+      if s" ${t.replaceAll("\\s+", " ")} ".contains(s" $p ")
+    } yield (pid, d)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.contains((10L, 1L)) && want.contains((11L, 3L)) &&
+      !want.exists(_._1 == 12L)) // the fixture exercises all 3 paths
+  }
+
+  test("phrase matching is whole-token: substrings of words don't match") {
+    val corpus = Seq((1L, "showers bring mayflowers in the spring"))
+    // "flowers in the spring" appears as a WORD-SUBSTRING only
+    val got = phrases(corpus, Seq((1L, "flowers in the spring")))
+    assert(got.isEmpty)
+  }
+
+  test("whitespace variants normalize before matching") {
+    val corpus = Seq((1L, "alpha   beta\tgamma  delta epsilon"))
+    val got = phrases(corpus, Seq((1L, "beta gamma delta epsilon")))
+    assert(got == Set((1L, 1L)))
+  }
 }
