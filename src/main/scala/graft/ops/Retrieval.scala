@@ -181,9 +181,20 @@ object Retrieval {
       .select(col(phraseId), col("gram"))
     val gramCandidates = probe.join(docGrams, Seq("gram"))
       .select(col(phraseId), col(docId)).distinct()
-    // short phrases: every (short phrase, doc) pair goes to the verify
-    val shortCandidates = shortPhrases.select(col(phraseId))
-      .crossJoin(docs.filter(docText.isNotNull).select(col(docId)))
+    // short phrases probe by their FIRST TOKEN through a unigram
+    // equi-join (a doc containing the phrase contains its first token
+    // — lossless, and never a cross/nested-loop join; a stop-word
+    // first token admits that word's full posting list, the inherent
+    // cost of a shorter-than-gram phrase)
+    val docUnigrams = docs.filter(docText.isNotNull)
+      .select(col(docId), explode(split(docText, "\\s+")).as("_tok"))
+      .filter(col("_tok") =!= "").distinct()
+    val shortCandidates = shortPhrases
+      .select(col(phraseId),
+        element_at(split(regexp_replace(phraseText, "^\\s+", ""), "\\s+"),
+          1).as("_tok"))
+      .join(docUnigrams, Seq("_tok"))
+      .select(col(phraseId), col(docId))
     // exact verify on candidates only: token-padded containment over
     // whitespace-normalized text
     val dtexts = docs.select(col(docId),
