@@ -5613,9 +5613,11 @@ object Queries {
     val phrases = docs.filter(col("doc_id") % 100 === 50)
       .select(col("doc_id").as("phrase_id"),
         concat_ws(" ", slice(split(col("text"), "\\s+"), 3, 6)).as("phrase"))
-    Retrieval.phraseMatches(docs, "doc_id", col("text"),
-        phrases, "phrase_id", col("phrase"), n = 4)
-      .orderBy("phrase_id", "doc_id")
+    val scoped = Retrieval.phraseMatchesScoped(docs, "doc_id", col("text"),
+      phrases, "phrase_id", col("phrase"), n = 4)
+    val out = scoped.df.orderBy("phrase_id", "doc_id").localCheckpoint()
+    scoped.release()
+    out
   }
 
   private val oPhraseMatch =

@@ -278,18 +278,20 @@ object ApproxDedup {
                          thresholdPpm: Long): DataFrame =
     jaccardPairsPrefixScoped(df, id, setCol, thresholdPpm).df
 
-  /** [[jaccardPairsPrefix]] with an ownable cache lifetime. */
-  def jaccardPairsPrefixScoped(df: DataFrame, id: String, setCol: String,
-                               thresholdPpm: Long): Scoped = {
-    require(thresholdPpm > 0 && thresholdPpm <= 1000000,
-      "prefix filtering needs a positive ppm threshold (lossless only " +
-        "prunes when t > 0)")
-    val base = df
-      .select(col(id).as("id"), col(setCol).as("s"))
+  /** The prepared (id, s, sz) base the prefix join runs over. */
+  private[graft] def prefixBase(df: DataFrame, id: String,
+                                setCol: String): DataFrame =
+    df.select(col(id).as("id"), col(setCol).as("s"))
       .filter(col("s").isNotNull)
       .withColumn("sz", size(col("s")).cast("bigint"))
       .filter(col("sz") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The candidate stage of the prefix join — (id_a, id_b) pairs that
+    * share a prefix token and pass the size filter, BEFORE the exact
+    * verify. Exposed so the scaling probe measures the SHIPPED
+    * pipeline, not a re-implementation that could drift. */
+  private[graft] def prefixCandidates(base: DataFrame,
+                                      thresholdPpm: Long): DataFrame = {
     val toks = base.select(col("id"), col("sz"), explode(col("s")).as("tok"))
     // one global rarest-first canonical order: (document frequency asc,
     // token asc); vocab-sized, built in one map-side-combined agg
@@ -310,11 +312,22 @@ object ApproxDedup {
     // candidates: share a prefix token + pass the size filter
     val a = pref.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
     val b = pref.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok"))
-    val cand = a.join(b, Seq("tok"))
+    a.join(b, Seq("tok"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")) * 1000000L
         >= greatest(col("sz_a"), col("sz_b")) * thresholdPpm)
       .select("id_a", "id_b").distinct()
+  }
+
+  /** [[jaccardPairsPrefix]] with an ownable cache lifetime. */
+  def jaccardPairsPrefixScoped(df: DataFrame, id: String, setCol: String,
+                               thresholdPpm: Long): Scoped = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000,
+      "prefix filtering needs a positive ppm threshold (lossless only " +
+        "prunes when t > 0)")
+    val base = prefixBase(df, id, setCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = prefixCandidates(base, thresholdPpm)
     // exact verify on the candidate pairs only
     val setsA = base.select(col("id").as("id_a"), col("s").as("set_a"),
       col("sz").as("vsz_a"))

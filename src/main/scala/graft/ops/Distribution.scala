@@ -68,8 +68,13 @@ object Distribution {
       .withColumn("cum", sum(col("n")).over(wCum))
       .withColumn("total", sum(col("n")).over(wAll))
       .withColumn("q_ppm", explode(array(qPpm.map(lit): _*)))
+      // overflow guard: total·q_ppm wraps Long past ~9.2e12 rows in a
+      // group — fail fast instead of probing a wrapped rank
       .withColumn("rank",
-        expr("(total * q_ppm + 999999) div 1000000"))
+        expr("CASE WHEN total > CAST(8796093022208 AS BIGINT) THEN " +
+          "raise_error(CONCAT('quantilesFromHistogram: group total ', " +
+          "CAST(total AS STRING), ' overflows the rank arithmetic')) " +
+          "ELSE (total * q_ppm + 999999) div 1000000 END"))
       .filter(col("cum") >= col("rank"))
       .groupBy(gCols :+ col("q_ppm"): _*)
       .agg(min(col("bucket")).as("qbucket"))
@@ -139,6 +144,9 @@ object Distribution {
       val hi = row.getAs[Long]("hi")
       require(BigInt(hi) - BigInt(lo) < (BigInt(1) << 62),
         s"exactQuantiles: group range [$lo, $hi] too wide for Long bins")
+      require(n <= (1L << 43),
+        s"exactQuantiles: group row count $n overflows the ppm rank " +
+          "arithmetic — pre-partition the group")
       val qs = scala.collection.mutable.LinkedHashMap(qPpm.map { q =>
         q -> St(lo, hi, (n * q + 999999L) / 1000000L)
       }: _*)

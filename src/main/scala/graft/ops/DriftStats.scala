@@ -42,8 +42,15 @@ object DriftStats {
       df.select(groupCols.map(col) :+ col(keyCol) :+
           col("n").cast("bigint").as("cnt"): _*)
         .withColumn("tot", sum(col("cnt")).over(w))
+        // overflow guard: cnt ≤ tot, and cnt·1e6 wraps Long past
+        // ~9.2e12 — fail FAST on a group total beyond 2^43 (~8.8e12)
+        // instead of gating on a wrapped share (pre-aggregate such
+        // ledgers into coarser keys, or scale counts down upstream)
         .select(groupCols.map(col) :+ col(keyCol) :+
-          expr("cnt * 1000000 div tot").as(s"sh_$side") :+
+          expr("CASE WHEN tot > CAST(8796093022208 AS BIGINT) THEN " +
+            "raise_error(CONCAT('l1Drift: group total ', CAST(tot AS " +
+            "STRING), ' overflows the ppm-share arithmetic')) " +
+            "ELSE cnt * 1000000 div tot END").as(s"sh_$side") :+
           col("tot").as(s"tot_$side"): _*)
     }
     val joined = shares(a, "a")

@@ -64,6 +64,13 @@ object Retrieval {
       k, k1Micro, bMicro)
   }
 
+  /** Largest per-document length the µ-unit integer chain supports
+    * without 64-bit overflow (every product stays under 2^63 with
+    * default k1/b): documents beyond it must be split upstream —
+    * [[bm25TopKFromIndex]] fails FAST on the index stats instead of
+    * silently mis-ranking a wrapped score. */
+  val MaxDocTokens: Long = 4000000L
+
   /** [[bm25TopK]] served from a PERSISTED index — the posting table
     * and per-doc length table as parquet (the same serve-vs-train
     * split as the IVF/PQ family): scoring reads only the query terms'
@@ -73,11 +80,21 @@ object Retrieval {
                         queryText: Column, k: Int,
                         k1Micro: Long = 1200000L,
                         bMicro: Long = 750000L): DataFrame = {
-    // ONE driver action for both corpus scalars (N, total length)
-    val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    // ONE driver action for the corpus scalars (N, total length, max
+    // doc length — the overflow guard input)
+    val statsRow = dl
+      .agg(count(lit(1)), sum(col("dl")), max(col("dl"))).collect()(0)
     val nDocs = statsRow.getLong(0)
     val totalLen = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
-    val avgDlMicro = math.max(totalLen * M / math.max(nDocs, 1L), 1L)
+    val maxDl = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
+    require(maxDl <= MaxDocTokens,
+      s"bm25: a document has $maxDl tokens > $MaxDocTokens — the µ-unit " +
+        "integer score would overflow Long; split oversized documents " +
+        "upstream (the guard fails fast instead of mis-ranking)")
+    // BigInt for the average: totalLen * 1e6 overflows Long beyond
+    // ~9.2e12 corpus tokens, silently collapsing every normalizer
+    val avgDlMicro = ((BigInt(totalLen) * M) / math.max(nDocs, 1L))
+      .max(BigInt(1)).min(BigInt(MaxDocTokens) * M).toLong
 
     // log2-quantized idf in EIGHTH-bit steps: q = 256·N div df, then
     // floor(log2 q) from the bit length plus a 3-bit mantissa
@@ -142,28 +159,48 @@ object Retrieval {
     * entirely.
     *
     * Tokenization contract: both the grams and the verify operate on
-    * single-space-normalized token streams (`\s+` → one space), so a
+    * TRIMMED, single-space-normalized token streams (`\s+` → one
+    * space, edge whitespace dropped — an untrimmed needle would
+    * demand a double space the normalized haystack never has), so a
     * phrase matches iff its exact token sequence occurs — punctuation
-    * and case are the caller's normalization choice.
+    * and case are the caller's normalization choice. Phrases that
+    * normalize to the empty string match nothing.
     *
     * Output: (phraseId, docId) for every containing document. */
   def phraseMatches(docs: DataFrame, docId: String, docText: Column,
                     phrases: DataFrame, phraseId: String,
-                    phraseText: Column, n: Int = 4): DataFrame = {
+                    phraseText: Column, n: Int = 4): DataFrame =
+    phraseMatchesScoped(docs, docId, docText, phrases, phraseId,
+      phraseText, n).df
+
+  /** [[phraseMatches]] with an ownable cache lifetime: the corpus-wide
+    * gram explode feeds both the frequency aggregation and the
+    * candidate join — persisted once (the [[ApproxDedup]] family
+    * convention), released via `release()` after materialization. */
+  def phraseMatchesScoped(docs: DataFrame, docId: String, docText: Column,
+                          phrases: DataFrame, phraseId: String,
+                          phraseText: Column,
+                          n: Int = 4): ApproxDedup.Scoped = {
+    // one normalized phrase form everywhere: routing, grams, the
+    // first-token probe and the verify needle
+    val pNorm = trim(regexp_replace(phraseText, "\\s+", " "))
+    val cleaned = phrases.filter(phraseText.isNotNull)
+      .withColumn("_pt", pNorm).filter(length(col("_pt")) > 0)
     // phrases shorter than n tokens have no n-gram to probe — they
-    // take the direct-verify path (a per-short-phrase text scan; the
-    // gram probe below never sees them, so no silent false negative)
-    val isShort = size(split(phraseText, "\\s+")) < n
-    val longPhrases = phrases.filter(phraseText.isNotNull && !isShort)
-    val shortPhrases = phrases.filter(phraseText.isNotNull && isShort)
+    // take the unigram direct-verify path (the gram probe below never
+    // sees them, so no silent false negative)
+    val isShort = size(split(col("_pt"), " ")) < n
+    val longPhrases = cleaned.filter(!isShort)
+    val shortPhrases = cleaned.filter(isShort)
     val docGrams = docs.filter(docText.isNotNull)
       .select(col(docId),
         explode(ApproxDedup.wordNgrams(docText, n)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = docGrams.groupBy("gram")
       .agg(count(lit(1)).as("gdf"))
     val phraseGrams = longPhrases
       .select(col(phraseId),
-        explode(ApproxDedup.wordNgrams(phraseText, n)).as("gram"))
+        explode(ApproxDedup.wordNgrams(col("_pt"), n)).as("gram"))
     // rarest gram per phrase (ties: gram asc); an unindexed gram means
     // zero candidates — drop the phrase before the probe
     val wRare = Window.partitionBy(col(phraseId))
@@ -191,20 +228,20 @@ object Retrieval {
       .filter(col("_tok") =!= "").distinct()
     val shortCandidates = shortPhrases
       .select(col(phraseId),
-        element_at(split(regexp_replace(phraseText, "^\\s+", ""), "\\s+"),
-          1).as("_tok"))
+        element_at(split(col("_pt"), " "), 1).as("_tok"))
       .join(docUnigrams, Seq("_tok"))
       .select(col(phraseId), col(docId))
     // exact verify on candidates only: token-padded containment over
-    // whitespace-normalized text
+    // whitespace-normalized text (needle trimmed above — the haystack
+    // may keep edge spaces harmlessly)
     val dtexts = docs.select(col(docId),
       regexp_replace(docText, "\\s+", " ").as("_dt"))
-    val ptexts = phrases.select(col(phraseId),
-      regexp_replace(phraseText, "\\s+", " ").as("_pt"))
-    gramCandidates.unionByName(shortCandidates)
+    val ptexts = cleaned.select(col(phraseId), col("_pt"))
+    val out = gramCandidates.unionByName(shortCandidates)
       .join(dtexts, Seq(docId)).join(ptexts, Seq(phraseId))
       .filter(instr(concat(lit(" "), col("_dt"), lit(" ")),
         concat(lit(" "), col("_pt"), lit(" "))) > 0)
       .select(col(phraseId), col(docId))
+    ApproxDedup.Scoped(out, () => { docGrams.unpersist(); () })
   }
 }

@@ -100,4 +100,14 @@ class RetrievalSpec extends SparkSpec {
     val got = phrases(corpus, Seq((1L, "beta gamma delta epsilon")))
     assert(got == Set((1L, 1L)))
   }
+
+  test("edge whitespace on phrases is trimmed, not a false negative") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
+    val got = phrases(corpus, Seq(
+      (1L, "  beta gamma delta epsilon"), // leading ws, long path
+      (2L, "beta gamma delta epsilon  "), // trailing ws, long path
+      (3L, " beta gamma "), // short path with edge ws
+      (4L, "   "))) // normalizes empty: matches nothing
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }

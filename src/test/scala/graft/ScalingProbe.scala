@@ -279,24 +279,9 @@ object ScalingProbe {
         .withColumn("s", ApproxDedup.wordNgrams(col("text"), 4))
       val n = docs.count()
       val tPpm = 800000L
-      val base = docs.select(col("doc_id").as("id"), col("s"))
-        .withColumn("sz", size(col("s")).cast("bigint")).filter(col("sz") > 0)
-      val toks = base.select(col("id"), col("sz"), explode(col("s")).as("tok"))
-      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
-      val pref = toks.join(dfreq, "tok")
-        .groupBy(col("id"), col("sz"))
-        .agg(sort_array(collect_list(struct(col("tdf"), col("tok")))).as("st"))
-        .withColumn("p", (col("sz")
-          - expr(s"(sz * ${tPpm}L + 999999) div 1000000") + 1).cast("int"))
-        .select(col("id"), col("sz"), explode(expr("slice(st, 1, p)")).as("e"))
-        .select(col("id"), col("sz"), col("e.tok").as("tok"))
-      val cand = pref.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
-        .join(pref.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok")),
-          Seq("tok"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(least(col("sz_a"), col("sz_b")) * 1000000L
-          >= greatest(col("sz_a"), col("sz_b")) * tPpm)
-        .select("id_a", "id_b").distinct().count()
+      // measure the SHIPPED candidate stage, not a re-implementation
+      val cand = ApproxDedup.prefixCandidates(
+        ApproxDedup.prefixBase(docs, "doc_id", "s"), tPpm).count()
       val all = n * (n - 1) / 2
       println(f"PREFIX $sf candidates=$cand of C(N,2)=$all " +
         f"(${cand * 100.0 / all}%.4f%%)")
