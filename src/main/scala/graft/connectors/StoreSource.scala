@@ -324,21 +324,41 @@ private[connectors] final case class StoreScan(path: String,
   // ---- SupportsReportStatistics: real sizeInBytes (post plan-time
   // pruning), so a ledger under the broadcast threshold auto-broadcasts
   // in joins instead of defaulting to "unknown = never broadcast".
-  // Computed once per scan: Spark asks for stats on every logical-plan
-  // stats pass, and each computation would otherwise re-list every
-  // selected bucket directory on the driver
-  private lazy val plannedBytes: Long = plannedSelected.map { dir =>
-    val fs = new Path(dir)
-      .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    fs.listStatus(new Path(dir))
-      .filter(st => st.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
-  }.sum
+  // Served from the store's `_stats` marker (maintained by every
+  // upsert: one line per bucket, rows + bytes) — ZERO directory
+  // listings and zero footer reads when the marker covers every
+  // selected bucket; a store predating the marker, or a bucket line a
+  // crash left missing, falls back to listing that bucket. Computed
+  // once per scan: Spark asks for stats on every logical-plan stats
+  // pass
+  private lazy val plannedStats: (Long, Option[Long]) = {
+    val marker = Sinks.bucketStats(path).getOrElse(Map.empty)
+    val perBucket = plannedSelected.map { dir =>
+      val b = new Path(dir).getName.stripPrefix("b").toInt
+      marker.get(b) match {
+        case Some((rows, bytes)) => (bytes, Some(rows))
+        case None =>
+          val fs = new Path(dir)
+            .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+          val bytes = fs.listStatus(new Path(dir))
+            .filter(st => st.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum
+          (bytes, None: Option[Long])
+      }
+    }
+    val bytes = perBucket.map(_._1).sum
+    val rows =
+      if (perBucket.nonEmpty && perBucket.forall(_._2.isDefined))
+        Some(perBucket.flatMap(_._2).sum)
+      else None
+    (bytes, rows)
+  }
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(plannedBytes)
+      java.util.OptionalLong.of(plannedStats._1)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+      plannedStats._2.map(java.util.OptionalLong.of)
+        .getOrElse(java.util.OptionalLong.empty())
   }
 
   override def readSchema(): StructType = required

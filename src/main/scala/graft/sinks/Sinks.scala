@@ -1,14 +1,57 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sinks — SURVEY.md §2.8 (K4/K5/K6) as Spark writers plus a
   * parquet-backed upsert store standing in for the DynamoDB stat table.
+  *
+  * Every store path goes through the Hadoop `FileSystem` API (never
+  * `java.nio` local paths), so the store can live on HDFS/S3A
+  * unchanged: data moves in distributed jobs, and the driver's only
+  * filesystem work is control-plane renames and marker files.
   */
 object Sinks {
+
+  private def fsOf(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(hadoopConf), p)
+  }
+
+  private def hadoopConf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** Atomic small-file write via the FS rename idiom (tmp + rename).
+    * Hadoop rename does not replace an existing target on all
+    * filesystems, so the target is deleted first; a crash between the
+    * two leaves no marker, which every reader treats as "absent". */
+  private def writeMarker(fs: FileSystem, target: Path, content: String,
+                          replace: Boolean): Unit = {
+    if (!replace && fs.exists(target)) return
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (replace) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+  }
+
+  private def readMarker(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
 
   /** K5 — single-document JSON write (job.json manifest write-back,
     * ListProducer.py:157; s3_utils.py:37-41). A manifest is one nested
@@ -19,12 +62,9 @@ object Sinks {
       case Array(one) => one
       case rows => rows.mkString("[", ",", "]")
     }
-    val p = Paths.get(path)
-    if (p.getParent != null) Files.createDirectories(p.getParent)
-    val tmp = Paths.get(path + ".tmp")
-    Files.writeString(tmp, doc)
-    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    val (fs, p) = fsOf(path)
+    if (p.getParent != null) fs.mkdirs(p.getParent)
+    writeMarker(fs, p, doc, replace = true)
   }
 
   /** K5 readback verify (ListProducer.py:159-161). */
@@ -55,8 +95,9 @@ object Sinks {
   def upsertParquet(batch: DataFrame, keyCols: Seq[String], storeDir: String): Unit = {
     val spark = batch.sparkSession
     recoverStore(storeDir)
+    val (fs, dir) = fsOf(storeDir)
     val existing =
-      if (Files.exists(Paths.get(storeDir, "_SUCCESS")))
+      if (fs.exists(new Path(dir, "_SUCCESS")))
         Some(spark.read.parquet(storeDir))
       else None
     val merged = existing match {
@@ -65,14 +106,14 @@ object Sinks {
           .unionByName(batch)
       case None => batch
     }
-    val dir = Paths.get(storeDir)
-    val old = Paths.get(storeDir + ".old")
+    val old = new Path(storeDir + ".old")
+    val swap = new Path(storeDir + ".swap")
     // the merged plan still READS the live store — write the swap first
-    merged.write.mode(SaveMode.Overwrite).parquet(storeDir + ".swap")
-    deleteRecursively(old)
-    if (Files.exists(dir)) Files.move(dir, old)
-    Files.move(Paths.get(storeDir + ".swap"), dir)
-    deleteRecursively(old)
+    merged.write.mode(SaveMode.Overwrite).parquet(swap.toString)
+    fs.delete(old, true)
+    if (fs.exists(dir)) require(fs.rename(dir, old), s"rename-aside failed: $dir")
+    require(fs.rename(swap, dir), s"swap promote failed: $swap -> $dir")
+    fs.delete(old, true)
   }
 
   /** [[upsertParquet]] at log-structured cost: the store is
@@ -83,13 +124,27 @@ object Sinks {
     * DynamoDB-update-item shape (the reference touches only written
     * keys, s3_monitor_statistic.py:47-91). Untouched bucket files are
     * never opened, never rewritten (PartitionedStoreSpec asserts
-    * bit-identity). Each bucket keeps [[upsertParquet]]'s whole
-    * crash-safety story — swap-by-rename + [[recoverStore]] — so a
-    * crash at any point leaves every bucket complete. A crash BETWEEN
-    * buckets leaves the store half-upserted; callers that need
-    * batch-level replay safety get it the same way RefreshStream does
-    * across stores: keyed idempotency (replaying the batch re-writes
-    * identical rows) — no new failure mode is introduced.
+    * bit-identity).
+    *
+    * Execution is ONE distributed job regardless of how many buckets
+    * the batch touches (UpsertOneJobSpec pins the job count): the
+    * merged plan reads (touched live buckets ∪ batch), anti-joins the
+    * batch's keys away globally — a key hashes to exactly one bucket,
+    * so the global anti-join equals the per-bucket one — and stages a
+    * `partitionBy(_bucket)` write with each bucket co-located into one
+    * task (one file per bucket, the log-structured unit a reader
+    * opens). Promotion is control-plane only: per touched bucket, the
+    * staged file renames into a `.swap` directory which swaps in via
+    * the rename dance below. A landing batch touching 10k buckets is
+    * one job plus 10k metadata renames — never 10k sequential jobs.
+    *
+    * Each bucket keeps [[upsertParquet]]'s whole crash-safety story —
+    * swap-by-rename + [[recoverStore]] — so a crash at any point
+    * leaves every bucket complete. A crash BETWEEN buckets leaves the
+    * store half-upserted; callers that need batch-level replay safety
+    * get it the same way RefreshStream does across stores: keyed
+    * idempotency (replaying the batch re-writes identical rows) — no
+    * new failure mode is introduced.
     *
     * The bucket count is fixed at store creation (`_nbuckets` marker,
     * written atomically before the first bucket): a different `n` on a
@@ -98,7 +153,12 @@ object Sinks {
     * columns are recorded the same way (`_keycols`), making the store
     * self-describing for the DSv2 point-lookup reader
     * ([[graft.connectors.GraftStoreSource]] prunes buckets from pushed
-    * key filters).
+    * key filters). A `_stats` marker (bucket,rows,bytes per line) is
+    * refreshed for the touched buckets after every promote — advisory
+    * optimizer statistics the DSv2 reader serves without listing or
+    * opening a single footer (stale after a crash mid-promote; healed
+    * by the next successful upsert; readers fall back to listing when
+    * a bucket is missing from it).
     *
     * CONCURRENCY CONTRACT — single writer, no concurrent reader during
     * a write: upserts are atomic per bucket (swap-by-rename) but not
@@ -114,40 +174,74 @@ object Sinks {
                         storeDir: String, nBuckets: Int = 8): Unit = {
     require(nBuckets > 0 && nBuckets <= 99999,
       s"nBuckets must be in [1, 99999], got $nBuckets")
+    require(!batch.columns.contains("_bucket"),
+      "upsertPartitioned uses '_bucket' as a helper column; rename the input's")
     val spark = batch.sparkSession
-    Files.createDirectories(Paths.get(storeDir))
-    storeKeyCols(storeDir, keyCols)
+    val (fs, dir) = fsOf(storeDir)
+    fs.mkdirs(dir)
+    writeMarker(fs, new Path(dir, "_keycols"), keyCols.mkString(","),
+      replace = false)
     // heal EVERY crashed bucket before merging, not just the ones this
     // batch touches — an untouched bucket left mid-promotion must not
     // stay invisible across writes
     recoverPartitioned(storeDir)
-    val n = storeBucketCount(storeDir, nBuckets)
-    val withB = batch.withColumn("_bucket",
-      pmod(hash(keyCols.map(col): _*), lit(n)))
-    // one materialization of the batch; every touched bucket's merge
-    // reads it (and the collect is bounded: ≤ n small ints)
-    val mat = withB.localCheckpoint()
+    val n = storeBucketCount(fs, dir, nBuckets)
+    val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
+    // one materialization of the batch; the merge job reads it (and
+    // the collect is bounded: ≤ n small ints)
+    val mat = batch.withColumn("_bucket", bucketExpr).localCheckpoint()
     val touched = mat.select("_bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    touched.foreach { b =>
-      val bDir = s"$storeDir/${bucketName(b)}"
-      val bBatch = mat.filter(col("_bucket") === b).drop("_bucket")
-      val merged =
-        if (Files.exists(Paths.get(bDir, "_SUCCESS")))
-          spark.read.parquet(bDir)
-            .join(bBatch.select(keyCols.map(col): _*).distinct(),
-              keyCols, "left_anti")
-            .unionByName(bBatch)
-        else bBatch
-      // one file per bucket: the log-structured unit a reader opens
-      merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(bDir + ".swap")
-      val dir = Paths.get(bDir)
-      val old = Paths.get(bDir + ".old")
-      deleteRecursively(old)
-      if (Files.exists(dir)) Files.move(dir, old)
-      Files.move(Paths.get(bDir + ".swap"), dir)
-      deleteRecursively(old)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return
+
+    val liveTouched = touched.filter(b =>
+      fs.exists(new Path(s"$storeDir/${bucketName(b)}/_SUCCESS")))
+    val merged = if (liveTouched.isEmpty) mat else {
+      val cur = spark.read
+        .parquet(liveTouched.map(b => s"$storeDir/${bucketName(b)}"): _*)
+        .withColumn("_bucket", bucketExpr)
+      cur.join(mat.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        .unionByName(mat)
     }
+
+    // ONE job stages every touched bucket: co-locate each bucket into
+    // one task (explicit numPartitions — AQE never coalesces a
+    // user-specified repartition) and write one file per bucket
+    val staging = new Path(dir, StagingName)
+    fs.delete(staging, true)
+    merged.repartition(touched.length, col("_bucket"))
+      .write.partitionBy("_bucket").parquet(staging.toString)
+
+    // control-plane promotion: per bucket, staged file -> .swap dir ->
+    // the same two-rename swap the monolithic store does. Every
+    // touched bucket has rows (it is touched BECAUSE batch rows hash
+    // there), so its staging directory always exists.
+    touched.foreach { b =>
+      val bDir = new Path(s"$storeDir/${bucketName(b)}")
+      val old = new Path(bDir.toString + ".old")
+      val swap = new Path(bDir.toString + ".swap")
+      val staged = new Path(staging, s"_bucket=$b")
+      require(fs.exists(staged),
+        s"staging output missing for touched bucket $b under $staging")
+      fs.delete(swap, true)
+      fs.mkdirs(swap)
+      val parts = fs.listStatus(staged).map(_.getPath).filter { p =>
+        val nm = p.getName
+        nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
+      }.sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        require(fs.rename(p, new Path(swap, f"part-$i%05d.parquet")),
+          s"staging rename failed: $p")
+      }
+      fs.create(new Path(swap, "_SUCCESS"), true).close()
+      fs.delete(old, true)
+      if (fs.exists(bDir))
+        require(fs.rename(bDir, old), s"rename-aside failed: $bDir")
+      require(fs.rename(swap, bDir), s"swap promote failed: $bDir")
+      fs.delete(old, true)
+    }
+    fs.delete(staging, true)
+    updateStoreStats(fs, dir, touched)
   }
 
   /** Read a partitioned store: recover any bucket a crash left
@@ -171,13 +265,11 @@ object Sinks {
     * "promote swap" heals on the next read or write, not only when
     * that bucket is next written. */
   def recoverPartitioned(storeDir: String): Unit = {
-    val root = Paths.get(storeDir)
-    if (!Files.isDirectory(root)) return
-    val it = Files.list(root).iterator()
+    val (fs, root) = fsOf(storeDir)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return
     val names = scala.collection.mutable.Set.empty[String]
-    while (it.hasNext) {
-      val n = it.next().getFileName.toString
-      n match {
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
         case BucketAnyRe(bucket) => names += bucket
         case _ =>
       }
@@ -191,42 +283,82 @@ object Sinks {
   private val BucketAnyRe = "^(b\\d{5})(?:\\.old|\\.swap)?$".r
 
   private[graft] def listBuckets(storeDir: String): Seq[String] = {
-    val root = Paths.get(storeDir)
-    if (!Files.isDirectory(root)) return Seq.empty
-    val it = Files.list(root).iterator()
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val p = it.next()
-      if (BucketRe.matches(p.getFileName.toString) &&
-          Files.exists(p.resolve("_SUCCESS")))
-        out += p.toString
-    }
-    out.sorted.toSeq
+    val (fs, root) = fsOf(storeDir)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory)
+      return Seq.empty
+    fs.listStatus(root)
+      .filter(st => BucketRe.matches(st.getPath.getName) &&
+        fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(st => st.getPath.toUri.getPath)
+      .sorted.toSeq
   }
 
-  /** Record the store's key columns at creation (`_keycols` marker,
-    * atomic rename; first writer wins — same fixed-at-creation rule as
-    * the bucket count, since the bucket hash is a function of them). */
-  private def storeKeyCols(storeDir: String, keyCols: Seq[String]): Unit = {
-    val meta = Paths.get(storeDir, "_keycols")
-    if (!Files.exists(meta)) {
-      val tmp = Paths.get(storeDir, "_keycols.tmp")
-      Files.writeString(tmp, keyCols.mkString(","))
-      Files.move(tmp, meta, StandardCopyOption.ATOMIC_MOVE)
-    }
-  }
+  /** Staging directory name for [[upsertPartitioned]]'s one-job merge
+    * write (dot-prefixed: invisible to [[listBuckets]] and to any
+    * parquet scan of the store root; a crash leaves it behind and the
+    * next upsert clears it before writing). */
+  private val StagingName = ".upsert-staging"
 
   /** The store's fixed bucket count: read the `_nbuckets` marker, or
     * write it (atomic rename) on first creation. */
-  private def storeBucketCount(storeDir: String, requested: Int): Int = {
-    val meta = Paths.get(storeDir, "_nbuckets")
-    if (Files.exists(meta)) Files.readString(meta).trim.toInt
-    else {
-      val tmp = Paths.get(storeDir, "_nbuckets.tmp")
-      Files.writeString(tmp, requested.toString)
-      Files.move(tmp, meta, StandardCopyOption.ATOMIC_MOVE)
-      requested
+  private def storeBucketCount(fs: FileSystem, dir: Path, requested: Int): Int =
+    readMarker(fs, new Path(dir, "_nbuckets")) match {
+      case Some(s) => s.trim.toInt
+      case None =>
+        writeMarker(fs, new Path(dir, "_nbuckets"), requested.toString,
+          replace = false)
+        requested
     }
+
+  /** Refresh the `_stats` marker for the buckets an upsert touched:
+    * per-bucket (rows, bytes) from the just-written files' parquet
+    * footers — driver-side METADATA reads, O(touched buckets), no
+    * Spark job. Untouched buckets keep their previous line. The
+    * marker is advisory optimizer input ([[graft.connectors
+    * .GraftStoreSource]] serves `estimateStatistics` from it instead
+    * of listing bucket directories); absence or a missing bucket line
+    * sends readers down the listing fallback, never to a wrong
+    * answer. */
+  private def updateStoreStats(fs: FileSystem, dir: Path,
+                               touched: Seq[Int]): Unit = {
+    val statsPath = new Path(dir, "_stats")
+    val prev = readMarker(fs, statsPath).map(parseStats).getOrElse(Map.empty)
+    val updated = touched.map { b =>
+      val bDir = new Path(dir, bucketName(b))
+      val files = fs.listStatus(bDir).filter { st =>
+        val nm = st.getPath.getName
+        nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
+      }
+      val bytes = files.map(_.getLen).sum
+      val rows = files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, fs.getConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+      b -> ((rows, bytes))
+    }.toMap
+    val all = (prev ++ updated).toSeq.sortBy(_._1)
+      .map { case (b, (rows, bytes)) => s"$b,$rows,$bytes" }
+      .mkString("\n")
+    writeMarker(fs, statsPath, all, replace = true)
+  }
+
+  private def parseStats(s: String): Map[Int, (Long, Long)] =
+    s.linesIterator.filter(_.nonEmpty).flatMap { line =>
+      line.split(",") match {
+        case Array(b, r, by) =>
+          try Some(b.trim.toInt -> ((r.trim.toLong, by.trim.toLong)))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
+
+  /** Per-bucket (rows, bytes) from the `_stats` marker, if present —
+    * the DSv2 reader's statistics source. */
+  private[graft] def bucketStats(storeDir: String): Option[Map[Int, (Long, Long)]] = {
+    val (fs, root) = fsOf(storeDir)
+    readMarker(fs, new Path(root, "_stats")).map(parseStats)
   }
 
   /** If a previous upsert crashed between "live aside" and "promote
@@ -234,20 +366,22 @@ object Sinks {
     * `.swap`); restore it instead of silently starting over from one
     * batch. No-op when the live store is healthy. */
   def recoverStore(storeDir: String): Unit = {
-    val dir = Paths.get(storeDir)
-    if (!Files.exists(dir.resolve("_SUCCESS"))) {
-      val old = Paths.get(storeDir + ".old")
-      val swap = Paths.get(storeDir + ".swap")
-      if (Files.exists(old.resolve("_SUCCESS"))) {
-        deleteRecursively(dir); Files.move(old, dir)
-      } else if (Files.exists(swap.resolve("_SUCCESS"))) {
-        deleteRecursively(dir); Files.move(swap, dir)
+    val (fs, dir) = fsOf(storeDir)
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+      val old = new Path(storeDir + ".old")
+      val swap = new Path(storeDir + ".swap")
+      if (fs.exists(new Path(old, "_SUCCESS"))) {
+        fs.delete(dir, true)
+        require(fs.rename(old, dir), s"recovery rename failed: $old")
+      } else if (fs.exists(new Path(swap, "_SUCCESS"))) {
+        fs.delete(dir, true)
+        require(fs.rename(swap, dir), s"recovery rename failed: $swap")
       }
     }
   }
 
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
 }

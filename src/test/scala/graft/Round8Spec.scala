@@ -341,14 +341,21 @@ class PartitionedStoreSpec extends SparkSpec {
     val touched = base.sparkSession.range(1).select(
       pmod(hash(lit(7L)), lit(8)).as("b")).head().getInt(0)
     val touchedPrefix = f"b$touched%05d"
-    val changed = (before.keySet ++ after.keySet).filter(k =>
-      before.get(k) != after.get(k))
+    // bucket-internal files only: the top-level `_stats` marker is
+    // EXPECTED to change on every upsert (it records the touched
+    // bucket's new rows/bytes) — the bit-identity contract is about
+    // bucket data files
+    val changed = (before.keySet ++ after.keySet)
+      .filter(_.matches("^b\\d{5}/.*"))
+      .filter(k => before.get(k) != after.get(k))
     assert(changed.nonEmpty, "the touched bucket must change")
     assert(changed.forall(_.startsWith(touchedPrefix)),
       s"files outside $touchedPrefix changed: $changed")
     // every untouched bucket: exact same file set, exact same bytes
-    val untouchedBefore = before.filter(!_._1.startsWith(touchedPrefix))
-    val untouchedAfter = after.filter(!_._1.startsWith(touchedPrefix))
+    val untouchedBefore = before.filter(e =>
+      e._1.matches("^b\\d{5}/.*") && !e._1.startsWith(touchedPrefix))
+    val untouchedAfter = after.filter(e =>
+      e._1.matches("^b\\d{5}/.*") && !e._1.startsWith(touchedPrefix))
     assert(untouchedBefore == untouchedAfter)
   }
 

@@ -78,6 +78,32 @@ object VerifyProbe {
     println(s"PROBE keys=${keys.size} buckets=$planned/64 rows=$hit exp=$expHit")
     assert(planned <= keys.size && hit == expHit)
 
+    // 4. round-10: a second upsert touching EVERY bucket must still be
+    // one staged job + renames; the _stats marker totals must match
+    val delta = li.filter(col("l_orderkey") % 7 === 0)
+      .select(
+        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))).as("msg_id"),
+        (col("l_orderkey") + 1000000L).as("sent_order"),
+        col("l_extendedprice").as("price"))
+    time("store-upsert-delta") {
+      sinks.Sinks.upsertPartitioned(delta, Seq("msg_id"), store, nBuckets = 64)
+    }
+    val storeRows = sinks.Sinks.readPartitioned(spark, store).count()
+    val statsMap = sinks.Sinks.bucketStats(store).get
+    assert(statsMap.size == 64, s"_stats must cover all 64 buckets: ${statsMap.size}")
+    assert(statsMap.values.map(_._1).sum == storeRows,
+      s"_stats rows ${statsMap.values.map(_._1).sum} != store rows $storeRows")
+    val rel = spark.read.format("graft-store").load(store)
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+    val st = rel.scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(st.numRows().isPresent && st.numRows().getAsLong == storeRows,
+      s"estimateStatistics numRows must serve the marker: ${st.numRows()}")
+    println(s"STATS rows=$storeRows bytes=${st.sizeInBytes().getAsLong}")
+
     println("PROBE_OK")
     spark.stop()
   }
