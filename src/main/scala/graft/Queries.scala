@@ -4975,12 +4975,13 @@ object Queries {
          |  FROM bp$i GROUP BY 1, 2, 3
          |  ORDER BY weight DESC, lft, rgt LIMIT 1),
          |bs$i AS (SELECT word, cnt,
-         |  list_reduce(string_split(s, ' '), (acc, x) ->
+         |  CASE WHEN bb$i.lft IS NULL THEN s
+         |  ELSE list_reduce(string_split(s, ' '), (acc, x) ->
          |    CASE WHEN (acc = bb$i.lft OR ends_with(acc, ' ' || bb$i.lft))
          |              AND x = bb$i.rgt
          |    THEN left(acc, length(acc) - length(bb$i.lft)) || bb$i.merged
-         |    ELSE acc || ' ' || x END) AS s
-         |  FROM bs${i - 1} CROSS JOIN bb$i)""".stripMargin
+         |    ELSE acc || ' ' || x END) END AS s
+         |  FROM bs${i - 1} LEFT JOIN bb$i ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""bw AS (SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS t

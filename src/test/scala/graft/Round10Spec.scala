@@ -81,6 +81,96 @@ class UpsertOneJobSpec extends SparkSpec {
   }
 }
 
+/** Vocab-scale BPE: the driver-local greedy trainer and the
+  * chain-length-free iterative encoder must be bit-identical to the
+  * distributed trainer and the expression-fold encoder — the round-9
+  * implementations whose per-merge-job / per-merge-expression costs
+  * walled off real (32k-merge) vocab sizes. Parity here is what lets
+  * `train`/`encode` route by size without changing a single result. */
+class BpeScaleSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Bpe
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("driver-local train == distributed train, merge for merge") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val local = Bpe.trainLocal(docs, col("text"), 12)
+      .orderBy("step").collect().toSeq
+    val dist = Bpe.trainDistributed(docs, col("text"), 12)
+      .orderBy("step").collect().toSeq
+    assert(local == dist)
+    assert(local.size == 12)
+  }
+
+  test("encodeIter == expression-fold encode on the oracle config") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val chain = Bpe.mergeChain(Bpe.train(docs, col("text"), 8))
+    val fold = Bpe.encode(docs, "doc_id", col("text"), chain)
+      .orderBy("doc_id").collect().toSeq
+    val iter = Bpe.encodeIter(docs, "doc_id", col("text"), chain)
+      .orderBy("doc_id").collect().toSeq
+    assert(fold == iter)
+    assert(fold.nonEmpty)
+  }
+
+  test("a chain past ExprFoldMaxMerges trains and encodes; iter replay == sequential fold") {
+    // compound words (spaces -> _) give the corpus enough adjacent
+    // pairs to learn hundreds of merges — the regime the fold path
+    // cannot reach
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "\\s+", "_").as("text"))
+    val n = 200
+    assert(n > Bpe.ExprFoldMaxMerges)
+    val table = Bpe.train(docs, col("text"), n)
+    val chain = Bpe.mergeChain(table).toIndexedSeq
+    assert(chain.size == n, s"corpus must support $n merges, got ${chain.size}")
+
+    // the routed encode (iter path) against a driver-side SEQUENTIAL
+    // replay of the whole chain — the executable definition of the
+    // fold semantics at a depth the fold itself cannot express
+    val got = Bpe.encode(docs, "doc_id", col("text"), chain)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ranks = Bpe.rankTable(chain)
+    val want = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+      .map { case (id, t) =>
+        val words = t.split("\\s+").filter(_.nonEmpty)
+        val nBpe = words.map { w =>
+          var syms = Bpe.splitCodePoints(w)
+          chain.foreach { case (l, r) => syms = Bpe.mergeScanWord(syms, l, r) }
+          syms.length.toLong
+        }.sum
+        (id, words.length.toLong, nBpe)
+      }
+    assert(got == want)
+    // and the cursor-skipping replay equals the sequential one per word
+    val sample = docs.limit(5).select("text").as[String].collect()
+    sample.foreach { t =>
+      var syms = Bpe.splitCodePoints(t)
+      chain.foreach { case (l, r) => syms = Bpe.mergeScanWord(syms, l, r) }
+      assert(Bpe.applyChainToWord(t, chain, ranks).toSeq == syms.toSeq)
+    }
+  }
+
+  test("a recurring pair in the chain applies at every occurrence") {
+    // hand-built chain where a later merge recreates an earlier pair's
+    // adjacency and the pair recurs: x y -> xy ; xy z -> xyz ; then a
+    // second (x, y). The cursor replay must honor both occurrences in
+    // order, exactly as the sequential fold does.
+    val chain = IndexedSeq(("x", "y"), ("xy", "z"), ("a", "x"), ("x", "y"))
+    val ranks = Bpe.rankTable(chain)
+    for (w <- Seq("xyzxy", "axy", "xyxyz", "axyzxxy")) {
+      var syms = Bpe.splitCodePoints(w)
+      chain.foreach { case (l, r) => syms = Bpe.mergeScanWord(syms, l, r) }
+      assert(Bpe.applyChainToWord(w, chain, ranks).toSeq == syms.toSeq,
+        s"word $w")
+    }
+  }
+}
+
 /** The `_stats` marker as the DSv2 reader's statistics source: an
   * upsert maintains per-bucket (rows, bytes) lines, and
   * `estimateStatistics` serves them WITHOUT listing bucket directories
