@@ -275,8 +275,27 @@ object ApproxDedup {
     * silently SHORTEN a prefix and lose pairs. Output jac is the
     * int/int double, bit-identical in any engine. */
   def jaccardPairsPrefix(df: DataFrame, id: String, setCol: String,
-                         thresholdPpm: Long): DataFrame =
-    jaccardPairsPrefixScoped(df, id, setCol, thresholdPpm).df
+                         thresholdPpm: Long,
+                         maxTokenDf: Int = DefaultMaxPrefixTokenDf): DataFrame =
+    jaccardPairsPrefixScoped(df, id, setCol, thresholdPpm, maxTokenDf).df
+
+  /** Hot-token guard default for the prefix join: a prefix token with
+    * document frequency f contributes f² candidate pairs, so one
+    * stop-word-class token (bigram grams over a small vocabulary push
+    * df into the hundreds) silently turns the join quadratic — the
+    * measured adversarial case in SCALING.md ran 9× the selective
+    * config. The sentinel derives the bound from the corpus:
+    * min(10 000, max(10, 1% of documents)) — relative because
+    * "quadratic" means df ~ O(corpus) (a stop token sits in a fixed
+    * FRACTION of documents at any scale), absolutely capped because
+    * past df=10⁴ a single token's df² = 10⁸ candidates is a wall
+    * regardless of corpus size. Same fail-fast discipline as
+    * [[requireBoundedBlocks]]; 0 disables (measurement harnesses
+    * only), any positive value is an explicit absolute bound. */
+  val DefaultMaxPrefixTokenDf: Int = -1
+
+  private def autoPrefixTokenDf(nDocs: Long): Long =
+    math.min(10000L, math.max(10L, nDocs / 100L))
 
   /** The prepared (id, s, sz) base the prefix join runs over. */
   private[graft] def prefixBase(df: DataFrame, id: String,
@@ -286,19 +305,16 @@ object ApproxDedup {
       .withColumn("sz", size(col("s")).cast("bigint"))
       .filter(col("sz") > 0)
 
-  /** The candidate stage of the prefix join — (id_a, id_b) pairs that
-    * share a prefix token and pass the size filter, BEFORE the exact
-    * verify. Exposed so the scaling probe measures the SHIPPED
-    * pipeline, not a re-implementation that could drift. */
-  private[graft] def prefixCandidates(base: DataFrame,
-                                      thresholdPpm: Long): DataFrame = {
+  /** The per-document prefix-token table (id, sz, tok) — each document
+    * keeps its sz − ⌈t·sz⌉ + 1 RAREST tokens by the one global
+    * canonical order (document frequency asc, token asc); vocab-sized
+    * frequency table, integer ppm arithmetic. This is both the join
+    * index and what the hot-token guard histograms. */
+  private[graft] def prefixTokens(base: DataFrame,
+                                  thresholdPpm: Long): DataFrame = {
     val toks = base.select(col("id"), col("sz"), explode(col("s")).as("tok"))
-    // one global rarest-first canonical order: (document frequency asc,
-    // token asc); vocab-sized, built in one map-side-combined agg
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
-    // per-doc prefix: sort tokens by the canonical order, keep the
-    // first sz - ceil(t*sz) + 1 (integer ppm arithmetic)
-    val pref = toks
+    toks
       .join(dfreq, "tok")
       .groupBy(col("id"), col("sz"))
       .agg(sort_array(collect_list(struct(col("tdf"), col("tok"))))
@@ -309,6 +325,29 @@ object ApproxDedup {
       .select(col("id"), col("sz"),
         explode(expr("slice(st, 1, p)")).as("e"))
       .select(col("id"), col("sz"), col("e.tok").as("tok"))
+  }
+
+  /** The (blk, n) histogram of PREFIX-token document frequencies — the
+    * metadata-sized table the hot-token guard reads. PERSIST THIS NEXT
+    * TO A LEDGER (the [[blockHistogram]] convention): a refresh's
+    * guard then reads histogram + batch delta
+    * ([[updatedBlockHistogram]]) instead of re-deriving the prefix
+    * index of the full corpus. */
+  def prefixTokenHistogram(df: DataFrame, id: String, setCol: String,
+                           thresholdPpm: Long): DataFrame =
+    blockHistogram(prefixTokens(prefixBase(df, id, setCol), thresholdPpm)
+      .select(col("tok")), "tok")
+
+  /** The candidate stage of the prefix join — (id_a, id_b) pairs that
+    * share a prefix token and pass the size filter, BEFORE the exact
+    * verify. Exposed so the scaling probe measures the SHIPPED
+    * pipeline, not a re-implementation that could drift. */
+  private[graft] def prefixCandidates(base: DataFrame,
+                                      thresholdPpm: Long): DataFrame =
+    candidatesFromPrefixTokens(prefixTokens(base, thresholdPpm), thresholdPpm)
+
+  private def candidatesFromPrefixTokens(pref: DataFrame,
+                                         thresholdPpm: Long): DataFrame = {
     // candidates: share a prefix token + pass the size filter
     val a = pref.select(col("id").as("id_a"), col("sz").as("sz_a"), col("tok"))
     val b = pref.select(col("id").as("id_b"), col("sz").as("sz_b"), col("tok"))
@@ -319,15 +358,51 @@ object ApproxDedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** [[jaccardPairsPrefix]] with an ownable cache lifetime. */
+  /** [[jaccardPairsPrefix]] with an ownable cache lifetime.
+    *
+    * @param maxTokenDf >0 fails FAST when any prefix token's document
+    *        frequency exceeds it, instead of silently launching the
+    *        Σ df² candidate join a hot token makes quadratic; 0
+    *        disables. The check costs one metadata-sized aggregation
+    *        of the (persisted, reused) prefix index — or nothing, when
+    *        a ledger-held [[prefixTokenHistogram]] is passed.
+    * @param prefixHistogram a persisted (blk, n) prefix-token
+    *        histogram covering `df` — the guard then reads it instead
+    *        of aggregating the prefix index (refresh callers merge in
+    *        the batch via [[updatedBlockHistogram]]). */
   def jaccardPairsPrefixScoped(df: DataFrame, id: String, setCol: String,
-                               thresholdPpm: Long): Scoped = {
+                               thresholdPpm: Long,
+                               maxTokenDf: Int = DefaultMaxPrefixTokenDf,
+                               prefixHistogram: Option[DataFrame] = None)
+      : Scoped = {
     require(thresholdPpm > 0 && thresholdPpm <= 1000000,
       "prefix filtering needs a positive ppm threshold (lossless only " +
         "prunes when t > 0)")
     val base = prefixBase(df, id, setCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = prefixCandidates(base, thresholdPpm)
+    // the prefix index feeds the guard histogram AND both sides of the
+    // candidate join — one persisted derivation
+    val pref = prefixTokens(base, thresholdPpm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (maxTokenDf != 0)
+      try {
+        val bound =
+          if (maxTokenDf > 0) maxTokenDf.toLong
+          else autoPrefixTokenDf(base.count())
+        val hist = prefixHistogram
+          .getOrElse(blockHistogram(pref.select(col("tok")), "tok"))
+        val hot = hist.filter(col("n") > bound)
+          .orderBy(col("n").desc).limit(3).collect()
+        require(hot.isEmpty,
+          s"jaccardPairsPrefix: hot prefix token(s) exceed maxTokenDf=$bound — " +
+            hot.map(r => s"'${r.get(0)}'=${r.getLong(1)} docs").mkString(", ") +
+            "; each contributes df² candidate pairs. Use longer/rarer grams" +
+            " (higher n) or a higher threshold (shorter prefixes), or the" +
+            " LSH-banded variant for this corpus.")
+      } catch { // fail-fast must not orphan the scoped caches
+        case t: Throwable => base.unpersist(); pref.unpersist(); throw t
+      }
+    val cand = candidatesFromPrefixTokens(pref, thresholdPpm)
     // exact verify on the candidate pairs only
     val setsA = base.select(col("id").as("id_a"), col("s").as("set_a"),
       col("sz").as("vsz_a"))
@@ -343,7 +418,7 @@ object ApproxDedup {
       .withColumn("jac", col("inter").cast("double")
         / (col("vsz_a") + col("vsz_b") - col("inter")))
       .select(col("id_a"), col("id_b"), col("jac"))
-    Scoped(verified, () => { base.unpersist(); () })
+    Scoped(verified, () => { base.unpersist(); pref.unpersist(); () })
   }
 
   /** Portable 32-bit base hash: the first 8 hex chars of md5. */

@@ -30,7 +30,7 @@ class PrefixJoinSpec extends SparkSpec {
     val df = sets.toSeq.map { case (i, s) => (i, s.toSeq) }.toDF("id", "s")
       .repartition(8)
     for (tPpm <- Seq(300000L, 500000L, 800000L, 1000000L)) {
-      val got = ApproxDedup.jaccardPairsPrefix(df, "id", "s", tPpm)
+      val got = ApproxDedup.jaccardPairsPrefix(df, "id", "s", tPpm, maxTokenDf = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val want = refPairs(sets, tPpm / 1e6)
       assert(got == want,
@@ -49,7 +49,7 @@ class PrefixJoinSpec extends SparkSpec {
       4L -> Set("a", "b", "c", "d", "x", "y")) // inter=4, union=6 -> 2/3
     val df = (sets ++ sets2).toSeq.map { case (i, s) => (i, s.toSeq) }
       .toDF("id", "s")
-    val got = ApproxDedup.jaccardPairsPrefix(df, "id", "s", 600000L)
+    val got = ApproxDedup.jaccardPairsPrefix(df, "id", "s", 600000L, maxTokenDf = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // qualifying: (1,3)=4/5, (2,4)=5/6, (3,4)=2/3 (the 0.6-boundary
     // pair an FP-shortened prefix can drop); rejected: (1,2)=3/7,
@@ -79,7 +79,7 @@ class PrefixJoinSpec extends SparkSpec {
       (1L, Seq("a", "b")), (2L, Seq("a", "b")), (3L, Seq.empty[String]),
       (4L, null.asInstanceOf[Seq[String]]), (5L, Seq("b", "a")))
       .toDF("id", "s")
-    val got = ApproxDedup.jaccardPairsPrefix(df, "id", "s", 1000000L)
+    val got = ApproxDedup.jaccardPairsPrefix(df, "id", "s", 1000000L, maxTokenDf = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }

@@ -81,6 +81,55 @@ class UpsertOneJobSpec extends SparkSpec {
   }
 }
 
+/** The prefix-Jaccard hot-token guard: SCALING.md's measured
+  * adversarial case — bigram grams over this corpus's stop-word-class
+  * vocabulary, 19.4 s vs 2.1 s for the selective config at sf0.1 —
+  * must now FAIL FAST at the default guard instead of silently
+  * running the Σ df² candidate join, exactly as the blocked pair-join
+  * family fails on hot blocks. The guard also consumes a persisted
+  * ledger histogram so refreshes pay metadata cost. */
+class PrefixGuardSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.ops.ApproxDedup
+
+  test("the SCALING.md bigram case trips the default guard; 4-grams pass") {
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val bigrams = docs.withColumn("grams", ApproxDedup.wordNgrams(col("text"), 2))
+    val e = intercept[IllegalArgumentException] {
+      ApproxDedup.jaccardPairsPrefixScoped(bigrams, "doc_id", "grams", 800000L)
+    }
+    assert(e.getMessage.contains("hot prefix token"), e.getMessage)
+    assert(e.getMessage.contains("grams"), e.getMessage)
+
+    // the shipped q147 config (4-gram selectivity) passes the same
+    // default guard — construction runs the check eagerly
+    val quad = docs.withColumn("grams", ApproxDedup.wordNgrams(col("text"), 4))
+    val ok = ApproxDedup.jaccardPairsPrefixScoped(quad, "doc_id", "grams", 800000L)
+    ok.release()
+  }
+
+  test("a ledger-held histogram drives the guard: an inflated entry trips it") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("grams", ApproxDedup.wordNgrams(col("text"), 4))
+    // the persisted-ledger path: histogram rows say one token went hot
+    // (e.g. merged in by a landing batch) even though this corpus
+    // snapshot alone is fine — the guard must see the LEDGER's view
+    import spark.implicits._
+    val hist = ApproxDedup.prefixTokenHistogram(docs, "doc_id", "grams", 800000L)
+      .unionByName(Seq(("synthetic hot gram x y", 500000L)).toDF("blk", "n"))
+    val e = intercept[IllegalArgumentException] {
+      ApproxDedup.jaccardPairsPrefixScoped(docs, "doc_id", "grams", 800000L,
+        prefixHistogram = Some(hist))
+    }
+    assert(e.getMessage.contains("synthetic hot gram"), e.getMessage)
+    // and the true histogram passes
+    val ok = ApproxDedup.jaccardPairsPrefixScoped(docs, "doc_id", "grams",
+      800000L, prefixHistogram = Some(
+        ApproxDedup.prefixTokenHistogram(docs, "doc_id", "grams", 800000L)))
+    ok.release()
+  }
+}
+
 /** Vocab-scale BPE: the driver-local greedy trainer and the
   * chain-length-free iterative encoder must be bit-identical to the
   * distributed trainer and the expression-fold encoder — the round-9

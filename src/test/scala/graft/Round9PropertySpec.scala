@@ -91,7 +91,7 @@ class Round9PropertySpec extends SparkSpec {
         .map { case (s, i) => (i.toLong, s) }
       val df = sets.toDF("id", "s").repartition(4)
       for (tPpm <- Seq(400000L, 700000L)) {
-        val got = ApproxDedup.jaccardPairsPrefix(df, "id", "s", tPpm)
+        val got = ApproxDedup.jaccardPairsPrefix(df, "id", "s", tPpm, maxTokenDf = 0)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val want = (for {
           (a, sa0) <- sets; (b, sb0) <- sets if a < b
