@@ -5505,20 +5505,27 @@ object Queries {
     val queries = docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("qtext"))
-    // persisted posting-table index (write-once bootstrap like the
-    // ANN family): serving never re-tokenizes the corpus
+    // persisted index (write-once bootstrap like the ANN family):
+    // postings, doc lengths, per-term dfs AND the corpus-scalar row —
+    // serving is pure joins, no re-tokenize, no countDistinct
     val postPath = fixPath("bm25_post", dir)
     val dlPath = fixPath("bm25_dl", dir)
+    val tdfPath = fixPath("bm25_tdf", dir)
+    val statsPath = fixPath("bm25_stats", dir)
     def missing(p: String): Boolean =
       !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
-    if (missing(postPath) || missing(dlPath)) {
+    if (missing(postPath) || missing(dlPath) || missing(tdfPath) ||
+        missing(statsPath)) {
       val post = Retrieval.postings(docs, "doc_id", col("text"))
       post.write.mode("overwrite").parquet(postPath)
-      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .write.mode("overwrite").parquet(dlPath)
+      val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      dl.write.mode("overwrite").parquet(dlPath)
+      Retrieval.termDf(post, "doc_id").write.mode("overwrite").parquet(tdfPath)
+      Retrieval.corpusStats(dl).write.mode("overwrite").parquet(statsPath)
     }
-    Retrieval.bm25TopKFromIndex(s.read.parquet(postPath),
-        s.read.parquet(dlPath), "doc_id",
+    Retrieval.bm25TopKFromIndexTables(s.read.parquet(postPath),
+        s.read.parquet(dlPath), s.read.parquet(tdfPath),
+        s.read.parquet(statsPath), "doc_id",
         queries, "query_id", col("qtext"), k = 5)
       .orderBy("query_id", "rank")
   }
@@ -5576,24 +5583,36 @@ object Queries {
     val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
     val postPath = fixPath("bm25r_post", dir)
     val dlPath = fixPath("bm25r_dl", dir)
+    val tdfPath = fixPath("bm25r_tdf", dir)
+    val statsPath = fixPath("bm25r_stats", dir)
     def missing(p: String): Boolean =
       !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
-    if (missing(postPath) || missing(dlPath)) {
+    if (missing(postPath) || missing(dlPath) || missing(tdfPath) ||
+        missing(statsPath)) {
       val post = Retrieval.postings(docs.filter(!isBatch), "doc_id",
         col("text"))
       post.write.mode("overwrite").parquet(postPath)
-      post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .write.mode("overwrite").parquet(dlPath)
+      val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      dl.write.mode("overwrite").parquet(dlPath)
+      Retrieval.termDf(post, "doc_id").write.mode("overwrite").parquet(tdfPath)
+      Retrieval.corpusStats(dl).write.mode("overwrite").parquet(statsPath)
     }
+    // the landing batch's tables derive from the BATCH ONLY; dfs and
+    // scalars MERGE into the persisted index tables (sum-merge — the
+    // batch's doc ids are disjoint), so the old corpus is neither
+    // re-tokenized nor re-aggregated
     val batchPost = Retrieval.postings(docs.filter(isBatch), "doc_id",
       col("text"))
+    val batchDl = batchPost.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val post = s.read.parquet(postPath).unionByName(batchPost)
-    val dl = s.read.parquet(dlPath).unionByName(
-      batchPost.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+    val dl = s.read.parquet(dlPath).unionByName(batchDl)
+    val tdf = Retrieval.mergedTermDf(s.read.parquet(tdfPath), batchPost,
+      "doc_id")
+    val stats = Retrieval.mergedCorpusStats(s.read.parquet(statsPath), batchDl)
     val queries = docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("qtext"))
-    Retrieval.bm25TopKFromIndex(post, dl, "doc_id",
+    Retrieval.bm25TopKFromIndexTables(post, dl, tdf, stats, "doc_id",
         queries, "query_id", col("qtext"), k = 5)
       .orderBy("query_id", "rank")
   }

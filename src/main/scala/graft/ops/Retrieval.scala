@@ -65,36 +65,121 @@ object Retrieval {
   }
 
   /** Largest per-document length the µ-unit integer chain supports
-    * without 64-bit overflow (every product stays under 2^63 with
-    * default k1/b): documents beyond it must be split upstream —
-    * [[bm25TopKFromIndex]] fails FAST on the index stats instead of
-    * silently mis-ranking a wrapped score. */
-  val MaxDocTokens: Long = 4000000L
+    * without 64-bit overflow at the DEFAULT k1/b (documentation
+    * value; the runtime guard derives the bound from the ACTUAL
+    * parameters via [[maxDocTokensFor]] — a caller passing a larger
+    * k1/b gets a correspondingly tighter fail-fast bound, never a
+    * silently wrapped score). */
+  val MaxDocTokens: Long = maxDocTokensFor(1200000L, 750000L)
 
-  /** [[bm25TopK]] served from a PERSISTED index — the posting table
-    * and per-doc length table as parquet (the same serve-vs-train
-    * split as the IVF/PQ family): scoring reads only the query terms'
-    * posting rows; the corpus text is never re-tokenized. */
+  /** The largest per-document token count for which EVERY product in
+    * the µ-unit score chain stays under 2^63 at the given parameters,
+    * from the chain's own terms (BigInt so the derivation itself
+    * cannot overflow): tf·(k1+M)·M (the s_tf numerator), b·dl·M (the
+    * normalizer's product), k1·norm_u with norm_u ≤ (M−b)+b·dl (avgdl
+    * is ≥ M µ-units since every indexed document has ≥ 1 token), and
+    * the s_tf denominator sum. Documents beyond the bound must be
+    * split upstream — the serve paths fail FAST on the index stats
+    * instead of mis-ranking. */
+  def maxDocTokensFor(k1Micro: Long, bMicro: Long): Long = {
+    require(k1Micro > 0 && k1Micro <= M * M,
+      s"k1Micro must be in (0, 1e12], got $k1Micro")
+    require(bMicro >= 0 && bMicro <= M,
+      s"bMicro must be in [0, 1e6], got $bMicro")
+    val lim = BigInt(Long.MaxValue)
+    val c1 = lim / (BigInt(k1Micro + M) * M)
+    val c2 = if (bMicro == 0) lim else lim / (BigInt(bMicro) * M)
+    val c3 = if (bMicro == 0) lim else (lim / k1Micro - M) / bMicro
+    val c4 = lim / (BigInt(M) + BigInt(k1Micro) * bMicro / M + 1)
+    c1.min(c2).min(c3).min(c4).max(BigInt(1)).toLong
+  }
+
+  /** Per-term document frequencies (term, df) — the idf input as a
+    * PERSISTED index table, so serving never re-aggregates posting
+    * lists (no countDistinct in any serve plan). */
+  def termDf(post: DataFrame, docId: String): DataFrame =
+    post.groupBy(col("term")).agg(countDistinct(col(docId)).as("df"))
+
+  /** Corpus scalars (n_docs, total_len, max_dl) as a 1-row index
+    * table — the avgdl / overflow-guard input, maintained by the
+    * refresh instead of re-aggregated per serve. */
+  def corpusStats(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("total_len"),
+      coalesce(max(col("dl")), lit(0L)).as("max_dl"))
+
+  /** [[termDf]] after landing a DISJOINT batch (append-only refresh:
+    * batch doc ids are new, so per-term dfs ADD) — sum-merge, cost
+    * O(index terms + batch terms), postings never re-aggregated. */
+  def mergedTermDf(tdf: DataFrame, batchPost: DataFrame,
+                   docId: String): DataFrame =
+    tdf.unionByName(termDf(batchPost, docId))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+
+  /** [[corpusStats]] after landing a disjoint batch: counts and
+    * lengths add, the max folds. */
+  def mergedCorpusStats(stats: DataFrame, batchDl: DataFrame): DataFrame =
+    stats.unionByName(corpusStats(batchDl))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"),
+        max(col("max_dl")).as("max_dl"))
+
+  /** [[bm25TopK]] served from a PERSISTED index — posting table and
+    * per-doc length table as parquet (the same serve-vs-train split
+    * as the IVF/PQ family): scoring reads only the query terms'
+    * posting rows; the corpus text is never re-tokenized. Derives df
+    * (query terms only) and the corpus scalars on the fly — callers
+    * that persist them ([[termDf]]/[[corpusStats]], the q154/q155
+    * index layout) serve through [[bm25TopKFromIndexTables]], whose
+    * plan is pure joins. */
   def bm25TopKFromIndex(post: DataFrame, dl: DataFrame, docId: String,
                         queries: DataFrame, queryId: String,
                         queryText: Column, k: Int,
                         k1Micro: Long = 1200000L,
                         bMicro: Long = 750000L): DataFrame = {
-    // ONE driver action for the corpus scalars (N, total length, max
-    // doc length — the overflow guard input)
-    val statsRow = dl
-      .agg(count(lit(1)), sum(col("dl")), max(col("dl"))).collect()(0)
+    val qTermSet = queries
+      .select(explode(split(queryText, "\\s+")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    // df only for the QUERY's terms — the countDistinct shuffle runs
+    // over their posting lists, not the whole vocabulary
+    val tdf = termDf(post.join(broadcast(qTermSet), Seq("term")), docId)
+    bm25TopKFromIndexTables(post, dl, tdf, corpusStats(dl), docId,
+      queries, queryId, queryText, k, k1Micro, bMicro)
+  }
+
+  /** The fully-indexed serve path: posting lists, per-doc lengths,
+    * per-term dfs and the corpus-scalar row are all PERSISTED tables
+    * maintained by the refresh — the serve plan is joins plus one
+    * 1-row stats collect, with no aggregation over postings (a spec
+    * pins the absence of countDistinct). `tdf` must cover at least
+    * the query's indexed terms; `stats` is exactly one row. */
+  def bm25TopKFromIndexTables(post: DataFrame, dl: DataFrame,
+                              tdf: DataFrame, stats: DataFrame,
+                              docId: String,
+                              queries: DataFrame, queryId: String,
+                              queryText: Column, k: Int,
+                              k1Micro: Long = 1200000L,
+                              bMicro: Long = 750000L): DataFrame = {
+    // ONE driver action: the 1-row scalar table (N, total length, max
+    // doc length — the overflow-guard input)
+    val statsRow = stats
+      .select(col("n_docs"), col("total_len"), col("max_dl")).collect() match {
+      case Array(one) => one
+      case rows => sys.error(s"bm25: stats must be one row, got ${rows.length}")
+    }
     val nDocs = statsRow.getLong(0)
-    val totalLen = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
-    val maxDl = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
-    require(maxDl <= MaxDocTokens,
-      s"bm25: a document has $maxDl tokens > $MaxDocTokens — the µ-unit " +
-        "integer score would overflow Long; split oversized documents " +
-        "upstream (the guard fails fast instead of mis-ranking)")
+    val totalLen = statsRow.getLong(1)
+    val maxDl = statsRow.getLong(2)
+    val maxTokens = maxDocTokensFor(k1Micro, bMicro)
+    require(maxDl <= maxTokens,
+      s"bm25: a document has $maxDl tokens > $maxTokens (the bound at " +
+        s"k1Micro=$k1Micro, bMicro=$bMicro) — the µ-unit integer score " +
+        "would overflow Long; split oversized documents upstream (the " +
+        "guard fails fast instead of mis-ranking)")
     // BigInt for the average: totalLen * 1e6 overflows Long beyond
     // ~9.2e12 corpus tokens, silently collapsing every normalizer
     val avgDlMicro = ((BigInt(totalLen) * M) / math.max(nDocs, 1L))
-      .max(BigInt(1)).min(BigInt(MaxDocTokens) * M).toLong
+      .max(BigInt(1)).min(BigInt(maxTokens) * M).toLong
 
     // log2-quantized idf in EIGHTH-bit steps: q = 256·N div df, then
     // floor(log2 q) from the bit length plus a 3-bit mantissa
@@ -102,14 +187,7 @@ object Retrieval {
     // (whole-bit quantization collapses df=2 vs df=3 on small corpora;
     // the mantissa keeps adjacent document frequencies ordered). 0 for
     // df == N, never negative.
-    val qTermSet = queries
-      .select(explode(split(queryText, "\\s+")).as("term"))
-      .filter(col("term") =!= "").distinct()
-    // df only for the QUERY's terms — the countDistinct shuffle runs
-    // over their posting lists, not the whole vocabulary
-    val idf = post.join(broadcast(qTermSet), Seq("term"))
-      .groupBy(col("term"))
-      .agg(countDistinct(col(docId)).as("df"))
+    val idf = tdf
       .withColumn("q8", expr(
         s"(CAST($nDocs AS BIGINT) * CAST(256 AS BIGINT)) div df"))
       .withColumn("l8", expr("CAST(length(bin(q8)) - 1 AS INT)"))

@@ -81,6 +81,99 @@ class UpsertOneJobSpec extends SparkSpec {
   }
 }
 
+/** The fully-indexed BM25 serve path: per-term dfs and the
+  * corpus-scalar row are PERSISTED index tables maintained by the
+  * refresh (sum-merge for disjoint batches), so a serve plan is joins
+  * only — no countDistinct re-aggregation of posting lists — and the
+  * overflow guard derives its document-length bound from the actual
+  * k1/b parameters instead of the default-parameter constant. */
+class Bm25IndexTablesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.ops.{Curation, Retrieval}
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("incremental df/stats merge == recomputed from the full corpus; serves equal") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
+    val oldPost = Retrieval.postings(docs.filter(!isBatch), "doc_id", col("text"))
+    val batchPost = Retrieval.postings(docs.filter(isBatch), "doc_id", col("text"))
+    val fullPost = Retrieval.postings(docs, "doc_id", col("text"))
+    def dlOf(p: org.apache.spark.sql.DataFrame) =
+      p.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+
+    val merged = Retrieval.mergedTermDf(
+        Retrieval.termDf(oldPost, "doc_id"), batchPost, "doc_id")
+      .as[(String, Long)].collect().toSeq.sorted
+    val recomputed = Retrieval.termDf(fullPost, "doc_id")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(merged == recomputed)
+
+    val mergedStats = Retrieval.mergedCorpusStats(
+        Retrieval.corpusStats(dlOf(oldPost)), dlOf(batchPost))
+      .collect().head
+    val recomputedStats = Retrieval.corpusStats(dlOf(fullPost)).collect().head
+    assert(mergedStats == recomputedStats)
+
+    // and the table-served ranking equals the derive-on-the-fly path
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("qtext"))
+    val viaTables = Retrieval.bm25TopKFromIndexTables(fullPost, dlOf(fullPost),
+        Retrieval.termDf(fullPost, "doc_id"),
+        Retrieval.corpusStats(dlOf(fullPost)), "doc_id",
+        queries, "query_id", col("qtext"), 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val viaDerive = Retrieval.bm25TopKFromIndex(fullPost, dlOf(fullPost),
+        "doc_id", queries, "query_id", col("qtext"), 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(viaTables == viaDerive && viaTables.nonEmpty)
+  }
+
+  test("the table-served plan has no countDistinct; the derive path does") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val post = Retrieval.postings(docs, "doc_id", col("text"))
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("qtext"))
+    val served = Retrieval.bm25TopKFromIndexTables(post, dl,
+      Retrieval.termDf(post, "doc_id").localCheckpoint(),
+      Retrieval.corpusStats(dl).localCheckpoint(), "doc_id",
+      queries, "query_id", col("qtext"), 5)
+    val plan = served.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("count(distinct"),
+      s"serve plan must not re-aggregate dfs:\n${plan.take(2000)}")
+    val derived = Retrieval.bm25TopKFromIndex(post, dl, "doc_id",
+      queries, "query_id", col("qtext"), 5)
+    assert(derived.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("count(distinct"),
+      "the contrast path should derive df (guards the assertion above)")
+  }
+
+  test("the overflow guard derives its bound from the actual k1/b") {
+    // a 20k-token document is FINE at default parameters but overflows
+    // the µ-unit chain at k1=1000 — the round-9 constant-bound guard
+    // admitted it and mis-ranked silently
+    assert(20000L <= Retrieval.maxDocTokensFor(1200000L, 750000L))
+    assert(20000L > Retrieval.maxDocTokensFor(1000000000L, 750000L))
+    val post = Seq(("w", 1L, 20000L)).toDF("term", "doc_id", "tf")
+    val dl = Seq((1L, 20000L)).toDF("doc_id", "dl")
+    val tdf = Seq(("w", 1L)).toDF("term", "df")
+    val stats = Seq((1L, 20000L, 20000L)).toDF("n_docs", "total_len", "max_dl")
+    val queries = Seq((1L, "w")).toDF("query_id", "qtext")
+    val ok = Retrieval.bm25TopKFromIndexTables(post, dl, tdf, stats, "doc_id",
+      queries, "query_id", col("qtext"), 1)
+    assert(ok.collect().length == 1)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKFromIndexTables(post, dl, tdf, stats, "doc_id",
+        queries, "query_id", col("qtext"), 1, k1Micro = 1000000000L)
+    }
+    assert(e.getMessage.contains("k1Micro=1000000000"), e.getMessage)
+  }
+}
+
 /** The prefix-Jaccard hot-token guard: SCALING.md's measured
   * adversarial case — bigram grams over this corpus's stop-word-class
   * vocabulary, 19.4 s vs 2.1 s for the selective config at sf0.1 —
