@@ -5633,11 +5633,36 @@ object Queries {
     val phrases = docs.filter(col("doc_id") % 100 === 50)
       .select(col("doc_id").as("phrase_id"),
         concat_ws(" ", slice(split(col("text"), "\\s+"), 3, 6)).as("phrase"))
-    val scoped = Retrieval.phraseMatchesScoped(docs, "doc_id", col("text"),
-      phrases, "phrase_id", col("phrase"), n = 4)
-    val out = scoped.df.orderBy("phrase_id", "doc_id").localCheckpoint()
-    scoped.release()
-    out
+    // persisted gram index (write-once bootstrap): serving probes the
+    // site/histogram/unigram TABLES — the corpus is never re-exploded
+    Retrieval.phraseMatchesFromIndex(
+        phraseIndexFor(s, dir), docs, "doc_id", col("text"),
+        phrases, "phrase_id", col("phrase"))
+      .orderBy("phrase_id", "doc_id")
+  }
+
+  /** The persisted [[Retrieval.PhraseGramIndex]] for a sf dir —
+    * write-once bootstrap like [[ivfIndexFor]]. */
+  private def phraseIndexFor(s: SparkSession, dir: String)
+      : Retrieval.PhraseGramIndex = {
+    val sitesPath = fixPath("phrase_sites", dir)
+    val gdfPath = fixPath("phrase_gdf", dir)
+    val uniPath = fixPath("phrase_uni", dir)
+    val docsPath = fixPath("phrase_docs", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(sitesPath) || missing(gdfPath) || missing(uniPath) ||
+        missing(docsPath)) {
+      val idx = Retrieval.phraseGramIndex(
+        t(s, dir, "documents"), "doc_id", col("text"), n = 4)
+      idx.sites.write.mode("overwrite").parquet(sitesPath)
+      idx.gramDf.write.mode("overwrite").parquet(gdfPath)
+      idx.unigrams.write.mode("overwrite").parquet(uniPath)
+      idx.docs.write.mode("overwrite").parquet(docsPath)
+    }
+    Retrieval.PhraseGramIndex(s.read.parquet(sitesPath),
+      s.read.parquet(gdfPath), s.read.parquet(uniPath),
+      s.read.parquet(docsPath), n = 4)
   }
 
   private val oPhraseMatch =
@@ -5648,7 +5673,8 @@ object Queries {
       |d AS (SELECT doc_id, regexp_replace(text, '\s+', ' ', 'g') AS dt
       |      FROM documents)
       |SELECT phrase_id, doc_id FROM p, d
-      |WHERE instr(' ' || dt || ' ', ' ' || phrase || ' ') > 0
+      |WHERE trim(phrase) <> ''
+      |  AND instr(' ' || dt || ' ', ' ' || phrase || ' ') > 0
       |ORDER BY phrase_id, doc_id""".stripMargin
 
   // ------------------------------------------------------------------ api

@@ -251,10 +251,127 @@ object Retrieval {
     phraseMatchesScoped(docs, docId, docText, phrases, phraseId,
       phraseText, n).df
 
+  /** The persisted phrase-serving index — the ledger-family form of
+    * [[phraseMatches]]' corpus-side state, so a serve probes TABLES
+    * instead of re-exploding the corpus per call (round 9 re-tokenized
+    * and re-persisted every invocation):
+    *  - `sites` (id, gram): the distinct-document projection of the
+    *    dup-span family's positional-gram store
+    *    ([[Dedup.positionalNgrams]] — the SAME explode builds both;
+    *    at 100 TB store it bucketed by gram so probes co-locate);
+    *  - `gramDf` (gram, gdf): the gram document-frequency histogram —
+    *    the rarest-gram chooser's metadata-sized input;
+    *  - `unigrams` (id, tok): distinct token postings, covering docs
+    *    SHORTER than n tokens too (they have no n-gram site) — the
+    *    shorter-than-n phrase probe;
+    *  - `docs` (id): the landed-id ledger that makes the incremental
+    *    update replay-safe ([[Dedup.DupSpanLedger]]'s rule).
+    * Phrases with an unindexed gram match nothing; serving equals the
+    * direct path row-for-row (PhraseIndexSpec pins parity and that a
+    * STALE index is what a serve sees — the probe never falls back to
+    * re-reading the corpus). */
+  final case class PhraseGramIndex(sites: DataFrame, gramDf: DataFrame,
+                                   unigrams: DataFrame, docs: DataFrame,
+                                   n: Int)
+
+  /** One-time index bootstrap from the ingested corpus. */
+  def phraseGramIndex(docs: DataFrame, docId: String, docText: Column,
+                      n: Int = 4): PhraseGramIndex = {
+    val sites = Dedup.positionalNgrams(docs, docId, docText, n)
+      .select(col(docId), col("gram")).distinct()
+    val unigrams = docs.filter(docText.isNotNull)
+      .select(col(docId), explode(split(docText, "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    PhraseGramIndex(sites,
+      sites.groupBy(col("gram")).agg(count(lit(1)).as("gdf")),
+      unigrams, docs.select(col(docId)), n)
+  }
+
+  /** The index after landing a batch: novel documents' sites/postings
+    * append, gram dfs sum-merge, landed ids append — replaying a batch
+    * is a no-op (ids already landed), cost O(index delta + batch);
+    * old text is never re-tokenized. */
+  def updatedPhraseGramIndex(index: PhraseGramIndex, batch: DataFrame,
+                             docId: String, docText: Column)
+      : PhraseGramIndex = {
+    val novel = batch.join(index.docs.select(col(docId)), Seq(docId),
+      "left_anti")
+    val novelSites = Dedup.positionalNgrams(novel, docId, docText, index.n)
+      .select(col(docId), col("gram")).distinct()
+    val novelUnigrams = novel.filter(docText.isNotNull)
+      .select(col(docId), explode(split(docText, "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    PhraseGramIndex(
+      index.sites.unionByName(novelSites),
+      index.gramDf
+        .unionByName(novelSites.groupBy(col("gram")).agg(count(lit(1)).as("gdf")))
+        .groupBy(col("gram")).agg(sum(col("gdf")).as("gdf")),
+      index.unigrams.unionByName(novelUnigrams),
+      index.docs.select(col(docId)).unionByName(novel.select(col(docId))),
+      index.n)
+  }
+
+  /** [[phraseMatches]] served from a persisted [[PhraseGramIndex]]:
+    * the probe joins phrase grams against the index's histogram and
+    * site tables ONLY — no corpus-wide gram explode, no unigram
+    * re-derivation — and the exact containment verify then re-reads
+    * the TEXT of candidate documents alone (the docs table is scanned,
+    * never exploded). Losslessness is unchanged: a doc shorter than n
+    * tokens has no site but also cannot contain an ≥n-token phrase,
+    * and the unigram postings cover every document for the short-
+    * phrase path. */
+  def phraseMatchesFromIndex(index: PhraseGramIndex,
+                             docs: DataFrame, docId: String, docText: Column,
+                             phrases: DataFrame, phraseId: String,
+                             phraseText: Column): DataFrame = {
+    val n = index.n
+    val pNorm = trim(regexp_replace(phraseText, "\\s+", " "))
+    val cleaned = phrases.filter(phraseText.isNotNull)
+      .withColumn("_pt", pNorm).filter(length(col("_pt")) > 0)
+    val isShort = size(split(col("_pt"), " ")) < n
+    val longPhrases = cleaned.filter(!isShort)
+    val shortPhrases = cleaned.filter(isShort)
+    val phraseGrams = longPhrases
+      .select(col(phraseId),
+        explode(ApproxDedup.wordNgrams(col("_pt"), n)).as("gram"))
+    val wRare = Window.partitionBy(col(phraseId))
+      .orderBy(col("gdf"), col("gram"))
+    val probe = phraseGrams
+      .join(index.gramDf, Seq("gram")) // inner: unseen gram -> no candidates
+      .withColumn("_r", row_number().over(wRare))
+      .filter(col("_r") === 1)
+      // a phrase with ANY unindexed gram cannot match
+      .join(phraseGrams.join(index.gramDf.select(col("gram")), Seq("gram"),
+          "left_anti")
+        .select(col(phraseId)).distinct(),
+        Seq(phraseId), "left_anti")
+      .select(col(phraseId), col("gram"))
+    val gramCandidates = probe.join(index.sites, Seq("gram"))
+      .select(col(phraseId), col(docId)).distinct()
+    val shortCandidates = shortPhrases
+      .select(col(phraseId),
+        element_at(split(col("_pt"), " "), 1).as("_tok"))
+      .join(index.unigrams.withColumnRenamed("tok", "_tok"), Seq("_tok"))
+      .select(col(phraseId), col(docId))
+    val dtexts = docs.select(col(docId),
+      regexp_replace(docText, "\\s+", " ").as("_dt"))
+    val ptexts = cleaned.select(col(phraseId), col("_pt"))
+    gramCandidates.unionByName(shortCandidates)
+      .join(dtexts, Seq(docId)).join(ptexts, Seq(phraseId))
+      .filter(instr(concat(lit(" "), col("_dt"), lit(" ")),
+        concat(lit(" "), col("_pt"), lit(" "))) > 0)
+      .select(col(phraseId), col(docId))
+  }
+
   /** [[phraseMatches]] with an ownable cache lifetime: the corpus-wide
     * gram explode feeds both the frequency aggregation and the
     * candidate join — persisted once (the [[ApproxDedup]] family
-    * convention), released via `release()` after materialization. */
+    * convention), released via `release()` after materialization. For
+    * REPEATED serving against one corpus, bootstrap a
+    * [[PhraseGramIndex]] once and serve via
+    * [[phraseMatchesFromIndex]] instead — this path re-derives the
+    * corpus gram table per call and exists for ledger-less one-shot
+    * use. */
   def phraseMatchesScoped(docs: DataFrame, docId: String, docText: Column,
                           phrases: DataFrame, phraseId: String,
                           phraseText: Column,

@@ -81,6 +81,128 @@ class UpsertOneJobSpec extends SparkSpec {
   }
 }
 
+/** Phrase search served from the persisted gram index
+  * ([[graft.ops.Retrieval.PhraseGramIndex]]): the probe joins phrase
+  * grams against index TABLES — the round-9 path re-exploded and
+  * re-persisted the corpus gram table on every call. Parity with the
+  * direct path, incremental == bootstrap, and the serve plan proof
+  * that only the index is probed (a stale index does NOT see corpus
+  * edits; no gram kernel over the corpus text column in the plan). */
+class PhraseIndexSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.ops.Retrieval
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fixturePhrases(docs: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 100 === 50)
+      .select(col("doc_id").as("phrase_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 3, 6)).as("phrase"))
+      .unionByName(Seq(
+        (900001L, "the"),                                  // short path
+        (900002L, "zz unseen gram tokens here absent")     // unseen gram
+      ).toDF("phrase_id", "phrase"))
+  }
+
+  test("index-served == direct, including short and unseen-gram phrases") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val phrases = fixturePhrases(docs)
+    val idx = Retrieval.phraseGramIndex(docs, "doc_id", col("text"), 4)
+    val served = Retrieval.phraseMatchesFromIndex(idx, docs, "doc_id",
+        col("text"), phrases, "phrase_id", col("phrase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Retrieval.phraseMatches(docs, "doc_id", col("text"),
+        phrases, "phrase_id", col("phrase"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == direct)
+    assert(served.nonEmpty && served.exists(_._1 == 900001L))
+    assert(!served.exists(_._1 == 900002L))
+  }
+
+  test("incremental index update == bootstrap over the full corpus; serves equal") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val inc = Retrieval.updatedPhraseGramIndex(
+      Retrieval.phraseGramIndex(oldDocs, "doc_id", col("text"), 4),
+      batch, "doc_id", col("text"))
+    val boot = Retrieval.phraseGramIndex(docs, "doc_id", col("text"), 4)
+    assert(inc.gramDf.as[(String, Long)].collect().toSeq.sorted ==
+      boot.gramDf.as[(String, Long)].collect().toSeq.sorted)
+    assert(inc.sites.as[(Long, String)].collect().toSeq.sorted ==
+      boot.sites.as[(Long, String)].collect().toSeq.sorted)
+    // replaying the batch is a no-op
+    val replay = Retrieval.updatedPhraseGramIndex(inc, batch, "doc_id",
+      col("text"))
+    assert(replay.gramDf.as[(String, Long)].collect().toSeq.sorted ==
+      boot.gramDf.as[(String, Long)].collect().toSeq.sorted)
+
+    val phrases = fixturePhrases(docs)
+    val a = Retrieval.phraseMatchesFromIndex(inc, docs, "doc_id", col("text"),
+        phrases, "phrase_id", col("phrase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Retrieval.phraseMatchesFromIndex(boot, docs, "doc_id", col("text"),
+        phrases, "phrase_id", col("phrase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("the serve path probes the INDEX, not the corpus: stale index, no corpus explode") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val phrase = docs.filter(col("doc_id") === 50)
+      .select(concat_ws(" ",
+        slice(split(col("text"), "\\s+"), 3, 6)).as("p"))
+      .as[String].collect().head
+    val phrases = Seq((1L, phrase)).toDF("phrase_id", "phrase")
+    val idx = Retrieval.phraseGramIndex(docs, "doc_id", col("text"), 4)
+    // localCheckpoint = the persisted-table stand-in (severed lineage,
+    // exactly what reading the parquet fixtures gives q156)
+    val frozen = Retrieval.PhraseGramIndex(idx.sites.localCheckpoint(),
+      idx.gramDf.localCheckpoint(), idx.unigrams.localCheckpoint(),
+      idx.docs.localCheckpoint(), idx.n)
+
+    // edit the corpus AFTER indexing: a doc that did not contain the
+    // phrase now does
+    val victim = docs.filter(col("doc_id") === 7)
+      .select("text").as[String].collect().head
+    assert(!s" ${victim.replaceAll("\\s+", " ")} ".contains(s" $phrase "))
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 7, concat(col("text"), lit(" " + phrase)))
+        .otherwise(col("text")))
+
+    val direct = Retrieval.phraseMatches(edited, "doc_id", col("text"),
+        phrases, "phrase_id", col("phrase"), 4)
+      .collect().map(_.getLong(1)).toSet
+    val served = Retrieval.phraseMatchesFromIndex(frozen, edited, "doc_id",
+        col("text"), phrases, "phrase_id", col("phrase"))
+      .collect().map(_.getLong(1)).toSet
+    assert(direct.contains(7L), "the direct path re-derives and sees the edit")
+    assert(!served.contains(7L),
+      "a stale index must NOT see the edit — proves the probe reads the " +
+        "index, never a corpus re-explode")
+    assert(served == direct - 7L)
+
+    // and the plan says the same: no gram kernel / token explode over
+    // the corpus text column (the phrase side's _pt is the only one)
+    val plan = Retrieval.phraseMatchesFromIndex(frozen, docs, "doc_id",
+        col("text"), phrases, "phrase_id", col("phrase"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.matches("(?s).*word_ngrams\\(text#.*"),
+      s"no corpus gram explode in the serve plan:\n${plan.take(2000)}")
+    assert(!plan.matches("(?s).*explode\\(split\\(text#.*"),
+      s"no corpus token explode in the serve plan:\n${plan.take(2000)}")
+    val directPlan = Retrieval.phraseMatches(docs, "doc_id", col("text"),
+        phrases, "phrase_id", col("phrase"), 4)
+      .queryExecution.optimizedPlan.toString
+    assert(directPlan.matches("(?s).*word_ngrams\\(text#.*"),
+      "the contrast path explodes the corpus (guards the assertion above)")
+  }
+}
+
 /** The fully-indexed BM25 serve path: per-term dfs and the
   * corpus-scalar row are PERSISTED index tables maintained by the
   * refresh (sum-merge for disjoint batches), so a serve plan is joins
