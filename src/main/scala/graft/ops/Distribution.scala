@@ -61,6 +61,10 @@ object Distribution {
     * qbucket, est). The windows run over ≤65 rows per group. */
   def quantilesFromHistogram(hist: DataFrame, groupCols: Seq[String],
                              qPpm: Seq[Long]): DataFrame = {
+    // mirrors exactQuantiles: q > 1e6 would push rank past total and
+    // silently DROP the (group, q) row; q <= 0 would serve the minimum
+    require(qPpm.nonEmpty && qPpm.forall(q => q >= 1 && q <= 1000000),
+      "quantiles are ppm in [1, 1000000]")
     val gCols = groupCols.map(col)
     val wCum = Window.partitionBy(gCols: _*).orderBy(col("bucket"))
     val wAll = Window.partitionBy(gCols: _*)

@@ -81,6 +81,144 @@ class UpsertOneJobSpec extends SparkSpec {
   }
 }
 
+/** FOUR maintainers, one root: the round-9 ConcurrentStreamsSpec
+  * proved RefreshStream + IndexStream don't interfere; the MG and
+  * histogram ledgers share the same store/checkpoint machinery, so
+  * this extends the matrix — all four streams run interleaved under
+  * one root, all four are killed mid-stream and resumed, and each
+  * family's final state must equal its one-shot batch form exactly. */
+class MaintainerMatrixSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.DataFrame
+  import graft.streaming.{FreqStream, HistStream, IndexStream, RefreshStream}
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("interleaved kill/resume of all four maintainers == each one-shot form") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val oldDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val oldEmb = emb.filter(col("vec_id") % 10 =!= 0)
+    val root = tmpDir("matrix_streams")
+
+    // refresh + index: the round-9 pair, config mirroring q110
+    val refresh = RefreshStream(
+      id = "doc_id",
+      fp = md5(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 8))),
+      shingles = graft.ops.ApproxDedup.wordNgrams(col("text"), 2),
+      k = 16, bands = 4, rowsPerBand = 4, lexThreshold = 0.5,
+      vecId = "vec_id", vecCol = "embedding",
+      semK = 8, semIters = 2, semThreshold = 0.3)
+    val index = IndexStream("vec_id", "embedding")
+    refresh.bootstrap(oldDocs, oldEmb, root)
+    index.bootstrap(oldEmb, k = 8, iters = 2, root)
+
+    // freq + hist: token and length streams off the same corpus
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang").as("k"),
+        explode(split(col("text"), "\\s+")).as("v"))
+      .filter(col("v") =!= "")
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source").as("k"), col("n_chars").cast("bigint").as("v"))
+
+    def landHalf(src: DataFrame, half: Int, dest: String): Unit =
+      src.withColumn("_h", pmod(hash(col("k"), col("v")), lit(2)))
+        .filter(col("_h") === half).drop("_h")
+        .write.mode("append").parquet(dest)
+    def landDocs(i: Int): Unit = docs.filter(col("doc_id") % 10 === 0)
+      .filter(pmod(col("doc_id"), lit(20)) === lit(if (i == 0) 0 else 10))
+      .write.mode("append").parquet(s"$root/landing_docs")
+    def landVecs(i: Int): Unit = emb.filter(col("vec_id") % 10 === 0)
+      .filter(pmod(col("vec_id"), lit(20)) === lit(if (i == 0) 0 else 10))
+      .write.mode("append").parquet(s"$root/landing_vecs")
+
+    def startFreq() = FreqStream.frequent(
+        spark.readStream.schema("k STRING, v STRING")
+          .parquet(s"$root/freq_in").as[(String, String)], k = 64)
+      .toDF().writeStream
+      .option("checkpointLocation", s"$root/freq_ckpt")
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        df.withColumn("_bid", lit(bid))
+          .write.mode("append").parquet(s"$root/freq_upd")
+        ()
+      }.start()
+    def startHist() = HistStream.histogram(
+        spark.readStream.schema("k STRING, v BIGINT")
+          .parquet(s"$root/hist_in").as[(String, Option[Long])])
+      .toDF().writeStream
+      .option("checkpointLocation", s"$root/hist_ckpt")
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        df.withColumn("_bid", lit(bid))
+          .write.mode("append").parquet(s"$root/hist_upd")
+        ()
+      }.start()
+
+    // phase 1 of every stream lands; all four run CONCURRENTLY, all
+    // four are killed mid-stream
+    landDocs(0); landVecs(0)
+    landHalf(toks, 0, s"$root/freq_in"); landHalf(lens, 0, s"$root/hist_in")
+    val r1 = refresh.start(spark, s"$root/landing_docs", docs.schema, emb, root)
+    val i1 = index.start(spark, s"$root/landing_vecs", emb.schema, root)
+    val f1 = startFreq(); val h1 = startHist()
+    Seq(r1, i1, f1, h1).foreach(_.processAllAvailable())
+    Seq(r1, i1, f1, h1).foreach(_.stop())
+    // resume all four from their checkpoints, land phase 2, drain
+    val r2 = refresh.start(spark, s"$root/landing_docs", docs.schema, emb, root)
+    val i2 = index.start(spark, s"$root/landing_vecs", emb.schema, root)
+    val f2 = startFreq(); val h2 = startHist()
+    landDocs(1); landVecs(1)
+    landHalf(toks, 1, s"$root/freq_in"); landHalf(lens, 1, s"$root/hist_in")
+    Seq(r2, i2, f2, h2).foreach(_.processAllAvailable())
+    Seq(r2, i2, f2, h2).foreach(_.stop())
+
+    // refresh family == one-shot q110 composition
+    val accepted = refresh.accepted(spark, root)
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq.sorted
+    val oneShotDocs = Queries.all("q110_refresh_pipeline")(spark, dir)
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq.sorted
+    assert(accepted == oneShotDocs && accepted.nonEmpty)
+
+    // index family == one-shot frozen-centroid upsert
+    val postings = index.index(spark, root).assignments
+      .select(col("corpus_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val idx0 = ops.Similarity.ivfIndexBuild(oldEmb, "vec_id", "embedding", 8, 2)
+    val oneShotAsg = ops.Similarity
+      .ivfIndexUpsert(idx0, emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding")
+      .assignments.select(col("corpus_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(postings == oneShotAsg)
+
+    def latest(updDir: String, a: String, b: String): Seq[(String, Any, Long)] = {
+      val upd = spark.read.parquet(updDir)
+      val latestBid = upd.groupBy("k").agg(max(col("_bid")).as("_bid"))
+      upd.join(latestBid, Seq("k", "_bid"))
+        .select(col("k"), col(a), col(b)).collect()
+        .map(r => (r.getString(0), r.get(1), r.getLong(2))).toSeq
+    }
+    // freq == exact batch counts (k=64 over this vocab: exact regime)
+    val gotFreq = latest(s"$root/freq_upd", "item", "cnt")
+      .map { case (k, i, c) => (k, i.toString, c) }.sorted
+    val wantFreq = toks.groupBy("k", "v").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(gotFreq == wantFreq && gotFreq.nonEmpty)
+
+    // hist == one-shot batch log histogram
+    val gotHist = latest(s"$root/hist_upd", "bucket", "n")
+      .map { case (k, b, n) => (k, b.asInstanceOf[Long], n) }.sorted
+    val wantHist = ops.Distribution.logHistogram(lens, Seq("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(gotHist == wantHist && gotHist.nonEmpty)
+  }
+}
+
 /** Phrase search served from the persisted gram index
   * ([[graft.ops.Retrieval.PhraseGramIndex]]): the probe joins phrase
   * grams against index TABLES — the round-9 path re-exploded and
