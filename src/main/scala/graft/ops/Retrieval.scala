@@ -320,23 +320,29 @@ object Retrieval {
     * tokens has no site but also cannot contain an ≥n-token phrase,
     * and the unigram postings cover every document for the short-
     * phrase path. */
-  def phraseMatchesFromIndex(index: PhraseGramIndex,
-                             docs: DataFrame, docId: String, docText: Column,
-                             phrases: DataFrame, phraseId: String,
-                             phraseText: Column): DataFrame = {
-    val n = index.n
-    val pNorm = trim(regexp_replace(phraseText, "\\s+", " "))
-    val cleaned = phrases.filter(phraseText.isNotNull)
-      .withColumn("_pt", pNorm).filter(length(col("_pt")) > 0)
-    val isShort = size(split(col("_pt"), " ")) < n
-    val longPhrases = cleaned.filter(!isShort)
-    val shortPhrases = cleaned.filter(isShort)
-    val phraseGrams = longPhrases
+  /** Normalized non-empty phrases (phraseId, _pt) — the one phrase
+    * form routing, grams, probe and verify all share. */
+  private[graft] def normalizePhrases(phrases: DataFrame, phraseId: String,
+                                      phraseText: Column): DataFrame =
+    phrases.filter(phraseText.isNotNull)
+      .withColumn("_pt", trim(regexp_replace(phraseText, "\\s+", " ")))
+      .filter(length(col("_pt")) > 0)
+
+  /** The rarest-gram probe (phraseId, gram): each ≥n-token phrase's
+    * globally rarest indexed gram, with phrases carrying ANY unindexed
+    * gram dropped (they cannot match). Exposed so the scaling probe
+    * measures the SHIPPED stage — candidates per phrase are exactly
+    * the chosen gram's document frequency. */
+  private[graft] def rarestGramProbe(index: PhraseGramIndex,
+                                     cleaned: DataFrame,
+                                     phraseId: String): DataFrame = {
+    val phraseGrams = cleaned
+      .filter(size(split(col("_pt"), " ")) >= index.n)
       .select(col(phraseId),
-        explode(ApproxDedup.wordNgrams(col("_pt"), n)).as("gram"))
+        explode(ApproxDedup.wordNgrams(col("_pt"), index.n)).as("gram"))
     val wRare = Window.partitionBy(col(phraseId))
       .orderBy(col("gdf"), col("gram"))
-    val probe = phraseGrams
+    phraseGrams
       .join(index.gramDf, Seq("gram")) // inner: unseen gram -> no candidates
       .withColumn("_r", row_number().over(wRare))
       .filter(col("_r") === 1)
@@ -345,6 +351,17 @@ object Retrieval {
           "left_anti")
         .select(col(phraseId)).distinct(),
         Seq(phraseId), "left_anti")
+      .select(col(phraseId), col("gram"), col("gdf"))
+  }
+
+  def phraseMatchesFromIndex(index: PhraseGramIndex,
+                             docs: DataFrame, docId: String, docText: Column,
+                             phrases: DataFrame, phraseId: String,
+                             phraseText: Column): DataFrame = {
+    val n = index.n
+    val cleaned = normalizePhrases(phrases, phraseId, phraseText)
+    val shortPhrases = cleaned.filter(size(split(col("_pt"), " ")) < n)
+    val probe = rarestGramProbe(index, cleaned, phraseId)
       .select(col(phraseId), col("gram"))
     val gramCandidates = probe.join(index.sites, Seq("gram"))
       .select(col(phraseId), col(docId)).distinct()

@@ -326,6 +326,98 @@ object ScalingProbe {
           s"($mgRec vs $exRec)")
     }
 
+    // ---- retrieval family (q154 / q156): the candidate volumes ARE
+    // the index bounds — BM25 candidates = Σ df over the query's
+    // terms, phrase candidates = Σ df(rarest gram) — asserted exactly
+    // (not printed-and-hoped), with serve wall time tracked against
+    // them across the 10×
+    val retRows = for (sf <- Seq("sf0.01", "sf0.1")) yield {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val post = ops.Retrieval.postings(docs, "doc_id", col("text"))
+        .localCheckpoint()
+      val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .localCheckpoint()
+      val tdf = ops.Retrieval.termDf(post, "doc_id").localCheckpoint()
+      val stats = ops.Retrieval.corpusStats(dl).localCheckpoint()
+      val queries = docs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("qtext"))
+      val qTerms = queries
+        .select(col("query_id"), explode(split(col("qtext"), "\\s+")).as("term"))
+        .filter(col("term") =!= "").distinct().localCheckpoint()
+      // the serve plan's candidate stage: only query-term postings join
+      val bmCand = post.join(qTerms, Seq("term")).count()
+      val bmBound = qTerms.join(tdf, Seq("term"))
+        .agg(coalesce(sum(col("df")), lit(0L))).collect()(0).getLong(0)
+      assert(bmCand == bmBound,
+        s"BM25 candidates ($bmCand) must equal Σ df over query terms ($bmBound)")
+      val (bmN, bmT) = timedMin(
+        ops.Retrieval.bm25TopKFromIndexTables(post, dl, tdf, stats,
+          "doc_id", queries, "query_id", col("qtext"), 5).count())
+
+      val idx0 = ops.Retrieval.phraseGramIndex(docs, "doc_id", col("text"), 4)
+      val idx = ops.Retrieval.PhraseGramIndex(idx0.sites.localCheckpoint(),
+        idx0.gramDf.localCheckpoint(), idx0.unigrams.localCheckpoint(),
+        idx0.docs.localCheckpoint(), idx0.n)
+      val phrases = docs.filter(col("doc_id") % 100 === 50)
+        .select(col("doc_id").as("phrase_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 3, 6)).as("phrase"))
+      val probe = ops.Retrieval.rarestGramProbe(idx,
+        ops.Retrieval.normalizePhrases(phrases, "phrase_id", col("phrase")),
+        "phrase_id").localCheckpoint()
+      val phBound = probe.agg(coalesce(sum(col("gdf")), lit(0L)))
+        .collect()(0).getLong(0)
+      val phCand = probe.select("phrase_id", "gram")
+        .join(idx.sites, Seq("gram")).count()
+      assert(phCand == phBound,
+        s"phrase candidates ($phCand) must equal Σ df(rarest gram) ($phBound)")
+      val (phN, phT) = timedMin(
+        ops.Retrieval.phraseMatchesFromIndex(idx, docs, "doc_id", col("text"),
+          phrases, "phrase_id", col("phrase")).count())
+      println(f"ROWRET $sf | bm25 candidates=$bmCand (=Σdf) t=$bmT%.2f " +
+        f"top=$bmN | phrase candidates=$phCand (=Σdf(rarest)) t=$phT%.2f " +
+        f"matches=$phN")
+      (bmCand, bmT, phCand, phT)
+    }
+    {
+      val (c1, t1, p1, u1) = retRows(0)
+      val (c2, t2, p2, u2) = retRows(1)
+      val eBm = math.log(t2 / t1) / math.log(c2.toDouble / c1)
+      val ePh = math.log(u2 / u1) / math.log(p2.toDouble / p1)
+      println(f"EXPONENT q154_bm25: candidates $c1 -> $c2, " +
+        f"wall $t1%.2f -> $t2%.2f s, exponent vs candidates = $eBm%.2f")
+      println(f"EXPONENT q156_phrase: candidates $p1 -> $p2, " +
+        f"wall $u1%.2f -> $u2%.2f s, exponent vs candidates = $ePh%.2f")
+      assert(eBm <= 1.3,
+        s"BM25 serve grows superlinearly in its candidate bound (e=$eBm)")
+      assert(ePh <= 1.3,
+        s"phrase serve grows superlinearly in its candidate bound (e=$ePh)")
+    }
+
+    // ---- vocab-scale BPE (the round-9 wall): ≥2000 merges trained and
+    // encoded on sf0.1 in bounded time. The fixture vocabulary is ~31
+    // words, so compound words (spaces -> _) supply the adjacent-pair
+    // inventory a real subword corpus has; the driver-local greedy loop
+    // runs zero Spark jobs per merge and the iterative encoder is
+    // chain-length-free — 2000 merges was structurally unreachable for
+    // the per-merge-job trainer and the merge-deep expression fold
+    {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\\s+", "_").as("text"))
+      val nMerges = 2000
+      val (chain, tTrain) = timed(
+        ops.Bpe.mergeChain(ops.Bpe.train(docs, col("text"), nMerges)))
+      assert(chain.size == nMerges,
+        s"corpus must support $nMerges merges, learned ${chain.size}")
+      val (nEnc, tEnc) = timed(
+        ops.Bpe.encode(docs, "doc_id", col("text"), chain).count())
+      assert(nEnc == docs.count())
+      println(f"BPE_VOCAB_SCALE merges=$nMerges train t=$tTrain%.1f s " +
+        f"encode t=$tEnc%.1f s over ${nEnc} docs (sf0.1 compound words)")
+    }
+
     println("PROBE_OK")
     spark.stop()
   }
