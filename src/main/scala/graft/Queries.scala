@@ -5677,6 +5677,94 @@ object Queries {
       |  AND instr(' ' || dt || ' ', ' ' || phrase || ' ') > 0
       |ORDER BY phrase_id, doc_id""".stripMargin
 
+  // ------------------------------------------- LM cross-entropy gate
+  /** Per-document cross-entropy against a reference trigram LM
+    * ([[CorpusSignals.lmCrossEntropy]]) — the CCNet perplexity gate in
+    * integer eighth-bit arithmetic: the LM trains once on the 90%
+    * hash-split slice (persisted, [[fixPath]] bootstrap), every
+    * document pays −log₂ p(word|context) per site (bit-length +
+    * 3-bit-mantissa quantization — the BM25 idf construction) and a
+    * fixed 32-bit penalty per out-of-vocabulary site. The oracle
+    * replays the LM build, the quantized log and the penalty exactly. */
+  private def qLmEntropy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lmPath = fixPath("lm_trigram", dir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(lmPath, "_SUCCESS"))) {
+      val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
+      CorpusSignals.lmConditionalCounts(docs.filter(!isBatch), col("text"),
+          n = 3, minCount = 3L)
+        .write.mode("overwrite").parquet(lmPath)
+    }
+    CorpusSignals.lmCrossEntropy(docs, "doc_id", col("text"),
+        s.read.parquet(lmPath), n = 3)
+      .orderBy("doc_id")
+  }
+
+  private val oLmEntropy =
+    s"""WITH ld AS (SELECT string_split_regex(text, '\\s+') AS ws
+       |  FROM documents WHERE NOT ($oDriftSplit)),
+       |lt AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+       |        i -> struct_pack(context := ws[i] || ' ' || ws[i+1],
+       |                         word := ws[i+2]))) AS g
+       |      FROM ld),
+       |a AS (SELECT g.context AS context, g.word AS word,
+       |             CAST(count(*) AS BIGINT) AS cnt_gram
+       |      FROM lt GROUP BY 1, 2),
+       |b AS (SELECT *, CAST(sum(cnt_gram) OVER (PARTITION BY context)
+       |               AS BIGINT) AS cnt_ctx
+       |      FROM a),
+       |lm AS (SELECT context, word, cnt_gram, cnt_ctx FROM b
+       |       WHERE cnt_gram >= 3),
+       |w AS (SELECT context, word,
+       |        CAST((l8 - 8) * 8 + (q8 * 8) // (CAST(1 AS BIGINT) << l8) - 8
+       |          AS BIGINT) AS bits8
+       |      FROM (SELECT context, word, q8,
+       |              CAST(length(bin(q8)) - 1 AS INT) AS l8
+       |            FROM (SELECT context, word,
+       |                    (cnt_ctx * CAST(256 AS BIGINT)) // cnt_gram AS q8
+       |                  FROM lm))),
+       |d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+       |      FROM documents),
+       |st AS (SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, len(ws) - 2),
+       |           i -> struct_pack(context := ws[i] || ' ' || ws[i+1],
+       |                            word := ws[i+2]))) AS g
+       |       FROM d),
+       |sites AS (SELECT doc_id, g.context AS context, g.word AS word FROM st)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sites,
+       |  CAST(sum(CASE WHEN w.bits8 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(sum(coalesce(w.bits8, 256)) AS BIGINT) AS bits8_total,
+       |  CAST(sum(coalesce(w.bits8, 256)) // count(*) AS BIGINT)
+       |    AS bits8_per_site
+       |FROM sites LEFT JOIN w USING (context, word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- LM count-ledger refresh
+  /** The LM ledger's incremental refresh ([[CorpusSignals
+    * .mergedLmRawCounts]]): raw (context, word, cnt_gram) counts
+    * persist for the 90% corpus; the 10% landing batch's counts derive
+    * from the batch alone and SUM-merge in; denominators, the
+    * minCount cut and MLE probabilities re-derive over the merged
+    * vocabulary-sized table. The merged ledger must equal counts
+    * recomputed from the whole corpus — the oracle is exactly q91's
+    * full-corpus SQL, so the compare IS that equality. */
+  private def qLmLedgerRefresh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
+    val rawPath = fixPath("lm_raw90", dir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(rawPath, "_SUCCESS"))) {
+      CorpusSignals.lmRawCounts(docs.filter(!isBatch), col("text"), n = 3)
+        .write.mode("overwrite").parquet(rawPath)
+    }
+    val merged = CorpusSignals.mergedLmRawCounts(s.read.parquet(rawPath),
+      CorpusSignals.lmRawCounts(docs.filter(isBatch), col("text"), n = 3))
+    CorpusSignals.lmCountsFromRaw(merged, minCount = 3L)
+      .orderBy("context", "word")
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5834,7 +5922,9 @@ object Queries {
     "q153_vocab_ledger" -> (qVocabLedger _),
     "q154_bm25_topk" -> (qBm25TopK _),
     "q155_bm25_refresh" -> (qBm25Refresh _),
-    "q156_phrase_match" -> (qPhraseMatch _)
+    "q156_phrase_match" -> (qPhraseMatch _),
+    "q157_lm_entropy" -> (qLmEntropy _),
+    "q158_lm_ledger_refresh" -> (qLmLedgerRefresh _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -5997,6 +6087,8 @@ object Queries {
     "q153_vocab_ledger" -> oVocabLedger,
     "q154_bm25_topk" -> oBm25TopK,
     "q155_bm25_refresh" -> oBm25Refresh,
-    "q156_phrase_match" -> oPhraseMatch
+    "q156_phrase_match" -> oPhraseMatch,
+    "q157_lm_entropy" -> oLmEntropy,
+    "q158_lm_ledger_refresh" -> oLmCounts // merged ledger == whole corpus
   )
 }

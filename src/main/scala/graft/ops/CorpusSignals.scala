@@ -279,14 +279,81 @@ object CorpusSignals {
   }
 
   def lmConditionalCounts(df: DataFrame, text: Column, n: Int,
-                          minCount: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("context"))
+                          minCount: Long): DataFrame =
+    lmCountsFromRaw(lmRawCounts(df, text, n), minCount)
+
+  /** The LM ledger's MERGEABLE form: raw (context, word, cnt_gram)
+    * with no denominators and no cut — counts sum, so a landing
+    * batch's raw counts fold in by [[mergedLmRawCounts]] and the old
+    * corpus is never re-tokenized. Denominators and the minCount cut
+    * are serve-time derivations ([[lmCountsFromRaw]]) over the
+    * vocabulary-sized ledger, never the corpus. */
+  def lmRawCounts(df: DataFrame, text: Column, n: Int): DataFrame =
     df.select(explode(lmPairs(text, n)).as("g"))
       .select(col("g.context").as("context"), col("g.word").as("word"))
       .groupBy("context", "word").agg(count(lit(1)).as("cnt_gram"))
+
+  /** Ledger merge: per-(context, word) count sum — cost
+    * O(ledger + batch), associative and replay-order-free. */
+  def mergedLmRawCounts(ledger: DataFrame, batch: DataFrame): DataFrame =
+    ledger.unionByName(batch)
+      .groupBy("context", "word").agg(sum(col("cnt_gram")).as("cnt_gram"))
+
+  /** Context denominators, the minCount cut and exact-ppm MLE
+    * probabilities, from a raw-count ledger. The cut applies AFTER the
+    * denominator sums, so probabilities are true corpus MLE values. */
+  def lmCountsFromRaw(raw: DataFrame, minCount: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("context"))
+    raw
       .withColumn("cnt_ctx", sum(col("cnt_gram")).over(w))
       .filter(col("cnt_gram") >= minCount)
       .withColumn("p_ppm", expr("cnt_gram * 1000000 div cnt_ctx"))
+  }
+
+  /** Integer-exact per-document CROSS-ENTROPY against a reference LM
+    * — the CCNet "score against a reference model" quality gate
+    * itself, not just the coverage stand-in: each n-gram site pays
+    * −log₂ p(word|context) quantized to EIGHTH-bit units (the same
+    * bit-length + 3-bit-mantissa construction as the BM25 idf:
+    * q8 = 256·cnt_ctx div cnt_gram, then floor-log₂ from the bit
+    * length — exact integers, so the DuckDB oracle replays every
+    * score bit-for-bit where float `ln` would split on the last ulp).
+    * Sites absent from the reference (out-of-vocabulary, or cut by
+    * the LM's minCount) pay the fixed `oovBits8` backoff penalty
+    * (default 256 = 32 bits ≈ p = 2⁻³²). Output per document:
+    * (id, n_sites, n_oov, bits8_total, bits8_per_site) —
+    * bits8_per_site/8 is the cross-entropy in bits; perplexity =
+    * 2^(bits8_per_site/8). Documents with fewer than n tokens have no
+    * sites and are absent (unscorable, not zero — [[lmCoverage]]'s
+    * rule).
+    *
+    * Shape: one gram explode over the SCORED documents, one hash join
+    * against the vocabulary-sized weight table, one map-side-combined
+    * per-doc sum — the [[lmCoverage]] plan with a weighted payload;
+    * the reference corpus is never re-read at serve time. */
+  def lmCrossEntropy(df: DataFrame, id: String, text: Column,
+                     lm: DataFrame, n: Int,
+                     oovBits8: Long = 256L): DataFrame = {
+    require(oovBits8 >= 0, s"oovBits8 must be >= 0, got $oovBits8")
+    val sites = df.select(col(id), explode(lmPairs(text, n)).as("g"))
+      .select(col(id), col("g.context").as("context"),
+        col("g.word").as("word"))
+    // dedupe defensively (lmCoverage's rule): a duplicate gram row
+    // would double-count its sites through the join
+    val ref = lm.select(col("context"), col("word"),
+        col("cnt_gram"), col("cnt_ctx")).distinct()
+      .withColumn("q8", expr("(cnt_ctx * CAST(256 AS BIGINT)) div cnt_gram"))
+      .withColumn("l8", expr("CAST(length(bin(q8)) - 1 AS INT)"))
+      .withColumn("bits8", expr(
+        "CAST((l8 - 8) * 8 + (q8 * 8)" +
+          " div shiftleft(CAST(1 AS BIGINT), l8) - 8 AS BIGINT)"))
+      .select(col("context"), col("word"), col("bits8"))
+    sites.join(ref, Seq("context", "word"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_sites"),
+        sum(when(col("bits8").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("bits8"), lit(oovBits8))).as("bits8_total"))
+      .withColumn("bits8_per_site", expr("bits8_total div n_sites"))
   }
 
   /** Per-document LM coverage against a reference gram table — the

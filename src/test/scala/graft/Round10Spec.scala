@@ -81,6 +81,87 @@ class UpsertOneJobSpec extends SparkSpec {
   }
 }
 
+/** Integer-exact LM cross-entropy ([[graft.ops.CorpusSignals
+  * .lmCrossEntropy]]) — the CCNet perplexity gate in eighth-bit
+  * integer arithmetic: quantization anchors, a driver-side reference
+  * replay on a controlled corpus, OOV/penalty semantics, and the
+  * raw-count ledger's merge parity. */
+class LmEntropySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.ops.CorpusSignals
+
+  private def bits8Of(cntGram: Long, cntCtx: Long): Long = {
+    // the spec's independent replica of the eighth-bit -log2(p)
+    val q8 = (cntCtx * 256L) / cntGram
+    val l8 = 63 - java.lang.Long.numberOfLeadingZeros(q8)
+    (l8 - 8) * 8 + (q8 * 8) / (1L << l8) - 8
+  }
+
+  test("eighth-bit quantization anchors: p=1 -> 0, p=1/2 -> 8, monotone") {
+    assert(bits8Of(4, 4) == 0L)
+    assert(bits8Of(2, 4) == 8L)
+    assert(bits8Of(1, 4) == 16L)
+    val seq = (1L to 64L).map(g => bits8Of(g, 64L))
+    assert(seq == seq.sorted.reverse, "bits8 must fall as p rises")
+    assert(seq.last == 0L && seq.head == 48L) // p=1/64 -> 6 bits
+  }
+
+  test("lmCrossEntropy == driver-side reference on a controlled corpus") {
+    val corpus = Seq(
+      (1L, "a b c a b c a b d"), // common trigrams + one rarer
+      (2L, "a b c x y z"),       // mixes in-vocab and OOV sites
+      (3L, "q r"),               // sub-n: no sites, absent from output
+      (4L, "a b c a b c"))
+    val df = corpus.toDF("doc_id", "text")
+    val lm = CorpusSignals.lmConditionalCounts(df, col("text"), 3, 1L)
+      .localCheckpoint()
+    val got = CorpusSignals.lmCrossEntropy(df, "doc_id", col("text"), lm, 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+    // reference: counts + window + per-site bits over the same corpus
+    val sites = corpus.flatMap { case (id, t) =>
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      (0 until w.length - 2).map(i => (id, s"${w(i)} ${w(i + 1)}", w(i + 2)))
+    }
+    val gram = sites.groupBy { case (_, c, x) => (c, x) }
+      .view.mapValues(_.size.toLong).toMap
+    val ctx = sites.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val want = sites.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, ss) =>
+      val bits = ss.map { case (_, c, x) => bits8Of(gram((c, x)), ctx(c)) }
+      (id, ss.size.toLong, 0L, bits.sum, bits.sum / ss.size)
+    }
+    assert(got == want)
+    assert(!got.exists(_._1 == 3L), "a sub-n doc must be absent")
+  }
+
+  test("OOV sites pay the penalty; minCount-cut grams count as OOV") {
+    val train = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val lm = CorpusSignals.lmConditionalCounts(train, col("text"), 3,
+      minCount = 2L).localCheckpoint()
+    // "a b d": context seen, word unseen -> OOV; "z z z": all OOV
+    val score = CorpusSignals.lmCrossEntropy(
+      Seq((10L, "a b d"), (11L, "z z z z")).toDF("doc_id", "text"),
+      "doc_id", col("text"), lm, 3, oovBits8 = 100L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(score == Seq((10L, 1L, 1L, 100L, 100L), (11L, 2L, 2L, 200L, 100L)))
+  }
+
+  test("merged raw-count ledger == recomputed from the full corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val part = col("doc_id") % 10 === 0
+    val merged = CorpusSignals.mergedLmRawCounts(
+        CorpusSignals.lmRawCounts(docs.filter(!part), col("text"), 3),
+        CorpusSignals.lmRawCounts(docs.filter(part), col("text"), 3))
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val full = CorpusSignals.lmRawCounts(docs, col("text"), 3)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(merged == full && merged.nonEmpty)
+  }
+}
+
 /** FOUR maintainers, one root: the round-9 ConcurrentStreamsSpec
   * proved RefreshStream + IndexStream don't interfere; the MG and
   * histogram ledgers share the same store/checkpoint machinery, so
