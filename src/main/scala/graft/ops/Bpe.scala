@@ -142,6 +142,51 @@ object Bpe {
     out.toArray
   }
 
+  /** [[mergeScanWord]] that also accumulates the word's adjacent-pair
+    * DELTA into `delta` (net occurrence changes) in the same single
+    * pass — the trainer's hot path: a merge then costs O(fusions)
+    * heap/bag updates instead of re-bagging the whole word (~2·len
+    * updates), which is what makes thousands of merges tractable.
+    * Accounting discipline: every boundary adjustment is made against
+    * the CURRENT (possibly already-rewritten) left symbol, so later
+    * adjustments cancel earlier ones exactly; a fused tail records
+    * the old crossing pair (rgt, next) when the next symbol arrives.
+    * Bit-identical rewriting to [[mergeScanWord]] (a fused tail is
+    * l+r ≠ l, so it can never chain-fuse — same rule both scans
+    * follow); BpeScaleSpec's randomized differential test pins the
+    * delta against brute-force re-bagging. */
+  private[graft] def mergeScanWordDiff(
+      syms: Array[String], lft: String, rgt: String,
+      delta: mutable.HashMap[(String, String), Int]): Array[String] = {
+    val out = new ArrayBuffer[String](syms.length)
+    val merged = lft + rgt
+    var tailFused = false
+    def d(p: (String, String), by: Int): Unit = {
+      val v = delta.getOrElse(p, 0) + by
+      if (v == 0) delta.remove(p) else delta(p) = v
+      ()
+    }
+    syms.foreach { x =>
+      if (out.nonEmpty && out(out.length - 1) == lft && x == rgt) {
+        if (out.length >= 2) {
+          d((out(out.length - 2), lft), -1)
+          d((out(out.length - 2), merged), +1)
+        }
+        d((lft, rgt), -1)
+        out(out.length - 1) = merged
+        tailFused = true
+      } else {
+        if (out.nonEmpty && tailFused) {
+          d((rgt, x), -1)
+          d((merged, x), +1)
+        }
+        out += x
+        tailFused = false
+      }
+    }
+    out.toArray
+  }
+
   /** UTF-8 byte order — Spark's UTF8String / DuckDB VARCHAR order, NOT
     * Java's UTF-16 `compareTo` (they differ beyond the BMP). */
   private def utf8Compare(a: String, b: String): Int =
@@ -283,9 +328,14 @@ object Bpe {
       bag
     }
 
+    // per-word pair bags, maintained incrementally by the scan deltas
+    // (rebuilding a bag per touched word would cost O(word length)
+    // heap updates per merge — the delta form costs O(fusions))
+    val bags: Array[mutable.HashMap[(String, String), Int]] =
+      words.map(pairBag)
     words.indices.foreach { i =>
-      pairBag(words(i)).foreach { case (p, occ) =>
-        bump(p, occ * cnts(i))
+      bags(i).foreach { case (p, occ) =>
+        bump(p, occ.toLong * cnts(i))
         pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
       }
     }
@@ -297,16 +347,19 @@ object Bpe {
       merges += Merge(step, l, r, l + r, w)
       val affected = pairWords.getOrElse((l, r), mutable.HashSet.empty).toArray
       affected.foreach { i =>
-        val oldBag = pairBag(words(i))
-        words(i) = mergeScanWord(words(i), l, r)
-        val newBag = pairBag(words(i))
-        oldBag.foreach { case (p, occ) =>
-          bump(p, -occ.toLong * cnts(i))
-          if (!newBag.contains(p)) pairWords.get(p).foreach(_ -= i)
-        }
-        newBag.foreach { case (p, occ) =>
-          bump(p, occ.toLong * cnts(i))
-          pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        val delta = mutable.HashMap.empty[(String, String), Int]
+        words(i) = mergeScanWordDiff(words(i), l, r, delta)
+        val bag = bags(i)
+        delta.foreach { case (p, dOcc) =>
+          bump(p, dOcc.toLong * cnts(i))
+          val nb = bag.getOrElse(p, 0) + dOcc
+          require(nb >= 0, s"negative bag count for $p in word $i")
+          if (nb == 0) { bag.remove(p); pairWords.get(p).foreach(_ -= i) }
+          else {
+            if (!bag.contains(p))
+              pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+            bag(p) = nb
+          }
         }
       }
       require(!pairW.contains((l, r)),

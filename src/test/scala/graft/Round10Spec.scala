@@ -638,6 +638,88 @@ class BpeScaleSpec extends SparkSpec {
     }
   }
 
+  test("single-pass merge delta == brute-force re-bag on random words") {
+    val rnd = new scala.util.Random(41)
+    def bag(s: Array[String]) = s.sliding(2).filter(_.length == 2)
+      .map(a => (a(0), a(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    for (trial <- 1 to 300) {
+      val alpha = Seq("a", "b", "c", "ab", "bc")
+      val w = Array.fill(1 + rnd.nextInt(14))(alpha(rnd.nextInt(alpha.size)))
+      val (l, r) = (alpha(rnd.nextInt(alpha.size)), alpha(rnd.nextInt(alpha.size)))
+      val delta = scala.collection.mutable.HashMap.empty[(String, String), Int]
+      val viaDiff = graft.ops.Bpe.mergeScanWordDiff(w, l, r, delta)
+      val viaScan = graft.ops.Bpe.mergeScanWord(w, l, r)
+      assert(viaDiff.toSeq == viaScan.toSeq,
+        s"trial $trial: rewrites differ on ${w.toSeq} merge ($l,$r)")
+      val before = bag(w)
+      val after = bag(viaScan)
+      val wantDelta = (before.keySet ++ after.keySet).flatMap { p =>
+        val d = after.getOrElse(p, 0) - before.getOrElse(p, 0)
+        if (d != 0) Some(p -> d) else None
+      }.toMap
+      assert(delta.toMap == wantDelta,
+        s"trial $trial: delta differs on ${w.toSeq} merge ($l,$r): " +
+          s"got ${delta.toMap}, want $wantDelta")
+    }
+  }
+
+  test("driver-local train == independent reference on random corpora") {
+    // the BpeSpec reference algorithm, replayed over randomized corpora
+    // at merge depths that exercise the incremental bookkeeping
+    def refMergeOnce(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def refTrain(words: Map[String, Long], n: Int): List[(String, String, Long)] = {
+      var hist: Map[List[String], Long] =
+        words.groupMapReduce { case (w, _) => w.map(_.toString).toList }(_._2)(_ + _)
+      val merges = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      var step = 0
+      var done = false
+      while (step < n && !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, cnt) <- hist; Seq(a, b) <- syms.sliding(2) if syms.length > 1)
+          pc((a, b)) = pc.getOrElse((a, b), 0L) + cnt
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, r), w) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          merges += ((l, r, w))
+          hist = hist.toSeq
+            .map { case (syms, cnt) => (refMergeOnce(syms, l, r), cnt) }
+            .groupMapReduce(_._1)(_._2)(_ + _)
+          step += 1
+        }
+      }
+      merges.toList
+    }
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 3) {
+      val words = (1 to 60).map(_ =>
+        (1 to (3 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(4)).toChar)
+          .mkString)
+      val corpus = (1 to 40).map(_ =>
+        (1 to (5 + rnd.nextInt(10))).map(_ => words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      val got = Bpe.trainLocal(corpus.toDF("text"), col("text"), 40)
+        .orderBy("step").collect()
+        .map(r => (r.getAs[String]("lft"), r.getAs[String]("rgt"),
+          r.getAs[Long]("weight"))).toList
+      val flat = corpus.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      val want = refTrain(
+        flat.groupMapReduce(identity)(_ => 1L)(_ + _), 40)
+      assert(got == want, s"trial $trial diverged")
+      assert(got.size == 40, s"trial $trial learned only ${got.size}")
+    }
+  }
+
   test("a recurring pair in the chain applies at every occurrence") {
     // hand-built chain where a later merge recreates an earlier pair's
     // adjacency and the pair recurs: x y -> xy ; xy z -> xyz ; then a
