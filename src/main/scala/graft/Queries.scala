@@ -5765,6 +5765,38 @@ object Queries {
       .orderBy("context", "word")
   }
 
+  // ------------------------------------------- streaming LM ledger
+  /** The LM count ledger as a LIVE stream ([[graft.streaming
+    * .LmStream]] — epoch-guarded count rows + epoch-filtered novelty,
+    * the exactly-once recipe for NON-idempotent count state): the 90%
+    * corpus bootstraps the ledger, the 10% batch lands through a real
+    * file-backed stream in two micro-batches, and the served
+    * conditional counts must equal q91's one-shot whole-corpus SQL —
+    * the oracle IS that equality. */
+  private def qLmStream(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
+    val root = java.nio.file.Files.createTempDirectory("graft_q159")
+    try {
+      val stream = graft.streaming.LmStream("doc_id", col("text"), 3)
+      stream.bootstrap(docs.filter(!isBatch), root.toString)
+      val landing = s"$root/landing"
+      val half = pmod(hash(col("doc_id")), lit(2))
+      docs.filter(isBatch).filter(half === 0)
+        .write.mode("append").parquet(landing)
+      val q = stream.start(s, landing, docs.schema, root.toString)
+      try {
+        q.processAllAvailable()
+        docs.filter(isBatch).filter(half === 1)
+          .write.mode("append").parquet(landing)
+        q.processAllAvailable()
+      } finally q.stop()
+      CorpusSignals.lmCountsFromRaw(stream.counts(s, root.toString),
+          minCount = 3L)
+        .orderBy("context", "word").localCheckpoint()
+    } finally deleteRecursively(root)
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5924,7 +5956,8 @@ object Queries {
     "q155_bm25_refresh" -> (qBm25Refresh _),
     "q156_phrase_match" -> (qPhraseMatch _),
     "q157_lm_entropy" -> (qLmEntropy _),
-    "q158_lm_ledger_refresh" -> (qLmLedgerRefresh _)
+    "q158_lm_ledger_refresh" -> (qLmLedgerRefresh _),
+    "q159_lm_stream" -> (qLmStream _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -6089,6 +6122,7 @@ object Queries {
     "q155_bm25_refresh" -> oBm25Refresh,
     "q156_phrase_match" -> oPhraseMatch,
     "q157_lm_entropy" -> oLmEntropy,
-    "q158_lm_ledger_refresh" -> oLmCounts // merged ledger == whole corpus
+    "q158_lm_ledger_refresh" -> oLmCounts, // merged ledger == whole corpus
+    "q159_lm_stream" -> oLmCounts // streamed ledger == whole corpus
   )
 }

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.CorpusSignals
+import graft.sinks.Sinks
+
+/** Streaming maintainer for the n-gram LM raw-count ledger — the
+  * fourth member of the streaming-summary family ([[StreamDistinct]] =
+  * cardinality, [[FreqStream]] = frequency, [[HistStream]] =
+  * distribution, this = language-model counts): landing documents fold
+  * their (context, word) gram counts into a persisted vocabulary-sized
+  * store, so the LM cross-entropy quality gate
+  * ([[CorpusSignals.lmCrossEntropy]]) serves from live state without
+  * ever re-tokenizing history.
+  *
+  * Counts are NOT keyed-idempotent — replaying a batch would double
+  * them — so exactly-once needs more than the keyed-upsert rule the
+  * other maintainers lean on. Two composed properties deliver it:
+  *
+  *  1. **Epoch-guarded count rows.** Every count row carries the
+  *     `last_epoch` that last folded into it; a batch (micro-batch id
+  *     = the epoch, stable across checkpoint replays) only adds its
+  *     delta to rows with `last_epoch < epoch`. A crashed attempt's
+  *     partially-updated rows are recognized and skipped on replay —
+  *     per-row idempotency without a cross-store transaction.
+  *  2. **Epoch-filtered novelty.** The landed-ids ledger stores each
+  *     document's landing epoch, and a batch treats as novel every id
+  *     absent from {ids with epoch < current}: ids the CRASHED attempt
+  *     landed (epoch == current) still count as novel on replay — the
+  *     same delta recomputes, and rule 1 makes re-applying it a no-op
+  *     — while queue REDELIVERY in a later epoch sees epoch < current
+  *     and contributes nothing. Only novel ids' rows are written, so
+  *     a redelivered id never has its landing epoch bumped (which
+  *     would re-open rule 2).
+  *
+  * Either store may crash mid-upsert in any order and the replay
+  * converges byte-for-byte (LmStreamSpec drives the crash matrix and
+  * kill/resume against the one-shot corpus counts).
+  *
+  * Scale shape: per batch, O(batch grams) map-side-combined counting
+  * plus a join against ONLY the touched (context, word) rows; the
+  * stores are the hash-partitioned upsert
+  * ([[Sinks.upsertPartitioned]] — one staged job, touched buckets
+  * only). History is never re-read beyond the touched rows.
+  */
+final case class LmStream(id: String, text: Column, n: Int) {
+
+  private def countsDir(root: String) = s"$root/lm_counts"
+  private def docsDir(root: String) = s"$root/lm_docs"
+
+  /** One-time ledger bootstrap from the already-ingested corpus
+    * (epoch −1: strictly before every stream batch). */
+  def bootstrap(oldDocs: DataFrame, root: String): Unit = {
+    Sinks.upsertPartitioned(
+      CorpusSignals.lmRawCounts(oldDocs, text, n)
+        .withColumn("last_epoch", lit(-1L)),
+      Seq("context", "word"), countsDir(root))
+    Sinks.upsertPartitioned(
+      oldDocs.select(col(id)).distinct().withColumn("epoch", lit(-1L)),
+      Seq(id), docsDir(root))
+  }
+
+  /** Land one batch at `epoch`. Public so the crash-matrix spec can
+    * drive replays and redeliveries without a stream. */
+  def processBatch(batch: DataFrame, epoch: Long, root: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val landedBefore = Sinks.readPartitioned(spark, docsDir(root))
+      .filter(col("epoch") < epoch).select(col(id))
+    val novel = batch.join(landedBefore, Seq(id), "left_anti")
+    val rawB = CorpusSignals.lmRawCounts(novel, text, n)
+      .withColumnRenamed("cnt_gram", "_cnt_b")
+    val cur = Sinks.readPartitioned(spark, countsDir(root))
+      .withColumnRenamed("cnt_gram", "_cnt_cur")
+    // touched rows only: batch grams left-join the ledger; rule 1
+    // decides add vs keep per row
+    val merged = rawB.join(cur, Seq("context", "word"), "left")
+      .select(col("context"), col("word"),
+        when(coalesce(col("last_epoch"), lit(-1L)) >= epoch, col("_cnt_cur"))
+          .otherwise(coalesce(col("_cnt_cur"), lit(0L)) + col("_cnt_b"))
+          .as("cnt_gram"),
+        greatest(coalesce(col("last_epoch"), lit(-1L)), lit(epoch))
+          .as("last_epoch"))
+      .localCheckpoint() // reads the store the upsert below swaps
+    val docsDelta = novel.select(col(id)).distinct()
+      .withColumn("epoch", lit(epoch)).localCheckpoint()
+    if (!merged.isEmpty)
+      Sinks.upsertPartitioned(merged, Seq("context", "word"), countsDir(root))
+    if (!docsDelta.isEmpty)
+      Sinks.upsertPartitioned(docsDelta, Seq(id), docsDir(root))
+  }
+
+  /** The live raw-count ledger (context, word, cnt_gram) — feed it to
+    * [[CorpusSignals.lmCountsFromRaw]] for probabilities or to
+    * [[CorpusSignals.lmCrossEntropy]] for the quality gate. */
+  def counts(spark: SparkSession, root: String): DataFrame =
+    Sinks.readPartitioned(spark, countsDir(root))
+      .select(col("context"), col("word"), col("cnt_gram"))
+
+  /** Start the landing-queue consumer: one micro-batch per landing
+    * file, checkpointed (`ckpt_lm` — stream-specific, so this
+    * maintainer shares a root with the others; the combined behavior
+    * is MaintainerMatrixSpec's contract family). */
+  def start(spark: SparkSession, landingDir: String, schema: StructType,
+            root: String): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt_lm")
+      .foreachBatch { (b: DataFrame, e: Long) => processBatch(b, e, root) }
+      .start()
+}

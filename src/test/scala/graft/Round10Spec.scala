@@ -162,6 +162,111 @@ class LmEntropySpec extends SparkSpec {
   }
 }
 
+/** The streaming LM count maintainer ([[graft.streaming.LmStream]]):
+  * counts are not keyed-idempotent, so its exactly-once story is the
+  * epoch-guard pair (epoch-tagged count rows + epoch-filtered
+  * novelty). The crash matrix SIMULATES each crash window by
+  * filesystem snapshot/restore of one store between the two upserts'
+  * effects, then replays the batch at the SAME epoch (what the
+  * checkpoint does) — every path must converge to the clean run, and
+  * redelivery at a LATER epoch must be a no-op. */
+class LmStreamSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.ops.CorpusSignals
+  import graft.streaming.LmStream
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docsTable = spark.read.parquet(s"$dir/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def countsOf(stream: LmStream, root: String) =
+    stream.counts(spark, root).as[(String, String, Long)]
+      .collect().toSeq.sorted
+
+  private def fullCounts = CorpusSignals
+    .lmRawCounts(docsTable, col("text"), 3)
+    .as[(String, String, Long)].collect().toSeq.sorted
+
+  private def snapshot(src: String): java.nio.file.Path = {
+    val dst = java.nio.file.Files.createTempDirectory("lm_snap")
+    val s = java.nio.file.Paths.get(src)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = dst.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    dst
+  }
+
+  private def restore(snap: java.nio.file.Path, dst: String): Unit = {
+    graft.sinks.Sinks.deleteRecursively(java.nio.file.Paths.get(dst))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    java.nio.file.Files.walk(snap).forEach { p =>
+      val t = java.nio.file.Paths.get(dst).resolve(snap.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+  }
+
+  test("replay, redelivery, and both single-store crash windows all converge") {
+    val docs = docsTable
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val land = docs.filter(col("doc_id") % 10 === 0).localCheckpoint()
+    val b1 = land.filter(pmod(col("doc_id"), lit(20)) === 0).localCheckpoint()
+    val b2 = land.filter(pmod(col("doc_id"), lit(20)) === 10).localCheckpoint()
+    val stream = LmStream("doc_id", col("text"), 3)
+
+    val root = tmpDir("lm_crash")
+    stream.bootstrap(old, root)
+
+    // crash window A: counts committed, docs ledger lost -> replay
+    val docsSnap = snapshot(s"$root/lm_docs")
+    stream.processBatch(b1, 0L, root)
+    val afterClean1 = countsOf(stream, root)
+    restore(docsSnap, s"$root/lm_docs")
+    stream.processBatch(b1, 0L, root) // checkpoint replay, same epoch
+    assert(countsOf(stream, root) == afterClean1,
+      "replay with a lost docs ledger must not double-count")
+
+    // crash window B: docs committed, counts lost mid-way -> replay
+    val countsSnapB = snapshot(s"$root/lm_counts")
+    stream.processBatch(b2, 1L, root)
+    val afterClean2 = countsOf(stream, root)
+    restore(countsSnapB, s"$root/lm_counts")
+    stream.processBatch(b2, 1L, root)
+    assert(countsOf(stream, root) == afterClean2,
+      "replay with lost counts must re-apply exactly once")
+
+    // plain replay (both stores intact) and later-epoch redelivery
+    stream.processBatch(b2, 1L, root)
+    stream.processBatch(b1, 5L, root)
+    assert(countsOf(stream, root) == afterClean2)
+
+    // the converged ledger == one-shot whole-corpus counts
+    assert(countsOf(stream, root) == fullCounts && fullCounts.nonEmpty)
+  }
+
+  test("kill/resume through the real stream == one-shot corpus counts") {
+    val docs = docsTable
+    val stream = LmStream("doc_id", col("text"), 3)
+    val root = tmpDir("lm_stream")
+    stream.bootstrap(docs.filter(col("doc_id") % 10 =!= 0), root)
+    val landing = s"$root/landing"
+    val land = docs.filter(col("doc_id") % 10 === 0)
+    land.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .write.mode("append").parquet(landing)
+    val q1 = stream.start(spark, landing, docs.schema, root)
+    q1.processAllAvailable(); q1.stop() // kill
+    land.filter(pmod(col("doc_id"), lit(20)) === 10)
+      .write.mode("append").parquet(landing)
+    val q2 = stream.start(spark, landing, docs.schema, root) // resume
+    q2.processAllAvailable(); q2.stop()
+    assert(countsOf(stream, root) == fullCounts)
+  }
+}
+
 /** FOUR maintainers, one root: the round-9 ConcurrentStreamsSpec
   * proved RefreshStream + IndexStream don't interfere; the MG and
   * histogram ledgers share the same store/checkpoint machinery, so
