@@ -841,6 +841,42 @@ class BpeScaleSpec extends SparkSpec {
   }
 }
 
+/** Randomized differential test of the DISTRIBUTED partitioned
+  * upsert: arbitrary overlapping batches must leave the partitioned
+  * store, the monolithic store and a driver-side reference map in
+  * exact agreement — the net behavioral contract the one-job rewrite
+  * must preserve. */
+class StorePropertySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sinks.Sinks
+
+  test("random batch sequences: partitioned == monolithic == reference") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val pStore = tmpDir(s"prop_p$trial") + "/s"
+      val mStore = tmpDir(s"prop_m$trial") + "/s"
+      val ref = scala.collection.mutable.Map.empty[Long, String]
+      for (b <- 1 to 5) {
+        val batch = (1 to (20 + rnd.nextInt(120))).map { _ =>
+          (rnd.nextInt(200).toLong, s"t${trial}b${b}v${rnd.nextInt(1000)}")
+        }.distinct.groupBy(_._1).map(_._2.head).toSeq // unique keys per batch
+        batch.foreach { case (k, v) => ref(k) = v }
+        val df = batch.toDF("id", "v")
+        Sinks.upsertPartitioned(df, Seq("id"), pStore,
+          nBuckets = 1 + rnd.nextInt(16))
+        Sinks.upsertParquet(df, Seq("id"), mStore)
+      }
+      val p = Sinks.readPartitioned(spark, pStore)
+        .as[(Long, String)].collect().toSeq.sorted
+      val m = spark.read.parquet(mStore)
+        .as[(Long, String)].collect().toSeq.sorted
+      val want = ref.toSeq.sorted
+      assert(p == want, s"trial $trial: partitioned store diverged")
+      assert(m == want, s"trial $trial: monolithic store diverged")
+    }
+  }
+}
+
 /** The `_stats` marker as the DSv2 reader's statistics source: an
   * upsert maintains per-bucket (rows, bytes) lines, and
   * `estimateStatistics` serves them WITHOUT listing bucket directories
