@@ -79,6 +79,13 @@ object Bpe {
     * back to the distributed per-iteration loop. */
   val DefaultMaxLocalVocab = 2000000L
 
+  /** Companion byte-dimension guard: the driver structures scale with
+    * TOTAL vocabulary characters (symbol arrays + pair maps), not just
+    * word count — a small histogram of very long words (compound-word
+    * corpora) would pass the count guard and still exhaust the driver.
+    * 200M chars ≈ low-GB of driver structures. */
+  val DefaultMaxLocalVocabChars = 200000000L
+
   /** Word-frequency histogram (word, cnt), empty tokens dropped —
     * the one corpus-wide shuffle of the whole training run. */
   def wordHistogram(df: DataFrame, text: Column): DataFrame =
@@ -253,10 +260,16 @@ object Bpe {
     * are merge-for-merge identical (BpeScaleSpec). */
   def train(df: DataFrame, text: Column,
             numMerges: Int,
-            maxLocalVocab: Long = DefaultMaxLocalVocab): DataFrame = {
+            maxLocalVocab: Long = DefaultMaxLocalVocab,
+            maxLocalVocabChars: Long = DefaultMaxLocalVocabChars): DataFrame = {
     val hist = wordHistogram(df, text).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (hist.count() <= maxLocalVocab)
+      // one pass sizes BOTH guard dimensions (rows and characters)
+      val sized = hist
+        .agg(count(lit(1)), coalesce(sum(length(col("word"))), lit(0L)))
+        .collect()(0)
+      if (sized.getLong(0) <= maxLocalVocab &&
+          sized.getLong(1) <= maxLocalVocabChars)
         trainLocalHist(hist, df.sparkSession, numMerges)
       else trainDistributedHist(hist, df.sparkSession, numMerges)
     } finally { hist.unpersist(); () }

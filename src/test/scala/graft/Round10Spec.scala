@@ -743,6 +743,18 @@ class BpeScaleSpec extends SparkSpec {
     }
   }
 
+  test("train routes by BOTH guard dimensions: word count and total chars") {
+    import spark.implicits._
+    val corpus = Seq("aa bb aa cc bb aa", "bb cc aa bb").toDF("text")
+    // tiny vocab, but a 1-char budget forces the distributed path;
+    // both paths must agree merge-for-merge
+    val local = Bpe.train(corpus, col("text"), 3)
+      .orderBy("step").collect().toSeq
+    val forcedDistributed = Bpe.train(corpus, col("text"), 3,
+      maxLocalVocabChars = 1L).orderBy("step").collect().toSeq
+    assert(local == forcedDistributed && local.size == 3)
+  }
+
   test("single-pass merge delta == brute-force re-bag on random words") {
     val rnd = new scala.util.Random(41)
     def bag(s: Array[String]) = s.sliding(2).filter(_.length == 2)
