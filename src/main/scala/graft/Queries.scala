@@ -5797,6 +5797,62 @@ object Queries {
     } finally deleteRecursively(root)
   }
 
+  // ------------------------------------------- dup-span masking
+  /** The dedup ACTION on q127's mined spans ([[Dedup.maskSpans]]):
+    * every token inside a duplicated span drops, survivors re-join
+    * single-spaced — the Lee et al. substring-dedup loop closed
+    * (mine → mask). Documents without spans keep their normalized
+    * token stream; n_removed counts the masked tokens. The oracle
+    * replays the whole chain: the q127 span SQL feeding a positional
+    * anti-join mask. */
+  private def qDedupMask(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.maskSpans(docs, "doc_id", col("text"),
+        Dedup.dupSpans(docs, "doc_id", col("text"), DupSpanN))
+      .orderBy("doc_id")
+  }
+
+  private val oDedupMask = {
+    val n = DupSpanN
+    s"""WITH dd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+       |            FROM documents),
+       |g AS (SELECT doc_id,
+       |        [array_to_string(toks[i:i+${n - 1}], ' ')
+       |         for i in generate_series(1, len(toks)-${n - 1})] AS gs
+       |      FROM dd WHERE len(toks) >= $n),
+       |gp AS (SELECT doc_id, CAST(generate_subscripts(gs, 1) AS BIGINT) AS pos,
+       |         unnest(gs) AS g FROM g),
+       |dup AS (SELECT g FROM gp GROUP BY g HAVING count(*) >= 2),
+       |mk AS (SELECT doc_id, pos FROM gp JOIN dup USING (g)),
+       |brk AS (SELECT doc_id, pos,
+       |          CASE WHEN pos - lag(pos) OVER (
+       |                 PARTITION BY doc_id ORDER BY pos) <= $n
+       |               THEN 0 ELSE 1 END AS newgrp FROM mk),
+       |isl AS (SELECT doc_id, pos, sum(newgrp) OVER (
+       |          PARTITION BY doc_id ORDER BY pos
+       |          ROWS UNBOUNDED PRECEDING) AS grp FROM brk),
+       |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e
+       |          FROM isl GROUP BY doc_id, grp),
+       |dtok AS (SELECT doc_id, unnest(toks) AS tok,
+       |           CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos
+       |         FROM dd),
+       |masked AS (SELECT DISTINCT t.doc_id, t.pos
+       |           FROM dtok t JOIN spans sp
+       |             ON t.doc_id = sp.doc_id AND t.pos BETWEEN sp.s AND sp.e),
+       |keep AS (SELECT t.doc_id, t.tok, t.pos FROM dtok t
+       |         LEFT JOIN masked m
+       |           ON t.doc_id = m.doc_id AND t.pos = m.pos
+       |         WHERE m.pos IS NULL),
+       |agg AS (SELECT doc_id,
+       |          array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+       |          CAST(count(*) AS BIGINT) AS n_kept
+       |        FROM keep GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       |  CAST(len(d.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM dd d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -5957,7 +6013,8 @@ object Queries {
     "q156_phrase_match" -> (qPhraseMatch _),
     "q157_lm_entropy" -> (qLmEntropy _),
     "q158_lm_ledger_refresh" -> (qLmLedgerRefresh _),
-    "q159_lm_stream" -> (qLmStream _)
+    "q159_lm_stream" -> (qLmStream _),
+    "q160_dedup_mask" -> (qDedupMask _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -6123,6 +6180,7 @@ object Queries {
     "q156_phrase_match" -> oPhraseMatch,
     "q157_lm_entropy" -> oLmEntropy,
     "q158_lm_ledger_refresh" -> oLmCounts, // merged ledger == whole corpus
-    "q159_lm_stream" -> oLmCounts // streamed ledger == whole corpus
+    "q159_lm_stream" -> oLmCounts, // streamed ledger == whole corpus
+    "q160_dedup_mask" -> oDedupMask
   )
 }

@@ -165,6 +165,47 @@ object Dedup {
       .select(col(id), col("span_start"), col("span_end"), col("n_sites"))
   }
 
+  /** Apply mined spans as TOKEN MASKS — the dedup ACTION that closes
+    * the Lee et al. 2022 loop ([[dupSpans]] mines the copied passages;
+    * this removes them): every token whose 1-based position falls
+    * inside any of its document's (span_start, span_end) ranges is
+    * dropped, and the survivors re-join single-spaced. Output per
+    * document: (id, clean_text, n_removed) — documents with no spans
+    * keep their full (whitespace-normalized) token stream; a document
+    * masked entirely yields the empty string, the caller's drop
+    * signal.
+    *
+    * Distributed shape: spans aggregate to one array per document
+    * (spans per doc are FEW — maximal islands by construction), the
+    * doc side left-joins that array, and the mask is a per-row
+    * filter/exists HOF over the token array — O(tokens ·
+    * spans_per_doc) per document, zero extra shuffle beyond the
+    * doc⋈spans join, which broadcast- or co-partitions by id like any
+    * keyed join. Rebuilding from tokens normalizes whitespace — the
+    * same contract every token-stream op here has. */
+  def maskSpans(docs: DataFrame, id: String, textCol: Column,
+                spans: DataFrame): DataFrame = {
+    val perDoc = spans
+      .select(col(id), struct(col("span_start").as("s"),
+        col("span_end").as("e")).as("_sp"))
+      .groupBy(col(id)).agg(collect_list(col("_sp")).as("_spans"))
+    docs.filter(textCol.isNotNull)
+      .select(col(id), split(textCol, "\\s+").as("_toks"))
+      .join(perDoc, Seq(id), "left")
+      .withColumn("_spans",
+        coalesce(col("_spans"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("_kept", filter(
+        zip_with(col("_toks"), sequence(lit(1L), size(col("_toks")).cast("long")),
+          (t, p) => struct(t.as("t"), p.as("p"))),
+        kv => !exists(col("_spans"),
+          sp => kv.getField("p").between(sp.getField("s"), sp.getField("e")))))
+      .select(col(id),
+        concat_ws(" ", transform(col("_kept"), kv => kv.getField("t")))
+          .as("clean_text"),
+        (size(col("_toks")) - size(col("_kept"))).cast("bigint")
+          .as("n_removed"))
+  }
+
   /** The dup-span ledger — [[dupSpans]]' persisted-history form, the
     * ledger-family contract (docs/LEDGERS.md) applied to substring
     * dedup: `grams` is the corpus n-gram site HISTOGRAM (gram,

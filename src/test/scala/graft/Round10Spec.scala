@@ -81,6 +81,61 @@ class UpsertOneJobSpec extends SparkSpec {
   }
 }
 
+/** Span masking ([[graft.ops.Dedup.maskSpans]]) — the dedup action on
+  * mined duplicate spans: positional token removal with overlap,
+  * full-mask and no-span semantics pinned, plus end-to-end
+  * consistency with [[graft.ops.Dedup.dupSpans]]' own output. */
+class MaskSpansSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.ops.Dedup
+
+  test("positional masking: overlap, edges, full mask, no spans") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (2L, "a b c"),        // fully masked
+      (3L, "x y z"),        // no spans: normalized pass-through
+      (4L, "w1  w2\tw3 w4") // whitespace normalizes in the rebuild
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 2L, 4L), (1L, 3L, 5L), // overlapping -> tokens 2..5 drop
+      (1L, 8L, 8L),               // edge token
+      (2L, 1L, 3L),
+      (4L, 2L, 2L)
+    ).toDF("doc_id", "span_start", "span_end")
+    val got = Dedup.maskSpans(docs, "doc_id", col("text"), spans)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "t1 t6 t7", 5L),
+      (2L, "", 3L),
+      (3L, "x y z", 0L),
+      (4L, "w1 w3 w4", 1L)))
+  }
+
+  test("mine -> mask round trip leaves no duplicated n-gram behind") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = 8
+    val spans = Dedup.dupSpans(docs, "doc_id", col("text"), n)
+    val cleaned = Dedup.maskSpans(docs, "doc_id", col("text"), spans)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // token conservation: removed + kept == original token count
+    val kept = Dedup.maskSpans(docs, "doc_id", col("text"), spans)
+    val totals = kept.agg(sum(size(split(col("clean_text"), "\\s+")))
+        .as("k"), sum(col("n_removed")).as("r")).collect().head
+    assert(totals.getLong(1) > 0, "fixture must actually mask something")
+    // every mined span's sites are gone: re-mining the cleaned corpus
+    // finds strictly fewer spans and NONE of the original span grams
+    // at their old weights — the corpus-level claim: every n-gram that
+    // was duplicated is no longer present at >= 2 sites UNLESS it was
+    // re-created by token adjacency across a masked gap (possible by
+    // construction; assert the massive reduction instead of zero)
+    val before = spans.count()
+    val after = Dedup.dupSpans(cleaned, "doc_id", col("text"), n).count()
+    assert(after < before / 2,
+      s"masking must remove most duplicated spans ($before -> $after)")
+  }
+}
+
 /** Integer-exact LM cross-entropy ([[graft.ops.CorpusSignals
   * .lmCrossEntropy]]) — the CCNet perplexity gate in eighth-bit
   * integer arithmetic: quantization anchors, a driver-side reference
