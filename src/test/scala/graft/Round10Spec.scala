@@ -331,11 +331,12 @@ class LmStreamSpec extends SparkSpec {
 class MaintainerMatrixSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.DataFrame
-  import graft.streaming.{FreqStream, HistStream, IndexStream, RefreshStream}
+  import graft.streaming.{FreqStream, HistStream, IndexStream, LmStream,
+    RefreshStream}
 
   private val dir = "/root/testdata/sf0.01"
 
-  test("interleaved kill/resume of all four maintainers == each one-shot form") {
+  test("interleaved kill/resume of all five maintainers == each one-shot form") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source", "text")
@@ -355,6 +356,10 @@ class MaintainerMatrixSpec extends SparkSpec {
     val index = IndexStream("vec_id", "embedding")
     refresh.bootstrap(oldDocs, oldEmb, root)
     index.bootstrap(oldEmb, k = 8, iters = 2, root)
+    // the LM count maintainer shares the refresh stream's landing dir
+    // (two independent file sources over one queue) and the same root
+    val lm = LmStream("doc_id", col("text"), 3)
+    lm.bootstrap(oldDocs, root)
 
     // freq + hist: token and length streams off the same corpus
     val toks = spark.read.parquet(s"$dir/documents.parquet")
@@ -404,17 +409,19 @@ class MaintainerMatrixSpec extends SparkSpec {
     landHalf(toks, 0, s"$root/freq_in"); landHalf(lens, 0, s"$root/hist_in")
     val r1 = refresh.start(spark, s"$root/landing_docs", docs.schema, emb, root)
     val i1 = index.start(spark, s"$root/landing_vecs", emb.schema, root)
+    val l1 = lm.start(spark, s"$root/landing_docs", docs.schema, root)
     val f1 = startFreq(); val h1 = startHist()
-    Seq(r1, i1, f1, h1).foreach(_.processAllAvailable())
-    Seq(r1, i1, f1, h1).foreach(_.stop())
-    // resume all four from their checkpoints, land phase 2, drain
+    Seq(r1, i1, l1, f1, h1).foreach(_.processAllAvailable())
+    Seq(r1, i1, l1, f1, h1).foreach(_.stop())
+    // resume all five from their checkpoints, land phase 2, drain
     val r2 = refresh.start(spark, s"$root/landing_docs", docs.schema, emb, root)
     val i2 = index.start(spark, s"$root/landing_vecs", emb.schema, root)
+    val l2 = lm.start(spark, s"$root/landing_docs", docs.schema, root)
     val f2 = startFreq(); val h2 = startHist()
     landDocs(1); landVecs(1)
     landHalf(toks, 1, s"$root/freq_in"); landHalf(lens, 1, s"$root/hist_in")
-    Seq(r2, i2, f2, h2).foreach(_.processAllAvailable())
-    Seq(r2, i2, f2, h2).foreach(_.stop())
+    Seq(r2, i2, l2, f2, h2).foreach(_.processAllAvailable())
+    Seq(r2, i2, l2, f2, h2).foreach(_.stop())
 
     // refresh family == one-shot q110 composition
     val accepted = refresh.accepted(spark, root)
@@ -457,6 +464,13 @@ class MaintainerMatrixSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq.sorted
     assert(gotHist == wantHist && gotHist.nonEmpty)
+
+    // LM counts == one-shot raw counts over the whole corpus
+    val gotLm = lm.counts(spark, root)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val wantLm = ops.CorpusSignals.lmRawCounts(docs, col("text"), 3)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(gotLm == wantLm && gotLm.nonEmpty)
   }
 }
 
