@@ -5688,16 +5688,20 @@ object Queries {
     * replays the LM build, the quantized log and the penalty exactly. */
   private def qLmEntropy(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val lmPath = fixPath("lm_trigram", dir)
+    // the PERSISTED index is the weight table itself (the BM25-df
+    // rule): quantized logs + dedupe run once at build, serving is a
+    // pure join
+    val wPath = fixPath("lm_weights", dir)
     if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(lmPath, "_SUCCESS"))) {
+        java.nio.file.Paths.get(wPath, "_SUCCESS"))) {
       val isBatch = Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
-      CorpusSignals.lmConditionalCounts(docs.filter(!isBatch), col("text"),
-          n = 3, minCount = 3L)
-        .write.mode("overwrite").parquet(lmPath)
+      CorpusSignals.lmWeights(
+          CorpusSignals.lmConditionalCounts(docs.filter(!isBatch),
+            col("text"), n = 3, minCount = 3L))
+        .write.mode("overwrite").parquet(wPath)
     }
-    CorpusSignals.lmCrossEntropy(docs, "doc_id", col("text"),
-        s.read.parquet(lmPath), n = 3)
+    CorpusSignals.lmCrossEntropyFromWeights(docs, "doc_id", col("text"),
+        s.read.parquet(wPath), n = 3)
       .orderBy("doc_id")
   }
 

@@ -333,14 +333,18 @@ object CorpusSignals {
     * the reference corpus is never re-read at serve time. */
   def lmCrossEntropy(df: DataFrame, id: String, text: Column,
                      lm: DataFrame, n: Int,
-                     oovBits8: Long = 256L): DataFrame = {
-    require(oovBits8 >= 0, s"oovBits8 must be >= 0, got $oovBits8")
-    val sites = df.select(col(id), explode(lmPairs(text, n)).as("g"))
-      .select(col(id), col("g.context").as("context"),
-        col("g.word").as("word"))
-    // dedupe defensively (lmCoverage's rule): a duplicate gram row
-    // would double-count its sites through the join
-    val ref = lm.select(col("context"), col("word"),
+                     oovBits8: Long = 256L): DataFrame =
+    lmCrossEntropyFromWeights(df, id, text, lmWeights(lm), n, oovBits8)
+
+  /** The eighth-bit weight table (context, word, bits8) derived from a
+    * count table — PERSIST THIS next to the LM (the BM25 df rule):
+    * the quantized log and the defensive dedupe then run once per
+    * refresh, and every serve is a pure join
+    * ([[lmCrossEntropyFromWeights]]). The input is deduplicated
+    * defensively ([[lmCoverage]]'s rule): a duplicate gram row would
+    * double-count its sites through the serve join. */
+  def lmWeights(lm: DataFrame): DataFrame =
+    lm.select(col("context"), col("word"),
         col("cnt_gram"), col("cnt_ctx")).distinct()
       .withColumn("q8", expr("(cnt_ctx * CAST(256 AS BIGINT)) div cnt_gram"))
       .withColumn("l8", expr("CAST(length(bin(q8)) - 1 AS INT)"))
@@ -348,7 +352,20 @@ object CorpusSignals {
         "CAST((l8 - 8) * 8 + (q8 * 8)" +
           " div shiftleft(CAST(1 AS BIGINT), l8) - 8 AS BIGINT)"))
       .select(col("context"), col("word"), col("bits8"))
-    sites.join(ref, Seq("context", "word"), "left")
+
+  /** [[lmCrossEntropy]] from a persisted weight table: one gram
+    * explode over the scored documents, one join, one map-side-combined
+    * per-doc sum — nothing derived, nothing deduplicated at serve
+    * time. */
+  def lmCrossEntropyFromWeights(df: DataFrame, id: String, text: Column,
+                                weights: DataFrame, n: Int,
+                                oovBits8: Long = 256L): DataFrame = {
+    require(oovBits8 >= 0, s"oovBits8 must be >= 0, got $oovBits8")
+    val sites = df.select(col(id), explode(lmPairs(text, n)).as("g"))
+      .select(col(id), col("g.context").as("context"),
+        col("g.word").as("word"))
+    sites.join(weights.select(col("context"), col("word"), col("bits8")),
+        Seq("context", "word"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_sites"),
         sum(when(col("bits8").isNull, 1L).otherwise(0L)).as("n_oov"),

@@ -319,7 +319,11 @@ object Retrieval {
     * never exploded). Losslessness is unchanged: a doc shorter than n
     * tokens has no site but also cannot contain an ≥n-token phrase,
     * and the unigram postings cover every document for the short-
-    * phrase path. */
+    * phrase path. At cluster scale, pass `docs` as the DSv2 store
+    * ([[graft.connectors.GraftStoreSource]], keyed by `docId`): its
+    * runtime filtering turns the candidate-text join into a
+    * bucket-pruned point fetch instead of a full text-column scan —
+    * the same J2-probe mechanism StoreRuntimeFilterSpec pins. */
   /** Normalized non-empty phrases (phraseId, _pt) — the one phrase
     * form routing, grams, probe and verify all share. */
   private[graft] def normalizePhrases(phrases: DataFrame, phraseId: String,
