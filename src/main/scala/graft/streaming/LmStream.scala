@@ -41,11 +41,15 @@ import graft.sinks.Sinks
   * converges byte-for-byte (LmStreamSpec drives the crash matrix and
   * kill/resume against the one-shot corpus counts).
   *
-  * Scale shape: per batch, O(batch grams) map-side-combined counting
-  * plus a join against ONLY the touched (context, word) rows; the
-  * stores are the hash-partitioned upsert
+  * Scale shape: per batch, O(batch grams) map-side-combined counting,
+  * one scan of the vocabulary-sized count ledger for the touched-row
+  * left-join (the ledger is model-sized next to the corpus; served as
+  * the DSv2 graft-store, runtime filtering would turn even that scan
+  * into a touched-bucket probe), and one landed-ids anti-join — the
+  * same per-batch ledger-scan budget every maintainer here runs on.
+  * Writes are the hash-partitioned upsert
   * ([[Sinks.upsertPartitioned]] — one staged job, touched buckets
-  * only). History is never re-read beyond the touched rows.
+  * only); history text is never re-tokenized.
   */
 final case class LmStream(id: String, text: Column, n: Int) {
 
