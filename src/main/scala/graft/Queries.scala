@@ -5818,8 +5818,11 @@ object Queries {
 
   private val oDedupMask = {
     val n = DupSpanN
+    // text IS NOT NULL mirrors the engine's maskSpans filter: a
+    // null-text doc is absent from BOTH sides (the span mine drops it
+    // on its own; the final left join here must not resurrect it)
     s"""WITH dd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
-       |            FROM documents),
+       |            FROM documents WHERE text IS NOT NULL),
        |g AS (SELECT doc_id,
        |        [array_to_string(toks[i:i+${n - 1}], ' ')
        |         for i in generate_series(1, len(toks)-${n - 1})] AS gs

@@ -89,4 +89,18 @@ object Fns {
   /** P10 — null-key fallback (AzureEtagCheck/etag_app.py:185-187). */
   def keyOrBlob(s3Key: Column, blobName: Column): Column =
     coalesce(s3Key, blobName)
+
+  /** The engine's EIGHTH-BIT integer log₂ idiom, shared by the BM25
+    * idf and the LM cross-entropy weights (one definition — a future
+    * overflow/mantissa fix cannot silently miss one of them): given a
+    * SQL fragment for q8 = 256·num div den (num ≥ den > 0 BIGINTs),
+    * returns SQL for ⌊8·log₂(num/den)⌋-style quantization — whole
+    * bits from the bit length plus a 3-bit mantissa correction,
+    * exact integers end to end, 0 at num == den, never negative. The
+    * fragment is inlined (re-evaluated) rather than bound — callers
+    * keep it a column reference or a cheap integer expression. */
+  def bits8FromQ8Sql(q8: String): String =
+    s"CAST((CAST(length(bin($q8)) - 1 AS INT) - 8) * 8 + (($q8) * 8)" +
+      s" div shiftleft(CAST(1 AS BIGINT)," +
+      s" CAST(length(bin($q8)) - 1 AS INT)) - 8 AS BIGINT)"
 }

@@ -476,11 +476,17 @@ object Bpe {
     val chain = merges.toIndexedSeq
     val bc = spark.sparkContext.broadcast((chain, rankTable(chain)))
     val docWords = explodeWords(df, id, text)
-    val wordSyms = docWords.select(col("word")).distinct().as[String]
-      .mapPartitions { it =>
-        val (m, ranks) = bc.value
-        it.map(w => (w, applyChainToWord(w, m, ranks).length.toLong))
-      }.toDF("word", "n_sym")
+    // the vocab-sized word→count table materializes EAGERLY so the
+    // chain broadcast can be released here — a lazily-broadcast chain
+    // would leak one block-manager copy per encode for the
+    // application lifetime
+    val wordSyms =
+      try docWords.select(col("word")).distinct().as[String]
+        .mapPartitions { it =>
+          val (m, ranks) = bc.value
+          it.map(w => (w, applyChainToWord(w, m, ranks).length.toLong))
+        }.toDF("word", "n_sym").localCheckpoint()
+      finally bc.destroy()
     joinBack(docWords, wordSyms, id)
   }
 

@@ -340,18 +340,18 @@ object CorpusSignals {
     * count table — PERSIST THIS next to the LM (the BM25 df rule):
     * the quantized log and the defensive dedupe then run once per
     * refresh, and every serve is a pure join
-    * ([[lmCrossEntropyFromWeights]]). The input is deduplicated
-    * defensively ([[lmCoverage]]'s rule): a duplicate gram row would
-    * double-count its sites through the serve join. */
+    * ([[lmCrossEntropyFromWeights]]). The input is deduplicated BY
+    * KEY ([[lmCoverage]]'s rule, which a whole-row distinct would NOT
+    * honor — two conflicting rows for one gram would both survive and
+    * fan the serve join out): conflicting duplicates collapse
+    * deterministically to the LOWEST cost. */
   def lmWeights(lm: DataFrame): DataFrame =
     lm.select(col("context"), col("word"),
-        col("cnt_gram"), col("cnt_ctx")).distinct()
-      .withColumn("q8", expr("(cnt_ctx * CAST(256 AS BIGINT)) div cnt_gram"))
-      .withColumn("l8", expr("CAST(length(bin(q8)) - 1 AS INT)"))
-      .withColumn("bits8", expr(
-        "CAST((l8 - 8) * 8 + (q8 * 8)" +
-          " div shiftleft(CAST(1 AS BIGINT), l8) - 8 AS BIGINT)"))
-      .select(col("context"), col("word"), col("bits8"))
+        col("cnt_gram"), col("cnt_ctx"))
+      .withColumn("bits8", expr(graft.functions.Fns.bits8FromQ8Sql(
+        "(cnt_ctx * CAST(256 AS BIGINT)) div cnt_gram")))
+      .groupBy(col("context"), col("word"))
+      .agg(min(col("bits8")).as("bits8"))
 
   /** [[lmCrossEntropy]] from a persisted weight table: one gram
     * explode over the scored documents, one join, one map-side-combined

@@ -190,10 +190,7 @@ object Retrieval {
     val idf = tdf
       .withColumn("q8", expr(
         s"(CAST($nDocs AS BIGINT) * CAST(256 AS BIGINT)) div df"))
-      .withColumn("l8", expr("CAST(length(bin(q8)) - 1 AS INT)"))
-      .withColumn("w_idf", expr(
-        "CAST((l8 - 8) * 8 + (q8 * 8)" +
-          " div shiftleft(CAST(1 AS BIGINT), l8) - 8 AS BIGINT)"))
+      .withColumn("w_idf", expr(graft.functions.Fns.bits8FromQ8Sql("q8")))
 
     val qTerms = queries
       .select(col(queryId), explode(split(queryText, "\\s+")).as("term"))

@@ -25,10 +25,14 @@ object Sinks {
   private def hadoopConf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** Atomic small-file write via the FS rename idiom (tmp + rename).
-    * Hadoop rename does not replace an existing target on all
-    * filesystems, so the target is deleted first; a crash between the
-    * two leaves no marker, which every reader treats as "absent". */
+  /** Small-file write via the FS rename idiom (tmp + rename). Hadoop
+    * rename does not replace an existing target on all filesystems, so
+    * the target is deleted first; a crash between the two leaves no
+    * marker, which every reader treats as "absent" (and the next
+    * writer recreates it). A FAILED rename throws — Hadoop signals
+    * most rename failures by returning false, and swallowing that
+    * would let a caller believe a marker (or manifest) landed when
+    * nothing is on disk. */
   private def writeMarker(fs: FileSystem, target: Path, content: String,
                           replace: Boolean): Unit = {
     if (!replace && fs.exists(target)) return
@@ -37,7 +41,10 @@ object Sinks {
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (replace) fs.delete(target, false)
-    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      sys.error(s"marker rename failed: $tmp -> $target")
+    }
   }
 
   private def readMarker(fs: FileSystem, p: Path): Option[String] =
@@ -286,10 +293,13 @@ object Sinks {
     val (fs, root) = fsOf(storeDir)
     if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory)
       return Seq.empty
+    // fully-qualified paths (scheme + authority kept): a store on
+    // s3a://…/hdfs://… must not resolve its buckets against the
+    // session's DEFAULT filesystem when a reader opens them
     fs.listStatus(root)
       .filter(st => BucketRe.matches(st.getPath.getName) &&
         fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(st => st.getPath.toUri.getPath)
+      .map(st => st.getPath.toString)
       .sorted.toSeq
   }
 

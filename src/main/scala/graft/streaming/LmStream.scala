@@ -68,17 +68,39 @@ final case class LmStream(id: String, text: Column, n: Int) {
       Seq(id), docsDir(root))
   }
 
+  /** Read a ledger store that may legitimately be EMPTY — a bootstrap
+    * over a corpus with no n-gram (every doc shorter than n tokens, or
+    * no old corpus at all) writes the store markers but no bucket, and
+    * the stream must start from an empty ledger, not crash
+    * (readPartitioned's no-buckets require is for stores that are
+    * contractually bootstrapped non-empty). */
+  private def readLedger(spark: SparkSession, dir: String,
+                         emptySchema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    Sinks.recoverPartitioned(dir)
+    if (Sinks.listBuckets(dir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    else Sinks.readPartitioned(spark, dir)
+  }
+
   /** Land one batch at `epoch`. Public so the crash-matrix spec can
     * drive replays and redeliveries without a stream. */
   def processBatch(batch: DataFrame, epoch: Long, root: String): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    val landedBefore = Sinks.readPartitioned(spark, docsDir(root))
+    // empty-ledger schemas derive from the BATCH (the id's type is the
+    // caller's, not assumed)
+    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+      batch.schema(id),
+      org.apache.spark.sql.types.StructField("epoch",
+        org.apache.spark.sql.types.LongType)))
+    val landedBefore = readLedger(spark, docsDir(root), docsSchema)
       .filter(col("epoch") < epoch).select(col(id))
     val novel = batch.join(landedBefore, Seq(id), "left_anti")
     val rawB = CorpusSignals.lmRawCounts(novel, text, n)
       .withColumnRenamed("cnt_gram", "_cnt_b")
-    val cur = Sinks.readPartitioned(spark, countsDir(root))
+    val cur = readLedger(spark, countsDir(root), CountsSchema)
       .withColumnRenamed("cnt_gram", "_cnt_cur")
     // touched rows only: batch grams left-join the ledger; rule 1
     // decides add vs keep per row
@@ -101,8 +123,11 @@ final case class LmStream(id: String, text: Column, n: Int) {
   /** The live raw-count ledger (context, word, cnt_gram) — feed it to
     * [[CorpusSignals.lmCountsFromRaw]] for probabilities or to
     * [[CorpusSignals.lmCrossEntropy]] for the quality gate. */
+  private val CountsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "context STRING, word STRING, cnt_gram BIGINT, last_epoch BIGINT")
+
   def counts(spark: SparkSession, root: String): DataFrame =
-    Sinks.readPartitioned(spark, countsDir(root))
+    readLedger(spark, countsDir(root), CountsSchema)
       .select(col("context"), col("word"), col("cnt_gram"))
 
   /** Start the landing-queue consumer: one micro-batch per landing

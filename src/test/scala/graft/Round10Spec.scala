@@ -303,6 +303,19 @@ class LmStreamSpec extends SparkSpec {
     assert(countsOf(stream, root) == fullCounts && fullCounts.nonEmpty)
   }
 
+  test("an empty bootstrap (no old corpus grams) starts an empty ledger, not a crash") {
+    import spark.implicits._
+    val stream = LmStream("doc_id", col("text"), 3)
+    val root = tmpDir("lm_empty")
+    // every bootstrap doc is shorter than n tokens: zero gram rows
+    stream.bootstrap(Seq((1L, "a b")).toDF("doc_id", "text"), root)
+    assert(countsOf(stream, root).isEmpty)
+    stream.processBatch(
+      Seq((2L, "x y z x y z")).toDF("doc_id", "text"), 0L, root)
+    val got = countsOf(stream, root)
+    assert(got == Seq(("x y", "z", 2L), ("y z", "x", 1L), ("z x", "y", 1L)))
+  }
+
   test("kill/resume through the real stream == one-shot corpus counts") {
     val docs = docsTable
     val stream = LmStream("doc_id", col("text"), 3)
