@@ -460,14 +460,18 @@ class NormalizeInventorySpec extends SparkSpec {
     TestFixtures.writeS3InventoryGz(invDir, "shard-1",
       TestFixtures.defaultInventoryRows.take(3))
 
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     // tiny shard target: 10 rows must split across several files
     val res = graft.sources.InventoryReader.normalizeInventory(
       spark, s"$invDir/*.csv.gz", s"$root/parquet", targetShardBytes = 256L)
     assert(res.rows == 10 && res.corrupt == 1)
     assert(res.shards > 1)
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "normalizeInventory leaked its scan cache")
+    // a LEAK would ADD a persisted RDD; comparing raw sizes instead
+    // raced the async ContextCleaner reaping EARLIER suites'
+    // localCheckpoint blocks between the two reads (shared session)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"normalizeInventory leaked its scan cache: RDD ids $leaked")
 
     // the parquet IS goodRows: same rows, decoded columns, sharded files
     val back = spark.read.parquet(res.outDir)
