@@ -112,6 +112,35 @@ class MaskSpansSpec extends SparkSpec {
       (4L, "w1 w3 w4", 1L)))
   }
 
+  test("random spans == driver-side positional mask, incl. out-of-range spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val docs = (1L to 30L).map(i =>
+        (i, (1 to (1 + rnd.nextInt(12))).map(j => s"w${rnd.nextInt(9)}")
+          .mkString(" ")))
+      val spans = (1 to 40).map { _ =>
+        val id = 1L + rnd.nextInt(30)
+        val s = 1L + rnd.nextInt(14) // may start past the doc's end
+        (id, s, s + rnd.nextInt(4))
+      }
+      val got = Dedup.maskSpans(docs.toDF("doc_id", "text"), "doc_id",
+          col("text"), spans.toDF("doc_id", "span_start", "span_end"))
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      val byDoc = spans.groupBy(_._1)
+      val want = docs.map { case (id, t) =>
+        val toks = t.split("\\s+")
+        val sp = byDoc.getOrElse(id, Seq.empty)
+        val kept = toks.zipWithIndex.collect {
+          case (tok, i) if !sp.exists(s => i + 1 >= s._2 && i + 1 <= s._3) =>
+            tok
+        }
+        (id, kept.mkString(" "), (toks.length - kept.length).toLong)
+      }.sorted
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
   test("mine -> mask round trip leaves no duplicated n-gram behind") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = 8
@@ -314,6 +343,34 @@ class LmStreamSpec extends SparkSpec {
       Seq((2L, "x y z x y z")).toDF("doc_id", "text"), 0L, root)
     val got = countsOf(stream, root)
     assert(got == Seq(("x y", "z", 2L), ("y z", "x", 1L), ("z x", "y", 1L)))
+  }
+
+  test("any batch split of the landing set converges to the one-shot counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val words = Seq("a", "b", "c", "d", "e")
+    val corpus = (1L to 80L).map(i =>
+      (i, (1 to (2 + rnd.nextInt(8)))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" ")))
+    val all = corpus.toDF("doc_id", "text")
+    val want = graft.ops.CorpusSignals.lmRawCounts(all, col("text"), 3)
+      .as[(String, String, Long)].collect().toSeq.sorted
+    for (trial <- 1 to 3) {
+      val stream = LmStream("doc_id", col("text"), 3)
+      val root = tmpDir(s"lm_split$trial")
+      val nOld = rnd.nextInt(40)
+      stream.bootstrap(corpus.take(nOld).toDF("doc_id", "text"), root)
+      var rest = corpus.drop(nOld)
+      var epoch = 0L
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(rest.size)
+        stream.processBatch(rest.take(take).toDF("doc_id", "text"),
+          epoch, root)
+        rest = rest.drop(take)
+        epoch += 1
+      }
+      assert(countsOf(stream, root) == want, s"trial $trial diverged")
+    }
   }
 
   test("kill/resume through the real stream == one-shot corpus counts") {
