@@ -101,21 +101,20 @@ private[connectors] object StoreMeta {
     SparkSession.active.read.parquet(buckets.head).schema
   }
 
-  def nBuckets(path: String): Int = {
-    val p = java.nio.file.Paths.get(path, "_nbuckets")
-    require(java.nio.file.Files.exists(p),
-      s"graft-store: missing _nbuckets marker under $path")
-    java.nio.file.Files.readString(p).trim.toInt
-  }
+  def nBuckets(path: String): Int =
+    Sinks.storeMarker(path, "_nbuckets")
+      .getOrElse(sys.error(
+        s"graft-store: missing _nbuckets marker under $path"))
+      .trim.toInt
 
   /** The store's key columns (written at creation); empty = unknown,
-    * meaning no pruning (full scan) — never wrong answers. */
-  def keyCols(path: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(path, "_keycols")
-    if (!java.nio.file.Files.exists(p)) Seq.empty
-    else java.nio.file.Files.readString(p).trim.split(",").toSeq
-      .filter(_.nonEmpty)
-  }
+    * meaning no pruning (full scan) — never wrong answers. Read
+    * through the store's own filesystem, so scheme-qualified stores
+    * keep their pruning. */
+  def keyCols(path: String): Seq[String] =
+    Sinks.storeMarker(path, "_keycols")
+      .map(_.trim.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
 
   /** Bucket index of one concrete key tuple — replays the writer's
     * `pmod(hash(keyCols…), n)` exactly (Murmur3, seed 42). */

@@ -371,6 +371,16 @@ object Sinks {
     readMarker(fs, new Path(root, "_stats")).map(parseStats)
   }
 
+  /** A store marker's content through the store's OWN filesystem —
+    * the reader-side accessor ([[graft.connectors.GraftStoreSource]]
+    * resolves `_nbuckets`/`_keycols` here; a java.nio read would
+    * silently miss markers of any scheme-qualified store and lose
+    * bucket pruning). */
+  private[graft] def storeMarker(storeDir: String, name: String): Option[String] = {
+    val (fs, root) = fsOf(storeDir)
+    readMarker(fs, new Path(root, name))
+  }
+
   /** If a previous upsert crashed between "live aside" and "promote
     * swap", the accumulated store survives as `.old` (or as a complete
     * `.swap`); restore it instead of silently starting over from one

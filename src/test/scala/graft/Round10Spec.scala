@@ -1001,6 +1001,26 @@ class StorePropertySpec extends SparkSpec {
   import spark.implicits._
   import graft.sinks.Sinks
 
+  test("a scheme-qualified store path round-trips (bucket paths keep their scheme)") {
+    // the round-10 posture claim is "the store runs on HDFS/S3A
+    // unchanged": bucket paths returned by the listing must keep
+    // scheme+authority so readers never resolve them against the
+    // session's default filesystem
+    val store = "file:" + tmpDir("scheme_store") + "/s"
+    val rows = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.upsertPartitioned(rows, Seq("id"), store, nBuckets = 4)
+    val buckets = Sinks.listBuckets(store)
+    assert(buckets.nonEmpty && buckets.forall(_.startsWith("file:")),
+      s"bucket paths must stay scheme-qualified: $buckets")
+    val back = Sinks.readPartitioned(spark, store)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(back == (1L to 100L).map(i => (i, s"v$i")).sorted)
+    val ds = spark.read.format("graft-store").load(store)
+    assert(ds.count() == 100)
+    val one = ds.filter(org.apache.spark.sql.functions.col("id") === 7L)
+    assert(one.rdd.getNumPartitions == 1 && one.count() == 1)
+  }
+
   test("random batch sequences: partitioned == monolithic == reference") {
     val rnd = new scala.util.Random(17)
     for (trial <- 1 to 3) {
