@@ -5500,14 +5500,19 @@ object Queries {
     * terms' posting lists ever join (the query-term table broadcasts);
     * the oracle replays idf quantization, the fixed integer division
     * chain and the rank window exactly. */
-  private def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val queries = docs.filter(col("doc_id") % 100 === 0)
+  /** The q154/q161 query set: every 100th document's first 4 tokens. */
+  private def bm25Queries(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("qtext"))
-    // persisted index (write-once bootstrap like the ANN family):
-    // postings, doc lengths, per-term dfs AND the corpus-scalar row —
-    // serving is pure joins, no re-tokenize, no countDistinct
+
+  /** Persisted BM25 index (write-once bootstrap like the ANN family):
+    * postings, doc lengths, per-term dfs AND the corpus-scalar row —
+    * serving is pure joins, no re-tokenize, no countDistinct. Shared by
+    * q154 (lexical serve) and q161 (hybrid fusion). */
+  private def bm25IndexTables(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents")
     val postPath = fixPath("bm25_post", dir)
     val dlPath = fixPath("bm25_dl", dir)
     val tdfPath = fixPath("bm25_tdf", dir)
@@ -5523,15 +5528,22 @@ object Queries {
       Retrieval.termDf(post, "doc_id").write.mode("overwrite").parquet(tdfPath)
       Retrieval.corpusStats(dl).write.mode("overwrite").parquet(statsPath)
     }
-    Retrieval.bm25TopKFromIndexTables(s.read.parquet(postPath),
-        s.read.parquet(dlPath), s.read.parquet(tdfPath),
-        s.read.parquet(statsPath), "doc_id",
+    (s.read.parquet(postPath), s.read.parquet(dlPath),
+      s.read.parquet(tdfPath), s.read.parquet(statsPath))
+  }
+
+  private def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val queries = bm25Queries(t(s, dir, "documents"))
+    val (post, dl, tdf, stats) = bm25IndexTables(s, dir)
+    Retrieval.bm25TopKFromIndexTables(post, dl, tdf, stats, "doc_id",
         queries, "query_id", col("qtext"), k = 5)
       .orderBy("query_id", "rank")
   }
 
-  private val oBm25TopK =
-    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+  /** CTE body shared by oBm25TopK and oHybridRrf: everything through
+    * `sc`, the (query_id, doc_id, score_u) candidate scores. */
+  private val oBm25Ctes =
+    """tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
       |            FROM documents),
       |post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
       |         FROM tok WHERE term <> '' GROUP BY 1, 2),
@@ -5564,11 +5576,14 @@ object Queries {
       |    )) AS BIGINT) AS score_u
       |  FROM post
       |  JOIN qt USING (term) JOIN idf USING (term) JOIN dl USING (doc_id)
-      |  WHERE qt.term <> '' GROUP BY 1, 2)
-      |SELECT query_id, doc_id, score_u, rank FROM (
-      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-      |    ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank FROM sc)
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |  WHERE qt.term <> '' GROUP BY 1, 2)""".stripMargin
+
+  private val oBm25TopK =
+    s"""WITH $oBm25Ctes
+       |SELECT query_id, doc_id, score_u, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank FROM sc)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------- BM25 index refresh
   /** Incremental retrieval-index refresh: the 90% corpus's posting and
@@ -5860,6 +5875,367 @@ object Queries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // --------------------------------------------- hybrid retrieval (RRF)
+  /** Hybrid lexical+dense retrieval ([[Retrieval.rrfFuse]]): the BM25
+    * top-20 (from q154's persisted index) and the brute-force cosine
+    * top-20 over the aligned embeddings fuse by integer reciprocal-rank
+    * points (1e6 div (60+rank)); top-10 fused per query. Fusion itself
+    * touches only the two rank lists — no corpus re-scan — and the
+    * oracle replays both rankings and the µ-point sum exactly. The
+    * document answering its own query earns lexical points only (the
+    * dense list excludes self by the ANN-serve contract). */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val queries = bm25Queries(t(s, dir, "documents"))
+    val (post, dl, tdf, stats) = bm25IndexTables(s, dir)
+    val lexical = Retrieval.bm25TopKFromIndexTables(post, dl, tdf, stats,
+        "doc_id", queries, "query_id", col("qtext"), k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = t(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") % 100 === 0), emb,
+        "vec_id", "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(lexical, dense), "query_id", "doc_id", "rank",
+        k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  private val oHybridRrf =
+    s"""WITH $oBm25Ctes,
+       |bmr AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_u DESC, doc_id) AS rank FROM sc),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qe AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |       WHERE vec_id % 100 = 0),
+       |cs AS (SELECT qe.query_id, e.vec_id AS doc_id,
+       |        round(${cosSql("qv", "v")}, 6) AS cos_sim
+       |      FROM qe JOIN e ON e.vec_id <> qe.query_id),
+       |csr AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, doc_id) AS rank FROM cs),
+       |pts AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS pts
+       |        FROM bmr WHERE rank <= 20
+       |        UNION ALL
+       |        SELECT query_id, doc_id, 1000000 // (60 + rank) AS pts
+       |        FROM csr WHERE rank <= 20),
+       |fz AS (SELECT query_id, doc_id, CAST(sum(pts) AS BIGINT) AS rrf_u,
+       |        CAST(count(*) AS BIGINT) AS n_lists
+       |       FROM pts GROUP BY 1, 2)
+       |SELECT query_id, doc_id, rrf_u, n_lists, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank FROM fz)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------- trainable linear probe (LMS)
+  private val ProbeSteps = 8
+  private val ProbeLrDenom = 1048576L // 2^20 ≥ max‖x‖² at every SF
+
+  private def probeTrainResult(s: SparkSession,
+                               dir: String): LinearTrainer.TrainResult = {
+    val emb = t(s, dir, "embeddings")
+    val feats = LinearTrainer.embeddingFeatures(emb, "vec_id",
+      col("embedding"))
+    val labels = emb.select(col("vec_id"),
+      LinearTrainer.labelU(col("label") < 5).as("y_u"))
+    LinearTrainer.lmsTrain(feats, labels, "vec_id", ProbeSteps,
+      ProbeLrDenom)
+  }
+
+  /** In-engine probe TRAINING ([[LinearTrainer.lmsTrain]]): 8 full-batch
+    * LMS steps of a linear probe on milli-quantized embedding
+    * coordinates toward the (label < 5) split, every step two
+    * map-side-combined aggregations and a truncated-division µ-unit
+    * weight update the oracle unrolls CTE-for-CTE. Row t reports
+    * accuracy and Σ|w| of the weights BEFORE step t (step 1 = zero
+    * model, step 9 = final model) — n_correct climbing from the 254
+    * zero-model count to ~316/500 on this noisy target is the
+    * trained-ness signal. */
+  private def qProbeTrain(s: SparkSession, dir: String): DataFrame =
+    LinearTrainer.metricsDf(s, probeTrainResult(s, dir)).orderBy("step")
+
+  /** Serving the TRAINED probe ([[LinearTrainer.serve]]): per-vector
+    * µ-unit score under the step-8 weights plus the ≥0 decision —
+    * train→serve composition with zero out-of-engine state. */
+  private def qProbeServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    LinearTrainer.serve(emb,
+        LinearTrainer.embeddingFeatures(emb, "vec_id", col("embedding")),
+        "vec_id", probeTrainResult(s, dir).weights)
+      .orderBy("vec_id")
+  }
+
+  /** CTE chain replaying [[LinearTrainer.lmsTrain]] step-for-step:
+    * s{t} is the per-vector µ-unit score under w{t-1} (w0 = zero
+    * model), g{t} the per-coordinate gradient, w{t} the
+    * truncated-division update — DuckDB's `//` truncates toward zero
+    * exactly like JVM Long division, which is why the engine uses
+    * plain `/` on the driver. */
+  private def oProbeCtes(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""f AS (SELECT vec_id, CAST(j AS BIGINT) AS b,
+              |        CAST(trunc(v * 1000) AS BIGINT) AS x
+              |      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+              |              generate_subscripts(embedding, 1) AS j
+              |            FROM embeddings)
+              |      WHERE CAST(trunc(v * 1000) AS BIGINT) <> 0),
+              |y AS (SELECT vec_id,
+              |        CAST(CASE WHEN label < 5 THEN 1000000 ELSE -1000000 END
+              |          AS BIGINT) AS y_u FROM embeddings),
+              |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM y),
+              |s1 AS (SELECT vec_id, y_u, CAST(0 AS BIGINT) AS s_u FROM y)"""
+      .stripMargin
+    for (st <- 1 to steps) {
+      val wPrev = if (st == 1) "CAST(0 AS BIGINT)" else "w"
+      val wFrom = if (st == 1) s"g$st"
+                  else s"w${st - 1} JOIN g$st USING (b)"
+      sb ++= s""",
+                |g$st AS (SELECT b, CAST(sum(x * (s_u - y_u)) AS BIGINT) AS g
+                |       FROM f JOIN s$st USING (vec_id) GROUP BY b),
+                |w$st AS (SELECT b,
+                |        $wPrev - (g // ($ProbeLrDenom * (SELECT n FROM nn)))
+                |          AS w
+                |       FROM $wFrom),
+                |s${st + 1} AS (SELECT y.vec_id, y.y_u,
+                |        CAST(coalesce(sum(fw.xw), 0) AS BIGINT) AS s_u
+                |       FROM y LEFT JOIN (SELECT f.vec_id, f.x * w$st.w AS xw
+                |                         FROM f JOIN w$st USING (b)) fw
+                |         USING (vec_id)
+                |       GROUP BY y.vec_id, y.y_u)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private def oProbeMetric(st: Int): String = {
+    val sumAbs =
+      if (st == 1) "CAST(0 AS BIGINT)"
+      else s"(SELECT CAST(coalesce(sum(abs(w)), 0) AS BIGINT) FROM w${st - 1})"
+    s"""SELECT CAST($st AS BIGINT) AS step,
+       |  CAST(sum(CASE WHEN (s_u >= 0) = (y_u >= 0)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  $sumAbs AS sum_abs_w_u
+       |FROM s$st""".stripMargin
+  }
+
+  private val oProbeTrain =
+    s"""WITH ${oProbeCtes(ProbeSteps)}
+       |SELECT step, n_correct, sum_abs_w_u FROM (
+       |${(1 to ProbeSteps + 1).map(oProbeMetric).mkString("\nUNION ALL\n")})
+       |ORDER BY step""".stripMargin
+
+  private val oProbeServe =
+    s"""WITH ${oProbeCtes(ProbeSteps)}
+       |SELECT vec_id, s_u AS score_u,
+       |  CAST(CASE WHEN s_u >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM s${ProbeSteps + 1} ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------- incremental CC refresh
+  /** Incremental component maintenance
+    * ([[ConnectedComponents.refresh]]): the star-only components of
+    * q56's graph persist once as the label ledger; the bridge edges
+    * land as a batch and merge through a CONTRACTED CC over touched
+    * labels only plus a broadcast relabel. The refreshed ledger must be
+    * byte-identical to a full CC over star ∪ bridge — which is exactly
+    * q56's oracle. */
+  private def qCcRefresh(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+    val star = sup.filter(col("k") % 5 =!= 0)
+      .select((col("k") - col("k") % 5).as("src"), col("k").as("dst"))
+    val bridge = sup.filter(col("k") % 25 === 0)
+      .select((col("k") - 5).as("src"), col("k").as("dst"))
+    val ledgerPath = fixPath("cc_ledger", dir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(ledgerPath, "_SUCCESS")))
+      ConnectedComponents(star, "src", "dst")
+        .write.mode("overwrite").parquet(ledgerPath)
+    ConnectedComponents.refresh(s.read.parquet(ledgerPath), "id", "comp",
+        bridge, "src", "dst")
+      .orderBy("id")
+  }
+
+  // ------------------------------------------- weighted sample (πps)
+  /** Sequential Poisson sampling ([[Curation.weightedSample]] — Ohlsson
+    * 1998): 10 docs per source WITHOUT replacement, inclusion odds
+    * ∝ n_chars, ranked by the integer key (u·1e6) div weight with u the
+    * 32-bit id hash — deterministic, reshuffle-stable, and replayed by
+    * the oracle's one-window form (the engine runs the salted two-stage
+    * window, which must equal it row-for-row). */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "doc_id", col("n_chars"), k = 10)
+      .select(col("doc_id"), col("source"), col("pos"))
+      .orderBy("source", "pos")
+
+  private val oWeightedSample =
+    """SELECT doc_id, source, pos FROM (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+      |      (('0x' || substr(md5('sps:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |        ::BIGINT * 1000000) // n_chars,
+      |      doc_id) AS BIGINT) AS pos
+      |  FROM documents)
+      |WHERE pos <= 10 ORDER BY source, pos""".stripMargin
+
+  // ------------------------------------- probe threshold calibration
+  private val CalThresholds =
+    Seq(-400000L, -200000L, 0L, 200000L, 400000L)
+
+  /** Serving-threshold sweep ([[LinearTrainer.calibrate]]): accuracy of
+    * the trained probe at five µ-unit thresholds in ONE corpus pass
+    * (explode ×5 map-side, 5 output rows) — the deploy-time
+    * operating-point pick, replayed by a CROSS JOIN in the oracle over
+    * the same unrolled training chain. */
+  private def qProbeCalibrate(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val scored = LinearTrainer.serve(emb,
+        LinearTrainer.embeddingFeatures(emb, "vec_id", col("embedding")),
+        "vec_id", probeTrainResult(s, dir).weights)
+      .join(emb.select(col("vec_id"),
+        LinearTrainer.labelU(col("label") < 5).as("y_u")), Seq("vec_id"))
+    LinearTrainer.calibrate(scored, "vec_id", CalThresholds)
+      .orderBy("thr_u")
+  }
+
+  private val oProbeCalibrate =
+    s"""WITH ${oProbeCtes(ProbeSteps)},
+       |thr AS (SELECT CAST(unnest([${CalThresholds.mkString(", ")}])
+       |          AS BIGINT) AS thr_u)
+       |SELECT thr_u,
+       |  CAST(sum(CASE WHEN (s_u >= thr_u) = (y_u >= 0)
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |FROM s${ProbeSteps + 1} CROSS JOIN thr
+       |GROUP BY thr_u ORDER BY thr_u""".stripMargin
+
+  // ------------------------------------- streaming mini-batch trainer
+  /** The probe as a LIVE learner ([[graft.streaming.TrainStream]] —
+    * previous-value weight rows + epoch guards + epoch-filtered
+    * novelty, the exactly-once recipe for NON-commutative model
+    * state): embeddings land in three deterministic micro-batches
+    * (vec_id mod 3, one file per trigger), each applying one
+    * integer-exact mini-batch LMS step to the persisted weight ledger.
+    * The served model must equal the driver-side three-step fold —
+    * which is what the oracle unrolls, batch by batch. */
+  private def qStreamTrain(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q168")
+    try {
+      val ts = graft.streaming.TrainStream("vec_id",
+        b => LinearTrainer.embeddingFeatures(b, "vec_id", col("embedding")),
+        LinearTrainer.labelU(col("label") < 5), ProbeLrDenom)
+      val landing = s"$root/landing"
+      def land(bt: Int): Unit =
+        emb.filter(col("vec_id") % 3 === bt).coalesce(1)
+          .write.mode("append").parquet(landing)
+      land(0)
+      val q = ts.start(s, landing, emb.schema, root.toString)
+      try {
+        q.processAllAvailable()
+        land(1); q.processAllAvailable()
+        land(2); q.processAllAvailable()
+      } finally q.stop()
+      ts.weights(s, root.toString).orderBy("b").localCheckpoint()
+    } finally deleteRecursively(root)
+  }
+
+  private val oStreamTrain = {
+    val nts = (0 until 3).map(bt =>
+      s"""n$bt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+         |      WHERE vec_id % 3 = $bt)""".stripMargin).mkString(",\n")
+    val steps = (0 until 3).map { bt =>
+      val t0 = bt + 1
+      val score =
+        if (bt == 0)
+          s"""s$t0 AS (SELECT vec_id, y_u, CAST(0 AS BIGINT) AS s_u
+             |       FROM y WHERE vec_id % 3 = $bt)""".stripMargin
+        else
+          s"""s$t0 AS (SELECT y.vec_id, y.y_u,
+             |        CAST(coalesce(sum(fw.xw), 0) AS BIGINT) AS s_u
+             |       FROM y LEFT JOIN (SELECT f.vec_id, f.x * w$bt.w AS xw
+             |                         FROM f JOIN w$bt USING (b)) fw
+             |         USING (vec_id)
+             |       WHERE y.vec_id % 3 = $bt
+             |       GROUP BY y.vec_id, y.y_u)""".stripMargin
+      val upd =
+        if (bt == 0)
+          s"""w$t0 AS (SELECT b,
+             |        0 - (g // ($ProbeLrDenom * (SELECT n FROM n$bt))) AS w
+             |       FROM g$t0)""".stripMargin
+        else
+          s"""w$t0 AS (SELECT coalesce(w.b, g.b) AS b,
+             |        coalesce(w.w, 0)
+             |          - coalesce(g.g // ($ProbeLrDenom *
+             |              (SELECT n FROM n$bt)), 0) AS w
+             |       FROM w$bt w FULL JOIN g$t0 g ON w.b = g.b)""".stripMargin
+      s"""$score,
+         |g$t0 AS (SELECT b, CAST(sum(x * (s_u - y_u)) AS BIGINT) AS g
+         |       FROM f JOIN s$t0 USING (vec_id) GROUP BY b),
+         |$upd""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT vec_id, CAST(j AS BIGINT) AS b,
+       |        CAST(trunc(v * 1000) AS BIGINT) AS x
+       |      FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+       |              generate_subscripts(embedding, 1) AS j
+       |            FROM embeddings)
+       |      WHERE CAST(trunc(v * 1000) AS BIGINT) <> 0),
+       |y AS (SELECT vec_id,
+       |        CAST(CASE WHEN label < 5 THEN 1000000 ELSE -1000000 END
+       |          AS BIGINT) AS y_u FROM embeddings),
+       |$nts,
+       |$steps
+       |SELECT b, CAST(w AS BIGINT) AS w_u FROM w3 ORDER BY b""".stripMargin
+  }
+
+  // ------------------------------------- dup-graph ledger maintenance
+  /** The full incremental dedup-graph loop: the ingested corpus's
+    * duplicate-cluster labels persist once (CC over the old×old
+    * verified LSH pairs); a landing batch probes the persisted LSH
+    * ledger for its verified pairs
+    * ([[ApproxDedup.incrementalLshPairsFromLedger]] — old never
+    * self-joined, shares q108's bucket/set ledger fixture) and
+    * [[ConnectedComponents.refresh]] merges them through a contracted
+    * CC + broadcast relabel. The result must equal clustering every
+    * verified pair over the whole corpus from scratch — which is what
+    * the oracle computes. */
+  private def qDupGraphRefresh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ledgerPath = fixPath("dupcc_ledger", dir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(ledgerPath, "_SUCCESS"))) {
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
+      val oldPairs = ApproxDedup.minhashLshPairs(old, "doc_id", "_sh",
+        MhK, MhBands, MhRows, threshold = 0.5)
+      ConnectedComponents(oldPairs, "id_a", "id_b")
+        .write.mode("overwrite").parquet(ledgerPath)
+    }
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
+    val scoped = ApproxDedup.incrementalLshPairsFromLedgerScoped(
+      lshLedgerFor(s, dir), batch, "doc_id", "_sh",
+      MhK, MhBands, MhRows, threshold = 0.5)
+    // refresh localCheckpoints its result, so the pair caches release
+    val out = ConnectedComponents.refresh(s.read.parquet(ledgerPath),
+        "id", "comp", scoped.df, "id_new", "id_other")
+      .orderBy("id")
+    scoped.release()
+    out
+  }
+
+  private val oDupGraphRefresh =
+    s"""WITH RECURSIVE ${oMinhashCtes("documents")},
+       |p AS (SELECT id_a, id_b FROM mh WHERE jac >= 0.5),
+       |e AS (SELECT id_a AS a, id_b AS b FROM p WHERE id_a <> id_b
+       |      UNION SELECT id_b, id_a FROM p WHERE id_a <> id_b),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b)
+       |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"""
+      .stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -6021,7 +6397,15 @@ object Queries {
     "q157_lm_entropy" -> (qLmEntropy _),
     "q158_lm_ledger_refresh" -> (qLmLedgerRefresh _),
     "q159_lm_stream" -> (qLmStream _),
-    "q160_dedup_mask" -> (qDedupMask _)
+    "q160_dedup_mask" -> (qDedupMask _),
+    "q161_hybrid_rrf" -> (qHybridRrf _),
+    "q162_probe_train" -> (qProbeTrain _),
+    "q163_probe_serve" -> (qProbeServe _),
+    "q164_cc_refresh" -> (qCcRefresh _),
+    "q165_weighted_sample" -> (qWeightedSample _),
+    "q166_probe_calibrate" -> (qProbeCalibrate _),
+    "q167_dupgraph_refresh" -> (qDupGraphRefresh _),
+    "q168_stream_train" -> (qStreamTrain _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -6188,6 +6572,14 @@ object Queries {
     "q157_lm_entropy" -> oLmEntropy,
     "q158_lm_ledger_refresh" -> oLmCounts, // merged ledger == whole corpus
     "q159_lm_stream" -> oLmCounts, // streamed ledger == whole corpus
-    "q160_dedup_mask" -> oDedupMask
+    "q160_dedup_mask" -> oDedupMask,
+    "q161_hybrid_rrf" -> oHybridRrf,
+    "q162_probe_train" -> oProbeTrain,
+    "q163_probe_serve" -> oProbeServe,
+    "q164_cc_refresh" -> oConnectedComponents, // refreshed ledger == full CC
+    "q165_weighted_sample" -> oWeightedSample,
+    "q166_probe_calibrate" -> oProbeCalibrate,
+    "q167_dupgraph_refresh" -> oDupGraphRefresh,
+    "q168_stream_train" -> oStreamTrain
   )
 }

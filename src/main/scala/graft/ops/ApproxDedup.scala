@@ -670,6 +670,65 @@ object ApproxDedup {
       { newBk.unpersist(); newSig.unpersist(); newSets.unpersist(); () })
   }
 
+  /** Verified near-dup PAIRS a landing batch introduces — the EDGE
+    * FEED for incremental dup-graph maintenance (pair it with
+    * [[graft.ops.ConnectedComponents.refresh]] to keep a persisted
+    * duplicate-cluster ledger current without re-clustering history).
+    * Same candidate and verify joins as
+    * [[incrementalLshNovelFromLedgerScoped]] — the old corpus is never
+    * self-joined; work per refresh is O(|ledger scan| + |new| +
+    * collisions) — but instead of collapsing to a survivor set, the
+    * verified pairs themselves return.
+    *
+    * @return (id_new, id_other): batch×old pairs plus batch-internal
+    *         pairs (the latter once, with id_other < id_new). */
+  def incrementalLshPairsFromLedger(oldLedger: LshLedger,
+                                    newDocs: DataFrame, id: String,
+                                    setCol: String, k: Int, bands: Int,
+                                    rowsPerBand: Int,
+                                    threshold: Double): DataFrame =
+    incrementalLshPairsFromLedgerScoped(oldLedger, newDocs, id, setCol,
+      k, bands, rowsPerBand, threshold).df
+
+  /** [[incrementalLshPairsFromLedger]] with an ownable cache lifetime. */
+  def incrementalLshPairsFromLedgerScoped(oldLedger: LshLedger,
+                                          newDocs: DataFrame, id: String,
+                                          setCol: String, k: Int,
+                                          bands: Int, rowsPerBand: Int,
+                                          threshold: Double): Scoped = {
+    require(bands * rowsPerBand == k, "k must equal bands*rowsPerBand")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val newSets = newDocs.select(col(id), col(setCol))
+      .filter(col(setCol).isNotNull && size(col(setCol)) > 0)
+      .persist(lvl)
+    val newSig = minhashSignature(newSets, id, setCol, k).persist(lvl)
+    val newBk = lshBuckets(newSig, id, bands, rowsPerBand)
+      .select(col(id).as("id_new"), col("band"), col("bucket"))
+      .persist(lvl)
+    val vsOld = newBk
+      .join(oldLedger.buckets
+        .select(col(id).as("id_other"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_new", "id_other").distinct()
+    val vsNew = newBk
+      .join(newBk.select(col("id_new").as("id_other"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .filter(col("id_other") < col("id_new"))
+      .select("id_new", "id_other").distinct()
+    def verified(cand: DataFrame, otherSets: DataFrame): DataFrame =
+      cand
+        .join(newSets.select(col(id).as("id_new"), col(setCol).as("_sn")),
+          Seq("id_new"))
+        .join(otherSets.select(col(id).as("id_other"), col(setCol).as("_so")),
+          Seq("id_other"))
+        .filter(jaccard(col("_sn"), col("_so")) >= threshold)
+        .select(col("id_new"), col("id_other"))
+    val pairs = verified(vsOld, oldLedger.sets)
+      .unionByName(verified(vsNew, newSets))
+    Scoped(pairs, () =>
+      { newBk.unpersist(); newSig.unpersist(); newSets.unpersist(); () })
+  }
+
   /** 60-bit SimHash over whitespace tokens: bit b of the fingerprint is
     * set when the sum over tokens of ±1 (by bit b of the token's 60-bit
     * hash) is positive. One explode + one groupBy with 60 sums. */

@@ -302,4 +302,77 @@ object ConnectedComponents {
     cc.unpersist()
     docs.join(losers, Seq(id), "left_anti")
   }
+
+  /** Incremental component refresh — merge a BATCH of new edges into a
+    * persisted (id, comp) label ledger without re-running CC over the
+    * full historical edge set. This is the maintenance primitive a
+    * growing dedup graph needs: near-dup mining lands pair batches
+    * continuously, and recomputing components over every pair ever
+    * mined grows without bound, while the merge below scales with the
+    * BATCH.
+    *
+    * How: each batch endpoint contracts to its current component label
+    * (nodes the ledger has never seen represent themselves), CC runs on
+    * that contracted graph only — its node count is bounded by the
+    * batch's endpoint count, so it rides [[apply]]'s driver union-find
+    * fast path at any corpus size — and the resulting label→label map
+    * broadcasts back over the ledger (untouched rows keep their label;
+    * at store scale, pair this with `Sinks.upsertPartitioned` so only
+    * changed buckets rewrite). Batch edges that fall INSIDE an existing
+    * component contract to self-loops and vanish, exactly as they
+    * should.
+    *
+    * Correctness of the canonical labels: the ledger's comp values are
+    * component MINIMA, every member is ≥ its label, and new nodes carry
+    * their own id — so the minimum over a merged group of contracted
+    * labels IS the minimum over all underlying members, and the
+    * refreshed ledger is byte-identical to a full recompute
+    * (CcParitySpec pins this, including ledger-unknown nodes).
+    *
+    * @param labels     persisted ledger (idCol, compCol), labels = min
+    *                   member id (what [[apply]] emits). Must contain
+    *                   its own label nodes — min-member ledgers do.
+    * @param batchEdges new undirected pairs (srcCol, dstCol)
+    * @return the FULL updated ledger (idCol, compCol): old rows
+    *         relabeled where the batch merged components, plus one row
+    *         per batch endpoint the ledger had never seen. */
+  def refresh(labels: DataFrame, idCol: String, compCol: String,
+              batchEdges: DataFrame, srcCol: String, dstCol: String,
+              maxIters: Int = 25,
+              maxLocalEdges: Long = 500000L): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lab = labels.select(col(idCol).as("_n"), col(compCol).as("_c"))
+      .persist(lvl)
+    val e = batchEdges.select(col(srcCol).as("_ea"), col(dstCol).as("_eb"))
+      .persist(lvl)
+    // contract endpoints through the ledger (unknown nodes = self)
+    val la = lab.select(col("_n").as("_ea"), col("_c").as("_ca"))
+    val lb = lab.select(col("_n").as("_eb"), col("_c").as("_cb"))
+    val contracted = e
+      .join(la, Seq("_ea"), "left").join(lb, Seq("_eb"), "left")
+      .select(coalesce(col("_ca"), col("_ea")).as("src"),
+        coalesce(col("_cb"), col("_eb")).as("dst"))
+    // batch-sized CC over touched labels only (apply drops self-loops)
+    val mini = apply(contracted, "src", "dst", maxIters, maxLocalEdges)
+    val remap = mini.select(col("id").as("_c"), col("comp").as("_c2"))
+    // relabel the ledger through the (small) touched-label map
+    val updated = lab.join(broadcast(remap), Seq("_c"), "left")
+      .select(col("_n"), coalesce(col("_c2"), col("_c")).as("_c"))
+    // ledger-unknown batch endpoints enter with their merged label
+    // (an endpoint whose every edge contracted away keeps itself)
+    val newNodes = e.select(col("_ea").as("_n"))
+      .unionByName(e.select(col("_eb").as("_n")))
+      .distinct()
+      .join(lab.select(col("_n")), Seq("_n"), "left_anti")
+    val added = newNodes
+      .join(broadcast(mini.withColumnRenamed("id", "_n")), Seq("_n"), "left")
+      .select(col("_n"), coalesce(col("comp"), col("_n")).as("_c"))
+    // same lifetime contract as [[apply]]: materialize + truncate
+    // lineage so the input caches release immediately
+    val out = updated.unionByName(added)
+      .select(col("_n").as(idCol), col("_c").as(compCol))
+      .localCheckpoint()
+    lab.unpersist(); e.unpersist()
+    out
+  }
 }

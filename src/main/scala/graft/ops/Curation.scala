@@ -374,6 +374,43 @@ object Curation {
       .drop("_ord", "_salt", "_rn1")
   }
 
+  /** Weighted sampling WITHOUT replacement — sequential Poisson
+    * sampling (Ohlsson 1998, the estimator used by national statistics
+    * offices for πps samples): each row draws the key ξ = u/w with u a
+    * uniform hash of its id, and the k SMALLEST keys per group win, so
+    * inclusion probability is ≈ k·w/Σw without replacement. The
+    * quality-weighted subcorpus draw ("sample 1M docs, favoring high
+    * quality scores") that [[sampleByRate]] can't do without
+    * replacement artifacts and [[stratifiedSampleBy]] only does at
+    * stratum granularity.
+    *
+    * Integer-exact ordering: u is the 32-bit md5 hash and the key is
+    * the BIGINT quotient (u·1e6) div w — u ≤ 2³² keeps the product
+    * under 2⁶³ for any µ-scaled weight, both engines truncate the
+    * division identically, and ties break on (key, id) — so the sample
+    * is deterministic, stable under corpus reshuffles, and
+    * bit-replayable in SQL. Weights must be positive (guarded INSIDE
+    * the consumed expression, the temperatureMix rule).
+    *
+    * Scale shape: the key is a per-row expression and selection is the
+    * same lossless salted two-stage window as [[topKPerGroup]] — no
+    * whole-group single-partition sort at any group size.
+    *
+    * Output: the sampled rows + `pos` (1-based rank by key). */
+  def weightedSample(df: DataFrame, group: String, id: String,
+                     weight: Column, k: Int, salts: Int = 32): DataFrame = {
+    val u = ApproxDedup.hash32(concat(lit("sps:"), col(id).cast("string")))
+    val keyed = df
+      .withColumn("_w", weight.cast("long"))
+      .withColumn("_u", u)
+      .withColumn("_key", expr(
+        "CASE WHEN _w <= 0 THEN raise_error(" +
+          "'weightedSample: weights must be positive') " +
+          "ELSE (_u * 1000000L) div _w END"))
+    topKPerGroup(keyed, group, id, k, col("_key"), salts)
+      .drop("_w", "_u", "_key")
+  }
+
   /** EXACT-size proportional stratified sample: `totalN` rows overall,
     * apportioned across the strata by largest-remainder (Hamilton)
     * apportionment — quota_g = floor(totalN·n_g/N) plus one for the

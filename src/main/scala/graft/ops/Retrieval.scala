@@ -457,4 +457,47 @@ object Retrieval {
       .select(col(phraseId), col(docId))
     ApproxDedup.Scoped(out, () => { docGrams.unpersist(); () })
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard way to combine a lexical (BM25) and a dense (ANN
+    * cosine) ranking into one hybrid retrieval list, and the fusion
+    * rule RAG stacks reach for first because it needs only RANKS, never
+    * score calibration across incomparable scorers.
+    *
+    * Integer-exact variant: a document at rank r in a list earns
+    * `1e6 div (k0 + r)` µ-points (integral division — DuckDB-replayable),
+    * and its fused score is the SUM of its points across lists — an
+    * order-free BIGINT sum, so the result is partition-independent and
+    * bit-comparable. Ties break on document id, as everywhere in the
+    * engine.
+    *
+    * Scale shape: the inputs are already per-query top-N lists (N·|Q|
+    * rows — the corpora were reduced by the upstream index serves), so
+    * fusion is one union + one (query, doc) map-side-combined sum + a
+    * per-query rank window over ≤ lists·N candidates. It never touches
+    * a corpus and adds no corpus-sized shuffle to the serve path.
+    *
+    * @param lists ranked lists, each (queryCol, docCol, rankCol) with
+    *              rank 1-based; extra columns are ignored
+    * @param k     fused results per query
+    * @param k0    RRF smoothing constant (60 in the paper)
+    * @return (queryCol, docCol, rrf_u, n_lists, rank): µ-unit fused
+    *         score, how many lists carried the doc, 1-based fused rank
+    */
+  def rrfFuse(lists: Seq[DataFrame], queryCol: String, docCol: String,
+              rankCol: String, k: Int, k0: Long = 60L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: need at least one ranked list")
+    require(k >= 1 && k0 >= 1, s"rrfFuse: k=$k and k0=$k0 must be >= 1")
+    val pts = lists.map(_.select(col(queryCol), col(docCol),
+      expr(s"CAST($M div ($k0 + CAST($rankCol AS BIGINT)) AS BIGINT)")
+        .as("_pts")))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_u").desc, col(docCol))
+    pts.reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(docCol))
+      .agg(sum(col("_pts")).cast("bigint").as("rrf_u"),
+        count(lit(1)).cast("bigint").as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
 }

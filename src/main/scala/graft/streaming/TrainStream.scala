@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.sinks.Sinks
+
+/** Streaming maintainer for a TRAINED linear-probe weight ledger — the
+  * online half of [[graft.ops.LinearTrainer]]: each landing batch of
+  * labeled examples applies ONE integer-exact mini-batch LMS step to
+  * the persisted weights, so the quality probe keeps learning as data
+  * lands without ever revisiting history.
+  *
+  * Exactly-once is harder here than for the count ledgers
+  * ([[LmStream]]): a gradient step is neither idempotent nor
+  * commutative — it READS the model it updates, so replaying a crashed
+  * batch against half-updated weights would compute a DIFFERENT
+  * gradient and diverge from the one-shot trajectory. Three composed
+  * properties restore convergence:
+  *
+  *  1. **Previous-value weight rows.** Every row carries
+  *     (w, w_prev, last_epoch); a step writes w_new, keeps the
+  *     pre-step value in w_prev, and stamps the epoch. The EFFECTIVE
+  *     weight a batch trains against is `w_prev` when
+  *     `last_epoch ≥ epoch` (a crashed attempt of THIS epoch already
+  *     bumped the row) else `w` — so a replay recomputes the gradient
+  *     against exactly the pre-step model, bit-for-bit.
+  *  2. **Epoch-guarded updates.** A row with `last_epoch ≥ epoch`
+  *     keeps its (w, w_prev) — and because rule 1 makes the recomputed
+  *     update deterministic, rows the crashed attempt DID bump already
+  *     hold precisely the value the replay would write.
+  *  3. **Epoch-filtered novelty** (the [[LmStream]] rule): the
+  *     landed-ids ledger drops queue redeliveries in LATER epochs
+  *     while ids landed by a crashed attempt of the current epoch
+  *     still count as novel — so the batch (and its size n, which
+  *     scales the step) is identical on every replay.
+  *
+  * Either store may crash mid-upsert in any order; the replay
+  * converges byte-for-byte (TrainStreamSpec drives the matrix and
+  * pins the stream against the driver-side mini-batch fold).
+  *
+  * Scale shape: per batch, one stability-guard aggregation and two
+  * map-side-combined aggregations over the BATCH's features (scores,
+  * gradient), one scan of the model-sized weight ledger, one
+  * landed-ids anti-join; the model never collects to the driver —
+  * the whole step is one declarative plan. Writes are the
+  * hash-partitioned staged upsert ([[Sinks.upsertPartitioned]]).
+  *
+  * @param id        example id column name
+  * @param featurize batch → (id, bucket, x) sparse integer features
+  *                  (e.g. [[graft.ops.LinearTrainer.embeddingFeatures]])
+  * @param label     µ-unit target expression over the batch (±1e6 —
+  *                  [[graft.ops.LinearTrainer.labelU]])
+  * @param lrDenom   step size 1/(lrDenom·n_batch); each batch measures
+  *                  max‖x‖² and requires lrDenom ≥ it (2/λmax bound)
+  */
+final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
+                             label: Column, lrDenom: Long) {
+
+  private def wDir(root: String) = s"$root/tr_weights"
+  private def docsDir(root: String) = s"$root/tr_docs"
+
+  private val WSchema = StructType.fromDDL(
+    "b BIGINT, w BIGINT, w_prev BIGINT, last_epoch BIGINT")
+
+  /** Read a ledger store that may legitimately be empty (no bootstrap:
+    * training starts from the zero model). */
+  private def readLedger(spark: SparkSession, dir: String,
+                         emptySchema: StructType): DataFrame = {
+    Sinks.recoverPartitioned(dir)
+    if (Sinks.listBuckets(dir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    else Sinks.readPartitioned(spark, dir)
+  }
+
+  /** Apply one mini-batch step at `epoch`. Public so the crash-matrix
+    * spec can drive replays and redeliveries without a stream. */
+  def processBatch(batch: DataFrame, epoch: Long, root: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val docsSchema = StructType(Seq(batch.schema(id),
+      StructField("epoch", LongType)))
+    val landedBefore = readLedger(spark, docsDir(root), docsSchema)
+      .filter(col("epoch") < epoch).select(col(id))
+    val novel = batch.join(landedBefore, Seq(id), "left_anti")
+      .localCheckpoint() // feeds n, feats, labels across the store swap
+    val n = novel.count()
+    if (n == 0) return
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val feats = featurize(novel)
+      .select(col(id), col("bucket").cast("long").as("_b"),
+        col("x").cast("long").as("_x"))
+      .persist(lvl)
+    // measured stability bound, exactly as the batch trainer's
+    val maxRowNorm2 = feats.groupBy(col(id))
+      .agg(sum(col("_x") * col("_x")).as("rn"))
+      .agg(coalesce(max(col("rn")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    require(lrDenom >= maxRowNorm2,
+      s"TrainStream: lrDenom=$lrDenom < max row norm² $maxRowNorm2 at epoch " +
+        s"$epoch — the LMS step would exceed the 2/λmax stability bound")
+
+    val cur = readLedger(spark, wDir(root), WSchema)
+    // rule 1: the model this batch trains against
+    val eff = cur.select(col("b").as("_b"),
+      when(col("last_epoch") >= epoch, col("w_prev")).otherwise(col("w"))
+        .as("_we"))
+    val sums = feats.join(eff, Seq("_b"), "left")
+      .groupBy(col(id))
+      .agg(sum(col("_x") * coalesce(col("_we"), lit(0L))).cast("long").as("_s"))
+    val errs = novel.select(col(id), label.cast("long").as("_y"))
+      .join(sums, Seq(id), "left")
+      .select(col(id), (coalesce(col("_s"), lit(0L)) - col("_y")).as("_e"))
+    val grad = feats.join(errs, Seq(id))
+      .groupBy(col("_b"))
+      .agg(sum(col("_x") * col("_e")).cast("long").as("_g"))
+    // rules 1+2 applied per touched row; untouched rows never rewrite
+    val div = lrDenom * n
+    val merged = grad.join(cur, grad("_b") === cur("b"), "left")
+      .select(col("_b").as("b"),
+        col("_g"),
+        coalesce(col("last_epoch"), lit(-1L)).as("_le"),
+        col("w").as("_w_cur"), col("w_prev").as("_wp_cur"),
+        when(col("last_epoch") >= epoch, col("w_prev"))
+          .otherwise(coalesce(col("w"), lit(0L))).as("_eff"))
+      .select(col("b"),
+        when(col("_le") >= epoch, col("_w_cur"))
+          .otherwise(col("_eff") - expr(s"_g div ${div}L")).as("w"),
+        when(col("_le") >= epoch, col("_wp_cur"))
+          .otherwise(col("_eff")).as("w_prev"),
+        greatest(col("_le"), lit(epoch)).as("last_epoch"))
+      .localCheckpoint() // reads the store the upsert below swaps
+    val docsDelta = novel.select(col(id)).distinct()
+      .withColumn("epoch", lit(epoch)).localCheckpoint()
+    Sinks.upsertPartitioned(merged, Seq("b"), wDir(root))
+    Sinks.upsertPartitioned(docsDelta, Seq(id), docsDir(root))
+    feats.unpersist()
+  }
+
+  /** The live model: (b, w_u) — feed it to
+    * [[graft.ops.LinearTrainer.serve]] via `collect → Map` for driver
+    * serving, or join it directly for in-plan scoring. */
+  def weights(spark: SparkSession, root: String): DataFrame =
+    readLedger(spark, wDir(root), WSchema)
+      .select(col("b"), col("w").as("w_u"))
+
+  /** Start the landing-queue consumer (one micro-batch per landing
+    * file; checkpoint `ckpt_train` so this maintainer shares a root
+    * with the others). */
+  def start(spark: SparkSession, landingDir: String, schema: StructType,
+            root: String): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt_train")
+      .foreachBatch { (b: DataFrame, e: Long) => processBatch(b, e, root) }
+      .start()
+}

@@ -29,6 +29,7 @@ class PlanGuardSpec extends SparkSpec {
     * the number of by-contract-small broadcast sides in that query. */
   private val bnljBudget = Map(
     "q24_cosine_topk" -> 1,    // broadcast(queries) =!= self-match filter
+    "q161_hybrid_rrf" -> 1,    // dense list = q24's brute scan, same broadcast(queries)
     "q25_ivf_topk" -> 2,       // 2× ivfAssign crossJoin(broadcast(k·d centroids))
     "q57_quantized_topk" -> 1, // broadcast(quantized queries)
     "q78_ivf_multiprobe" -> 2, // corpus assign + query probe, both ×broadcast(cents)

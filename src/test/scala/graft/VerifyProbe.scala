@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 object VerifyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
+    import graft.ops._
 
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -18,93 +19,110 @@ object VerifyProbe {
     }
 
     val sf01 = "/root/testdata/sf0.1"
-    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
 
-    // DSv2 store: build a ~600k-row ledger, then probe it three ways
-    val store = "/tmp/probe_dsv2_store/ledger"
-    locally {
-      val root = java.nio.file.Paths.get("/tmp/probe_dsv2_store")
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
+    // ---- LMS probe: train on quantized embeddings, serve, calibrate
+    val feats = LinearTrainer.embeddingFeatures(emb, "vec_id",
+      col("embedding"))
+    val labels = emb.select(col("vec_id"),
+      LinearTrainer.labelU(col("label") < 5).as("y_u"))
+    val res = time("lmsTrain sf0.1 8 steps") {
+      LinearTrainer.lmsTrain(feats, labels, "vec_id", steps = 8,
+        lrDenom = 1048576L)
     }
-    time("store-build-sf0.1") {
-      sinks.Sinks.upsertPartitioned(
-        li.select(
-          md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))).as("msg_id"),
-          col("l_orderkey").as("sent_order"),
-          col("l_extendedprice").as("price")),
-        Seq("msg_id"), store, nBuckets = 64)
+    println(s"PROBE n=${res.nDocs} metrics=" +
+      res.metrics.map(m => s"${m.step}:${m.nCorrect}").mkString(" "))
+    require(res.metrics.last.nCorrect > res.metrics.head.nCorrect,
+      "probe must beat the zero model")
+    val served = time("serve") {
+      LinearTrainer.serve(emb, feats, "vec_id", res.weights)
+        .join(labels, Seq("vec_id"))
     }
-    val ds = spark.read.format("graft-store").load(store)
-    val total = li.count()
+    val cal = time("calibrate 5 thresholds") {
+      LinearTrainer.calibrate(served, "vec_id",
+        Seq(-400000L, -200000L, 0L, 200000L, 400000L))
+        .orderBy("thr_u").collect()
+    }
+    println("CALIBRATE " + cal.map(r =>
+      s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
 
-    // 1. footer-only aggregate probe: zero decoded rows
-    val before = connectors.StoreReaderMetrics.rowsDecoded.get()
-    val agg = time("store-agg-pushdown") {
-      ds.agg(count(lit(1)).as("n"), min(col("sent_order")).as("lo"),
-        max(col("sent_order")).as("hi"), min(col("price")).as("pmin"),
-        max(col("price")).as("pmax")).collect().head
+    // ---- hybrid RRF over real BM25 + dense lists
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("qtext"))
+    val lex = time("bm25 top-20") {
+      Retrieval.bm25TopK(docs, "doc_id", col("text"),
+          queries, "query_id", col("qtext"), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+        .localCheckpoint()
     }
-    val decoded = connectors.StoreReaderMetrics.rowsDecoded.get() - before
-    assert(decoded == 0, s"agg probe decoded $decoded rows, want 0")
-    assert(agg.getLong(0) == total, s"pushed count ${agg.getLong(0)} != $total")
-    val exp = li.agg(min("l_orderkey"), max("l_orderkey"),
-      min("l_extendedprice"), max("l_extendedprice")).collect().head
-    assert(agg.getLong(1) == exp.getLong(0) && agg.getLong(2) == exp.getLong(1))
-    assert(agg.getDouble(3) == exp.getDouble(2) && agg.getDouble(4) == exp.getDouble(3))
-    println(s"AGG n=${agg.getLong(0)} orderkey=[${agg.getLong(1)},${agg.getLong(2)}]" +
-      s" price=[${agg.getDouble(3)},${agg.getDouble(4)}] decodedRows=$decoded")
+    val dense = time("cosine top-20") {
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") % 100 === 0),
+          emb, "vec_id", "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+        .localCheckpoint()
+    }
+    val fused = time("rrfFuse") {
+      Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank",
+        k = 10).collect()
+    }
+    require(fused.nonEmpty && fused.forall(_.getLong(4) <= 10),
+      "fused ranks must be bounded by k")
+    println(s"RRF fused rows=${fused.length} " +
+      s"bothLists=${fused.count(_.getLong(3) == 2L)}")
 
-    // 2. the same probe WITHOUT pushdown (plain reader) for scale contrast
-    time("store-agg-fullscan") {
-      sinks.Sinks.readPartitioned(spark, store)
-        .agg(count(lit(1)), min(col("sent_order")), max(col("sent_order")))
+    // ---- weighted sample: πps by n_chars
+    val ws = time("weightedSample k=10") {
+      Curation.weightedSample(docs.select(col("doc_id"), col("source"),
+          col("n_chars")), "source", "doc_id", col("n_chars"), k = 10)
         .collect()
     }
+    println(s"WSAMPLE rows=${ws.length}")
 
-    // 3. batch-get point probe still prunes with the agg path present
-    val keys = li.filter(col("l_orderkey") % 59999 === 0)
-      .select(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))).as("k"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val probe = ds.filter(col("msg_id").isin(keys: _*))
-    val planned = probe.rdd.getNumPartitions
-    val hit = time("store-batch-get")(probe.count())
-    // the synthetic lineitem is NOT (orderkey, linenumber)-unique, and
-    // the upsert store keeps in-batch duplicate keys — expect row
-    // matches, not key count
-    val expHit = li.filter(col("l_orderkey") % 59999 === 0).count()
-    println(s"PROBE keys=${keys.size} buckets=$planned/64 rows=$hit exp=$expHit")
-    assert(planned <= keys.size && hit == expHit)
-
-    // 4. round-10: a second upsert touching EVERY bucket must still be
-    // one staged job + renames; the _stats marker totals must match
-    val delta = li.filter(col("l_orderkey") % 7 === 0)
-      .select(
-        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))).as("msg_id"),
-        (col("l_orderkey") + 1000000L).as("sent_order"),
-        col("l_extendedprice").as("price"))
-    time("store-upsert-delta") {
-      sinks.Sinks.upsertPartitioned(delta, Seq("msg_id"), store, nBuckets = 64)
+    // ---- dup-graph maintenance: ledger CC + incremental pair feed
+    val withSh = docs.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
+    val old = withSh.filter(col("doc_id") % 10 =!= 0)
+    val batch = withSh.filter(col("doc_id") % 10 === 0)
+    val ledgerCc = time("old-pairs CC (ledger)") {
+      ConnectedComponents(
+        ApproxDedup.minhashLshPairs(old, "doc_id", "_sh", 16, 4, 4, 0.5),
+        "id_a", "id_b")
     }
-    val storeRows = sinks.Sinks.readPartitioned(spark, store).count()
-    val statsMap = sinks.Sinks.bucketStats(store).get
-    assert(statsMap.size == 64, s"_stats must cover all 64 buckets: ${statsMap.size}")
-    assert(statsMap.values.map(_._1).sum == storeRows,
-      s"_stats rows ${statsMap.values.map(_._1).sum} != store rows $storeRows")
-    val rel = spark.read.format("graft-store").load(store)
-      .queryExecution.optimizedPlan.collectFirst {
-        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
-      }.get
-    val st = rel.scan.asInstanceOf[
-      org.apache.spark.sql.connector.read.SupportsReportStatistics]
-      .estimateStatistics()
-    assert(st.numRows().isPresent && st.numRows().getAsLong == storeRows,
-      s"estimateStatistics numRows must serve the marker: ${st.numRows()}")
-    println(s"STATS rows=$storeRows bytes=${st.sizeInBytes().getAsLong}")
+    val pairs = time("incremental pair feed") {
+      ApproxDedup.incrementalLshPairsFromLedger(
+        ApproxDedup.lshLedger(old, "doc_id", "_sh", 16, 4, 4), batch,
+        "doc_id", "_sh", 16, 4, 4, 0.5).localCheckpoint()
+    }
+    val refreshed = time("CC refresh") {
+      ConnectedComponents.refresh(ledgerCc, "id", "comp",
+        pairs, "id_new", "id_other")
+    }
+    println(s"DUPGRAPH ledger=${ledgerCc.count()} pairs=${pairs.count()} " +
+      s"refreshed=${refreshed.count()}")
 
-    println("PROBE_OK")
+    // ---- streaming mini-batch trainer: 3 landing files at sf0.1
+    val tsRoot = java.nio.file.Files.createTempDirectory("probe_ts").toString
+    val ts = graft.streaming.TrainStream("vec_id",
+      b => LinearTrainer.embeddingFeatures(b, "vec_id", col("embedding")),
+      LinearTrainer.labelU(col("label") < 5), 1048576L)
+    val landing = s"$tsRoot/landing"
+    def land(bt: Int): Unit =
+      emb.filter(col("vec_id") % 3 === bt).coalesce(1)
+        .write.mode("append").parquet(landing)
+    time("TrainStream 3 batches") {
+      land(0)
+      val q = ts.start(spark, landing, emb.schema, tsRoot)
+      try {
+        q.processAllAvailable()
+        land(1); q.processAllAvailable()
+        land(2); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val wRows = ts.weights(spark, tsRoot).count()
+    println(s"TRAINSTREAM weights=$wRows")
+    require(wRows == 64, "streamed model must carry all 64 coordinates")
+
     spark.stop()
   }
 }
