@@ -729,6 +729,50 @@ object ApproxDedup {
       { newBk.unpersist(); newSig.unpersist(); newSets.unpersist(); () })
   }
 
+  /** Point near-dup LOOKUP against a persisted ledger — "show me this
+    * document's near-duplicates among everything ingested", the serve
+    * sibling of the refresh ops above (reference analogue: the
+    * sent-message store point probe, inventory_lib.py:146-162, at
+    * near-dup rather than exact granularity). Work per probe is its
+    * band-bucket collisions only: the probe's ≤bands bucket rows
+    * equi-join the ledger's bucket table (at store scale a
+    * (band, bucket)-bucketed table co-locates this join), candidates
+    * verify with exact Jaccard, self-matches drop. Probe-to-probe
+    * pairs are NOT reported — lookup answers "neighbors in the
+    * corpus", not "cluster the probes" (that is
+    * [[incrementalLshPairsFromLedger]]).
+    *
+    * @return (probe, neighbor, jac) with jac ≥ threshold */
+  def lshNeighborsFromLedger(ledger: LshLedger, queries: DataFrame,
+                             id: String, setCol: String, k: Int,
+                             bands: Int, rowsPerBand: Int,
+                             threshold: Double): DataFrame = {
+    require(bands * rowsPerBand == k, "k must equal bands*rowsPerBand")
+    val qSets = queries.select(col(id), col(setCol))
+      .filter(col(setCol).isNotNull && size(col(setCol)) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qBk = lshBuckets(minhashSignature(qSets, id, setCol, k), id,
+        bands, rowsPerBand)
+      .select(col(id).as("probe"), col("band"), col("bucket"))
+    val cand = qBk
+      .join(ledger.buckets
+        .select(col(id).as("neighbor"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("probe") =!= col("neighbor"))
+      .select("probe", "neighbor").distinct()
+    val out = cand
+      .join(qSets.select(col(id).as("probe"), col(setCol).as("_sq")),
+        Seq("probe"))
+      .join(ledger.sets.select(col(id).as("neighbor"), col(setCol).as("_sl")),
+        Seq("neighbor"))
+      .withColumn("jac", jaccard(col("_sq"), col("_sl")))
+      .filter(col("jac") >= threshold)
+      .select(col("probe"), col("neighbor"), col("jac"))
+      .localCheckpoint()
+    qSets.unpersist()
+    out
+  }
+
   /** 60-bit SimHash over whitespace tokens: bit b of the fingerprint is
     * set when the sum over tokens of ±1 (by bit b of the token's 60-bit
     * hash) is positive. One explode + one groupBy with 60 sums. */

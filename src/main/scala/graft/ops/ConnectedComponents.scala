@@ -362,6 +362,7 @@ object ConnectedComponents {
     // (an endpoint whose every edge contracted away keeps itself)
     val newNodes = e.select(col("_ea").as("_n"))
       .unionByName(e.select(col("_eb").as("_n")))
+      .filter(col("_n").isNotNull) // null endpoints can't name a node
       .distinct()
       .join(lab.select(col("_n")), Seq("_n"), "left_anti")
     val added = newNodes

@@ -418,6 +418,73 @@ object ScalingProbe {
         f"encode t=$tEnc%.1f s over ${nEnc} docs (sf0.1 compound words)")
     }
 
+    // ---- trainer / fusion / graph-maintenance shapes (round-10 second
+    // wave): model state is coordinate-count-sized at every corpus
+    // size, fusion input is rank-list-sized by construction, and an
+    // incremental CC refresh's contracted graph is batch-bounded (it
+    // must ride the driver union-find fast path: lastRounds == 1)
+    val trRows = for (sf <- Seq("sf0.01", "sf0.1")) yield {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val feats = ops.LinearTrainer.embeddingFeatures(emb, "vec_id",
+        col("embedding")).localCheckpoint()
+      val labels = emb.select(col("vec_id"),
+        ops.LinearTrainer.labelU(col("label") < 5).as("y_u"))
+      val n = emb.count()
+      val (res, t) = timed(ops.LinearTrainer.lmsTrain(feats, labels,
+        "vec_id", steps = 4, lrDenom = 1048576L))
+      assert(res.weights.size == 64,
+        s"model must stay coordinate-sized, got ${res.weights.size}")
+      println(f"TRAINER $sf n=$n wall=$t%.2f s weights=${res.weights.size}")
+      (n, t)
+    }
+    {
+      val (n1, t1) = trRows(0); val (n2, t2) = trRows(1)
+      val e = math.log(t2 / t1) / math.log(n2.toDouble / n1)
+      println(f"EXPONENT q162_trainer: rows $n1 -> $n2, wall $t1%.2f -> " +
+        f"$t2%.2f s, exponent = $e%.2f")
+      assert(e <= 1.3, s"trainer grows superlinearly in corpus rows (e=$e)")
+    }
+    {
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .withColumn("_sh", ops.ApproxDedup.wordNgrams(col("text"), 2))
+      val old = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val ledgerCc = ops.ConnectedComponents(
+        ops.ApproxDedup.minhashLshPairs(old, "doc_id", "_sh", 16, 4, 4, 0.5),
+        "id_a", "id_b")
+      val nLedger = ledgerCc.count()
+      val pairs = ops.ApproxDedup.incrementalLshPairsFromLedger(
+        ops.ApproxDedup.lshLedger(old, "doc_id", "_sh", 16, 4, 4), batch,
+        "doc_id", "_sh", 16, 4, 4, 0.5).localCheckpoint()
+      val nPairs = pairs.count()
+      val (nRef, tRef) = timed(ops.ConnectedComponents.refresh(ledgerCc,
+        "id", "comp", pairs, "id_new", "id_other").count())
+      val rounds = ops.ConnectedComponents.lastRounds.get
+      assert(rounds == 1,
+        s"refresh's contracted CC must ride the local fast path " +
+          s"(batch-bounded graph), took $rounds distributed rounds")
+      println(f"CC_REFRESH sf0.1 ledger=$nLedger batchPairs=$nPairs " +
+        f"refreshed=$nRef wall=$tRef%.2f s contractedRounds=$rounds")
+    }
+    {
+      // RRF input is EXACTLY lists·top-k·|Q| rows — corpus-independent
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val dense = ops.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 100 === 0), emb,
+          "vec_id", "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+        .localCheckpoint()
+      val nQ = emb.filter(col("vec_id") % 100 === 0).count()
+      assert(dense.count() == nQ * 20,
+        "each rank list is exactly k rows per query")
+      val fusedIn = dense.count() * 2 // two lists of identical shape
+      val fused = ops.Retrieval.rrfFuse(Seq(dense, dense), "query_id",
+        "doc_id", "rank", k = 10)
+      assert(fused.count() == nQ * 10)
+      println(s"RRF_SHAPE queries=$nQ fusionInputRows=$fusedIn " +
+        s"fusedRows=${nQ * 10} (corpus rows never enter the fusion)")
+    }
+
     println("PROBE_OK")
     spark.stop()
   }

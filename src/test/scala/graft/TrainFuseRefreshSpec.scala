@@ -267,6 +267,26 @@ class DupGraphRefreshSpec extends SparkSpec {
     assert(got == full, s"pair feeds diverge: got $got want $full")
   }
 
+  test("point lookup equals full-mine pairs restricted to probe x ledger") {
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val probes = docs.filter(col("doc_id") % 4 === 0)
+    val got = ApproxDedup.lshNeighborsFromLedger(
+        ApproxDedup.lshLedger(old, "doc_id", "_sh", K, B, R), probes,
+        "doc_id", "_sh", K, B, R, threshold = 0.5)
+      .select("probe", "neighbor").as[(Long, Long)].collect().toSet
+    val oldIds = old.select("doc_id").as[Long].collect().toSet
+    val probeIds = probes.select("doc_id").as[Long].collect().toSet
+    val full = ApproxDedup.minhashLshPairs(docs, "doc_id", "_sh",
+        K, B, R, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val want = (full.collect {
+      case (a, b) if probeIds(a) && oldIds(b) => (a, b)
+    } ++ full.collect {
+      case (a, b) if probeIds(b) && oldIds(a) => (b, a)
+    }).filter { case (p, n) => p != n }.toSet
+    assert(got == want, s"lookup diverges: got $got want $want")
+  }
+
   test("pair feed + CC refresh == from-scratch clustering of all pairs") {
     val old = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)

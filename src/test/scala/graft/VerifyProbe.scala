@@ -100,6 +100,13 @@ object VerifyProbe {
     }
     println(s"DUPGRAPH ledger=${ledgerCc.count()} pairs=${pairs.count()} " +
       s"refreshed=${refreshed.count()}")
+    val lookup = time("neardup point lookup") {
+      ApproxDedup.lshNeighborsFromLedger(
+        ApproxDedup.lshLedger(old, "doc_id", "_sh", 16, 4, 4),
+        withSh.filter(col("doc_id") % 5 === 0), "doc_id", "_sh",
+        16, 4, 4, 0.5).count()
+    }
+    println(s"LOOKUP neighbors=$lookup")
 
     // ---- streaming mini-batch trainer: 3 landing files at sf0.1
     val tsRoot = java.nio.file.Files.createTempDirectory("probe_ts").toString
