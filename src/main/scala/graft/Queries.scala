@@ -6348,6 +6348,108 @@ object Queries {
        |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"""
       .stripMargin
 
+  // ----------------------------------------------- KMV theta sketches
+  private val KmvK = 64
+  /** (k−1)·2^60 as a decimal-string literal (exceeds a long for this
+    * k·hash-width — HUGEINT in the oracle, Decimal(38,0) in the plan). */
+  private val KmvNum = (BigInt(KmvK - 1) * (BigInt(1) << 60)).toString
+
+  /** Mergeable KMV/theta distinct sketch ([[ThetaSketch]]): per-status
+    * distinct customers on orders, sketched from TWO shards and merged
+    * — the q114 partial-rollup gate shape, but for the bottom-k
+    * sketch family whose state doubles as a hash-space sample
+    * (q172 builds set operations on it). All three statuses exceed
+    * k=64 distinct customers at every SF, so the gate exercises the
+    * (k−1)·2^60 // h_(k) estimator branch, not the exact fallback. */
+  private def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderstatus").as("status"), col("o_orderkey"),
+        col("o_custkey"))
+    val shards = Seq(orders.filter(col("o_orderkey") % 2 === 0),
+        orders.filter(col("o_orderkey") % 2 =!= 0))
+      .map(sh => ThetaSketch.sketch(sh, Seq("status"), col("o_custkey"),
+        KmvK))
+    ThetaSketch.estimate(
+        ThetaSketch.mergeSketches(
+          shards.reduce(_ unionByName _), Seq("status"), KmvK),
+        Seq("status"), KmvK)
+      .orderBy("status")
+  }
+
+  /** The KMV state as oracle CTEs: distinct 60-bit hashes per group,
+    * k smallest kept. Produces `${p}k(g, hv, rn)` + `${p}a(g, n_kept,
+    * kth)`. Canonical-state associativity is what lets the oracle
+    * sketch the whole in one pass where the engine merged shards. */
+  private def oKmvChain(p: String, grp: String, keyExpr: String,
+                        from: String): String =
+    s"""${p}h AS (SELECT DISTINCT $grp AS g,
+       |    ('0x' || substr(md5($keyExpr), 1, 15))::BIGINT AS hv
+       |  FROM $from WHERE $keyExpr IS NOT NULL),
+       |${p}r AS (SELECT g, hv,
+       |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM ${p}h),
+       |${p}k AS (SELECT g, hv, rn FROM ${p}r WHERE rn <= $KmvK),
+       |${p}a AS (SELECT g, count(*) AS n_kept, max(hv) AS kth
+       |  FROM ${p}k GROUP BY 1)""".stripMargin
+
+  private val oKmvDistinct =
+    s"""WITH ${oKmvChain("q", "o_orderstatus", "CAST(o_custkey AS VARCHAR)",
+        "orders")}
+       |SELECT g AS status, CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN n_kept < $KmvK THEN n_kept
+       |       ELSE CAST('$KmvNum' AS HUGEINT) // kth END AS BIGINT)
+       |    AS estimate
+       |FROM qa ORDER BY status""".stripMargin
+
+  /** KMV set operations ([[ThetaSketch.setOps]]): how much do the
+    * open-order and fulfilled-order customer populations overlap —
+    * answered from two ≤k-row persisted-shape sketches, never by
+    * co-scanning the corpora (the contamination-overlap triage a
+    * 100 TB fleet asks of snapshot pairs). Jaccard/intersection/union
+    * estimates in exact integer ppm arithmetic; the oracle replays the
+    * combined bottom-k sample from the full sets, which equals the
+    * engine's sketch-combine because h ∈ L ∧ h ∈ set ⟺ h ∈ sketch
+    * (L's threshold is below each side's theta). */
+  private def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .withColumn("corpus", lit("cust"))
+    val skA = ThetaSketch.sketch(orders.filter(col("o_orderstatus") === "O"),
+      Seq("corpus"), col("o_custkey"), KmvK)
+    val skB = ThetaSketch.sketch(orders.filter(col("o_orderstatus") === "F"),
+      Seq("corpus"), col("o_custkey"), KmvK)
+    ThetaSketch.setOps(skA, skB, Seq("corpus"), KmvK)
+      .orderBy("corpus")
+  }
+
+  private val oKmvOverlap =
+    s"""WITH sides AS (
+       |  SELECT DISTINCT 'cust' AS g,
+       |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+       |      AS hv,
+       |    CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS in_a,
+       |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS in_b
+       |  FROM orders WHERE o_orderstatus IN ('O', 'F')
+       |    AND o_custkey IS NOT NULL),
+       |u AS (SELECT g, hv, max(in_a) AS in_a, max(in_b) AS in_b
+       |  FROM sides GROUP BY 1, 2),
+       |l AS (SELECT g, hv, in_a, in_b,
+       |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM u),
+       |agg AS (SELECT g, count(*) AS n_l,
+       |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS matched,
+       |    max(hv) AS kth
+       |  FROM l WHERE rn <= $KmvK GROUP BY 1),
+       |est AS (SELECT g, n_l, matched,
+       |    CAST(CASE WHEN n_l < $KmvK THEN n_l
+       |         ELSE CAST('$KmvNum' AS HUGEINT) // kth END AS BIGINT)
+       |      AS union_est
+       |  FROM agg)
+       |SELECT g AS corpus, CAST(n_l AS BIGINT) AS n_l,
+       |  CAST(matched AS BIGINT) AS matched, union_est,
+       |  CAST(matched * CAST(1000000 AS BIGINT) // n_l AS BIGINT)
+       |    AS jaccard_ppm,
+       |  CAST(CAST(matched AS HUGEINT) * union_est // n_l AS BIGINT)
+       |    AS inter_est
+       |FROM est ORDER BY corpus""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -6519,7 +6621,9 @@ object Queries {
     "q167_dupgraph_refresh" -> (qDupGraphRefresh _),
     "q168_stream_train" -> (qStreamTrain _),
     "q169_neardup_lookup" -> (qNearDupLookup _),
-    "q170_probe_gate" -> (qProbeGate _)
+    "q170_probe_gate" -> (qProbeGate _),
+    "q171_kmv_distinct" -> (qKmvDistinct _),
+    "q172_kmv_overlap" -> (qKmvOverlap _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -6696,6 +6800,8 @@ object Queries {
     "q167_dupgraph_refresh" -> oDupGraphRefresh,
     "q168_stream_train" -> oStreamTrain,
     "q169_neardup_lookup" -> oNearDupLookup,
-    "q170_probe_gate" -> oProbeGate
+    "q170_probe_gate" -> oProbeGate,
+    "q171_kmv_distinct" -> oKmvDistinct,
+    "q172_kmv_overlap" -> oKmvOverlap
   )
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Cardinality, ThetaSketch}
+
+/** KMV/theta sketch: canonical-state invariance (merge order and
+  * sharding cannot change the state), estimator accuracy and the
+  * exact-below-k short-circuit, and set-operation correctness against
+  * driver-computed ground truth on controlled-overlap sets. */
+class ThetaSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 32
+
+  test("sketch state is the k smallest distinct hashes, sorted") {
+    val keys = (1 to 500).map(i => s"key-$i")
+    val df = keys.map(("g", _)).toDF("g", "k")
+    val state = ThetaSketch.sketch(df, Seq("g"), $"k", K)
+      .select("kmv").as[Array[Long]].head()
+    val expected = keys.map(Cardinality.hashLong).distinct.sorted.take(K)
+    assert(state.toSeq == expected)
+  }
+
+  test("merged shard sketches equal the whole-corpus sketch bit-for-bit") {
+    val whole = (1 to 4000).map(i => (s"g${i % 3}", s"k-$i")).toDF("g", "k")
+    val shards = (0 until 4).map(p =>
+      ThetaSketch.sketch(whole.filter(abs(hash($"k")) % 4 === p),
+        Seq("g"), $"k", K))
+    val merged = ThetaSketch.mergeSketches(
+      shards.reduce(_ unionByName _), Seq("g"), K)
+    val direct = ThetaSketch.sketch(whole, Seq("g"), $"k", K)
+    val m = merged.orderBy("g").select("g", "kmv")
+      .as[(String, Array[Long])].collect().map { case (g, a) => (g, a.toSeq) }
+    val d = direct.orderBy("g").select("g", "kmv")
+      .as[(String, Array[Long])].collect().map { case (g, a) => (g, a.toSeq) }
+    assert(m.toSeq == d.toSeq)
+  }
+
+  test("below k distinct the estimate is exact; above, within KMV error") {
+    val small = (1 to 20).map(i => ("g", s"s-$i")).toDF("g", "k")
+    val exact = ThetaSketch.approxDistinct(small, Seq("g"), $"k", K)
+      .select("n_kept", "estimate").as[(Long, Long)].head()
+    assert(exact == ((20L, 20L)))
+    val n = 5000
+    val big = (1 to n).map(i => ("g", s"b-$i")).toDF("g", "k")
+    val est = ThetaSketch.approxDistinct(big, Seq("g"), $"k", K)
+      .select("estimate").as[Long].head()
+    // se ≈ 1/sqrt(k-2) ≈ 18% at k=32; allow 4 sigma
+    assert(math.abs(est - n).toDouble / n < 0.75, s"estimate $est vs $n")
+  }
+
+  test("duplicate keys do not change the sketch") {
+    val once = (1 to 300).map(i => ("g", s"d-$i")).toDF("g", "k")
+    val thrice = (1 to 3).flatMap(_ => (1 to 300).map(i => ("g", s"d-$i")))
+      .toDF("g", "k")
+    val a = ThetaSketch.sketch(once, Seq("g"), $"k", K)
+      .select("kmv").as[Array[Long]].head()
+    val b = ThetaSketch.sketch(thrice, Seq("g"), $"k", K)
+      .select("kmv").as[Array[Long]].head()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("set operations recover a controlled overlap") {
+    // |A| = 2000, |B| = 2000, |A ∩ B| = 1000 → J = 1/3
+    val a = (1 to 2000).map(i => ("g", s"ov-$i")).toDF("g", "k")
+    val b = (1001 to 3000).map(i => ("g", s"ov-$i")).toDF("g", "k")
+    val k = 64
+    val out = ThetaSketch.setOps(
+        ThetaSketch.sketch(a, Seq("g"), $"k", k),
+        ThetaSketch.sketch(b, Seq("g"), $"k", k),
+        Seq("g"), k)
+      .select("n_l", "matched", "union_est", "jaccard_ppm", "inter_est")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nL, matched, unionEst, jacPpm, interEst) = out
+    assert(nL == k)
+    // ground truth from the same hash space, driver-side
+    val ha = (1 to 2000).map(i => Cardinality.hashLong(s"ov-$i")).toSet
+    val hb = (1001 to 3000).map(i => Cardinality.hashLong(s"ov-$i")).toSet
+    val l = (ha ++ hb).toSeq.sorted.take(k)
+    val matchedRef = l.count(h => ha(h) && hb(h))
+    assert(matched == matchedRef)
+    assert(jacPpm == matched * 1000000L / nL)
+    // estimator sanity: J = 1/3 within 4·se, |A∪B| = 3000 within 4·se
+    assert(math.abs(jacPpm - 333333L) < 4 * 1000000 / math.sqrt(k.toDouble),
+      s"jaccard_ppm $jacPpm")
+    assert(math.abs(unionEst - 3000).toDouble / 3000 < 0.5,
+      s"union_est $unionEst")
+    assert(interEst == matched * unionEst / nL)
+  }
+
+  test("disjoint corpora report zero overlap") {
+    val a = (1 to 1000).map(i => ("g", s"da-$i")).toDF("g", "k")
+    val b = (1 to 1000).map(i => ("g", s"db-$i")).toDF("g", "k")
+    val out = ThetaSketch.setOps(
+        ThetaSketch.sketch(a, Seq("g"), $"k", K),
+        ThetaSketch.sketch(b, Seq("g"), $"k", K),
+        Seq("g"), K)
+      .select("matched", "jaccard_ppm", "inter_est")
+      .as[(Long, Long, Long)].head()
+    assert(out == ((0L, 0L, 0L)))
+  }
+
+  test("null keys are dropped, not hashed") {
+    val df = Seq(("g", "x"), ("g", null), ("g", "y"))
+      .toDF("g", "k")
+    val state = ThetaSketch.sketch(df, Seq("g"), $"k", K)
+      .select("kmv").as[Array[Long]].head()
+    assert(state.length == 2)
+  }
+}

@@ -19,116 +19,69 @@ object VerifyProbe {
     }
 
     val sf01 = "/root/testdata/sf0.1"
-    val docs = spark.read.parquet(s"$sf01/documents.parquet")
-    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val orders = spark.read.parquet(s"$sf01/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf01/lineitem.parquet")
 
-    // ---- LMS probe: train on quantized embeddings, serve, calibrate
-    val feats = LinearTrainer.embeddingFeatures(emb, "vec_id",
-      col("embedding"))
-    val labels = emb.select(col("vec_id"),
-      LinearTrainer.labelU(col("label") < 5).as("y_u"))
-    val res = time("lmsTrain sf0.1 8 steps") {
-      LinearTrainer.lmsTrain(feats, labels, "vec_id", steps = 8,
-        lrDenom = 1048576L)
-    }
-    println(s"PROBE n=${res.nDocs} metrics=" +
-      res.metrics.map(m => s"${m.step}:${m.nCorrect}").mkString(" "))
-    require(res.metrics.last.nCorrect > res.metrics.head.nCorrect,
-      "probe must beat the zero model")
-    val served = time("serve") {
-      LinearTrainer.serve(emb, feats, "vec_id", res.weights)
-        .join(labels, Seq("vec_id"))
-    }
-    val cal = time("calibrate 5 thresholds") {
-      LinearTrainer.calibrate(served, "vec_id",
-        Seq(-400000L, -200000L, 0L, 200000L, 400000L))
-        .orderBy("thr_u").collect()
-    }
-    println("CALIBRATE " + cal.map(r =>
-      s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
-
-    // ---- hybrid RRF over real BM25 + dense lists
-    val queries = docs.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 4)).as("qtext"))
-    val lex = time("bm25 top-20") {
-      Retrieval.bm25TopK(docs, "doc_id", col("text"),
-          queries, "query_id", col("qtext"), k = 20)
-        .select(col("query_id"), col("doc_id"), col("rank"))
+    // ---- KMV sketch: shard-merge == whole, estimator accuracy at sf0.1
+    val k = 64
+    val src = orders.select(col("o_orderstatus").as("status"),
+      col("o_orderkey"), col("o_custkey"))
+    val whole = time("kmv sketch whole") {
+      ThetaSketch.sketch(src, Seq("status"), col("o_custkey"), k)
         .localCheckpoint()
     }
-    val dense = time("cosine top-20") {
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") % 100 === 0),
-          emb, "vec_id", "vec_id", "embedding", k = 20)
-        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
-        .localCheckpoint()
+    val shards = Seq(src.filter(col("o_orderkey") % 2 === 0),
+        src.filter(col("o_orderkey") % 2 =!= 0))
+      .map(sh => ThetaSketch.sketch(sh, Seq("status"), col("o_custkey"), k))
+    val merged = time("kmv shard merge") {
+      ThetaSketch.mergeSketches(shards.reduce(_ unionByName _),
+        Seq("status"), k).localCheckpoint()
     }
-    val fused = time("rrfFuse") {
-      Retrieval.rrfFuse(Seq(lex, dense), "query_id", "doc_id", "rank",
-        k = 10).collect()
-    }
-    require(fused.nonEmpty && fused.forall(_.getLong(4) <= 10),
-      "fused ranks must be bounded by k")
-    println(s"RRF fused rows=${fused.length} " +
-      s"bothLists=${fused.count(_.getLong(3) == 2L)}")
+    val w = whole.orderBy("status").collect().map(r =>
+      (r.getString(0), r.getSeq[Long](1)))
+    val m = merged.orderBy("status").collect().map(r =>
+      (r.getString(0), r.getSeq[Long](1)))
+    require(w.toSeq == m.toSeq, "shard-merged state must equal whole state")
 
-    // ---- weighted sample: πps by n_chars
-    val ws = time("weightedSample k=10") {
-      Curation.weightedSample(docs.select(col("doc_id"), col("source"),
-          col("n_chars")), "source", "doc_id", col("n_chars"), k = 10)
+    val est = time("kmv estimate") {
+      ThetaSketch.estimate(whole, Seq("status"), k).orderBy("status")
         .collect()
     }
-    println(s"WSAMPLE rows=${ws.length}")
+    val exact = src.groupBy("status")
+      .agg(countDistinct("o_custkey").as("n")).orderBy("status").collect()
+    est.zip(exact).foreach { case (e, x) =>
+      val (s, n, hat) = (e.getString(0), x.getLong(1), e.getLong(2))
+      println(s"KMV status=$s exact=$n est=$hat")
+      require(math.abs(hat - n).toDouble / n < 0.6,
+        s"estimate $hat too far from $n (se ~13% at k=64)")
+    }
 
-    // ---- dup-graph maintenance: ledger CC + incremental pair feed
-    val withSh = docs.withColumn("_sh", ApproxDedup.wordNgrams(col("text"), 2))
-    val old = withSh.filter(col("doc_id") % 10 =!= 0)
-    val batch = withSh.filter(col("doc_id") % 10 === 0)
-    val ledgerCc = time("old-pairs CC (ledger)") {
-      ConnectedComponents(
-        ApproxDedup.minhashLshPairs(old, "doc_id", "_sh", 16, 4, 4, 0.5),
-        "id_a", "id_b")
+    // ---- set ops: O vs F customer overlap at sf0.1
+    val skA = ThetaSketch.sketch(
+      orders.filter(col("o_orderstatus") === "O").withColumn("c", lit("x")),
+      Seq("c"), col("o_custkey"), k)
+    val skB = ThetaSketch.sketch(
+      orders.filter(col("o_orderstatus") === "F").withColumn("c", lit("x")),
+      Seq("c"), col("o_custkey"), k)
+    val ops = time("kmv setOps") {
+      ThetaSketch.setOps(skA, skB, Seq("c"), k).collect().head
     }
-    val pairs = time("incremental pair feed") {
-      ApproxDedup.incrementalLshPairsFromLedger(
-        ApproxDedup.lshLedger(old, "doc_id", "_sh", 16, 4, 4), batch,
-        "doc_id", "_sh", 16, 4, 4, 0.5).localCheckpoint()
-    }
-    val refreshed = time("CC refresh") {
-      ConnectedComponents.refresh(ledgerCc, "id", "comp",
-        pairs, "id_new", "id_other")
-    }
-    println(s"DUPGRAPH ledger=${ledgerCc.count()} pairs=${pairs.count()} " +
-      s"refreshed=${refreshed.count()}")
-    val lookup = time("neardup point lookup") {
-      ApproxDedup.lshNeighborsFromLedger(
-        ApproxDedup.lshLedger(old, "doc_id", "_sh", 16, 4, 4),
-        withSh.filter(col("doc_id") % 5 === 0), "doc_id", "_sh",
-        16, 4, 4, 0.5).count()
-    }
-    println(s"LOOKUP neighbors=$lookup")
+    println(s"OVERLAP n_l=${ops.getLong(1)} matched=${ops.getLong(2)} " +
+      s"union_est=${ops.getLong(3)} jaccard_ppm=${ops.getLong(4)} " +
+      s"inter_est=${ops.getLong(5)}")
+    require(ops.getLong(1) == k && ops.getLong(2) > 0,
+      "overlapping statuses must share sampled hashes")
 
-    // ---- streaming mini-batch trainer: 3 landing files at sf0.1
-    val tsRoot = java.nio.file.Files.createTempDirectory("probe_ts").toString
-    val ts = graft.streaming.TrainStream("vec_id",
-      b => LinearTrainer.embeddingFeatures(b, "vec_id", col("embedding")),
-      LinearTrainer.labelU(col("label") < 5), 1048576L)
-    val landing = s"$tsRoot/landing"
-    def land(bt: Int): Unit =
-      emb.filter(col("vec_id") % 3 === bt).coalesce(1)
-        .write.mode("append").parquet(landing)
-    time("TrainStream 3 batches") {
-      land(0)
-      val q = ts.start(spark, landing, emb.schema, tsRoot)
-      try {
-        q.processAllAvailable()
-        land(1); q.processAllAvailable()
-        land(2); q.processAllAvailable()
-      } finally q.stop()
-    }
-    val wRows = ts.weights(spark, tsRoot).count()
-    println(s"TRAINSTREAM weights=$wRows")
-    require(wRows == 64, "streamed model must carry all 64 coordinates")
+    // ---- disjoint corpora → zero overlap, on real keys
+    val skL = ThetaSketch.sketch(
+      lineitem.withColumn("c", lit("x")),
+      Seq("c"), concat(lit("li-"), col("l_orderkey")), k)
+    val skO = ThetaSketch.sketch(
+      orders.withColumn("c", lit("x")),
+      Seq("c"), concat(lit("or-"), col("o_orderkey")), k)
+    val dis = ThetaSketch.setOps(skL, skO, Seq("c"), k).collect().head
+    require(dis.getLong(2) == 0 && dis.getLong(5) == 0,
+      "disjoint key spaces must report zero intersection")
 
     spark.stop()
   }
