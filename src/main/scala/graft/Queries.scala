@@ -6450,6 +6450,61 @@ object Queries {
        |    AS inter_est
        |FROM est ORDER BY corpus""".stripMargin
 
+  // ------------------------------------------------ count-min sketch
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** Count-min point-frequency estimates ([[CmSketch]]): per-returnflag
+    * supplier-occurrence counts on lineitem, the grid built from TWO
+    * shards merged cell-wise (the sketch-ledger rollup path), then
+    * probed for eight suppliers. MG (q141) finds the frequent items;
+    * the CMS answers "how often did THIS key occur" for ANY key from
+    * d·w counters — the pair every corpus-stats ledger wants. The
+    * oracle replays hash, grid, merge and min-probe exactly. */
+  private def qCmsEstimate(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+        col("l_suppkey"))
+    val shards = Seq(li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 =!= 0))
+      .map(sh => CmSketch.sketch(sh, Seq("flag"), col("l_suppkey"),
+        depth = CmsDepth, width = CmsWidth))
+    val grid = CmSketch.mergeSketches(shards.reduce(_ unionByName _),
+      Seq("flag"))
+    val probes = li.select("flag").distinct()
+      .crossJoin(s.range(1, 9).select(col("id").as("skey")))
+    CmSketch.pointEstimate(grid, probes, Seq("flag"), col("skey"),
+        depth = CmsDepth, width = CmsWidth)
+      .orderBy("flag", "skey")
+  }
+
+  private val oCmsEstimate = {
+    val half = 1L << 30
+    val depths = (0 until CmsDepth).mkString(", ")
+    s"""WITH d(i) AS (SELECT unnest([$depths])),
+       |h AS (SELECT l_returnflag AS flag,
+       |    ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT
+       |      AS hv
+       |  FROM lineitem WHERE l_suppkey IS NOT NULL),
+       |cells AS (SELECT flag, i,
+       |    ((hv % $half) + i * (hv // $half)) % $CmsWidth AS c,
+       |    count(*) AS cnt
+       |  FROM h CROSS JOIN d GROUP BY 1, 2, 3),
+       |probes AS (SELECT DISTINCT l_returnflag AS flag, skey
+       |  FROM lineitem CROSS JOIN
+       |    (SELECT unnest(generate_series(1, 8)) AS skey)),
+       |pc AS (SELECT flag, skey, i,
+       |    ((hv % $half) + i * (hv // $half)) % $CmsWidth AS c
+       |  FROM (SELECT flag, skey,
+       |      ('0x' || substr(md5(CAST(skey AS VARCHAR)), 1, 15))::BIGINT
+       |        AS hv FROM probes) CROSS JOIN d)
+       |SELECT pc.flag, CAST(pc.skey AS BIGINT) AS skey,
+       |  CAST(min(COALESCE(cells.cnt, 0)) AS BIGINT) AS est
+       |FROM pc LEFT JOIN cells
+       |  ON cells.flag = pc.flag AND cells.i = pc.i AND cells.c = pc.c
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -6623,7 +6678,8 @@ object Queries {
     "q169_neardup_lookup" -> (qNearDupLookup _),
     "q170_probe_gate" -> (qProbeGate _),
     "q171_kmv_distinct" -> (qKmvDistinct _),
-    "q172_kmv_overlap" -> (qKmvOverlap _)
+    "q172_kmv_overlap" -> (qKmvOverlap _),
+    "q173_cms_estimate" -> (qCmsEstimate _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -6802,6 +6858,7 @@ object Queries {
     "q169_neardup_lookup" -> oNearDupLookup,
     "q170_probe_gate" -> oProbeGate,
     "q171_kmv_distinct" -> oKmvDistinct,
-    "q172_kmv_overlap" -> oKmvOverlap
+    "q172_kmv_overlap" -> oKmvOverlap,
+    "q173_cms_estimate" -> oCmsEstimate
   )
 }

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005), the point-frequency
+  * complement to [[FreqItems]]' Misra-Gries: MG answers "which items
+  * are frequent" with ≤k counters but cannot answer "how often did THIS
+  * key occur" for a key it evicted; the CMS answers point queries for
+  * EVERY key with a fixed d×w counter grid whose estimates are upper
+  * bounds (true ≤ est ≤ true + ε·n w.h.p., ε = e/w). Grid cells are
+  * plain sums, so sketches merge by addition — per-file / per-snapshot
+  * grids persist as ledger rows and roll up without rescanning, and
+  * the sketch build itself is a map-side-combined aggregation whose
+  * shuffle carries at most d·w rows per partition per group no matter
+  * how many input rows or distinct keys (the 100 TB posture: the long
+  * tail never crosses the wire).
+  *
+  * Bit-replayable by construction:
+  *  - ONE md5-derived 60-bit hash per key ([[Cardinality.hashOf]] —
+  *    the engine's one hash definition), split into two 30-bit halves
+  *    combined Kirsch–Mitzenmacher style: row i probes column
+  *    (h1 + i·h2) mod w — integer ops any SQL engine replays;
+  *  - counters are exact BIGINT sums; the point estimate is an exact
+  *    MIN over d looked-up counters (missing cell = 0).
+  *
+  * Determinism contract: the grid is a pure aggregation — independent
+  * of partitioning and merge order — so shard-merge equals the
+  * whole-corpus sketch bit-for-bit, and estimates are reproducible
+  * across engines (CmSketchSpec pins both against a driver-side
+  * reference). */
+object CmSketch {
+
+  /** Default grid: 4 rows × 1024 columns → ε ≈ e/1024 ≈ 0.27% of the
+    * stream total, δ = e⁻⁴ ≈ 1.8%. */
+  val DefaultDepth = 4
+  val DefaultWidth = 1024
+
+  private val HalfBits = 30
+  private val Half = 1L << HalfBits // 2^30 splits the 60-bit hash
+
+  /** The row-i probe column for a key's 60-bit hash value. */
+  private def colOf(hv: Column, i: Int, width: Int): Column =
+    pmod(pmod(hv, lit(Half)) + lit(i.toLong) * shiftright(hv, HalfBits),
+      lit(width.toLong)).cast("int")
+
+  private def requireGrid(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    // keep i·h2 + h1 < 2^34·16 far under 2^63 — always true for the
+    // 30-bit halves and bounded depth, recorded here as the contract
+  }
+
+  /** Per-group CMS grid of `key` occurrences weighted by `weight`
+    * (default 1 per row): (groupCols..., d, c, cnt) with ≤ depth·width
+    * rows per group. Null keys are dropped (COUNT semantics); null
+    * weights count 0. */
+  def sketch(df: DataFrame, groupCols: Seq[String], key: Column,
+             weight: Column = lit(1L), depth: Int = DefaultDepth,
+             width: Int = DefaultWidth): DataFrame = {
+    requireGrid(depth, width)
+    val hv = Cardinality.hashOf(key)
+    val rows = array((0 until depth).map(i =>
+      struct(lit(i).as("d"), colOf(col("_hv"), i, width).as("c"))): _*)
+    df.filter(key.isNotNull)
+      .select(groupCols.map(col) :+ hv.as("_hv")
+        :+ coalesce(weight.cast("bigint"), lit(0L)).as("_w"): _*)
+      .select(groupCols.map(col) :+ explode(rows).as("_rc") :+ col("_w"): _*)
+      .groupBy((groupCols :+ "_rc.d" :+ "_rc.c").map(col): _*)
+      .agg(sum(col("_w")).as("cnt"))
+  }
+
+  /** Merge grids (shape of [[sketch]] output) by cell-wise addition —
+    * the ledger-refresh primitive. */
+  def mergeSketches(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy((groupCols :+ "d" :+ "c").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for a probe table (groupCols..., `probeKey`):
+    * appends `est` = min over the d probed counters (0 when a cell was
+    * never touched). The probe side fans out ×depth and joins the
+    * model-sized grid — broadcast-friendly by construction. */
+  def pointEstimate(sk: DataFrame, probes: DataFrame, groupCols: Seq[String],
+                    probeKey: Column, depth: Int = DefaultDepth,
+                    width: Int = DefaultWidth): DataFrame = {
+    requireGrid(depth, width)
+    val hv = Cardinality.hashOf(probeKey)
+    val rows = array((0 until depth).map(i =>
+      struct(lit(i).as("d"), colOf(col("_hv"), i, width).as("c"))): _*)
+    val coords = probes.withColumn("_hv", hv)
+      .select(probes.columns.map(col) :+ explode(rows).as("_rc"): _*)
+      .select(probes.columns.map(col) :+ col("_rc.d").as("d")
+        :+ col("_rc.c").as("c"): _*)
+    coords.join(sk, (groupCols :+ "d" :+ "c"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  // ---------------- driver-side mirror (reference checks / streaming)
+
+  /** The row-i probe column for a key, JVM twin of the plan
+    * expressions. */
+  def colOfLong(key: String, i: Int, width: Int): Int = {
+    val hv = Cardinality.hashLong(key)
+    (((hv % Half) + i.toLong * (hv >>> HalfBits)) % width).toInt
+  }
+}

@@ -83,6 +83,31 @@ object VerifyProbe {
     require(dis.getLong(2) == 0 && dis.getLong(5) == 0,
       "disjoint key spaces must report zero intersection")
 
+    // ---- CMS: grid build at sf0.1, upper-bound property on real keys
+    val li = lineitem.select(col("l_returnflag").as("flag"),
+      col("l_suppkey"))
+    val grid = time("cms sketch sf0.1") {
+      CmSketch.sketch(li, Seq("flag"), col("l_suppkey")).localCheckpoint()
+    }
+    val gridRows = grid.count()
+    require(gridRows <= 3L * CmSketch.DefaultDepth * CmSketch.DefaultWidth,
+      s"grid must stay model-sized, got $gridRows rows")
+    val probes = li.select("flag").distinct()
+      .crossJoin(spark.range(1, 21).select(col("id").as("skey")))
+    val ests = time("cms point estimates") {
+      CmSketch.pointEstimate(grid, probes, Seq("flag"), col("skey"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    }
+    val truth = li.filter(col("l_suppkey").between(1, 20))
+      .groupBy("flag", "l_suppkey").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    truth.foreach { case (key, n) =>
+      require(ests(key) >= n, s"$key: CMS est ${ests(key)} below true $n")
+    }
+    println(s"CMS grid=$gridRows probes=${ests.size} " +
+      s"maxOvercount=${truth.map { case (key, n) => ests(key) - n }.max}")
+
     spark.stop()
   }
 }
