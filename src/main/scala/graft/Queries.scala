@@ -6505,6 +6505,86 @@ object Queries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // -------------------------------------------- unigram-LM tokenizer
+  private val UniPieceLen = 4
+  private val UniMinCount = 2L
+  private val UniVocabMulti = 40
+  /** DP-chain unroll bound for the oracle — documents words cap at 8
+    * chars at every SF; 12 leaves slack. */
+  private val UniMaxWordLen = 12
+
+  /** Unigram-LM tokenizer ([[UnigramLm]]): train the piece vocabulary
+    * on the documents corpus (all single chars + top-40 multi-char
+    * substrings, eighth-bit log₂ scores), Viterbi-decode every
+    * distinct word under the lexicographic (cost, pieces) optimum, and
+    * roll piece/cost totals up per language. The oracle replays the
+    * full pipeline: substring candidate ranking, the shared bits8
+    * quantization, and the Viterbi recursion as an unrolled
+    * per-position DP chain (min-cost then min-pieces at every step —
+    * the same Bellman totals, no path materialization). The trained
+    * vocabulary covers every character, so the engine's OOV fallback
+    * edge is unreachable here (spec-covered driver-side). */
+  private def qUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = UnigramLm.train(docs, col("text"), UniPieceLen,
+      UniMinCount, UniVocabMulti)
+    UnigramLm.encode(docs, "lang", col("text"), vocab, UniPieceLen)
+      .orderBy("lang")
+  }
+
+  private val oUnigramEncode: String = {
+    val steps = (1 to UniMaxWordLen).map { i =>
+      s"""c$i AS (SELECT b.word, b.cost + v.bits8 AS cost, b.np + 1 AS np
+         |  FROM ball${i - 1} b JOIN uv v
+         |    ON v.piece = substr(b.word, b.pos + 1, $i - b.pos)
+         |  WHERE b.pos >= ${math.max(0, i - UniPieceLen)} AND b.pos < $i
+         |    AND length(b.word) >= $i),
+         |m$i AS (SELECT word, min(cost) AS cost FROM c$i GROUP BY 1),
+         |b$i AS (SELECT c.word, $i AS pos, c.cost, min(c.np) AS np
+         |  FROM c$i c JOIN m$i m ON m.word = c.word AND m.cost = c.cost
+         |  GROUP BY 1, 2, 3),
+         |ball$i AS MATERIALIZED (SELECT * FROM ball${i - 1}
+         |  UNION ALL SELECT * FROM b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dwr AS (SELECT lang,
+       |    unnest(string_split_regex(text, '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |dw AS (SELECT lang, word FROM dwr WHERE word <> ''),
+       |uwh AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM dw GROUP BY 1),
+       |ssr AS (SELECT word, cnt,
+       |    unnest(generate_series(1, length(word))) AS s FROM uwh),
+       |ss AS (SELECT substr(r.word, r.s, l.l) AS piece, r.cnt
+       |  FROM ssr r CROSS JOIN
+       |    (SELECT unnest(generate_series(1, $UniPieceLen)) AS l) l
+       |  WHERE r.s + l.l - 1 <= length(r.word)),
+       |pc AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS pcnt
+       |  FROM ss GROUP BY 1),
+       |mult AS (SELECT piece, pcnt,
+       |    row_number() OVER (ORDER BY pcnt DESC, piece ASC) AS rnk
+       |  FROM pc WHERE length(piece) > 1 AND pcnt >= $UniMinCount),
+       |keep AS (SELECT piece, pcnt FROM pc WHERE length(piece) = 1
+       |  UNION ALL SELECT piece, pcnt FROM mult WHERE rnk <= $UniVocabMulti),
+       |tot AS (SELECT CAST(sum(pcnt) AS BIGINT) AS total FROM keep),
+       |uvq AS (SELECT piece, (total * CAST(256 AS BIGINT)) // pcnt AS q8
+       |  FROM keep CROSS JOIN tot),
+       |uv AS MATERIALIZED (SELECT piece,
+       |    CAST((l8 - 8) * 8 + (q8 * 8) // (CAST(1 AS BIGINT) << l8) - 8
+       |      AS BIGINT) AS bits8
+       |  FROM (SELECT piece, q8, CAST(length(bin(q8)) - 1 AS INT) AS l8
+       |        FROM uvq)),
+       |ball0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+       |    CAST(0 AS BIGINT) AS np FROM uwh),
+       |$steps,
+       |res AS (SELECT word, cost, np FROM ball$UniMaxWordLen
+       |  WHERE pos = length(word))
+       |SELECT dw.lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(res.np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(res.cost) AS BIGINT) AS bits8_total
+       |FROM dw JOIN res ON res.word = dw.word
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -6679,7 +6759,8 @@ object Queries {
     "q170_probe_gate" -> (qProbeGate _),
     "q171_kmv_distinct" -> (qKmvDistinct _),
     "q172_kmv_overlap" -> (qKmvOverlap _),
-    "q173_cms_estimate" -> (qCmsEstimate _)
+    "q173_cms_estimate" -> (qCmsEstimate _),
+    "q174_unigram_encode" -> (qUnigramEncode _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -6859,6 +6940,7 @@ object Queries {
     "q170_probe_gate" -> oProbeGate,
     "q171_kmv_distinct" -> oKmvDistinct,
     "q172_kmv_overlap" -> oKmvOverlap,
-    "q173_cms_estimate" -> oCmsEstimate
+    "q173_cms_estimate" -> oCmsEstimate,
+    "q174_unigram_encode" -> oUnigramEncode
   )
 }

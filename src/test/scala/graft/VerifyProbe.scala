@@ -108,6 +108,25 @@ object VerifyProbe {
     println(s"CMS grid=$gridRows probes=${ests.size} " +
       s"maxOvercount=${truth.map { case (key, n) => ests(key) - n }.max}")
 
+    // ---- unigram-LM tokenizer at sf0.1: train, decode, encode
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val vocab = time("unigram train sf0.1") {
+      UnigramLm.train(docs, col("text"), maxPieceLen = 4, minCount = 2L,
+        vocabSize = 40).localCheckpoint()
+    }
+    val vSize = vocab.count()
+    val enc = time("unigram encode sf0.1") {
+      UnigramLm.encode(docs, "lang", col("text"), vocab).orderBy("lang")
+        .collect()
+    }
+    enc.foreach(r => println(s"UNIGRAM lang=${r.getString(0)} " +
+      s"words=${r.getLong(1)} pieces=${r.getLong(2)} " +
+      s"bits8=${r.getLong(3)}"))
+    require(enc.length == 5 && enc.forall(r =>
+        r.getLong(2) >= r.getLong(1) && r.getLong(3) > 0),
+      "every word decodes to >= 1 piece with positive cost")
+    println(s"UNIGRAM vocab=$vSize")
+
     spark.stop()
   }
 }
