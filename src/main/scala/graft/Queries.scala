@@ -6585,6 +6585,58 @@ object Queries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------ kNN graph
+  /** Cell-blocked kNN graph ([[Similarity.knnGraph]]) over the
+    * persisted IVF index fixture (q25's trained cells — no retrain):
+    * every vector's top-3 neighbors within its cell, the batch
+    * graph-construction primitive under SemDeDup-style clustering and
+    * graph sampling. Both sides are the corpus — the join shuffles on
+    * the cell key, nothing broadcasts. Oracle replays the Lloyd's
+    * chain + within-cell ranked self-join. */
+  private def qKnnGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(ivfIndexFor(s, dir).assignments, k = 3)
+      .select(col("src_id"), col("rank").cast("int").as("rank"),
+        col("dst_id"), col("cos_sim"))
+      .orderBy("src_id", "rank")
+
+  private val oKnnGraph =
+    s"""WITH $oKmeansAf,
+       |s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+       |        round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+       |      FROM af a JOIN af b
+       |        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+       |SELECT src_id, rank, dst_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS INT) AS rank
+       |  FROM s)
+       |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
+
+  /** Mutual-kNN symmetrization ([[Similarity.mutualKnnEdges]]): keep
+    * an undirected edge only when each endpoint ranks the other in its
+    * own top-3 — the hub-stripping step before graph clustering. Runs
+    * on the q175 edge list alone; the corpus is never re-read. */
+  private def qMutualKnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualKnnEdges(
+        Similarity.knnGraph(ivfIndexFor(s, dir).assignments, k = 3))
+      .orderBy("id_a", "id_b")
+
+  private val oMutualKnn =
+    s"""WITH $oKmeansAf,
+       |s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+       |        round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+       |      FROM af a JOIN af b
+       |        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+       |g AS (SELECT src_id, dst_id, cos_sim FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS rank
+       |    FROM s)
+       |  WHERE rank <= 3)
+       |SELECT g1.src_id AS id_a, g1.dst_id AS id_b, g1.cos_sim
+       |FROM g g1 JOIN g g2
+       |  ON g2.src_id = g1.dst_id AND g2.dst_id = g1.src_id
+       |WHERE g1.src_id < g1.dst_id
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -6760,7 +6812,9 @@ object Queries {
     "q171_kmv_distinct" -> (qKmvDistinct _),
     "q172_kmv_overlap" -> (qKmvOverlap _),
     "q173_cms_estimate" -> (qCmsEstimate _),
-    "q174_unigram_encode" -> (qUnigramEncode _)
+    "q174_unigram_encode" -> (qUnigramEncode _),
+    "q175_knn_graph" -> (qKnnGraph _),
+    "q176_mutual_knn" -> (qMutualKnn _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -6941,6 +6995,8 @@ object Queries {
     "q171_kmv_distinct" -> oKmvDistinct,
     "q172_kmv_overlap" -> oKmvOverlap,
     "q173_cms_estimate" -> oCmsEstimate,
-    "q174_unigram_encode" -> oUnigramEncode
+    "q174_unigram_encode" -> oUnigramEncode,
+    "q175_knn_graph" -> oKnnGraph,
+    "q176_mutual_knn" -> oMutualKnn
   )
 }

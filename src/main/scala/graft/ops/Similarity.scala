@@ -557,6 +557,58 @@ object Similarity {
       .select(col("blk"), col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Cell-blocked kNN graph: every node's top-k nearest neighbors
+    * WITHIN its IVF cell ([[ivfAssign]] output — "the [[nearDupPairs]]
+    * block discipline, ranked"). This is the batch graph-construction
+    * primitive behind SemDeDup-style cluster dedup, kNN-graph label
+    * propagation, and graph-based diversity sampling: both sides are
+    * the corpus, so NOTHING broadcasts — the self-join shuffles once
+    * on the cell key and every pair stays cell-local, which is the
+    * property that holds at 100 TB (candidate pairs scale with
+    * Σ cell² rather than N², and the hot-cell guard fails fast when a
+    * cell would break that bound). Recall relative to the exact graph
+    * is the standard IVF trade: neighbors across a cell boundary are
+    * unreachable by construction — raise nCentroids or use multiple
+    * assignments for higher recall; the graph is deterministic either
+    * way (rounded cosine + id tie-break, the [[bruteForceTopK]]
+    * contract).
+    *
+    * `assigned` is (corpus_id, centroid_id, cv) — [[ivfAssign]] /
+    * IvfIndex.assignments. Output: (src_id, rank, dst_id, cos_sim). */
+  def knnGraph(assigned: DataFrame, k: Int,
+               maxCellRows: Int = 0): DataFrame = {
+    require(k >= 1, s"knnGraph needs k >= 1, got $k")
+    ApproxDedup.requireBoundedBlocks(assigned, "centroid_id", maxCellRows,
+      "knnGraph")
+    val a = assigned.select(col("corpus_id").as("src_id"),
+      col("centroid_id"), col("cv").as("va"))
+    val b = assigned.select(col("corpus_id").as("dst_id"),
+      col("centroid_id"), col("cv").as("vb"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_sim").desc, col("dst_id"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("rank"), col("dst_id"), col("cos_sim"))
+  }
+
+  /** Mutual-kNN edges from a [[knnGraph]]: undirected (id_a < id_b)
+    * edges kept only when EACH endpoint ranks the other in its own
+    * top-k — the standard symmetrization that strips hub nodes'
+    * one-way arcs before clustering (a near-dup cluster wants mutual
+    * affinity; a hub's fans do not). A self-join of the k·N edge list
+    * on the reversed pair — edge-table sized, the corpus is never
+    * re-read. */
+  def mutualKnnEdges(graph: DataFrame): DataFrame =
+    graph.select(col("src_id"), col("dst_id"), col("cos_sim"))
+      .filter(col("src_id") < col("dst_id"))
+      .join(graph.select(col("dst_id").as("src_id"),
+        col("src_id").as("dst_id")), Seq("src_id", "dst_id"))
+      .select(col("src_id").as("id_a"), col("dst_id").as("id_b"),
+        col("cos_sim"))
+
   /** Per-group mean embeddings (class centroids / cluster prototype
     * export — the read side of every "embed the group" downstream:
     * label prototypes for classification, cluster summaries for

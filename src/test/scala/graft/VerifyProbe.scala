@@ -127,6 +127,24 @@ object VerifyProbe {
       "every word decodes to >= 1 piece with positive cost")
     println(s"UNIGRAM vocab=$vSize")
 
+    // ---- kNN graph at sf0.1: cell-blocked build + mutual edges
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val idx = time("ivf index build") {
+      Similarity.ivfIndexBuild(emb, "vec_id", "embedding", k = 8, iters = 2)
+    }
+    val graph = time("knnGraph k=5 sf0.1") {
+      Similarity.knnGraph(idx.assignments, k = 5).localCheckpoint()
+    }
+    val n = emb.count()
+    val gEdges = graph.count()
+    require(gEdges == 5 * n, s"expected ${5 * n} arcs, got $gEdges")
+    val mutual = time("mutualKnnEdges") {
+      Similarity.mutualKnnEdges(graph).count()
+    }
+    println(s"KNNGRAPH nodes=$n arcs=$gEdges mutual=$mutual")
+    require(mutual > 0 && mutual * 2 <= gEdges,
+      "mutual pairs must be a subset of arcs")
+
     spark.stop()
   }
 }
