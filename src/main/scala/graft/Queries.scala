@@ -6637,6 +6637,76 @@ object Queries {
        |WHERE g1.src_id < g1.dst_id
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** KMV sketch-LEDGER refresh: per-returnflag distinct-part sketches
+    * of the ingested lineitem (l_orderkey % 10 ≠ 0) persist once as a
+    * ≤k-row-per-group parquet ledger; a landing batch (% 10 = 0) is
+    * sketched ALONE and merged in — the canonical bottom-k state makes
+    * ledger ⊕ batch equal the whole-corpus sketch bit-for-bit, so the
+    * oracle simply replays the whole corpus. The refresh never re-reads
+    * ingested rows — the [[ThetaSketch]] analogue of the q104/q108/q152
+    * ledger-refresh family. */
+  private def qKmvRefresh(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"),
+        col("l_partkey"))
+    val ledger = cachedLedger(s, "kmv_ledger", dir)(
+      ThetaSketch.sketch(li.filter(col("l_orderkey") % 10 =!= 0),
+        Seq("flag"), col("l_partkey"), KmvK))
+    val batch = ThetaSketch.sketch(li.filter(col("l_orderkey") % 10 === 0),
+      Seq("flag"), col("l_partkey"), KmvK)
+    ThetaSketch.estimate(
+        ThetaSketch.mergeSketches(ledger.unionByName(batch), Seq("flag"),
+          KmvK),
+        Seq("flag"), KmvK)
+      .orderBy("flag")
+  }
+
+  private val oKmvRefresh =
+    s"""WITH ${oKmvChain("q", "l_returnflag", "CAST(l_partkey AS VARCHAR)",
+        "lineitem")}
+       |SELECT g AS flag, CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN n_kept < $KmvK THEN n_kept
+       |       ELSE CAST('$KmvNum' AS HUGEINT) // kth END AS BIGINT)
+       |    AS estimate
+       |FROM qa ORDER BY flag""".stripMargin
+
+  /** Tight near-dup clusters — the composition the kNN graph exists to
+    * feed: connected components over the MUTUAL top-3 edges (q176's
+    * hub-stripped graph). Only nodes with at least one reciprocal
+    * neighbor cluster; everything else is a singleton by definition
+    * and stays out of the label table. */
+  private def qKnnClusters(s: SparkSession, dir: String): DataFrame =
+    ConnectedComponents(
+        Similarity.mutualKnnEdges(
+          Similarity.knnGraph(ivfIndexFor(s, dir).assignments, k = 3))
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      .orderBy("id")
+
+  private val oKnnClusters =
+    s"""WITH RECURSIVE $oKmeansAf,
+       |s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+       |        round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+       |      FROM af a JOIN af b
+       |        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+       |g AS (SELECT src_id, dst_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS rank
+       |    FROM s)
+       |  WHERE rank <= 3),
+       |mu AS (SELECT g1.src_id AS id_a, g1.dst_id AS id_b
+       |  FROM g g1 JOIN g g2
+       |    ON g2.src_id = g1.dst_id AND g2.dst_id = g1.src_id
+       |  WHERE g1.src_id < g1.dst_id),
+       |mke AS (SELECT id_a AS a, id_b AS b FROM mu
+       |      UNION SELECT id_b, id_a FROM mu),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM mke
+       |  UNION
+       |  SELECT mke.a, reach.r FROM mke JOIN reach ON reach.id = mke.b)
+       |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"""
+      .stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -6814,7 +6884,9 @@ object Queries {
     "q173_cms_estimate" -> (qCmsEstimate _),
     "q174_unigram_encode" -> (qUnigramEncode _),
     "q175_knn_graph" -> (qKnnGraph _),
-    "q176_mutual_knn" -> (qMutualKnn _)
+    "q176_mutual_knn" -> (qMutualKnn _),
+    "q177_kmv_refresh" -> (qKmvRefresh _),
+    "q178_knn_clusters" -> (qKnnClusters _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -6997,6 +7069,8 @@ object Queries {
     "q173_cms_estimate" -> oCmsEstimate,
     "q174_unigram_encode" -> oUnigramEncode,
     "q175_knn_graph" -> oKnnGraph,
-    "q176_mutual_knn" -> oMutualKnn
+    "q176_mutual_knn" -> oMutualKnn,
+    "q177_kmv_refresh" -> oKmvRefresh,
+    "q178_knn_clusters" -> oKnnClusters
   )
 }

@@ -61,7 +61,11 @@ class PlanGuardSpec extends SparkSpec {
     // with its non-equi self-match filter, shift ×broadcast(1-row
     // totals), final ×broadcast(1-row recall) — every broadcast side
     // is k-row or 1-row BY CONTRACT
-    "q134_ivfpq_drift" -> 7)
+    "q134_ivfpq_drift" -> 7,
+    // probe-table synthesis: crossJoin(broadcast(8-row key spine)) ×
+    // the 3-row distinct-flag side — both sides constant-sized BY
+    // CONSTRUCTION (the CMS grid itself joins hash-partitioned)
+    "q173_cms_estimate" -> 1)
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

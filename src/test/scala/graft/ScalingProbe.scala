@@ -485,6 +485,71 @@ object ScalingProbe {
         s"fusedRows=${nQ * 10} (corpus rows never enter the fusion)")
     }
 
+    // -------- third wave: KMV / CMS state bounds, unigram vocab
+    // dimension, kNN-graph candidate space
+    locally {
+      // KMV/CMS: sketch state must be MODEL-sized — flat across the
+      // 10× corpus step (that is the whole point of a sketch ledger)
+      val k = 64
+      val states = Seq("sf0.01", "sf0.1").map { sf =>
+        val li = spark.read.parquet(s"/root/testdata/$sf/lineitem.parquet")
+        val kmvRows = ops.ThetaSketch.sketch(li, Seq("l_returnflag"),
+          col("l_partkey"), k)
+          .select(size(col("kmv")).as("n")).agg(sum("n")).collect()(0).getLong(0)
+        val cmsRows = ops.CmSketch.sketch(li, Seq("l_returnflag"),
+          col("l_suppkey")).count()
+        (sf, li.count(), kmvRows, cmsRows)
+      }
+      states.foreach { case (sf, n, kmvRows, cmsRows) =>
+        assert(kmvRows <= 3L * k, s"$sf: KMV state $kmvRows > 3 groups × k")
+        assert(cmsRows <= 3L * ops.CmSketch.DefaultDepth *
+          ops.CmSketch.DefaultWidth,
+          s"$sf: CMS grid $cmsRows exceeds 3 groups × d·w")
+        println(s"SKETCH_STATE $sf corpusRows=$n kmvStateRows=$kmvRows " +
+          s"cmsGridRows=$cmsRows")
+      }
+      assert(states(0)._3 == states(1)._3,
+        "KMV state must be exactly flat across the 10× (k per full group)")
+    }
+
+    locally {
+      // Unigram: the DP runs over DISTINCT words — assert the decode
+      // input is vocabulary-sized at both SFs while the corpus grows 10×
+      Seq("sf0.01", "sf0.1").foreach { sf =>
+        val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        val words = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+        val nOcc = words.count()
+        val nDistinct = words.distinct().count()
+        val vocab = ops.UnigramLm.train(docs, col("text"), 4, 2L, 40)
+        val vRows = vocab.count()
+        assert(nDistinct <= 64,
+          s"$sf: decode input must be the distinct-word table ($nDistinct)")
+        assert(vRows <= 40 + 64,
+          s"$sf: vocabulary must be budget-bounded ($vRows)")
+        println(s"UNIGRAM_DIM $sf occurrences=$nOcc distinctWords=$nDistinct " +
+          s"vocabRows=$vRows (DP work scales with distinct words, not corpus)")
+      }
+    }
+
+    locally {
+      // kNN graph: candidate pairs == Σ_cell n·(n−1) EXACTLY (the
+      // cell-blocked join admits nothing else); arcs == k·N
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val idx = ops.Similarity.ivfIndexBuild(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val asg = idx.assignments.localCheckpoint()
+      val cand = 2L * blockedPairs(asg, col("centroid_id"))
+      val n = asg.count()
+      val graph = ops.Similarity.knnGraph(asg, k = 5)
+      val arcs = graph.count()
+      assert(arcs == 5 * n, s"arcs $arcs != k·N ${5 * n}")
+      assert(cand < n * (n - 1) / 4,
+        s"cell blocking must prune the all-pairs space ($cand vs N²)")
+      println(s"KNN_GRAPH nodes=$n candidatePairs=$cand " +
+        s"(= Σ cell²; all-pairs would be ${n * (n - 1)}) arcs=$arcs")
+    }
+
     println("PROBE_OK")
     spark.stop()
   }
