@@ -6707,6 +6707,44 @@ object Queries {
        |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id"""
       .stripMargin
 
+  /** Streaming KMV sketch maintainer
+    * ([[graft.streaming.SketchStream]] — the bottom-k state as keyed
+    * state, the distinct-sketch analogue of q145's streaming MG): two
+    * landing phases split by event parity; the KMV fold is
+    * order-INDEPENDENT (canonical state), so the streamed final state
+    * must equal the batch sketch EXACTLY — the oracle is simply the
+    * batch KMV replay plus per-type fold counts. */
+  private def qStreamKmv(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("event_type").cast("string").as("k"),
+        col("user_id").cast("string").as("v"),
+        pmod(coalesce(col("event_id"), lit(0L)), lit(2)).as("phase"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q179")
+    try {
+      val fin = graft.streaming.SketchStream.replayKmv(s,
+        Seq(base.filter(col("phase") === 0).select("k", "v"),
+          base.filter(col("phase") === 1).select("k", "v")),
+        root.toString, KmvK)
+      ThetaSketch.estimate(fin, Seq("k"), KmvK)
+        .join(fin.select(col("k"), col("n_seen")), Seq("k"))
+        .select(col("k").as("event_type"), col("n_seen"), col("n_kept"),
+          col("estimate"))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally deleteRecursively(root)
+  }
+
+  private val oStreamKmv =
+    s"""WITH ${oKmvChain("q", "event_type", "CAST(user_id AS VARCHAR)",
+        "events")},
+       |ns AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_seen
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |SELECT g AS event_type, n_seen, CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN n_kept < $KmvK THEN n_kept
+       |       ELSE CAST('$KmvNum' AS HUGEINT) // kth END AS BIGINT)
+       |    AS estimate
+       |FROM qa JOIN ns USING (g) ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -6886,7 +6924,8 @@ object Queries {
     "q175_knn_graph" -> (qKnnGraph _),
     "q176_mutual_knn" -> (qMutualKnn _),
     "q177_kmv_refresh" -> (qKmvRefresh _),
-    "q178_knn_clusters" -> (qKnnClusters _)
+    "q178_knn_clusters" -> (qKnnClusters _),
+    "q179_stream_kmv" -> (qStreamKmv _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7071,6 +7110,7 @@ object Queries {
     "q175_knn_graph" -> oKnnGraph,
     "q176_mutual_knn" -> oMutualKnn,
     "q177_kmv_refresh" -> oKmvRefresh,
-    "q178_knn_clusters" -> oKnnClusters
+    "q178_knn_clusters" -> oKnnClusters,
+    "q179_stream_kmv" -> oStreamKmv
   )
 }

@@ -45,8 +45,9 @@ object ThetaSketch {
   private val HashSpace: BigInt = BigInt(1) << HashBits
 
   /** Insert `hv` into the sorted bounded buffer if it belongs among
-    * the k smallest distinct values. */
-  private def insert(b: Array[Long], hv: Long, k: Int): Array[Long] = {
+    * the k smallest distinct values (also the per-event streaming
+    * fold — [[graft.streaming.SketchStream]]). */
+  private[graft] def insert(b: Array[Long], hv: Long, k: Int): Array[Long] = {
     val pos = java.util.Arrays.binarySearch(b, hv)
     if (pos >= 0) b // already present
     else {
