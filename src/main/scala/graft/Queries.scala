@@ -6745,6 +6745,64 @@ object Queries {
        |    AS estimate
        |FROM qa JOIN ns USING (g) ORDER BY event_type""".stripMargin
 
+  /** The source-overlap MATRIX ([[ThetaSketch.pairwiseSetOps]]): every
+    * unordered source pair's shingle-set Jaccard / intersection /
+    * union estimates, computed ENTIRELY from the per-source KMV
+    * sketches — G·k ledger rows stand in for all G corpora, the
+    * decontamination triage view ("which sources share content with
+    * which") at zero corpus cost beyond the one sketch build. The
+    * oracle replays each pair's combined bottom-k sample from the full
+    * shingle sets (equal to the engine's sketch-combine by the same
+    * threshold argument as q172). */
+  private def qKmvMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh = docs.select(col("source"),
+      explode(ApproxDedup.wordNgrams(col("text"), 2)).as("shingle"))
+    val sk = ThetaSketch.sketch(sh, Seq("source"), col("shingle"), KmvK)
+    ThetaSketch.pairwiseSetOps(sk, "source", KmvK)
+      .orderBy("g_a", "g_b")
+  }
+
+  private val oKmvMatrix =
+    s"""WITH dd AS (SELECT source, string_split_regex(text, '\\s+') AS toks
+       |  FROM documents),
+       |sets AS (SELECT source,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_distinct([toks[i] || ' ' || toks[i+1]
+       |                          for i in generate_series(1, len(toks)-1)])
+       |      ELSE [array_to_string(toks, ' ')] END AS st FROM dd),
+       |shx AS (SELECT DISTINCT source AS g, unnest(st) AS sgl FROM sets),
+       |hx AS (SELECT DISTINCT g,
+       |    ('0x' || substr(md5(sgl), 1, 15))::BIGINT AS hv FROM shx),
+       |gg AS (SELECT DISTINCT g FROM hx),
+       |sides AS (SELECT p.g_a, p.g_b, h.hv,
+       |    CASE WHEN h.g = p.g_a THEN 1 ELSE 0 END AS in_a,
+       |    CASE WHEN h.g = p.g_b THEN 1 ELSE 0 END AS in_b
+       |  FROM (SELECT a.g AS g_a, b.g AS g_b
+       |        FROM gg a JOIN gg b ON a.g < b.g) p
+       |  JOIN hx h ON h.g = p.g_a OR h.g = p.g_b),
+       |u AS (SELECT g_a, g_b, hv, max(in_a) AS in_a, max(in_b) AS in_b
+       |  FROM sides GROUP BY 1, 2, 3),
+       |l AS (SELECT g_a, g_b, hv, in_a, in_b,
+       |    row_number() OVER (PARTITION BY g_a, g_b ORDER BY hv) AS rn
+       |  FROM u),
+       |agg AS (SELECT g_a, g_b, count(*) AS n_l,
+       |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS matched,
+       |    max(hv) AS kth
+       |  FROM l WHERE rn <= $KmvK GROUP BY 1, 2),
+       |est AS (SELECT g_a, g_b, n_l, matched,
+       |    CAST(CASE WHEN n_l < $KmvK THEN n_l
+       |         ELSE CAST('$KmvNum' AS HUGEINT) // kth END AS BIGINT)
+       |      AS union_est
+       |  FROM agg)
+       |SELECT g_a, g_b, CAST(n_l AS BIGINT) AS n_l,
+       |  CAST(matched AS BIGINT) AS matched, union_est,
+       |  CAST(matched * CAST(1000000 AS BIGINT) // n_l AS BIGINT)
+       |    AS jaccard_ppm,
+       |  CAST(CAST(matched AS HUGEINT) * union_est // n_l AS BIGINT)
+       |    AS inter_est
+       |FROM est ORDER BY g_a, g_b""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -6925,7 +6983,8 @@ object Queries {
     "q176_mutual_knn" -> (qMutualKnn _),
     "q177_kmv_refresh" -> (qKmvRefresh _),
     "q178_knn_clusters" -> (qKnnClusters _),
-    "q179_stream_kmv" -> (qStreamKmv _)
+    "q179_stream_kmv" -> (qStreamKmv _),
+    "q180_kmv_matrix" -> (qKmvMatrix _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7111,6 +7170,7 @@ object Queries {
     "q176_mutual_knn" -> oMutualKnn,
     "q177_kmv_refresh" -> oKmvRefresh,
     "q178_knn_clusters" -> oKnnClusters,
-    "q179_stream_kmv" -> oStreamKmv
+    "q179_stream_kmv" -> oStreamKmv,
+    "q180_kmv_matrix" -> oKmvMatrix
   )
 }

@@ -220,4 +220,55 @@ object ThetaSketch {
       .select(groupCols.map(col) :+ col("n_l") :+ col("matched") :+
         col("union_est") :+ col("jaccard_ppm") :+ col("inter_est"): _*)
   }
+
+  /** The overlap MATRIX over one sketch table: [[setOps]] for every
+    * unordered group pair (g_a < g_b) — the decontamination /
+    * snapshot-triage view ("which sources share content with which")
+    * computed ENTIRELY from ledger rows. The pair domain is the
+    * group-list crossed with itself (model-sized by definition — G
+    * groups make G·k sketch rows, and the broadcast side is the G-row
+    * group list, never a corpus), and each pair's combine touches
+    * ≤2k hash rows; corpus cost: zero. Output:
+    * (g_a, g_b, n_l, matched, union_est, jaccard_ppm, inter_est). */
+  def pairwiseSetOps(sk: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, "KMV sketch needs k >= 2")
+    val groups = sk.select(col(groupCol).as("g_b")).distinct()
+    val ex = sk.select(col(groupCol).as("g"), explode(col("kmv")).as("hv"))
+    // replicate each group's hashes against every OTHER group — both
+    // sides are sketch/model-sized by contract (G·k × G)
+    val aSide = ex.select(col("g").as("g_a"), col("hv"))
+      .join(broadcast(groups), col("g_a") < col("g_b"))
+      .withColumn("side", lit(1))
+    val bSide = ex.select(col("g").as("g_b"), col("hv"))
+      .join(broadcast(groups.select(col("g_b").as("g_a"))),
+        col("g_a") < col("g_b"))
+      .withColumn("side", lit(2))
+    val both = aSide.unionByName(bSide)
+      .groupBy(col("g_a"), col("g_b"), col("hv"))
+      .agg(max(when(col("side") === 1, 1).otherwise(0)).as("in_a"),
+        max(when(col("side") === 2, 1).otherwise(0)).as("in_b"))
+    val w = Window.partitionBy(col("g_a"), col("g_b")).orderBy(col("hv"))
+    val l = both.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+    val agg = l.groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_l"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("matched"),
+        max(col("hv")).as("_kth"))
+    val num = lit(new java.math.BigDecimal(
+      (BigInt(k - 1) * HashSpace).bigInteger))
+    val kth = col("_kth").cast("decimal(38,0)")
+    val raw = ((num - (num % kth)) / kth).cast("bigint")
+    val interNum = (col("matched").cast("decimal(38,0)") *
+      col("union_est").cast("decimal(38,0)")).cast("decimal(38,0)")
+    val interDen = col("n_l").cast("decimal(38,0)")
+    agg
+      .withColumn("union_est", when(col("n_l") < k, col("n_l")).otherwise(raw))
+      .withColumn("jaccard_ppm",
+        expr("matched * CAST(1000000 AS BIGINT) div n_l"))
+      .withColumn("inter_est",
+        ((interNum - (interNum % interDen)) / interDen).cast("bigint"))
+      .select(col("g_a"), col("g_b"), col("n_l"), col("matched"),
+        col("union_est"), col("jaccard_ppm"), col("inter_est"))
+  }
 }

@@ -65,7 +65,11 @@ class PlanGuardSpec extends SparkSpec {
     // probe-table synthesis: crossJoin(broadcast(8-row key spine)) ×
     // the 3-row distinct-flag side — both sides constant-sized BY
     // CONSTRUCTION (the CMS grid itself joins hash-partitioned)
-    "q173_cms_estimate" -> 1)
+    "q173_cms_estimate" -> 1,
+    // pair-domain replication: two non-equi joins of the G·k sketch
+    // rows × broadcast(G-row group list) — both sides ledger/model
+    // sized by contract, never a corpus
+    "q180_kmv_matrix" -> 2)
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

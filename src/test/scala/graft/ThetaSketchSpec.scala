@@ -100,6 +100,33 @@ class ThetaSketchSpec extends SparkSpec {
     assert(out == ((0L, 0L, 0L)))
   }
 
+  test("pairwise matrix equals per-pair setOps for every pair") {
+    val k = 16
+    val df = (1 to 900).map { i =>
+      val g = s"s${i % 3}"
+      // overlapping key ranges: s0 ~ 1..300, s1 ~ 151..450, s2 ~ 301..600
+      (g, s"key-${(i % 300) + 150 * (i % 3) + 1}")
+    }.toDF("g", "key")
+    val sk = ThetaSketch.sketch(df, Seq("g"), $"key", k)
+    val matrix = ThetaSketch.pairwiseSetOps(sk, "g", k)
+      .select("g_a", "g_b", "n_l", "matched", "union_est", "jaccard_ppm",
+        "inter_est")
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+    val pairs = Seq(("s0", "s1"), ("s0", "s2"), ("s1", "s2"))
+    assert(matrix.keySet == pairs.toSet)
+    pairs.foreach { case (a, b) =>
+      val ref = ThetaSketch.setOps(
+          sk.filter($"g" === a).withColumn("g", lit("p")),
+          sk.filter($"g" === b).withColumn("g", lit("p")),
+          Seq("g"), k)
+        .select("n_l", "matched", "union_est", "jaccard_ppm", "inter_est")
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(matrix((a, b)) == ref, s"pair ($a,$b)")
+    }
+  }
+
   test("null keys are dropped, not hashed") {
     val df = Seq(("g", "x"), ("g", null), ("g", "y"))
       .toDF("g", "k")
