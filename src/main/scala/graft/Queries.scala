@@ -6532,21 +6532,26 @@ object Queries {
       .orderBy("lang")
   }
 
-  private val oUnigramEncode: String = {
-    val steps = (1 to UniMaxWordLen).map { i =>
-      s"""c$i AS (SELECT b.word, b.cost + v.bits8 AS cost, b.np + 1 AS np
-         |  FROM ball${i - 1} b JOIN uv v
-         |    ON v.piece = substr(b.word, b.pos + 1, $i - b.pos)
-         |  WHERE b.pos >= ${math.max(0, i - UniPieceLen)} AND b.pos < $i
-         |    AND length(b.word) >= $i),
-         |m$i AS (SELECT word, min(cost) AS cost FROM c$i GROUP BY 1),
-         |b$i AS (SELECT c.word, $i AS pos, c.cost, min(c.np) AS np
-         |  FROM c$i c JOIN m$i m ON m.word = c.word AND m.cost = c.cost
-         |  GROUP BY 1, 2, 3),
-         |ball$i AS MATERIALIZED (SELECT * FROM ball${i - 1}
-         |  UNION ALL SELECT * FROM b$i)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH dwr AS (SELECT lang,
+  /** The shared oracle prefix: corpus word table `dw`, histogram
+    * `uwh`, substring candidates, trained vocabulary `uv` (exactly
+    * [[UnigramLm.train]]'s selection + bits8), and the DP base row
+    * `ball0`. The eighth-bit rescore tail is parameterized so the EM
+    * oracle reuses it over usage counts. */
+  private def oUniRescore(src: String, totName: String, qName: String,
+                          out: String): String =
+    s"""$totName AS (SELECT CAST(sum(pcnt) AS BIGINT) AS total FROM $src),
+       |$qName AS (SELECT piece, pcnt,
+       |    (total * CAST(256 AS BIGINT)) // pcnt AS q8
+       |  FROM $src CROSS JOIN $totName),
+       |$out AS MATERIALIZED (SELECT piece, pcnt,
+       |    CAST((l8 - 8) * 8 + (q8 * 8) // (CAST(1 AS BIGINT) << l8) - 8
+       |      AS BIGINT) AS bits8
+       |  FROM (SELECT piece, pcnt, q8,
+       |          CAST(length(bin(q8)) - 1 AS INT) AS l8
+       |        FROM $qName))""".stripMargin
+
+  private val oUniBaseCtes: String =
+    s"""dwr AS (SELECT lang,
        |    unnest(string_split_regex(text, '\\s+')) AS word
        |  FROM documents WHERE text IS NOT NULL),
        |dw AS (SELECT lang, word FROM dwr WHERE word <> ''),
@@ -6565,17 +6570,42 @@ object Queries {
        |  FROM pc WHERE length(piece) > 1 AND pcnt >= $UniMinCount),
        |keep AS (SELECT piece, pcnt FROM pc WHERE length(piece) = 1
        |  UNION ALL SELECT piece, pcnt FROM mult WHERE rnk <= $UniVocabMulti),
-       |tot AS (SELECT CAST(sum(pcnt) AS BIGINT) AS total FROM keep),
-       |uvq AS (SELECT piece, (total * CAST(256 AS BIGINT)) // pcnt AS q8
-       |  FROM keep CROSS JOIN tot),
-       |uv AS MATERIALIZED (SELECT piece,
-       |    CAST((l8 - 8) * 8 + (q8 * 8) // (CAST(1 AS BIGINT) << l8) - 8
-       |      AS BIGINT) AS bits8
-       |  FROM (SELECT piece, q8, CAST(length(bin(q8)) - 1 AS INT) AS l8
-       |        FROM uvq)),
+       |${oUniRescore("keep", "tot", "uvq", "uv")},
        |ball0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost,
-       |    CAST(0 AS BIGINT) AS np FROM uwh),
-       |$steps,
+       |    CAST(0 AS BIGINT) AS np FROM uwh)""".stripMargin
+
+  /** The unrolled Viterbi DP chain over `uv`. With `backptr`, each
+    * position also records the winning PRIOR position as
+    * bp$i(word, pos, prev_pos) — min prior pos among (cost, np)-optimal
+    * transitions == the longest winning piece, [[UnigramLm.decodePath]]'s
+    * tie rule exactly. */
+  private def oUniDpSteps(backptr: Boolean): String =
+    (1 to UniMaxWordLen).map { i =>
+      val base =
+        s"""c$i AS (SELECT b.word, b.pos AS ppos,
+           |    b.cost + v.bits8 AS cost, b.np + 1 AS np
+           |  FROM ball${i - 1} b JOIN uv v
+           |    ON v.piece = substr(b.word, b.pos + 1, $i - b.pos)
+           |  WHERE b.pos >= ${math.max(0, i - UniPieceLen)} AND b.pos < $i
+           |    AND length(b.word) >= $i),
+           |m$i AS (SELECT word, min(cost) AS cost FROM c$i GROUP BY 1),
+           |b$i AS (SELECT c.word, $i AS pos, c.cost, min(c.np) AS np
+           |  FROM c$i c JOIN m$i m ON m.word = c.word AND m.cost = c.cost
+           |  GROUP BY 1, 2, 3),
+           |ball$i AS MATERIALIZED (SELECT word, pos, cost, np
+           |  FROM ball${i - 1}
+           |  UNION ALL SELECT word, pos, cost, np FROM b$i)""".stripMargin
+      if (!backptr) base
+      else base + ",\n" +
+        s"""bp$i AS (SELECT c.word, $i AS pos, min(c.ppos) AS prev_pos
+           |  FROM c$i c JOIN b$i b
+           |    ON b.word = c.word AND b.cost = c.cost AND b.np = c.np
+           |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+
+  private val oUnigramEncode: String =
+    s"""WITH $oUniBaseCtes,
+       |${oUniDpSteps(backptr = false)},
        |res AS (SELECT word, cost, np FROM ball$UniMaxWordLen
        |  WHERE pos = length(word))
        |SELECT dw.lang, CAST(count(*) AS BIGINT) AS n_words,
@@ -6583,6 +6613,49 @@ object Queries {
        |  CAST(sum(res.cost) AS BIGINT) AS bits8_total
        |FROM dw JOIN res ON res.word = dw.word
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** One hard-EM refinement ([[UnigramLm.emStep]]): decode every
+    * distinct word under the trained vocabulary, count piece usage
+    * weighted by word frequency, keep used multis + all corpus chars
+    * (usage floor 1) and re-score. The oracle extracts the Viterbi
+    * PATHS: per-position backpointers (min optimal prior position =
+    * the engine's longest-piece tie rule) + an unrolled backward walk
+    * emitting one piece per step. */
+  private def qUnigramEm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val v0 = UnigramLm.train(docs, col("text"), UniPieceLen,
+      UniMinCount, UniVocabMulti)
+    UnigramLm.emStep(Bpe.wordHistogram(docs, col("text")), v0, UniPieceLen)
+      .orderBy("piece")
+  }
+
+  private val oUnigramEm: String = {
+    val walk = (1 to UniMaxWordLen).map { j =>
+      s"""w$j AS MATERIALIZED (SELECT w.word, bp.prev_pos AS pos,
+         |    substr(w.word, bp.prev_pos + 1, w.pos - bp.prev_pos) AS piece
+         |  FROM w${j - 1} w JOIN bpall bp
+         |    ON bp.word = w.word AND bp.pos = w.pos
+         |  WHERE w.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    val walkUnion = (1 to UniMaxWordLen)
+      .map(j => s"SELECT word, piece FROM w$j").mkString("\n  UNION ALL ")
+    s"""WITH $oUniBaseCtes,
+       |${oUniDpSteps(backptr = true)},
+       |bpall AS MATERIALIZED (${(1 to UniMaxWordLen)
+        .map(i => s"SELECT * FROM bp$i").mkString("\n  UNION ALL ")}),
+       |w0 AS (SELECT word, length(word) AS pos FROM uwh),
+       |$walk,
+       |steps AS ($walkUnion),
+       |usage AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS u
+       |  FROM steps JOIN uwh USING (word) GROUP BY 1),
+       |chars2 AS (SELECT DISTINCT substr(word, s, 1) AS piece FROM ssr),
+       |kept2 AS (SELECT c.piece,
+       |    greatest(coalesce(u.u, 0), 1) AS pcnt
+       |  FROM chars2 c LEFT JOIN usage u ON u.piece = c.piece
+       |  UNION ALL
+       |  SELECT piece, u AS pcnt FROM usage WHERE length(piece) > 1),
+       |${oUniRescore("kept2", "tot2", "uvq2", "uv2")}
+       |SELECT piece, pcnt, bits8 FROM uv2 ORDER BY piece""".stripMargin
   }
 
   // ------------------------------------------------------ kNN graph
@@ -6984,7 +7057,8 @@ object Queries {
     "q177_kmv_refresh" -> (qKmvRefresh _),
     "q178_knn_clusters" -> (qKnnClusters _),
     "q179_stream_kmv" -> (qStreamKmv _),
-    "q180_kmv_matrix" -> (qKmvMatrix _)
+    "q180_kmv_matrix" -> (qKmvMatrix _),
+    "q181_unigram_em" -> (qUnigramEm _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7171,6 +7245,7 @@ object Queries {
     "q177_kmv_refresh" -> oKmvRefresh,
     "q178_knn_clusters" -> oKnnClusters,
     "q179_stream_kmv" -> oStreamKmv,
-    "q180_kmv_matrix" -> oKmvMatrix
+    "q180_kmv_matrix" -> oKmvMatrix,
+    "q181_unigram_em" -> oUnigramEm
   )
 }

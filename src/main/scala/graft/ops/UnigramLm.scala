@@ -156,6 +156,113 @@ object UnigramLm {
     (cost(n), np(n))
   }
 
+  /** The Viterbi path for a word under the SAME DP as [[decodeWord]]:
+    * returns the piece sequence of the (cost, pieces)-lexicographic
+    * optimum, with the remaining tie broken deterministically by
+    * preferring the LONGEST piece at each boundary (scanning l
+    * ascending and replacing on ties makes the kept transition the
+    * longest optimal one — a piece of a given length from a given
+    * position is unique, so the path is fully determined). The
+    * (cost, n_pieces) of the returned path equal [[decodeWord]]'s
+    * exactly (UnigramLmSpec pins it). */
+  private[graft] def decodePath(word: String, vocab: Map[String, Long],
+                                maxPieceLen: Int,
+                                oovBits8: Long): Seq[String] = {
+    val syms = Bpe.splitCodePoints(word)
+    val n = syms.length
+    if (n == 0) return Seq.empty
+    val cost = new Array[Long](n + 1)
+    val np = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1) // winning piece length at i
+    java.util.Arrays.fill(cost, 1, n + 1, Long.MaxValue)
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, i)
+      while (l <= lMax) {
+        if (cost(i - l) != Long.MaxValue) {
+          val piece = syms.slice(i - l, i).mkString
+          val step = vocab.get(piece) match {
+            case Some(b) => Some(b)
+            case None if l == 1 => Some(oovBits8)
+            case None => None
+          }
+          step match {
+            case Some(b) =>
+              val c = cost(i - l) + b
+              val p = np(i - l) + 1
+              // ties replace: ascending l leaves the LONGEST winner
+              if (c < cost(i) || (c == cost(i) && p <= np(i))) {
+                cost(i) = c; np(i) = p; back(i) = l
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val l = back(pos)
+      out.prepend(syms.slice(pos - l, pos).mkString)
+      pos -= l
+    }
+    out.toSeq
+  }
+
+  /** One hard-EM (Viterbi-EM) refinement iteration, the
+    * SentencePiece-style vocabulary polish: decode every DISTINCT word
+    * under the current vocabulary, count expected piece USAGE weighted
+    * by word frequency, drop multi-character pieces the optimal
+    * segmentations never use, and re-score the survivors' bits8 from
+    * the usage distribution (single characters are always retained at
+    * usage ≥ 1 — the [[train]] coverage rule, so decoding stays total).
+    * Scale shape: the decode runs over the word HISTOGRAM (vocab-sized)
+    * under the broadcast piece map; the usage aggregation is
+    * model-sized. Input `wordHist` is [[Bpe.wordHistogram]] output;
+    * returns the same (piece, pcnt, bits8) shape as [[train]]. */
+  def emStep(wordHist: DataFrame, vocab: DataFrame,
+             maxPieceLen: Int = DefaultMaxPieceLen,
+             oovBits8: Long = DefaultOovBits8): DataFrame = {
+    val spark = wordHist.sparkSession
+    import spark.implicits._
+    val rows = vocab.select(col("piece"), col("bits8"))
+      .limit((MaxVocabRows + 1).toInt).collect()
+    require(rows.length <= MaxVocabRows,
+      s"vocabulary exceeds the $MaxVocabRows-row broadcast guard")
+    val bc = spark.sparkContext.broadcast(
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val maxL = maxPieceLen
+    val oov = oovBits8
+    val usage = wordHist.select(col("word"), col("cnt"))
+      .as[(String, Long)]
+      .flatMap { case (w, cnt) =>
+        decodePath(w, bc.value, maxL, oov).map(p => (p, cnt))
+      }
+      .toDF("piece", "u")
+      .groupBy("piece").agg(sum(col("u")).as("u"))
+    // survivors: used pieces + every single character seen in the
+    // corpus (usage floor 1 keeps the score finite and decode total)
+    val chars = wordHist
+      .select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"))
+        .as("piece"))
+      .distinct()
+    val kept = chars.join(usage, Seq("piece"), "left")
+      .select(col("piece"), greatest(coalesce(col("u"), lit(0L)), lit(1L))
+        .as("pcnt"))
+      .unionByName(
+        usage.filter(length(col("piece")) > 1)
+          .select(col("piece"), col("u").as("pcnt")))
+    val total = kept.agg(sum(col("pcnt")).as("_total"))
+    kept.crossJoin(total)
+      .withColumn("bits8", expr(graft.functions.Fns.bits8FromQ8Sql(
+        "(_total * CAST(256 AS BIGINT)) div pcnt")))
+      .select(col("piece"), col("pcnt"), col("bits8"))
+  }
+
   /** Tokenize a corpus: per-`id` word/piece/cost totals
     * (id, n_words, n_pieces, bits8_total). The DP runs once per
     * DISTINCT word; the corpus side is one narrow explode + one

@@ -99,6 +99,61 @@ class UnigramLmSpec extends SparkSpec {
       ("fr", 1L, ab._2, ab._1)))
   }
 
+  test("decodePath reconstructs the word at decodeWord's (cost, pieces)") {
+    val rnd = new scala.util.Random(23)
+    (1 to 200).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(9)))
+        .map(_ => "abcd".charAt(rnd.nextInt(4))).mkString
+      val path = UnigramLm.decodePath(w, vocab, 4, 256L)
+      assert(path.mkString == w, s"path must tile the word: $w -> $path")
+      val cost = path.map(p => vocab.getOrElse(p, 256L)).sum
+      assert((cost, path.size.toLong) == UnigramLm.decodeWord(w, vocab, 4, 256L),
+        s"path cost must equal the DP optimum for $w")
+    }
+  }
+
+  test("decodePath ties prefer the longest piece") {
+    // "aa" -> piece "aa" (cost 80) over ("a","a") (cost 80, 2 pieces);
+    // and with equal cost AND pieces the longer single step wins
+    val v = Map("a" -> 40L, "aa" -> 80L)
+    assert(UnigramLm.decodePath("aa", v, 4, 256L) == Seq("aa"))
+  }
+
+  test("emStep counts Viterbi piece usage and re-scores survivors") {
+    val docs = Seq(("d", "abab abab cd")).toDF("id", "text")
+    val hist = graft.ops.Bpe.wordHistogram(docs, $"text") // abab×2, cd×1
+    val v0 = UnigramLm.train(docs, $"text", maxPieceLen = 3,
+      minCount = 1L, vocabSize = 10)
+    val v1 = UnigramLm.emStep(hist, v0, maxPieceLen = 3)
+    val got = v1.select("piece", "pcnt").as[(String, Long)].collect().toMap
+    // expected usage: decode each distinct word under v0, weighted
+    val vmap = v0.select("piece", "bits8").as[(String, Long)]
+      .collect().toMap
+    val expect = Seq(("abab", 2L), ("cd", 1L))
+      .flatMap { case (w, cnt) =>
+        UnigramLm.decodePath(w, vmap, 3, 256L).map(_ -> cnt)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    expect.foreach { case (p, u) =>
+      assert(got(p) == math.max(u, 1L) || got(p) == u,
+        s"piece $p: usage ${got(p)} vs expected $u")
+    }
+    // every corpus character survives with pcnt >= 1
+    Seq("a", "b", "c", "d").foreach(c =>
+      assert(got.contains(c) && got(c) >= 1L, s"char $c must survive"))
+    // unused multi-char pieces are dropped
+    got.keys.filter(_.length > 1).foreach(p =>
+      assert(expect.contains(p), s"unused multi piece $p must be dropped"))
+    // re-scored bits8 replays the shared formula over the new total
+    val total = v1.select("pcnt").as[Long].collect().sum
+    v1.select("piece", "pcnt", "bits8").as[(String, Long, Long)].collect()
+      .foreach { case (_, pcnt, b8) =>
+        val q8 = total * 256L / pcnt
+        val l8 = 63 - java.lang.Long.numberOfLeadingZeros(q8)
+        assert(b8 == (l8 - 8) * 8 + (q8 * 8) / (1L << l8) - 8)
+      }
+  }
+
   test("vocabulary broadcast guard trips on oversized piece tables") {
     // guard is 4M rows — emulate by checking the require path exists
     // via a degenerate maxPieceLen argument instead (cheap, no 4M build)
