@@ -6876,6 +6876,46 @@ object Queries {
        |    AS inter_est
        |FROM est ORDER BY g_a, g_b""".stripMargin
 
+  /** Join-size estimation from two CMS grids
+    * ([[CmSketch.joinSizeEstimate]] — the Cormode–Muthukrishnan
+    * inner-product estimator): "how many (lineitem, orders) rows
+    * would the orderkey equi-join produce" answered from two d×w
+    * ledger grids, neither table touched — the planner-statistics
+    * primitive for join ordering over 100 TB inputs. The estimate
+    * provably upper-bounds the true cardinality (collisions only
+    * add); the oracle replays grid build and min-of-inner-products
+    * exactly. */
+  private def qCmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val liGrid = CmSketch.sketch(
+      t(s, dir, "lineitem").withColumn("g", lit("x")),
+      Seq("g"), col("l_orderkey"), depth = CmsDepth, width = CmsWidth)
+    val ordGrid = CmSketch.sketch(
+      t(s, dir, "orders").withColumn("g", lit("x")),
+      Seq("g"), col("o_orderkey"), depth = CmsDepth, width = CmsWidth)
+    CmSketch.joinSizeEstimate(liGrid, ordGrid, CmsDepth)
+      .select(col("est").cast("bigint").as("est"))
+  }
+
+  private val oCmsJoinSize = {
+    val half = 1L << 30
+    val depths = (0 until CmsDepth).mkString(", ")
+    def grid(p: String, key: String, from: String): String =
+      s"""h$p AS (SELECT ('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15))
+         |    ::BIGINT AS hv FROM $from WHERE $key IS NOT NULL),
+         |c$p AS (SELECT i,
+         |    ((hv % $half) + i * (hv // $half)) % $CmsWidth AS c,
+         |    count(*) AS cnt
+         |  FROM h$p CROSS JOIN dep GROUP BY 1, 2)""".stripMargin
+    s"""WITH dep(i) AS (SELECT unnest([$depths])),
+       |${grid("a", "l_orderkey", "lineitem")},
+       |${grid("b", "o_orderkey", "orders")},
+       |ipp AS (SELECT ca.i,
+       |    sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS ip
+       |  FROM ca JOIN cb ON ca.i = cb.i AND ca.c = cb.c GROUP BY 1)
+       |SELECT CAST(min(coalesce(ipp.ip, 0)) AS BIGINT) AS est
+       |FROM dep LEFT JOIN ipp ON ipp.i = dep.i""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -7058,7 +7098,8 @@ object Queries {
     "q178_knn_clusters" -> (qKnnClusters _),
     "q179_stream_kmv" -> (qStreamKmv _),
     "q180_kmv_matrix" -> (qKmvMatrix _),
-    "q181_unigram_em" -> (qUnigramEm _)
+    "q181_unigram_em" -> (qUnigramEm _),
+    "q182_cms_joinsize" -> (qCmsJoinSize _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7246,6 +7287,7 @@ object Queries {
     "q178_knn_clusters" -> oKnnClusters,
     "q179_stream_kmv" -> oStreamKmv,
     "q180_kmv_matrix" -> oKmvMatrix,
-    "q181_unigram_em" -> oUnigramEm
+    "q181_unigram_em" -> oUnigramEm,
+    "q182_cms_joinsize" -> oCmsJoinSize
   )
 }

@@ -96,6 +96,40 @@ object CmSketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Equi-join SIZE estimation from two grids (Cormode & Muthukrishnan
+    * 2005 §4.2 — the inner-product estimator): for each row i,
+    * Σ_c A_i[c]·B_i[c] upper-bounds the true join cardinality
+    * |{(a,b) : key_a = key_b}| (every true match lands in the same
+    * cell; collisions only add), and the MIN over rows is the
+    * estimate. This is the planner-statistics primitive: "how big
+    * would this join be" answered from two d·w-cell ledger rows
+    * WITHOUT touching either table — the sketch-world sibling of the
+    * DSv2 store's `estimateStatistics`. Exact Decimal arithmetic (the
+    * products reach nA·nB — far past a long at fleet row counts);
+    * grids must share (depth, width) and the engine-wide hash, which
+    * [[sketch]] guarantees by construction.
+    *
+    * Input grids must be single-group slices (the usual serving
+    * shape); output is one row: (est). */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame,
+                       depth: Int = DefaultDepth): DataFrame = {
+    val spark = skA.sparkSession
+    val a = skA.select(col("d"), col("c"),
+      col("cnt").cast("decimal(38,0)").as("cnt_a"))
+    val b = skB.select(col("d"), col("c"),
+      col("cnt").cast("decimal(38,0)").as("cnt_b"))
+    val perRow = a.join(b, Seq("d", "c"))
+      .groupBy(col("d"))
+      .agg(sum((col("cnt_a") * col("cnt_b")).cast("decimal(38,0)"))
+        .as("ip"))
+    // a grid row with NO shared cells has inner product 0 — it must
+    // drive the min to 0, not vanish from it
+    spark.range(depth).select(col("id").cast("int").as("d"))
+      .join(perRow, Seq("d"), "left")
+      .agg(min(coalesce(col("ip"), lit(0).cast("decimal(38,0)")))
+        .as("est"))
+  }
+
   // ---------------- driver-side mirror (reference checks / streaming)
 
   /** The row-i probe column for a key, JVM twin of the plan

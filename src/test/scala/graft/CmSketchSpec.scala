@@ -73,6 +73,36 @@ class CmSketchSpec extends SparkSpec {
     assert(m == w)
   }
 
+  test("join-size estimate upper-bounds truth and matches the reference") {
+    val aKeys = (1 to 800).map(i => s"k-${i % 200}")      // 200 distinct
+    val bKeys = (1 to 300).map(i => s"k-${100 + i % 150}") // overlap 100..199
+    val trueJoin = {
+      val bc = bKeys.groupBy(identity).view.mapValues(_.size).toMap
+      aKeys.map(k => bc.getOrElse(k, 0).toLong).sum
+    }
+    val ga = CmSketch.sketch(aKeys.map(("g", _)).toDF("g", "k"), Seq("g"),
+      $"k", depth = D, width = W)
+    val gb = CmSketch.sketch(bKeys.map(("g", _)).toDF("g", "k"), Seq("g"),
+      $"k", depth = D, width = W)
+    val est = CmSketch.joinSizeEstimate(ga, gb, D)
+      .select(col("est").cast("long")).as[Long].head()
+    assert(est >= trueJoin, s"est $est below true $trueJoin")
+    // driver reference: same grids, min of inner products
+    val ra = refGrid(aKeys); val rb = refGrid(bKeys)
+    val ref = (0 until D).map { i =>
+      (0 until W).map(c =>
+        ra.getOrElse((i, c), 0L) * rb.getOrElse((i, c), 0L)).sum
+    }.min
+    assert(est == ref)
+    // disjoint key spaces still estimate >= 0 (and 0 when no cell collides
+    // in some row)
+    val gd = CmSketch.sketch(Seq(("g", "zzz-only")).toDF("g", "k"), Seq("g"),
+      $"k", depth = D, width = W)
+    val estD = CmSketch.joinSizeEstimate(ga, gd, D)
+      .select(col("est").cast("long")).as[Long].head()
+    assert(estD >= 0)
+  }
+
   test("weighted counting sums weights, null weights count zero") {
     val df = Seq(("g", "a", 5L), ("g", "a", 3L), ("g", "b", 7L))
       .toDF("g", "k", "w")
