@@ -6916,6 +6916,47 @@ object Queries {
        |FROM dep LEFT JOIN ipp ON ipp.i = dep.i""".stripMargin
   }
 
+  /** Per-group F2 / self-join-size estimates
+    * ([[CmSketch.joinSizeEstimateBy]] with the grid against itself):
+    * Σ cnt² per returnflag — the KEY-CONCENTRATION statistic that
+    * tells a planner which groups are skewed enough to need salting
+    * ([[Salting]]'s decision input) BEFORE any shuffle is attempted,
+    * from d·w ledger cells alone. Upper-bounds the true F2; exact
+    * integer replay. */
+  private def qCmsSkew(s: SparkSession, dir: String): DataFrame = {
+    val grid = CmSketch.sketch(
+      t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_suppkey")),
+      Seq("flag"), col("l_suppkey"), depth = CmsDepth, width = CmsWidth)
+    CmSketch.joinSizeEstimateBy(grid, grid, Seq("flag"), CmsDepth)
+      .select(col("flag"), col("est").cast("bigint").as("f2_est"))
+      .orderBy("flag")
+  }
+
+  private val oCmsSkew = {
+    val half = 1L << 30
+    val depths = (0 until CmsDepth).mkString(", ")
+    s"""WITH dep(i) AS (SELECT unnest([$depths])),
+       |h AS (SELECT l_returnflag AS flag,
+       |    ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT
+       |      AS hv
+       |  FROM lineitem WHERE l_suppkey IS NOT NULL),
+       |cells AS (SELECT flag, i,
+       |    ((hv % $half) + i * (hv // $half)) % $CmsWidth AS c,
+       |    count(*) AS cnt
+       |  FROM h CROSS JOIN dep GROUP BY 1, 2, 3),
+       |ipp AS (SELECT flag, i,
+       |    sum(CAST(cnt AS HUGEINT) * cnt) AS ip
+       |  FROM cells GROUP BY 1, 2),
+       |spine AS (SELECT DISTINCT flag, i
+       |  FROM (SELECT DISTINCT flag FROM cells) CROSS JOIN dep)
+       |SELECT spine.flag,
+       |  CAST(min(coalesce(ipp.ip, 0)) AS BIGINT) AS f2_est
+       |FROM spine LEFT JOIN ipp
+       |  ON ipp.flag = spine.flag AND ipp.i = spine.i
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -7099,7 +7140,8 @@ object Queries {
     "q179_stream_kmv" -> (qStreamKmv _),
     "q180_kmv_matrix" -> (qKmvMatrix _),
     "q181_unigram_em" -> (qUnigramEm _),
-    "q182_cms_joinsize" -> (qCmsJoinSize _)
+    "q182_cms_joinsize" -> (qCmsJoinSize _),
+    "q183_cms_skew" -> (qCmsSkew _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7288,6 +7330,7 @@ object Queries {
     "q179_stream_kmv" -> oStreamKmv,
     "q180_kmv_matrix" -> oKmvMatrix,
     "q181_unigram_em" -> oUnigramEm,
-    "q182_cms_joinsize" -> oCmsJoinSize
+    "q182_cms_joinsize" -> oCmsJoinSize,
+    "q183_cms_skew" -> oCmsSkew
   )
 }

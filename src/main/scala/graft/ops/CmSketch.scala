@@ -112,20 +112,37 @@ object CmSketch {
     * Input grids must be single-group slices (the usual serving
     * shape); output is one row: (est). */
   def joinSizeEstimate(skA: DataFrame, skB: DataFrame,
-                       depth: Int = DefaultDepth): DataFrame = {
+                       depth: Int = DefaultDepth): DataFrame =
+    joinSizeEstimateBy(skA, skB, Nil, depth)
+
+  /** Per-group [[joinSizeEstimate]]: grids carry `groupCols`, the
+    * estimate joins them per group (both inputs must share the
+    * grouping). With `skA eq skB` per group this is the F2 /
+    * SELF-join-size estimate Σ cnt² — the key-concentration statistic
+    * that tells a 100 TB planner which groups need salting BEFORE any
+    * shuffle is attempted ([[Salting]]'s decision input, from ledger
+    * rows alone). */
+  def joinSizeEstimateBy(skA: DataFrame, skB: DataFrame,
+                         groupCols: Seq[String],
+                         depth: Int = DefaultDepth): DataFrame = {
     val spark = skA.sparkSession
-    val a = skA.select(col("d"), col("c"),
-      col("cnt").cast("decimal(38,0)").as("cnt_a"))
-    val b = skB.select(col("d"), col("c"),
-      col("cnt").cast("decimal(38,0)").as("cnt_b"))
-    val perRow = a.join(b, Seq("d", "c"))
-      .groupBy(col("d"))
+    val keys = groupCols :+ "d" :+ "c"
+    val a = skA.select(keys.map(col) :+
+      col("cnt").cast("decimal(38,0)").as("cnt_a"): _*)
+    val b = skB.select(keys.map(col) :+
+      col("cnt").cast("decimal(38,0)").as("cnt_b"): _*)
+    val perRow = a.join(b, keys)
+      .groupBy((groupCols :+ "d").map(col): _*)
       .agg(sum((col("cnt_a") * col("cnt_b")).cast("decimal(38,0)"))
         .as("ip"))
     // a grid row with NO shared cells has inner product 0 — it must
     // drive the min to 0, not vanish from it
-    spark.range(depth).select(col("id").cast("int").as("d"))
-      .join(perRow, Seq("d"), "left")
+    val spine0 = spark.range(depth).select(col("id").cast("int").as("d"))
+    val spine =
+      if (groupCols.isEmpty) spine0
+      else skA.select(groupCols.map(col): _*).distinct().crossJoin(spine0)
+    spine.join(perRow, groupCols :+ "d", "left")
+      .groupBy(groupCols.map(col): _*)
       .agg(min(coalesce(col("ip"), lit(0).cast("decimal(38,0)")))
         .as("est"))
   }

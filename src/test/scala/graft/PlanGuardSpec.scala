@@ -69,7 +69,10 @@ class PlanGuardSpec extends SparkSpec {
     // pair-domain replication: two non-equi joins of the G·k sketch
     // rows × broadcast(G-row group list) — both sides ledger/model
     // sized by contract, never a corpus
-    "q180_kmv_matrix" -> 2)
+    "q180_kmv_matrix" -> 2,
+    // depth-spine synthesis: crossJoin(G-row group list ×
+    // depth-row range) — both sides constant-sized
+    "q183_cms_skew" -> 1)
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

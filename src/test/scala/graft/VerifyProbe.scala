@@ -145,6 +145,43 @@ object VerifyProbe {
     require(mutual > 0 && mutual * 2 <= gEdges,
       "mutual pairs must be a subset of arcs")
 
+    // ---- unigram hard-EM at sf0.1: refined vocab stays model-sized
+    val hist = Bpe.wordHistogram(docs, col("text")).localCheckpoint()
+    val v1 = time("unigram emStep sf0.1") {
+      UnigramLm.emStep(hist, vocab).localCheckpoint()
+    }
+    val v1n = v1.count()
+    require(v1n <= vSize, s"EM can only shrink the vocab ($vSize -> $v1n)")
+    val enc1 = UnigramLm.encode(docs, "lang", col("text"), v1)
+      .agg(sum("n_pieces")).collect()(0).getLong(0)
+    println(s"UNIGRAM_EM vocab=$vSize->$v1n pieces=$enc1")
+
+    // ---- KMV overlap matrix at sf0.1: 20 sources, ledger-only cost
+    val shingled = docs.select(col("source"),
+      explode(ApproxDedup.wordNgrams(col("text"), 2)).as("shingle"))
+    val srcSk = ThetaSketch.sketch(shingled, Seq("source"),
+      col("shingle"), 64).localCheckpoint()
+    val matrix = time("kmv pairwise matrix") {
+      ThetaSketch.pairwiseSetOps(srcSk, "source", 64).collect()
+    }
+    require(matrix.length == 190, s"C(20,2) pairs expected, got ${matrix.length}")
+    println(s"KMV_MATRIX pairs=${matrix.length} " +
+      s"medianJaccardPpm=${matrix.map(_.getLong(5)).sorted.apply(95)}")
+
+    // ---- CMS join-size + skew estimates at sf0.1
+    val ordGrid = CmSketch.sketch(
+      orders.withColumn("g", lit("x")), Seq("g"), col("o_orderkey"))
+    val liGrid = CmSketch.sketch(
+      lineitem.withColumn("g", lit("x")), Seq("g"), col("l_orderkey"))
+    val jsEst = time("cms joinSizeEstimate") {
+      CmSketch.joinSizeEstimate(liGrid, ordGrid)
+        .collect()(0).getDecimal(0).longValueExact()
+    }
+    val liN = lineitem.count()
+    require(jsEst >= liN, s"join-size estimate $jsEst below true $liN")
+    println(s"CMS_JOINSIZE est=$jsEst true=$liN " +
+      s"(upper bound; slack ~ nA*nB/w)")
+
     spark.stop()
   }
 }
