@@ -6435,15 +6435,18 @@ object Queries {
        |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM u),
        |agg AS (SELECT g, count(*) AS n_l,
        |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS matched,
+       |    sum(in_a) AS n_a, sum(in_b) AS n_b,
        |    max(hv) AS kth
        |  FROM l WHERE rn <= $KmvK GROUP BY 1),
-       |est AS (SELECT g, n_l, matched,
+       |est AS (SELECT g, n_l, matched, n_a, n_b,
        |    CAST(CASE WHEN n_l < $KmvK THEN n_l
        |         ELSE CAST('$KmvNum' AS HUGEINT) // kth END AS BIGINT)
        |      AS union_est
        |  FROM agg)
        |SELECT g AS corpus, CAST(n_l AS BIGINT) AS n_l,
-       |  CAST(matched AS BIGINT) AS matched, union_est,
+       |  CAST(matched AS BIGINT) AS matched,
+       |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  union_est,
        |  CAST(matched * CAST(1000000 AS BIGINT) // n_l AS BIGINT)
        |    AS jaccard_ppm,
        |  CAST(CAST(matched AS HUGEINT) * union_est // n_l AS BIGINT)
@@ -6957,6 +6960,80 @@ object Queries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------ KMV drift gate
+  private val KmvDriftThresholdPpm = 800000L
+
+  /** Snapshot DRIFT gate from KMV sketches — the sketch-family member
+    * of the drift-gate family (q124/q134 recall gates, q148/q149 L1
+    * gates): per source, the ingested corpus's shingle sketch against
+    * the landing batch's (a doc-block split that leaves every source
+    * on both sides — see the in-code note);
+    * a batch whose content stopped overlapping its source's history
+    * (jaccard below threshold) flags `shifted` before it contaminates
+    * the ledger. Cost: two ≤k-row sketches per source, corpora never
+    * co-scanned — the gate a 100 TB ingest runs per landing batch.
+    * Exact-ppm integer verdict, oracle-replayed. */
+  private def qKmvDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(ApproxDedup.wordNgrams(col("text"), 2)).as("shingle"))
+    // block split ((doc_id div 20) % 5): every source contributes to
+    // BOTH sides at every SF (source is doc_id-mod-20-aligned in this
+    // testdata, so a plain mod-10 split would place whole sources on
+    // one side and the per-source overlap would be vacuously zero)
+    val old = ThetaSketch.sketch(
+      docs.filter(expr("(doc_id div 20) % 5 != 0")),
+      Seq("source"), col("shingle"), KmvK)
+    val batch = ThetaSketch.sketch(
+      docs.filter(expr("(doc_id div 20) % 5 = 0")),
+      Seq("source"), col("shingle"), KmvK)
+    ThetaSketch.setOps(old, batch, Seq("source"), KmvK)
+      // CONTAINMENT of the batch sample in history, not Jaccard: the
+      // sides are deliberately different sizes (a landing batch vs
+      // the whole ingested corpus), and Jaccard punishes that
+      // asymmetry even when every batch shingle is old news
+      .withColumn("containment_ppm",
+        expr("matched * CAST(1000000 AS BIGINT) div n_b"))
+      .withColumn("verdict",
+        when(col("containment_ppm") < KmvDriftThresholdPpm, lit("shifted"))
+          .otherwise(lit("stable")))
+      .select(col("source"), col("n_l"), col("matched"), col("n_b"),
+        col("containment_ppm"), col("verdict"))
+      .orderBy("source")
+  }
+
+  private val oKmvDrift =
+    s"""WITH dd AS (SELECT source, doc_id,
+       |    string_split_regex(text, '\\s+') AS toks FROM documents),
+       |sets AS (SELECT source, doc_id,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_distinct([toks[i] || ' ' || toks[i+1]
+       |                          for i in generate_series(1, len(toks)-1)])
+       |      ELSE [array_to_string(toks, ' ')] END AS st FROM dd),
+       |shx AS (SELECT source, doc_id, unnest(st) AS sgl FROM sets),
+       |sides AS (SELECT DISTINCT source AS g,
+       |    ('0x' || substr(md5(sgl), 1, 15))::BIGINT AS hv,
+       |    CASE WHEN (doc_id // 20) % 5 <> 0 THEN 1 ELSE 0 END AS in_a,
+       |    CASE WHEN (doc_id // 20) % 5 = 0 THEN 1 ELSE 0 END AS in_b
+       |  FROM shx),
+       |u AS (SELECT g, hv, max(in_a) AS in_a, max(in_b) AS in_b
+       |  FROM sides GROUP BY 1, 2),
+       |l AS (SELECT g, hv, in_a, in_b,
+       |    row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM u),
+       |agg AS (SELECT g, count(*) AS n_l,
+       |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS matched,
+       |    sum(in_b) AS n_b
+       |  FROM l WHERE rn <= $KmvK GROUP BY 1),
+       |ctn AS (SELECT g, n_l, matched, n_b,
+       |    matched * CAST(1000000 AS BIGINT) // n_b AS containment_ppm
+       |  FROM agg)
+       |SELECT g AS source, CAST(n_l AS BIGINT) AS n_l,
+       |  CAST(matched AS BIGINT) AS matched, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(containment_ppm AS BIGINT) AS containment_ppm,
+       |  CASE WHEN containment_ppm < $KmvDriftThresholdPpm
+       |    THEN 'shifted' ELSE 'stable' END AS verdict
+       |FROM ctn ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -7141,7 +7218,8 @@ object Queries {
     "q180_kmv_matrix" -> (qKmvMatrix _),
     "q181_unigram_em" -> (qUnigramEm _),
     "q182_cms_joinsize" -> (qCmsJoinSize _),
-    "q183_cms_skew" -> (qCmsSkew _)
+    "q183_cms_skew" -> (qCmsSkew _),
+    "q184_kmv_drift" -> (qKmvDrift _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7331,6 +7409,7 @@ object Queries {
     "q180_kmv_matrix" -> oKmvMatrix,
     "q181_unigram_em" -> oUnigramEm,
     "q182_cms_joinsize" -> oCmsJoinSize,
-    "q183_cms_skew" -> oCmsSkew
+    "q183_cms_skew" -> oCmsSkew,
+    "q184_kmv_drift" -> oKmvDrift
   )
 }

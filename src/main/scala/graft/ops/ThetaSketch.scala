@@ -199,6 +199,8 @@ object ThetaSketch {
       .agg(count(lit(1)).as("n_l"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
           .otherwise(0L)).as("matched"),
+        sum(col("in_a").cast("bigint")).as("n_a"),
+        sum(col("in_b").cast("bigint")).as("n_b"),
         max(col("hv")).as("_kth"))
     val num = lit(new java.math.BigDecimal(
       (BigInt(k - 1) * HashSpace).bigInteger))
@@ -217,8 +219,12 @@ object ThetaSketch {
         expr("matched * CAST(1000000 AS BIGINT) div n_l"))
       .withColumn("inter_est",
         ((interNum - (interNum % interDen)) / interDen).cast("bigint"))
+      // per-side sample memberships: matched/n_b estimates the
+      // CONTAINMENT of B in A (and symmetrically) — the right gate
+      // when the sides' sizes differ (Jaccard punishes asymmetry)
       .select(groupCols.map(col) :+ col("n_l") :+ col("matched") :+
-        col("union_est") :+ col("jaccard_ppm") :+ col("inter_est"): _*)
+        col("n_a") :+ col("n_b") :+ col("union_est") :+
+        col("jaccard_ppm") :+ col("inter_est"): _*)
   }
 
   /** The overlap MATRIX over one sketch table: [[setOps]] for every

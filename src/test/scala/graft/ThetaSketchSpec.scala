@@ -69,9 +69,12 @@ class ThetaSketchSpec extends SparkSpec {
         ThetaSketch.sketch(a, Seq("g"), $"k", k),
         ThetaSketch.sketch(b, Seq("g"), $"k", k),
         Seq("g"), k)
-      .select("n_l", "matched", "union_est", "jaccard_ppm", "inter_est")
-      .as[(Long, Long, Long, Long, Long)].head()
-    val (nL, matched, unionEst, jacPpm, interEst) = out
+      .select("n_l", "matched", "union_est", "jaccard_ppm", "inter_est",
+        "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val (nL, matched, unionEst, jacPpm, interEst, nA, nB) = out
+    assert(nA + nB - matched == nL,
+      "side memberships must tile the combined sample")
     assert(nL == k)
     // ground truth from the same hash space, driver-side
     val ha = (1 to 2000).map(i => Cardinality.hashLong(s"ov-$i")).toSet

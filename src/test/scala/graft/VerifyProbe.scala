@@ -67,8 +67,8 @@ object VerifyProbe {
       ThetaSketch.setOps(skA, skB, Seq("c"), k).collect().head
     }
     println(s"OVERLAP n_l=${ops.getLong(1)} matched=${ops.getLong(2)} " +
-      s"union_est=${ops.getLong(3)} jaccard_ppm=${ops.getLong(4)} " +
-      s"inter_est=${ops.getLong(5)}")
+      s"union_est=${ops.getLong(5)} jaccard_ppm=${ops.getLong(6)} " +
+      s"inter_est=${ops.getLong(7)}")
     require(ops.getLong(1) == k && ops.getLong(2) > 0,
       "overlapping statuses must share sampled hashes")
 
@@ -80,7 +80,7 @@ object VerifyProbe {
       orders.withColumn("c", lit("x")),
       Seq("c"), concat(lit("or-"), col("o_orderkey")), k)
     val dis = ThetaSketch.setOps(skL, skO, Seq("c"), k).collect().head
-    require(dis.getLong(2) == 0 && dis.getLong(5) == 0,
+    require(dis.getLong(2) == 0 && dis.getLong(7) == 0,
       "disjoint key spaces must report zero intersection")
 
     // ---- CMS: grid build at sf0.1, upper-bound property on real keys
