@@ -59,7 +59,7 @@ object CmSketch {
              weight: Column = lit(1L), depth: Int = DefaultDepth,
              width: Int = DefaultWidth): DataFrame = {
     requireGrid(depth, width)
-    val hv = Cardinality.hashOf(key)
+    val hv = ThetaSketch.hash60(key)
     val rows = array((0 until depth).map(i =>
       struct(lit(i).as("d"), colOf(col("_hv"), i, width).as("c"))): _*)
     df.filter(key.isNotNull)
@@ -84,7 +84,7 @@ object CmSketch {
                     probeKey: Column, depth: Int = DefaultDepth,
                     width: Int = DefaultWidth): DataFrame = {
     requireGrid(depth, width)
-    val hv = Cardinality.hashOf(probeKey)
+    val hv = ThetaSketch.hash60(probeKey)
     val rows = array((0 until depth).map(i =>
       struct(lit(i).as("d"), colOf(col("_hv"), i, width).as("c"))): _*)
     val coords = probes.withColumn("_hv", hv)

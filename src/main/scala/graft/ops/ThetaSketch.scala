@@ -44,6 +44,14 @@ object ThetaSketch {
   val HashBits: Int = Cardinality.HashBits
   private val HashSpace: BigInt = BigInt(1) << HashBits
 
+  /** The engine-wide 60-bit hash via the native
+    * [[graft.plans.Md5Hash60]] kernel — one digest pass, no hex
+    * encode/parse round-trip per row (the per-row cost IS the sketch
+    * bill at scale). [[Cardinality.hashOf]] remains the executable
+    * specification; KmvKernelSpec pins kernel == chain bitwise. */
+  private[ops] def hash60(key: Column): Column =
+    call_function("md5_hash60", key.cast("string"))
+
   /** Insert `hv` into the sorted bounded buffer if it belongs among
     * the k smallest distinct values (also the per-event streaming
     * fold — [[graft.streaming.SketchStream]]). */
@@ -125,7 +133,7 @@ object ThetaSketch {
              k: Int): DataFrame = {
     val agg = udaf(new KmvAgg(k))
     df.filter(key.isNotNull)
-      .select(groupCols.map(col) :+ Cardinality.hashOf(key).as("_hv"): _*)
+      .select(groupCols.map(col) :+ hash60(key).as("_hv"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(agg(col("_hv")).as("kmv"))
   }

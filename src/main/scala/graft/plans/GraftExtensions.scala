@@ -130,6 +130,16 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         HllBucketRho(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("md5_hash60"),
+      new ExpressionInfo(
+        classOf[Md5Hash60].getName,
+        null,
+        "md5_hash60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "md5_hash60 expects (string key)")
+        Md5Hash60(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(
         classOf[NfcNormalize].getName,

@@ -72,7 +72,11 @@ class PlanGuardSpec extends SparkSpec {
     "q180_kmv_matrix" -> 2,
     // depth-spine synthesis: crossJoin(G-row group list ×
     // depth-row range) — both sides constant-sized
-    "q183_cms_skew" -> 1)
+    "q183_cms_skew" -> 1,
+    // EM rescore: crossJoin(broadcast(1-row usage total)) — the
+    // q62/q118 shape (q174 collects its vocab before returning, so
+    // the same crossJoin never reaches ITS final plan)
+    "q181_unigram_em" -> 1)
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
