@@ -7034,6 +7034,45 @@ object Queries {
        |    THEN 'shifted' ELSE 'stable' END AS verdict
        |FROM ctn ORDER BY source""".stripMargin
 
+  /** Streaming CMS maintainer ([[graft.streaming.SketchStream.cms]] —
+    * q179's sibling for the count grid): two landing phases split by
+    * event parity; grid cells are plain sums (order-independent), so
+    * the streamed final grids must equal the batch sketch EXACTLY and
+    * the oracle is the batch grid replay. Small 2×64 grid keeps the
+    * gate output readable; the cells are the ledger rows a live
+    * ingest would persist. */
+  private def qStreamCms(s: SparkSession, dir: String): DataFrame = {
+    val d = 2; val w = 64
+    val base = t(s, dir, "events")
+      .select(col("event_type").cast("string").as("k"),
+        col("user_id").cast("string").as("v"),
+        pmod(coalesce(col("event_id"), lit(0L)), lit(2)).as("phase"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q185")
+    try {
+      graft.streaming.SketchStream.replayCms(s,
+          Seq(base.filter(col("phase") === 0).select("k", "v"),
+            base.filter(col("phase") === 1).select("k", "v")),
+          root.toString, d, w)
+        .select(col("k").as("event_type"), col("d"), col("c"), col("cnt"))
+        .orderBy("event_type", "d", "c")
+        .localCheckpoint()
+    } finally deleteRecursively(root)
+  }
+
+  private val oStreamCms = {
+    val half = 1L << 30
+    s"""WITH dep(i) AS (SELECT unnest([0, 1])),
+       |h AS (SELECT event_type,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS hv
+       |  FROM events WHERE user_id IS NOT NULL)
+       |SELECT event_type, CAST(i AS INT) AS d,
+       |  CAST(((hv % $half) + i * (hv // $half)) % 64 AS INT) AS c,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM h CROSS JOIN dep GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -7219,7 +7258,8 @@ object Queries {
     "q181_unigram_em" -> (qUnigramEm _),
     "q182_cms_joinsize" -> (qCmsJoinSize _),
     "q183_cms_skew" -> (qCmsSkew _),
-    "q184_kmv_drift" -> (qKmvDrift _)
+    "q184_kmv_drift" -> (qKmvDrift _),
+    "q185_stream_cms" -> (qStreamCms _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7410,6 +7450,7 @@ object Queries {
     "q181_unigram_em" -> oUnigramEm,
     "q182_cms_joinsize" -> oCmsJoinSize,
     "q183_cms_skew" -> oCmsSkew,
-    "q184_kmv_drift" -> oKmvDrift
+    "q184_kmv_drift" -> oKmvDrift,
+    "q185_stream_cms" -> oStreamCms
   )
 }
