@@ -7073,6 +7073,24 @@ object Queries {
        |ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** Fuzzy string matching ([[ApproxDedup.editDistance1Pairs]] —
+    * SymSpell deletion-neighborhood blocking): every customer-name
+    * pair at Levenshtein distance exactly 1, found via the lossless
+    * variant equi-join (candidates = Σ block², never |names|²) and
+    * verified with the codegen'd `levenshtein`. The oracle brute-forces
+    * all pairs — losslessness IS the gate. */
+  private def qEditDistJoin(s: SparkSession, dir: String): DataFrame =
+    ApproxDedup.editDistance1Pairs(
+        t(s, dir, "customer").select(col("c_name")), "c_name")
+      .orderBy("word_a", "word_b")
+
+  private val oEditDistJoin =
+    """WITH w AS (SELECT DISTINCT c_name AS w FROM customer
+      |  WHERE c_name IS NOT NULL)
+      |SELECT a.w AS word_a, b.w AS word_b
+      |FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
+      |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -7259,7 +7277,8 @@ object Queries {
     "q182_cms_joinsize" -> (qCmsJoinSize _),
     "q183_cms_skew" -> (qCmsSkew _),
     "q184_kmv_drift" -> (qKmvDrift _),
-    "q185_stream_cms" -> (qStreamCms _)
+    "q185_stream_cms" -> (qStreamCms _),
+    "q186_editdist_join" -> (qEditDistJoin _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7451,6 +7470,7 @@ object Queries {
     "q182_cms_joinsize" -> oCmsJoinSize,
     "q183_cms_skew" -> oCmsSkew,
     "q184_kmv_drift" -> oKmvDrift,
-    "q185_stream_cms" -> oStreamCms
+    "q185_stream_cms" -> oStreamCms,
+    "q186_editdist_join" -> oEditDistJoin
   )
 }

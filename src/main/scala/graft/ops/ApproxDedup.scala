@@ -54,6 +54,45 @@ object ApproxDedup {
     * corpus — the per-run [[requireBoundedBlocks]] scan (and, worse,
     * re-deriving the blocking expression behind it) disappears from
     * the steady-state plan. */
+  /** Edit-distance-1 similarity join over a distinct-string table —
+    * SymSpell's deletion-neighborhood blocking (Garbe's symmetric
+    * delete algorithm; the lossless-blocking argument is classical):
+    * two distinct strings with Levenshtein distance ≤ 1 ALWAYS share a
+    * member of {s} ∪ deletions₁(s) — a substitution at position i
+    * leaves both i-deletions equal, and an insertion/deletion makes
+    * one string a 1-deletion of the other — so an equi-join on the
+    * exploded variant set is a COMPLETE candidate generator, verified
+    * exactly with the codegen'd `levenshtein` built-in. The fuzzy-match
+    * primitive (typo-tolerant vocabulary joins, near-identical field
+    * linking) in the [[jaccardPairs]] scale posture: candidates =
+    * Σ variant-block², never |vocab|², and the same hot-block
+    * histogram guard fails fast when a variant (e.g. the 1-deletion
+    * of every 2-letter word) would break that bound. Input should be
+    * DISTINCT strings (vocabulary-dimension, the [[graft.ops.Bpe]]
+    * histogram discipline — at corpus scale join words, not
+    * occurrences). Output: (word_a, word_b) with word_a < word_b,
+    * distance exactly 1. */
+  def editDistance1Pairs(words: DataFrame, wordCol: String,
+                         maxBlockRows: Int = 0): DataFrame = {
+    val w = words.select(col(wordCol).cast("string").as("_w"))
+      .filter(col("_w").isNotNull).distinct()
+    // {s} ∪ deletions₁(s): position 0 keeps s itself (substr deletes
+    // nothing), positions 1..len delete one character each
+    val variants = w.select(col("_w"), explode(transform(
+        sequence(lit(0), length(col("_w"))),
+        i => when(i === 0, col("_w")).otherwise(
+          concat(col("_w").substr(lit(1), i - 1),
+            col("_w").substr(i + 1, length(col("_w"))))))).as("_v"))
+      .distinct() // a word can reach one variant via several deletions
+    requireBoundedBlocks(variants, "_v", maxBlockRows, "editDistance1Pairs")
+    val a = variants.select(col("_w").as("word_a"), col("_v"))
+    val b = variants.select(col("_w").as("word_b"), col("_v"))
+    a.join(b, Seq("_v"))
+      .filter(col("word_a") < col("word_b"))
+      .select(col("word_a"), col("word_b")).distinct()
+      .filter(levenshtein(col("word_a"), col("word_b")) === 1)
+  }
+
   def blockHistogram(df: DataFrame, block: String): DataFrame =
     df.filter(col(block).isNotNull)
       .select(col(block).as("blk"))
