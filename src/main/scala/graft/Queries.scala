@@ -7091,6 +7091,41 @@ object Queries {
       |FROM w a JOIN w b ON a.w < b.w AND levenshtein(a.w, b.w) = 1
       |ORDER BY 1, 2""".stripMargin
 
+  /** Spell-correct SERVE ([[ApproxDedup.editDistance1Lookup]] — the
+    * SymSpell point lookup, q186's serve verb): probes derived from
+    * the corpus vocabulary by deterministic typo rules (drop first
+    * char / append a char / exact, by word-length residue) resolve to
+    * their minimum-distance vocabulary suggestions. Cost is the
+    * probes' variant-block collisions, never |probes|×|vocab|; the
+    * oracle brute-forces every probe×vocab distance. */
+  private def qEditDistLookup(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "").distinct()
+    val probes = words.select(expr(
+      """CASE WHEN length(word) % 3 = 0 THEN substr(word, 2)
+        |     WHEN length(word) % 3 = 1 THEN concat(word, 'q')
+        |     ELSE word END""".stripMargin).as("probe")).distinct()
+    ApproxDedup.editDistance1Lookup(words, "word", probes, "probe")
+      .orderBy("probe", "suggestion")
+  }
+
+  private val oEditDistLookup =
+    """WITH wv AS (SELECT DISTINCT w AS word FROM
+      |    (SELECT unnest(string_split_regex(text, '\s+')) AS w
+      |     FROM documents) WHERE w <> ''),
+      |pr AS (SELECT DISTINCT
+      |    CASE WHEN length(word) % 3 = 0 THEN substr(word, 2)
+      |         WHEN length(word) % 3 = 1 THEN word || 'q'
+      |         ELSE word END AS probe FROM wv),
+      |cand AS (SELECT probe, word AS suggestion,
+      |    levenshtein(probe, word) AS dist
+      |  FROM pr CROSS JOIN wv WHERE levenshtein(probe, word) <= 1),
+      |best AS (SELECT probe, min(dist) AS dist FROM cand GROUP BY 1)
+      |SELECT c.probe, c.suggestion, CAST(c.dist AS INT) AS dist
+      |FROM cand c JOIN best USING (probe, dist)
+      |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -7278,7 +7313,8 @@ object Queries {
     "q183_cms_skew" -> (qCmsSkew _),
     "q184_kmv_drift" -> (qKmvDrift _),
     "q185_stream_cms" -> (qStreamCms _),
-    "q186_editdist_join" -> (qEditDistJoin _)
+    "q186_editdist_join" -> (qEditDistJoin _),
+    "q187_editdist_lookup" -> (qEditDistLookup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7471,6 +7507,7 @@ object Queries {
     "q183_cms_skew" -> oCmsSkew,
     "q184_kmv_drift" -> oKmvDrift,
     "q185_stream_cms" -> oStreamCms,
-    "q186_editdist_join" -> oEditDistJoin
+    "q186_editdist_join" -> oEditDistJoin,
+    "q187_editdist_lookup" -> oEditDistLookup
   )
 }

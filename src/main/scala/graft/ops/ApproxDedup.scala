@@ -93,6 +93,39 @@ object ApproxDedup {
       .filter(levenshtein(col("word_a"), col("word_b")) === 1)
   }
 
+  /** The SERVE verb of [[editDistance1Pairs]] — SymSpell point lookup:
+    * for each probe string, its nearest vocabulary entries within
+    * edit distance ≤ 1, via the same lossless deletion-neighborhood
+    * equi-join (probe variants × vocabulary variants; candidates =
+    * the probes' block collisions, the interactive-probe posture of
+    * [[lshNeighborsFromLedger]]). Returns (probe, suggestion, dist)
+    * for the MINIMUM distance per probe (0 = exact hit, then 1), all
+    * suggestions tied at that distance; probes with nothing within
+    * distance 1 are absent (unmatchable, not zero). */
+  def editDistance1Lookup(vocab: DataFrame, vocabCol: String,
+                          probes: DataFrame, probeCol: String,
+                          maxBlockRows: Int = 0): DataFrame = {
+    def variants(df: DataFrame, c: String, out: String): DataFrame =
+      df.select(col(c).cast("string").as(out))
+        .filter(col(out).isNotNull).distinct()
+        .select(col(out), explode(transform(
+          sequence(lit(0), length(col(out))),
+          i => when(i === 0, col(out)).otherwise(
+            concat(col(out).substr(lit(1), i - 1),
+              col(out).substr(i + 1, length(col(out))))))).as("_v"))
+        .distinct()
+    val v = variants(vocab, vocabCol, "suggestion")
+    requireBoundedBlocks(v, "_v", maxBlockRows, "editDistance1Lookup")
+    val p = variants(probes, probeCol, "probe")
+    val cand = p.join(v, Seq("_v"))
+      .select(col("probe"), col("suggestion")).distinct()
+      .withColumn("dist", levenshtein(col("probe"), col("suggestion")))
+      .filter(col("dist") <= 1)
+    val best = cand.groupBy(col("probe")).agg(min(col("dist")).as("dist"))
+    cand.join(best, Seq("probe", "dist"))
+      .select(col("probe"), col("suggestion"), col("dist"))
+  }
+
   def blockHistogram(df: DataFrame, block: String): DataFrame =
     df.filter(col(block).isNotNull)
       .select(col(block).as("blk"))

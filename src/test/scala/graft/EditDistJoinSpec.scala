@@ -51,6 +51,25 @@ class EditDistJoinSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("lookup returns exactly the minimum-distance suggestions") {
+    val vocab = Seq("spark", "shark", "spade", "zzzzz").toDF("w")
+    val probes = Seq("spark", "sparkx", "parks", "nowhere").toDF("p")
+    val got = ApproxDedup.editDistance1Lookup(vocab, "w", probes, "p")
+      .as[(String, String, Int)].collect().toSet
+    // spark: exact hit wins at dist 0 (shark at 1 is NOT returned);
+    // sparkx: insertion typo of spark; parks: transposition = dist 2,
+    // NOT within 1 → absent; nowhere: absent
+    assert(got == Set(("spark", "spark", 0), ("sparkx", "spark", 1)))
+  }
+
+  test("lookup keeps every tie at the minimum distance") {
+    val vocab = Seq("cat", "car", "cot").toDF("w")
+    val got = ApproxDedup.editDistance1Lookup(vocab, "w",
+        Seq("caz").toDF("p"), "p")
+      .as[(String, String, Int)].collect().toSet
+    assert(got == Set(("caz", "cat", 1), ("caz", "car", 1)))
+  }
+
   test("hot-variant guard fails fast with the op name") {
     // every 2-char word over a tiny alphabet shares 1-char deletions
     val words = (for (a <- 'a' to 'e'; b <- 'a' to 'e') yield s"$a$b").toDF("w")
