@@ -102,8 +102,8 @@ object Bench {
       "q130", "q131", "q132", "q134", "q138", "q140", "q145", "q150",
       "q151", "q153", "q154", "q155", "q156", "q157", "q158", "q159",
       "q161", "q163", "q164", "q166", "q167", "q168", "q169", "q175",
-      "q176", "q177", "q178", "q179", "q185", "q25", "q26", "q78", "q84",
-      "q94")
+      "q176", "q177", "q178", "q179", "q185", "q188", "q25", "q26", "q78",
+      "q84", "q94")
     val results = selected.map { case (name, fn) =>
       def one(): (Double, Boolean) = {
         val t0 = System.nanoTime()

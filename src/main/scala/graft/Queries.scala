@@ -7126,6 +7126,44 @@ object Queries {
       |FROM cand c JOIN best USING (probe, dist)
       |ORDER BY 1, 2""".stripMargin
 
+  /** Incremental kNN-graph refresh ([[Similarity.knnGraphRefresh]] —
+    * the graph family joins the ledger-refresh club): the old-corpus
+    * graph persists once (cells from the FROZEN old-trained
+    * centroids, q122's fixture); a landing batch (vec_id % 10 = 0) is
+    * assigned to those frozen cells and only the TOUCHED cells
+    * recompute — untouched ledger rows pass through verbatim. The
+    * result must equal the from-scratch graph over everything, which
+    * is what the oracle computes (old-only Lloyd's chain, assign all,
+    * within-cell top-3). */
+  private def qKnnRefresh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val oldIdx = ivfOldIndexFor(s, dir)
+    val oldGraph = cachedLedger(s, "knn_graph_ledger", dir)(
+      Similarity.knnGraph(oldIdx.assignments, k = 3))
+    val batch = Similarity.ivfAssign(emb.filter(col("vec_id") % 10 === 0),
+      oldIdx.centroids.select(col("centroid_id"),
+        col("centv").as("embedding")),
+      "vec_id", "centroid_id", "embedding")
+    Similarity.knnGraphRefresh(oldIdx.assignments, oldGraph, batch, k = 3)
+      .select(col("src_id"), col("rank").cast("int").as("rank"),
+        col("dst_id"), col("cos_sim"))
+      .orderBy("src_id", "rank")
+  }
+
+  private val oKnnRefresh =
+    s"""WITH eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${oKmeansChain("SELECT vec_id, v FROM eall WHERE vec_id % 10 <> 0",
+                       "eall", "afall")},
+       |s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+       |        round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+       |      FROM afall a JOIN afall b
+       |        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+       |SELECT src_id, rank, dst_id, cos_sim FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY src_id ORDER BY cos_sim DESC, dst_id) AS INT) AS rank
+       |  FROM s)
+       |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -7314,7 +7352,8 @@ object Queries {
     "q184_kmv_drift" -> (qKmvDrift _),
     "q185_stream_cms" -> (qStreamCms _),
     "q186_editdist_join" -> (qEditDistJoin _),
-    "q187_editdist_lookup" -> (qEditDistLookup _)
+    "q187_editdist_lookup" -> (qEditDistLookup _),
+    "q188_knn_refresh" -> (qKnnRefresh _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7508,6 +7547,7 @@ object Queries {
     "q184_kmv_drift" -> oKmvDrift,
     "q185_stream_cms" -> oStreamCms,
     "q186_editdist_join" -> oEditDistJoin,
-    "q187_editdist_lookup" -> oEditDistLookup
+    "q187_editdist_lookup" -> oEditDistLookup,
+    "q188_knn_refresh" -> oKnnRefresh
   )
 }

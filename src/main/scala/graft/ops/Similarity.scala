@@ -594,6 +594,32 @@ object Similarity {
       .select(col("src_id"), col("rank"), col("dst_id"), col("cos_sim"))
   }
 
+  /** Incremental [[knnGraph]] maintenance — the ledger-refresh pattern
+    * (q104/q108/q122/q152) applied to the graph family: a landing
+    * batch assigned to the FROZEN centroids touches only its own
+    * cells, and cells are independent by construction, so the refresh
+    * recomputes the graph for TOUCHED cells only (old ∪ batch members
+    * of those cells) and keeps every untouched cell's ledger rows
+    * verbatim. Equals rebuilding the whole graph from scratch
+    * byte-for-byte (KnnGraphSpec pins it) at the cost of the touched
+    * cells — at 100 TB a daily batch touches a sliver of the cell
+    * space and the ledger carries the rest. */
+  def knnGraphRefresh(oldAssigned: DataFrame, oldGraph: DataFrame,
+                      batchAssigned: DataFrame, k: Int,
+                      maxCellRows: Int = 0): DataFrame = {
+    val touched = batchAssigned.select(col("centroid_id")).distinct()
+    val all = oldAssigned.unionByName(batchAssigned)
+    val recomputed = knnGraph(
+      all.join(broadcast(touched), Seq("centroid_id"), "leftsemi"),
+      k, maxCellRows)
+    val kept = oldGraph
+      .join(oldAssigned.select(col("corpus_id").as("src_id"),
+        col("centroid_id")), Seq("src_id"))
+      .join(broadcast(touched), Seq("centroid_id"), "left_anti")
+      .select(col("src_id"), col("rank"), col("dst_id"), col("cos_sim"))
+    kept.unionByName(recomputed)
+  }
+
   /** Mutual-kNN edges from a [[knnGraph]]: undirected (id_a < id_b)
     * edges kept only when EACH endpoint ranks the other in its own
     * top-k — the standard symmetrization that strips hub nodes'

@@ -62,6 +62,27 @@ class KnnGraphSpec extends SparkSpec {
     assert(e.getMessage.contains("knnGraph"))
   }
 
+  test("incremental refresh equals the from-scratch graph exactly") {
+    // old corpus in cells 0..3, batch lands in cells 1 and 3 only
+    val old = (0 until 60).map(i => (i.toLong, (i % 4).toLong, vec(i)))
+      .toDF("corpus_id", "centroid_id", "cv")
+    val batch = (100 until 112).map(i => (i.toLong, (1 + 2 * (i % 2)).toLong,
+        vec(i)))
+      .toDF("corpus_id", "centroid_id", "cv")
+    val ledger = Similarity.knnGraph(old, k = 3)
+    val refreshed = Similarity.knnGraphRefresh(old, ledger, batch, k = 3)
+      .orderBy("src_id", "rank").collect().toSeq
+    val scratch = Similarity.knnGraph(old.unionByName(batch), k = 3)
+      .orderBy("src_id", "rank").collect().toSeq
+    assert(refreshed == scratch)
+    // untouched cells (0, 2) rows came straight from the ledger
+    val untouched = ledger.filter($"src_id" % 4 === 0 || $"src_id" % 4 === 2)
+      .orderBy("src_id", "rank").collect().toSeq
+    val refreshedUntouched = refreshed.filter(r =>
+      r.getLong(0) < 100 && (r.getLong(0) % 4 == 0 || r.getLong(0) % 4 == 2))
+    assert(refreshedUntouched == untouched)
+  }
+
   test("every node with cell peers appears with rank 1") {
     val g = Similarity.knnGraph(assigned, 1)
     assert(g.count() == 40) // both cells have >= 2 members
