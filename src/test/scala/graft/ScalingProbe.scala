@@ -550,6 +550,64 @@ object ScalingProbe {
         s"(= Σ cell²; all-pairs would be ${n * (n - 1)}) arcs=$arcs")
     }
 
+    locally {
+      // ed-1 join: candidate pairs = Σ variant-block², never |vocab|²
+      Seq("sf0.01", "sf0.1").foreach { sf =>
+        val names = spark.read.parquet(s"/root/testdata/$sf/customer.parquet")
+          .select(col("c_name").as("_w")).distinct()
+        val n = names.count()
+        val variants = names.select(col("_w"), explode(transform(
+            sequence(lit(0), length(col("_w"))),
+            i => when(i === 0, col("_w")).otherwise(
+              concat(col("_w").substr(lit(1), i - 1),
+                col("_w").substr(i + 1, length(col("_w"))))))).as("_v"))
+          .distinct()
+        val cand = 2L * blockedPairs(variants, col("_v"))
+        val (pairs, t) = timed {
+          ops.ApproxDedup.editDistance1Pairs(names, "_w").count()
+        }
+        assert(cand < n * (n - 1) / 10,
+          s"$sf: variant blocking must prune the all-pairs space " +
+            s"($cand vs ${n * (n - 1)})")
+        println(f"EDJOIN $sf names=$n candidates=$cand " +
+          f"(all-pairs ${n * (n - 1)}) pairs=$pairs t=$t%.2f s")
+      }
+    }
+
+    locally {
+      // kNN-graph refresh: recompute rows = k·|touched-cell members|,
+      // ledger rows pass through for every untouched cell
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val k = 3
+      val idx = ops.Similarity.ivfIndexBuild(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        k = 8, iters = 2)
+      val oldAsg = idx.assignments.localCheckpoint()
+      val ledger = ops.Similarity.knnGraph(oldAsg, k).localCheckpoint()
+      val batch = ops.Similarity.ivfAssign(
+        emb.filter(col("vec_id") % 10 === 0),
+        idx.centroids.select(col("centroid_id"),
+          col("centv").as("embedding")),
+        "vec_id", "centroid_id", "embedding").localCheckpoint()
+      val touched = batch.select("centroid_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val touchedMembers = oldAsg
+        .filter(col("centroid_id").isin(touched.toSeq: _*)).count() +
+        batch.count()
+      val (refreshed, t) = timed {
+        ops.Similarity.knnGraphRefresh(oldAsg, ledger, batch, k).count()
+      }
+      val untouchedLedger = ledger.join(
+        oldAsg.filter(!col("centroid_id").isin(touched.toSeq: _*))
+          .select(col("corpus_id").as("src_id")), Seq("src_id")).count()
+      assert(refreshed == k * touchedMembers + untouchedLedger,
+        s"refresh rows $refreshed != k·touched ${k * touchedMembers} + " +
+          s"ledger pass-through $untouchedLedger")
+      println(f"KNN_REFRESH touchedCells=${touched.size}/8 " +
+        f"touchedMembers=$touchedMembers ledgerRows=$untouchedLedger " +
+        f"t=$t%.2f s (recompute scales with touched cells only)")
+    }
+
     println("PROBE_OK")
     spark.stop()
   }
