@@ -7164,6 +7164,59 @@ object Queries {
        |  FROM s)
        |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
 
+  // ------------------------------------------------------------ PageRank
+  /** Integer-exact PageRank ([[PageRank.pageRank]]) over the semantic
+    * kNN graph (q175's edges from the persisted IVF fixture) — the
+    * graph-centrality selector behind "pick the representative
+    * documents": 5 synchronous µ-unit update steps, damping 85/100,
+    * every division truncating, so the oracle's unrolled iteration
+    * chain replays the ranks bit for bit. Per-iteration cost is one
+    * rank⋈edges shuffle + one map-side-combined sum onto destinations. */
+  private val PrIters = 5
+  private val PrTotalU = 1000000000000L
+
+  private def qPageRank(s: SparkSession, dir: String): DataFrame =
+    PageRank.pageRank(
+        Similarity.knnGraph(ivfIndexFor(s, dir).assignments, k = 3)
+          .select(col("src_id"), col("dst_id")),
+        "src_id", "dst_id", iters = PrIters, totalU = PrTotalU)
+      .orderBy("id")
+
+  private val oPageRank: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""pk$i AS (SELECT g.dst_id AS id,
+         |    CAST(sum((85 * (r.rank_u // od.outdeg)) // 100) AS BIGINT)
+         |      AS in_u
+         |  FROM g JOIN od USING (src_id) JOIN pr${i - 1} r
+         |    ON r.id = g.src_id
+         |  GROUP BY 1),
+         |pr$i AS MATERIALIZED (SELECT n.id,
+         |    CAST(pp.base + coalesce(c.in_u, 0) AS BIGINT) AS rank_u
+         |  FROM nodes n CROSS JOIN pp LEFT JOIN pk$i c ON c.id = n.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $oKmeansAf,
+       |g AS MATERIALIZED (SELECT src_id, dst_id FROM (
+       |    SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(${cosSql("a.v", "b.v")}, 6) DESC, b.vec_id)
+       |        AS rank
+       |    FROM af a JOIN af b
+       |      ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= 3),
+       |nodes AS MATERIALIZED (
+       |  SELECT src_id AS id FROM g UNION SELECT dst_id FROM g),
+       |od AS MATERIALIZED (
+       |  SELECT src_id, count(*) AS outdeg FROM g GROUP BY 1),
+       |pp AS MATERIALIZED (SELECT
+       |    CAST($PrTotalU // count(*) AS BIGINT) AS init,
+       |    CAST((15 * ($PrTotalU // count(*))) // 100 AS BIGINT) AS base
+       |  FROM nodes),
+       |pr0 AS (SELECT id, init AS rank_u FROM nodes, pp),
+       |$iters
+       |SELECT id, rank_u FROM pr$PrIters ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -7353,7 +7406,8 @@ object Queries {
     "q185_stream_cms" -> (qStreamCms _),
     "q186_editdist_join" -> (qEditDistJoin _),
     "q187_editdist_lookup" -> (qEditDistLookup _),
-    "q188_knn_refresh" -> (qKnnRefresh _)
+    "q188_knn_refresh" -> (qKnnRefresh _),
+    "q189_pagerank" -> (qPageRank _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7548,6 +7602,7 @@ object Queries {
     "q185_stream_cms" -> oStreamCms,
     "q186_editdist_join" -> oEditDistJoin,
     "q187_editdist_lookup" -> oEditDistLookup,
-    "q188_knn_refresh" -> oKnnRefresh
+    "q188_knn_refresh" -> oKnnRefresh,
+    "q189_pagerank" -> oPageRank
   )
 }
