@@ -7217,6 +7217,116 @@ object Queries {
        |SELECT id, rank_u FROM pr$PrIters ORDER BY id""".stripMargin
   }
 
+  // =================================================================
+  // MVCC versioned store: time-travel, CDC changelog, retention GC.
+  // =================================================================
+
+  /** Build-once four-epoch [[graft.sinks.VersionedStore]] over the
+    * supplier table: e1 bulk-loads three quarters of the keys (k%4≠0),
+    * e2 upserts k%3=0 (part update, part insert) at +100, e3 deletes
+    * k%5=0, e4 upserts k%7=0 at +1000 (re-inserting some deleted
+    * keys). Epoch count is the build guard — a crashed partial build
+    * rebuilds from scratch; a complete store is reused as-is (all
+    * reads are against immutable committed generations). */
+  private def versionedStoreAt(s: SparkSession, dir: String,
+                               kind: String): String = {
+    val root = fixPath(kind, dir) + "/store"
+    if (graft.sinks.VersionedStore.currentEpoch(root) != 4L) {
+      deleteTree(fixPath(kind, dir))
+      val base = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("bigint").as("k"),
+        floor(col("s_acctbal")).cast("bigint").as("v"),
+        col("s_nationkey").cast("bigint").as("nat"))
+      graft.sinks.VersionedStore.upsert(
+        base.filter(col("k") % 4 =!= 0), Seq("k"), root)
+      graft.sinks.VersionedStore.upsert(
+        base.filter(col("k") % 3 === 0).withColumn("v", col("v") + 100L),
+        Seq("k"), root)
+      graft.sinks.VersionedStore.delete(
+        base.filter(col("k") % 5 === 0).select("k"), root)
+      graft.sinks.VersionedStore.upsert(
+        base.filter(col("k") % 7 === 0).withColumn("v", col("v") + 1000L),
+        Seq("k"), root)
+    }
+    root
+  }
+
+  /** Shared oracle CTEs replaying the four-epoch store history as pure
+    * SQL set algebra: sN = the exact store snapshot at epoch N. */
+  private val oVstoreCtes =
+    """base AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                CAST(floor(s_acctbal) AS BIGINT) AS v,
+      |                CAST(s_nationkey AS BIGINT) AS nat FROM supplier),
+      |s2 AS (SELECT k, v + 100 AS v, nat FROM base WHERE k % 3 = 0
+      |       UNION ALL
+      |       SELECT k, v, nat FROM base WHERE k % 4 <> 0 AND k % 3 <> 0),
+      |s3 AS (SELECT * FROM s2 WHERE k % 5 <> 0),
+      |s4 AS (SELECT k, v + 1000 AS v, nat FROM base WHERE k % 7 = 0
+      |       UNION ALL
+      |       SELECT * FROM s3 WHERE k % 7 <> 0)""".stripMargin
+
+  // ------------------------------------------------- time-travel read
+  /** Time-travel read ([[graft.sinks.VersionedStore.readAsOf]]): the
+    * exact store contents as of epoch 2, served AFTER epochs 3 and 4
+    * rewrote some of the same buckets — per bucket the newest committed
+    * generation ≤ 2, resolved from one commit-marker listing; no data
+    * file is ever mutated, so the historical snapshot is byte-exact.
+    * The Delta/Iceberg `VERSION AS OF` the reference's last-writer-wins
+    * stat table (s3_monitor_statistic.py:47-91) cannot answer. */
+  private def qStoreAsOf(s: SparkSession, dir: String): DataFrame =
+    graft.sinks.VersionedStore.readAsOf(s,
+        versionedStoreAt(s, dir, "vstore"), epoch = 2L)
+      .orderBy("k")
+
+  private val oStoreAsOf =
+    s"""WITH $oVstoreCtes
+       |SELECT k, v, nat FROM s2 ORDER BY k""".stripMargin
+
+  // --------------------------------------------------- CDC changelog
+  /** Change-data-capture between epochs 2 and 4
+    * ([[graft.sinks.VersionedStore.changelog]]): one row per key whose
+    * state differs, classified insert (e4 wrote a never-loaded key) /
+    * update (e4 rewrote a live key) / delete (e3 removed it, e4 did
+    * not re-insert), carrying the new values (null for deletes). Only
+    * buckets some epoch in (2,4] committed are read — an untouched
+    * bucket is byte-identical at both ends and is pruned without
+    * opening a file, so CDC cost scales with change volume, not store
+    * size (VersionedStoreSpec pins the pruning via inputFiles). */
+  private def qStoreChangelog(s: SparkSession, dir: String): DataFrame =
+    graft.sinks.VersionedStore.changelog(s,
+        versionedStoreAt(s, dir, "vstore"), fromEpoch = 2L, toEpoch = 4L)
+      .orderBy("k")
+
+  private val oStoreChangelog =
+    s"""WITH $oVstoreCtes
+       |SELECT coalesce(o.k, n.k) AS k,
+       |       CASE WHEN o.k IS NULL THEN 'insert'
+       |            WHEN n.k IS NULL THEN 'delete'
+       |            ELSE 'update' END AS change,
+       |       n.v AS v, n.nat AS nat
+       |FROM s2 o FULL OUTER JOIN s4 n ON o.k = n.k
+       |WHERE o.k IS NULL OR n.k IS NULL
+       |   OR o.v IS DISTINCT FROM n.v OR o.nat IS DISTINCT FROM n.nat
+       |ORDER BY k""".stripMargin
+
+  // ------------------------------------------------------ retention GC
+  /** Retention vacuum ([[graft.sinks.VersionedStore.vacuum]]) on its
+    * own copy of the four-epoch store: GC every generation no snapshot
+    * at or after epoch 3 can reach (pure metadata work — O(buckets)
+    * listings and deletes, no Spark job, no data file read), then
+    * prove the retained boundary snapshot readAsOf(3) still serves
+    * byte-exact. Reads below the watermark now fail fast
+    * (VersionedStoreSpec); the oracle replays snapshot 3. */
+  private def qStoreVacuum(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedStoreAt(s, dir, "vstorevac")
+    graft.sinks.VersionedStore.vacuum(root, retainAsOf = 3L)
+    graft.sinks.VersionedStore.readAsOf(s, root, epoch = 3L).orderBy("k")
+  }
+
+  private val oStoreVacuum =
+    s"""WITH $oVstoreCtes
+       |SELECT k, v, nat FROM s3 ORDER BY k""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -7407,7 +7517,10 @@ object Queries {
     "q186_editdist_join" -> (qEditDistJoin _),
     "q187_editdist_lookup" -> (qEditDistLookup _),
     "q188_knn_refresh" -> (qKnnRefresh _),
-    "q189_pagerank" -> (qPageRank _)
+    "q189_pagerank" -> (qPageRank _),
+    "q190_store_asof" -> (qStoreAsOf _),
+    "q191_store_changelog" -> (qStoreChangelog _),
+    "q192_store_vacuum" -> (qStoreVacuum _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7603,6 +7716,9 @@ object Queries {
     "q186_editdist_join" -> oEditDistJoin,
     "q187_editdist_lookup" -> oEditDistLookup,
     "q188_knn_refresh" -> oKnnRefresh,
-    "q189_pagerank" -> oPageRank
+    "q189_pagerank" -> oPageRank,
+    "q190_store_asof" -> oStoreAsOf,
+    "q191_store_changelog" -> oStoreChangelog,
+    "q192_store_vacuum" -> oStoreVacuum
   )
 }

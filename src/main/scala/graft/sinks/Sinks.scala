@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  private def fsOf(path: String): (FileSystem, Path) = {
+  private[sinks] def fsOf(path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(hadoopConf), p)
   }
@@ -33,8 +33,8 @@ object Sinks {
     * most rename failures by returning false, and swallowing that
     * would let a caller believe a marker (or manifest) landed when
     * nothing is on disk. */
-  private def writeMarker(fs: FileSystem, target: Path, content: String,
-                          replace: Boolean): Unit = {
+  private[sinks] def writeMarker(fs: FileSystem, target: Path, content: String,
+                                 replace: Boolean): Unit = {
     if (!replace && fs.exists(target)) return
     val tmp = new Path(target.getParent, target.getName + ".tmp")
     val out = fs.create(tmp, true)
@@ -47,7 +47,7 @@ object Sinks {
     }
   }
 
-  private def readMarker(fs: FileSystem, p: Path): Option[String] =
+  private[sinks] def readMarker(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

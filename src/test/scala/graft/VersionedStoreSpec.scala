@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.VersionedStore
+
+/** The MVCC store's contracts: epoch visibility is a single atomic
+  * commit-marker rename (history is never rewritten), every committed
+  * snapshot stays byte-exact under later writes, CDC reads only
+  * changed buckets, vacuum never breaks a retained snapshot, and an
+  * upsert is ONE staging job regardless of touched-bucket count. */
+class VersionedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ks: Seq[Long], v: Long => Long): DataFrame =
+    ks.map(k => (k, v(k))).toDF("k", "v")
+
+  /** Four-epoch store over keys 1..45 (+50..52): e1 load 1..40, e2
+    * upsert 30..45 (updates+inserts), e3 delete multiples of 4, e4
+    * insert 50..52. */
+  private def build(root: String): Unit = {
+    assert(VersionedStore.upsert(rows(1L to 40L, _ * 10), Seq("k"), root) == 1L)
+    assert(VersionedStore.upsert(rows(30L to 45L, _ * 10 + 1), Seq("k"), root) == 2L)
+    assert(VersionedStore.delete(
+      (1L to 45L).filter(_ % 4 == 0).toDF("k"), root) == 3L)
+    assert(VersionedStore.upsert(rows(50L to 52L, _ * 10), Seq("k"), root) == 4L)
+  }
+
+  private def s1 = (1L to 40L).map(k => (k, k * 10))
+  private def s2 = (1L to 29L).map(k => (k, k * 10)) ++
+    (30L to 45L).map(k => (k, k * 10 + 1))
+  private def s3 = s2.filterNot(_._1 % 4 == 0)
+  private def s4 = s3 ++ (50L to 52L).map(k => (k, k * 10))
+
+  private def readSet(root: String, e: Long): Seq[(Long, Long)] =
+    VersionedStore.readAsOf(spark, root, e).as[(Long, Long)]
+      .collect().toSeq.sorted
+
+  test("time travel: every epoch's snapshot stays byte-exact after later writes") {
+    val root = tmpDir("vstore_tt") + "/store"
+    build(root)
+    assert(VersionedStore.currentEpoch(root) == 4L)
+    assert(readSet(root, 1) == s1.sorted)
+    assert(readSet(root, 2) == s2.sorted)
+    assert(readSet(root, 3) == s3.sorted)
+    assert(readSet(root, 4) == s4.sorted)
+    // epoch 0 = before anything: empty, with the store's schema
+    val e0 = VersionedStore.readAsOf(spark, root, 0)
+    assert(e0.count() == 0 && e0.columns.toSeq == Seq("k", "v"))
+    // current read == newest snapshot
+    assert(VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toSeq.sorted == s4.sorted)
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, root, 5)
+    }
+  }
+
+  test("snapshot isolation: a reader resolved before a commit never sees it") {
+    val root = tmpDir("vstore_iso") + "/store"
+    build(root)
+    // resolve the plan (generation list) FIRST, commit afterwards
+    val snap = VersionedStore.readAsOf(spark, root, 4)
+    VersionedStore.upsert(rows(Seq(1L, 50L), _ => 999L), Seq("k"), root)
+    assert(snap.as[(Long, Long)].collect().toSeq.sorted == s4.sorted,
+      "an in-flight reader must keep serving its resolved snapshot")
+    assert(VersionedStore.read(spark, root).filter($"v" === 999L).count() == 2)
+  }
+
+  test("an uncommitted generation is invisible; vacuum removes it once superseded") {
+    val root = tmpDir("vstore_crash") + "/store"
+    build(root)
+    val (fs, dir) = (new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(root))
+    // a crashed writer's leftover: a (bucket, epoch) pair the commit
+    // log verifiably never named — pick a bucket epoch 1 seeded but
+    // epoch 4 did NOT touch (e4 wrote <= 3 of the 8 buckets)
+    val cs = VersionedStore.commits(root)
+    val b = (cs.find(_.epoch == 1L).get.buckets.toSet --
+      cs.find(_.epoch == 4L).get.buckets.toSet).head
+    val stray = new Path(dir, f"b$b%05d/g0000004")
+    fs.mkdirs(stray)
+    val junkSrc = tmpDir("vstore_junk")
+    rows(Seq(666L), _ => 666L).coalesce(1).write.mode("overwrite")
+      .parquet(s"$junkSrc/j")
+    val junkPart = fs.listStatus(new Path(s"$junkSrc/j"))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    assert(fs.rename(junkPart, new Path(stray, "part-00000.parquet")))
+    fs.create(new Path(stray, "_SUCCESS"), true).close()
+    // invisible: snapshot resolution is commit-log-driven, never a listing
+    assert(readSet(root, 4) == s4.sorted)
+    // in-flight epochs (> current) survive vacuum; stale strays (<= current) go
+    val inflight = new Path(dir, f"b$b%05d/g0000009")
+    fs.mkdirs(inflight)
+    fs.create(new Path(inflight, "_EMPTY"), true).close()
+    VersionedStore.vacuum(root, retainAsOf = 1L)
+    assert(fs.exists(inflight), "an in-flight writer's generation must survive")
+    assert(!fs.exists(stray), "a stale uncommitted generation must be GC'd")
+    assert(readSet(root, 4) == s4.sorted)
+  }
+
+  test("changelog classifies insert/update/delete and prunes untouched buckets") {
+    val root = tmpDir("vstore_cdc") + "/store"
+    build(root)
+    val full = VersionedStore.changelog(spark, root, 1, 4)
+      .select($"k", $"change", $"v").as[(Long, String, Option[Long])]
+      .collect().toSeq.sorted
+    val expected = (
+      // inserts: e2's 41..45 minus e3's deletes, plus e4's 50..52
+      ((41L to 45L).filterNot(_ % 4 == 0).map(k => (k, "insert", Some(k * 10 + 1))) ++
+        (50L to 52L).map(k => (k, "insert", Some(k * 10)))) ++
+      // updates: e2 rewrote 30..40 minus later deletes
+      (30L to 40L).filterNot(_ % 4 == 0).map(k => (k, "update", Some(k * 10 + 1))) ++
+      // deletes: multiples of 4 that were live at epoch 1
+      (1L to 40L).filter(_ % 4 == 0).map(k => (k, "delete", None))
+    ).sorted
+    assert(full == expected)
+    // empty range: no commits in (4,4]
+    assert(VersionedStore.changelog(spark, root, 4, 4).count() == 0)
+    // delete-only range
+    assert(VersionedStore.changelog(spark, root, 2, 3)
+      .select($"change").distinct().as[String].collect().toSeq == Seq("delete"))
+
+    // bucket pruning: epoch 5 touches exactly ONE key -> one bucket;
+    // changelog(4,5) may open files ONLY under that bucket
+    VersionedStore.upsert(rows(Seq(7L), _ => 777L), Seq("k"), root)
+    val cdc = VersionedStore.changelog(spark, root, 4, 5)
+    val bucketsRead = cdc.inputFiles.map { f =>
+      f.split("/").find(_.matches("^b\\d{5}$")).get
+    }.toSet
+    assert(bucketsRead.size == 1,
+      s"changelog must read only changed buckets, read: $bucketsRead")
+    assert(cdc.select($"k", $"change", $"v").as[(Long, String, Option[Long])]
+      .collect().toSeq == Seq((7L, "update", Some(777L))))
+  }
+
+  test("delete edge cases: absent keys are a no-op; an emptied bucket serves and re-fills") {
+    val root = tmpDir("vstore_del") + "/store"
+    VersionedStore.upsert(rows(Seq(1L, 2L, 3L), _ * 10), Seq("k"), root, nBuckets = 2)
+    // absent keys: no new epoch
+    assert(VersionedStore.delete(Seq(99L, 100L).toDF("k"), root) == 1L)
+    assert(VersionedStore.currentEpoch(root) == 1L)
+    // empty a whole bucket (and more), then the store entirely
+    assert(VersionedStore.delete(Seq(1L, 2L, 3L).toDF("k"), root) == 2L)
+    val empty = VersionedStore.read(spark, root)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "v"))
+    // re-fill after total emptiness
+    VersionedStore.upsert(rows(Seq(5L), _ => 50L), Seq("k"), root)
+    assert(readSet(root, 3) == Seq((5L, 50L)))
+    assert(readSet(root, 2) == Seq.empty)
+  }
+
+  test("vacuum: retained snapshots intact, older reads fail fast, GC counted") {
+    val root = tmpDir("vstore_vac") + "/store"
+    build(root)
+    val before = readSet(root, 3)
+    val rep = VersionedStore.vacuum(root, retainAsOf = 3L)
+    assert(rep.watermark == 3L)
+    assert(rep.deletedGens > 0, "epochs 1-2 generations shadowed by 3+ must go")
+    assert(readSet(root, 3) == before && readSet(root, 4) == s4.sorted,
+      "vacuum must never break a retained snapshot")
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, root, 2)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedStore.changelog(spark, root, 2, 4)
+    }
+    // idempotent: nothing left to delete at the same watermark
+    assert(VersionedStore.vacuum(root, retainAsOf = 3L).deletedGens == 0L)
+    // watermark is monotone: a LOWER retainAsOf cannot reopen history
+    assert(VersionedStore.vacuum(root, retainAsOf = 1L).watermark == 3L)
+  }
+
+  test("an upsert is one staging job regardless of touched-bucket count") {
+    val root = tmpDir("vstore_onejob") + "/store"
+    // epoch 1 seeds 16 buckets; epoch 2 touches ALL of them
+    VersionedStore.upsert(rows(1L to 200L, _ * 10), Seq("k"), root, nBuckets = 16)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      VersionedStore.upsert(rows(1L to 200L, _ * 10 + 1), Seq("k"), root)
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // checkpoint + touched-collect + snapshot-read + staged write (AQE
+    // may stage the shuffle) — a constant handful, NOT O(buckets); the
+    // mutable store's old driver loop would have run >= 16 jobs here
+    assert(jobs.get() <= 8,
+      s"upsert must be a constant number of jobs, got ${jobs.get()} for 16 buckets")
+    assert(VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toSeq.sorted == (1L to 200L).map(k => (k, k * 10 + 1)).sorted)
+  }
+}
