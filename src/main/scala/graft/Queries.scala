@@ -7327,6 +7327,238 @@ object Queries {
     s"""WITH $oVstoreCtes
        |SELECT k, v, nat FROM s3 ORDER BY k""".stripMargin
 
+  // =================================================================
+  // Corpus analytics: random-projection compression, PMI, Zipf/Heaps,
+  // robust MAD outlier gating.
+  // =================================================================
+
+  /** DuckDB fragment for the engine's eighth-bit log₂ of a BIGINT
+    * count: bits8(256·x) — mirrors [[graft.functions.Fns.bits8FromQ8Sql]]
+    * with DuckDB's `//` and `<<`. */
+  private def oL8(x: String): String = {
+    val q8 = s"(($x) * CAST(256 AS BIGINT))"
+    s"((CAST(length(bin($q8)) - 1 AS INT) - 8) * 8" +
+      s" + ($q8 * 8) // (CAST(1 AS BIGINT) << CAST(length(bin($q8)) - 1 AS INT))" +
+      s" - 8)"
+  }
+
+  private val RpBits = 32
+  private val RpDim = 64
+
+  /** Shared CTEs producing `rpsig` (vec_id, rp_sig): DuckDB replay of
+    * [[graft.ops.RandomProjection.signatures]] — the ±1 hyperplane
+    * matrix regenerates from `md5('rp:<bit>:<dim>')` parity (the same
+    * 60-bit prefix the engine's md5_hash60 kernel computes), and each
+    * dimension quantizes to ⌊v·10⁶⌋ so hyperplane sums are exact
+    * BIGINT sums in both engines. */
+  private val oRpSigCtes =
+    s"""sgn AS (SELECT b, i,
+       |          CASE WHEN ('0x' || substr(md5('rp:' || b || ':' || i), 1, 15))::BIGINT
+       |                    % 2 = 0 THEN 1 ELSE -1 END AS s
+       |        FROM range(0, $RpBits) t(b), range(0, $RpDim) u(i)),
+       |ev AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |              CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+       |                AS BIGINT) AS q
+       |       FROM embeddings),
+       |dots AS (SELECT e.vec_id, g.b, sum(e.q * g.s) AS dot
+       |         FROM ev e JOIN sgn g ON g.i = e.i GROUP BY 1, 2),
+       |rpsig AS (SELECT vec_id,
+       |            CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << b
+       |                     ELSE 0 END) AS BIGINT) AS rp_sig
+       |          FROM dots GROUP BY 1)""".stripMargin
+
+  // --------------------------------------------- RP signature compress
+  /** Signed random projection ([[graft.ops.RandomProjection.signatures]]):
+    * every 64-float embedding compresses to one 32-bit signature in a
+    * single codegen'd pass (no shuffle, no UDF) — the 32×-smaller scan
+    * path for vector search at 100 TB. Fixed-point dimension sums make
+    * the sign bits integer-exact; the oracle regenerates the same
+    * hyperplanes from md5 parity. */
+  private def qRpSignature(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RandomProjection.signatures(
+        t(s, dir, "embeddings"), "vec_id", "embedding", RpBits, RpDim)
+      .orderBy("vec_id")
+
+  private val oRpSignature =
+    s"""WITH $oRpSigCtes
+       |SELECT vec_id, rp_sig FROM rpsig ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------- RP recall probe
+  /** The compression-quality gate: Hamming top-10 over the 32-bit
+    * signatures ([[graft.ops.RandomProjection.hammingTopK]] — xor +
+    * popcount on the compressed scan) measured against the exact
+    * cosine top-10, per query, as integer recall ppm
+    * ([[graft.ops.Similarity.recallAtK]] — the same gate shape as the
+    * q94 ANN gate). This is the number that says whether the 32×
+    * cheaper scan is allowed to serve the shortlist. */
+  private def qRpRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val sigs = graft.ops.RandomProjection.signatures(
+      emb, "vec_id", "embedding", RpBits, RpDim)
+    val approx = graft.ops.RandomProjection.hammingTopK(
+      sigs.filter(col("vec_id") < 5), sigs, "vec_id", "vec_id", "rp_sig", k = 10)
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(approx, exact).orderBy("query_id")
+  }
+
+  private val oRpRecall =
+    s"""WITH $oRpSigCtes,
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |ex AS (SELECT query_id, corpus_id FROM (
+       |    SELECT q.query_id, e.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(${cosSql("qv", "v")}, 6) DESC, e.vec_id) AS rk
+       |    FROM q JOIN e ON e.vec_id <> q.query_id)
+       |  WHERE rk <= 10),
+       |hq AS (SELECT vec_id AS query_id, rp_sig AS qs FROM rpsig WHERE vec_id < 5),
+       |ha AS (SELECT query_id, corpus_id FROM (
+       |    SELECT h.query_id, c.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY h.query_id
+       |        ORDER BY bit_count(xor(h.qs, c.rp_sig)), c.vec_id) AS rk
+       |    FROM hq h JOIN rpsig c ON c.vec_id <> h.query_id)
+       |  WHERE rk <= 10),
+       |hit AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |        FROM ex e JOIN ha a
+       |          ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+       |        GROUP BY 1)
+       |SELECT e.query_id, CAST(count(*) AS BIGINT) AS k_exact,
+       |       CAST(coalesce(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+       |       CAST(coalesce(max(h.n_hit), 0) * 1000000 // count(*) AS BIGINT)
+       |         AS recall_ppm
+       |FROM ex e LEFT JOIN hit h ON h.query_id = e.query_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------ windowed PMI
+  /** Windowed PMI collocations ([[graft.ops.CorpusStats.pmi]], window
+    * 2, c_ab ≥ 5): pair sites come from a per-document expression (no
+    * positional self-join in the engine plan — the oracle's join IS
+    * the shape the engine avoids), and the log₂ arithmetic is the
+    * SIGNED SUM of eighth-bit quantizations, so no count product is
+    * ever materialized — overflow-free at any corpus size. */
+  private def qPmiPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.pmi(t(s, dir, "documents"), col("text"),
+        window = 2, minCount = 5L)
+      .orderBy("a", "b")
+
+  private val oPmiPairs =
+    s"""WITH tokp AS (SELECT doc_id,
+       |    generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i,
+       |    unnest(string_split_regex(text, '\\s+')) AS t
+       |  FROM documents),
+       |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tokp GROUP BY 1),
+       |tt AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM uni),
+       |pc AS (SELECT least(x.t, y.t) AS a, greatest(x.t, y.t) AS b,
+       |         CAST(count(*) AS BIGINT) AS c_ab
+       |       FROM tokp x JOIN tokp y
+       |         ON x.doc_id = y.doc_id AND y.i - x.i BETWEEN 1 AND 2
+       |       GROUP BY 1, 2),
+       |pt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS ptot FROM pc),
+       |j AS (SELECT pc.a, pc.b, pc.c_ab, ua.c AS c_a, ub.c AS c_b, tot, ptot
+       |      FROM pc
+       |      JOIN uni ua ON ua.t = pc.a
+       |      JOIN uni ub ON ub.t = pc.b, tt, pt
+       |      WHERE pc.c_ab >= 5)
+       |SELECT a, b, c_ab,
+       |  CAST(${oL8("c_ab")} + 2 * ${oL8("tot")} - ${oL8("ptot")}
+       |       - ${oL8("c_a")} - ${oL8("c_b")} AS BIGINT) AS pmi_bits8
+       |FROM j ORDER BY a, b""".stripMargin
+
+  // ------------------------------------------------ Zipf rank-frequency
+  /** Zipf rank-frequency fingerprint ([[graft.ops.CorpusStats.zipf]]):
+    * vocab-sized aggregate + vocab-sized rank window; rf = rank·freq
+    * is the near-constant Zipf product whose drift profiles corpus
+    * health. */
+  private def qZipfRanks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.zipf(t(s, dir, "documents"), col("text"))
+      .orderBy("rank")
+
+  private val oZipfRanks =
+    """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+      |  FROM documents),
+      |f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+      |r AS (SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+      |        AS rank, token, freq
+      |      FROM f)
+      |SELECT rank, token, freq, rank * freq AS rf
+      |FROM r ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------- Heaps vocab growth
+  /** Heaps vocabulary-growth curve ([[graft.ops.CorpusStats.heapsCurve]]
+    * in doc_id order): one corpus scan — first-occurrence position per
+    * TYPE (vocab-sized shuffle), then a doc-spine cumulative window;
+    * no per-prefix rescan of the corpus. The curve's flattening is the
+    * "does more data still buy vocabulary" signal. */
+  private def qHeapsCurve(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.heapsCurve(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      .orderBy("ord")
+
+  private val oHeapsCurve =
+    """WITH tokp AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+      |  FROM documents),
+      |pd AS (SELECT doc_id AS ord,
+      |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+      |       FROM documents),
+      |nt AS (SELECT ford AS ord, CAST(count(*) AS BIGINT) AS new_types
+      |       FROM (SELECT t, min(doc_id) AS ford FROM tokp GROUP BY 1)
+      |       GROUP BY 1)
+      |SELECT p.ord,
+      |  CAST(row_number() OVER (ORDER BY p.ord) AS BIGINT) AS n_docs,
+      |  CAST(sum(p.n_tok) OVER (ORDER BY p.ord) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY p.ord) AS BIGINT)
+      |    AS vocab
+      |FROM pd p LEFT JOIN nt ON nt.ord = p.ord
+      |ORDER BY p.ord""".stripMargin
+
+  // ------------------------------------------------- MAD spike gate
+  /** Robust per-type activity-outlier gate
+    * ([[graft.ops.Distribution.madOutliers]] over per-minute event
+    * counts): median/MAD thresholds (50% breakdown — a burst cannot
+    * drag the baseline up to hide itself) computed by the exact
+    * distributed quantile machinery, never a global sort; the oracle
+    * replays the lower-median selections by window rank. */
+  private def qMadSpikes(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val counts = ev.select(col("event_type"), eventSec(ev).as("sec"))
+      .withColumn("minute", expr("sec div 60"))
+      .groupBy("event_type", "minute").agg(count(lit(1)).as("n"))
+    Distribution.madOutliers(counts, Seq("event_type"), col("n"), mult = 3L)
+      .orderBy("event_type")
+  }
+
+  private val oMadSpikes =
+    """WITH c AS (SELECT event_type, (epoch_ns(ts) // 1000000000) // 60 AS minute,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |medr AS (SELECT event_type, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM c),
+      |med AS (SELECT event_type, n AS med FROM medr
+      |        WHERE rn = (cnt * 500000 + 999999) // 1000000),
+      |d AS (SELECT c.event_type, c.n, abs(c.n - m.med) AS dv, m.med
+      |      FROM c JOIN med m ON m.event_type = c.event_type),
+      |madr AS (SELECT event_type, dv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM d),
+      |mad AS (SELECT event_type, dv AS mad FROM madr
+      |        WHERE rn = (cnt * 500000 + 999999) // 1000000)
+      |SELECT c.event_type,
+      |  CAST(max(m.med) AS BIGINT) AS med,
+      |  CAST(max(a.mad) AS BIGINT) AS mad,
+      |  CAST(max(m.med + 3 * a.mad) AS BIGINT) AS threshold,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN c.n > m.med + 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST(max(c.n) AS BIGINT) AS max_v
+      |FROM c
+      |JOIN med m ON m.event_type = c.event_type
+      |JOIN mad a ON a.event_type = c.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------ api
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_size_histogram" -> (qSizeHistogram _),
@@ -7520,7 +7752,13 @@ object Queries {
     "q189_pagerank" -> (qPageRank _),
     "q190_store_asof" -> (qStoreAsOf _),
     "q191_store_changelog" -> (qStoreChangelog _),
-    "q192_store_vacuum" -> (qStoreVacuum _)
+    "q192_store_vacuum" -> (qStoreVacuum _),
+    "q193_rp_signature" -> (qRpSignature _),
+    "q194_rp_recall" -> (qRpRecall _),
+    "q195_pmi_pairs" -> (qPmiPairs _),
+    "q196_zipf_ranks" -> (qZipfRanks _),
+    "q197_heaps_curve" -> (qHeapsCurve _),
+    "q198_mad_spikes" -> (qMadSpikes _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7719,6 +7957,12 @@ object Queries {
     "q189_pagerank" -> oPageRank,
     "q190_store_asof" -> oStoreAsOf,
     "q191_store_changelog" -> oStoreChangelog,
-    "q192_store_vacuum" -> oStoreVacuum
+    "q192_store_vacuum" -> oStoreVacuum,
+    "q193_rp_signature" -> oRpSignature,
+    "q194_rp_recall" -> oRpRecall,
+    "q195_pmi_pairs" -> oPmiPairs,
+    "q196_zipf_ranks" -> oZipfRanks,
+    "q197_heaps_curve" -> oHeapsCurve,
+    "q198_mad_spikes" -> oMadSpikes
   )
 }

@@ -110,6 +110,42 @@ object Distribution {
     *
     * Contract: `value` must be long-typed with a group range narrower
     * than 2^63 (asserted) — the bin arithmetic stays in Long. */
+  /** Robust per-group outlier profile via the median/MAD rule
+    * (Hampel identifier — Davies & Gather, JASA 1993): med = the
+    * group's exact lower median, mad = the exact lower median of
+    * |v − med|, threshold = med + mult·mad; returns one row per group
+    * (groupCols..., med, mad, threshold, n, n_outliers, max_v). Unlike
+    * mean/stddev flagging, a burst cannot drag the baseline up to hide
+    * itself — both estimators have a 50% breakdown point.
+    *
+    * Built by composing [[exactQuantiles]] (q = 500000 ppm is the
+    * lower median under its ceil-rank contract) twice: once on values,
+    * once on the broadcast-joined absolute deviations — three passes
+    * over the (already aggregated) input, driver state model-sized,
+    * never a global sort. Integer-exact end to end, so a DuckDB
+    * oracle replays it by window-ranked median selection. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
+                  mult: Long = 3L): DataFrame = {
+    require(mult >= 1, s"mult must be >= 1: $mult")
+    val g = groupCols.map(col)
+    val base = df.select(g :+ value.cast("long").as("v"): _*)
+    val med = exactQuantiles(base, groupCols, col("v"), Seq(500000L))
+      .select(g :+ col("v").as("med"): _*)
+    val dev = base.join(broadcast(med), groupCols)
+      .withColumn("d", abs(col("v") - col("med")))
+    val mad = exactQuantiles(dev, groupCols, col("d"), Seq(500000L))
+      .select(g :+ col("v").as("mad"): _*)
+    base.join(broadcast(med), groupCols).join(broadcast(mad), groupCols)
+      .withColumn("threshold", col("med") + lit(mult) * col("mad"))
+      .groupBy(g: _*)
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        max(col("threshold")).as("threshold"),
+        count(lit(1)).as("n"),
+        sum(when(col("v") > col("threshold"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("v")).as("max_v"))
+  }
+
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
                      qPpm: Seq[Long], fanout: Int = 64,
                      maxPasses: Int = 16): DataFrame = {

@@ -143,4 +143,25 @@ class DistributionSpec extends SparkSpec {
       s"12 states cost $jTwelve jobs vs $jOne for 1 state — job count " +
         "must not scale with states")
   }
+
+  test("madOutliers: exact lower medians, robust threshold, outlier count") {
+    // g1: med = 3 (sorted 1,2,3,4,100 rank ceil(5/2)=3), devs sorted
+    // 0,1,1,2,97 -> mad = 1, threshold = 6, one outlier (100)
+    // g2: all equal -> med = 7, mad = 0, threshold = 7, no outliers
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("g1", _)) ++
+      Seq(7L, 7L, 7L).map(("g2", _))).toDF("g", "v")
+    val out = Distribution.madOutliers(df, Seq("g"), col("v"), mult = 3L)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("g1", 3L, 1L, 6L, 5L, 1L, 100L),
+      ("g2", 7L, 0L, 7L, 3L, 0L, 7L)))
+    // robustness: a second, LARGER burst cannot drag the threshold up
+    // past itself (50% breakdown — mean/stddev flagging would)
+    val burst = (Seq(1L, 2L, 3L, 4L, 100L, 1000L).map(("g1", _))).toDF("g", "v")
+    val b = Distribution.madOutliers(burst, Seq("g"), col("v"), mult = 3L)
+      .select("med", "mad", "n_outliers").as[(Long, Long, Long)].head()
+    assert(b._1 == 3L && b._3 == 2L,
+      s"both bursts must stay flagged over the robust baseline: $b")
+  }
 }

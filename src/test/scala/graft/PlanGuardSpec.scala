@@ -76,7 +76,22 @@ class PlanGuardSpec extends SparkSpec {
     // EM rescore: crossJoin(broadcast(1-row usage total)) — the
     // q62/q118 shape (q174 collects its vocab before returning, so
     // the same crossJoin never reaches ITS final plan)
-    "q181_unigram_em" -> 1)
+    "q181_unigram_em" -> 1,
+    // incremental graph refresh: the batch ivfAssign's crossJoin(
+    // broadcast(k·d centroids)) sub-plan is REPLICATED by the refresh
+    // composition — into `touched` (used in the leftsemi and the
+    // left_anti), into both sides of the recompute's within-cell
+    // self-join, and into their DPP duplicates. Every instance is the
+    // same k-row centroid broadcast BY CONTRACT (the q124/q134 family)
+    "q188_knn_refresh" -> 7,
+    // compressed-domain serve: hammingTopK's broadcast(query sigs)
+    // with its non-equi self-match filter (1), plus bruteForceTopK's
+    // broadcast(queries) — duplicated because recallAtK consumes the
+    // exact side twice (hits + k_exact), the q94 shape
+    "q194_rp_recall" -> 3,
+    // PMI totals: crossJoin(broadcast(1-row T)) × (1-row P) — the
+    // q62/q118 1-row-aggregate shape
+    "q195_pmi_pairs" -> 2)
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

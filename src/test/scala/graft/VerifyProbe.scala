@@ -10,7 +10,7 @@ object VerifyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     import spark.implicits._
-    import graft.sinks.VersionedStore
+    import graft.ops.{CorpusStats, Distribution, RandomProjection, Similarity}
 
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -19,63 +19,92 @@ object VerifyProbe {
       r
     }
 
-    // ---- MVCC versioned store at sf0.1 volume: 600k lineitem rows
-    // keyed by (l_orderkey, l_linenumber), 64 buckets, four epochs
     val sf01 = "/root/testdata/sf0.1"
-    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
-      .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
-        floor(col("l_extendedprice")).cast("bigint").as("v"))
-      .groupBy("k1", "k2").agg(max("v").as("v"))
-    val root = java.nio.file.Files.createTempDirectory("vprobe").toString + "/store"
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val nVec = emb.count()
 
-    val e1 = time("e1 bulk load") {
-      VersionedStore.upsert(li, Seq("k1", "k2"), root, nBuckets = 64)
+    // ---- RP compression + compressed-domain serve + recall gate
+    val sigs = time("rp signatures") {
+      RandomProjection.signatures(emb, "vec_id", "embedding", 32, 64)
+        .localCheckpoint()
     }
-    val e2 = time("e2 upsert 10%") {
-      VersionedStore.upsert(
-        li.filter(col("k1") % 10 === 0).withColumn("v", col("v") + 1L),
-        Seq("k1", "k2"), root)
+    require(sigs.count() == nVec, "one signature per vector")
+    val plan = RandomProjection.signatures(emb, "vec_id", "embedding", 32, 64)
+      .queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange"), "compression must be shuffle-free")
+    val approx = time("hamming top-10") {
+      RandomProjection.hammingTopK(sigs.filter($"vec_id" < 20), sigs,
+        "vec_id", "vec_id", "rp_sig", k = 10).localCheckpoint()
     }
-    val e3 = time("e3 delete 5%") {
-      VersionedStore.delete(li.filter(col("k1") % 20 === 0)
-        .select("k1", "k2"), root)
+    val exact = time("exact top-10") {
+      Similarity.bruteForceTopK(emb.filter($"vec_id" < 20), emb,
+        "vec_id", "vec_id", "embedding", k = 10).localCheckpoint()
     }
-    val e4 = time("e4 absent-key delete") {
-      VersionedStore.delete(Seq((-1L, -1)).toDF("k1", "k2"), root)
+    val recall = Similarity.recallAtK(approx, exact)
+      .agg(avg($"recall_ppm")).head.getDouble(0)
+    // the sf0.1 embeddings are near-isotropic (same-label vs other-label
+    // cosine distributions almost coincide), so absolute recall@10 is
+    // DATA-limited; the operator contracts to assert are (a) recall
+    // beats the chance baseline k/(n-1), (b) the angular-LSH monotone
+    // link: exact-neighbor pairs average LOWER hamming than random pairs
+    val chancePpm = 10.0 * 1e6 / (nVec - 1)
+    println(s"rp recall@10 (32 bits, n=$nVec): ${recall} ppm " +
+      s"(chance ${chancePpm.toLong} ppm)")
+    require(recall > 2 * chancePpm,
+      s"RP recall must beat chance: $recall vs $chancePpm ppm")
+    val hOf = sigs.select($"vec_id", $"rp_sig")
+    def ham(pairs: org.apache.spark.sql.DataFrame): Double = pairs
+      .join(hOf.withColumnsRenamed(Map("vec_id" -> "query_id", "rp_sig" -> "qs")), Seq("query_id"))
+      .join(hOf.withColumnsRenamed(Map("vec_id" -> "corpus_id", "rp_sig" -> "cs")), Seq("corpus_id"))
+      .agg(avg(bit_count($"qs".bitwiseXOR($"cs")))).head.getDouble(0)
+    val hNear = ham(exact.select($"query_id", $"corpus_id"))
+    val hFar = ham(approx.select($"query_id").distinct()
+      .crossJoin(sigs.select($"vec_id".as("corpus_id")).filter($"corpus_id" % 37 === 0)))
+    println(f"avg hamming: exact-top10 pairs $hNear%.2f vs random pairs $hFar%.2f")
+    require(hNear < hFar - 1.0,
+      s"angular-LSH monotonicity violated: near=$hNear far=$hFar")
+
+    // ---- corpus analytics over sf0.1 documents
+    val pmi = time("pmi w=2") {
+      CorpusStats.pmi(docs, col("text"), window = 2, minCount = 5L)
+        .localCheckpoint()
     }
-    require(e1 == 1 && e2 == 2 && e3 == 3 && e4 == 3,
-      s"epochs: $e1 $e2 $e3 $e4 (absent-key delete must not commit)")
-
-    val base = li.count()
-    val n1 = time("readAsOf 1") { VersionedStore.readAsOf(spark, root, 1).count() }
-    val n3 = time("readAsOf 3") { VersionedStore.readAsOf(spark, root, 3).count() }
-    val del = li.filter(col("k1") % 20 === 0).count()
-    require(n1 == base, s"epoch-1 snapshot: $n1 vs $base")
-    require(n3 == base - del, s"epoch-3 snapshot: $n3 vs ${base - del}")
-
-    val cdc = time("changelog 1->3") {
-      VersionedStore.changelog(spark, root, 1, 3)
-        .groupBy("change").count().as[(String, Long)].collect().toMap
+    val nPairs = pmi.count()
+    val zipf = time("zipf") {
+      CorpusStats.zipf(docs, col("text")).localCheckpoint()
     }
-    val upd = li.filter(col("k1") % 10 === 0 && col("k1") % 20 =!= 0).count()
-    require(cdc("delete") == del && cdc("update") == upd && !cdc.contains("insert"),
-      s"cdc counts: $cdc vs del=$del upd=$upd")
+    val vocab = zipf.count()
+    require(nPairs <= vocab * vocab, "pairs bounded by vocab^2")
+    val heaps = time("heaps curve") {
+      CorpusStats.heapsCurve(docs, col("doc_id"), col("text"))
+        .localCheckpoint()
+    }
+    val last = heaps.orderBy(col("ord").desc).limit(1)
+      .select("vocab", "n_docs").as[(Long, Long)].head()
+    require(last._1 == vocab,
+      s"heaps curve must end at the full vocab: ${last._1} vs $vocab")
+    require(last._2 == docs.count(), "curve spine covers every doc")
 
-    // CDC pruning: epoch 4 touches one key -> reads stay bucket-local
-    VersionedStore.upsert(Seq((1L, 1, 7L)).toDF("k1", "k2", "v"),
-      Seq("k1", "k2"), root)
-    val one = VersionedStore.changelog(spark, root, 3, 4)
-    val bucketsRead = one.inputFiles
-      .flatMap(_.split("/").find(_.matches("^b\\d{5}$"))).toSet
-    require(bucketsRead.size == 1, s"CDC must prune untouched buckets: $bucketsRead")
+    // ---- robust MAD spike gate over sf0.1 events
+    val ev = spark.read.parquet(s"$sf01/events.parquet")
+    val sec = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => col("ts").cast("timestamp").cast("bigint")
+    }
+    val counts = ev
+      .select(col("event_type"), sec.as("sec"))
+      .withColumn("minute", expr("sec div 60"))
+      .groupBy("event_type", "minute").agg(count(lit(1)).as("n"))
+    val mad = time("mad outliers") {
+      Distribution.madOutliers(counts, Seq("event_type"), col("n"), 3L)
+        .collect()
+    }
+    mad.foreach(r => println(s"  ${r.mkString(" | ")}"))
+    require(mad.nonEmpty && mad.forall(_.getAs[Long]("mad") >= 0))
 
-    val rep = time("vacuum retain 3") { VersionedStore.vacuum(root, 3) }
-    println(s"vacuum: deleted=${rep.deletedGens} kept=${rep.keptGens}")
-    require(rep.deletedGens > 0, "vacuum must GC shadowed generations")
-    val n3after = VersionedStore.readAsOf(spark, root, 3).count()
-    require(n3after == n3, s"retained snapshot broken by vacuum: $n3after vs $n3")
-
-    println(s"PROBE OK  store=$root epochs=4 base=$base cdc=$cdc")
+    println(s"PROBE OK  vecs=$nVec vocab=$vocab pmi_pairs=$nPairs " +
+      s"recall=${recall.toLong}ppm types=${mad.length}")
     spark.stop()
   }
 }
