@@ -7327,6 +7327,89 @@ object Queries {
     s"""WITH $oVstoreCtes
        |SELECT k, v, nat FROM s3 ORDER BY k""".stripMargin
 
+  // ------------------------------------------- CDC-driven view refresh
+  /** Incremental materialized-view maintenance
+    * ([[graft.ops.MaterializedView.refreshSum]]): a per-nation
+    * sum/count view built at epoch 2 follows the store to epoch 4 by
+    * joining ONLY the CDC image table cut over (2,4] — retraction of
+    * old images, insertion of new ones, O(change volume) with no store
+    * rescan. The oracle certifies the maintenance ALGEBRA: it
+    * aggregates snapshot 4 directly, so view@2 + changelog(2,4) must
+    * equal a from-scratch build bit-for-bit. */
+  private def qCdcView(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedStoreAt(s, dir, "vstore")
+    val view2 = graft.ops.MaterializedView.sumView(
+      graft.sinks.VersionedStore.readAsOf(s, root, 2L), Seq("nat"), col("v"))
+    val cdc = graft.sinks.VersionedStore.changelog(s, root, 2L, 4L,
+      images = true)
+    graft.ops.MaterializedView.refreshSum(view2, cdc, Seq("nat"), "v")
+      .orderBy("nat")
+  }
+
+  private val oCdcView =
+    s"""WITH $oVstoreCtes
+       |SELECT nat, CAST(sum(v) AS BIGINT) AS sum_v,
+       |       CAST(count(*) AS BIGINT) AS n_rows
+       |FROM s4 GROUP BY nat ORDER BY nat""".stripMargin
+
+  // --------------------------------------------- streaming epoch ingest
+  /** Streaming ingest into the MVCC store
+    * ([[graft.streaming.EpochStream]]): three landing files flow
+    * through a REAL checkpointed stream, each micro-batch committing
+    * as one epoch (batch id stamped in the commit record — replays
+    * are no-ops, EpochStreamSpec's kill/resume contract); the query
+    * reads the final snapshot. The oracle replays the three upserts
+    * as set algebra. */
+  private def qStreamEpochs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier").select(
+      col("s_suppkey").cast("bigint").as("k"),
+      floor(col("s_acctbal")).cast("bigint").as("v"),
+      col("s_nationkey").cast("bigint").as("nat"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q200")
+    try {
+      val store = s"$work/store"
+      graft.streaming.EpochStream.replay(s,
+        Seq(base.filter(col("k") % 4 =!= 0),
+          base.filter(col("k") % 3 === 0).withColumn("v", col("v") + 100L),
+          base.filter(col("k") % 7 === 0).withColumn("v", col("v") + 1000L)),
+        Seq("k"), work.toString, store)
+      require(graft.sinks.VersionedStore.currentEpoch(store) == 3L,
+        "three landing files must commit exactly three epochs")
+      graft.sinks.VersionedStore.read(s, store).orderBy("k")
+        .localCheckpoint()
+    } finally deleteRecursively(work)
+  }
+
+  private val oStreamEpochs =
+    s"""WITH $oVstoreCtes
+       |SELECT k, v + 1000 AS v, nat FROM base WHERE k % 7 = 0
+       |UNION ALL SELECT k, v, nat FROM s2 WHERE k % 7 <> 0
+       |ORDER BY k""".stripMargin
+
+  // ----------------------------------------------------- epoch history
+  /** The store's DESCRIBE HISTORY surface: one row per committed epoch
+    * (epoch, kind, rows-in-snapshot) from the commit-marker log plus a
+    * time-travel count per epoch — the lineage record that answers
+    * "which snapshot trained this model". */
+  private def qEpochHistory(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedStoreAt(s, dir, "vstore")
+    val cs = graft.sinks.VersionedStore.commits(root)
+    import s.implicits._
+    cs.map(c => (c.epoch, c.kind,
+        graft.sinks.VersionedStore.readAsOf(s, root, c.epoch).count()))
+      .toDF("epoch", "kind", "n_rows")
+      .orderBy("epoch")
+  }
+
+  private val oEpochHistory =
+    s"""WITH $oVstoreCtes
+       |SELECT CAST(1 AS BIGINT) AS epoch, 'upsert' AS kind,
+       |       (SELECT count(*) FROM base WHERE k % 4 <> 0) AS n_rows
+       |UNION ALL SELECT 2, 'upsert', (SELECT count(*) FROM s2)
+       |UNION ALL SELECT 3, 'delete', (SELECT count(*) FROM s3)
+       |UNION ALL SELECT 4, 'upsert', (SELECT count(*) FROM s4)
+       |ORDER BY epoch""".stripMargin
+
   // =================================================================
   // Corpus analytics: random-projection compression, PMI, Zipf/Heaps,
   // robust MAD outlier gating.
@@ -7758,7 +7841,10 @@ object Queries {
     "q195_pmi_pairs" -> (qPmiPairs _),
     "q196_zipf_ranks" -> (qZipfRanks _),
     "q197_heaps_curve" -> (qHeapsCurve _),
-    "q198_mad_spikes" -> (qMadSpikes _)
+    "q198_mad_spikes" -> (qMadSpikes _),
+    "q199_cdc_view" -> (qCdcView _),
+    "q200_stream_epochs" -> (qStreamEpochs _),
+    "q201_epoch_history" -> (qEpochHistory _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -7963,6 +8049,9 @@ object Queries {
     "q195_pmi_pairs" -> oPmiPairs,
     "q196_zipf_ranks" -> oZipfRanks,
     "q197_heaps_curve" -> oHeapsCurve,
-    "q198_mad_spikes" -> oMadSpikes
+    "q198_mad_spikes" -> oMadSpikes,
+    "q199_cdc_view" -> oCdcView,
+    "q200_stream_epochs" -> oStreamEpochs,
+    "q201_epoch_history" -> oEpochHistory
   )
 }

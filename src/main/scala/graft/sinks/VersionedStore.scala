@@ -126,11 +126,23 @@ object VersionedStore {
     * other rows carry forward (by reference — untouched buckets are not
     * copied). One distributed merge job stages `partitionBy(_bucket)`
     * output; promotion renames each staged file into its generation
-    * directory (control-plane only); the atomic `_commits` append makes
-    * the epoch visible. Returns the committed epoch. */
+    * directory (control-plane only); the atomic commit-marker rename
+    * makes the epoch visible. Returns the committed epoch.
+    *
+    * `tag` (no ';' or newline) rides in the commit record as
+    * `upsert@<tag>` — an idempotency token: a streaming maintainer
+    * stamps its micro-batch id and skips a replayed batch whose tag is
+    * already committed ([[taggedEpoch]]; EpochStream's exactly-once). */
   def upsert(batch: DataFrame, keyCols: Seq[String], root: String,
-             nBuckets: Int = 8): Long =
-    writeEpoch(batch, keyCols, root, nBuckets, delete = false)
+             nBuckets: Int = 8, tag: String = ""): Long =
+    writeEpoch(batch, keyCols, root, nBuckets, delete = false, tag = tag)
+
+  /** The epoch committed under `tag`, if any — the replay-detection
+    * probe (one commit-marker listing, no data read). */
+  def taggedEpoch(root: String, tag: String): Option[Long] = {
+    require(tag.nonEmpty, "taggedEpoch needs a tag")
+    commits(root).find(_.kind.endsWith(s"@$tag")).map(_.epoch)
+  }
 
   /** Delete by key as a NEW epoch: buckets holding any of `keys`
     * (those PRESENT in the current snapshot — absent keys are no-ops)
@@ -140,11 +152,13 @@ object VersionedStore {
   def delete(keys: DataFrame, root: String): Long = {
     val keyCols = keyColsOf(root)
     writeEpoch(keys.select(keyCols.map(col): _*), keyCols, root,
-      nBuckets = 8, delete = true)
+      nBuckets = 8, delete = true, tag = "")
   }
 
   private def writeEpoch(batch: DataFrame, keyCols: Seq[String], root: String,
-                         nBuckets: Int, delete: Boolean): Long = {
+                         nBuckets: Int, delete: Boolean, tag: String): Long = {
+    require(!tag.contains(";") && !tag.contains("\n"),
+      s"commit tag must not contain ';' or newlines: $tag")
     require(!batch.columns.contains("_bucket"),
       "versioned store uses '_bucket' as a helper column; rename the input's")
     val spark = batch.sparkSession
@@ -228,8 +242,9 @@ object VersionedStore {
     }
     fs.delete(staging, true)
     // the transaction point: before this rename the epoch is invisible
-    writeCommit(fs, dir, Commit(epoch, if (delete) "delete" else "upsert",
-      touched))
+    val kind = (if (delete) "delete" else "upsert") +
+      (if (tag.nonEmpty) s"@$tag" else "")
+    writeCommit(fs, dir, Commit(epoch, kind, touched))
     epoch
   }
 
@@ -286,13 +301,18 @@ object VersionedStore {
   /** Change-data-capture between two snapshots: one row per key whose
     * state differs between `fromEpoch` and `toEpoch`, classified
     * `insert` / `update` / `delete`, carrying the NEW non-key values
-    * (null for deletes). Reads ONLY buckets some epoch in
-    * `(fromEpoch, toEpoch]` rewrote — a bucket no commit touched is
-    * byte-identical at both ends and is pruned without opening a file
-    * (VersionedStoreSpec pins the pruning), so CDC cost scales with
-    * the CHANGE volume, not the store. */
+    * (null for deletes). With `images = true` the OLD values ride
+    * along as `<col>_old` (null for inserts) — the before/after pair
+    * downstream incremental maintenance needs (Delta CDF's
+    * update_preimage/postimage in one row;
+    * [[graft.ops.MaterializedView]] consumes it). Reads ONLY buckets
+    * some epoch in `(fromEpoch, toEpoch]` rewrote — a bucket no commit
+    * touched is byte-identical at both ends and is pruned without
+    * opening a file (VersionedStoreSpec pins the pruning), so CDC cost
+    * scales with the CHANGE volume, not the store. */
   def changelog(spark: SparkSession, root: String,
-                fromEpoch: Long, toEpoch: Long): DataFrame = {
+                fromEpoch: Long, toEpoch: Long,
+                images: Boolean = false): DataFrame = {
     require(fromEpoch <= toEpoch,
       s"changelog range is reversed: $fromEpoch > $toEpoch")
     val wm = retentionWatermark(root)
@@ -328,7 +348,9 @@ object VersionedStore {
           .otherwise(lit("update")))
       .filter(col("change").isNotNull)
       .select(keyCols.map(col) ++ Seq(col("change")) ++
-        valCols.map(c => col(s"_new.$c").as(c)): _*)
+        valCols.map(c => col(s"_new.$c").as(c)) ++
+        (if (images) valCols.map(c => col(s"_old.$c").as(s"${c}_old"))
+         else Seq.empty): _*)
   }
 
   // ------------------------------------------------------------- vacuum

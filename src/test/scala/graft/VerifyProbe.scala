@@ -103,8 +103,51 @@ object VerifyProbe {
     mad.foreach(r => println(s"  ${r.mkString(" | ")}"))
     require(mad.nonEmpty && mad.forall(_.getAs[Long]("mad") >= 0))
 
+    // ---- CDC-driven view maintenance at sf0.1 volume
+    import graft.ops.MaterializedView
+    import graft.sinks.VersionedStore
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+        col("l_returnflag").as("g"),
+        floor(col("l_extendedprice")).cast("bigint").as("v"))
+      .groupBy("k1", "k2").agg(max("g").as("g"), max("v").as("v"))
+    val root = java.nio.file.Files.createTempDirectory("vprobe3").toString + "/store"
+    VersionedStore.upsert(li, Seq("k1", "k2"), root, nBuckets = 64)
+    VersionedStore.upsert(
+      li.filter(col("k1") % 10 === 0).withColumn("v", col("v") + 1L),
+      Seq("k1", "k2"), root)
+    VersionedStore.delete(
+      li.filter(col("k1") % 20 === 0).select("k1", "k2"), root)
+    val view1 = time("view@1 build") {
+      MaterializedView.sumView(VersionedStore.readAsOf(spark, root, 1),
+        Seq("g"), col("v")).localCheckpoint()
+    }
+    val refreshed = time("cdc view refresh 1->3") {
+      MaterializedView.refreshSum(view1,
+        VersionedStore.changelog(spark, root, 1, 3, images = true),
+        Seq("g"), "v").orderBy("g").collect().toSeq
+    }
+    val scratch = MaterializedView.sumView(
+        VersionedStore.readAsOf(spark, root, 3), Seq("g"), col("v"))
+      .orderBy("g").collect().toSeq
+    require(refreshed == scratch,
+      s"incremental view != from-scratch: $refreshed vs $scratch")
+
+    // ---- streaming epoch ingest: 3 landing files -> 3 epochs
+    val work = java.nio.file.Files.createTempDirectory("vprobe3s").toString
+    val estore = s"$work/store"
+    time("epoch stream 3 batches") {
+      graft.streaming.EpochStream.replay(spark,
+        Seq(li.filter($"k1" % 3 === 0), li.filter($"k1" % 3 === 1),
+          li.filter($"k1" % 3 === 2)),
+        Seq("k1", "k2"), work, estore, nBuckets = 64)
+    }
+    require(VersionedStore.currentEpoch(estore) == 3L, "3 files -> 3 epochs")
+    require(VersionedStore.read(spark, estore).count() == li.count(),
+      "streamed store must hold the full corpus")
+
     println(s"PROBE OK  vecs=$nVec vocab=$vocab pmi_pairs=$nPairs " +
-      s"recall=${recall.toLong}ppm types=${mad.length}")
+      s"recall=${recall.toLong}ppm types=${mad.length} view=$scratch")
     spark.stop()
   }
 }
