@@ -65,24 +65,52 @@ object VersionedStore {
 
   private val GenRe = "^g(\\d{7})$".r
   private val CommitRe = "^_commit-(\\d{7})$".r
+  private val FloorsRe = "^_floors-(\\d{7})$".r
   private def bucketName(b: Int): String = f"b$b%05d"
   private def genName(e: Long): String = f"g$e%07d"
 
   // ------------------------------------------------------------ markers
 
+  /** The commit LOG is bounded: [[vacuum]] writes a `_floors-<wm>`
+    * CHECKPOINT (per surviving epoch ≤ wm: its kind and the buckets it
+    * still serves) and truncates the per-epoch `_commit-*` markers at
+    * or below the watermark — so log size is O(epochs since retention),
+    * not O(store lifetime) (the Delta checkpoint + log-truncation
+    * shape). A crash between checkpoint write and truncation leaves
+    * both; the merge below prefers the real marker (its bucket list is
+    * a superset of the checkpoint's floor subset, and per-bucket
+    * resolution is a max-epoch reduce, so the overlap is harmless). */
   private[graft] def commits(root: String): Seq[Commit] = {
     val (fs, dir) = fsOf(root)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.flatMap { st =>
-      st.getPath.getName match {
+    def parse(epoch: Long, body: String): Commit = {
+      val Array(kind, bs) = body.split(";", 2)
+      Commit(epoch, kind,
+        if (bs.isEmpty) Seq.empty else bs.split(",").map(_.toInt).toSeq)
+    }
+    val paths = fs.listStatus(dir).toSeq.map(_.getPath)
+    val floorCommits = paths
+      .flatMap(p => p.getName match {
+        case FloorsRe(w) => Some((w.toLong, p)); case _ => None
+      }).sortBy(_._1).lastOption.toSeq
+      .flatMap { case (_, p) =>
+        readMarker(fs, p).toSeq.flatMap(_.linesIterator).filter(_.nonEmpty)
+          .map { line =>
+            val Array(e, body) = line.split(";", 2)
+            parse(e.toLong, body)
+          }
+      }
+    val markerCommits = paths.flatMap { p =>
+      p.getName match {
         case CommitRe(e) =>
-          val Array(kind, bs) =
-            readMarker(fs, st.getPath).getOrElse("").split(";", 2)
-          Some(Commit(e.toLong, kind,
-            if (bs.isEmpty) Seq.empty else bs.split(",").map(_.toInt).toSeq))
+          Some(parse(e.toLong, readMarker(fs, p).getOrElse("")))
         case _ => None
       }
-    }.sortBy(_.epoch)
+    }
+    val byEpoch = scala.collection.mutable.LinkedHashMap.empty[Long, Commit]
+    floorCommits.foreach(c => byEpoch(c.epoch) = c)
+    markerCommits.foreach(c => byEpoch(c.epoch) = c)
+    byEpoch.values.toSeq.sortBy(_.epoch)
   }
 
   /** Latest committed epoch (0 when the store is empty/new). */
@@ -90,10 +118,20 @@ object VersionedStore {
     commits(root).lastOption.map(_.epoch).getOrElse(0L)
 
   /** Vacuum watermark: reads below it fail fast (their generations may
-    * be gone). 0 when never vacuumed. */
+    * be gone). 0 when never vacuumed. Derived from BOTH the `_vacuum`
+    * marker and the newest `_floors-*` checkpoint name: the checkpoint
+    * is create-only (it cannot be lost in a rename window), so the
+    * guard survives a crash mid-`_vacuum`-rewrite. */
   def retentionWatermark(root: String): Long = {
     val (fs, dir) = fsOf(root)
-    readMarker(fs, new Path(dir, "_vacuum")).map(_.trim.toLong).getOrElse(0L)
+    val marked =
+      readMarker(fs, new Path(dir, "_vacuum")).map(_.trim.toLong).getOrElse(0L)
+    val floors =
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).flatMap(_.getPath.getName match {
+        case FloorsRe(w) => Some(w.toLong); case _ => None
+      }).maxOption.getOrElse(0L)
+    math.max(marked, floors)
   }
 
   private def keyColsOf(root: String): Seq[String] = {
@@ -362,7 +400,16 @@ object VersionedStore {
     * from crashed writers. Pure metadata work: O(buckets) listings +
     * deletes, no Spark job, no data file read. The `_vacuum` watermark
     * is written FIRST so a crash mid-delete can only leave extra
-    * files, never a readable-but-wrong snapshot. */
+    * files, never a readable-but-wrong snapshot.
+    *
+    * Vacuum also bounds the COMMIT LOG: it writes a create-only
+    * `_floors-<wm>` checkpoint (every epoch ≤ wm still serving some
+    * bucket, with its kind and surviving bucket list) and then deletes
+    * the `_commit-*` markers at or below wm plus older checkpoints —
+    * metadata stays O(epochs since retention) forever. Write order
+    * makes every crash window safe: the new checkpoint lands
+    * atomically BEFORE anything is deleted, and [[commits]] merges a
+    * checkpoint with any markers a crash left behind. */
   def vacuum(root: String, retainAsOf: Long): VacuumReport = {
     val (fs, dir) = fsOf(root)
     val committed = commits(root)
@@ -378,6 +425,28 @@ object VersionedStore {
     var deleted = 0L
     var kept = 0L
     if (!fs.exists(dir)) return VacuumReport(0, 0, wm)
+
+    // ---- commit-log checkpoint + truncation (before generation GC so
+    // a crash mid-GC still leaves the full resolution metadata)
+    val kindOf = committed.map(c => c.epoch -> c.kind).toMap
+    val floorLines = committedFor.toSeq
+      .flatMap { case (b, es) => es.filter(_ <= wm).lastOption.map(b -> _) }
+      .groupMap(_._2)(_._1)
+      .toSeq.sortBy(_._1)
+      .map { case (e, bs) =>
+        s"$e;${kindOf(e)};${bs.sorted.mkString(",")}" }
+    if (floorLines.nonEmpty) {
+      writeMarker(fs, new Path(dir, f"_floors-$wm%07d"),
+        floorLines.mkString("\n"), replace = false)
+      fs.listStatus(dir).map(_.getPath).foreach { p =>
+        p.getName match {
+          case CommitRe(e) if e.toLong <= wm => fs.delete(p, false)
+          case FloorsRe(w) if w.toLong < wm => fs.delete(p, false)
+          case _ =>
+        }
+      }
+    }
+
     fs.listStatus(dir).filter(st => st.isDirectory &&
       st.getPath.getName.matches("^b\\d{5}$")).foreach { bSt =>
       val b = bSt.getPath.getName.drop(1).toInt

@@ -25,7 +25,11 @@ import graft.sinks.VersionedStore
   * only invisible staging/generation files, which the retried upsert
   * overwrites and the next vacuum sweeps — either way the committed
   * history is byte-identical to the uninterrupted run
-  * (EpochStreamSpec's kill/resume contract).
+  * (EpochStreamSpec's kill/resume contract). Retention caveat:
+  * vacuum's commit-log truncation keeps tags only for epochs still
+  * serving a bucket, so retention must stay behind the stream's
+  * checkpoint lag (a replay can only ever be the LAST batch — any
+  * sane retention is far behind it).
   *
   * Per-batch cost is the store's upsert contract: one distributed
   * merge over (batch ∪ touched buckets) — O(batch), never O(store). */

@@ -608,6 +608,95 @@ object ScalingProbe {
         f"t=$t%.2f s (recompute scales with touched cells only)")
     }
 
+    // -------- fourth wave: MVCC store CDC pruning, vacuum metadata-only,
+    // view-refresh delta boundedness, RP shuffle-freedom, PMI linearity
+    locally {
+      // CDC reads ONLY buckets commits in the range touched, and the
+      // incremental view refresh reads NOTHING beyond the CDC's files
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+          col("l_returnflag").as("g"),
+          floor(col("l_extendedprice")).cast("bigint").as("v"))
+        .groupBy("k1", "k2").agg(max("g").as("g"), max("v").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("probe_vstore")
+        .toString + "/store"
+      sinks.VersionedStore.upsert(li, Seq("k1", "k2"), root, nBuckets = 64)
+      // epoch 2: a SMALL batch — touches few of the 64 buckets
+      sinks.VersionedStore.upsert(
+        li.filter(col("k1") % 60000 === 0).withColumn("v", col("v") + 1L),
+        Seq("k1", "k2"), root)
+      val touched = sinks.VersionedStore.commits(root)
+        .find(_.epoch == 2L).get.buckets.toSet
+      assert(touched.size < 32,
+        s"fixture batch must touch a minority of buckets: ${touched.size}/64")
+      val cdc = sinks.VersionedStore.changelog(spark, root, 1, 2,
+        images = true).localCheckpoint()
+      val cdcBuckets = sinks.VersionedStore.changelog(spark, root, 1, 2)
+        .inputFiles.flatMap(_.split("/").find(_.matches("^b\\d{5}$")))
+        .map(_.drop(1).toInt).toSet
+      assert(cdcBuckets.subsetOf(touched),
+        s"CDC read untouched buckets: ${cdcBuckets -- touched}")
+      val nCdc = cdc.count()
+      val view1 = ops.MaterializedView.sumView(
+        sinks.VersionedStore.readAsOf(spark, root, 1), Seq("g"), col("v"))
+        .localCheckpoint()
+      val refreshed = ops.MaterializedView.refreshSum(view1, cdc, Seq("g"), "v")
+      val refreshFiles = refreshed.inputFiles
+        .flatMap(_.split("/").find(_.matches("^b\\d{5}$"))).toSet
+      assert(refreshFiles.isEmpty,
+        s"view refresh must read view+CDC only, touched store buckets: " +
+          s"$refreshFiles")
+      // vacuum is metadata-only: ZERO Spark jobs
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobs.incrementAndGet(); () }
+      }
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+      spark.sparkContext.addSparkListener(l)
+      val rep = try {
+        val r = sinks.VersionedStore.vacuum(root, retainAsOf = 2L)
+        org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+        r
+      } finally spark.sparkContext.removeSparkListener(l)
+      assert(jobs.get() == 0, s"vacuum ran ${jobs.get()} Spark jobs")
+      println(s"VSTORE_CDC buckets=64 epoch2Touched=${touched.size} " +
+        s"cdcRows=$nCdc cdcBucketsRead=${cdcBuckets.size} " +
+        s"vacuumJobs=0 vacuumDeleted=${rep.deletedGens} " +
+        s"(CDC and refresh cost scale with CHANGE volume, not store size)")
+    }
+
+    locally {
+      // RP compression: shuffle-free at both SFs; PMI pair sites grow
+      // LINEARLY with tokens (window-bounded), never quadratically;
+      // Zipf/Heaps outputs stay vocab-/spine-sized
+      val stats = Seq("sf0.01", "sf0.1").map { sf =>
+        val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        val sig = ops.RandomProjection.signatures(emb, "vec_id", "embedding",
+          32, 64)
+        assert(!sig.queryExecution.executedPlan.toString.contains("Exchange"),
+          s"$sf: RP compression must be shuffle-free")
+        val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        val nTok = docs.select(explode(split(col("text"), "\\s+"))).count()
+        val nPairs = ops.CorpusStats.windowPairs(docs, col("text"), 2).count()
+        assert(nPairs <= 2L * nTok,
+          s"$sf: pair sites $nPairs exceed window·tokens ${2L * nTok}")
+        val vocab = ops.CorpusStats.zipf(docs, col("text")).count()
+        (sf, nTok, nPairs, vocab)
+      }
+      val Seq((_, t1, p1, v1), (_, t2, p2, v2)) = stats
+      val e = math.log(p2.toDouble / p1) / math.log(t2.toDouble / t1)
+      stats.foreach { case (sf, t, p, v) =>
+        println(s"CORPUS_STATS $sf tokens=$t pairSites=$p vocab=$v") }
+      assert(e <= 1.05,
+        s"PMI pair sites must be linear in tokens (exponent $e)")
+      assert(v1 == v2,
+        "Zipf output is vocab-sized — flat across the 10× corpus step")
+      println(f"EXPONENT q195_pmi: sites $p1 -> $p2 over tokens " +
+        f"$t1 -> $t2, exponent = $e%.2f (window-bounded, linear)")
+    }
+
     println("PROBE_OK")
     spark.stop()
   }

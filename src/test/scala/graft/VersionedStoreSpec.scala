@@ -171,6 +171,24 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.vacuum(root, retainAsOf = 3L).deletedGens == 0L)
     // watermark is monotone: a LOWER retainAsOf cannot reopen history
     assert(VersionedStore.vacuum(root, retainAsOf = 1L).watermark == 3L)
+
+    // commit-log truncation: markers <= wm replaced by ONE checkpoint,
+    // with resolution (current epoch, snapshots, CDC) unchanged
+    val (fs, dir) = (new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(root))
+    val names = fs.listStatus(dir).map(_.getPath.getName).toSet
+    assert(!names.exists(n => n.matches("^_commit-000000[123]$")),
+      s"markers at/below the watermark must be truncated: $names")
+    assert(names.contains("_floors-0000003"),
+      s"the floors checkpoint must exist: $names")
+    assert(VersionedStore.currentEpoch(root) == 4L)
+    assert(readSet(root, 4) == s4.sorted && readSet(root, 3) == before)
+    assert(VersionedStore.changelog(spark, root, 3, 4)
+      .count() == s4.size - s3.size)
+    // and the store keeps accepting epochs on top of the checkpoint
+    VersionedStore.upsert(rows(Seq(200L), _ => 1L), Seq("k"), root)
+    assert(VersionedStore.currentEpoch(root) == 5L)
+    assert(readSet(root, 5) == (s4 :+ (200L, 1L)).sorted)
   }
 
   test("an upsert is one staging job regardless of touched-bucket count") {
