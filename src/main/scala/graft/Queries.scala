@@ -7386,6 +7386,61 @@ object Queries {
        |UNION ALL SELECT k, v, nat FROM s2 WHERE k % 7 <> 0
        |ORDER BY k""".stripMargin
 
+  // --------------------------------------------- streaming CDC apply
+  /** Streaming CDC-feed ingest ([[graft.streaming.EpochStream]] with
+    * an op column — the Debezium shape): each landing file mixes
+    * `upsert` and `delete` rows, and the whole batch commits as ONE
+    * `apply` epoch ([[graft.sinks.VersionedStore.applyOps]]) — a
+    * consumer can never observe a half-applied batch (the upserts
+    * without the deletes). The oracle replays the three mixed batches
+    * as set algebra over the supplier table. */
+  private def qStreamCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier").select(
+      col("s_suppkey").cast("bigint").as("k"),
+      floor(col("s_acctbal")).cast("bigint").as("v"),
+      col("s_nationkey").cast("bigint").as("nat"))
+    def up(df: DataFrame): DataFrame = df.withColumn("op", lit("upsert"))
+    def del(keys: DataFrame): DataFrame = keys.select(col("k"),
+      lit(null).cast("long").as("v"), lit(null).cast("long").as("nat"),
+      lit("delete").as("op"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q202")
+    try {
+      val store = s"$work/store"
+      graft.streaming.EpochStream.replay(s,
+        Seq(
+          up(base.filter(col("k") % 4 =!= 0)),
+          up(base.filter(col("k") % 3 === 0 && col("k") % 5 =!= 0)
+              .withColumn("v", col("v") + 100L))
+            .unionByName(del(base.filter(col("k") % 5 === 0).select("k"))),
+          up(base.filter(col("k") % 7 === 0 && col("k") % 11 =!= 0)
+              .withColumn("v", col("v") + 1000L))
+            .unionByName(del(base.filter(col("k") % 11 === 0).select("k")))),
+        Seq("k"), work.toString, store, opCol = Some("op"))
+      require(graft.sinks.VersionedStore.currentEpoch(store) == 3L,
+        "three CDC files must commit exactly three epochs")
+      require(graft.sinks.VersionedStore.commits(store)
+          .filter(_.epoch >= 2L).forall(_.kind.startsWith("apply@")),
+        "mixed batches must commit as single apply epochs")
+      graft.sinks.VersionedStore.read(s, store).orderBy("k")
+        .localCheckpoint()
+    } finally deleteRecursively(work)
+  }
+
+  private val oStreamCdcApply =
+    """WITH base AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                     CAST(floor(s_acctbal) AS BIGINT) AS v,
+      |                     CAST(s_nationkey AS BIGINT) AS nat FROM supplier),
+      |t1 AS (SELECT k, v, nat FROM base WHERE k % 4 <> 0),
+      |t2 AS (SELECT k, v + 100 AS v, nat FROM base
+      |       WHERE k % 3 = 0 AND k % 5 <> 0
+      |       UNION ALL
+      |       SELECT k, v, nat FROM t1 WHERE k % 5 <> 0 AND k % 3 <> 0),
+      |t3 AS (SELECT k, v + 1000 AS v, nat FROM base
+      |       WHERE k % 7 = 0 AND k % 11 <> 0
+      |       UNION ALL
+      |       SELECT k, v, nat FROM t2 WHERE k % 11 <> 0 AND k % 7 <> 0)
+      |SELECT k, v, nat FROM t3 ORDER BY k""".stripMargin
+
   // ----------------------------------------------------- epoch history
   /** The store's DESCRIBE HISTORY surface: one row per committed epoch
     * (epoch, kind, rows-in-snapshot) from the commit-marker log plus a
@@ -7844,7 +7899,8 @@ object Queries {
     "q198_mad_spikes" -> (qMadSpikes _),
     "q199_cdc_view" -> (qCdcView _),
     "q200_stream_epochs" -> (qStreamEpochs _),
-    "q201_epoch_history" -> (qEpochHistory _)
+    "q201_epoch_history" -> (qEpochHistory _),
+    "q202_stream_cdc_apply" -> (qStreamCdcApply _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -8052,6 +8108,7 @@ object Queries {
     "q198_mad_spikes" -> oMadSpikes,
     "q199_cdc_view" -> oCdcView,
     "q200_stream_epochs" -> oStreamEpochs,
-    "q201_epoch_history" -> oEpochHistory
+    "q201_epoch_history" -> oEpochHistory,
+    "q202_stream_cdc_apply" -> oStreamCdcApply
   )
 }

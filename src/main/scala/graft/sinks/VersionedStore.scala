@@ -193,8 +193,29 @@ object VersionedStore {
       nBuckets = 8, delete = true, tag = "")
   }
 
+  /** Mixed-op batch (a CDC feed) as ONE epoch: rows with
+    * `opCol = "upsert"` replace their keys, rows with `opCol =
+    * "delete"` remove theirs — one merge job, one commit, one epoch
+    * boundary (kind `apply`), so a streamed CDC batch never splits
+    * into a half-visible pair of epochs. A key carrying BOTH ops in
+    * one batch is ambiguous and fails fast; delete-only buckets whose
+    * keys are all absent are skipped by the same presence probe as
+    * [[delete]]. Returns the committed epoch (the current epoch
+    * unchanged when nothing matched). */
+  def applyOps(batch: DataFrame, keyCols: Seq[String], root: String,
+               opCol: String, nBuckets: Int = 8, tag: String = ""): Long =
+    writeEpoch(batch, keyCols, root, nBuckets, delete = false, tag = tag,
+      opCol = Some(opCol))
+
+  /** Name+type schema DDL (nullability normalized away — a parquet
+    * round-trip or a literal-null column may flip it batch to batch). */
+  private def ddlOf(schema: StructType): String =
+    StructType(schema.filterNot(_.name == "_bucket")
+      .map(_.copy(nullable = true))).toDDL
+
   private def writeEpoch(batch: DataFrame, keyCols: Seq[String], root: String,
-                         nBuckets: Int, delete: Boolean, tag: String): Long = {
+                         nBuckets: Int, delete: Boolean, tag: String,
+                         opCol: Option[String] = None): Long = {
     require(!tag.contains(";") && !tag.contains("\n"),
       s"commit tag must not contain ';' or newlines: $tag")
     require(!batch.columns.contains("_bucket"),
@@ -210,45 +231,82 @@ object VersionedStore {
     val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
 
     val snapGens = snapshotGens(root, committed, Long.MaxValue)
-    // one materialization; the touched-bucket collect is ≤ n small ints
+    // one materialization; every later collect is ≤ n small ints
     val mat = batch.withColumn("_bucket", bucketExpr).localCheckpoint()
-    val touchedAll = mat.select("_bucket").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
+
+    // normalize the three write shapes to: upsert rows (null = none)
+    // + the full remove-key set (every batch key anti-joins out; the
+    // upserts then re-insert theirs)
+    val upserts: DataFrame = opCol match {
+      case Some(c) =>
+        val bad = mat.filter(!coalesce(col(c), lit("")).isin("upsert", "delete"))
+          .count()
+        require(bad == 0, s"applyOps: $bad rows with op outside {upsert, delete}")
+        val conflicts = mat.filter(col(c) === "upsert")
+          .select(keyCols.map(col): _*)
+          .intersect(mat.filter(col(c) === "delete").select(keyCols.map(col): _*))
+          .count()
+        require(conflicts == 0,
+          s"applyOps: $conflicts keys carry BOTH upsert and delete in one batch")
+        mat.filter(col(c) === "upsert").drop(c)
+      case None => if (delete) null else mat
+    }
+    val delKeyRows: DataFrame = opCol match {
+      case Some(c) => mat.filter(col(c) === "delete")
+      case None => if (delete) mat else null
+    }
+
+    val upsertBuckets: Seq[Int] =
+      if (upserts == null) Seq.empty
+      else upserts.select("_bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
     // a delete only rewrites buckets where a key is ACTUALLY present —
     // a batch of absent keys must not commit a pointless epoch (nor
     // rewrite untouched buckets at scale); the presence probe is one
     // bucket-pruned semi-join whose result is <= n small ints
-    val touched =
-      if (!delete) touchedAll
+    val deleteBuckets: Seq[Int] =
+      if (delKeyRows == null) Seq.empty
       else {
-        val cand = touchedAll
+        val cand = delKeyRows.select("_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+          .filterNot(upsertBuckets.toSet) // rewritten anyway
           .filter(b => snapGens.get(b).exists(_.nonEmpty))
-          .flatMap(b => snapGens.getOrElse(b, None))
-        if (cand.isEmpty) Seq.empty
-        else spark.read.parquet(cand: _*).withColumn("_bucket", bucketExpr)
-          .join(mat.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-          .select("_bucket").distinct().collect().map(_.getInt(0)).sorted.toSeq
+        val paths = cand.flatMap(b => snapGens.getOrElse(b, None))
+        if (paths.isEmpty) Seq.empty
+        else spark.read.parquet(paths: _*).withColumn("_bucket", bucketExpr)
+          .join(delKeyRows.select(keyCols.map(col): _*).distinct(), keyCols,
+            "left_semi")
+          .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
       }
+    val touched = (upsertBuckets ++ deleteBuckets).distinct.sorted
     if (touched.isEmpty) return epoch - 1L
 
     val livePaths = touched.flatMap(b => snapGens.getOrElse(b, None))
     val cur =
       if (livePaths.isEmpty) None
       else Some(spark.read.parquet(livePaths: _*).withColumn("_bucket", bucketExpr))
-    val merged =
-      if (delete) {
-        val c = cur.getOrElse(sys.error("delete against an empty store"))
-        c.join(mat.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-      } else cur match {
-        case Some(c) =>
-          c.join(mat.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-            .unionByName(mat)
-        case None => mat
-      }
+    val removeKeys = mat.select(keyCols.map(col): _*).distinct()
+    val merged = cur match {
+      case Some(c) =>
+        val kept = c.join(removeKeys, keyCols, "left_anti")
+        if (upserts == null) kept else kept.unionByName(upserts)
+      case None =>
+        require(upserts != null, "delete against an empty store")
+        upserts
+    }
 
-    writeMarker(fs, new Path(dir, "_schema"),
-      StructType(merged.schema.filterNot(_.name == "_bucket")).toDDL,
-      replace = false)
+    // schema fail-fast: a batch whose row shape differs from the
+    // store's would otherwise write mixed-schema generations into
+    // insert-only buckets (unionByName only guards buckets with live
+    // rows) and silently break every later read
+    val ddl = ddlOf(merged.schema)
+    readMarker(fs, new Path(dir, "_schema")) match {
+      case Some(prev) if prev != ddl =>
+        sys.error(s"versioned store schema mismatch: store has [$prev], " +
+          s"batch produces [$ddl]")
+      case _ =>
+        writeMarker(fs, new Path(dir, "_schema"), ddl, replace = false)
+    }
 
     // ONE staging job regardless of touched-bucket count (each bucket
     // co-located into one task; AQE never coalesces an explicit
@@ -280,7 +338,8 @@ object VersionedStore {
     }
     fs.delete(staging, true)
     // the transaction point: before this rename the epoch is invisible
-    val kind = (if (delete) "delete" else "upsert") +
+    val kind = (if (opCol.isDefined) "apply"
+                else if (delete) "delete" else "upsert") +
       (if (tag.nonEmpty) s"@$tag" else "")
     writeCommit(fs, dir, Commit(epoch, kind, touched))
     epoch

@@ -32,8 +32,14 @@ import graft.sinks.VersionedStore
   * sane retention is far behind it).
   *
   * Per-batch cost is the store's upsert contract: one distributed
-  * merge over (batch ∪ touched buckets) — O(batch), never O(store). */
-final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8) {
+  * merge over (batch ∪ touched buckets) — O(batch), never O(store).
+  *
+  * With `opCol` set the stream consumes a CDC FEED (Debezium-shaped:
+  * each row stamped `upsert` or `delete`): the whole mixed batch
+  * commits as ONE `apply` epoch ([[VersionedStore.applyOps]]) — never
+  * a half-visible upsert/delete epoch pair. */
+final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8,
+                             opCol: Option[String] = None) {
 
   /** Land one micro-batch as one epoch; replays are no-ops. Public so
     * the kill/resume spec can drive batches without a stream. */
@@ -41,7 +47,12 @@ final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8) {
     val tag = s"batch$batchId"
     if (VersionedStore.taggedEpoch(root, tag).isDefined) return
     if (batch.isEmpty) return
-    VersionedStore.upsert(batch, keyCols, root, nBuckets, tag = tag)
+    opCol match {
+      case Some(c) =>
+        VersionedStore.applyOps(batch, keyCols, root, c, nBuckets, tag = tag)
+      case None =>
+        VersionedStore.upsert(batch, keyCols, root, nBuckets, tag = tag)
+    }
   }
 
   /** Start the landing-queue consumer: one micro-batch per landing
@@ -69,14 +80,14 @@ object EpochStream {
     * history. */
   def replay(spark: SparkSession, phases: Seq[DataFrame],
              keyCols: Seq[String], workDir: String, storeRoot: String,
-             nBuckets: Int = 8): Unit = {
+             nBuckets: Int = 8, opCol: Option[String] = None): Unit = {
     require(phases.nonEmpty, "replay needs at least one phase")
     val inDir = s"$workDir/in"
     // coalesce(1): one FILE per phase, so one micro-batch per phase —
     // without it a multi-partition phase lands as several files and
     // maxFilesPerTrigger=1 splits it into several epochs
     phases.head.coalesce(1).write.parquet(inDir)
-    val q = EpochStream(keyCols, nBuckets)
+    val q = EpochStream(keyCols, nBuckets, opCol)
       .start(spark, inDir, phases.head.schema, storeRoot)
     try {
       q.processAllAvailable()

@@ -146,6 +146,27 @@ object VerifyProbe {
     require(VersionedStore.read(spark, estore).count() == li.count(),
       "streamed store must hold the full corpus")
 
+    // ---- mixed CDC apply at sf0.1 volume: one epoch per mixed batch
+    val cdcBatch = li.filter($"k1" % 10 === 0).withColumn("v", $"v" + 1L)
+      .withColumn("op", lit("upsert"))
+      .unionByName(li.filter($"k1" % 10 === 5)
+        .withColumn("v", lit(null).cast("long"))
+        .withColumn("g", lit(null).cast("string"))
+        .withColumn("op", lit("delete")))
+    val eApply = time("cdc apply (mixed)") {
+      VersionedStore.applyOps(cdcBatch, Seq("k1", "k2"), estore, "op")
+    }
+    require(eApply == 4L &&
+      VersionedStore.commits(estore).last.kind == "apply")
+    val nUp = li.filter($"k1" % 10 === 0).count()
+    val nDel = li.filter($"k1" % 10 === 5).count()
+    require(VersionedStore.read(spark, estore).count() ==
+      li.count() - nDel, "apply must remove deletes and keep upserts")
+    val cdcOut = VersionedStore.changelog(spark, estore, 3, 4)
+      .groupBy("change").count().as[(String, Long)].collect().toMap
+    require(cdcOut("update") == nUp && cdcOut("delete") == nDel,
+      s"apply changelog: $cdcOut vs up=$nUp del=$nDel")
+
     println(s"PROBE OK  vecs=$nVec vocab=$vocab pmi_pairs=$nPairs " +
       s"recall=${recall.toLong}ppm types=${mad.length} view=$scratch")
     spark.stop()

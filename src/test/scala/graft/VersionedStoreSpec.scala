@@ -191,6 +191,66 @@ class VersionedStoreSpec extends SparkSpec {
     assert(readSet(root, 5) == (s4 :+ (200L, 1L)).sorted)
   }
 
+  test("applyOps: mixed CDC batch is ONE epoch; conflicts and bad ops fail fast") {
+    val root = tmpDir("vstore_apply") + "/store"
+    VersionedStore.upsert(
+      Seq((1L, 10L, "x"), (2L, 20L, "x"), (3L, 30L, "y")).toDF("k", "v", "g"),
+      Seq("k"), root, nBuckets = 4)
+    // one batch: update k=1, insert k=9, delete k=3, delete absent k=99
+    val cdc = Seq(
+      (1L, Some(11L), Some("x"), "upsert"),
+      (9L, Some(90L), Some("z"), "upsert"),
+      (3L, None: Option[Long], None: Option[String], "delete"),
+      (99L, None: Option[Long], None: Option[String], "delete")
+    ).toDF("k", "v", "g", "op")
+    assert(VersionedStore.applyOps(cdc, Seq("k"), root, "op") == 2L)
+    assert(VersionedStore.commits(root).last.kind == "apply")
+    assert(VersionedStore.read(spark, root)
+      .as[(Long, Option[Long], Option[String])].collect().toSeq.sorted ==
+      Seq((1L, Some(11L), Some("x")), (2L, Some(20L), Some("x")),
+        (9L, Some(90L), Some("z"))))
+    // the changelog of the apply epoch classifies all three changes
+    assert(VersionedStore.changelog(spark, root, 1, 2)
+      .select($"k", $"change").as[(Long, String)].collect().toSeq.sorted ==
+      Seq((1L, "update"), (3L, "delete"), (9L, "insert")))
+    // a key carrying both ops in one batch is ambiguous
+    intercept[IllegalArgumentException] {
+      VersionedStore.applyOps(Seq(
+        (1L, Some(5L), Some("x"), "upsert"),
+        (1L, None: Option[Long], None: Option[String], "delete")
+      ).toDF("k", "v", "g", "op"), Seq("k"), root, "op")
+    }
+    // an op outside {upsert, delete} fails fast
+    intercept[IllegalArgumentException] {
+      VersionedStore.applyOps(
+        Seq((2L, Some(1L), Some("x"), "merge")).toDF("k", "v", "g", "op"),
+        Seq("k"), root, "op")
+    }
+    // a delete-only batch of absent keys commits nothing
+    assert(VersionedStore.applyOps(
+      Seq((500L, None: Option[Long], None: Option[String], "delete"))
+        .toDF("k", "v", "g", "op"), Seq("k"), root, "op") == 2L)
+  }
+
+  test("a batch whose schema differs from the store's fails fast") {
+    // single bucket, then EMPTIED: the bad batch lands insert-only, the
+    // one case unionByName cannot catch — only the marker check can
+    val root = tmpDir("vstore_schema") + "/store"
+    VersionedStore.upsert(Seq((1L, 10L)).toDF("k", "v"), Seq("k"), root,
+      nBuckets = 1)
+    VersionedStore.delete(Seq(1L).toDF("k"), root)
+    val ex = intercept[RuntimeException] {
+      VersionedStore.upsert(Seq((400L, "oops")).toDF("k", "v"), Seq("k"), root)
+    }
+    assert(ex.getMessage.contains("schema mismatch"), ex.getMessage)
+    // nullability alone must NOT trip it (literal-null columns)
+    VersionedStore.upsert(
+      Seq((2L, None: Option[Long])).toDF("k", "v"), Seq("k"), root)
+    assert(VersionedStore.currentEpoch(root) == 3L)
+    assert(VersionedStore.read(spark, root).as[(Long, Option[Long])]
+      .collect().toSeq == Seq((2L, None)))
+  }
+
   test("an upsert is one staging job regardless of touched-bucket count") {
     val root = tmpDir("vstore_onejob") + "/store"
     // epoch 1 seeds 16 buckets; epoch 2 touches ALL of them
