@@ -7465,6 +7465,61 @@ object Queries {
        |UNION ALL SELECT 4, 'upsert', (SELECT count(*) FROM s4)
        |ORDER BY epoch""".stripMargin
 
+  // ---------------------------------------------------- snapshot export
+  /** Snapshot PUBLISH ([[graft.sinks.VersionedStore.exportSnapshot]]):
+    * epoch 3's immutable generation files byte-copy BY EXECUTORS into
+    * a flat parquet directory a training job reads with no store
+    * resolution — zero decode/re-encode, no shuffle, no row ever
+    * materialized; the oracle certifies the exported bytes decode to
+    * exactly snapshot 3. */
+  private def qSnapshotExport(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedStoreAt(s, dir, "vstore")
+    val out = java.nio.file.Files.createTempDirectory("graft_q203")
+    try {
+      val n = graft.sinks.VersionedStore.exportSnapshot(
+        s, root, epoch = 3L, s"$out/snap")
+      require(n > 0, "export must copy at least one file")
+      s.read.parquet(s"$out/snap").orderBy("k").localCheckpoint()
+    } finally deleteRecursively(out)
+  }
+
+  private val oSnapshotExport =
+    s"""WITH $oVstoreCtes
+       |SELECT k, v, nat FROM s3 ORDER BY k""".stripMargin
+
+  // ------------------------------------------------ source KL divergence
+  /** Per-source lexical drift ([[graft.ops.CorpusStats
+    * .sourceDivergence]]): plug-in KL divergence of each source's
+    * token distribution from the corpus-wide one, every log factored
+    * through the additive eighth-bit quantization so no count product
+    * can overflow. The re-weighting gate's "which source stopped
+    * looking like the corpus" number, replayed exactly by the oracle. */
+  private def qSourceDivergence(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.sourceDivergence(
+        t(s, dir, "documents"), col("source"), col("text"))
+      .orderBy("source")
+
+  private val oSourceDivergence =
+    s"""WITH tok AS (SELECT source,
+       |    unnest(string_split_regex(text, '\\s+')) AS t
+       |  FROM documents),
+       |bs AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_s
+       |       FROM tok GROUP BY 1, 2),
+       |g AS (SELECT t, CAST(sum(c_s) AS BIGINT) AS c FROM bs GROUP BY 1),
+       |st AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS ts
+       |       FROM bs GROUP BY 1),
+       |tt AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM g),
+       |j AS (SELECT bs.source, bs.c_s, g.c, st.ts, tt.tot
+       |      FROM bs JOIN g ON g.t = bs.t
+       |      JOIN st ON st.source = bs.source, tt)
+       |SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
+       |  CAST(sum(c_s * (${oL8("c_s")} + ${oL8("tot")}
+       |       - ${oL8("c")} - ${oL8("ts")})) AS BIGINT) AS kl8_sum,
+       |  CAST(CAST(sum(c_s * (${oL8("c_s")} + ${oL8("tot")}
+       |       - ${oL8("c")} - ${oL8("ts")})) AS BIGINT) * 1000000
+       |    // max(ts) AS BIGINT) AS kl8_per_mtok
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   // =================================================================
   // Corpus analytics: random-projection compression, PMI, Zipf/Heaps,
   // robust MAD outlier gating.
@@ -7900,7 +7955,9 @@ object Queries {
     "q199_cdc_view" -> (qCdcView _),
     "q200_stream_epochs" -> (qStreamEpochs _),
     "q201_epoch_history" -> (qEpochHistory _),
-    "q202_stream_cdc_apply" -> (qStreamCdcApply _)
+    "q202_stream_cdc_apply" -> (qStreamCdcApply _),
+    "q203_snapshot_export" -> (qSnapshotExport _),
+    "q204_source_divergence" -> (qSourceDivergence _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -8109,6 +8166,8 @@ object Queries {
     "q199_cdc_view" -> oCdcView,
     "q200_stream_epochs" -> oStreamEpochs,
     "q201_epoch_history" -> oEpochHistory,
-    "q202_stream_cdc_apply" -> oStreamCdcApply
+    "q202_stream_cdc_apply" -> oStreamCdcApply,
+    "q203_snapshot_export" -> oSnapshotExport,
+    "q204_source_divergence" -> oSourceDivergence
   )
 }

@@ -91,6 +91,46 @@ object CorpusStats {
       .withColumn("rf", col("rank") * col("freq"))
       .select(col("rank"), col("token"), col("freq"), col("rf"))
 
+  /** Per-source lexical drift: the plug-in KL divergence of each
+    * source's token distribution from the corpus-wide one, in
+    * eighth-bit integers — the "which source stopped looking like the
+    * corpus" gate a mixing pipeline runs before re-weighting.
+    *
+    * KL(Pₛ‖Q) = Σₜ pₜ·log₂(pₜ/qₜ) with pₜ = cₛ(t)/Tₛ, qₜ = c(t)/T.
+    * Each token's log factors additively through the engine's
+    * eighth-bit idiom — cₛ(t)·(L(cₛ)+L(T)−L(c)−L(Tₛ)), L(x)=⌊8·log₂ x⌋
+    * via bit length — so no count PRODUCT is ever formed: every term
+    * is ≤ 8·63 and the per-source sum is ≤ 512·Tₛ, overflow-free at
+    * any corpus size (per-token terms can be negative; the quantized
+    * total can dip slightly below the true KL's ≥ 0). ONE corpus
+    * explode: the global counts re-aggregate the per-source table.
+    * Output: (source, n_tokens, kl8_sum, kl8_per_mtok) — kl8_per_mtok
+    * = kl8_sum·10⁶ div n_tokens (eighth-bits per million tokens; at
+    * Tₛ beyond ~10¹² report kl8_sum div (n_tokens div 10⁶) instead to
+    * keep the product under 2⁶³). */
+  def sourceDivergence(docs: DataFrame, sourceCol: Column,
+                       textCol: Column): DataFrame = {
+    val l = (x: String) =>
+      expr(graft.functions.Fns.bits8FromQ8Sql(s"($x) * CAST(256 AS BIGINT)"))
+    val bySrc = docs
+      .select(sourceCol.as("source"), explode(toks(textCol)).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_s"))
+    val global = bySrc.groupBy(col("t")).agg(sum(col("c_s")).as("c"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum(col("c_s")).as("ts"))
+    val tot = global.agg(sum(col("c")).as("tt"))
+    bySrc
+      .join(global, Seq("t"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        col("c_s") * (l("c_s") + l("tt") - l("c") - l("ts")))
+      .groupBy(col("source"))
+      .agg(max(col("ts")).as("n_tokens"),
+        sum(col("contrib")).as("kl8_sum"))
+      .withColumn("kl8_per_mtok",
+        expr("kl8_sum * 1000000 div n_tokens"))
+  }
+
   /** Heaps vocabulary-growth curve in corpus order `orderCol` (must be
     * unique per doc): one row per spine point —
     * (ord, n_docs, cum_tokens, vocab) where vocab counts the types

@@ -393,6 +393,68 @@ object VersionedStore {
       StructType.fromDDL(ddl))
   }
 
+  /** Publish one snapshot as a FLAT parquet directory (the "export for
+    * training" surface: a consumer that wants plain
+    * `spark.read.parquet(dest)` with no store resolution — a training
+    * job, an external engine, an archival copy). Zero decode/re-encode:
+    * the snapshot's immutable generation files are byte-copied BY
+    * EXECUTORS (one distributed job over the file list — the
+    * compactFiles copy posture, Layout.scala; the driver's writes are
+    * the `_SUCCESS` marker only), so export cost is IO-bound on
+    * snapshot bytes with no shuffle and no row ever materialized.
+    * Output names carry a `b<bucket>-g<epoch>-` prefix: re-exports
+    * overwrite deterministically. Returns the number of files copied. */
+  def exportSnapshot(spark: SparkSession, root: String, epoch: Long,
+                     dest: String): Long = {
+    import org.apache.hadoop.fs.FileUtil
+    val wm = retentionWatermark(root)
+    require(epoch >= wm,
+      s"export epoch $epoch is below the vacuum retention watermark $wm")
+    val committed = commits(root)
+    val cur = committed.lastOption.map(_.epoch).getOrElse(0L)
+    require(epoch <= cur, s"export epoch $epoch is beyond current epoch $cur")
+    val (fs, _) = fsOf(root)
+    val (dfs0, destPath) = fsOf(dest)
+    dfs0.delete(destPath, true)
+    dfs0.mkdirs(destPath)
+    // (source file, flat destination name) pairs — metadata only
+    val pairs: Seq[(String, String)] =
+      snapshotGens(root, committed, epoch).toSeq.flatMap {
+        case (b, Some(gen)) =>
+          fs.listStatus(new Path(gen)).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .map(p => (p.toString,
+              f"b$b%05d-${new Path(gen).getName}-${p.getName}"))
+        case _ => Seq.empty
+      }
+    if (pairs.nonEmpty) {
+      val confEntries: Array[(String, String)] = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (it.hasNext) { val e = it.next(); out += ((e.getKey, e.getValue)) }
+        out.toArray
+      }
+      val destStr = destPath.toString
+      import spark.implicits._
+      spark.createDataset(pairs)
+        .repartition(math.min(pairs.size,
+          spark.sparkContext.defaultParallelism))
+        .foreachPartition { (it: Iterator[(String, String)]) =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val dp = new Path(destStr)
+          val dfs = dp.getFileSystem(conf)
+          it.foreach { case (from, to) =>
+            val fp = new Path(from)
+            FileUtil.copy(fp.getFileSystem(conf), fp, dfs, new Path(dp, to),
+              false, true, conf)
+          }
+        }
+    }
+    dfs0.create(new Path(destPath, "_SUCCESS"), true).close()
+    pairs.size.toLong
+  }
+
   // ---------------------------------------------------------------- CDC
 
   /** Change-data-capture between two snapshots: one row per key whose

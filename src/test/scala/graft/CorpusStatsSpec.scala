@@ -89,6 +89,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.map(_._4) == Seq(pmiB(3, 4, 3), pmiB(1, 4, 1)))
   }
 
+  test("sourceDivergence: additive eighth-bit KL, exact; uniform source scores ~0") {
+    // s1 is balanced; s2 collapsed onto 'a' entirely
+    val docs = Seq(
+      ("s1", "a b"), ("s1", "a b"),
+      ("s2", "a a"), ("s2", "a a")
+    ).toDF("source", "text")
+    val got = CorpusStats.sourceDivergence(docs, col("source"), col("text"))
+      .orderBy("source").as[(String, Long, Long, Long)].collect().toSeq
+    // counts: corpus a=6 b=2 T=8; s1: a=2 b=2 Ts=4; s2: a=4 Ts=4
+    def kl(cs: Map[String, Long], ts: Long): Long =
+      Seq(("a", 6L), ("b", 2L)).flatMap { case (t, c) =>
+        cs.get(t).map(c_s => c_s * (l8(c_s) + l8(8) - l8(c) - l8(ts)))
+      }.sum
+    assert(got == Seq(
+      ("s1", 4L, kl(Map("a" -> 2L, "b" -> 2L), 4), kl(Map("a" -> 2L, "b" -> 2L), 4) * 1000000 / 4),
+      ("s2", 4L, kl(Map("a" -> 4L), 4), kl(Map("a" -> 4L), 4) * 1000000 / 4)))
+    // the skewed source must diverge MORE than the representative one
+    assert(got(1)._3 > got(0)._3,
+      s"skewed source must score higher: ${got.map(r => r._1 -> r._3)}")
+  }
+
   test("zipf: rank by (freq desc, token), rf product") {
     val docs = Seq("a a a b b c").toDF("text")
     val got = CorpusStats.zipf(docs, col("text"))

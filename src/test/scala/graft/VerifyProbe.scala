@@ -167,6 +167,20 @@ object VerifyProbe {
     require(cdcOut("update") == nUp && cdcOut("delete") == nDel,
       s"apply changelog: $cdcOut vs up=$nUp del=$nDel")
 
+    // ---- snapshot export at sf0.1 volume + per-source KL drift
+    val nFiles = time("export snapshot") {
+      VersionedStore.exportSnapshot(spark, estore, 4, s"$work/pub")
+    }
+    require(spark.read.parquet(s"$work/pub").count() ==
+      li.count() - nDel, s"export ($nFiles files) must equal the snapshot")
+    val div = time("source divergence") {
+      graft.ops.CorpusStats.sourceDivergence(docs, col("source"), col("text"))
+        .orderBy(col("kl8_per_mtok").desc).limit(3)
+        .as[(String, Long, Long, Long)].collect().toSeq
+    }
+    println(s"top drifted sources: $div")
+    require(div.size == 3 && div.forall(_._2 > 0))
+
     println(s"PROBE OK  vecs=$nVec vocab=$vocab pmi_pairs=$nPairs " +
       s"recall=${recall.toLong}ppm types=${mad.length} view=$scratch")
     spark.stop()

@@ -251,6 +251,28 @@ class VersionedStoreSpec extends SparkSpec {
       .collect().toSeq == Seq((2L, None)))
   }
 
+  test("exportSnapshot publishes a byte-copied flat directory per epoch") {
+    val root = tmpDir("vstore_export") + "/store"
+    build(root)
+    val out = tmpDir("vstore_export_out")
+    for (e <- 1L to 4L) {
+      val n = VersionedStore.exportSnapshot(spark, root, e, s"$out/e$e")
+      assert(n > 0)
+      assert(spark.read.parquet(s"$out/e$e").as[(Long, Long)]
+        .collect().toSeq.sorted ==
+        VersionedStore.readAsOf(spark, root, e).as[(Long, Long)]
+          .collect().toSeq.sorted, s"export of epoch $e differs")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/e$e", "_SUCCESS")))
+    }
+    // re-export overwrites cleanly; below-watermark export fails fast
+    assert(VersionedStore.exportSnapshot(spark, root, 4, s"$out/e4") > 0)
+    VersionedStore.vacuum(root, retainAsOf = 3L)
+    intercept[IllegalArgumentException] {
+      VersionedStore.exportSnapshot(spark, root, 2, s"$out/late")
+    }
+  }
+
   test("an upsert is one staging job regardless of touched-bucket count") {
     val root = tmpDir("vstore_onejob") + "/store"
     // epoch 1 seeds 16 buckets; epoch 2 touches ALL of them
