@@ -7658,6 +7658,89 @@ object Queries {
        |       - ${oL8("c_a")} - ${oL8("c_b")} AS BIGINT) AS pmi_bits8
        |FROM j ORDER BY a, b""".stripMargin
 
+  // ------------------------------------------------ PMI ledger refresh
+  /** Co-occurrence LEDGER refresh: the ingested corpus's unigram and
+    * window-pair counts persist once as sum-mergeable parquet ledgers
+    * ([[graft.ops.CorpusStats.unigramCounts]]/[[graft.ops.CorpusStats
+    * .pairCounts]]); a landing batch (doc_id % 10 = 0) is counted
+    * ALONE and merged in — plain sums are associative/commutative, so
+    * ledger ⊕ batch equals the whole-corpus counts EXACTLY and the
+    * oracle simply replays the whole corpus (the q152/q177 mergeable-
+    * ledger family, here for collocation state; old text never
+    * re-tokenized). */
+  private def qPmiRefresh(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CorpusStats
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val uniLedger = cachedLedger(s, "pmi_uni_ledger", dir)(
+      CorpusStats.unigramCounts(old, col("text")))
+    val pairLedger = cachedLedger(s, "pmi_pair_ledger", dir)(
+      CorpusStats.pairCounts(old, col("text"), window = 2))
+    CorpusStats.pmiFromCounts(
+        CorpusStats.mergeCounts(uniLedger,
+          CorpusStats.unigramCounts(batch, col("text")), Seq("t"), "c"),
+        CorpusStats.mergeCounts(pairLedger,
+          CorpusStats.pairCounts(batch, col("text"), window = 2),
+          Seq("a", "b"), "c_ab"),
+        minCount = 5L)
+      .orderBy("a", "b")
+  }
+
+  private val oPmiRefresh = oPmiPairs // ledger ⊕ batch == whole corpus
+
+  // ---------------------------------------------- contrastive pairs
+  /** Contrastive training-pair export
+    * ([[graft.ops.Curation.contrastivePairs]]): positives are the
+    * mutual-kNN edges over the persisted IVF index (q176's
+    * hub-stripped graph — the highest-precision free labels the
+    * corpus carries); each positive row proposes one hash-derived
+    * negative (`md5_hash60 mod |corpus|`), dropped on anchor/edge
+    * collision rather than re-drawn so both engines emit the same
+    * pairs. The corpus is never touched on the negative side. */
+  private def qContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val edges = Similarity.mutualKnnEdges(
+      Similarity.knnGraph(ivfIndexFor(s, dir).assignments, k = 3))
+    Curation.contrastivePairs(edges.select(col("id_a"), col("id_b")),
+        "id_a", "id_b", nIds = emb.count())
+      .orderBy("anchor", "partner", "label")
+  }
+
+  private val oContrastivePairs =
+    s"""WITH $oKmeansAf,
+       |s AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+       |        round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+       |      FROM af a JOIN af b
+       |        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+       |g AS (SELECT src_id, dst_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src_id
+       |      ORDER BY cos_sim DESC, dst_id) AS rank
+       |    FROM s)
+       |  WHERE rank <= 3),
+       |me AS (SELECT g1.src_id AS id_a, g1.dst_id AS id_b
+       |      FROM g g1 JOIN g g2
+       |        ON g2.src_id = g1.dst_id AND g2.dst_id = g1.src_id
+       |      WHERE g1.src_id < g1.dst_id),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |pos AS (SELECT id_a AS anchor, id_b AS partner,
+       |               CAST(1 AS BIGINT) AS label FROM me),
+       |bt AS (SELECT anchor, partner FROM pos
+       |       UNION ALL SELECT partner, anchor FROM pos),
+       |negc AS (SELECT me.id_a AS anchor,
+       |    ('0x' || substr(md5('neg:' || me.id_a || ':' || me.id_b), 1, 15))
+       |      ::BIGINT % nn.n AS partner
+       |  FROM me, nn),
+       |neg AS (SELECT anchor, partner, CAST(0 AS BIGINT) AS label
+       |        FROM negc
+       |        WHERE partner <> anchor AND NOT EXISTS (
+       |          SELECT 1 FROM bt
+       |          WHERE bt.anchor = negc.anchor
+       |            AND bt.partner = negc.partner))
+       |SELECT anchor, partner, label FROM pos
+       |UNION ALL SELECT anchor, partner, label FROM neg
+       |ORDER BY anchor, partner, label""".stripMargin
+
   // ------------------------------------------------ Zipf rank-frequency
   /** Zipf rank-frequency fingerprint ([[graft.ops.CorpusStats.zipf]]):
     * vocab-sized aggregate + vocab-sized rank window; rf = rank·freq
@@ -7957,7 +8040,9 @@ object Queries {
     "q201_epoch_history" -> (qEpochHistory _),
     "q202_stream_cdc_apply" -> (qStreamCdcApply _),
     "q203_snapshot_export" -> (qSnapshotExport _),
-    "q204_source_divergence" -> (qSourceDivergence _)
+    "q204_source_divergence" -> (qSourceDivergence _),
+    "q205_pmi_refresh" -> (qPmiRefresh _),
+    "q206_contrastive_pairs" -> (qContrastivePairs _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -8168,6 +8253,8 @@ object Queries {
     "q201_epoch_history" -> oEpochHistory,
     "q202_stream_cdc_apply" -> oStreamCdcApply,
     "q203_snapshot_export" -> oSnapshotExport,
-    "q204_source_divergence" -> oSourceDivergence
+    "q204_source_divergence" -> oSourceDivergence,
+    "q205_pmi_refresh" -> oPmiRefresh,
+    "q206_contrastive_pairs" -> oContrastivePairs
   )
 }

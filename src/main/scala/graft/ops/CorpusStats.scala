@@ -57,19 +57,41 @@ object CorpusStats {
     * exact integers end to end, defined at any corpus size. c_a/c_b
     * are corpus unigram counts, T total tokens, P total pair sites. */
   def pmi(docs: DataFrame, textCol: Column, window: Int,
-          minCount: Long = 1L): DataFrame = {
+          minCount: Long = 1L): DataFrame =
+    pmiFromCounts(unigramCounts(docs, textCol),
+      pairCounts(docs, textCol, window), minCount)
+
+  /** Corpus unigram counts (t, c) — the PMI marginal state. Plain sums,
+    * so two count tables MERGE exactly ([[mergeCounts]]): the ledger
+    * form of co-occurrence statistics. */
+  def unigramCounts(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(toks(textCol)).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+
+  /** Windowed pair counts (a, b, c_ab) — vocab²-bounded, sum-mergeable
+    * like [[unigramCounts]]. */
+  def pairCounts(docs: DataFrame, textCol: Column, window: Int): DataFrame =
+    windowPairs(docs, textCol, window)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+
+  /** Merge two count tables by summing over `keys` — associative and
+    * commutative, so ledger ⊕ batch equals the whole-corpus count
+    * table EXACTLY under any batching (the q152/q177 mergeable-ledger
+    * contract, here for co-occurrence state). */
+  def mergeCounts(x: DataFrame, y: DataFrame, keys: Seq[String],
+                  countCol: String): DataFrame =
+    x.unionByName(y).groupBy(keys.map(col): _*)
+      .agg(sum(col(countCol)).as(countCol))
+
+  /** PMI scored from count TABLES (the serve path over persisted
+    * ledgers — no corpus access): totals re-aggregate the inputs. */
+  def pmiFromCounts(uni: DataFrame, pairs: DataFrame,
+                    minCount: Long = 1L): DataFrame = {
     val l = (x: String) =>
       expr(graft.functions.Fns.bits8FromQ8Sql(s"($x) * CAST(256 AS BIGINT)"))
-    val tok = docs.select(explode(toks(textCol)).as("t"))
-    val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val totals = uni.agg(sum(col("c")).as("T")).withColumn("lT", l("T"))
-    // one corpus pass: the vocab²-bounded pair table yields both the
-    // per-pair counts and (re-aggregated, no second scan) the P total
-    val pairsAll = windowPairs(docs, textCol, window)
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
-    val pairs = pairsAll.filter(col("c_ab") >= minCount)
-    val pTotal = pairsAll.agg(sum(col("c_ab")).as("P")).withColumn("lP", l("P"))
-    pairs
+    val pTotal = pairs.agg(sum(col("c_ab")).as("P")).withColumn("lP", l("P"))
+    pairs.filter(col("c_ab") >= minCount)
       .join(uni.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
       .join(uni.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
       .crossJoin(broadcast(totals))

@@ -500,4 +500,39 @@ object Curation {
       .filter(col("pos") <= col("quota"))
       .drop("_ord", "_salt", "_rn1")
   }
+
+  /** Contrastive training-pair export: one labeled row per
+    * positive/negative pair — positives are the given similarity edges
+    * (mutual-kNN edges in the q206 composition: the highest-precision
+    * free labels a corpus carries), negatives are hash-derived partners
+    * (`md5_hash60("neg:<a>:<b>") mod nIds` — deterministic, so two
+    * engines and two runs emit the SAME pairs, and every positive row
+    * proposes exactly one negative for class balance). A proposed
+    * negative that collides with its anchor or with ANY real edge (both
+    * orientations) is dropped rather than re-drawn — re-draw loops
+    * aren't expression-shaped, and at corpus scale a collision is
+    * vanishingly rare (edges are k·N of N² pairs), so the balance skew
+    * is negligible and EXACTLY reproducible.
+    *
+    * Scale: negatives are a per-row expression over the edge list plus
+    * one anti-join against the (k·N-row) edge set — the corpus is never
+    * touched; ids need not be dense, `nIds` only seeds the hash range
+    * (a partner id that maps to a gap is simply a row whose features a
+    * downstream join will drop). */
+  def contrastivePairs(edges: DataFrame, aCol: String, bCol: String,
+                       nIds: Long): DataFrame = {
+    require(nIds > 1, s"contrastivePairs needs an id range: $nIds")
+    val pos = edges.select(col(aCol).as("anchor"), col(bCol).as("partner"))
+      .withColumn("label", lit(1L))
+    val both = pos.select(col("anchor"), col("partner"))
+      .unionByName(pos.select(col("partner").as("anchor"),
+        col("anchor").as("partner")))
+    val neg = edges.select(col(aCol).as("anchor"),
+        pmod(ThetaSketch.hash60(concat(lit("neg:"), col(aCol).cast("string"),
+          lit(":"), col(bCol).cast("string"))), lit(nIds)).as("partner"))
+      .filter(col("partner") =!= col("anchor"))
+      .join(both, Seq("anchor", "partner"), "left_anti")
+      .withColumn("label", lit(0L))
+    pos.unionByName(neg)
+  }
 }

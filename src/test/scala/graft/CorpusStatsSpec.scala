@@ -110,6 +110,56 @@ class CorpusStatsSpec extends SparkSpec {
       s"skewed source must score higher: ${got.map(r => r._1 -> r._3)}")
   }
 
+  test("count ledgers merge exactly: split ⊕ == whole, under any batching") {
+    val docs = Seq("a b a", "b c", "a c a b", "c c").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("i", "text")
+    val whole = CorpusStats.pmi(docs, col("text"), window = 2)
+      .orderBy("a", "b").collect().toSeq
+    // every 2-way split of the 4 docs must reproduce the whole exactly
+    for (mask <- 1 until 15) {
+      val ids = (0 until 4).filter(i => (mask & (1 << i)) != 0).map(_.toLong)
+      val left = docs.filter(col("i").isin(ids: _*))
+      val right = docs.filter(!col("i").isin(ids: _*))
+      val merged = CorpusStats.pmiFromCounts(
+        CorpusStats.mergeCounts(
+          CorpusStats.unigramCounts(left, col("text")),
+          CorpusStats.unigramCounts(right, col("text")), Seq("t"), "c"),
+        CorpusStats.mergeCounts(
+          CorpusStats.pairCounts(left, col("text"), 2),
+          CorpusStats.pairCounts(right, col("text"), 2), Seq("a", "b"), "c_ab"))
+        .orderBy("a", "b").collect().toSeq
+      assert(merged == whole, s"split mask $mask diverged")
+    }
+  }
+
+  test("contrastivePairs: deterministic balanced negatives, no edge collisions") {
+    import graft.ops.Curation
+    // fixture chosen so all three hash-negatives survive: md5-mod
+    // partners are (1,3)->9, (2,4)->6, (4,8)->3 — none an anchor/edge
+    val edges = Seq((1L, 3L), (2L, 4L), (4L, 8L)).toDF("id_a", "id_b")
+    val out = Curation.contrastivePairs(edges, "id_a", "id_b", nIds = 10L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val pos = out.filter(_._3 == 1L).map(t => (t._1, t._2)).toSet
+    val neg = out.filter(_._3 == 0L)
+    assert(pos == Set((1L, 3L), (2L, 4L), (4L, 8L)))
+    assert(neg.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 9L), (2L, 6L), (4L, 3L)))
+    // and a colliding edge DROPS its negative instead of re-drawing:
+    // (2,7)'s partner hashes to 7 — its own positive partner
+    val dropped = Curation.contrastivePairs(
+      Seq((2L, 7L)).toDF("id_a", "id_b"), "id_a", "id_b", nIds = 10L)
+      .filter($"label" === 0L).count()
+    assert(dropped == 0L)
+    neg.foreach { case (a, p, _) =>
+      assert(p != a && !pos.contains((a, p)) && !pos.contains((p, a)),
+        s"negative ($a,$p) collides with an edge or its anchor")
+      assert(p >= 0 && p < 10, s"negative partner $p outside the id range")
+    }
+    // determinism: a second run emits the identical table
+    assert(Curation.contrastivePairs(edges, "id_a", "id_b", nIds = 10L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted == out.sorted)
+  }
+
   test("zipf: rank by (freq desc, token), rf product") {
     val docs = Seq("a a a b b c").toDF("text")
     val got = CorpusStats.zipf(docs, col("text"))

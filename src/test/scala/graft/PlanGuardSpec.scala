@@ -91,7 +91,11 @@ class PlanGuardSpec extends SparkSpec {
     "q194_rp_recall" -> 3,
     // PMI totals: crossJoin(broadcast(1-row T)) × (1-row P) — the
     // q62/q118 1-row-aggregate shape
-    "q195_pmi_pairs" -> 2)
+    "q195_pmi_pairs" -> 2,
+    // KL totals: crossJoin(broadcast(1-row corpus token total))
+    "q204_source_divergence" -> 1,
+    // ledger-refresh PMI scores through the same two 1-row totals
+    "q205_pmi_refresh" -> 2)
 
   test("no CartesianProduct anywhere; BNLJ within per-query budgets") {
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
