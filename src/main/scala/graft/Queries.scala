@@ -7442,19 +7442,17 @@ object Queries {
       |SELECT k, v, nat FROM t3 ORDER BY k""".stripMargin
 
   // ----------------------------------------------------- epoch history
-  /** The store's DESCRIBE HISTORY surface: one row per committed epoch
-    * (epoch, kind, rows-in-snapshot) from the commit-marker log plus a
-    * time-travel count per epoch — the lineage record that answers
-    * "which snapshot trained this model". */
-  private def qEpochHistory(s: SparkSession, dir: String): DataFrame = {
-    val root = versionedStoreAt(s, dir, "vstore")
-    val cs = graft.sinks.VersionedStore.commits(root)
-    import s.implicits._
-    cs.map(c => (c.epoch, c.kind,
-        graft.sinks.VersionedStore.readAsOf(s, root, c.epoch).count()))
-      .toDF("epoch", "kind", "n_rows")
+  /** The store's DESCRIBE HISTORY surface
+    * ([[graft.sinks.VersionedStore.history]]): one row per committed
+    * epoch (epoch, kind, rows-in-snapshot) — the lineage record that
+    * answers "which snapshot trained this model". ONE Spark job
+    * however long the history: every distinct generation is counted
+    * once and per-epoch totals are metadata math (never a count job
+    * per epoch). */
+  private def qEpochHistory(s: SparkSession, dir: String): DataFrame =
+    graft.sinks.VersionedStore.history(s, versionedStoreAt(s, dir, "vstore"))
+      .withColumn("n_rows", col("n_rows").cast("long"))
       .orderBy("epoch")
-  }
 
   private val oEpochHistory =
     s"""WITH $oVstoreCtes

@@ -393,6 +393,49 @@ object VersionedStore {
       StructType.fromDDL(ddl))
   }
 
+  /** DESCRIBE HISTORY: one row per committed epoch — (epoch, kind,
+    * n_rows in that epoch's snapshot). Cost is ONE Spark job however
+    * long the history: every DISTINCT generation any readable snapshot
+    * references is counted once (per-file row counts grouped by
+    * `input_file_name`), and each epoch's total is metadata math over
+    * the per-generation counts — never a count job per epoch (the
+    * O(epochs)-jobs driver loop this method exists to avoid).
+    * Epochs below the vacuum watermark that still appear in the
+    * commit-log checkpoint report null n_rows (their full snapshots
+    * are no longer readable). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val committed = commits(root)
+    val wm = retentionWatermark(root)
+    // per readable epoch: the generation path set serving it
+    val epochGens: Seq[(Long, String, Seq[String])] = committed.map { c =>
+      val gens =
+        if (c.epoch < wm) Seq.empty[String]
+        else snapshotGens(root, committed, c.epoch).values.flatten.toSeq
+      (c.epoch, c.kind, gens)
+    }
+    val distinctGens = epochGens.flatMap(_._3).distinct
+    // ONE job: rows per FILE, combined driver-side into rows per GEN
+    // (the collect is one (path, count) pair per data file — metadata)
+    val perFile: Map[String, Long] =
+      if (distinctGens.isEmpty) Map.empty
+      else spark.read.parquet(distinctGens: _*)
+        .groupBy(input_file_name().as("f")).count()
+        .as[(String, Long)].collect().toMap
+    val perGen: Map[String, Long] = perFile.toSeq
+      .map { case (f, n) =>
+        (new Path(f).getParent.toUri.getPath, n)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    def genKey(g: String): String = new Path(g).toUri.getPath
+    val rows = epochGens.map { case (e, kind, gens) =>
+      val n =
+        if (e < wm) None
+        else Some(gens.map(g => perGen.getOrElse(genKey(g), 0L)).sum)
+      (e, kind, n)
+    }
+    rows.toDF("epoch", "kind", "n_rows")
+  }
+
   /** Publish one snapshot as a FLAT parquet directory (the "export for
     * training" surface: a consumer that wants plain
     * `spark.read.parquet(dest)` with no store resolution — a training

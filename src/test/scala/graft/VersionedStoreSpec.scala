@@ -251,6 +251,43 @@ class VersionedStoreSpec extends SparkSpec {
       .collect().toSeq == Seq((2L, None)))
   }
 
+  test("history: one job for the whole epoch log; nulls below the watermark") {
+    val root = tmpDir("vstore_hist") + "/store"
+    build(root)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    val hist = try {
+      val h = VersionedStore.history(spark, root)
+        .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+      h
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one count job + parquet footer/schema job (+ AQE stage): a
+    // CONSTANT, not O(epochs) — the old per-epoch readAsOf.count()
+    // loop ran one job per epoch and would blow this bound at 4
+    assert(jobs.get() <= 3,
+      s"history jobs must not scale with epochs, ran ${jobs.get()} for 4")
+    assert(hist == Seq(
+      (1L, "upsert", Some(s1.size.toLong)),
+      (2L, "upsert", Some(s2.size.toLong)),
+      (3L, "delete", Some(s3.size.toLong)),
+      (4L, "upsert", Some(s4.size.toLong))))
+    // below-watermark epochs that survive in the checkpoint report null
+    VersionedStore.vacuum(root, retainAsOf = 3L)
+    val post = VersionedStore.history(spark, root)
+      .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(post.map(r => (r._1, r._3.isDefined)).forall {
+      case (e, defined) => defined == (e >= 3L)
+    }, s"post-vacuum history: $post")
+    assert(post.find(_._1 == 4L).get._3.contains(s4.size.toLong))
+  }
+
   test("exportSnapshot publishes a byte-copied flat directory per epoch") {
     val root = tmpDir("vstore_export") + "/store"
     build(root)
