@@ -6987,16 +6987,15 @@ object Queries {
     val batch = ThetaSketch.sketch(
       docs.filter(expr("(doc_id div 20) % 5 = 0")),
       Seq("source"), col("shingle"), KmvK)
-    ThetaSketch.setOps(old, batch, Seq("source"), KmvK)
-      // CONTAINMENT of the batch sample in history, not Jaccard: the
-      // sides are deliberately different sizes (a landing batch vs
-      // the whole ingested corpus), and Jaccard punishes that
-      // asymmetry even when every batch shingle is old news
-      .withColumn("containment_ppm",
-        expr("matched * CAST(1000000 AS BIGINT) div n_b"))
-      .withColumn("verdict",
-        when(col("containment_ppm") < KmvDriftThresholdPpm, lit("shifted"))
-          .otherwise(lit("stable")))
+    // CONTAINMENT of the batch sample in history, not Jaccard: the
+    // sides are deliberately different sizes (a landing batch vs
+    // the whole ingested corpus), and Jaccard punishes that
+    // asymmetry even when every batch shingle is old news. The gate
+    // treats n_b = 0 as shifted (zero batch evidence in the union
+    // sample — see ThetaSketch.containmentGate's fail-closed contract)
+    ThetaSketch.containmentGate(
+        ThetaSketch.setOps(old, batch, Seq("source"), KmvK),
+        KmvDriftThresholdPpm)
       .select(col("source"), col("n_l"), col("matched"), col("n_b"),
         col("containment_ppm"), col("verdict"))
       .orderBy("source")
@@ -7025,12 +7024,15 @@ object Queries {
        |    sum(in_b) AS n_b
        |  FROM l WHERE rn <= $KmvK GROUP BY 1),
        |ctn AS (SELECT g, n_l, matched, n_b,
-       |    matched * CAST(1000000 AS BIGINT) // n_b AS containment_ppm
+       |    CASE WHEN n_b = 0 THEN NULL
+       |      ELSE matched * CAST(1000000 AS BIGINT) // n_b
+       |    END AS containment_ppm
        |  FROM agg)
        |SELECT g AS source, CAST(n_l AS BIGINT) AS n_l,
        |  CAST(matched AS BIGINT) AS matched, CAST(n_b AS BIGINT) AS n_b,
        |  CAST(containment_ppm AS BIGINT) AS containment_ppm,
-       |  CASE WHEN containment_ppm < $KmvDriftThresholdPpm
+       |  CASE WHEN n_b = 0 THEN 'shifted'
+       |    WHEN containment_ppm < $KmvDriftThresholdPpm
        |    THEN 'shifted' ELSE 'stable' END AS verdict
        |FROM ctn ORDER BY source""".stripMargin
 

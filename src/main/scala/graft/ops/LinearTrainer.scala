@@ -168,6 +168,13 @@ object LinearTrainer {
           .groupBy(col("_b"))
           .agg(sum(col("_x") * col("_e")).cast("long").as("_g"))
           .collect()
+        // the step divisor itself can wrap: lrDenom ≥ max row norm²
+        // (2^20 in the shipped config) times a multi-trillion n flips
+        // the product negative and the update silently changes SIGN —
+        // fail fast like the gradient guard above
+        require(lrDenom <= Long.MaxValue / math.max(n, 1L),
+          s"lmsTrain: lrDenom=$lrDenom * n=$n overflows the Long step divisor" +
+            " — shrink the batch or lower lrDenom")
         val div = lrDenom * n // JVM truncated division == DuckDB `//`
         // merge, don't replace: warm-start buckets absent from this
         // feature table keep their weight (mini-batch fold contract)

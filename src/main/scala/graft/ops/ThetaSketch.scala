@@ -183,8 +183,14 @@ object ThetaSketch {
     *   jaccard_ppm = matched·10⁶ // n_l,
     *   inter_est   = matched·union_est // n_l.
     *
-    * Validity requires both sketches built with the SAME k (enforced)
-    * and the same hash (shared by construction). The combine runs on
+    * Validity requires both sketches built with the SAME k — a CALLER
+    * contract, not runtime-enforced: a kmv array alone cannot reveal
+    * its build k (a short array may be a small group OR a smaller-k
+    * sketch), and a smaller-k' input silently skews union/intersection
+    * estimates because L's k-th-smallest threshold argument no longer
+    * holds. Persist k next to sketch ledgers (SketchStream does) and
+    * validate at load. The same hash is shared by construction. The
+    * combine runs on
     * sketch rows only — ≤2k per group — so the window sort is
     * model-sized, never corpus-sized. */
   def setOps(skA: DataFrame, skB: DataFrame, groupCols: Seq[String],
@@ -285,4 +291,25 @@ object ThetaSketch {
       .select(col("g_a"), col("g_b"), col("n_l"), col("matched"),
         col("union_est"), col("jaccard_ppm"), col("inter_est"))
   }
+
+  /** Containment drift gate over a [[setOps]] output: appends
+    * `containment_ppm` = matched·10⁶ // n_b (how much of the B-side
+    * sample is old news to A) and a `verdict` against `thresholdPpm`.
+    * n_b = 0 — every union-sample hash came from the A side, possible
+    * when ALL of B's hashes sit above A's theta — is the MOST
+    * divergent evidence, not a null to fall through to "stable": the
+    * gate returns verdict "shifted" with a NULL containment (no
+    * fair-coin sample of B exists to quantify it). Letting the null
+    * containment reach a `containment < threshold` comparison instead
+    * would fail the gate OPEN on exactly the most-shifted input
+    * (ThetaSketchSpec pins this). */
+  def containmentGate(ops: DataFrame, thresholdPpm: Long): DataFrame =
+    ops
+      .withColumn("containment_ppm",
+        when(col("n_b") > 0L,
+          expr("matched * CAST(1000000 AS BIGINT) div n_b")))
+      .withColumn("verdict",
+        when(col("n_b") === 0L, lit("shifted"))
+          .when(col("containment_ppm") < thresholdPpm, lit("shifted"))
+          .otherwise(lit("stable")))
 }

@@ -25,14 +25,17 @@ object Sinks {
   private def hadoopConf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** Small-file write via the FS rename idiom (tmp + rename). Hadoop
-    * rename does not replace an existing target on all filesystems, so
-    * the target is deleted first; a crash between the two leaves no
-    * marker, which every reader treats as "absent" (and the next
-    * writer recreates it). A FAILED rename throws — Hadoop signals
-    * most rename failures by returning false, and swallowing that
-    * would let a caller believe a marker (or manifest) landed when
-    * nothing is on disk. */
+  /** Small-file write via the FS rename idiom (tmp + rename). Replace
+    * writes go through `FileContext.rename(OVERWRITE)` — a single
+    * atomic replace with NO window in which a concurrent reader sees
+    * the marker absent (plain `FileSystem.rename` does not overwrite
+    * on all filesystems, and delete-then-rename opens exactly that
+    * window). Filesystems without a FileContext binding fall back to
+    * the windowed delete+rename; a reader there treats a missing
+    * marker as "absent" and the next writer recreates it. A FAILED
+    * rename throws — Hadoop signals most rename failures by returning
+    * false, and swallowing that would let a caller believe a marker
+    * (or manifest) landed when nothing is on disk. */
   private[sinks] def writeMarker(fs: FileSystem, target: Path, content: String,
                                  replace: Boolean): Unit = {
     if (!replace && fs.exists(target)) return
@@ -40,7 +43,18 @@ object Sinks {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (replace) fs.delete(target, false)
+    if (replace) {
+      try {
+        val fc = org.apache.hadoop.fs.FileContext
+          .getFileContext(target.toUri, fs.getConf)
+        fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        return
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(target, false) // documented non-atomic fallback
+      }
+    }
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       sys.error(s"marker rename failed: $tmp -> $target")

@@ -176,10 +176,20 @@ object VersionedStore {
     writeEpoch(batch, keyCols, root, nBuckets, delete = false, tag = tag)
 
   /** The epoch committed under `tag`, if any — the replay-detection
-    * probe (one commit-marker listing, no data read). */
+    * probe (one commit-marker listing, no data read). Matches the tag
+    * EXACTLY (everything past the kind's first '@'), never by suffix:
+    * a suffix match would let tag "y" claim a commit tagged "x@y" and
+    * the exactly-once fence would fail OPEN — treat an unprocessed
+    * batch as committed and silently drop it. Tags cannot contain '@'
+    * ([[writeEpoch]] rejects them), so the split is unambiguous. */
   def taggedEpoch(root: String, tag: String): Option[Long] = {
     require(tag.nonEmpty, "taggedEpoch needs a tag")
-    commits(root).find(_.kind.endsWith(s"@$tag")).map(_.epoch)
+    commits(root)
+      .find(c => c.kind.indexOf('@') match {
+        case -1 => false
+        case i => c.kind.substring(i + 1) == tag
+      })
+      .map(_.epoch)
   }
 
   /** Delete by key as a NEW epoch: buckets holding any of `keys`
@@ -200,8 +210,12 @@ object VersionedStore {
     * into a half-visible pair of epochs. A key carrying BOTH ops in
     * one batch is ambiguous and fails fast; delete-only buckets whose
     * keys are all absent are skipped by the same presence probe as
-    * [[delete]]. Returns the committed epoch (the current epoch
-    * unchanged when nothing matched). */
+    * [[delete]]. Op-domain validation, the conflict check and both
+    * bucket sets come from ONE fused aggregation job over the batch
+    * (VersionedStoreSpec pins the job count), so per-micro-batch
+    * overhead on a CDC stream is one probe + one merge job. Returns
+    * the committed epoch (the current epoch unchanged when nothing
+    * matched). */
   def applyOps(batch: DataFrame, keyCols: Seq[String], root: String,
                opCol: String, nBuckets: Int = 8, tag: String = ""): Long =
     writeEpoch(batch, keyCols, root, nBuckets, delete = false, tag = tag,
@@ -216,8 +230,8 @@ object VersionedStore {
   private def writeEpoch(batch: DataFrame, keyCols: Seq[String], root: String,
                          nBuckets: Int, delete: Boolean, tag: String,
                          opCol: Option[String] = None): Long = {
-    require(!tag.contains(";") && !tag.contains("\n"),
-      s"commit tag must not contain ';' or newlines: $tag")
+    require(!tag.contains(";") && !tag.contains("\n") && !tag.contains("@"),
+      s"commit tag must not contain ';', '@' or newlines: $tag")
     require(!batch.columns.contains("_bucket"),
       "versioned store uses '_bucket' as a helper column; rename the input's")
     val spark = batch.sparkSession
@@ -236,30 +250,41 @@ object VersionedStore {
 
     // normalize the three write shapes to: upsert rows (null = none)
     // + the full remove-key set (every batch key anti-joins out; the
-    // upserts then re-insert theirs)
-    val upserts: DataFrame = opCol match {
+    // upserts then re-insert theirs). For a mixed-op batch ALL the
+    // validation and bucket discovery comes from ONE fused aggregation
+    // — op-domain validity, upsert/delete key conflicts and both
+    // bucket sets in a single job whose result is two counters plus
+    // ≤ n small ints, never a job per invariant (a high-frequency CDC
+    // stream pays this price per micro-batch).
+    val (upserts, delKeyRows, upsertBuckets, delCandBuckets) = opCol match {
       case Some(c) =>
-        val bad = mat.filter(!coalesce(col(c), lit("")).isin("upsert", "delete"))
-          .count()
-        require(bad == 0, s"applyOps: $bad rows with op outside {upsert, delete}")
-        val conflicts = mat.filter(col(c) === "upsert")
-          .select(keyCols.map(col): _*)
-          .intersect(mat.filter(col(c) === "delete").select(keyCols.map(col): _*))
-          .count()
-        require(conflicts == 0,
-          s"applyOps: $conflicts keys carry BOTH upsert and delete in one batch")
-        mat.filter(col(c) === "upsert").drop(c)
-      case None => if (delete) null else mat
+        val perKey = mat.groupBy(keyCols.map(col): _*).agg(
+          first(col("_bucket")).as("_b"), // same key ⇒ same bucket
+          sum(when(!coalesce(col(c), lit("")).isin("upsert", "delete"), 1L)
+            .otherwise(0L)).as("_bad"),
+          max(when(col(c) === "upsert", 1).otherwise(0)).as("_u"),
+          max(when(col(c) === "delete", 1).otherwise(0)).as("_d"))
+        val probe = perKey.agg(
+          coalesce(sum(col("_bad")), lit(0L)).as("bad"),
+          coalesce(sum(when(col("_u") === 1 && col("_d") === 1, 1L)
+            .otherwise(0L)), lit(0L)).as("conflicts"),
+          collect_set(when(col("_u") === 1, col("_b"))).as("ub"),
+          collect_set(when(col("_d") === 1 && col("_u") === 0, col("_b")))
+            .as("db")).collect()(0)
+        require(probe.getLong(0) == 0,
+          s"applyOps: ${probe.getLong(0)} rows with op outside {upsert, delete}")
+        require(probe.getLong(1) == 0, s"applyOps: ${probe.getLong(1)} keys " +
+          "carry BOTH upsert and delete in one batch")
+        (mat.filter(col(c) === "upsert").drop(c),
+          mat.filter(col(c) === "delete"),
+          probe.getSeq[Int](2).sorted,
+          probe.getSeq[Int](3).toSeq)
+      case None =>
+        val buckets = mat.select("_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (delete) (null: DataFrame, mat, Seq.empty[Int], buckets)
+        else (mat, null: DataFrame, buckets, Seq.empty[Int])
     }
-    val delKeyRows: DataFrame = opCol match {
-      case Some(c) => mat.filter(col(c) === "delete")
-      case None => if (delete) mat else null
-    }
-
-    val upsertBuckets: Seq[Int] =
-      if (upserts == null) Seq.empty
-      else upserts.select("_bucket").distinct()
-        .collect().map(_.getInt(0)).toSeq
     // a delete only rewrites buckets where a key is ACTUALLY present —
     // a batch of absent keys must not commit a pointless epoch (nor
     // rewrite untouched buckets at scale); the presence probe is one
@@ -267,8 +292,7 @@ object VersionedStore {
     val deleteBuckets: Seq[Int] =
       if (delKeyRows == null) Seq.empty
       else {
-        val cand = delKeyRows.select("_bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val cand = delCandBuckets
           .filterNot(upsertBuckets.toSet) // rewritten anyway
           .filter(b => snapGens.get(b).exists(_.nonEmpty))
         val paths = cand.flatMap(b => snapGens.getOrElse(b, None))
@@ -394,12 +418,16 @@ object VersionedStore {
   }
 
   /** DESCRIBE HISTORY: one row per committed epoch — (epoch, kind,
-    * n_rows in that epoch's snapshot). Cost is ONE Spark job however
-    * long the history: every DISTINCT generation any readable snapshot
-    * references is counted once (per-file row counts grouped by
-    * `input_file_name`), and each epoch's total is metadata math over
-    * the per-generation counts — never a count job per epoch (the
-    * O(epochs)-jobs driver loop this method exists to avoid).
+    * n_rows in that epoch's snapshot). ZERO Spark jobs on the normal
+    * path: every DISTINCT generation any readable snapshot references
+    * is counted once from its parquet FOOTERS (driver-side metadata
+    * reads — the `Sinks.updateStoreStats` pattern: O(generations) file
+    * opens, no data page touched, no executor involved), and each
+    * epoch's total is metadata math over the per-generation counts —
+    * a parquet scan-and-count job would re-read every live data byte
+    * for numbers the footers already hold. Generations with an
+    * unreadable footer (a corrupt or foreign file) fall back to ONE
+    * Spark count over those generations only.
     * Epochs below the vacuum watermark that still appear in the
     * commit-log checkpoint report null n_rows (their full snapshots
     * are no longer readable). */
@@ -407,6 +435,7 @@ object VersionedStore {
     import spark.implicits._
     val committed = commits(root)
     val wm = retentionWatermark(root)
+    val (fs, _) = fsOf(root)
     // per readable epoch: the generation path set serving it
     val epochGens: Seq[(Long, String, Seq[String])] = committed.map { c =>
       val gens =
@@ -415,18 +444,34 @@ object VersionedStore {
       (c.epoch, c.kind, gens)
     }
     val distinctGens = epochGens.flatMap(_._3).distinct
-    // ONE job: rows per FILE, combined driver-side into rows per GEN
-    // (the collect is one (path, count) pair per data file — metadata)
-    val perFile: Map[String, Long] =
-      if (distinctGens.isEmpty) Map.empty
-      else spark.read.parquet(distinctGens: _*)
-        .groupBy(input_file_name().as("f")).count()
-        .as[(String, Long)].collect().toMap
-    val perGen: Map[String, Long] = perFile.toSeq
-      .map { case (f, n) =>
-        (new Path(f).getParent.toUri.getPath, n)
-      }.groupMapReduce(_._1)(_._2)(_ + _)
     def genKey(g: String): String = new Path(g).toUri.getPath
+    // footer-served per-generation counts; None = some footer unreadable
+    val fromFooters: Map[String, Option[Long]] = distinctGens.map { g =>
+      val files = fs.listStatus(new Path(g)).map(_.getPath).filter { p =>
+        val nm = p.getName
+        nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
+      }
+      val counts: Seq[Option[Long]] = files.toSeq.map { p =>
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, fs.getConf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try Some(r.getRecordCount) finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+      genKey(g) ->
+        (if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
+    }.toMap
+    val bad = distinctGens.filter(g => fromFooters(genKey(g)).isEmpty)
+    val scanned: Map[String, Long] =
+      if (bad.isEmpty) Map.empty
+      else spark.read.parquet(bad: _*)
+        .groupBy(input_file_name().as("f")).count()
+        .as[(String, Long)].collect().toSeq
+        .map { case (f, n) => (new Path(f).getParent.toUri.getPath, n) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    val perGen: Map[String, Long] =
+      fromFooters.collect { case (g, Some(n)) => g -> n } ++ scanned
     val rows = epochGens.map { case (e, kind, gens) =>
       val n =
         if (e < wm) None

@@ -118,6 +118,9 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
       .groupBy(col("_b"))
       .agg(sum(col("_x") * col("_e")).cast("long").as("_g"))
     // rules 1+2 applied per touched row; untouched rows never rewrite
+    require(lrDenom <= Long.MaxValue / math.max(n, 1L),
+      s"TrainStream: lrDenom=$lrDenom * n=$n overflows the Long step divisor" +
+        " at epoch " + epoch + " — shrink the batch or lower lrDenom")
     val div = lrDenom * n
     val merged = grad.join(cur, grad("_b") === cur("b"), "left")
       .select(col("_b").as("b"),

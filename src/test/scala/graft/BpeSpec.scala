@@ -103,6 +103,28 @@ class BpeSpec extends SparkSpec {
     assert(merges.isEmpty)
   }
 
+  test("pair exhaustion mid-chain: fewer merges than asked, encode/pack stay exact") {
+    // the q139/q140/q150 exhaustion fixture: a corpus whose mergeable
+    // pairs run out BEFORE the requested merge budget ("ab" exhausts
+    // after 1 merge, "cde" after 2 more) — training must return only
+    // the learnable steps and encoding with that short chain must
+    // still serve every word (the oracle side's LEFT JOIN fallback is
+    // the DuckDB mirror of this; a CROSS JOIN against an empty step
+    // would zero the whole histogram)
+    val df = Seq((0L, "ab ab ab"), (1L, "cde ab"), (2L, "cde"))
+      .toDF("doc_id", "text")
+    val trained = Bpe.train(df, col("text"), numMerges = 8)
+      .orderBy("step").collect()
+    assert(trained.length == 3, s"only 3 merges are learnable, got " +
+      trained.map(_.getAs[String]("merged")).mkString(","))
+    val chain = Bpe.mergeChain(Bpe.train(df, col("text"), 8))
+    val enc = Bpe.encode(df, "doc_id", col("text"), chain)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // every word collapses to ONE symbol once its merges are learned
+    assert(enc == Seq((0L, 3L, 3L), (1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
   test("encode matches reference application of the learned merges") {
     val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")

@@ -137,4 +137,28 @@ class ThetaSketchSpec extends SparkSpec {
       .select("kmv").as[Array[Long]].head()
     assert(state.length == 2)
   }
+
+  test("containmentGate fails CLOSED on n_b = 0 (zero batch evidence => shifted)") {
+    val k = 8
+    // history = many small-hashing keys; batch = keys whose hashes all
+    // sit ABOVE history's theta, so the k-smallest union sample can be
+    // 100% history-side (n_b = 0) — engineer it directly on setOps
+    // output columns instead of fishing for such keys
+    val ops = Seq(
+      // (g, n_l, matched, n_a, n_b, union_est, jaccard_ppm, inter_est)
+      ("allold", 8L, 8L, 8L, 8L, 100L, 1000000L, 100L), // fully contained
+      ("noevid", 8L, 0L, 8L, 0L, 100L, 0L, 0L), // zero batch evidence
+      ("half", 8L, 2L, 8L, 4L, 100L, 250000L, 25L) // 50% containment
+    ).toDF("g", "n_l", "matched", "n_a", "n_b", "union_est",
+      "jaccard_ppm", "inter_est")
+    val got = ThetaSketch.containmentGate(ops, thresholdPpm = 600000L)
+      .select("g", "containment_ppm", "verdict")
+      .as[(String, Option[Long], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("allold") == ((Some(1000000L), "stable")))
+    assert(got("half") == ((Some(500000L), "shifted")))
+    // the n_b = 0 row must NOT fall through a null comparison to
+    // "stable" — that fails the gate open on the most divergent input
+    assert(got("noevid") == ((None, "shifted")))
+  }
 }

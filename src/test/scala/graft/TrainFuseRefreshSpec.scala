@@ -60,6 +60,18 @@ class LinearTrainerSpec extends SparkSpec {
     LinearTrainer.lmsTrain(f, y, "id", steps = 1, lrDenom = 13L)
   }
 
+  test("divisor overflow guard: lrDenom * n wrapping Long fails fast") {
+    // a huge-but-valid lrDenom times n = 2 wraps the Long step divisor
+    // negative, which would silently FLIP the weight update's sign —
+    // the guard must trip before any update applies
+    val f = Seq((1L, 1L, 1L), (2L, 1L, 1L)).toDF("id", "bucket", "x")
+    val y = Seq((1L, 5L), (2L, 5L)).toDF("id", "y_u")
+    val e = intercept[IllegalArgumentException](
+      LinearTrainer.lmsTrain(f, y, "id", steps = 1,
+        lrDenom = Long.MaxValue / 2 + 1))
+    assert(e.getMessage.contains("overflows the Long step divisor"))
+  }
+
   test("step budget guard") {
     val e = intercept[IllegalArgumentException](
       LinearTrainer.lmsTrain(twoDocFeats, twoDocLabels, "id",

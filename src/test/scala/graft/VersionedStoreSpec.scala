@@ -251,7 +251,7 @@ class VersionedStoreSpec extends SparkSpec {
       .collect().toSeq == Seq((2L, None)))
   }
 
-  test("history: one job for the whole epoch log; nulls below the watermark") {
+  test("history: ZERO jobs for the whole epoch log; nulls below the watermark") {
     val root = tmpDir("vstore_hist") + "/store"
     build(root)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -268,11 +268,12 @@ class VersionedStoreSpec extends SparkSpec {
       org.apache.spark.GraftTestBus.drain(spark.sparkContext)
       h
     } finally spark.sparkContext.removeSparkListener(listener)
-    // one count job + parquet footer/schema job (+ AQE stage): a
-    // CONSTANT, not O(epochs) — the old per-epoch readAsOf.count()
-    // loop ran one job per epoch and would blow this bound at 4
-    assert(jobs.get() <= 3,
-      s"history jobs must not scale with epochs, ran ${jobs.get()} for 4")
+    // DESCRIBE HISTORY is footer-served: driver metadata reads only —
+    // no Spark job at all (the vacuum-jobs==0 posture); a scan-based
+    // count would re-read every live data byte for numbers the footers
+    // already hold
+    assert(jobs.get() == 0,
+      s"history must be footer-served with zero jobs, ran ${jobs.get()}")
     assert(hist == Seq(
       (1L, "upsert", Some(s1.size.toLong)),
       (2L, "upsert", Some(s2.size.toLong)),
@@ -308,6 +309,89 @@ class VersionedStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedStore.exportSnapshot(spark, root, 2, s"$out/late")
     }
+  }
+
+  private def countJobs(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try { body; org.apache.spark.GraftTestBus.drain(spark.sparkContext) }
+    finally spark.sparkContext.removeSparkListener(listener)
+    jobs.get()
+  }
+
+  test("applyOps validates and discovers buckets in ONE fused job") {
+    val root = tmpDir("vstore_applyjob") + "/store"
+    VersionedStore.upsert(rows(1L to 100L, _ * 10), Seq("k"), root, nBuckets = 8)
+    val cdc = ((101L to 150L).map(k => (k, k, "upsert")) ++
+      (1L to 10L).map(k => (k, 0L, "delete"))).toDF("k", "v", "op")
+    // checkpoint + ONE fused probe + delete-presence probe + staged
+    // write; AQE materializes each shuffle stage as its own job, so
+    // the constant lands near 9. The point pinned: the old path ran a
+    // QUERY per invariant (op-domain count, conflict intersect, and
+    // two separate bucket collects — ≥ 7 more jobs on this batch), and
+    // any regression back to per-invariant validation blows this bound
+    val jobs = countJobs { VersionedStore.applyOps(cdc, Seq("k"), root, "op") }
+    assert(jobs <= 10,
+      s"applyOps must fuse validation+buckets into one probe job, ran $jobs")
+    assert(VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toSeq.sorted ==
+      ((11L to 100L).map(k => (k, k * 10)) ++
+        (101L to 150L).map(k => (k, k))).sorted)
+  }
+
+  test("taggedEpoch matches the tag exactly, never by suffix; '@' in tags is rejected") {
+    val root = tmpDir("vstore_tag") + "/store"
+    assert(VersionedStore.upsert(rows(Seq(1L), _ => 1L), Seq("k"), root,
+      tag = "xy") == 1L)
+    assert(VersionedStore.taggedEpoch(root, "xy").contains(1L))
+    // a suffix of a committed tag must NOT match: the exactly-once
+    // fence would fail OPEN (treat an unprocessed batch as committed
+    // and silently drop it)
+    assert(VersionedStore.taggedEpoch(root, "y").isEmpty)
+    // an untagged commit's kind never matches a tag probe
+    VersionedStore.upsert(rows(Seq(2L), _ => 2L), Seq("k"), root)
+    assert(VersionedStore.taggedEpoch(root, "upsert").isEmpty)
+    // '@' in a tag could forge a suffix ambiguity — rejected at write
+    intercept[IllegalArgumentException] {
+      VersionedStore.upsert(rows(Seq(3L), _ => 3L), Seq("k"), root, tag = "a@b")
+    }
+  }
+
+  test("retention watermark survives both vacuum crash windows, never regresses") {
+    val root = tmpDir("vstore_wm") + "/store"
+    build(root)
+    val (fs, dir) = (new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(root))
+    // window A: crash AFTER the _vacuum rewrite, BEFORE the _floors
+    // checkpoint — _vacuum alone must hold the guard (commit markers
+    // are still intact at that point, so resolution is unaffected)
+    val out = fs.create(new Path(dir, "_vacuum"), true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    assert(VersionedStore.retentionWatermark(root) == 2L)
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, root, 1)
+    }
+    assert(VersionedStore.vacuum(root, retainAsOf = 1L).watermark == 2L,
+      "a lower retainAsOf must not regress the crashed-in watermark")
+
+    // complete a real vacuum at 3, then window B: crash mid-_vacuum
+    // rewrite (the marker vanishes) — the create-only _floors
+    // checkpoint must hold the guard alone
+    VersionedStore.vacuum(root, retainAsOf = 3L)
+    fs.delete(new Path(dir, "_vacuum"), false)
+    assert(VersionedStore.retentionWatermark(root) == 3L,
+      "_floors must carry the watermark when _vacuum is lost")
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, root, 2)
+    }
+    assert(VersionedStore.vacuum(root, retainAsOf = 1L).watermark == 3L)
+    assert(readSet(root, 4) == s4.sorted,
+      "retained snapshots must survive every crash window")
   }
 
   test("an upsert is one staging job regardless of touched-bucket count") {
