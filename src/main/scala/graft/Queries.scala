@@ -7741,6 +7741,201 @@ object Queries {
        |UNION ALL SELECT anchor, partner, label FROM neg
        |ORDER BY anchor, partner, label""".stripMargin
 
+  // ----------------------------------------- min/max incremental view
+  /** Min/max materialized view maintained incrementally from CDC
+    * before/after images ([[graft.ops.MaterializedView.refreshMinMax]])
+    * — Gupta-Mumick's NON-distributive case: the view built at epoch 2
+    * follows the store to epoch 4 by delta-propagating every group
+    * whose extremes survive and recomputing ONLY the groups whose
+    * min/max holder was retracted (epoch 3's deletes and epoch 4's
+    * +1000 updates produce both kinds). The oracle is the full rebuild
+    * over the epoch-4 snapshot — equality proves the split is
+    * lossless. */
+  private def qMinMaxView(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedStoreAt(s, dir, "vstore")
+    val view2 = graft.ops.MaterializedView.minMaxView(
+      graft.sinks.VersionedStore.readAsOf(s, root, 2L), Seq("nat"), col("v"))
+    val cdc = graft.sinks.VersionedStore.changelog(s, root, 2L, 4L,
+      images = true)
+    graft.ops.MaterializedView.refreshMinMax(view2, cdc, Seq("nat"), "v",
+        graft.sinks.VersionedStore.readAsOf(s, root, 4L))
+      .orderBy("nat")
+  }
+
+  private val oMinMaxView =
+    s"""WITH $oVstoreCtes
+       |SELECT nat, CAST(min(v) AS BIGINT) AS min_v,
+       |       CAST(max(v) AS BIGINT) AS max_v,
+       |       CAST(count(*) AS BIGINT) AS n_rows
+       |FROM s4 GROUP BY nat ORDER BY nat""".stripMargin
+
+  // ------------------------------------- versioned ledger time travel
+  /** KMV sketch ledger maintained in the MVCC store with TIME TRAVEL
+    * ([[graft.streaming.SketchStream.kmvToStore]]): two landing phases
+    * flow through a real checkpointed stream, each micro-batch
+    * committing its re-emitted sketch rows as one tagged store epoch;
+    * the query reads the ledger AS OF epoch 1 — the sketch fleet
+    * exactly as it stood after phase 1, served AFTER epoch 2 rewrote
+    * the same keys (the "which index state trained this model"
+    * lineage probe). The oracle replays the KMV bottom-k over the
+    * phase-1 rows only. */
+  private def qLedgerAsOf(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("event_type").cast("string").as("k"),
+        col("user_id").cast("string").as("v"),
+        pmod(coalesce(col("event_id"), lit(0L)), lit(2)).as("phase"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q208")
+    try {
+      val store = s"$work/store"
+      val inDir = s"$work/in"
+      base.filter(col("phase") === 0).select("k", "v").coalesce(1)
+        .write.parquet(inDir)
+      val q = graft.streaming.SketchStream.kmvToStore(s, inDir, KmvK, store)
+      try {
+        q.processAllAvailable()
+        base.filter(col("phase") === 1).select("k", "v").coalesce(1)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      } finally q.stop()
+      require(graft.sinks.VersionedStore.currentEpoch(store) == 2L,
+        "two landing files must commit exactly two ledger epochs")
+      val led1 = graft.streaming.SketchStream.readKmvLedger(s, store, KmvK,
+        asOf = Some(1L))
+      ThetaSketch.estimate(led1, Seq("k"), KmvK)
+        .join(led1.select(col("k"), col("n_seen")), Seq("k"))
+        .select(col("k").as("event_type"), col("n_seen"), col("n_kept"),
+          col("estimate"))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally deleteRecursively(work)
+  }
+
+  private val oLedgerAsOf =
+    s"""WITH p0 AS (SELECT event_type, user_id FROM events
+       |            WHERE COALESCE(event_id, 0) % 2 = 0),
+       |${oKmvChain("q", "event_type", "CAST(user_id AS VARCHAR)", "p0")},
+       |ns AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_seen
+       |  FROM p0 WHERE user_id IS NOT NULL GROUP BY 1)
+       |SELECT g AS event_type, n_seen, CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(CASE WHEN n_kept < $KmvK THEN n_kept
+       |       ELSE CAST('$KmvNum' AS HUGEINT) // kth END AS BIGINT)
+       |    AS estimate
+       |FROM qa JOIN ns USING (g) ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------ corpus release manifest
+  /** The corpus RELEASE MANIFEST — the data card a 100 TB training run
+    * ships with, composed ENTIRELY from persisted ledgers (built once
+    * as fixtures) and committed to a versioned store as its own tagged
+    * epoch: per source, document/token totals, exact-duplicate
+    * document count (fingerprint ledger), distinct-shingle estimate
+    * (KMV sketch ledger) and lexical KL drift vs the whole corpus
+    * (unigram count ledger through
+    * [[graft.ops.CorpusStats.sourceDivergenceFromCounts]]). The SERVE
+    * plan never re-scans raw text — every input is a ledger/model
+    * table, so at 100 TB the manifest costs Σ ledger sizes, not a
+    * corpus pass — and the commit tag makes re-publication idempotent.
+    * The oracle recomputes all five facets from the documents table. */
+  private def qReleaseManifest(s: SparkSession, dir: String): DataFrame = {
+    val countsPath = fixPath("manifest_counts", dir)
+    val fpsPath = fixPath("manifest_fps", dir)
+    val kmvPath = fixPath("manifest_kmv", dir)
+    val storeFix = fixPath("manifest_store", dir)
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(countsPath) || missing(fpsPath) || missing(kmvPath)) {
+      deleteTree(storeFix) // a stale data card must not outlive its ledgers
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"),
+          explode(split(col("text"), "\\s+")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c_s"))
+        .write.mode("overwrite").parquet(countsPath)
+      docs.select(col("doc_id"), col("source"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        .write.mode("overwrite").parquet(fpsPath)
+      ThetaSketch.sketch(
+          docs.select(col("source"),
+            explode(ApproxDedup.wordNgrams(col("text"), 2)).as("shingle")),
+          Seq("source"), col("shingle"), KmvK)
+        .write.mode("overwrite").parquet(kmvPath)
+    }
+    val counts = s.read.parquet(countsPath)
+    val fps = s.read.parquet(fpsPath)
+    val kmv = s.read.parquet(kmvPath)
+
+    val totals = counts.groupBy("source").agg(sum(col("c_s")).as("n_tokens"))
+    val nDocs = fps.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val kl = graft.ops.CorpusStats.sourceDivergenceFromCounts(counts)
+      .select(col("source"), col("kl8_per_mtok"))
+    val hotFps = fps.groupBy("fp").agg(count(lit(1)).as("nf"))
+      .filter(col("nf") > 1L)
+    val dup = fps.join(hotFps, Seq("fp"))
+      .groupBy("source").agg(count(lit(1)).as("dup_docs"))
+    val dist = ThetaSketch.estimate(kmv, Seq("source"), KmvK)
+      .select(col("source"), col("estimate").as("distinct_shingles"))
+    val manifest = nDocs
+      .join(totals, Seq("source"))
+      .join(kl, Seq("source"))
+      .join(dist, Seq("source"))
+      .join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("kl8_per_mtok"), col("distinct_shingles"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+    val store = s"$storeFix/store"
+    if (graft.sinks.VersionedStore.taggedEpoch(store, "release-1").isEmpty)
+      graft.sinks.VersionedStore.upsert(manifest, Seq("source"), store,
+        tag = "release-1")
+    graft.sinks.VersionedStore.read(s, store).orderBy("source")
+  }
+
+  private val oReleaseManifest =
+    s"""WITH tok AS (SELECT source,
+       |    unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
+       |bs AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_s
+       |       FROM tok GROUP BY 1, 2),
+       |g AS (SELECT t, CAST(sum(c_s) AS BIGINT) AS c FROM bs GROUP BY 1),
+       |st AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS ts
+       |       FROM bs GROUP BY 1),
+       |tt AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM g),
+       |klj AS (SELECT bs.source, bs.c_s, g.c, st.ts, tt.tot
+       |        FROM bs JOIN g ON g.t = bs.t
+       |        JOIN st ON st.source = bs.source, tt),
+       |kl AS (SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
+       |    CAST(CAST(sum(c_s * (${oL8("c_s")} + ${oL8("tot")}
+       |         - ${oL8("c")} - ${oL8("ts")})) AS BIGINT) * 1000000
+       |      // max(ts) AS BIGINT) AS kl8_per_mtok
+       |  FROM klj GROUP BY source),
+       |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM documents GROUP BY 1),
+       |fpt AS (SELECT doc_id, source,
+       |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+       |  FROM documents),
+       |fpc AS (SELECT f, count(*) AS nf FROM fpt GROUP BY 1),
+       |dup AS (SELECT source, CAST(count(*) AS BIGINT) AS dup_docs
+       |        FROM fpt JOIN fpc USING (f) WHERE nf > 1 GROUP BY 1),
+       |dd AS (SELECT source, string_split_regex(text, '\\s+') AS toks
+       |       FROM documents),
+       |sets AS (SELECT source, CASE WHEN len(toks) >= 2
+       |    THEN list_distinct([toks[i] || ' ' || toks[i+1]
+       |                        for i in generate_series(1, len(toks)-1)])
+       |    ELSE [array_to_string(toks, ' ')] END AS stl FROM dd),
+       |shx AS (SELECT DISTINCT source AS sg, unnest(stl) AS sgl FROM sets),
+       |hx AS (SELECT DISTINCT sg,
+       |    ('0x' || substr(md5(sgl), 1, 15))::BIGINT AS hv FROM shx),
+       |rr AS (SELECT sg, hv,
+       |    row_number() OVER (PARTITION BY sg ORDER BY hv) AS rn FROM hx),
+       |ka AS (SELECT sg, count(*) AS n_kept, max(hv) AS kth
+       |       FROM rr WHERE rn <= $KmvK GROUP BY 1),
+       |est AS (SELECT sg AS source,
+       |    CAST(CASE WHEN n_kept < $KmvK THEN n_kept
+       |         ELSE CAST('$KmvNum' AS HUGEINT) // kth END AS BIGINT)
+       |      AS distinct_shingles
+       |  FROM ka)
+       |SELECT nd.source, n_docs, n_tokens, kl8_per_mtok, distinct_shingles,
+       |       COALESCE(dup_docs, 0) AS dup_docs
+       |FROM nd JOIN kl USING (source) JOIN est USING (source)
+       |LEFT JOIN dup USING (source)
+       |ORDER BY source""".stripMargin
+
   // ------------------------------------------------ Zipf rank-frequency
   /** Zipf rank-frequency fingerprint ([[graft.ops.CorpusStats.zipf]]):
     * vocab-sized aggregate + vocab-sized rank window; rf = rank·freq
@@ -8042,7 +8237,10 @@ object Queries {
     "q203_snapshot_export" -> (qSnapshotExport _),
     "q204_source_divergence" -> (qSourceDivergence _),
     "q205_pmi_refresh" -> (qPmiRefresh _),
-    "q206_contrastive_pairs" -> (qContrastivePairs _)
+    "q206_contrastive_pairs" -> (qContrastivePairs _),
+    "q207_minmax_view" -> (qMinMaxView _),
+    "q208_ledger_asof" -> (qLedgerAsOf _),
+    "q209_release_manifest" -> (qReleaseManifest _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -8255,6 +8453,9 @@ object Queries {
     "q203_snapshot_export" -> oSnapshotExport,
     "q204_source_divergence" -> oSourceDivergence,
     "q205_pmi_refresh" -> oPmiRefresh,
-    "q206_contrastive_pairs" -> oContrastivePairs
+    "q206_contrastive_pairs" -> oContrastivePairs,
+    "q207_minmax_view" -> oMinMaxView,
+    "q208_ledger_asof" -> oLedgerAsOf,
+    "q209_release_manifest" -> oReleaseManifest
   )
 }

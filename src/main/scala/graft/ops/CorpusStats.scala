@@ -131,12 +131,21 @@ object CorpusStats {
     * Tₛ beyond ~10¹² report kl8_sum div (n_tokens div 10⁶) instead to
     * keep the product under 2⁶³). */
   def sourceDivergence(docs: DataFrame, sourceCol: Column,
-                       textCol: Column): DataFrame = {
+                       textCol: Column): DataFrame =
+    sourceDivergenceFromCounts(docs
+      .select(sourceCol.as("source"), explode(toks(textCol)).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_s")))
+
+  /** [[sourceDivergence]] served from the PERSISTED per-(source,
+    * token) count ledger — the sum-mergeable table [[mergeCounts]]
+    * maintains incrementally — so the KL gate never re-explodes the
+    * corpus: its cost is ledger-sized (Σ per-source vocabularies),
+    * the release-manifest / drift-dashboard serve path. `counts` is
+    * (source, t, c_s). */
+  def sourceDivergenceFromCounts(counts: DataFrame): DataFrame = {
     val l = (x: String) =>
       expr(graft.functions.Fns.bits8FromQ8Sql(s"($x) * CAST(256 AS BIGINT)"))
-    val bySrc = docs
-      .select(sourceCol.as("source"), explode(toks(textCol)).as("t"))
-      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_s"))
+    val bySrc = counts.select(col("source"), col("t"), col("c_s"))
     val global = bySrc.groupBy(col("t")).agg(sum(col("c_s")).as("c"))
     val srcTot = bySrc.groupBy(col("source")).agg(sum(col("c_s")).as("ts"))
     val tot = global.agg(sum(col("c")).as("tt"))

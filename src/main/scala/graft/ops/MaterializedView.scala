@@ -69,4 +69,78 @@ object MaterializedView {
             concat_ws(",", groupCols.map(c => col(c).cast("string")): _*)))
         .isNull && col("n_rows") > 0)
   }
+
+  /** Full build for the non-distributive extremes family:
+    * (groupCols..., min_v, max_v, n_rows) over a snapshot. */
+  def minMaxView(snapshot: DataFrame, groupCols: Seq[String],
+                 value: Column): DataFrame =
+    snapshot.groupBy(groupCols.map(col): _*)
+      .agg(min(value.cast("long")).as("min_v"),
+        max(value.cast("long")).as("max_v"),
+        count(lit(1)).as("n_rows"))
+
+  /** Incremental min/max refresh — Gupta-Mumick's NON-distributive
+    * case. Inserts always fold monotonically (`least`/`greatest`), but
+    * a RETRACTION (a delete, or an update's old image) can break an
+    * extreme it reaches: once the group's only max-holder leaves, the
+    * new max is not derivable from (old max, delta). The split:
+    *
+    *  - groups whose retracted values all sit strictly INSIDE
+    *    (min_v, max_v) — or whose inserts re-establish dominance
+    *    (an inserted value ≤ old min is the new min no matter what was
+    *    retracted) — delta-propagate exactly like [[refreshSum]];
+    *  - only the remaining AFFECTED groups recompute, via a semi-join
+    *    of `snapshotAtTo` (the store read AS OF the changelog's
+    *    to-epoch) against the affected-group list — recompute cost is
+    *    those groups' rows, never a store rescan, and on a typical
+    *    CDC batch the affected set is a small fraction of the touched
+    *    groups (MaterializedViewSpec asserts the scope).
+    *
+    * A group whose rows all leave is recomputed to zero rows and drops
+    * out; a retraction against a group the view never held means the
+    * changelog was not cut from this view's epoch and fails fast. */
+  def refreshMinMax(view: DataFrame, cdcImages: DataFrame,
+                    groupCols: Seq[String], valueCol: String,
+                    snapshotAtTo: DataFrame): DataFrame = {
+    val gc = groupCols.map(col)
+    val retract = cdcImages.filter(col("change").isin("delete", "update"))
+      .select(groupCols.map(g => col(s"${g}_old").as(g)) :+
+        col(s"${valueCol}_old").cast("long").as("rv"): _*)
+    val insert = cdcImages.filter(col("change").isin("insert", "update"))
+      .select(gc :+ col(valueCol).cast("long").as("iv"): _*)
+    val deltas = retract
+      .groupBy(gc: _*)
+      .agg(min(col("rv")).as("r_min"), max(col("rv")).as("r_max"),
+        count(lit(1)).as("rn"))
+      .join(insert.groupBy(gc: _*)
+        .agg(min(col("iv")).as("i_min"), max(col("iv")).as("i_max"),
+          count(lit(1)).as("inn")), groupCols, "full_outer")
+    val joined = view.join(deltas, groupCols, "full_outer")
+    // a retraction at/past the current extreme breaks it — unless an
+    // insert dominates that side (≤ old min / ≥ old max), which pins
+    // the new extreme regardless of what left
+    val minBroken = col("r_min").isNotNull && col("min_v").isNotNull &&
+      col("r_min") <= col("min_v") &&
+      !(col("i_min").isNotNull && col("i_min") <= col("min_v"))
+    val maxBroken = col("r_max").isNotNull && col("max_v").isNotNull &&
+      col("r_max") >= col("max_v") &&
+      !(col("i_max").isNotNull && col("i_max") >= col("max_v"))
+    val affected = minBroken || maxBroken
+    val propagated = joined.filter(!affected)
+      .select(gc ++ Seq(
+        least(col("min_v"), col("i_min")).as("min_v"),
+        greatest(col("max_v"), col("i_max")).as("max_v"),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("inn"), lit(0L)) -
+          coalesce(col("rn"), lit(0L))).as("n_rows")): _*)
+      .filter(assert_true(col("n_rows") >= 0 && col("min_v").isNotNull,
+          concat(lit("refreshMinMax: inconsistent group delta — changelog "
+            + "not cut from this view's epoch: "),
+            concat_ws(",", groupCols.map(c => col(c).cast("string")): _*)))
+        .isNull && col("n_rows") > 0)
+    val recomputed = minMaxView(
+      snapshotAtTo.join(broadcast(joined.filter(affected).select(gc: _*)),
+        groupCols, "left_semi"),
+      groupCols, col(valueCol))
+    propagated.unionByName(recomputed)
+  }
 }

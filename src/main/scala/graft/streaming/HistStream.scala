@@ -59,6 +59,34 @@ object HistStream {
           .ExpressionEncoder[Map[Long, Long]](),
         Encoders.product[KeyBucket])
 
+  /** [[histogram]] maintained as an MVCC LEDGER: a checkpointed
+    * consumer of `(k STRING, v BIGINT)` landing files whose every
+    * micro-batch lands its re-emitted bucket rows as ONE tagged
+    * [[graft.sinks.VersionedStore]] epoch, keyed (k, bucket) — a
+    * touched key re-emits its WHOLE ≤65-row bucket table, so the
+    * upsert always covers every live bucket of that key and the store
+    * snapshot IS the histogram. [[EpochStream]]'s exactly-once fence
+    * makes crash-replayed batches no-ops (HistStreamSpec pins
+    * kill/resume parity); the ledger gains time travel (the
+    * distribution as of any batch), CDC and vacuum from the store.
+    * Read with `VersionedStore.read` / `readAsOf`. */
+  def histogramToStore(spark: SparkSession, landingDir: String,
+                       storeRoot: String, nBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    histogram(spark.readStream.schema("k STRING, v BIGINT")
+        .parquet(landingDir).as[(String, Option[Long])])
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", s"$storeRoot/ckpt_hist")
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        EpochStream(Seq("k", "bucket"), nBuckets).processBatch(df, bid,
+          storeRoot)
+      }
+      .start()
+  }
+
   /** Phased-replay harness (mirrors [[FreqStream.replayFrequent]]):
     * drive [[histogram]] over `phases` (each a (k STRING, v BIGINT)
     * frame landed as one micro-batch group under `root`) and return

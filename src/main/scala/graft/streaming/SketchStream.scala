@@ -2,9 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StreamingQuery}
 
 import graft.ops.{Cardinality, CmSketch, ThetaSketch}
+import graft.sinks.VersionedStore
 
 /** Streaming sketch maintainers — the live faces of [[ThetaSketch]]
   * and [[CmSketch]], completing the maintainer family
@@ -121,6 +123,53 @@ object SketchStream {
         val latest = upd.groupBy("k").agg(max(col("_bid")).as("_bid"))
         upd.join(latest, Seq("k", "_bid")).select("k", "d", "c", "cnt")
     }
+
+  /** [[kmv]] maintained as an MVCC LEDGER: a checkpointed consumer of
+    * `(k STRING, v STRING)` landing files whose every micro-batch
+    * lands its re-emitted sketch rows as ONE tagged
+    * [[VersionedStore]] epoch — [[EpochStream]]'s exactly-once fence,
+    * so a crash-replayed batch is a no-op and the final ledger is
+    * byte-identical to the uninterrupted run (SketchStreamSpec pins
+    * kill/resume parity). The ledger inherits the store's whole
+    * contract: snapshot isolation under the live writer, TIME TRAVEL
+    * (the sketch fleet as of any batch — [[readKmvLedger]] with
+    * `asOf`), CDC between any two epochs, retention vacuum. Every row
+    * carries `k_param` so consumers can validate
+    * [[ThetaSketch.setOps]]'s same-k contract at load instead of
+    * trusting the caller. */
+  def kmvToStore(spark: SparkSession, landingDir: String, k: Int,
+                 storeRoot: String, nBuckets: Int = 8): StreamingQuery = {
+    import spark.implicits._
+    kmv(spark.readStream.schema("k STRING, v STRING").parquet(landingDir)
+        .as[(String, String)], k)
+      .toDF()
+      .withColumn("k_param", lit(k))
+      .writeStream
+      .option("checkpointLocation", s"$storeRoot/ckpt_kmv")
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        EpochStream(Seq("k"), nBuckets).processBatch(df, bid, storeRoot)
+      }
+      .start()
+  }
+
+  /** Read the versioned KMV ledger ([[kmvToStore]]'s store), current
+    * or as of an epoch, VALIDATING that every sketch row was built
+    * with this `k` — a smaller-k' row would silently skew any later
+    * [[ThetaSketch.setOps]] estimate (its k-th-smallest threshold
+    * argument no longer holds). The ledger is model-sized (one row
+    * per key), so the validation scan is ledger-cost. */
+  def readKmvLedger(spark: SparkSession, storeRoot: String, k: Int,
+                    asOf: Option[Long] = None): DataFrame = {
+    val df = asOf match {
+      case Some(e) => VersionedStore.readAsOf(spark, storeRoot, e)
+      case None => VersionedStore.read(spark, storeRoot)
+    }
+    val bad = df.filter(col("k_param") =!= k).count()
+    require(bad == 0, s"KMV ledger at $storeRoot holds $bad rows built " +
+      s"with a different k than $k — setOps estimates would silently skew")
+    df.drop("k_param")
+  }
 
   private def replay(spark: SparkSession, phases: Seq[DataFrame],
                      root: String)(

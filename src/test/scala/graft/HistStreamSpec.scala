@@ -53,4 +53,46 @@ class HistStreamSpec extends SparkSpec {
       .orderBy("q_ppm").collect().toSeq
     assert(fromStream == direct)
   }
+
+  test("versioned histogram ledger: kill/resume parity and per-phase time travel") {
+    import graft.sinks.VersionedStore
+    val phase1 = (1 to 300).map(i => ("a", Some((i * 7L) % 900 + 1))) ++
+      (1 to 40).map(i => ("b", Some(i * 3L)))
+    val phase2 = (1 to 200).map(i => ("a", Some((i * 13L) % 50000 + 1)))
+
+    def run(root: String, interrupted: Boolean): String = {
+      val inDir = s"$root/in"
+      val store = s"$root/store"
+      phase1.toDF("k", "v").coalesce(1).write.parquet(inDir)
+      var q = HistStream.histogramToStore(spark, inDir, store)
+      q.processAllAvailable()
+      if (interrupted) {
+        q.stop()
+        q = HistStream.histogramToStore(spark, inDir, store)
+      }
+      phase2.toDF("k", "v").coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      q.stop()
+      store
+    }
+    def ledger(store: String, asOf: Option[Long]): Seq[(String, Long, Long)] = {
+      val df = asOf match {
+        case Some(e) => VersionedStore.readAsOf(spark, store, e)
+        case None => VersionedStore.read(spark, store)
+      }
+      df.as[(String, Long, Long)].collect().toSeq.sorted
+    }
+    def batchOf(rows: Seq[(String, Option[Long])]): Seq[(String, Long, Long)] =
+      Distribution.logHistogram(rows.toDF("k", "v"), Seq("k"), $"v")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+
+    val clean = run(tmpDir("vhist_clean"), interrupted = false)
+    val killed = run(tmpDir("vhist_kill"), interrupted = true)
+    assert(ledger(clean, None) == ledger(killed, None),
+      "kill/resume must land a byte-identical histogram ledger")
+    assert(ledger(clean, None) == batchOf(phase1 ++ phase2))
+    // time travel: the distribution exactly as of the first batch
+    assert(VersionedStore.currentEpoch(clean) == 2L)
+    assert(ledger(clean, Some(1L)) == batchOf(phase1))
+  }
 }

@@ -57,4 +57,85 @@ class MaterializedViewSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("negative group count")),
       s"unexpected failure: ${ex.getMessage}")
   }
+
+  // ----------------------------------------- min/max (non-distributive)
+
+  private def mmViewOf(root: String, epoch: Long) =
+    MaterializedView.minMaxView(
+      VersionedStore.readAsOf(spark, root, epoch), Seq("g"), col("v"))
+
+  /** Four epochs covering every refresh case: a broken max needing
+    * recompute, interior retractions, dominating inserts, a SECOND
+    * max-holder surviving a retraction at the max, an emptied group,
+    * a group-moving update, and a fresh group. */
+  private def buildMinMax(root: String): Unit = {
+    VersionedStore.upsert(Seq(
+      (1L, "a", 5L), (2L, "a", 8L),
+      (3L, "b", 1L), (4L, "b", 9L), (5L, "b", 4L),
+      (6L, "c", 7L), (7L, "d", 2L), (8L, "d", 3L)
+    ).toDF("k", "g", "v"), Seq("k"), root)
+    // e2: a's max retracted without a dominating insert (recompute);
+    // b gains a dominating new min AND an interior row rises to a
+    // second max-holder (both propagate); e is a fresh group
+    VersionedStore.upsert(Seq(
+      (2L, "a", 6L), (9L, "b", 0L), (5L, "b", 9L), (10L, "e", 100L)
+    ).toDF("k", "g", "v"), Seq("k"), root)
+    // e3: c empties (recompute to zero rows -> dropped); b loses ONE
+    // of its two max-holders (recompute; the value survives)
+    VersionedStore.delete(Seq(6L, 4L).toDF("k"), root)
+    // e4: k=1 MOVES a->d, retracting a's min and inserting d's new max
+    VersionedStore.upsert(Seq((1L, "d", 5L)).toDF("k", "g", "v"),
+      Seq("k"), root)
+  }
+
+  test("min/max refresh equals rebuild over every epoch pair") {
+    val root = tmpDir("mv_minmax") + "/store"
+    buildMinMax(root)
+    for (from <- 1L to 4L; to <- from to 4L) {
+      val cdc = VersionedStore.changelog(spark, root, from, to, images = true)
+      val inc = MaterializedView.refreshMinMax(mmViewOf(root, from), cdc,
+          Seq("g"), "v", VersionedStore.readAsOf(spark, root, to))
+        .orderBy("g").collect().toSeq
+      val scratch = mmViewOf(root, to).orderBy("g").collect().toSeq
+      assert(inc == scratch, s"minmax view@$from + cdc($from,$to) != view@$to")
+    }
+    assert(mmViewOf(root, 4).orderBy("g").as[(String, Long, Long, Long)]
+      .collect().toSeq == Seq(
+        ("a", 6L, 6L, 1L), ("b", 0L, 9L, 3L), ("d", 2L, 5L, 3L),
+        ("e", 100L, 100L, 1L)))
+  }
+
+  test("min/max recompute touches EXACTLY the affected groups") {
+    val root = tmpDir("mv_minmax_scope") + "/store"
+    buildMinMax(root)
+    // analytically, (1,2] breaks only group a's max: b's retraction
+    // (4) is interior and its inserts dominate both sides it touches,
+    // e is insert-only, c/d untouched. Serve the recompute from a
+    // snapshot RESTRICTED to {a} — had the refresh recomputed any
+    // other group, that group would vanish from the output and parity
+    // with the full rebuild would break.
+    val cdc = VersionedStore.changelog(spark, root, 1, 2, images = true)
+    val restricted = VersionedStore.readAsOf(spark, root, 2)
+      .filter($"g" === "a")
+    val inc = MaterializedView.refreshMinMax(mmViewOf(root, 1), cdc,
+        Seq("g"), "v", restricted)
+      .orderBy("g").collect().toSeq
+    assert(inc == mmViewOf(root, 2).orderBy("g").collect().toSeq,
+      "recompute scope leaked beyond the affected groups")
+  }
+
+  test("min/max changelog cut from the wrong epoch fails fast") {
+    val root = tmpDir("mv_minmax_bad") + "/store"
+    VersionedStore.upsert(Seq((1L, "a", 1L)).toDF("k", "g", "v"), Seq("k"), root)
+    VersionedStore.delete(Seq(1L).toDF("k"), root)
+    val cdc = VersionedStore.changelog(spark, root, 1, 2, images = true)
+    val ex = intercept[Exception] {
+      MaterializedView.refreshMinMax(mmViewOf(root, 2), cdc, Seq("g"), "v",
+        VersionedStore.readAsOf(spark, root, 2)).collect()
+    }
+    assert(ex.getMessage.contains("inconsistent group delta") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("inconsistent group delta")),
+      s"unexpected failure: ${ex.getMessage}")
+  }
 }

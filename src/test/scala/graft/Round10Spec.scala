@@ -392,12 +392,15 @@ class LmStreamSpec extends SparkSpec {
   }
 }
 
-/** FOUR maintainers, one root: the round-9 ConcurrentStreamsSpec
-  * proved RefreshStream + IndexStream don't interfere; the MG and
-  * histogram ledgers share the same store/checkpoint machinery, so
-  * this extends the matrix — all four streams run interleaved under
-  * one root, all four are killed mid-stream and resumed, and each
-  * family's final state must equal its one-shot batch form exactly. */
+/** SIX maintainers, one root: the round-9 ConcurrentStreamsSpec
+  * proved RefreshStream + IndexStream don't interfere; this matrix
+  * adds the MG ledger, the LM count store, and two maintainers that
+  * write the MVCC VersionedStore (histogram + KMV sketch — tagged
+  * epochs as the exactly-once fence). All six streams run interleaved
+  * under one root, all six are killed mid-stream and resumed, and
+  * each family's final state must equal its one-shot batch form
+  * exactly — mutable swap-by-rename stores and versioned epoch stores
+  * coexisting under concurrent kill/resume. */
 class MaintainerMatrixSpec extends SparkSpec {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.DataFrame
@@ -406,7 +409,7 @@ class MaintainerMatrixSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  test("interleaved kill/resume of all five maintainers == each one-shot form") {
+  test("interleaved kill/resume of all six maintainers == each one-shot form") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "source", "text")
@@ -461,37 +464,35 @@ class MaintainerMatrixSpec extends SparkSpec {
           .write.mode("append").parquet(s"$root/freq_upd")
         ()
       }.start()
-    def startHist() = HistStream.histogram(
-        spark.readStream.schema("k STRING, v BIGINT")
-          .parquet(s"$root/hist_in").as[(String, Option[Long])])
-      .toDF().writeStream
-      .option("checkpointLocation", s"$root/hist_ckpt")
-      .outputMode("update")
-      .foreachBatch { (df: DataFrame, bid: Long) =>
-        df.withColumn("_bid", lit(bid))
-          .write.mode("append").parquet(s"$root/hist_upd")
-        ()
-      }.start()
+    // hist + kmv run on the MVCC VersionedStore (tagged-epoch fence):
+    // the matrix exercises two versioned-ledger writers concurrently
+    // with the mutable-store families under one root
+    def startHist() = graft.streaming.HistStream.histogramToStore(
+      spark, s"$root/hist_in", s"$root/hist_store")
+    def startKmv() = graft.streaming.SketchStream.kmvToStore(
+      spark, s"$root/kmv_in", 64, s"$root/kmv_store")
 
-    // phase 1 of every stream lands; all four run CONCURRENTLY, all
-    // four are killed mid-stream
+    // phase 1 of every stream lands; all six run CONCURRENTLY, all
+    // six are killed mid-stream
     landDocs(0); landVecs(0)
     landHalf(toks, 0, s"$root/freq_in"); landHalf(lens, 0, s"$root/hist_in")
+    landHalf(toks, 0, s"$root/kmv_in")
     val r1 = refresh.start(spark, s"$root/landing_docs", docs.schema, emb, root)
     val i1 = index.start(spark, s"$root/landing_vecs", emb.schema, root)
     val l1 = lm.start(spark, s"$root/landing_docs", docs.schema, root)
-    val f1 = startFreq(); val h1 = startHist()
-    Seq(r1, i1, l1, f1, h1).foreach(_.processAllAvailable())
-    Seq(r1, i1, l1, f1, h1).foreach(_.stop())
-    // resume all five from their checkpoints, land phase 2, drain
+    val f1 = startFreq(); val h1 = startHist(); val s1 = startKmv()
+    Seq(r1, i1, l1, f1, h1, s1).foreach(_.processAllAvailable())
+    Seq(r1, i1, l1, f1, h1, s1).foreach(_.stop())
+    // resume all six from their checkpoints, land phase 2, drain
     val r2 = refresh.start(spark, s"$root/landing_docs", docs.schema, emb, root)
     val i2 = index.start(spark, s"$root/landing_vecs", emb.schema, root)
     val l2 = lm.start(spark, s"$root/landing_docs", docs.schema, root)
-    val f2 = startFreq(); val h2 = startHist()
+    val f2 = startFreq(); val h2 = startHist(); val s2 = startKmv()
     landDocs(1); landVecs(1)
     landHalf(toks, 1, s"$root/freq_in"); landHalf(lens, 1, s"$root/hist_in")
-    Seq(r2, i2, l2, f2, h2).foreach(_.processAllAvailable())
-    Seq(r2, i2, l2, f2, h2).foreach(_.stop())
+    landHalf(toks, 1, s"$root/kmv_in")
+    Seq(r2, i2, l2, f2, h2, s2).foreach(_.processAllAvailable())
+    Seq(r2, i2, l2, f2, h2, s2).foreach(_.stop())
 
     // refresh family == one-shot q110 composition
     val accepted = refresh.accepted(spark, root)
@@ -527,13 +528,24 @@ class MaintainerMatrixSpec extends SparkSpec {
       .toSeq.sorted
     assert(gotFreq == wantFreq && gotFreq.nonEmpty)
 
-    // hist == one-shot batch log histogram
-    val gotHist = latest(s"$root/hist_upd", "bucket", "n")
-      .map { case (k, b, n) => (k, b.asInstanceOf[Long], n) }.sorted
+    // hist (VERSIONED ledger) == one-shot batch log histogram
+    val gotHist = graft.sinks.VersionedStore
+      .read(spark, s"$root/hist_store")
+      .as[(String, Long, Long)].collect().toSeq.sorted
     val wantHist = ops.Distribution.logHistogram(lens, Seq("k"), col("v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq.sorted
     assert(gotHist == wantHist && gotHist.nonEmpty)
+
+    // kmv (VERSIONED ledger) == one-shot batch sketch fleet
+    val gotKmv = graft.streaming.SketchStream
+      .readKmvLedger(spark, s"$root/kmv_store", 64)
+      .select("k", "kmv").as[(String, Array[Long])].collect()
+      .map { case (g, a) => (g, a.mkString(",")) }.toSeq.sorted
+    val wantKmv = ops.ThetaSketch.sketch(toks, Seq("k"), col("v"), 64)
+      .as[(String, Array[Long])].collect()
+      .map { case (g, a) => (g, a.mkString(",")) }.toSeq.sorted
+    assert(gotKmv == wantKmv && gotKmv.nonEmpty)
 
     // LM counts == one-shot raw counts over the whole corpus
     val gotLm = lm.counts(spark, root)

@@ -92,4 +92,62 @@ class SketchStreamSpec extends SparkSpec {
     val got = runKmv(Seq(Seq(("g", "probe-key"))))("g")
     assert(got == ((1L, Seq(Cardinality.hashLong("probe-key")))))
   }
+
+  test("versioned KMV ledger: kill/resume parity, time travel, replay fence, k guard") {
+    import graft.sinks.VersionedStore
+    val phase1 = ((1 to 120).map(i => ("a", s"u-$i")) ++
+      (1 to 10).map(i => ("b", s"v-$i")))
+    val phase2 = ((60 to 200).map(i => ("a", s"u-$i")) ++ Seq(("c", "solo")))
+
+    def run(root: String, interrupted: Boolean): String = {
+      val inDir = s"$root/in"
+      val store = s"$root/store"
+      phase1.toDF("k", "v").coalesce(1).write.parquet(inDir)
+      var q = SketchStream.kmvToStore(spark, inDir, K, store)
+      q.processAllAvailable()
+      if (interrupted) {
+        q.stop() // killed between batches; resume from the checkpoint
+        q = SketchStream.kmvToStore(spark, inDir, K, store)
+      }
+      phase2.toDF("k", "v").coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      q.stop()
+      store
+    }
+    def ledger(store: String, asOf: Option[Long]) =
+      SketchStream.readKmvLedger(spark, store, K, asOf)
+        .as[(String, Long, Array[Long])].collect()
+        .map { case (g, n, a) => (g, n, a.toSeq) }.sortBy(_._1).toSeq
+
+    val clean = run(tmpDir("vkmv_clean"), interrupted = false)
+    val killed = run(tmpDir("vkmv_kill"), interrupted = true)
+    assert(ledger(clean, None) == ledger(killed, None),
+      "kill/resume must land a byte-identical ledger")
+
+    // final ledger == the batch sketch over everything
+    def batchOf(rows: Seq[(String, String)]) =
+      ThetaSketch.sketch(rows.toDF("k", "v"), Seq("k"), $"v", K)
+        .as[(String, Array[Long])].collect()
+        .map { case (g, a) =>
+          (g, rows.count(_._1 == g).toLong, a.toSeq) }.sortBy(_._1).toSeq
+    assert(ledger(clean, None) == batchOf(phase1 ++ phase2))
+
+    // TIME TRAVEL: the ledger as of epoch 1 is exactly the phase-1
+    // sketch fleet, served after epoch 2 rewrote the same keys
+    assert(VersionedStore.currentEpoch(clean) == 2L)
+    assert(ledger(clean, Some(1L)) == batchOf(phase1))
+
+    // replay fence: re-landing batch 0 through the maintainer's write
+    // path is a no-op (the tagged commit is the idempotency ledger)
+    graft.streaming.EpochStream(Seq("k")).processBatch(
+      phase1.toDF("k", "v").withColumn("k_param", lit(K)), 0L, clean)
+    assert(VersionedStore.currentEpoch(clean) == 2L,
+      "a replayed micro-batch must not commit a new epoch")
+
+    // a consumer asking for a different k fails fast (setOps contract)
+    val e = intercept[IllegalArgumentException] {
+      SketchStream.readKmvLedger(spark, clean, K + 1)
+    }
+    assert(e.getMessage.contains("different k"), e.getMessage)
+  }
 }

