@@ -106,14 +106,15 @@ object Bench {
     // q207: shares q190's versioned-store fixture (may build it first).
     // q208: streaming ledger — fixed stream overhead per run.
     // q209: first run persists the manifest ledgers + data-card epoch.
+    // q210: streaming view-follow — fixed stream overhead per run.
     val oneTimeSetup = Set("q106", "q107", "q108", "q109", "q110", "q116",
       "q120", "q121", "q122", "q123", "q124", "q125", "q126", "q129",
       "q130", "q131", "q132", "q134", "q138", "q140", "q145", "q150",
       "q151", "q153", "q154", "q155", "q156", "q157", "q158", "q159",
       "q161", "q163", "q164", "q166", "q167", "q168", "q169", "q175",
       "q176", "q177", "q178", "q179", "q185", "q188", "q190", "q192",
-      "q200", "q202", "q205", "q207", "q208", "q209", "q25", "q26",
-      "q78", "q84", "q94")
+      "q200", "q202", "q205", "q207", "q208", "q209", "q210", "q211",
+      "q212", "q25", "q26", "q78", "q84", "q94")
     val results = selected.map { case (name, fn) =>
       def one(): (Double, Boolean) = {
         val t0 = System.nanoTime()

@@ -7822,6 +7822,136 @@ object Queries {
        |    AS estimate
        |FROM qa JOIN ns USING (g) ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------- view follows a live stream
+  /** A materialized view FOLLOWING a live epoch stream: three landing
+    * files commit as three store epochs
+    * ([[graft.streaming.EpochStream]]); the view is built ONCE at
+    * epoch 1 and then only delta-propagated — one
+    * [[graft.ops.MaterializedView.refreshSum]] per epoch over that
+    * epoch's changed-bucket CDC, never a snapshot rebuild. This is the
+    * dashboard posture at 100 TB: the store absorbs keyed upserts
+    * bucket-locally, the report follows at O(change volume) per batch.
+    * The oracle aggregates the final snapshot from scratch — equality
+    * proves the per-epoch delta chain is lossless end to end. */
+  private def qStreamView(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier").select(
+      col("s_suppkey").cast("bigint").as("k"),
+      floor(col("s_acctbal")).cast("bigint").as("v"),
+      col("s_nationkey").cast("bigint").as("nat"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q210")
+    try {
+      val store = s"$work/store"
+      graft.streaming.EpochStream.replay(s,
+        Seq(base.filter(col("k") % 4 =!= 0),
+          base.filter(col("k") % 3 === 0).withColumn("v", col("v") + 100L),
+          base.filter(col("k") % 7 === 0).withColumn("v", col("v") + 1000L)),
+        Seq("k"), work.toString, store)
+      val cur = graft.sinks.VersionedStore.currentEpoch(store)
+      require(cur == 3L, "three landing files must commit three epochs")
+      var view = graft.ops.MaterializedView.sumView(
+        graft.sinks.VersionedStore.readAsOf(s, store, 1L), Seq("nat"),
+        col("v"))
+      (2L to cur).foreach { e =>
+        view = graft.ops.MaterializedView.refreshSum(view,
+          graft.sinks.VersionedStore.changelog(s, store, e - 1, e,
+            images = true),
+          Seq("nat"), "v")
+      }
+      view.orderBy("nat").localCheckpoint()
+    } finally deleteRecursively(work)
+  }
+
+  private val oStreamView =
+    s"""WITH $oVstoreCtes,
+       |fin AS (SELECT k, v + 1000 AS v, nat FROM base WHERE k % 7 = 0
+       |        UNION ALL SELECT k, v, nat FROM s2 WHERE k % 7 <> 0)
+       |SELECT nat, CAST(sum(v) AS BIGINT) AS sum_v,
+       |       CAST(count(*) AS BIGINT) AS n_rows
+       |FROM fin GROUP BY nat ORDER BY nat""".stripMargin
+
+  // -------------------------------------------- versioned point lookup
+  /** Bucket-pruned point lookup on the versioned store
+    * ([[graft.sinks.VersionedStore.lookup]]): a batch-get of six keys
+    * against TWO different epochs — the DSv2 mutable store's
+    * key-pushdown posture served on the MVCC layout, so a keyed probe
+    * opens only the keys' hash buckets (asserted in-query on
+    * `inputFiles`), at any point in history. The key set walks every
+    * life-cycle: untouched, updated (+100), deleted-at-3, resurrected
+    * by epoch 4 (+1000), and never-present. */
+  private def qStoreLookup(s: SparkSession, dir: String): DataFrame = {
+    val root = versionedStoreAt(s, dir, "vstore")
+    val keys = { import s.implicits._; Seq(1L, 2L, 3L, 5L, 7L, 9999L).toDF("k") }
+    def at(e: Long): DataFrame =
+      graft.sinks.VersionedStore.lookup(s, root, keys, e)
+    val probe = at(4L)
+    val bucketsRead = probe.inputFiles.flatMap(
+      _.split("/").find(_.matches("^b\\d{5}$"))).toSet
+    require(bucketsRead.size <= 6,
+      s"lookup must open only the keys' buckets, opened: $bucketsRead")
+    at(2L).withColumn("as_of", lit(2L))
+      .unionByName(at(4L).withColumn("as_of", lit(4L)))
+      .select(col("as_of"), col("k"), col("v"), col("nat"))
+      .orderBy("as_of", "k")
+  }
+
+  private val oStoreLookup =
+    s"""WITH $oVstoreCtes,
+       |wanted AS (SELECT unnest([1, 2, 3, 5, 7, 9999]) AS k)
+       |SELECT CAST(2 AS BIGINT) AS as_of, s2.k, v, nat
+       |FROM s2 JOIN wanted ON wanted.k = s2.k
+       |UNION ALL
+       |SELECT CAST(4 AS BIGINT) AS as_of, s4.k, v, nat
+       |FROM s4 JOIN wanted ON wanted.k = s4.k
+       |ORDER BY as_of, k""".stripMargin
+
+  // ------------------------------------------- schema evolution epoch
+  /** Additive schema evolution on the versioned store
+    * ([[graft.sinks.VersionedStore.upsert]] with `evolve = true`):
+    * epoch 2 ADDS a `cat` column; carried-forward epoch-1 rows read as
+    * null through the evolved schema, while time travel to epoch 1
+    * still serves the pre-evolution two-column schema (asserted
+    * in-query) — the Delta-style "add column without rewriting
+    * history" contract. Retypes and dropped columns stay fail-fast
+    * (VersionedStoreSpec). The oracle rebuilds the final state with an
+    * explicit NULL for the pre-evolution rows. */
+  private def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = evoStoreAt(s, dir)
+    require(graft.sinks.VersionedStore.readAsOf(s, root, 1L)
+      .columns.toSeq == Seq("k", "v"),
+      "epoch-1 time travel must serve the pre-evolution schema")
+    graft.sinks.VersionedStore.read(s, root).orderBy("k")
+  }
+
+  /** Two-epoch evolving store fixture: e1 loads odd keys (k, v); e2
+    * upserts multiples of 3 with (v+7) and a NEW `cat` column. */
+  private def evoStoreAt(s: SparkSession, dir: String): String = {
+    val root = fixPath("vstore_evo", dir) + "/store"
+    if (graft.sinks.VersionedStore.currentEpoch(root) != 2L) {
+      deleteTree(fixPath("vstore_evo", dir))
+      val base = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("bigint").as("k"),
+        floor(col("s_acctbal")).cast("bigint").as("v"))
+      graft.sinks.VersionedStore.upsert(
+        base.filter(col("k") % 2 === 1), Seq("k"), root)
+      graft.sinks.VersionedStore.upsert(
+        base.filter(col("k") % 3 === 0)
+          .withColumn("v", col("v") + 7L)
+          .withColumn("cat", lit("m3")),
+        Seq("k"), root, evolve = true)
+    }
+    root
+  }
+
+  private val oSchemaEvolution =
+    """WITH base AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                     CAST(floor(s_acctbal) AS BIGINT) AS v
+      |              FROM supplier),
+      |fin AS (SELECT k, v + 7 AS v, 'm3' AS cat FROM base WHERE k % 3 = 0
+      |        UNION ALL
+      |        SELECT k, v, NULL AS cat FROM base
+      |        WHERE k % 2 = 1 AND k % 3 <> 0)
+      |SELECT k, v, cat FROM fin ORDER BY k""".stripMargin
+
   // ------------------------------------------ corpus release manifest
   /** The corpus RELEASE MANIFEST — the data card a 100 TB training run
     * ships with, composed ENTIRELY from persisted ledgers (built once
@@ -8240,7 +8370,10 @@ object Queries {
     "q206_contrastive_pairs" -> (qContrastivePairs _),
     "q207_minmax_view" -> (qMinMaxView _),
     "q208_ledger_asof" -> (qLedgerAsOf _),
-    "q209_release_manifest" -> (qReleaseManifest _)
+    "q209_release_manifest" -> (qReleaseManifest _),
+    "q210_stream_view" -> (qStreamView _),
+    "q211_store_lookup" -> (qStoreLookup _),
+    "q212_schema_evolution" -> (qSchemaEvolution _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -8456,6 +8589,9 @@ object Queries {
     "q206_contrastive_pairs" -> oContrastivePairs,
     "q207_minmax_view" -> oMinMaxView,
     "q208_ledger_asof" -> oLedgerAsOf,
-    "q209_release_manifest" -> oReleaseManifest
+    "q209_release_manifest" -> oReleaseManifest,
+    "q210_stream_view" -> oStreamView,
+    "q211_store_lookup" -> oStoreLookup,
+    "q212_schema_evolution" -> oSchemaEvolution
   )
 }

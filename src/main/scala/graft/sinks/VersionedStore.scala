@@ -20,7 +20,13 @@ import org.apache.spark.sql.types.StructType
   * {{{
   *   root/_nbuckets            fixed bucket count (hash layout)
   *   root/_keycols             key column list
-  *   root/_schema              row schema DDL (empty-snapshot reads)
+  *   root/_schema              base row schema DDL (first epoch's)
+  *   root/_schema-EEEEEEE      schema in force FROM epoch E (written
+  *                             only when an evolving epoch ADDS
+  *                             columns — O(#evolutions) markers; a
+  *                             snapshot read serves the schema of ITS
+  *                             epoch, so history predating a column
+  *                             never shows it)
   *   root/_commit-EEEEEEE      one IMMUTABLE marker per committed
   *                             epoch: "<kind>;b,b,b" (touched buckets)
   *   root/_vacuum              retention watermark epoch (if vacuumed)
@@ -66,6 +72,7 @@ object VersionedStore {
   private val GenRe = "^g(\\d{7})$".r
   private val CommitRe = "^_commit-(\\d{7})$".r
   private val FloorsRe = "^_floors-(\\d{7})$".r
+  private val SchemaRe = "^_schema-(\\d{7})$".r
   private def bucketName(b: Int): String = f"b$b%05d"
   private def genName(e: Long): String = f"g$e%07d"
 
@@ -172,8 +179,10 @@ object VersionedStore {
     * stamps its micro-batch id and skips a replayed batch whose tag is
     * already committed ([[taggedEpoch]]; EpochStream's exactly-once). */
   def upsert(batch: DataFrame, keyCols: Seq[String], root: String,
-             nBuckets: Int = 8, tag: String = ""): Long =
-    writeEpoch(batch, keyCols, root, nBuckets, delete = false, tag = tag)
+             nBuckets: Int = 8, tag: String = "",
+             evolve: Boolean = false): Long =
+    writeEpoch(batch, keyCols, root, nBuckets, delete = false, tag = tag,
+      evolve = evolve)
 
   /** The epoch committed under `tag`, if any — the replay-detection
     * probe (one commit-marker listing, no data read). Matches the tag
@@ -217,19 +226,94 @@ object VersionedStore {
     * the committed epoch (the current epoch unchanged when nothing
     * matched). */
   def applyOps(batch: DataFrame, keyCols: Seq[String], root: String,
-               opCol: String, nBuckets: Int = 8, tag: String = ""): Long =
+               opCol: String, nBuckets: Int = 8, tag: String = "",
+               evolve: Boolean = false): Long =
     writeEpoch(batch, keyCols, root, nBuckets, delete = false, tag = tag,
-      opCol = Some(opCol))
+      opCol = Some(opCol), evolve = evolve)
 
-  /** Name+type schema DDL (nullability normalized away — a parquet
-    * round-trip or a literal-null column may flip it batch to batch). */
-  private def ddlOf(schema: StructType): String =
-    StructType(schema.filterNot(_.name == "_bucket")
-      .map(_.copy(nullable = true))).toDDL
+  /** Nullability normalized away at EVERY nesting level (top-level
+    * nullable, array containsNull, map valueContainsNull, struct
+    * fields) — a parquet round-trip or a typed-Dataset encoder flips
+    * these batch to batch (e.g. Array[Long] encodes
+    * containsNull=false, the parquet read comes back true) and none of
+    * them is a real schema difference. */
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType =>
+      StructType(s.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = deepNullable(m.keyType),
+        valueType = deepNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def normalized(schema: StructType): StructType =
+    deepNullable(StructType(schema.filterNot(_.name == "_bucket")))
+      .asInstanceOf[StructType]
+
+  /** Name+type schema DDL, nullability-normalized. */
+  private def ddlOf(schema: StructType): String = normalized(schema).toDDL
+
+  private def schemaAsOfOpt(fs: FileSystem, dir: Path,
+                            epoch: Long): Option[String] = {
+    val marker =
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).flatMap(_.getPath.getName match {
+          case SchemaRe(e) if e.toLong <= epoch => Some(e.toLong)
+          case _ => None
+        }).maxOption
+        .flatMap(e => readMarker(fs, new Path(dir, f"_schema-$e%07d")))
+    marker.orElse(readMarker(fs, new Path(dir, "_schema")))
+  }
+
+  /** The row-schema DDL in force at snapshot `epoch`: the newest
+    * evolution marker at or below it, else the store's base schema —
+    * every read path resolves through this, so a snapshot predating a
+    * column addition never shows the column. */
+  def schemaAsOf(root: String, epoch: Long): String = {
+    val (fs, dir) = fsOf(root)
+    schemaAsOfOpt(fs, dir, epoch).getOrElse(
+      sys.error(s"versioned store has no _schema marker: $root"))
+  }
+
+  /** Validate a batch's row schema against the store's and produce the
+    * epoch's target DDL. Every existing column must be present with an
+    * IDENTICAL type (a missing or retyped column silently corrupts
+    * later reads — fail fast); NEW columns are additive evolution,
+    * allowed only when the caller passed `evolve = true` (they land
+    * nullable: live rows in untouched generations simply read as
+    * null). */
+  private def mergeSchemas(storeDdl: String, batch: StructType,
+                           evolve: Boolean): String = {
+    val store = normalized(StructType.fromDDL(storeDdl))
+    val b = normalized(batch)
+    val bTypes = b.map(f => f.name -> f.dataType).toMap
+    store.foreach { f =>
+      bTypes.get(f.name) match {
+        case None => sys.error("versioned store schema mismatch: batch is " +
+          s"missing column ${f.name} (store has [$storeDdl])")
+        case Some(t) if t != f.dataType =>
+          sys.error(s"versioned store schema mismatch: column ${f.name} is " +
+            s"${f.dataType.sql} in the store but ${t.sql} in the batch")
+        case _ =>
+      }
+    }
+    val newCols = b.filterNot(f => store.fieldNames.contains(f.name))
+    if (newCols.isEmpty) storeDdl
+    else if (!evolve)
+      sys.error("versioned store schema mismatch: batch adds column(s) " +
+        s"${newCols.map(_.name).mkString(", ")} — pass evolve = true to " +
+        "commit an additive schema evolution")
+    else StructType(store ++ newCols).toDDL
+  }
 
   private def writeEpoch(batch: DataFrame, keyCols: Seq[String], root: String,
                          nBuckets: Int, delete: Boolean, tag: String,
-                         opCol: Option[String] = None): Long = {
+                         opCol: Option[String] = None,
+                         evolve: Boolean = false): Long = {
     require(!tag.contains(";") && !tag.contains("\n") && !tag.contains("@"),
       s"commit tag must not contain ';', '@' or newlines: $tag")
     require(!batch.columns.contains("_bucket"),
@@ -305,10 +389,35 @@ object VersionedStore {
     val touched = (upsertBuckets ++ deleteBuckets).distinct.sorted
     if (touched.isEmpty) return epoch - 1L
 
+    // schema fail-fast / evolution: validate the batch's row shape
+    // against the store's CURRENT schema before anything is written
+    // (a silently mixed-schema generation breaks every later read).
+    // Additive new columns (evolve = true) produce this epoch's target
+    // schema; carried-forward generations read through it with the new
+    // columns as null. The evolution marker lands BEFORE the commit;
+    // a crash in between leaves an orphan for an uncommitted epoch,
+    // which no reader can resolve (readers stop at the committed
+    // epoch) and which the epoch's eventual writer overwrites/clears.
+    val storeDdl = schemaAsOfOpt(fs, dir,
+      committed.lastOption.map(_.epoch).getOrElse(0L))
+    val targetDdl = (upserts, storeDdl) match {
+      case (null, Some(prev)) => prev // pure delete: schema unchanged
+      case (null, None) => sys.error("delete against an empty store")
+      case (u: DataFrame, None) => ddlOf(u.schema)
+      case (u: DataFrame, Some(prev)) => mergeSchemas(prev, u.schema, evolve)
+    }
+    val target = StructType.fromDDL(targetDdl)
+    writeMarker(fs, new Path(dir, "_schema"), targetDdl, replace = false)
+    val schemaMarker = new Path(dir, f"_schema-$epoch%07d")
+    if (storeDdl.exists(_ != targetDdl))
+      writeMarker(fs, schemaMarker, targetDdl, replace = true)
+    else fs.delete(schemaMarker, false) // a crashed evolver's orphan
+
     val livePaths = touched.flatMap(b => snapGens.getOrElse(b, None))
     val cur =
       if (livePaths.isEmpty) None
-      else Some(spark.read.parquet(livePaths: _*).withColumn("_bucket", bucketExpr))
+      else Some(spark.read.schema(target).parquet(livePaths: _*)
+        .withColumn("_bucket", bucketExpr))
     val removeKeys = mat.select(keyCols.map(col): _*).distinct()
     val merged = cur match {
       case Some(c) =>
@@ -317,19 +426,6 @@ object VersionedStore {
       case None =>
         require(upserts != null, "delete against an empty store")
         upserts
-    }
-
-    // schema fail-fast: a batch whose row shape differs from the
-    // store's would otherwise write mixed-schema generations into
-    // insert-only buckets (unionByName only guards buckets with live
-    // rows) and silently break every later read
-    val ddl = ddlOf(merged.schema)
-    readMarker(fs, new Path(dir, "_schema")) match {
-      case Some(prev) if prev != ddl =>
-        sys.error(s"versioned store schema mismatch: store has [$prev], " +
-          s"batch produces [$ddl]")
-      case _ =>
-        writeMarker(fs, new Path(dir, "_schema"), ddl, replace = false)
     }
 
     // ONE staging job regardless of touched-bucket count (each bucket
@@ -389,10 +485,14 @@ object VersionedStore {
       }
   }
 
-  /** Time-travel read: the exact store contents as of `epoch`. Reads
-    * only immutable committed files — safe concurrently with a writer.
-    * Fails fast below the vacuum watermark (those generations may be
-    * gone) and above the current epoch (nothing committed to serve). */
+  /** Time-travel read: the exact store contents as of `epoch`, under
+    * the schema IN FORCE at that epoch ([[schemaAsOf]] — a snapshot
+    * predating a column addition never shows the column; a snapshot
+    * after it reads carried-forward old generations with the new
+    * columns as null). Reads only immutable committed files — safe
+    * concurrently with a writer. Fails fast below the vacuum watermark
+    * (those generations may be gone) and above the current epoch
+    * (nothing committed to serve). */
   def readAsOf(spark: SparkSession, root: String, epoch: Long): DataFrame = {
     val wm = retentionWatermark(root)
     require(epoch >= wm,
@@ -400,22 +500,54 @@ object VersionedStore {
     val committed = commits(root)
     val cur = committed.lastOption.map(_.epoch).getOrElse(0L)
     require(epoch <= cur, s"asOf epoch $epoch is beyond current epoch $cur")
+    val ddl = schemaAsOf(root, epoch)
     val paths = snapshotGens(root, committed, epoch).values.flatten.toSeq.sorted
-    if (paths.isEmpty) emptyFrame(spark, root)
-    else spark.read.parquet(paths: _*)
+    if (paths.isEmpty) emptyFrameOf(spark, ddl)
+    else spark.read.schema(StructType.fromDDL(ddl)).parquet(paths: _*)
   }
 
   /** The current snapshot ([[readAsOf]] at [[currentEpoch]]). */
   def read(spark: SparkSession, root: String): DataFrame =
     readAsOf(spark, root, currentEpoch(root))
 
-  private def emptyFrame(spark: SparkSession, root: String): DataFrame = {
+  /** Point/batch key lookup against snapshot `epoch` (default: the
+    * current one): returns the stored rows for `keys`, opening ONLY
+    * the generation files of the buckets those keys hash to — cost is
+    * O(|key buckets|), never a store scan (the DSv2 mutable store's
+    * key-pushdown posture, served on the versioned layout; absent
+    * keys simply return nothing). `keys` is a point/batch-get
+    * argument, driver-small by contract: its distinct bucket ids are
+    * collected (≤ nBuckets small ints) and the key set broadcasts
+    * into the verify semi-join. */
+  def lookup(spark: SparkSession, root: String, keys: DataFrame,
+             epoch: Long = Long.MaxValue): DataFrame = {
+    val committed = commits(root)
+    val cur = committed.lastOption.map(_.epoch).getOrElse(0L)
+    val e = if (epoch == Long.MaxValue) cur else epoch
+    val wm = retentionWatermark(root)
+    require(e >= wm,
+      s"lookup epoch $e is below the vacuum retention watermark $wm")
+    require(e <= cur, s"lookup epoch $e is beyond current epoch $cur")
+    val keyCols = keyColsOf(root)
     val (fs, dir) = fsOf(root)
-    val ddl = readMarker(fs, new Path(dir, "_schema"))
-      .getOrElse(sys.error(s"versioned store has no _schema marker: $root"))
+    val n = readMarker(fs, new Path(dir, "_nbuckets"))
+      .map(_.trim.toInt)
+      .getOrElse(sys.error(s"not a versioned store (no _nbuckets): $root"))
+    val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
+    val wantedKeys = keys.select(keyCols.map(col): _*).distinct()
+    val buckets = wantedKeys.withColumn("_bucket", bucketExpr)
+      .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val gens = snapshotGens(root, committed, e)
+    val paths = buckets.sorted.flatMap(b => gens.getOrElse(b, None))
+    val ddl = schemaAsOf(root, e)
+    if (paths.isEmpty) emptyFrameOf(spark, ddl)
+    else spark.read.schema(StructType.fromDDL(ddl)).parquet(paths: _*)
+      .join(broadcast(wantedKeys), keyCols, "left_semi")
+  }
+
+  private def emptyFrameOf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType.fromDDL(ddl))
-  }
 
   /** DESCRIBE HISTORY: one row per committed epoch — (epoch, kind,
     * n_rows in that epoch's snapshot). ZERO Spark jobs on the normal
@@ -539,6 +671,12 @@ object VersionedStore {
           }
         }
     }
+    // the exported snapshot may span a schema evolution (old- and
+    // new-schema generation files side by side): record the epoch's
+    // schema so a consumer can `spark.read.schema(ddl)` (or use
+    // mergeSchema) instead of trusting one file's footer
+    writeMarker(dfs0, new Path(destPath, "_schema"),
+      schemaAsOf(root, epoch), replace = true)
     dfs0.create(new Path(destPath, "_SUCCESS"), true).close()
     pairs.size.toLong
   }
@@ -575,9 +713,13 @@ object VersionedStore {
       .flatMap(_.buckets).distinct.sorted
     val oldGens = snapshotGens(root, committed, fromEpoch)
     val newGens = snapshotGens(root, committed, toEpoch)
+    // both sides conform to the TO-epoch schema (the Delta-CDF
+    // convention): columns added in (from, to] show null old images
+    val ddl = schemaAsOf(root, toEpoch)
     def side(gens: Map[Int, Option[String]]): DataFrame = {
       val paths = changedBuckets.flatMap(b => gens.getOrElse(b, None))
-      if (paths.isEmpty) emptyFrame(spark, root) else spark.read.parquet(paths: _*)
+      if (paths.isEmpty) emptyFrameOf(spark, ddl)
+      else spark.read.schema(StructType.fromDDL(ddl)).parquet(paths: _*)
     }
     val o = side(oldGens)
     val n = side(newGens)

@@ -37,9 +37,13 @@ import graft.sinks.VersionedStore
   * With `opCol` set the stream consumes a CDC FEED (Debezium-shaped:
   * each row stamped `upsert` or `delete`): the whole mixed batch
   * commits as ONE `apply` epoch ([[VersionedStore.applyOps]]) — never
-  * a half-visible upsert/delete epoch pair. */
+  * a half-visible upsert/delete epoch pair. With `evolve` the source's
+  * additive schema drift (a producer shipping a new column) commits as
+  * a schema-evolution epoch instead of failing the stream; retypes and
+  * dropped columns still fail fast. */
 final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8,
-                             opCol: Option[String] = None) {
+                             opCol: Option[String] = None,
+                             evolve: Boolean = false) {
 
   /** Land one micro-batch as one epoch; replays are no-ops. Public so
     * the kill/resume spec can drive batches without a stream. */
@@ -49,9 +53,11 @@ final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8,
     if (batch.isEmpty) return
     opCol match {
       case Some(c) =>
-        VersionedStore.applyOps(batch, keyCols, root, c, nBuckets, tag = tag)
+        VersionedStore.applyOps(batch, keyCols, root, c, nBuckets, tag = tag,
+          evolve = evolve)
       case None =>
-        VersionedStore.upsert(batch, keyCols, root, nBuckets, tag = tag)
+        VersionedStore.upsert(batch, keyCols, root, nBuckets, tag = tag,
+          evolve = evolve)
     }
   }
 

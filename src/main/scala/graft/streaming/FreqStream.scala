@@ -62,6 +62,71 @@ object FreqStream {
           }
       })(ExpressionEncoderHelp.mgState, Encoders.product[KeyFreq])
 
+  case class KeyFreqOp(k: String, item: String, n_total: Long, cnt: Long,
+                       op: String)
+
+  /** The CDC-emitting fold behind [[frequentToStore]]: per touched
+    * key, the batch's final counters as `upsert` rows PLUS one
+    * `delete` row per item the fold EVICTED since the previous batch
+    * (present in the prior state, absent now). Upsert/delete sets are
+    * disjoint by construction (an item is in the final state or not),
+    * so the mixed batch satisfies `applyOps`' conflict contract. */
+  def frequentOps(ds: Dataset[(String, String)], k: Int)
+      : Dataset[KeyFreqOp] =
+    ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[MgState, KeyFreqOp](
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(func = {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[MgState]) =>
+          val hadState = state.exists
+          val (n0, arr0) = state.getOption.getOrElse(
+            (0L, Array.empty[(String, Long)]))
+          var m = arr0.toMap
+          var n = n0
+          val agg = new FreqItems.MgAgg(k)
+          rows.foreach { case (_, item) =>
+            if (item != null) { m = agg.reduce(m, item); n += 1 }
+          }
+          if (!hadState && n == 0) Iterator.empty
+          else {
+            state.update((n, m.toArray))
+            val kept = agg.finish(m)
+            val keptSet = kept.iterator.map(_.item).toSet
+            kept.iterator
+              .map(e => KeyFreqOp(key, e.item, n, e.cnt, "upsert")) ++
+              arr0.iterator.map(_._1).filterNot(keptSet)
+                .map(it => KeyFreqOp(key, it, 0L, 0L, "delete"))
+          }
+      })(ExpressionEncoderHelp.mgState, Encoders.product[KeyFreqOp])
+
+  /** [[frequent]] maintained as an MVCC LEDGER, keyed (k, item). MG
+    * counters can EVICT items — unlike the KMV/histogram maintainers,
+    * whose rows only grow or update in place — so a plain keyed upsert
+    * would leave evicted items' stale rows serving forever. Each
+    * micro-batch therefore lands [[frequentOps]]' mixed CDC emission
+    * as ONE `apply` epoch ([[graft.sinks.VersionedStore.applyOps]]
+    * behind [[EpochStream]]'s tagged exactly-once fence): the store
+    * snapshot at every epoch equals the state the stream held after
+    * that batch — kill/resume byte-parity and per-batch time travel
+    * included (FreqStreamSpec pins all three). */
+  def frequentToStore(spark: SparkSession, landingDir: String, k: Int,
+                      storeRoot: String, nBuckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    frequentOps(
+        spark.readStream.schema("k STRING, v STRING").parquet(landingDir)
+          .as[(String, String)], k)
+      .toDF()
+      .writeStream
+      .option("checkpointLocation", s"$storeRoot/ckpt_freq")
+      .outputMode("update")
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        EpochStream(Seq("k", "item"), nBuckets, opCol = Some("op"))
+          .processBatch(df, bid, storeRoot)
+      }
+      .start()
+  }
+
   /** Phased-replay harness (mirrors
     * [[StreamDistinct.replayEstimates]]): drive [[frequent]] over
     * `phases` (each a (k STRING, v STRING) frame landed as one

@@ -10,9 +10,8 @@ object VerifyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     import spark.implicits._
-    import graft.ops.{CorpusStats, MaterializedView, ThetaSketch}
     import graft.sinks.VersionedStore
-    import graft.streaming.SketchStream
+    import graft.streaming.FreqStream
 
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -23,73 +22,66 @@ object VerifyProbe {
 
     val sf01 = "/root/testdata/sf0.1"
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
-    val work = "/tmp/verifyprobe_r11b"
+    val work = "/tmp/verifyprobe_r11c"
     org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(work), true)
 
-    // ---- min/max incremental view over a real 4-epoch store
+    // ---- schema evolution + lookup on a real-sized store
     val root = s"$work/store"
     val base = docs.select($"doc_id", $"source",
       length($"text").cast("long").as("len"))
     VersionedStore.upsert(base, Seq("doc_id"), root, nBuckets = 16)
-    VersionedStore.upsert(
-      base.filter($"doc_id" % 9 === 0).withColumn("len", $"len" * 3L),
-      Seq("doc_id"), root)
-    VersionedStore.delete(
-      base.filter($"doc_id" % 11 === 0).select("doc_id"), root)
-    val view1 = MaterializedView.minMaxView(
-      VersionedStore.readAsOf(spark, root, 1L), Seq("source"), $"len")
-    val inc = time("minmax refresh") {
-      MaterializedView.refreshMinMax(view1,
-          VersionedStore.changelog(spark, root, 1L, 3L, images = true),
-          Seq("source"), "len", VersionedStore.readAsOf(spark, root, 3L))
-        .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    val e2 = time("evolve epoch") {
+      VersionedStore.upsert(
+        base.filter($"doc_id" % 7 === 0)
+          .withColumn("quality", ($"len" % 100L).cast("long")),
+        Seq("doc_id"), root, evolve = true)
     }
-    val scratch = MaterializedView.minMaxView(
-        VersionedStore.readAsOf(spark, root, 3L), Seq("source"), $"len")
-      .as[(String, Long, Long, Long)].collect().toSeq.sorted
-    require(inc == scratch && inc.nonEmpty,
-      "incremental min/max must equal the rebuild")
+    require(e2 == 2L)
+    require(VersionedStore.readAsOf(spark, root, 1L).columns.toSeq ==
+      Seq("doc_id", "source", "len"), "epoch 1 must keep the old schema")
+    val cur = VersionedStore.read(spark, root)
+    require(cur.columns.contains("quality"))
+    val nulls = cur.filter($"quality".isNull).count()
+    val total = cur.count()
+    val sevens = docs.filter($"doc_id" % 7 === 0).count()
+    require(nulls == total - sevens,
+      s"carried-forward rows must read null quality: $nulls vs $total-$sevens")
 
-    // ---- versioned KMV ledger: stream, time travel, k guard
+    val probeKeys = Seq(0L, 7L, 13L, 999999999L).toDF("doc_id")
+    val got = time("lookup") {
+      VersionedStore.lookup(spark, root, probeKeys)
+        .select($"doc_id", $"quality").as[(Long, Option[Long])]
+        .collect().toMap
+    }
+    require(got.contains(7L) && got(7L).isDefined && got(13L).isEmpty &&
+      !got.contains(999999999L), s"lookup rows: $got")
+    val bucketsRead = VersionedStore.lookup(spark, root, probeKeys)
+      .inputFiles.flatMap(_.split("/").find(_.matches("^b\\d{5}$"))).toSet
+    require(bucketsRead.size <= 4, s"lookup pruning: $bucketsRead")
+
+    // ---- versioned MG ledger on the corpus token stream
     val toks = docs.select($"source".as("k"),
       explode(split($"text", "\\s+")).as("v")).filter($"v" =!= "")
-    val inDir = s"$work/kmv_in"
-    val kstore = s"$work/kmv_store"
-    toks.filter($"k" =!= "src0").coalesce(1).write.parquet(inDir)
-    val q = SketchStream.kmvToStore(spark, inDir, 128, kstore)
-    time("kmv stream 2 epochs") {
+    val inDir = s"$work/mg_in"
+    val mstore = s"$work/mg_store"
+    toks.filter($"k" =!= "src3").coalesce(1).write.parquet(inDir)
+    val q = FreqStream.frequentToStore(spark, inDir, k = 8, mstore)
+    time("mg stream 2 epochs") {
       try {
         q.processAllAvailable()
-        toks.filter($"k" === "src0").coalesce(1)
+        toks.filter($"k" === "src3").coalesce(1)
           .write.mode("append").parquet(inDir)
         q.processAllAvailable()
       } finally q.stop()
     }
-    require(VersionedStore.currentEpoch(kstore) == 2L)
-    val led1 = SketchStream.readKmvLedger(spark, kstore, 128, Some(1L))
-    require(led1.filter($"k" === "src0").count() == 0,
-      "epoch-1 ledger must not know src0 yet")
-    val fleet = SketchStream.readKmvLedger(spark, kstore, 128)
-    val est = ThetaSketch.estimate(fleet, Seq("k"), 128)
-    require(est.count() == 20, "20 sources in the final fleet")
-
-    // ---- KL drift served from the persisted count ledger
-    val counts = toks.groupBy($"k".as("source"), $"v".as("t"))
-      .agg(count(lit(1)).as("c_s")).localCheckpoint()
-    val fromLedger = time("KL from ledger") {
-      CorpusStats.sourceDivergenceFromCounts(counts)
-        .as[(String, Long, Long, Long)].collect().toSeq.sorted
-    }
-    val direct = CorpusStats.sourceDivergence(
-        docs.filter($"text".isNotNull), $"source", $"text")
-      .as[(String, Long, Long, Long)].collect().toSeq.sorted
-    // ledger counts filter empty tokens like the probe's toks; the
-    // direct path keeps split()'s empty first token — compare shape,
-    // not bytes: both must rank the same drifted source first
-    require(fromLedger.size == direct.size && fromLedger.nonEmpty,
-      "ledger-served KL must cover every source")
+    require(VersionedStore.currentEpoch(mstore) == 2L)
+    val led = VersionedStore.read(spark, mstore)
+    require(led.groupBy("k").count().filter($"count" > 8).count() == 0,
+      "every key's ledger holds <= k counters")
+    require(VersionedStore.readAsOf(spark, mstore, 1L)
+      .filter($"k" === "src3").count() == 0, "src3 lands only at epoch 2")
 
     println("VERIFYPROBE OK")
     spark.stop()

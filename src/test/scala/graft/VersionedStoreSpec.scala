@@ -344,6 +344,106 @@ class VersionedStoreSpec extends SparkSpec {
         (101L to 150L).map(k => (k, k))).sorted)
   }
 
+  test("additive schema evolution: per-epoch schemas, time travel, CDC, guards") {
+    val root = tmpDir("vstore_evolve") + "/store"
+    VersionedStore.upsert(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 4)
+    // adding a column WITHOUT evolve fails fast, naming the fix
+    val e1 = intercept[RuntimeException] {
+      VersionedStore.upsert(Seq((2L, 21L, "x")).toDF("k", "v", "cat"),
+        Seq("k"), root)
+    }
+    assert(e1.getMessage.contains("schema mismatch") &&
+      e1.getMessage.contains("evolve"), e1.getMessage)
+    // evolve = true commits the additive epoch
+    assert(VersionedStore.upsert(
+      Seq((2L, 21L, "x"), (9L, 90L, "y")).toDF("k", "v", "cat"),
+      Seq("k"), root, evolve = true) == 2L)
+    // snapshot 1 serves the OLD schema (history predating the column
+    // never shows it); snapshot 2 the new one, carried-forward rows null
+    assert(VersionedStore.readAsOf(spark, root, 1).columns.toSeq ==
+      Seq("k", "v"))
+    assert(VersionedStore.readAsOf(spark, root, 1).as[(Long, Long)]
+      .collect().toSeq.sorted == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(VersionedStore.read(spark, root)
+      .as[(Long, Long, Option[String])].collect().toSeq.sorted ==
+      Seq((1L, 10L, None), (2L, 21L, Some("x")), (3L, 30L, None),
+        (9L, 90L, Some("y"))))
+    // CDC across the boundary conforms to the TO schema: null old images
+    val cdc = VersionedStore.changelog(spark, root, 1, 2, images = true)
+      .select($"k", $"change", $"cat", $"cat_old")
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().toSeq.sorted
+    assert(cdc == Seq((2L, "update", Some("x"), None),
+      (9L, "insert", Some("y"), None)))
+    // a retype fails even with evolve; a missing existing column fails
+    val e2 = intercept[RuntimeException] {
+      VersionedStore.upsert(Seq((5L, "oops", "z")).toDF("k", "v", "cat"),
+        Seq("k"), root, evolve = true)
+    }
+    assert(e2.getMessage.contains("schema mismatch"), e2.getMessage)
+    val e3 = intercept[RuntimeException] {
+      VersionedStore.upsert(Seq((5L, "z")).toDF("k", "cat"), Seq("k"), root,
+        evolve = true)
+    }
+    assert(e3.getMessage.contains("missing column"), e3.getMessage)
+    // post-evolution writes carry the evolved schema WITHOUT evolve
+    VersionedStore.upsert(
+      Seq((1L, 11L, Option.empty[String])).toDF("k", "v", "cat"),
+      Seq("k"), root)
+    assert(VersionedStore.currentEpoch(root) == 3L)
+    // lookup time-travels the schema too
+    assert(VersionedStore.lookup(spark, root, Seq(2L).toDF("k"), epoch = 1L)
+      .columns.toSeq == Seq("k", "v"))
+    // an orphan evolution marker (a crashed evolver's, for an epoch
+    // never committed) is invisible to readers and cleared by the
+    // epoch's eventual non-evolving writer
+    val (fs, dir) = (new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), new Path(root))
+    val out = fs.create(new Path(dir, "_schema-0000004"), true)
+    out.write("k BIGINT".getBytes("UTF-8")); out.close()
+    assert(VersionedStore.schemaAsOf(root, 3L).contains("cat"),
+      "an orphan marker beyond the current epoch must not resolve")
+    VersionedStore.upsert(
+      Seq((7L, 70L, Option.empty[String])).toDF("k", "v", "cat"),
+      Seq("k"), root) // epoch 4, non-evolving
+    assert(!fs.exists(new Path(dir, "_schema-0000004")),
+      "the epoch's writer must clear a crashed evolver's orphan marker")
+    assert(VersionedStore.read(spark, root).columns.toSeq ==
+      Seq("k", "v", "cat"))
+  }
+
+  test("lookup opens only the keys' buckets, at any epoch") {
+    val root = tmpDir("vstore_lookup") + "/store"
+    build(root)
+    // present, updated, deleted-at-3, and absent keys in one probe
+    val keys = Seq(1L, 30L, 4L, 999L).toDF("k")
+    val cur = VersionedStore.lookup(spark, root, keys)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(cur == Seq((1L, 10L), (30L, 301L)),
+      s"epoch-4 lookup: $cur") // 4 deleted, 999 never present
+    val at2 = VersionedStore.lookup(spark, root, keys, epoch = 2L)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(at2 == Seq((1L, 10L), (4L, 40L), (30L, 301L)))
+    // pruning: the probe's plan reads at most |keys| buckets
+    val probe = VersionedStore.lookup(spark, root, keys)
+    val bucketsRead = probe.inputFiles.flatMap(
+      _.split("/").find(_.matches("^b\\d{5}$"))).toSet
+    assert(bucketsRead.size <= 4,
+      s"lookup must open only the keys' buckets: $bucketsRead")
+    // watermark + range guards mirror readAsOf
+    VersionedStore.vacuum(root, retainAsOf = 3L)
+    intercept[IllegalArgumentException] {
+      VersionedStore.lookup(spark, root, keys, epoch = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedStore.lookup(spark, root, keys, epoch = 9L)
+    }
+    assert(VersionedStore.lookup(spark, root, keys, epoch = 3L)
+      .as[(Long, Long)].collect().toSeq.sorted ==
+      Seq((1L, 10L), (30L, 301L)))
+  }
+
   test("taggedEpoch matches the tag exactly, never by suffix; '@' in tags is rejected") {
     val root = tmpDir("vstore_tag") + "/store"
     assert(VersionedStore.upsert(rows(Seq(1L), _ => 1L), Seq("k"), root,
