@@ -8066,6 +8066,91 @@ object Queries {
        |LEFT JOIN dup USING (source)
        |ORDER BY source""".stripMargin
 
+  // --------------------------------------- incremental manifest refresh
+  /** The release manifest REFRESHED incrementally: release 1 is built
+    * from ledgers over the 90% "already ingested" slice; when the 10%
+    * delta lands, the refresh FOLDS it into each ledger — unigram
+    * counts sum-merge ([[graft.ops.CorpusStats.mergeCounts]]), KMV
+    * sketches re-merge ([[ThetaSketch.mergeSketches]]), the
+    * fingerprint ledger appends — and commits release 2 as its own
+    * tagged epoch. The only raw text the refresh reads is the DELTA's:
+    * every old-document fact comes from the persisted release-1
+    * ledgers, so at 100 TB a re-release costs O(delta + ledgers). The
+    * oracle recomputes the whole data card from scratch over ALL
+    * documents — equality proves each ledger fold is lossless. */
+  private def qManifestRefresh(s: SparkSession, dir: String): DataFrame = {
+    val countsP = fixPath("mr_counts", dir)
+    val fpsP = fixPath("mr_fps", dir)
+    val kmvP = fixPath("mr_kmv", dir)
+    val storeFix = fixPath("mr_store", dir)
+    val isDelta = pmod(col("doc_id"), lit(10)) === 0
+    def missing(p: String): Boolean =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+    if (missing(countsP) || missing(fpsP) || missing(kmvP)) {
+      deleteTree(storeFix)
+      val old = t(s, dir, "documents").filter(!isDelta)
+      old.select(col("source"), explode(split(col("text"), "\\s+")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c_s"))
+        .write.mode("overwrite").parquet(countsP)
+      old.select(col("doc_id"), col("source"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        .write.mode("overwrite").parquet(fpsP)
+      ThetaSketch.sketch(
+          old.select(col("source"),
+            explode(ApproxDedup.wordNgrams(col("text"), 2)).as("shingle")),
+          Seq("source"), col("shingle"), KmvK)
+        .write.mode("overwrite").parquet(kmvP)
+    }
+    def card(counts: DataFrame, fps: DataFrame, kmv: DataFrame): DataFrame = {
+      val totals = counts.groupBy("source").agg(sum(col("c_s")).as("n_tokens"))
+      val nDocs = fps.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val kl = graft.ops.CorpusStats.sourceDivergenceFromCounts(counts)
+        .select(col("source"), col("kl8_per_mtok"))
+      val hot = fps.groupBy("fp").agg(count(lit(1)).as("nf"))
+        .filter(col("nf") > 1L)
+      val dup = fps.join(hot, Seq("fp"))
+        .groupBy("source").agg(count(lit(1)).as("dup_docs"))
+      val dist = ThetaSketch.estimate(kmv, Seq("source"), KmvK)
+        .select(col("source"), col("estimate").as("distinct_shingles"))
+      nDocs.join(totals, Seq("source")).join(kl, Seq("source"))
+        .join(dist, Seq("source")).join(dup, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("kl8_per_mtok"), col("distinct_shingles"),
+          coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+    }
+    val counts1 = s.read.parquet(countsP)
+    val fps1 = s.read.parquet(fpsP)
+    val kmv1 = s.read.parquet(kmvP)
+    val store = s"$storeFix/store"
+    if (graft.sinks.VersionedStore.taggedEpoch(store, "release-1").isEmpty)
+      graft.sinks.VersionedStore.upsert(card(counts1, fps1, kmv1),
+        Seq("source"), store, tag = "release-1")
+    // the refresh: fold ONLY the delta's text into each ledger
+    val delta = t(s, dir, "documents").filter(isDelta)
+    val counts2 = graft.ops.CorpusStats.mergeCounts(counts1,
+      delta.select(col("source"), explode(split(col("text"), "\\s+")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c_s")),
+      Seq("source", "t"), "c_s")
+    val fps2 = fps1.unionByName(delta.select(col("doc_id"), col("source"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp")))
+    val kmv2 = ThetaSketch.mergeSketches(
+      kmv1.unionByName(ThetaSketch.sketch(
+        delta.select(col("source"),
+          explode(ApproxDedup.wordNgrams(col("text"), 2)).as("shingle")),
+        Seq("source"), col("shingle"), KmvK)),
+      Seq("source"), KmvK)
+    if (graft.sinks.VersionedStore.taggedEpoch(store, "release-2").isEmpty)
+      graft.sinks.VersionedStore.upsert(card(counts2, fps2, kmv2),
+        Seq("source"), store, tag = "release-2")
+    require(graft.sinks.VersionedStore.currentEpoch(store) == 2L,
+      "two releases must be two epochs")
+    graft.sinks.VersionedStore.read(s, store).orderBy("source")
+  }
+
+  /** Same data card as [[qReleaseManifest]]'s oracle — the refresh
+    * must land exactly the full-recompute values. */
+  private val oManifestRefresh = oReleaseManifest
+
   // ------------------------------------------------ Zipf rank-frequency
   /** Zipf rank-frequency fingerprint ([[graft.ops.CorpusStats.zipf]]):
     * vocab-sized aggregate + vocab-sized rank window; rf = rank·freq
@@ -8373,7 +8458,8 @@ object Queries {
     "q209_release_manifest" -> (qReleaseManifest _),
     "q210_stream_view" -> (qStreamView _),
     "q211_store_lookup" -> (qStoreLookup _),
-    "q212_schema_evolution" -> (qSchemaEvolution _)
+    "q212_schema_evolution" -> (qSchemaEvolution _),
+    "q213_manifest_refresh" -> (qManifestRefresh _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -8592,6 +8678,7 @@ object Queries {
     "q209_release_manifest" -> oReleaseManifest,
     "q210_stream_view" -> oStreamView,
     "q211_store_lookup" -> oStoreLookup,
-    "q212_schema_evolution" -> oSchemaEvolution
+    "q212_schema_evolution" -> oSchemaEvolution,
+    "q213_manifest_refresh" -> oManifestRefresh
   )
 }
