@@ -697,6 +697,56 @@ object ScalingProbe {
         f"$t1 -> $t2, exponent = $e%.2f (window-bounded, linear)")
     }
 
+    // -------- fifth wave: point lookup opens ONLY key buckets; an
+    // additive schema evolution is metadata + the batch's own buckets
+    locally {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
+          floor(col("l_extendedprice")).cast("bigint").as("v"))
+        .groupBy("k1", "k2").agg(max("v").as("v"))
+      val root = java.nio.file.Files.createTempDirectory("probe_vstore5")
+        .toString + "/store"
+      sinks.VersionedStore.upsert(li, Seq("k1", "k2"), root, nBuckets = 64)
+      val n1 = li.count()
+      val keys = li.limit(5).select("k1", "k2").localCheckpoint()
+      val probe = sinks.VersionedStore.lookup(spark, root, keys)
+      val lkBuckets = probe.inputFiles
+        .flatMap(_.split("/").find(_.matches("^b\\d{5}$"))).toSet
+      assert(lkBuckets.size <= 5,
+        s"lookup opened ${lkBuckets.size}/64 buckets for 5 keys")
+      assert(probe.count() == 5)
+      // evolution epoch: new column lands as one schema marker plus
+      // generations ONLY for the batch's buckets — history untouched
+      val evoBatch = li.filter(col("k1") % 60000 === 0)
+        .withColumn("flag", lit("late")).localCheckpoint()
+      val nEvo = evoBatch.count()
+      sinks.VersionedStore.upsert(evoBatch, Seq("k1", "k2"), root,
+        evolve = true)
+      val touched = sinks.VersionedStore.commits(root)
+        .find(_.epoch == 2L).get.buckets.toSet
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val gen2Dirs = fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, "b*/g0000002")).length
+      assert(gen2Dirs == touched.size, s"evolution rewrote $gen2Dirs " +
+        s"generations for ${touched.size} touched buckets")
+      val schemaMarkers = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).count(_.matches("^_schema-\\d{7}$"))
+      assert(schemaMarkers == 1,
+        s"one evolution must write one marker, got $schemaMarkers")
+      assert(sinks.VersionedStore.readAsOf(spark, root, 1)
+        .columns.toSeq == Seq("k1", "k2", "v"),
+        "pre-evolution snapshot must keep the old shape")
+      val carriedNulls = sinks.VersionedStore.read(spark, root)
+        .filter(col("flag").isNull).count()
+      assert(carriedNulls == n1 - nEvo,
+        s"carried-forward rows must read null: $carriedNulls vs ${n1 - nEvo}")
+      println(s"VSTORE_LOOKUP_EVO buckets=64 lookupBucketsOpened=" +
+        s"${lkBuckets.size} evoTouched=${touched.size} gen2Dirs=$gen2Dirs " +
+        s"schemaMarkers=$schemaMarkers (point gets open key buckets only; " +
+        "adding a column rewrites nothing beyond the batch)")
+    }
+
     println("PROBE_OK")
     spark.stop()
   }
