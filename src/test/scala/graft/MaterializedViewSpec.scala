@@ -124,6 +124,39 @@ class MaterializedViewSpec extends SparkSpec {
       "recompute scope leaked beyond the affected groups")
   }
 
+  test("randomized history: min/max refresh equals rebuild on every epoch pair") {
+    // seeded random upsert/delete history over group-moving rows with
+    // negative values — sweeps every (from, to) pair so any missed
+    // recompute case (extreme retracted, group emptied, group moved,
+    // re-inserted) surfaces as a rebuild mismatch
+    val rnd = new scala.util.Random(17)
+    val root = tmpDir("mv_minmax_prop") + "/store"
+    val groups = Vector("a", "b", "c", "d")
+    def randRows(ks: Seq[Long]) =
+      ks.map(k => (k, groups(rnd.nextInt(groups.size)),
+        (rnd.nextInt(41) - 20).toLong)).toDF("k", "g", "v")
+    VersionedStore.upsert(randRows(1L to 30L), Seq("k"), root)
+    (1 to 5).foreach { _ =>
+      if (rnd.nextBoolean()) {
+        val ks = (1L to 40L).filter(_ => rnd.nextInt(4) == 0)
+        if (ks.nonEmpty) VersionedStore.upsert(randRows(ks), Seq("k"), root)
+      } else {
+        val ks = (1L to 40L).filter(_ => rnd.nextInt(6) == 0)
+        if (ks.nonEmpty) VersionedStore.delete(ks.toDF("k"), root)
+      }
+    }
+    val cur = VersionedStore.currentEpoch(root)
+    assert(cur >= 3L, "fixture must commit a multi-epoch history")
+    for (from <- 1L to cur; to <- from to cur) {
+      val cdc = VersionedStore.changelog(spark, root, from, to, images = true)
+      val inc = MaterializedView.refreshMinMax(mmViewOf(root, from), cdc,
+          Seq("g"), "v", VersionedStore.readAsOf(spark, root, to))
+        .orderBy("g").collect().toSeq
+      assert(inc == mmViewOf(root, to).orderBy("g").collect().toSeq,
+        s"minmax refresh diverged on epoch pair ($from,$to)")
+    }
+  }
+
   test("min/max changelog cut from the wrong epoch fails fast") {
     val root = tmpDir("mv_minmax_bad") + "/store"
     VersionedStore.upsert(Seq((1L, "a", 1L)).toDF("k", "g", "v"), Seq("k"), root)
