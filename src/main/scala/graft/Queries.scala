@@ -8066,6 +8066,45 @@ object Queries {
        |LEFT JOIN dup USING (source)
        |ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------ store restore
+  /** RESTORE ([[graft.sinks.VersionedStore.restore]] — Delta's RESTORE
+    * semantics): the four-epoch history rolls back to epoch 2 as a NEW
+    * fifth epoch built from the reverse changelog (inserts since then
+    * delete, updates/deletes revert to their old images) — cost is the
+    * change volume since the target epoch, never a snapshot rewrite,
+    * and every intermediate epoch stays time-travelable (asserted
+    * in-query). The oracle is the epoch-2 snapshot itself. */
+  private def qStoreRestore(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier").select(
+      col("s_suppkey").cast("bigint").as("k"),
+      floor(col("s_acctbal")).cast("bigint").as("v"),
+      col("s_nationkey").cast("bigint").as("nat"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q214")
+    try {
+      val store = s"$work/store"
+      graft.sinks.VersionedStore.upsert(
+        base.filter(col("k") % 4 =!= 0), Seq("k"), store)
+      graft.sinks.VersionedStore.upsert(
+        base.filter(col("k") % 3 === 0).withColumn("v", col("v") + 100L),
+        Seq("k"), store)
+      graft.sinks.VersionedStore.delete(
+        base.filter(col("k") % 5 === 0).select("k"), store)
+      graft.sinks.VersionedStore.upsert(
+        base.filter(col("k") % 7 === 0).withColumn("v", col("v") + 1000L),
+        Seq("k"), store)
+      require(graft.sinks.VersionedStore.restore(s, store, 2L) == 5L,
+        "restore must commit exactly one new epoch")
+      require(graft.sinks.VersionedStore.readAsOf(s, store, 4L).count() > 0,
+        "restore must leave the pre-restore history time-travelable")
+      graft.sinks.VersionedStore.read(s, store).orderBy("k")
+        .localCheckpoint()
+    } finally deleteRecursively(work)
+  }
+
+  private val oStoreRestore =
+    s"""WITH $oVstoreCtes
+       |SELECT k, v, nat FROM s2 ORDER BY k""".stripMargin
+
   // --------------------------------------- incremental manifest refresh
   /** The release manifest REFRESHED incrementally: release 1 is built
     * from ledgers over the 90% "already ingested" slice; when the 10%
@@ -8459,7 +8498,8 @@ object Queries {
     "q210_stream_view" -> (qStreamView _),
     "q211_store_lookup" -> (qStoreLookup _),
     "q212_schema_evolution" -> (qSchemaEvolution _),
-    "q213_manifest_refresh" -> (qManifestRefresh _)
+    "q213_manifest_refresh" -> (qManifestRefresh _),
+    "q214_store_restore" -> (qStoreRestore _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -8679,6 +8719,7 @@ object Queries {
     "q210_stream_view" -> oStreamView,
     "q211_store_lookup" -> oStoreLookup,
     "q212_schema_evolution" -> oSchemaEvolution,
-    "q213_manifest_refresh" -> oManifestRefresh
+    "q213_manifest_refresh" -> oManifestRefresh,
+    "q214_store_restore" -> oStoreRestore
   )
 }

@@ -465,6 +465,35 @@ object VersionedStore {
     epoch
   }
 
+  /** RESTORE the store's CURRENT state to what it was at `epoch` — as
+    * a NEW epoch (Delta's RESTORE semantics): nothing in history is
+    * rewritten, time travel to every intermediate epoch keeps working,
+    * and the rollback itself is auditable as one more commit. The
+    * write is the REVERSE changelog applied through [[applyOps]]:
+    * rows inserted since `epoch` delete, rows updated or deleted since
+    * revert to their old images — so restore cost is O(change volume
+    * since `epoch`), never a snapshot rewrite. Keeps the CURRENT
+    * schema: restoring across an additive evolution reverts the added
+    * columns' VALUES (null for rows that predate them) but does not
+    * narrow the schema (exactly Delta's behavior). A restore to the
+    * current epoch, or one where nothing changed, commits nothing.
+    * Returns the new current epoch. */
+  def restore(spark: SparkSession, root: String, epoch: Long): Long = {
+    val cur = currentEpoch(root)
+    if (epoch == cur) return cur
+    val keyCols = keyColsOf(root)
+    val cdc = changelog(spark, root, epoch, cur, images = true)
+    val valCols = StructType.fromDDL(schemaAsOf(root, cur))
+      .fieldNames.filterNot(keyCols.contains).toSeq
+    val ops = cdc.select(
+      keyCols.map(col) ++
+        valCols.map(c => when(col("change") === "insert", col(c))
+          .otherwise(col(s"${c}_old")).as(c)) :+
+        when(col("change") === "insert", lit("delete"))
+          .otherwise(lit("upsert")).as("_restore_op"): _*)
+    applyOps(ops, keyCols, root, "_restore_op")
+  }
+
   // -------------------------------------------------------------- reads
 
   /** Per bucket, the generation path serving snapshot `asOf`

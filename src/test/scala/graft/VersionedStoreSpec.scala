@@ -413,6 +413,38 @@ class VersionedStoreSpec extends SparkSpec {
       Seq("k", "v", "cat"))
   }
 
+  test("restore rolls current state back as a NEW epoch; history intact") {
+    val root = tmpDir("vstore_restore") + "/store"
+    build(root)
+    assert(VersionedStore.restore(spark, root, 2L) == 5L)
+    assert(readSet(root, 5) == s2.sorted, "restored state == snapshot@2")
+    // NOTHING in history was rewritten — every prior epoch still serves
+    assert(readSet(root, 4) == s4.sorted && readSet(root, 3) == s3.sorted)
+    assert(VersionedStore.commits(root).last.kind == "apply")
+    // no-ops commit nothing: to the current epoch, or to one the
+    // current values already equal
+    assert(VersionedStore.restore(spark, root, 5L) == 5L)
+    assert(VersionedStore.restore(spark, root, 2L) == 5L,
+      "values already equal snapshot@2 — nothing to commit")
+    // below the vacuum watermark the old images are gone: fail fast
+    VersionedStore.vacuum(root, retainAsOf = 3L)
+    intercept[IllegalArgumentException] {
+      VersionedStore.restore(spark, root, 2L)
+    }
+    // across an additive evolution: the schema stays CURRENT, the
+    // added column's VALUES revert (null for pre-evolution rows)
+    val root2 = tmpDir("vstore_restore_evo") + "/store"
+    VersionedStore.upsert(Seq((1L, 10L)).toDF("k", "v"), Seq("k"), root2)
+    VersionedStore.upsert(
+      Seq((1L, 11L, "x"), (2L, 20L, "y")).toDF("k", "v", "cat"),
+      Seq("k"), root2, evolve = true)
+    assert(VersionedStore.restore(spark, root2, 1L) == 3L)
+    assert(VersionedStore.read(spark, root2).columns.toSeq ==
+      Seq("k", "v", "cat"))
+    assert(VersionedStore.read(spark, root2).as[(Long, Long, Option[String])]
+      .collect().toSeq == Seq((1L, 10L, None)))
+  }
+
   test("lookup opens only the keys' buckets, at any epoch") {
     val root = tmpDir("vstore_lookup") + "/store"
     build(root)
