@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   * MaterializedViewSpec pins it byte-for-byte). */
 object MaterializedView {
 
+  /** Null-safe (`<=>`) equality on the group columns of two aliased
+    * frames: group columns are VALUE columns of the store, so null is
+    * a legal group and must join to itself. */
+  private def nullSafeOn(l: String, r: String, cols: Seq[String]): Column =
+    cols.map(g => col(s"$l.$g") <=> col(s"$r.$g")).reduce(_ && _)
+
   /** Full build: (groupCols..., sum_v, n_rows) over a snapshot. */
   def sumView(snapshot: DataFrame, groupCols: Seq[String],
               value: Column): DataFrame =
@@ -54,8 +60,12 @@ object MaterializedView {
     val deltas = retract.unionByName(insert)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("dv")).as("dv"), sum(col("dn")).as("dn"))
-    view.join(deltas, groupCols, "full_outer")
-      .select(groupCols.map(col) ++ Seq(
+    // NULL is a legal group value (groupBy treats it as its own group),
+    // so the view<->delta join must be null-safe — a null-rejecting
+    // equi-join would duplicate the null group instead of merging it
+    view.alias("v").join(deltas.alias("d"),
+        nullSafeOn("v", "d", groupCols), "full_outer")
+      .select(groupCols.map(g => coalesce(col(s"v.$g"), col(s"d.$g")).as(g)) ++ Seq(
         (coalesce(col("sum_v"), lit(0L)) + coalesce(col("dv"), lit(0L)))
           .as("sum_v"),
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
@@ -108,14 +118,24 @@ object MaterializedView {
         col(s"${valueCol}_old").cast("long").as("rv"): _*)
     val insert = cdcImages.filter(col("change").isin("insert", "update"))
       .select(gc :+ col(valueCol).cast("long").as("iv"): _*)
-    val deltas = retract
-      .groupBy(gc: _*)
+    val rAgg = retract.groupBy(gc: _*)
       .agg(min(col("rv")).as("r_min"), max(col("rv")).as("r_max"),
         count(lit(1)).as("rn"))
-      .join(insert.groupBy(gc: _*)
-        .agg(min(col("iv")).as("i_min"), max(col("iv")).as("i_max"),
-          count(lit(1)).as("inn")), groupCols, "full_outer")
-    val joined = view.join(deltas, groupCols, "full_outer")
+    val iAgg = insert.groupBy(gc: _*)
+      .agg(min(col("iv")).as("i_min"), max(col("iv")).as("i_max"),
+        count(lit(1)).as("inn"))
+    // all three group joins below are null-safe: null is a legal group
+    val deltas = rAgg.alias("r").join(iAgg.alias("i"),
+        nullSafeOn("r", "i", groupCols), "full_outer")
+      .select(groupCols.map(g => coalesce(col(s"r.$g"), col(s"i.$g")).as(g)) ++
+        Seq(col("r_min"), col("r_max"), col("rn"),
+          col("i_min"), col("i_max"), col("inn")): _*)
+    val joined = view.alias("v").join(deltas.alias("d"),
+        nullSafeOn("v", "d", groupCols), "full_outer")
+      .select(groupCols.map(g => coalesce(col(s"v.$g"), col(s"d.$g")).as(g)) ++
+        Seq(col("min_v"), col("max_v"), col("n_rows"),
+          col("r_min"), col("r_max"), col("rn"),
+          col("i_min"), col("i_max"), col("inn")): _*)
     // a retraction at/past the current extreme breaks it — unless an
     // insert dominates that side (≤ old min / ≥ old max), which pins
     // the new extreme regardless of what left
@@ -138,8 +158,9 @@ object MaterializedView {
             concat_ws(",", groupCols.map(c => col(c).cast("string")): _*)))
         .isNull && col("n_rows") > 0)
     val recomputed = minMaxView(
-      snapshotAtTo.join(broadcast(joined.filter(affected).select(gc: _*)),
-        groupCols, "left_semi"),
+      snapshotAtTo.alias("s")
+        .join(broadcast(joined.filter(affected).select(gc: _*).alias("a")),
+          nullSafeOn("s", "a", groupCols), "left_semi"),
       groupCols, col(valueCol))
     propagated.unionByName(recomputed)
   }

@@ -208,8 +208,29 @@ object VersionedStore {
     * or the current epoch unchanged when nothing matched. */
   def delete(keys: DataFrame, root: String): Long = {
     val keyCols = keyColsOf(root)
-    writeEpoch(keys.select(keyCols.map(col): _*), keyCols, root,
-      nBuckets = 8, delete = true, tag = "")
+    writeEpoch(keys.select(castToStoreKeys(root, keys, keyCols): _*), keyCols,
+      root, nBuckets = 8, delete = true, tag = "")
+  }
+
+  /** Key columns cast to the STORE's key types. Spark's `hash` is
+    * type-sensitive (hash of INT 5 ≠ hash of BIGINT 5), so a caller
+    * frame whose key columns are typed differently from the store
+    * would hash to the WRONG buckets and silently miss present keys —
+    * a delete would no-op, a lookup would return empty. A pure-delete
+    * batch skips [[mergeSchemas]] (its schema is just the keys), so
+    * the cast is the only type fence on that path. */
+  private def castToStoreKeys(root: String, frame: DataFrame,
+                              keyCols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    val store = StructType.fromDDL(schemaAsOf(root, currentEpoch(root)))
+    keyCols.map { kc =>
+      val dt = store(kc).dataType
+      val given = frame.schema(kc).dataType
+      require(org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(given, dt) || given == dt,
+        s"key column $kc is ${given.sql} but the store holds ${dt.sql} — " +
+          "a lossy cast could alias distinct keys; pass the store's type")
+      col(kc).cast(dt).as(kc)
+    }
   }
 
   /** Mixed-op batch (a CDC feed) as ONE epoch: rows with
@@ -480,6 +501,8 @@ object VersionedStore {
     * Returns the new current epoch. */
   def restore(spark: SparkSession, root: String, epoch: Long): Long = {
     val cur = currentEpoch(root)
+    require(epoch <= cur,
+      s"restore epoch $epoch is beyond current epoch $cur")
     if (epoch == cur) return cur
     val keyCols = keyColsOf(root)
     val cdc = changelog(spark, root, epoch, cur, images = true)
@@ -545,9 +568,16 @@ object VersionedStore {
     * O(|key buckets|), never a store scan (the DSv2 mutable store's
     * key-pushdown posture, served on the versioned layout; absent
     * keys simply return nothing). `keys` is a point/batch-get
-    * argument, driver-small by contract: its distinct bucket ids are
-    * collected (≤ nBuckets small ints) and the key set broadcasts
-    * into the verify semi-join. */
+    * argument, driver-small by contract: its rows are collected ONCE
+    * (zero jobs when the frame is a local literal list) and bucket ids
+    * are computed DRIVER-SIDE with the same Murmur3 kernel Catalyst's
+    * `hash` codegens — the latency-sensitive point-get path pays
+    * exactly one Spark job, the pruned read itself, never a bucket-
+    * discovery job first. Key columns are cast to the STORE's key
+    * types before hashing ([[castToStoreKeys]]): Spark's hash is
+    * type-sensitive, so an Int-typed probe against a Long-keyed store
+    * would otherwise prune to the wrong buckets and silently return
+    * nothing for keys that are present. */
   def lookup(spark: SparkSession, root: String, keys: DataFrame,
              epoch: Long = Long.MaxValue): DataFrame = {
     val committed = commits(root)
@@ -562,16 +592,63 @@ object VersionedStore {
     val n = readMarker(fs, new Path(dir, "_nbuckets"))
       .map(_.trim.toInt)
       .getOrElse(sys.error(s"not a versioned store (no _nbuckets): $root"))
-    val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
-    val wantedKeys = keys.select(keyCols.map(col): _*).distinct()
-    val buckets = wantedKeys.withColumn("_bucket", bucketExpr)
-      .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val ddl = schemaAsOf(root, e)
+    val storeSchema = StructType.fromDDL(ddl)
+    val keyFields = keyCols.map(kc => storeSchema(kc))
+    // collect WITHOUT distinct: a projected local frame folds to a
+    // LocalRelation (zero jobs), while .distinct() would force an
+    // aggregate job; the dedup is driver math over driver-small keys
+    val keyRows = keys
+      .select(castToStoreKeys(root, keys, keyCols): _*).collect().distinct
+    // the exact Murmur3(seed 42) Catalyst's hash() evaluates, run on
+    // the driver over the collected key rows — no Spark job
+    val buckets = keyRows.map { r =>
+      val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        keyFields.indices.map(i =>
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(r.get(i), keyFields(i).dataType)), 42)
+        .eval(null).asInstanceOf[Int]
+      ((h % n) + n) % n
+    }.distinct.toSeq
     val gens = snapshotGens(root, committed, e)
     val paths = buckets.sorted.flatMap(b => gens.getOrElse(b, None))
-    val ddl = schemaAsOf(root, e)
     if (paths.isEmpty) emptyFrameOf(spark, ddl)
-    else spark.read.schema(StructType.fromDDL(ddl)).parquet(paths: _*)
-      .join(broadcast(wantedKeys), keyCols, "left_semi")
+    else {
+      val scan = spark.read.schema(storeSchema).parquet(paths: _*)
+      if (keyRows.length <= 1000) {
+        // literal key predicate: pushes to the parquet scan (an In
+        // filter prunes row groups) and the whole lookup is ONE job —
+        // no broadcast side, no discovery job (spec-pinned)
+        val wanted = keyRows.toSeq.map { r =>
+          keyFields.indices.map(i => col(keyCols(i)) <=> lit(r.get(i)))
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        scan.filter(wanted)
+      } else {
+        // a very large batch-get: a literal predicate would bloat the
+        // plan, so ship the keys as a broadcast semi-join instead
+        val wantedLocal = spark.createDataFrame(
+          java.util.Arrays.asList(keyRows: _*), StructType(keyFields))
+        scan.join(broadcast(wantedLocal), keyCols, "left_semi")
+      }
+    }
+  }
+
+  /** Bounded driver-side fan-out for metadata probes (footer reads,
+    * existence checks): on an object store each probe is a network
+    * round-trip, so a serial walk over thousands of generations is
+    * seconds of dead time a 16-way pool collapses. Preserves input
+    * order; the pool dies with the call (no leaked threads). */
+  private def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    if (items.size <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(16, items.size))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      Await.result(Future.sequence(items.map(a => Future(f(a)))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 
   private def emptyFrameOf(spark: SparkSession, ddl: String): DataFrame =
@@ -591,38 +668,58 @@ object VersionedStore {
     * Spark count over those generations only.
     * Epochs below the vacuum watermark that still appear in the
     * commit-log checkpoint report null n_rows (their full snapshots
-    * are no longer readable). */
+    * are no longer readable).
+    *
+    * Driver-side cost is O(generations), not O(epochs × buckets): the
+    * commit list is folded FORWARD once, maintaining the bucket →
+    * serving-generation map incrementally (persistent-map snapshots
+    * share structure across epochs), each generation's existence /
+    * `_EMPTY` probe runs once and is cached, and the footer opens run
+    * on a bounded driver thread pool — on an object store the probes
+    * are parallel HEAD/GET-range requests, never a serial walk. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val committed = commits(root)
     val wm = retentionWatermark(root)
-    val (fs, _) = fsOf(root)
-    // per readable epoch: the generation path set serving it
+    val (fs, dir) = fsOf(root)
+    // fold forward ONCE: per epoch, the bucket -> generation-epoch map
+    // in force (immutable-map snapshots, O(touched) update per commit)
+    val genPath = scala.collection.mutable.Map.empty[(Int, Long), Option[String]]
+    def resolveGen(b: Int, e: Long): Option[String] =
+      genPath.getOrElseUpdate((b, e), {
+        val gen = new Path(dir, s"${bucketName(b)}/${genName(e)}")
+        require(fs.exists(new Path(gen, "_SUCCESS")),
+          s"committed generation missing: $gen")
+        if (fs.exists(new Path(gen, "_EMPTY"))) None else Some(gen.toString)
+      })
+    var serving = Map.empty[Int, Long]
     val epochGens: Seq[(Long, String, Seq[String])] = committed.map { c =>
+      c.buckets.foreach(b => serving += b -> c.epoch)
       val gens =
         if (c.epoch < wm) Seq.empty[String]
-        else snapshotGens(root, committed, c.epoch).values.flatten.toSeq
+        else serving.toSeq.flatMap { case (b, e) => resolveGen(b, e) }
       (c.epoch, c.kind, gens)
     }
     val distinctGens = epochGens.flatMap(_._3).distinct
     def genKey(g: String): String = new Path(g).toUri.getPath
     // footer-served per-generation counts; None = some footer unreadable
-    val fromFooters: Map[String, Option[Long]] = distinctGens.map { g =>
-      val files = fs.listStatus(new Path(g)).map(_.getPath).filter { p =>
-        val nm = p.getName
-        nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
-      }
-      val counts: Seq[Option[Long]] = files.toSeq.map { p =>
-        try {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(p, fs.getConf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try Some(r.getRecordCount) finally r.close()
-        } catch { case scala.util.control.NonFatal(_) => None }
-      }
-      genKey(g) ->
-        (if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
-    }.toMap
+    val fromFooters: Map[String, Option[Long]] =
+      parallelMap(distinctGens) { g =>
+        val files = fs.listStatus(new Path(g)).map(_.getPath).filter { p =>
+          val nm = p.getName
+          nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
+        }
+        val counts: Seq[Option[Long]] = files.toSeq.map { p =>
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(p, fs.getConf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try Some(r.getRecordCount) finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        genKey(g) ->
+          (if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
+      }.toMap
     val bad = distinctGens.filter(g => fromFooters(genKey(g)).isEmpty)
     val scanned: Map[String, Long] =
       if (bad.isEmpty) Map.empty

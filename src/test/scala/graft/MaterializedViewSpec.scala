@@ -157,6 +157,38 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("NULL group values merge through sum and min/max refresh") {
+    // null is a legal group (groupBy gives it its own group), so the
+    // view<->delta joins must be null-safe: an insert-only delta for
+    // an existing null group must MERGE into it, never duplicate it
+    val root = tmpDir("mv_nullg") + "/store"
+    VersionedStore.upsert(Seq[(Long, Option[String], Long)](
+      (1L, None, 5L), (2L, None, 8L), (3L, Some("a"), 2L)
+    ).toDF("k", "g", "v"), Seq("k"), root)
+    // e2: insert-only into the EXISTING null group, plus an update
+    // that MOVES a row from group a into the null group
+    VersionedStore.upsert(Seq[(Long, Option[String], Long)](
+      (4L, None, 1L), (3L, None, 9L)
+    ).toDF("k", "g", "v"), Seq("k"), root)
+    // e3: retract the null group's max (forces the recompute path
+    // through the null-safe semi-join)
+    VersionedStore.delete(Seq(3L).toDF("k"), root)
+    for (from <- 1L to 3L; to <- from to 3L) {
+      val cdc = VersionedStore.changelog(spark, root, from, to, images = true)
+      val sumInc = MaterializedView.refreshSum(viewOf(root, from), cdc,
+        Seq("g"), "v").orderBy("g").collect().toSeq
+      assert(sumInc == viewOf(root, to).orderBy("g").collect().toSeq,
+        s"sum view with null group diverged on ($from,$to)")
+      val mmInc = MaterializedView.refreshMinMax(mmViewOf(root, from), cdc,
+          Seq("g"), "v", VersionedStore.readAsOf(spark, root, to))
+        .orderBy("g").collect().toSeq
+      assert(mmInc == mmViewOf(root, to).orderBy("g").collect().toSeq,
+        s"minmax view with null group diverged on ($from,$to)")
+    }
+    assert(viewOf(root, 3).filter($"g".isNull).count() == 1L,
+      "exactly one (merged) null-group row must survive")
+  }
+
   test("min/max changelog cut from the wrong epoch fails fast") {
     val root = tmpDir("mv_minmax_bad") + "/store"
     VersionedStore.upsert(Seq((1L, "a", 1L)).toDF("k", "g", "v"), Seq("k"), root)

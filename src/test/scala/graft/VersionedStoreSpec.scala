@@ -476,6 +476,86 @@ class VersionedStoreSpec extends SparkSpec {
       Seq((1L, 10L), (30L, 301L)))
   }
 
+  test("lookup/delete hash with the STORE's key types; lookup reads in ONE job") {
+    val root = tmpDir("vstore_keytypes") + "/store"
+    build(root) // BIGINT keys
+    // an Int-typed probe frame against the BIGINT-keyed store: Spark's
+    // hash is type-sensitive, so without the store-type cast these
+    // keys would prune to the WRONG buckets and silently return empty
+    val intKeys = Seq(1, 30, 999).toDF("k") // IntegerType
+    assert(VersionedStore.lookup(spark, root, intKeys)
+      .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 10L), (30L, 301L)))
+    // delete through an Int-typed key frame must actually hit
+    assert(VersionedStore.delete(Seq(30).toDF("k"), root) == 5L)
+    assert(VersionedStore.lookup(spark, root, intKeys)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    // a lossy key type (DOUBLE -> BIGINT could alias distinct keys)
+    // fails fast instead of guessing
+    intercept[IllegalArgumentException] {
+      VersionedStore.lookup(spark, root, Seq(1.0d).toDF("k"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedStore.delete(Seq("1").toDF("k"), root)
+    }
+    // zero-job bucket discovery: with a local literal key frame the
+    // ONLY Spark job a lookup runs is the pruned read itself
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      VersionedStore.lookup(spark, root, Seq(1L, 30L).toDF("k")).collect()
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1,
+      s"lookup must cost exactly the pruned read, got ${jobs.get()} jobs")
+  }
+
+  test("restore beyond the current epoch fails fast with a clear guard") {
+    val root = tmpDir("vstore_restore_guard") + "/store"
+    build(root)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedStore.restore(spark, root, 9L)
+    }
+    assert(ex.getMessage.contains("beyond current epoch"),
+      s"wrong guard message: ${ex.getMessage}")
+  }
+
+  test("history's metadata probes are O(generations), not O(epochs x buckets)") {
+    val dir = tmpDir("vstore_probes")
+    val root = dir + "/store"
+    // epoch 1 seeds ~64 buckets; 23 single-key epochs follow
+    VersionedStore.upsert(rows(1L to 200L, _ * 10), Seq("k"), root,
+      nBuckets = 64)
+    (1 to 23).foreach { i =>
+      VersionedStore.upsert(rows(Seq(i.toLong), _ * 10 + i), Seq("k"), root)
+    }
+    val nEpochs = VersionedStore.currentEpoch(root)
+    assert(nEpochs == 24L)
+    val nGens = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .filter(p => p.getFileName.toString.matches("^b\\d{5}$"))
+      .mapToLong(b => java.nio.file.Files.list(b).count()).sum()
+    // serve history through the counting filesystem: same files, every
+    // metadata probe (status/list/open) tallied
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.probe.impl", classOf[CountingFs].getName)
+    CountingFs.reset()
+    val h = VersionedStore.history(spark, "probe:" + root).collect()
+    assert(h.length == 24 && h.forall(_.getLong(2) > 0))
+    val probes = CountingFs.statusCalls.get() + CountingFs.opens.get()
+    // a small constant per generation (exists x2, list, footer open)
+    // plus the root listings — NEVER per (epoch x bucket): the old
+    // per-epoch snapshotGens resolution would re-probe every serving
+    // bucket for all 24 epochs (~2*24*64 > 3000 probes here)
+    assert(probes <= 10 * nGens + 50,
+      s"history ran $probes probes for $nGens generations")
+    assert(probes < nEpochs * 64,
+      s"history probes must stay below epochs x buckets: $probes")
+  }
+
   test("taggedEpoch matches the tag exactly, never by suffix; '@' in tags is rejected") {
     val root = tmpDir("vstore_tag") + "/store"
     assert(VersionedStore.upsert(rows(Seq(1L), _ => 1L), Seq("k"), root,
