@@ -1294,7 +1294,7 @@ object Queries {
   // Third wave: sources/sinks/streaming/exec surfaces under the oracle.
   // ===================================================================
 
-  private def fixPath(kind: String, dir: String): String =
+  private[graft] def fixPath(kind: String, dir: String): String =
     s"/tmp/graft_fixtures/${kind}_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   private def deleteTree(p: String): Unit = {
@@ -6349,7 +6349,7 @@ object Queries {
       .stripMargin
 
   // ----------------------------------------------- KMV theta sketches
-  private val KmvK = 64
+  private[graft] val KmvK = 64
   /** (k−1)·2^60 as a decimal-string literal (exceeds a long for this
     * k·hash-width — HUGEINT in the oracle, Decimal(38,0) in the plan). */
   private val KmvNum = (BigInt(KmvK - 1) * (BigInt(1) << 60)).toString
@@ -7453,7 +7453,10 @@ object Queries {
     * per epoch). */
   private def qEpochHistory(s: SparkSession, dir: String): DataFrame =
     graft.sinks.VersionedStore.history(s, versionedStoreAt(s, dir, "vstore"))
-      .withColumn("n_rows", col("n_rows").cast("long"))
+      // ts_millis is real wall-clock (injectable, but the shared
+      // fixture stamps commit time) — not oracle-replayable, so the
+      // lineage query serves the deterministic columns
+      .select(col("epoch"), col("kind"), col("n_rows").cast("long"))
       .orderBy("epoch")
 
   private val oEpochHistory =
@@ -7970,10 +7973,12 @@ object Queries {
     val fpsPath = fixPath("manifest_fps", dir)
     val kmvPath = fixPath("manifest_kmv", dir)
     val storeFix = fixPath("manifest_store", dir)
+    val kmvStoreFix = fixPath("manifest_kmvstore", dir)
     def missing(p: String): Boolean =
       !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
     if (missing(countsPath) || missing(fpsPath) || missing(kmvPath)) {
       deleteTree(storeFix) // a stale data card must not outlive its ledgers
+      deleteTree(kmvStoreFix)
       val docs = t(s, dir, "documents")
       docs.select(col("source"),
           explode(split(col("text"), "\\s+")).as("t"))
@@ -7990,8 +7995,37 @@ object Queries {
     }
     val counts = s.read.parquet(countsPath)
     val fps = s.read.parquet(fpsPath)
-    val kmv = s.read.parquet(kmvPath)
+    // the KMV ledger is committed to its OWN versioned store so the
+    // card can record WHICH ledger epoch produced it — the lineage
+    // edge a data card exists for ("time-travel from the card back to
+    // the exact index state"); the serve below reads THROUGH that
+    // recorded epoch, so the provenance is real, not decorative
+    val kmvStore = s"$kmvStoreFix/store"
+    if (graft.sinks.VersionedStore.taggedEpoch(kmvStore, "kmv-1").isEmpty)
+      graft.sinks.VersionedStore.upsert(s.read.parquet(kmvPath),
+        Seq("source"), kmvStore, tag = "kmv-1")
+    val kmvEpoch = graft.sinks.VersionedStore.taggedEpoch(kmvStore, "kmv-1").get
+    val manifest = manifestCard(s, counts, fps, kmvStore, kmvEpoch)
+    val store = s"$storeFix/store"
+    if (graft.sinks.VersionedStore.taggedEpoch(store, "release-1").isEmpty)
+      graft.sinks.VersionedStore.upsert(manifest, Seq("source"), store,
+        tag = "release-1")
+    graft.sinks.VersionedStore.read(s, store).orderBy("source")
+  }
 
+  /** The data card's facet joins, shared by release 1 (q209) and the
+    * incremental re-release (q213): every input is a ledger/model
+    * table, never raw text, and the card carries its own LINEAGE —
+    * the KMV ledger-store epoch it was served from (`kmv_epoch`,
+    * resolvable via readAsOf back to the exact sketch fleet) and an
+    * order-free content signature of the unigram-count ledger
+    * (`counts_sig`: the sum of 60-bit row hashes mod 1e9 —
+    * recomputable by any holder of the ledger, replayable by the SQL
+    * oracle). */
+  private def manifestCard(s: SparkSession, counts: DataFrame,
+                           fps: DataFrame, kmvStore: String,
+                           kmvEpoch: Long): DataFrame = {
+    val kmv = graft.sinks.VersionedStore.readAsOf(s, kmvStore, kmvEpoch)
     val totals = counts.groupBy("source").agg(sum(col("c_s")).as("n_tokens"))
     val nDocs = fps.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val kl = graft.ops.CorpusStats.sourceDivergenceFromCounts(counts)
@@ -8002,22 +8036,22 @@ object Queries {
       .groupBy("source").agg(count(lit(1)).as("dup_docs"))
     val dist = ThetaSketch.estimate(kmv, Seq("source"), KmvK)
       .select(col("source"), col("estimate").as("distinct_shingles"))
-    val manifest = nDocs
+    val sig = counts.groupBy("source").agg(
+      sum(ApproxDedup.hash60(concat_ws(":", col("source"), col("t"),
+        col("c_s").cast("string"))) % lit(1000000000L)).as("counts_sig"))
+    nDocs
       .join(totals, Seq("source"))
       .join(kl, Seq("source"))
       .join(dist, Seq("source"))
+      .join(sig, Seq("source"))
       .join(dup, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("kl8_per_mtok"), col("distinct_shingles"),
-        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
-    val store = s"$storeFix/store"
-    if (graft.sinks.VersionedStore.taggedEpoch(store, "release-1").isEmpty)
-      graft.sinks.VersionedStore.upsert(manifest, Seq("source"), store,
-        tag = "release-1")
-    graft.sinks.VersionedStore.read(s, store).orderBy("source")
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        lit(kmvEpoch).as("kmv_epoch"), col("counts_sig"))
   }
 
-  private val oReleaseManifest =
+  private def oManifestSql(kmvEpoch: Int): String =
     s"""WITH tok AS (SELECT source,
        |    unnest(string_split_regex(text, '\\s+')) AS t FROM documents),
        |bs AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_s
@@ -8060,11 +8094,21 @@ object Queries {
        |         ELSE CAST('$KmvNum' AS HUGEINT) // kth END AS BIGINT)
        |      AS distinct_shingles
        |  FROM ka)
+       |, sig AS (SELECT source,
+       |    CAST(sum(('0x' || substr(md5(source || ':' || t || ':'
+       |                  || CAST(c_s AS VARCHAR)), 1, 15))::BIGINT
+       |             % 1000000000) AS BIGINT) AS counts_sig
+       |  FROM bs GROUP BY 1)
        |SELECT nd.source, n_docs, n_tokens, kl8_per_mtok, distinct_shingles,
-       |       COALESCE(dup_docs, 0) AS dup_docs
+       |       COALESCE(dup_docs, 0) AS dup_docs,
+       |       CAST($kmvEpoch AS BIGINT) AS kmv_epoch, counts_sig
        |FROM nd JOIN kl USING (source) JOIN est USING (source)
+       |JOIN sig USING (source)
        |LEFT JOIN dup USING (source)
        |ORDER BY source""".stripMargin
+
+  /** Release 1 is cut from KMV ledger epoch 1. */
+  private val oReleaseManifest = oManifestSql(1)
 
   // ------------------------------------------------------ store restore
   /** RESTORE ([[graft.sinks.VersionedStore.restore]] — Delta's RESTORE
@@ -8122,11 +8166,13 @@ object Queries {
     val fpsP = fixPath("mr_fps", dir)
     val kmvP = fixPath("mr_kmv", dir)
     val storeFix = fixPath("mr_store", dir)
+    val kmvStoreFix = fixPath("mr_kmvstore", dir)
     val isDelta = pmod(col("doc_id"), lit(10)) === 0
     def missing(p: String): Boolean =
       !java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
     if (missing(countsP) || missing(fpsP) || missing(kmvP)) {
       deleteTree(storeFix)
+      deleteTree(kmvStoreFix)
       val old = t(s, dir, "documents").filter(!isDelta)
       old.select(col("source"), explode(split(col("text"), "\\s+")).as("t"))
         .groupBy("source", "t").agg(count(lit(1)).as("c_s"))
@@ -8140,29 +8186,23 @@ object Queries {
           Seq("source"), col("shingle"), KmvK)
         .write.mode("overwrite").parquet(kmvP)
     }
-    def card(counts: DataFrame, fps: DataFrame, kmv: DataFrame): DataFrame = {
-      val totals = counts.groupBy("source").agg(sum(col("c_s")).as("n_tokens"))
-      val nDocs = fps.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val kl = graft.ops.CorpusStats.sourceDivergenceFromCounts(counts)
-        .select(col("source"), col("kl8_per_mtok"))
-      val hot = fps.groupBy("fp").agg(count(lit(1)).as("nf"))
-        .filter(col("nf") > 1L)
-      val dup = fps.join(hot, Seq("fp"))
-        .groupBy("source").agg(count(lit(1)).as("dup_docs"))
-      val dist = ThetaSketch.estimate(kmv, Seq("source"), KmvK)
-        .select(col("source"), col("estimate").as("distinct_shingles"))
-      nDocs.join(totals, Seq("source")).join(kl, Seq("source"))
-        .join(dist, Seq("source")).join(dup, Seq("source"), "left")
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("kl8_per_mtok"), col("distinct_shingles"),
-          coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
-    }
     val counts1 = s.read.parquet(countsP)
     val fps1 = s.read.parquet(fpsP)
     val kmv1 = s.read.parquet(kmvP)
+    // the KMV ledger lives in its own versioned store: release 1 is
+    // cut from ledger epoch 1, the refreshed release 2 from ledger
+    // epoch 2 — each card row records the epoch it was served from,
+    // so a consumer time-travels from any release back to the exact
+    // sketch fleet that produced its numbers
+    val kmvStore = s"$kmvStoreFix/store"
+    if (graft.sinks.VersionedStore.taggedEpoch(kmvStore, "kmv-1").isEmpty)
+      graft.sinks.VersionedStore.upsert(kmv1, Seq("source"), kmvStore,
+        tag = "kmv-1")
+    val kmvE1 = graft.sinks.VersionedStore.taggedEpoch(kmvStore, "kmv-1").get
     val store = s"$storeFix/store"
     if (graft.sinks.VersionedStore.taggedEpoch(store, "release-1").isEmpty)
-      graft.sinks.VersionedStore.upsert(card(counts1, fps1, kmv1),
+      graft.sinks.VersionedStore.upsert(
+        manifestCard(s, counts1, fps1, kmvStore, kmvE1),
         Seq("source"), store, tag = "release-1")
     // the refresh: fold ONLY the delta's text into each ledger
     val delta = t(s, dir, "documents").filter(isDelta)
@@ -8178,8 +8218,13 @@ object Queries {
           explode(ApproxDedup.wordNgrams(col("text"), 2)).as("shingle")),
         Seq("source"), col("shingle"), KmvK)),
       Seq("source"), KmvK)
+    if (graft.sinks.VersionedStore.taggedEpoch(kmvStore, "kmv-2").isEmpty)
+      graft.sinks.VersionedStore.upsert(kmv2, Seq("source"), kmvStore,
+        tag = "kmv-2")
+    val kmvE2 = graft.sinks.VersionedStore.taggedEpoch(kmvStore, "kmv-2").get
     if (graft.sinks.VersionedStore.taggedEpoch(store, "release-2").isEmpty)
-      graft.sinks.VersionedStore.upsert(card(counts2, fps2, kmv2),
+      graft.sinks.VersionedStore.upsert(
+        manifestCard(s, counts2, fps2, kmvStore, kmvE2),
         Seq("source"), store, tag = "release-2")
     require(graft.sinks.VersionedStore.currentEpoch(store) == 2L,
       "two releases must be two epochs")
@@ -8187,8 +8232,334 @@ object Queries {
   }
 
   /** Same data card as [[qReleaseManifest]]'s oracle — the refresh
-    * must land exactly the full-recompute values. */
-  private val oManifestRefresh = oReleaseManifest
+    * must land exactly the full-recompute values, cut from KMV
+    * ledger epoch 2 (the refreshed sketch fleet). */
+  private val oManifestRefresh = oManifestSql(2)
+
+  // ------------------------------------------- merge-on-read CDC stream
+  /** The CDC stream in MERGE-ON-READ mode
+    * ([[graft.streaming.EpochStream]] with `delta = true` →
+    * [[graft.sinks.VersionedStore.deltaApply]]): four landing files
+    * commit as four DELTA epochs — upserts as rows, deletes as blind
+    * tombstones (phase 3 deletes keys that were never loaded), bytes
+    * written ≈ batch bytes with NO bucket rewrite, which is what kills
+    * copy-on-write amplification for a high-frequency CDC stream at
+    * 100 TB (a 1-row upsert no longer recopies its whole bucket). The
+    * read serves base ⊕ deltas with newest-epoch-wins resolution; the
+    * oracle replays the same four batches as set algebra — equality
+    * proves the delta layout is indistinguishable from copy-on-write
+    * (MorStoreSpec additionally pins COW parity epoch by epoch). */
+  private def qDeltaCdc(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier").select(
+      col("s_suppkey").cast("bigint").as("k"),
+      floor(col("s_acctbal")).cast("bigint").as("v"),
+      col("s_nationkey").cast("bigint").as("nat"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q215")
+    try {
+      val store = s"$work/store"
+      graft.streaming.EpochStream.replay(s,
+        Seq(
+          base.filter(col("k") % 4 =!= 0).withColumn("op", lit("upsert")),
+          base.filter(col("k") % 3 === 0).withColumn("v", col("v") + 100L)
+            .withColumn("op", lit("upsert")),
+          base.filter(col("k") % 5 === 0).withColumn("op", lit("delete")),
+          base.filter(col("k") % 7 === 0).withColumn("v", col("v") + 1000L)
+            .withColumn("op", lit("upsert"))),
+        Seq("k"), work.toString, store, opCol = Some("op"), delta = true)
+      require(graft.sinks.VersionedStore.currentEpoch(store) == 4L,
+        "four landing files must commit four delta epochs")
+      require(graft.sinks.VersionedStore.commits(store)
+          .forall(_.kind.startsWith("dapply@batch")),
+        "every epoch must be a tagged merge-on-read commit")
+      // time travel resolves mid-chain too (epoch 2 = base ⊕ 1 delta)
+      require(graft.sinks.VersionedStore.readAsOf(s, store, 2L).count() > 0)
+      graft.sinks.VersionedStore.read(s, store).orderBy("k")
+        .localCheckpoint()
+    } finally deleteRecursively(work)
+  }
+
+  private val oDeltaCdc =
+    s"""WITH $oVstoreCtes
+       |SELECT k, v, nat FROM s4 ORDER BY k""".stripMargin
+
+  // ------------------------------------------------- compaction epoch
+  /** Explicit COMPACTION ([[graft.sinks.VersionedStore.compact]] — the
+    * Hudi-compaction / Delta-OPTIMIZE posture): the four-epoch
+    * merge-on-read store's delta chains fold back to one base
+    * generation per bucket as a fifth epoch. A content NO-OP by
+    * contract — this query returns the compacted read and the oracle
+    * is the SAME final state as [[qDeltaCdc]] — but the serving shape
+    * changes from a windowed chain merge back to a plain
+    * single-generation scan, asserted in-query on `inputFiles`; the
+    * pre-compaction epochs stay time-travelable. */
+  private def qStoreCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = morStoreAt(s, dir)
+    val vs = graft.sinks.VersionedStore
+    require(vs.currentEpoch(root) == 5L, "compaction must be epoch 5")
+    val read = vs.read(s, root)
+    val gens = read.inputFiles
+      .flatMap(_.split("/").find(_.matches("^g\\d{7}$"))).toSet
+    require(gens == Set("g0000005"),
+      s"post-compaction read must serve ONLY the new base: $gens")
+    require(vs.readAsOf(s, root, 2L).count() > 0,
+      "pre-compaction history must stay time-travelable")
+    read.orderBy("k")
+  }
+
+  /** Build-once merge-on-read fixture: the four-epoch supplier CDC
+    * history committed via [[graft.sinks.VersionedStore.deltaApply]]
+    * (deterministic commit stamps 1000..4000 for the timestamp-travel
+    * query), then compacted as epoch 5. */
+  private def morStoreAt(s: SparkSession, dir: String): String = {
+    val root = fixPath("vstore_mor", dir) + "/store"
+    val vs = graft.sinks.VersionedStore
+    if (vs.currentEpoch(root) != 5L) {
+      deleteTree(fixPath("vstore_mor", dir))
+      val base = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("bigint").as("k"),
+        floor(col("s_acctbal")).cast("bigint").as("v"),
+        col("s_nationkey").cast("bigint").as("nat"))
+      vs.deltaApply(base.filter(col("k") % 4 =!= 0)
+        .withColumn("op", lit("upsert")), Seq("k"), root, "op",
+        tsMillis = 1000L)
+      vs.deltaApply(base.filter(col("k") % 3 === 0)
+        .withColumn("v", col("v") + 100L).withColumn("op", lit("upsert")),
+        Seq("k"), root, "op", tsMillis = 2000L)
+      vs.deltaApply(base.filter(col("k") % 5 === 0)
+        .withColumn("op", lit("delete")), Seq("k"), root, "op",
+        tsMillis = 3000L)
+      vs.deltaApply(base.filter(col("k") % 7 === 0)
+        .withColumn("v", col("v") + 1000L).withColumn("op", lit("upsert")),
+        Seq("k"), root, "op", tsMillis = 4000L)
+      vs.compact(s, root, tsMillis = 5000L)
+    }
+    root
+  }
+
+  private val oStoreCompact = oDeltaCdc // compaction is a content no-op
+
+  // ---------------------------------------------- AS OF TIMESTAMP read
+  /** Timestamp-addressed time travel
+    * ([[graft.sinks.VersionedStore.readAsOfTimestamp]] — Delta's
+    * `TIMESTAMP AS OF`): every commit carries an injectable wall-clock
+    * stamp (fixed 1000..5000 in the fixture, clamped monotone), and a
+    * read at t=2500 resolves to the newest epoch committed at or
+    * before it — epoch 2 — then serves that snapshot through the
+    * normal chain-resolved path. The lineage question this answers at
+    * 100 TB is "what did the store hold last Tuesday", without the
+    * caller ever learning epoch numbers. */
+  private def qTimestampTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = morStoreAt(s, dir)
+    val vs = graft.sinks.VersionedStore
+    require(vs.epochAt(root, 2500L) == 2L, "t=2500 must resolve to epoch 2")
+    require(vs.epochAt(root, 5000L) == 5L)
+    vs.readAsOfTimestamp(s, root, 2500L).orderBy("k")
+  }
+
+  private val oTimestampTravel =
+    s"""WITH $oVstoreCtes
+       |SELECT k, v, nat FROM s2 ORDER BY k""".stripMargin
+
+  // -------------------------------------- executor on swapped backends
+  /** [[qStreamExecutor]] (q44) re-run UNMODIFIED on the ALTERNATE
+    * backend implementations — docs/BACKENDS.md's swap-in contract
+    * executed, not asserted: the queue seam is [[graft.connectors
+    * .ParquetQueue]] (parquet landing files instead of JSON) and the
+    * stat-store seam runs through BOTH [[graft.connectors
+    * .ParquetStore]] (swap-by-rename) and [[graft.connectors
+    * .VersionedKeyedStore]] (the MVCC store behind the KeyedStore
+    * trait), required equal in-query. Pipeline code, failure
+    * semantics, DLQ routing and the oracle are byte-identical to q44
+    * — only the injected connectors differ, which is the whole
+    * point of the seams. */
+  private def qExecutorAlt(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q221").toString
+    val objs = t(s, dir, "supplier").select(
+      lit("b").as("Bucket"),
+      concat(lit("k"), col("s_suppkey")).as("Key"),
+      floor(abs(col("s_acctbal"))).cast("bigint").as("Size"),
+      md5(col("s_name")).as("ETag"))
+      .withColumn("dst_bucket", lit("dst"))
+    val msgs = TaskFanout.pack(objs, abs(hash(col("Key")).cast("bigint")),
+      Seq(col("Key")), queues = 4, batchSize = 10)
+    val queue = graft.connectors.ParquetQueue(s"$root/q",
+      graft.streaming.TaskPipeline.messageSchema)
+    queue.enqueue(msgs)
+    val sq = graft.streaming.TaskPipeline.runExecutor(s, queue, s"$root/log",
+      graft.connectors.ParquetQueue(s"$root/dlq",
+        graft.streaming.TaskPipeline.messageSchema),
+      s"$root/ckpt", pmod(col("Size"), lit(5)) === 0)
+    sq.processAllAvailable()
+    sq.stop()
+    // the stat table through BOTH KeyedStore engines must agree
+    val swap = graft.connectors.ParquetStore(s"$root/stats_swap")
+    val mvcc = graft.connectors.VersionedKeyedStore(s"$root/stats_mvcc")
+    graft.streaming.TaskPipeline.statsIncrement(s, s"$root/log", swap)
+    graft.streaming.TaskPipeline.statsIncrement(s, s"$root/log", mvcc)
+    val a = swap.read(s).get.orderBy("start_time").collect().toSeq
+    val b = mvcc.read(s).get.orderBy("start_time").collect().toSeq
+    require(a == b && a.nonEmpty,
+      "the two KeyedStore backends must serve identical stat tables")
+    s.read.parquet(s"$root/log")
+      .select(col("Key").as("key"), col("Size").as("size"),
+        col("ok"), col("receive_count"))
+      .orderBy("key", "receive_count")
+  }
+
+  private val oExecutorAlt = oStreamExecutor // the seam is the only change
+
+  // ------------------------------------------- view-maintainer stream
+  /** The PRODUCTIZED view follower ([[graft.streaming.ViewStream]] —
+    * q210's loop as a maintainer): the view polls the source store's
+    * commit log, folds each unseen epoch with ONE delta propagation,
+    * and persists ITSELF as a versioned store whose commits are
+    * tagged `src<E>` — view lineage is (source epoch ↔ view epoch)
+    * pairs, the replay fence is the tag, and the per-epoch write is
+    * O(changed groups) through one mixed applyOps epoch (emptied
+    * groups become store deletes). Asserted in-query: one view epoch
+    * per source epoch, and a second catch-up commits nothing. The
+    * oracle aggregates the final snapshot from scratch. */
+  private def qViewMaintainer(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier").select(
+      col("s_suppkey").cast("bigint").as("k"),
+      floor(col("s_acctbal")).cast("bigint").as("v"),
+      col("s_nationkey").cast("bigint").as("nat"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q218")
+    try {
+      val store = s"$work/store"
+      val view = s"$work/view"
+      graft.streaming.EpochStream.replay(s,
+        Seq(base.filter(col("k") % 4 =!= 0),
+          base.filter(col("k") % 3 === 0).withColumn("v", col("v") + 100L),
+          base.filter(col("k") % 7 === 0).withColumn("v", col("v") + 1000L)),
+        Seq("k"), work.toString, store)
+      val follower = graft.streaming.ViewStream(Seq("nat"), "v", "sum")
+      require(follower.catchUp(s, store, view) == 3L)
+      val vs = graft.sinks.VersionedStore
+      require(vs.currentEpoch(view) == 3L,
+        "one view epoch per source epoch (lineage = src tags)")
+      require(follower.lastApplied(view) == 3L)
+      follower.catchUp(s, store, view) // replay fence: a no-op
+      require(vs.currentEpoch(view) == 3L,
+        "a second catch-up must commit nothing")
+      vs.read(s, view).orderBy("nat").localCheckpoint()
+    } finally deleteRecursively(work)
+  }
+
+  private val oViewMaintainer = oStreamView // same final aggregate
+
+  // ------------------------------ min/max view follows a CDC stream
+  /** The NON-distributive extremes family on the LIVE path:
+    * [[graft.streaming.ViewStream]] with `kind = "minmax"` follows a
+    * CDC epoch stream whose history includes DELETE batches — the
+    * retraction path (a group's max holder leaving forces the
+    * affected-group-only recompute) exercised through the stream, not
+    * just batch CDC. Four mixed-op landing files commit four store
+    * epochs; the view folds each with one refreshMinMax propagation.
+    * The oracle rebuilds min/max/count per group over the final
+    * snapshot from scratch. */
+  private def qMinMaxFollower(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier").select(
+      col("s_suppkey").cast("bigint").as("k"),
+      floor(col("s_acctbal")).cast("bigint").as("v"),
+      col("s_nationkey").cast("bigint").as("nat"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q219")
+    try {
+      val store = s"$work/store"
+      val view = s"$work/view"
+      graft.streaming.EpochStream.replay(s,
+        Seq(
+          base.filter(col("k") % 4 =!= 0).withColumn("op", lit("upsert")),
+          base.filter(col("k") % 3 === 0).withColumn("v", col("v") + 100L)
+            .withColumn("op", lit("upsert")),
+          base.filter(col("k") % 5 === 0).withColumn("op", lit("delete")),
+          base.filter(col("k") % 7 === 0).withColumn("v", col("v") + 1000L)
+            .withColumn("op", lit("upsert"))),
+        Seq("k"), work.toString, store, opCol = Some("op"))
+      val follower = graft.streaming.ViewStream(Seq("nat"), "v", "minmax")
+      require(follower.catchUp(s, store, view) == 4L)
+      require(follower.lastApplied(view) == 4L)
+      graft.sinks.VersionedStore.read(s, view).orderBy("nat")
+        .localCheckpoint()
+    } finally deleteRecursively(work)
+  }
+
+  private val oMinMaxFollower =
+    s"""WITH $oVstoreCtes
+       |SELECT nat, CAST(min(v) AS BIGINT) AS min_v,
+       |       CAST(max(v) AS BIGINT) AS max_v,
+       |       CAST(count(*) AS BIGINT) AS n_rows
+       |FROM s4 GROUP BY nat ORDER BY nat""".stripMargin
+
+  // --------------------------- schema evolution through a live stream
+  /** Additive schema evolution END TO END on the streaming path: a
+    * producer starts shipping a NEW column mid-stream, the epoch
+    * stream (`evolve = true`) commits it as a schema-evolution epoch
+    * instead of dying, and the FOLLOWER view survives the drift —
+    * its group/value columns predate the evolution, so the refresh
+    * algebra is untouched while the store's current read carries the
+    * new column (nulls on carried-forward rows). Asserted in-query:
+    * the pre-evolution snapshot keeps the two-phase-old shape, the
+    * view followed both epochs. The query returns the view JOINED to
+    * a per-group count of non-null new-column rows, so the oracle
+    * checks drift-carrying and aggregation in one result. */
+  private def qEvolveStream(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "supplier").select(
+      col("s_suppkey").cast("bigint").as("k"),
+      floor(col("s_acctbal")).cast("bigint").as("v"),
+      col("s_nationkey").cast("bigint").as("nat"))
+    val work = java.nio.file.Files.createTempDirectory("graft_q220")
+    try {
+      val store = s"$work/store"
+      val view = s"$work/view"
+      val inDir = s"$work/in"
+      // phase 1: the original producer shape
+      base.filter(col("k") % 2 === 1).coalesce(1).write.parquet(inDir)
+      val q = graft.streaming.EpochStream(Seq("k"), evolve = true)
+        .start(s, inDir, base.schema, store)
+      try {
+        q.processAllAvailable()
+        q.stop()
+      } catch { case e: Throwable => q.stop(); throw e }
+      // phase 2: the producer ships a NEW column — restart the stream
+      // with the evolved schema (a file source is schema-pinned; the
+      // store-side evolution is what `evolve` buys)
+      val evolved = base.filter(col("k") % 3 === 0)
+        .withColumn("v", col("v") + 7L).withColumn("cat", lit("m3"))
+      evolved.coalesce(1).write.mode("append").parquet(inDir)
+      val q2 = graft.streaming.EpochStream(Seq("k"), evolve = true)
+        .start(s, inDir, evolved.schema, store)
+      try {
+        q2.processAllAvailable()
+        q2.stop()
+      } catch { case e: Throwable => q2.stop(); throw e }
+      val vs = graft.sinks.VersionedStore
+      require(vs.currentEpoch(store) == 2L, "two phases, two epochs")
+      require(org.apache.spark.sql.types.StructType
+          .fromDDL(vs.schemaAsOf(store, 1L)).fieldNames.toSeq ==
+          Seq("k", "v", "nat"),
+        "the pre-evolution snapshot must keep the old shape")
+      val follower = graft.streaming.ViewStream(Seq("nat"), "v", "sum")
+      require(follower.catchUp(s, store, view) == 2L)
+      val cats = vs.read(s, store).groupBy("nat")
+        .agg(count(col("cat")).as("n_cat"))
+      vs.read(s, view).join(cats, Seq("nat"))
+        .orderBy("nat").localCheckpoint()
+    } finally deleteRecursively(work)
+  }
+
+  private val oEvolveStream =
+    """WITH base AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                     CAST(floor(s_acctbal) AS BIGINT) AS v,
+      |                     CAST(s_nationkey AS BIGINT) AS nat FROM supplier),
+      |fin AS (SELECT k, v + 7 AS v, nat, 'm3' AS cat FROM base WHERE k % 3 = 0
+      |        UNION ALL
+      |        SELECT k, v, nat, NULL AS cat FROM base
+      |        WHERE k % 2 = 1 AND k % 3 <> 0)
+      |SELECT nat, CAST(sum(v) AS BIGINT) AS sum_v,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(cat) AS BIGINT) AS n_cat
+      |FROM fin GROUP BY nat ORDER BY nat""".stripMargin
 
   // ------------------------------------------------ Zipf rank-frequency
   /** Zipf rank-frequency fingerprint ([[graft.ops.CorpusStats.zipf]]):
@@ -8499,7 +8870,14 @@ object Queries {
     "q211_store_lookup" -> (qStoreLookup _),
     "q212_schema_evolution" -> (qSchemaEvolution _),
     "q213_manifest_refresh" -> (qManifestRefresh _),
-    "q214_store_restore" -> (qStoreRestore _)
+    "q214_store_restore" -> (qStoreRestore _),
+    "q215_delta_cdc" -> (qDeltaCdc _),
+    "q216_store_compact" -> (qStoreCompact _),
+    "q217_timestamp_travel" -> (qTimestampTravel _),
+    "q218_view_maintainer" -> (qViewMaintainer _),
+    "q219_minmax_follower" -> (qMinMaxFollower _),
+    "q220_evolve_stream" -> (qEvolveStream _),
+    "q221_executor_alt" -> (qExecutorAlt _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -8720,6 +9098,13 @@ object Queries {
     "q211_store_lookup" -> oStoreLookup,
     "q212_schema_evolution" -> oSchemaEvolution,
     "q213_manifest_refresh" -> oManifestRefresh,
-    "q214_store_restore" -> oStoreRestore
+    "q214_store_restore" -> oStoreRestore,
+    "q215_delta_cdc" -> oDeltaCdc,
+    "q216_store_compact" -> oStoreCompact,
+    "q217_timestamp_travel" -> oTimestampTravel,
+    "q218_view_maintainer" -> oViewMaintainer,
+    "q219_minmax_follower" -> oMinMaxFollower,
+    "q220_evolve_stream" -> oEvolveStream,
+    "q221_executor_alt" -> oExecutorAlt
   )
 }

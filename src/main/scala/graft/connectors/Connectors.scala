@@ -45,6 +45,27 @@ final case class FileQueue(dir: String, schema: StructType,
       messages.coalesce(1).write.mode(SaveMode.Append).json(dir)
 }
 
+/** A SECOND QueueSource implementation — parquet-serialized landing
+  * files instead of JSON. Exists to make the swap-in contract an
+  * EXECUTED promise rather than prose: `BackendContractSpec` runs the
+  * same contract suite over both queue backends, and the q44 executor
+  * pipeline runs unmodified on either (q221). A production Kafka/SQS
+  * source is the third implementation of the same two methods. */
+final case class ParquetQueue(dir: String, schema: StructType,
+                              maxFilesPerTrigger: Int = 16)
+    extends QueueSource {
+
+  def readStream(spark: SparkSession): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  def enqueue(messages: DataFrame): Unit =
+    if (!messages.isEmpty)
+      messages.coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+}
+
 /** Keyed upsert store (K4/J5): new rows REPLACE rows with the same key;
   * batch-idempotent. */
 trait KeyedStore {
@@ -72,4 +93,24 @@ final case class ParquetStore(dir: String) extends KeyedStore {
       Some(spark.read.parquet(dir))
     else None
   }
+}
+
+/** A SECOND KeyedStore implementation — the MVCC
+  * [[graft.sinks.VersionedStore]] behind the same trait: a genuinely
+  * different storage engine (epoch log + immutable generations vs
+  * swap-by-rename), same key-replace contract. What the swap buys for
+  * free is everything the trait doesn't promise: time travel, CDC and
+  * retention on the stat table. `BackendContractSpec` runs the shared
+  * contract suite over both; the Delta/Iceberg MERGE a cluster
+  * deployment would use is the third implementation. */
+final case class VersionedKeyedStore(dir: String) extends KeyedStore {
+
+  def upsert(batch: DataFrame, keyCols: Seq[String]): Unit = {
+    graft.sinks.VersionedStore.upsert(batch, keyCols, dir)
+    ()
+  }
+
+  def read(spark: SparkSession): Option[DataFrame] =
+    if (graft.sinks.VersionedStore.currentEpoch(dir) == 0L) None
+    else Some(graft.sinks.VersionedStore.read(spark, dir))
 }

@@ -1,20 +1,21 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** An MVCC variant of [[Sinks.upsertPartitioned]]: writers never mutate
   * a live file, so every past snapshot stays readable — time-travel
-  * reads ([[readAsOf]]), change-data-capture between any two epochs
-  * ([[changelog]]), and retention GC ([[vacuum]]). The production
-  * analogue is a Delta/Iceberg table's version history; the reference
-  * system has no counterpart (its DynamoDB stat table is
-  * last-writer-wins, s3_monitor_statistic.py:47-91) — this is the
-  * engine's own extension for corpus lineage at 100 TB, where "which
-  * snapshot trained this model" and "what changed since epoch N" are
-  * first-class queries.
+  * reads ([[readAsOf]], [[readAsOfTimestamp]]), change-data-capture
+  * between any two epochs ([[changelog]]), and retention GC
+  * ([[vacuum]]). The production analogue is a Delta/Iceberg table's
+  * version history; the reference system has no counterpart (its
+  * DynamoDB stat table is last-writer-wins,
+  * s3_monitor_statistic.py:47-91) — this is the engine's own extension
+  * for corpus lineage at 100 TB, where "which snapshot trained this
+  * model" and "what changed since epoch N" are first-class queries.
   *
   * Layout (all markers atomic rename-writes, [[Sinks.writeMarker]]):
   * {{{
@@ -28,7 +29,8 @@ import org.apache.spark.sql.types.StructType
   *                             epoch, so history predating a column
   *                             never shows it)
   *   root/_commit-EEEEEEE      one IMMUTABLE marker per committed
-  *                             epoch: "<kind>;b,b,b" (touched buckets)
+  *                             epoch: "<kind>;b,b,b;ts" (touched
+  *                             buckets + commit wall-clock millis)
   *   root/_vacuum              retention watermark epoch (if vacuumed)
   *   root/bNNNNN/gEEEEEEE/     bucket generation written at epoch E:
   *                             parquet + _SUCCESS, or _EMPTY + _SUCCESS
@@ -44,17 +46,43 @@ import org.apache.spark.sql.types.StructType
   * stray generation can never be mistaken for a later epoch's output)
   * and the next [[vacuum]] removes.
   *
-  * Snapshot at epoch e, per bucket: the newest committed generation
-  * with epoch ≤ e that names this bucket. An upsert rewrites ONLY the
-  * buckets its batch keys hash to (one distributed job, the
-  * upsertPartitioned merge shape); untouched buckets keep serving
-  * their old generation — per-batch cost O(batch + touched buckets),
-  * never O(store).
+  * == Copy-on-write vs merge-on-read ==
+  *
+  * The store has TWO write shapes (the Hudi COW/MOR split):
+  *
+  *  - COW ([[upsert]]/[[delete]]/[[applyOps]]): the epoch REWRITES its
+  *    touched buckets in full — per-batch cost O(batch + touched
+  *    buckets), reads stay single-generation scans. Right for large
+  *    or bucket-dense batches.
+  *  - MOR ([[deltaApply]]/[[deltaUpsert]]): the epoch commits ONLY the
+  *    batch rows as per-bucket DELTA generations (deletes as key
+  *    tombstones) — bytes written ≈ batch bytes, never a bucket
+  *    rewrite, so a high-frequency small-batch CDC stream avoids
+  *    copy-on-write amplification (bucket bytes / batch bytes per
+  *    epoch). Reads over a delta'd bucket serve base ⊕ deltas with
+  *    newest-epoch-wins-per-key resolution (one windowed merge,
+  *    [[readChains]]); an explicit [[compact]] epoch folds a bucket's
+  *    chain back to a single base generation and restores plain-scan
+  *    reads. Both shapes interleave freely in one history; every read
+  *    surface (time travel, CDC, lookup, export, history, restore)
+  *    resolves chains transparently.
+  *
+  * Snapshot at epoch e, per bucket: the newest committed BASE
+  * generation with epoch ≤ e, plus every committed DELTA generation
+  * in (base, e]. A COW write rewrites ONLY the buckets its batch keys
+  * hash to (one distributed job, the upsertPartitioned merge shape);
+  * untouched buckets keep serving their old chain.
+  *
+  * Every commit is stamped with wall-clock millis (caller-injectable
+  * for determinism — `tsMillis`; stamps are clamped monotone), so
+  * `AS OF TIMESTAMP` reads ([[epochAt]]) and age-based retention
+  * ([[vacuumOlderThan]]) work like Delta's — the timestamp only ever
+  * selects an epoch, it never enters the data path.
   *
   * CONCURRENCY — single writer (as the mutable store), but readers
   * are now fully isolated: a reader resolves its generation list from
-  * one commit-marker listing and touches only immutable files, so it can
-  * run concurrently with any writer and always sees an exact
+  * one commit-marker listing and touches only immutable files, so it
+  * can run concurrently with any writer and always sees an exact
   * committed snapshot (VersionedStoreSpec pins it). This is the
   * snapshot-isolation upgrade the mutable store's contract points to
   * Delta for.
@@ -63,11 +91,24 @@ object VersionedStore {
 
   import Sinks.{fsOf, readMarker, writeMarker}
 
-  /** One committed epoch: which buckets it rewrote, and why. */
-  final case class Commit(epoch: Long, kind: String, buckets: Seq[Int])
+  /** One committed epoch: which buckets it rewrote (COW) or appended
+    * deltas to (MOR), why, and when (wall-clock millis; 0 for commits
+    * that predate timestamping). */
+  final case class Commit(epoch: Long, kind: String, buckets: Seq[Int],
+                          tsMillis: Long = 0L)
 
   final case class VacuumReport(deletedGens: Long, keptGens: Long,
                                 watermark: Long)
+
+  /** One bucket's serving chain at a snapshot: the newest base
+    * generation at or below the epoch (None = bucket never had a
+    * base; inner None = the base is `_EMPTY`), plus the committed
+    * delta generations after it, in epoch order. */
+  private[graft] final case class Chain(base: Option[(Long, Option[String])],
+                                        deltas: Seq[(Long, String)]) {
+    def paths: Seq[String] = base.flatMap(_._2).toSeq ++ deltas.map(_._2)
+    def isPlain: Boolean = deltas.isEmpty
+  }
 
   private val GenRe = "^g(\\d{7})$".r
   private val CommitRe = "^_commit-(\\d{7})$".r
@@ -76,24 +117,36 @@ object VersionedStore {
   private def bucketName(b: Int): String = f"b$b%05d"
   private def genName(e: Long): String = f"g$e%07d"
 
+  /** Reserved column the MOR read path stores a delta row's operation
+    * under inside delta generation files. */
+  private val OpField = "_op"
+
+  private def isDeltaKind(kind: String): Boolean =
+    kind == "dapply" || kind.startsWith("dapply@")
+
   // ------------------------------------------------------------ markers
 
   /** The commit LOG is bounded: [[vacuum]] writes a `_floors-<wm>`
-    * CHECKPOINT (per surviving epoch ≤ wm: its kind and the buckets it
-    * still serves) and truncates the per-epoch `_commit-*` markers at
-    * or below the watermark — so log size is O(epochs since retention),
-    * not O(store lifetime) (the Delta checkpoint + log-truncation
-    * shape). A crash between checkpoint write and truncation leaves
-    * both; the merge below prefers the real marker (its bucket list is
-    * a superset of the checkpoint's floor subset, and per-bucket
-    * resolution is a max-epoch reduce, so the overlap is harmless). */
+    * CHECKPOINT (per surviving epoch ≤ wm: its kind, the buckets it
+    * still serves, and its timestamp) and truncates the per-epoch
+    * `_commit-*` markers at or below the watermark — so log size is
+    * O(epochs since retention), not O(store lifetime) (the Delta
+    * checkpoint + log-truncation shape). A crash between checkpoint
+    * write and truncation leaves both; the merge below prefers the
+    * real marker (its bucket list is a superset of the checkpoint's
+    * floor subset, and per-bucket resolution is a max-epoch reduce,
+    * so the overlap is harmless). */
   private[graft] def commits(root: String): Seq[Commit] = {
     val (fs, dir) = fsOf(root)
     if (!fs.exists(dir)) return Seq.empty
     def parse(epoch: Long, body: String): Commit = {
-      val Array(kind, bs) = body.split(";", 2)
-      Commit(epoch, kind,
-        if (bs.isEmpty) Seq.empty else bs.split(",").map(_.toInt).toSeq)
+      val parts = body.split(";", 3)
+      val bs =
+        if (parts.length < 2 || parts(1).isEmpty) Seq.empty[Int]
+        else parts(1).split(",").map(_.toInt).toSeq
+      // commits written before timestamping carry no third field
+      val ts = if (parts.length < 3) 0L else parts(2).trim.toLong
+      Commit(epoch, parts(0), bs, ts)
     }
     val paths = fs.listStatus(dir).toSeq.map(_.getPath)
     val floorCommits = paths
@@ -123,6 +176,20 @@ object VersionedStore {
   /** Latest committed epoch (0 when the store is empty/new). */
   def currentEpoch(root: String): Long =
     commits(root).lastOption.map(_.epoch).getOrElse(0L)
+
+  /** The newest epoch whose commit timestamp is at or below
+    * `tsMillis` — Delta's `TIMESTAMP AS OF` resolution. Commit stamps
+    * are clamped monotone at write time, so the answer is unique.
+    * Fails fast on an empty store or a timestamp predating the first
+    * commit (there is no snapshot to serve). */
+  def epochAt(root: String, tsMillis: Long): Long = {
+    val cs = commits(root)
+    require(cs.nonEmpty, s"store has no commits: $root")
+    val at = cs.filter(_.tsMillis <= tsMillis)
+    require(at.nonEmpty, s"timestamp $tsMillis predates the first commit " +
+      s"(${cs.head.tsMillis}) — nothing to serve")
+    at.last.epoch
+  }
 
   /** Vacuum watermark: reads below it fail fast (their generations may
     * be gone). 0 when never vacuumed. Derived from BOTH the `_vacuum`
@@ -163,7 +230,18 @@ object VersionedStore {
     * past the newest commit, so the target never pre-exists. */
   private def writeCommit(fs: FileSystem, dir: Path, c: Commit): Unit =
     writeMarker(fs, new Path(dir, f"_commit-${c.epoch}%07d"),
-      s"${c.kind};${c.buckets.sorted.mkString(",")}", replace = false)
+      s"${c.kind};${c.buckets.sorted.mkString(",")};${c.tsMillis}",
+      replace = false)
+
+  /** The epoch's commit stamp: the caller's injected clock (tests and
+    * the oracle pass fixed values so nothing downstream depends on
+    * wall time), else now — clamped to never run backwards so
+    * [[epochAt]]'s newest-at-or-below resolution stays unique (the
+    * Delta in-commit-timestamp monotonicity rule). */
+  private def stampOf(tsMillis: Long, committed: Seq[Commit]): Long = {
+    val given = if (tsMillis >= 0L) tsMillis else System.currentTimeMillis()
+    math.max(given, committed.lastOption.map(_.tsMillis).getOrElse(0L))
+  }
 
   // ------------------------------------------------------------- writes
 
@@ -180,9 +258,9 @@ object VersionedStore {
     * already committed ([[taggedEpoch]]; EpochStream's exactly-once). */
   def upsert(batch: DataFrame, keyCols: Seq[String], root: String,
              nBuckets: Int = 8, tag: String = "",
-             evolve: Boolean = false): Long =
+             evolve: Boolean = false, tsMillis: Long = -1L): Long =
     writeEpoch(batch, keyCols, root, nBuckets, delete = false, tag = tag,
-      evolve = evolve)
+      evolve = evolve, tsMillis = tsMillis)
 
   /** The epoch committed under `tag`, if any — the replay-detection
     * probe (one commit-marker listing, no data read). Matches the tag
@@ -206,10 +284,10 @@ object VersionedStore {
     * are rewritten without them; a bucket whose rows are all deleted
     * gets an `_EMPTY` generation (metadata only). Returns the epoch,
     * or the current epoch unchanged when nothing matched. */
-  def delete(keys: DataFrame, root: String): Long = {
+  def delete(keys: DataFrame, root: String, tsMillis: Long = -1L): Long = {
     val keyCols = keyColsOf(root)
     writeEpoch(keys.select(castToStoreKeys(root, keys, keyCols): _*), keyCols,
-      root, nBuckets = 8, delete = true, tag = "")
+      root, nBuckets = 8, delete = true, tag = "", tsMillis = tsMillis)
   }
 
   /** Key columns cast to the STORE's key types. Spark's `hash` is
@@ -220,7 +298,7 @@ object VersionedStore {
     * batch skips [[mergeSchemas]] (its schema is just the keys), so
     * the cast is the only type fence on that path. */
   private def castToStoreKeys(root: String, frame: DataFrame,
-                              keyCols: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+                              keyCols: Seq[String]): Seq[Column] = {
     val store = StructType.fromDDL(schemaAsOf(root, currentEpoch(root)))
     keyCols.map { kc =>
       val dt = store(kc).dataType
@@ -248,9 +326,134 @@ object VersionedStore {
     * matched). */
   def applyOps(batch: DataFrame, keyCols: Seq[String], root: String,
                opCol: String, nBuckets: Int = 8, tag: String = "",
-               evolve: Boolean = false): Long =
+               evolve: Boolean = false, tsMillis: Long = -1L): Long =
     writeEpoch(batch, keyCols, root, nBuckets, delete = false, tag = tag,
-      opCol = Some(opCol), evolve = evolve)
+      opCol = Some(opCol), evolve = evolve, tsMillis = tsMillis)
+
+  /** Merge-on-read CDC commit: the batch lands as per-bucket DELTA
+    * generations — upserts as rows, deletes as key TOMBSTONES — and
+    * NOTHING is rewritten: bytes written ≈ batch bytes, however hot
+    * the keys, which is the scale posture for a high-frequency CDC
+    * stream where copy-on-write would re-copy a whole bucket per
+    * micro-batch (amplification = bucket bytes / batch bytes). The
+    * trade: reads over a delta'd bucket pay a newest-wins merge until
+    * [[compact]] folds the chain. Deletes are BLIND (the
+    * Hudi/Cassandra tombstone posture): no presence probe, a tombstone
+    * for an absent key is committed and resolves to nothing — so the
+    * write path costs exactly one fused validation job plus one
+    * staging job. Same op-domain/conflict/tag/evolution contracts as
+    * [[applyOps]]. Returns the committed epoch (unchanged for an
+    * empty batch). */
+  def deltaApply(batch: DataFrame, keyCols: Seq[String], root: String,
+                 opCol: String, nBuckets: Int = 8, tag: String = "",
+                 evolve: Boolean = false, tsMillis: Long = -1L): Long = {
+    require(!tag.contains(";") && !tag.contains("\n") && !tag.contains("@"),
+      s"commit tag must not contain ';', '@' or newlines: $tag")
+    val payloadCols = batch.columns.filterNot(_ == opCol)
+    require(!payloadCols.contains("_bucket") && !payloadCols.contains(OpField),
+      s"versioned store reserves '_bucket' and '$OpField'; rename the input's")
+    val spark = batch.sparkSession
+    val (fs, dir) = fsOf(root)
+    fs.mkdirs(dir)
+    writeMarker(fs, new Path(dir, "_keycols"), keyCols.mkString(","),
+      replace = false)
+    val n = bucketCount(fs, dir, nBuckets)
+    val committed = commits(root)
+    val epoch = committed.lastOption.map(_.epoch).getOrElse(0L) + 1L
+    val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
+    val mat = batch.withColumn("_bucket", bucketExpr).localCheckpoint()
+
+    // ONE fused probe: op-domain validity, per-key op conflicts, and
+    // the touched-bucket set (no presence probe — deletes are blind)
+    val perKey = mat.groupBy(keyCols.map(col): _*).agg(
+      first(col("_bucket")).as("_b"),
+      sum(when(!coalesce(col(opCol), lit("")).isin("upsert", "delete"), 1L)
+        .otherwise(0L)).as("_bad"),
+      max(when(col(opCol) === "upsert", 1).otherwise(0)).as("_u"),
+      max(when(col(opCol) === "delete", 1).otherwise(0)).as("_d"))
+    val probe = perKey.agg(
+      coalesce(sum(col("_bad")), lit(0L)).as("bad"),
+      coalesce(sum(when(col("_u") === 1 && col("_d") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as("conflicts"),
+      collect_set(col("_b")).as("bs")).collect()(0)
+    require(probe.getLong(0) == 0,
+      s"deltaApply: ${probe.getLong(0)} rows with op outside {upsert, delete}")
+    require(probe.getLong(1) == 0, s"deltaApply: ${probe.getLong(1)} keys " +
+      "carry BOTH upsert and delete in one batch")
+    val touched = probe.getSeq[Int](2).sorted
+    if (touched.isEmpty) return epoch - 1L
+
+    // schema fence: the batch's row shape (minus the op column) must
+    // match the store's exactly, or evolve additively — delta files
+    // with a silently drifted schema would corrupt every chain read
+    val storeDdl = schemaAsOfOpt(fs, dir,
+      committed.lastOption.map(_.epoch).getOrElse(0L))
+    val batchShape = StructType(mat.schema
+      .filterNot(f => f.name == opCol || f.name == "_bucket"))
+    val targetDdl = storeDdl match {
+      case None => ddlOf(batchShape)
+      case Some(prev) => mergeSchemas(prev, batchShape, evolve)
+    }
+    writeMarker(fs, new Path(dir, "_schema"), targetDdl, replace = false)
+    val schemaMarker = new Path(dir, f"_schema-$epoch%07d")
+    if (storeDdl.exists(_ != targetDdl))
+      writeMarker(fs, schemaMarker, targetDdl, replace = true)
+    else fs.delete(schemaMarker, false)
+
+    val targetCols = StructType.fromDDL(targetDdl).fieldNames.toSeq
+    val out = mat.select(targetCols.map(col) ++
+      Seq(col(opCol).cast(StringType).as(OpField), col("_bucket")): _*)
+    stageAndPromote(spark, fs, dir, out, touched, epoch)
+    writeCommit(fs, dir, Commit(epoch,
+      "dapply" + (if (tag.nonEmpty) s"@$tag" else ""), touched,
+      stampOf(tsMillis, committed)))
+    epoch
+  }
+
+  /** Merge-on-read upsert: [[deltaApply]] with every row an upsert. */
+  def deltaUpsert(batch: DataFrame, keyCols: Seq[String], root: String,
+                  nBuckets: Int = 8, tag: String = "",
+                  evolve: Boolean = false, tsMillis: Long = -1L): Long = {
+    require(!batch.columns.contains(OpField),
+      s"versioned store reserves '$OpField'; rename the input's")
+    deltaApply(batch.withColumn(OpField, lit("upsert")), keyCols, root,
+      OpField, nBuckets, tag, evolve, tsMillis)
+  }
+
+  /** Fold delta chains back to single base generations, as a NEW epoch
+    * (kind `compact`) — a CONTENT NO-OP: `readAsOf(compactEpoch)`
+    * equals `readAsOf(compactEpoch - 1)` byte-for-byte, but reads over
+    * the compacted buckets are plain single-generation scans again
+    * (no newest-wins merge). Touches ONLY buckets that currently have
+    * deltas (optionally restricted to `buckets`) — one distributed
+    * resolve+stage job over those chains, promotion renames, one
+    * commit. Old chain generations stay behind for time travel until
+    * [[vacuum]] reclaims them (the Hudi compaction / Delta OPTIMIZE
+    * posture). Returns the committed epoch (unchanged when nothing
+    * needed compaction). */
+  def compact(spark: SparkSession, root: String,
+              buckets: Seq[Int] = Seq.empty, tsMillis: Long = -1L): Long = {
+    val committed = commits(root)
+    val cur = committed.lastOption.map(_.epoch).getOrElse(0L)
+    if (cur == 0L) return 0L
+    val chains = snapshotChains(root, committed, cur)
+    val cand = chains.filter { case (b, ch) =>
+      !ch.isPlain && (buckets.isEmpty || buckets.contains(b))
+    }
+    if (cand.isEmpty) return cur
+    val epoch = cur + 1L
+    val keyCols = keyColsOf(root)
+    val (fs, dir) = fsOf(root)
+    val n = bucketCount(fs, dir, 8)
+    val ddl = schemaAsOf(root, cur)
+    val touched = cand.keys.toSeq.sorted
+    val merged = readChains(spark, keyCols, ddl, cand.values)
+      .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(n)))
+    stageAndPromote(spark, fs, dir, merged, touched, epoch)
+    writeCommit(fs, dir,
+      Commit(epoch, "compact", touched, stampOf(tsMillis, committed)))
+    epoch
+  }
 
   /** Nullability normalized away at EVERY nesting level (top-level
     * nullable, array containsNull, map valueContainsNull, struct
@@ -331,14 +534,51 @@ object VersionedStore {
     else StructType(store ++ newCols).toDDL
   }
 
+  /** ONE staging job regardless of touched-bucket count (each bucket
+    * co-located into one task; AQE never coalesces an explicit
+    * repartition), then control-plane renames into the epoch's
+    * generation dirs. A bucket with no staged rows gets an `_EMPTY`
+    * generation (metadata only). `frame` must carry `_bucket`. */
+  private def stageAndPromote(spark: SparkSession, fs: FileSystem, dir: Path,
+                              frame: DataFrame, touched: Seq[Int],
+                              epoch: Long): Unit = {
+    val staging = new Path(dir, ".epoch-staging")
+    fs.delete(staging, true)
+    frame.repartition(touched.length, col("_bucket"))
+      .write.partitionBy("_bucket").parquet(staging.toString)
+    touched.foreach { b =>
+      val gen = new Path(dir, s"${bucketName(b)}/${genName(epoch)}")
+      fs.delete(gen, true) // a crashed writer's leftovers for THIS epoch
+      fs.mkdirs(gen)
+      val staged = new Path(staging, s"_bucket=$b")
+      val parts =
+        if (!fs.exists(staged)) Array.empty[Path]
+        else fs.listStatus(staged).map(_.getPath).filter { p =>
+          val nm = p.getName
+          nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
+        }.sortBy(_.getName)
+      if (parts.isEmpty)
+        // every row deleted: an empty generation is two marker files
+        fs.create(new Path(gen, "_EMPTY"), true).close()
+      else parts.zipWithIndex.foreach { case (p, i) =>
+        require(fs.rename(p, new Path(gen, f"part-$i%05d.parquet")),
+          s"staging rename failed: $p")
+      }
+      fs.create(new Path(gen, "_SUCCESS"), true).close()
+    }
+    fs.delete(staging, true)
+  }
+
   private def writeEpoch(batch: DataFrame, keyCols: Seq[String], root: String,
                          nBuckets: Int, delete: Boolean, tag: String,
                          opCol: Option[String] = None,
-                         evolve: Boolean = false): Long = {
+                         evolve: Boolean = false,
+                         tsMillis: Long = -1L): Long = {
     require(!tag.contains(";") && !tag.contains("\n") && !tag.contains("@"),
       s"commit tag must not contain ';', '@' or newlines: $tag")
-    require(!batch.columns.contains("_bucket"),
-      "versioned store uses '_bucket' as a helper column; rename the input's")
+    val payloadCols = batch.columns.filterNot(c => opCol.contains(c))
+    require(!payloadCols.contains("_bucket") && !payloadCols.contains(OpField),
+      s"versioned store reserves '_bucket' and '$OpField'; rename the input's")
     val spark = batch.sparkSession
     val (fs, dir) = fsOf(root)
     fs.mkdirs(dir)
@@ -349,7 +589,9 @@ object VersionedStore {
     val epoch = committed.lastOption.map(_.epoch).getOrElse(0L) + 1L
     val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
 
-    val snapGens = snapshotGens(root, committed, Long.MaxValue)
+    val snapChains = snapshotChains(root, committed, Long.MaxValue)
+    val storeDdl = schemaAsOfOpt(fs, dir,
+      committed.lastOption.map(_.epoch).getOrElse(0L))
     // one materialization; every later collect is ≤ n small ints
     val mat = batch.withColumn("_bucket", bucketExpr).localCheckpoint()
 
@@ -393,16 +635,18 @@ object VersionedStore {
     // a delete only rewrites buckets where a key is ACTUALLY present —
     // a batch of absent keys must not commit a pointless epoch (nor
     // rewrite untouched buckets at scale); the presence probe is one
-    // bucket-pruned semi-join whose result is <= n small ints
+    // bucket-pruned CHAIN-RESOLVED semi-join (a key whose newest chain
+    // state is a tombstone counts as absent) whose result is <= n
+    // small ints
     val deleteBuckets: Seq[Int] =
       if (delKeyRows == null) Seq.empty
       else {
         val cand = delCandBuckets
           .filterNot(upsertBuckets.toSet) // rewritten anyway
-          .filter(b => snapGens.get(b).exists(_.nonEmpty))
-        val paths = cand.flatMap(b => snapGens.getOrElse(b, None))
-        if (paths.isEmpty) Seq.empty
-        else spark.read.parquet(paths: _*).withColumn("_bucket", bucketExpr)
+          .flatMap(b => snapChains.get(b)).filter(_.paths.nonEmpty)
+        if (cand.isEmpty || storeDdl.isEmpty) Seq.empty
+        else readChains(spark, keyCols, storeDdl.get, cand)
+          .withColumn("_bucket", bucketExpr)
           .join(delKeyRows.select(keyCols.map(col): _*).distinct(), keyCols,
             "left_semi")
           .select("_bucket").distinct().collect().map(_.getInt(0)).toSeq
@@ -419,25 +663,26 @@ object VersionedStore {
     // a crash in between leaves an orphan for an uncommitted epoch,
     // which no reader can resolve (readers stop at the committed
     // epoch) and which the epoch's eventual writer overwrites/clears.
-    val storeDdl = schemaAsOfOpt(fs, dir,
-      committed.lastOption.map(_.epoch).getOrElse(0L))
     val targetDdl = (upserts, storeDdl) match {
       case (null, Some(prev)) => prev // pure delete: schema unchanged
       case (null, None) => sys.error("delete against an empty store")
       case (u: DataFrame, None) => ddlOf(u.schema)
       case (u: DataFrame, Some(prev)) => mergeSchemas(prev, u.schema, evolve)
     }
-    val target = StructType.fromDDL(targetDdl)
     writeMarker(fs, new Path(dir, "_schema"), targetDdl, replace = false)
     val schemaMarker = new Path(dir, f"_schema-$epoch%07d")
     if (storeDdl.exists(_ != targetDdl))
       writeMarker(fs, schemaMarker, targetDdl, replace = true)
     else fs.delete(schemaMarker, false) // a crashed evolver's orphan
 
-    val livePaths = touched.flatMap(b => snapGens.getOrElse(b, None))
+    // current content of the touched buckets, chain-resolved (a COW
+    // epoch over a delta'd bucket implicitly compacts it: the new
+    // generation is a full base)
+    val liveChains = touched.flatMap(b => snapChains.get(b))
+      .filter(_.paths.nonEmpty)
     val cur =
-      if (livePaths.isEmpty) None
-      else Some(spark.read.schema(target).parquet(livePaths: _*)
+      if (liveChains.isEmpty) None
+      else Some(readChains(spark, keyCols, targetDdl, liveChains)
         .withColumn("_bucket", bucketExpr))
     val removeKeys = mat.select(keyCols.map(col): _*).distinct()
     val merged = cur match {
@@ -449,40 +694,13 @@ object VersionedStore {
         upserts
     }
 
-    // ONE staging job regardless of touched-bucket count (each bucket
-    // co-located into one task; AQE never coalesces an explicit
-    // repartition)
-    val staging = new Path(dir, ".epoch-staging")
-    fs.delete(staging, true)
-    merged.repartition(touched.length, col("_bucket"))
-      .write.partitionBy("_bucket").parquet(staging.toString)
-
-    touched.foreach { b =>
-      val gen = new Path(dir, s"${bucketName(b)}/${genName(epoch)}")
-      fs.delete(gen, true) // a crashed writer's leftovers for THIS epoch
-      fs.mkdirs(gen)
-      val staged = new Path(staging, s"_bucket=$b")
-      val parts =
-        if (!fs.exists(staged)) Array.empty[Path]
-        else fs.listStatus(staged).map(_.getPath).filter { p =>
-          val nm = p.getName
-          nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
-        }.sortBy(_.getName)
-      if (parts.isEmpty)
-        // every row deleted: an empty generation is two marker files
-        fs.create(new Path(gen, "_EMPTY"), true).close()
-      else parts.zipWithIndex.foreach { case (p, i) =>
-        require(fs.rename(p, new Path(gen, f"part-$i%05d.parquet")),
-          s"staging rename failed: $p")
-      }
-      fs.create(new Path(gen, "_SUCCESS"), true).close()
-    }
-    fs.delete(staging, true)
+    stageAndPromote(spark, fs, dir, merged, touched, epoch)
     // the transaction point: before this rename the epoch is invisible
     val kind = (if (opCol.isDefined) "apply"
                 else if (delete) "delete" else "upsert") +
       (if (tag.nonEmpty) s"@$tag" else "")
-    writeCommit(fs, dir, Commit(epoch, kind, touched))
+    writeCommit(fs, dir, Commit(epoch, kind, touched,
+      stampOf(tsMillis, committed)))
     epoch
   }
 
@@ -519,22 +737,80 @@ object VersionedStore {
 
   // -------------------------------------------------------------- reads
 
-  /** Per bucket, the generation path serving snapshot `asOf`
-    * (None = the chosen generation is `_EMPTY`; absent key = the
-    * bucket has no generation ≤ asOf). */
-  private def snapshotGens(root: String, committed: Seq[Commit],
-                           asOf: Long): Map[Int, Option[String]] = {
+  /** Per bucket, the serving CHAIN at snapshot `asOf`: newest base
+    * generation ≤ asOf plus the delta generations after it. One pass
+    * over the commit list; existence/`_EMPTY` probes run only for the
+    * buckets materialized (restrict with `only` — a point lookup
+    * probes its key buckets, never the whole layout). */
+  private def snapshotChains(root: String, committed: Seq[Commit],
+                             asOf: Long,
+                             only: Option[Set[Int]] = None): Map[Int, Chain] = {
     val (fs, dir) = fsOf(root)
-    committed.filter(_.epoch <= asOf)
-      .flatMap(c => c.buckets.map(b => b -> c.epoch))
-      .groupMapReduce(_._1)(_._2)(math.max)
-      .map { case (b, e) =>
+    val state = scala.collection.mutable.Map
+      .empty[Int, (Option[Long], List[Long])]
+    committed.iterator.takeWhile(_.epoch <= asOf).foreach { c =>
+      val delta = isDeltaKind(c.kind)
+      c.buckets.foreach { b =>
+        if (only.forall(_.contains(b))) {
+          if (delta) {
+            val (base, ds) = state.getOrElse(b, (None, Nil))
+            state(b) = (base, c.epoch :: ds)
+          } else state(b) = (Some(c.epoch), Nil)
+        }
+      }
+    }
+    state.iterator.map { case (b, (base, dsDesc)) =>
+      def resolve(e: Long): Option[String] = {
         val gen = new Path(dir, s"${bucketName(b)}/${genName(e)}")
         require(fs.exists(new Path(gen, "_SUCCESS")),
           s"committed generation missing: $gen")
-        b -> (if (fs.exists(new Path(gen, "_EMPTY"))) None
-              else Some(gen.toString))
+        if (fs.exists(new Path(gen, "_EMPTY"))) None else Some(gen.toString)
       }
+      b -> Chain(base.map(e => (e, resolve(e))),
+        dsDesc.reverse.map(e => e -> resolve(e).getOrElse(
+          sys.error(s"delta generation has no data files: bucket $b epoch $e"))))
+    }.toMap
+  }
+
+  /** Materialize the resolved rows of a set of chains. Buckets whose
+    * chain is a single base generation are served by a PLAIN scan (no
+    * shuffle — the compacted fast path); delta'd buckets read base ⊕
+    * deltas in one scan (the generation epoch recovered from the file
+    * path, delta ops from the reserved `_op` field, absent in base
+    * files) and resolve newest-epoch-wins per key with tombstones
+    * dropped — one hash-partitioned window over ONLY the delta'd
+    * buckets' rows, never the store. */
+  private def readChains(spark: SparkSession, keyCols: Seq[String],
+                         ddl: String, chains: Iterable[Chain]): DataFrame = {
+    val target = StructType.fromDDL(ddl)
+    val plainPaths =
+      chains.filter(_.isPlain).flatMap(_.base.flatMap(_._2)).toSeq.sorted
+    val morChains = chains.filterNot(_.isPlain).toSeq
+    val plain =
+      if (plainPaths.isEmpty) None
+      else Some(spark.read.schema(target).parquet(plainPaths: _*))
+    val mor =
+      if (morChains.isEmpty) None
+      else {
+        val paths = morChains.flatMap(_.paths).sorted
+        val withOp =
+          StructType(target.fields :+ StructField(OpField, StringType))
+        val scan = spark.read.schema(withOp).parquet(paths: _*)
+          .withColumn("_gen_epoch",
+            regexp_extract(input_file_name(), "/g(\\d{7})/", 1).cast("long"))
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("_gen_epoch").desc)
+        Some(scan.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1 &&
+            (col(OpField).isNull || col(OpField) =!= "delete"))
+          .select(target.fieldNames.toSeq.map(col): _*))
+      }
+    (plain, mor) match {
+      case (Some(p), Some(m)) => p.unionByName(m)
+      case (Some(p), None) => p
+      case (None, Some(m)) => m
+      case (None, None) => emptyFrameOf(spark, ddl)
+    }
   }
 
   /** Time-travel read: the exact store contents as of `epoch`, under
@@ -553,14 +829,22 @@ object VersionedStore {
     val cur = committed.lastOption.map(_.epoch).getOrElse(0L)
     require(epoch <= cur, s"asOf epoch $epoch is beyond current epoch $cur")
     val ddl = schemaAsOf(root, epoch)
-    val paths = snapshotGens(root, committed, epoch).values.flatten.toSeq.sorted
-    if (paths.isEmpty) emptyFrameOf(spark, ddl)
-    else spark.read.schema(StructType.fromDDL(ddl)).parquet(paths: _*)
+    val chains = snapshotChains(root, committed, epoch).values
+      .filter(_.paths.nonEmpty)
+    if (chains.isEmpty) emptyFrameOf(spark, ddl)
+    else readChains(spark, keyColsOf(root), ddl, chains)
   }
 
   /** The current snapshot ([[readAsOf]] at [[currentEpoch]]). */
   def read(spark: SparkSession, root: String): DataFrame =
     readAsOf(spark, root, currentEpoch(root))
+
+  /** [[readAsOf]] addressed by wall-clock instead of epoch — Delta's
+    * `TIMESTAMP AS OF`: serves the newest epoch committed at or before
+    * `tsMillis` ([[epochAt]]). */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+                        tsMillis: Long): DataFrame =
+    readAsOf(spark, root, epochAt(root, tsMillis))
 
   /** Point/batch key lookup against snapshot `epoch` (default: the
     * current one): returns the stored rows for `keys`, opening ONLY
@@ -577,7 +861,10 @@ object VersionedStore {
     * types before hashing ([[castToStoreKeys]]): Spark's hash is
     * type-sensitive, so an Int-typed probe against a Long-keyed store
     * would otherwise prune to the wrong buckets and silently return
-    * nothing for keys that are present. */
+    * nothing for keys that are present. A delta'd key bucket resolves
+    * its chain first (the key predicate pushes below the window's
+    * key-partitioned shuffle), still reading only that bucket's
+    * generations. */
   def lookup(spark: SparkSession, root: String, keys: DataFrame,
              epoch: Long = Long.MaxValue): DataFrame = {
     val committed = commits(root)
@@ -610,26 +897,26 @@ object VersionedStore {
         .eval(null).asInstanceOf[Int]
       ((h % n) + n) % n
     }.distinct.toSeq
-    val gens = snapshotGens(root, committed, e)
-    val paths = buckets.sorted.flatMap(b => gens.getOrElse(b, None))
-    if (paths.isEmpty) emptyFrameOf(spark, ddl)
+    val chains = snapshotChains(root, committed, e, only = Some(buckets.toSet))
+      .values.filter(_.paths.nonEmpty)
+    if (chains.isEmpty) emptyFrameOf(spark, ddl)
     else {
-      val scan = spark.read.schema(storeSchema).parquet(paths: _*)
+      val resolved = readChains(spark, keyCols, ddl, chains)
       if (keyRows.length <= 1000) {
         // literal key predicate: pushes to the parquet scan (an In
-        // filter prunes row groups) and the whole lookup is ONE job —
-        // no broadcast side, no discovery job (spec-pinned)
+        // filter prunes row groups) and a compacted-bucket lookup is
+        // ONE job — no broadcast side, no discovery job (spec-pinned)
         val wanted = keyRows.toSeq.map { r =>
           keyFields.indices.map(i => col(keyCols(i)) <=> lit(r.get(i)))
             .reduce(_ && _)
         }.reduce(_ || _)
-        scan.filter(wanted)
+        resolved.filter(wanted)
       } else {
         // a very large batch-get: a literal predicate would bloat the
         // plan, so ship the keys as a broadcast semi-join instead
         val wantedLocal = spark.createDataFrame(
           java.util.Arrays.asList(keyRows: _*), StructType(keyFields))
-        scan.join(broadcast(wantedLocal), keyCols, "left_semi")
+        resolved.join(broadcast(wantedLocal), keyCols, "left_semi")
       }
     }
   }
@@ -656,35 +943,38 @@ object VersionedStore {
       StructType.fromDDL(ddl))
 
   /** DESCRIBE HISTORY: one row per committed epoch — (epoch, kind,
-    * n_rows in that epoch's snapshot). ZERO Spark jobs on the normal
-    * path: every DISTINCT generation any readable snapshot references
-    * is counted once from its parquet FOOTERS (driver-side metadata
-    * reads — the `Sinks.updateStoreStats` pattern: O(generations) file
-    * opens, no data page touched, no executor involved), and each
-    * epoch's total is metadata math over the per-generation counts —
-    * a parquet scan-and-count job would re-read every live data byte
-    * for numbers the footers already hold. Generations with an
-    * unreadable footer (a corrupt or foreign file) fall back to ONE
-    * Spark count over those generations only.
-    * Epochs below the vacuum watermark that still appear in the
-    * commit-log checkpoint report null n_rows (their full snapshots
-    * are no longer readable).
+    * ts_millis, n_rows in that epoch's snapshot). ZERO Spark jobs on
+    * the fully-compacted path: every DISTINCT plain generation any
+    * readable snapshot references is counted once from its parquet
+    * FOOTERS (driver-side metadata reads — the `Sinks.updateStoreStats`
+    * pattern: O(generations) file opens on a bounded thread pool, no
+    * data page touched, no executor involved), and each epoch's total
+    * is metadata math over the per-generation counts. Buckets serving
+    * a DELTA CHAIN at some epoch cannot be footer-counted (tombstones
+    * and overwritten versions would double-count), so their live
+    * counts come from ONE Spark job over only those buckets' chain
+    * files — a per-(bucket, segment, key) event fold whose output is
+    * the NET row-count change per touching epoch, composed driver-side
+    * (one job for the whole history, however many epochs). Generations
+    * with an unreadable footer (a corrupt or foreign file) fall back
+    * to ONE Spark count over those generations only. Epochs below the
+    * vacuum watermark that still appear in the commit-log checkpoint
+    * report null n_rows (their full snapshots are no longer readable).
     *
     * Driver-side cost is O(generations), not O(epochs × buckets): the
     * commit list is folded FORWARD once, maintaining the bucket →
-    * serving-generation map incrementally (persistent-map snapshots
-    * share structure across epochs), each generation's existence /
-    * `_EMPTY` probe runs once and is cached, and the footer opens run
-    * on a bounded driver thread pool — on an object store the probes
-    * are parallel HEAD/GET-range requests, never a serial walk. */
+    * serving-chain map incrementally (persistent-map snapshots share
+    * structure across epochs), and each generation's existence /
+    * `_EMPTY` probe runs once and is cached. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val committed = commits(root)
     val wm = retentionWatermark(root)
     val (fs, dir) = fsOf(root)
-    // fold forward ONCE: per epoch, the bucket -> generation-epoch map
-    // in force (immutable-map snapshots, O(touched) update per commit)
-    val genPath = scala.collection.mutable.Map.empty[(Int, Long), Option[String]]
+    val deltaEpochs = committed.filter(c => isDeltaKind(c.kind))
+      .map(_.epoch).toSet
+    val genPath =
+      scala.collection.mutable.Map.empty[(Int, Long), Option[String]]
     def resolveGen(b: Int, e: Long): Option[String] =
       genPath.getOrElseUpdate((b, e), {
         val gen = new Path(dir, s"${bucketName(b)}/${genName(e)}")
@@ -692,19 +982,29 @@ object VersionedStore {
           s"committed generation missing: $gen")
         if (fs.exists(new Path(gen, "_EMPTY"))) None else Some(gen.toString)
       })
-    var serving = Map.empty[Int, Long]
-    val epochGens: Seq[(Long, String, Seq[String])] = committed.map { c =>
-      c.buckets.foreach(b => serving += b -> c.epoch)
-      val gens =
-        if (c.epoch < wm) Seq.empty[String]
-        else serving.toSeq.flatMap { case (b, e) => resolveGen(b, e) }
-      (c.epoch, c.kind, gens)
-    }
-    val distinctGens = epochGens.flatMap(_._3).distinct
+    // fold forward ONCE: per epoch, each bucket's (base, deltas desc)
+    var serving = Map.empty[Int, (Option[Long], List[Long])]
+    val epochChains
+        : Seq[(Commit, Map[Int, (Option[Long], List[Long])])] =
+      committed.map { c =>
+        val delta = isDeltaKind(c.kind)
+        c.buckets.foreach { b =>
+          serving +=
+            (if (delta) {
+              val (base, ds) = serving.getOrElse(b, (None, Nil))
+              b -> (base, c.epoch :: ds)
+            } else b -> (Some(c.epoch), Nil))
+        }
+        (c, serving)
+      }
+    // ---- plain (delta-free) serving entries: footer-counted
+    val readable = epochChains.filter(_._1.epoch >= wm)
+    val plainGens: Seq[String] = readable.flatMap(_._2.collect {
+      case (b, (Some(e), Nil)) => resolveGen(b, e)
+    }.flatten).distinct
     def genKey(g: String): String = new Path(g).toUri.getPath
-    // footer-served per-generation counts; None = some footer unreadable
     val fromFooters: Map[String, Option[Long]] =
-      parallelMap(distinctGens) { g =>
+      parallelMap(plainGens) { g =>
         val files = fs.listStatus(new Path(g)).map(_.getPath).filter { p =>
           val nm = p.getName
           nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
@@ -720,7 +1020,7 @@ object VersionedStore {
         genKey(g) ->
           (if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None)
       }.toMap
-    val bad = distinctGens.filter(g => fromFooters(genKey(g)).isEmpty)
+    val bad = plainGens.filter(g => fromFooters(genKey(g)).isEmpty)
     val scanned: Map[String, Long] =
       if (bad.isEmpty) Map.empty
       else spark.read.parquet(bad: _*)
@@ -730,26 +1030,96 @@ object VersionedStore {
         .groupMapReduce(_._1)(_._2)(_ + _)
     val perGen: Map[String, Long] =
       fromFooters.collect { case (g, Some(n)) => g -> n } ++ scanned
-    val rows = epochGens.map { case (e, kind, gens) =>
-      val n =
-        if (e < wm) None
-        else Some(gens.map(g => perGen.getOrElse(genKey(g), 0L)).sum)
-      (e, kind, n)
+    // ---- delta'd buckets: one event-fold job over their chain files.
+    // Within a SEGMENT (a base generation and the deltas until the
+    // next base) a key's liveness changes only at its own events, so
+    // lag(alive) per (bucket, segment, key) yields each event's net
+    // contribution; summing nets per (bucket, epoch) and folding
+    // forward driver-side gives the live count at every touch point.
+    val keyCols =
+      if (deltaEpochs.isEmpty) Seq.empty[String] else keyColsOf(root)
+    val chainGens: Seq[(Int, Long, Long)] = readable // (bucket, epoch, seg)
+      .flatMap(_._2.collect { case (b, (base, ds)) if ds.nonEmpty =>
+        (base.map(e => (b, e, e)).toSeq ++
+          ds.map(e => (b, e, base.getOrElse(0L))))
+      }).flatten.distinct
+    val netByBucketEpoch: Map[(Int, Long), Long] =
+      if (chainGens.isEmpty) Map.empty
+      else {
+        val paths = chainGens
+          .flatMap { case (b, e, _) => resolveGen(b, e) }.distinct.sorted
+        val ddl = schemaAsOf(root,
+          committed.lastOption.map(_.epoch).getOrElse(0L))
+        val withOp = StructType(
+          StructType.fromDDL(ddl).fields :+ StructField(OpField, StringType))
+        val segDf = chainGens.toDF("_b", "_gen_epoch", "_seg")
+        val events = spark.read.schema(withOp).parquet(paths: _*)
+          .withColumn("_b",
+            regexp_extract(input_file_name(), "/b(\\d{5})/", 1).cast("int"))
+          .withColumn("_gen_epoch",
+            regexp_extract(input_file_name(), "/g(\\d{7})/", 1).cast("long"))
+          .join(broadcast(segDf), Seq("_b", "_gen_epoch"))
+          .withColumn("_alive",
+            when(col(OpField).isNull || col(OpField) =!= "delete", 1L)
+              .otherwise(0L))
+        val w = Window
+          .partitionBy(col("_b") +: col("_seg") +: keyCols.map(col): _*)
+          .orderBy(col("_gen_epoch"))
+        events
+          .withColumn("_net",
+            col("_alive") - coalesce(lag(col("_alive"), 1).over(w), lit(0L)))
+          .groupBy("_b", "_gen_epoch")
+          .agg(sum(col("_net")).as("_net"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+      }
+    // fold each delta'd bucket's events forward: a base RESETS the
+    // running count (it is a full snapshot), a delta adds its net
+    val liveAt: Map[(Int, Long), Long] = {
+      val byBucket = chainGens.map { case (b, e, _) => (b, e) }
+        .distinct.groupMap(_._1)(_._2)
+      byBucket.flatMap { case (b, es) =>
+        var running = 0L
+        es.sorted.map { e =>
+          val net = netByBucketEpoch.getOrElse((b, e), 0L)
+          running = if (deltaEpochs(e)) running + net else net
+          (b, e) -> running
+        }
+      }
     }
-    rows.toDF("epoch", "kind", "n_rows")
+    val rows = epochChains.map { case (c, chains) =>
+      val n =
+        if (c.epoch < wm) None
+        else Some(chains.iterator.map {
+          case (b, (Some(e), Nil)) =>
+            resolveGen(b, e).map(g => perGen.getOrElse(genKey(g), 0L))
+              .getOrElse(0L)
+          case (b, (base, ds)) =>
+            // newest event at or below this epoch carries the count
+            val newest = (base.toSeq ++ ds).max
+            liveAt.getOrElse((b, newest), 0L)
+        }.sum)
+      (c.epoch, c.kind, c.tsMillis, n)
+    }
+    rows.toDF("epoch", "kind", "ts_millis", "n_rows")
   }
 
   /** Publish one snapshot as a FLAT parquet directory (the "export for
     * training" surface: a consumer that wants plain
     * `spark.read.parquet(dest)` with no store resolution — a training
-    * job, an external engine, an archival copy). Zero decode/re-encode:
-    * the snapshot's immutable generation files are byte-copied BY
-    * EXECUTORS (one distributed job over the file list — the
+    * job, an external engine, an archival copy). Buckets serving a
+    * single base generation are byte-copied BY EXECUTORS with zero
+    * decode/re-encode (one distributed job over the file list — the
     * compactFiles copy posture, Layout.scala; the driver's writes are
     * the `_SUCCESS` marker only), so export cost is IO-bound on
     * snapshot bytes with no shuffle and no row ever materialized.
-    * Output names carry a `b<bucket>-g<epoch>-` prefix: re-exports
-    * overwrite deterministically. Returns the number of files copied. */
+    * Delta'd buckets cannot be byte-copied (their files hold
+    * tombstones and superseded versions), so their RESOLVED rows are
+    * materialized by one write job into `mor-` prefixed files — cost
+    * is those chains' bytes only, and [[compact]] first restores the
+    * pure byte-copy path. Output names carry a `b<bucket>-g<epoch>-`
+    * prefix: re-exports overwrite deterministically. Returns the
+    * number of files published. */
   def exportSnapshot(spark: SparkSession, root: String, epoch: Long,
                      dest: String): Long = {
     import org.apache.hadoop.fs.FileUtil
@@ -763,16 +1133,17 @@ object VersionedStore {
     val (dfs0, destPath) = fsOf(dest)
     dfs0.delete(destPath, true)
     dfs0.mkdirs(destPath)
+    val chains = snapshotChains(root, committed, epoch)
     // (source file, flat destination name) pairs — metadata only
-    val pairs: Seq[(String, String)] =
-      snapshotGens(root, committed, epoch).toSeq.flatMap {
-        case (b, Some(gen)) =>
-          fs.listStatus(new Path(gen)).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-            .map(p => (p.toString,
-              f"b$b%05d-${new Path(gen).getName}-${p.getName}"))
-        case _ => Seq.empty
+    val pairs: Seq[(String, String)] = chains.toSeq.flatMap {
+      case (b, ch) if ch.isPlain => ch.base.flatMap(_._2).toSeq.flatMap { gen =>
+        fs.listStatus(new Path(gen)).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .map(p => (p.toString,
+            f"b$b%05d-${new Path(gen).getName}-${p.getName}"))
       }
+      case _ => Seq.empty
+    }
     if (pairs.nonEmpty) {
       val confEntries: Array[(String, String)] = {
         val it = spark.sparkContext.hadoopConfiguration.iterator()
@@ -797,14 +1168,32 @@ object VersionedStore {
           }
         }
     }
+    val ddl = schemaAsOf(root, epoch)
+    // delta'd buckets: materialize their resolved rows (one write job
+    // over only those chains), then surface the files flat
+    val morChains = chains.values.filter(ch => !ch.isPlain).toSeq
+    var morFiles = 0L
+    if (morChains.nonEmpty) {
+      val stagingDir = new Path(destPath, ".mor-staging")
+      readChains(spark, keyColsOf(root), ddl, morChains)
+        .write.mode("overwrite").parquet(stagingDir.toString)
+      val parts = dfs0.listStatus(stagingDir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        require(dfs0.rename(p,
+          new Path(destPath, f"mor-$epoch%07d-part-$i%05d.parquet")),
+          s"export rename failed: $p")
+        morFiles += 1
+      }
+      dfs0.delete(stagingDir, true)
+    }
     // the exported snapshot may span a schema evolution (old- and
     // new-schema generation files side by side): record the epoch's
     // schema so a consumer can `spark.read.schema(ddl)` (or use
     // mergeSchema) instead of trusting one file's footer
-    writeMarker(dfs0, new Path(destPath, "_schema"),
-      schemaAsOf(root, epoch), replace = true)
+    writeMarker(dfs0, new Path(destPath, "_schema"), ddl, replace = true)
     dfs0.create(new Path(destPath, "_SUCCESS"), true).close()
-    pairs.size.toLong
+    pairs.size.toLong + morFiles
   }
 
   // ---------------------------------------------------------------- CDC
@@ -820,7 +1209,9 @@ object VersionedStore {
     * some epoch in `(fromEpoch, toEpoch]` rewrote — a bucket no commit
     * touched is byte-identical at both ends and is pruned without
     * opening a file (VersionedStoreSpec pins the pruning), so CDC cost
-    * scales with the CHANGE volume, not the store. */
+    * scales with the CHANGE volume, not the store. Delta'd buckets
+    * chain-resolve on each side first, so a tombstone shows as a
+    * `delete` exactly when the key was live at `fromEpoch`. */
   def changelog(spark: SparkSession, root: String,
                 fromEpoch: Long, toEpoch: Long,
                 images: Boolean = false): DataFrame = {
@@ -837,18 +1228,18 @@ object VersionedStore {
     val changedBuckets = committed
       .filter(c => c.epoch > fromEpoch && c.epoch <= toEpoch)
       .flatMap(_.buckets).distinct.sorted
-    val oldGens = snapshotGens(root, committed, fromEpoch)
-    val newGens = snapshotGens(root, committed, toEpoch)
     // both sides conform to the TO-epoch schema (the Delta-CDF
     // convention): columns added in (from, to] show null old images
     val ddl = schemaAsOf(root, toEpoch)
-    def side(gens: Map[Int, Option[String]]): DataFrame = {
-      val paths = changedBuckets.flatMap(b => gens.getOrElse(b, None))
-      if (paths.isEmpty) emptyFrameOf(spark, ddl)
-      else spark.read.schema(StructType.fromDDL(ddl)).parquet(paths: _*)
+    def side(asOf: Long): DataFrame = {
+      val chains =
+        snapshotChains(root, committed, asOf, Some(changedBuckets.toSet))
+          .values.filter(_.paths.nonEmpty)
+      if (chains.isEmpty) emptyFrameOf(spark, ddl)
+      else readChains(spark, keyCols, ddl, chains)
     }
-    val o = side(oldGens)
-    val n = side(newGens)
+    val o = side(fromEpoch)
+    val n = side(toEpoch)
     val valCols = o.columns.filterNot(keyCols.contains).toSeq
 
     val oldT = o.select(keyCols.map(col) :+
@@ -872,8 +1263,9 @@ object VersionedStore {
 
   /** Retention GC: drop every generation no snapshot at or after
     * `retainAsOf` can reach — per bucket that keeps all generations in
-    * `(retainAsOf, current]` plus the newest ≤ `retainAsOf` (it serves
-    * `readAsOf(retainAsOf)` itself), and removes uncommitted leftovers
+    * `(retainAsOf, current]` plus the FLOOR CHAIN at `retainAsOf` (the
+    * newest base at or below it and the deltas between, which together
+    * serve `readAsOf(retainAsOf)`), and removes uncommitted leftovers
     * from crashed writers. Pure metadata work: O(buckets) listings +
     * deletes, no Spark job, no data file read. The `_vacuum` watermark
     * is written FIRST so a crash mid-delete can only leave extra
@@ -881,12 +1273,12 @@ object VersionedStore {
     *
     * Vacuum also bounds the COMMIT LOG: it writes a create-only
     * `_floors-<wm>` checkpoint (every epoch ≤ wm still serving some
-    * bucket, with its kind and surviving bucket list) and then deletes
-    * the `_commit-*` markers at or below wm plus older checkpoints —
-    * metadata stays O(epochs since retention) forever. Write order
-    * makes every crash window safe: the new checkpoint lands
-    * atomically BEFORE anything is deleted, and [[commits]] merges a
-    * checkpoint with any markers a crash left behind. */
+    * bucket, with its kind, surviving bucket list and timestamp) and
+    * then deletes the `_commit-*` markers at or below wm plus older
+    * checkpoints — metadata stays O(epochs since retention) forever.
+    * Write order makes every crash window safe: the new checkpoint
+    * lands atomically BEFORE anything is deleted, and [[commits]]
+    * merges a checkpoint with any markers a crash left behind. */
   def vacuum(root: String, retainAsOf: Long): VacuumReport = {
     val (fs, dir) = fsOf(root)
     val committed = commits(root)
@@ -896,9 +1288,20 @@ object VersionedStore {
     val wm = math.max(retainAsOf, retentionWatermark(root))
     writeMarker(fs, new Path(dir, "_vacuum"), wm.toString, replace = true)
 
+    val deltaEpochs = committed.filter(c => isDeltaKind(c.kind))
+      .map(_.epoch).toSet
     val committedFor: Map[Int, Seq[Long]] = committed
       .flatMap(c => c.buckets.map(b => b -> c.epoch))
       .groupMap(_._1)(_._2).map { case (b, es) => b -> es.sorted }
+    // the floor CHAIN per bucket: newest base ≤ wm plus the deltas
+    // after it up to wm (no base ≤ wm ⇒ every delta ≤ wm seeds the
+    // chain) — dropping any link would break readAsOf(wm)
+    val floorOf: Map[Int, Set[Long]] = committedFor.map { case (b, es) =>
+      val baseFloor = es.filter(e => e <= wm && !deltaEpochs(e)).lastOption
+      val floorDeltas = es.filter(e =>
+        e <= wm && deltaEpochs(e) && baseFloor.forall(e > _))
+      b -> (baseFloor.toSeq ++ floorDeltas).toSet
+    }
     var deleted = 0L
     var kept = 0L
     if (!fs.exists(dir)) return VacuumReport(0, 0, wm)
@@ -906,12 +1309,13 @@ object VersionedStore {
     // ---- commit-log checkpoint + truncation (before generation GC so
     // a crash mid-GC still leaves the full resolution metadata)
     val kindOf = committed.map(c => c.epoch -> c.kind).toMap
-    val floorLines = committedFor.toSeq
-      .flatMap { case (b, es) => es.filter(_ <= wm).lastOption.map(b -> _) }
-      .groupMap(_._2)(_._1)
+    val tsOf = committed.map(c => c.epoch -> c.tsMillis).toMap
+    val floorLines = floorOf.toSeq
+      .flatMap { case (b, es) => es.map(e => (e, b)) }
+      .groupMap(_._1)(_._2)
       .toSeq.sortBy(_._1)
       .map { case (e, bs) =>
-        s"$e;${kindOf(e)};${bs.sorted.mkString(",")}" }
+        s"$e;${kindOf(e)};${bs.sorted.mkString(",")};${tsOf(e)}" }
     if (floorLines.nonEmpty) {
       writeMarker(fs, new Path(dir, f"_floors-$wm%07d"),
         floorLines.mkString("\n"), replace = false)
@@ -928,8 +1332,7 @@ object VersionedStore {
       st.getPath.getName.matches("^b\\d{5}$")).foreach { bSt =>
       val b = bSt.getPath.getName.drop(1).toInt
       val epochs = committedFor.getOrElse(b, Seq.empty)
-      val floor = epochs.filter(_ <= wm).lastOption.getOrElse(Long.MinValue)
-      val keep = epochs.filter(e => e == floor || e > wm).toSet
+      val keep = floorOf.getOrElse(b, Set.empty) ++ epochs.filter(_ > wm)
       fs.listStatus(bSt.getPath).foreach { gSt =>
         gSt.getPath.getName match {
           case GenRe(e) =>
@@ -947,4 +1350,10 @@ object VersionedStore {
     }
     VacuumReport(deleted, kept, wm)
   }
+
+  /** Age-based retention — Delta's `RETAIN <n> HOURS` posture:
+    * [[vacuum]] keeping every snapshot readable at or after
+    * `tsMillis` (the epoch [[epochAt]] resolves it to). */
+  def vacuumOlderThan(root: String, tsMillis: Long): VacuumReport =
+    vacuum(root, epochAt(root, tsMillis))
 }

@@ -43,20 +43,32 @@ import graft.sinks.VersionedStore
   * dropped columns still fail fast. */
 final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8,
                              opCol: Option[String] = None,
-                             evolve: Boolean = false) {
+                             evolve: Boolean = false,
+                             delta: Boolean = false) {
 
   /** Land one micro-batch as one epoch; replays are no-ops. Public so
-    * the kill/resume spec can drive batches without a stream. */
+    * the kill/resume spec can drive batches without a stream. With
+    * `delta = true` batches commit MERGE-ON-READ
+    * ([[VersionedStore.deltaApply]]/[[VersionedStore.deltaUpsert]]):
+    * each micro-batch writes ≈ its own bytes as per-bucket delta
+    * generations instead of rewriting touched buckets — the posture
+    * for a high-frequency CDC stream, compacted out-of-band. */
   def processBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
     val tag = s"batch$batchId"
     if (VersionedStore.taggedEpoch(root, tag).isDefined) return
     if (batch.isEmpty) return
-    opCol match {
-      case Some(c) =>
+    (opCol, delta) match {
+      case (Some(c), false) =>
         VersionedStore.applyOps(batch, keyCols, root, c, nBuckets, tag = tag,
           evolve = evolve)
-      case None =>
+      case (None, false) =>
         VersionedStore.upsert(batch, keyCols, root, nBuckets, tag = tag,
+          evolve = evolve)
+      case (Some(c), true) =>
+        VersionedStore.deltaApply(batch, keyCols, root, c, nBuckets,
+          tag = tag, evolve = evolve)
+      case (None, true) =>
+        VersionedStore.deltaUpsert(batch, keyCols, root, nBuckets, tag = tag,
           evolve = evolve)
     }
   }
@@ -86,14 +98,15 @@ object EpochStream {
     * history. */
   def replay(spark: SparkSession, phases: Seq[DataFrame],
              keyCols: Seq[String], workDir: String, storeRoot: String,
-             nBuckets: Int = 8, opCol: Option[String] = None): Unit = {
+             nBuckets: Int = 8, opCol: Option[String] = None,
+             delta: Boolean = false): Unit = {
     require(phases.nonEmpty, "replay needs at least one phase")
     val inDir = s"$workDir/in"
     // coalesce(1): one FILE per phase, so one micro-batch per phase —
     // without it a multi-partition phase lands as several files and
     // maxFilesPerTrigger=1 splits it into several epochs
     phases.head.coalesce(1).write.parquet(inDir)
-    val q = EpochStream(keyCols, nBuckets, opCol)
+    val q = EpochStream(keyCols, nBuckets, opCol, delta = delta)
       .start(spark, inDir, phases.head.schema, storeRoot)
     try {
       q.processAllAvailable()

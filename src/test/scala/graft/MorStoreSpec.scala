@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.VersionedStore
+
+/** Merge-on-read contracts: a delta epoch commits ≈ batch bytes (never
+  * a bucket rewrite), every read surface resolves base ⊕ deltas to the
+  * EXACT state copy-on-write would have produced, compaction is a
+  * content no-op that restores plain single-generation serving, vacuum
+  * keeps whole floor chains, and commit timestamps drive AS OF
+  * TIMESTAMP reads and age-based retention. */
+class MorStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cdc(rows: Seq[(Long, Long, String)]): DataFrame =
+    rows.toDF("k", "v", "op")
+
+  /** Four mixed CDC batches: bulk insert, hot-key updates, deletes
+    * (incl. one ABSENT key — blind tombstone in delta mode), and
+    * re-inserts of deleted keys. */
+  private val batches: Seq[Seq[(Long, Long, String)]] = Seq(
+    (1L to 40L).map(k => (k, k * 10, "upsert")),
+    (10L to 14L).map(k => (k, k * 10 + 1, "upsert")),
+    Seq((4L, 0L, "delete"), (8L, 0L, "delete"), (999L, 0L, "delete"),
+      (41L, 410L, "upsert")),
+    Seq((4L, 44L, "upsert"), (12L, 0L, "delete"))
+  )
+
+  private def expectedAt(e: Int): Seq[(Long, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    batches.take(e).foreach(_.foreach {
+      case (k, v, "upsert") => m(k) = v
+      case (k, _, _) => m.remove(k)
+    })
+    m.toSeq.sorted
+  }
+
+  private def buildCow(root: String): Unit = batches.foreach { b =>
+    VersionedStore.applyOps(cdc(b), Seq("k"), root, "op", nBuckets = 4)
+  }
+  private def buildMor(root: String): Unit = batches.foreach { b =>
+    VersionedStore.deltaApply(cdc(b), Seq("k"), root, "op", nBuckets = 4)
+  }
+
+  private def snap(root: String, e: Long): Seq[(Long, Long)] =
+    VersionedStore.readAsOf(spark, root, e).as[(Long, Long)]
+      .collect().toSeq.sorted
+
+  test("delta-mode CDC equals copy-on-write at every epoch, on every surface") {
+    val cow = tmpDir("mor_cow") + "/store"
+    val mor = tmpDir("mor_mor") + "/store"
+    buildCow(cow); buildMor(mor)
+    // COW's absent-key-only probe skips nothing here (each batch has
+    // live keys), so epoch counts line up
+    assert(VersionedStore.currentEpoch(cow) == 4L)
+    assert(VersionedStore.currentEpoch(mor) == 4L)
+    (1L to 4L).foreach { e =>
+      assert(snap(mor, e) == expectedAt(e.toInt), s"mor snapshot@$e")
+      assert(snap(mor, e) == snap(cow, e), s"mor != cow @$e")
+    }
+    // changelog parity across the two layouts, with images
+    (0L to 4L).foreach { from =>
+      val a = VersionedStore.changelog(spark, cow, from, 4L, images = true)
+        .orderBy("k").collect().toSeq
+      val b = VersionedStore.changelog(spark, mor, from, 4L, images = true)
+        .orderBy("k").collect().toSeq
+      assert(a == b, s"changelog($from,4) diverged between layouts")
+    }
+    // lookup parity: updated, deleted, re-inserted, absent
+    val keys = Seq(4L, 8L, 10L, 999L).toDF("k")
+    (1L to 4L).foreach { e =>
+      val a = VersionedStore.lookup(spark, cow, keys, e)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val b = VersionedStore.lookup(spark, mor, keys, e)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(a == b, s"lookup@$e diverged between layouts")
+    }
+  }
+
+  test("a delta epoch appends only the batch; compaction folds the chain") {
+    val root = tmpDir("mor_compact") + "/store"
+    buildMor(root)
+    def gensOf(b: String): Seq[String] = {
+      val d = java.nio.file.Paths.get(root, b)
+      if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+      else java.nio.file.Files.list(d).map(_.getFileName.toString)
+        .sorted.toArray.toSeq.map(_.toString)
+    }
+    def bytesOf(b: String, g: String): Long =
+      java.nio.file.Files.list(java.nio.file.Paths.get(root, b, g))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    // epoch 2 touched the buckets of keys 10..14 as DELTAS: those
+    // bucket dirs have a g0000002 generation holding ~5 rows, far
+    // smaller than their 40-row base
+    val deltaBuckets = (0 until 4).map(b => f"b$b%05d")
+      .filter(b => gensOf(b).contains("g0000002"))
+    assert(deltaBuckets.nonEmpty, "epoch 2 must land delta generations")
+    deltaBuckets.foreach { b =>
+      assert(bytesOf(b, "g0000002") < bytesOf(b, "g0000001"),
+        s"delta generation must be smaller than its base in $b")
+    }
+    val before = snap(root, 4L)
+    val ce = VersionedStore.compact(spark, root)
+    assert(ce == 5L, "compaction must commit one new epoch")
+    assert(VersionedStore.commits(root).last.kind == "compact")
+    // content no-op, and history stays time-travelable
+    assert(snap(root, 5L) == before)
+    (1L to 4L).foreach(e => assert(snap(root, e) == expectedAt(e.toInt)))
+    // the compacted read serves ONE generation per bucket, plainly
+    val files = VersionedStore.read(spark, root).inputFiles
+    val gens = files.flatMap(_.split("/").find(_.matches("^g\\d{7}$"))).toSet
+    assert(gens == Set("g0000005"),
+      s"post-compact read must serve only the new base: $gens")
+    // a second compact with no deltas is a no-op (no new commit)
+    assert(VersionedStore.compact(spark, root) == 5L)
+  }
+
+  test("blind tombstones for absent keys commit and resolve to nothing") {
+    val root = tmpDir("mor_blind") + "/store"
+    VersionedStore.deltaUpsert(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 2)
+    // delete-only batch of one absent key: MOR commits it blindly
+    // (that is the point: no presence probe, O(batch) bytes) …
+    val e = VersionedStore.deltaApply(Seq((999L, 0L, "delete")).toDF("k", "v", "op"),
+      Seq("k"), root, "op", nBuckets = 2)
+    assert(e == 2L, "a blind tombstone epoch must commit")
+    // … and every read resolves it to nothing
+    assert(snap(root, 2L) == Seq((1L, 10L), (2L, 20L)))
+    assert(VersionedStore.changelog(spark, root, 1L, 2L).count() == 0L)
+    assert(VersionedStore.lookup(spark, root, Seq(999L).toDF("k"))
+      .count() == 0L)
+  }
+
+  test("vacuum keeps the whole floor CHAIN; truncated log preserves delta kinds") {
+    val root = tmpDir("mor_vacuum") + "/store"
+    buildMor(root)
+    val r = VersionedStore.vacuum(root, retainAsOf = 3L)
+    assert(r.watermark == 3L)
+    // floor chain for every bucket = base(1) ⊕ deltas(2,3): epochs 1-3
+    // all survive wherever they serve epoch-3 reads
+    assert(snap(root, 3L) == expectedAt(3))
+    assert(snap(root, 4L) == expectedAt(4))
+    intercept[IllegalArgumentException] { snap(root, 2L) }
+    // the checkpointed log still knows which floor epochs were deltas
+    val kinds = VersionedStore.commits(root).map(c => c.epoch -> c.kind).toMap
+    assert(kinds(2L) == "dapply" && kinds(3L) == "dapply",
+      s"floor checkpoint must keep delta kinds: $kinds")
+    // … so a post-vacuum write still chain-resolves correctly
+    VersionedStore.deltaApply(cdc(Seq((1L, 111L, "upsert"))), Seq("k"), root,
+      "op", nBuckets = 4)
+    assert(snap(root, 5L) == ((expectedAt(4).toMap + (1L -> 111L)).toSeq.sorted))
+  }
+
+  test("an uncommitted delta generation is invisible; tagged replays skip") {
+    val root = tmpDir("mor_crash") + "/store"
+    buildMor(root)
+    // fake a crashed delta writer: generation dir without a commit
+    val stray = java.nio.file.Paths.get(root, "b00001", "g0000005")
+    java.nio.file.Files.createDirectories(stray)
+    java.nio.file.Files.createFile(stray.resolve("_SUCCESS"))
+    assert(snap(root, 4L) == expectedAt(4), "stray delta gen must be invisible")
+    // exactly-once fence works for delta commits too
+    val e1 = VersionedStore.deltaApply(cdc(Seq((50L, 500L, "upsert"))),
+      Seq("k"), root, "op", nBuckets = 4, tag = "b9")
+    assert(e1 == 5L && VersionedStore.taggedEpoch(root, "b9").contains(5L))
+  }
+
+  test("additive schema evolution mid-chain: old snapshots keep old shapes") {
+    val root = tmpDir("mor_evo") + "/store"
+    VersionedStore.deltaUpsert(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 2)
+    intercept[RuntimeException] { // evolution must be explicit
+      VersionedStore.deltaUpsert(
+        Seq((3L, 30L, "x")).toDF("k", "v", "cat"), Seq("k"), root)
+    }
+    VersionedStore.deltaUpsert(Seq((3L, 30L, "x")).toDF("k", "v", "cat"),
+      Seq("k"), root, evolve = true)
+    assert(VersionedStore.readAsOf(spark, root, 1L).columns.toSeq ==
+      Seq("k", "v"))
+    val cur = VersionedStore.read(spark, root)
+      .as[(Long, Long, Option[String])].collect().toSeq.sorted
+    assert(cur == Seq((1L, 10L, None), (2L, 20L, None), (3L, 30L, Some("x"))))
+  }
+
+  test("restore walks back across mixed COW and delta epochs") {
+    val root = tmpDir("mor_restore") + "/store"
+    VersionedStore.upsert((1L to 20L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 4)
+    VersionedStore.deltaApply(cdc(Seq((1L, 100L, "upsert"), (2L, 0L, "delete"))),
+      Seq("k"), root, "op")
+    VersionedStore.deltaUpsert(Seq((30L, 300L)).toDF("k", "v"), Seq("k"), root)
+    assert(VersionedStore.restore(spark, root, 1L) == 4L)
+    assert(snap(root, 4L) == (1L to 20L).map(k => (k, k)).sorted)
+    assert(snap(root, 3L) != snap(root, 4L)) // history intact
+  }
+
+  test("history on a delta'd store: exact live counts from ONE event-fold job") {
+    val root = tmpDir("mor_hist") + "/store"
+    buildMor(root)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    val h = try {
+      val rows = VersionedStore.history(spark, root)
+        .select("epoch", "kind", "n_rows")
+        .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+      rows
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(h.map(_._3.get) ==
+      (1 to 4).map(e => expectedAt(e).size.toLong),
+      s"history counts must resolve tombstones: $h")
+    assert(h.forall(_._2 == "dapply"))
+    // one event-fold for the WHOLE history — footers cannot count
+    // chains, but the fallback is one logical job (AQE materializes
+    // its scan/window/agg stages as a constant handful of stage-jobs),
+    // NEVER a count per epoch: 4 epochs here, and a per-epoch count
+    // would keep growing with history length while this stays flat
+    assert(jobs.get() <= 6,
+      s"MOR history must cost one constant fold, ran ${jobs.get()} jobs")
+  }
+
+  test("commit timestamps: AS OF TIMESTAMP, monotone clamp, age retention") {
+    val root = tmpDir("mor_ts") + "/store"
+    VersionedStore.upsert(Seq((1L, 10L)).toDF("k", "v"), Seq("k"), root,
+      tsMillis = 1000L)
+    VersionedStore.upsert(Seq((1L, 11L)).toDF("k", "v"), Seq("k"), root,
+      tsMillis = 2000L)
+    // a clock that runs BACKWARDS is clamped to the previous stamp so
+    // timestamp resolution stays unique (Delta's in-commit rule)
+    VersionedStore.deltaUpsert(Seq((1L, 12L)).toDF("k", "v"), Seq("k"), root,
+      tsMillis = 1500L)
+    val ts = VersionedStore.commits(root).map(_.tsMillis)
+    assert(ts == Seq(1000L, 2000L, 2000L), s"stamps: $ts")
+    assert(VersionedStore.epochAt(root, 1999L) == 1L)
+    assert(VersionedStore.epochAt(root, 2000L) == 3L) // newest at the tie
+    intercept[IllegalArgumentException] { VersionedStore.epochAt(root, 999L) }
+    assert(VersionedStore.readAsOfTimestamp(spark, root, 1999L)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    // age-based retention: keep everything readable as of ts 1999
+    val r = VersionedStore.vacuumOlderThan(root, 1999L)
+    assert(r.watermark == 1L)
+    assert(snap(root, 1L) == Seq((1L, 10L)))
+  }
+
+  test("exportSnapshot materializes delta'd buckets, byte-copies the rest") {
+    val root = tmpDir("mor_export") + "/store"
+    buildMor(root)
+    VersionedStore.compact(spark, root, buckets = Seq(0)) // mixed layout
+    val dest = tmpDir("mor_export_out") + "/flat"
+    val nFiles = VersionedStore.exportSnapshot(spark, root, 5L, dest)
+    assert(nFiles > 0)
+    val got = spark.read.parquet(dest).as[(Long, Long)]
+      .collect().toSeq.sorted
+    assert(got == expectedAt(4), "exported flat dir must equal the snapshot")
+  }
+}

@@ -471,28 +471,48 @@ class MaintainerMatrixSpec extends SparkSpec {
       spark, s"$root/hist_in", s"$root/hist_store")
     def startKmv() = graft.streaming.SketchStream.kmvToStore(
       spark, s"$root/kmv_in", 64, s"$root/kmv_store")
+    // SEVENTH family: an epoch-ingest store plus its VIEW FOLLOWER
+    // (ViewStream) — the follower is poll-based, driven mid-matrix
+    // after each phase and "killed" by discarding the instance; its
+    // exactly-once fence is the src<E> tag in the view store's log
+    val keyed = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("k"), col("source").as("g"),
+        col("n_chars").cast("bigint").as("v"))
+    def landKeyed(i: Int): Unit =
+      keyed.filter(pmod(col("k"), lit(2)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$root/epoch_in")
+    def startEpoch() = graft.streaming.EpochStream(Seq("k"))
+      .start(spark, s"$root/epoch_in", keyed.schema, s"$root/epoch_store")
 
     // phase 1 of every stream lands; all six run CONCURRENTLY, all
     // six are killed mid-stream
     landDocs(0); landVecs(0)
     landHalf(toks, 0, s"$root/freq_in"); landHalf(lens, 0, s"$root/hist_in")
-    landHalf(toks, 0, s"$root/kmv_in")
+    landHalf(toks, 0, s"$root/kmv_in"); landKeyed(0)
     val r1 = refresh.start(spark, s"$root/landing_docs", docs.schema, emb, root)
     val i1 = index.start(spark, s"$root/landing_vecs", emb.schema, root)
     val l1 = lm.start(spark, s"$root/landing_docs", docs.schema, root)
     val f1 = startFreq(); val h1 = startHist(); val s1 = startKmv()
-    Seq(r1, i1, l1, f1, h1, s1).foreach(_.processAllAvailable())
-    Seq(r1, i1, l1, f1, h1, s1).foreach(_.stop())
-    // resume all six from their checkpoints, land phase 2, drain
+    val e1 = startEpoch()
+    Seq(r1, i1, l1, f1, h1, s1, e1).foreach(_.processAllAvailable())
+    // the follower catches up mid-matrix, then its instance dies
+    graft.streaming.ViewStream(Seq("g"), "v", "sum")
+      .catchUp(spark, s"$root/epoch_store", s"$root/view_store")
+    Seq(r1, i1, l1, f1, h1, s1, e1).foreach(_.stop())
+    // resume all seven from their checkpoints, land phase 2, drain
     val r2 = refresh.start(spark, s"$root/landing_docs", docs.schema, emb, root)
     val i2 = index.start(spark, s"$root/landing_vecs", emb.schema, root)
     val l2 = lm.start(spark, s"$root/landing_docs", docs.schema, root)
     val f2 = startFreq(); val h2 = startHist(); val s2 = startKmv()
+    val e2 = startEpoch()
     landDocs(1); landVecs(1)
     landHalf(toks, 1, s"$root/freq_in"); landHalf(lens, 1, s"$root/hist_in")
-    landHalf(toks, 1, s"$root/kmv_in")
-    Seq(r2, i2, l2, f2, h2, s2).foreach(_.processAllAvailable())
-    Seq(r2, i2, l2, f2, h2, s2).foreach(_.stop())
+    landHalf(toks, 1, s"$root/kmv_in"); landKeyed(1)
+    Seq(r2, i2, l2, f2, h2, s2, e2).foreach(_.processAllAvailable())
+    Seq(r2, i2, l2, f2, h2, s2, e2).foreach(_.stop())
+    // a FRESH follower instance resumes from the src tags alone
+    graft.streaming.ViewStream(Seq("g"), "v", "sum")
+      .catchUp(spark, s"$root/epoch_store", s"$root/view_store")
 
     // refresh family == one-shot q110 composition
     val accepted = refresh.accepted(spark, root)
@@ -553,6 +573,26 @@ class MaintainerMatrixSpec extends SparkSpec {
     val wantLm = ops.CorpusSignals.lmRawCounts(docs, col("text"), 3)
       .as[(String, String, Long)].collect().toSeq.sorted
     assert(gotLm == wantLm && gotLm.nonEmpty)
+
+    // view follower (VERSIONED view over the VERSIONED epoch store)
+    // == one-shot aggregate; one view epoch per source epoch; a
+    // replayed catch-up is a no-op (the src-tag fence)
+    val srcEpochs = graft.sinks.VersionedStore
+      .currentEpoch(s"$root/epoch_store")
+    assert(srcEpochs == 2L, s"two landings, two source epochs: $srcEpochs")
+    assert(graft.sinks.VersionedStore.currentEpoch(s"$root/view_store")
+      == srcEpochs, "view lineage must pair one view epoch per source epoch")
+    graft.streaming.ViewStream(Seq("g"), "v", "sum")
+      .catchUp(spark, s"$root/epoch_store", s"$root/view_store")
+    assert(graft.sinks.VersionedStore.currentEpoch(s"$root/view_store")
+      == srcEpochs, "replayed catch-up must commit nothing")
+    val gotView = graft.sinks.VersionedStore
+      .read(spark, s"$root/view_store")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val wantView = keyed.groupBy("g")
+      .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n_rows"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(gotView == wantView && gotView.nonEmpty)
   }
 }
 

@@ -3,58 +3,62 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Throwaway probe main (test scope) — rewritten per verify wave.
-  * Wave: typed zero-job lookup, delete type cast, restore guard,
-  * fold-forward history, null-safe view refresh. */
+  * Wave: merge-on-read store + compaction + timestamps, ViewStream
+  * follower, alternate connector backends, manifest lineage. */
 object VerifyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
     import spark.implicits._
     import graft.sinks.VersionedStore
 
-    val root = java.nio.file.Files.createTempDirectory("probe_w1")
+    // --- merge-on-read end to end: delta commits, chain reads,
+    // timestamp travel, compaction as a content no-op
+    val root = java.nio.file.Files.createTempDirectory("probe_mor")
       .toString + "/store"
-    VersionedStore.upsert(
-      (1L to 40L).map(k => (k, k * 10)).toDF("k", "v"), Seq("k"), root)
-    VersionedStore.upsert(
-      (30L to 45L).map(k => (k, k * 10 + 1)).toDF("k", "v"), Seq("k"), root)
-
-    // Int-typed probe against the BIGINT store finds rows
-    val got = VersionedStore.lookup(spark, root, Seq(1, 30).toDF("k"))
-      .as[(Long, Long)].collect().toSeq.sorted
-    assert(got == Seq((1L, 10L), (30L, 301L)), s"typed lookup: $got")
-    // pushed-down literal predicate visible in the plan
-    val plan = VersionedStore.lookup(spark, root, Seq(1L).toDF("k"))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && !plan.contains("Exchange"),
-      s"lookup plan must be a pruned pushdown scan:\n$plan")
-
-    // Int-typed delete hits; history serves per-epoch counts
-    VersionedStore.delete(Seq(30).toDF("k"), root)
+    VersionedStore.deltaUpsert((1L to 30L).map(k => (k, k * 10))
+      .toDF("k", "v"), Seq("k"), root, nBuckets = 4, tsMillis = 1000L)
+    VersionedStore.deltaApply(Seq((2L, 99L, "upsert"), (3L, 0L, "delete"),
+        (999L, 0L, "delete")).toDF("k", "v", "op"),
+      Seq("k"), root, "op", tsMillis = 2000L)
+    val cur = VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toMap
+    assert(cur.size == 29 && cur(2L) == 99L && !cur.contains(3L),
+      s"MOR resolution: ${cur.size} rows")
+    assert(VersionedStore.readAsOfTimestamp(spark, root, 1500L)
+      .count() == 30L, "timestamp travel to the first delta epoch")
+    val ce = VersionedStore.compact(spark, root, tsMillis = 3000L)
+    assert(ce == 3L && VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toMap == cur, "compaction must be a content no-op")
     val h = VersionedStore.history(spark, root)
-      .orderBy("epoch").collect().map(r => (r.getLong(0), r.getLong(2)))
-    assert(h.toSeq == Seq((1L, 40L), (2L, 45L), (3L, 44L)),
-      s"history: ${h.mkString(",")}")
+      .select("epoch", "n_rows").as[(Long, Long)].collect().toMap
+    assert(h == Map(1L -> 30L, 2L -> 29L, 3L -> 29L), s"MOR history: $h")
 
-    // restore guard
-    val ex = try { VersionedStore.restore(spark, root, 99L); "" }
-    catch { case e: IllegalArgumentException => e.getMessage }
-    assert(ex.contains("beyond current epoch"), s"guard: $ex")
+    // --- ViewStream follower over the MOR store
+    val viewRoot = root + "_view"
+    val f = graft.streaming.ViewStream(Seq("g"), "v", "sum")
+    val src2 = root + "_src2"
+    VersionedStore.upsert(Seq((1L, "a", 1L), (2L, "b", 2L))
+      .toDF("k", "g", "v"), Seq("k"), src2)
+    VersionedStore.delete(Seq(2L).toDF("k"), src2)
+    f.catchUp(spark, src2, viewRoot)
+    val view = VersionedStore.read(spark, viewRoot)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(view == Seq(("a", 1L, 1L)), s"follower view: $view")
 
-    // null-safe sum view refresh over a null group
-    val r2 = java.nio.file.Files.createTempDirectory("probe_w1b")
-      .toString + "/store"
-    VersionedStore.upsert(Seq[(Long, Option[String], Long)](
-      (1L, None, 5L), (2L, Some("a"), 2L)).toDF("k", "g", "v"), Seq("k"), r2)
-    VersionedStore.upsert(Seq[(Long, Option[String], Long)](
-      (3L, None, 7L)).toDF("k", "g", "v"), Seq("k"), r2)
-    val v1 = graft.ops.MaterializedView.sumView(
-      VersionedStore.readAsOf(spark, r2, 1L), Seq("g"), col("v"))
-    val ref = graft.ops.MaterializedView.refreshSum(v1,
-      VersionedStore.changelog(spark, r2, 1L, 2L, images = true),
-      Seq("g"), "v").collect()
-    assert(ref.length == 2 &&
-      ref.exists(r => r.isNullAt(0) && r.getLong(1) == 12L && r.getLong(2) == 2L),
-      s"null group must merge: ${ref.mkString(",")}")
+    // --- alternate backends honor the same contracts
+    val ks = graft.connectors.VersionedKeyedStore(root + "_ks")
+    assert(ks.read(spark).isEmpty)
+    ks.upsert(Seq((1L, "x")).toDF("k", "v"), Seq("k"))
+    ks.upsert(Seq((1L, "y")).toDF("k", "v"), Seq("k"))
+    assert(ks.read(spark).get.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "y")))
+
+    // --- manifest lineage columns resolve (fixture-backed)
+    val card = Queries.all("q209_release_manifest")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(card.nonEmpty && card.forall(r =>
+      r.getAs[Long]("kmv_epoch") == 1L && !r.isNullAt(
+        r.fieldIndex("counts_sig"))), "lineage columns must be present")
 
     println("PROBE OK: " + java.lang.Long.toString(100L + 23L))
     spark.stop()

@@ -264,6 +264,7 @@ class VersionedStoreSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     val hist = try {
       val h = VersionedStore.history(spark, root)
+        .select("epoch", "kind", "n_rows")
         .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
       org.apache.spark.GraftTestBus.drain(spark.sparkContext)
       h
@@ -282,6 +283,7 @@ class VersionedStoreSpec extends SparkSpec {
     // below-watermark epochs that survive in the checkpoint report null
     VersionedStore.vacuum(root, retainAsOf = 3L)
     val post = VersionedStore.history(spark, root)
+      .select("epoch", "kind", "n_rows")
       .as[(Long, String, Option[Long])].collect().toSeq.sortBy(_._1)
     assert(post.map(r => (r._1, r._3.isDefined)).forall {
       case (e, defined) => defined == (e >= 3L)
@@ -544,7 +546,7 @@ class VersionedStoreSpec extends SparkSpec {
       .set("fs.probe.impl", classOf[CountingFs].getName)
     CountingFs.reset()
     val h = VersionedStore.history(spark, "probe:" + root).collect()
-    assert(h.length == 24 && h.forall(_.getLong(2) > 0))
+    assert(h.length == 24 && h.forall(r => !r.isNullAt(3) && r.getLong(3) > 0))
     val probes = CountingFs.statusCalls.get() + CountingFs.opens.get()
     // a small constant per generation (exists x2, list, footer open)
     // plus the root listings — NEVER per (epoch x bucket): the old
