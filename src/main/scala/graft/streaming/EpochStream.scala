@@ -44,7 +44,10 @@ import graft.sinks.VersionedStore
 final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8,
                              opCol: Option[String] = None,
                              evolve: Boolean = false,
-                             delta: Boolean = false) {
+                             delta: Boolean = false,
+                             compactEvery: Int = 0) {
+  require(compactEvery == 0 || delta,
+    "compactEvery is a merge-on-read policy; set delta = true")
 
   /** Land one micro-batch as one epoch; replays are no-ops. Public so
     * the kill/resume spec can drive batches without a stream. With
@@ -71,6 +74,13 @@ final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8,
         VersionedStore.deltaUpsert(batch, keyCols, root, nBuckets, tag = tag,
           evolve = evolve)
     }
+    // inline compaction policy (Hudi's max-delta-commits): bound every
+    // bucket's chain so read cost stays flat under an endless CDC
+    // stream. Crash-safe without a tag: compaction is a content no-op,
+    // so a replayed batch that re-triggers it just finds short chains
+    // and commits nothing.
+    if (delta && compactEvery > 0)
+      VersionedStore.compactIfNeeded(batch.sparkSession, root, compactEvery)
   }
 
   /** Start the landing-queue consumer: one micro-batch per landing

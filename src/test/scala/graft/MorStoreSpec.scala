@@ -195,6 +195,16 @@ class MorStoreSpec extends SparkSpec {
     assert(VersionedStore.restore(spark, root, 1L) == 4L)
     assert(snap(root, 4L) == (1L to 20L).map(k => (k, k)).sorted)
     assert(snap(root, 3L) != snap(root, 4L)) // history intact
+    // delta-mode restore: same rollback algebra, committed as a
+    // merge-on-read epoch (no bucket rewrite)
+    val root2 = tmpDir("mor_restore_d") + "/store"
+    VersionedStore.upsert((1L to 20L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), root2, nBuckets = 4)
+    VersionedStore.deltaApply(cdc(Seq((1L, 100L, "upsert"), (2L, 0L, "delete"))),
+      Seq("k"), root2, "op")
+    assert(VersionedStore.restore(spark, root2, 1L, delta = true) == 3L)
+    assert(VersionedStore.commits(root2).last.kind == "dapply")
+    assert(snap(root2, 3L) == (1L to 20L).map(k => (k, k)).sorted)
   }
 
   test("history on a delta'd store: exact live counts from ONE event-fold job") {
@@ -248,6 +258,37 @@ class MorStoreSpec extends SparkSpec {
     val r = VersionedStore.vacuumOlderThan(root, 1999L)
     assert(r.watermark == 1L)
     assert(snap(root, 1L) == Seq((1L, 10L)))
+  }
+
+  test("inline compaction policy bounds every chain under a delta stream") {
+    val root = tmpDir("mor_policy") + "/store"
+    val es = graft.streaming.EpochStream(Seq("k"), nBuckets = 2,
+      delta = true, compactEvery = 2)
+    // six delta batches over two hot buckets: without the policy the
+    // chains would grow to 6; the policy folds a bucket whenever its
+    // chain reaches 2 deltas, so no SERVING chain ever exceeds 2
+    (0 until 6).foreach { i =>
+      es.processBatch(Seq((i.toLong % 4, i.toLong)).toDF("k", "v"),
+        i.toLong, root)
+      val chains = VersionedStore.commits(root)
+        .foldLeft(Map.empty[Int, Int]) { (m, c) =>
+          val d = c.kind.startsWith("dapply")
+          c.buckets.foldLeft(m)((mm, b) =>
+            mm + (b -> (if (d) mm.getOrElse(b, 0) + 1 else 0)))
+        }
+      assert(chains.values.forall(_ <= 2),
+        s"policy must bound chains at 2 deltas: $chains after batch $i")
+    }
+    // content is untouched by the interleaved compactions, and a
+    // replayed batch skips on its tag even though compaction epochs
+    // advanced the log
+    val want = Map(0L -> 4L, 1L -> 5L, 2L -> 2L, 3L -> 3L)
+    assert(VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toMap == want)
+    val cur = VersionedStore.currentEpoch(root)
+    es.processBatch(Seq((99L, 99L)).toDF("k", "v"), 3L, root) // replay
+    assert(VersionedStore.currentEpoch(root) == cur,
+      "a replayed batch id must commit nothing")
   }
 
   test("exportSnapshot materializes delta'd buckets, byte-copies the rest") {

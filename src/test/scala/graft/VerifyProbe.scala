@@ -60,6 +60,30 @@ object VerifyProbe {
       r.getAs[Long]("kmv_epoch") == 1L && !r.isNullAt(
         r.fieldIndex("counts_sig"))), "lineage columns must be present")
 
+    // --- delta-mode restore + inline compaction policy
+    val r3 = java.nio.file.Files.createTempDirectory("probe_mor2")
+      .toString + "/store"
+    val es = graft.streaming.EpochStream(Seq("k"), nBuckets = 2,
+      delta = true, compactEvery = 2)
+    (0 until 5).foreach { i =>
+      es.processBatch(Seq((i.toLong % 3, i.toLong)).toDF("k", "v"),
+        i.toLong, r3)
+    }
+    assert(VersionedStore.read(spark, r3).as[(Long, Long)].collect()
+      .toMap == Map(0L -> 3L, 1L -> 4L, 2L -> 2L), "policy stream content")
+    assert(VersionedStore.commits(r3).exists(_.kind == "compact"),
+      "the policy must have fired at least one compaction")
+    val before = VersionedStore.currentEpoch(r3)
+    VersionedStore.restore(spark, r3, 2L, delta = true)
+    assert(VersionedStore.commits(r3).last.kind == "dapply",
+      "delta-mode restore must commit merge-on-read")
+    assert(VersionedStore.read(spark, r3).collect().toSeq.sorted(
+        Ordering.by((r: org.apache.spark.sql.Row) => r.getLong(0))) ==
+      VersionedStore.readAsOf(spark, r3, 2L).collect().toSeq.sorted(
+        Ordering.by((r: org.apache.spark.sql.Row) => r.getLong(0))),
+      "restore target parity")
+    assert(VersionedStore.currentEpoch(r3) == before + 1)
+
     println("PROBE OK: " + java.lang.Long.toString(100L + 23L))
     spark.stop()
   }
