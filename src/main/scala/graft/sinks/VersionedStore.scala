@@ -403,7 +403,8 @@ object VersionedStore {
     val targetCols = StructType.fromDDL(targetDdl).fieldNames.toSeq
     val out = mat.select(targetCols.map(col) ++
       Seq(col(opCol).cast(StringType).as(OpField), col("_bucket")): _*)
-    stageAndPromote(spark, fs, dir, out, touched, epoch)
+    stageAndPromote(spark, fs, dir, out, touched, epoch, keyCols,
+      bloom = false)
     writeCommit(fs, dir, Commit(epoch,
       "dapply" + (if (tag.nonEmpty) s"@$tag" else ""), touched,
       stampOf(tsMillis, committed)))
@@ -449,7 +450,8 @@ object VersionedStore {
     val touched = cand.keys.toSeq.sorted
     val merged = readChains(spark, keyCols, ddl, cand.values)
       .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(n)))
-    stageAndPromote(spark, fs, dir, merged, touched, epoch)
+    stageAndPromote(spark, fs, dir, merged, touched, epoch, keyCols,
+      bloom = true)
     writeCommit(fs, dir,
       Commit(epoch, "compact", touched, stampOf(tsMillis, committed)))
     epoch
@@ -568,11 +570,33 @@ object VersionedStore {
     * generation (metadata only). `frame` must carry `_bucket`. */
   private def stageAndPromote(spark: SparkSession, fs: FileSystem, dir: Path,
                               frame: DataFrame, touched: Seq[Int],
-                              epoch: Long): Unit = {
+                              epoch: Long, keyCols: Seq[String],
+                              bloom: Boolean): Unit = {
     val staging = new Path(dir, ".epoch-staging")
     fs.delete(staging, true)
-    frame.repartition(touched.length, col("_bucket"))
-      .write.partitionBy("_bucket").parquet(staging.toString)
+    // parquet BLOOM FILTERS on the key columns of BASE generations:
+    // [[lookup]] pushes a literal key predicate into the scan, and
+    // with blooms a row group whose min/max straddles the probe key
+    // (hash-distributed keys always straddle) is still SKIPPED unless
+    // the key is plausibly present — at 100 TB this is the difference
+    // between decoding a whole bucket and touching ~no pages for an
+    // absent key (VersionedStoreSpec pins the footer metadata).
+    // DELTA generations skip blooms deliberately: they are
+    // batch-sized and short-lived (compaction folds them into a
+    // bloom'd base), and even an adaptively-sized filter is a
+    // multiple of a small delta file — the exact byte amplification
+    // merge-on-read exists to kill (ScalingProbe pins the ratio).
+    // Adaptive sizing caps the base-side cost: without it parquet
+    // allocates the 1 MB default per column chunk.
+    val base = frame.repartition(touched.length, col("_bucket")).write
+    val writer =
+      if (!bloom) base
+      else keyCols.foldLeft(
+          base.option("parquet.bloom.filter.adaptive.enabled", "true")
+            .option("parquet.bloom.filter.max.bytes", (64 * 1024).toString)) {
+        (w, kc) => w.option(s"parquet.bloom.filter.enabled#$kc", "true")
+      }
+    writer.partitionBy("_bucket").parquet(staging.toString)
     touched.foreach { b =>
       val gen = new Path(dir, s"${bucketName(b)}/${genName(epoch)}")
       fs.delete(gen, true) // a crashed writer's leftovers for THIS epoch
@@ -721,7 +745,8 @@ object VersionedStore {
         upserts
     }
 
-    stageAndPromote(spark, fs, dir, merged, touched, epoch)
+    stageAndPromote(spark, fs, dir, merged, touched, epoch, keyCols,
+      bloom = true)
     // the transaction point: before this rename the epoch is invisible
     val kind = (if (opCol.isDefined) "apply"
                 else if (delete) "delete" else "upsert") +
@@ -817,21 +842,31 @@ object VersionedStore {
     * dropped — one hash-partitioned window over ONLY the delta'd
     * buckets' rows, never the store. */
   private def readChains(spark: SparkSession, keyCols: Seq[String],
-                         ddl: String, chains: Iterable[Chain]): DataFrame = {
+                         ddl: String, chains: Iterable[Chain],
+                         keyFilter: Option[Column] = None): DataFrame = {
     val target = StructType.fromDDL(ddl)
     val plainPaths =
       chains.filter(_.isPlain).flatMap(_.base.flatMap(_._2)).toSeq.sorted
     val morChains = chains.filterNot(_.isPlain).toSeq
+    def filtered(df: DataFrame): DataFrame =
+      keyFilter.map(df.filter).getOrElse(df)
     val plain =
       if (plainPaths.isEmpty) None
-      else Some(spark.read.schema(target).parquet(plainPaths: _*))
+      else Some(filtered(spark.read.schema(target).parquet(plainPaths: _*)))
     val mor =
       if (morChains.isEmpty) None
       else {
         val paths = morChains.flatMap(_.paths).sorted
         val withOp =
           StructType(target.fields :+ StructField(OpField, StringType))
-        val scan = spark.read.schema(withOp).parquet(paths: _*)
+        // the key predicate (a point lookup's) is applied to the RAW
+        // scan: the `_gen_epoch` projection below uses
+        // input_file_name(), which is nondeterministic, so the
+        // optimizer will NOT push a later filter through it — applied
+        // here it reaches PushedFilters (row-group stats + bloom
+        // skipping), and it commutes with newest-wins resolution
+        // because it constrains exactly the window's partition keys
+        val scan = filtered(spark.read.schema(withOp).parquet(paths: _*))
           .withColumn("_gen_epoch",
             regexp_extract(input_file_name(), "/g(\\d{7})/", 1).cast("long"))
         val w = Window.partitionBy(keyCols.map(col): _*)
@@ -937,17 +972,19 @@ object VersionedStore {
       .values.filter(_.paths.nonEmpty)
     if (chains.isEmpty) emptyFrameOf(spark, ddl)
     else {
-      val resolved = readChains(spark, keyCols, ddl, chains)
       if (keyRows.length <= 1000) {
-        // literal key predicate: pushes to the parquet scan (an In
-        // filter prunes row groups) and a compacted-bucket lookup is
-        // ONE job — no broadcast side, no discovery job (spec-pinned)
+        // literal key predicate: pushes to the parquet scan (In/bloom
+        // row-group pruning) and a compacted-bucket lookup is ONE job
+        // — no broadcast side, no discovery job (spec-pinned). The
+        // predicate is injected BELOW the chain-resolution projection
+        // so it reaches the scan on MOR chains too.
         val wanted = keyRows.toSeq.map { r =>
           keyFields.indices.map(i => col(keyCols(i)) <=> lit(r.get(i)))
             .reduce(_ && _)
         }.reduce(_ || _)
-        resolved.filter(wanted)
+        readChains(spark, keyCols, ddl, chains, keyFilter = Some(wanted))
       } else {
+        val resolved = readChains(spark, keyCols, ddl, chains)
         // a very large batch-get: a literal predicate would bloat the
         // plan, so ship the keys as a broadcast semi-join instead
         val wantedLocal = spark.createDataFrame(

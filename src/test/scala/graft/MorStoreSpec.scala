@@ -78,6 +78,14 @@ class MorStoreSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSeq.sorted
       assert(a == b, s"lookup@$e diverged between layouts")
     }
+    // the lookup key predicate pushes BELOW the chain-resolution
+    // window (it constrains the window's own partition keys) all the
+    // way into the parquet scan — a MOR point get never decodes the
+    // bucket's full chain
+    val lkPlan = VersionedStore.lookup(spark, mor, Seq(10L).toDF("k"))
+      .queryExecution.executedPlan.toString
+    assert(lkPlan.contains("PushedFilters: [EqualNullSafe(k,10)"),
+      s"key predicate must reach the scan below the window:\n$lkPlan")
   }
 
   test("a delta epoch appends only the batch; compaction folds the chain") {

@@ -757,6 +757,7 @@ object ScalingProbe {
         .select(col("l_orderkey").as("k1"), col("l_linenumber").as("k2"),
           floor(col("l_extendedprice")).cast("bigint").as("v"))
         .groupBy("k1", "k2").agg(max("v").as("v"))
+        .withColumn("g", pmod(col("k1"), lit(97)))
       val root = java.nio.file.Files.createTempDirectory("probe_vstore6")
         .toString + "/store"
       sinks.VersionedStore.upsert(li, Seq("k1", "k2"), root, nBuckets = 64)
@@ -799,6 +800,28 @@ object ScalingProbe {
         f"cowRewriteBytes=$baseBytes " +
         f"amplificationAvoided=${baseBytes.toDouble / math.max(1L, deltaBytes)}%.0fx " +
         "(delta commit = batch bytes; compact restores plain serving)")
+
+      // the view FOLLOWER's per-epoch write is O(changed groups): the
+      // 10-row delta batch touches ≤ 10 of the 97 groups, so the view
+      // store's own CDC across that fold is bounded by the batch's
+      // group set — never a view rewrite (97 rows would already be 5x
+      // the bound here; at 100 TB the view is millions of groups and
+      // the batch still bounds the write)
+      val viewRoot = root + "_view"
+      val follower = graft.streaming.ViewStream(Seq("g"), "v", "sum")
+      follower.catchUp(spark, root, viewRoot)
+      val viewEpochs = sinks.VersionedStore.currentEpoch(viewRoot)
+      assert(viewEpochs == 2L, // bootstrap@1 + one fold@2; compact is a no-op
+        s"follower must commit one view epoch per moving source epoch: $viewEpochs")
+      val batchGroups = batch.select("g").distinct().count()
+      val viewCdc = sinks.VersionedStore
+        .changelog(spark, viewRoot, 1L, 2L).count()
+      assert(viewCdc <= 2L * batchGroups,
+        s"view fold must write O(changed groups): $viewCdc vs $batchGroups")
+      assert(sinks.VersionedStore.read(spark, viewRoot).count() == 97L)
+      println(s"VSTORE_VIEW groups=97 batchGroups=$batchGroups " +
+        s"viewCdcRows=$viewCdc (follower writes scale with the batch's " +
+        "group set, not the view)")
     }
 
     println("PROBE_OK")

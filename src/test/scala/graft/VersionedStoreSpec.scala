@@ -516,6 +516,31 @@ class VersionedStoreSpec extends SparkSpec {
       s"lookup must cost exactly the pruned read, got ${jobs.get()} jobs")
   }
 
+  test("generation files carry parquet bloom filters on the KEY columns only") {
+    val root = tmpDir("vstore_bloom") + "/store"
+    VersionedStore.upsert(rows(1L to 200L, _ * 10), Seq("k"), root,
+      nBuckets = 4)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new Path(root, "b*/g0000001/*.parquet"))
+      .head.getPath
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part,
+        fs.getConf))
+    val byName = try {
+      import scala.jdk.CollectionConverters._
+      rdr.getFooter.getBlocks.get(0).getColumns.asScala
+        .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+    } finally rdr.close()
+    // a pushed key predicate can then SKIP row groups whose min/max
+    // straddle the probe (hash-distributed keys always straddle) —
+    // the absent-key point get touches ~no pages at any store size
+    assert(byName("k") >= 0, s"key column must carry a bloom filter: $byName")
+    assert(byName("v") < 0, "value columns must not pay bloom overhead")
+    assert(VersionedStore.lookup(spark, root, Seq(5L, 9999L).toDF("k"))
+      .as[(Long, Long)].collect().toSeq == Seq((5L, 50L)))
+  }
+
   test("restore beyond the current epoch fails fast with a clear guard") {
     val root = tmpDir("vstore_restore_guard") + "/store"
     build(root)
