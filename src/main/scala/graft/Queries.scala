@@ -8450,30 +8450,31 @@ object Queries {
     * per source epoch, and a second catch-up commits nothing. The
     * oracle aggregates the final snapshot from scratch. */
   private def qViewMaintainer(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "supplier").select(
-      col("s_suppkey").cast("bigint").as("k"),
-      floor(col("s_acctbal")).cast("bigint").as("v"),
-      col("s_nationkey").cast("bigint").as("nat"))
-    val work = java.nio.file.Files.createTempDirectory("graft_q218")
-    try {
-      val store = s"$work/store"
-      val view = s"$work/view"
+    val fix = fixPath("view_sum", dir)
+    val store = s"$fix/store"
+    val view = s"$fix/view"
+    val vs = graft.sinks.VersionedStore
+    val follower = graft.streaming.ViewStream(Seq("nat"), "v", "sum")
+    if (vs.currentEpoch(store) != 3L || vs.currentEpoch(view) != 3L) {
+      deleteTree(fix)
+      val base = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("bigint").as("k"),
+        floor(col("s_acctbal")).cast("bigint").as("v"),
+        col("s_nationkey").cast("bigint").as("nat"))
       graft.streaming.EpochStream.replay(s,
         Seq(base.filter(col("k") % 4 =!= 0),
           base.filter(col("k") % 3 === 0).withColumn("v", col("v") + 100L),
           base.filter(col("k") % 7 === 0).withColumn("v", col("v") + 1000L)),
-        Seq("k"), work.toString, store)
-      val follower = graft.streaming.ViewStream(Seq("nat"), "v", "sum")
+        Seq("k"), fix, store)
       require(follower.catchUp(s, store, view) == 3L)
-      val vs = graft.sinks.VersionedStore
-      require(vs.currentEpoch(view) == 3L,
-        "one view epoch per source epoch (lineage = src tags)")
-      require(follower.lastApplied(view) == 3L)
-      follower.catchUp(s, store, view) // replay fence: a no-op
-      require(vs.currentEpoch(view) == 3L,
-        "a second catch-up must commit nothing")
-      vs.read(s, view).orderBy("nat").localCheckpoint()
-    } finally deleteRecursively(work)
+    }
+    require(vs.currentEpoch(view) == 3L,
+      "one view epoch per source epoch (lineage = src tags)")
+    require(follower.lastApplied(view) == 3L)
+    follower.catchUp(s, store, view) // replay fence: a no-op
+    require(vs.currentEpoch(view) == 3L,
+      "a second catch-up must commit nothing")
+    vs.read(s, view).orderBy("nat")
   }
 
   private val oViewMaintainer = oStreamView // same final aggregate
@@ -8489,14 +8490,17 @@ object Queries {
     * The oracle rebuilds min/max/count per group over the final
     * snapshot from scratch. */
   private def qMinMaxFollower(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "supplier").select(
-      col("s_suppkey").cast("bigint").as("k"),
-      floor(col("s_acctbal")).cast("bigint").as("v"),
-      col("s_nationkey").cast("bigint").as("nat"))
-    val work = java.nio.file.Files.createTempDirectory("graft_q219")
-    try {
-      val store = s"$work/store"
-      val view = s"$work/view"
+    val fix = fixPath("view_minmax", dir)
+    val store = s"$fix/store"
+    val view = s"$fix/view"
+    val vs = graft.sinks.VersionedStore
+    val follower = graft.streaming.ViewStream(Seq("nat"), "v", "minmax")
+    if (vs.currentEpoch(store) != 4L || follower.lastApplied(view) != 4L) {
+      deleteTree(fix)
+      val base = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("bigint").as("k"),
+        floor(col("s_acctbal")).cast("bigint").as("v"),
+        col("s_nationkey").cast("bigint").as("nat"))
       graft.streaming.EpochStream.replay(s,
         Seq(
           base.filter(col("k") % 4 =!= 0).withColumn("op", lit("upsert")),
@@ -8505,13 +8509,11 @@ object Queries {
           base.filter(col("k") % 5 === 0).withColumn("op", lit("delete")),
           base.filter(col("k") % 7 === 0).withColumn("v", col("v") + 1000L)
             .withColumn("op", lit("upsert"))),
-        Seq("k"), work.toString, store, opCol = Some("op"))
-      val follower = graft.streaming.ViewStream(Seq("nat"), "v", "minmax")
+        Seq("k"), fix, store, opCol = Some("op"))
       require(follower.catchUp(s, store, view) == 4L)
-      require(follower.lastApplied(view) == 4L)
-      graft.sinks.VersionedStore.read(s, view).orderBy("nat")
-        .localCheckpoint()
-    } finally deleteRecursively(work)
+    }
+    require(follower.lastApplied(view) == 4L)
+    vs.read(s, view).orderBy("nat")
   }
 
   private val oMinMaxFollower =
@@ -8534,15 +8536,18 @@ object Queries {
     * a per-group count of non-null new-column rows, so the oracle
     * checks drift-carrying and aggregation in one result. */
   private def qEvolveStream(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "supplier").select(
-      col("s_suppkey").cast("bigint").as("k"),
-      floor(col("s_acctbal")).cast("bigint").as("v"),
-      col("s_nationkey").cast("bigint").as("nat"))
-    val work = java.nio.file.Files.createTempDirectory("graft_q220")
-    try {
-      val store = s"$work/store"
-      val view = s"$work/view"
-      val inDir = s"$work/in"
+    val fix = fixPath("view_evolve", dir)
+    val store = s"$fix/store"
+    val view = s"$fix/view"
+    val vs = graft.sinks.VersionedStore
+    val follower = graft.streaming.ViewStream(Seq("nat"), "v", "sum")
+    if (vs.currentEpoch(store) != 2L || follower.lastApplied(view) != 2L) {
+      deleteTree(fix)
+      val base = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("bigint").as("k"),
+        floor(col("s_acctbal")).cast("bigint").as("v"),
+        col("s_nationkey").cast("bigint").as("nat"))
+      val inDir = s"$fix/in"
       // phase 1: the original producer shape
       base.filter(col("k") % 2 === 1).coalesce(1).write.parquet(inDir)
       val q = graft.streaming.EpochStream(Seq("k"), evolve = true)
@@ -8563,19 +8568,17 @@ object Queries {
         q2.processAllAvailable()
         q2.stop()
       } catch { case e: Throwable => q2.stop(); throw e }
-      val vs = graft.sinks.VersionedStore
-      require(vs.currentEpoch(store) == 2L, "two phases, two epochs")
-      require(org.apache.spark.sql.types.StructType
-          .fromDDL(vs.schemaAsOf(store, 1L)).fieldNames.toSeq ==
-          Seq("k", "v", "nat"),
-        "the pre-evolution snapshot must keep the old shape")
-      val follower = graft.streaming.ViewStream(Seq("nat"), "v", "sum")
       require(follower.catchUp(s, store, view) == 2L)
-      val cats = vs.read(s, store).groupBy("nat")
-        .agg(count(col("cat")).as("n_cat"))
-      vs.read(s, view).join(cats, Seq("nat"))
-        .orderBy("nat").localCheckpoint()
-    } finally deleteRecursively(work)
+    }
+    require(vs.currentEpoch(store) == 2L, "two phases, two epochs")
+    require(org.apache.spark.sql.types.StructType
+        .fromDDL(vs.schemaAsOf(store, 1L)).fieldNames.toSeq ==
+        Seq("k", "v", "nat"),
+      "the pre-evolution snapshot must keep the old shape")
+    require(follower.lastApplied(view) == 2L)
+    val cats = vs.read(s, store).groupBy("nat")
+      .agg(count(col("cat")).as("n_cat"))
+    vs.read(s, view).join(cats, Seq("nat")).orderBy("nat")
   }
 
   private val oEvolveStream =

@@ -224,14 +224,27 @@ object VersionedStore {
         requested
     }
 
-  /** The transaction point: a create-only marker rename. `replace =
-    * false` means an existing `_commit-E` (a racing writer) is left
-    * alone — but under the single-writer contract the epoch was chosen
-    * past the newest commit, so the target never pre-exists. */
-  private def writeCommit(fs: FileSystem, dir: Path, c: Commit): Unit =
-    writeMarker(fs, new Path(dir, f"_commit-${c.epoch}%07d"),
+  /** The transaction point: a create-only marker rename, and the
+    * OPTIMISTIC-CONCURRENCY fence. The store is single-writer by
+    * contract, but a contract violation must be LOUD: if another
+    * writer already committed this epoch number, silently skipping
+    * the marker would orphan this writer's generations while it
+    * believes it committed — a lost update. `writeMarker(replace =
+    * false)` short-circuits on an existing target, so the fence
+    * checks first and fails fast with a conflict error (Delta's
+    * ConcurrentWriteException posture; the residual window is the
+    * marker rename itself, which does not overwrite). */
+  private[graft] def writeCommit(fs: FileSystem, dir: Path, c: Commit): Unit = {
+    val target = new Path(dir, f"_commit-${c.epoch}%07d")
+    if (fs.exists(target))
+      sys.error(s"concurrent writer conflict: epoch ${c.epoch} was " +
+        s"committed by another writer while this one staged ($target) — " +
+        "the store is single-writer; this commit is rolled back " +
+        "(its generations are invisible and the next vacuum sweeps them)")
+    writeMarker(fs, target,
       s"${c.kind};${c.buckets.sorted.mkString(",")};${c.tsMillis}",
       replace = false)
+  }
 
   /** The epoch's commit stamp: the caller's injected clock (tests and
     * the oracle pass fixed values so nothing downstream depends on
@@ -588,7 +601,19 @@ object VersionedStore {
     // merge-on-read exists to kill (ScalingProbe pins the ratio).
     // Adaptive sizing caps the base-side cost: without it parquet
     // allocates the 1 MB default per column chunk.
-    val base = frame.repartition(touched.length, col("_bucket")).write
+    // base generations are additionally KEY-CLUSTERED within each
+    // file (sortWithinPartitions — no extra shuffle on top of the
+    // explicit repartition): row-group min/max on the key columns
+    // become tight ranges instead of the whole hash domain, so the
+    // pushed key predicate prunes by statistics even before blooms,
+    // and key-run compression improves. Deltas stay write-cheap.
+    // _bucket leads the sort so the dynamic-partition writer's
+    // required ordering is already satisfied (it would otherwise
+    // re-sort by _bucket and scramble the key clustering)
+    val shaped = frame.repartition(touched.length, col("_bucket"))
+    val base = (if (bloom) shaped.sortWithinPartitions(
+                  col("_bucket") +: keyCols.map(col): _*)
+                else shaped).write
     val writer =
       if (!bloom) base
       else keyCols.foldLeft(

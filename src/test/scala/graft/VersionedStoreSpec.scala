@@ -516,6 +516,48 @@ class VersionedStoreSpec extends SparkSpec {
       s"lookup must cost exactly the pruned read, got ${jobs.get()} jobs")
   }
 
+  test("a racing writer's epoch collision fails LOUD, never a silent lost update") {
+    val root = tmpDir("vstore_race") + "/store"
+    build(root)
+    // simulate a second writer winning epoch 5 between our epoch
+    // choice and our commit (a no-bucket marker: the realistic race
+    // leaves its own generations, irrelevant to the fence): the
+    // commit rename must throw, not silently skip the marker and
+    // orphan our staged generations as a lost update
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val foreign = new Path(root, "_commit-0000005")
+    val out = fs.create(foreign, true)
+    out.write("upsert;;0".getBytes("UTF-8")); out.close()
+    val ex = intercept[RuntimeException] {
+      VersionedStore.writeCommit(fs, new Path(root),
+        VersionedStore.Commit(5L, "upsert", Seq(0), 0L))
+    }
+    assert(ex.getMessage.contains("concurrent writer conflict"),
+      s"wrong failure: ${ex.getMessage}")
+    // a writer starting AFTER the foreign commit simply builds on it
+    assert(VersionedStore.currentEpoch(root) == 5L)
+    assert(VersionedStore.upsert(rows(Seq(60L), _ * 10), Seq("k"), root)
+      == 6L)
+  }
+
+  test("base generation files are KEY-CLUSTERED (tight row-group stats)") {
+    val root = tmpDir("vstore_sorted") + "/store"
+    VersionedStore.upsert(rows(scala.util.Random.shuffle((1L to 500L).toList),
+      _ * 10), Seq("k"), root, nBuckets = 2)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.globStatus(new Path(root, "b*/g0000001/*.parquet"))
+      .map(_.getPath)
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val ks = spark.read.parquet(p.toString).select("k")
+        .as[Long].collect().toSeq
+      assert(ks == ks.sorted,
+        s"rows within $p must be key-sorted for tight min/max pruning")
+    }
+  }
+
   test("generation files carry parquet bloom filters on the KEY columns only") {
     val root = tmpDir("vstore_bloom") + "/store"
     VersionedStore.upsert(rows(1L to 200L, _ * 10), Seq("k"), root,
