@@ -268,6 +268,42 @@ class MorStoreSpec extends SparkSpec {
     assert(snap(root, 1L) == Seq((1L, 10L)))
   }
 
+  test("delta-mode stream kill/resume is byte-identical to one-shot deltas") {
+    // the EpochStreamSpec kill/resume contract, in MERGE-ON-READ mode:
+    // a checkpointed delta stream killed between landings resumes the
+    // SAME chain history — every epoch's resolved snapshot equals the
+    // uninterrupted batch-deltaUpsert reference
+    val work = tmpDir("mor_kr")
+    val store = s"$work/store"
+    val inDir = s"$work/in"
+    def phase(ks: Range, tag: Long) =
+      ks.map(k => (k.toLong, k * 10L + tag)).toDF("k", "v")
+    val es = graft.streaming.EpochStream(Seq("k"), nBuckets = 4,
+      delta = true)
+    phase(1 to 40, 1).coalesce(1).write.parquet(inDir)
+    val q1 = es.start(spark, inDir, phase(1 to 1, 1).schema, store)
+    try {
+      q1.processAllAvailable()
+      phase(20 to 60, 2).coalesce(1).write.mode("append").parquet(inDir)
+      q1.processAllAvailable()
+    } finally q1.stop() // KILL
+    assert(VersionedStore.currentEpoch(store) == 2L)
+    phase(50 to 70, 3).coalesce(1).write.mode("append").parquet(inDir)
+    val q2 = es.start(spark, inDir, phase(1 to 1, 1).schema, store)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(VersionedStore.currentEpoch(store) == 3L,
+      "resume must continue the SAME chain history")
+    assert(VersionedStore.commits(store)
+      .forall(_.kind.startsWith("dapply@batch")))
+    val ref = s"$work/ref"
+    VersionedStore.deltaUpsert(phase(1 to 40, 1), Seq("k"), ref, nBuckets = 4)
+    VersionedStore.deltaUpsert(phase(20 to 60, 2), Seq("k"), ref, nBuckets = 4)
+    VersionedStore.deltaUpsert(phase(50 to 70, 3), Seq("k"), ref, nBuckets = 4)
+    for (e <- 1L to 3L)
+      assert(snap(store, e) == snap(ref, e),
+        s"epoch $e differs from the uninterrupted delta history")
+  }
+
   test("inline compaction policy bounds every chain under a delta stream") {
     val root = tmpDir("mor_policy") + "/store"
     val es = graft.streaming.EpochStream(Seq("k"), nBuckets = 2,
