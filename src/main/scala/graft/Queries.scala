@@ -8390,6 +8390,38 @@ object Queries {
        |       CAST(n_rows AS BIGINT) AS n_rows
        |FROM n ORDER BY epoch""".stripMargin
 
+  // ----------------------------------------------- store lineage fork
+  /** Export → import ROUND TRIP ([[graft.sinks.VersionedStore
+    * .importSnapshot]] — the store-migration surface): epoch 4 of the
+    * merge-on-read store (delta chains still unfolded) publishes as a
+    * flat snapshot, then seeds a NEW store lineage under a DIFFERENT
+    * bucket geometry (8 → 3; rows re-bucket through the ordinary
+    * staged upsert, blooms and key clustering rebuilt). Asserted
+    * in-query: the fork's epoch-1 read is byte-identical to
+    * `readAsOf(src, 4)`, and the seed commit carries the `import`
+    * provenance tag. The oracle recomputes snapshot 4 from scratch. */
+  private def qImportFork(s: SparkSession, dir: String): DataFrame = {
+    val root = morStoreAt(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_q223")
+    try {
+      val vs = graft.sinks.VersionedStore
+      vs.exportSnapshot(s, root, epoch = 4L, s"$out/snap")
+      val fork = s"$out/fork"
+      require(vs.importSnapshot(s, s"$out/snap", fork, nBuckets = 3) == 1L,
+        "a fork seeds a fresh lineage at epoch 1")
+      require(vs.taggedEpoch(fork, "import").contains(1L),
+        "the seed commit must carry import provenance")
+      val a = vs.read(s, fork).orderBy("k").collect().toSeq
+      val b = vs.readAsOf(s, root, 4L).orderBy("k").collect().toSeq
+      require(a == b, "forked lineage must equal readAsOf(src, 4)")
+      vs.read(s, fork).orderBy("k").localCheckpoint()
+    } finally deleteRecursively(out)
+  }
+
+  private val oImportFork =
+    s"""WITH $oVstoreCtes
+       |SELECT k, v, nat FROM s4 ORDER BY k""".stripMargin
+
   // -------------------------------------- executor on swapped backends
   /** [[qStreamExecutor]] (q44) re-run UNMODIFIED on the ALTERNATE
     * backend implementations — docs/BACKENDS.md's swap-in contract
@@ -8911,7 +8943,8 @@ object Queries {
     "q219_minmax_follower" -> (qMinMaxFollower _),
     "q220_evolve_stream" -> (qEvolveStream _),
     "q221_executor_alt" -> (qExecutorAlt _),
-    "q222_mor_history" -> (qMorHistory _)
+    "q222_mor_history" -> (qMorHistory _),
+    "q223_import_fork" -> (qImportFork _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9140,6 +9173,7 @@ object Queries {
     "q219_minmax_follower" -> oMinMaxFollower,
     "q220_evolve_stream" -> oEvolveStream,
     "q221_executor_alt" -> oExecutorAlt,
-    "q222_mor_history" -> oMorHistory
+    "q222_mor_history" -> oMorHistory,
+    "q223_import_fork" -> oImportFork
   )
 }

@@ -79,13 +79,19 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * ([[vacuumOlderThan]]) work like Delta's — the timestamp only ever
   * selects an epoch, it never enters the data path.
   *
-  * CONCURRENCY — single writer (as the mutable store), but readers
-  * are now fully isolated: a reader resolves its generation list from
-  * one commit-marker listing and touches only immutable files, so it
-  * can run concurrently with any writer and always sees an exact
-  * committed snapshot (VersionedStoreSpec pins it). This is the
-  * snapshot-isolation upgrade the mutable store's contract points to
-  * Delta for.
+  * CONCURRENCY — optimistic multi-writer (Delta's posture): each
+  * writer stages privately and commits through an atomic marker
+  * fence; on an epoch collision, DISJOINT-bucket writers rebase their
+  * staged generations onto the next epoch and both commit serialized
+  * ([[commitOrRebase]]; ConcurrencySpec races two real writers),
+  * while overlapping-bucket or schema-evolving collisions abort
+  * LOUDLY with nothing visible. Readers are fully isolated: a reader
+  * resolves its generation list from one commit-marker listing and
+  * touches only immutable files, so it can run concurrently with any
+  * writer and always sees an exact committed snapshot
+  * (VersionedStoreSpec pins it). Against a concurrent [[vacuum]],
+  * readers hold no locks — the vacuum `graceMillis` retention window
+  * is the isolation contract (see [[vacuum]]).
   */
 object VersionedStore {
 
@@ -188,6 +194,13 @@ object VersionedStore {
     val at = cs.filter(_.tsMillis <= tsMillis)
     require(at.nonEmpty, s"timestamp $tsMillis predates the first commit " +
       s"(${cs.head.tsMillis}) — nothing to serve")
+    // ts 0 is the LEGACY sentinel (commits predating timestamping parse
+    // as 0, and stampOf reserves 0 so a real stamp can never collide):
+    // resolving a timestamp onto an unstamped commit would silently
+    // serve an arbitrary epoch — fail fast instead
+    require(at.last.tsMillis > 0L, s"timestamp $tsMillis resolves to epoch " +
+      s"${at.last.epoch}, which predates commit timestamping (ts=0) — " +
+      "time-addressed reads need stamped commits")
     at.last.epoch
   }
 
@@ -246,13 +259,99 @@ object VersionedStore {
       replace = false)
   }
 
+  /** Test seam: invoked once when a writer reaches its commit point,
+    * BEFORE the first marker attempt — lets a spec hold one writer at
+    * the fence while a second commits, forcing a deterministic epoch
+    * collision. Production value is a no-op. */
+  @volatile private[graft] var beforeCommit: String => Unit = _ => ()
+
+  /** The OPTIMISTIC-CONCURRENCY commit: try the staged epoch's marker;
+    * on a collision (a racing writer committed this epoch number while
+    * we staged), resolve the conflict Delta-style instead of forcing
+    * the loser to abandon a fully staged epoch:
+    *
+    *  - if the racing epochs' touched buckets are DISJOINT from ours
+    *    and neither side evolved the schema, REBASE — rename our
+    *    staged generation directories to the next free epoch and retry
+    *    the marker (disjoint buckets ⇒ disjoint keys, so our merged
+    *    content is byte-identical at the new epoch; the resulting
+    *    history is a correct serialization of both writers);
+    *  - if any racing epoch touched one of our buckets, or either side
+    *    evolved the schema (a metadata change conflicts with
+    *    everything, Delta's posture), abort LOUDLY — our generations
+    *    stay invisible and the next vacuum sweeps them.
+    *
+    * The marker itself stays the atomic rename; the residual
+    * exists-then-rename window is closed by a content read-back (the
+    * racer that loses the rename sees foreign content and loops).
+    * Returns the epoch actually committed (≥ the staged one). */
+  private[graft] def commitOrRebase(fs: FileSystem, dir: Path, root: String,
+      stagedEpoch: Long, kind: String, touched: Seq[Int], tsMillis: Long,
+      committedAtRead: Seq[Commit], ownEvolved: Boolean): Long = {
+    beforeCommit(root)
+    var epoch = stagedEpoch
+    var committed = committedAtRead
+    var attempts = 0
+    while (attempts < 64) {
+      attempts += 1
+      val target = new Path(dir, f"_commit-$epoch%07d")
+      val body =
+        s"$kind;${touched.sorted.mkString(",")};${stampOf(tsMillis, committed)}"
+      val won =
+        if (fs.exists(target)) false
+        else {
+          // writeMarker(replace=false) no-ops on a pre-existing target
+          // and its tmp+rename can lose a same-instant race — the
+          // read-back decides who actually owns the epoch
+          try writeMarker(fs, target, body, replace = false)
+          catch { case scala.util.control.NonFatal(_) => () }
+          readMarker(fs, target).contains(body)
+        }
+      if (won) return epoch
+      val now = commits(root)
+      val racing = now.filter(_.epoch >= epoch)
+      require(racing.nonEmpty,
+        s"epoch $epoch marker exists but is unreadable: $root")
+      val overlap = racing.flatMap(_.buckets).toSet.intersect(touched.toSet)
+      if (overlap.nonEmpty)
+        sys.error("concurrent writer conflict: epoch " + epoch + " was " +
+          s"committed by another writer touching overlapping buckets " +
+          s"(${overlap.toSeq.sorted.mkString(",")}) while this one staged — " +
+          "this commit is rolled back (its generations are invisible and " +
+          "the next vacuum sweeps them)")
+      val schemaRaced = racing.exists(c =>
+        fs.exists(new Path(dir, f"_schema-${c.epoch}%07d")))
+      if (ownEvolved || schemaRaced)
+        sys.error("concurrent writer conflict: epoch " + epoch + " raced a " +
+          "schema evolution (ours or the other writer's) — metadata changes " +
+          "conflict with every concurrent commit; this commit is rolled back")
+      val newEpoch = now.last.epoch + 1L
+      touched.foreach { b =>
+        val from = new Path(dir, s"${bucketName(b)}/${genName(epoch)}")
+        val to = new Path(dir, s"${bucketName(b)}/${genName(newEpoch)}")
+        fs.delete(to, true) // a crashed writer's leftovers for newEpoch
+        require(fs.rename(from, to), s"rebase rename failed: $from -> $to")
+      }
+      committed = now
+      epoch = newEpoch
+    }
+    sys.error(s"writer livelock: $attempts rebase attempts at $root")
+  }
+
   /** The epoch's commit stamp: the caller's injected clock (tests and
     * the oracle pass fixed values so nothing downstream depends on
     * wall time), else now — clamped to never run backwards so
     * [[epochAt]]'s newest-at-or-below resolution stays unique (the
     * Delta in-commit-timestamp monotonicity rule). */
   private def stampOf(tsMillis: Long, committed: Seq[Commit]): Long = {
-    val given = if (tsMillis >= 0L) tsMillis else System.currentTimeMillis()
+    // 0 is RESERVED as the legacy "unstamped" sentinel (pre-timestamp
+    // commit markers parse as ts 0): an explicitly zero-stamped commit
+    // would be indistinguishable from one, and [[epochAt]] over a
+    // store holding ts=0 commits would silently resolve any timestamp
+    // onto them — reject the ambiguity at write time
+    require(tsMillis != 0L, "tsMillis 0 is reserved for legacy unstamped " +
+      "commits — inject a positive stamp, or -1 for the wall clock")
+    val given = if (tsMillis > 0L) tsMillis else System.currentTimeMillis()
     math.max(given, committed.lastOption.map(_.tsMillis).getOrElse(0L))
   }
 
@@ -377,23 +476,34 @@ object VersionedStore {
     val mat = batch.withColumn("_bucket", bucketExpr).localCheckpoint()
 
     // ONE fused probe: op-domain validity, per-key op conflicts, and
-    // the touched-bucket set (no presence probe — deletes are blind)
+    // the touched-bucket set (no presence probe — deletes are blind).
+    // A key with TWO upsert rows in one batch is also rejected here:
+    // both rows would land in one delta generation with equal
+    // _gen_epoch, so newest-wins resolution would pick an arbitrary
+    // winner — nondeterministic reads, and divergence from COW (which
+    // keeps every batch row). Fail fast instead of guessing.
     val perKey = mat.groupBy(keyCols.map(col): _*).agg(
       first(col("_bucket")).as("_b"),
       sum(when(!coalesce(col(opCol), lit("")).isin("upsert", "delete"), 1L)
         .otherwise(0L)).as("_bad"),
-      max(when(col(opCol) === "upsert", 1).otherwise(0)).as("_u"),
+      sum(when(col(opCol) === "upsert", 1L).otherwise(0L)).as("_nu"),
       max(when(col(opCol) === "delete", 1).otherwise(0)).as("_d"))
     val probe = perKey.agg(
       coalesce(sum(col("_bad")), lit(0L)).as("bad"),
-      coalesce(sum(when(col("_u") === 1 && col("_d") === 1, 1L)
+      coalesce(sum(when(col("_nu") >= 1 && col("_d") === 1, 1L)
         .otherwise(0L)), lit(0L)).as("conflicts"),
+      coalesce(sum(when(col("_nu") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("dups"),
       collect_set(col("_b")).as("bs")).collect()(0)
     require(probe.getLong(0) == 0,
       s"deltaApply: ${probe.getLong(0)} rows with op outside {upsert, delete}")
     require(probe.getLong(1) == 0, s"deltaApply: ${probe.getLong(1)} keys " +
       "carry BOTH upsert and delete in one batch")
-    val touched = probe.getSeq[Int](2).sorted
+    require(probe.getLong(2) == 0, s"deltaApply: ${probe.getLong(2)} keys " +
+      "carry MORE THAN ONE upsert row in one batch — newest-wins " +
+      "resolution within one epoch would be nondeterministic; " +
+      "pre-aggregate the batch to one row per key")
+    val touched = probe.getSeq[Int](3).sorted
     if (touched.isEmpty) return epoch - 1L
 
     // schema fence: the batch's row shape (minus the op column) must
@@ -409,19 +519,26 @@ object VersionedStore {
     }
     writeMarker(fs, new Path(dir, "_schema"), targetDdl, replace = false)
     val schemaMarker = new Path(dir, f"_schema-$epoch%07d")
-    if (storeDdl.exists(_ != targetDdl))
+    // never touch a schema marker whose epoch a RACING writer already
+    // committed — it is theirs; our own collision resolves (and for an
+    // evolving commit, aborts) at the commit fence
+    val epochRaced = fs.exists(new Path(dir, f"_commit-$epoch%07d"))
+    if (storeDdl.exists(_ != targetDdl)) {
+      if (epochRaced)
+        sys.error(s"concurrent writer conflict: epoch $epoch was committed " +
+          "by another writer while this schema-evolving commit staged — " +
+          "metadata changes conflict with every concurrent commit")
       writeMarker(fs, schemaMarker, targetDdl, replace = true)
-    else fs.delete(schemaMarker, false)
+    } else if (!epochRaced) fs.delete(schemaMarker, false)
 
     val targetCols = StructType.fromDDL(targetDdl).fieldNames.toSeq
     val out = mat.select(targetCols.map(col) ++
       Seq(col(opCol).cast(StringType).as(OpField), col("_bucket")): _*)
     stageAndPromote(spark, fs, dir, out, touched, epoch, keyCols,
       bloom = false)
-    writeCommit(fs, dir, Commit(epoch,
-      "dapply" + (if (tag.nonEmpty) s"@$tag" else ""), touched,
-      stampOf(tsMillis, committed)))
-    epoch
+    commitOrRebase(fs, dir, root, epoch,
+      "dapply" + (if (tag.nonEmpty) s"@$tag" else ""), touched, tsMillis,
+      committed, ownEvolved = storeDdl.exists(_ != targetDdl))
   }
 
   /** Merge-on-read upsert: [[deltaApply]] with every row an upsert. */
@@ -465,9 +582,8 @@ object VersionedStore {
       .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(n)))
     stageAndPromote(spark, fs, dir, merged, touched, epoch, keyCols,
       bloom = true)
-    writeCommit(fs, dir,
-      Commit(epoch, "compact", touched, stampOf(tsMillis, committed)))
-    epoch
+    commitOrRebase(fs, dir, root, epoch, "compact", touched, tsMillis,
+      committed, ownEvolved = false)
   }
 
   /** The compaction POLICY hook: compact only buckets whose serving
@@ -585,7 +701,12 @@ object VersionedStore {
                               frame: DataFrame, touched: Seq[Int],
                               epoch: Long, keyCols: Seq[String],
                               bloom: Boolean): Unit = {
-    val staging = new Path(dir, ".epoch-staging")
+    // writer-private staging: two optimistic writers staging the same
+    // epoch number must not clobber each other's files (the commit
+    // fence serializes them AFTER staging); an abandoned dir is swept
+    // by the next vacuum like any uncommitted leftover
+    val staging =
+      new Path(dir, s".epoch-staging-${java.util.UUID.randomUUID()}")
     fs.delete(staging, true)
     // parquet BLOOM FILTERS on the key columns of BASE generations:
     // [[lookup]] pushes a literal key predicate into the scan, and
@@ -747,9 +868,15 @@ object VersionedStore {
     }
     writeMarker(fs, new Path(dir, "_schema"), targetDdl, replace = false)
     val schemaMarker = new Path(dir, f"_schema-$epoch%07d")
-    if (storeDdl.exists(_ != targetDdl))
+    // same racing-committer guard as writeEpoch's (see there)
+    val epochRaced = fs.exists(new Path(dir, f"_commit-$epoch%07d"))
+    if (storeDdl.exists(_ != targetDdl)) {
+      if (epochRaced)
+        sys.error(s"concurrent writer conflict: epoch $epoch was committed " +
+          "by another writer while this schema-evolving commit staged — " +
+          "metadata changes conflict with every concurrent commit")
       writeMarker(fs, schemaMarker, targetDdl, replace = true)
-    else fs.delete(schemaMarker, false) // a crashed evolver's orphan
+    } else if (!epochRaced) fs.delete(schemaMarker, false) // evolver orphan
 
     // current content of the touched buckets, chain-resolved (a COW
     // epoch over a delta'd bucket implicitly compacts it: the new
@@ -776,9 +903,8 @@ object VersionedStore {
     val kind = (if (opCol.isDefined) "apply"
                 else if (delete) "delete" else "upsert") +
       (if (tag.nonEmpty) s"@$tag" else "")
-    writeCommit(fs, dir, Commit(epoch, kind, touched,
-      stampOf(tsMillis, committed)))
-    epoch
+    commitOrRebase(fs, dir, root, epoch, kind, touched, tsMillis,
+      committed, ownEvolved = storeDdl.exists(_ != targetDdl))
   }
 
   /** RESTORE the store's CURRENT state to what it was at `epoch` — as
@@ -858,14 +984,35 @@ object VersionedStore {
     }.toMap
   }
 
+  /** Past this many bytes of delta files, chain resolution falls back
+    * from the broadcast merge to the shuffled window: the broadcast
+    * side holds every delta key on the driver and each executor, so an
+    * anomalously large delta chain (a bulk deltaUpsert that should
+    * have been COW) must not OOM the read path. */
+  private val DeltaBroadcastMaxBytes = 256L << 20
+
   /** Materialize the resolved rows of a set of chains. Buckets whose
     * chain is a single base generation are served by a PLAIN scan (no
-    * shuffle — the compacted fast path); delta'd buckets read base ⊕
-    * deltas in one scan (the generation epoch recovered from the file
-    * path, delta ops from the reserved `_op` field, absent in base
-    * files) and resolve newest-epoch-wins per key with tombstones
-    * dropped — one hash-partitioned window over ONLY the delta'd
-    * buckets' rows, never the store. */
+    * shuffle — the compacted fast path). Delta'd buckets resolve
+    * newest-epoch-wins WITHOUT shuffling the base (the Hudi
+    * file-group-local merge posture, expressed as DataFrame algebra):
+    *
+    *  1. the DELTA files alone (batch-sized by the MOR contract —
+    *     [[compactIfNeeded]] bounds chain length) resolve newest-wins
+    *     per key with one window over ONLY delta rows, tombstones
+    *     dropped — shuffle volume is delta bytes, never the store;
+    *  2. base rows whose key appears in ANY delta (superseded or
+    *     tombstoned either way) leave via a BROADCAST anti-join on the
+    *     distinct delta keys — the base generation streams through
+    *     map-side with NO Exchange (MorStoreSpec pins chain-read
+    *     shuffle bytes ≈ delta bytes against a 4-orders-larger base);
+    *  3. survivors union the resolved delta rows.
+    *
+    * The generation epoch is recovered from the file path; delta ops
+    * ride the reserved `_op` field. When the chain's delta bytes
+    * exceed [[DeltaBroadcastMaxBytes]] the read falls back to the
+    * windowed merge over base ⊕ deltas (hash-shuffles those buckets —
+    * correct, just not the fast shape; compaction restores it). */
   private def readChains(spark: SparkSession, keyCols: Seq[String],
                          ddl: String, chains: Iterable[Chain],
                          keyFilter: Option[Column] = None): DataFrame = {
@@ -881,25 +1028,60 @@ object VersionedStore {
     val mor =
       if (morChains.isEmpty) None
       else {
-        val paths = morChains.flatMap(_.paths).sorted
+        val basePaths = morChains.flatMap(_.base.flatMap(_._2)).sorted
+        val deltaPaths = morChains.flatMap(_.deltas.map(_._2)).sorted
         val withOp =
           StructType(target.fields :+ StructField(OpField, StringType))
         // the key predicate (a point lookup's) is applied to the RAW
-        // scan: the `_gen_epoch` projection below uses
+        // scans: the `_gen_epoch` projection below uses
         // input_file_name(), which is nondeterministic, so the
         // optimizer will NOT push a later filter through it — applied
         // here it reaches PushedFilters (row-group stats + bloom
         // skipping), and it commutes with newest-wins resolution
-        // because it constrains exactly the window's partition keys
-        val scan = filtered(spark.read.schema(withOp).parquet(paths: _*))
+        // because it constrains exactly the resolution keys
+        val deltas = filtered(spark.read.schema(withOp).parquet(deltaPaths: _*))
           .withColumn("_gen_epoch",
             regexp_extract(input_file_name(), "/g(\\d{7})/", 1).cast("long"))
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col("_gen_epoch").desc)
-        Some(scan.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1 &&
-            (col(OpField).isNull || col(OpField) =!= "delete"))
-          .select(target.fieldNames.toSeq.map(col): _*))
+        val deltaBytes = parallelMap(deltaPaths) { g =>
+          val (fs, p) = fsOf(g)
+          fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum
+        }.sum
+        if (basePaths.isEmpty || deltaBytes <= DeltaBroadcastMaxBytes) {
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col("_gen_epoch").desc)
+          val live = deltas.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1 &&
+              (col(OpField).isNull || col(OpField) =!= "delete"))
+            .select(target.fieldNames.toSeq.map(col): _*)
+          if (basePaths.isEmpty) Some(live)
+          else {
+            val base =
+              filtered(spark.read.schema(target).parquet(basePaths: _*))
+            val dKeys = deltas.select(keyCols.map(col): _*).distinct()
+            // null-safe: a null key must supersede itself, exactly as
+            // the window's partitionBy grouped nulls together
+            val cond =
+              keyCols.map(k => base(k) <=> dKeys(k)).reduce(_ && _)
+            Some(base.join(broadcast(dKeys), cond, "left_anti")
+              .unionByName(live))
+          }
+        } else {
+          // fallback: delta volume rivals the base — one windowed
+          // merge over base ⊕ deltas (base rows carry a null op)
+          val baseScan =
+            filtered(spark.read.schema(withOp).parquet(basePaths: _*))
+              .withColumn("_gen_epoch",
+                regexp_extract(input_file_name(), "/g(\\d{7})/", 1)
+                  .cast("long"))
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col("_gen_epoch").desc)
+          Some(baseScan.unionByName(deltas)
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1 &&
+              (col(OpField).isNull || col(OpField) =!= "delete"))
+            .select(target.fieldNames.toSeq.map(col): _*))
+        }
       }
     (plain, mor) match {
       case (Some(p), Some(m)) => p.unionByName(m)
@@ -1288,10 +1470,44 @@ object VersionedStore {
     // the exported snapshot may span a schema evolution (old- and
     // new-schema generation files side by side): record the epoch's
     // schema so a consumer can `spark.read.schema(ddl)` (or use
-    // mergeSchema) instead of trusting one file's footer
+    // mergeSchema) instead of trusting one file's footer; the key
+    // columns ride along so [[importSnapshot]] can fork a new store
+    // lineage from the export without out-of-band knowledge
     writeMarker(dfs0, new Path(destPath, "_schema"), ddl, replace = true)
+    writeMarker(dfs0, new Path(destPath, "_keycols"),
+      keyColsOf(root).mkString(","), replace = true)
     dfs0.create(new Path(destPath, "_SUCCESS"), true).close()
     pairs.size.toLong + morFiles
+  }
+
+  /** The inverse of [[exportSnapshot]] — fork a NEW versioned-store
+    * lineage from a published snapshot: seeds `destRoot` at epoch 1
+    * with the export's rows, re-bucketed under the new store's layout
+    * (`nBuckets` may differ from the source's — the rows pass through
+    * the ordinary staged upsert, so blooms and key clustering are
+    * rebuilt for the new geometry). Schema and key columns come from
+    * the export's own markers; the destination must be empty (a fork
+    * starts a lineage, it never splices into one). The commit is
+    * tagged `import` for provenance. Round-trip contract
+    * (ImportSnapshotSpec + q223): `importSnapshot(exportSnapshot(src,
+    * E))` reads byte-identically to `readAsOf(src, E)`. */
+  def importSnapshot(spark: SparkSession, exportRoot: String,
+                     destRoot: String, nBuckets: Int = 8,
+                     tsMillis: Long = -1L): Long = {
+    val (efs, eDir) = fsOf(exportRoot)
+    require(efs.exists(new Path(eDir, "_SUCCESS")),
+      s"not a completed export (no _SUCCESS): $exportRoot")
+    val ddl = readMarker(efs, new Path(eDir, "_schema")).getOrElse(
+      sys.error(s"export has no _schema marker: $exportRoot"))
+    val keyCols = readMarker(efs, new Path(eDir, "_keycols")).getOrElse(
+      sys.error(s"export has no _keycols marker: $exportRoot"))
+      .split(",").toSeq
+    require(currentEpoch(destRoot) == 0L,
+      s"importSnapshot seeds a NEW store; $destRoot already has commits")
+    val rows = spark.read.schema(StructType.fromDDL(ddl))
+      .parquet(exportRoot)
+    upsert(rows, keyCols, destRoot, nBuckets, tag = "import",
+      tsMillis = tsMillis)
   }
 
   // ---------------------------------------------------------------- CDC
@@ -1376,8 +1592,24 @@ object VersionedStore {
     * checkpoints — metadata stays O(epochs since retention) forever.
     * Write order makes every crash window safe: the new checkpoint
     * lands atomically BEFORE anything is deleted, and [[commits]]
-    * merges a checkpoint with any markers a crash left behind. */
-  def vacuum(root: String, retainAsOf: Long): VacuumReport = {
+    * merges a checkpoint with any markers a crash left behind.
+    *
+    * READER ISOLATION (`graceMillis` — Delta's
+    * `deletedFileRetentionDuration`): a reader holds no lock, so a
+    * concurrent vacuum could delete a generation the reader already
+    * resolved and fail its scan mid-flight. With `graceMillis > 0`,
+    * generations written within the last `graceMillis` are KEPT this
+    * pass even when unreachable (counted in `keptGens`; a later vacuum
+    * sweeps them once aged) — so any read that both started and
+    * finishes within the grace window is safe against every concurrent
+    * vacuum, and NEW reads fail fast at the bumped watermark. With the
+    * default `graceMillis = 0` the contract is the loud one: a racing
+    * reader's scan fails with a missing-file error, never serves wrong
+    * rows (generations are immutable — they can vanish, not change).
+    * ConcurrencySpec races both modes. `nowMillis` is injectable for
+    * deterministic tests. */
+  def vacuum(root: String, retainAsOf: Long, graceMillis: Long = 0L,
+             nowMillis: Long = -1L): VacuumReport = {
     val (fs, dir) = fsOf(root)
     val committed = commits(root)
     val cur = committed.lastOption.map(_.epoch).getOrElse(0L)
@@ -1426,11 +1658,17 @@ object VersionedStore {
       }
     }
 
+    // a crashed writer's abandoned private staging directory
+    fs.listStatus(dir).filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith(".epoch-staging"))
+      .foreach(st => fs.delete(st.getPath, true))
+
     fs.listStatus(dir).filter(st => st.isDirectory &&
       st.getPath.getName.matches("^b\\d{5}$")).foreach { bSt =>
       val b = bSt.getPath.getName.drop(1).toInt
       val epochs = committedFor.getOrElse(b, Seq.empty)
       val keep = floorOf.getOrElse(b, Set.empty) ++ epochs.filter(_ > wm)
+      val now = if (nowMillis >= 0L) nowMillis else System.currentTimeMillis()
       fs.listStatus(bSt.getPath).foreach { gSt =>
         gSt.getPath.getName match {
           case GenRe(e) =>
@@ -1439,9 +1677,11 @@ object VersionedStore {
             // they are a live writer's in-flight epoch (> current)
             val committedHere = epochs.contains(epoch)
             if (keep.contains(epoch)) kept += 1
-            else if (committedHere || epoch <= cur) {
+            else if ((committedHere || epoch <= cur) &&
+                     (graceMillis <= 0L ||
+                      now - gSt.getModificationTime >= graceMillis)) {
               fs.delete(gSt.getPath, true); deleted += 1
-            } else kept += 1
+            } else kept += 1 // in-flight epoch, or inside the grace window
           case _ =>
         }
       }
@@ -1451,7 +1691,9 @@ object VersionedStore {
 
   /** Age-based retention — Delta's `RETAIN <n> HOURS` posture:
     * [[vacuum]] keeping every snapshot readable at or after
-    * `tsMillis` (the epoch [[epochAt]] resolves it to). */
-  def vacuumOlderThan(root: String, tsMillis: Long): VacuumReport =
-    vacuum(root, epochAt(root, tsMillis))
+    * `tsMillis` (the epoch [[epochAt]] resolves it to). `graceMillis`
+    * is the reader-isolation window, as [[vacuum]]'s. */
+  def vacuumOlderThan(root: String, tsMillis: Long,
+                      graceMillis: Long = 0L): VacuumReport =
+    vacuum(root, epochAt(root, tsMillis), graceMillis)
 }

@@ -335,6 +335,97 @@ class MorStoreSpec extends SparkSpec {
       "a replayed batch id must commit nothing")
   }
 
+  test("one batch, one row per key: duplicate upserts fail fast (MOR)") {
+    val root = tmpDir("mor_dup") + "/store"
+    // two upsert rows for one key would tie on _gen_epoch and make
+    // newest-wins nondeterministic — rejected in the fused probe
+    val ex = intercept[IllegalArgumentException] {
+      VersionedStore.deltaApply(
+        cdc(Seq((1L, 10L, "upsert"), (1L, 11L, "upsert"), (2L, 20L, "upsert"))),
+        Seq("k"), root, "op")
+    }
+    assert(ex.getMessage.contains("MORE THAN ONE upsert"), ex.getMessage)
+    // duplicate DELETES are harmless (both resolve identically) and pass
+    VersionedStore.deltaApply(cdc(Seq((3L, 30L, "upsert"))), Seq("k"), root,
+      "op")
+    VersionedStore.deltaApply(
+      cdc(Seq((3L, 0L, "delete"), (3L, 0L, "delete"))), Seq("k"), root, "op")
+    assert(snap(root, 2L).isEmpty)
+  }
+
+  test("ts 0 is the legacy sentinel: rejected at write, fenced at epochAt") {
+    val root = tmpDir("mor_ts0") + "/store"
+    // an explicit zero stamp would be indistinguishable from a
+    // pre-timestamping commit marker — reserved
+    intercept[IllegalArgumentException] {
+      VersionedStore.upsert(Seq((1L, 10L)).toDF("k", "v"), Seq("k"), root,
+        tsMillis = 0L)
+    }
+    // a store holding legacy (ts=0) commits must not silently resolve
+    // timestamps onto them
+    VersionedStore.upsert(Seq((1L, 10L)).toDF("k", "v"), Seq("k"), root)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_commit-0000001")
+    fs.delete(marker, false)
+    val out = fs.create(marker, true)
+    out.write("upsert;0,1,2,3".getBytes("UTF-8")); out.close() // legacy shape
+    assert(VersionedStore.commits(root).head.tsMillis == 0L)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedStore.epochAt(root, System.currentTimeMillis())
+    }
+    assert(ex.getMessage.contains("predates commit timestamping"),
+      ex.getMessage)
+  }
+
+  test("chain reads never shuffle the base: shuffle volume ≈ delta bytes") {
+    val root = tmpDir("mor_noshuffle") + "/store"
+    // a base 4 orders larger than the delta, with real payload bytes
+    val base = spark.range(1L, 60001L).select(col("id").as("k"),
+      concat(lit("payload-string-that-costs-real-bytes-"), col("id")).as("v"))
+    VersionedStore.upsert(base, Seq("k"), root, nBuckets = 4)
+    VersionedStore.deltaApply(
+      Seq((5L, "updated", "upsert"), (60000L, "", "delete"))
+        .toDF("k", "v", "op"), Seq("k"), root, "op")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def genBytes(g: String): Long = fs.globStatus(
+      new org.apache.hadoop.fs.Path(root, s"b*/$g/*.parquet"))
+      .map(_.getLen).sum
+    val baseBytes = genBytes("g0000001")
+    val deltaBytes = genBytes("g0000002")
+    assert(baseBytes > 50 * deltaBytes, s"fixture: $baseBytes vs $deltaBytes")
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffled.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    val resolved = try {
+      val df = VersionedStore.read(spark, root)
+      val out = df.collect()
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+      out
+    } finally spark.sparkContext.removeSparkListener(l)
+    // correctness of the merge itself
+    assert(resolved.length == 59999, s"rows: ${resolved.length}")
+    assert(resolved.find(_.getLong(0) == 5L).get.getString(1) == "updated")
+    assert(!resolved.exists(_.getLong(0) == 60000L))
+    // THE scale assertion (round-12 ADVICE / round-13 task): resolving
+    // a 2-row delta against a 60k-row base must not hash-shuffle the
+    // base — only the delta rows move (their newest-wins window + the
+    // broadcast key build); the base streams map-side through the
+    // broadcast anti-join
+    assert(shuffled.get() < baseBytes / 10,
+      s"chain read shuffled ${shuffled.get()} B against a $baseBytes B " +
+        "base — the base generation must stream shuffle-free")
+  }
+
   test("exportSnapshot materializes delta'd buckets, byte-copies the rest") {
     val root = tmpDir("mor_export") + "/store"
     buildMor(root)
@@ -345,5 +436,29 @@ class MorStoreSpec extends SparkSpec {
     val got = spark.read.parquet(dest).as[(Long, Long)]
       .collect().toSeq.sorted
     assert(got == expectedAt(4), "exported flat dir must equal the snapshot")
+  }
+
+  test("export→import forks a store lineage that reads byte-identical") {
+    val root = tmpDir("mor_fork_src") + "/store"
+    buildMor(root) // delta chains in play at the exported epoch
+    val dest = tmpDir("mor_fork_flat") + "/flat"
+    VersionedStore.exportSnapshot(spark, root, 3L, dest)
+    val fork = tmpDir("mor_fork_dst") + "/store"
+    // a DIFFERENT bucket geometry: rows re-bucket through the staged
+    // upsert, blooms + key clustering rebuilt for the new layout
+    assert(VersionedStore.importSnapshot(spark, dest, fork, nBuckets = 3)
+      == 1L)
+    assert(VersionedStore.read(spark, fork).as[(Long, Long)]
+      .collect().toSeq.sorted == snap(root, 3L),
+      "forked store must equal readAsOf(src, exported epoch)")
+    assert(VersionedStore.taggedEpoch(fork, "import").contains(1L),
+      "the seed commit carries import provenance")
+    // the fork is a real independent lineage: it evolves without
+    // touching the source, and refuses to splice into a live store
+    VersionedStore.upsert(Seq((500L, 1L)).toDF("k", "v"), Seq("k"), fork)
+    assert(snap(root, 3L) == expectedAt(3), "source untouched by the fork")
+    intercept[IllegalArgumentException] {
+      VersionedStore.importSnapshot(spark, dest, fork)
+    }
   }
 }

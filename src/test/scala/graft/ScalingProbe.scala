@@ -786,8 +786,34 @@ object ScalingProbe {
       // O(bucket) per micro-batch
       assert(deltaBytes * 10 < baseBytes,
         s"delta epoch wrote $deltaBytes B vs $baseBytes B bucket rewrite")
-      assert(sinks.VersionedStore.read(spark, root).count() == n1,
-        "chain-resolved read must keep the exact row count")
+      // read-side twin of the amplification kill (round-13): resolving
+      // the chain must not hash-shuffle the touched buckets' base
+      // generations — shuffle volume during a full chain-resolved read
+      // is bounded by the DELTA rows (their window + broadcast-key
+      // build), never the base
+      val chainShuffleB = new java.util.concurrent.atomic.AtomicLong(0L)
+      val shufL = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          chainShuffleB.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(shufL)
+      val nRead = try {
+        val n = sinks.VersionedStore.read(spark, root).count()
+        org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+        n
+      } finally spark.sparkContext.removeSparkListener(shufL)
+      assert(nRead == n1, "chain-resolved read must keep the exact row count")
+      assert(chainShuffleB.get() < baseBytes / 10,
+        s"chain read shuffled ${chainShuffleB.get()} B against " +
+          s"$baseBytes B of touched base — base must stream shuffle-free")
+      println(s"VSTORE_MOR_READ shuffleBytes=${chainShuffleB.get()} " +
+        s"touchedBaseBytes=$baseBytes (chain resolution streams the base " +
+        "map-side; only delta rows move)")
       val ce = sinks.VersionedStore.compact(spark, root)
       val gens = sinks.VersionedStore.read(spark, root).inputFiles
         .flatMap(_.split("/").find(_.matches("^g\\d{7}$"))).toSet

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Throwaway probe main (test scope) — rewritten per verify wave.
-  * Wave: merge-on-read store + compaction + timestamps, ViewStream
-  * follower, alternate connector backends, manifest lineage. */
+  * Wave: shuffle-free MOR chain resolution (broadcast merge), the
+  * duplicate-upsert and ts=0 fences, plus the carried MOR surfaces
+  * (timestamps, compaction, view follower, delta restore). */
 object VerifyProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
@@ -26,12 +27,54 @@ object VerifyProbe {
       s"MOR resolution: ${cur.size} rows")
     assert(VersionedStore.readAsOfTimestamp(spark, root, 1500L)
       .count() == 30L, "timestamp travel to the first delta epoch")
+
+    // --- round-13 fences: duplicate upserts per key in one delta
+    // batch fail fast; ts=0 is reserved for legacy commits
+    val dup = try {
+      VersionedStore.deltaUpsert(Seq((7L, 1L), (7L, 2L)).toDF("k", "v"),
+        Seq("k"), root); false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("MORE THAN ONE upsert") }
+    assert(dup, "duplicate-upsert fence must trip")
+    val ts0 = try {
+      VersionedStore.deltaUpsert(Seq((8L, 1L)).toDF("k", "v"), Seq("k"),
+        root, tsMillis = 0L); false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("reserved") }
+    assert(ts0, "ts=0 sentinel fence must trip")
+
     val ce = VersionedStore.compact(spark, root, tsMillis = 3000L)
     assert(ce == 3L && VersionedStore.read(spark, root).as[(Long, Long)]
       .collect().toMap == cur, "compaction must be a content no-op")
     val h = VersionedStore.history(spark, root)
       .select("epoch", "n_rows").as[(Long, Long)].collect().toMap
     assert(h == Map(1L -> 30L, 2L -> 29L, 3L -> 29L), s"MOR history: $h")
+
+    // --- chain-read shuffle locality: a 2-row delta against a 50k-row
+    // base must not hash-shuffle the base
+    val big = java.nio.file.Files.createTempDirectory("probe_mor_big")
+      .toString + "/store"
+    VersionedStore.upsert(spark.range(1L, 50001L).select(col("id").as("k"),
+      concat(lit("payload-"), col("id")).as("v")), Seq("k"), big,
+      nBuckets = 4)
+    VersionedStore.deltaApply(Seq((5L, "u", "upsert"), (6L, "", "delete"))
+      .toDF("k", "v", "op"), Seq("k"), big, "op")
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffled.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val nBig = VersionedStore.read(spark, big).count()
+    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
+    spark.sparkContext.removeSparkListener(l)
+    assert(nBig == 49999L, s"resolved rows: $nBig")
+    assert(shuffled.get() < 100_000L,
+      s"chain read must stream the base shuffle-free, moved ${shuffled.get()} B")
 
     // --- ViewStream follower over the MOR store
     val viewRoot = root + "_view"
@@ -44,21 +87,6 @@ object VerifyProbe {
     val view = VersionedStore.read(spark, viewRoot)
       .as[(String, Long, Long)].collect().toSeq
     assert(view == Seq(("a", 1L, 1L)), s"follower view: $view")
-
-    // --- alternate backends honor the same contracts
-    val ks = graft.connectors.VersionedKeyedStore(root + "_ks")
-    assert(ks.read(spark).isEmpty)
-    ks.upsert(Seq((1L, "x")).toDF("k", "v"), Seq("k"))
-    ks.upsert(Seq((1L, "y")).toDF("k", "v"), Seq("k"))
-    assert(ks.read(spark).get.as[(Long, String)].collect().toSeq ==
-      Seq((1L, "y")))
-
-    // --- manifest lineage columns resolve (fixture-backed)
-    val card = Queries.all("q209_release_manifest")(spark,
-      "/root/testdata/sf0.001").collect()
-    assert(card.nonEmpty && card.forall(r =>
-      r.getAs[Long]("kmv_epoch") == 1L && !r.isNullAt(
-        r.fieldIndex("counts_sig"))), "lineage columns must be present")
 
     // --- delta-mode restore + inline compaction policy
     val r3 = java.nio.file.Files.createTempDirectory("probe_mor2")
