@@ -115,7 +115,8 @@ object Bench {
       "q176", "q177", "q178", "q179", "q185", "q188", "q190", "q192",
       "q200", "q202", "q205", "q207", "q208", "q209", "q210", "q211",
       "q212", "q213", "q214", "q215", "q216", "q217", "q218", "q219",
-      "q220", "q221", "q222", "q223", "q25", "q26", "q78", "q84", "q94")
+      "q220", "q221", "q222", "q223", "q224", "q25", "q26", "q78", "q84",
+      "q94")
     val results = selected.map { case (name, fn) =>
       def one(): (Double, Boolean) = {
         val t0 = System.nanoTime()

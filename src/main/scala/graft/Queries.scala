@@ -8555,6 +8555,70 @@ object Queries {
        |       CAST(count(*) AS BIGINT) AS n_rows
        |FROM s4 GROUP BY nat ORDER BY nat""".stripMargin
 
+  // ------------------------ DOUBLE-valued min/max view follows CDC
+  /** The extremes follower on a FLOATING value column
+    * ([[graft.streaming.ViewStream]] `kind = "minmax"`,
+    * `valueType = "double"` — round 13): min/max is exact under any
+    * comparable type (retractions either propagate monotonically or
+    * recompute the affected group from the snapshot), so doubles lose
+    * nothing — unlike the sum family, which stays integer-exact by
+    * contract and REJECTS a non-long valueType. Delete batches force
+    * both the recompute path and the emptied-group store deletes,
+    * whose null rows are now TYPED from the view's own schema (the
+    * round-12 ADVICE fix this query locks in: a hardcoded long cast
+    * would commit a schema-mismatched delete batch here). The oracle
+    * rebuilds the double extremes per group from scratch. */
+  private def qDoubleMinMax(s: SparkSession, dir: String): DataFrame = {
+    val fix = fixPath("view_dminmax", dir)
+    val store = s"$fix/store"
+    val view = s"$fix/view"
+    val vs = graft.sinks.VersionedStore
+    val follower = graft.streaming.ViewStream(Seq("nat"), "v", "minmax",
+      valueType = "double")
+    if (vs.currentEpoch(store) != 4L || follower.lastApplied(view) != 4L) {
+      deleteTree(fix)
+      val base = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("bigint").as("k"),
+        col("s_acctbal").cast("double").as("v"),
+        col("s_nationkey").cast("bigint").as("nat"))
+      graft.streaming.EpochStream.replay(s,
+        Seq(
+          base.filter(col("k") % 4 =!= 0).withColumn("op", lit("upsert")),
+          base.filter(col("k") % 3 === 0).withColumn("v", col("v") + 0.25d)
+            .withColumn("op", lit("upsert")),
+          base.filter(col("k") % 5 === 0).withColumn("op", lit("delete")),
+          base.filter(col("k") % 7 === 0).withColumn("v", col("v") - 10.5d)
+            .withColumn("op", lit("upsert"))),
+        Seq("k"), fix, store, opCol = Some("op"))
+      require(follower.catchUp(s, store, view) == 4L)
+    }
+    require(follower.lastApplied(view) == 4L)
+    // the sum family refuses floating values — the contract is pinned
+    // in-query so the oracle row also certifies the fence exists
+    val sumRejects =
+      try { graft.streaming.ViewStream(Seq("nat"), "v", "sum",
+        valueType = "double"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(sumRejects, "sum views must stay integer-exact")
+    vs.read(s, view).orderBy("nat")
+  }
+
+  private val oDoubleMinMax =
+    """WITH dbase AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                      CAST(s_acctbal AS DOUBLE) AS v,
+      |                      CAST(s_nationkey AS BIGINT) AS nat FROM supplier),
+      |d2 AS (SELECT k, v + 0.25 AS v, nat FROM dbase WHERE k % 3 = 0
+      |       UNION ALL
+      |       SELECT k, v, nat FROM dbase WHERE k % 4 <> 0 AND k % 3 <> 0),
+      |d3 AS (SELECT * FROM d2 WHERE k % 5 <> 0),
+      |d4 AS (SELECT k, v - 10.5 AS v, nat FROM dbase WHERE k % 7 = 0
+      |       UNION ALL
+      |       SELECT * FROM d3 WHERE k % 7 <> 0)
+      |SELECT nat, CAST(min(v) AS DOUBLE) AS min_v,
+      |       CAST(max(v) AS DOUBLE) AS max_v,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM d4 GROUP BY nat ORDER BY nat""".stripMargin
+
   // --------------------------- schema evolution through a live stream
   /** Additive schema evolution END TO END on the streaming path: a
     * producer starts shipping a NEW column mid-stream, the epoch
@@ -8944,7 +9008,8 @@ object Queries {
     "q220_evolve_stream" -> (qEvolveStream _),
     "q221_executor_alt" -> (qExecutorAlt _),
     "q222_mor_history" -> (qMorHistory _),
-    "q223_import_fork" -> (qImportFork _)
+    "q223_import_fork" -> (qImportFork _),
+    "q224_double_minmax" -> (qDoubleMinMax _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9174,6 +9239,7 @@ object Queries {
     "q220_evolve_stream" -> oEvolveStream,
     "q221_executor_alt" -> oExecutorAlt,
     "q222_mor_history" -> oMorHistory,
-    "q223_import_fork" -> oImportFork
+    "q223_import_fork" -> oImportFork,
+    "q224_double_minmax" -> oDoubleMinMax
   )
 }

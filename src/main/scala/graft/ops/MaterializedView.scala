@@ -81,12 +81,17 @@ object MaterializedView {
   }
 
   /** Full build for the non-distributive extremes family:
-    * (groupCols..., min_v, max_v, n_rows) over a snapshot. */
+    * (groupCols..., min_v, max_v, n_rows) over a snapshot.
+    * `valueType` is the extreme columns' type — "long" (default) or
+    * any comparable SQL type ("double", "timestamp", …): unlike the
+    * sum family (kept integer-exact by contract), min/max and the
+    * affected-group recompute are EXACT under any ordering, so
+    * floating values lose nothing here. */
   def minMaxView(snapshot: DataFrame, groupCols: Seq[String],
-                 value: Column): DataFrame =
+                 value: Column, valueType: String = "long"): DataFrame =
     snapshot.groupBy(groupCols.map(col): _*)
-      .agg(min(value.cast("long")).as("min_v"),
-        max(value.cast("long")).as("max_v"),
+      .agg(min(value.cast(valueType)).as("min_v"),
+        max(value.cast(valueType)).as("max_v"),
         count(lit(1)).as("n_rows"))
 
   /** Incremental min/max refresh — Gupta-Mumick's NON-distributive
@@ -111,13 +116,14 @@ object MaterializedView {
     * changelog was not cut from this view's epoch and fails fast. */
   def refreshMinMax(view: DataFrame, cdcImages: DataFrame,
                     groupCols: Seq[String], valueCol: String,
-                    snapshotAtTo: DataFrame): DataFrame = {
+                    snapshotAtTo: DataFrame,
+                    valueType: String = "long"): DataFrame = {
     val gc = groupCols.map(col)
     val retract = cdcImages.filter(col("change").isin("delete", "update"))
       .select(groupCols.map(g => col(s"${g}_old").as(g)) :+
-        col(s"${valueCol}_old").cast("long").as("rv"): _*)
+        col(s"${valueCol}_old").cast(valueType).as("rv"): _*)
     val insert = cdcImages.filter(col("change").isin("insert", "update"))
-      .select(gc :+ col(valueCol).cast("long").as("iv"): _*)
+      .select(gc :+ col(valueCol).cast(valueType).as("iv"): _*)
     val rAgg = retract.groupBy(gc: _*)
       .agg(min(col("rv")).as("r_min"), max(col("rv")).as("r_max"),
         count(lit(1)).as("rn"))
@@ -161,7 +167,7 @@ object MaterializedView {
       snapshotAtTo.alias("s")
         .join(broadcast(joined.filter(affected).select(gc: _*).alias("a")),
           nullSafeOn("s", "a", groupCols), "left_semi"),
-      groupCols, col(valueCol))
+      groupCols, col(valueCol), valueType)
     propagated.unionByName(recomputed)
   }
 }

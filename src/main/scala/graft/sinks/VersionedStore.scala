@@ -221,6 +221,28 @@ object VersionedStore {
     math.max(marked, floors)
   }
 
+  /** Small auxiliary-marker surface for follower state that lives
+    * inside a store directory (e.g. [[graft.streaming.ViewStream]]'s
+    * no-op watermark) — atomic replace-write, one metadata read. Aux
+    * names must start with '_' and must not collide with the store's
+    * own markers. */
+  private[graft] def writeAuxMarker(root: String, name: String,
+                                    content: String): Unit = {
+    require(name.startsWith("_") && !name.startsWith("_commit") &&
+      !name.startsWith("_schema") && !name.startsWith("_floors") &&
+      name != "_keycols" && name != "_nbuckets" && name != "_vacuum",
+      s"aux marker name collides with store metadata: $name")
+    val (fs, dir) = fsOf(root)
+    fs.mkdirs(dir)
+    writeMarker(fs, new Path(dir, name), content, replace = true)
+  }
+
+  private[graft] def readAuxMarker(root: String, name: String)
+      : Option[String] = {
+    val (fs, dir) = fsOf(root)
+    readMarker(fs, new Path(dir, name))
+  }
+
   private def keyColsOf(root: String): Seq[String] = {
     val (fs, dir) = fsOf(root)
     readMarker(fs, new Path(dir, "_keycols"))

@@ -3,18 +3,56 @@ package graft
 import java.net.URI
 
 import org.apache.hadoop.fs.{FSDataInputStream, FileStatus, Path,
-  RawLocalFileSystem}
+  PositionedReadable, RawLocalFileSystem, Seekable}
 
 /** A local filesystem registered under `probe://` that tallies every
-  * metadata round-trip — the instrumentation the O(generations)
-  * history contract is asserted with (VersionedStoreSpec): on an
-  * object store each of these calls is a network request, so the spec
-  * pins their COUNT, not wall time. Counters are global because Hadoop
-  * caches one FileSystem instance per scheme. */
+  * metadata round-trip AND every data byte read — the instrumentation
+  * the O(generations) history contract and the point-lookup I/O
+  * contract are asserted with (VersionedStoreSpec, LookupProbeSpec):
+  * on an object store each call is a network request and each byte is
+  * transfer cost, so the specs pin COUNTS, not wall time. Counters are
+  * global because Hadoop caches one FileSystem instance per scheme. */
 object CountingFs {
   val statusCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
-  def reset(): Unit = { statusCalls.set(0); opens.set(0) }
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+  def reset(): Unit = { statusCalls.set(0); opens.set(0); bytesRead.set(0L) }
+
+  /** Wraps a raw stream, adding every byte served to [[bytesRead]].
+    * Positioned reads (parquet's footer/page access pattern) and
+    * sequential reads both count; seeks are free (object stores price
+    * ranged GETs by bytes, not offsets). */
+  private[graft] final class CountingStream(inner: FSDataInputStream)
+      extends java.io.InputStream with Seekable with PositionedReadable {
+    override def read(): Int = {
+      val b = inner.read()
+      if (b >= 0) CountingFs.bytesRead.incrementAndGet()
+      b
+    }
+    override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+      val n = inner.read(buf, off, len)
+      if (n > 0) CountingFs.bytesRead.addAndGet(n.toLong)
+      n
+    }
+    override def read(pos: Long, buf: Array[Byte], off: Int, len: Int): Int = {
+      val n = inner.read(pos, buf, off, len)
+      if (n > 0) CountingFs.bytesRead.addAndGet(n.toLong)
+      n
+    }
+    override def readFully(pos: Long, buf: Array[Byte], off: Int,
+                           len: Int): Unit = {
+      inner.readFully(pos, buf, off, len)
+      CountingFs.bytesRead.addAndGet(len.toLong)
+    }
+    override def readFully(pos: Long, buf: Array[Byte]): Unit =
+      readFully(pos, buf, 0, buf.length)
+    override def seek(pos: Long): Unit = inner.seek(pos)
+    override def getPos: Long = inner.getPos
+    override def seekToNewSource(targetPos: Long): Boolean =
+      inner.seekToNewSource(targetPos)
+    override def available(): Int = inner.available()
+    override def close(): Unit = inner.close()
+  }
 }
 
 class CountingFs extends RawLocalFileSystem {
@@ -42,6 +80,7 @@ class CountingFs extends RawLocalFileSystem {
 
   override def open(p: Path, bufferSize: Int): FSDataInputStream = {
     CountingFs.opens.incrementAndGet()
-    super.open(p, bufferSize)
+    new FSDataInputStream(
+      new CountingFs.CountingStream(super.open(p, bufferSize)))
   }
 }
