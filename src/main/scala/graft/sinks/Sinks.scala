@@ -192,7 +192,8 @@ object Sinks {
     * concurrent readers swaps in Delta/Iceberg MERGE, which is the
     * documented production analogue of this store. */
   def upsertPartitioned(batch: DataFrame, keyCols: Seq[String],
-                        storeDir: String, nBuckets: Int = 8): Unit = {
+                        storeDir: String, nBuckets: Int = 8,
+                        preMaterialized: Boolean = false): Unit = {
     require(nBuckets > 0 && nBuckets <= 99999,
       s"nBuckets must be in [1, 99999], got $nBuckets")
     require(!batch.columns.contains("_bucket"),
@@ -209,8 +210,14 @@ object Sinks {
     val n = storeBucketCount(fs, dir, nBuckets)
     val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
     // one materialization of the batch; the merge job reads it (and
-    // the collect is bounded: ≤ n small ints)
-    val mat = batch.withColumn("_bucket", bucketExpr).localCheckpoint()
+    // the collect is bounded: ≤ n small ints). A caller that ALREADY
+    // materialized the batch (localCheckpoint before handing it over —
+    // TrainStream's merged model) passes preMaterialized = true and
+    // skips the second checkpoint: the bucket projection over a
+    // checkpointed frame is cheap to recompute, and the batch plan by
+    // contract no longer reads this store.
+    val mat0 = batch.withColumn("_bucket", bucketExpr)
+    val mat = if (preMaterialized) mat0 else mat0.localCheckpoint()
     val touched = mat.select("_bucket").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return

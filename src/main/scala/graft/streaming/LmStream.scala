@@ -85,10 +85,27 @@ final case class LmStream(id: String, text: Column, n: Int) {
   }
 
   /** Land one batch at `epoch`. Public so the crash-matrix spec can
-    * drive replays and redeliveries without a stream. */
+    * drive replays and redeliveries without a stream.
+    *
+    * Job shape (round-13, same rationale as [[TrainStream]]): AQE off
+    * for the step — every frame is ledger-sized or micro-batch-sized,
+    * so runtime re-planning only adds a stage-job per materialization;
+    * the two ledger upserts take the caller-materialized fast path
+    * (the frames are already checkpointed for the isEmpty gates); and
+    * an empty batch is caught by the merged/docs gates, not an
+    * upfront job of its own. */
   def processBatch(batch: DataFrame, epoch: Long, root: String): Unit = {
     val spark = batch.sparkSession
-    if (batch.isEmpty) return
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try processBatchInner(batch, epoch, root)
+    finally spark.conf.set(aqeKey, aqePrev)
+  }
+
+  private def processBatchInner(batch: DataFrame, epoch: Long,
+                                root: String): Unit = {
+    val spark = batch.sparkSession
     // empty-ledger schemas derive from the BATCH (the id's type is the
     // caller's, not assumed)
     val docsSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -115,9 +132,11 @@ final case class LmStream(id: String, text: Column, n: Int) {
     val docsDelta = novel.select(col(id)).distinct()
       .withColumn("epoch", lit(epoch)).localCheckpoint()
     if (!merged.isEmpty)
-      Sinks.upsertPartitioned(merged, Seq("context", "word"), countsDir(root))
+      Sinks.upsertPartitioned(merged, Seq("context", "word"), countsDir(root),
+        preMaterialized = true)
     if (!docsDelta.isEmpty)
-      Sinks.upsertPartitioned(docsDelta, Seq(id), docsDir(root))
+      Sinks.upsertPartitioned(docsDelta, Seq(id), docsDir(root),
+        preMaterialized = true)
   }
 
   /** The live raw-count ledger (context, word, cnt_gram) — feed it to

@@ -76,45 +76,105 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     else Sinks.readPartitioned(spark, dir)
   }
 
+  /** The landed-ids ledger is APPEND-ONLY by construction — only novel
+    * ids ever land — so it skips the staged keyed merge entirely: each
+    * epoch writes ONE `eNNNNNNNNN` directory (mode overwrite, so a
+    * replayed or crashed attempt just rewrites its own dir; duplicate
+    * ids across attempts would be harmless to the novelty anti-join
+    * anyway). One write job instead of a localCheckpoint + bucket
+    * probe + staged merge per batch. */
+  private def appendDocs(ids: DataFrame, epoch: Long, root: String): Unit =
+    ids.write.mode("overwrite").parquet(f"${docsDir(root)}/e$epoch%09d")
+
+  /** Union of the completed (`_SUCCESS`-marked) epoch directories — a
+    * crashed attempt's partial dir is invisible until its replay
+    * overwrites it. */
+  private def readDocs(spark: SparkSession, root: String,
+                       emptySchema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(docsDir(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).filter(st => st.isDirectory &&
+          st.getPath.getName.matches("^e\\d{9}$") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.toString).sorted
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    else spark.read.schema(emptySchema).parquet(dirs.toIndexedSeq: _*)
+  }
+
   /** Apply one mini-batch step at `epoch`. Public so the crash-matrix
-    * spec can drive replays and redeliveries without a stream. */
+    * spec can drive replays and redeliveries without a stream.
+    *
+    * Per-batch job shape (round-13, TrainJobCountSpec pins it): the
+    * novelty anti-join's count doubles as the empty-batch check; the
+    * stability bound (max row norm²) RIDES the scoring aggregation
+    * instead of its own scan (one persisted per-id pass yields score
+    * and norm together, the fused-probe pattern applyOps uses); and
+    * the model-sized frames (effective weights, per-id errors, current
+    * ledger) join with explicit broadcast hints so no shuffle stage —
+    * and no AQE stage-job — materializes for them. */
   def processBatch(batch: DataFrame, epoch: Long, root: String): Unit = {
     val spark = batch.sparkSession
-    if (batch.isEmpty) return
+    // AQE off for the step, restored after: every frame in this plan
+    // is model- or micro-batch-sized with its joins ALREADY broadcast
+    // by hint, so runtime re-planning cannot improve a stage — but it
+    // materializes each query stage as its own scheduler job, tripling
+    // the per-batch job count a high-frequency trainer pays
+    // (TrainJobCountSpec pins the count; Spark itself disables AQE
+    // inside streaming plans — foreachBatch bodies are where it
+    // sneaks back)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try processBatchInner(batch, epoch, root)
+    finally spark.conf.set(aqeKey, aqePrev)
+  }
+
+  private def processBatchInner(batch: DataFrame, epoch: Long,
+                                root: String): Unit = {
+    val spark = batch.sparkSession
     val docsSchema = StructType(Seq(batch.schema(id),
       StructField("epoch", LongType)))
-    val landedBefore = readLedger(spark, docsDir(root), docsSchema)
+    val landedBefore = readDocs(spark, root, docsSchema)
       .filter(col("epoch") < epoch).select(col(id))
     val novel = batch.join(landedBefore, Seq(id), "left_anti")
       .localCheckpoint() // feeds n, feats, labels across the store swap
-    val n = novel.count()
+    val n = novel.count() // 0 covers the empty-batch case too
     if (n == 0) return
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val feats = featurize(novel)
       .select(col(id), col("bucket").cast("long").as("_b"),
         col("x").cast("long").as("_x"))
       .persist(lvl)
-    // measured stability bound, exactly as the batch trainer's
-    val maxRowNorm2 = feats.groupBy(col(id))
-      .agg(sum(col("_x") * col("_x")).as("rn"))
-      .agg(coalesce(max(col("rn")), lit(0L)).cast("long"))
+    val cur = readLedger(spark, wDir(root), WSchema)
+    // rule 1: the model this batch trains against (model-sized —
+    // broadcast, never shuffled)
+    val eff = cur.select(col("b").as("_b"),
+      when(col("last_epoch") >= epoch, col("w_prev")).otherwise(col("w"))
+        .as("_we"))
+    // ONE per-id pass: score AND row norm² (the stability bound) —
+    // the left join preserves every feature row exactly once (the
+    // ledger is unique per bucket), so the fused norm equals the
+    // dedicated scan it replaces
+    val sums = feats.join(broadcast(eff), Seq("_b"), "left")
+      .groupBy(col(id))
+      .agg(sum(col("_x") * coalesce(col("_we"), lit(0L))).cast("long").as("_s"),
+        sum(col("_x") * col("_x")).cast("long").as("_rn"))
+      .persist(lvl)
+    val maxRowNorm2 = sums
+      .agg(coalesce(max(col("_rn")), lit(0L)).cast("long"))
       .collect()(0).getLong(0)
     require(lrDenom >= maxRowNorm2,
       s"TrainStream: lrDenom=$lrDenom < max row norm² $maxRowNorm2 at epoch " +
         s"$epoch — the LMS step would exceed the 2/λmax stability bound")
 
-    val cur = readLedger(spark, wDir(root), WSchema)
-    // rule 1: the model this batch trains against
-    val eff = cur.select(col("b").as("_b"),
-      when(col("last_epoch") >= epoch, col("w_prev")).otherwise(col("w"))
-        .as("_we"))
-    val sums = feats.join(eff, Seq("_b"), "left")
-      .groupBy(col(id))
-      .agg(sum(col("_x") * coalesce(col("_we"), lit(0L))).cast("long").as("_s"))
     val errs = novel.select(col(id), label.cast("long").as("_y"))
       .join(sums, Seq(id), "left")
       .select(col(id), (coalesce(col("_s"), lit(0L)) - col("_y")).as("_e"))
-    val grad = feats.join(errs, Seq(id))
+    val grad = feats.join(broadcast(errs), Seq(id))
       .groupBy(col("_b"))
       .agg(sum(col("_x") * col("_e")).cast("long").as("_g"))
     // rules 1+2 applied per touched row; untouched rows never rewrite
@@ -122,7 +182,7 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
       s"TrainStream: lrDenom=$lrDenom * n=$n overflows the Long step divisor" +
         " at epoch " + epoch + " — shrink the batch or lower lrDenom")
     val div = lrDenom * n
-    val merged = grad.join(cur, grad("_b") === cur("b"), "left")
+    val merged = grad.join(broadcast(cur), grad("_b") === cur("b"), "left")
       .select(col("_b").as("b"),
         col("_g"),
         coalesce(col("last_epoch"), lit(-1L)).as("_le"),
@@ -135,11 +195,17 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
         when(col("_le") >= epoch, col("_wp_cur"))
           .otherwise(col("_eff")).as("w_prev"),
         greatest(col("_le"), lit(epoch)).as("last_epoch"))
-      .localCheckpoint() // reads the store the upsert below swaps
-    val docsDelta = novel.select(col(id)).distinct()
-      .withColumn("epoch", lit(epoch)).localCheckpoint()
+    // upsertPartitioned's own internal checkpoint is merged's ONE
+    // materialization (it lands before the staging write swaps the
+    // store this plan reads — exactly the ordering the sink exists
+    // to provide); a second checkpoint here would double it
     Sinks.upsertPartitioned(merged, Seq("b"), wDir(root))
-    Sinks.upsertPartitioned(docsDelta, Seq(id), docsDir(root))
+    // docs append: one job from the CHECKPOINTED novel frame — no
+    // merge (ids are novel by construction) and no distinct (the
+    // novelty anti-join is duplicate-insensitive)
+    appendDocs(novel.select(col(id)).withColumn("epoch", lit(epoch)),
+      epoch, root)
+    sums.unpersist()
     feats.unpersist()
   }
 

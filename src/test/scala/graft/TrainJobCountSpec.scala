@@ -90,11 +90,15 @@ class TrainJobCountSpec extends SparkSpec {
     val (jA, _) = measured { ts.processBatch(batch(1), 2L, root) }
     val (jB, _) = measured { ts.processBatch(batch(2), 3L, root) }
     val (jC, _) = measured { ts.processBatch(batch(3), 4L, root) }
-    // steady state: same plan per batch ⇒ same job count (±2 for AQE
+    // steady state: same plan per batch ⇒ same job count (±2 for
     // stage-count jitter); a monotone climb is maintainer creep
     assert(math.abs(jB - jA) <= 2 && math.abs(jC - jB) <= 2,
       s"per-batch job count must be steady: $jA, $jB, $jC")
-    assert(jC <= 40, s"per-batch job quota broken: $jC")
+    // round-13 LOWERED pin (was 40, measured 39): the fused norm+score
+    // pass, append-only docs ledger, single merged materialization and
+    // AQE-off step brought the measured count to 15 — quota 18 keeps
+    // two jobs of slack without letting a new per-batch job hide
+    assert(jC <= 18, s"per-batch job quota broken: $jC")
     println(s"TRAIN_JOBS stream perBatch=$jA,$jB,$jC")
   }
 }
