@@ -8619,6 +8619,56 @@ object Queries {
       |       CAST(count(*) AS BIGINT) AS n_rows
       |FROM d4 GROUP BY nat ORDER BY nat""".stripMargin
 
+  // ---------------------------------- data-skipping freshness scan
+  /** Generation-level DATA SKIPPING ([[graft.sinks.VersionedStore
+    * .readPruned]] — round 13): every promoted generation carries a
+    * `_cstats` manifest (per-column null/min/max from its own parquet
+    * footers, written driver-side at commit time), and a value-range
+    * read drops whole bucket chains at PLAN time when no generation's
+    * stats overlap. The demo is the freshness pattern that works on a
+    * hash-bucketed layout: an update-epoch column is bounded by the
+    * epoch that wrote each generation, so "rows updated since epoch 2"
+    * opens ONLY the buckets epochs 2-3 touched (asserted in-query: ≤ 4
+    * of 16 buckets) while the row filter keeps the result exact. The
+    * oracle recomputes the updated rows from scratch. */
+  private def qPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val fix = fixPath("vstore_skip", dir)
+    val root = s"$fix/store"
+    val vs = graft.sinks.VersionedStore
+    if (vs.currentEpoch(root) != 3L) {
+      deleteTree(fix)
+      val base = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("bigint").as("k"),
+        floor(col("s_acctbal")).cast("bigint").as("v"),
+        col("s_nationkey").cast("bigint").as("nat"))
+      vs.upsert(base.withColumn("u", lit(1L)), Seq("k"), root,
+        nBuckets = 16)
+      vs.upsert(base.filter(col("k").isin(7L, 53L))
+        .withColumn("v", col("v") + 5L).withColumn("u", lit(2L)),
+        Seq("k"), root)
+      vs.upsert(base.filter(col("k").isin(11L, 89L))
+        .withColumn("v", col("v") + 7L).withColumn("u", lit(3L)),
+        Seq("k"), root)
+    }
+    val df = vs.readPruned(s, root, "u", 2L, 3L)
+    val opened = df.inputFiles
+      .flatMap(_.split("/").find(_.matches("^b\\d{5}$"))).toSet
+    require(opened.size <= 4 && opened.size < 16,
+      s"data skipping must prune untouched buckets, opened: $opened")
+    df.orderBy("k")
+  }
+
+  private val oPrunedScan =
+    """WITH fb AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                   CAST(floor(s_acctbal) AS BIGINT) AS v,
+      |                   CAST(s_nationkey AS BIGINT) AS nat FROM supplier)
+      |SELECT k, v + 5 AS v, nat, CAST(2 AS BIGINT) AS u FROM fb
+      |WHERE k IN (7, 53)
+      |UNION ALL
+      |SELECT k, v + 7 AS v, nat, CAST(3 AS BIGINT) AS u FROM fb
+      |WHERE k IN (11, 89)
+      |ORDER BY k""".stripMargin
+
   // --------------------------- schema evolution through a live stream
   /** Additive schema evolution END TO END on the streaming path: a
     * producer starts shipping a NEW column mid-stream, the epoch
@@ -9009,7 +9059,8 @@ object Queries {
     "q221_executor_alt" -> (qExecutorAlt _),
     "q222_mor_history" -> (qMorHistory _),
     "q223_import_fork" -> (qImportFork _),
-    "q224_double_minmax" -> (qDoubleMinMax _)
+    "q224_double_minmax" -> (qDoubleMinMax _),
+    "q225_pruned_scan" -> (qPrunedScan _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9240,6 +9291,7 @@ object Queries {
     "q221_executor_alt" -> oExecutorAlt,
     "q222_mor_history" -> oMorHistory,
     "q223_import_fork" -> oImportFork,
-    "q224_double_minmax" -> oDoubleMinMax
+    "q224_double_minmax" -> oDoubleMinMax,
+    "q225_pruned_scan" -> oPrunedScan
   )
 }

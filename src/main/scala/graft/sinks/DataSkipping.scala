@@ -1,0 +1,209 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types._
+
+/** Generation-level COLUMN STATISTICS for the versioned store — the
+  * Delta/Iceberg data-skipping manifest, sized to this layout: one
+  * `_cstats` marker per generation directory holding, for every
+  * top-level comparable column, its (nullCount, min, max) aggregated
+  * across the generation's parquet footers. Written at promote time
+  * (driver-side footer reads of files just written — metadata only,
+  * no executor, no data page) and read at PLAN time by
+  * [[VersionedStore.readPruned]], so a value predicate can drop whole
+  * bucket chains without opening a single file.
+  *
+  * Why this matters on a hash-bucketed layout: keys scatter, so most
+  * natural columns span every bucket — but columns CORRELATED WITH
+  * WRITE TIME do not. A ledger's `last_epoch`-style column is bounded
+  * by the epoch that wrote each generation, so "rows updated since E"
+  * prunes every bucket untouched since E from stats alone — the
+  * freshness scan a 10k-bucket store at 100 TB cannot afford to serve
+  * by opening 10k footers. Row-group statistics and key blooms keep
+  * serving the within-file pruning below this layer.
+  *
+  * Conservatism contract (what makes pruning SAFE): a generation
+  * without a `_cstats` marker (legacy store), a column without a
+  * stats line (unsupported type, corrupt footer), or a chain where
+  * ANY generation overlaps the predicate range is always READ — the
+  * manifest can only skip work, never change a result. Tombstones
+  * carry null values, and nulls never extend min/max, so a delta
+  * generation's stats stay exact for the values it introduces.
+  *
+  * String ordering note: parquet binary stats order by UNSIGNED UTF-8
+  * bytes, so the overlap test compares the same way (Java's
+  * String.compareTo orders by UTF-16 code unit and diverges above the
+  * BMP — comparing with it could mis-prune, i.e. lose rows). */
+object DataSkipping {
+
+  /** One column's per-generation statistics; min/max are the canonical
+    * string rendering of the column's type (see [[render]]). */
+  final case class ColStats(nulls: Long, min: String, max: String)
+
+  private val MarkerName = "_cstats"
+
+  /** Columns of these types get stats; everything else is skipped
+    * (and therefore never pruned on — conservative). */
+  private def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case DoubleType | FloatType => true
+    case StringType | BooleanType => true
+    case DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  // URL-encode so the marker stays line-oriented whatever bytes a
+  // string column holds
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** Canonical string rendering of a parquet statistics value for a
+    * Spark column type; None = value shape unexpected (skip column). */
+  private def render(dt: DataType, v: Any): Option[String] = (dt, v) match {
+    case (LongType | TimestampType | TimestampNTZType, l: java.lang.Long) =>
+      Some(l.toString)
+    case (IntegerType | ShortType | ByteType | DateType,
+          i: java.lang.Integer) => Some(i.toString)
+    case (DoubleType, d: java.lang.Double) => Some(d.toString)
+    case (FloatType, f: java.lang.Float) => Some(f.toString)
+    case (BooleanType, b: java.lang.Boolean) => Some(b.toString)
+    case (StringType, b: org.apache.parquet.io.api.Binary) =>
+      Some(b.toStringUsingUTF8)
+    case _ => None
+  }
+
+  /** Read the footers of every parquet file in `genDir` (driver-side,
+    * files just written by this process) and write the `_cstats`
+    * marker. Any irregularity — unreadable footer, unexpected stats
+    * shape — drops the affected COLUMN, never fails the write: stats
+    * are an optimization, the commit must not die for them. */
+  def collectAndWrite(fs: FileSystem, genDir: Path,
+                      schema: StructType): Unit = {
+    val cols = schema.fields.filter(f => supported(f.dataType))
+      .map(f => f.name -> f.dataType).toMap
+    if (cols.isEmpty) return
+    val files = fs.listStatus(genDir).map(_.getPath).filter { p =>
+      val nm = p.getName
+      nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
+    }
+    if (files.isEmpty) return
+    // name -> (nulls, min, max) folded across files and row groups;
+    // a column dropped anywhere is dropped everywhere
+    val acc = scala.collection.mutable.Map.empty[String, ColStats]
+    val dead = scala.collection.mutable.Set.empty[String]
+    try {
+      files.foreach { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, fs.getConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala.foreach { cc =>
+              val name = cc.getPath.toDotString
+              cols.get(name).foreach { dt =>
+                if (!dead(name)) {
+                  val st = cc.getStatistics
+                  if (st == null || st.isEmpty) dead += name
+                  else {
+                    val nulls = st.getNumNulls
+                    if (!st.hasNonNullValue) {
+                      // all-null chunk: fold nulls, keep min/max as-is
+                      acc.get(name) match {
+                        case Some(c) => acc(name) = c.copy(nulls = c.nulls + nulls)
+                        case None => acc(name) = ColStats(nulls, null, null)
+                      }
+                    } else {
+                      (render(dt, st.genericGetMin()),
+                        render(dt, st.genericGetMax())) match {
+                        case (Some(mn), Some(mx)) =>
+                          acc.get(name) match {
+                            case Some(c) =>
+                              val nmn =
+                                if (c.min == null || lt(dt, mn, c.min)) mn
+                                else c.min
+                              val nmx =
+                                if (c.max == null || lt(dt, c.max, mx)) mx
+                                else c.max
+                              acc(name) =
+                                ColStats(c.nulls + nulls, nmn, nmx)
+                            case None => acc(name) = ColStats(nulls, mn, mx)
+                          }
+                        case _ => dead += name
+                      }
+                    }
+                  }
+                }
+              }
+            }
+          }
+        } finally r.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => return }
+    val lines = acc.toSeq
+      .filter { case (n, c) => !dead(n) && c.min != null && c.max != null }
+      .sortBy(_._1)
+      .map { case (n, c) => s"${enc(n)};${c.nulls};${enc(c.min)};${enc(c.max)}" }
+    if (lines.nonEmpty)
+      Sinks.writeMarker(fs, new Path(genDir, MarkerName),
+        lines.mkString("\n"), replace = true)
+  }
+
+  /** The generation's stats, if the marker exists (None = legacy or
+    * statless generation: caller must include it conservatively). */
+  def read(fs: FileSystem, genDir: Path): Option[Map[String, ColStats]] =
+    Sinks.readMarker(fs, new Path(genDir, MarkerName)).map { body =>
+      body.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(n, nulls, mn, mx) = line.split(";", 4)
+        dec(n) -> ColStats(nulls.toLong, dec(mn), dec(mx))
+      }.toMap
+    }
+
+  /** Typed less-than on the canonical renderings. Strings compare by
+    * UNSIGNED UTF-8 bytes (parquet's binary order). */
+  private def lt(dt: DataType, a: String, b: String): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      a.toLong < b.toLong
+    case IntegerType | ShortType | ByteType | DateType => a.toInt < b.toInt
+    case DoubleType => a.toDouble < b.toDouble
+    case FloatType => a.toFloat < b.toFloat
+    case BooleanType => !a.toBoolean && b.toBoolean
+    case StringType =>
+      val x = a.getBytes(StandardCharsets.UTF_8)
+      val y = b.getBytes(StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    case other => sys.error(s"unsupported pruning type: ${other.sql}")
+  }
+
+  /** Does [lo, hi] (inclusive, canonical renderings) overlap the
+    * column's [min, max]? */
+  def overlaps(dt: DataType, cs: ColStats, lo: String, hi: String): Boolean =
+    !lt(dt, hi, cs.min) && !lt(dt, cs.max, lo)
+
+  /** Canonical rendering of a caller-supplied bound, type-checked
+    * against the column. */
+  def renderBound(dt: DataType, v: Any): String = (dt, v) match {
+    case (LongType, x: Long) => x.toString
+    case (LongType, x: Int) => x.toString
+    case (IntegerType | ShortType | ByteType, x: Int) => x.toString
+    case (DoubleType, x: Double) => x.toString
+    case (FloatType, x: Float) => x.toString
+    case (StringType, x: String) => x
+    case (BooleanType, x: Boolean) => x.toString
+    case (DateType, x: Int) => x.toString // days since epoch
+    case (DateType, x: java.sql.Date) => x.toLocalDate.toEpochDay.toString
+    case (TimestampType | TimestampNTZType, x: Long) => x.toString // micros
+    case (dt0, x) => sys.error(s"bound ${x} (${x.getClass.getSimpleName}) " +
+      s"does not match column type ${dt0.sql}")
+  }
+}

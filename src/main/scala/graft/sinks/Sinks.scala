@@ -39,7 +39,14 @@ object Sinks {
   private[sinks] def writeMarker(fs: FileSystem, target: Path, content: String,
                                  replace: Boolean): Unit = {
     if (!replace && fs.exists(target)) return
-    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    // the tmp is WRITER-PRIVATE: two optimistic writers racing the
+    // same commit-marker name must not share a tmp file — on a
+    // checksummed local FS the second create clobbers the first's
+    // .crc sidecar mid-rename and leaves a corrupt marker (caught by
+    // ConcurrencySpec's real-racer stress); with private tmps the
+    // loser's rename simply fails against the existing target
+    val tmp = new Path(target.getParent,
+      target.getName + ".tmp-" + java.util.UUID.randomUUID())
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()

@@ -169,7 +169,21 @@ object VersionedStore {
     val markerCommits = paths.flatMap { p =>
       p.getName match {
         case CommitRe(e) =>
-          Some(parse(e.toLong, readMarker(fs, p).getOrElse("")))
+          // a marker BEING BORN by a racing writer renames its data
+          // file and checksum sidecar as two steps — retry the brief
+          // window instead of failing a read-only listing (a genuinely
+          // corrupt marker still throws after the retries)
+          var body: Option[String] = None
+          var tries = 0
+          while (body.isEmpty && tries < 10) {
+            tries += 1
+            try body = Some(readMarker(fs, p).getOrElse(""))
+            catch {
+              case scala.util.control.NonFatal(t) =>
+                if (tries >= 10) throw t else Thread.sleep(20L)
+            }
+          }
+          Some(parse(e.toLong, body.get))
         case _ => None
       }
     }
@@ -319,17 +333,66 @@ object VersionedStore {
       val target = new Path(dir, f"_commit-$epoch%07d")
       val body =
         s"$kind;${touched.sorted.mkString(",")};${stampOf(tsMillis, committed)}"
+      // an overlapping racer staging the SAME epoch may have replaced
+      // our promoted generations (its crashed-leftover sweep cannot
+      // tell them from a real crash's) — never publish a marker for
+      // generations we no longer own
+      touched.foreach { b =>
+        val gen = new Path(dir, s"${bucketName(b)}/${genName(epoch)}")
+        if (!fs.exists(new Path(gen, "_SUCCESS")))
+          sys.error(s"concurrent writer conflict: staged generation $gen " +
+            "disappeared before commit — another writer staged this epoch " +
+            "over overlapping buckets; this commit is rolled back")
+      }
+      // ELECTION — why not just tmp+rename the marker: POSIX rename
+      // OVERWRITES an existing file, so two same-epoch racers either
+      // interleave a checksummed marker with the wrong .crc sidecar
+      // (permanent corruption) or silently replace a marker the
+      // earlier racer already confirmed (a lost update) — the
+      // real-racer stress in ConcurrencySpec caught BOTH. Directory
+      // rename is different: renaming onto an existing NON-EMPTY
+      // directory FAILS, which makes it the one atomic
+      // create-exclusive primitive the FS contract gives us. The
+      // winner takes `_commit-E.lock`, writes the marker under that
+      // exclusivity, then releases the lock; losers watch for the
+      // marker and rebase. A crash between lock and marker leaves a
+      // stale lock: every later writer of that epoch fails LOUDLY
+      // (never silently), and vacuum sweeps aged locks.
+      val lockDir = new Path(dir, f"_commit-$epoch%07d.lock")
       val won =
         if (fs.exists(target)) false
         else {
-          // writeMarker(replace=false) no-ops on a pre-existing target
-          // and its tmp+rename can lose a same-instant race — the
-          // read-back decides who actually owns the epoch
-          try writeMarker(fs, target, body, replace = false)
-          catch { case scala.util.control.NonFatal(_) => () }
-          readMarker(fs, target).contains(body)
+          val priv = new Path(dir,
+            ".epoch-lock-" + java.util.UUID.randomUUID())
+          fs.mkdirs(priv)
+          val out = fs.create(new Path(priv, "m"), true)
+          try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          val locked =
+            try fs.rename(priv, lockDir)
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (!locked) { fs.delete(priv, true); false }
+          else if (fs.exists(target)) { // won a lock for a done epoch
+            fs.delete(lockDir, true); false
+          } else {
+            writeMarker(fs, target, body, replace = false)
+            fs.delete(lockDir, true)
+            true
+          }
         }
       if (won) return epoch
+      // collision: the winner may still sit between lock and marker —
+      // wait for the marker (bounded, loud on a crashed winner)
+      if (fs.exists(lockDir)) {
+        var waited = 0
+        while (!fs.exists(target) && fs.exists(lockDir) && waited < 500) {
+          Thread.sleep(20L); waited += 1
+        }
+        if (!fs.exists(target) && fs.exists(lockDir))
+          sys.error(s"epoch $epoch lock is held but no marker appeared " +
+            s"($lockDir) — a writer crashed mid-commit; vacuum sweeps the " +
+            "stale lock after the grace window")
+      }
       val now = commits(root)
       val racing = now.filter(_.epoch >= epoch)
       require(racing.nonEmpty,
@@ -765,6 +828,25 @@ object VersionedStore {
         (w, kc) => w.option(s"parquet.bloom.filter.enabled#$kc", "true")
       }
     writer.partitionBy("_bucket").parquet(staging.toString)
+    // an OVERLAPPING racer may have already committed this epoch while
+    // we wrote staging output — promoting into its bucket directories
+    // would damage a committed snapshot, so abort before touching
+    // anything. A DISJOINT racer's commit is harmless here (we only
+    // enter our own buckets' directories) and resolves at the commit
+    // fence by rebasing our generations to the next epoch.
+    readMarker(fs, new Path(dir, f"_commit-$epoch%07d")).foreach { b0 =>
+      val theirs = b0.split(";", 3) match {
+        case parts if parts.length >= 2 && parts(1).nonEmpty =>
+          parts(1).split(",").map(_.toInt).toSet
+        case _ => Set.empty[Int]
+      }
+      val overlap = theirs.intersect(touched.toSet)
+      if (overlap.nonEmpty)
+        sys.error(s"concurrent writer conflict: epoch $epoch was committed " +
+          s"by another writer touching overlapping buckets " +
+          s"(${overlap.toSeq.sorted.mkString(",")}) while this one staged — " +
+          "refusing to promote over a committed snapshot")
+    }
     touched.foreach { b =>
       val gen = new Path(dir, s"${bucketName(b)}/${genName(epoch)}")
       fs.delete(gen, true) // a crashed writer's leftovers for THIS epoch
@@ -783,6 +865,14 @@ object VersionedStore {
         require(fs.rename(p, new Path(gen, f"part-$i%05d.parquet")),
           s"staging rename failed: $p")
       }
+      // generation-level column statistics (the data-skipping
+      // manifest): driver-side footer reads of the files just
+      // written — [[readPruned]] drops whole chains from these at
+      // plan time. Best-effort by contract: a generation without the
+      // marker is simply never pruned.
+      DataSkipping.collectAndWrite(fs, gen, StructType(
+        frame.schema.filterNot(f =>
+          f.name == "_bucket" || f.name == OpField)))
       fs.create(new Path(gen, "_SUCCESS"), true).close()
     }
     fs.delete(staging, true)
@@ -1221,6 +1311,62 @@ object VersionedStore {
         resolved.join(broadcast(wantedLocal), keyCols, "left_semi")
       }
     }
+  }
+
+  /** DATA-SKIPPING read: the snapshot's rows with `colName` in
+    * [lo, hi] (inclusive), opening ONLY bucket chains whose
+    * generation-level statistics overlap the range — whole buckets
+    * drop at PLAN time from the `_cstats` manifests
+    * ([[DataSkipping]]), before any footer or data page is touched.
+    * On this hash-bucketed layout the pruning column of choice is one
+    * CORRELATED WITH WRITE TIME (a ledger's `last_epoch`, an ingest
+    * timestamp): keys scatter across buckets, but each generation's
+    * stats are bounded by the epoch that wrote it, so "rows updated
+    * since E" prunes every bucket untouched since E — the freshness
+    * scan pattern (q225 pins it against the oracle; DataSkippingSpec
+    * pins the opened-bucket set). Safety is conservative inclusion: a
+    * chain is read unless EVERY generation's stats exclude the range;
+    * statless generations and unsupported column types always read.
+    * The row-level filter is applied on top, so the result is exact
+    * regardless of how much the manifest pruned. */
+  def readPruned(spark: SparkSession, root: String, colName: String,
+                 lo: Any, hi: Any, epoch: Long = Long.MaxValue): DataFrame = {
+    val committed = commits(root)
+    val cur = committed.lastOption.map(_.epoch).getOrElse(0L)
+    val e = if (epoch == Long.MaxValue) cur else epoch
+    val wm = retentionWatermark(root)
+    require(e >= wm,
+      s"readPruned epoch $e is below the vacuum retention watermark $wm")
+    require(e <= cur, s"readPruned epoch $e is beyond current epoch $cur")
+    val ddl = schemaAsOf(root, e)
+    val schema = StructType.fromDDL(ddl)
+    require(schema.fieldNames.contains(colName),
+      s"no such column: $colName (schema [$ddl])")
+    val dt = schema(colName).dataType
+    val loS = DataSkipping.renderBound(dt, lo)
+    val hiS = DataSkipping.renderBound(dt, hi)
+    val (fs, _) = fsOf(root)
+    val chains = snapshotChains(root, committed, e).values
+      .filter(_.paths.nonEmpty)
+    // chain survives iff ANY generation's stats overlap (or are
+    // absent) — stats fan out on the driver pool like every other
+    // metadata probe
+    val kept = parallelMap(chains.toSeq) { ch =>
+      val overlap = ch.paths.exists { gen =>
+        DataSkipping.read(fs, new Path(gen)) match {
+          case None => true // legacy/statless generation
+          case Some(m) => m.get(colName) match {
+            case None => true // no stats for this column
+            case Some(cs) => DataSkipping.overlaps(dt, cs, loS, hiS)
+          }
+        }
+      }
+      if (overlap) Some(ch) else None
+    }.flatten
+    val resolved =
+      if (kept.isEmpty) emptyFrameOf(spark, ddl)
+      else readChains(spark, keyColsOf(root), ddl, kept)
+    resolved.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   /** Bounded driver-side fan-out for metadata probes (footer reads,
@@ -1680,10 +1826,19 @@ object VersionedStore {
       }
     }
 
-    // a crashed writer's abandoned private staging directory
-    fs.listStatus(dir).filter(st => st.isDirectory &&
-      st.getPath.getName.startsWith(".epoch-staging"))
-      .foreach(st => fs.delete(st.getPath, true))
+    // a crashed writer's abandoned private staging directory — the
+    // grace window also shields a LIVE writer mid-staging, exactly as
+    // it shields an in-flight reader
+    locally {
+      val now = if (nowMillis >= 0L) nowMillis else System.currentTimeMillis()
+      fs.listStatus(dir).filter { st =>
+        val nm = st.getPath.getName
+        st.isDirectory &&
+          (nm.startsWith(".epoch-staging") || nm.startsWith(".epoch-lock") ||
+            nm.matches("^_commit-\\d{7}\\.lock$")) &&
+          (graceMillis <= 0L || now - st.getModificationTime >= graceMillis)
+      }.foreach(st => fs.delete(st.getPath, true))
+    }
 
     fs.listStatus(dir).filter(st => st.isDirectory &&
       st.getPath.getName.matches("^b\\d{5}$")).foreach { bSt =>

@@ -129,6 +129,48 @@ class ConcurrencySpec extends SparkSpec {
       == Seq("upsert", "dapply", "dapply"))
   }
 
+  test("stress: eight real racers on disjoint buckets all commit, serialized") {
+    val root = tmpDir("conc_stress") + "/store"
+    val n = 32
+    VersionedStore.upsert((1L to 200L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = n)
+    // eight writers, each owning ONE distinct bucket's keys, all
+    // released together — no pause hook, the races are real: losers
+    // rebase through however many collisions the scheduler deals them
+    val byBucket = bucketsOf(1L to 200L, n).groupMap(_._2)(_._1)
+    val owners = byBucket.toSeq.sortBy(_._1).take(8)
+      .map { case (b, ks) => b -> ks.toSeq.sorted.take(4) }
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = owners.map { case (b, ks) =>
+      new Thread(() => {
+        try {
+          start.await()
+          VersionedStore.upsert(ks.map(k => (k, k + 10000L)).toDF("k", "v"),
+            Seq("k"), root)
+        } catch { case t: Throwable => failures.add(t) }
+      }, s"racer-b$b")
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(failures.isEmpty, s"disjoint racers must all commit: " +
+      s"${Option(failures.peek()).map(_.getMessage)}")
+    // a correct serialization: epochs 2..9, one per writer, each
+    // touching exactly its own bucket, and every write visible
+    val cs = VersionedStore.commits(root)
+    assert(cs.map(_.epoch) == (1L to 9L), s"epochs: ${cs.map(_.epoch)}")
+    assert(cs.drop(1).map(_.buckets).forall(_.length == 1))
+    assert(cs.drop(1).flatMap(_.buckets).sorted == owners.map(_._1).sorted,
+      "each racer's bucket must appear exactly once")
+    val cur = VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toMap
+    owners.foreach { case (_, ks) =>
+      ks.foreach(k => assert(cur(k) == k + 10000L, s"lost update for $k"))
+    }
+    assert(cur.size == 200)
+  }
+
   test("vacuum grace window shields a concurrent reader; aged gens sweep") {
     val root = tmpDir("conc_grace") + "/store"
     VersionedStore.upsert((1L to 30L).map(k => (k, k)).toDF("k", "v"),

@@ -76,6 +76,14 @@ object VerifyProbe {
     assert(shuffled.get() < 100_000L,
       s"chain read must stream the base shuffle-free, moved ${shuffled.get()} B")
 
+    // --- data skipping: freshness scan opens only the delta'd chain
+    val pruned = VersionedStore.readPruned(spark, big, "v", "u", "v")
+    assert(pruned.count() == 1L, "pruned range [u,v] holds only key 5")
+    val prunedBuckets = pruned.inputFiles
+      .flatMap(_.split("/").find(_.matches("^b\\d{5}$"))).toSet
+    assert(prunedBuckets.size <= 2,
+      s"stats must prune untouched buckets: $prunedBuckets")
+
     // --- ViewStream follower over the MOR store
     val viewRoot = root + "_view"
     val f = graft.streaming.ViewStream(Seq("g"), "v", "sum")
