@@ -224,8 +224,18 @@ private[connectors] final case class StoreScanBuilder(path: String,
     case _ => false
   }
 
+  /** Range/equality filters the per-bucket `_cstats` manifests can
+    * evaluate (round-13 data skipping): any comparison on a
+    * stats-supported column prunes buckets whose min/max exclude it —
+    * the freshness-scan pattern (`last_epoch >= N`) drops untouched
+    * buckets at plan time. */
+  private def statPrunable(f: Filter): Boolean =
+    graft.sinks.DataSkipping.filterColumn(f).exists(c =>
+      fullSchema.fieldNames.contains(c) &&
+        graft.sinks.DataSkipping.supportedType(fullSchema(c).dataType))
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(prunable)
+    pushed = filters.filter(f => prunable(f) || statPrunable(f))
     // everything stays residual: the source prunes BUCKETS, Spark
     // still evaluates every predicate row-wise
     filters
@@ -285,10 +295,42 @@ private[connectors] final case class StoreScan(path: String,
     }
   }
 
+  /** Column-statistics pruning (round-13): buckets whose `_cstats`
+    * manifest proves every pushed comparison empty drop at plan time —
+    * one marker read per live bucket, no footer, no data page. A
+    * bucket without the manifest (legacy store) or without stats for
+    * the filtered column always survives. */
+  private def statsFor(filters: Array[Filter]): Option[Set[Int]] = {
+    import graft.sinks.DataSkipping
+    val cand = filters.toSeq
+      .flatMap(f => DataSkipping.filterColumn(f).map(c => (c, f)))
+      .filter { case (c, _) => fullSchema.fieldNames.contains(c) &&
+        DataSkipping.supportedType(fullSchema(c).dataType) }
+    if (cand.isEmpty) None
+    else {
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      Some(allBuckets.flatMap { dirS =>
+        val p = new Path(dirS)
+        val keep = DataSkipping.read(p.getFileSystem(conf), p) match {
+          case None => true
+          case Some(m) => cand.forall { case (c, f) =>
+            m.get(c).forall(cs =>
+              DataSkipping.survives(fullSchema(c).dataType, cs, f))
+          }
+        }
+        if (keep) Some(p.getName.stripPrefix("b").toInt) else None
+      }.toSet)
+    }
+  }
+
   /** Plan-time pruning is computed ONCE (re-hashing a large IN key
     * list per description()/stats call would be O(keys) each time);
     * only the runtime half can change after planning. */
-  private lazy val plannedWanted: Option[Set[Int]] = bucketsFor(pushed)
+  private lazy val plannedWanted: Option[Set[Int]] =
+    (bucketsFor(pushed), statsFor(pushed)) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
+    }
 
   /** Plan-time ∩ runtime pruning (both conservative). */
   private def wanted: Option[Set[Int]] =

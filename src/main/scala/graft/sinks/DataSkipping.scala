@@ -46,6 +46,8 @@ object DataSkipping {
 
   /** Columns of these types get stats; everything else is skipped
     * (and therefore never pruned on — conservative). */
+  def supportedType(dt: DataType): Boolean = supported(dt)
+
   private def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType => true
     case DoubleType | FloatType => true
@@ -189,6 +191,41 @@ object DataSkipping {
     * column's [min, max]? */
   def overlaps(dt: DataType, cs: ColStats, lo: String, hi: String): Boolean =
     !lt(dt, hi, cs.min) && !lt(dt, cs.max, lo)
+
+  /** The single column a pushed V1 filter constrains, when the filter
+    * shape is one the stats can evaluate. */
+  def filterColumn(f: org.apache.spark.sql.sources.Filter): Option[String] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) if v != null => Some(a)
+      case GreaterThan(a, v) if v != null => Some(a)
+      case GreaterThanOrEqual(a, v) if v != null => Some(a)
+      case LessThan(a, v) if v != null => Some(a)
+      case LessThanOrEqual(a, v) if v != null => Some(a)
+      case In(a, vs) if vs != null && vs.nonEmpty && vs.forall(_ != null) =>
+        Some(a)
+      case _ => None
+    }
+  }
+
+  /** Can a row satisfying `f` exist given the column's stats? True on
+    * any doubt (including a bound that fails to render) — pruning is
+    * an optimization, never a correctness dependency. */
+  def survives(dt: DataType, cs: ColStats,
+               f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    try f match {
+      case EqualTo(_, v) =>
+        val b = renderBound(dt, v); overlaps(dt, cs, b, b)
+      case GreaterThan(_, v) => lt(dt, renderBound(dt, v), cs.max)
+      case GreaterThanOrEqual(_, v) => !lt(dt, cs.max, renderBound(dt, v))
+      case LessThan(_, v) => lt(dt, cs.min, renderBound(dt, v))
+      case LessThanOrEqual(_, v) => !lt(dt, renderBound(dt, v), cs.min)
+      case In(_, vs) =>
+        vs.exists { v => val b = renderBound(dt, v); overlaps(dt, cs, b, b) }
+      case _ => true
+    } catch { case scala.util.control.NonFatal(_) => true }
+  }
 
   /** Canonical rendering of a caller-supplied bound, type-checked
     * against the column. */

@@ -6,6 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Sinks — SURVEY.md §2.8 (K4/K5/K6) as Spark writers plus a
   * parquet-backed upsert store standing in for the DynamoDB stat table.
@@ -268,6 +269,12 @@ object Sinks {
         require(fs.rename(p, new Path(swap, f"part-$i%05d.parquet")),
           s"staging rename failed: $p")
       }
+      // generation-level column statistics ride INSIDE the swap dir so
+      // they promote atomically with the bucket — the DSv2 scan prunes
+      // buckets from them at plan time (best-effort: a bucket without
+      // the marker is simply never pruned)
+      DataSkipping.collectAndWrite(fs, swap,
+        StructType(mat.schema.filterNot(_.name == "_bucket")))
       fs.create(new Path(swap, "_SUCCESS"), true).close()
       fs.delete(old, true)
       if (fs.exists(bDir))

@@ -179,6 +179,33 @@ class StoreSourceSpec extends SparkSpec {
     assert(viaProbe == viaFull && viaProbe.isEmpty)
   }
 
+  test("stats pruning: a freshness range drops untouched buckets at plan time") {
+    val store = tmpDir("dsv2_skip") + "/ledger"
+    // e1 seeds every bucket at u=1; the updates then touch TWO keys
+    Sinks.upsertPartitioned(
+      spark.range(1L, 201L).select(col("id").as("k"), lit(1L).as("u")),
+      Seq("k"), store, nBuckets = 16)
+    Sinks.upsertPartitioned(
+      Seq((7L, 2L), (53L, 3L)).toDF("k", "u"), Seq("k"), store)
+    val ds = spark.read.format("graft-store").load(store)
+    val fresh = ds.filter(col("u") >= 2L)
+    // plan-time bucket pruning from the per-bucket _cstats manifests:
+    // only the two rewritten buckets survive
+    val planned = fresh.rdd.getNumPartitions
+    assert(planned <= 2 && planned < 16,
+      s"stats pruning must drop untouched buckets, planned $planned")
+    assert(fresh.queryExecution.executedPlan.toString
+      .contains("GreaterThanOrEqual(u"), "the range filter must be pushed")
+    // and the rows are exact (the filter is residual as always)
+    assert(fresh.select("k", "u").as[(Long, Long)].collect().toSeq.sorted
+      == Seq((7L, 2L), (53L, 3L)))
+    // the conservative side: a range every bucket's stats admit plans
+    // the whole store
+    assert(ds.filter(col("u") >= 1L).rdd.getNumPartitions == 16)
+    // equality on a non-key value column prunes by stats too
+    assert(ds.filter(col("u") === 3L).rdd.getNumPartitions <= 1)
+  }
+
   test("array columns and column pruning round-trip through the DSv2 reader") {
     val store = tmpDir("dsv2_store_arr") + "/sets"
     val df = Seq(
