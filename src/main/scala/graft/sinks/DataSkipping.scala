@@ -84,15 +84,28 @@ object DataSkipping {
     * shape — drops the affected COLUMN, never fails the write: stats
     * are an optimization, the commit must not die for them. */
   def collectAndWrite(fs: FileSystem, genDir: Path,
-                      schema: StructType): Unit = {
+                      schema: StructType): Unit =
+    collectBody(fs, genDir, schema).foreach(writeBody(fs, genDir, _))
+
+  /** The footer-read half alone — callers that fan collection out on
+    * a pool (and write the marker later, into a different directory)
+    * split the phases: [[Sinks.upsertPartitioned]] collects from the
+    * staging output in one parallel round, then writes each body into
+    * its bucket's swap dir so the stats promote atomically. */
+  def writeBody(fs: FileSystem, genDir: Path, body: String): Unit =
+    Sinks.writeMarker(fs, new Path(genDir, MarkerName), body,
+      replace = true)
+
+  def collectBody(fs: FileSystem, genDir: Path,
+                  schema: StructType): Option[String] = {
     val cols = schema.fields.filter(f => supported(f.dataType))
       .map(f => f.name -> f.dataType).toMap
-    if (cols.isEmpty) return
+    if (cols.isEmpty) return None
     val files = fs.listStatus(genDir).map(_.getPath).filter { p =>
       val nm = p.getName
       nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
     }
-    if (files.isEmpty) return
+    if (files.isEmpty) return None
     // name -> (nulls, min, max) folded across files and row groups;
     // a column dropped anywhere is dropped everywhere
     val acc = scala.collection.mutable.Map.empty[String, ColStats]
@@ -145,14 +158,12 @@ object DataSkipping {
           }
         } finally r.close()
       }
-    } catch { case scala.util.control.NonFatal(_) => return }
+    } catch { case scala.util.control.NonFatal(_) => return None }
     val lines = acc.toSeq
       .filter { case (n, c) => !dead(n) && c.min != null && c.max != null }
       .sortBy(_._1)
       .map { case (n, c) => s"${enc(n)};${c.nulls};${enc(c.min)};${enc(c.max)}" }
-    if (lines.nonEmpty)
-      Sinks.writeMarker(fs, new Path(genDir, MarkerName),
-        lines.mkString("\n"), replace = true)
+    if (lines.isEmpty) None else Some(lines.mkString("\n"))
   }
 
   /** The generation's stats, if the marker exists (None = legacy or
@@ -228,7 +239,11 @@ object DataSkipping {
   }
 
   /** Canonical rendering of a caller-supplied bound, type-checked
-    * against the column. */
+    * against the column. Temporal bounds require PROPER temporal
+    * types: a raw Int/Long would render as days/micros here while the
+    * row-level filter's literal would cast it under DIFFERENT
+    * semantics (Spark casts long→timestamp as SECONDS) — the stats
+    * and the filter must never disagree. */
   def renderBound(dt: DataType, v: Any): String = (dt, v) match {
     case (LongType, x: Long) => x.toString
     case (LongType, x: Int) => x.toString
@@ -237,9 +252,17 @@ object DataSkipping {
     case (FloatType, x: Float) => x.toString
     case (StringType, x: String) => x
     case (BooleanType, x: Boolean) => x.toString
-    case (DateType, x: Int) => x.toString // days since epoch
     case (DateType, x: java.sql.Date) => x.toLocalDate.toEpochDay.toString
-    case (TimestampType | TimestampNTZType, x: Long) => x.toString // micros
+    case (DateType, x: java.time.LocalDate) => x.toEpochDay.toString
+    case (TimestampType, x: java.sql.Timestamp) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(x).toString
+    case (TimestampType, x: java.time.Instant) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(x).toString
+    case (TimestampNTZType, x: java.time.LocalDateTime) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateTimeToMicros(x).toString
     case (dt0, x) => sys.error(s"bound ${x} (${x.getClass.getSimpleName}) " +
       s"does not match column type ${dt0.sql}")
   }

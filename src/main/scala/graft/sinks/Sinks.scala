@@ -248,6 +248,19 @@ object Sinks {
     merged.repartition(touched.length, col("_bucket"))
       .write.partitionBy("_bucket").parquet(staging.toString)
 
+    // generation-level column statistics, collected from the STAGED
+    // output in ONE pooled round of footer reads (the files are the
+    // same bytes the promote loop renames) — the body then writes
+    // into each bucket's swap dir below so stats promote atomically
+    // with the bucket. Best-effort: a bucket without the marker is
+    // simply never pruned by the DSv2 scan.
+    val statSchema = StructType(mat.schema.filterNot(_.name == "_bucket"))
+    val statBodies: Map[Int, String] =
+      VersionedStore.parallelMap(touched) { b =>
+        b -> DataSkipping.collectBody(fs, new Path(staging, s"_bucket=$b"),
+          statSchema)
+      }.collect { case (b, Some(body)) => b -> body }.toMap
+
     // control-plane promotion: per bucket, staged file -> .swap dir ->
     // the same two-rename swap the monolithic store does. Every
     // touched bucket has rows (it is touched BECAUSE batch rows hash
@@ -269,12 +282,7 @@ object Sinks {
         require(fs.rename(p, new Path(swap, f"part-$i%05d.parquet")),
           s"staging rename failed: $p")
       }
-      // generation-level column statistics ride INSIDE the swap dir so
-      // they promote atomically with the bucket — the DSv2 scan prunes
-      // buckets from them at plan time (best-effort: a bucket without
-      // the marker is simply never pruned)
-      DataSkipping.collectAndWrite(fs, swap,
-        StructType(mat.schema.filterNot(_.name == "_bucket")))
+      statBodies.get(b).foreach(DataSkipping.writeBody(fs, swap, _))
       fs.create(new Path(swap, "_SUCCESS"), true).close()
       fs.delete(old, true)
       if (fs.exists(bDir))

@@ -362,16 +362,28 @@ object VersionedStore {
       val won =
         if (fs.exists(target)) false
         else {
-          val priv = new Path(dir,
-            ".epoch-lock-" + java.util.UUID.randomUUID())
+          // OWNERSHIP TOKEN — rename-onto-existing-DIRECTORY is not a
+          // failure in Hadoop: the source moves INSIDE the destination
+          // (mv semantics) and rename still returns true, so a loser
+          // can believe it holds the lock (the stress run caught it).
+          // The token file decides: only the writer whose uuid sits at
+          // lockDir/m owns the epoch; a mover-inside finds the
+          // winner's token, removes its own nested dir, and loses.
+          val token = java.util.UUID.randomUUID().toString
+          val priv = new Path(dir, ".epoch-lock-" + token)
           fs.mkdirs(priv)
           val out = fs.create(new Path(priv, "m"), true)
-          try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
-          val locked =
+          val renamed =
             try fs.rename(priv, lockDir)
             catch { case scala.util.control.NonFatal(_) => false }
-          if (!locked) { fs.delete(priv, true); false }
+          val owned = renamed &&
+            readMarker(fs, new Path(lockDir, "m")).contains(token)
+          if (!renamed) fs.delete(priv, true)
+          else if (!owned) // we were moved inside the winner's lock
+            fs.delete(new Path(lockDir, ".epoch-lock-" + token), true)
+          if (!owned) false
           else if (fs.exists(target)) { // won a lock for a done epoch
             fs.delete(lockDir, true); false
           } else {
@@ -865,17 +877,29 @@ object VersionedStore {
         require(fs.rename(p, new Path(gen, f"part-$i%05d.parquet")),
           s"staging rename failed: $p")
       }
-      // generation-level column statistics (the data-skipping
-      // manifest): driver-side footer reads of the files just
-      // written — [[readPruned]] drops whole chains from these at
-      // plan time. Best-effort by contract: a generation without the
-      // marker is simply never pruned.
-      DataSkipping.collectAndWrite(fs, gen, StructType(
-        frame.schema.filterNot(f =>
-          f.name == "_bucket" || f.name == OpField)))
       fs.create(new Path(gen, "_SUCCESS"), true).close()
     }
     fs.delete(staging, true)
+    // generation-level column statistics (the data-skipping manifest):
+    // driver-side footer reads of the files just written, fanned out
+    // on the metadata pool in ONE round AFTER promotion — the COMMIT
+    // marker (written by the caller after this returns) is the
+    // visibility fence, so post-promote stats are still atomic with
+    // the epoch. BASE generations only: delta generations stay
+    // write-cheap by the MOR contract (a statless generation reads
+    // conservatively; compaction folds chains into a stats-carrying
+    // base — same posture as the key blooms). Best-effort by
+    // contract: a generation without the marker is simply never
+    // pruned.
+    if (bloom) {
+      val statSchema = StructType(frame.schema.filterNot(f =>
+        f.name == "_bucket" || f.name == OpField))
+      parallelMap(touched) { b =>
+        DataSkipping.collectAndWrite(fs,
+          new Path(dir, s"${bucketName(b)}/${genName(epoch)}"), statSchema)
+      }
+      ()
+    }
   }
 
   private def writeEpoch(batch: DataFrame, keyCols: Seq[String], root: String,
@@ -1374,7 +1398,7 @@ object VersionedStore {
     * round-trip, so a serial walk over thousands of generations is
     * seconds of dead time a 16-way pool collapses. Preserves input
     * order; the pool dies with the call (no leaked threads). */
-  private def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+  private[sinks] def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.size <= 1) return items.map(f)
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(math.min(16, items.size))

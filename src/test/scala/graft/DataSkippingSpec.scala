@@ -59,13 +59,14 @@ class DataSkippingSpec extends SparkSpec {
       "without stats every chain must be read, never guessed away")
   }
 
-  test("a delta generation's stats resurrect a base-pruned bucket") {
+  test("a delta'd chain reads conservatively; compaction restores pruning") {
     val root = tmpDir("skip_mor") + "/store"
     VersionedStore.upsert(
       spark.range(1L, 101L).select(col("id").as("k"), lit(1L).as("u")),
       Seq("k"), root, nBuckets = 8)
-    // MOR update pushes one key's u into the probed range — only that
-    // key's chain gains overlapping stats
+    // MOR: delta generations carry NO stats by the write-cheap
+    // contract, so the delta'd chain survives every range (its base
+    // alone would have been pruned) — correctness via conservatism
     VersionedStore.deltaUpsert(Seq((42L, 5L)).toDF("k", "u"), Seq("k"), root)
     val df = VersionedStore.readPruned(spark, root, "u", 5L, 9L)
     assert(df.as[(Long, Long)].collect().toSeq == Seq((42L, 5L)))
@@ -74,6 +75,15 @@ class DataSkippingSpec extends SparkSpec {
       .filter(_.epoch == 2L).flatMap(_.buckets).map(b => f"b$b%05d").toSet
     assert(opened == deltaBuckets,
       s"only the delta'd chain may open: $opened vs $deltaBuckets")
+    // compacting folds the chain into a stats-carrying base: the
+    // updated key keeps matching, and a range NOTHING holds now
+    // prunes the whole store again
+    VersionedStore.compact(spark, root)
+    val after = VersionedStore.readPruned(spark, root, "u", 5L, 9L)
+    assert(after.as[(Long, Long)].collect().toSeq == Seq((42L, 5L)))
+    val none = VersionedStore.readPruned(spark, root, "u", 50L, 90L)
+    assert(none.count() == 0L && bucketsOf(none).isEmpty,
+      "post-compaction stats must prune the impossible range entirely")
   }
 
   test("string bounds order by unsigned UTF-8 bytes, not UTF-16 units") {
