@@ -96,6 +96,105 @@ object DataSkipping {
     Sinks.writeMarker(fs, new Path(genDir, MarkerName), body,
       replace = true)
 
+  /** Expression budget for [[observeStats]]: past this many aggregate
+    * expressions the per-row conditional evaluation would tax the
+    * write job more than a pooled footer pass costs. The observation
+    * exists for the high-frequency SMALL commit (a streaming
+    * maintainer's micro-batch touching a handful of buckets), where
+    * the round-13 per-epoch footer round-trips were the measured
+    * regression; a wide multi-bucket write amortizes footer reads
+    * fine and falls back to them. */
+  private val MaxObservePairs = 128
+
+  /** Per-bucket column statistics riding a staged write via
+    * `Dataset.observe`: the write job itself evaluates the
+    * min/max/null aggregates, so generation statistics cost ZERO extra
+    * jobs and ZERO footer re-reads. [[harvest]] after the write action
+    * returns the `_cstats` body per touched bucket; None = the metrics
+    * never arrived (caller falls back to footer reads, or stays
+    * statless — stats are best-effort by contract either way). */
+  final class StagedStats private[DataSkipping] (
+      obs: org.apache.spark.sql.Observation,
+      pairs: Seq[((Int, StructField), Int)],
+      counted: Seq[Int]) {
+    private def metricsRow: Option[org.apache.spark.sql.Row] =
+      try Some(scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(30, "s")))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Per-bucket staged ROW COUNTS (only when the observation was
+      * built with `counts = true`) — feeds the store's `_stats`
+      * optimizer marker without re-opening a single footer. */
+    def harvestRows(): Option[Map[Int, Long]] = {
+      if (counted.isEmpty) return None
+      metricsRow.flatMap { row =>
+        try Some(counted.map(b => b ->
+          Option(row.getAs[Any](s"c$b")).map(_.asInstanceOf[Long])
+            .getOrElse(0L)).toMap)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+
+    def harvest(): Option[Map[Int, String]] = {
+      val row = metricsRow.getOrElse(return None)
+      try {
+        val perBucket = pairs.groupBy(_._1._1).map { case (b, ps) =>
+          val lines = ps.flatMap { case ((_, f), i) =>
+            val mn = Option(row.getAs[Any](s"n$i"))
+            val mx = Option(row.getAs[Any](s"x$i"))
+            val nulls = Option(row.getAs[Any](s"u$i"))
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
+            (mn, mx) match {
+              case (Some(lo), Some(hi)) =>
+                Some((f.name, s"${enc(f.name)};$nulls;" +
+                  s"${enc(renderBound(f.dataType, lo))};" +
+                  s"${enc(renderBound(f.dataType, hi))}"))
+              case _ => None // all-null within the bucket: conservative
+            }
+          }.sortBy(_._1).map(_._2)
+          b -> lines.mkString("\n")
+        }
+        Some(perBucket.filter(_._2.nonEmpty))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Attach per-bucket stats collection to a staged write's input
+    * frame (`_bucket` column required). Returns the observed frame the
+    * caller MUST write (the observation rides that action) plus the
+    * harvest handle; None = nothing to observe or fan-out over budget
+    * (caller uses footer reads instead). The metric values are
+    * evaluated under Spark's own comparison semantics (strings by
+    * unsigned UTF-8 bytes via UTF8String, NaN greatest), which is
+    * exactly the ordering [[lt]]/[[overlaps]] replay — and row-level
+    * filters are always applied on top, so stats remain advisory. */
+  def observeStats(df: org.apache.spark.sql.DataFrame, touched: Seq[Int],
+                   schema: StructType, counts: Boolean = false)
+      : Option[(org.apache.spark.sql.DataFrame, StagedStats)] = {
+    import org.apache.spark.sql.functions._
+    val fields = schema.fields.filter(f => supported(f.dataType)).toSeq
+    val pairs = for (b <- touched; f <- fields) yield (b, f)
+    if ((pairs.isEmpty && !counts) || pairs.size > MaxObservePairs ||
+        touched.isEmpty) return None
+    val obs = org.apache.spark.sql.Observation(
+      "cstats-" + java.util.UUID.randomUUID())
+    val indexed = pairs.zipWithIndex
+    val statExprs = indexed.flatMap { case ((b, f), i) =>
+      val in = when(col("_bucket") === b, col(f.name))
+      Seq(min(in).as(s"n$i"), max(in).as(s"x$i"),
+        coalesce(sum(when(col("_bucket") === b && col(f.name).isNull, 1L)),
+          lit(0L)).as(s"u$i"))
+    }
+    val countExprs =
+      if (!counts) Seq.empty
+      else touched.map(b => coalesce(
+        sum(when(col("_bucket") === b, 1L)), lit(0L)).as(s"c$b"))
+    val exprs = statExprs ++ countExprs
+    scala.util.Try(df.observe(obs, exprs.head, exprs.tail: _*)).toOption
+      .map(observed => (observed,
+        new StagedStats(obs, indexed, if (counts) touched else Seq.empty)))
+  }
+
   def collectBody(fs: FileSystem, genDir: Path,
                   schema: StructType): Option[String] = {
     val cols = schema.fields.filter(f => supported(f.dataType))
@@ -167,13 +266,20 @@ object DataSkipping {
   }
 
   /** The generation's stats, if the marker exists (None = legacy or
-    * statless generation: caller must include it conservatively). */
+    * statless generation: caller must include it conservatively). A
+    * truncated or corrupt marker — a malformed line, a non-numeric
+    * null count — also reads as None: stats are best-effort by
+    * contract ("can only skip work, never change a result"), so a bad
+    * manifest must demote the generation to a conservative read, never
+    * fail the scan that consulted it. */
   def read(fs: FileSystem, genDir: Path): Option[Map[String, ColStats]] =
-    Sinks.readMarker(fs, new Path(genDir, MarkerName)).map { body =>
-      body.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(n, nulls, mn, mx) = line.split(";", 4)
-        dec(n) -> ColStats(nulls.toLong, dec(mn), dec(mx))
-      }.toMap
+    Sinks.readMarker(fs, new Path(genDir, MarkerName)).flatMap { body =>
+      scala.util.Try {
+        body.linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(n, nulls, mn, mx) = line.split(";", 4)
+          dec(n) -> ColStats(nulls.toLong, dec(mn), dec(mx))
+        }.toMap
+      }.toOption
     }
 
   /** Typed less-than on the canonical renderings. Strings compare by
@@ -248,6 +354,8 @@ object DataSkipping {
     case (LongType, x: Long) => x.toString
     case (LongType, x: Int) => x.toString
     case (IntegerType | ShortType | ByteType, x: Int) => x.toString
+    case (ShortType | ByteType, x: Short) => x.toString
+    case (ByteType, x: Byte) => x.toString
     case (DoubleType, x: Double) => x.toString
     case (FloatType, x: Float) => x.toString
     case (StringType, x: String) => x

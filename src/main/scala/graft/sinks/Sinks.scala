@@ -245,21 +245,28 @@ object Sinks {
     // user-specified repartition) and write one file per bucket
     val staging = new Path(dir, StagingName)
     fs.delete(staging, true)
-    merged.repartition(touched.length, col("_bucket"))
-      .write.partitionBy("_bucket").parquet(staging.toString)
-
-    // generation-level column statistics, collected from the STAGED
-    // output in ONE pooled round of footer reads (the files are the
-    // same bytes the promote loop renames) — the body then writes
-    // into each bucket's swap dir below so stats promote atomically
-    // with the bucket. Best-effort: a bucket without the marker is
-    // simply never pruned by the DSv2 scan.
+    // generation-level column statistics AND per-bucket row counts
+    // ride the staging write itself (Dataset.observe): zero extra
+    // jobs, ZERO footer reads — the round-13 footer pass here taxed
+    // every micro-batch of the streaming maintainers (BENCH r13 q159
+    // +48%); an over-budget or failed observation falls back to the
+    // pooled footer pass. Stats stay best-effort: a bucket without
+    // the marker is simply never pruned by the DSv2 scan.
     val statSchema = StructType(mat.schema.filterNot(_.name == "_bucket"))
-    val statBodies: Map[Int, String] =
+    val shaped = merged.repartition(touched.length, col("_bucket"))
+    val observed = DataSkipping.observeStats(shaped, touched, statSchema,
+      counts = true)
+    observed.map(_._1).getOrElse(shaped)
+      .write.partitionBy("_bucket").parquet(staging.toString)
+    val harvested = observed.flatMap(_._2.harvest())
+    val statBodies: Map[Int, String] = harvested.getOrElse {
       VersionedStore.parallelMap(touched) { b =>
         b -> DataSkipping.collectBody(fs, new Path(staging, s"_bucket=$b"),
           statSchema)
       }.collect { case (b, Some(body)) => b -> body }.toMap
+    }
+    val stagedRows: Map[Int, Long] =
+      observed.flatMap(_._2.harvestRows()).getOrElse(Map.empty)
 
     // control-plane promotion: per bucket, staged file -> .swap dir ->
     // the same two-rename swap the monolithic store does. Every
@@ -291,7 +298,7 @@ object Sinks {
       fs.delete(old, true)
     }
     fs.delete(staging, true)
-    updateStoreStats(fs, dir, touched)
+    updateStoreStats(fs, dir, touched, stagedRows)
   }
 
   /** Read a partitioned store: recover any bucket a crash left
@@ -372,8 +379,8 @@ object Sinks {
     * of listing bucket directories); absence or a missing bucket line
     * sends readers down the listing fallback, never to a wrong
     * answer. */
-  private def updateStoreStats(fs: FileSystem, dir: Path,
-                               touched: Seq[Int]): Unit = {
+  private def updateStoreStats(fs: FileSystem, dir: Path, touched: Seq[Int],
+                               knownRows: Map[Int, Long] = Map.empty): Unit = {
     val statsPath = new Path(dir, "_stats")
     val prev = readMarker(fs, statsPath).map(parseStats).getOrElse(Map.empty)
     val updated = touched.map { b =>
@@ -383,12 +390,14 @@ object Sinks {
         nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
       }
       val bytes = files.map(_.getLen).sum
-      val rows = files.map { st =>
+      // row counts come from the staged write's own observation when
+      // available (zero footer opens); the footer pass is the fallback
+      val rows = knownRows.getOrElse(b, files.map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(st.getPath, fs.getConf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
-      }.sum
+      }.sum)
       b -> ((rows, bytes))
     }.toMap
     val all = (prev ++ updated).toSeq.sortBy(_._1)

@@ -301,6 +301,55 @@ object VersionedStore {
     * collision. Production value is a no-op. */
   @volatile private[graft] var beforeCommit: String => Unit = _ => ()
 
+  /** Test seam: forces [[commitOrRebase]] down the lock-dir election
+    * even where the link primitive exists (the election path must stay
+    * exercised on the local FS the suite runs on). */
+  @volatile private[graft] var disableLinkFence: Boolean = false
+
+  /** Atomic CREATE-EXCLUSIVE marker write where the filesystem has a
+    * POSIX hard-link primitive (the local FS; HDFS would too via
+    * createFile-no-overwrite, object stores do not): write the body to
+    * a writer-private tmp, then `link(2)` it to the target — the
+    * target appears atomically WITH its full content and the link
+    * FAILS if the target exists, which is exactly the commit fence's
+    * required semantic. This is the UNCONTENDED fast path: one tmp
+    * write + one link + one delete (~4 metadata ops) instead of the
+    * lock-dir election's ~13 (mkdirs, token write, dir rename, token
+    * read-back, marker write, lock delete) — the round-13 election
+    * taxed every streaming maintainer's per-epoch commit (BENCH r13
+    * q200/q202 +40%). Returns Some(true) = won, Some(false) = target
+    * already exists (collision — resolve via rebase), None = primitive
+    * unavailable or failed (caller runs the election; never wrong,
+    * only slower). */
+  private def tryLinkMarker(fs: FileSystem, target: Path,
+                            body: String): Option[Boolean] = {
+    if (disableLinkFence) return None
+    val qualified = fs.makeQualified(target)
+    val scheme = qualified.toUri.getScheme
+    if (scheme != "file") return None
+    val tmp = new Path(target.getParent,
+      target.getName + ".tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val res =
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(qualified.toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        Some(true)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => Some(false)
+        case _: UnsupportedOperationException => None
+        case scala.util.control.NonFatal(_) => None
+      }
+    // target (when won) holds the linked inode; the tmp name and its
+    // checksum sidecar go regardless of outcome
+    try fs.delete(tmp, false)
+    catch { case scala.util.control.NonFatal(_) => () }
+    res
+  }
+
   /** The OPTIMISTIC-CONCURRENCY commit: try the staged epoch's marker;
     * on a collision (a racing writer committed this epoch number while
     * we staged), resolve the conflict Delta-style instead of forcing
@@ -323,7 +372,8 @@ object VersionedStore {
     * Returns the epoch actually committed (≥ the staged one). */
   private[graft] def commitOrRebase(fs: FileSystem, dir: Path, root: String,
       stagedEpoch: Long, kind: String, touched: Seq[Int], tsMillis: Long,
-      committedAtRead: Seq[Commit], ownEvolved: Boolean): Long = {
+      committedAtRead: Seq[Commit], ownEvolved: Boolean,
+      ownerToken: String): Long = {
     beforeCommit(root)
     var epoch = stagedEpoch
     var committed = committedAtRead
@@ -336,13 +386,23 @@ object VersionedStore {
       // an overlapping racer staging the SAME epoch may have replaced
       // our promoted generations (its crashed-leftover sweep cannot
       // tell them from a real crash's) — never publish a marker for
-      // generations we no longer own
+      // generations we no longer OWN. Ownership is the token the
+      // promote wrote into each _SUCCESS, not bare existence: a racing
+      // same-epoch writer's COMPLETED promote also leaves a _SUCCESS,
+      // and publishing over it would drop whichever writer committed
+      // first (the both-promoted-before-either-commits interleaving —
+      // round-13 ADVICE; ConcurrencySpec pins it).
       touched.foreach { b =>
         val gen = new Path(dir, s"${bucketName(b)}/${genName(epoch)}")
-        if (!fs.exists(new Path(gen, "_SUCCESS")))
+        val owner =
+          try readMarker(fs, new Path(gen, "_SUCCESS"))
+          catch { case scala.util.control.NonFatal(_) => None }
+        if (!owner.contains(ownerToken))
           sys.error(s"concurrent writer conflict: staged generation $gen " +
-            "disappeared before commit — another writer staged this epoch " +
-            "over overlapping buckets; this commit is rolled back")
+            (if (owner.isEmpty) "disappeared before commit"
+             else "was replaced by another writer") +
+            " — another writer staged this epoch over overlapping " +
+            "buckets; this commit is rolled back")
       }
       // ELECTION — why not just tmp+rename the marker: POSIX rename
       // OVERWRITES an existing file, so two same-epoch racers either
@@ -361,7 +421,10 @@ object VersionedStore {
       val lockDir = new Path(dir, f"_commit-$epoch%07d.lock")
       val won =
         if (fs.exists(target)) false
-        else {
+        else tryLinkMarker(fs, target, body) match {
+          case Some(w) => w // atomic create-exclusive: no lock needed
+          case None => // no link primitive: lock-dir election
+          locally {
           // OWNERSHIP TOKEN — rename-onto-existing-DIRECTORY is not a
           // failure in Hadoop: the source moves INSIDE the destination
           // (mv semantics) and rename still returns true, so a loser
@@ -389,7 +452,14 @@ object VersionedStore {
           } else {
             writeMarker(fs, target, body, replace = false)
             fs.delete(lockDir, true)
-            true
+            // READ-BACK: if a vacuum swept our live lock mid-election,
+            // another writer can have won the same epoch and our
+            // replace=false write silently no-op'd on its marker —
+            // reporting success would be a silent invisible commit
+            // (round-13 ADVICE). Foreign content = we lost; fall into
+            // the ordinary collision resolution below.
+            readMarker(fs, target).contains(body)
+          }
           }
         }
       if (won) return epoch
@@ -405,6 +475,16 @@ object VersionedStore {
             s"($lockDir) — a writer crashed mid-commit; vacuum sweeps the " +
             "stale lock after the grace window")
       }
+      // jittered backoff under sustained contention: N losers re-listing
+      // commits() and re-racing the next epoch in lockstep starve each
+      // other (each retry is O(epochs) marker reads) — a small random
+      // pause spreads the herd so someone always wins the next round
+      // (ConcurrencySpec's sustained-contention stress bounds the
+      // attempt histogram). First collision retries immediately: the
+      // common two-writer race should not pay latency for fairness.
+      if (attempts > 1)
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(1L, math.min(250L, 10L * attempts)))
       val now = commits(root)
       val racing = now.filter(_.epoch >= epoch)
       require(racing.nonEmpty,
@@ -631,11 +711,12 @@ object VersionedStore {
     val targetCols = StructType.fromDDL(targetDdl).fieldNames.toSeq
     val out = mat.select(targetCols.map(col) ++
       Seq(col(opCol).cast(StringType).as(OpField), col("_bucket")): _*)
-    stageAndPromote(spark, fs, dir, out, touched, epoch, keyCols,
+    val token = stageAndPromote(spark, fs, dir, out, touched, epoch, keyCols,
       bloom = false)
     commitOrRebase(fs, dir, root, epoch,
       "dapply" + (if (tag.nonEmpty) s"@$tag" else ""), touched, tsMillis,
-      committed, ownEvolved = storeDdl.exists(_ != targetDdl))
+      committed, ownEvolved = storeDdl.exists(_ != targetDdl),
+      ownerToken = token)
   }
 
   /** Merge-on-read upsert: [[deltaApply]] with every row an upsert. */
@@ -677,10 +758,10 @@ object VersionedStore {
     val touched = cand.keys.toSeq.sorted
     val merged = readChains(spark, keyCols, ddl, cand.values)
       .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(n)))
-    stageAndPromote(spark, fs, dir, merged, touched, epoch, keyCols,
-      bloom = true)
+    val token = stageAndPromote(spark, fs, dir, merged, touched, epoch,
+      keyCols, bloom = true)
     commitOrRebase(fs, dir, root, epoch, "compact", touched, tsMillis,
-      committed, ownEvolved = false)
+      committed, ownEvolved = false, ownerToken = token)
   }
 
   /** The compaction POLICY hook: compact only buckets whose serving
@@ -793,11 +874,20 @@ object VersionedStore {
     * co-located into one task; AQE never coalesces an explicit
     * repartition), then control-plane renames into the epoch's
     * generation dirs. A bucket with no staged rows gets an `_EMPTY`
-    * generation (metadata only). `frame` must carry `_bucket`. */
+    * generation (metadata only). `frame` must carry `_bucket`.
+    *
+    * Returns the writer's OWNERSHIP TOKEN: every promoted generation's
+    * `_SUCCESS` carries it as content, so the commit fence can verify
+    * the generations it is about to publish are ITS OWN — bare
+    * existence cannot tell them from a racing same-epoch writer's
+    * completed promote (which would let interleaved overlapping
+    * writers publish a marker over each other's data — round-13
+    * ADVICE). Readers only probe existence, so the content is free. */
   private def stageAndPromote(spark: SparkSession, fs: FileSystem, dir: Path,
                               frame: DataFrame, touched: Seq[Int],
                               epoch: Long, keyCols: Seq[String],
-                              bloom: Boolean): Unit = {
+                              bloom: Boolean): String = {
+    val token = java.util.UUID.randomUUID().toString
     // writer-private staging: two optimistic writers staging the same
     // epoch number must not clobber each other's files (the commit
     // fence serializes them AFTER staging); an abandoned dir is swept
@@ -829,9 +919,26 @@ object VersionedStore {
     // required ordering is already satisfied (it would otherwise
     // re-sort by _bucket and scramble the key clustering)
     val shaped = frame.repartition(touched.length, col("_bucket"))
-    val base = (if (bloom) shaped.sortWithinPartitions(
-                  col("_bucket") +: keyCols.map(col): _*)
-                else shaped).write
+    val sorted =
+      if (bloom) shaped.sortWithinPartitions(
+        col("_bucket") +: keyCols.map(col): _*)
+      else shaped
+    // generation-level column statistics ride the staging WRITE JOB
+    // itself (Dataset.observe — CollectMetricsExec forwards the
+    // child's ordering/partitioning, so the dynamic-partition writer
+    // never re-sorts): min/max/null per (touched bucket, column) cost
+    // zero extra jobs and ZERO footer re-reads. The round-13 footer
+    // pass taxed every epoch-committing micro-batch (BENCH r13
+    // q159/q200/q202, +40-48% steady-state); now a failed or
+    // over-budget observation falls back to that pooled footer pass
+    // for BASE generations and to statless (conservative reads) for
+    // DELTA generations — deltas stay write-cheap by the MOR
+    // contract, and since the observation is free they usually get
+    // stats anyway, so a delta'd chain can prune too (round-14).
+    val statSchema = StructType(frame.schema.filterNot(f =>
+      f.name == "_bucket" || f.name == OpField))
+    val observed = DataSkipping.observeStats(sorted, touched, statSchema)
+    val base = observed.map(_._1).getOrElse(sorted).write
     val writer =
       if (!bloom) base
       else keyCols.foldLeft(
@@ -840,6 +947,14 @@ object VersionedStore {
         (w, kc) => w.option(s"parquet.bloom.filter.enabled#$kc", "true")
       }
     writer.partitionBy("_bucket").parquet(staging.toString)
+    val statBodies: Map[Int, String] =
+      observed.flatMap(_._2.harvest()).getOrElse {
+        if (!bloom) Map.empty
+        else parallelMap(touched) { b =>
+          b -> DataSkipping.collectBody(fs, new Path(staging, s"_bucket=$b"),
+            statSchema)
+        }.collect { case (b, Some(body)) => b -> body }.toMap
+      }
     // an OVERLAPPING racer may have already committed this epoch while
     // we wrote staging output — promoting into its bucket directories
     // would damage a committed snapshot, so abort before touching
@@ -877,29 +992,17 @@ object VersionedStore {
         require(fs.rename(p, new Path(gen, f"part-$i%05d.parquet")),
           s"staging rename failed: $p")
       }
-      fs.create(new Path(gen, "_SUCCESS"), true).close()
+      // the data-skipping manifest lands BEFORE _SUCCESS, so a
+      // generation is never visible with half its metadata; the COMMIT
+      // marker (written by the caller after this returns) remains the
+      // epoch's visibility fence either way
+      statBodies.get(b).foreach(DataSkipping.writeBody(fs, gen, _))
+      val out = fs.create(new Path(gen, "_SUCCESS"), true)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     fs.delete(staging, true)
-    // generation-level column statistics (the data-skipping manifest):
-    // driver-side footer reads of the files just written, fanned out
-    // on the metadata pool in ONE round AFTER promotion — the COMMIT
-    // marker (written by the caller after this returns) is the
-    // visibility fence, so post-promote stats are still atomic with
-    // the epoch. BASE generations only: delta generations stay
-    // write-cheap by the MOR contract (a statless generation reads
-    // conservatively; compaction folds chains into a stats-carrying
-    // base — same posture as the key blooms). Best-effort by
-    // contract: a generation without the marker is simply never
-    // pruned.
-    if (bloom) {
-      val statSchema = StructType(frame.schema.filterNot(f =>
-        f.name == "_bucket" || f.name == OpField))
-      parallelMap(touched) { b =>
-        DataSkipping.collectAndWrite(fs,
-          new Path(dir, s"${bucketName(b)}/${genName(epoch)}"), statSchema)
-      }
-      ()
-    }
+    token
   }
 
   private def writeEpoch(batch: DataFrame, keyCols: Seq[String], root: String,
@@ -1033,14 +1136,15 @@ object VersionedStore {
         upserts
     }
 
-    stageAndPromote(spark, fs, dir, merged, touched, epoch, keyCols,
-      bloom = true)
+    val token = stageAndPromote(spark, fs, dir, merged, touched, epoch,
+      keyCols, bloom = true)
     // the transaction point: before this rename the epoch is invisible
     val kind = (if (opCol.isDefined) "apply"
                 else if (delete) "delete" else "upsert") +
       (if (tag.nonEmpty) s"@$tag" else "")
     commitOrRebase(fs, dir, root, epoch, kind, touched, tsMillis,
-      committed, ownEvolved = storeDdl.exists(_ != targetDdl))
+      committed, ownEvolved = storeDdl.exists(_ != targetDdl),
+      ownerToken = token)
   }
 
   /** RESTORE the store's CURRENT state to what it was at `epoch` — as
@@ -1807,6 +1911,15 @@ object VersionedStore {
     val cur = committed.lastOption.map(_.epoch).getOrElse(0L)
     require(retainAsOf <= cur,
       s"retainAsOf $retainAsOf is beyond current epoch $cur")
+    // the store-level grace FLOOR (`_vacuum_grace`, set by
+    // [[setVacuumGrace]] — streaming maintainers set it at start): a
+    // store with live followers must not depend on every vacuum CALLER
+    // remembering to pass a grace window; the floor makes the safe
+    // posture the store's own property. An explicit larger
+    // graceMillis still wins; a corrupt marker reads as no floor.
+    val floor = readMarker(fs, new Path(dir, "_vacuum_grace"))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(0L)
+    val grace = math.max(graceMillis, floor)
     val wm = math.max(retainAsOf, retentionWatermark(root))
     writeMarker(fs, new Path(dir, "_vacuum"), wm.toString, replace = true)
 
@@ -1850,17 +1963,24 @@ object VersionedStore {
       }
     }
 
-    // a crashed writer's abandoned private staging directory — the
-    // grace window also shields a LIVE writer mid-staging, exactly as
-    // it shields an in-flight reader
+    // a crashed writer's abandoned private staging / election-lock
+    // directories. These may belong to a LIVE writer between
+    // lock-acquire and marker-write, and deleting a live lock hands
+    // the same epoch to a second writer (a silently lost update), so
+    // — unlike data generations, whose grace-0 contract is merely
+    // LOUD reader failure — infrastructure dirs always require a
+    // minimum age even at grace 0 (round-13 ADVICE). Ten minutes
+    // dwarfs any commit window; crash leftovers still clear on the
+    // next routine vacuum.
     locally {
       val now = if (nowMillis >= 0L) nowMillis else System.currentTimeMillis()
+      val infraAge = math.max(grace, InfraSweepMinAgeMillis)
       fs.listStatus(dir).filter { st =>
         val nm = st.getPath.getName
         st.isDirectory &&
           (nm.startsWith(".epoch-staging") || nm.startsWith(".epoch-lock") ||
             nm.matches("^_commit-\\d{7}\\.lock$")) &&
-          (graceMillis <= 0L || now - st.getModificationTime >= graceMillis)
+          now - st.getModificationTime >= infraAge
       }.foreach(st => fs.delete(st.getPath, true))
     }
 
@@ -1879,8 +1999,8 @@ object VersionedStore {
             val committedHere = epochs.contains(epoch)
             if (keep.contains(epoch)) kept += 1
             else if ((committedHere || epoch <= cur) &&
-                     (graceMillis <= 0L ||
-                      now - gSt.getModificationTime >= graceMillis)) {
+                     (grace <= 0L ||
+                      now - gSt.getModificationTime >= grace)) {
               fs.delete(gSt.getPath, true); deleted += 1
             } else kept += 1 // in-flight epoch, or inside the grace window
           case _ =>
@@ -1888,6 +2008,25 @@ object VersionedStore {
       }
     }
     VacuumReport(deleted, kept, wm)
+  }
+
+  /** Infrastructure directories (private staging, election locks) are
+    * never swept younger than this, whatever the grace window — see
+    * the sweep note in [[vacuum]]. Test seam: injectable so specs can
+    * exercise both keep and sweep without ten-minute sleeps. */
+  @volatile private[graft] var InfraSweepMinAgeMillis: Long = 600000L
+
+  /** Set the store-level vacuum grace FLOOR (`_vacuum_grace`): every
+    * later [[vacuum]] keeps generations younger than this many millis
+    * even when the caller passes a smaller (or default zero) grace —
+    * Delta's `deletedFileRetentionDuration` as a TABLE property rather
+    * than a per-command flag. A store with streaming followers sets it
+    * once ([[graft.streaming.EpochStream]] does at start), and then a
+    * routine `vacuum(root, e)` can never yank a generation from under
+    * an in-flight chain read. */
+  def setVacuumGrace(root: String, graceMillis: Long): Unit = {
+    require(graceMillis >= 0L, s"grace must be >= 0: $graceMillis")
+    writeAuxMarker(root, "_vacuum_grace", graceMillis.toString)
   }
 
   /** Age-based retention — Delta's `RETAIN <n> HOURS` posture:

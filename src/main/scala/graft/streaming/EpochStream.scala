@@ -45,7 +45,8 @@ final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8,
                              opCol: Option[String] = None,
                              evolve: Boolean = false,
                              delta: Boolean = false,
-                             compactEvery: Int = 0) {
+                             compactEvery: Int = 0,
+                             vacuumGraceMillis: Long = 3600000L) {
   require(compactEvery == 0 || delta,
     "compactEvery is a merge-on-read policy; set delta = true")
 
@@ -90,7 +91,16 @@ final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8,
     * to the store's commit/bucket listings, which match only
     * `_commit-*` / `bNNNNN`). */
   def start(spark: SparkSession, landingDir: String, schema: StructType,
-            root: String): StreamingQuery =
+            root: String): StreamingQuery = {
+    // a store with a streaming maintainer has FOLLOWERS by design
+    // (views polling the changelog, chain reads racing inline
+    // compaction) — set the store-level vacuum grace floor once, so a
+    // routine `vacuum(root, e)` can never delete a generation from
+    // under an in-flight follower poll (the production posture; a
+    // deployment that truly wants loud-zero-grace passes 0 here)
+    if (vacuumGraceMillis > 0L &&
+        VersionedStore.readAuxMarker(root, "_vacuum_grace").isEmpty)
+      VersionedStore.setVacuumGrace(root, vacuumGraceMillis)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
@@ -98,6 +108,7 @@ final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8,
       .option("checkpointLocation", s"$root/ckpt_epochs")
       .foreachBatch { (b: DataFrame, id: Long) => processBatch(b, id, root) }
       .start()
+  }
 }
 
 object EpochStream {

@@ -96,11 +96,12 @@ final case class LmStream(id: String, text: Column, n: Int) {
     * upfront job of its own. */
   def processBatch(batch: DataFrame, epoch: Long, root: String): Unit = {
     val spark = batch.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
-    try processBatchInner(batch, epoch, root)
-    finally spark.conf.set(aqeKey, aqePrev)
+    // session-global toggles — serialized across maintainers by the
+    // process-wide gate; micro-batch shuffle sizing rides along (the
+    // only remaining shuffle in the step is the batch-gram count)
+    SessionConfGate.withMicroBatchConf(spark) {
+      processBatchInner(batch, epoch, root)
+    }
   }
 
   private def processBatchInner(batch: DataFrame, epoch: Long,
@@ -112,16 +113,34 @@ final case class LmStream(id: String, text: Column, n: Int) {
       batch.schema(id),
       org.apache.spark.sql.types.StructField("epoch",
         org.apache.spark.sql.types.LongType)))
+    // NOVELTY, shuffle-free at any ledger size (round-14): the docs
+    // ledger grows with the corpus, so the plain batch-vs-ledger
+    // anti-join would hash-shuffle the LEDGER every micro-batch.
+    // Decomposed: the ledger streams MAP-SIDE through a semi-join
+    // against the broadcast batch ids (batch-sized by contract), and
+    // the batch anti-joins the batch-sized intersection — both sides
+    // of every join are broadcast, zero Exchange. No distinct() on
+    // either build side: semi/anti joins are duplicate-insensitive,
+    // and the distinct would itself be a shuffle.
     val landedBefore = readLedger(spark, docsDir(root), docsSchema)
       .filter(col("epoch") < epoch).select(col(id))
-    val novel = batch.join(landedBefore, Seq(id), "left_anti")
+    val landedHit = landedBefore
+      .join(broadcast(batch.select(col(id))), Seq(id), "left_semi")
+    val novel = batch.join(broadcast(landedHit), Seq(id), "left_anti")
+    // one materialization of the batch grams (the count aggregation is
+    // the step's only shuffle — inherently so); both joins below reuse
+    // it as a broadcast build side
     val rawB = CorpusSignals.lmRawCounts(novel, text, n)
-      .withColumnRenamed("cnt_gram", "_cnt_b")
+      .withColumnRenamed("cnt_gram", "_cnt_b").localCheckpoint()
     val cur = readLedger(spark, countsDir(root), CountsSchema)
       .withColumnRenamed("cnt_gram", "_cnt_cur")
-    // touched rows only: batch grams left-join the ledger; rule 1
-    // decides add vs keep per row
-    val merged = rawB.join(cur, Seq("context", "word"), "left")
+    // touched rows only, same decomposition as the novelty join: the
+    // vocabulary-sized ledger streams map-side against the broadcast
+    // batch grams; the batch-sized hit set broadcasts back into the
+    // left join. Rule 1 decides add vs keep per row.
+    val touched = cur.join(broadcast(rawB.select("context", "word")),
+      Seq("context", "word"), "left_semi")
+    val merged = rawB.join(broadcast(touched), Seq("context", "word"), "left")
       .select(col("context"), col("word"),
         when(coalesce(col("last_epoch"), lit(-1L)) >= epoch, col("_cnt_cur"))
           .otherwise(coalesce(col("_cnt_cur"), lit(0L)) + col("_cnt_b"))

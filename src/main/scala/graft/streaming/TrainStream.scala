@@ -88,7 +88,14 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
 
   /** Union of the completed (`_SUCCESS`-marked) epoch directories — a
     * crashed attempt's partial dir is invisible until its replay
-    * overwrites it. */
+    * overwrites it. A ledger written by the PRE-round-13 layout (a
+    * bucketed [[Sinks.upsertPartitioned]] store: `b\d{5}` dirs) is
+    * folded into the union too — silently ignoring it would forget
+    * every previously landed id and re-train redeliveries as novel
+    * (duplicate gradient application on an at-least-once source). The
+    * legacy rows carry the same (id, epoch) schema, so the fold is a
+    * plain multi-path read; new epochs keep landing in `e\d{9}` dirs
+    * on top. */
   private def readDocs(spark: SparkSession, root: String,
                        emptySchema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(docsDir(root))
@@ -99,10 +106,12 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
           st.getPath.getName.matches("^e\\d{9}$") &&
           fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
         .map(_.getPath.toString).sorted
-    if (dirs.isEmpty)
+    val legacy = Sinks.listBuckets(docsDir(root))
+    val all = legacy ++ dirs
+    if (all.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    else spark.read.schema(emptySchema).parquet(dirs.toIndexedSeq: _*)
+    else spark.read.schema(emptySchema).parquet(all.toIndexedSeq: _*)
   }
 
   /** Apply one mini-batch step at `epoch`. Public so the crash-matrix
@@ -125,12 +134,15 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     // the per-batch job count a high-frequency trainer pays
     // (TrainJobCountSpec pins the count; Spark itself disables AQE
     // inside streaming plans — foreachBatch bodies are where it
-    // sneaks back)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
-    try processBatchInner(batch, epoch, root)
-    finally spark.conf.set(aqeKey, aqePrev)
+    // sneaks back). The toggle is session-global, so it runs under
+    // the process-wide [[SessionConfGate]]: two maintainers sharing a
+    // session must not interleave set/restore. Micro-batch shuffle
+    // sizing rides along — with AQE off, the session's corpus-scale
+    // partition count would run each batch-sized aggregation as
+    // mostly-empty tasks.
+    SessionConfGate.withMicroBatchConf(spark) {
+      processBatchInner(batch, epoch, root)
+    }
   }
 
   private def processBatchInner(batch: DataFrame, epoch: Long,
@@ -138,9 +150,16 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     val spark = batch.sparkSession
     val docsSchema = StructType(Seq(batch.schema(id),
       StructField("epoch", LongType)))
+    // novelty, shuffle-free at any ledger size (the LmStream
+    // decomposition): the corpus-growing docs ledger streams MAP-SIDE
+    // through a semi-join against the broadcast batch ids, and the
+    // batch anti-joins the batch-sized hit set — no Exchange, no
+    // distinct (semi/anti are duplicate-insensitive)
     val landedBefore = readDocs(spark, root, docsSchema)
       .filter(col("epoch") < epoch).select(col(id))
-    val novel = batch.join(landedBefore, Seq(id), "left_anti")
+    val landedHit = landedBefore
+      .join(broadcast(batch.select(col(id))), Seq(id), "left_semi")
+    val novel = batch.join(broadcast(landedHit), Seq(id), "left_anti")
       .localCheckpoint() // feeds n, feats, labels across the store swap
     val n = novel.count() // 0 covers the empty-batch case too
     if (n == 0) return
@@ -198,8 +217,12 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     // upsertPartitioned's own internal checkpoint is merged's ONE
     // materialization (it lands before the staging write swaps the
     // store this plan reads — exactly the ordering the sink exists
-    // to provide); a second checkpoint here would double it
-    Sinks.upsertPartitioned(merged, Seq("b"), wDir(root))
+    // to provide); a second checkpoint here would double it. ONE
+    // bucket: the weight ledger is model-sized by contract (≤ feature
+    // buckets rows), and every batch touches most of it — a multi-
+    // bucket layout would just multiply the per-epoch swap renames
+    // (round-14; existing stores keep their marker's own count).
+    Sinks.upsertPartitioned(merged, Seq("b"), wDir(root), nBuckets = 1)
     // docs append: one job from the CHECKPOINTED novel frame — no
     // merge (ids are novel by construction) and no distinct (the
     // novelty anti-join is duplicate-insensitive)
