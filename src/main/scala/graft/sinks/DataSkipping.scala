@@ -87,14 +87,18 @@ object DataSkipping {
                       schema: StructType): Unit =
     collectBody(fs, genDir, schema).foreach(writeBody(fs, genDir, _))
 
-  /** The footer-read half alone — callers that fan collection out on
-    * a pool (and write the marker later, into a different directory)
-    * split the phases: [[Sinks.upsertPartitioned]] collects from the
-    * staging output in one parallel round, then writes each body into
-    * its bucket's swap dir so the stats promote atomically. */
-  def writeBody(fs: FileSystem, genDir: Path, body: String): Unit =
-    Sinks.writeMarker(fs, new Path(genDir, MarkerName), body,
-      replace = true)
+  /** The footer-read half alone — callers that fan collection out
+    * (or observe stats off the write job) and write the marker later
+    * split the phases. Every call site targets a directory that is
+    * NOT YET VISIBLE (a bucket's `.swap`, an uncommitted generation),
+    * so a plain overwrite create suffices — the atomic-replace rename
+    * would buy nothing and costs an order of magnitude more in FS
+    * metadata ops, paid per bucket per upsert (round-14 profile). */
+  def writeBody(fs: FileSystem, genDir: Path, body: String): Unit = {
+    val out = fs.create(new Path(genDir, MarkerName), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Expression budget for [[observeStats]]: past this many aggregate
     * expressions the per-row conditional evaluation would tax the
@@ -172,6 +176,7 @@ object DataSkipping {
                    schema: StructType, counts: Boolean = false)
       : Option[(org.apache.spark.sql.DataFrame, StagedStats)] = {
     import org.apache.spark.sql.functions._
+    if (sys.props.get("graft.cstats.observe").contains("off")) return None
     val fields = schema.fields.filter(f => supported(f.dataType)).toSeq
     val pairs = for (b <- touched; f <- fields) yield (b, f)
     if ((pairs.isEmpty && !counts) || pairs.size > MaxObservePairs ||

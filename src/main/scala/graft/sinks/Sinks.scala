@@ -37,7 +37,7 @@ object Sinks {
     * rename throws — Hadoop signals most rename failures by returning
     * false, and swallowing that would let a caller believe a marker
     * (or manifest) landed when nothing is on disk. */
-  private[sinks] def writeMarker(fs: FileSystem, target: Path, content: String,
+  private[graft] def writeMarker(fs: FileSystem, target: Path, content: String,
                                  replace: Boolean): Unit = {
     if (!replace && fs.exists(target)) return
     // the tmp is WRITER-PRIVATE: two optimistic writers racing the
@@ -48,25 +48,102 @@ object Sinks {
     // loser's rename simply fails against the existing target
     val tmp = new Path(target.getParent,
       target.getName + ".tmp-" + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (replace) {
-      try {
-        val fc = org.apache.hadoop.fs.FileContext
-          .getFileContext(target.toUri, fs.getConf)
-        fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        return
-      } catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          fs.delete(target, false) // documented non-atomic fallback
-      }
+    localPathOf(fs, target) match {
+      case Some(nioTarget) =>
+        // LOCAL fast path (round-14): Hadoop's create() without the
+        // native library forks a `chmod` per file (~7 ms) and
+        // FileContext's checksummed replace-rename costs ~30 ms — a
+        // multi-marker commit paid tenths of a second in pure fork
+        // overhead. java.nio writes the same bytes in microseconds,
+        // and POSIX rename(2) IS the atomic replace the FileContext
+        // dance emulates. A legacy checksum sidecar from the old path
+        // is removed first so a later fs.open never verifies stale
+        // bytes (no sidecar = no verification; content is unchanged
+        // in the crash window).
+        val nioTmp = java.nio.file.Paths.get(
+          fs.makeQualified(tmp).toUri.getPath)
+        java.nio.file.Files.write(nioTmp,
+          content.getBytes(StandardCharsets.UTF_8))
+        if (replace) {
+          java.nio.file.Files.deleteIfExists(nioTarget.resolveSibling(
+            "." + nioTarget.getFileName.toString + ".crc"))
+          java.nio.file.Files.move(nioTmp, nioTarget,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          return
+        }
+      case None =>
+        val out = fs.create(tmp, true)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (replace) {
+          try {
+            val fc = fileContextFor(target, fs)
+            fc.rename(fc.makeQualified(tmp), fc.makeQualified(target),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            return
+          } catch {
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              fs.delete(target, false) // documented non-atomic fallback
+          }
+        }
     }
+    // create-exclusive promotion (both paths): Hadoop rename refuses
+    // an existing target, which is exactly the replace=false contract
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       sys.error(s"marker rename failed: $tmp -> $target")
     }
+  }
+
+  /** The marker path as a java.nio path when (and only when) it lives
+    * on the LOCAL filesystem — the driver-side metadata fast path.
+    * Scheme-qualified stores (s3a/hdfs) return None and keep the
+    * Hadoop API. */
+  private[graft] def localPathOf(fs: FileSystem,
+                                 p: Path): Option[java.nio.file.Path] = {
+    val q = fs.makeQualified(p)
+    if (q.toUri.getScheme == "file")
+      Some(java.nio.file.Paths.get(q.toUri.getPath))
+    else None
+  }
+
+  /** Small-file overwrite-create through the fast path where local
+    * (see [[localPathOf]]); Hadoop create elsewhere. For files inside
+    * directories that are NOT YET VISIBLE to readers (staging, swap,
+    * uncommitted generations) — atomicity is the caller's rename. */
+  private[graft] def createSmallFile(fs: FileSystem, p: Path,
+                                     content: Array[Byte]): Unit =
+    localPathOf(fs, p) match {
+      case Some(nio) => java.nio.file.Files.write(nio, content)
+      case None =>
+        val out = fs.create(p, true)
+        try { if (content.nonEmpty) out.write(content) } finally out.close()
+    }
+
+  /** mkdirs through the fast path where local (Hadoop's forks a chmod
+    * per level without the native library). */
+  private[graft] def fastMkdirs(fs: FileSystem, p: Path): Unit =
+    localPathOf(fs, p) match {
+      case Some(nio) => java.nio.file.Files.createDirectories(nio); ()
+      case None => fs.mkdirs(p); ()
+    }
+
+  /** FileContext per (scheme, authority), cached: unlike FileSystem,
+    * Hadoop does NOT cache FileContext instances — constructing one
+    * per replace-write costs ~30 ms of conf/AbstractFileSystem setup
+    * (round-14 profile: the per-bucket `_cstats` writes alone put
+    * ~0.3 s on every ledger upsert), which dwarfs the rename itself. */
+  private val fcCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.hadoop.fs.FileContext]()
+
+  private def fileContextFor(target: Path, fs: FileSystem)
+      : org.apache.hadoop.fs.FileContext = {
+    val uri = fs.makeQualified(target).toUri
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    fcCache.computeIfAbsent(key, _ =>
+      org.apache.hadoop.fs.FileContext.getFileContext(uri, fs.getConf))
   }
 
   private[sinks] def readMarker(fs: FileSystem, p: Path): Option[String] =
@@ -280,7 +357,7 @@ object Sinks {
       require(fs.exists(staged),
         s"staging output missing for touched bucket $b under $staging")
       fs.delete(swap, true)
-      fs.mkdirs(swap)
+      fastMkdirs(fs, swap)
       val parts = fs.listStatus(staged).map(_.getPath).filter { p =>
         val nm = p.getName
         nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
@@ -290,7 +367,7 @@ object Sinks {
           s"staging rename failed: $p")
       }
       statBodies.get(b).foreach(DataSkipping.writeBody(fs, swap, _))
-      fs.create(new Path(swap, "_SUCCESS"), true).close()
+      createSmallFile(fs, new Path(swap, "_SUCCESS"), Array.emptyByteArray)
       fs.delete(old, true)
       if (fs.exists(bDir))
         require(fs.rename(bDir, old), s"rename-aside failed: $bDir")

@@ -329,23 +329,22 @@ object VersionedStore {
     if (scheme != "file") return None
     val tmp = new Path(target.getParent,
       target.getName + ".tmp-" + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val nioTmp = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+    java.nio.file.Files.write(nioTmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val res =
       try {
         java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(qualified.toUri.getPath),
-          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+          java.nio.file.Paths.get(qualified.toUri.getPath), nioTmp)
         Some(true)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => Some(false)
         case _: UnsupportedOperationException => None
         case scala.util.control.NonFatal(_) => None
       }
-    // target (when won) holds the linked inode; the tmp name and its
-    // checksum sidecar go regardless of outcome
-    try fs.delete(tmp, false)
+    // target (when won) holds the linked inode; the tmp name goes
+    // regardless of outcome
+    try java.nio.file.Files.deleteIfExists(nioTmp)
     catch { case scala.util.control.NonFatal(_) => () }
     res
   }
@@ -977,7 +976,7 @@ object VersionedStore {
     touched.foreach { b =>
       val gen = new Path(dir, s"${bucketName(b)}/${genName(epoch)}")
       fs.delete(gen, true) // a crashed writer's leftovers for THIS epoch
-      fs.mkdirs(gen)
+      Sinks.fastMkdirs(fs, gen)
       val staged = new Path(staging, s"_bucket=$b")
       val parts =
         if (!fs.exists(staged)) Array.empty[Path]
@@ -987,7 +986,7 @@ object VersionedStore {
         }.sortBy(_.getName)
       if (parts.isEmpty)
         // every row deleted: an empty generation is two marker files
-        fs.create(new Path(gen, "_EMPTY"), true).close()
+        Sinks.createSmallFile(fs, new Path(gen, "_EMPTY"), Array.emptyByteArray)
       else parts.zipWithIndex.foreach { case (p, i) =>
         require(fs.rename(p, new Path(gen, f"part-$i%05d.parquet")),
           s"staging rename failed: $p")
@@ -997,9 +996,8 @@ object VersionedStore {
       // marker (written by the caller after this returns) remains the
       // epoch's visibility fence either way
       statBodies.get(b).foreach(DataSkipping.writeBody(fs, gen, _))
-      val out = fs.create(new Path(gen, "_SUCCESS"), true)
-      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      Sinks.createSmallFile(fs, new Path(gen, "_SUCCESS"),
+        token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     fs.delete(staging, true)
     token

@@ -58,15 +58,16 @@ final case class LmStream(id: String, text: Column, n: Int) {
 
   /** One-time ledger bootstrap from the already-ingested corpus
     * (epoch −1: strictly before every stream batch). */
-  def bootstrap(oldDocs: DataFrame, root: String): Unit = {
-    Sinks.upsertPartitioned(
-      CorpusSignals.lmRawCounts(oldDocs, text, n)
-        .withColumn("last_epoch", lit(-1L)),
-      Seq("context", "word"), countsDir(root))
-    Sinks.upsertPartitioned(
-      oldDocs.select(col(id)).distinct().withColumn("epoch", lit(-1L)),
-      Seq(id), docsDir(root))
-  }
+  def bootstrap(oldDocs: DataFrame, root: String): Unit =
+    // independent stores; see processBatch for the concurrency note
+    SessionConfGate.inParallel(
+      () => Sinks.upsertPartitioned(
+        CorpusSignals.lmRawCounts(oldDocs, text, n)
+          .withColumn("last_epoch", lit(-1L)),
+        Seq("context", "word"), countsDir(root)),
+      () => Sinks.upsertPartitioned(
+        oldDocs.select(col(id)).distinct().withColumn("epoch", lit(-1L)),
+        Seq(id), docsDir(root)))
 
   /** Read a ledger store that may legitimately be EMPTY — a bootstrap
     * over a corpus with no n-gram (every doc shorter than n tokens, or
@@ -150,12 +151,20 @@ final case class LmStream(id: String, text: Column, n: Int) {
       .localCheckpoint() // reads the store the upsert below swaps
     val docsDelta = novel.select(col(id)).distinct()
       .withColumn("epoch", lit(epoch)).localCheckpoint()
-    if (!merged.isEmpty)
-      Sinks.upsertPartitioned(merged, Seq("context", "word"), countsDir(root),
-        preMaterialized = true)
-    if (!docsDelta.isEmpty)
-      Sinks.upsertPartitioned(docsDelta, Seq(id), docsDir(root),
-        preMaterialized = true)
+    // the two ledgers are INDEPENDENT stores and both inputs are now
+    // materialized (nothing below reads a store the other swaps) —
+    // land them concurrently: the per-upsert fixed cost (staged write
+    // job, promote renames) overlaps instead of summing, which is the
+    // dominant share of a micro-batch's wall time (round-14 profile).
+    // Crash-safety is unchanged — the replay matrix already covers
+    // either store failing first, in any order.
+    SessionConfGate.inParallel(
+      () => if (!merged.isEmpty)
+        Sinks.upsertPartitioned(merged, Seq("context", "word"),
+          countsDir(root), preMaterialized = true),
+      () => if (!docsDelta.isEmpty)
+        Sinks.upsertPartitioned(docsDelta, Seq(id), docsDir(root),
+          preMaterialized = true))
   }
 
   /** The live raw-count ledger (context, word, cnt_gram) — feed it to

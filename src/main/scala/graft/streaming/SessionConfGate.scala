@@ -42,4 +42,22 @@ private[streaming] object SessionConfGate {
       spark.conf.set(spKey, prevSp)
     }
   }
+
+  /** Run independent store writes concurrently on short-lived threads
+    * (Spark schedules concurrent jobs from one session fine; the
+    * session conf the gate pinned is shared, so both sides plan under
+    * the same micro-batch settings). Rethrows the first failure. */
+  def inParallel(tasks: (() => Unit)*): Unit = {
+    if (tasks.sizeIs <= 1) { tasks.foreach(_.apply()); return }
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = tasks.zipWithIndex.map { case (t, i) =>
+      new Thread(() => {
+        try t()
+        catch { case e: Throwable => failure.compareAndSet(null, e) }
+      }, s"graft-batch-writer-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
+  }
 }

@@ -222,12 +222,16 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     // buckets rows), and every batch touches most of it — a multi-
     // bucket layout would just multiply the per-epoch swap renames
     // (round-14; existing stores keep their marker's own count).
-    Sinks.upsertPartitioned(merged, Seq("b"), wDir(root), nBuckets = 1)
-    // docs append: one job from the CHECKPOINTED novel frame — no
-    // merge (ids are novel by construction) and no distinct (the
-    // novelty anti-join is duplicate-insensitive)
-    appendDocs(novel.select(col(id)).withColumn("epoch", lit(epoch)),
-      epoch, root)
+    // the weights merge is fully materialized by the sink's internal
+    // checkpoint ORDER (it reads the weights store), and the docs
+    // append reads only the checkpointed novel frame — independent
+    // sinks, landed concurrently (the crash matrix already covers
+    // either store failing first)
+    SessionConfGate.inParallel(
+      () => Sinks.upsertPartitioned(merged, Seq("b"), wDir(root),
+        nBuckets = 1),
+      () => appendDocs(novel.select(col(id)).withColumn("epoch", lit(epoch)),
+        epoch, root))
     sums.unpersist()
     feats.unpersist()
   }

@@ -3,124 +3,156 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Throwaway probe main (test scope) — rewritten per verify wave.
-  * Wave: shuffle-free MOR chain resolution (broadcast merge), the
-  * duplicate-upsert and ts=0 fences, plus the carried MOR surfaces
-  * (timestamps, compaction, view follower, delta restore). */
+  * Wave: round-14 epoch-commit-tax profile — where do q159/q200/q202
+  * actually spend their wall time after the observation-stats +
+  * link-fence + broadcast-decomposition changes? Times each phase of
+  * the LmStream and EpochStream shapes at sf0.1 so the remaining
+  * per-epoch constant is attributable. */
 object VerifyProbe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(4)
-    import spark.implicits._
-    import graft.sinks.VersionedStore
+    val spark = GraftSession.local(32)
+    import graft.sinks.{Sinks, VersionedStore}
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    // --- merge-on-read end to end: delta commits, chain reads,
-    // timestamp travel, compaction as a content no-op
-    val root = java.nio.file.Files.createTempDirectory("probe_mor")
-      .toString + "/store"
-    VersionedStore.deltaUpsert((1L to 30L).map(k => (k, k * 10))
-      .toDF("k", "v"), Seq("k"), root, nBuckets = 4, tsMillis = 1000L)
-    VersionedStore.deltaApply(Seq((2L, 99L, "upsert"), (3L, 0L, "delete"),
-        (999L, 0L, "delete")).toDF("k", "v", "op"),
-      Seq("k"), root, "op", tsMillis = 2000L)
-    val cur = VersionedStore.read(spark, root).as[(Long, Long)]
-      .collect().toMap
-    assert(cur.size == 29 && cur(2L) == 99L && !cur.contains(3L),
-      s"MOR resolution: ${cur.size} rows")
-    assert(VersionedStore.readAsOfTimestamp(spark, root, 1500L)
-      .count() == 30L, "timestamp travel to the first delta epoch")
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"PROBE $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
 
-    // --- round-13 fences: duplicate upserts per key in one delta
-    // batch fail fast; ts=0 is reserved for legacy commits
-    val dup = try {
-      VersionedStore.deltaUpsert(Seq((7L, 1L), (7L, 2L)).toDF("k", "v"),
-        Seq("k"), root); false
-    } catch { case e: IllegalArgumentException =>
-      e.getMessage.contains("MORE THAN ONE upsert") }
-    assert(dup, "duplicate-upsert fence must trip")
-    val ts0 = try {
-      VersionedStore.deltaUpsert(Seq((8L, 1L)).toDF("k", "v"), Seq("k"),
-        root, tsMillis = 0L); false
-    } catch { case e: IllegalArgumentException =>
-      e.getMessage.contains("reserved") }
-    assert(ts0, "ts=0 sentinel fence must trip")
+    // warm up session/codegen
+    spark.read.parquet(s"$sf/documents.parquet").count()
 
-    val ce = VersionedStore.compact(spark, root, tsMillis = 3000L)
-    assert(ce == 3L && VersionedStore.read(spark, root).as[(Long, Long)]
-      .collect().toMap == cur, "compaction must be a content no-op")
-    val h = VersionedStore.history(spark, root)
-      .select("epoch", "n_rows").as[(Long, Long)].collect().toMap
-    assert(h == Map(1L -> 30L, 2L -> 29L, 3L -> 29L), s"MOR history: $h")
+    // ---------------- q159 shape: LmStream bootstrap + 2 batches
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val isBatch = graft.ops.Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
+    val root = java.nio.file.Files.createTempDirectory("probe_q159").toString
+    val stream = graft.streaming.LmStream("doc_id", col("text"), 3)
+    timed("lm.bootstrap")(stream.bootstrap(docs.filter(!isBatch), root))
+    val half = pmod(hash(col("doc_id")), lit(2))
+    val b0 = timed("lm.batch0.materialize")(
+      docs.filter(isBatch).filter(half === 0).localCheckpoint())
+    val b1 = docs.filter(isBatch).filter(half === 1).localCheckpoint()
+    timed("lm.processBatch(0)")(stream.processBatch(b0, 0L, root))
+    timed("lm.processBatch(1)")(stream.processBatch(b1, 1L, root))
+    timed("lm.serve")(graft.ops.CorpusSignals
+      .lmCountsFromRaw(stream.counts(spark, root), minCount = 3L).count())
 
-    // --- chain-read shuffle locality: a 2-row delta against a 50k-row
-    // base must not hash-shuffle the base
-    val big = java.nio.file.Files.createTempDirectory("probe_mor_big")
-      .toString + "/store"
-    VersionedStore.upsert(spark.range(1L, 50001L).select(col("id").as("k"),
-      concat(lit("payload-"), col("id")).as("v")), Seq("k"), big,
-      nBuckets = 4)
-    VersionedStore.deltaApply(Seq((5L, "u", "upsert"), (6L, "", "delete"))
-      .toDF("k", "v", "op"), Seq("k"), big, "op")
-    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        shuffled.addAndGet(
-          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        ()
+    // the same two batches again through a REAL stream, to price the
+    // structured-streaming fixed overhead (checkpoint dirs, triggers)
+    val root2 = java.nio.file.Files.createTempDirectory("probe_q159s").toString
+    timed("lm.bootstrap2")(stream.bootstrap(docs.filter(!isBatch), root2))
+    val landing = s"$root2/landing"
+    timed("lm.stream.2batches") {
+      docs.filter(isBatch).filter(half === 0)
+        .write.mode("append").parquet(landing)
+      val q = stream.start(spark, landing, docs.schema, root2)
+      try {
+        q.processAllAvailable()
+        docs.filter(isBatch).filter(half === 1)
+          .write.mode("append").parquet(landing)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    // ---------------- q200 shape: EpochStream, 3 COW epochs
+    val sup = spark.read.parquet(s"$sf/supplier.parquet").select(
+      col("s_suppkey").cast("bigint").as("k"),
+      floor(col("s_acctbal")).cast("bigint").as("v"))
+    val root3 = java.nio.file.Files.createTempDirectory("probe_q200").toString
+    val phases = Seq(
+      sup.filter(col("k") % 3 === 0), sup.filter(col("k") % 3 === 1),
+      sup.filter(col("k") % 2 === 0))
+    timed("epoch.replay.3cow")(graft.streaming.EpochStream.replay(
+      spark, phases, Seq("k"), root3 + "/w", root3 + "/store"))
+    timed("epoch.read")(VersionedStore.read(spark, root3 + "/store").count())
+
+    // raw upsert cadence without streaming: 5 epochs back to back
+    val root4 = java.nio.file.Files.createTempDirectory("probe_ups").toString + "/store"
+    timed("vstore.upsert.seed")(VersionedStore.upsert(sup, Seq("k"), root4))
+    (1 to 4).foreach { i =>
+      timed(s"vstore.upsert.$i")(VersionedStore.upsert(
+        sup.filter(col("k") % 17 === i), Seq("k"), root4))
+    }
+
+    // raw Sinks cadence: 5 partitioned upserts back to back
+    val root5 = java.nio.file.Files.createTempDirectory("probe_sinks").toString + "/st"
+    timed("sinks.upsert.seed")(Sinks.upsertPartitioned(
+      sup.withColumn("last_epoch", lit(-1L)), Seq("k"), root5))
+    (1 to 4).foreach { i =>
+      timed(s"sinks.upsert.$i")(Sinks.upsertPartitioned(
+        sup.filter(col("k") % 17 === i).withColumn("last_epoch", lit(i.toLong)),
+        Seq("k"), root5))
+    }
+
+    // ---- decompose one upsert-shaped write into its phases
+    val batch = sup.filter(col("k") % 17 === 9)
+      .withColumn("last_epoch", lit(9L))
+    val mat = timed("phase.localCheckpoint")(
+      batch.withColumn("_bucket", pmod(hash(col("k")), lit(8)))
+        .localCheckpoint())
+    val touched = timed("phase.touchedCollect")(
+      mat.select("_bucket").distinct().collect().map(_.getInt(0)).sorted.toSeq)
+    val live = Sinks.listBuckets(root5)
+    val cur = spark.read.parquet(live: _*)
+      .withColumn("_bucket", pmod(hash(col("k")), lit(8)))
+    val merged = cur.join(mat.select(col("k")).distinct(), Seq("k"), "left_anti")
+      .unionByName(mat)
+    val stag = java.nio.file.Files.createTempDirectory("probe_stage").toString
+    timed("phase.stagedWrite")(
+      merged.repartition(touched.length, col("_bucket"))
+        .write.mode("overwrite").partitionBy("_bucket").parquet(stag))
+    timed("phase.stagedWrite2")(
+      merged.repartition(touched.length, col("_bucket"))
+        .write.mode("overwrite").partitionBy("_bucket").parquet(stag))
+    val shaped = merged.repartition(touched.length, col("_bucket"))
+    val obs2 = graft.sinks.DataSkipping.observeStats(shaped, touched,
+      org.apache.spark.sql.types.StructType(mat.schema.filterNot(_.name == "_bucket")),
+      counts = true)
+    timed("phase.stagedWrite.observed")(
+      obs2.map(_._1).getOrElse(shaped)
+        .write.mode("overwrite").partitionBy("_bucket").parquet(stag))
+    timed("phase.harvest")(obs2.foreach { o => o._2.harvest(); o._2.harvestRows() })
+    timed("phase.recover")(Sinks.recoverPartitioned(root5))
+    timed("phase.readInfer")(spark.read.parquet(live: _*).schema)
+    timed("phase.readInfer2")(spark.read.parquet(live: _*).schema)
+    timed("phase.readExplicit")(
+      spark.read.schema(org.apache.spark.sql.types.StructType(
+        batch.schema)).parquet(live: _*).count())
+    timed("sinks.upsert.9b")(Sinks.upsertPartitioned(
+      sup.filter(col("k") % 17 === 10).withColumn("last_epoch", lit(10L)),
+      Seq("k"), root5))
+
+    // micro: 16 atomic-replace marker writes vs 16 direct creates
+    locally {
+      val p0 = new org.apache.hadoop.fs.Path(root5)
+      val fsl = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      timed("micro.writeMarker.replx16") {
+        (1 to 16).foreach(i => graft.sinks.Sinks.writeMarker(fsl,
+          new org.apache.hadoop.fs.Path(root5, s"_probe$i"), "x" * 100,
+          replace = true))
+      }
+      timed("micro.writeMarker.norepl16") {
+        (1 to 16).foreach(i => graft.sinks.Sinks.writeMarker(fsl,
+          new org.apache.hadoop.fs.Path(root5, s"_probeB$i"), "x" * 100,
+          replace = false))
+      }
+      timed("micro.create.directx16") {
+        (1 to 16).foreach { i =>
+          val o = fsl.create(
+            new org.apache.hadoop.fs.Path(root5, s"_probeC$i"), true)
+          o.write(("x" * 100).getBytes); o.close()
+        }
+      }
+      timed("micro.renamex16") {
+        (1 to 16).foreach { i =>
+          fsl.rename(new org.apache.hadoop.fs.Path(root5, s"_probeC$i"),
+            new org.apache.hadoop.fs.Path(root5, s"_probeD$i"))
+        }
       }
     }
-    spark.sparkContext.addSparkListener(l)
-    val nBig = VersionedStore.read(spark, big).count()
-    org.apache.spark.GraftTestBus.drain(spark.sparkContext)
-    spark.sparkContext.removeSparkListener(l)
-    assert(nBig == 49999L, s"resolved rows: $nBig")
-    assert(shuffled.get() < 100_000L,
-      s"chain read must stream the base shuffle-free, moved ${shuffled.get()} B")
-
-    // --- data skipping: freshness scan opens only the delta'd chain
-    val pruned = VersionedStore.readPruned(spark, big, "v", "u", "v")
-    assert(pruned.count() == 1L, "pruned range [u,v] holds only key 5")
-    val prunedBuckets = pruned.inputFiles
-      .flatMap(_.split("/").find(_.matches("^b\\d{5}$"))).toSet
-    assert(prunedBuckets.size <= 2,
-      s"stats must prune untouched buckets: $prunedBuckets")
-
-    // --- ViewStream follower over the MOR store
-    val viewRoot = root + "_view"
-    val f = graft.streaming.ViewStream(Seq("g"), "v", "sum")
-    val src2 = root + "_src2"
-    VersionedStore.upsert(Seq((1L, "a", 1L), (2L, "b", 2L))
-      .toDF("k", "g", "v"), Seq("k"), src2)
-    VersionedStore.delete(Seq(2L).toDF("k"), src2)
-    f.catchUp(spark, src2, viewRoot)
-    val view = VersionedStore.read(spark, viewRoot)
-      .as[(String, Long, Long)].collect().toSeq
-    assert(view == Seq(("a", 1L, 1L)), s"follower view: $view")
-
-    // --- delta-mode restore + inline compaction policy
-    val r3 = java.nio.file.Files.createTempDirectory("probe_mor2")
-      .toString + "/store"
-    val es = graft.streaming.EpochStream(Seq("k"), nBuckets = 2,
-      delta = true, compactEvery = 2)
-    (0 until 5).foreach { i =>
-      es.processBatch(Seq((i.toLong % 3, i.toLong)).toDF("k", "v"),
-        i.toLong, r3)
-    }
-    assert(VersionedStore.read(spark, r3).as[(Long, Long)].collect()
-      .toMap == Map(0L -> 3L, 1L -> 4L, 2L -> 2L), "policy stream content")
-    assert(VersionedStore.commits(r3).exists(_.kind == "compact"),
-      "the policy must have fired at least one compaction")
-    val before = VersionedStore.currentEpoch(r3)
-    VersionedStore.restore(spark, r3, 2L, delta = true)
-    assert(VersionedStore.commits(r3).last.kind == "dapply",
-      "delta-mode restore must commit merge-on-read")
-    assert(VersionedStore.read(spark, r3).collect().toSeq.sorted(
-        Ordering.by((r: org.apache.spark.sql.Row) => r.getLong(0))) ==
-      VersionedStore.readAsOf(spark, r3, 2L).collect().toSeq.sorted(
-        Ordering.by((r: org.apache.spark.sql.Row) => r.getLong(0))),
-      "restore target parity")
-    assert(VersionedStore.currentEpoch(r3) == before + 1)
-
-    println("PROBE OK: " + java.lang.Long.toString(100L + 23L))
     spark.stop()
   }
 }
