@@ -18,6 +18,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.BenchFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: exercise scan + shuffle + codegen paths once
@@ -124,11 +125,28 @@ object Bench {
     // not be told apart; this instrument decides it per round).
     val jobsCtr = new java.util.concurrent.atomic.AtomicInteger(0)
     val shufCtr = new java.util.concurrent.atomic.AtomicLong(0L)
+    // round-14 DRIVER-METADATA channel: job WALL (submit→complete,
+    // summed — these queries run jobs serially, so run wall minus job
+    // wall ≈ driver-side time: FS metadata, plan analysis, commit
+    // fences) plus filesystem op/byte counters from Hadoop's global
+    // per-scheme statistics. Round 13's regression class (footer
+    // reads, lock elections) produced NO job and NO shuffle — this
+    // channel makes commit-path creep attributable like plan creep.
+    val jobWallNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStartNs =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobsCtr.incrementAndGet(); ()
+          jobsCtr.incrementAndGet()
+          jobStartNs.put(js.jobId, System.nanoTime()); ()
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobStartNs.remove(je.jobId)).foreach(t0 =>
+            jobWallNs.addAndGet(System.nanoTime() - t0))
+          ()
         }
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
@@ -138,17 +156,39 @@ object Bench {
           ()
         }
       })
-    case class Run(sec: Double, ok: Boolean, jobs: Int, shufB: Long)
+    // (readOps + writeOps + largeReadOps, bytesRead + bytesWritten)
+    // summed across schemes; in local mode executors share the JVM, so
+    // data reads count too — the signal is the DELTA ACROSS ROUNDS at
+    // flat jobs/shuffle, which is exactly metadata creep
+    def fsTotals(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      var bytes = 0L
+      org.apache.hadoop.fs.GlobalStorageStatistics.INSTANCE.iterator()
+        .asScala.foreach { ss =>
+          ss.getLongStatistics.asScala.foreach { st =>
+            val n = st.getName
+            if (n == "bytesRead" || n == "bytesWritten") bytes += st.getValue
+          }
+        }
+      (BenchFs.ops.get(), bytes)
+    }
+    case class Run(sec: Double, ok: Boolean, jobs: Int, shufB: Long,
+                   fsOps: Long, fsB: Long, driverSec: Double)
     def one(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       org.apache.spark.GraftBus.drain(spark.sparkContext)
       val j0 = jobsCtr.get(); val s0 = shufCtr.get()
+      val (fo0, fb0) = fsTotals(); val w0 = jobWallNs.get()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
                  System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftBus.drain(spark.sparkContext)
-      Run(sec, ok, jobsCtr.get() - j0, shufCtr.get() - s0)
+      val (fo1, fb1) = fsTotals()
+      val driverSec =
+        math.max(0.0, sec - (jobWallNs.get() - w0) / 1e9)
+      Run(sec, ok, jobsCtr.get() - j0, shufCtr.get() - s0,
+        fo1 - fo0, fb1 - fb0, driverSec)
     }
     def isSetup(name: String) =
       oneTimeSetup.contains(name.takeWhile(_ != '_'))
@@ -189,7 +229,8 @@ object Bench {
         runs.map(_.jobs).max - runs.filter(_.ok).map(_.jobs).minOption
           .getOrElse(runs.map(_.jobs).max)
       (name, median, spread, runs.forall(_.ok), times.head, isSetup(name),
-        aMin, bMin, best.jobs, best.shufB, jobsSpread)
+        aMin, bMin, best.jobs, best.shufB, jobsSpread,
+        best.fsOps, best.fsB, best.driverSec)
     }
     // The driver captures only the LAST 2000 chars of the sbt log, and
     // sbt's trailing "[success] Total time" line eats ~80 of them. Round
@@ -204,7 +245,7 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     // full-name breakdown for human readers of the raw log (NOT the
     // headline — may be cut by the tail window, that's fine)
-    results.foreach(r => println(f"BENCHQ ${r._1}%-28s median=${r2(r._2)}%8ss spread=${r2(r._3)}%8ss min=${r2(r._5)}%8ss a=${r2(r._7)}%8ss b=${r2(r._8)}%8ss jobs=${r._9}%4d shufMB=${r2(r._10 / 1e6)}%8s ok=${r._4}"))
+    results.foreach(r => println(f"BENCHQ ${r._1}%-28s median=${r2(r._2)}%8ss spread=${r2(r._3)}%8ss min=${r2(r._5)}%8ss a=${r2(r._7)}%8ss b=${r2(r._8)}%8ss jobs=${r._9}%4d shufMB=${r2(r._10 / 1e6)}%8s fsOps=${r._12}%6d driver=${r2(r._14)}%6ss ok=${r._4}"))
     val qs = results.map(r => "\"" + shortId(r._1) + "\":" + r2(r._2)).mkString("{", ",", "}")
     val spread = results.filter(_._3 >= 0.2).sortBy(-_._3).take(6)
       .map(r => "\"" + shortId(r._1) + "\":" + r2(r._3)).mkString("{", ",", "}")
@@ -230,7 +271,7 @@ object Bench {
     // disagreement = a noise window poisoned one pass (environment);
     // a job/shuffle count change = plan creep, query named.
     val fullQs = results.map { r =>
-      s""""${r._1}":{"median_s":${r2(r._2)},"spread_s":${r2(r._3)},"min_s":${r2(r._5)},"ok":${r._4},"setup":${r._6},"a_s":${r2(r._7)},"b_s":${r2(r._8)},"jobs":${r._9},"shuffle_mb":${r2(r._10 / 1e6)},"jobs_spread":${r._11}}"""
+      s""""${r._1}":{"median_s":${r2(r._2)},"spread_s":${r2(r._3)},"min_s":${r2(r._5)},"ok":${r._4},"setup":${r._6},"a_s":${r2(r._7)},"b_s":${r2(r._8)},"jobs":${r._9},"shuffle_mb":${r2(r._10 / 1e6)},"jobs_spread":${r._11},"fs_ops":${r._12},"fs_mb":${r2(r._13 / 1e6)},"driver_s":${r2(r._14)}}"""
     }.mkString("{", ",", "}")
     // Attribution contract (round-13 BenchGuard): every median above
     // carries the steady-state run's job count and shuffle bytes, and
@@ -244,7 +285,10 @@ object Bench {
     val notes = "benchguard: per-query jobs+shuffle_mb from the " +
       "steady-state run; a_s/b_s are the two interleaved passes - " +
       "wall drift under unchanged counts and a/b disagreement is " +
-      "environmental; trainer pins lowered (stream 39->15 jobs/batch)"
+      "environmental. round-14 adds the driver-metadata channel: " +
+      "fs_ops/fs_mb (hadoop per-scheme statistics deltas) and " +
+      "driver_s (run wall minus in-flight job wall) name commit-path " +
+      "creep that produces no job and no shuffle"
     val summary = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""failed_queries":$nFailed,"scan_mbps":${r2(scanMbps)},"sf":"$sfDir",""" +
       s""""notes":"$notes","queries":$fullQs}"""
