@@ -8659,7 +8659,10 @@ object Queries {
     * opens ONLY the buckets epochs 2-3 touched (asserted in-query: ≤ 4
     * of 16 buckets) while the row filter keeps the result exact. The
     * oracle recomputes the updated rows from scratch. */
-  private def qPrunedScan(s: SparkSession, dir: String): DataFrame = {
+  /** The shared three-epoch skipping fixture (q225/q226): e1 seeds all
+    * 16 buckets at u=1, e2/e3 bump a few keys to u=2/3 — so a
+    * freshness scan on u in [2,3] can prove 12+ buckets untouched. */
+  private def prunedStoreAt(s: SparkSession, dir: String): String = {
     val fix = fixPath("vstore_skip", dir)
     val root = s"$fix/store"
     val vs = graft.sinks.VersionedStore
@@ -8678,6 +8681,12 @@ object Queries {
         .withColumn("v", col("v") + 7L).withColumn("u", lit(3L)),
         Seq("k"), root)
     }
+    root
+  }
+
+  private def qPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val root = prunedStoreAt(s, dir)
+    val vs = graft.sinks.VersionedStore
     val df = vs.readPruned(s, root, "u", 2L, 3L)
     val opened = df.inputFiles
       .flatMap(_.split("/").find(_.matches("^b\\d{5}$"))).toSet
@@ -8696,6 +8705,31 @@ object Queries {
       |SELECT k, v + 7 AS v, nat, CAST(3 AS BIGINT) AS u FROM fb
       |WHERE k IN (11, 89)
       |ORDER BY k""".stripMargin
+
+  // --------------------- data skipping on the DEFAULT read path
+  /** Round-14: the freshness scan with NO special API — a plain
+    * `VersionedStore.read(...).filter(u BETWEEN 2 AND 3)` prunes
+    * untouched generations at plan time, because the store's read
+    * path serves plain chains through a stats-aware `FileIndex` that
+    * evaluates the query's own data filters against the `_cstats`
+    * manifests (the Delta TahoeFileIndex seam). Asserted in-query via
+    * the physical scan's selected-file count: ≤4 of the snapshot's 16
+    * generation files open. The oracle replays the filtered
+    * snapshot. */
+  private def qPrunedFilterScan(s: SparkSession, dir: String): DataFrame = {
+    val root = prunedStoreAt(s, dir)
+    val df = graft.sinks.VersionedStore.read(s, root)
+      .filter(col("u") >= 2L && col("u") <= 3L)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val nFiles = scans.map(_.selectedPartitions.totalNumberOfFiles).sum
+    require(scans.nonEmpty && nFiles <= 4 && nFiles < 16,
+      s"default-path data skipping must prune untouched buckets: $nFiles")
+    df.orderBy("k")
+  }
+
+  private val oPrunedFilterScan = oPrunedScan
 
   // --------------------------- schema evolution through a live stream
   /** Additive schema evolution END TO END on the streaming path: a
@@ -9088,7 +9122,8 @@ object Queries {
     "q222_mor_history" -> (qMorHistory _),
     "q223_import_fork" -> (qImportFork _),
     "q224_double_minmax" -> (qDoubleMinMax _),
-    "q225_pruned_scan" -> (qPrunedScan _)
+    "q225_pruned_scan" -> (qPrunedScan _),
+    "q226_pruned_filter_scan" -> (qPrunedFilterScan _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9320,6 +9355,7 @@ object Queries {
     "q222_mor_history" -> oMorHistory,
     "q223_import_fork" -> oImportFork,
     "q224_double_minmax" -> oDoubleMinMax,
-    "q225_pruned_scan" -> oPrunedScan
+    "q225_pruned_scan" -> oPrunedScan,
+    "q226_pruned_filter_scan" -> oPrunedFilterScan
   )
 }

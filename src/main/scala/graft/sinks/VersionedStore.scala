@@ -1260,9 +1260,19 @@ object VersionedStore {
     val morChains = chains.filterNot(_.isPlain).toSeq
     def filtered(df: DataFrame): DataFrame =
       keyFilter.map(df.filter).getOrElse(df)
+    // plain chains read through the stats-aware FileIndex: any filter
+    // the CALLER later applies (read(...).filter(range)) reaches
+    // listFiles as a data filter and prunes whole generations from
+    // their _cstats manifests at plan time — the default read path
+    // data-skips with no special API (round-14; DataSkippingSpec and
+    // q226 pin the selected-file count)
     val plain =
       if (plainPaths.isEmpty) None
-      else Some(filtered(spark.read.schema(target).parquet(plainPaths: _*)))
+      else {
+        val (fs, _) = Sinks.fsOf(plainPaths.head)
+        Some(filtered(GenStatsFileIndex.readPlain(spark, fs, plainPaths,
+          target)))
+      }
     val mor =
       if (morChains.isEmpty) None
       else {

@@ -59,14 +59,15 @@ class DataSkippingSpec extends SparkSpec {
       "without stats every chain must be read, never guessed away")
   }
 
-  test("a delta'd chain reads conservatively; compaction restores pruning") {
+  test("delta generations carry stats too: a delta'd chain prunes exactly") {
     val root = tmpDir("skip_mor") + "/store"
     VersionedStore.upsert(
       spark.range(1L, 101L).select(col("id").as("k"), lit(1L).as("u")),
       Seq("k"), root, nBuckets = 8)
-    // MOR: delta generations carry NO stats by the write-cheap
-    // contract, so the delta'd chain survives every range (its base
-    // alone would have been pruned) — correctness via conservatism
+    // round-14: delta stats ride the staged write's own observation
+    // (zero extra cost), so MOR no longer trades skipping for
+    // write-cheapness — the delta'd chain opens exactly when its
+    // delta's range says it can match
     VersionedStore.deltaUpsert(Seq((42L, 5L)).toDF("k", "u"), Seq("k"), root)
     val df = VersionedStore.readPruned(spark, root, "u", 5L, 9L)
     assert(df.as[(Long, Long)].collect().toSeq == Seq((42L, 5L)))
@@ -75,15 +76,74 @@ class DataSkippingSpec extends SparkSpec {
       .filter(_.epoch == 2L).flatMap(_.buckets).map(b => f"b$b%05d").toSet
     assert(opened == deltaBuckets,
       s"only the delta'd chain may open: $opened vs $deltaBuckets")
-    // compacting folds the chain into a stats-carrying base: the
-    // updated key keeps matching, and a range NOTHING holds now
-    // prunes the whole store again
+    // a range NOTHING holds prunes the whole store — INCLUDING the
+    // delta'd chain (round-13 had to read it conservatively)
+    val noneMor = VersionedStore.readPruned(spark, root, "u", 50L, 90L)
+    assert(noneMor.count() == 0L && bucketsOf(noneMor).isEmpty,
+      "delta stats must prune the impossible range before compaction")
+    // compaction still folds the chain into a stats-carrying base with
+    // identical pruning behavior
     VersionedStore.compact(spark, root)
     val after = VersionedStore.readPruned(spark, root, "u", 5L, 9L)
     assert(after.as[(Long, Long)].collect().toSeq == Seq((42L, 5L)))
     val none = VersionedStore.readPruned(spark, root, "u", 50L, 90L)
     assert(none.count() == 0L && bucketsOf(none).isEmpty,
       "post-compaction stats must prune the impossible range entirely")
+  }
+
+  test("DEFAULT read path data-skips: read(...).filter prunes at plan time") {
+    val root = tmpDir("skip_default") + "/store"
+    VersionedStore.upsert(
+      spark.range(1L, 201L).select(col("id").as("k"),
+        (col("id") * 10).as("v"), lit(1L).as("u")),
+      Seq("k"), root, nBuckets = 16)
+    VersionedStore.upsert(Seq((7L, 77L, 2L), (53L, 533L, 2L))
+      .toDF("k", "v", "u"), Seq("k"), root)
+    VersionedStore.upsert(Seq((11L, 111L, 3L)).toDF("k", "v", "u"),
+      Seq("k"), root)
+    // a PLAIN filtered read — no readPruned, no special API: the
+    // stats-aware FileIndex receives the filter as a dataFilter and
+    // drops untouched generations at plan time
+    val df = VersionedStore.read(spark, root)
+      .filter(col("u") >= 2L && col("u") <= 3L)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, "expected a V1 file scan over the store")
+    val nFiles = scan.map(_.selectedPartitions.totalNumberOfFiles).sum
+    // e1 wrote 16 generation files; only e2's (<=2 buckets) and e3's
+    // (1 bucket) generations overlap u in [2,3]
+    assert(nFiles <= 3L,
+      s"default-path scan must select only stat-overlapping gens: $nFiles")
+    // the snapshot serves each bucket's newest generation: 16 files
+    val all = scan.map(_.relation.location.inputFiles.length).sum
+    assert(all == 16, s"index must expose the full snapshot: $all")
+    val got = df.as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((7L, 77L, 2L), (11L, 111L, 3L), (53L, 533L, 2L)))
+    // and with no filter, the full snapshot serves
+    assert(VersionedStore.read(spark, root).count() == 200L)
+  }
+
+  test("a corrupt _cstats manifest demotes to a conservative read") {
+    val root = tmpDir("skip_corrupt") + "/store"
+    VersionedStore.upsert(
+      spark.range(1L, 51L).select(col("id").as("k"), lit(1L).as("u")),
+      Seq("k"), root, nBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // truncate every manifest to garbage — the scan must neither fail
+    // nor prune, exactly the legacy/statless posture (round-13 ADVICE)
+    fs.globStatus(new org.apache.hadoop.fs.Path(root, "b*/g*/_cstats"))
+      .foreach { st =>
+        val out = fs.create(st.getPath, true)
+        try out.write("zzz;not-a-number".getBytes) finally out.close()
+      }
+    val df = VersionedStore.readPruned(spark, root, "u", 5L, 9L)
+    assert(df.count() == 0L)
+    assert(bucketsOf(df).size == 4,
+      "corrupt stats must read conservatively, never fail the scan")
+    assert(VersionedStore.read(spark, root)
+      .filter(col("u") === 1L).count() == 50L)
   }
 
   test("string bounds order by unsigned UTF-8 bytes, not UTF-16 units") {
