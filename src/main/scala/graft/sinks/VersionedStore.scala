@@ -306,6 +306,18 @@ object VersionedStore {
     * exercised on the local FS the suite runs on). */
   @volatile private[graft] var disableLinkFence: Boolean = false
 
+  /** Telemetry: attempts-per-successful-commit histogram (key =
+    * attempt count). The sustained-contention stress asserts the tail
+    * stays far from the 64-attempt livelock backstop — fairness is a
+    * measured property, not just a bound. */
+  private[graft] val commitAttempts = new java.util.concurrent
+    .ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+  private def recordAttempts(n: Int): Unit = {
+    commitAttempts.computeIfAbsent(n,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+    ()
+  }
+
   /** Atomic CREATE-EXCLUSIVE marker write where the filesystem has a
     * POSIX hard-link primitive (the local FS; HDFS would too via
     * createFile-no-overwrite, object stores do not): write the body to
@@ -461,7 +473,7 @@ object VersionedStore {
           }
           }
         }
-      if (won) return epoch
+      if (won) { recordAttempts(attempts); return epoch }
       // collision: the winner may still sit between lock and marker —
       // wait for the marker (bounded, loud on a crashed winner)
       if (fs.exists(lockDir)) {

@@ -171,6 +171,153 @@ class ConcurrencySpec extends SparkSpec {
     assert(cur.size == 200)
   }
 
+  test("both-promoted overlapping writers: the replaced promoter aborts " +
+      "LOUDLY, never publishes over foreign data") {
+    // the round-13 ADVICE interleaving: A promotes, B promotes OVER A
+    // (its crashed-leftover sweep deletes A's generation), then A
+    // reaches the fence FIRST. With an existence-only ownership check
+    // A would publish a commit marker over B's (soon-aborting) data —
+    // a silent lost update for A's rows. The ownership TOKEN in
+    // _SUCCESS makes A abort loudly instead; B, whose generation is
+    // intact and its own, commits.
+    val root = tmpDir("conc_bothpromoted") + "/store"
+    VersionedStore.upsert((1L to 20L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 4)
+    val aAtFence = new CountDownLatch(1)
+    val bAtFence = new CountDownLatch(1)
+    val aGo = new CountDownLatch(1)
+    val bGo = new CountDownLatch(1)
+    VersionedStore.beforeCommit = { _ =>
+      Thread.currentThread().getName match {
+        case "writerA" => aAtFence.countDown(); aGo.await()
+        case "writerB" => bAtFence.countDown(); bGo.await()
+        case _ =>
+      }
+    }
+    try {
+      val aFail = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val bFail = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val a = new Thread(() => {
+        try VersionedStore.upsert(Seq((7L, 777L)).toDF("k", "v"),
+          Seq("k"), root)
+        catch { case t: Throwable => aFail.set(t) }
+      }, "writerA")
+      a.start()
+      aAtFence.await() // A fully promoted, held at the fence
+      val b = new Thread(() => {
+        try VersionedStore.upsert(Seq((7L, 888L)).toDF("k", "v"),
+          Seq("k"), root)
+        catch { case t: Throwable => bFail.set(t) }
+      }, "writerB")
+      b.start()
+      bAtFence.await() // B promoted OVER A's generation, held too
+      aGo.countDown(); a.join() // A commits FIRST — must abort
+      bGo.countDown(); b.join()
+      assert(Option(aFail.get()).exists(_.getMessage
+          .contains("concurrent writer conflict")),
+        s"the replaced promoter must abort loudly: ${aFail.get()}")
+      assert(bFail.get() == null,
+        s"the surviving promoter must commit: ${bFail.get()}")
+      val cur = VersionedStore.read(spark, root).as[(Long, Long)]
+        .collect().toMap
+      assert(cur(7L) == 888L && VersionedStore.currentEpoch(root) == 2L,
+        s"committed data must be the SURVIVING writer's: ${cur(7L)}")
+    } finally VersionedStore.beforeCommit = _ => ()
+  }
+
+  test("sustained contention: looping racers all commit, attempts bounded") {
+    val root = tmpDir("conc_sustained") + "/store"
+    val n = 32
+    VersionedStore.upsert((1L to 200L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = n)
+    val byBucket = bucketsOf(1L to 200L, n).groupMap(_._2)(_._1)
+    val owners = byBucket.toSeq.sortBy(_._1).take(4)
+      .map { case (b, ks) => b -> ks.toSeq.sorted.take(2) }
+    val epochsPer = 5
+    VersionedStore.commitAttempts.clear()
+    val start = new CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = owners.map { case (b, ks) =>
+      new Thread(() => {
+        try {
+          start.await()
+          (1 to epochsPer).foreach { i =>
+            VersionedStore.upsert(
+              ks.map(k => (k, k + 1000L * i)).toDF("k", "v"), Seq("k"), root)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      }, s"loop-racer-b$b")
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(240000))
+    assert(failures.isEmpty, s"sustained racers must never starve: " +
+      s"${Option(failures.peek()).map(_.getMessage)}")
+    // serialized: 1 seed + 4 writers x 5 epochs
+    val cs = VersionedStore.commits(root)
+    assert(cs.map(_.epoch) == (1L to (1L + 4 * epochsPer)),
+      s"epochs: ${cs.map(_.epoch)}")
+    val cur = VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toMap
+    owners.foreach { case (_, ks) =>
+      ks.foreach(k => assert(cur(k) == k + 5000L, s"lost update for $k"))
+    }
+    // fairness, measured: print the attempts histogram and assert the
+    // tail is far from the 64-attempt livelock backstop
+    import scala.jdk.CollectionConverters._
+    val hist = VersionedStore.commitAttempts.asScala
+      .map { case (k, v) => k -> v.get() }.toSeq.sortBy(_._1)
+    info(s"commit-attempts histogram: " +
+      hist.map { case (k, v) => s"$k->$v" }.mkString(", "))
+    assert(hist.map(_._1).max <= 16,
+      s"attempt tail must stay far from the livelock bound: $hist")
+  }
+
+  test("grace-0 vacuum never sweeps YOUNG lock/staging dirs (live writer)") {
+    val root = tmpDir("conc_infra") + "/store"
+    VersionedStore.upsert((1L to 10L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 2)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val staging =
+      new org.apache.hadoop.fs.Path(root, ".epoch-staging-livewriter")
+    val lock = new org.apache.hadoop.fs.Path(root, "_commit-0000002.lock")
+    fs.mkdirs(staging); fs.mkdirs(lock)
+    // a grace-0 vacuum (the loud default) must leave the YOUNG infra
+    // dirs alone — deleting a live writer's election lock hands its
+    // epoch to a second writer (a silent lost update, round-13 ADVICE)
+    VersionedStore.vacuum(root, 1L)
+    assert(fs.exists(staging) && fs.exists(lock),
+      "young infrastructure dirs must survive a grace-0 vacuum")
+    // …but aged crash leftovers still sweep on a later pass
+    VersionedStore.vacuum(root, 1L, nowMillis =
+      System.currentTimeMillis() + VersionedStore.InfraSweepMinAgeMillis + 1000L)
+    assert(!fs.exists(staging) && !fs.exists(lock),
+      "aged infrastructure dirs must sweep")
+  }
+
+  test("a follower's poll survives a DEFAULT vacuum on a streamed store") {
+    // EpochStream sets the store-level _vacuum_grace floor at start, so
+    // a routine `vacuum(root, e)` — no grace argument — cannot delete a
+    // generation from under an in-flight chain read (the production
+    // posture a store with followers needs)
+    val work = tmpDir("conc_follower")
+    val store = s"$work/store"
+    val phases = Seq(
+      (1L to 30L).map(k => (k, k)).toDF("k", "v"),
+      (1L to 30L).map(k => (k, k * 2)).toDF("k", "v"))
+    graft.streaming.EpochStream.replay(spark, phases, Seq("k"), work, store,
+      nBuckets = 2)
+    assert(VersionedStore.readAuxMarker(store, "_vacuum_grace").isDefined,
+      "the stream must set the store-level grace floor")
+    val stale = VersionedStore.readAsOf(spark, store, 1L)
+    val r = VersionedStore.vacuum(store, 2L) // DEFAULT grace
+    assert(r.deletedGens == 0L,
+      s"the grace floor must shield young generations: $r")
+    assert(stale.as[(Long, Long)].collect().toMap.apply(5L) == 5L,
+      "the in-flight reader must finish against intact generations")
+  }
+
   test("vacuum grace window shields a concurrent reader; aged gens sweep") {
     val root = tmpDir("conc_grace") + "/store"
     VersionedStore.upsert((1L to 30L).map(k => (k, k)).toDF("k", "v"),
