@@ -8731,6 +8731,55 @@ object Queries {
 
   private val oPrunedFilterScan = oPrunedScan
 
+  // ----------------------- geometry-preserving store fork (byte copy)
+  /** Round-14: a fork whose bucket geometry MATCHES the source's is a
+    * pure BYTE COPY — executors move the exported generation files
+    * into the new lineage's epoch-1 generations without decoding a
+    * row (no shuffle, no re-encode; blooms, key clustering and
+    * row-group stats ride along inside the bytes), where q223's
+    * geometry-CHANGING fork re-buckets through the staged upsert.
+    * Asserted in-query: import provenance at epoch 1, and the fork's
+    * generation bytes total exactly the export's (a re-encode could
+    * not reproduce identical compressed framing). The oracle replays
+    * the source snapshot. */
+  private def qImportCopy(s: SparkSession, dir: String): DataFrame = {
+    val root = prunedStoreAt(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_q227")
+    try {
+      val vs = graft.sinks.VersionedStore
+      vs.exportSnapshot(s, root, epoch = 3L, s"$out/snap")
+      val fork = s"$out/fork"
+      require(vs.importSnapshot(s, s"$out/snap", fork, nBuckets = 16) == 1L,
+        "a fork seeds a fresh lineage at epoch 1")
+      require(vs.taggedEpoch(fork, "import").contains(1L),
+        "the seed commit must carry import provenance")
+      def parquetBytes(p: String, glob: String): Long = {
+        val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.globStatus(new org.apache.hadoop.fs.Path(p, glob))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+      }
+      val exported = parquetBytes(s"$out/snap", "*")
+      val forked = parquetBytes(fork, "b*/g*/*")
+      require(exported > 0 && exported == forked,
+        s"geometry-preserving fork must byte-copy: $exported vs $forked")
+      vs.read(s, fork).orderBy("k").localCheckpoint()
+    } finally deleteRecursively(out)
+  }
+
+  private val oImportCopy =
+    """WITH fb AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                   CAST(floor(s_acctbal) AS BIGINT) AS v,
+      |                   CAST(s_nationkey AS BIGINT) AS nat FROM supplier)
+      |SELECT k,
+      |       CASE WHEN k IN (7, 53) THEN v + 5
+      |            WHEN k IN (11, 89) THEN v + 7 ELSE v END AS v,
+      |       nat,
+      |       CAST(CASE WHEN k IN (7, 53) THEN 2
+      |                 WHEN k IN (11, 89) THEN 3 ELSE 1 END AS BIGINT) AS u
+      |FROM fb ORDER BY k""".stripMargin
+
   // --------------------------- schema evolution through a live stream
   /** Additive schema evolution END TO END on the streaming path: a
     * producer starts shipping a NEW column mid-stream, the epoch
@@ -9123,7 +9172,8 @@ object Queries {
     "q223_import_fork" -> (qImportFork _),
     "q224_double_minmax" -> (qDoubleMinMax _),
     "q225_pruned_scan" -> (qPrunedScan _),
-    "q226_pruned_filter_scan" -> (qPrunedFilterScan _)
+    "q226_pruned_filter_scan" -> (qPrunedFilterScan _),
+    "q227_import_copy" -> (qImportCopy _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9356,6 +9406,7 @@ object Queries {
     "q223_import_fork" -> oImportFork,
     "q224_double_minmax" -> oDoubleMinMax,
     "q225_pruned_scan" -> oPrunedScan,
-    "q226_pruned_filter_scan" -> oPrunedFilterScan
+    "q226_pruned_filter_scan" -> oPrunedFilterScan,
+    "q227_import_copy" -> oImportCopy
   )
 }

@@ -1792,6 +1792,11 @@ object VersionedStore {
     writeMarker(dfs0, new Path(destPath, "_schema"), ddl, replace = true)
     writeMarker(dfs0, new Path(destPath, "_keycols"),
       keyColsOf(root).mkString(","), replace = true)
+    // the source's bucket geometry rides along so a geometry-matching
+    // [[importSnapshot]] can byte-copy instead of re-shuffling
+    val (sfs, sDir) = fsOf(root)
+    readMarker(sfs, new Path(sDir, "_nbuckets")).foreach(n =>
+      writeMarker(dfs0, new Path(destPath, "_nbuckets"), n, replace = true))
     dfs0.create(new Path(destPath, "_SUCCESS"), true).close()
     pairs.size.toLong + morFiles
   }
@@ -1807,9 +1812,18 @@ object VersionedStore {
     * tagged `import` for provenance. Round-trip contract
     * (ImportSnapshotSpec + q223): `importSnapshot(exportSnapshot(src,
     * E))` reads byte-identically to `readAsOf(src, E)`. */
+  /** @param batches split a geometry-CHANGING import into this many
+    *                 consecutive epochs (file-group batches): at 100 TB
+    *                 one monolithic staged upsert is one giant epoch —
+    *                 batching bounds each epoch's shuffle and staging
+    *                 footprint. A snapshot's keys appear in exactly one
+    *                 file, so consecutive disjoint-key upserts compose
+    *                 to the same content (tags `import`, `import-2`,…).
+    *                 Ignored on the byte-copy path. */
   def importSnapshot(spark: SparkSession, exportRoot: String,
                      destRoot: String, nBuckets: Int = 8,
-                     tsMillis: Long = -1L): Long = {
+                     tsMillis: Long = -1L, batches: Int = 1): Long = {
+    require(batches >= 1, s"batches must be >= 1: $batches")
     val (efs, eDir) = fsOf(exportRoot)
     require(efs.exists(new Path(eDir, "_SUCCESS")),
       s"not a completed export (no _SUCCESS): $exportRoot")
@@ -1820,10 +1834,94 @@ object VersionedStore {
       .split(",").toSeq
     require(currentEpoch(destRoot) == 0L,
       s"importSnapshot seeds a NEW store; $destRoot already has commits")
-    val rows = spark.read.schema(StructType.fromDDL(ddl))
-      .parquet(exportRoot)
-    upsert(rows, keyCols, destRoot, nBuckets, tag = "import",
-      tsMillis = tsMillis)
+    val srcBuckets = readMarker(efs, new Path(eDir, "_nbuckets"))
+      .map(_.trim.toInt)
+    val files = efs.listStatus(eDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+    val ExportName = "^b(\\d{5})-g\\d{7}-.*\\.parquet$".r
+    val byBucket: Option[Map[Int, Seq[Path]]] =
+      if (files.forall(f => ExportName.matches(f.getName)))
+        Some(files.groupBy(f => f.getName match {
+          case ExportName(b) => b.toInt
+        }))
+      else None // mor- files present: rows were materialized cross-bucket
+
+    if (srcBuckets.contains(nBuckets) && byBucket.isDefined) {
+      // GEOMETRY-PRESERVING fork: same bucket count and every export
+      // file still belongs to exactly one bucket — the fork is a pure
+      // BYTE COPY (executors move bytes, no row decoded, no shuffle;
+      // the exportSnapshot copy shape). Blooms, key clustering and
+      // row-group stats ride along inside the copied bytes; the
+      // generation manifests are re-collected from the copied footers
+      // in one pooled round (a one-time migration cost).
+      val (dfs, dDir) = fsOf(destRoot)
+      Sinks.fastMkdirs(dfs, dDir)
+      writeMarker(dfs, new Path(dDir, "_keycols"), keyCols.mkString(","),
+        replace = false)
+      writeMarker(dfs, new Path(dDir, "_nbuckets"), nBuckets.toString,
+        replace = false)
+      writeMarker(dfs, new Path(dDir, "_schema"), ddl, replace = false)
+      val token = java.util.UUID.randomUUID().toString
+      val epoch = 1L
+      val copyPairs: Seq[(String, String)] = byBucket.get.toSeq.flatMap {
+        case (b, fs0) => fs0.sortBy(_.getName).zipWithIndex.map {
+          case (p, i) =>
+            (p.toString,
+              s"${bucketName(b)}/${genName(epoch)}/" + f"part-$i%05d.parquet")
+        }
+      }
+      val confEntries: Array[(String, String)] = {
+        val it = spark.sparkContext.hadoopConfiguration.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        while (it.hasNext) { val e = it.next(); out += ((e.getKey, e.getValue)) }
+        out.toArray
+      }
+      val destStr = dDir.toString
+      import spark.implicits._
+      spark.createDataset(copyPairs)
+        .repartition(math.min(copyPairs.size,
+          spark.sparkContext.defaultParallelism))
+        .foreachPartition { (it: Iterator[(String, String)]) =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val dp = new Path(destStr)
+          val dfs1 = dp.getFileSystem(conf)
+          it.foreach { case (from, to) =>
+            val fp = new Path(from)
+            org.apache.hadoop.fs.FileUtil.copy(fp.getFileSystem(conf), fp,
+              dfs1, new Path(dp, to), false, true, conf)
+          }
+        }
+      val touched = byBucket.get.keys.toSeq.sorted
+      val statSchema = StructType.fromDDL(ddl)
+      parallelMap(touched) { b =>
+        val gen = new Path(dDir, s"${bucketName(b)}/${genName(epoch)}")
+        DataSkipping.collectAndWrite(dfs, gen, statSchema)
+        Sinks.createSmallFile(dfs, new Path(gen, "_SUCCESS"),
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      writeCommit(dfs, dDir,
+        Commit(epoch, "upsert@import", touched, stampOf(tsMillis, Seq.empty)))
+      return epoch
+    }
+
+    // geometry-changing import: rows pass through the ordinary staged
+    // upsert (re-bucketed, blooms/clustering rebuilt), in one epoch or
+    // in `batches` bounded consecutive epochs
+    val schema = StructType.fromDDL(ddl)
+    if (batches == 1 || files.size <= 1) {
+      val rows = spark.read.schema(schema).parquet(exportRoot)
+      upsert(rows, keyCols, destRoot, nBuckets, tag = "import",
+        tsMillis = tsMillis)
+    } else {
+      val groups = files.map(_.toString).grouped(
+        math.max(1, (files.size + batches - 1) / batches)).toSeq
+      groups.zipWithIndex.map { case (g, i) =>
+        val tag = if (i == 0) "import" else s"import-${i + 1}"
+        upsert(spark.read.schema(schema).parquet(g: _*), keyCols, destRoot,
+          nBuckets, tag = tag, tsMillis = tsMillis)
+      }.last
+    }
   }
 
   // ---------------------------------------------------------------- CDC

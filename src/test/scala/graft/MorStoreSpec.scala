@@ -461,4 +461,79 @@ class MorStoreSpec extends SparkSpec {
       VersionedStore.importSnapshot(spark, dest, fork)
     }
   }
+
+  test("geometry-preserving import BYTE-COPIES: no re-encode, no shuffle") {
+    val root = tmpDir("mor_copy_src") + "/store"
+    // a fully-compacted source: every exported file belongs to exactly
+    // one bucket, so a same-geometry fork can move raw bytes
+    VersionedStore.upsert((1L to 60L).map(k => (k, k * 3)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 4)
+    VersionedStore.upsert(Seq((7L, 700L)).toDF("k", "v"), Seq("k"), root)
+    val dest = tmpDir("mor_copy_flat") + "/flat"
+    VersionedStore.exportSnapshot(spark, root, 2L, dest)
+    val fork = tmpDir("mor_copy_dst") + "/store"
+    // SAME geometry (the export records the source's _nbuckets)
+    assert(VersionedStore.importSnapshot(spark, dest, fork, nBuckets = 4)
+      == 1L)
+    assert(VersionedStore.taggedEpoch(fork, "import").contains(1L))
+    // content equality through the store API…
+    assert(VersionedStore.read(spark, fork).as[(Long, Long)]
+      .collect().toSeq.sorted ==
+      VersionedStore.readAsOf(spark, root, 2L).as[(Long, Long)]
+        .collect().toSeq.sorted)
+    // …and BYTE equality per copied file: the strongest possible
+    // no-re-encode proof (a staged re-shuffle could never reproduce
+    // the source's exact bytes, compression framing and footers)
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val exported = fs.listStatus(new org.apache.hadoop.fs.Path(dest))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    assert(exported.nonEmpty)
+    val Re = "^b(\\d{5})-g\\d{7}-.*$".r
+    exported.foreach { p =>
+      val b = p.getName match { case Re(bb) => bb }
+      val genDir = new org.apache.hadoop.fs.Path(fork, s"b$b/g0000001")
+      val forkFiles = fs.listStatus(genDir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      def bytes(q: org.apache.hadoop.fs.Path): Array[Byte] = {
+        val in = fs.open(q)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          out.toByteArray
+        } finally in.close()
+      }
+      val src = bytes(p)
+      assert(forkFiles.exists(f => java.util.Arrays.equals(bytes(f), src)),
+        s"fork must hold a byte-identical copy of ${p.getName}")
+    }
+    // the copied generations still data-skip (manifests re-collected)
+    val pruned = VersionedStore.readPruned(spark, fork, "v", 700L, 700L)
+    assert(pruned.as[(Long, Long)].collect().toSeq == Seq((7L, 700L)))
+    assert(pruned.inputFiles
+      .flatMap(_.split("/").find(_.matches("^b\\d{5}$"))).toSet.size < 4,
+      "copied generations must carry usable stats manifests")
+  }
+
+  test("batched import: a geometry-changing fork lands as bounded epochs") {
+    val root = tmpDir("mor_batch_src") + "/store"
+    VersionedStore.upsert((1L to 80L).map(k => (k, k + 5)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 8)
+    val dest = tmpDir("mor_batch_flat") + "/flat"
+    VersionedStore.exportSnapshot(spark, root, 1L, dest)
+    val fork = tmpDir("mor_batch_dst") + "/store"
+    // different geometry, three file-group batches → three consecutive
+    // epochs, each a bounded staged upsert (the 100 TB posture: never
+    // one giant epoch)
+    val last = VersionedStore.importSnapshot(spark, dest, fork,
+      nBuckets = 3, batches = 3)
+    assert(last >= 2L, s"a batched import must land multiple epochs: $last")
+    assert(VersionedStore.commits(fork).map(_.epoch) == (1L to last),
+      "batches must commit as consecutive epochs")
+    assert(VersionedStore.taggedEpoch(fork, "import").contains(1L))
+    assert(VersionedStore.read(spark, fork).as[(Long, Long)]
+      .collect().toSeq.sorted ==
+      (1L to 80L).map(k => (k, k + 5)).sorted,
+      "batched fork must compose to the exact source snapshot")
+  }
 }
