@@ -3,156 +3,73 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Throwaway probe main (test scope) — rewritten per verify wave.
-  * Wave: round-14 epoch-commit-tax profile — where do q159/q200/q202
-  * actually spend their wall time after the observation-stats +
-  * link-fence + broadcast-decomposition changes? Times each phase of
-  * the LmStream and EpochStream shapes at sf0.1 so the remaining
-  * per-epoch constant is attributable. */
+  * Wave: round-14 surfaces end to end — observation-collected
+  * generation stats (COW and delta), default-read-path data skipping,
+  * the link commit fence under real upserts, vacuum grace floor,
+  * geometry-preserving byte-copy fork, and the reshaped streaming
+  * maintainers (LmStream/TrainStream) against driver-side folds. */
 object VerifyProbe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(32)
-    import graft.sinks.{Sinks, VersionedStore}
-    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(8)
+    import spark.implicits._
+    import graft.sinks.VersionedStore
 
-    def timed[A](label: String)(body: => A): A = {
-      val t0 = System.nanoTime()
-      val r = body
-      println(f"PROBE $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
-      r
-    }
+    val work = java.nio.file.Files.createTempDirectory("probe_r14").toString
 
-    // warm up session/codegen
-    spark.read.parquet(s"$sf/documents.parquet").count()
+    // --- COW + delta stats from the write job; default-path skipping
+    val root = s"$work/store"
+    VersionedStore.upsert((1L to 100L).map(k => (k, k, 1L))
+      .toDF("k", "v", "u"), Seq("k"), root, nBuckets = 8)
+    VersionedStore.deltaUpsert(Seq((7L, 700L, 2L)).toDF("k", "v", "u"),
+      Seq("k"), root)
+    val df = VersionedStore.read(spark, root)
+      .filter(col("u") === 2L)
+    assert(df.as[(Long, Long, Long)].collect().toSeq == Seq((7L, 700L, 2L)))
+    // delta'd chain prunes on its own stats now
+    val none = VersionedStore.readPruned(spark, root, "u", 50L, 90L)
+    assert(none.count() == 0L && none.inputFiles.isEmpty,
+      "delta stats must prune the impossible range")
+    // default-path plan-time skip
+    val scanFiles = VersionedStore.read(spark, root)
+      .filter(col("u") >= 2L && col("u") <= 3L)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    assert(scanFiles <= 3L, s"default-path skip: $scanFiles files")
 
-    // ---------------- q159 shape: LmStream bootstrap + 2 batches
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val isBatch = graft.ops.Curation.hashBucket(col("doc_id"), "drift:", 10) === 0
-    val root = java.nio.file.Files.createTempDirectory("probe_q159").toString
-    val stream = graft.streaming.LmStream("doc_id", col("text"), 3)
-    timed("lm.bootstrap")(stream.bootstrap(docs.filter(!isBatch), root))
-    val half = pmod(hash(col("doc_id")), lit(2))
-    val b0 = timed("lm.batch0.materialize")(
-      docs.filter(isBatch).filter(half === 0).localCheckpoint())
-    val b1 = docs.filter(isBatch).filter(half === 1).localCheckpoint()
-    timed("lm.processBatch(0)")(stream.processBatch(b0, 0L, root))
-    timed("lm.processBatch(1)")(stream.processBatch(b1, 1L, root))
-    timed("lm.serve")(graft.ops.CorpusSignals
-      .lmCountsFromRaw(stream.counts(spark, root), minCount = 3L).count())
+    // --- vacuum grace floor + infra min-age
+    VersionedStore.setVacuumGrace(root, 3600000L)
+    val r = VersionedStore.vacuum(root, 2L)
+    assert(r.deletedGens == 0L, s"grace floor must shield: $r")
 
-    // the same two batches again through a REAL stream, to price the
-    // structured-streaming fixed overhead (checkpoint dirs, triggers)
-    val root2 = java.nio.file.Files.createTempDirectory("probe_q159s").toString
-    timed("lm.bootstrap2")(stream.bootstrap(docs.filter(!isBatch), root2))
-    val landing = s"$root2/landing"
-    timed("lm.stream.2batches") {
-      docs.filter(isBatch).filter(half === 0)
-        .write.mode("append").parquet(landing)
-      val q = stream.start(spark, landing, docs.schema, root2)
-      try {
-        q.processAllAvailable()
-        docs.filter(isBatch).filter(half === 1)
-          .write.mode("append").parquet(landing)
-        q.processAllAvailable()
-      } finally q.stop()
-    }
+    // --- geometry-preserving byte-copy fork
+    val snap = s"$work/snap"; val fork = s"$work/fork"
+    VersionedStore.compact(spark, root)
+    VersionedStore.exportSnapshot(spark, root, 3L, snap)
+    VersionedStore.importSnapshot(spark, snap, fork, nBuckets = 8)
+    assert(VersionedStore.read(spark, fork).count() == 100L)
+    assert(VersionedStore.taggedEpoch(fork, "import").contains(1L))
 
-    // ---------------- q200 shape: EpochStream, 3 COW epochs
-    val sup = spark.read.parquet(s"$sf/supplier.parquet").select(
-      col("s_suppkey").cast("bigint").as("k"),
-      floor(col("s_acctbal")).cast("bigint").as("v"))
-    val root3 = java.nio.file.Files.createTempDirectory("probe_q200").toString
-    val phases = Seq(
-      sup.filter(col("k") % 3 === 0), sup.filter(col("k") % 3 === 1),
-      sup.filter(col("k") % 2 === 0))
-    timed("epoch.replay.3cow")(graft.streaming.EpochStream.replay(
-      spark, phases, Seq("k"), root3 + "/w", root3 + "/store"))
-    timed("epoch.read")(VersionedStore.read(spark, root3 + "/store").count())
+    // --- LmStream reshaped batch == driver-side fold
+    val docs = Seq(
+      (1L, "a b c a b c d"), (2L, "x y z x y"), (3L, "a b c q r s"),
+      (4L, "m n o p q r"), (5L, "a b c a b c")).toDF("doc_id", "text")
+    val lmRoot = s"$work/lm"
+    val stream = graft.streaming.LmStream("doc_id", col("text"), 2)
+    stream.bootstrap(docs.filter(col("doc_id") <= 2L), lmRoot)
+    stream.processBatch(docs.filter(col("doc_id").isin(3L, 4L)), 0L, lmRoot)
+    stream.processBatch(docs.filter(col("doc_id") === 5L), 1L, lmRoot)
+    // redelivery in a later epoch must not double-count
+    stream.processBatch(docs.filter(col("doc_id") === 3L), 2L, lmRoot)
+    val got = stream.counts(spark, lmRoot)
+      .orderBy("context", "word").as[(String, String, Long)].collect().toSeq
+    val want = graft.ops.CorpusSignals.lmRawCounts(docs, col("text"), 2)
+      .orderBy("context", "word").as[(String, String, Long)].collect().toSeq
+    assert(got == want, s"streamed counts must equal one-shot: " +
+      s"${got.diff(want)} / ${want.diff(got)}")
 
-    // raw upsert cadence without streaming: 5 epochs back to back
-    val root4 = java.nio.file.Files.createTempDirectory("probe_ups").toString + "/store"
-    timed("vstore.upsert.seed")(VersionedStore.upsert(sup, Seq("k"), root4))
-    (1 to 4).foreach { i =>
-      timed(s"vstore.upsert.$i")(VersionedStore.upsert(
-        sup.filter(col("k") % 17 === i), Seq("k"), root4))
-    }
-
-    // raw Sinks cadence: 5 partitioned upserts back to back
-    val root5 = java.nio.file.Files.createTempDirectory("probe_sinks").toString + "/st"
-    timed("sinks.upsert.seed")(Sinks.upsertPartitioned(
-      sup.withColumn("last_epoch", lit(-1L)), Seq("k"), root5))
-    (1 to 4).foreach { i =>
-      timed(s"sinks.upsert.$i")(Sinks.upsertPartitioned(
-        sup.filter(col("k") % 17 === i).withColumn("last_epoch", lit(i.toLong)),
-        Seq("k"), root5))
-    }
-
-    // ---- decompose one upsert-shaped write into its phases
-    val batch = sup.filter(col("k") % 17 === 9)
-      .withColumn("last_epoch", lit(9L))
-    val mat = timed("phase.localCheckpoint")(
-      batch.withColumn("_bucket", pmod(hash(col("k")), lit(8)))
-        .localCheckpoint())
-    val touched = timed("phase.touchedCollect")(
-      mat.select("_bucket").distinct().collect().map(_.getInt(0)).sorted.toSeq)
-    val live = Sinks.listBuckets(root5)
-    val cur = spark.read.parquet(live: _*)
-      .withColumn("_bucket", pmod(hash(col("k")), lit(8)))
-    val merged = cur.join(mat.select(col("k")).distinct(), Seq("k"), "left_anti")
-      .unionByName(mat)
-    val stag = java.nio.file.Files.createTempDirectory("probe_stage").toString
-    timed("phase.stagedWrite")(
-      merged.repartition(touched.length, col("_bucket"))
-        .write.mode("overwrite").partitionBy("_bucket").parquet(stag))
-    timed("phase.stagedWrite2")(
-      merged.repartition(touched.length, col("_bucket"))
-        .write.mode("overwrite").partitionBy("_bucket").parquet(stag))
-    val shaped = merged.repartition(touched.length, col("_bucket"))
-    val obs2 = graft.sinks.DataSkipping.observeStats(shaped, touched,
-      org.apache.spark.sql.types.StructType(mat.schema.filterNot(_.name == "_bucket")),
-      counts = true)
-    timed("phase.stagedWrite.observed")(
-      obs2.map(_._1).getOrElse(shaped)
-        .write.mode("overwrite").partitionBy("_bucket").parquet(stag))
-    timed("phase.harvest")(obs2.foreach { o => o._2.harvest(); o._2.harvestRows() })
-    timed("phase.recover")(Sinks.recoverPartitioned(root5))
-    timed("phase.readInfer")(spark.read.parquet(live: _*).schema)
-    timed("phase.readInfer2")(spark.read.parquet(live: _*).schema)
-    timed("phase.readExplicit")(
-      spark.read.schema(org.apache.spark.sql.types.StructType(
-        batch.schema)).parquet(live: _*).count())
-    timed("sinks.upsert.9b")(Sinks.upsertPartitioned(
-      sup.filter(col("k") % 17 === 10).withColumn("last_epoch", lit(10L)),
-      Seq("k"), root5))
-
-    // micro: 16 atomic-replace marker writes vs 16 direct creates
-    locally {
-      val p0 = new org.apache.hadoop.fs.Path(root5)
-      val fsl = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      timed("micro.writeMarker.replx16") {
-        (1 to 16).foreach(i => graft.sinks.Sinks.writeMarker(fsl,
-          new org.apache.hadoop.fs.Path(root5, s"_probe$i"), "x" * 100,
-          replace = true))
-      }
-      timed("micro.writeMarker.norepl16") {
-        (1 to 16).foreach(i => graft.sinks.Sinks.writeMarker(fsl,
-          new org.apache.hadoop.fs.Path(root5, s"_probeB$i"), "x" * 100,
-          replace = false))
-      }
-      timed("micro.create.directx16") {
-        (1 to 16).foreach { i =>
-          val o = fsl.create(
-            new org.apache.hadoop.fs.Path(root5, s"_probeC$i"), true)
-          o.write(("x" * 100).getBytes); o.close()
-        }
-      }
-      timed("micro.renamex16") {
-        (1 to 16).foreach { i =>
-          fsl.rename(new org.apache.hadoop.fs.Path(root5, s"_probeC$i"),
-            new org.apache.hadoop.fs.Path(root5, s"_probeD$i"))
-        }
-      }
-    }
+    println("PROBE OK: round-14 surfaces verified")
     spark.stop()
   }
 }
