@@ -8770,6 +8770,40 @@ object Queries {
     } finally deleteRecursively(out)
   }
 
+  // ------------------------------ MVCC store as a DSv2 SQL table
+  /** Round-14: the versioned store through `format("graft-vstore")` —
+    * time travel as a reader OPTION, key-hash and `_cstats` pruning at
+    * plan time, MOR resolution inside the partition reader, pure SQL
+    * on top. The query time-travels to epoch 2 and serves it through
+    * a temp view; asserted in-query: a key probe plans exactly ONE
+    * chain partition. The oracle replays the epoch-2 snapshot. */
+  private def qVstoreSql(s: SparkSession, dir: String): DataFrame = {
+    val root = prunedStoreAt(s, dir)
+    val vs = graft.sinks.VersionedStore
+    val e = math.min(2L, vs.currentEpoch(root))
+    val snap = s.read.format("graft-vstore")
+      .option("path", root).option("epoch", e.toString).load()
+    snap.createOrReplaceTempView("vstore_e2")
+    val probe = snap.filter(col("k") === 7L)
+    val parts = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+    require(parts <= 1,
+      s"a key probe through the DSv2 vstore must plan one chain: $parts")
+    s.sql("SELECT k, v, nat, u FROM vstore_e2 ORDER BY k")
+  }
+
+  private val oVstoreSql =
+    """WITH fb AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                   CAST(floor(s_acctbal) AS BIGINT) AS v,
+      |                   CAST(s_nationkey AS BIGINT) AS nat FROM supplier)
+      |SELECT k,
+      |       CASE WHEN k IN (7, 53) THEN v + 5 ELSE v END AS v,
+      |       nat,
+      |       CAST(CASE WHEN k IN (7, 53) THEN 2 ELSE 1 END AS BIGINT) AS u
+      |FROM fb ORDER BY k""".stripMargin
+
   private val oImportCopy =
     """WITH fb AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
       |                   CAST(floor(s_acctbal) AS BIGINT) AS v,
@@ -9175,7 +9209,8 @@ object Queries {
     "q224_double_minmax" -> (qDoubleMinMax _),
     "q225_pruned_scan" -> (qPrunedScan _),
     "q226_pruned_filter_scan" -> (qPrunedFilterScan _),
-    "q227_import_copy" -> (qImportCopy _)
+    "q227_import_copy" -> (qImportCopy _),
+    "q228_vstore_sql" -> (qVstoreSql _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9409,6 +9444,7 @@ object Queries {
     "q224_double_minmax" -> oDoubleMinMax,
     "q225_pruned_scan" -> oPrunedScan,
     "q226_pruned_filter_scan" -> oPrunedFilterScan,
-    "q227_import_copy" -> oImportCopy
+    "q227_import_copy" -> oImportCopy,
+    "q228_vstore_sql" -> oVstoreSql
   )
 }

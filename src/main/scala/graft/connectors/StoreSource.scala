@@ -630,7 +630,8 @@ private[connectors] final class BucketAggReader(files: Seq[String],
   * decoding full rows and projecting after. Empty projection = keep
   * everything (defensive; the scan never asks for zero columns and
   * row-count-only reads go through the footer aggregate path). */
-private[connectors] final class ProjectingGroupReadSupport(names: Seq[String])
+private[connectors] final class ProjectingGroupReadSupport(
+    names: Seq[String], tolerateMissing: Boolean = false)
     extends GroupReadSupport {
   override def init(context: org.apache.parquet.hadoop.api.InitContext)
       : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
@@ -638,11 +639,18 @@ private[connectors] final class ProjectingGroupReadSupport(names: Seq[String])
     if (names.isEmpty)
       new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(fileSchema)
     else {
-      val kept = names.map { n =>
-        require(fileSchema.containsField(n),
-          s"graft-store: column '$n' missing from a bucket file — " +
-            "bucket files must share the store schema")
-        fileSchema.getFields.get(fileSchema.getFieldIndex(n))
+      // tolerateMissing: the VERSIONED store's schema can evolve
+      // additively, so a generation written before a column existed
+      // legitimately lacks it — those rows read the column as null
+      // (exactly the readChains behavior). The mutable ledger store
+      // keeps the loud contract: its buckets share one schema.
+      val kept = names.flatMap { n =>
+        if (!fileSchema.containsField(n)) {
+          require(tolerateMissing,
+            s"graft-store: column '$n' missing from a bucket file — " +
+              "bucket files must share the store schema")
+          None
+        } else Some(fileSchema.getFields.get(fileSchema.getFieldIndex(n)))
       }
       new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
         new org.apache.parquet.schema.MessageType(fileSchema.getName, kept: _*))
@@ -652,7 +660,8 @@ private[connectors] final class ProjectingGroupReadSupport(names: Seq[String])
 
 private[connectors] final class BucketReader(files: Seq[String],
                                              schema: StructType,
-                                             limit: Option[Int] = None)
+                                             limit: Option[Int] = None,
+                                             tolerateMissing: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val iter = files.iterator
@@ -666,8 +675,8 @@ private[connectors] final class BucketReader(files: Seq[String],
       if (reader == null) {
         if (!iter.hasNext) return false
         reader = ParquetReader
-          .builder(new ProjectingGroupReadSupport(schema.fieldNames.toSeq),
-            new Path(iter.next()))
+          .builder(new ProjectingGroupReadSupport(schema.fieldNames.toSeq,
+            tolerateMissing), new Path(iter.next()))
           .withConf(new Configuration()).build()
       }
       current = reader.read()
@@ -687,6 +696,7 @@ private[connectors] final class BucketReader(files: Seq[String],
   override def close(): Unit = if (reader != null) reader.close()
 
   private def readField(g: Group, f: StructField): Any = {
+    if (tolerateMissing && !g.getType.containsField(f.name)) return null
     val idx = g.getType.getFieldIndex(f.name)
     if (g.getFieldRepetitionCount(idx) == 0) null
     else f.dataType match {

@@ -1201,7 +1201,7 @@ object VersionedStore {
     * over the commit list; existence/`_EMPTY` probes run only for the
     * buckets materialized (restrict with `only` — a point lookup
     * probes its key buckets, never the whole layout). */
-  private def snapshotChains(root: String, committed: Seq[Commit],
+  private[graft] def snapshotChains(root: String, committed: Seq[Commit],
                              asOf: Long,
                              only: Option[Set[Int]] = None): Map[Int, Chain] = {
     val (fs, dir) = fsOf(root)
