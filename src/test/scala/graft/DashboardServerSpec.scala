@@ -1,0 +1,62 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+
+import graft.serve.DashboardServer
+
+/** The UICenter serving layer end to end: a REAL HTTP round-trip
+  * against the JDK-server endpoints, payloads parsed back through
+  * Spark's own JSON reader and pinned against the direct DataFrame
+  * queries. */
+class DashboardServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("totalProgress and tasksGraph serve the Dashboard queries over HTTP") {
+    // a 90-minute stat table: minute i landed (i+1) successes of 100B
+    val t0 = 1700000000L / 60 * 60
+    val stat = (0 until 90).map { i =>
+      (t0 + i * 60L, 1, (i + 1).toLong, (i + 1) * 100L, 0L, 0L)
+    }.toDF("start_time", "time_unit", "success_num", "success_size",
+      "failed_num", "failed_size").localCheckpoint()
+    val now = t0 + 89 * 60L // "now" inside the last landed minute
+    val srv = new DashboardServer(() => stat, totalObjects = 10000L,
+      totalSize = 1000000L, nowEpochSec = () => now)
+    val port = srv.start()
+    try {
+      val tp = get(port, "/totalProgress")
+      assert(tp.statusCode() == 200 &&
+        tp.headers().firstValue("Access-Control-Allow-Origin")
+          .orElse("") == "*")
+      val tpDf = spark.read.json(Seq(tp.body()).toDS())
+      val want = graft.ops.Dashboard
+        .totalProgress(stat, 10000L, 1000000L).collect()(0)
+      val row = tpDf.collect()(0)
+      assert(row.getAs[Long]("total_success_num") ==
+        want.getAs[Long]("total_success_num"))
+      assert(row.getAs[Long]("elapsed_minutes") == 90L)
+      assert(row.getAs[Long]("eta_minutes") ==
+        want.getAs[Long]("eta_minutes"))
+
+      val tg = get(port, "/tasksGraph")
+      assert(tg.statusCode() == 200 && tg.body().startsWith("["))
+      val tgDf = spark.read.json(Seq(tg.body()).toDS())
+      assert(tgDf.count() == 60L, "zero-filled last-hour spine")
+      // the last spine minute is "now"'s minute; the first 60-89
+      // window minutes carry their landed counts
+      val byMin = tgDf.select("start_time", "success_num")
+        .as[(Long, Long)].collect().toMap
+      assert(byMin(t0 + 89 * 60L) == 90L && byMin(t0 + 30 * 60L) == 31L)
+
+      assert(get(port, "/nope").statusCode() == 404)
+    } finally srv.stop()
+  }
+}
