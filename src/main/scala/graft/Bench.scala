@@ -108,6 +108,11 @@ object Bench {
     // q208: streaming ledger — fixed stream overhead per run.
     // q209: first run persists the manifest ledgers + data-card epoch.
     // q210: streaming view-follow — fixed stream overhead per run.
+    // q225/q226/q228: share the three-epoch skipping-store fixture
+    // (first run builds it); q227 additionally exports+forks per run —
+    // the one-shot migration surface, same class as q223.
+    // q159: first run builds the 90%-corpus ledger bootstrap fixture;
+    // each timed run copies it and measures the streaming serve path.
     val oneTimeSetup = Set("q106", "q107", "q108", "q109", "q110", "q116",
       "q120", "q121", "q122", "q123", "q124", "q125", "q126", "q129",
       "q130", "q131", "q132", "q134", "q138", "q140", "q145", "q150",

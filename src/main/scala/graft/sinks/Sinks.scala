@@ -146,18 +146,22 @@ object Sinks {
       org.apache.hadoop.fs.FileContext.getFileContext(uri, fs.getConf))
   }
 
-  private[sinks] def readMarker(fs: FileSystem, p: Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
-      } finally in.close()
-    }
+  /** Open directly and treat absence as None — the exists() probe
+    * before every open was a second metadata round-trip per marker
+    * read (a HEAD request per commit-log entry on an object store;
+    * round-14 fs_ops channel made the cost visible). */
+  private[sinks] def readMarker(fs: FileSystem, p: Path): Option[String] = {
+    val in =
+      try fs.open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+    } finally in.close()
+  }
 
   /** K5 — single-document JSON write (job.json manifest write-back,
     * ListProducer.py:157; s3_utils.py:37-41). A manifest is one nested

@@ -1224,9 +1224,15 @@ object VersionedStore {
     parallelMap(state.toSeq) { case (b, (base, dsDesc)) =>
       def resolve(e: Long): Option[String] = {
         val gen = new Path(dir, s"${bucketName(b)}/${genName(e)}")
-        require(fs.exists(new Path(gen, "_SUCCESS")),
+        // ONE listing instead of two existence probes (round-14: each
+        // probe is a round trip on an object store; a snapshot resolves
+        // O(buckets) of these)
+        val names =
+          try fs.listStatus(gen).map(_.getPath.getName).toSet
+          catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+        require(names.contains("_SUCCESS"),
           s"committed generation missing: $gen")
-        if (fs.exists(new Path(gen, "_EMPTY"))) None else Some(gen.toString)
+        if (names.contains("_EMPTY")) None else Some(gen.toString)
       }
       b -> Chain(base.map(e => (e, resolve(e))),
         dsDesc.reverse.map(e => e -> resolve(e).getOrElse(
