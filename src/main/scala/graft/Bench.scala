@@ -130,29 +130,45 @@ object Bench {
     // not be told apart; this instrument decides it per round).
     val jobsCtr = new java.util.concurrent.atomic.AtomicInteger(0)
     val shufCtr = new java.util.concurrent.atomic.AtomicLong(0L)
-    // round-14 DRIVER-METADATA channel: job WALL (submit→complete,
-    // summed — these queries run jobs serially, so run wall minus job
-    // wall ≈ driver-side time: FS metadata, plan analysis, commit
-    // fences) plus filesystem op/byte counters from Hadoop's global
-    // per-scheme statistics. Round 13's regression class (footer
+    // round-14 DRIVER-METADATA channel, round-15 fix: job wall is the
+    // UNION of in-flight job intervals (active-job refcount), not the
+    // SUM — LmStream/TrainStream land independent stores CONCURRENTLY
+    // (SessionConfGate.inParallel), so summed walls overlap and
+    // driver_s clamped to 0 on exactly the streaming queries the
+    // channel was built to attribute (round-14 ADVICE). run wall minus
+    // union-busy wall = time NO job was running: FS metadata, plan
+    // analysis, commit fences. Round 13's regression class (footer
     // reads, lock elections) produced NO job and NO shuffle — this
     // channel makes commit-path creep attributable like plan creep.
-    val jobWallNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    val jobStartNs =
-      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    object jobBusy {
+      private var active = 0
+      private var startNs = 0L
+      private var accNs = 0L
+      def enter(): Unit = synchronized {
+        if (active == 0) startNs = System.nanoTime()
+        active += 1
+      }
+      def exit(): Unit = synchronized {
+        if (active > 0) {
+          active -= 1
+          if (active == 0) accNs += System.nanoTime() - startNs
+        }
+      }
+      /** Union-busy nanos so far, counting a still-open interval. */
+      def total(): Long = synchronized {
+        accNs + (if (active > 0) System.nanoTime() - startNs else 0L)
+      }
+    }
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobsCtr.incrementAndGet()
-          jobStartNs.put(js.jobId, System.nanoTime()); ()
+          jobBusy.enter()
         }
         override def onJobEnd(
-            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          Option(jobStartNs.remove(je.jobId)).foreach(t0 =>
-            jobWallNs.addAndGet(System.nanoTime() - t0))
-          ()
-        }
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobBusy.exit()
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
             : Unit = {
@@ -182,7 +198,7 @@ object Bench {
     def one(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Run = {
       org.apache.spark.GraftBus.drain(spark.sparkContext)
       val j0 = jobsCtr.get(); val s0 = shufCtr.get()
-      val (fo0, fb0) = fsTotals(); val w0 = jobWallNs.get()
+      val (fo0, fb0) = fsTotals(); val w0 = jobBusy.total()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
@@ -191,7 +207,7 @@ object Bench {
       org.apache.spark.GraftBus.drain(spark.sparkContext)
       val (fo1, fb1) = fsTotals()
       val driverSec =
-        math.max(0.0, sec - (jobWallNs.get() - w0) / 1e9)
+        math.max(0.0, sec - (jobBusy.total() - w0) / 1e9)
       Run(sec, ok, jobsCtr.get() - j0, shufCtr.get() - s0,
         fo1 - fo0, fb1 - fb0, driverSec)
     }
@@ -292,8 +308,12 @@ object Bench {
       "wall drift under unchanged counts and a/b disagreement is " +
       "environmental. round-14 adds the driver-metadata channel: " +
       "fs_ops/fs_mb (hadoop per-scheme statistics deltas) and " +
-      "driver_s (run wall minus in-flight job wall) name commit-path " +
-      "creep that produces no job and no shuffle"
+      "driver_s (run wall minus the UNION of in-flight job intervals, " +
+      "round-15: concurrent jobs no longer double-count) names " +
+      "commit-path creep that produces no job and no shuffle. caveats: " +
+      "BenchFs misses the java.nio local fast paths (fs_ops deltas " +
+      "partly measure the bypass), and fs_mb sums data reads too " +
+      "(local mode shares the jvm)"
     val summary = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""failed_queries":$nFailed,"scan_mbps":${r2(scanMbps)},"sf":"$sfDir",""" +
       s""""notes":"$notes","queries":$fullQs}"""

@@ -47,21 +47,34 @@ final class DashboardServer(stat: () => DataFrame,
   }
 
   private def handler(body: () => String): HttpHandler = { (ex: HttpExchange) =>
-    val (code, payload) =
-      if (ex.getRequestMethod != "GET") (405, """{"error":"GET only"}""")
-      else
-        try (200, body())
-        catch { case scala.util.control.NonFatal(t) =>
-          (500, s"""{"error":${graft.Verify.jsonString(t.getMessage)}}""")
-        }
-    val bytes = payload.getBytes(StandardCharsets.UTF_8)
     val h = ex.getResponseHeaders
-    h.set("Content-Type", "application/json; charset=utf-8")
     h.set("Access-Control-Allow-Origin", "*")
-    h.set("Access-Control-Allow-Methods", "GET")
-    ex.sendResponseHeaders(code, bytes.length.toLong)
-    val out = ex.getResponseBody
-    try out.write(bytes) finally out.close()
+    h.set("Access-Control-Allow-Methods", "GET, OPTIONS")
+    ex.getRequestMethod match {
+      // a browser preflight (custom header / non-simple content type)
+      // sends OPTIONS before the GET; a 405 without CORS headers here
+      // made the advertised Allow-Origin:* unusable from any such page
+      // (round-14 ADVICE). 204 + the CORS trio answers it.
+      case "OPTIONS" =>
+        h.set("Access-Control-Allow-Headers", "*")
+        ex.sendResponseHeaders(204, -1L)
+        ex.getResponseBody.close()
+      case m =>
+        val (code, payload) =
+          if (m != "GET") {
+            h.set("Allow", "GET, OPTIONS") // RFC 9110 §15.5.6: 405 MUST name them
+            (405, """{"error":"GET only"}""")
+          } else
+            try (200, body())
+            catch { case scala.util.control.NonFatal(t) =>
+              (500, s"""{"error":${graft.Verify.jsonString(t.getMessage)}}""")
+            }
+        val bytes = payload.getBytes(StandardCharsets.UTF_8)
+        h.set("Content-Type", "application/json; charset=utf-8")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        val out = ex.getResponseBody
+        try out.write(bytes) finally out.close()
+    }
   }
 
   /** Bind and serve; returns the actual port. */

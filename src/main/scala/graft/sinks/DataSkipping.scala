@@ -63,15 +63,31 @@ object DataSkipping {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
+  /** Is a harvested Float/Double bound NaN? NaN bounds must never
+    * reach a `_cstats` line — [[lt]]'s primitive comparison returns
+    * false against NaN both ways, which flips "always read" into
+    * "always prune" for range predicates. */
+  private def nanBound(dt: DataType, v: Any): Boolean = (dt, v) match {
+    case (DoubleType, d: java.lang.Double) => d.isNaN
+    case (FloatType, f: java.lang.Float) => f.isNaN
+    case _ => false
+  }
+
   /** Canonical string rendering of a parquet statistics value for a
-    * Spark column type; None = value shape unexpected (skip column). */
+    * Spark column type; None = value shape unexpected (skip column).
+    * NaN FP bounds render as None — parquet-mr omits FP statistics
+    * when NaN is present, but a defensive reader should not trust
+    * that; an unrenderable bound demotes the column to a conservative
+    * (never-pruned) read. */
   private def render(dt: DataType, v: Any): Option[String] = (dt, v) match {
     case (LongType | TimestampType | TimestampNTZType, l: java.lang.Long) =>
       Some(l.toString)
     case (IntegerType | ShortType | ByteType | DateType,
           i: java.lang.Integer) => Some(i.toString)
-    case (DoubleType, d: java.lang.Double) => Some(d.toString)
-    case (FloatType, f: java.lang.Float) => Some(f.toString)
+    case (DoubleType, d: java.lang.Double) =>
+      if (d.isNaN) None else Some(d.toString)
+    case (FloatType, f: java.lang.Float) =>
+      if (f.isNaN) None else Some(f.toString)
     case (BooleanType, b: java.lang.Boolean) => Some(b.toString)
     case (StringType, b: org.apache.parquet.io.api.Binary) =>
       Some(b.toStringUsingUTF8)
@@ -149,7 +165,16 @@ object DataSkipping {
             val nulls = Option(row.getAs[Any](s"u$i"))
               .map(_.asInstanceOf[Long]).getOrElse(0L)
             (mn, mx) match {
-              case (Some(lo), Some(hi)) =>
+              // NaN bound ⇒ drop the column line (parquet-mr's posture:
+              // FP stats are omitted when NaN is present). Spark's
+              // aggregates order NaN GREATEST, but [[lt]] replays
+              // primitive comparison where every NaN compare is false —
+              // a max of "NaN" would make survives(GreaterThan v) =
+              // lt(v, NaN) = false and silently prune a generation that
+              // HOLDS matching rows (round-14 ADVICE, high). Absent
+              // line = conservative read, never a wrong one.
+              case (Some(lo), Some(hi))
+                  if !nanBound(f.dataType, lo) && !nanBound(f.dataType, hi) =>
                 Some((f.name, s"${enc(f.name)};$nulls;" +
                   s"${enc(renderBound(f.dataType, lo))};" +
                   s"${enc(renderBound(f.dataType, hi))}"))
@@ -309,10 +334,19 @@ object DataSkipping {
     case other => sys.error(s"unsupported pruning type: ${other.sql}")
   }
 
+  /** A stats entry whose FP bound is the NaN rendering (a marker
+    * written before the harvest-side NaN guard existed): [[lt]] cannot
+    * order it, so the entry must read as "always overlaps" rather than
+    * feed the comparison. Read-side belt to the write-side braces. */
+  private def nanStats(dt: DataType, cs: ColStats): Boolean = dt match {
+    case DoubleType | FloatType => cs.min == "NaN" || cs.max == "NaN"
+    case _ => false
+  }
+
   /** Does [lo, hi] (inclusive, canonical renderings) overlap the
     * column's [min, max]? */
   def overlaps(dt: DataType, cs: ColStats, lo: String, hi: String): Boolean =
-    !lt(dt, hi, cs.min) && !lt(dt, cs.max, lo)
+    nanStats(dt, cs) || (!lt(dt, hi, cs.min) && !lt(dt, cs.max, lo))
 
   /** The single column a pushed V1 filter constrains, when the filter
     * shape is one the stats can evaluate. */
@@ -336,6 +370,7 @@ object DataSkipping {
   def survives(dt: DataType, cs: ColStats,
                f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
+    if (nanStats(dt, cs)) return true
     try f match {
       case EqualTo(_, v) =>
         val b = renderBound(dt, v); overlaps(dt, cs, b, b)

@@ -57,6 +57,33 @@ class DashboardServerSpec extends SparkSpec {
       assert(byMin(t0 + 89 * 60L) == 90L && byMin(t0 + 30 * 60L) == 31L)
 
       assert(get(port, "/nope").statusCode() == 404)
+
+      // CORS preflight (round-14 ADVICE): a browser sending a custom
+      // header preflights with OPTIONS — it must see 204 + the CORS
+      // trio, or the advertised Allow-Origin:* is unusable
+      val client = HttpClient.newHttpClient()
+      val pre = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/totalProgress"))
+          .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(pre.statusCode() == 204, s"preflight: ${pre.statusCode()}")
+      assert(pre.headers().firstValue("Access-Control-Allow-Origin")
+        .orElse("") == "*")
+      assert(pre.headers().firstValue("Access-Control-Allow-Methods")
+        .orElse("").contains("GET"))
+      assert(pre.headers().firstValue("Access-Control-Allow-Headers")
+        .orElse("") == "*")
+
+      // and a real method violation names the allowed set (RFC 9110)
+      val post = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/tasksGraph"))
+          .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode() == 405)
+      assert(post.headers().firstValue("Allow").orElse("").contains("GET"),
+        "405 must carry an Allow header")
     } finally srv.stop()
   }
 }

@@ -146,6 +146,50 @@ class DataSkippingSpec extends SparkSpec {
       .filter(col("u") === 1L).count() == 50L)
   }
 
+  test("NaN never poisons FP stats: the column line drops, the row survives") {
+    val root = tmpDir("skip_nan") + "/store"
+    // ONE bucket, TWO comparable columns → 2 observe pairs, well under
+    // the budget: this write takes the round-14 Observation path, where
+    // Spark's max aggregate orders NaN GREATEST and would render
+    // max="NaN" into _cstats. lt()'s primitive comparison is false both
+    // ways against NaN, so survives(GreaterThan 5.0) = lt(5.0, NaN) =
+    // false — the generation would be PRUNED even though it holds
+    // v=NaN, which Spark's row filter keeps (NaN > 5.0 is TRUE in
+    // Spark's ordering). The guard must drop the v line instead.
+    VersionedStore.upsert(
+      Seq((1L, 1.0), (2L, Double.NaN)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 1)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.globStatus(new org.apache.hadoop.fs.Path(root, "b*/g*/_cstats"))
+      .foreach { st =>
+        val in = st.getPath
+        val body = scala.io.Source.fromInputStream(fs.open(in)).mkString
+        assert(!body.contains("NaN"),
+          s"a NaN bound must never reach a _cstats line: $body")
+        assert(!body.linesIterator.exists(_.startsWith("v;")),
+          s"the NaN-holding column's line must drop entirely: $body")
+        assert(body.linesIterator.exists(_.startsWith("k;")),
+          s"the clean column keeps its stats: $body")
+      }
+    // default read path: the filter the ADVICE named, exact
+    val got = VersionedStore.read(spark, root).filter(col("v") > 5.0)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L) && got.head._2.isNaN,
+      s"NaN row must survive a > filter on the default path: $got")
+    // read-side belt for markers written BEFORE the guard: a
+    // hand-planted NaN bound must read as "always overlaps"
+    import graft.sinks.DataSkipping
+    val poisoned = DataSkipping.ColStats(0L, "1.0", "NaN")
+    assert(DataSkipping.survives(
+      org.apache.spark.sql.types.DoubleType, poisoned,
+      org.apache.spark.sql.sources.GreaterThan("v", 5.0)),
+      "a legacy NaN-bound entry must never prune")
+    assert(DataSkipping.overlaps(
+      org.apache.spark.sql.types.DoubleType, poisoned, "7.0", "9.0"),
+      "overlaps must treat a NaN bound as always-overlapping")
+  }
+
   test("string bounds order by unsigned UTF-8 bytes, not UTF-16 units") {
     val root = tmpDir("skip_utf8") + "/store"
     // the discriminating case: U+1F600 (UTF-8 F0 9F 98 80, UTF-16
