@@ -8804,6 +8804,90 @@ object Queries {
       |       CAST(CASE WHEN k IN (7, 53) THEN 2 ELSE 1 END AS BIGINT) AS u
       |FROM fb ORDER BY k""".stripMargin
 
+  /** Runtime-filtered join THROUGH the SQL surface (round-15): the
+    * probe side is a DataFrame — no literal IN list anywhere — and the
+    * vstore scan receives its join keys as runtime filters
+    * (SupportsRuntimeFiltering) after the build side executes,
+    * re-planning to only those keys' chains. Asserted in-query: the
+    * executed plan carries the dynamic-pruning subquery and the store
+    * side decodes fewer rows than the snapshot holds. The store is
+    * lineitem-line-keyed (tens of thousands of rows at sf0.01) so
+    * Spark's pruning-benefit heuristic fires like it would at scale —
+    * a toy store estimates the subquery as not worth it. */
+  private def qVstoreRtJoin(s: SparkSession, dir: String): DataFrame = {
+    val fix = fixPath("vstore_rt", dir)
+    val root = s"$fix/store"
+    val vs = graft.sinks.VersionedStore
+    def lineKeys = t(s, dir, "lineitem").select(
+      (col("l_orderkey").cast("bigint") * 10L +
+        col("l_linenumber").cast("bigint")).as("k"),
+      col("l_quantity").cast("bigint").as("q"))
+    if (vs.currentEpoch(root) != 1L) {
+      deleteTree(fix)
+      vs.upsert(lineKeys.groupBy("k")
+          .agg(sum("q").as("sq"), count(lit(1)).as("cnt")),
+        Seq("k"), root, nBuckets = 16)
+    }
+    val snap = s.read.format("graft-vstore").option("path", root).load()
+    val total = snap.count()
+    val probe = lineKeys.select(col("k").as("pk"))
+      .filter(col("pk") % 997L === 0L).distinct()
+    val joined = snap.join(probe, col("k") === col("pk"))
+      .select(col("k"), col("sq"), col("cnt"))
+    val before = graft.connectors.StoreReaderMetrics.rowsDecoded.get()
+    val n = joined.count()
+    val decoded = graft.connectors.StoreReaderMetrics.rowsDecoded.get() - before
+    require(n > 0, "runtime-filter probe must match rows")
+    require(decoded < total,
+      s"runtime filtering must prune chains: decoded $decoded of $total")
+    require(joined.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"),
+      "the vstore scan must receive the join keys as runtime filters")
+    joined.orderBy("k")
+  }
+
+  private val oVstoreRtJoin =
+    """WITH rows AS (SELECT CAST(l_orderkey AS BIGINT) * 10
+      |                       + CAST(l_linenumber AS BIGINT) AS k,
+      |                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |                       AS sq,
+      |                     count(*) AS cnt
+      |              FROM lineitem GROUP BY 1)
+      |SELECT k, sq, cnt FROM rows WHERE k % 997 = 0 ORDER BY k""".stripMargin
+
+  /** Footer-answered aggregate through the SQL surface (round-15): a
+    * group-by-free count/min/max over a fully-plain vstore snapshot is
+    * served from parquet FOOTERS — one partial row per chain, zero
+    * decoded data rows (asserted in-query via the reader metric). MOR
+    * or evolved snapshots decline the pushdown and stay exact through
+    * the ordinary merge path (VStoreSourceSpec pins both). */
+  private def qVstoreAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = prunedStoreAt(s, dir)
+    val snap = s.read.format("graft-vstore").option("path", root).load()
+    val agg = snap.agg(expr("count(*)").cast("bigint").as("cnt"),
+      min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+      count(col("nat")).cast("bigint").as("nat_cnt"))
+    val before = graft.connectors.StoreReaderMetrics.rowsDecoded.get()
+    require(agg.count() == 1L)
+    val decoded = graft.connectors.StoreReaderMetrics.rowsDecoded.get() - before
+    require(decoded == 0L,
+      s"plain-snapshot vstore aggregate must be footer-answered: $decoded")
+    agg
+  }
+
+  private val oVstoreAgg =
+    """WITH fb AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                   CAST(floor(s_acctbal) AS BIGINT) AS v,
+      |                   CAST(s_nationkey AS BIGINT) AS nat FROM supplier),
+      |cur AS (SELECT k,
+      |               CASE WHEN k IN (7, 53) THEN v + 5
+      |                    WHEN k IN (11, 89) THEN v + 7 ELSE v END AS v,
+      |               nat
+      |        FROM fb)
+      |SELECT CAST(count(*) AS BIGINT) AS cnt, MIN(v) AS v_min,
+      |       MAX(v) AS v_max, CAST(count(nat) AS BIGINT) AS nat_cnt
+      |FROM cur""".stripMargin
+
   private val oImportCopy =
     """WITH fb AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
       |                   CAST(floor(s_acctbal) AS BIGINT) AS v,
@@ -9210,7 +9294,9 @@ object Queries {
     "q225_pruned_scan" -> (qPrunedScan _),
     "q226_pruned_filter_scan" -> (qPrunedFilterScan _),
     "q227_import_copy" -> (qImportCopy _),
-    "q228_vstore_sql" -> (qVstoreSql _)
+    "q228_vstore_sql" -> (qVstoreSql _),
+    "q229_vstore_rtjoin" -> (qVstoreRtJoin _),
+    "q230_vstore_agg" -> (qVstoreAgg _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9445,6 +9531,8 @@ object Queries {
     "q225_pruned_scan" -> oPrunedScan,
     "q226_pruned_filter_scan" -> oPrunedFilterScan,
     "q227_import_copy" -> oImportCopy,
-    "q228_vstore_sql" -> oVstoreSql
+    "q228_vstore_sql" -> oVstoreSql,
+    "q229_vstore_rtjoin" -> oVstoreRtJoin,
+    "q230_vstore_agg" -> oVstoreAgg
   )
 }

@@ -111,3 +111,28 @@ final class DashboardServer(stat: () => DataFrame,
     server = null
   }
 }
+
+object DashboardServer {
+  /** Stat providers over the MVCC store's SQL surface (round-15): the
+    * reference's UICenter can only read the LIVE DynamoDB table; ours
+    * serves any committed snapshot — "the dashboard as of release
+    * epoch E" — because the provider is just a `graft-vstore` read
+    * with the epoch pinned. `epoch = None` follows the live store:
+    * every request re-resolves the current snapshot, so a dashboard
+    * poll sees each new epoch as it commits.
+    *
+    * Latency note: each request plans a fresh vstore scan (commit-log
+    * read + chain resolve — driver metadata, pooled; the stat table
+    * itself is model-sized). A high-QPS deployment wraps the provider
+    * with its own cache keyed on [[graft.sinks.VersionedStore
+    * .currentEpoch]] — e.g. memoize `stat().localCheckpoint()` until
+    * the epoch moves — trading staleness bounded by one epoch for a
+    * zero-plan serve; the server stays agnostic because the SEAM is
+    * the function, not the storage. */
+  def vstoreStat(spark: org.apache.spark.sql.SparkSession, root: String,
+                 epoch: Option[Long] = None): () => DataFrame =
+    () => {
+      val r = spark.read.format("graft-vstore").option("path", root)
+      epoch.fold(r)(e => r.option("epoch", e.toString)).load()
+    }
+}

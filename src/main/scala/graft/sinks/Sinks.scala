@@ -334,11 +334,25 @@ object Sinks {
     // pooled footer pass. Stats stay best-effort: a bucket without
     // the marker is simply never pruned by the DSv2 scan.
     val statSchema = StructType(mat.schema.filterNot(_.name == "_bucket"))
+    // key-clustered within each bucket file (round-15): row-group
+    // min/max on the key columns become tight ranges instead of the
+    // whole hash domain, and the adaptive key blooms below let a
+    // pushed key predicate skip row groups entirely — the probe path
+    // ([[probePartitioned]]) pays bytes per MATCHING row group, not
+    // per bucket. _bucket leads so the dynamic-partition writer's
+    // required ordering is already satisfied (same rationale as the
+    // versioned store's staged write).
     val shaped = merged.repartition(touched.length, col("_bucket"))
+      .sortWithinPartitions(col("_bucket") +: keyCols.map(col): _*)
     val observed = DataSkipping.observeStats(shaped, touched, statSchema,
       counts = true)
-    observed.map(_._1).getOrElse(shaped)
-      .write.partitionBy("_bucket").parquet(staging.toString)
+    keyCols.foldLeft(
+        observed.map(_._1).getOrElse(shaped)
+          .write.option("parquet.bloom.filter.adaptive.enabled", "true")
+          .option("parquet.bloom.filter.max.bytes", (64 * 1024).toString)) {
+        (w, kc) => w.option(s"parquet.bloom.filter.enabled#$kc", "true")
+      }
+      .partitionBy("_bucket").parquet(staging.toString)
     val harvested = observed.flatMap(_._2.harvest())
     val statBodies: Map[Int, String] = harvested.getOrElse {
       VersionedStore.parallelMap(touched) { b =>
@@ -396,6 +410,81 @@ object Sinks {
     val dirs = listBuckets(storeDir)
     require(dirs.nonEmpty, s"partitioned store has no buckets: $storeDir")
     spark.read.parquet(dirs: _*)
+  }
+
+  /** Literal budget for [[probePartitioned]]'s pushed key filter: past
+    * this many distinct probe keys the In expression taxes plan
+    * analysis more than the page skips save; bucket pruning alone
+    * still bounds opens. The probe keys were already driver-resident
+    * by contract (the caller broadcasts them), so the collect below
+    * adds no new asymptote. */
+  private val ProbeInMax = 2048
+  /** Test seam: forces [[probePartitioned]] down the full-scan path so
+    * contract specs can difference pruned vs unpruned I/O. */
+  @volatile private[graft] var disableProbePruning: Boolean = false
+
+  /** BOUNDED ledger probe (round-15): the rows of a partitioned store
+    * that can possibly match `keys` — reading ONLY the buckets the
+    * probe keys hash into, instead of the whole store. This is the
+    * streaming maintainers' per-micro-batch read path: their ledgers
+    * grow with the CORPUS while a micro-batch is bounded, so the plain
+    * [[readPartitioned]]-then-join scanned corpus-sized state every
+    * batch — the one per-batch cost with the wrong asymptote at 100 TB
+    * (round-14 verdict). Per batch this opens f(batch-key buckets)
+    * files, never f(ledger); with a single key column the distinct
+    * probe keys (≤ [[ProbeInMax]]) additionally push an In filter into
+    * the scan, so the key-sorted row groups + adaptive key blooms the
+    * staged write lays down skip non-matching PAGES too — bytes track
+    * the batch, not the bucket.
+    *
+    * Contract: the result is a SUPERSET of the store rows whose key
+    * tuple appears in `keys` (exact for a pushed single-column probe)
+    * — callers apply their own exact join on top, so pruning can only
+    * skip non-matching I/O, never change a result. `keys` must carry
+    * the store's key columns under their store names and types (the
+    * bucket hash is type-sensitive); extra columns are ignored. An
+    * uncreated store reads as empty with `emptySchema`. Costs one
+    * driver-side job over `keys` (batch-sized by the same contract
+    * that lets callers broadcast it). */
+  def probePartitioned(spark: SparkSession, storeDir: String,
+                       keys: DataFrame,
+                       emptySchema: StructType): DataFrame = {
+    recoverPartitioned(storeDir)
+    val (fs, root) = fsOf(storeDir)
+    def emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    val keyCols = storeMarker(storeDir, "_keycols")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val nBuckets = storeMarker(storeDir, "_nbuckets").map(_.trim.toInt)
+    if (keyCols.isEmpty || nBuckets.isEmpty)
+      return emptyDf // never written — nothing to probe
+    if (disableProbePruning) {
+      val dirs = listBuckets(storeDir)
+      return if (dirs.isEmpty) emptyDf
+        else spark.read.schema(emptySchema).parquet(dirs: _*)
+    }
+    val n = nBuckets.get
+    val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
+    // one tiny job: the batch's touched buckets (≤ n ints) — plus the
+    // distinct keys themselves when one column and under budget
+    val single = keyCols.size == 1
+    // no limit: truncating would drop BUCKETS and lose rows — the
+    // distinct is batch-key-sized (single col) or ≤ n rows (composite)
+    val probeRows = keys
+      .select(bucketExpr.as("_b") +: (if (single) Seq(col(keyCols.head))
+                                      else Nil): _*)
+      .distinct().collect()
+    if (probeRows.isEmpty) return emptyDf
+    val touched = probeRows.map(_.getInt(0)).distinct.sorted
+    val live = touched.map(b => new Path(root, bucketName(b)))
+      .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+      .map(_.toString)
+    if (live.isEmpty) return emptyDf
+    val pruned = spark.read.schema(emptySchema).parquet(live.toIndexedSeq: _*)
+    if (single && probeRows.length <= ProbeInMax)
+      pruned.where(col(keyCols.head)
+        .isInCollection(probeRows.map(_.get(1)).toIndexedSeq))
+    else pruned
   }
 
   /** Run [[recoverStore]] for every bucket that exists in ANY form —

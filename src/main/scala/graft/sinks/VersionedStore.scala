@@ -143,8 +143,34 @@ object VersionedStore {
     * floor subset, and per-bucket resolution is a max-epoch reduce,
     * so the overlap is harmless). */
   private[graft] def commits(root: String): Seq[Commit] = {
+    // a commit-log read racing VACUUM's checkpoint truncation can list
+    // a `_commit-e` (or the superseded `_floors-v`) and find it GONE by
+    // the marker read — `getOrElse("")` here used to fabricate a
+    // BUCKET-LESS commit, silently dropping every chain whose only
+    // commit it was (the round-15 triple stress caught a follower
+    // reading 197/200 rows). A listed-but-absent marker now means
+    // "truncated under us": RE-LIST — the new `_floors` checkpoint is
+    // written BEFORE any delete, so a fresh listing always carries the
+    // full resolution metadata and the retry converges.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      commitsOnce(root) match {
+        case Some(cs) => return cs
+        case None if attempt < 10 => Thread.sleep(10L * attempt)
+        case None => sys.error(s"commit log kept vanishing under " +
+          s"$attempt listings (runaway concurrent vacuum?): $root")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** One listing-consistent attempt at the commit log; None = a marker
+    * this very listing returned read as ABSENT (concurrent vacuum
+    * truncation — caller re-lists). */
+  private def commitsOnce(root: String): Option[Seq[Commit]] = {
     val (fs, dir) = fsOf(root)
-    if (!fs.exists(dir)) return Seq.empty
+    if (!fs.exists(dir)) return Some(Seq.empty)
     def parse(epoch: Long, body: String): Commit = {
       val parts = body.split(";", 3)
       val bs =
@@ -160,7 +186,8 @@ object VersionedStore {
         case FloorsRe(w) => Some((w.toLong, p)); case _ => None
       }).sortBy(_._1).lastOption.toSeq
       .flatMap { case (_, p) =>
-        readMarker(fs, p).toSeq.flatMap(_.linesIterator).filter(_.nonEmpty)
+        readMarker(fs, p).getOrElse(return None) // vanished: re-list
+          .linesIterator.filter(_.nonEmpty)
           .map { line =>
             val Array(e, body) = line.split(";", 2)
             parse(e.toLong, body)
@@ -177,7 +204,10 @@ object VersionedStore {
           var tries = 0
           while (body.isEmpty && tries < 10) {
             tries += 1
-            try body = Some(readMarker(fs, p).getOrElse(""))
+            try body = readMarker(fs, p) match {
+              case Some(b) => Some(b)
+              case None => return None // vacuum truncated it: re-list
+            }
             catch {
               case scala.util.control.NonFatal(t) =>
                 if (tries >= 10) throw t else Thread.sleep(20L)
@@ -190,7 +220,7 @@ object VersionedStore {
     val byEpoch = scala.collection.mutable.LinkedHashMap.empty[Long, Commit]
     floorCommits.foreach(c => byEpoch(c.epoch) = c)
     markerCommits.foreach(c => byEpoch(c.epoch) = c)
-    byEpoch.values.toSeq.sortBy(_.epoch)
+    Some(byEpoch.values.toSeq.sortBy(_.epoch))
   }
 
   /** Latest committed epoch (0 when the store is empty/new). */
@@ -435,8 +465,20 @@ object VersionedStore {
       // stale lock: every later writer of that epoch fails LOUDLY
       // (never silently), and vacuum sweeps aged locks.
       val lockDir = new Path(dir, f"_commit-$epoch%07d.lock")
+      // epochs at or below the retention watermark are RETIRED: their
+      // markers may already be checkpointed into `_floors` and
+      // truncated, so the exists()/create-exclusive probes below can
+      // no longer tell "free" from "committed then truncated" —
+      // committing here would shadow the checkpoint entry in
+      // [[commits]]'s marker-wins merge and erase every other bucket's
+      // history at this epoch (round-15 triple stress; the age-gated
+      // truncation makes this window a >10-minute stall, this guard
+      // closes it outright). Treated as a collision: the resolution
+      // below re-reads the log (whose newest entry is ≥ wm) and
+      // rebases past it.
+      val retired = epoch <= retentionWatermark(root)
       val won =
-        if (fs.exists(target)) false
+        if (retired || fs.exists(target)) false
         else tryLinkMarker(fs, target, body) match {
           case Some(w) => w // atomic create-exclusive: no lock needed
           case None => // no link primitive: lock-dir election
@@ -843,6 +885,19 @@ object VersionedStore {
         }).maxOption
         .flatMap(e => readMarker(fs, new Path(dir, f"_schema-$e%07d")))
     marker.orElse(readMarker(fs, new Path(dir, "_schema")))
+  }
+
+  /** Has any schema evolution landed at or below `epoch`? Generations
+    * written before an additive evolution lack the new columns, so a
+    * footer-answered aggregate over such a snapshot could silently
+    * miscount — callers that trust footers (the DSv2 aggregate
+    * pushdown) must decline when this is true. */
+  private[graft] def hasEvolution(root: String, epoch: Long): Boolean = {
+    val (fs, dir) = fsOf(root)
+    fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName match {
+      case SchemaRe(e) => e.toLong <= epoch
+      case _ => false
+    })
   }
 
   /** The row-schema DDL in force at snapshot `epoch`: the newest
@@ -1533,7 +1588,7 @@ object VersionedStore {
     * round-trip, so a serial walk over thousands of generations is
     * seconds of dead time a 16-way pool collapses. Preserves input
     * order; the pool dies with the call (no leaked threads). */
-  private[sinks] def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+  private[graft] def parallelMap[A, B](items: Seq[A])(f: A => B): Seq[B] = {
     if (items.size <= 1) return items.map(f)
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(math.min(16, items.size))
@@ -1776,21 +1831,60 @@ object VersionedStore {
         }
     }
     val ddl = schemaAsOf(root, epoch)
-    // delta'd buckets: materialize their resolved rows (one write job
-    // over only those chains), then surface the files flat
-    val morChains = chains.values.filter(ch => !ch.isPlain).toSeq
+    // delta'd buckets: COMPACT-THEN-COPY (round-15) — their resolved
+    // rows are materialized by one write job over only those chains,
+    // but PER BUCKET (key-clustered and bloomed like any base
+    // generation), so the published files keep bucket attribution and
+    // a geometry-matching [[importSnapshot]] byte-copies a DELTA'd
+    // snapshot exactly like a plain one. Falls back to the flat `mor-`
+    // shape only when the source's bucket geometry is unknown (legacy
+    // store without `_nbuckets`).
+    val morChains = chains.toSeq.filter(c => !c._2.isPlain)
     var morFiles = 0L
     if (morChains.nonEmpty) {
       val stagingDir = new Path(destPath, ".mor-staging")
-      readChains(spark, keyColsOf(root), ddl, morChains)
-        .write.mode("overwrite").parquet(stagingDir.toString)
-      val parts = dfs0.listStatus(stagingDir).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (p, i) =>
-        require(dfs0.rename(p,
-          new Path(destPath, f"mor-$epoch%07d-part-$i%05d.parquet")),
-          s"export rename failed: $p")
-        morFiles += 1
+      val keyCols = keyColsOf(root)
+      val srcN = readMarker(fs, new Path(fsOf(root)._2, "_nbuckets"))
+        .map(_.trim.toInt)
+      srcN match {
+        case Some(n) =>
+          val resolved = readChains(spark, keyCols, ddl, morChains.map(_._2))
+            .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(n)))
+          keyCols.foldLeft(
+              resolved.repartition(morChains.size, col("_bucket"))
+                .sortWithinPartitions(col("_bucket") +: keyCols.map(col): _*)
+                .write
+                .option("parquet.bloom.filter.adaptive.enabled", "true")
+                .option("parquet.bloom.filter.max.bytes",
+                  (64 * 1024).toString)) {
+              (w, kc) => w.option(s"parquet.bloom.filter.enabled#$kc", "true")
+            }
+            .partitionBy("_bucket").mode("overwrite")
+            .parquet(stagingDir.toString)
+          morChains.map(_._1).sorted.foreach { b =>
+            val staged = new Path(stagingDir, s"_bucket=$b")
+            val parts =
+              if (!dfs0.exists(staged)) Array.empty[Path]
+              else dfs0.listStatus(staged).map(_.getPath)
+                .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            parts.zipWithIndex.foreach { case (p, i) =>
+              require(dfs0.rename(p, new Path(destPath,
+                f"b$b%05d-g$epoch%07d-mor-$i%05d.parquet")),
+                s"export rename failed: $p")
+              morFiles += 1
+            }
+          }
+        case None =>
+          readChains(spark, keyCols, ddl, morChains.map(_._2))
+            .write.mode("overwrite").parquet(stagingDir.toString)
+          val parts = dfs0.listStatus(stagingDir).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          parts.zipWithIndex.foreach { case (p, i) =>
+            require(dfs0.rename(p,
+              new Path(destPath, f"mor-$epoch%07d-part-$i%05d.parquet")),
+              s"export rename failed: $p")
+            morFiles += 1
+          }
       }
       dfs0.delete(stagingDir, true)
     }
@@ -2083,10 +2177,32 @@ object VersionedStore {
     if (floorLines.nonEmpty) {
       writeMarker(fs, new Path(dir, f"_floors-$wm%07d"),
         floorLines.mkString("\n"), replace = false)
-      fs.listStatus(dir).map(_.getPath).foreach { p =>
-        p.getName match {
-          case CommitRe(e) if e.toLong <= wm => fs.delete(p, false)
-          case FloorsRe(w) if w.toLong < wm => fs.delete(p, false)
+      // markers truncate only once AGED (the infra-sweep minimum, like
+      // locks and staging): a vacuum running at the HEAD of the log —
+      // wm = current epoch, the triple-stress posture — used to delete
+      // a marker a LIVE writer had already probed, and the writer then
+      // RE-COMMITTED that epoch number (its exists()/link fence sees
+      // the marker namespace, which truncation had emptied). The fresh
+      // marker SHADOWED the checkpoint's floor entry in [[commits]]'s
+      // marker-wins merge, silently erasing every other bucket's
+      // history at that epoch — the next merge against the poisoned
+      // view wrote batch-only generations (round-15 triple stress:
+      // 197/200 rows). A live writer's stage-to-commit window is
+      // seconds; ten minutes retires an epoch long after anyone could
+      // still be trying to take it. The floors checkpoint is written
+      // regardless (crash-safe: the merge prefers a surviving marker,
+      // whose bucket list is a superset of its floor line).
+      val truncNow =
+        if (nowMillis >= 0L) nowMillis else System.currentTimeMillis()
+      val truncAge = math.max(grace, InfraSweepMinAgeMillis)
+      fs.listStatus(dir).foreach { st =>
+        st.getPath.getName match {
+          case CommitRe(e) if e.toLong <= wm &&
+              truncNow - st.getModificationTime >= truncAge =>
+            fs.delete(st.getPath, false)
+          case FloorsRe(w) if w.toLong < wm &&
+              truncNow - st.getModificationTime >= truncAge =>
+            fs.delete(st.getPath, false)
           case _ =>
         }
       }

@@ -41,17 +41,25 @@ import graft.sinks.Sinks
   * converges byte-for-byte (LmStreamSpec drives the crash matrix and
   * kill/resume against the one-shot corpus counts).
   *
-  * Scale shape: per batch, O(batch grams) map-side-combined counting,
-  * one scan of the vocabulary-sized count ledger for the touched-row
-  * left-join (the ledger is model-sized next to the corpus; served as
-  * the DSv2 graft-store, runtime filtering would turn even that scan
-  * into a touched-bucket probe), and one landed-ids anti-join — the
-  * same per-batch ledger-scan budget every maintainer here runs on.
-  * Writes are the hash-partitioned upsert
+  * Scale shape (round-15): per batch, O(batch grams) map-side-combined
+  * counting, a BUCKET-PRUNED probe of each ledger
+  * ([[Sinks.probePartitioned]] — only the buckets the batch's keys
+  * hash into open, with the batch ids pushed as a bloom-served In
+  * filter on the docs ledger), and one landed-ids anti-join. Per-batch
+  * ledger I/O is f(batch), never f(corpus) — the full-ledger map-side
+  * scan this replaces was the one per-batch cost that grew with the
+  * corpus (round-14 verdict; LedgerProbeSpec pins opens flat under a
+  * 10× ledger). Writes are the hash-partitioned upsert
   * ([[Sinks.upsertPartitioned]] — one staged job, touched buckets
   * only); history text is never re-tokenized.
+  *
+  * `nBuckets` sets ledger geometry AT CREATION (existing stores keep
+  * their marker): more buckets = finer probe pruning per batch but
+  * more swap renames per upsert — size it so a bucket is a few row
+  * groups at the target corpus.
   */
-final case class LmStream(id: String, text: Column, n: Int) {
+final case class LmStream(id: String, text: Column, n: Int,
+                          nBuckets: Int = 8) {
 
   private def countsDir(root: String) = s"$root/lm_counts"
   private def docsDir(root: String) = s"$root/lm_docs"
@@ -64,10 +72,10 @@ final case class LmStream(id: String, text: Column, n: Int) {
       () => Sinks.upsertPartitioned(
         CorpusSignals.lmRawCounts(oldDocs, text, n)
           .withColumn("last_epoch", lit(-1L)),
-        Seq("context", "word"), countsDir(root)),
+        Seq("context", "word"), countsDir(root), nBuckets = nBuckets),
       () => Sinks.upsertPartitioned(
         oldDocs.select(col(id)).distinct().withColumn("epoch", lit(-1L)),
-        Seq(id), docsDir(root)))
+        Seq(id), docsDir(root), nBuckets = nBuckets))
 
   /** Read a ledger store that may legitimately be EMPTY — a bootstrap
     * over a corpus with no n-gram (every doc shorter than n tokens, or
@@ -123,7 +131,14 @@ final case class LmStream(id: String, text: Column, n: Int) {
     // of every join are broadcast, zero Exchange. No distinct() on
     // either build side: semi/anti joins are duplicate-insensitive,
     // and the distinct would itself be a shuffle.
-    val landedBefore = readLedger(spark, docsDir(root), docsSchema)
+    // Round-15: the map-side scan is BOUNDED too — the probe reads
+    // only the buckets the batch ids hash into (opens f(batch), never
+    // f(ledger)), with the batch keys pushed as an In filter so the
+    // ledger's key blooms skip non-matching pages. The semi-join's
+    // result is unchanged: a ledger row can only match a batch id if
+    // it lives in a batch id's bucket.
+    val landedBefore = Sinks.probePartitioned(spark, docsDir(root),
+        batch.select(col(id)), docsSchema)
       .filter(col("epoch") < epoch).select(col(id))
     val landedHit = landedBefore
       .join(broadcast(batch.select(col(id))), Seq(id), "left_semi")
@@ -133,7 +148,12 @@ final case class LmStream(id: String, text: Column, n: Int) {
     // it as a broadcast build side
     val rawB = CorpusSignals.lmRawCounts(novel, text, n)
       .withColumnRenamed("cnt_gram", "_cnt_b").localCheckpoint()
-    val cur = readLedger(spark, countsDir(root), CountsSchema)
+    // bounded probe again (round-15): only the buckets the batch's
+    // grams hash into are read — the composite (context, word) key
+    // prunes by bucket (no In push), so per-batch count-ledger I/O is
+    // f(batch grams' buckets), never f(vocabulary)
+    val cur = Sinks.probePartitioned(spark, countsDir(root),
+        rawB.select("context", "word"), CountsSchema)
       .withColumnRenamed("cnt_gram", "_cnt_cur")
     // touched rows only, same decomposition as the novelty join: the
     // vocabulary-sized ledger streams map-side against the broadcast
@@ -161,10 +181,10 @@ final case class LmStream(id: String, text: Column, n: Int) {
     SessionConfGate.inParallel(
       () => if (!merged.isEmpty)
         Sinks.upsertPartitioned(merged, Seq("context", "word"),
-          countsDir(root), preMaterialized = true),
+          countsDir(root), nBuckets = nBuckets, preMaterialized = true),
       () => if (!docsDelta.isEmpty)
         Sinks.upsertPartitioned(docsDelta, Seq(id), docsDir(root),
-          preMaterialized = true))
+          nBuckets = nBuckets, preMaterialized = true))
   }
 
   /** The live raw-count ledger (context, word, cnt_gram) — feed it to

@@ -41,11 +41,21 @@ import graft.sinks.Sinks
   * converges byte-for-byte (TrainStreamSpec drives the matrix and
   * pins the stream against the driver-side mini-batch fold).
   *
-  * Scale shape: per batch, one stability-guard aggregation and two
-  * map-side-combined aggregations over the BATCH's features (scores,
-  * gradient), one scan of the model-sized weight ledger, one
-  * landed-ids anti-join; the model never collects to the driver —
-  * the whole step is one declarative plan. Writes are the
+  * Scale shape (round-15): per batch, one stability-guard aggregation
+  * and two map-side-combined aggregations over the BATCH's features
+  * (scores, gradient), one scan of the model-sized weight ledger, and
+  * a BOUNDED landed-ids probe — the docs ledger is TWO TIERS, a
+  * bucketed store probed by the batch ids' buckets with the ids pushed
+  * as a bloom-served In filter ([[Sinks.probePartitioned]]) plus at
+  * most [[FoldEvery]] recent append-only epoch dirs, so per-batch
+  * novelty I/O opens f(batch buckets + FoldEvery) files whatever the
+  * corpus (the round-14 verdict's asymptote flag; LedgerProbeSpec pins
+  * opens flat under a 10× ledger). Every [[FoldEvery]] epochs the
+  * aged epoch dirs FOLD into the bucketed tier — an LSM level-0→1
+  * merge: write cost amortizes to O(ledger/FoldEvery) per batch of
+  * distributed (not serving-path) work, the cadence knob trading
+  * write amplification against probe fan-in. The model never collects
+  * to the driver; the step is one declarative plan. Writes are the
   * hash-partitioned staged upsert ([[Sinks.upsertPartitioned]]).
   *
   * @param id        example id column name
@@ -55,9 +65,12 @@ import graft.sinks.Sinks
   *                  [[graft.ops.LinearTrainer.labelU]])
   * @param lrDenom   step size 1/(lrDenom·n_batch); each batch measures
   *                  max‖x‖² and requires lrDenom ≥ it (2/λmax bound)
+  * @param docBuckets landed-ids bucketed-tier geometry at creation
+  *                  (existing stores keep their marker's count)
   */
 final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
-                             label: Column, lrDenom: Long) {
+                             label: Column, lrDenom: Long,
+                             docBuckets: Int = 8) {
 
   private def wDir(root: String) = s"$root/tr_weights"
   private def docsDir(root: String) = s"$root/tr_docs"
@@ -86,32 +99,77 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
   private def appendDocs(ids: DataFrame, epoch: Long, root: String): Unit =
     ids.write.mode("overwrite").parquet(f"${docsDir(root)}/e$epoch%09d")
 
-  /** Union of the completed (`_SUCCESS`-marked) epoch directories — a
-    * crashed attempt's partial dir is invisible until its replay
-    * overwrites it. A ledger written by the PRE-round-13 layout (a
-    * bucketed [[Sinks.upsertPartitioned]] store: `b\d{5}` dirs) is
-    * folded into the union too — silently ignoring it would forget
-    * every previously landed id and re-train redeliveries as novel
-    * (duplicate gradient application on an at-least-once source). The
-    * legacy rows carry the same (id, epoch) schema, so the fold is a
-    * plain multi-path read; new epochs keep landing in `e\d{9}` dirs
-    * on top. */
-  private def readDocs(spark: SparkSession, root: String,
-                       emptySchema: StructType): DataFrame = {
+  /** Epoch-dir fold cadence AND the recent-tier cap: once this many
+    * completed `e\d{9}` dirs predate the current epoch they fold into
+    * the bucketed tier, so the per-batch novelty probe unions at most
+    * this many epoch dirs on top of the batch's buckets. */
+  private val FoldEvery = 16
+
+  /** The completed (`_SUCCESS`-marked) epoch directories below
+    * `uptoExclusive` — a crashed attempt's partial dir is invisible
+    * until its replay overwrites it. */
+  private def completedEpochDirs(spark: SparkSession, root: String,
+                                 uptoExclusive: Long)
+      : Seq[org.apache.hadoop.fs.Path] = {
     val p = new org.apache.hadoop.fs.Path(docsDir(root))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(p)) Array.empty[String]
-      else fs.listStatus(p).filter(st => st.isDirectory &&
-          st.getPath.getName.matches("^e\\d{9}$") &&
-          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-        .map(_.getPath.toString).sorted
-    val legacy = Sinks.listBuckets(docsDir(root))
-    val all = legacy ++ dirs
-    if (all.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    else spark.read.schema(emptySchema).parquet(all.toIndexedSeq: _*)
+    if (!fs.exists(p)) return Seq.empty
+    val ERe = "^e(\\d{9})$".r
+    fs.listStatus(p).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ERe(e) if st.isDirectory && e.toLong < uptoExclusive &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+          Some(st.getPath)
+        case _ => None
+      }
+    }.sortBy(_.getName)
+  }
+
+  /** The landed-before-`epoch` ids that can possibly collide with the
+    * batch — the BOUNDED two-tier read: the bucketed tier opens only
+    * the batch ids' buckets (ids pushed, blooms skip pages; a ledger
+    * written by the PRE-round-13 all-bucketed layout serves from this
+    * tier unchanged — its markers are the same store's), and the
+    * recent tier is ≤ [[FoldEvery]] epoch dirs by the fold invariant.
+    * An id can appear in BOTH tiers after a crashed fold (upsert
+    * landed, deletes didn't) — harmless: the semi/anti joins above it
+    * are duplicate-insensitive, and the next fold re-merges it
+    * idempotently (same key, same row). */
+  private def readDocsFor(spark: SparkSession, root: String,
+                          batchIds: DataFrame, epoch: Long,
+                          emptySchema: StructType): DataFrame = {
+    val bucketTier = Sinks.probePartitioned(spark, docsDir(root), batchIds,
+      emptySchema)
+    val recent = completedEpochDirs(spark, root, uptoExclusive = Long.MaxValue)
+    val recentTier =
+      if (recent.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+      else spark.read.schema(emptySchema)
+        .parquet(recent.map(_.toString): _*)
+    bucketTier.unionByName(recentTier)
+  }
+
+  /** LSM level-0→1 fold: once [[FoldEvery]] completed epoch dirs
+    * predate `epoch`, merge their rows into the bucketed tier and
+    * delete them. Runs AFTER the epoch's own stores landed; the
+    * current epoch's dir is never folded, so a checkpoint replay of
+    * this epoch still sees its own crashed-attempt ids as novel (the
+    * exactly-once rule 3) and rewrites its dir cleanly. Crash safety:
+    * upsert-then-delete — a crash between the two leaves ids in both
+    * tiers, which the probe contract tolerates (duplicate-insensitive
+    * joins) and the next fold clears. */
+  private def foldDocs(spark: SparkSession, root: String, epoch: Long,
+                       emptySchema: StructType): Unit = {
+    val aged = completedEpochDirs(spark, root, uptoExclusive = epoch)
+    if (aged.size < FoldEvery) return
+    val rows = spark.read.schema(emptySchema)
+      .parquet(aged.map(_.toString): _*)
+    Sinks.upsertPartitioned(rows, Seq(id), docsDir(root),
+      nBuckets = docBuckets)
+    val fs = new org.apache.hadoop.fs.Path(docsDir(root))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    aged.foreach(d => fs.delete(d, true))
   }
 
   /** Apply one mini-batch step at `epoch`. Public so the crash-matrix
@@ -154,8 +212,11 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     // decomposition): the corpus-growing docs ledger streams MAP-SIDE
     // through a semi-join against the broadcast batch ids, and the
     // batch anti-joins the batch-sized hit set — no Exchange, no
-    // distinct (semi/anti are duplicate-insensitive)
-    val landedBefore = readDocs(spark, root, docsSchema)
+    // distinct (semi/anti are duplicate-insensitive). Round-15: the
+    // scan is BOUNDED too — two-tier probe, f(batch buckets +
+    // FoldEvery) opens whatever the ledger size
+    val landedBefore = readDocsFor(spark, root, batch.select(col(id)),
+        epoch, docsSchema)
       .filter(col("epoch") < epoch).select(col(id))
     val landedHit = landedBefore
       .join(broadcast(batch.select(col(id))), Seq(id), "left_semi")
@@ -232,6 +293,9 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
         nBuckets = 1),
       () => appendDocs(novel.select(col(id)).withColumn("epoch", lit(epoch)),
         epoch, root))
+    // level-0→1 fold AFTER the epoch landed: keeps the recent tier
+    // ≤ FoldEvery dirs; runs on 1-in-FoldEvery batches
+    foldDocs(spark, root, epoch, docsSchema)
     sums.unpersist()
     feats.unpersist()
   }

@@ -259,6 +259,8 @@ class ConcurrencySpec extends SparkSpec {
       s"epochs: ${cs.map(_.epoch)}")
     val cur = VersionedStore.read(spark, root).as[(Long, Long)]
       .collect().toMap
+    assert(cur.size == 200, // round-15: completeness, not just own keys
+      s"rebasing racers must never lose NON-batch rows: ${cur.size}")
     owners.foreach { case (_, ks) =>
       ks.foreach(k => assert(cur(k) == k + 5000L, s"lost update for $k"))
     }
@@ -269,6 +271,152 @@ class ConcurrencySpec extends SparkSpec {
       .map { case (k, v) => k -> v.get() }.toSeq.sortBy(_._1)
     info(s"commit-attempts histogram: " +
       hist.map { case (k, v) => s"$k->$v" }.mkString(", "))
+    assert(hist.map(_._1).max <= 16,
+      s"attempt tail must stay far from the livelock bound: $hist")
+  }
+
+  test("a checkpointed epoch is never re-committed (fence watermark guard)") {
+    // the round-15 triple-stress root cause, pinned DETERMINISTICALLY:
+    // writer A pauses at the fence for epoch 2; writer B commits epoch
+    // 2; a vacuum checkpoint then TRUNCATES marker 2 into `_floors-2`
+    // (aged clock — the age gate alone would also have held the
+    // marker). A resumes: the marker it would probe is GONE, so
+    // without the watermark guard A re-commits epoch 2 and its marker
+    // SHADOWS the checkpoint — erasing B's bucket from history and
+    // turning later merges into batch-only rewrites. With the guard, A
+    // treats the retired epoch as a collision and rebases past the
+    // watermark.
+    val root = tmpDir("conc_retired") + "/store"
+    val n = 8
+    VersionedStore.upsert((1L to 50L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = n)
+    val byBucket = bucketsOf(1L to 50L, n).groupMap(_._2)(_._1)
+    val Seq(bA, bB) = byBucket.keys.toSeq.sorted.take(2)
+    val keysA = byBucket(bA).toSeq.sorted.take(3)
+    val keysB = byBucket(bB).toSeq.sorted.take(3)
+    val aFail = race(
+      writerA = VersionedStore.upsert(
+        keysA.map(k => (k, k + 1000L)).toDF("k", "v"), Seq("k"), root),
+      writerB = {
+        assert(VersionedStore.upsert(
+          keysB.map(k => (k, k + 2000L)).toDF("k", "v"), Seq("k"), root) == 2L)
+        // age the MARKERS (not the clock: an injected future clock
+        // would also age writer A's in-flight staged generation out of
+        // the grace shield), then vacuum with a grace window: markers
+        // truncate, young generations — including A's staging — stay
+        val old = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2 * 3600_000L)
+        Seq("_commit-0000001", "_commit-0000002").foreach { m =>
+          java.nio.file.Files.setLastModifiedTime(
+            java.nio.file.Paths.get(root.stripPrefix("file:"), m), old)
+        }
+        VersionedStore.vacuum(root, 2L, graceMillis = 3600_000L)
+        val (fs, dir) = (new org.apache.hadoop.fs.Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+          new org.apache.hadoop.fs.Path(root))
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(dir,
+          "_commit-0000002")), "setup: marker 2 must be truncated")
+      })
+    assert(aFail.isEmpty, s"the retired-epoch writer must rebase: $aFail")
+    val cs = VersionedStore.commits(root)
+    assert(cs.map(_.epoch) == Seq(1L, 2L, 3L), s"epochs: $cs")
+    assert(cs(1).buckets == Seq(bB) && cs(2).buckets == Seq(bA),
+      "epoch 2 must stay B's checkpointed commit; A lands at 3: " + cs)
+    val cur = VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toMap
+    assert(cur.size == 50, s"no row may vanish: ${cur.size}")
+    keysA.foreach(k => assert(cur(k) == k + 1000L))
+    keysB.foreach(k => assert(cur(k) == k + 2000L))
+  }
+
+  test("TRIPLE stress: racers × follower polls × routine vacuums, zero loss") {
+    // round-15 integration of the three pairwise contracts: sustained
+    // contending writers keep committing, a follower keeps reading the
+    // live snapshot, and ROUTINE vacuums (default grace — production
+    // posture, shielded by the store-level grace floor) run throughout.
+    // Zero lost updates, zero follower failures, attempts tail
+    // unchanged vs the writers-only stress.
+    val root = tmpDir("conc_triple") + "/store"
+    val n = 32
+    VersionedStore.upsert((1L to 200L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = n)
+    VersionedStore.setVacuumGrace(root, 3600_000L) // the follower shield
+    val byBucket = bucketsOf(1L to 200L, n).groupMap(_._2)(_._1)
+    val owners = byBucket.toSeq.sortBy(_._1).take(4)
+      .map { case (b, ks) => b -> ks.toSeq.sorted.take(2) }
+    val epochsPer = 5
+    VersionedStore.commitAttempts.clear()
+    val start = new CountDownLatch(1)
+    val writersDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writers = owners.map { case (b, ks) =>
+      new Thread(() => {
+        try {
+          start.await()
+          (1 to epochsPer).foreach { i =>
+            VersionedStore.upsert(
+              ks.map(k => (k, k + 1000L * i)).toDF("k", "v"), Seq("k"), root)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+        finally { writersDone.incrementAndGet(); () }
+      }, s"triple-racer-b$b")
+    }
+    val followerPolls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val follower = new Thread(() => {
+      try {
+        start.await()
+        while (writersDone.get() < owners.size) {
+          // a live-snapshot poll mid-contention: counts must always be
+          // the full keyspace (upserts replace, never add/remove keys)
+          val ks = VersionedStore.read(spark, root).select("k")
+            .as[Long].collect().toSet
+          if (ks.size != 200) {
+            val missing = (1L to 200L).filterNot(ks.contains)
+            val cs = VersionedStore.commits(root)
+              .map(c => s"${c.epoch}:${c.kind}:${c.buckets.mkString("|")}")
+            fail(s"follower saw a torn snapshot: ${ks.size} rows, " +
+              s"missing $missing (buckets ${missing.map(k =>
+                bucketsOf(Seq(k), n).head._2)}), commits=$cs")
+          }
+          followerPolls.incrementAndGet()
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    }, "triple-follower")
+    val vacuums = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacuumer = new Thread(() => {
+      try {
+        start.await()
+        while (writersDone.get() < owners.size) {
+          // routine vacuum at the current epoch, DEFAULT grace: the
+          // store-level floor must shield every in-flight chain read
+          VersionedStore.vacuum(root, VersionedStore.currentEpoch(root))
+          vacuums.incrementAndGet()
+          Thread.sleep(50)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    }, "triple-vacuumer")
+    (writers :+ follower :+ vacuumer).foreach(_.start())
+    start.countDown()
+    writers.foreach(_.join(240000))
+    follower.join(240000); vacuumer.join(240000)
+    assert(failures.isEmpty, s"triple stress must be loss- and " +
+      s"failure-free: ${Option(failures.peek()).map(_.getMessage)}")
+    assert(followerPolls.get() > 0 && vacuums.get() > 0,
+      s"the stress must actually interleave: ${followerPolls.get()} polls, " +
+        s"${vacuums.get()} vacuums")
+    val cur = VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toMap
+    owners.foreach { case (_, ks) =>
+      ks.foreach(k => assert(cur(k) == k + 5000L, s"lost update for $k"))
+    }
+    import scala.jdk.CollectionConverters._
+    val hist = VersionedStore.commitAttempts.asScala
+      .map { case (k, v) => k -> v.get() }.toSeq.sortBy(_._1)
+    info(s"triple-stress attempts histogram: " +
+      hist.map { case (k, v) => s"$k->$v" }.mkString(", "))
+    println(s"TRIPLE_STRESS polls=${followerPolls.get()} " +
+      s"vacuums=${vacuums.get()} hist=" +
+      hist.map { case (k, v) => s"$k->$v" }.mkString(","))
     assert(hist.map(_._1).max <= 16,
       s"attempt tail must stay far from the livelock bound: $hist")
   }

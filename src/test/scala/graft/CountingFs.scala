@@ -16,7 +16,20 @@ object CountingFs {
   val statusCalls = new java.util.concurrent.atomic.AtomicInteger(0)
   val opens = new java.util.concurrent.atomic.AtomicInteger(0)
   val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
-  def reset(): Unit = { statusCalls.set(0); opens.set(0); bytesRead.set(0L) }
+  // write-side metadata ops (round-15): creates/mkdirs/renames/deletes
+  // are each a round trip on an object store too — the commit-path
+  // budget spec prices an upsert+commit in these
+  val creates = new java.util.concurrent.atomic.AtomicInteger(0)
+  val mkdirs = new java.util.concurrent.atomic.AtomicInteger(0)
+  val renames = new java.util.concurrent.atomic.AtomicInteger(0)
+  val deletes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def writeOps: Int = creates.get() + mkdirs.get() + renames.get() +
+    deletes.get()
+  def allOps: Int = writeOps + statusCalls.get() + opens.get()
+  def reset(): Unit = {
+    statusCalls.set(0); opens.set(0); bytesRead.set(0L)
+    creates.set(0); mkdirs.set(0); renames.set(0); deletes.set(0)
+  }
 
   /** Wraps a raw stream, adding every byte served to [[bytesRead]].
     * Positioned reads (parquet's footer/page access pattern) and
@@ -82,5 +95,30 @@ class CountingFs extends RawLocalFileSystem {
     CountingFs.opens.incrementAndGet()
     new FSDataInputStream(
       new CountingFs.CountingStream(super.open(p, bufferSize)))
+  }
+
+  override def create(p: Path, permission: org.apache.hadoop.fs.permission
+      .FsPermission, overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    CountingFs.creates.incrementAndGet()
+    super.create(p, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+
+  override def mkdirs(p: Path, permission: org.apache.hadoop.fs.permission
+      .FsPermission): Boolean = {
+    CountingFs.mkdirs.incrementAndGet()
+    super.mkdirs(p, permission)
+  }
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    CountingFs.renames.incrementAndGet()
+    super.rename(src, dst)
+  }
+
+  override def delete(p: Path, recursive: Boolean): Boolean = {
+    CountingFs.deletes.incrementAndGet()
+    super.delete(p, recursive)
   }
 }

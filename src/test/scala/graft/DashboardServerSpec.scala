@@ -86,4 +86,47 @@ class DashboardServerSpec extends SparkSpec {
         "405 must carry an Allow header")
     } finally srv.stop()
   }
+
+  test("vstore provider serves time-travel dashboards: as-of epoch E") {
+    // the stat table lives in the MVCC store: epoch 1 = the first 60
+    // minutes, epoch 2 = 30 more minutes land. The reference's UICenter
+    // can only read live DynamoDB; here /totalProgress@1 must replay
+    // exactly the epoch-1 dashboard after epoch 2 commits.
+    import graft.sinks.VersionedStore
+    val root = tmpDir("dash_vstore") + "/stat"
+    val t0 = 1700000000L / 60 * 60
+    def statRows(n: Int) = (0 until n).map { i =>
+      (t0 + i * 60L, 1, (i + 1).toLong, (i + 1) * 100L, 0L, 0L)
+    }.toDF("start_time", "time_unit", "success_num", "success_size",
+      "failed_num", "failed_size")
+    VersionedStore.upsert(statRows(60), Seq("start_time", "time_unit"), root,
+      nBuckets = 2)
+    VersionedStore.upsert(statRows(90), Seq("start_time", "time_unit"), root)
+    assert(VersionedStore.currentEpoch(root) == 2L)
+
+    val now = t0 + 89 * 60L
+    val asOf1 = new DashboardServer(
+      DashboardServer.vstoreStat(spark, root, epoch = Some(1L)),
+      totalObjects = 10000L, totalSize = 1000000L, nowEpochSec = () => now)
+    val live = new DashboardServer(
+      DashboardServer.vstoreStat(spark, root),
+      totalObjects = 10000L, totalSize = 1000000L, nowEpochSec = () => now)
+    val p1 = asOf1.start(); val p2 = live.start()
+    try {
+      val wantAsOf = graft.ops.Dashboard.totalProgress(
+        VersionedStore.readAsOf(spark, root, 1L), 10000L, 1000000L)
+        .collect()(0)
+      val gotAsOf = spark.read.json(
+        Seq(get(p1, "/totalProgress").body()).toDS()).collect()(0)
+      assert(gotAsOf.getAs[Long]("total_success_num") ==
+        wantAsOf.getAs[Long]("total_success_num"))
+      assert(gotAsOf.getAs[Long]("total_success_num") == (1L to 60L).sum,
+        "the as-of dashboard must not see epoch-2 minutes")
+
+      val gotLive = spark.read.json(
+        Seq(get(p2, "/totalProgress").body()).toDS()).collect()(0)
+      assert(gotLive.getAs[Long]("total_success_num") == (1L to 90L).sum,
+        "the live dashboard follows the current epoch")
+    } finally { asOf1.stop(); live.stop() }
+  }
 }

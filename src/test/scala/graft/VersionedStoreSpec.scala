@@ -173,7 +173,14 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.vacuum(root, retainAsOf = 1L).watermark == 3L)
 
     // commit-log truncation: markers <= wm replaced by ONE checkpoint,
-    // with resolution (current epoch, snapshots, CDC) unchanged
+    // with resolution (current epoch, snapshots, CDC) unchanged.
+    // Round-15: truncation is AGE-GATED (a young marker may still be a
+    // live writer's fence probe target — deleting it let the epoch be
+    // re-committed and shadow the checkpoint), so the sweep needs the
+    // injected aged clock
+    VersionedStore.vacuum(root, retainAsOf = 3L, nowMillis =
+      System.currentTimeMillis() + VersionedStore.InfraSweepMinAgeMillis
+        + 1000L)
     val (fs, dir) = (new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration), new Path(root))
     val names = fs.listStatus(dir).map(_.getPath.getName).toSet
