@@ -89,12 +89,21 @@ private[connectors] final case class VStoreTable(path: String, epoch: Long,
 private[connectors] final case class VStoreScanBuilder(
     path: String, epoch: Long, fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggOps: Option[Seq[AggOp]] = None
   private var aggSchema: Option[StructType] = None
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown (the [[StoreScanBuilder]] contract on the
+    * versioned layout): each chain reader stops after `n` rows —
+    * Spark's own global Limit still applies; a MOR chain resolves its
+    * merge first and caps EMITTED rows, so the cap is sound there too. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   private val keys = StoreMeta.keyCols(path)
 
@@ -168,7 +177,7 @@ private[connectors] final case class VStoreScanBuilder(
   }
 
   override def build(): Scan = VStoreScan(path, epoch, fullSchema,
-    aggSchema.getOrElse(required), pushed, aggOps)
+    aggSchema.getOrElse(required), pushed, aggOps, limit)
 }
 
 private[connectors] final case class VStoreScan(path: String, epoch: Long,
@@ -176,7 +185,8 @@ private[connectors] final case class VStoreScan(path: String, epoch: Long,
                                                 required: StructType,
                                                 pushed: Array[Filter],
                                                 aggOps: Option[Seq[AggOp]] =
-                                                  None)
+                                                  None,
+                                                limit: Option[Int] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -315,7 +325,8 @@ private[connectors] final case class VStoreScan(path: String, epoch: Long,
     s"GraftVStore $path@$epoch chains ${selected.size}/${chains.size}" +
       s" pushedFilters [${pushed.mkString(", ")}]" +
       aggOps.map(ops => s" pushedAggregates [${ops.mkString(", ")}]")
-        .getOrElse("")
+        .getOrElse("") +
+      limit.map(n => s" pushedLimit $n").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
     selected.map { case (_, ch) =>
@@ -331,7 +342,7 @@ private[connectors] final case class VStoreScan(path: String, epoch: Long,
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    VStoreReaderFactory(required, aggOps)
+    VStoreReaderFactory(required, aggOps, limit)
 
   private lazy val plannedBytes: Long =
     plannedSelected.flatMap(_._2.paths).distinct
@@ -349,7 +360,8 @@ private[connectors] final case class MorChainPartition(
     keySchema: StructType) extends InputPartition
 
 private[connectors] final case class VStoreReaderFactory(
-    required: StructType, aggOps: Option[Seq[AggOp]] = None)
+    required: StructType, aggOps: Option[Seq[AggOp]] = None,
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     (p, aggOps) match {
@@ -359,9 +371,9 @@ private[connectors] final case class VStoreReaderFactory(
         // partition here is a BucketPartition
         new BucketAggReader(files, required, ops)
       case (BucketPartition(files), None) =>
-        new BucketReader(files, required, tolerateMissing = true)
+        new BucketReader(files, required, limit, tolerateMissing = true)
       case (m: MorChainPartition, _) =>
-        new MorChainReader(m, required)
+        new MorChainReader(m, required, limit)
     }
 }
 
@@ -374,8 +386,13 @@ private[connectors] final case class VStoreReaderFactory(
   * dropping superseded keys; surviving delta rows emit last. Memory is
   * O(delta rows), never O(bucket). */
 private[connectors] final class MorChainReader(part: MorChainPartition,
-                                               required: StructType)
+                                               required: StructType,
+                                               limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
+
+  // partial pushed limit: counts EMITTED (post-merge) rows, so the cap
+  // never changes which rows survive the newest-wins fold
+  private var emitted = 0L
 
   private val OpField = "_op"
 
@@ -426,16 +443,19 @@ private[connectors] final class MorChainReader(part: MorChainPartition,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
     while (!baseDone) {
       if (base.next()) {
         val r = base.get()
-        if (!resolved.containsKey(keyOf(r))) { current = project(r); return true }
+        if (!resolved.containsKey(keyOf(r))) {
+          current = project(r); emitted += 1; return true
+        }
       } else { baseDone = true; base.close() }
     }
     if (deltaIter == null) deltaIter = resolved.values().iterator()
     while (deltaIter.hasNext) {
       deltaIter.next() match {
-        case Some(row) => current = row; return true
+        case Some(row) => current = row; emitted += 1; return true
         case None => // tombstone: nothing to emit
       }
     }

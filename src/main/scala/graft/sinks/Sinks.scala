@@ -431,11 +431,12 @@ object Sinks {
     * [[readPartitioned]]-then-join scanned corpus-sized state every
     * batch — the one per-batch cost with the wrong asymptote at 100 TB
     * (round-14 verdict). Per batch this opens f(batch-key buckets)
-    * files, never f(ledger); with a single key column the distinct
-    * probe keys (≤ [[ProbeInMax]]) additionally push an In filter into
-    * the scan, so the key-sorted row groups + adaptive key blooms the
-    * staged write lays down skip non-matching PAGES too — bytes track
-    * the batch, not the bucket.
+    * files, never f(ledger); the distinct values of the FIRST key
+    * column (≤ [[ProbeInMax]] — exact for single-column keys, a sound
+    * superset filter for composite ones) additionally push an In
+    * filter into the scan, so the key-sorted row groups + adaptive
+    * key blooms the staged write lays down skip non-matching PAGES
+    * too — bytes track the batch, not the bucket.
     *
     * Contract: the result is a SUPERSET of the store rows whose key
     * tuple appears in `keys` (exact for a pushed single-column probe)
@@ -465,14 +466,16 @@ object Sinks {
     }
     val n = nBuckets.get
     val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
-    // one tiny job: the batch's touched buckets (≤ n ints) — plus the
-    // distinct keys themselves when one column and under budget
-    val single = keyCols.size == 1
-    // no limit: truncating would drop BUCKETS and lose rows — the
-    // distinct is batch-key-sized (single col) or ≤ n rows (composite)
+    // one tiny job: the batch's touched buckets (≤ n ints) plus the
+    // distinct values of the FIRST key column — for a single-column
+    // key that is the key itself (exact In push); for a composite key
+    // it is still a sound SUPERSET filter (a matching tuple matches on
+    // its first column), so the counts-ledger probe gets page-level
+    // bloom skipping too, not just bucket pruning.
+    // No limit: truncating would drop BUCKETS and lose rows — the
+    // distinct is batch-key-sized.
     val probeRows = keys
-      .select(bucketExpr.as("_b") +: (if (single) Seq(col(keyCols.head))
-                                      else Nil): _*)
+      .select(bucketExpr.as("_b"), col(keyCols.head))
       .distinct().collect()
     if (probeRows.isEmpty) return emptyDf
     val touched = probeRows.map(_.getInt(0)).distinct.sorted
@@ -481,9 +484,9 @@ object Sinks {
       .map(_.toString)
     if (live.isEmpty) return emptyDf
     val pruned = spark.read.schema(emptySchema).parquet(live.toIndexedSeq: _*)
-    if (single && probeRows.length <= ProbeInMax)
-      pruned.where(col(keyCols.head)
-        .isInCollection(probeRows.map(_.get(1)).toIndexedSeq))
+    val firstVals = probeRows.map(_.get(1)).distinct
+    if (firstVals.length <= ProbeInMax && !firstVals.contains(null))
+      pruned.where(col(keyCols.head).isInCollection(firstVals.toIndexedSeq))
     else pruned
   }
 

@@ -104,6 +104,13 @@ class LedgerProbeSpec extends SparkSpec {
     // and far under the stores' combined bucket count (2 ledgers × 64)
     assert(opensBigLedger < 64,
       s"a 3-doc batch must not touch every bucket: $opensBigLedger")
+    // BYTES flat too: the pushed first-key In filter rides the bucket
+    // files' key blooms + clustered row groups, so a 10× bigger bucket
+    // costs footer + bloom, not data pages (2× headroom for footer
+    // growth)
+    assert(bytesBig <= bytesSmall * 2 + 65536,
+      s"per-batch bytes must track the batch, not the bucket: " +
+        s"$bytesSmall -> $bytesBig")
     // exactness unchanged: redelivery of an already-landed id adds 0
     val before = lm.counts(spark, root).agg(sum("cnt_gram")).collect()(0)
       .getLong(0)

@@ -148,6 +148,34 @@ class VStoreSourceSpec extends SparkSpec {
       s"evolved count(col) must count implicit nulls as absent: $evoRow")
   }
 
+  test("limit pushdown: a peek decodes <= n*chains rows, MOR-sound") {
+    val root = tmpDir("vsrc_limit") + "/store"
+    VersionedStore.upsert((1L to 4000L).map(k => (k, k * 2L)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 8)
+    VersionedStore.deltaApply(
+      Seq((5L, 500L, "upsert"), (6L, 0L, "delete")).toDF("k", "v", "op"),
+      Seq("k"), root, "op")
+    val merged = VersionedStore.read(spark, root).as[(Long, Long)]
+      .collect().toMap
+    val peek = vdf(root).limit(3)
+    val before = graft.connectors.StoreReaderMetrics.rowsDecoded.get()
+    val got = peek.as[(Long, Long)].collect()
+    val decoded = graft.connectors.StoreReaderMetrics.rowsDecoded.get() - before
+    assert(got.length == 3)
+    // every peeked row is a POST-MERGE row: never a superseded base
+    // value, never a tombstoned key
+    got.foreach { case (k, v) =>
+      assert(merged.get(k).contains(v), s"peek must serve merged rows: $k=$v")
+    }
+    // partial pushdown: each of the 8 chains stops after <= 3 rows
+    // (plus the MOR chain's delta fold) instead of decoding the store
+    assert(decoded <= 3L * 8 + 8,
+      s"limit(3) must stop chain readers early: decoded $decoded of 4000")
+    assert(peek.queryExecution.toString.contains("pushedLimit") ||
+      peek.queryExecution.executedPlan.toString.contains("pushedLimit"),
+      "the scan must report the pushed limit")
+  }
+
   test("plan-time metadata budget at 64 buckets (pooled, O(pool) ops)") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.probe.impl", classOf[CountingFs].getName)
