@@ -8855,6 +8855,30 @@ object Queries {
       |              FROM lineitem GROUP BY 1)
       |SELECT k, sq, cnt FROM rows WHERE k % 997 = 0 ORDER BY k""".stripMargin
 
+  /** The store as a CATALOG TABLE with native time-travel SQL
+    * (round-15): no format string, no options — the warehouse root is
+    * session conf, the store is a plain name, and `VERSION AS OF`
+    * addresses the epoch through Spark's own syntax. Asserted
+    * in-query: the catalog resolves to the same pruned vstore scan (a
+    * key probe plans one chain). The oracle is q228's epoch-2 content
+    * — the two surfaces must agree exactly. */
+  private def qCatalogSql(s: SparkSession, dir: String): DataFrame = {
+    val root = prunedStoreAt(s, dir) // <fix>/store
+    val wh = root.stripSuffix("/store")
+    s.conf.set("spark.sql.catalog.gwh",
+      classOf[graft.connectors.GraftVStoreCatalog].getName)
+    s.conf.set("spark.sql.catalog.gwh.root", wh)
+    val e = math.min(2L, graft.sinks.VersionedStore.currentEpoch(root))
+    val probe = s.sql(s"SELECT v FROM gwh.store VERSION AS OF $e WHERE k = 7")
+    val parts = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+    require(parts <= 1,
+      s"a catalog key probe must plan one chain: $parts")
+    s.sql(s"SELECT k, v, nat, u FROM gwh.store VERSION AS OF $e ORDER BY k")
+  }
+
   /** Footer-answered aggregate through the SQL surface (round-15): a
     * group-by-free count/min/max over a fully-plain vstore snapshot is
     * served from parquet FOOTERS — one partial row per chain, zero
@@ -9296,7 +9320,8 @@ object Queries {
     "q227_import_copy" -> (qImportCopy _),
     "q228_vstore_sql" -> (qVstoreSql _),
     "q229_vstore_rtjoin" -> (qVstoreRtJoin _),
-    "q230_vstore_agg" -> (qVstoreAgg _)
+    "q230_vstore_agg" -> (qVstoreAgg _),
+    "q231_catalog_sql" -> (qCatalogSql _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9533,6 +9558,7 @@ object Queries {
     "q227_import_copy" -> oImportCopy,
     "q228_vstore_sql" -> oVstoreSql,
     "q229_vstore_rtjoin" -> oVstoreRtJoin,
-    "q230_vstore_agg" -> oVstoreAgg
+    "q230_vstore_agg" -> oVstoreAgg,
+    "q231_catalog_sql" -> oVstoreSql // the catalog must agree with q228
   )
 }
