@@ -122,7 +122,7 @@ object Bench {
       "q200", "q202", "q205", "q207", "q208", "q209", "q210", "q211",
       "q212", "q213", "q214", "q215", "q216", "q217", "q218", "q219",
       "q220", "q221", "q222", "q223", "q224", "q225", "q226", "q227", "q228",
-      "q229", "q230", "q231", "q25", "q26", "q78",
+      "q229", "q230", "q231", "q232", "q25", "q26", "q78",
       "q84", "q94")
     // BenchGuard (round-13): per-run JOB COUNT and SHUFFLE BYTES ride
     // along with every timing — a wall-clock drift with UNCHANGED

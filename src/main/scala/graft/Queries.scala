@@ -8879,6 +8879,69 @@ object Queries {
     s.sql(s"SELECT k, v, nat, u FROM gwh.store VERSION AS OF $e ORDER BY k")
   }
 
+  /** SUBSCRIBE to a store end to end (round-15): a `readStream` on the
+    * `graft-vstore` change feed consumes a two-epoch store (a COW base
+    * epoch, then a MOR CDC epoch with updates AND a tombstone), lands
+    * the keyed facts through the fault-tolerant file sink, and the
+    * query returns the per-key FOLD of the feed — latest value, op and
+    * epoch. The oracle recomputes the fold from the raw table: the
+    * subscription must reproduce exactly the store's history, delete
+    * visible as a tombstone fact. */
+  private def qStoreSubscribe(s: SparkSession, dir: String): DataFrame = {
+    val vs = graft.sinks.VersionedStore
+    val fix = fixPath("vstream_sub", dir)
+    val store = s"$fix/store"
+    if (vs.currentEpoch(store) != 2L) {
+      deleteTree(fix)
+      val base = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("bigint").as("k"),
+        floor(col("s_acctbal")).cast("bigint").as("v"),
+        col("s_nationkey").cast("bigint").as("nat"))
+      vs.upsert(base, Seq("k"), store, nBuckets = 8)
+      vs.deltaApply(
+        base.filter(col("k").isin(7L, 53L))
+          .withColumn("v", col("v") + 5L).withColumn("op", lit("upsert"))
+          .unionByName(base.filter(col("k") === 11L)
+            .withColumn("v", lit(null).cast("bigint"))
+            .withColumn("nat", lit(null).cast("bigint"))
+            .withColumn("op", lit("delete"))),
+        Seq("k"), store, "op")
+    }
+    // fresh subscription per run (the stream IS the measured surface)
+    val run = s"$fix/run"
+    deleteTree(run)
+    val q = s.readStream.format("graft-vstore")
+      .option("path", store).option("changeFeed", "true")
+      .option("startingEpoch", "0")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$run/out")
+      .option("checkpointLocation", s"$run/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$run/out")
+      .groupBy("k")
+      .agg(max_by(struct(col("v"), col("nat"), col("_op")),
+          col("_change_epoch")).as("f"),
+        max(col("_change_epoch")).as("last_epoch"))
+      .select(col("k"), col("f.v").as("v"), col("f.nat").as("nat"),
+        col("f._op").as("op"), col("last_epoch"))
+      .orderBy("k")
+  }
+
+  private val oStoreSubscribe =
+    """WITH fb AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                   CAST(floor(s_acctbal) AS BIGINT) AS v,
+      |                   CAST(s_nationkey AS BIGINT) AS nat FROM supplier)
+      |SELECT k,
+      |       CASE WHEN k = 11 THEN NULL
+      |            WHEN k IN (7, 53) THEN v + 5 ELSE v END AS v,
+      |       CASE WHEN k = 11 THEN NULL ELSE nat END AS nat,
+      |       CASE WHEN k = 11 THEN 'delete' ELSE 'upsert' END AS op,
+      |       CAST(CASE WHEN k IN (7, 53, 11) THEN 2 ELSE 1 END AS BIGINT)
+      |         AS last_epoch
+      |FROM fb ORDER BY k""".stripMargin
+
   /** Footer-answered aggregate through the SQL surface (round-15): a
     * group-by-free count/min/max over a fully-plain vstore snapshot is
     * served from parquet FOOTERS — one partial row per chain, zero
@@ -9321,7 +9384,8 @@ object Queries {
     "q228_vstore_sql" -> (qVstoreSql _),
     "q229_vstore_rtjoin" -> (qVstoreRtJoin _),
     "q230_vstore_agg" -> (qVstoreAgg _),
-    "q231_catalog_sql" -> (qCatalogSql _)
+    "q231_catalog_sql" -> (qCatalogSql _),
+    "q232_store_subscribe" -> (qStoreSubscribe _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9559,6 +9623,7 @@ object Queries {
     "q228_vstore_sql" -> oVstoreSql,
     "q229_vstore_rtjoin" -> oVstoreRtJoin,
     "q230_vstore_agg" -> oVstoreAgg,
-    "q231_catalog_sql" -> oVstoreSql // the catalog must agree with q228
+    "q231_catalog_sql" -> oVstoreSql, // the catalog must agree with q228
+    "q232_store_subscribe" -> oStoreSubscribe
   )
 }

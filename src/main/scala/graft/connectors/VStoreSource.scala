@@ -62,32 +62,53 @@ class GraftVStoreSource extends TableProvider with DataSourceRegister {
       .getOrElse(VersionedStore.currentEpoch(path))
   }
 
+  private def changeFeedOf(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("changeFeed")).exists(_.trim.toBoolean)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = StoreMeta.pathOf(options.get("path"))
-    StructType.fromDDL(VersionedStore.schemaAsOf(path, epochOf(options, path)))
+    val row = StructType.fromDDL(
+      VersionedStore.schemaAsOf(path, epochOf(options, path)))
+    // the CHANGE-FEED shape (Delta CDF's posture): row columns plus
+    // the op and the commit epoch — the streaming source's contract
+    if (changeFeedOf(options))
+      StructType(row.fields :+
+        org.apache.spark.sql.types.StructField("_op",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_change_epoch",
+          org.apache.spark.sql.types.LongType))
+    else row
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val path = StoreMeta.pathOf(options.get("path"))
-    VStoreTable(path, epochOf(options, path), schema)
+    VStoreTable(path, epochOf(options, path), schema,
+      changeFeed = changeFeedOf(options),
+      startingEpoch = Option(options.get("startingEpoch"))
+        .map(_.trim.toLong))
   }
 }
 
 private[connectors] final case class VStoreTable(path: String, epoch: Long,
-                                                 tableSchema: StructType)
+                                                 tableSchema: StructType,
+                                                 changeFeed: Boolean = false,
+                                                 startingEpoch: Option[Long] =
+                                                   None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_vstore($path@$epoch)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    VStoreScanBuilder(path, epoch, tableSchema)
+    VStoreScanBuilder(path, epoch, tableSchema, changeFeed, startingEpoch)
 }
 
 private[connectors] final case class VStoreScanBuilder(
-    path: String, epoch: Long, fullSchema: StructType)
+    path: String, epoch: Long, fullSchema: StructType,
+    changeFeed: Boolean = false, startingEpoch: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -177,7 +198,10 @@ private[connectors] final case class VStoreScanBuilder(
   }
 
   override def build(): Scan = VStoreScan(path, epoch, fullSchema,
-    aggSchema.getOrElse(required), pushed, aggOps, limit)
+    // the change feed serves its FULL fact schema (Spark projects
+    // above); batch scans keep pruned/agg schemas
+    if (changeFeed) fullSchema else aggSchema.getOrElse(required),
+    pushed, aggOps, limit, changeFeed, startingEpoch)
 }
 
 private[connectors] final case class VStoreScan(path: String, epoch: Long,
@@ -186,7 +210,10 @@ private[connectors] final case class VStoreScan(path: String, epoch: Long,
                                                 pushed: Array[Filter],
                                                 aggOps: Option[Seq[AggOp]] =
                                                   None,
-                                                limit: Option[Int] = None)
+                                                limit: Option[Int] = None,
+                                                changeFeed: Boolean = false,
+                                                startingEpoch: Option[Long] =
+                                                  None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -320,7 +347,23 @@ private[connectors] final case class VStoreScan(path: String, epoch: Long,
     }
 
   override def readSchema(): StructType = required
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (changeFeed) throw new UnsupportedOperationException(
+      "graft-vstore: the change feed is a STREAMING surface " +
+        "(spark.readStream); for a batch changelog between epochs use " +
+        "VersionedStore.changelog")
+    this
+  }
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (!changeFeed) throw new UnsupportedOperationException(
+      "graft-vstore: streaming reads serve the CHANGE FEED — add " +
+        ".option(\"changeFeed\", \"true\") (schema gains _op and " +
+        "_change_epoch); batch snapshots stay on spark.read")
+    val rowSchema = StructType(fullSchema.fields.filterNot(f =>
+      f.name == "_op" || f.name == "_change_epoch"))
+    new VStoreMicroBatchStream(path, rowSchema, startingEpoch)
+  }
   override def description(): String =
     s"GraftVStore $path@$epoch chains ${selected.size}/${chains.size}" +
       s" pushedFilters [${pushed.mkString(", ")}]" +

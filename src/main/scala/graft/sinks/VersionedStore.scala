@@ -1300,6 +1300,34 @@ object VersionedStore {
     }.toMap
   }
 
+  /** One epoch's generation FILES per touched bucket — the streaming
+    * change-feed's planning surface ([[graft.connectors
+    * .VStoreMicroBatchStream]]): listings fan out on the metadata
+    * pool; `_EMPTY` generations contribute nothing. A committed
+    * epoch's generation that is MISSING entirely fails loudly — the
+    * stream's watermark guard makes that a vacuum race, never a
+    * silent gap. */
+  private[graft] def epochChangeFiles(root: String, epoch: Long,
+                                      buckets: Seq[Int])
+      : Seq[(Int, Seq[String])] = {
+    val (fs, dir) = fsOf(root)
+    parallelMap(buckets) { b =>
+      val gen = new Path(dir, s"${bucketName(b)}/${genName(epoch)}")
+      val names =
+        try fs.listStatus(gen)
+        catch { case _: java.io.FileNotFoundException =>
+          sys.error(s"change-feed generation missing: $gen — it was " +
+            "vacuumed under the stream; restart from a fresh snapshot")
+        }
+      if (names.exists(_.getPath.getName == "_EMPTY")) b -> Seq.empty[String]
+      else b -> names.map(_.getPath)
+        .filter { p =>
+          val nm = p.getName
+          nm.endsWith(".parquet") && !nm.startsWith(".") && !nm.startsWith("_")
+        }.map(_.toString).sorted.toSeq
+    }
+  }
+
   /** Past this many bytes of delta files, chain resolution falls back
     * from the broadcast merge to the shuffled window: the broadcast
     * side holds every delta key on the driver and each executor, so an
