@@ -71,13 +71,17 @@ class GraftVStoreSource extends TableProvider with DataSourceRegister {
       VersionedStore.schemaAsOf(path, epochOf(options, path)))
     // the CHANGE-FEED shape (Delta CDF's posture): row columns plus
     // the op and the commit epoch — the streaming source's contract
-    if (changeFeedOf(options))
+    if (changeFeedOf(options)) {
+      require(!row.fieldNames.contains("_op") &&
+        !row.fieldNames.contains("_change_epoch"),
+        "graft-vstore change feed reserves _op and _change_epoch; the " +
+          "store's own columns collide — rename them to subscribe")
       StructType(row.fields :+
         org.apache.spark.sql.types.StructField("_op",
           org.apache.spark.sql.types.StringType) :+
         org.apache.spark.sql.types.StructField("_change_epoch",
           org.apache.spark.sql.types.LongType))
-    else row
+    } else row
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
