@@ -395,12 +395,40 @@ class ConcurrencySpec extends SparkSpec {
         }
       } catch { case t: Throwable => failures.add(t) }
     }, "triple-vacuumer")
+    // a CHANGE-FEED subscriber rides the stress too (round-15's two
+    // big pieces, integrated): every epoch the racers commit must
+    // stream as keyed facts whose fold reproduces the final snapshot
+    val subDir = tmpDir("conc_triple_sub")
+    val subscriber = spark.readStream.format("graft-vstore")
+      .option("path", root).option("changeFeed", "true")
+      .option("startingEpoch", "0")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$subDir/out")
+      .option("checkpointLocation", s"$subDir/ckpt")
+      .start()
+    // pin the stream's initial offset (epoch 0) BEFORE any routine
+    // vacuum can raise the retention watermark past it — the real
+    // deployment order too: subscribe, then run maintenance
+    subscriber.processAllAvailable()
     (writers :+ follower :+ vacuumer).foreach(_.start())
     start.countDown()
     writers.foreach(_.join(240000))
     follower.join(240000); vacuumer.join(240000)
     assert(failures.isEmpty, s"triple stress must be loss- and " +
       s"failure-free: ${Option(failures.peek()).map(_.getMessage)}")
+    try {
+      subscriber.processAllAvailable()
+      val folded = spark.read.parquet(s"$subDir/out")
+        .groupBy("k")
+        .agg(max_by(col("v"), col("_change_epoch")).as("v"))
+        .as[(Long, Long)].collect().toMap
+      val snap = VersionedStore.read(spark, root).as[(Long, Long)]
+        .collect().toMap
+      assert(folded == snap,
+        s"the change feed's fold must reproduce the contended store: " +
+          s"${folded.size} vs ${snap.size} keys")
+    } finally subscriber.stop()
     assert(followerPolls.get() > 0 && vacuums.get() > 0,
       s"the stress must actually interleave: ${followerPolls.get()} polls, " +
         s"${vacuums.get()} vacuums")
