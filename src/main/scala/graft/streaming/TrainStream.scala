@@ -229,6 +229,8 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
       .select(col(id), col("bucket").cast("long").as("_b"),
         col("x").cast("long").as("_x"))
       .persist(lvl)
+    var sums: DataFrame = null
+    try {
     val cur = readLedger(spark, wDir(root), WSchema)
     // rule 1: the model this batch trains against (model-sized —
     // broadcast, never shuffled)
@@ -239,7 +241,7 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     // the left join preserves every feature row exactly once (the
     // ledger is unique per bucket), so the fused norm equals the
     // dedicated scan it replaces
-    val sums = feats.join(broadcast(eff), Seq("_b"), "left")
+    sums = feats.join(broadcast(eff), Seq("_b"), "left")
       .groupBy(col(id))
       .agg(sum(col("_x") * coalesce(col("_we"), lit(0L))).cast("long").as("_s"),
         sum(col("_x") * col("_x")).cast("long").as("_rn"))
@@ -296,8 +298,14 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     // level-0→1 fold AFTER the epoch landed: keeps the recent tier
     // ≤ FoldEvery dirs; runs on 1-in-FoldEvery batches
     foldDocs(spark, root, epoch, docsSchema)
-    sums.unpersist()
-    feats.unpersist()
+    // unpersist in finally (round-15): an ABORTED batch — the
+    // stability-bound require, a simulated crash in the replay matrix
+    // — used to leak the persisted feats/sums forever (the cache
+    // lifecycle spec caught the leak poisoning later suites)
+    } finally {
+      if (sums != null) sums.unpersist()
+      feats.unpersist()
+    }
   }
 
   /** The live model: (b, w_u) — feed it to
