@@ -5817,10 +5817,12 @@ object Queries {
     // root, because the stream mutates its ledgers. The timed path is
     // the streaming serve contract — landing batches folding into live
     // ledgers — not the re-derivation of history.
-    val fix = fixPath("lm_stream_boot", dir)
+    // _schema discriminates the round-16 MVCC ledger layout from a
+    // stale pre-16 swap-store fixture (both write _nbuckets)
+    val fix = fixPath("lm_stream_boot_v2", dir)
     val stream = graft.streaming.LmStream("doc_id", col("text"), 3)
     if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$fix/lm_counts/_nbuckets"))) {
+        java.nio.file.Paths.get(s"$fix/lm_counts/_schema"))) {
       deleteTree(fix)
       stream.bootstrap(docs.filter(!isBatch), fix)
     }

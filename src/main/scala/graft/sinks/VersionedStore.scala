@@ -693,7 +693,8 @@ object VersionedStore {
     * empty batch). */
   def deltaApply(batch: DataFrame, keyCols: Seq[String], root: String,
                  opCol: String, nBuckets: Int = 8, tag: String = "",
-                 evolve: Boolean = false, tsMillis: Long = -1L): Long = {
+                 evolve: Boolean = false, tsMillis: Long = -1L,
+                 preMaterialized: Boolean = false): Long = {
     require(!tag.contains(";") && !tag.contains("\n") && !tag.contains("@"),
       s"commit tag must not contain ';', '@' or newlines: $tag")
     val payloadCols = batch.columns.filterNot(_ == opCol)
@@ -708,7 +709,12 @@ object VersionedStore {
     val committed = commits(root)
     val epoch = committed.lastOption.map(_.epoch).getOrElse(0L) + 1L
     val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
-    val mat = batch.withColumn("_bucket", bucketExpr).localCheckpoint()
+    // a caller that ALREADY materialized the batch (a maintainer's
+    // localCheckpoint'd delta whose plan by contract no longer reads
+    // this store) skips the second checkpoint — one job less on the
+    // per-micro-batch path, same rationale as upsertPartitioned's flag
+    val mat0 = batch.withColumn("_bucket", bucketExpr)
+    val mat = if (preMaterialized) mat0 else mat0.localCheckpoint()
 
     // ONE fused probe: op-domain validity, per-key op conflicts, and
     // the touched-bucket set (no presence probe — deletes are blind).
@@ -780,11 +786,12 @@ object VersionedStore {
   /** Merge-on-read upsert: [[deltaApply]] with every row an upsert. */
   def deltaUpsert(batch: DataFrame, keyCols: Seq[String], root: String,
                   nBuckets: Int = 8, tag: String = "",
-                  evolve: Boolean = false, tsMillis: Long = -1L): Long = {
+                  evolve: Boolean = false, tsMillis: Long = -1L,
+                  preMaterialized: Boolean = false): Long = {
     require(!batch.columns.contains(OpField),
       s"versioned store reserves '$OpField'; rename the input's")
     deltaApply(batch.withColumn(OpField, lit("upsert")), keyCols, root,
-      OpField, nBuckets, tag, evolve, tsMillis)
+      OpField, nBuckets, tag, evolve, tsMillis, preMaterialized)
   }
 
   /** Fold delta chains back to single base generations, as a NEW epoch

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.CorpusSignals
-import graft.sinks.Sinks
+import graft.sinks.VersionedStore
 
 /** Streaming maintainer for the n-gram LM raw-count ledger — the
   * fourth member of the streaming-summary family ([[StreamDistinct]] =
@@ -17,45 +17,54 @@ import graft.sinks.Sinks
   * ([[CorpusSignals.lmCrossEntropy]]) serves from live state without
   * ever re-tokenizing history.
   *
-  * Counts are NOT keyed-idempotent — replaying a batch would double
-  * them — so exactly-once needs more than the keyed-upsert rule the
-  * other maintainers lean on. Two composed properties deliver it:
+  * Both ledgers live on the MVCC versioned store's MERGE-ON-READ write
+  * path (round-16 — the write-side asymptote fix): a batch lands as
+  * per-bucket DELTA generations via [[VersionedStore.deltaUpsert]], so
+  * bytes WRITTEN per micro-batch ≈ batch bytes however large the
+  * vocabulary grows — the previous swap-store upsert re-read and
+  * REWROTE every touched bucket wholesale, a per-batch write cost that
+  * grew with the corpus (round-15 verdict #1). Chain length is bounded
+  * by [[MaxDeltas]] via [[VersionedStore.compactIfNeeded]] — an
+  * explicit compaction POLICY (the Hudi knob), metadata-only on the
+  * batches below the threshold, and `maintain()` exposes it for
+  * deployments that schedule compaction off the landing path entirely.
   *
-  *  1. **Epoch-guarded count rows.** Every count row carries the
-  *     `last_epoch` that last folded into it; a batch (micro-batch id
-  *     = the epoch, stable across checkpoint replays) only adds its
-  *     delta to rows with `last_epoch < epoch`. A crashed attempt's
-  *     partially-updated rows are recognized and skipped on replay —
-  *     per-row idempotency without a cross-store transaction.
+  * Counts are NOT keyed-idempotent — replaying a batch would double
+  * them — so exactly-once needs more than keyed replace. The MVCC
+  * store's ATOMIC tagged commits carry it (the [[EpochStream]] fence):
+  *
+  *  1. **Tagged commits.** Each ledger's per-epoch commit is stamped
+  *     with the micro-batch id (`e<epoch>`, stable across checkpoint
+  *     replays); a replayed batch probes [[VersionedStore.taggedEpoch]]
+  *     and SKIPS a ledger whose tag is already committed. A commit is
+  *     atomic (marker-fenced), so "partially applied counts" cannot
+  *     exist — a crashed attempt's un-committed generations are
+  *     invisible to every read.
   *  2. **Epoch-filtered novelty.** The landed-ids ledger stores each
   *     document's landing epoch, and a batch treats as novel every id
   *     absent from {ids with epoch < current}: ids the CRASHED attempt
   *     landed (epoch == current) still count as novel on replay — the
-  *     same delta recomputes, and rule 1 makes re-applying it a no-op
-  *     — while queue REDELIVERY in a later epoch sees epoch < current
-  *     and contributes nothing. Only novel ids' rows are written, so
-  *     a redelivered id never has its landing epoch bumped (which
-  *     would re-open rule 2).
+  *     same delta recomputes against the same pre-batch counts (the
+  *     counts commit either happened atomically or not at all), and
+  *     rule 1 skips the re-commit — while queue REDELIVERY in a later
+  *     epoch sees epoch < current and contributes nothing (no commit,
+  *     no epoch, no tag).
   *
-  * Either store may crash mid-upsert in any order and the replay
+  * Either store may crash mid-commit in any order and the replay
   * converges byte-for-byte (LmStreamSpec drives the crash matrix and
   * kill/resume against the one-shot corpus counts).
   *
-  * Scale shape (round-15): per batch, O(batch grams) map-side-combined
-  * counting, a BUCKET-PRUNED probe of each ledger
-  * ([[Sinks.probePartitioned]] — only the buckets the batch's keys
-  * hash into open, with the batch ids pushed as a bloom-served In
-  * filter on the docs ledger), and one landed-ids anti-join. Per-batch
-  * ledger I/O is f(batch), never f(corpus) — the full-ledger map-side
-  * scan this replaces was the one per-batch cost that grew with the
-  * corpus (round-14 verdict; LedgerProbeSpec pins opens flat under a
-  * 10× ledger). Writes are the hash-partitioned upsert
-  * ([[Sinks.upsertPartitioned]] — one staged job, touched buckets
-  * only); history text is never re-tokenized.
+  * Scale shape: per batch, O(batch grams) map-side-combined counting,
+  * a bucket-pruned in-pushed [[VersionedStore.lookup]] of each ledger
+  * (opens f(batch-key buckets × chain length ≤ MaxDeltas+1), never
+  * f(ledger) — LedgerProbeSpec pins opens AND written bytes flat under
+  * a 10× ledger), and two O(batch) delta commits. History text is
+  * never re-tokenized; nothing vocabulary-sized is ever rewritten on
+  * the serving path.
   *
   * `nBuckets` sets ledger geometry AT CREATION (existing stores keep
   * their marker): more buckets = finer probe pruning per batch but
-  * more swap renames per upsert — size it so a bucket is a few row
+  * more generation dirs per commit — size it so a bucket is a few row
   * groups at the target corpus.
   */
 final case class LmStream(id: String, text: Column, n: Int,
@@ -64,45 +73,63 @@ final case class LmStream(id: String, text: Column, n: Int,
   private def countsDir(root: String) = s"$root/lm_counts"
   private def docsDir(root: String) = s"$root/lm_docs"
 
+  /** Delta-chain length that triggers compaction of a bucket
+    * ([[VersionedStore.compactIfNeeded]]): bounds per-batch probe
+    * opens at ~MaxDeltas+1 files per touched bucket; raising it trades
+    * probe fan-in for less-frequent compaction work. */
+  private val MaxDeltas = 8
+
   /** One-time ledger bootstrap from the already-ingested corpus
-    * (epoch −1: strictly before every stream batch). */
+    * (epoch −1: strictly before every stream batch). COW upserts: the
+    * bootstrap is bulk, so full bloom'd key-clustered base generations
+    * are the right layout for every later probe. */
   def bootstrap(oldDocs: DataFrame, root: String): Unit =
     // independent stores; see processBatch for the concurrency note
     SessionConfGate.inParallel(
-      () => Sinks.upsertPartitioned(
+      () => VersionedStore.upsert(
         CorpusSignals.lmRawCounts(oldDocs, text, n)
           .withColumn("last_epoch", lit(-1L)),
         Seq("context", "word"), countsDir(root), nBuckets = nBuckets),
-      () => Sinks.upsertPartitioned(
+      () => VersionedStore.upsert(
         oldDocs.select(col(id)).distinct().withColumn("epoch", lit(-1L)),
         Seq(id), docsDir(root), nBuckets = nBuckets))
 
   /** Read a ledger store that may legitimately be EMPTY — a bootstrap
     * over a corpus with no n-gram (every doc shorter than n tokens, or
-    * no old corpus at all) writes the store markers but no bucket, and
-    * the stream must start from an empty ledger, not crash
-    * (readPartitioned's no-buckets require is for stores that are
-    * contractually bootstrapped non-empty). */
+    * no old corpus at all) writes the store markers but commits no
+    * epoch, and the stream must start from an empty ledger, not
+    * crash. */
   private def readLedger(spark: SparkSession, dir: String,
-                         emptySchema: org.apache.spark.sql.types.StructType)
-      : DataFrame = {
-    Sinks.recoverPartitioned(dir)
-    if (Sinks.listBuckets(dir).isEmpty)
+                         emptySchema: StructType): DataFrame =
+    if (VersionedStore.currentEpoch(dir) == 0L)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    else Sinks.readPartitioned(spark, dir)
-  }
+    else VersionedStore.read(spark, dir)
+
+  /** The ledger rows matching `keys` — the BOUNDED per-batch probe:
+    * [[VersionedStore.lookup]] opens only the chains of the buckets
+    * the batch keys hash into, with the keys pushed into the scan
+    * (literal In + blooms on compacted bases), so per-batch ledger
+    * READ I/O is f(batch), never f(corpus). Exact (not a superset):
+    * lookup resolves MOR chains newest-wins before matching. */
+  private def probeLedger(spark: SparkSession, dir: String, keys: DataFrame,
+                          emptySchema: StructType): DataFrame =
+    if (VersionedStore.currentEpoch(dir) == 0L)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    else VersionedStore.lookup(spark, dir, keys)
 
   /** Land one batch at `epoch`. Public so the crash-matrix spec can
     * drive replays and redeliveries without a stream.
     *
-    * Job shape (round-13, same rationale as [[TrainStream]]): AQE off
-    * for the step — every frame is ledger-sized or micro-batch-sized,
-    * so runtime re-planning only adds a stage-job per materialization;
-    * the two ledger upserts take the caller-materialized fast path
-    * (the frames are already checkpointed for the isEmpty gates); and
-    * an empty batch is caught by the merged/docs gates, not an
-    * upfront job of its own. */
+    * Job shape (same rationale as [[TrainStream]]): AQE off for the
+    * step — every frame is batch-sized or a bucket-pruned probe, so
+    * runtime re-planning only adds a stage-job per materialization;
+    * the two delta commits take the caller-materialized fast path (the
+    * frames are checkpointed for the isEmpty gates, and MOR commits
+    * never mutate the files a concurrent plan reads); and an empty
+    * batch is caught by the merged/docs gates, not an upfront job of
+    * its own. */
   def processBatch(batch: DataFrame, epoch: Long, root: String): Unit = {
     val spark = batch.sparkSession
     // session-global toggles — serialized across maintainers by the
@@ -116,81 +143,95 @@ final case class LmStream(id: String, text: Column, n: Int,
   private def processBatchInner(batch: DataFrame, epoch: Long,
                                 root: String): Unit = {
     val spark = batch.sparkSession
+    val tag = s"e$epoch"
+    // rule 1: a ledger whose tag is already committed is SKIPPED on
+    // replay — probe both fences first (metadata-only) so a full
+    // replay of a completed epoch costs zero jobs
+    val countsDone = VersionedStore.taggedEpoch(countsDir(root), tag).isDefined
+    val docsDone = VersionedStore.taggedEpoch(docsDir(root), tag).isDefined
+    if (countsDone && docsDone) return
     // empty-ledger schemas derive from the BATCH (the id's type is the
     // caller's, not assumed)
-    val docsSchema = org.apache.spark.sql.types.StructType(Seq(
+    val docsSchema = StructType(Seq(
       batch.schema(id),
       org.apache.spark.sql.types.StructField("epoch",
         org.apache.spark.sql.types.LongType)))
-    // NOVELTY, shuffle-free at any ledger size (round-14): the docs
-    // ledger grows with the corpus, so the plain batch-vs-ledger
-    // anti-join would hash-shuffle the LEDGER every micro-batch.
-    // Decomposed: the ledger streams MAP-SIDE through a semi-join
-    // against the broadcast batch ids (batch-sized by contract), and
-    // the batch anti-joins the batch-sized intersection — both sides
-    // of every join are broadcast, zero Exchange. No distinct() on
-    // either build side: semi/anti joins are duplicate-insensitive,
-    // and the distinct would itself be a shuffle.
-    // Round-15: the map-side scan is BOUNDED too — the probe reads
-    // only the buckets the batch ids hash into (opens f(batch), never
-    // f(ledger)), with the batch keys pushed as an In filter so the
-    // ledger's key blooms skip non-matching pages. The semi-join's
-    // result is unchanged: a ledger row can only match a batch id if
-    // it lives in a batch id's bucket.
-    val landedBefore = Sinks.probePartitioned(spark, docsDir(root),
+    // rule 2 — NOVELTY, bounded at any ledger size: the probe returns
+    // exactly the batch ids' ledger rows (bucket-pruned, key-pushed),
+    // the epoch filter drops the current epoch's own crashed-attempt
+    // rows, and the batch anti-joins the batch-sized hit set broadcast
+    // — zero Exchange, opens f(batch).
+    val landedPrior = probeLedger(spark, docsDir(root),
         batch.select(col(id)), docsSchema)
       .filter(col("epoch") < epoch).select(col(id))
-    val landedHit = landedBefore
-      .join(broadcast(batch.select(col(id))), Seq(id), "left_semi")
-    val novel = batch.join(broadcast(landedHit), Seq(id), "left_anti")
+    val novel = batch.join(broadcast(landedPrior), Seq(id), "left_anti")
     // one materialization of the batch grams (the count aggregation is
-    // the step's only shuffle — inherently so); both joins below reuse
+    // the step's only shuffle — inherently so); the merge below reuses
     // it as a broadcast build side
     val rawB = CorpusSignals.lmRawCounts(novel, text, n)
       .withColumnRenamed("cnt_gram", "_cnt_b").localCheckpoint()
-    // bounded probe again (round-15): only the buckets the batch's
-    // grams hash into are read — the composite (context, word) key
-    // prunes by bucket (no In push), so per-batch count-ledger I/O is
-    // f(batch grams' buckets), never f(vocabulary)
-    val cur = Sinks.probePartitioned(spark, countsDir(root),
-        rawB.select("context", "word"), CountsSchema)
-      .withColumnRenamed("cnt_gram", "_cnt_cur")
-    // touched rows only, same decomposition as the novelty join: the
-    // vocabulary-sized ledger streams map-side against the broadcast
-    // batch grams; the batch-sized hit set broadcasts back into the
-    // left join. Rule 1 decides add vs keep per row.
-    val touched = cur.join(broadcast(rawB.select("context", "word")),
-      Seq("context", "word"), "left_semi")
-    val merged = rawB.join(broadcast(touched), Seq("context", "word"), "left")
-      .select(col("context"), col("word"),
-        when(coalesce(col("last_epoch"), lit(-1L)) >= epoch, col("_cnt_cur"))
-          .otherwise(coalesce(col("_cnt_cur"), lit(0L)) + col("_cnt_b"))
-          .as("cnt_gram"),
-        greatest(coalesce(col("last_epoch"), lit(-1L)), lit(epoch))
-          .as("last_epoch"))
-      .localCheckpoint() // reads the store the upsert below swaps
-    val docsDelta = novel.select(col(id)).distinct()
-      .withColumn("epoch", lit(epoch)).localCheckpoint()
-    // the two ledgers are INDEPENDENT stores and both inputs are now
-    // materialized (nothing below reads a store the other swaps) —
-    // land them concurrently: the per-upsert fixed cost (staged write
-    // job, promote renames) overlaps instead of summing, which is the
-    // dominant share of a micro-batch's wall time (round-14 profile).
-    // Crash-safety is unchanged — the replay matrix already covers
-    // either store failing first, in any order.
+    // the batch grams' CURRENT totals, bucket-pruned and key-pushed —
+    // per-batch count-ledger read I/O is f(batch grams), never
+    // f(vocabulary). Atomic commits mean these are always the exact
+    // pre-batch values on a replay that reaches this point (a
+    // committed attempt was already skipped by the tag fence).
+    val merged =
+      if (countsDone) null
+      else {
+        val cur = probeLedger(spark, countsDir(root),
+            rawB.select("context", "word"), CountsSchema)
+          .select(col("context"), col("word"),
+            col("cnt_gram").as("_cnt_cur"))
+        rawB.join(broadcast(cur), Seq("context", "word"), "left")
+          .select(col("context"), col("word"),
+            (coalesce(col("_cnt_cur"), lit(0L)) + col("_cnt_b"))
+              .as("cnt_gram"),
+            lit(epoch).as("last_epoch"))
+          .localCheckpoint()
+      }
+    val docsDelta =
+      if (docsDone) null
+      else novel.select(col(id)).distinct()
+        .withColumn("epoch", lit(epoch)).localCheckpoint()
+    // the two ledgers are INDEPENDENT stores and both inputs are
+    // materialized — land them concurrently: the per-commit fixed cost
+    // overlaps instead of summing (round-14 profile). Crash-safety is
+    // unchanged — the replay matrix covers either store failing first,
+    // in any order; an EMPTY delta commits nothing (no epoch, no tag),
+    // which is exactly right for a later-epoch redelivery.
     SessionConfGate.inParallel(
-      () => if (!merged.isEmpty)
-        Sinks.upsertPartitioned(merged, Seq("context", "word"),
-          countsDir(root), nBuckets = nBuckets, preMaterialized = true),
-      () => if (!docsDelta.isEmpty)
-        Sinks.upsertPartitioned(docsDelta, Seq(id), docsDir(root),
-          nBuckets = nBuckets, preMaterialized = true))
+      () => if (merged != null && !merged.isEmpty)
+        VersionedStore.deltaUpsert(merged, Seq("context", "word"),
+          countsDir(root), nBuckets = nBuckets, tag = tag,
+          preMaterialized = true),
+      () => if (docsDelta != null && !docsDelta.isEmpty)
+        VersionedStore.deltaUpsert(docsDelta, Seq(id), docsDir(root),
+          nBuckets = nBuckets, tag = tag, preMaterialized = true))
+    // compaction POLICY, not per-batch work: metadata-only below the
+    // threshold; every ~MaxDeltas epochs it folds a bucket's chain
+    // back to one bloom'd base (bounding probe opens). Batches are
+    // serialized per stream, so the inline call never races a write.
+    maintain(spark, root)
+  }
+
+  /** Fold over-long delta chains back to single base generations
+    * ([[VersionedStore.compactIfNeeded]] on both ledgers) — the
+    * maintenance half of the MOR trade. Called inline after every
+    * batch (cheap below the threshold); a deployment that wants the
+    * landing path strictly O(batch) can instead schedule this from
+    * its own maintenance window — compaction is a content no-op, and
+    * the store's OCC fence serializes it against writers. */
+  def maintain(spark: SparkSession, root: String): Unit = {
+    if (VersionedStore.currentEpoch(countsDir(root)) > 0L)
+      VersionedStore.compactIfNeeded(spark, countsDir(root), MaxDeltas)
+    if (VersionedStore.currentEpoch(docsDir(root)) > 0L)
+      VersionedStore.compactIfNeeded(spark, docsDir(root), MaxDeltas)
   }
 
   /** The live raw-count ledger (context, word, cnt_gram) — feed it to
     * [[CorpusSignals.lmCountsFromRaw]] for probabilities or to
     * [[CorpusSignals.lmCrossEntropy]] for the quality gate. */
-  private val CountsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+  private val CountsSchema = StructType.fromDDL(
     "context STRING, word STRING, cnt_gram BIGINT, last_epoch BIGINT")
 
   def counts(spark: SparkSession, root: String): DataFrame =

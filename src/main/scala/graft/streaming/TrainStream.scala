@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.sinks.Sinks
+import graft.sinks.{Sinks, VersionedStore}
 
 /** Streaming maintainer for a TRAINED linear-probe weight ledger — the
   * online half of [[graft.ops.LinearTrainer]]: each landing batch of
@@ -37,26 +37,28 @@ import graft.sinks.Sinks
   *     still count as novel — so the batch (and its size n, which
   *     scales the step) is identical on every replay.
   *
-  * Either store may crash mid-upsert in any order; the replay
+  * Either store may crash mid-write in any order; the replay
   * converges byte-for-byte (TrainStreamSpec drives the matrix and
   * pins the stream against the driver-side mini-batch fold).
   *
-  * Scale shape (round-15): per batch, one stability-guard aggregation
+  * Scale shape (round-16): per batch, one stability-guard aggregation
   * and two map-side-combined aggregations over the BATCH's features
   * (scores, gradient), one scan of the model-sized weight ledger, and
-  * a BOUNDED landed-ids probe — the docs ledger is TWO TIERS, a
-  * bucketed store probed by the batch ids' buckets with the ids pushed
-  * as a bloom-served In filter ([[Sinks.probePartitioned]]) plus at
-  * most [[FoldEvery]] recent append-only epoch dirs, so per-batch
-  * novelty I/O opens f(batch buckets + FoldEvery) files whatever the
-  * corpus (the round-14 verdict's asymptote flag; LedgerProbeSpec pins
-  * opens flat under a 10× ledger). Every [[FoldEvery]] epochs the
-  * aged epoch dirs FOLD into the bucketed tier — an LSM level-0→1
-  * merge: write cost amortizes to O(ledger/FoldEvery) per batch of
-  * distributed (not serving-path) work, the cadence knob trading
-  * write amplification against probe fan-in. The model never collects
-  * to the driver; the step is one declarative plan. Writes are the
-  * hash-partitioned staged upsert ([[Sinks.upsertPartitioned]]).
+  * a BOUNDED landed-ids probe — the docs ledger is an MVCC versioned
+  * store written MERGE-ON-READ ([[VersionedStore.deltaUpsert]]): each
+  * epoch lands its novel ids as batch-sized DELTA generations under an
+  * atomic tagged commit, so per-batch ledger WRITE bytes track the
+  * batch, never the corpus — the round-15 write-side asymptote flag;
+  * the novelty probe ([[VersionedStore.lookup]]) opens only the batch
+  * ids' bucket chains with the ids pushed into the scan. Chain length
+  * is bounded by [[MaxDeltas]] via the store's compaction POLICY
+  * (metadata-only below the threshold) — the LSM fold this replaces
+  * ran O(ledger/16) of merge work on the landing path by its own doc.
+  * The model never collects to the driver; the step is one declarative
+  * plan. The weight ledger (MODEL-sized by contract — its rewrite is
+  * O(model), not O(corpus)) stays on the hash-partitioned staged
+  * upsert ([[Sinks.upsertPartitioned]]), whose swap gives rules 1+2
+  * their single-file atomicity.
   *
   * @param id        example id column name
   * @param featurize batch → (id, bucket, x) sparse integer features
@@ -65,7 +67,7 @@ import graft.sinks.Sinks
   *                  [[graft.ops.LinearTrainer.labelU]])
   * @param lrDenom   step size 1/(lrDenom·n_batch); each batch measures
   *                  max‖x‖² and requires lrDenom ≥ it (2/λmax bound)
-  * @param docBuckets landed-ids bucketed-tier geometry at creation
+  * @param docBuckets landed-ids ledger geometry at creation
   *                  (existing stores keep their marker's count)
   */
 final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
@@ -78,99 +80,46 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
   private val WSchema = StructType.fromDDL(
     "b BIGINT, w BIGINT, w_prev BIGINT, last_epoch BIGINT")
 
-  /** Read a ledger store that may legitimately be empty (no bootstrap:
-    * training starts from the zero model). */
-  private def readLedger(spark: SparkSession, dir: String,
-                         emptySchema: StructType): DataFrame = {
+  /** Delta-chain length that triggers compaction of a docs-ledger
+    * bucket — bounds the novelty probe at ~MaxDeltas+1 opens per
+    * batch-id bucket; the knob trades probe fan-in against compaction
+    * frequency (see [[maintain]]). */
+  private val MaxDeltas = 8
+
+  /** Read the weight ledger (may legitimately be empty: training
+    * starts from the zero model). */
+  private def readWeights(spark: SparkSession, root: String): DataFrame = {
+    val dir = wDir(root)
     Sinks.recoverPartitioned(dir)
     if (Sinks.listBuckets(dir).isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], WSchema)
     else Sinks.readPartitioned(spark, dir)
   }
 
-  /** The landed-ids ledger is APPEND-ONLY by construction — only novel
-    * ids ever land — so it skips the staged keyed merge entirely: each
-    * epoch writes ONE `eNNNNNNNNN` directory (mode overwrite, so a
-    * replayed or crashed attempt just rewrites its own dir; duplicate
-    * ids across attempts would be harmless to the novelty anti-join
-    * anyway). One write job instead of a localCheckpoint + bucket
-    * probe + staged merge per batch. */
-  private def appendDocs(ids: DataFrame, epoch: Long, root: String): Unit =
-    ids.write.mode("overwrite").parquet(f"${docsDir(root)}/e$epoch%09d")
+  /** The landed ids among `batchIds` — the BOUNDED novelty probe:
+    * opens only the chains of the buckets the batch ids hash into,
+    * ids pushed into the scan (literal In + blooms on compacted
+    * bases). Exact rows (id, epoch); the caller's epoch filter
+    * implements rule 3. */
+  private def probeDocs(spark: SparkSession, root: String,
+                        batchIds: DataFrame,
+                        emptySchema: StructType): DataFrame =
+    if (VersionedStore.currentEpoch(docsDir(root)) == 0L)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    else VersionedStore.lookup(spark, docsDir(root), batchIds)
 
-  /** Epoch-dir fold cadence AND the recent-tier cap: once this many
-    * completed `e\d{9}` dirs predate the current epoch they fold into
-    * the bucketed tier, so the per-batch novelty probe unions at most
-    * this many epoch dirs on top of the batch's buckets. */
-  private val FoldEvery = 16
-
-  /** The completed (`_SUCCESS`-marked) epoch directories below
-    * `uptoExclusive` — a crashed attempt's partial dir is invisible
-    * until its replay overwrites it. */
-  private def completedEpochDirs(spark: SparkSession, root: String,
-                                 uptoExclusive: Long)
-      : Seq[org.apache.hadoop.fs.Path] = {
-    val p = new org.apache.hadoop.fs.Path(docsDir(root))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Seq.empty
-    val ERe = "^e(\\d{9})$".r
-    fs.listStatus(p).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case ERe(e) if st.isDirectory && e.toLong < uptoExclusive &&
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
-          Some(st.getPath)
-        case _ => None
-      }
-    }.sortBy(_.getName)
-  }
-
-  /** The landed-before-`epoch` ids that can possibly collide with the
-    * batch — the BOUNDED two-tier read: the bucketed tier opens only
-    * the batch ids' buckets (ids pushed, blooms skip pages; a ledger
-    * written by the PRE-round-13 all-bucketed layout serves from this
-    * tier unchanged — its markers are the same store's), and the
-    * recent tier is ≤ [[FoldEvery]] epoch dirs by the fold invariant.
-    * An id can appear in BOTH tiers after a crashed fold (upsert
-    * landed, deletes didn't) — harmless: the semi/anti joins above it
-    * are duplicate-insensitive, and the next fold re-merges it
-    * idempotently (same key, same row). */
-  private def readDocsFor(spark: SparkSession, root: String,
-                          batchIds: DataFrame, epoch: Long,
-                          emptySchema: StructType): DataFrame = {
-    val bucketTier = Sinks.probePartitioned(spark, docsDir(root), batchIds,
-      emptySchema)
-    val recent = completedEpochDirs(spark, root, uptoExclusive = Long.MaxValue)
-    val recentTier =
-      if (recent.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-      else spark.read.schema(emptySchema)
-        .parquet(recent.map(_.toString): _*)
-    bucketTier.unionByName(recentTier)
-  }
-
-  /** LSM level-0→1 fold: once [[FoldEvery]] completed epoch dirs
-    * predate `epoch`, merge their rows into the bucketed tier and
-    * delete them. Runs AFTER the epoch's own stores landed; the
-    * current epoch's dir is never folded, so a checkpoint replay of
-    * this epoch still sees its own crashed-attempt ids as novel (the
-    * exactly-once rule 3) and rewrites its dir cleanly. Crash safety:
-    * upsert-then-delete — a crash between the two leaves ids in both
-    * tiers, which the probe contract tolerates (duplicate-insensitive
-    * joins) and the next fold clears. */
-  private def foldDocs(spark: SparkSession, root: String, epoch: Long,
-                       emptySchema: StructType): Unit = {
-    val aged = completedEpochDirs(spark, root, uptoExclusive = epoch)
-    if (aged.size < FoldEvery) return
-    val rows = spark.read.schema(emptySchema)
-      .parquet(aged.map(_.toString): _*)
-    Sinks.upsertPartitioned(rows, Seq(id), docsDir(root),
-      nBuckets = docBuckets)
-    val fs = new org.apache.hadoop.fs.Path(docsDir(root))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    aged.foreach(d => fs.delete(d, true))
-  }
+  /** Compact over-long docs-ledger chains
+    * ([[VersionedStore.compactIfNeeded]]) — maintenance, not serving:
+    * metadata-only below the threshold, and a deployment can schedule
+    * it from its own window instead (batches are serialized per
+    * stream, so the inline call never races a write). */
+  def maintain(spark: SparkSession, root: String): Unit =
+    if (VersionedStore.currentEpoch(docsDir(root)) > 0L) {
+      VersionedStore.compactIfNeeded(spark, docsDir(root), MaxDeltas)
+      ()
+    }
 
   /** Apply one mini-batch step at `epoch`. Public so the crash-matrix
     * spec can drive replays and redeliveries without a stream.
@@ -208,19 +157,15 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     val spark = batch.sparkSession
     val docsSchema = StructType(Seq(batch.schema(id),
       StructField("epoch", LongType)))
-    // novelty, shuffle-free at any ledger size (the LmStream
-    // decomposition): the corpus-growing docs ledger streams MAP-SIDE
-    // through a semi-join against the broadcast batch ids, and the
-    // batch anti-joins the batch-sized hit set — no Exchange, no
-    // distinct (semi/anti are duplicate-insensitive). Round-15: the
-    // scan is BOUNDED too — two-tier probe, f(batch buckets +
-    // FoldEvery) opens whatever the ledger size
-    val landedBefore = readDocsFor(spark, root, batch.select(col(id)),
-        epoch, docsSchema)
+    // rule 3 — novelty, bounded and shuffle-free at any ledger size:
+    // the probe returns exactly the batch ids' ledger rows (bucket-
+    // pruned, ids pushed), the epoch filter keeps the current epoch's
+    // own crashed-attempt rows novel, and the batch anti-joins the
+    // batch-sized hit set broadcast — no Exchange, opens f(batch)
+    val landedPrior = probeDocs(spark, root, batch.select(col(id)),
+        docsSchema)
       .filter(col("epoch") < epoch).select(col(id))
-    val landedHit = landedBefore
-      .join(broadcast(batch.select(col(id))), Seq(id), "left_semi")
-    val novel = batch.join(broadcast(landedHit), Seq(id), "left_anti")
+    val novel = batch.join(broadcast(landedPrior), Seq(id), "left_anti")
       .localCheckpoint() // feeds n, feats, labels across the store swap
     val n = novel.count() // 0 covers the empty-batch case too
     if (n == 0) return
@@ -231,7 +176,7 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
       .persist(lvl)
     var sums: DataFrame = null
     try {
-    val cur = readLedger(spark, wDir(root), WSchema)
+    val cur = readWeights(spark, root)
     // rule 1: the model this batch trains against (model-sized —
     // broadcast, never shuffled)
     val eff = cur.select(col("b").as("_b"),
@@ -285,19 +230,23 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     // buckets rows), and every batch touches most of it — a multi-
     // bucket layout would just multiply the per-epoch swap renames
     // (round-14; existing stores keep their marker's own count).
-    // the weights merge is fully materialized by the sink's internal
-    // checkpoint ORDER (it reads the weights store), and the docs
-    // append reads only the checkpointed novel frame — independent
-    // sinks, landed concurrently (the crash matrix already covers
-    // either store failing first)
+    // The docs land is an MVCC TAGGED delta commit: a replay whose
+    // docs already committed skips it (atomic — no half-landed ids
+    // can exist), and the delta derives from the checkpointed novel
+    // frame, so the two stores stay independent and land concurrently
+    // (the crash matrix already covers either store failing first).
+    val docTag = s"e$epoch"
     SessionConfGate.inParallel(
       () => Sinks.upsertPartitioned(merged, Seq("b"), wDir(root),
         nBuckets = 1),
-      () => appendDocs(novel.select(col(id)).withColumn("epoch", lit(epoch)),
-        epoch, root))
-    // level-0→1 fold AFTER the epoch landed: keeps the recent tier
-    // ≤ FoldEvery dirs; runs on 1-in-FoldEvery batches
-    foldDocs(spark, root, epoch, docsSchema)
+      () => if (VersionedStore.taggedEpoch(docsDir(root), docTag).isEmpty)
+        VersionedStore.deltaUpsert(
+          novel.select(col(id)).distinct().withColumn("epoch", lit(epoch)),
+          Seq(id), docsDir(root), nBuckets = docBuckets, tag = docTag,
+          preMaterialized = true))
+    // compaction policy AFTER the epoch landed (metadata-only below
+    // the MaxDeltas threshold) — bounds the next batches' probe fan-in
+    maintain(spark, root)
     // unpersist in finally (round-15): an ABORTED batch — the
     // stability-bound require, a simulated crash in the replay matrix
     // — used to leak the persisted feats/sums forever (the cache
@@ -312,7 +261,7 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     * [[graft.ops.LinearTrainer.serve]] via `collect → Map` for driver
     * serving, or join it directly for in-plan scoring. */
   def weights(spark: SparkSession, root: String): DataFrame =
-    readLedger(spark, wDir(root), WSchema)
+    readWeights(spark, root)
       .select(col("b"), col("w").as("w_u"))
 
   /** Start the landing-queue consumer (one micro-batch per landing

@@ -23,12 +23,24 @@ object CountingFs {
   val mkdirs = new java.util.concurrent.atomic.AtomicInteger(0)
   val renames = new java.util.concurrent.atomic.AtomicInteger(0)
   val deletes = new java.util.concurrent.atomic.AtomicInteger(0)
+  // data bytes WRITTEN through create() streams (round-16): the
+  // per-micro-batch ledger WRITE contract is pinned in these — a
+  // merge-on-read delta commit's bytes track the batch, a
+  // copy-on-write bucket rewrite's track the store
+  val bytesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+  // opens of DATA files only (round-16): the commit log's marker reads
+  // grow O(epochs-since-checkpoint) by design (bounded by vacuum's
+  // _floors truncation, priced in CommitCostSpec) — the per-batch
+  // ledger-probe asymptote pins discriminate on parquet opens so
+  // metadata cadence can't mask a data-path regression
+  val parquetOpens = new java.util.concurrent.atomic.AtomicInteger(0)
   def writeOps: Int = creates.get() + mkdirs.get() + renames.get() +
     deletes.get()
   def allOps: Int = writeOps + statusCalls.get() + opens.get()
   def reset(): Unit = {
     statusCalls.set(0); opens.set(0); bytesRead.set(0L)
     creates.set(0); mkdirs.set(0); renames.set(0); deletes.set(0)
+    bytesWritten.set(0L); parquetOpens.set(0)
   }
 
   /** Wraps a raw stream, adding every byte served to [[bytesRead]].
@@ -93,6 +105,7 @@ class CountingFs extends RawLocalFileSystem {
 
   override def open(p: Path, bufferSize: Int): FSDataInputStream = {
     CountingFs.opens.incrementAndGet()
+    if (p.getName.endsWith(".parquet")) CountingFs.parquetOpens.incrementAndGet()
     new FSDataInputStream(
       new CountingFs.CountingStream(super.open(p, bufferSize)))
   }
@@ -104,6 +117,29 @@ class CountingFs extends RawLocalFileSystem {
     CountingFs.creates.incrementAndGet()
     super.create(p, permission, overwrite, bufferSize, replication,
       blockSize, progress)
+  }
+
+  // EVERY create path (both public overloads, createNonRecursive)
+  // funnels through this protected primitive — wrap it so written
+  // data bytes are tallied regardless of which API the writer used
+  // (Spark's parquet committer uses the non-permission overload). The
+  // `creates` op counter stays on the public overload above so the
+  // round-15 commit-cost budgets keep their exact meaning.
+  override protected def createOutputStreamWithMode(p: Path, append: Boolean,
+      permission: org.apache.hadoop.fs.permission.FsPermission)
+      : java.io.OutputStream = {
+    val inner = super.createOutputStreamWithMode(p, append, permission)
+    new java.io.OutputStream {
+      override def write(b: Int): Unit = {
+        inner.write(b); CountingFs.bytesWritten.incrementAndGet(); ()
+      }
+      override def write(buf: Array[Byte], off: Int, len: Int): Unit = {
+        inner.write(buf, off, len)
+        CountingFs.bytesWritten.addAndGet(len.toLong); ()
+      }
+      override def flush(): Unit = inner.flush()
+      override def close(): Unit = inner.close()
+    }
   }
 
   override def mkdirs(p: Path, permission: org.apache.hadoop.fs.permission
