@@ -8894,7 +8894,10 @@ object Queries {
     * epoch. The oracle recomputes the fold from the raw table: the
     * subscription must reproduce exactly the store's history, delete
     * visible as a tombstone fact. */
-  private def qStoreSubscribe(s: SparkSession, dir: String): DataFrame = {
+  /** The two-epoch subscription fixture store shared by q232/q233:
+    * a COW supplier base epoch, then a MOR CDC epoch with updates and
+    * a tombstone. */
+  private def subFixtureStore(s: SparkSession, dir: String): String = {
     val vs = graft.sinks.VersionedStore
     val fix = fixPath("vstream_sub", dir)
     val store = s"$fix/store"
@@ -8914,6 +8917,12 @@ object Queries {
             .withColumn("op", lit("delete"))),
         Seq("k"), store, "op")
     }
+    store
+  }
+
+  private def qStoreSubscribe(s: SparkSession, dir: String): DataFrame = {
+    val store = subFixtureStore(s, dir)
+    val fix = fixPath("vstream_sub", dir)
     // fresh subscription per run (the stream IS the measured surface)
     val run = s"$fix/run"
     deleteTree(run)
@@ -8948,6 +8957,37 @@ object Queries {
       |       CAST(CASE WHEN k IN (7, 53, 11) THEN 2 ELSE 1 END AS BIGINT)
       |         AS last_epoch
       |FROM fb ORDER BY k""".stripMargin
+
+  /** A REPLICA maintained from the change feed (round-16 — the
+    * subscription consumed in anger): [[graft.streaming.ReplicaStream]]
+    * subscribes the q232 fixture store (COW base epoch + MOR CDC epoch
+    * with a tombstone) under `maxEpochsPerTrigger = 1` — admission
+    * control drains the backlog one epoch per micro-batch — and folds
+    * every change fact into a SECOND MVCC store via tagged per-epoch
+    * deltaApply commits. The query serves the REPLICA's snapshot; the
+    * oracle recomputes the source's final state from the raw table —
+    * the mirror must agree exactly, the deleted key absent. */
+  private def qStoreReplica(s: SparkSession, dir: String): DataFrame = {
+    val vs = graft.sinks.VersionedStore
+    val store = subFixtureStore(s, dir)
+    val run = s"${fixPath("vstream_sub", dir)}/replica_run"
+    deleteTree(run)
+    val q = graft.streaming.ReplicaStream.subscribe(s, store,
+      s"$run/replica", s"$run/ckpt", maxEpochsPerTrigger = Some(1L))
+    try q.processAllAvailable() finally q.stop()
+    require(vs.currentEpoch(s"$run/replica") == 2L,
+      "one replica epoch per source epoch (admission stride 1)")
+    vs.read(s, s"$run/replica").orderBy("k").localCheckpoint()
+  }
+
+  private val oStoreReplica =
+    """WITH fb AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+      |                   CAST(floor(s_acctbal) AS BIGINT) AS v,
+      |                   CAST(s_nationkey AS BIGINT) AS nat FROM supplier)
+      |SELECT k,
+      |       CASE WHEN k IN (7, 53) THEN v + 5 ELSE v END AS v,
+      |       nat
+      |FROM fb WHERE k <> 11 ORDER BY k""".stripMargin
 
   /** Footer-answered aggregate through the SQL surface (round-15): a
     * group-by-free count/min/max over a fully-plain vstore snapshot is
@@ -9392,7 +9432,8 @@ object Queries {
     "q229_vstore_rtjoin" -> (qVstoreRtJoin _),
     "q230_vstore_agg" -> (qVstoreAgg _),
     "q231_catalog_sql" -> (qCatalogSql _),
-    "q232_store_subscribe" -> (qStoreSubscribe _)
+    "q232_store_subscribe" -> (qStoreSubscribe _),
+    "q233_store_replica" -> (qStoreReplica _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -9631,6 +9672,7 @@ object Queries {
     "q229_vstore_rtjoin" -> oVstoreRtJoin,
     "q230_vstore_agg" -> oVstoreAgg,
     "q231_catalog_sql" -> oVstoreSql, // the catalog must agree with q228
-    "q232_store_subscribe" -> oStoreSubscribe
+    "q232_store_subscribe" -> oStoreSubscribe,
+    "q233_store_replica" -> oStoreReplica
   )
 }

@@ -5,7 +5,7 @@ import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,8 +37,16 @@ import graft.sinks.VersionedStore
   * ownership tokens, MOR semantics), which a blind catalog write
   * would bypass. A store is any direct child directory of `root`
   * carrying a `_schema` marker; namespaces are flat (the default
-  * namespace only), matching the warehouse-of-stores layout. */
-class GraftVStoreCatalog extends TableCatalog {
+  * namespace only), matching the warehouse-of-stores layout —
+  * `SHOW NAMESPACES` / `USE graft` behave (round-16:
+  * [[SupportsNamespaces]] with the single `default` namespace).
+  *
+  * Snapshot consistency under concurrent writers is the store's own:
+  * a table resolves its epoch ONCE at load (`currentEpoch` reads the
+  * commit log), and every file it plans is immutable — a writer
+  * committing mid-query can never tear a read (VStoreCatalogSpec
+  * races a committing writer against repeated catalog reads). */
+class GraftVStoreCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -98,8 +106,15 @@ class GraftVStoreCatalog extends TableCatalog {
     })
 
   /** `VERSION AS OF <epoch>` — the version string is the epoch. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    tableAt(ident, version.trim.toLong)
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val epoch = version.trim.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF takes a commit EPOCH — a " +
+          s"positive integer from DESCRIBE HISTORY / " +
+          s"VersionedStore.history — got '$version'; for wall-clock " +
+          "addressing use TIMESTAMP AS OF"))
+    tableAt(ident, epoch)
+  }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
@@ -115,6 +130,36 @@ class GraftVStoreCatalog extends TableCatalog {
         "transactional API (VersionedStore.upsert/deltaUpsert/applyOps/" +
         "delete), which the catalog cannot bypass without losing the " +
         "commit fence, ownership tokens and MOR semantics")
+
+  // ---- SupportsNamespaces (round-16): the one flat `default`
+  // namespace, so SHOW NAMESPACES and USE behave; namespace DDL is
+  // read-only like everything else
+  override def defaultNamespace(): Array[String] = Array("default")
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("default"))
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespace.sameElements(Array("default"))) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default"))
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] =
+    if (namespaceExists(namespace)) {
+      val m = new util.HashMap[String, String]()
+      m.put("location", root)
+      m
+    } else throw new NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    readOnly("CREATE NAMESPACE")
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    readOnly("ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean =
+    readOnly("DROP NAMESPACE")
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],

@@ -91,6 +91,8 @@ class GraftVStoreSource extends TableProvider with DataSourceRegister {
     VStoreTable(path, epochOf(options, path), schema,
       changeFeed = changeFeedOf(options),
       startingEpoch = Option(options.get("startingEpoch"))
+        .map(_.trim.toLong),
+      maxEpochsPerTrigger = Option(options.get("maxEpochsPerTrigger"))
         .map(_.trim.toLong))
   }
 }
@@ -99,7 +101,9 @@ private[connectors] final case class VStoreTable(path: String, epoch: Long,
                                                  tableSchema: StructType,
                                                  changeFeed: Boolean = false,
                                                  startingEpoch: Option[Long] =
-                                                   None)
+                                                   None,
+                                                 maxEpochsPerTrigger:
+                                                   Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft_vstore($path@$epoch)"
   override def schema(): StructType = tableSchema
@@ -107,12 +111,14 @@ private[connectors] final case class VStoreTable(path: String, epoch: Long,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    VStoreScanBuilder(path, epoch, tableSchema, changeFeed, startingEpoch)
+    VStoreScanBuilder(path, epoch, tableSchema, changeFeed, startingEpoch,
+      maxEpochsPerTrigger)
 }
 
 private[connectors] final case class VStoreScanBuilder(
     path: String, epoch: Long, fullSchema: StructType,
-    changeFeed: Boolean = false, startingEpoch: Option[Long] = None)
+    changeFeed: Boolean = false, startingEpoch: Option[Long] = None,
+    maxEpochsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -205,7 +211,7 @@ private[connectors] final case class VStoreScanBuilder(
     // the change feed serves its FULL fact schema (Spark projects
     // above); batch scans keep pruned/agg schemas
     if (changeFeed) fullSchema else aggSchema.getOrElse(required),
-    pushed, aggOps, limit, changeFeed, startingEpoch)
+    pushed, aggOps, limit, changeFeed, startingEpoch, maxEpochsPerTrigger)
 }
 
 private[connectors] final case class VStoreScan(path: String, epoch: Long,
@@ -217,7 +223,9 @@ private[connectors] final case class VStoreScan(path: String, epoch: Long,
                                                 limit: Option[Int] = None,
                                                 changeFeed: Boolean = false,
                                                 startingEpoch: Option[Long] =
-                                                  None)
+                                                  None,
+                                                maxEpochsPerTrigger:
+                                                  Option[Long] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -311,10 +319,17 @@ private[connectors] final case class VStoreScan(path: String, epoch: Long,
 
   // ---- SupportsRuntimeFiltering: a join whose build side lands on the
   // store keys re-plans this scan to only those keys' chains before
-  // reading a byte — the J2 probe pattern, now through plain SQL
+  // reading a byte — the J2 probe pattern, now through plain SQL.
+  // NEVER advertised on a scan that accepted aggregate pushdown
+  // (round-15 ADVICE, defensive): a footer-answered count/min/max is
+  // GLOBAL — key-pruning its chains at runtime would silently shrink
+  // the answer. Today the combination cannot arise (agg pushdown
+  // collapses the plan so the scan is never a join probe side), but
+  // the decline makes the invariant structural, not circumstantial.
   override def filterAttributes(): Array[NamedReference] =
-    keys.map(org.apache.spark.sql.connector.expressions.Expressions.column)
-      .toArray
+    if (aggOps.isDefined) Array.empty
+    else keys.map(org.apache.spark.sql.connector.expressions.Expressions
+      .column).toArray
   override def filter(filters: Array[Filter]): Unit =
     runtime = filters
 
@@ -366,7 +381,13 @@ private[connectors] final case class VStoreScan(path: String, epoch: Long,
         "_change_epoch); batch snapshots stay on spark.read")
     val rowSchema = StructType(fullSchema.fields.filterNot(f =>
       f.name == "_op" || f.name == "_change_epoch"))
-    new VStoreMicroBatchStream(path, rowSchema, startingEpoch)
+    // the checkpoint location IS the subscription's identity — its
+    // hash names the store-side lease that holds the vacuum floor
+    val leaseId = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(checkpointLocation.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    new VStoreMicroBatchStream(path, rowSchema, startingEpoch,
+      maxEpochsPerTrigger, leaseId = Some(leaseId))
   }
   override def description(): String =
     s"GraftVStore $path@$epoch chains ${selected.size}/${chains.size}" +

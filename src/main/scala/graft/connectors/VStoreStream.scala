@@ -49,12 +49,30 @@ private[connectors] final case class VStoreOffset(epoch: Long)
   * epochs, so the handoff is exact and replay-free. `startingEpoch`
   * must be at or above the vacuum retention watermark (older per-epoch
   * generations may be gone); the default tails from the current epoch
-  * at stream start. Micro-batch planning is driver metadata only
+  * at stream start. `maxEpochsPerTrigger` bounds the catch-up stride:
+  * a lagging subscriber drains its backlog in ⌈lag/limit⌉ micro-batches
+  * instead of planning every missed epoch into one (admission
+  * control). An epoch that EVOLVED the schema fails the stream loudly
+  * — the pinned row schema cannot represent it (restart to resubscribe
+  * under the new shape). Micro-batch planning is driver metadata only
   * (commit log + pooled generation listings); executors read the
   * generation files directly. */
 private[connectors] final class VStoreMicroBatchStream(
-    path: String, rowSchema: StructType, startingEpoch: Option[Long])
-    extends MicroBatchStream {
+    path: String, rowSchema: StructType, startingEpoch: Option[Long],
+    maxEpochsPerTrigger: Option[Long] = None,
+    leaseId: Option[String] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+
+  // SUBSCRIBER LEASE (round-16): heartbeat the last durably-committed
+  // offset into the store every trigger, so routine vacuums hold their
+  // watermark at the oldest live subscription instead of deleting the
+  // change files it has yet to serve (the vacuum-grace-floor idea,
+  // extended to subscriptions; lease expiry releases the floor)
+  private def heartbeat(epoch: Long): Unit =
+    leaseId.foreach(id =>
+      VersionedStore.heartbeatSubscriber(path, id, epoch))
 
   override def initialOffset(): Offset = {
     val wm = VersionedStore.retentionWatermark(path)
@@ -63,10 +81,44 @@ private[connectors] final class VStoreMicroBatchStream(
       s"graft-vstore stream: startingEpoch $e is below the vacuum " +
         s"retention watermark $wm — per-epoch change files may be gone; " +
         "bootstrap from a batch snapshot and stream from its epoch")
+    heartbeat(e)
     VStoreOffset(e)
   }
   override def latestOffset(): Offset =
     VStoreOffset(VersionedStore.currentEpoch(path))
+
+  // ---- SupportsAdmissionControl (round-16): a subscriber resuming
+  // from a long-idle checkpoint must not plan EVERY missed epoch's
+  // files into one unbounded micro-batch — `maxEpochsPerTrigger`
+  // caps the catch-up stride per trigger (Delta's maxFilesPerTrigger
+  // posture, in the store's own atomic unit). Epochs are contiguous
+  // by the commit fence, so the cap is a plain clamp; with no option
+  // set the stream admits everything, exactly as before.
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxEpochsPerTrigger match {
+      case Some(m) =>
+        require(m >= 1L,
+          s"graft-vstore stream: maxEpochsPerTrigger must be >= 1, got $m")
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(m)
+      case None =>
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    }
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val s = start.asInstanceOf[VStoreOffset].epoch
+    heartbeat(s) // `start` is checkpoint-committed: everything after
+                 // it is still needed — exactly the lease's floor
+    val cur = VersionedStore.currentEpoch(path)
+    VStoreOffset(maxEpochsPerTrigger match {
+      case Some(m) => math.min(cur, s + m)
+      case None => cur
+    })
+  }
+  override def reportLatestOffset(): Offset =
+    VStoreOffset(VersionedStore.currentEpoch(path))
+
   override def deserializeOffset(json: String): Offset =
     VStoreOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()
@@ -77,6 +129,20 @@ private[connectors] final class VStoreMicroBatchStream(
     val s = start.asInstanceOf[VStoreOffset].epoch
     val e = end.asInstanceOf[VStoreOffset].epoch
     if (e <= s) return Array.empty
+    // schema fence (round-15 ADVICE): the stream's row schema was
+    // pinned at start — an epoch committed after an additive
+    // evolution would read through the OLD shape and silently emit
+    // facts lacking the new column, so a folding subscriber would
+    // build an incomplete replica while believing it has full facts.
+    // Fail loudly instead (Delta CDF's posture on schema change).
+    val evolved = VersionedStore.evolutionEpochsIn(path, s, e)
+    if (evolved.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-vstore stream: epoch ${evolved.head} evolved the store " +
+          "schema; this subscription's row schema was pinned at stream " +
+          "start and would silently drop the new column(s). Restart the " +
+          "subscription (optionally bootstrapping from a batch snapshot " +
+          "at the evolved epoch) to pick up the new schema")
     VersionedStore.commits(path)
       .filter(c => c.epoch > s && c.epoch <= e)
       .flatMap { c =>

@@ -287,7 +287,7 @@ object VersionedStore {
     readMarker(fs, new Path(dir, name))
   }
 
-  private def keyColsOf(root: String): Seq[String] = {
+  private[graft] def keyColsOf(root: String): Seq[String] = {
     val (fs, dir) = fsOf(root)
     readMarker(fs, new Path(dir, "_keycols"))
       .getOrElse(sys.error(s"not a versioned store (no _keycols): $root"))
@@ -899,6 +899,24 @@ object VersionedStore {
     * footer-answered aggregate over such a snapshot could silently
     * miscount — callers that trust footers (the DSv2 aggregate
     * pushdown) must decline when this is true. */
+  /** Epochs in (afterExclusive, uptoInclusive] carrying a
+    * schema-evolution marker — the change-feed stream's fence: a
+    * subscriber whose row schema was pinned at stream start must fail
+    * LOUDLY when an evolved epoch enters a micro-batch, or its
+    * emitted facts would silently lack the new columns (one listing,
+    * no data read). */
+  private[graft] def evolutionEpochsIn(root: String, afterExclusive: Long,
+                                       uptoInclusive: Long): Seq[Long] = {
+    val (fs, dir) = fsOf(root)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).flatMap(_.getPath.getName match {
+      case SchemaRe(e) =>
+        val ep = e.toLong
+        if (ep > afterExclusive && ep <= uptoInclusive) Some(ep) else None
+      case _ => None
+    }).toSeq.sorted
+  }
+
   private[graft] def hasEvolution(root: String, epoch: Long): Boolean = {
     val (fs, dir) = fsOf(root)
     fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName match {
@@ -2178,7 +2196,18 @@ object VersionedStore {
     val floor = readMarker(fs, new Path(dir, "_vacuum_grace"))
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(0L)
     val grace = math.max(graceMillis, floor)
-    val wm = math.max(retainAsOf, retentionWatermark(root))
+    // LIVE subscriber leases hold the watermark at the oldest offset a
+    // change-feed subscription has yet to serve (round-16): a routine
+    // vacuum-at-head can no longer delete the per-epoch change files a
+    // lagging subscriber needs — the floor releases when the lease
+    // expires ([[SubscriberLeaseTtlMillis]]). Never clamps BELOW the
+    // established retention watermark: retention is monotone, and a
+    // lease behind it is already unservable (the stream's own
+    // watermark guard reports that loudly at resume).
+    val wm = math.max(
+      subscriberFloor(root, nowMillis).map(math.min(_, retainAsOf))
+        .getOrElse(retainAsOf),
+      retentionWatermark(root))
     writeMarker(fs, new Path(dir, "_vacuum"), wm.toString, replace = true)
 
     val deltaEpochs = committed.filter(c => isDeltaKind(c.kind))
@@ -2305,6 +2334,51 @@ object VersionedStore {
     * the sweep note in [[vacuum]]. Test seam: injectable so specs can
     * exercise both keep and sweep without ten-minute sleeps. */
   @volatile private[graft] var InfraSweepMinAgeMillis: Long = 600000L
+
+  // ------------------------------------------- subscriber leases
+  /** How long a change-feed subscriber's lease holds the vacuum floor
+    * after its last heartbeat (round-16). A live subscription
+    * heartbeats every trigger, so an expired lease means the
+    * subscriber is GONE (crashed without resume, or abandoned) — its
+    * floor is released and a later resume may need a fresh bootstrap,
+    * which the stream's watermark guard reports loudly. Six hours
+    * dwarfs any restart window while bounding how long an abandoned
+    * checkpoint can pin retention. */
+  @volatile private[graft] var SubscriberLeaseTtlMillis: Long = 21600000L
+
+  private val SubRe = "^_sub-([0-9a-f]+)$".r
+
+  /** Heartbeat a change-feed subscriber's lease: `epoch` is the last
+    * offset it has durably COMMITTED (everything after it is still
+    * needed). Atomic replace-write; one metadata op per trigger. */
+  private[graft] def heartbeatSubscriber(root: String, id: String,
+                                         epoch: Long,
+                                         nowMillis: Long = -1L): Unit = {
+    val now = if (nowMillis >= 0L) nowMillis else System.currentTimeMillis()
+    writeAuxMarker(root, s"_sub-$id", s"$epoch;$now")
+  }
+
+  /** The oldest offset a LIVE (unexpired) subscriber lease still
+    * needs, if any — [[vacuum]] holds its watermark here so routine
+    * maintenance can never delete an epoch a lagging subscription has
+    * yet to serve (the round-15 loud failure becomes a held floor). */
+  private[graft] def subscriberFloor(root: String,
+                                     nowMillis: Long = -1L): Option[Long] = {
+    val (fs, dir) = fsOf(root)
+    if (!fs.exists(dir)) return None
+    val now = if (nowMillis >= 0L) nowMillis else System.currentTimeMillis()
+    fs.listStatus(dir).flatMap(_.getPath.getName match {
+      case SubRe(id) =>
+        readAuxMarker(root, s"_sub-$id").flatMap(_.split(";") match {
+          case Array(e, ts) =>
+            val live = scala.util.Try(ts.trim.toLong).toOption
+              .exists(t => now - t < SubscriberLeaseTtlMillis)
+            if (live) scala.util.Try(e.trim.toLong).toOption else None
+          case _ => None
+        })
+      case _ => None
+    }).minOption
+  }
 
   /** Set the store-level vacuum grace FLOOR (`_vacuum_grace`): every
     * later [[vacuum]] keeps generations younger than this many millis

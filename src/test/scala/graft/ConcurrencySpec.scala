@@ -449,6 +449,68 @@ class ConcurrencySpec extends SparkSpec {
       s"attempt tail must stay far from the livelock bound: $hist")
   }
 
+  test("default-grace vacuums hold the floor for a SLOW live subscriber") {
+    // round-16 (task: vacuum × live-subscriber grace): a subscriber
+    // whose checkpoint lags must survive routine DEFAULT-grace vacuums
+    // — its heartbeat lease clamps the watermark at its last-committed
+    // offset, so the per-epoch change files it has yet to serve are
+    // never deleted. Compactions run between epochs so the vacuums
+    // genuinely have superseded generations to claim.
+    val root = tmpDir("conc_sub") + "/store"
+    val subDir = tmpDir("conc_sub_run")
+    VersionedStore.upsert((1L to 100L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 4)
+    // the subscriber drains ONLY epoch 1, then is KILLED (the slowest
+    // subscriber there is): its lease stays on disk at offset 1
+    def subscribe() = spark.readStream.format("graft-vstore")
+      .option("path", root).option("changeFeed", "true")
+      .option("startingEpoch", "0")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$subDir/out")
+      .option("checkpointLocation", s"$subDir/ckpt")
+      .start()
+    val sub1 = subscribe()
+    try sub1.processAllAvailable() finally sub1.stop()
+    // while it is down: deltas land, compaction supersedes them, and
+    // ROUTINE vacuums (default grace, retain-current) run — the exact
+    // sequence that deleted a lagging subscriber's epochs
+    (1 to 6).foreach { i =>
+      VersionedStore.deltaUpsert(
+        Seq((i.toLong, i * 100L), (50L + i, i.toLong)).toDF("k", "v"),
+        Seq("k"), root)
+      if (i % 3 == 0) VersionedStore.compact(spark, root)
+      VersionedStore.vacuum(root, VersionedStore.currentEpoch(root))
+    }
+    // the lease held the watermark at the subscriber's offset
+    assert(VersionedStore.retentionWatermark(root) <= 1L,
+      s"lease must clamp the watermark: " +
+        s"${VersionedStore.retentionWatermark(root)}")
+    // the subscriber resumes and drains the whole backlog — zero
+    // failures, fold == the contended snapshot
+    val sub2 = subscribe()
+    try {
+      sub2.processAllAvailable()
+      val folded = spark.read.parquet(s"$subDir/out")
+        .groupBy("k").agg(max_by(col("v"), col("_change_epoch")).as("v"))
+        .as[(Long, Long)].collect().toMap
+      val snap = VersionedStore.read(spark, root).as[(Long, Long)]
+        .collect().toMap
+      assert(folded == snap,
+        s"slow subscriber must drain losslessly: ${folded.size} keys")
+    } finally sub2.stop()
+    // CONTROL (the test discriminates): expire the lease and re-run
+    // the same routine vacuum — the floor releases and the superseded
+    // delta generations really are claimed
+    val ttl = VersionedStore.SubscriberLeaseTtlMillis
+    VersionedStore.SubscriberLeaseTtlMillis = 0L
+    try {
+      val r = VersionedStore.vacuum(root, VersionedStore.currentEpoch(root))
+      assert(r.deletedGens > 0L,
+        s"an expired lease must release the floor: $r")
+    } finally VersionedStore.SubscriberLeaseTtlMillis = ttl
+  }
+
   test("grace-0 vacuum never sweeps YOUNG lock/staging dirs (live writer)") {
     val root = tmpDir("conc_infra") + "/store"
     VersionedStore.upsert((1L to 10L).map(k => (k, k)).toDF("k", "v"),

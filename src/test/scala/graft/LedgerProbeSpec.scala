@@ -78,6 +78,60 @@ class LedgerProbeSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("composite-key probe skips pages on BOTH columns (hot first key)") {
+    val root = probeRoot("ledger_probe_hot") + "/store"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // small row groups so intra-bucket skipping is measurable on a
+    // sandbox-sized fixture (restored below — session-global knob)
+    hconf.setInt("parquet.block.size", 64 * 1024)
+    try {
+      // realistic vocabulary (round-15 verdict #4: a tiny fixture's
+      // bytes assertions discriminate weakly): ONE hot context with
+      // 120k words plus cold contexts — the hot context's rows span
+      // several row groups per bucket, so a first-column-only push
+      // must read them ALL while the full-width push reads only the
+      // groups holding the probed words
+      val hot = spark.range(0L, 120000L).select(lit("c1").as("context"),
+        format_string("w%06d", col("id")).as("word"),
+        col("id").as("cnt"),
+        concat(lit("pad"), format_string("%060d", col("id"))).as("pad"))
+      val cold = spark.range(0L, 900L).select(
+        concat(lit("c"), (pmod(col("id"), lit(9L)) + 2)).as("context"),
+        format_string("w%06d", col("id")).as("word"),
+        col("id").as("cnt"),
+        concat(lit("pad"), format_string("%060d", col("id"))).as("pad"))
+      Sinks.upsertPartitioned(hot.unionByName(cold),
+        Seq("context", "word"), root, nBuckets = 32)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "context STRING, word STRING, cnt BIGINT, pad STRING")
+      // probe words far apart in the sort order — distinct row groups
+      val pairKeys = Seq("w000007", "w040001", "w080003", "w119991")
+        .map(("c1", _)).toDF("context", "word")
+      def probeBytes(): (Long, Long) = {
+        CountingFs.reset()
+        val rows = Sinks.probePartitioned(spark, root, pairKeys, schema)
+          .collect()
+        (CountingFs.bytesRead.get(), rows.length.toLong)
+      }
+      val (fullB, fullRows) = probeBytes()
+      Sinks.probeFirstColOnly = true
+      val (firstB, firstRows) =
+        try probeBytes() finally Sinks.probeFirstColOnly = false
+      println(s"LEDGER_IO hotkey full=($fullB B, $fullRows rows) " +
+        s"firstColOnly=($firstB B, $firstRows rows)")
+      // the OR-of-conjunctions push is EXACT — 4 rows back, not the
+      // hot context's thousands
+      assert(fullRows == 4L, s"full-width push must be exact: $fullRows")
+      assert(firstRows > 1000L,
+        s"fixture must make first-col-only non-selective: $firstRows")
+      // THE pin (fails under first-column-only pushdown): the hot
+      // context's pages the probe doesn't need are SKIPPED
+      assert(fullB * 2 <= firstB,
+        s"word-level page skipping must cut bytes at least 2x: " +
+          s"$fullB vs $firstB")
+    } finally hconf.unset("parquet.block.size")
+  }
+
   private def measuredIo(body: => Unit): (Int, Long, Long) = {
     CountingFs.reset()
     body

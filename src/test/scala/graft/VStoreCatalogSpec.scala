@@ -86,9 +86,83 @@ class VStoreCatalogSpec extends SparkSpec {
         spark.sql("SELECT * FROM gstore.nope").collect()
       }
       assert(nf.getMessage.contains("nope"), nf.getMessage.take(200))
+
+      // round-16 polish: a non-numeric VERSION AS OF names the epoch
+      // contract instead of surfacing a raw NumberFormatException
+      val badV = intercept[Exception] {
+        spark.sql("SELECT * FROM gstore.events VERSION AS OF 'abc'")
+          .collect()
+      }
+      val badMsg = badV.getMessage +
+        Option(badV.getCause).map(_.getMessage).getOrElse("")
+      assert(badMsg.contains("commit EPOCH") &&
+        badMsg.contains("TIMESTAMP AS OF"),
+        s"VERSION AS OF 'abc' must explain the contract: " +
+          badMsg.take(300))
+
+      // round-16: SHOW NAMESPACES / USE behave (flat default namespace)
+      val ns = spark.sql("SHOW NAMESPACES IN gstore").collect()
+        .map(_.getString(0)).toSet
+      assert(ns == Set("default"), s"SHOW NAMESPACES: $ns")
+      spark.sql("USE gstore")
+      try {
+        val viaUse = spark.sql("SELECT count(*) FROM events")
+          .collect()(0).getLong(0)
+        assert(viaUse == 100L, s"USE gstore must resolve bare names: $viaUse")
+      } finally spark.sql("USE spark_catalog.default")
+      val nsDdl = intercept[Exception] {
+        spark.sql("CREATE NAMESPACE gstore.other")
+      }
+      assert(nsDdl.getMessage.contains("transactional API") ||
+        nsDdl.getMessage.toLowerCase.contains("read-only"),
+        nsDdl.getMessage.take(200))
     } finally {
       spark.conf.unset("spark.sql.catalog.gstore")
       spark.conf.unset("spark.sql.catalog.gstore.root")
+    }
+  }
+
+  test("catalog reads never tear while a writer commits") {
+    val wh = tmpDir("vcat_race")
+    val store = s"$wh/live"
+    def commitAll(mult: Long): Unit =
+      VersionedStore.upsert(
+        (1L to 200L).map(k => (k, k * mult)).toDF("k", "v"),
+        Seq("k"), store, nBuckets = 8)
+    commitAll(1L)
+    spark.conf.set("spark.sql.catalog.grace",
+      classOf[graft.connectors.GraftVStoreCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grace.root", wh)
+    try {
+      // a writer rewrites EVERY key with a fresh multiplier, over and
+      // over, while the catalog is read repeatedly: each read must see
+      // ONE multiplier across all 200 rows (epoch resolved once at
+      // load + immutable committed files = snapshot isolation); a torn
+      // read would mix multipliers within one result
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val writer = new Thread(() => {
+        var m = 2L
+        try while (!stop.get() && m < 60L) { commitAll(m); m += 1 }
+        catch { case t: Throwable => writerErr.set(t) }
+      })
+      writer.start()
+      try {
+        (1 to 12).foreach { _ =>
+          val rows = spark.sql("SELECT k, v FROM grace.live")
+            .as[(Long, Long)].collect()
+          assert(rows.length == 200, s"torn row count: ${rows.length}")
+          val mults = rows.map { case (k, v) => v / k }.distinct
+          assert(mults.length == 1 && rows.forall { case (k, v) =>
+            v == k * mults.head },
+            s"torn snapshot: multipliers ${mults.toSeq.sorted.take(5)}")
+        }
+      } finally { stop.set(true); writer.join(60000) }
+      assert(writerErr.get() == null,
+        s"writer must not fail: ${Option(writerErr.get()).map(_.getMessage)}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.grace")
+      spark.conf.unset("spark.sql.catalog.grace.root")
     }
   }
 }

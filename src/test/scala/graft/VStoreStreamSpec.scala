@@ -90,6 +90,67 @@ class VStoreStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("admission control: a lagging subscriber catches up in bounded strides") {
+    val work = tmpDir("vstream_ac")
+    val root = s"$work/store"
+    // a 50-epoch backlog of delta commits, all before the stream starts
+    (1 to 50).foreach { i =>
+      VersionedStore.deltaUpsert(
+        Seq((i.toLong, i * 10L), (1000L + i, i.toLong)).toDF("k", "v"),
+        Seq("k"), root, nBuckets = 4)
+    }
+    val out = s"$work/out"
+    val limit = 8L
+    val q = spark.readStream.format("graft-vstore")
+      .option("path", root).option("changeFeed", "true")
+      .option("startingEpoch", "0")
+      .option("maxEpochsPerTrigger", limit.toString)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", s"$work/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // the backlog drained in >= ceil(50/8) = 7 bounded micro-batches,
+      // never one unbounded catch-up batch
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= (50L + limit - 1) / limit,
+        s"a 50-epoch backlog at maxEpochsPerTrigger=$limit must take " +
+          s">= 7 micro-batches, took $dataBatches")
+      assert(q.recentProgress.filter(_.numInputRows > 0)
+          .forall(_.numInputRows <= limit * 2),
+        "no micro-batch may exceed the admitted epochs' rows")
+      // byte-parity with the unlimited run: same facts, same epochs
+      val got = facts(out).collect().toSet
+      val unlimited = (1 to 50).flatMap(i => Seq(
+        (i.toLong, i * 10L, "upsert", i.toLong),
+        (1000L + i, i.toLong, "upsert", i.toLong))).toSet
+      assert(got == unlimited,
+        s"bounded catch-up must serve exactly the backlog: ${got.size}")
+    } finally q.stop()
+  }
+
+  test("an epoch that evolved the schema fails the pinned-schema stream") {
+    val work = tmpDir("vstream_evolve")
+    val root = s"$work/store"
+    VersionedStore.upsert((1L to 5L).map(k => (k, k)).toDF("k", "v"),
+      Seq("k"), root, nBuckets = 2)
+    val q = factStream(root, s"$work/ckpt", s"$work/out")
+    try {
+      q.processAllAvailable() // epoch 1 serves fine
+      VersionedStore.deltaUpsert(Seq((6L, 6L, "x")).toDF("k", "v", "extra"),
+        Seq("k"), root, evolve = true)
+      val ex = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable(); q.awaitTermination(10000)
+      }
+      val msg = ex.getMessage +
+        Option(ex.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("evolved the store schema"),
+        s"evolution must fail the stream loudly: ${msg.take(300)}")
+    } finally q.stop()
+  }
+
   test("COW delete/apply epochs refuse loudly; batch changeFeed refuses") {
     val work = tmpDir("vstream_cow")
     val root = s"$work/store"
