@@ -523,10 +523,13 @@ object Sinks {
     val pred =
       if (keyCols.length == 1 || probeFirstColOnly) inSet(0)
       else if (probeRows.length <= OrPushMax)
-        probeRows.map { r =>
+        // balanced or-tree — a left-fold this wide nests deep enough
+        // to threaten Catalyst's recursive converters (see
+        // VersionedStore.balancedReduce)
+        VersionedStore.balancedReduce(probeRows.toSeq.map { r =>
           keyCols.indices.map(i => col(keyCols(i)) <=> lit(r.get(i + 1)))
             .reduce(_ && _)
-        }.reduce(_ || _)
+        })(_ || _)
       else keyCols.indices.map(inSet).reduce(_ && _)
     pruned.where(pred)
   }

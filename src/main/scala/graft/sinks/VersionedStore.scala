@@ -694,7 +694,19 @@ object VersionedStore {
   def deltaApply(batch: DataFrame, keyCols: Seq[String], root: String,
                  opCol: String, nBuckets: Int = 8, tag: String = "",
                  evolve: Boolean = false, tsMillis: Long = -1L,
-                 preMaterialized: Boolean = false): Long = {
+                 preMaterialized: Boolean = false): Long =
+    deltaApplyImpl(batch, keyCols, root, opCol, nBuckets, tag, evolve,
+      tsMillis, preMaterialized, constUpsertOp = false)
+
+  /** `constUpsertOp` is [[deltaUpsert]]'s internal hint: the op column
+    * is a literal "upsert" it just added, so op-domain and conflict
+    * validation are vacuous and the fused probe runs as one flat
+    * aggregation. */
+  private def deltaApplyImpl(batch: DataFrame, keyCols: Seq[String],
+                 root: String,
+                 opCol: String, nBuckets: Int, tag: String,
+                 evolve: Boolean, tsMillis: Long,
+                 preMaterialized: Boolean, constUpsertOp: Boolean): Long = {
     require(!tag.contains(";") && !tag.contains("\n") && !tag.contains("@"),
       s"commit tag must not contain ';', '@' or newlines: $tag")
     val payloadCols = batch.columns.filterNot(_ == opCol)
@@ -723,28 +735,50 @@ object VersionedStore {
     // _gen_epoch, so newest-wins resolution would pick an arbitrary
     // winner — nondeterministic reads, and divergence from COW (which
     // keeps every batch row). Fail fast instead of guessing.
-    val perKey = mat.groupBy(keyCols.map(col): _*).agg(
-      first(col("_bucket")).as("_b"),
-      sum(when(!coalesce(col(opCol), lit("")).isin("upsert", "delete"), 1L)
-        .otherwise(0L)).as("_bad"),
-      sum(when(col(opCol) === "upsert", 1L).otherwise(0L)).as("_nu"),
-      max(when(col(opCol) === "delete", 1).otherwise(0)).as("_d"))
-    val probe = perKey.agg(
-      coalesce(sum(col("_bad")), lit(0L)).as("bad"),
-      coalesce(sum(when(col("_nu") >= 1 && col("_d") === 1, 1L)
-        .otherwise(0L)), lit(0L)).as("conflicts"),
-      coalesce(sum(when(col("_nu") > 1, 1L).otherwise(0L)), lit(0L))
-        .as("dups"),
-      collect_set(col("_b")).as("bs")).collect()(0)
-    require(probe.getLong(0) == 0,
-      s"deltaApply: ${probe.getLong(0)} rows with op outside {upsert, delete}")
-    require(probe.getLong(1) == 0, s"deltaApply: ${probe.getLong(1)} keys " +
-      "carry BOTH upsert and delete in one batch")
-    require(probe.getLong(2) == 0, s"deltaApply: ${probe.getLong(2)} keys " +
-      "carry MORE THAN ONE upsert row in one batch — newest-wins " +
-      "resolution within one epoch would be nondeterministic; " +
-      "pre-aggregate the batch to one row per key")
-    val touched = probe.getSeq[Int](3).sorted
+    // deltaUpsert's constant op column makes op-domain and conflict
+    // checks vacuous, so that path probes with ONE flat aggregation
+    // (count + distinct-key count + bucket set — map-side combined,
+    // no per-key groupBy level): the dup check is total == distinct,
+    // and a high-frequency maintainer pays this probe every
+    // micro-batch (round-16 bench).
+    val touched: Seq[Int] = {
+      val keyStruct = struct(keyCols.map(col): _*)
+      if (constUpsertOp) {
+        val p = mat.agg(count(lit(1)).as("n"),
+          count_distinct(keyStruct).as("nd"),
+          collect_set(col("_bucket")).as("bs")).collect()(0)
+        require(p.getLong(0) == p.getLong(1),
+          s"deltaApply: ${p.getLong(0) - p.getLong(1)} keys carry MORE " +
+            "THAN ONE upsert row in one batch — newest-wins resolution " +
+            "within one epoch would be nondeterministic; pre-aggregate " +
+            "the batch to one row per key")
+        p.getSeq[Int](2).sorted
+      } else {
+        val perKey = mat.groupBy(keyCols.map(col): _*).agg(
+          first(col("_bucket")).as("_b"),
+          sum(when(!coalesce(col(opCol), lit("")).isin("upsert", "delete"),
+            1L).otherwise(0L)).as("_bad"),
+          sum(when(col(opCol) === "upsert", 1L).otherwise(0L)).as("_nu"),
+          max(when(col(opCol) === "delete", 1).otherwise(0)).as("_d"))
+        val probe = perKey.agg(
+          coalesce(sum(col("_bad")), lit(0L)).as("bad"),
+          coalesce(sum(when(col("_nu") >= 1 && col("_d") === 1, 1L)
+            .otherwise(0L)), lit(0L)).as("conflicts"),
+          coalesce(sum(when(col("_nu") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("dups"),
+          collect_set(col("_b")).as("bs")).collect()(0)
+        require(probe.getLong(0) == 0,
+          s"deltaApply: ${probe.getLong(0)} rows with op outside " +
+            "{upsert, delete}")
+        require(probe.getLong(1) == 0, s"deltaApply: ${probe.getLong(1)} " +
+          "keys carry BOTH upsert and delete in one batch")
+        require(probe.getLong(2) == 0, s"deltaApply: ${probe.getLong(2)} " +
+          "keys carry MORE THAN ONE upsert row in one batch — newest-wins " +
+          "resolution within one epoch would be nondeterministic; " +
+          "pre-aggregate the batch to one row per key")
+        probe.getSeq[Int](3).sorted
+      }
+    }
     if (touched.isEmpty) return epoch - 1L
 
     // schema fence: the batch's row shape (minus the op column) must
@@ -790,8 +824,9 @@ object VersionedStore {
                   preMaterialized: Boolean = false): Long = {
     require(!batch.columns.contains(OpField),
       s"versioned store reserves '$OpField'; rename the input's")
-    deltaApply(batch.withColumn(OpField, lit("upsert")), keyCols, root,
-      OpField, nBuckets, tag, evolve, tsMillis, preMaterialized)
+    deltaApplyImpl(batch.withColumn(OpField, lit("upsert")), keyCols, root,
+      OpField, nBuckets, tag, evolve, tsMillis, preMaterialized,
+      constUpsertOp = true)
   }
 
   /** Fold delta chains back to single base generations, as a NEW epoch
@@ -1563,11 +1598,15 @@ object VersionedStore {
         // row-group pruning) and a compacted-bucket lookup is ONE job
         // — no broadcast side, no discovery job (spec-pinned). The
         // predicate is injected BELOW the chain-resolution projection
-        // so it reaches the scan on MOR chains too.
-        val wanted = keyRows.toSeq.map { r =>
+        // so it reaches the scan on MOR chains too. BALANCED or-tree
+        // (round-16): a left-fold of 1000 terms nests 1000 deep and
+        // Catalyst's recursive converters overflow the stack — found
+        // by q168's stream thread when TrainStream's novelty probe
+        // moved onto this path.
+        val wanted = balancedReduce(keyRows.toSeq.map { r =>
           keyFields.indices.map(i => col(keyCols(i)) <=> lit(r.get(i)))
             .reduce(_ && _)
-        }.reduce(_ || _)
+        })(_ || _)
         readChains(spark, keyCols, ddl, chains, keyFilter = Some(wanted))
       } else {
         val resolved = readChains(spark, keyCols, ddl, chains)
@@ -1578,6 +1617,112 @@ object VersionedStore {
         resolved.join(broadcast(wantedLocal), keyCols, "left_semi")
       }
     }
+  }
+
+  /** BOUNDED maintainer probe (round-16): the current snapshot's
+    * chains for the buckets `keys` hash into — a SUPERSET of the rows
+    * whose key tuple appears in `keys` (callers apply their own exact
+    * join on top; [[lookup]] stays the exact point-get). Differs from
+    * lookup in how it scales with the probe: bucket discovery is ONE
+    * Spark job over `keys` (distinct tuples, LIMIT-gated at 1000),
+    * never an unbounded driver collect — a streaming maintainer's
+    * batch can carry 100k+ gram keys, and hashing those one-by-one on
+    * the driver was q159's round-16 regression. Small probes (≤1000
+    * distinct tuples) still push a literal balanced-or key predicate
+    * into the scan (bloom/row-group skipping — LedgerProbeSpec's
+    * bytes pins); larger probes prune by bucket alone, which already
+    * bounds opens to f(batch buckets × chain length). */
+  def probeForKeys(spark: SparkSession, root: String,
+                   keys: DataFrame): DataFrame =
+    probeForKeysWithExactness(spark, root, keys)._1
+
+  /** [[probeForKeys]] plus whether the result is EXACT (a literal key
+    * predicate was pushed, so the frame holds precisely the matching
+    * rows): exact probes let a caller skip its own semi-join
+    * refinement — one broadcast materialization less per micro-batch
+    * on the small-batch fast path.
+    *
+    * `resolveMor = false` skips newest-wins chain resolution and
+    * serves the RAW union of the chains' generations — correct ONLY
+    * for append-only stores (each key committed in at most one
+    * generation, never deleted or re-valued): the landed-ids ledgers.
+    * It turns the probe into a plain pruned scan — no per-batch
+    * window shuffle — and exactness then means "exactly the matching
+    * rows, possibly repeated", which duplicate-insensitive semi/anti
+    * consumers fold for free. */
+  private[graft] def probeForKeysWithExactness(
+      spark: SparkSession, root: String,
+      keys: DataFrame, resolveMor: Boolean = true): (DataFrame, Boolean) = {
+    val committed = commits(root)
+    val cur = committed.lastOption.map(_.epoch).getOrElse(0L)
+    val ddl = schemaAsOf(root, cur)
+    val keyCols = keyColsOf(root)
+    // ONE NARROW job: `keys` frames are distinct-by-construction in
+    // every caller (batch ids, aggregated gram keys), so limit+collect
+    // on the caller's checkpointed frame is a partial scan — no
+    // distinct shuffle, no second bucket-discovery job (both taxed
+    // every micro-batch; the round-16 bench caught it). A caller
+    // passing duplicates just falls to the large path early, or
+    // pushes a redundant-but-sound predicate — never a wrong result.
+    val probeRows = keys.select(castToStoreKeys(root, keys, keyCols): _*)
+      .limit(1001).collect()
+    if (probeRows.isEmpty) return (emptyFrameOf(spark, ddl), true)
+    if (probeRows.length <= 1000) {
+      // small probe: driver-hashed buckets ([[lookup]]'s Murmur3
+      // kernel) + a literal balanced-or push — opens f(batch buckets
+      // × chain), blooms/row-group stats skip inside them
+      val storeSchema = StructType.fromDDL(ddl)
+      val keyFields = keyCols.map(kc => storeSchema(kc))
+      val (fs, dir) = fsOf(root)
+      val n = readMarker(fs, new Path(dir, "_nbuckets"))
+        .map(_.trim.toInt)
+        .getOrElse(sys.error(s"not a versioned store (no _nbuckets): $root"))
+      val distinctRows = probeRows.distinct
+      val buckets = distinctRows.map { r =>
+        val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+          keyFields.indices.map(i =>
+            org.apache.spark.sql.catalyst.expressions.Literal
+              .create(r.get(i), keyFields(i).dataType)), 42)
+          .eval(null).asInstanceOf[Int]
+        ((h % n) + n) % n
+      }.distinct.toSeq
+      val chains = snapshotChains(root, committed, cur,
+        only = Some(buckets.toSet)).values.filter(_.paths.nonEmpty)
+      if (chains.isEmpty) return (emptyFrameOf(spark, ddl), true)
+      val keyFilter = balancedReduce(distinctRows.toSeq.map { r =>
+        keyFields.indices.map(i => col(keyCols(i)) <=> lit(r.get(i)))
+          .reduce(_ && _)
+      })(_ || _)
+      val frame =
+        if (resolveMor)
+          readChains(spark, keyCols, ddl, chains, keyFilter = Some(keyFilter))
+        else readChainsRaw(spark, ddl, chains).filter(keyFilter)
+      (frame, true)
+    } else {
+      // large probe: a batch this wide touches most buckets anyway —
+      // bucket discovery would cost more than it prunes. Serve the
+      // whole snapshot LAZILY (zero probe jobs; chain listing is
+      // driver metadata) and let the caller's semi/anti joins bound
+      // the work map-side. Opens are f(batch buckets) still: the
+      // batch's buckets ARE ~all buckets here.
+      val chains = snapshotChains(root, committed, cur).values
+        .filter(_.paths.nonEmpty)
+      if (chains.isEmpty) (emptyFrameOf(spark, ddl), true)
+      else if (resolveMor) (readChains(spark, keyCols, ddl, chains), false)
+      else (readChainsRaw(spark, ddl, chains), false)
+    }
+  }
+
+  /** Raw pruned scan of chains WITHOUT newest-wins resolution — the
+    * append-only fast path behind `resolveMor = false` above. Delta
+    * generations' extra `_op` column is projected away by the explicit
+    * schema; `_EMPTY` generations read as zero rows. */
+  private def readChainsRaw(spark: SparkSession, ddl: String,
+                            chains: Iterable[Chain]): DataFrame = {
+    val target = StructType.fromDDL(ddl)
+    val paths = chains.flatMap(_.paths).toSeq.distinct.sorted
+    if (paths.isEmpty) emptyFrameOf(spark, ddl)
+    else spark.read.schema(target).parquet(paths: _*)
   }
 
   /** DATA-SKIPPING read: the snapshot's rows with `colName` in
@@ -1634,6 +1779,20 @@ object VersionedStore {
       if (kept.isEmpty) emptyFrameOf(spark, ddl)
       else readChains(spark, keyColsOf(root), ddl, kept)
     resolved.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
+
+  /** Pairwise (depth-log n) reduction for wide predicate trees: a
+    * plain left-fold of N terms nests N deep, and Catalyst's
+    * recursive expression converters blow the stack near N≈1000. */
+  private[graft] def balancedReduce[A](items: Seq[A])(op: (A, A) => A): A = {
+    require(items.nonEmpty, "balancedReduce over nothing")
+    var cur = items.toIndexedSeq
+    while (cur.length > 1)
+      cur = cur.grouped(2).map {
+        case Seq(a, b) => op(a, b)
+        case Seq(a) => a
+      }.toIndexedSeq
+    cur.head
   }
 
   /** Bounded driver-side fan-out for metadata probes (footer reads,

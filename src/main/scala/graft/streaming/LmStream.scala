@@ -106,18 +106,20 @@ final case class LmStream(id: String, text: Column, n: Int,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
     else VersionedStore.read(spark, dir)
 
-  /** The ledger rows matching `keys` — the BOUNDED per-batch probe:
-    * [[VersionedStore.lookup]] opens only the chains of the buckets
-    * the batch keys hash into, with the keys pushed into the scan
-    * (literal In + blooms on compacted bases), so per-batch ledger
-    * READ I/O is f(batch), never f(corpus). Exact (not a superset):
-    * lookup resolves MOR chains newest-wins before matching. */
+  /** The ledger rows that can match `keys` — the BOUNDED per-batch
+    * probe ([[VersionedStore.probeForKeys]]): opens only the chains of
+    * the buckets the batch keys hash into (one Spark job over the
+    * keys — never a driver collect of a 100k-gram batch), with a
+    * literal key push when the probe is small. SUPERSET contract: the
+    * callers below apply their own exact semi/anti joins on top, so
+    * pruning only skips I/O, never changes a result. */
   private def probeLedger(spark: SparkSession, dir: String, keys: DataFrame,
-                          emptySchema: StructType): DataFrame =
+                          emptySchema: StructType): (DataFrame, Boolean) =
     if (VersionedStore.currentEpoch(dir) == 0L)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    else VersionedStore.lookup(spark, dir, keys)
+      (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema),
+        true)
+    else VersionedStore.probeForKeysWithExactness(spark, dir, keys)
 
   /** Land one batch at `epoch`. Public so the crash-matrix spec can
     * drive replays and redeliveries without a stream.
@@ -156,15 +158,27 @@ final case class LmStream(id: String, text: Column, n: Int,
       batch.schema(id),
       org.apache.spark.sql.types.StructField("epoch",
         org.apache.spark.sql.types.LongType)))
-    // rule 2 — NOVELTY, bounded at any ledger size: the probe returns
-    // exactly the batch ids' ledger rows (bucket-pruned, key-pushed),
-    // the epoch filter drops the current epoch's own crashed-attempt
-    // rows, and the batch anti-joins the batch-sized hit set broadcast
-    // — zero Exchange, opens f(batch).
-    val landedPrior = probeLedger(spark, docsDir(root),
-        batch.select(col(id)), docsSchema)
-      .filter(col("epoch") < epoch).select(col(id))
-    val novel = batch.join(broadcast(landedPrior), Seq(id), "left_anti")
+    // rule 2 — NOVELTY, bounded at any ledger size: the bucket-pruned
+    // probe streams MAP-SIDE through a semi-join against the broadcast
+    // batch ids (batch-sized by contract), the epoch filter drops the
+    // current epoch's own crashed-attempt rows, and the batch
+    // anti-joins the batch-sized hit set — zero Exchange, opens
+    // f(batch buckets × chain).
+    // docs ledger is APPEND-ONLY (an id lands in exactly one committed
+    // epoch), so the probe skips newest-wins resolution — a plain
+    // pruned scan, no per-batch window shuffle
+    val (prior, priorExact) =
+      if (VersionedStore.currentEpoch(docsDir(root)) == 0L)
+        probeLedger(spark, docsDir(root), batch.select(col(id)), docsSchema)
+      else VersionedStore.probeForKeysWithExactness(spark, docsDir(root),
+        batch.select(col(id)), resolveMor = false)
+    val landedPrior = prior.filter(col("epoch") < epoch).select(col(id))
+    // an EXACT probe already holds only batch ids — anti-join direct
+    val landedHit =
+      if (priorExact) landedPrior
+      else landedPrior
+        .join(broadcast(batch.select(col(id))), Seq(id), "left_semi")
+    val novel = batch.join(broadcast(landedHit), Seq(id), "left_anti")
     // one materialization of the batch grams (the count aggregation is
     // the step's only shuffle — inherently so); the merge below reuses
     // it as a broadcast build side
@@ -178,10 +192,20 @@ final case class LmStream(id: String, text: Column, n: Int,
     val merged =
       if (countsDone) null
       else {
-        val cur = probeLedger(spark, countsDir(root),
-            rawB.select("context", "word"), CountsSchema)
-          .select(col("context"), col("word"),
-            col("cnt_gram").as("_cnt_cur"))
+        // touched rows only, same decomposition as the novelty join:
+        // the bucket-pruned ledger probe streams map-side against the
+        // broadcast batch grams; the batch-sized hit set broadcasts
+        // back into the left join. Atomic commits mean these are
+        // always the exact pre-batch totals on a replay that reaches
+        // this point (a committed attempt was skipped by the tag).
+        val (curProbe, curExact) = probeLedger(spark, countsDir(root),
+          rawB.select("context", "word"), CountsSchema)
+        val curHit =
+          if (curExact) curProbe
+          else curProbe.join(broadcast(rawB.select("context", "word")),
+            Seq("context", "word"), "left_semi")
+        val cur = curHit.select(col("context"), col("word"),
+          col("cnt_gram").as("_cnt_cur"))
         rawB.join(broadcast(cur), Seq("context", "word"), "left")
           .select(col("context"), col("word"),
             (coalesce(col("_cnt_cur"), lit(0L)) + col("_cnt_b"))

@@ -97,18 +97,22 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     else Sinks.readPartitioned(spark, dir)
   }
 
-  /** The landed ids among `batchIds` — the BOUNDED novelty probe:
-    * opens only the chains of the buckets the batch ids hash into,
-    * ids pushed into the scan (literal In + blooms on compacted
-    * bases). Exact rows (id, epoch); the caller's epoch filter
-    * implements rule 3. */
+  /** The landed ids that can collide with `batchIds` — the BOUNDED
+    * novelty probe ([[VersionedStore.probeForKeys]]): opens only the
+    * chains of the buckets the batch ids hash into (bucket discovery
+    * is one Spark job, never a driver collect of a large batch), ids
+    * pushed into the scan when the probe is small. SUPERSET contract;
+    * the caller's semi/anti joins and epoch filter implement rule 3
+    * exactly. */
   private def probeDocs(spark: SparkSession, root: String,
                         batchIds: DataFrame,
-                        emptySchema: StructType): DataFrame =
+                        emptySchema: StructType): (DataFrame, Boolean) =
     if (VersionedStore.currentEpoch(docsDir(root)) == 0L)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
-    else VersionedStore.lookup(spark, docsDir(root), batchIds)
+      (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema),
+        true)
+    else VersionedStore.probeForKeysWithExactness(spark, docsDir(root),
+      batchIds, resolveMor = false) // append-only: ids land exactly once
 
   /** Compact over-long docs-ledger chains
     * ([[VersionedStore.compactIfNeeded]]) — maintenance, not serving:
@@ -162,10 +166,16 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     // pruned, ids pushed), the epoch filter keeps the current epoch's
     // own crashed-attempt rows novel, and the batch anti-joins the
     // batch-sized hit set broadcast — no Exchange, opens f(batch)
-    val landedPrior = probeDocs(spark, root, batch.select(col(id)),
-        docsSchema)
-      .filter(col("epoch") < epoch).select(col(id))
-    val novel = batch.join(broadcast(landedPrior), Seq(id), "left_anti")
+    val (prior, priorExact) = probeDocs(spark, root, batch.select(col(id)),
+      docsSchema)
+    val landedPrior = prior.filter(col("epoch") < epoch).select(col(id))
+    // an EXACT probe (literal key push) already holds only batch ids —
+    // anti-join it directly; the superset path refines map-side first
+    val landedHit =
+      if (priorExact) landedPrior
+      else landedPrior
+        .join(broadcast(batch.select(col(id))), Seq(id), "left_semi")
+    val novel = batch.join(broadcast(landedHit), Seq(id), "left_anti")
       .localCheckpoint() // feeds n, feats, labels across the store swap
     val n = novel.count() // 0 covers the empty-batch case too
     if (n == 0) return
@@ -240,8 +250,12 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
       () => Sinks.upsertPartitioned(merged, Seq("b"), wDir(root),
         nBuckets = 1),
       () => if (VersionedStore.taggedEpoch(docsDir(root), docTag).isEmpty)
+        // ids are unique per batch (the landing contract — r15's
+        // append assumed the same); deltaUpsert's fused dup check
+        // fails loudly on a violation, so no defensive distinct
+        // shuffle rides every micro-batch
         VersionedStore.deltaUpsert(
-          novel.select(col(id)).distinct().withColumn("epoch", lit(epoch)),
+          novel.select(col(id)).withColumn("epoch", lit(epoch)),
           Seq(id), docsDir(root), nBuckets = docBuckets, tag = docTag,
           preMaterialized = true))
     // compaction policy AFTER the epoch landed (metadata-only below
