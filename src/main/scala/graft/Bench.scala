@@ -17,6 +17,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // parallelism floor for compute-dense tiny shuffles (round-16):
+      // AQE coalescing is bytes-based, so gram-explosion / pair-join /
+      // posting-scoring stages fed by byte-tiny shuffles collapsed to
+      // ONE task (0.3-1.0 s single-task stages across a dozen
+      // queries). 16k only binds when per-core shuffle bytes < 1 MB —
+      // at production shuffle sizes the advisory target governs.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "16k"))
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl", "graft.BenchFs")
       .getOrCreate()

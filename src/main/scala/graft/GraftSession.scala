@@ -17,6 +17,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's coalescing is BYTES-based, so a compute-dense stage fed
+      // by a byte-tiny shuffle (gram explosion, posting-list scoring,
+      // candidate-pair verification) collapses to ONE task and
+      // serializes its CPU work (round-16 measured 0.3-1.0 s
+      // single-task stages across a dozen queries). Floor the
+      // post-coalesce partition size far below the 1 MB default so
+      // such stages keep their parallelism; the floor only binds when
+      // per-core shuffle bytes < 1 MB — at production shuffle sizes
+      // the advisory target governs and this is a no-op.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "16k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries INT64 TIMESTAMP(NANOS) — read as long nanos.

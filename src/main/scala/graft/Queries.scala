@@ -25,6 +25,23 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Round-robin spread of an UNDER-PARALLEL scan before a
+    * compute-dense kernel (round-16, guide §2.5 input-parallelism):
+    * the bench fixtures are single-row-group parquet files, so a scan
+    * is ONE task whatever the core count, and a kernel fused into the
+    * scan stage (winnowing, n-gram explosion, span mining, pair
+    * generation) serializes its CPU work — measured 0.3-1.0 s
+    * single-task stages across the text-kernel queries. When the
+    * source already splits (any production-sized input), the partition
+    * check short-circuits and NO exchange is added — this never
+    * reshuffles a corpus that scans parallel on its own. Result-
+    * invariant: every consumer below is row-order-independent. */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= par) df
+    else df.repartition(par)
+  }
+
   /** Epoch-seconds expression for the events table's ts column — the
     * single home of the ts-type contract (eventLog + q72 + q106 all
     * read through it), tolerant of every schema the driver has shipped:
@@ -785,7 +802,10 @@ object Queries {
       idx.centroids.write.mode("overwrite").parquet(centPath)
       idx.assignments.write.mode("overwrite").parquet(asgPath)
     }
-    Similarity.IvfIndex(s.read.parquet(centPath), s.read.parquet(asgPath))
+    // assignments feed the Σ cell² candidate joins (knn graph, q206
+    // contrastive mining) and the fixture is one file — spread
+    Similarity.IvfIndex(s.read.parquet(centPath),
+      spread(s.read.parquet(asgPath)))
   }
 
   /** The corpus's persisted PQ index — subspace codebooks + corpus
@@ -927,7 +947,10 @@ object Queries {
       idx.centroids.write.mode("overwrite").parquet(centPath)
       idx.assignments.write.mode("overwrite").parquet(asgPath)
     }
-    Similarity.IvfIndex(s.read.parquet(centPath), s.read.parquet(asgPath))
+    // assignments feed the Σ cell² candidate joins (knn graph, q206
+    // contrastive mining) and the fixture is one file — spread
+    Similarity.IvfIndex(s.read.parquet(centPath),
+      spread(s.read.parquet(asgPath)))
   }
 
   private val oIvfRefresh =
@@ -1577,7 +1600,7 @@ object Queries {
     * index MOSS-style dedup builds. Head-capped at 256 chars: the demo
     * verifies the selection math; production fingerprints full text. */
   private def qWinnow(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         explode(TextAnalysis.winnow(substring(col("text"), 1, 256), WinK, WinW))
           .as("fp"))
@@ -2076,7 +2099,7 @@ object Queries {
     * (tf × N / df — exact-integer division, bit-portable; see
     * [[CorpusSignals.tfidfTopTerms]]). */
   private def qTfidfTerms(s: SparkSession, dir: String): DataFrame =
-    CorpusSignals.tfidfTopTerms(t(s, dir, "documents"), "doc_id",
+    CorpusSignals.tfidfTopTerms(spread(t(s, dir, "documents")), "doc_id",
         col("text"), k = 5)
       .orderBy("doc_id", "rank")
 
@@ -2196,7 +2219,7 @@ object Queries {
     // scoped form: the filtered corpus materializes once and feeds both
     // the pair mining and the survivor anti-join; the (small) survivor
     // projection is checkpointed so the cache can release immediately
-    val sc = exec.CorpusPipeline.cleanPlanScoped(t(s, dir, "documents"),
+    val sc = exec.CorpusPipeline.cleanPlanScoped(spread(t(s, dir, "documents")),
       minTokens = 30, maxPunctRatio = 0.05, maxDupWordFrac = 0.6,
       nearDupThreshold = 0.6)
     val out = sc.df.select("doc_id", "source", "lang", "n_chars")
@@ -2598,7 +2621,7 @@ object Queries {
     * background = the whole corpus; integer-exact ppm ratios so the
     * per-document sum is order-independent on both engines. */
   private def qImportanceWeights(s: SparkSession, dir: String): DataFrame =
-    Curation.importanceWeights(t(s, dir, "documents"), "doc_id",
+    Curation.importanceWeights(spread(t(s, dir, "documents")), "doc_id",
         col("text"), col("source") === "src1")
       .orderBy("doc_id")
 
@@ -2713,7 +2736,7 @@ object Queries {
     * Same oracle surface as q61 — the sketch only prunes, the exact
     * join decides, so false positives cannot reach the result. */
   private def qBloomContamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = spread(t(s, dir, "documents"))
     CorpusSignals.contaminationBloom(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0),
@@ -3078,7 +3101,8 @@ object Queries {
     * documents. The oracle replays the positional grams with a DuckDB
     * list comprehension and the same gaps-and-islands window. */
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.dupSpans(t(s, dir, "documents"), "doc_id", col("text"), DupSpanN)
+    Dedup.dupSpans(spread(t(s, dir, "documents")), "doc_id", col("text"),
+        DupSpanN)
       .orderBy("doc_id", "span_start")
 
   private val oDupSpans = oDupSpansSql("")
@@ -3324,8 +3348,8 @@ object Queries {
     * continuation total and the exact-ppm MLE conditional
     * p(word | context) — the KenLM-style corpus-prep surface. */
   private def qLmCounts(s: SparkSession, dir: String): DataFrame =
-    CorpusSignals.lmConditionalCounts(t(s, dir, "documents"), col("text"),
-        n = 3, minCount = 3L)
+    CorpusSignals.lmConditionalCounts(spread(t(s, dir, "documents")),
+        col("text"), n = 3, minCount = 3L)
       .orderBy("context", "word")
 
   private val oLmCounts =
@@ -5544,7 +5568,9 @@ object Queries {
       Retrieval.termDf(post, "doc_id").write.mode("overwrite").parquet(tdfPath)
       Retrieval.corpusStats(dl).write.mode("overwrite").parquet(statsPath)
     }
-    (s.read.parquet(postPath), s.read.parquet(dlPath),
+    // postings are the SCORED side of every serve join and the fixture
+    // lands as one file — spread (no-op on any multi-split source)
+    (spread(s.read.parquet(postPath)), s.read.parquet(dlPath),
       s.read.parquet(tdfPath), s.read.parquet(statsPath))
   }
 
@@ -7664,7 +7690,7 @@ object Queries {
     * SIGNED SUM of eighth-bit quantizations, so no count product is
     * ever materialized — overflow-free at any corpus size. */
   private def qPmiPairs(s: SparkSession, dir: String): DataFrame =
-    graft.ops.CorpusStats.pmi(t(s, dir, "documents"), col("text"),
+    graft.ops.CorpusStats.pmi(spread(t(s, dir, "documents")), col("text"),
         window = 2, minCount = 5L)
       .orderBy("a", "b")
 

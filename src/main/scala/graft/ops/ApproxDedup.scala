@@ -74,16 +74,23 @@ object ApproxDedup {
     * distance exactly 1. */
   def editDistance1Pairs(words: DataFrame, wordCol: String,
                          maxBlockRows: Int = 0): DataFrame = {
+    // EXPLICIT keyed repartition under the distinct (round-16): the
+    // vocabulary shuffle is tiny in BYTES, so AQE coalesces it to one
+    // partition — but everything below EXPLODES (|w|·len variants,
+    // Σ block² candidate pairs, a levenshtein per pair) and the whole
+    // join stage ran on ONE core (measured 4.2 s of 5.4 s wall on a
+    // 15k-word vocabulary). A user repartition with an explicit count
+    // is exempt from AQE coalescing; the count derives from the
+    // session's parallelism, never a constant. The _w hash partitioning
+    // also serves the distinct below it (no second exchange).
+    val par = words.sparkSession.sparkContext.defaultParallelism
     val w = words.select(col(wordCol).cast("string").as("_w"))
-      .filter(col("_w").isNotNull).distinct()
+      .filter(col("_w").isNotNull)
+      .repartition(par, col("_w"))
+      .distinct()
     // {s} ∪ deletions₁(s): position 0 keeps s itself (substr deletes
     // nothing), positions 1..len delete one character each
-    val variants = w.select(col("_w"), explode(transform(
-        sequence(lit(0), length(col("_w"))),
-        i => when(i === 0, col("_w")).otherwise(
-          concat(col("_w").substr(lit(1), i - 1),
-            col("_w").substr(i + 1, length(col("_w"))))))).as("_v"))
-      .distinct() // a word can reach one variant via several deletions
+    val variants = deletionVariants(w, "_w", "_v")
     requireBoundedBlocks(variants, "_v", maxBlockRows, "editDistance1Pairs")
     val a = variants.select(col("_w").as("word_a"), col("_v"))
     val b = variants.select(col("_w").as("word_b"), col("_v"))
@@ -105,15 +112,18 @@ object ApproxDedup {
   def editDistance1Lookup(vocab: DataFrame, vocabCol: String,
                           probes: DataFrame, probeCol: String,
                           maxBlockRows: Int = 0): DataFrame = {
+    // same explicit-parallelism posture as [[editDistance1Pairs]]: the
+    // vocabulary/probe shuffles are byte-tiny (AQE would coalesce to
+    // one partition) while the variant explosion and block-collision
+    // join below them are the whole cost
+    val par = vocab.sparkSession.sparkContext.defaultParallelism
     def variants(df: DataFrame, c: String, out: String): DataFrame =
-      df.select(col(c).cast("string").as(out))
-        .filter(col(out).isNotNull).distinct()
-        .select(col(out), explode(transform(
-          sequence(lit(0), length(col(out))),
-          i => when(i === 0, col(out)).otherwise(
-            concat(col(out).substr(lit(1), i - 1),
-              col(out).substr(i + 1, length(col(out))))))).as("_v"))
-        .distinct()
+      deletionVariants(
+        df.select(col(c).cast("string").as(out))
+          .filter(col(out).isNotNull)
+          .repartition(par, col(out))
+          .distinct(),
+        out, "_v")
     val v = variants(vocab, vocabCol, "suggestion")
     requireBoundedBlocks(v, "_v", maxBlockRows, "editDistance1Lookup")
     val p = variants(probes, probeCol, "probe")
@@ -125,6 +135,27 @@ object ApproxDedup {
     cand.join(best, Seq("probe", "dist"))
       .select(col("probe"), col("suggestion"), col("dist"))
   }
+
+  /** The distinct {s} ∪ deletions₁(s) variant set of a distinct-string
+    * frame, as (word, variant) rows — shared by [[editDistance1Pairs]]
+    * and [[editDistance1Lookup]]. Built as `explode(sequence)` + a
+    * plain projected CASE/concat/substr, NOT `explode(transform(...))`:
+    * the higher-order `transform` lambda is evaluated INTERPRETED (per
+    * element, outside whole-stage codegen), which round-16 measured at
+    * ~1.1 s per evaluation on a 15k-word vocabulary — and the pair
+    * join evaluates the variant subtree once per side. The flat
+    * explode+project shape keeps every expression inside codegen; the
+    * produced (word, variant) set is identical row-for-row. */
+  private def deletionVariants(w: DataFrame, wordCol: String,
+                               out: String): DataFrame =
+    w.select(col(wordCol),
+        explode(sequence(lit(0), length(col(wordCol)))).as("_del_i"))
+      .select(col(wordCol),
+        when(col("_del_i") === 0, col(wordCol)).otherwise(
+          concat(col(wordCol).substr(lit(1), col("_del_i") - 1),
+            col(wordCol).substr(col("_del_i") + 1,
+              length(col(wordCol))))).as(out))
+      .distinct() // a word can reach one variant via several deletions
 
   def blockHistogram(df: DataFrame, block: String): DataFrame =
     df.filter(col(block).isNotNull)

@@ -240,11 +240,15 @@ object ConnectedComponents {
         .union(e.select(col("lo").as("ctr"), col("hi").as("nb")))
       val mins = sym.groupBy("ctr").agg(min("nb").as("mn"))
         .select(col("ctr"), least(col("mn"), col("ctr")).as("m"))
+      // NOT checkpointed (round-16, guide §2.4): ls feeds small-star
+      // twice (mins2 + the join), but both uses live in ONE plan — the
+      // checkpointed ss below — so ReuseExchange dedupes ls's shuffles
+      // and the round pays one materialization instead of two. Plan
+      // depth stays constant per round (ss's checkpoint truncates it).
       val ls = e.join(mins.withColumnRenamed("ctr", "lo"), Seq("lo"))
         .select(col("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo"))
         .distinct()
-        .localCheckpoint()
       // SMALL-STAR. Per node u over its SMALLER neighbors N⁻(u) (the
       // canonical edges grouped by hi): u and each v ∈ N⁻(u) re-point
       // at m = min(N⁻(u)).

@@ -47,6 +47,12 @@ object LinearTrainer {
 
   private val M = 1000000L // µ-unit scale
 
+  /** Weight-map size up to which the scoring pass inlines the model as
+    * a `typedLit` map literal (plan-embedded, codegen'd `element_at`)
+    * instead of a broadcast join — large enough for every probe-sized
+    * model, small enough that plan serialization stays trivial. */
+  private val MaxLiteralWeights = 1 << 16
+
   final case class StepMetric(step: Long, nCorrect: Long, sumAbsWU: Long)
 
   final case class TrainResult(weights: Map[Long, Long],
@@ -139,35 +145,63 @@ object LinearTrainer {
     val metrics = Seq.newBuilder[StepMetric]
     var step = 1
     while (step <= steps + 1) {
-      val wDf = w.toSeq.toDF("_b", "_w")
       // per-document µ-unit score under the current weights; documents
-      // with no features (or only zero-weight buckets) score 0
-      val sums = f.join(broadcast(wDf), Seq("_b"), "left")
-        .groupBy(col("_id"))
-        .agg(sum(col("_x") * coalesce(col("_w"), lit(0L))).cast("long").as("_s"))
+      // with no features (or only zero-weight buckets) score 0. The
+      // model is driver-resident by contract, so the weight lookup
+      // rides the scoring aggregation as a MAP LITERAL instead of a
+      // per-step broadcast join — one fewer exchange and one fewer
+      // broadcast-build job per step (round-16, guide §2.4); a model
+      // past the literal bound keeps the broadcast-join path.
+      val sums =
+        if (w.sizeIs <= MaxLiteralWeights) {
+          val wExpr =
+            if (w.isEmpty) lit(0L)
+            else coalesce(element_at(typedLit(w), col("_b")), lit(0L))
+          f.groupBy(col("_id"))
+            .agg(sum(col("_x") * wExpr).cast("long").as("_s"))
+        } else
+          f.join(broadcast(w.toSeq.toDF("_b", "_w")), Seq("_b"), "left")
+            .groupBy(col("_id"))
+            .agg(sum(col("_x") * coalesce(col("_w"), lit(0L)))
+              .cast("long").as("_s"))
       val scored = y.join(sums, Seq("_id"), "left")
         .select(col("_id"), col("_y"),
           coalesce(col("_s"), lit(0L)).as("_s"))
         .withColumn("_e", col("_s") - col("_y"))
         .persist(lvl)
-      val m = scored.agg(
-        sum(when((col("_s") >= 0L) === (col("_y") >= 0L), 1L)
-          .otherwise(0L)).cast("long").as("nc"),
-        max(abs(col("_e"))).cast("long").as("me")).collect()(0)
-      val maxAbsErr = m.getLong(1)
+      // ONE action per step (round-16, guide §1.2): the step metrics
+      // and the per-bucket gradient union into a single collect over
+      // the persisted scored frame — metric rows carry null _b/_g,
+      // gradient rows null _nc/_me. The old shape paid two sequential
+      // actions per step; the overflow guard below still aborts before
+      // any gradient value is USED, so a wrapped sum never escapes.
+      val metricRow = scored.agg(
+          sum(when((col("_s") >= 0L) === (col("_y") >= 0L), 1L)
+            .otherwise(0L)).cast("long").as("_nc"),
+          max(abs(col("_e"))).cast("long").as("_me"))
+        .select(lit(null).cast("long").as("_b"),
+          lit(null).cast("long").as("_g"), col("_nc"), col("_me"))
+      val rows =
+        (if (step <= steps)
+          // per-bucket gradient of 0.5·Σ(s−y)² — one map-side-combined agg
+          f.join(scored.select(col("_id"), col("_e")), Seq("_id"))
+            .groupBy(col("_b"))
+            .agg(sum(col("_x") * col("_e")).cast("long").as("_g"))
+            .select(col("_b"), col("_g"),
+              lit(null).cast("long").as("_nc"),
+              lit(null).cast("long").as("_me"))
+            .unionByName(metricRow)
+        else metricRow).collect()
+      val m = rows.find(!_.isNullAt(2)).get
+      val maxAbsErr = m.getLong(3)
       // a per-bucket gradient sums ≤ n terms of |x·e|; fail fast while
       // the sum still fits with an order of magnitude to spare
       require(maxAbsErr <= Long.MaxValue / math.max(n, 1L) / maxAbsX / 8L,
         s"lmsTrain: step $step error magnitude $maxAbsErr risks gradient overflow " +
           s"at n=$n, max|x|=$maxAbsX — lower steps or raise lrDenom")
-      metrics += StepMetric(step.toLong, m.getLong(0),
+      metrics += StepMetric(step.toLong, m.getLong(2),
         w.valuesIterator.map(math.abs).sum)
       if (step <= steps) {
-        // per-bucket gradient of 0.5·Σ(s−y)² — one map-side-combined agg
-        val grad = f.join(scored.select(col("_id"), col("_e")), Seq("_id"))
-          .groupBy(col("_b"))
-          .agg(sum(col("_x") * col("_e")).cast("long").as("_g"))
-          .collect()
         // the step divisor itself can wrap: lrDenom ≥ max row norm²
         // (2^20 in the shipped config) times a multi-trillion n flips
         // the product negative and the update silently changes SIGN —
@@ -178,7 +212,7 @@ object LinearTrainer {
         val div = lrDenom * n // JVM truncated division == DuckDB `//`
         // merge, don't replace: warm-start buckets absent from this
         // feature table keep their weight (mini-batch fold contract)
-        w = w ++ grad.iterator.map { r =>
+        w = w ++ rows.iterator.filter(_.isNullAt(2)).map { r =>
           val b = r.getLong(0)
           b -> (w.getOrElse(b, 0L) - r.getLong(1) / div)
         }
