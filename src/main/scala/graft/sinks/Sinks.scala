@@ -307,8 +307,17 @@ object Sinks {
     // contract no longer reads this store.
     val mat0 = batch.withColumn("_bucket", bucketExpr)
     val mat = if (preMaterialized) mat0 else mat0.localCheckpoint()
-    val touched = mat.select("_bucket").distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
+    // a SINGLE-bucket store (TrainStream's model-sized weight ledger)
+    // needs no touched-bucket discovery: pmod(hash, 1) is identically
+    // 0, so the distinct+collect job — which recomputes an
+    // un-checkpointed batch plan, broadcast builds and all — is pure
+    // overhead on every micro-batch. The staged write below is then
+    // the batch's ONE evaluation; a truly empty batch surfaces as a
+    // missing staging dir and falls out at the promote guard.
+    val touched: Seq[Int] =
+      if (n == 1) Seq(0)
+      else mat.select("_bucket").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return
 
     val liveTouched = touched.filter(b =>
@@ -367,6 +376,12 @@ object Sinks {
     // the same two-rename swap the monolithic store does. Every
     // touched bucket has rows (it is touched BECAUSE batch rows hash
     // there), so its staging directory always exists.
+    // the n==1 shortcut above never probed the batch: an empty batch
+    // over an empty store stages nothing — there is nothing to promote
+    if (n == 1 && !fs.exists(new Path(staging, "_bucket=0"))) {
+      fs.delete(staging, true)
+      return
+    }
     touched.foreach { b =>
       val bDir = new Path(s"$storeDir/${bucketName(b)}")
       val old = new Path(bDir.toString + ".old")

@@ -696,7 +696,7 @@ object VersionedStore {
                  evolve: Boolean = false, tsMillis: Long = -1L,
                  preMaterialized: Boolean = false): Long =
     deltaApplyImpl(batch, keyCols, root, opCol, nBuckets, tag, evolve,
-      tsMillis, preMaterialized, constUpsertOp = false)
+      tsMillis, preMaterialized, constUpsertOp = false, keysUnique = false)
 
   /** `constUpsertOp` is [[deltaUpsert]]'s internal hint: the op column
     * is a literal "upsert" it just added, so op-domain and conflict
@@ -706,7 +706,8 @@ object VersionedStore {
                  root: String,
                  opCol: String, nBuckets: Int, tag: String,
                  evolve: Boolean, tsMillis: Long,
-                 preMaterialized: Boolean, constUpsertOp: Boolean): Long = {
+                 preMaterialized: Boolean, constUpsertOp: Boolean,
+                 keysUnique: Boolean): Long = {
     require(!tag.contains(";") && !tag.contains("\n") && !tag.contains("@"),
       s"commit tag must not contain ';', '@' or newlines: $tag")
     val payloadCols = batch.columns.filterNot(_ == opCol)
@@ -721,12 +722,36 @@ object VersionedStore {
     val committed = commits(root)
     val epoch = committed.lastOption.map(_.epoch).getOrElse(0L) + 1L
     val bucketExpr = pmod(hash(keyCols.map(col): _*), lit(n))
+    // schema fence inputs derive from the batch's SCHEMA only (no data,
+    // no job) — computed up front so the keysUnique fast path below can
+    // decide before any action runs
+    val storeDdl = schemaAsOfOpt(fs, dir,
+      committed.lastOption.map(_.epoch).getOrElse(0L))
+    val batchShape = StructType(batch.schema
+      .filterNot(f => f.name == opCol || f.name == "_bucket"))
+    val targetDdl = storeDdl match {
+      case None => ddlOf(batchShape)
+      case Some(prev) => mergeSchemas(prev, batchShape, evolve)
+    }
+    val evolving = storeDdl.exists(_ != targetDdl)
+    // keysUnique FAST PATH (the high-frequency maintainer contract):
+    // the caller asserts one row per key — its batch is the output of
+    // an aggregation/distinct on the key columns — so the dup fence is
+    // vacuous, op-domain/conflict checks are already vacuous
+    // (constUpsertOp), and the touched-bucket set can come from the
+    // staged output's own partition dirs. The whole validation
+    // aggregation job AND the batch materialization job disappear: the
+    // batch is consumed exactly once, by the staging write. NOT taken
+    // for an evolving commit (the schema marker must not land for a
+    // possibly-empty batch that then commits nothing).
+    val fastUnique = constUpsertOp && keysUnique && !evolving
     // a caller that ALREADY materialized the batch (a maintainer's
     // localCheckpoint'd delta whose plan by contract no longer reads
     // this store) skips the second checkpoint — one job less on the
     // per-micro-batch path, same rationale as upsertPartitioned's flag
     val mat0 = batch.withColumn("_bucket", bucketExpr)
-    val mat = if (preMaterialized) mat0 else mat0.localCheckpoint()
+    val mat =
+      if (preMaterialized || fastUnique) mat0 else mat0.localCheckpoint()
 
     // ONE fused probe: op-domain validity, per-key op conflicts, and
     // the touched-bucket set (no presence probe — deletes are blind).
@@ -740,8 +765,8 @@ object VersionedStore {
     // (count + distinct-key count + bucket set — map-side combined,
     // no per-key groupBy level): the dup check is total == distinct,
     // and a high-frequency maintainer pays this probe every
-    // micro-batch (round-16 bench).
-    val touched: Seq[Int] = {
+    // micro-batch (round-16 bench). keysUnique skips it entirely.
+    val touched: Seq[Int] = if (fastUnique) Seq.empty else {
       val keyStruct = struct(keyCols.map(col): _*)
       if (constUpsertOp) {
         val p = mat.agg(count(lit(1)).as("n"),
@@ -779,26 +804,19 @@ object VersionedStore {
         probe.getSeq[Int](3).sorted
       }
     }
-    if (touched.isEmpty) return epoch - 1L
+    if (!fastUnique && touched.isEmpty) return epoch - 1L
 
     // schema fence: the batch's row shape (minus the op column) must
     // match the store's exactly, or evolve additively — delta files
     // with a silently drifted schema would corrupt every chain read
-    val storeDdl = schemaAsOfOpt(fs, dir,
-      committed.lastOption.map(_.epoch).getOrElse(0L))
-    val batchShape = StructType(mat.schema
-      .filterNot(f => f.name == opCol || f.name == "_bucket"))
-    val targetDdl = storeDdl match {
-      case None => ddlOf(batchShape)
-      case Some(prev) => mergeSchemas(prev, batchShape, evolve)
-    }
+    // (storeDdl/batchShape/targetDdl computed above, before the probe)
     writeMarker(fs, new Path(dir, "_schema"), targetDdl, replace = false)
     val schemaMarker = new Path(dir, f"_schema-$epoch%07d")
     // never touch a schema marker whose epoch a RACING writer already
     // committed — it is theirs; our own collision resolves (and for an
     // evolving commit, aborts) at the commit fence
     val epochRaced = fs.exists(new Path(dir, f"_commit-$epoch%07d"))
-    if (storeDdl.exists(_ != targetDdl)) {
+    if (evolving) {
       if (epochRaced)
         sys.error(s"concurrent writer conflict: epoch $epoch was committed " +
           "by another writer while this schema-evolving commit staged — " +
@@ -809,24 +827,44 @@ object VersionedStore {
     val targetCols = StructType.fromDDL(targetDdl).fieldNames.toSeq
     val out = mat.select(targetCols.map(col) ++
       Seq(col(opCol).cast(StringType).as(OpField), col("_bucket")): _*)
-    val token = stageAndPromote(spark, fs, dir, out, touched, epoch, keyCols,
-      bloom = false)
-    commitOrRebase(fs, dir, root, epoch,
-      "dapply" + (if (tag.nonEmpty) s"@$tag" else ""), touched, tsMillis,
-      committed, ownEvolved = storeDdl.exists(_ != targetDdl),
-      ownerToken = token)
+    if (fastUnique) {
+      val (token, staged) = stageAndPromoteImpl(spark, fs, dir, out,
+        touchedHint = None, nCand = n, epoch, keyCols, bloom = false)
+      if (staged.isEmpty) return epoch - 1L // empty batch: nothing committed
+      commitOrRebase(fs, dir, root, epoch,
+        "dapply" + (if (tag.nonEmpty) s"@$tag" else ""), staged, tsMillis,
+        committed, ownEvolved = false, ownerToken = token)
+    } else {
+      val token = stageAndPromote(spark, fs, dir, out, touched, epoch, keyCols,
+        bloom = false)
+      commitOrRebase(fs, dir, root, epoch,
+        "dapply" + (if (tag.nonEmpty) s"@$tag" else ""), touched, tsMillis,
+        committed, ownEvolved = evolving, ownerToken = token)
+    }
   }
 
-  /** Merge-on-read upsert: [[deltaApply]] with every row an upsert. */
+  /** Merge-on-read upsert: [[deltaApply]] with every row an upsert.
+    *
+    * `keysUnique = true` is the high-frequency maintainer contract:
+    * the CALLER asserts the batch holds at most one row per key (it is
+    * the output of an aggregation or `distinct()` on the key columns),
+    * so the per-batch validation aggregation job AND the batch
+    * materialization job are both skipped — the batch is consumed
+    * exactly once, by the staging write, and the touched-bucket set is
+    * read off the staged output (one listing, zero jobs). A caller
+    * that violates the assertion lands duplicate same-key rows in one
+    * delta generation, where newest-wins resolution picks an arbitrary
+    * winner — only set it when uniqueness holds by construction. */
   def deltaUpsert(batch: DataFrame, keyCols: Seq[String], root: String,
                   nBuckets: Int = 8, tag: String = "",
                   evolve: Boolean = false, tsMillis: Long = -1L,
-                  preMaterialized: Boolean = false): Long = {
+                  preMaterialized: Boolean = false,
+                  keysUnique: Boolean = false): Long = {
     require(!batch.columns.contains(OpField),
       s"versioned store reserves '$OpField'; rename the input's")
     deltaApplyImpl(batch.withColumn(OpField, lit("upsert")), keyCols, root,
       OpField, nBuckets, tag, evolve, tsMillis, preMaterialized,
-      constUpsertOp = true)
+      constUpsertOp = true, keysUnique = keysUnique)
   }
 
   /** Fold delta chains back to single base generations, as a NEW epoch
@@ -1017,7 +1055,24 @@ object VersionedStore {
   private def stageAndPromote(spark: SparkSession, fs: FileSystem, dir: Path,
                               frame: DataFrame, touched: Seq[Int],
                               epoch: Long, keyCols: Seq[String],
-                              bloom: Boolean): String = {
+                              bloom: Boolean): String =
+    stageAndPromoteImpl(spark, fs, dir, frame, Some(touched), 0, epoch,
+      keyCols, bloom)._1
+
+  /** `touchedHint = None` derives the touched-bucket set from the
+    * staged output itself (the dynamic-partition `_bucket=` dirs, one
+    * listing) instead of requiring the caller to probe it with its own
+    * aggregation job — the [[deltaUpsert]] `keysUnique` fast path.
+    * `nCand` is the store's bucket count: it bounds the staging
+    * repartition width and the stats observation's candidate set when
+    * no hint is given. Returns (owner token, touched buckets); an
+    * empty bucket set means nothing was staged (empty batch) and NO
+    * generation directory was created. */
+  private def stageAndPromoteImpl(spark: SparkSession, fs: FileSystem,
+                              dir: Path, frame: DataFrame,
+                              touchedHint: Option[Seq[Int]], nCand: Int,
+                              epoch: Long, keyCols: Seq[String],
+                              bloom: Boolean): (String, Seq[Int]) = {
     val token = java.util.UUID.randomUUID().toString
     // writer-private staging: two optimistic writers staging the same
     // epoch number must not clobber each other's files (the commit
@@ -1049,7 +1104,8 @@ object VersionedStore {
     // _bucket leads the sort so the dynamic-partition writer's
     // required ordering is already satisfied (it would otherwise
     // re-sort by _bucket and scramble the key clustering)
-    val shaped = frame.repartition(touched.length, col("_bucket"))
+    val shaped = frame.repartition(
+      touchedHint.map(_.length).getOrElse(math.max(1, nCand)), col("_bucket"))
     val sorted =
       if (bloom) shaped.sortWithinPartitions(
         col("_bucket") +: keyCols.map(col): _*)
@@ -1068,7 +1124,8 @@ object VersionedStore {
     // stats anyway, so a delta'd chain can prune too (round-14).
     val statSchema = StructType(frame.schema.filterNot(f =>
       f.name == "_bucket" || f.name == OpField))
-    val observed = DataSkipping.observeStats(sorted, touched, statSchema)
+    val observed = DataSkipping.observeStats(sorted,
+      touchedHint.getOrElse(0 until nCand), statSchema)
     val base = observed.map(_._1).getOrElse(sorted).write
     val writer =
       if (!bloom) base
@@ -1078,6 +1135,17 @@ object VersionedStore {
         (w, kc) => w.option(s"parquet.bloom.filter.enabled#$kc", "true")
       }
     writer.partitionBy("_bucket").parquet(staging.toString)
+    // hint-less staging (the keysUnique fast path): the touched set IS
+    // the set of non-empty dynamic-partition dirs the write produced —
+    // one listing replaces the caller's validation aggregation job. An
+    // empty set means an empty batch: clean up, commit nothing.
+    val touched: Seq[Int] = touchedHint.getOrElse {
+      if (!fs.exists(staging)) Seq.empty
+      else fs.listStatus(staging).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("_bucket=") =>
+          s.stripPrefix("_bucket=").toInt }.sorted
+    }
+    if (touched.isEmpty) { fs.delete(staging, true); return (token, Seq.empty) }
     val statBodies: Map[Int, String] =
       observed.flatMap(_._2.harvest()).getOrElse {
         if (!bloom) Map.empty
@@ -1132,7 +1200,7 @@ object VersionedStore {
         token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     fs.delete(staging, true)
-    token
+    (token, touched)
   }
 
   private def writeEpoch(batch: DataFrame, keyCols: Seq[String], root: String,

@@ -167,11 +167,13 @@ final case class LmStream(id: String, text: Column, n: Int,
     // docs ledger is APPEND-ONLY (an id lands in exactly one committed
     // epoch), so the probe skips newest-wins resolution — a plain
     // pruned scan, no per-batch window shuffle
-    val (prior, priorExact) =
+    val (prior, priorExact) = SessionConfGate.labeled(spark,
+        s"lm e$epoch: docs novelty probe") {
       if (VersionedStore.currentEpoch(docsDir(root)) == 0L)
         probeLedger(spark, docsDir(root), batch.select(col(id)), docsSchema)
       else VersionedStore.probeForKeysWithExactness(spark, docsDir(root),
         batch.select(col(id)), resolveMor = false)
+    }
     val landedPrior = prior.filter(col("epoch") < epoch).select(col(id))
     // an EXACT probe already holds only batch ids — anti-join direct
     val landedHit =
@@ -182,8 +184,10 @@ final case class LmStream(id: String, text: Column, n: Int,
     // one materialization of the batch grams (the count aggregation is
     // the step's only shuffle — inherently so); the merge below reuses
     // it as a broadcast build side
-    val rawB = CorpusSignals.lmRawCounts(novel, text, n)
-      .withColumnRenamed("cnt_gram", "_cnt_b").localCheckpoint()
+    val rawB = SessionConfGate.labeled(spark, s"lm e$epoch: batch grams") {
+      CorpusSignals.lmRawCounts(novel, text, n)
+        .withColumnRenamed("cnt_gram", "_cnt_b").localCheckpoint()
+    }
     // the batch grams' CURRENT totals, bucket-pruned and key-pushed —
     // per-batch count-ledger read I/O is f(batch grams), never
     // f(vocabulary). Atomic commits mean these are always the exact
@@ -198,8 +202,11 @@ final case class LmStream(id: String, text: Column, n: Int,
         // back into the left join. Atomic commits mean these are
         // always the exact pre-batch totals on a replay that reaches
         // this point (a committed attempt was skipped by the tag).
-        val (curProbe, curExact) = probeLedger(spark, countsDir(root),
-          rawB.select("context", "word"), CountsSchema)
+        val (curProbe, curExact) = SessionConfGate.labeled(spark,
+            s"lm e$epoch: counts probe") {
+          probeLedger(spark, countsDir(root),
+            rawB.select("context", "word"), CountsSchema)
+        }
         val curHit =
           if (curExact) curProbe
           else curProbe.join(broadcast(rawB.select("context", "word")),
@@ -211,31 +218,42 @@ final case class LmStream(id: String, text: Column, n: Int,
             (coalesce(col("_cnt_cur"), lit(0L)) + col("_cnt_b"))
               .as("cnt_gram"),
             lit(epoch).as("last_epoch"))
-          .localCheckpoint()
       }
     val docsDelta =
       if (docsDone) null
       else novel.select(col(id)).distinct()
-        .withColumn("epoch", lit(epoch)).localCheckpoint()
-    // the two ledgers are INDEPENDENT stores and both inputs are
-    // materialized — land them concurrently: the per-commit fixed cost
-    // overlaps instead of summing (round-14 profile). Crash-safety is
-    // unchanged — the replay matrix covers either store failing first,
-    // in any order; an EMPTY delta commits nothing (no epoch, no tag),
-    // which is exactly right for a later-epoch redelivery.
+        .withColumn("epoch", lit(epoch))
+    // the two ledgers are INDEPENDENT stores — land them concurrently:
+    // the per-commit fixed cost overlaps instead of summing (round-14
+    // profile). Crash-safety is unchanged — the replay matrix covers
+    // either store failing first, in any order; an EMPTY delta commits
+    // nothing (no epoch, no tag), which is exactly right for a
+    // later-epoch redelivery. Neither frame is pre-materialized or
+    // isEmpty-gated any more (round-16): keysUnique (both are
+    // aggregation/distinct outputs on their key columns) lets the
+    // staging write be the ONE action per ledger — deltaUpsert itself
+    // detects the empty batch from the staged output and commits
+    // nothing, and MOR writes never touch the existing files the
+    // frames' own probe plans read.
     SessionConfGate.inParallel(
-      () => if (merged != null && !merged.isEmpty)
-        VersionedStore.deltaUpsert(merged, Seq("context", "word"),
-          countsDir(root), nBuckets = nBuckets, tag = tag,
-          preMaterialized = true),
-      () => if (docsDelta != null && !docsDelta.isEmpty)
-        VersionedStore.deltaUpsert(docsDelta, Seq(id), docsDir(root),
-          nBuckets = nBuckets, tag = tag, preMaterialized = true))
+      () => if (merged != null)
+        SessionConfGate.labeled(spark, s"lm e$epoch: counts delta land") {
+          VersionedStore.deltaUpsert(merged, Seq("context", "word"),
+            countsDir(root), nBuckets = nBuckets, tag = tag,
+            keysUnique = true)
+        },
+      () => if (docsDelta != null)
+        SessionConfGate.labeled(spark, s"lm e$epoch: docs delta land") {
+          VersionedStore.deltaUpsert(docsDelta, Seq(id), docsDir(root),
+            nBuckets = nBuckets, tag = tag, keysUnique = true)
+        })
     // compaction POLICY, not per-batch work: metadata-only below the
     // threshold; every ~MaxDeltas epochs it folds a bucket's chain
     // back to one bloom'd base (bounding probe opens). Batches are
     // serialized per stream, so the inline call never races a write.
-    maintain(spark, root)
+    SessionConfGate.labeled(spark, s"lm e$epoch: compaction policy") {
+      maintain(spark, root)
+    }
   }
 
   /** Fold over-long delta chains back to single base generations

@@ -43,6 +43,18 @@ private[streaming] object SessionConfGate {
     }
   }
 
+  /** Label the jobs `body` submits (the optimization guide's §1.5
+    * discipline — a maintainer batch fans into many small actions and
+    * an unlabeled UI/bench timeline cannot attribute them). Thread-
+    * local, saved and restored, so a maintainer's label never leaks
+    * into the host application's own jobs. */
+  def labeled[A](spark: SparkSession, desc: String)(body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** Run independent store writes concurrently on short-lived threads
     * (Spark schedules concurrent jobs from one session fine; the
     * session conf the gate pinned is shared, so both sides plan under

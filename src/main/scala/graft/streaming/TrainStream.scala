@@ -166,8 +166,10 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     // pruned, ids pushed), the epoch filter keeps the current epoch's
     // own crashed-attempt rows novel, and the batch anti-joins the
     // batch-sized hit set broadcast — no Exchange, opens f(batch)
-    val (prior, priorExact) = probeDocs(spark, root, batch.select(col(id)),
-      docsSchema)
+    val (prior, priorExact) = SessionConfGate.labeled(spark,
+        s"train e$epoch: docs novelty probe") {
+      probeDocs(spark, root, batch.select(col(id)), docsSchema)
+    }
     val landedPrior = prior.filter(col("epoch") < epoch).select(col(id))
     // an EXACT probe (literal key push) already holds only batch ids —
     // anti-join it directly; the superset path refines map-side first
@@ -175,8 +177,11 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
       if (priorExact) landedPrior
       else landedPrior
         .join(broadcast(batch.select(col(id))), Seq(id), "left_semi")
-    val novel = batch.join(broadcast(landedHit), Seq(id), "left_anti")
-      .localCheckpoint() // feeds n, feats, labels across the store swap
+    val novel = SessionConfGate.labeled(spark,
+        s"train e$epoch: novel batch") {
+      batch.join(broadcast(landedHit), Seq(id), "left_anti")
+        .localCheckpoint() // feeds n, feats, labels across the store swap
+    }
     val n = novel.count() // 0 covers the empty-batch case too
     if (n == 0) return
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -201,9 +206,11 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
       .agg(sum(col("_x") * coalesce(col("_we"), lit(0L))).cast("long").as("_s"),
         sum(col("_x") * col("_x")).cast("long").as("_rn"))
       .persist(lvl)
-    val maxRowNorm2 = sums
-      .agg(coalesce(max(col("_rn")), lit(0L)).cast("long"))
-      .collect()(0).getLong(0)
+    val maxRowNorm2 = SessionConfGate.labeled(spark,
+        s"train e$epoch: score + stability bound") {
+      sums.agg(coalesce(max(col("_rn")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
+    }
     require(lrDenom >= maxRowNorm2,
       s"TrainStream: lrDenom=$lrDenom < max row norm² $maxRowNorm2 at epoch " +
         s"$epoch — the LMS step would exceed the 2/λmax stability bound")
@@ -247,20 +254,29 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     // (the crash matrix already covers either store failing first).
     val docTag = s"e$epoch"
     SessionConfGate.inParallel(
-      () => Sinks.upsertPartitioned(merged, Seq("b"), wDir(root),
-        nBuckets = 1),
+      () => SessionConfGate.labeled(spark, s"train e$epoch: weights land") {
+        Sinks.upsertPartitioned(merged, Seq("b"), wDir(root),
+          nBuckets = 1)
+      },
       () => if (VersionedStore.taggedEpoch(docsDir(root), docTag).isEmpty)
         // ids are unique per batch (the landing contract — r15's
-        // append assumed the same); deltaUpsert's fused dup check
-        // fails loudly on a violation, so no defensive distinct
-        // shuffle rides every micro-batch
-        VersionedStore.deltaUpsert(
-          novel.select(col(id)).withColumn("epoch", lit(epoch)),
-          Seq(id), docsDir(root), nBuckets = docBuckets, tag = docTag,
-          preMaterialized = true))
+        // append assumed the same): keysUnique lands the delta with
+        // the staging write as the ONLY action — no validation
+        // aggregation and no defensive distinct shuffle rides every
+        // micro-batch (a contract violation lands duplicate identical
+        // (id, epoch) rows, which newest-wins resolves to the same
+        // content either way)
+        SessionConfGate.labeled(spark, s"train e$epoch: docs delta land") {
+          VersionedStore.deltaUpsert(
+            novel.select(col(id)).withColumn("epoch", lit(epoch)),
+            Seq(id), docsDir(root), nBuckets = docBuckets, tag = docTag,
+            keysUnique = true)
+        })
     // compaction policy AFTER the epoch landed (metadata-only below
     // the MaxDeltas threshold) — bounds the next batches' probe fan-in
-    maintain(spark, root)
+    SessionConfGate.labeled(spark, s"train e$epoch: compaction policy") {
+      maintain(spark, root)
+    }
     // unpersist in finally (round-15): an ABORTED batch — the
     // stability-bound require, a simulated crash in the replay matrix
     // — used to leak the persisted feats/sums forever (the cache

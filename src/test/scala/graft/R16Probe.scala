@@ -85,7 +85,7 @@ object R16Probe {
         outDir.resolve(s"${name}_$suffix.txt"), planTxt)
       // timed runs, bench action (count), fresh frame per run
       var best = Double.MaxValue
-      var bestJobs: Vector[(Int, Long, String)] = Vector.empty
+      var bestJobs: Vector[(Int, Long, Long, String)] = Vector.empty
       var bestStages: Vector[S] = Vector.empty
       val walls = (1 to runs).map { _ =>
         order.clear(); jobs.clear(); stages.clear()
@@ -96,8 +96,7 @@ object R16Probe {
           best = sec
           import scala.jdk.CollectionConverters._
           bestJobs = order.asScala.toVector.flatMap { id =>
-            Option(jobs.get(id)).map(j =>
-              (id, if (j.end > 0) j.end - j.start else -1L, j.desc))
+            Option(jobs.get(id)).map(j => (id, j.start, j.end, j.desc))
           }
           bestStages = stages.asScala.toVector
         }
@@ -108,12 +107,23 @@ object R16Probe {
         .foreach(s => println(
           f"R16S $name NARROW-HOT stage=${s.id} tasks=${s.tasks} run=${s.runMs}ms cpu=${s.cpuMs}ms"))
       println(f"R16Q $name%-28s runs=${walls.map(w => f"${w._1}%.2f").mkString(",")} rows=${walls.head._2}")
-      val totJob = bestJobs.map(_._2).filter(_ > 0).sum / 1e3
+      val totJob =
+        bestJobs.map(j => j._3 - j._2).filter(_ > 0).sum / 1e3
       println(f"R16J $name best=${best}%.2fs jobs=${bestJobs.size} jobwall=${totJob}%.2fs (sum, overlaps possible)")
-      bestJobs.foreach { case (id, ms, d) =>
+      // gap timeline of the fastest run: time between a job's end and
+      // the next job's start = driver-side work (planning, metadata,
+      // commit fences) — the bench's driver_s, attributed per gap
+      var prevEnd = -1L
+      var gapTot = 0L
+      bestJobs.foreach { case (id, st, en, d) =>
         val dd = if (d.length > 90) d.take(90) else d
-        println(f"R16J   job=$id%4d ${ms}%6dms $dd")
+        val ms = if (en > 0) en - st else -1L
+        val gap = if (prevEnd > 0) st - prevEnd else 0L
+        if (gap > 0) gapTot += gap
+        if (en > 0) prevEnd = math.max(prevEnd, en)
+        println(f"R16J   job=$id%4d ${ms}%6dms gap=${gap}%5dms $dd")
       }
+      println(f"R16J $name gaps_total=${gapTot / 1e3}%.2fs")
     }
     spark.stop()
   }
