@@ -35,11 +35,27 @@ object Queries {
     * source already splits (any production-sized input), the partition
     * check short-circuits and NO exchange is added — this never
     * reshuffles a corpus that scans parallel on its own. Result-
-    * invariant: every consumer below is row-order-independent. */
+    * invariant: every consumer below is row-order-independent.
+    *
+    * Round-17 (verdict task #1): the forced count is WORK-BOUNDED —
+    * the plan's size estimate divided by a 64 KB/task target, clamped
+    * to [1, cores] ([[graft.ops.Parallelism.boundedCount]]). Round 16
+    * fanned every under-parallel scan to full core count; on a 584 KB
+    * corpus that runs each downstream partial aggregation 32 times
+    * over vocabulary-sized state (~6x total-work amplification,
+    * round-17 profile) for no additional wall on a healthy box and a
+    * multi-second outlier on a contended one. 64 KB/task keeps the
+    * measured kernels (winnow ~1.5 ms/KB, PMI pair explosion
+    * ~1 ms/KB) at ~100 ms/task — well past scheduling overhead,
+    * far under state-duplication territory. */
   private def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions >= par) df
-    else df.repartition(par)
+    val cur = df.queryExecution.toRdd.getNumPartitions
+    if (cur >= par) df
+    else {
+      val want = graft.ops.Parallelism.boundedCount(df, 64 * 1024L)
+      if (want <= cur) df else df.repartition(want)
+    }
   }
 
   /** Epoch-seconds expression for the events table's ts column — the
