@@ -51,7 +51,7 @@ object LinearTrainer {
     * a `typedLit` map literal (plan-embedded, codegen'd `element_at`)
     * instead of a broadcast join — large enough for every probe-sized
     * model, small enough that plan serialization stays trivial. */
-  private val MaxLiteralWeights = 1 << 16
+  private[graft] val MaxLiteralWeights = 1 << 16
 
   final case class StepMetric(step: Long, nCorrect: Long, sumAbsWU: Long)
 

@@ -312,10 +312,19 @@ object Sinks {
     // 0, so the distinct+collect job — which recomputes an
     // un-checkpointed batch plan, broadcast builds and all — is pure
     // overhead on every micro-batch. The staged write below is then
-    // the batch's ONE evaluation; a truly empty batch surfaces as a
-    // missing staging dir and falls out at the promote guard.
+    // the batch's ONE evaluation; a truly empty batch over an EMPTY
+    // store surfaces as a missing staging dir and falls out at the
+    // promote guard. Over a LIVE store, though, merged below would
+    // become every existing row (empty left-anti ∪ empty) and the
+    // batch would silently rewrite + swap the whole bucket — so that
+    // path pays one bounded isEmpty probe first (round-16 ADVICE; far
+    // cheaper than the distinct+collect the shortcut removed).
     val touched: Seq[Int] =
-      if (n == 1) Seq(0)
+      if (n == 1) {
+        if (fs.exists(new Path(s"$storeDir/${bucketName(0)}/_SUCCESS"))
+            && mat.isEmpty) return
+        Seq(0)
+      }
       else mat.select("_bucket").distinct()
         .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return

@@ -744,7 +744,15 @@ object VersionedStore {
     // batch is consumed exactly once, by the staging write. NOT taken
     // for an evolving commit (the schema marker must not land for a
     // possibly-empty batch that then commits nothing).
-    val fastUnique = constUpsertOp && keysUnique && !evolving
+    // debug fence (round-16 verdict): keysUnique is a CALLER contract —
+    // a violation lands nondeterministic newest-wins data with no
+    // error. With spark.graft.store.validateUnique=true (tests, staging
+    // runs) the fast path is disabled and the flat dup probe below
+    // still fails loudly; production keeps the zero-extra-action shape.
+    val validateUnique = spark.conf
+      .get("spark.graft.store.validateUnique", "false").toBoolean
+    val fastUnique = constUpsertOp && keysUnique && !evolving &&
+      !validateUnique
     // a caller that ALREADY materialized the batch (a maintainer's
     // localCheckpoint'd delta whose plan by contract no longer reads
     // this store) skips the second checkpoint — one job less on the
@@ -809,20 +817,30 @@ object VersionedStore {
     // schema fence: the batch's row shape (minus the op column) must
     // match the store's exactly, or evolve additively — delta files
     // with a silently drifted schema would corrupt every chain read
-    // (storeDdl/batchShape/targetDdl computed above, before the probe)
-    writeMarker(fs, new Path(dir, "_schema"), targetDdl, replace = false)
-    val schemaMarker = new Path(dir, f"_schema-$epoch%07d")
-    // never touch a schema marker whose epoch a RACING writer already
-    // committed — it is theirs; our own collision resolves (and for an
-    // evolving commit, aborts) at the commit fence
-    val epochRaced = fs.exists(new Path(dir, f"_commit-$epoch%07d"))
-    if (evolving) {
-      if (epochRaced)
-        sys.error(s"concurrent writer conflict: epoch $epoch was committed " +
-          "by another writer while this schema-evolving commit staged — " +
-          "metadata changes conflict with every concurrent commit")
-      writeMarker(fs, schemaMarker, targetDdl, replace = true)
-    } else if (!epochRaced) fs.delete(schemaMarker, false)
+    // (storeDdl/batchShape/targetDdl computed above, before the probe).
+    // On the fastUnique path this runs AFTER the staged-output
+    // empty-batch detection (round-16 ADVICE): an empty FIRST batch on
+    // a brand-new store must not leave a dangling `_schema` with zero
+    // commits — schemaAsOfOpt's fallback would pin the store's schema
+    // and a later first real batch with an additively wider shape
+    // would error without evolve=true. Deferring it is safe: nothing
+    // staged is reader-visible before the commit marker lands.
+    def writeSchemaFence(): Unit = {
+      writeMarker(fs, new Path(dir, "_schema"), targetDdl, replace = false)
+      val schemaMarker = new Path(dir, f"_schema-$epoch%07d")
+      // never touch a schema marker whose epoch a RACING writer already
+      // committed — it is theirs; our own collision resolves (and for an
+      // evolving commit, aborts) at the commit fence
+      val epochRaced = fs.exists(new Path(dir, f"_commit-$epoch%07d"))
+      if (evolving) {
+        if (epochRaced)
+          sys.error(s"concurrent writer conflict: epoch $epoch was committed " +
+            "by another writer while this schema-evolving commit staged — " +
+            "metadata changes conflict with every concurrent commit")
+        writeMarker(fs, schemaMarker, targetDdl, replace = true)
+      } else if (!epochRaced) fs.delete(schemaMarker, false)
+    }
+    if (!fastUnique) writeSchemaFence()
 
     val targetCols = StructType.fromDDL(targetDdl).fieldNames.toSeq
     val out = mat.select(targetCols.map(col) ++
@@ -831,6 +849,7 @@ object VersionedStore {
       val (token, staged) = stageAndPromoteImpl(spark, fs, dir, out,
         touchedHint = None, nCand = n, epoch, keyCols, bloom = false)
       if (staged.isEmpty) return epoch - 1L // empty batch: nothing committed
+      writeSchemaFence()
       commitOrRebase(fs, dir, root, epoch,
         "dapply" + (if (tag.nonEmpty) s"@$tag" else ""), staged, tsMillis,
         committed, ownEvolved = false, ownerToken = token)
@@ -1146,10 +1165,17 @@ object VersionedStore {
           s.stripPrefix("_bucket=").toInt }.sorted
     }
     if (touched.isEmpty) { fs.delete(staging, true); return (token, Seq.empty) }
+    // missed observation (failed, or over the per-query metric budget —
+    // the HINT-LESS path observes nCand×fields candidate pairs, so a
+    // wide store with many buckets overruns it on every batch): fall
+    // back to a footer pass over the just-staged touched set, for
+    // DELTA generations too (round-16 ADVICE) — losing stats there
+    // degrades last_epoch/freshness data-skipping to conservative
+    // full-chain reads, which costs far more downstream than reading
+    // the handful of batch-sized footers this write just produced.
     val statBodies: Map[Int, String] =
       observed.flatMap(_._2.harvest()).getOrElse {
-        if (!bloom) Map.empty
-        else parallelMap(touched) { b =>
+        parallelMap(touched) { b =>
           b -> DataSkipping.collectBody(fs, new Path(staging, s"_bucket=$b"),
             statSchema)
         }.collect { case (b, Some(body)) => b -> body }.toMap

@@ -127,11 +127,13 @@ final case class LmStream(id: String, text: Column, n: Int,
     * Job shape (same rationale as [[TrainStream]]): AQE off for the
     * step — every frame is batch-sized or a bucket-pruned probe, so
     * runtime re-planning only adds a stage-job per materialization;
-    * the two delta commits take the caller-materialized fast path (the
-    * frames are checkpointed for the isEmpty gates, and MOR commits
-    * never mutate the files a concurrent plan reads); and an empty
-    * batch is caught by the merged/docs gates, not an upfront job of
-    * its own. */
+    * the two delta commits land with `keysUnique = true` (both frames
+    * are aggregation/distinct outputs on their key columns), so the
+    * staging write is each ledger's SINGLE action — no validation
+    * aggregation, no caller-side checkpoint; an empty batch is
+    * detected from the staged output inside deltaUpsert (nothing
+    * commits), and MOR commits never mutate the files a concurrent
+    * plan reads. */
   def processBatch(batch: DataFrame, epoch: Long, root: String): Unit = {
     val spark = batch.sparkSession
     // session-global toggles — serialized across maintainers by the
