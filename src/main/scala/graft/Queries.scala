@@ -1708,7 +1708,9 @@ object Queries {
       .withColumn("msg_id", md5(concat(lit("m"), col("k"))))
       .withColumn("v", col("k") * 7)
       .write.parquet(s"$root/in")
-    val in = s.readStream
+    // stream plans under the micro-batch-sized session (state-store
+    // partition count follows keyed-state volume, not host cores)
+    val in = graft.streaming.StreamSessions.microBatch(s).readStream
       .schema("k BIGINT, msg_id STRING, v BIGINT")
       .parquet(s"$root/in")
       .as[(Long, String, Long)]
@@ -3858,7 +3860,8 @@ object Queries {
     // (foreachBatch's contract) — "last update per key" then means
     // max(_bid), not an inference from memory-sink insertion order
     val q = Funnel.stagesStream(
-        s.readStream.schema(base.schema).parquet(inDir),
+        graft.streaming.StreamSessions.microBatch(s).readStream
+          .schema(base.schema).parquet(inDir),
         "user_id", col("sec"), col("event_type"), stages)
       .writeStream
       .option("checkpointLocation", s"$root/ckpt")
@@ -8968,7 +8971,8 @@ object Queries {
     // fresh subscription per run (the stream IS the measured surface)
     val run = s"$fix/run"
     deleteTree(run)
-    val q = s.readStream.format("graft-vstore")
+    val q = graft.streaming.StreamSessions.microBatch(s).readStream
+      .format("graft-vstore")
       .option("path", store).option("changeFeed", "true")
       .option("startingEpoch", "0")
       .load()

@@ -101,7 +101,7 @@ final case class EpochStream(keyCols: Seq[String], nBuckets: Int = 8,
     if (vacuumGraceMillis > 0L &&
         VersionedStore.readAuxMarker(root, "_vacuum_grace").isEmpty)
       VersionedStore.setVacuumGrace(root, vacuumGraceMillis)
-    spark.readStream.schema(schema)
+    StreamSessions.microBatch(spark).readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
       .writeStream

@@ -114,7 +114,7 @@ object FreqStream {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     frequentOps(
-        spark.readStream.schema("k STRING, v STRING").parquet(landingDir)
+        StreamSessions.microBatch(spark).readStream.schema("k STRING, v STRING").parquet(landingDir)
           .as[(String, String)], k)
       .toDF()
       .writeStream
@@ -142,7 +142,7 @@ object FreqStream {
     val updDir = s"$root/upd"
     phases.head.write.parquet(inDir)
     val q = frequent(
-        spark.readStream.schema("k STRING, v STRING").parquet(inDir)
+        StreamSessions.microBatch(spark).readStream.schema("k STRING, v STRING").parquet(inDir)
           .as[(String, String)], k)
       .toDF()
       .writeStream

@@ -74,7 +74,7 @@ object HistStream {
                        storeRoot: String, nBuckets: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
-    histogram(spark.readStream.schema("k STRING, v BIGINT")
+    histogram(StreamSessions.microBatch(spark).readStream.schema("k STRING, v BIGINT")
         .parquet(landingDir).as[(String, Option[Long])])
       .toDF()
       .writeStream
@@ -99,7 +99,7 @@ object HistStream {
     val updDir = s"$root/upd"
     phases.head.write.parquet(inDir)
     val q = histogram(
-        spark.readStream.schema("k STRING, v BIGINT").parquet(inDir)
+        StreamSessions.microBatch(spark).readStream.schema("k STRING, v BIGINT").parquet(inDir)
           .as[(String, Option[Long])])
       .toDF()
       .writeStream

@@ -76,7 +76,7 @@ final case class IndexStream(vecId: String, vecCol: String) {
     * ConcurrentStreamsSpec pins the combined kill/resume behavior. */
   def start(spark: SparkSession, landingDir: String, schema: StructType,
             root: String): StreamingQuery =
-    spark.readStream.schema(schema)
+    StreamSessions.microBatch(spark).readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
       .writeStream
@@ -137,7 +137,7 @@ final case class IvfPqStream(vecId: String, vecCol: String,
     * stream-specific, the ConcurrentStreamsSpec convention). */
   def start(spark: SparkSession, landingDir: String, schema: StructType,
             root: String): StreamingQuery =
-    spark.readStream.schema(schema)
+    StreamSessions.microBatch(spark).readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
       .writeStream

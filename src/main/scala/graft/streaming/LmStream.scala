@@ -288,7 +288,7 @@ final case class LmStream(id: String, text: Column, n: Int,
     * is MaintainerMatrixSpec's contract family). */
   def start(spark: SparkSession, landingDir: String, schema: StructType,
             root: String): StreamingQuery =
-    spark.readStream.schema(schema)
+    StreamSessions.microBatch(spark).readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
       .writeStream

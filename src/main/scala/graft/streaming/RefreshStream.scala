@@ -166,7 +166,7 @@ final case class RefreshStream(
     * kill/resume behavior is ConcurrentStreamsSpec's contract). */
   def start(spark: SparkSession, landingDir: String, schema: StructType,
             emb: DataFrame, root: String): StreamingQuery =
-    spark.readStream.schema(schema)
+    StreamSessions.microBatch(spark).readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
       .writeStream

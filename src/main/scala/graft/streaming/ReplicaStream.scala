@@ -80,7 +80,7 @@ object ReplicaStream {
                 maxEpochsPerTrigger: Option[Long] = None,
                 nBuckets: Int = 8): StreamingQuery = {
     val keyCols = VersionedStore.keyColsOf(srcRoot)
-    val reader = spark.readStream.format("graft-vstore")
+    val reader = StreamSessions.microBatch(spark).readStream.format("graft-vstore")
       .option("path", srcRoot).option("changeFeed", "true")
       .option("startingEpoch", startingEpoch.toString)
     maxEpochsPerTrigger.foreach(m =>

@@ -140,7 +140,7 @@ object SketchStream {
   def kmvToStore(spark: SparkSession, landingDir: String, k: Int,
                  storeRoot: String, nBuckets: Int = 8): StreamingQuery = {
     import spark.implicits._
-    kmv(spark.readStream.schema("k STRING, v STRING").parquet(landingDir)
+    kmv(StreamSessions.microBatch(spark).readStream.schema("k STRING, v STRING").parquet(landingDir)
         .as[(String, String)], k)
       .toDF()
       .withColumn("k_param", lit(k))
@@ -181,7 +181,7 @@ object SketchStream {
     val updDir = s"$root/upd"
     phases.head.write.parquet(inDir)
     val q = mk(
-        spark.readStream.schema("k STRING, v STRING").parquet(inDir)
+        StreamSessions.microBatch(spark).readStream.schema("k STRING, v STRING").parquet(inDir)
           .as[(String, String)])
       .writeStream
       .option("checkpointLocation", s"$root/ckpt")

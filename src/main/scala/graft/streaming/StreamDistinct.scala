@@ -82,7 +82,7 @@ object StreamDistinct {
     val updDir = s"$root/upd"
     phases.head.write.parquet(inDir)
     val q = estimates(
-        spark.readStream.schema("k STRING, v STRING").parquet(inDir)
+        StreamSessions.microBatch(spark).readStream.schema("k STRING, v STRING").parquet(inDir)
           .as[(String, String)])
       .toDF()
       .writeStream

@@ -76,7 +76,7 @@ object TaskPipeline {
                   logDir: String, dlq: graft.connectors.QueueSource,
                   checkpoint: String,
                   failWhen: org.apache.spark.sql.Column): StreamingQuery = {
-    val actions = unpack(queue.readStream(spark))
+    val actions = unpack(queue.readStream(StreamSessions.microBatch(spark)))
     executeCopy(actions, failWhen).writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -125,7 +125,7 @@ object TaskPipeline {
   def runStatsJob(spark: SparkSession, logDir: String,
                   store: graft.connectors.KeyedStore,
                   checkpoint: String): StreamingQuery = {
-    val log = spark.readStream
+    val log = StreamSessions.microBatch(spark).readStream
       .schema(StructType(Seq(
         StructField("Key", StringType),
         StructField("Size", LongType),

@@ -299,7 +299,7 @@ final case class TrainStream(id: String, featurize: DataFrame => DataFrame,
     * with the others). */
   def start(spark: SparkSession, landingDir: String, schema: StructType,
             root: String): StreamingQuery =
-    spark.readStream.schema(schema)
+    StreamSessions.microBatch(spark).readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landingDir)
       .writeStream
