@@ -253,12 +253,20 @@ object ConnectedComponents {
       // canonical edges grouped by hi): u and each v ∈ N⁻(u) re-point
       // at m = min(N⁻(u)).
       val mins2 = ls.groupBy("hi").agg(min("lo").as("m"))
+      // NON-EAGER checkpoint (round-17, verdict #5): the convergence
+      // probe below is the round's ONE materializing action — it runs
+      // through the checkpoint-marked RDD, so computing the probe
+      // persists ss's partitions as a side effect and the next round
+      // reads them back. The eager form paid a separate checkpoint job
+      // (plus its driver gap) per round on top of the probe's; the
+      // iteration's fixed job cost IS the runtime on dedup-shaped
+      // graphs. Lineage truncation is unchanged once materialized.
       val ss = ls.join(mins2, Seq("hi"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .unionByName(mins2.select(col("hi"), col("m").as("lo")))
         .filter(col("hi") =!= col("lo"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       // fixpoint ⟺ star forest ⟺ every node has AT MOST ONE parent
       // (each hi appears once) AND parents are roots (no lo is a hi).
       // Both clauses are required: {(3,1),(3,2),(4,1),(5,2)} has no lo
